@@ -1,13 +1,30 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{EngineQueries, PipelineQueries, Q, RelationalQueries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every declared operator from SURVEY §2 (plus the training-data
+  * pipeline extensions) is exposed as a named query over the synthetic
+  * tables; queries with a DuckDB-expressible equivalent also declare
+  * oracle SQL for the driver's hash-match correctness gate.
+  */
 object SparkEntry {
+
+  val allDecls: Seq[Q.Decl] =
+    RelationalQueries.decls ++ EngineQueries.decls ++ PipelineQueries.decls
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    allDecls.head.fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDecls.map(d => d.name -> d.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    allDecls.collect { case Q.Decl(n, _, Some(sql)) => n -> sql }.toMap
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Entity consolidation transforms (A6–A8): pure column expressions over
+  * multi-valued property arrays, applied per entity before export
+  * (zavod/zavod/exporters/consolidate.py:48-170).
+  *
+  * All functions here are Catalyst higher-order-function compositions —
+  * no UDFs — so they stay inside whole-stage codegen.
+  */
+object Consolidate {
+
+  /** A6: prefix-date simplification — within one entity+prop, drop partial
+    * ISO date strings ("1990", "1990-05") that are prefixes of a longer
+    * value in the same set (consolidate.py:62-90). Keeps non-prefix
+    * partials (a bare year with no fuller date stays).
+    */
+  def simplifyPrefixDates(values: Column): Column =
+    filter(values, x =>
+      !exists(values, y =>
+        (length(y) > length(x)) && (y.substr(lit(1), length(x)) === x)))
+
+  /** A6 variant: creation-date pick = earliest value; modification-date
+    * pick = latest (consolidate.py:71-77). Partial-ISO strings order
+    * correctly lexicographically. */
+  def minDate(values: Column): Column = array_min(values)
+  def maxDate(values: Column): Column = array_max(values)
+
+  /** A7: name reduction — drop weak aliases that duplicate a strong name
+    * case-insensitively (consolidate.py:123-170). `strong` and `weak` are
+    * string arrays; returns the weak values whose lowercase form is not
+    * already covered by a strong name. */
+  def reduceWeakNames(strong: Column, weak: Column): Column =
+    filter(weak, w => !exists(strong, s => lower(s) === lower(w)))
+
+  /** A5/K5: squashed distinct-name key (case-insensitive, whitespace
+    * collapsed) used for names.txt dedup (zavod/zavod/exporters/names.py:18-25). */
+  def nameKey(name: Column): Column =
+    regexp_replace(trim(lower(name)), "\\s+", " ")
+
+  /** A8: undirected-edge endpoint normalization — the (source, target) pair
+    * ordered canonically so A→B and B→A bucket together
+    * (zavod/zavod/integration/edges.py:109-127). */
+  def undirectedKey(source: Column, target: Column): Column =
+    concat_ws("|", least(source, target), greatest(source, target))
+
+  /** T7: partial-ISO interval bounds. A partial date "1990-05" covers
+    * [1990-05-01, 1990-05-31]; empty/null = unbounded (wildcard).
+    * Returns the inclusive lower bound as a full ISO string. */
+  def partialDateLower(d: Column): Column =
+    when(d.isNull || d === "", lit("0000-01-01"))
+      .when(length(d) === 4, concat(d, lit("-01-01")))
+      .when(length(d) === 7, concat(d, lit("-01")))
+      .otherwise(d)
+
+  /** Inclusive upper bound of a partial ISO date (end of year/month). */
+  def partialDateUpper(d: Column): Column =
+    when(d.isNull || d === "", lit("9999-12-31"))
+      .when(length(d) === 4, concat(d, lit("-12-31")))
+      .when(length(d) === 7,
+        date_format(last_day(to_date(concat(d, lit("-01")))), "yyyy-MM-dd"))
+      .otherwise(d)
+
+  /** T7/J11: two partial-ISO ranges are compatible iff they intersect;
+    * empty set = wildcard (edges.py:129-195). */
+  def intervalsOverlap(aStart: Column, aEnd: Column, bStart: Column, bEnd: Column): Column =
+    (partialDateLower(aStart) <= partialDateUpper(bEnd)) &&
+      (partialDateLower(bStart) <= partialDateUpper(aEnd))
+}

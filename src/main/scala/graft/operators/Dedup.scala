@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, and SimHash near-duplicate detection.
+  *
+  * Design for 100 TB: every variant is shuffle-bounded by (a) a
+  * document-frequency cap on shingles (drops ubiquitous shingles before
+  * the pair join, the classic blocking trick — without it one common
+  * shingle joins every document against every other) and (b) candidate
+  * generation through equi-joins on bucket keys (LSH bands / shingles),
+  * never a cross join.
+  */
+object Dedup {
+
+  /** Portable 60-bit string hash: fold of the first 15 hex digits of md5.
+    * Chosen over xxhash64/murmur because it is bit-for-bit reproducible in
+    * any engine that has md5 (DuckDB oracle parity). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Exact dedup: group by content hash, keep the smallest id.
+    * Returns (content_hash, keeper_id, dup_count). */
+  def exact(df: DataFrame, id: Column, content: Column): DataFrame =
+    df.select(md5(content).as("content_hash"), id.as("_id"))
+      .groupBy("content_hash")
+      .agg(min(col("_id")).as("keeper_id"), count(lit(1)).as("dup_count"))
+
+  /** Distinct word n-gram shingles per document: (doc id, shingle),
+    * with shingles whose global document frequency exceeds `maxDf`
+    * dropped (blocking cap). `text` must be single-space tokenized. */
+  def shingles(df: DataFrame, id: Column, text: Column, n: Int, maxDf: Long): DataFrame = {
+    val words = split(text, " ")
+    val sh = df.select(
+      id.as("doc"),
+      explode(transform(
+        sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => when(size(words) >= n,
+          concat_ws(" ", slice(words, i + lit(1), lit(n)))))).as("shingle"))
+      .filter(col("shingle").isNotNull)
+      .distinct()
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    sh.join(freq, "shingle").select(col("doc"), col("shingle"))
+  }
+
+  /** N-gram Jaccard near-dup pairs: exact Jaccard over the (df-capped)
+    * shingle sets of each pair that shares at least one shingle.
+    * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    * One shuffle on shingle for candidate generation, one on the pair. */
+  def ngramJaccardPairs(
+      df: DataFrame, id: Column, text: Column,
+      n: Int, maxDf: Long, threshold: Double): DataFrame = {
+    val sh = Dedup.shingles(df, id, text, n, maxDf).cache()
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val inter = sh.toDF("a", "shingle")
+      .join(sh.toDF("b", "shingle"), "shingle")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("a", "sza"), "a")
+      .join(sizes.toDF("b", "szb"), "b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
+  }
+
+  // Permutations live in a 31-bit domain so a*h+b never overflows a long
+  // (a, h < 2^31 ⇒ a*h < 2^62) — required under ANSI arithmetic.
+  private val MersennePrime31 = (1L << 31) - 1
+
+  /** Deterministic MinHash permutation parameters (a, b) for hash i. */
+  private def perm(i: Int): (Long, Long) = {
+    // fixed LCG-derived multipliers; any fixed coprime-ish set works
+    val a = ((2862933555777941757L * (i + 1) + 3037000493L) & Long.MaxValue) % (MersennePrime31 - 1) + 1
+    val b = ((4294967291L * (i + 1) + 1442695040888963407L) & Long.MaxValue) % MersennePrime31
+    (a, b)
+  }
+
+  /** MinHash signatures: per document, `numHashes` minima of permuted
+    * shingle hashes. Returns (doc, sig array<long>). */
+  def minhashSignatures(
+      df: DataFrame, id: Column, text: Column,
+      n: Int, maxDf: Long, numHashes: Int): DataFrame = {
+    val sh = shingles(df, id, text, n, maxDf)
+      .withColumn("h", pmod(hash60(col("shingle")), lit(MersennePrime31)))
+    val mins = (0 until numHashes).map { i =>
+      val (a, b) = perm(i)
+      min(pmod(col("h") * a + b, lit(MersennePrime31))).as(s"m$i")
+    }
+    sh.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
+      .select(col("doc"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH candidate pairs: band the signature, bucket-join on
+    * (band, bucket-hash), return distinct candidate pairs with the
+    * estimated Jaccard (fraction of matching signature positions).
+    * `bands * rowsPerBand` must equal the signature length. */
+  def minhashLshPairs(
+      df: DataFrame, id: Column, text: Column,
+      n: Int = 3, maxDf: Long = 100, bands: Int = 8, rowsPerBand: Int = 4,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = minhashSignatures(df, id, text, n, maxDf, numHashes).cache()
+    val banded = sig.select(
+      col("doc"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(concat_ws("_", transform(
+          slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),
+          x => x.cast("string")))))))
+      .select(col("doc"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
+    val pairs = banded.select(col("doc").as("a"), col("sig").as("siga"), col("band"), col("bucket"))
+      .join(banded.select(col("doc").as("b"), col("sig").as("sigb"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("siga"), col("sigb"))
+      .distinct()
+    pairs
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), b => b))
+          .cast("double") / lit(bands * rowsPerBand).cast("double"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("est_jaccard"))
+  }
+
+  /** SimHash: 60-bit signature — bit j is set iff the sum over tokens of
+    * ±1 (sign = token-hash bit j) is positive. Near-dups = pairs within
+    * `maxHamming` bits; candidate generation by splitting the signature
+    * into 4 15-bit chunks and joining on any equal chunk (pigeonhole:
+    * hamming ≤ 3 guarantees one equal chunk). */
+  def simhashSignatures(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tok = df.select(id.as("doc"), explode(split(text, " ")).as("t"))
+      .withColumn("h", hash60(col("t")))
+    val bitSums = (0 until 60).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    tok.groupBy(col("doc")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc"),
+        (0 until 60).map(j => when(col(s"s$j") > 0, 1L << j).otherwise(0L))
+          .reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  def simhashPairs(df: DataFrame, id: Column, text: Column, maxHamming: Int = 3): DataFrame = {
+    val sig = simhashSignatures(df, id, text).cache()
+    val chunked = sig.select(col("doc"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 15).bitwiseAND(lit((1L << 15) - 1))): _*)))
+      .select(col("doc"), col("simhash"), col("pos").as("chunk"), col("col").as("ckey"))
+    chunked.select(col("doc").as("a"), col("simhash").as("ha"), col("chunk"), col("ckey"))
+      .join(chunked.select(col("doc").as("b"), col("simhash").as("hb"), col("chunk"), col("ckey")),
+        Seq("chunk", "ckey"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("ha"), col("hb")).distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.model.{Entity, FtmModel, Statement}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Statement → Entity assembly (A1): group statements by canonical ID and
+  * merge them into an [[Entity]] with schema narrowing and multi-valued
+  * property sets.
+  *
+  * The reference does this as a sorted LevelDB scan
+  * (zavod/zavod/store.py:36-74); here it is a typed Spark
+  * `Aggregator[Statement, Buf, Entity]` driven by `groupByKey(canonicalId)`
+  * — a distributed sort/hash aggregation with map-side partial merge, so
+  * the statement stream for one entity never has to fit in one driver.
+  *
+  * Determinism: property values are sorted sets, so the result is
+  * independent of statement arrival order across partitions.
+  */
+object EntityAssembler {
+
+  final case class Buf(
+      var schema: String,
+      var props: Map[String, Set[String]],
+      var datasets: Set[String],
+      var referents: Set[String],
+      var firstSeen: Long, // Long.MaxValue = unset
+      var lastSeen: Long   // Long.MinValue = unset
+  )
+
+  /** Narrow two schemata to their most specific common schema; fall back to
+    * lexicographically-first on conflict (the reference raises — we keep
+    * the row and let validators flag it). */
+  private def narrow(a: String, b: String): String =
+    if (a == null || a.isEmpty) b
+    else if (b == null || b.isEmpty) a
+    else FtmModel.commonSchema(a, b).getOrElse(if (a < b) a else b)
+
+  val aggregator: Aggregator[Statement, Buf, Entity] =
+    new Aggregator[Statement, Buf, Entity] {
+      def zero: Buf = Buf("", Map.empty, Set.empty, Set.empty, Long.MaxValue, Long.MinValue)
+
+      def reduce(b: Buf, s: Statement): Buf = {
+        b.schema = narrow(b.schema, s.schema)
+        if (s.prop != null && s.prop != Statement.Base && s.value != null) {
+          b.props = b.props.updated(s.prop, b.props.getOrElse(s.prop, Set.empty) + s.value)
+        }
+        if (s.dataset != null) b.datasets += s.dataset
+        if (s.entityId != null) b.referents += s.entityId
+        if (s.firstSeen != null) b.firstSeen = math.min(b.firstSeen, s.firstSeen.getTime)
+        if (s.lastSeen != null) b.lastSeen = math.max(b.lastSeen, s.lastSeen.getTime)
+        b
+      }
+
+      def merge(x: Buf, y: Buf): Buf = {
+        x.schema = narrow(x.schema, y.schema)
+        x.props = y.props.foldLeft(x.props) { case (acc, (k, vs)) =>
+          acc.updated(k, acc.getOrElse(k, Set.empty) ++ vs)
+        }
+        x.datasets ++= y.datasets
+        x.referents ++= y.referents
+        x.firstSeen = math.min(x.firstSeen, y.firstSeen)
+        x.lastSeen = math.max(x.lastSeen, y.lastSeen)
+        x
+      }
+
+      def finish(b: Buf): Entity = Entity(
+        id = null, // filled by caller from the grouping key
+        schema = b.schema,
+        properties = b.props.map { case (k, vs) => k -> vs.toSeq.sorted },
+        datasets = b.datasets.toSeq.sorted,
+        referents = b.referents.toSeq.sorted,
+        firstSeen = if (b.firstSeen == Long.MaxValue) None else Some(new java.sql.Timestamp(b.firstSeen)),
+        lastSeen = if (b.lastSeen == Long.MinValue) None else Some(new java.sql.Timestamp(b.lastSeen))
+      )
+
+      def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+      def outputEncoder: Encoder[Entity] = Encoders.product[Entity]
+    }
+
+  /** Assemble entities from a statement dataset, grouping by canonicalId
+    * (falling back to entityId when unresolved). */
+  def assemble(statements: Dataset[Statement]): Dataset[Entity] = {
+    import statements.sparkSession.implicits._
+    statements
+      .groupByKey(s => if (s.canonicalId != null && s.canonicalId.nonEmpty) s.canonicalId else s.entityId)
+      .agg(aggregator.toColumn)
+      .map { case (id, e) => e.copy(id = id) }
+  }
+}

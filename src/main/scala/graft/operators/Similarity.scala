@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (array<float>): brute-force cosine top-k as the exact baseline and an
+  * LSH-bucketed (random hyperplane) variant as the 100 TB scale path.
+  *
+  * All vector math is Catalyst `zip_with`/`aggregate` over doubles — no
+  * UDFs, fully codegen'd, and numerically reproducible.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns (sequential fold — order
+    * deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * non-identical vectors. `queries` and `corpus` are (id, vec) frames.
+    * The query side is broadcast (queries << corpus at scale); ranking is
+    * a per-query window with deterministic tie-break on neighbor id.
+    * Returns (query_id, neighbor_id, rank, cosine). */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.toDF("query_id", "qvec")
+    val c = corpus.toDF("neighbor_id", "nvec")
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(asDouble(col("qvec")), asDouble(col("nvec"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes for sign-LSH: `planes`
+    * vectors of dimension `dim` with ±1 entries derived from a fixed
+    * hash, so signatures are reproducible across runs and engines. */
+  private def planeSign(plane: Int, dim: Int): Double =
+    if (((plane * 1315423911L + dim * 2654435761L) >>> 13 & 1L) == 1L) 1.0 else -1.0
+
+  /** Sign-LSH bucket key: the bit pattern of sign(v · p_i) over `planes`
+    * hyperplanes. Vectors in the same bucket are likely neighbors; join
+    * on the bucket key replaces the cross join at scale. */
+  def lshBucket(vec: Column, dim: Int, planes: Int): Column = {
+    val v = asDouble(vec)
+    (0 until planes).map { p =>
+      val planeVec = array((0 until dim).map(d => lit(planeSign(p, d))): _*)
+      when(dot(v, planeVec) > 0, 1L << p).otherwise(0L)
+    }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: exact cosine ranking *within* each hyperplane
+    * bucket — the shuffle is an equi-join on the bucket key, so cost
+    * scales with bucket sizes, not |corpus|². Recall is traded for
+    * scale (the standard IVF/LSH trade). */
+  def cosineTopKLsh(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      dim: Int, planes: Int = 8): DataFrame = {
+    val q = queries.toDF("query_id", "qvec")
+      .withColumn("bucket", lshBucket(col("qvec"), dim, planes))
+    val c = corpus.toDF("neighbor_id", "nvec")
+      .withColumn("bucket", lshBucket(col("nvec"), dim, planes))
+    val scored = c.join(q, "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(asDouble(col("qvec")), asDouble(col("nvec"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs over one corpus: bucket by
+    * sign-LSH then keep pairs above the cosine threshold. */
+  def cosineNearDupPairs(
+      corpus: DataFrame, dim: Int, threshold: Double, planes: Int = 8): DataFrame = {
+    val v = corpus.toDF("id", "vec")
+      .withColumn("bucket", lshBucket(col("vec"), dim, planes))
+    v.select(col("id").as("a"), col("vec").as("va"), col("bucket"))
+      .join(v.select(col("id").as("b"), col("vec").as("vb"), col("bucket")), "bucket")
+      .filter(col("a") < col("b"))
+      .withColumn("cosine", cosine(asDouble(col("va")), asDouble(col("vb"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("cosine"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID (marker-word heuristic),
+  * and document fingerprinting. All pure Catalyst expressions (no UDFs)
+  * so they run inside whole-stage codegen over 100 TB of documents.
+  */
+object TextAnalysis {
+
+  /** Number of non-overlapping occurrences of `needle` in `haystack`,
+    * computed via length arithmetic (codegen-friendly, and exactly
+    * reproducible in any SQL engine for oracle checks). */
+  def occurrences(haystack: Column, needle: String): Column =
+    ((length(haystack) - length(replace(haystack, lit(needle), lit("")))) /
+      needle.length).cast("long")
+
+  /** Whitespace token count for single-space-separated text. */
+  def tokenCount(text: Column): Column =
+    (length(text) - length(replace(text, lit(" "), lit(""))) + 1).cast("long")
+
+  /** BPE-ish subword count estimate: words + punctuation marks, the usual
+    * ~1.3 tokens/word heuristic floor for budget accounting. */
+  def subwordEstimate(text: Column): Column =
+    (tokenCount(text).cast("double") * 1.3).cast("long")
+
+  /** Quality signals: character count, token count, mean word length,
+    * stopword ratio (against a small marker list). Returns a struct. */
+  def qualitySignals(text: Column): Column = {
+    val chars = length(text).cast("long")
+    val toks = tokenCount(text)
+    val stop = occurrences(concat(lit(" "), text, lit(" ")), " the ") +
+      occurrences(concat(lit(" "), text, lit(" ")), " a ")
+    struct(
+      chars.as("n_chars"),
+      toks.as("n_tokens"),
+      ((chars - (toks - lit(1))).cast("double") / toks.cast("double")).as("mean_word_len"),
+      (stop.cast("double") / toks.cast("double")).as("stopword_ratio"))
+  }
+
+  /** Language-ID by marker-word scoring: each language has marker tokens;
+    * the language with the highest marker count wins (deterministic
+    * tie-break by score then language code). `markers` maps language code
+    * to marker words. */
+  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val scored = markers.map { case (code, words) =>
+      val score = words.map(w => occurrences(padded, s" $w ")).reduce(_ + _)
+      struct(score.as("score"), lit(code).as("code"))
+    }
+    // argmax: sort by (score desc, code asc) — array_sort on struct sorts
+    // ascending by field order, so sort (-score, code) and take the head.
+    val arr = array(scored.map(s =>
+      struct((s.getField("score") * -1).as("negscore"), s.getField("code").as("code"))): _*)
+    element_at(array_sort(arr), 1).getField("code")
+  }
+
+  /** Document fingerprint: hash of whitespace-normalized lowercase text —
+    * the rolling-hash analog for exact near-duplicate keys. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+}

@@ -1,0 +1,383 @@
+package graft.queries
+
+import graft.operators.{ConnectedComponents, Delta, Statistics}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** SURVEY §2 relational operator surface expressed over the synthetic
+  * TPC-H-ish tables, each with a DuckDB oracle. Numeric discipline for
+  * oracle parity: sums go through DECIMAL (exact, order-independent)
+  * and are cast back to DOUBLE; derived dates/timestamps are emitted as
+  * ISO strings; ranking windows carry deterministic tie-breaks.
+  */
+object RelationalQueries {
+
+  val decls: Seq[Decl] = Seq(
+
+    // S1/A2: scan + filter + hash aggregate (the flagship pricing summary).
+    decl("q01_pricing_summary",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order")),
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+
+    // S1/P2: predicate + projection pushdown to the parquet scan.
+    decl("q02_scan_filter",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+          col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag")),
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_quantity < 10""".stripMargin),
+
+    // T1/S2: collection = union of leaf scans.
+    decl("q03_union_collection",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val a = o.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_custkey"), lit("archive").as("src"))
+        val b = o.filter(col("o_orderstatus") === "O")
+          .select(col("o_orderkey"), col("o_custkey"), lit("live").as("src"))
+        a.unionByName(b).groupBy("src")
+          .agg(count(lit(1)).as("n"), countDistinct(col("o_custkey")).as("nc"))
+      },
+      """SELECT src, COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS nc FROM (
+        |  SELECT o_orderkey, o_custkey, 'archive' AS src FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 'live' AS src FROM orders WHERE o_orderstatus = 'O'
+        |) GROUP BY src""".stripMargin),
+
+    // J1: adjacency equi-joins with a broadcast dimension.
+    decl("q04_join_adjacency",
+      (s, d) => t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("order_cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total")),
+      """SELECT n_name, COUNT(*) AS order_cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin),
+
+    // J3: canonicalization as a broadcast hash join against a small map.
+    decl("q05_broadcast_canonical",
+      (s, d) => t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty")),
+      """SELECT s_name, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name""".stripMargin),
+
+    // J5/T5: first_seen preservation = left join + coalesce.
+    decl("q06_left_coalesce",
+      (s, d) => t(s, d, "orders")
+        .join(t(s, d, "customer").filter(col("c_acctbal") > 0)
+          .select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_orderkey"), coalesce(col("c_name"), lit("UNKNOWN")).as("resolved"))
+        .groupBy("resolved").agg(count(lit(1)).as("n")),
+      """SELECT COALESCE(c_name, 'UNKNOWN') AS resolved, COUNT(*) AS n
+        |FROM orders LEFT JOIN (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 0) c
+        |ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin),
+
+    // J6/T4/A4: versioned delta — full-outer join of hash frames → ADD/MOD/DEL.
+    decl("q07_delta_versions",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        def hashed(df: org.apache.spark.sql.DataFrame) = df.select(
+          col("o_orderkey").as("id"),
+          md5(concat_ws("|", col("o_orderkey").cast("string"), col("o_orderstatus"),
+            col("o_totalprice").cast("decimal(18,2)").cast("string"))).as("hash"))
+        val prev = hashed(o.filter(col("o_orderkey") % 10 =!= 0))
+        val curr = hashed(
+          o.withColumn("o_totalprice",
+            when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+              .otherwise(col("o_totalprice")))
+            .filter(col("o_orderkey") % 10 =!= 3))
+        Delta.diff(prev, curr)
+      },
+      """WITH prev AS (
+        |  SELECT o_orderkey AS id,
+        |    md5(o_orderkey::VARCHAR || '|' || o_orderstatus || '|' || CAST(o_totalprice AS DECIMAL(18,2))::VARCHAR) AS hash
+        |  FROM orders WHERE o_orderkey % 10 != 0),
+        |curr AS (
+        |  SELECT o_orderkey AS id,
+        |    md5(o_orderkey::VARCHAR || '|' || o_orderstatus || '|' ||
+        |      CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS DECIMAL(18,2))::VARCHAR) AS hash
+        |  FROM orders WHERE o_orderkey % 10 != 3)
+        |SELECT COALESCE(prev.id, curr.id) AS id,
+        |  CASE WHEN prev.id IS NULL THEN 'ADD'
+        |       WHEN curr.id IS NULL THEN 'DEL'
+        |       WHEN prev.hash != curr.hash THEN 'MOD' END AS op
+        |FROM prev FULL OUTER JOIN curr ON prev.id = curr.id
+        |WHERE (CASE WHEN prev.id IS NULL THEN 'ADD'
+        |            WHEN curr.id IS NULL THEN 'DEL'
+        |            WHEN prev.hash != curr.hash THEN 'MOD' END) IS NOT NULL""".stripMargin),
+
+    // J7: dangling-reference detection = anti join.
+    decl("q08_anti_dangling",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey")),
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin),
+
+    // P6-adjacent: semi join (ids already seen).
+    decl("q09_semi_join",
+      (s, d) => t(s, d, "part")
+        .join(t(s, d, "lineitem"), col("p_partkey") === col("l_partkey"), "left_semi")
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n")),
+      """SELECT p_brand, COUNT(*) AS n FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |GROUP BY p_brand""".stripMargin),
+
+    // J11/T7: equi + range (interval) join.
+    decl("q10_range_join",
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n")),
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+        |GROUP BY o_orderpriority""".stripMargin),
+
+    // O2: top-k per group via ranking window with deterministic tie-break.
+    decl("q11_topk_per_group",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, d, "orders").withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("rnk"))
+      },
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) WHERE rnk <= 3""".stripMargin),
+
+    // O3: score-ratio pruning against the per-group best.
+    decl("q12_score_ratio",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+        t(s, d, "orders")
+          .withColumn("best", max(col("o_totalprice")).over(w))
+          .filter(col("o_totalprice") >= col("best") * 0.5)
+          .select(col("o_custkey"), col("o_orderkey"))
+      },
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    max(o_totalprice) OVER (PARTITION BY o_custkey) AS best
+        |  FROM orders) WHERE o_totalprice >= best * 0.5""".stripMargin),
+
+    // A4: order-insensitive entity hash (sorted aggregation inside md5).
+    decl("q13_entity_hash",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(md5(concat_ws("|",
+          transform(array_sort(collect_list(col("l_partkey"))), x => x.cast("string"))))
+          .as("ehash")),
+      """SELECT l_orderkey, md5(string_agg(l_partkey::VARCHAR, '|' ORDER BY l_partkey)) AS ehash
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin),
+
+    // T2: set intersection.
+    decl("q14_intersect",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+          .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      },
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin),
+
+    // T3: set difference.
+    decl("q15_except",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+          .except(o.filter(col("o_orderstatus") === "P").select(col("o_custkey")))
+      },
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin),
+
+    // A10/O4: min/max date picks + active-range predicate.
+    decl("q16_minmax_dates",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("first_ship"),
+          date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("last_ship"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("orderkey"), col("first_ship"), col("last_ship"),
+          (date_format(col("o_orderdate"), "yyyy-MM-dd") <= col("first_ship")).as("started_after_order")),
+      """SELECT l_orderkey AS orderkey,
+        |  strftime(min(l_shipdate), '%Y-%m-%d') AS first_ship,
+        |  strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship,
+        |  strftime(any_value(o_orderdate), '%Y-%m-%d') <= strftime(min(l_shipdate), '%Y-%m-%d') AS started_after_order
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_orderkey""".stripMargin),
+
+    // P1/T2: target filter = risk-topic overlap on a collected topic set.
+    decl("q17_target_filter",
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(collect_set(col("o_orderstatus")).as("topics"))
+        .filter(arrays_overlap(col("topics"), array(lit("P"))))
+        .select(col("custkey")),
+      """SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin),
+
+    // A2/K9/O1: statistics facets — several independent groupBys unioned.
+    decl("q18_statistics_facets",
+      (s, d) => {
+        val schemaFacet = Statistics.facets(t(s, d, "orders"),
+          Seq("schema" -> "o_orderstatus", "priority" -> "o_orderpriority"))
+        val countryFacet = Statistics.facets(
+          t(s, d, "customer")
+            .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey")),
+          Seq("country" -> "n_name"))
+        schemaFacet.unionByName(countryFacet)
+      },
+      """SELECT 'schema' AS facet, o_orderstatus AS key, COUNT(*) AS cnt FROM orders GROUP BY 2
+        |UNION ALL
+        |SELECT 'priority' AS facet, o_orderpriority AS key, COUNT(*) AS cnt FROM orders GROUP BY 2
+        |UNION ALL
+        |SELECT 'country' AS facet, n_name AS key, COUNT(*) AS cnt
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 2""".stripMargin),
+
+    // R1: resolver connected components — path graph per nation, so the
+    // oracle (min custkey per nation) checks real transitive closure.
+    decl("q19_connected_components",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+        val edges = c.withColumn("next", lead(col("c_custkey"), 1).over(w))
+          .filter(col("next").isNotNull)
+          .select(col("c_custkey").as("src"), col("next").as("dst"))
+        val nodes = c.select(col("c_custkey").as("id"))
+        ConnectedComponents.run(nodes, edges)
+          .select(col("id").as("custkey"), col("component"))
+      },
+      """SELECT c_custkey AS custkey,
+        |  min(c_custkey) OVER (PARTITION BY c_nationkey) AS component
+        |FROM customer""".stripMargin),
+
+    // K3/O6: rollup cells — sorted distinct concat.
+    decl("q20_rollup_concat",
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(concat_ws(";", array_sort(collect_set(col("o_orderpriority")))).as("cell")),
+      """SELECT o_custkey, string_agg(DISTINCT o_orderpriority, ';' ORDER BY o_orderpriority) AS cell
+        |FROM orders GROUP BY o_custkey""".stripMargin),
+
+    // K5/A5: distinct squashed names.
+    decl("q21_distinct_names",
+      (s, d) => t(s, d, "part")
+        .select(lower(col("p_name")).as("name"))
+        .filter(length(col("name")) > 3)
+        .distinct(),
+      """SELECT DISTINCT lower(p_name) AS name FROM part WHERE length(lower(p_name)) > 3""".stripMargin),
+
+    // F10: deterministic slug/hash entity IDs.
+    decl("q22_make_id",
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"),
+          concat(lit("od-"), substring(md5(concat_ws("|", lit("order"),
+            col("o_orderkey").cast("string"), col("o_custkey").cast("string"))), 1, 16))
+            .as("ent_id")),
+      """SELECT o_orderkey,
+        |  'od-' || substr(md5('order' || '|' || o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR), 1, 16) AS ent_id
+        |FROM orders""".stripMargin),
+
+    // F3: multi-format date parse chain (extract_date analog).
+    decl("q23_date_parse_chain",
+      (s, d) => t(s, d, "orders")
+        .withColumn("raw",
+          when(col("o_orderkey") % 2 === 0, date_format(col("o_orderdate"), "dd.MM.yyyy"))
+            .otherwise(date_format(col("o_orderdate"), "yyyy/MM/dd")))
+        .select(col("o_orderkey"),
+          date_format(coalesce(
+            expr("try_to_date(raw, 'dd.MM.yyyy')"),
+            expr("try_to_date(raw, 'yyyy/MM/dd')")), "yyyy-MM-dd").as("iso")),
+      """SELECT o_orderkey,
+        |  strftime(COALESCE(try_strptime(raw, '%d.%m.%Y'), try_strptime(raw, '%Y/%m/%d')), '%Y-%m-%d') AS iso
+        |FROM (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN strftime(o_orderdate, '%d.%m.%Y')
+        |       ELSE strftime(o_orderdate, '%Y/%m/%d') END AS raw
+        |  FROM orders)""".stripMargin),
+
+    // F8: multi-delimiter split + explode (generator).
+    decl("q24_multi_split",
+      (s, d) => t(s, d, "part")
+        .select(col("p_brand"), explode(split(col("p_name"), " ")).as("tok"))
+        .groupBy(col("p_brand")).agg(countDistinct(col("tok")).as("ntok")),
+      """SELECT p_brand, COUNT(DISTINCT tok) AS ntok FROM (
+        |  SELECT p_brand, unnest(string_split(p_name, ' ')) AS tok FROM part)
+        |GROUP BY p_brand""".stripMargin),
+
+    // Streaming-analog batch shape: tumbling-window aggregation.
+    decl("q25_events_hourly",
+      (s, d) => Q.events(s, d)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total")),
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
+        |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin),
+
+    // Sessionization: gaps-and-islands with lag + cumulative logic.
+    decl("q26_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        Q.events(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+          .groupBy(col("user_id")).agg(sum(col("new_sess")).as("n_sessions"))
+      },
+      """SELECT user_id, SUM(new_sess)::BIGINT AS n_sessions FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM (SELECT user_id, ts,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |    FROM events))
+        |GROUP BY user_id""".stripMargin),
+
+    // T5: first_seen / last_seen SCD columns.
+    decl("q27_first_last_seen",
+      (s, d) => Q.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_seen"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_seen")),
+      """SELECT user_id, event_type,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+        |FROM events GROUP BY user_id, event_type""".stripMargin)
+  )
+}

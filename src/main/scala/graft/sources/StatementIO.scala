@@ -1,0 +1,71 @@
+package graft.sources
+
+import graft.model.Statement
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Statement fact-table IO (S1–S3, K2, T1).
+  *
+  * The reference streams per-dataset `statements.pack` files
+  * (zavod/zavod/archive/__init__.py:92,292-314) and versioned artifact
+  * paths (archive/__init__.py:337-352). Here the fact table is parquet,
+  * hash-partitioned on disk by `dataset` so collection scans prune to the
+  * member datasets and the `external` filter pushes down to the scan.
+  *
+  * Scale notes: `partitionBy("dataset")` gives partition pruning for
+  * S2 collection scans (union of leaves = one multi-path read, no Spark
+  * union needed); the boolean `external` predicate reaches parquet row
+  * groups via predicate pushdown.
+  */
+object StatementIO {
+
+  /** Write statements partitioned by dataset under `root/version/`. */
+  def write(statements: Dataset[Statement], root: String, version: String): Unit =
+    statements.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("dataset")
+      .parquet(s"$root/$version")
+
+  /** S1: scan one dataset's statements; `includeExternal=false` drops
+    * enrichment candidates (archive/__init__.py:292-297). */
+  def scan(
+      spark: SparkSession,
+      root: String,
+      version: String,
+      datasets: Seq[String],
+      includeExternal: Boolean = false): Dataset[Statement] = {
+    import spark.implicits._
+    var df: DataFrame = spark.read
+      .schema(org.apache.spark.sql.types.StructType(
+        Statement.sparkSchema.filterNot(_.name == "dataset")))
+      .option("basePath", s"$root/$version")
+      .parquet(datasets.map(d => s"$root/$version/dataset=$d"): _*)
+    if (!includeExternal) df = df.filter(!col("external"))
+    df.select(Statement.sparkSchema.map(f => col(f.name)): _*).as[Statement]
+  }
+
+  /** S2: a collection is the union of its leaf datasets — expressed as a
+    * single pruned multi-path scan rather than N unions. */
+  def scanCollection(
+      spark: SparkSession,
+      root: String,
+      version: String,
+      leaves: Seq[String]): Dataset[Statement] =
+    scan(spark, root, version, leaves)
+
+  /** S3: previous-version scan (time-travel read over the versioned layout). */
+  def scanVersion(
+      spark: SparkSession,
+      root: String,
+      version: String): Dataset[Statement] = {
+    import spark.implicits._
+    spark.read.schema(Statement.sparkSchema).parquet(s"$root/$version").as[Statement]
+  }
+
+  /** K2: statements CSV export, skipping the BASE existence prop
+    * (zavod/zavod/exporters/statements.py:9-30). */
+  def exportCsv(statements: Dataset[Statement], path: String): Unit =
+    statements
+      .filter(col("prop") =!= Statement.Base)
+      .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+}

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("path graph collapses to one component (transitivity)") {
+    val nodes = (1L to 10L).toDF("id")
+    val edges = (1L until 10L).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = ConnectedComponents.run(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(out.values.toSet == Set(1L))
+    assert(out.keySet == (1L to 10L).toSet)
+  }
+
+  test("disjoint components and isolated nodes keep separate labels") {
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val out = ConnectedComponents.run(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L)
+    assert(out(10L) == 10L && out(11L) == 10L)
+    assert(out(99L) == 99L) // isolated
+  }
+
+  test("edge direction and duplicates do not matter") {
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((3L, 2L), (2L, 3L), (2L, 1L), (1L, 2L)).toDF("src", "dst")
+    val out = ConnectedComponents.run(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(out.values.toSet == Set(1L))
+  }
+
+  test("negative judgements veto merged components") {
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val pos = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val neg = Seq((1L, 2L)).toDF("a", "b")
+    val out = ConnectedComponents.runWithNegatives(nodes, pos, neg)
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (id, c, v) => id -> ((c, v)) }.toMap
+    assert(out(1L)._2 && out(2L)._2)      // 1-2 merged but vetoed
+    assert(!out(3L)._2 && !out(4L)._2)    // 3-4 clean
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different text about spark query engines and shuffle plans here"),
+    (4L, "completely different text about spark query engines and shuffle plans here"), // exact dup of 3
+    (5L, "unrelated words apple banana cherry date elderberry fig grape honeydew kiwi lemon")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content") {
+    val out = Dedup.exact(docs, col("doc_id"), col("text"))
+      .as[(String, Long, Long)].collect()
+    assert(out.length == 4)
+    val dupGroup = out.find(_._3 == 2L).get
+    assert(dupGroup._2 == 3L) // keeper = min id
+  }
+
+  test("ngram jaccard finds the near-dup pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, maxDf = 10, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((3L, 4L)))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("minhash LSH recalls high-jaccard pairs") {
+    val pairs = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
+        n = 2, maxDf = 10, bands = 8, rowsPerBand = 2, minEstJaccard = 0.4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 4L))) // exact dup must always collide
+    assert(pairs.contains((1L, 2L))) // high-jaccard near dup
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups close") {
+    val sigs = Dedup.simhashSignatures(docs, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(3L) == sigs(4L))
+    val h12 = java.lang.Long.bitCount(sigs(1L) ^ sigs(2L))
+    val h15 = java.lang.Long.bitCount(sigs(1L) ^ sigs(5L))
+    assert(h12 < h15)
+  }
+
+  test("cosine top-k ranks the aligned vector first") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") === 1L)
+    val out = Similarity.cosineTopK(q, corpus, k = 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
+    assert(out(2L) == 1) // most aligned
+    assert(out(3L) == 2)
+  }
+
+  test("LSH bucketing puts identical vectors in the same bucket") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (3L, Array(-1.0f, -2.0f, -3.0f, -4.0f))
+    ).toDF("id", "vec")
+    val buckets = corpus.select(col("id"),
+        Similarity.lshBucket(col("vec"), dim = 4, planes = 6).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(buckets(1L) == buckets(2L))
+    assert(buckets(1L) != buckets(3L)) // opposite vector flips every sign
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.model.Statement
+import graft.sources.StatementIO
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class MiscOperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("delta diff classifies ADD/MOD/DEL") {
+    val prev = Seq(("a", "h1"), ("b", "h2"), ("c", "h3")).toDF("id", "hash")
+    val curr = Seq(("b", "h2"), ("c", "hX"), ("d", "h4")).toDF("id", "hash")
+    val out = Delta.diff(prev, curr).as[(String, String)].collect().toMap
+    assert(out == Map("a" -> "DEL", "c" -> "MOD", "d" -> "ADD"))
+  }
+
+  test("preserveFirstSeen keeps old timestamps and stamps new rows") {
+    val t1 = new Timestamp(1000L); val t9 = new Timestamp(9000L)
+    val prev = Seq(("s1", t1)).toDF("id", "firstSeen")
+    val curr = Seq(("s1", t9), ("s2", t9)).toDF("id", "firstSeen")
+    val out = Delta.preserveFirstSeen(curr, prev, lit(t9))
+      .as[(String, Timestamp)].collect().toMap
+    assert(out("s1").getTime == 1000L && out("s2").getTime == 9000L)
+  }
+
+  test("text analysis: occurrences, tokens, fingerprint") {
+    val df = Seq(Tuple1("the cat and the dog and the bird")).toDF("text")
+    val (occ, tok) = df.select(
+      TextAnalysis.occurrences(concat(lit(" "), col("text"), lit(" ")), " the "),
+      TextAnalysis.tokenCount(col("text"))).as[(Long, Long)].head()
+    assert(occ == 3 && tok == 8)
+    val fp = Seq(Tuple1("  Hello   World  "), Tuple1("hello world")).toDF("text")
+      .select(TextAnalysis.fingerprint(col("text"))).as[String].collect()
+    assert(fp(0) == fp(1))
+  }
+
+  test("langId argmax picks the best marker language, ties break by code") {
+    val df = Seq(Tuple1("the data the data spark")).toDF("text")
+    val lang = df.select(TextAnalysis.langId(col("text"), Seq(
+      "en" -> Seq("the"), "xx" -> Seq("data"), "zz" -> Seq("spark")))).as[String].head()
+    assert(lang == "en") // the:2 data:2 spark:1 -> tie en/xx -> en
+  }
+
+  test("blocking candidates + topK honors cutoff, ratio and k") {
+    val subjects = Seq((1L, "alpha beta gamma"), (2L, "zeta eta")).toDF("id", "name")
+    val targets = Seq((10L, "alpha beta gamma"), (11L, "alpha beta delta"),
+      (12L, "omega psi")).toDF("id", "name")
+    val cands = Blocking.candidates(subjects, targets,
+      col("id"), col("name"), col("id"), col("name"), maxDf = 100)
+    val out = Blocking.topK(cands, k = 5, cutoff = 0.4, minScoreRatio = 0.1)
+      .select("subject_id", "target_id", "rank").as[(Long, Long, Int)].collect()
+    val s1 = out.filter(_._1 == 1L).sortBy(_._3).map(_._2)
+    assert(s1.head == 10L)            // exact match ranks first
+    assert(s1.toSet == Set(10L, 11L)) // 12 shares nothing; cutoff drops it
+    assert(!out.exists(_._1 == 2L))   // no candidates at all for subject 2
+  }
+
+  test("statement IO roundtrip with external filter and dataset pruning") {
+    val t0 = new Timestamp(0L)
+    val stmts = Seq(
+      Statement("i1", "e1", "e1", "name", "Person", "A", "ds1", "en", "c", "A", t0, t0, external = false),
+      Statement("i2", "e2", "e2", "name", "Person", "B", "ds1", "en", "c", "B", t0, t0, external = true),
+      Statement("i3", "e3", "e3", "name", "Person", "C", "ds2", "en", "c", "C", t0, t0, external = false)
+    ).toDS()
+    val root = java.nio.file.Files.createTempDirectory("graft-io").toString
+    StatementIO.write(stmts, root, "v1")
+    val ds1 = StatementIO.scan(spark, root, "v1", Seq("ds1")).collect()
+    assert(ds1.map(_.id).toSet == Set("i1")) // external dropped, ds2 pruned
+    val all = StatementIO.scan(spark, root, "v1", Seq("ds1", "ds2"), includeExternal = true)
+    assert(all.count() == 3)
+  }
+
+  test("multimodal feature extraction and frame sampling") {
+    val media = Seq(
+      (1L, "image", "0123456789".getBytes("UTF-8")),
+      (2L, "audio", "abcdef".getBytes("UTF-8")),
+      (3L, "video", ("x" * 40).getBytes("UTF-8"))
+    ).toDF("media_id", "modality", "content")
+      .withColumn("mime", lit("application/octet-stream"))
+      .withColumn("n_bytes", octet_length(col("content")).cast("long"))
+    val feats = Multimodal.extractFeatures(media)
+      .select("media_id", "width", "height", "duration_ms", "n_frames")
+      .as[(Long, Int, Int, Long, Int)].collect().map(r => r._1 -> r).toMap
+    assert(feats(1L)._2 == 16 + 10 % 128 && feats(1L)._3 == 16 + 70 % 128)
+    assert(feats(2L)._4 == 48L)
+    assert(feats(3L)._5 == 1 + 40 % 32)
+    val frames = Multimodal.sampleFrames(media, stride = 4).collect()
+    assert(frames.nonEmpty && frames.forall(_.getLong(0) == 3L))
+  }
+
+  test("statistics facets and fill rates") {
+    val df = Seq(("A", "x"), ("A", "y"), ("B", "x")).toDF("schema", "country")
+    val f = Statistics.facets(df, Seq("schema" -> "schema", "country" -> "country"))
+      .as[(String, String, Long)].collect().toSet
+    assert(f.contains(("schema", "A", 2L)) && f.contains(("country", "x", 2L)))
+
+    val stmts = Seq(
+      ("c1", "Person", "name"), ("c1", "Person", "birthDate"), ("c2", "Person", "name"))
+      .toDF("canonicalId", "schema", "prop")
+    val fr = Statistics.fillRates(stmts)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._2) -> r._4).toMap
+    assert(fr("name") == 1.0 && fr("birthDate") == 0.5)
+  }
+}
