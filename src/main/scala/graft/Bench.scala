@@ -29,7 +29,11 @@ object Bench {
 
     val results = SparkEntry.allDecls.map { d =>
       val t0 = System.nanoTime()
-      val n = try d.fn(spark, sfDir).count() catch {
+      // Materialize via the noop sink: every output column is computed
+      // and serialized, so projection-only queries (hashes, regexes,
+      // date parses) are billed honestly — a bare .count() would let
+      // Catalyst prune the entire projection.
+      val n = try { d.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); 0L } catch {
         case e: Throwable => System.err.println(s"[bench] ${d.name}: ${e.getMessage}"); -1L
       }
       val sec = (System.nanoTime() - t0) / 1e9

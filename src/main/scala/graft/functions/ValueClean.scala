@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The per-type value_clean dispatch (F1) —
+  * zavod/zavod/runtime/cleaning.py:66-191: every ingested property value
+  * flows through a type-keyed cleaning pipeline before becoming a
+  * statement. The Spark form is a `when`-chain over the property type,
+  * fully inside codegen; rejected values become null with a warning
+  * side-channel column, so the caller can route them to the issue log
+  * instead of silently dropping provenance.
+  */
+object ValueClean {
+
+  /** Per-type max lengths (cleaning.py:137-146 analog). */
+  val MaxLengths: Map[String, Int] = Map(
+    "name" -> 384, "address" -> 500, "identifier" -> 64, "date" -> 32,
+    "country" -> 64, "topic" -> 64, "phone" -> 32, "email" -> 254,
+    "url" -> 2048, "text" -> 65000)
+
+  private def squash(c: Column): Column = regexp_replace(trim(c), "\\s+", " ")
+
+  /** Dispatch cleaning for one (ptype, value) pair. Returns a struct:
+    *  - clean:   the cleaned value, null when rejected
+    *  - origin:  null, 'inferred' (topics — cleaning.py:162-163), or the
+    *             caller-provided origin
+    *  - warning: null or a warning tag ('too_long', 'short_address',
+    *             'invalid_identifier', 'invalid_name')
+    *
+    * Identifier validation uses the IMO validator when `idFormat` is
+    * 'imo', ISIN when 'isin', LEI when 'lei' — mirroring the per-format
+    * registry (cleaning.py:19-63); unknown formats normalize only.
+    * Dates truncate to day precision (cleaning.py:134-136). Phones and
+    * URLs pass through on failed validation (cleaning.py:169-186). */
+  def clean(ptype: Column, value: Column, idFormat: Column = lit(null)): Column = {
+    val v = squash(value)
+
+    val idNorm = Identifiers.normalizeId(v)
+    val idValid = when(idFormat === "imo", Identifiers.imoValid(v))
+      .when(idFormat === "isin", Identifiers.isinValid(v))
+      .when(idFormat === "lei", Identifiers.leiValid(v))
+      .when(idFormat === "iban", Identifiers.ibanValid(v))
+      .when(idFormat === "inn", Identifiers.innValid(v))
+      .when(idFormat === "ogrn", Identifiers.ogrnValid(v))
+      .otherwise(lit(true))
+
+    val cleaned = when(ptype === "date", substring(v, 1, 10))
+      .when(ptype === "identifier", when(idValid, idNorm))
+      .when(ptype === "name", when(length(v) >= 2 && !v.rlike("^[0-9]+$"), v))
+      .when(ptype === "country", lower(v))
+      .when(ptype === "topic", lower(v))
+      .when(ptype === "email", when(v.rlike("^[^@\\s]+@[^@\\s]+\\.[^@\\s]+$"), lower(v)))
+      .when(ptype === "url", when(v.rlike("(?i)^https?://"), v).otherwise(v)) // pass through (cleaning.py:175-186)
+      .when(ptype === "phone", v) // pass through broken phones (cleaning.py:169-172)
+      .otherwise(v)
+
+    val maxLen = MaxLengths.foldLeft(lit(65000)) { case (acc, (t, n)) =>
+      when(ptype === t, lit(n)).otherwise(acc)
+    }
+    val warning = when(ptype === "identifier" && !idValid, lit("invalid_identifier"))
+      .when(ptype === "name" && cleaned.isNull, lit("invalid_name"))
+      .when(cleaned.isNotNull && length(cleaned) > maxLen, lit("too_long"))
+      .when(ptype === "address" && cleaned.isNotNull && length(cleaned) <= 3,
+        lit("short_address"))
+
+    val origin = when(ptype === "topic", lit("inferred"))
+
+    struct(cleaned.as("clean"), origin.as("origin"), warning.as("warning"))
+  }
+}

@@ -4,64 +4,95 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Cross-dataset matching (xref/enrichment) as a query: token-blocked
-  * candidate generation, similarity scoring, and per-subject top-k
-  * pruning with score-ratio and cutoff
-  * (zavod/zavod/integration/dedupe.py:42-90,
+/** Cross-dataset matching (xref/enrichment) as a query: blocked candidate
+  * generation, similarity scoring, and per-subject top-k pruning with
+  * score-ratio and cutoff (zavod/zavod/integration/dedupe.py:42-90,
   * zavod/zavod/runner/local_enricher.py:33-121).
   *
   * The reference uses a DuckDB-backed inverted index on one node; here
-  * the inverted index IS a DataFrame keyed by token, so candidate
-  * generation is an equi-join that scales out. The document-frequency
-  * cap bounds the worst-case join fan-out (a token shared by f docs
-  * contributes f² pairs — capping f caps the shuffle).
+  * the inverted index IS a DataFrame keyed by a blocking key, so
+  * candidate generation is an equi-join that scales out.
+  *
+  * Blocking keys are adjacent token *bigrams*, not single tokens: over a
+  * vocabulary of V tokens the bigram key space is ~V², so per-key
+  * document frequency — and with it the pair fan-out of the join, which
+  * is quadratic in df — drops by ~V× versus single-token blocking. A
+  * token key over a small vocabulary degenerates toward an all-pairs
+  * join (every key shared by n/V documents ⇒ Σ df² ≈ n²/V pairs); the
+  * bigram key keeps candidate generation near-linear. A df cap bounds
+  * the residual worst case (skewed keys) so no reducer sees more than
+  * maxDf² pairs per key.
   */
 object Blocking {
 
-  /** Inverted-index frame: (id, token) with tokens above `maxDf` document
-    * frequency dropped. `name` must be tokenizable by single spaces. */
-  def tokenIndex(df: DataFrame, id: Column, name: Column, maxDf: Long): DataFrame = {
-    val tok = df.select(id.as("id"),
-        explode(split(Consolidate.nameKey(name), " ")).as("token"))
-      .filter(length(col("token")) > 0)
-      .distinct()
-    val freq = tok.groupBy("token").agg(count(lit(1)).as("df"))
+  private def words(name: Column): Column =
+    filter(split(Consolidate.nameKey(name), " "), t => length(t) > 0)
+
+  /** Distinct sorted token set per record — the scoring side. */
+  def tokenSets(df: DataFrame, id: Column, name: Column): DataFrame =
+    df.select(id.as("id"), array_sort(array_distinct(words(name))).as("toks"))
+
+  /** Blocking-key frame: (id, bkey) where bkey is an adjacent-token
+    * bigram (single-token names fall back to the lone token), with keys
+    * above `maxDf` document frequency dropped — the candidate-cap analog
+    * of the reference's blocker limits
+    * (zavod/zavod/runner/local_enricher.py:36-45). */
+  def blockingKeys(df: DataFrame, id: Column, name: Column, maxDf: Long): DataFrame = {
+    val w = words(name)
+    val keysExpr = when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(w)
+    val keys = df.select(id.as("id"), explode(keysExpr).as("bkey")).distinct()
+    val freq = keys.groupBy("bkey").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-    tok.join(freq, "token").select(col("id"), col("token"))
+    keys.join(freq, "bkey").select(col("id"), col("bkey"))
   }
 
   /** J9: blocked candidate pairs between subjects and targets with a
-    * token-overlap Jaccard score. Returns (subject_id, target_id, score). */
+    * token-set Jaccard score. Candidates come from the bigram equi-join;
+    * the exact token Jaccard is then computed via array_intersect on the
+    * (small) per-record token sets — no per-token pair shuffle.
+    * Returns (subject_id, target_id, score). */
   def candidates(
       subjects: DataFrame, targets: DataFrame,
       subjectId: Column, subjectName: Column,
       targetId: Column, targetName: Column,
-      maxDf: Long = 1000): DataFrame = {
-    val si = tokenIndex(subjects, subjectId, subjectName, maxDf).toDF("subject_id", "token")
-    val ti = tokenIndex(targets, targetId, targetName, maxDf).toDF("target_id", "token")
-    val sSz = si.groupBy("subject_id").agg(count(lit(1)).as("s_sz"))
-    val tSz = ti.groupBy("target_id").agg(count(lit(1)).as("t_sz"))
-    si.join(ti, "token")
-      .groupBy("subject_id", "target_id").agg(count(lit(1)).as("inter"))
-      .join(sSz, "subject_id").join(tSz, "target_id")
+      maxDf: Long = 100): DataFrame = {
+    val sk = blockingKeys(subjects, subjectId, subjectName, maxDf).toDF("subject_id", "bkey")
+    val tk = blockingKeys(targets, targetId, targetName, maxDf).toDF("target_id", "bkey")
+    val pairs = sk.join(tk, "bkey")
+      .select(col("subject_id"), col("target_id")).distinct()
+    val st = tokenSets(subjects, subjectId, subjectName).toDF("subject_id", "s_toks")
+    val tt = tokenSets(targets, targetId, targetName).toDF("target_id", "t_toks")
+    pairs.join(st, "subject_id").join(tt, "target_id")
+      .withColumn("inter", size(array_intersect(col("s_toks"), col("t_toks"))))
       .withColumn("score",
         col("inter").cast("double") /
-          (col("s_sz") + col("t_sz") - col("inter")).cast("double"))
+          (size(col("s_toks")) + size(col("t_toks")) - col("inter")).cast("double"))
       .select(col("subject_id"), col("target_id"), col("score"))
   }
 
   /** O2/O3: per-subject pruning — keep candidates above `cutoff`, within
     * `minScoreRatio` of the subject's best score, top `k` by score with
     * deterministic tie-break on target id
-    * (local_enricher.py:36-53,104-121). */
+    * (local_enricher.py:36-53,104-121).
+    *
+    * The cutoff predicate runs BEFORE the window shuffle (it prunes the
+    * bulk of the candidates), which is semantics-preserving: the
+    * per-subject max always survives the cutoff whenever any row does,
+    * so `max(score)` over survivors equals the global per-subject best.
+    * Both window functions share one partitioning, so this is a single
+    * shuffle. */
   def topK(
       cands: DataFrame, k: Int = 10,
       cutoff: Double = 0.5, minScoreRatio: Double = 0.1): DataFrame = {
     val w = Window.partitionBy("subject_id")
     val rankW = w.orderBy(col("score").desc, col("target_id").asc)
     cands
+      .filter(col("score") >= cutoff)
       .withColumn("best", max(col("score")).over(w))
-      .filter(col("score") >= cutoff && col("score") >= col("best") * minScoreRatio)
+      .filter(col("score") >= col("best") * minScoreRatio)
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= k)
       .select(col("subject_id"), col("target_id"), col("score"), col("rank"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -10,81 +10,97 @@ import org.apache.spark.storage.StorageLevel
   *
   * Implements alternating large-star / small-star (Kiveris et al.,
   * "Connected Components in MapReduce and Beyond", SoCC'14), which
-  * converges in O(log^2 n) rounds even on path graphs — min-label
+  * converges in O(log² n) rounds even on path graphs — min-label
   * propagation would need O(diameter) rounds, which is unusable at scale.
   *
-  * Scale notes: every round is two shuffles on the edge frame keyed by
-  * node id; lineage is cut with localCheckpoint each round so the plan
-  * doesn't grow unboundedly; convergence is detected via an aggregate
-  * (sum of edge endpoints) instead of collecting edges.
+  * Scale notes:
+  *  - each round is a bounded number of shuffles on the edge frame keyed
+  *    by node id; lineage is cut every round (localCheckpoint on local
+  *    mode, reliable `checkpoint` when `checkpointDir` is set — on a real
+  *    cluster a lost executor would otherwise kill a localCheckpoint'd
+  *    job mid-iteration);
+  *  - convergence is an exact set-equality check (full-outer join of the
+  *    old and new edge sets, counting one-sided rows). A summary
+  *    signature (sum/count) can collide between different edge sets and
+  *    terminate early with wrong components; the join check cannot, and
+  *    it doubles as the action that materializes the round's checkpoint
+  *    — one Spark job per iteration.
   */
 object ConnectedComponents {
 
   /** edges: two long columns (src, dst). Returns (id, component) where
     * component = min node id of the connected component. Nodes given in
-    * `nodes` (single long column `id`) are included even when isolated. */
-  def run(nodes: DataFrame, edges: DataFrame, maxIterations: Int = 50): DataFrame = {
+    * `nodes` (single long column `id`) are included even when isolated.
+    * Set `checkpointDir` for fault-tolerant lineage cuts on a cluster. */
+  def run(
+      nodes: DataFrame,
+      edges: DataFrame,
+      maxIterations: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
     val spark = nodes.sparkSession
-    import spark.implicits._
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
 
     val n = nodes.toDF("id")
-    // Symmetrize and self-loop-strip; (u,v) with u<v canonical direction.
+    // Symmetrize, strip self-loops; pointer form (src > dst) — edges are
+    // (node, parent) pointers, matching the small-star output so the
+    // set-equality convergence check compares like with like.
     var e = edges.toDF("src", "dst")
-      .filter($"src" =!= $"dst")
-      .select(least($"src", $"dst").as("src"), greatest($"src", $"dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count() // materialize once so each round starts from a cached frame
 
     var converged = false
     var iter = 0
-    var prevSig: (Long, Long) = (-1L, -1L)
     while (!converged && iter < maxIterations) {
-      // Large-star: for each node u, connect every strictly-larger neighbor
-      // to m = min(N(u) ∪ {u}).
-      val nbrs = e.select($"src".as("u"), $"dst".as("v"))
-        .union(e.select($"dst".as("u"), $"src".as("v")))
-      val minN = nbrs.groupBy($"u").agg(min($"v").as("mn"))
-        .select($"u", least($"u", $"mn").as("m"))
+      // Large-star: for each node u, connect every strictly-larger
+      // neighbor to m = min(N(u) ∪ {u}).
+      val nbrs = e.select(col("src").as("u"), col("dst").as("v"))
+        .union(e.select(col("dst").as("u"), col("src").as("v")))
+      val minN = nbrs.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
       val large = nbrs.join(minN, "u")
-        .filter($"v" > $"u")
-        .select($"v".as("src"), $"m".as("dst"))
-        .filter($"src" =!= $"dst")
-        .select(least($"src", $"dst").as("src"), greatest($"src", $"dst").as("dst"))
-        .distinct()
+        .filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
 
       // Small-star: for each node u, connect every neighbor <= u (and u)
-      // to m = min of those.
-      val nbrsS = large.select($"dst".as("u"), $"src".as("v"))
-        .union(large.select($"src".as("u"), $"dst".as("v")))
-        .filter($"v" <= $"u")
-      val minS = nbrsS.groupBy($"u").agg(min($"v").as("m"))
-      val small = nbrsS.join(minS, "u")
-        .select($"v".as("src"), $"m".as("dst"))
-        .union(minS.select($"u".as("src"), $"m".as("dst")))
-        .filter($"src" =!= $"dst")
-        .select(least($"src", $"dst").as("src"), greatest($"src", $"dst").as("dst"))
+      // to the min of those. `large` emits (src > dst) rows only, so no
+      // re-canonicalization is needed.
+      val nbrsS = large.select(col("src").as("u"), col("dst").as("v"))
+      val minS = nbrsS.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small0 = nbrsS.join(minS, "u")
+        .select(col("v").as("src"), col("m").as("dst"))
+        .union(minS.select(col("u").as("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("dst2"),
+          greatest(col("src"), col("dst")).as("src2"))
+        .select(col("src2").as("src"), col("dst2").as("dst"))
         .distinct()
-        .localCheckpoint(eager = true)
+      val small = (if (checkpointDir.isDefined) small0.checkpoint(eager = false)
+                   else small0.localCheckpoint(eager = false))
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
-      val sig = small.agg(
-        coalesce(sum($"src"), lit(0L)).as("s"),
-        coalesce(count(lit(1)), lit(0L)).as("c"))
-        .as[(Long, Long)].first()
+      // Exact fixpoint check — also the action that materializes `small`.
+      val changed = small.withColumn("l", lit(1))
+        .join(e.withColumn("r", lit(1)), Seq("src", "dst"), "full_outer")
+        .filter(col("l").isNull || col("r").isNull)
+        .limit(1).count()
       val old = e
-      e = small.persist(StorageLevel.MEMORY_AND_DISK)
+      e = small
       old.unpersist(blocking = false)
-      converged = sig == prevSig
-      prevSig = sig
+      converged = changed == 0L
       iter += 1
     }
 
     // At fixpoint every edge is (node -> component root). Attach isolated nodes.
-    val comp = e.select($"dst".as("id"), $"src".as("component"))
-      .union(e.select($"src".as("id"), $"src".as("component")))
-      .groupBy($"id").agg(min($"component").as("component"))
+    val comp = e.select(col("src").as("id"), col("dst").as("component"))
+      .union(e.select(col("dst").as("id"), col("dst").as("component")))
+      .groupBy(col("id")).agg(min(col("component")).as("component"))
     val out = n.join(comp, Seq("id"), "left")
-      .select($"id", coalesce($"component", $"id").as("component"))
-    e.unpersist(blocking = false)
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
     out
   }
 

@@ -74,8 +74,13 @@ object Dedup {
   // (a, h < 2^31 ⇒ a*h < 2^62) — required under ANSI arithmetic.
   private val MersennePrime31 = (1L << 31) - 1
 
-  /** Deterministic MinHash permutation parameters (a, b) for hash i. */
-  private def perm(i: Int): (Long, Long) = {
+  /** Mersenne-prime modulus of the permutation domain — public so the
+    * DuckDB oracle SQL can be generated with the same constants. */
+  val PermModulus: Long = MersennePrime31
+
+  /** Deterministic MinHash permutation parameters (a, b) for hash i.
+    * Public for oracle-SQL generation. */
+  def perm(i: Int): (Long, Long) = {
     // fixed LCG-derived multipliers; any fixed coprime-ish set works
     val a = ((2862933555777941757L * (i + 1) + 3037000493L) & Long.MaxValue) % (MersennePrime31 - 1) + 1
     val b = ((4294967291L * (i + 1) + 1442695040888963407L) & Long.MaxValue) % MersennePrime31
@@ -131,8 +136,10 @@ object Dedup {
   /** SimHash: 60-bit signature — bit j is set iff the sum over tokens of
     * ±1 (sign = token-hash bit j) is positive. Near-dups = pairs within
     * `maxHamming` bits; candidate generation by splitting the signature
-    * into 4 15-bit chunks and joining on any equal chunk (pigeonhole:
-    * hamming ≤ 3 guarantees one equal chunk). */
+    * into maxHamming+1 chunks and joining on any equal chunk (pigeonhole:
+    * ≤ maxHamming differing bits spread over maxHamming+1 chunks leave at
+    * least one chunk equal — so recall is exactly 100% by construction,
+    * for ANY maxHamming, not just the default). */
   def simhashSignatures(df: DataFrame, id: Column, text: Column): DataFrame = {
     val tok = df.select(id.as("doc"), explode(split(text, " ")).as("t"))
       .withColumn("h", hash60(col("t")))
@@ -147,9 +154,20 @@ object Dedup {
 
   def simhashPairs(df: DataFrame, id: Column, text: Column, maxHamming: Int = 3): DataFrame = {
     val sig = simhashSignatures(df, id, text).cache()
+    val bits = 60
+    val numChunks = maxHamming + 1
+    val chunkSize = (bits + numChunks - 1) / numChunks
+    // ceil-sized chunks can leave trailing empty windows (lo >= bits) for
+    // large maxHamming — drop them, then re-check that enough chunks
+    // remain for the pigeonhole guarantee.
+    val chunkLos = (0 until numChunks).map(_ * chunkSize).filter(_ < bits)
+    require(chunkLos.size > maxHamming,
+      s"simhash: cannot guarantee recall for maxHamming=$maxHamming with 60-bit signatures")
     val chunked = sig.select(col("doc"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 15).bitwiseAND(lit((1L << 15) - 1))): _*)))
+      posexplode(array(chunkLos.map { lo =>
+        val width = math.min(chunkSize, bits - lo)
+        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1))
+      }: _*)))
       .select(col("doc"), col("simhash"), col("pos").as("chunk"), col("col").as("ckey"))
     chunked.select(col("doc").as("a"), col("simhash").as("ha"), col("chunk"), col("ckey"))
       .join(chunked.select(col("doc").as("b"), col("simhash").as("hb"), col("chunk"), col("ckey")),

@@ -1,8 +1,9 @@
 package graft.operators
 
 import graft.model.{Entity, FtmModel, Statement}
-import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
 
 /** Statement → Entity assembly (A1): group statements by canonical ID and
   * merge them into an [[Entity]] with schema narrowing and multi-valued
@@ -79,12 +80,60 @@ object EntityAssembler {
     }
 
   /** Assemble entities from a statement dataset, grouping by canonicalId
-    * (falling back to entityId when unresolved). */
+    * (falling back to entityId when unresolved). Typed API; the scale
+    * path is [[assembleColumnar]]. */
   def assemble(statements: Dataset[Statement]): Dataset[Entity] = {
     import statements.sparkSession.implicits._
     statements
       .groupByKey(s => if (s.canonicalId != null && s.canonicalId.nonEmpty) s.canonicalId else s.entityId)
       .agg(aggregator.toColumn)
       .map { case (id, e) => e.copy(id = id) }
+  }
+
+  /** Schema-narrowing fold over the (tiny, sorted) distinct schema set of
+    * one entity — runs once per entity, not per statement. */
+  private val narrowAllUdf = udf((ss: Seq[String]) =>
+    ss.filter(s => s != null && s.nonEmpty).sorted
+      .reduceLeftOption(narrow).getOrElse(""))
+
+  /** Columnar assemble fast path (A1 at scale): two-level hash
+    * aggregation entirely in Catalyst expressions. Level 1 groups on
+    * (canonical key, prop) — spreading hot entities across reducers and
+    * enabling map-side partial `collect_set`s — level 2 folds the
+    * per-prop rows into the entity map. Unlike the typed Aggregator path
+    * there is no closure key, so column pruning reaches the scan and no
+    * Statement object serde crosses the shuffle. The only non-expression
+    * is the once-per-entity schema-narrowing fold.
+    *
+    * Output schema matches [[Entity]]: (id, schema, properties,
+    * datasets, referents, firstSeen, lastSeen). */
+  def assembleColumnar(statements: DataFrame): DataFrame = {
+    val key = when(col("canonicalId").isNotNull && length(col("canonicalId")) > 0,
+      col("canonicalId")).otherwise(col("entityId"))
+    statements
+      .withColumn("_key", key)
+      .groupBy(col("_key"), col("prop"))
+      .agg(
+        collect_set(col("value")).as("vals"),
+        collect_set(col("schema")).as("schemas"),
+        collect_set(col("dataset")).as("ds"),
+        collect_set(col("entityId")).as("refs"),
+        min(col("firstSeen")).as("fs"),
+        max(col("lastSeen")).as("ls"))
+      .groupBy(col("_key"))
+      .agg(
+        // collect_list skips null inputs, so the BASE existence prop rows
+        // contribute schema/provenance but no property entry
+        map_from_entries(array_sort(collect_list(
+          when(col("prop") =!= lit(Statement.Base) && size(col("vals")) > 0,
+            struct(col("prop").as("key"), array_sort(col("vals")).as("value"))))))
+          .as("properties"),
+        narrowAllUdf(array_distinct(flatten(collect_list(col("schemas"))))).as("schema"),
+        array_sort(array_distinct(flatten(collect_list(col("ds"))))).as("datasets"),
+        array_sort(array_distinct(flatten(collect_list(col("refs"))))).as("referents"),
+        min(col("fs")).as("firstSeen"),
+        max(col("ls")).as("lastSeen"))
+      .select(col("_key").as("id"), col("schema"), col("properties"),
+        col("datasets"), col("referents"), col("firstSeen"), col("lastSeen"))
   }
 }

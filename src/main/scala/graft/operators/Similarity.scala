@@ -44,7 +44,7 @@ object Similarity {
   /** Deterministic pseudo-random hyperplanes for sign-LSH: `planes`
     * vectors of dimension `dim` with ±1 entries derived from a fixed
     * hash, so signatures are reproducible across runs and engines. */
-  private def planeSign(plane: Int, dim: Int): Double =
+  def planeSign(plane: Int, dim: Int): Double =
     if (((plane * 1315423911L + dim * 2654435761L) >>> 13 & 1L) == 1L) 1.0 else -1.0
 
   /** Sign-LSH bucket key: the bit pattern of sign(v · p_i) over `planes`

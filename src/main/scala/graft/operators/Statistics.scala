@@ -14,12 +14,16 @@ import org.apache.spark.sql.functions._
 object Statistics {
 
   /** Multi-facet counts: for each (facetName, keyColumn), a groupBy
-    * count, unioned into (facet, key, cnt). */
+    * count, unioned into (facet, key, cnt) ordered by count desc within
+    * the facet (O1 — statistics.py:13,29; key asc tie-break for
+    * determinism). Facet tables are post-aggregation tiny, so the sort
+    * is a few rows per facet, not a data-scale shuffle. */
   def facets(df: DataFrame, facetCols: Seq[(String, String)]): DataFrame =
     facetCols.map { case (facet, c) =>
       df.groupBy(col(c).cast("string").as("key"))
         .agg(count(lit(1)).as("cnt"))
         .select(lit(facet).as("facet"), col("key"), col("cnt"))
+        .orderBy(col("cnt").desc, col("key").asc)
     }.reduce(_.unionByName(_))
 
   /** Fill rate per (schema, prop): fraction of entities of a schema that

@@ -37,14 +37,14 @@ object EngineQueries {
 
   val decls: Seq[Decl] = Seq(
 
-    // A1: statement → entity assembly through the typed Aggregator with
-    // schema narrowing; output flattened per (entity, prop).
+    // A1: statement → entity assembly through the columnar fast path
+    // (two-level Catalyst aggregation with once-per-entity schema
+    // narrowing); the typed Aggregator variant is covered by
+    // EntityAssemblerSpec. Output flattened per (entity, prop).
     decl("q30_assemble_entities",
       (s, d) => {
-        import s.implicits._
-        val stmts = orderStatements(s, d).as[Statement]
-        val entities = EntityAssembler.assemble(stmts)
-        entities.toDF()
+        val entities = EntityAssembler.assembleColumnar(orderStatements(s, d))
+        entities
           .select(col("id").as("entity_id"), col("schema"),
             explode(col("properties")).as(Seq("prop", "vals")))
           .select(col("entity_id"), col("schema"), col("prop"),

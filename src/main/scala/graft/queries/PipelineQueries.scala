@@ -7,8 +7,93 @@ import Q._
 /** Training-data pipeline operators: deduplication, similarity search,
   * text analysis, multimodal plumbing — the 100 TB-scale extensions
   * beyond the reference's own surface.
+  *
+  * The signature-based operators (q42 MinHash+LSH, q43 SimHash, q45
+  * sign-LSH ANN) carry EXACT DuckDB oracles: their deterministic hash
+  * arithmetic (md5-derived 60-bit hashes, fixed permutation constants,
+  * fixed hyperplane signs) is re-generated as SQL from the same Scala
+  * constants, so the driver's hash-match verifies the full signature
+  * pipeline, not just a row count.
   */
 object PipelineQueries {
+
+  /** DuckDB fragment: 60-bit hash of column `c` = first 15 hex digits of
+    * md5 as a BIGINT — bit-for-bit Dedup.hash60. */
+  private def sqlHash60(c: String): String =
+    s"list_sum(list_transform(generate_series(1, 15), " +
+      s"i -> ((strpos('0123456789abcdef', substr(md5($c), i, 1)) - 1)::BIGINT << (4 * (15 - i)))))::BIGINT"
+
+  /** q42 oracle: the full MinHash+LSH pipeline in SQL with the same
+    * permutation constants as Dedup.perm. */
+  private def q42Oracle: String = {
+    val m = Dedup.PermModulus
+    val mins = (0 until 32).map { i =>
+      val (a, b) = Dedup.perm(i)
+      s"min((h * $a + $b) % $m) AS m$i"
+    }.mkString(",\n    ")
+    val bandEq = (0 until 8).map { j =>
+      (0 until 4).map(r => s"a.m${4 * j + r} = b.m${4 * j + r}")
+        .mkString("(", " AND ", ")")
+    }.mkString("\n   OR ")
+    val eqSum = (0 until 32).map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH words AS (SELECT doc_id AS doc, string_split(text, ' ') w FROM documents),
+       |sh0 AS (SELECT DISTINCT doc, unnest(list_transform(generate_series(1, len(w)-2),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s
+       |  FROM words WHERE len(w) >= 3),
+       |sh AS (SELECT sh0.doc, sh0.s FROM sh0
+       |  JOIN (SELECT s, COUNT(*) df FROM sh0 GROUP BY s) f ON sh0.s = f.s AND f.df <= 50),
+       |hs AS (SELECT doc, ${sqlHash60("s")} % $m AS h FROM sh),
+       |sig AS (SELECT doc,
+       |    $mins
+       |  FROM hs GROUP BY doc)
+       |SELECT a.doc AS doc_a, b.doc AS doc_b,
+       |  ($eqSum)::DOUBLE / 32.0 AS est_jaccard
+       |FROM sig a JOIN sig b ON a.doc < b.doc
+       |WHERE ($bandEq)
+       |  AND ($eqSum)::DOUBLE / 32.0 >= 0.5""".stripMargin
+  }
+
+  /** q43 oracle: full SimHash signatures + brute-force hamming pairs in
+    * SQL. The Spark side's pigeonhole candidate generation is guaranteed
+    * 100%-recall for its maxHamming, so brute force is the exact oracle. */
+  private def q43Oracle: String =
+    s"""WITH tok AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS t FROM documents),
+       |th AS (SELECT doc, ${sqlHash60("t")} AS h FROM tok),
+       |bits AS (SELECT doc, j,
+       |    CASE WHEN SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+       |         THEN (1::BIGINT << j) ELSE 0::BIGINT END AS bit
+       |  FROM th, generate_series(0, 59) AS g(j)
+       |  GROUP BY doc, j),
+       |sig AS (SELECT doc, SUM(bit)::BIGINT AS s FROM bits GROUP BY doc)
+       |SELECT a.doc AS doc_a, b.doc AS doc_b,
+       |  bit_count(xor(a.s, b.s))::BIGINT AS hamming
+       |FROM sig a JOIN sig b ON a.doc < b.doc
+       |WHERE bit_count(xor(a.s, b.s)) <= 6""".stripMargin
+
+  /** q45 oracle: sign-LSH bucket + in-bucket exact cosine ranking, with
+    * the hyperplane sign matrix inlined from Similarity.planeSign. */
+  private def q45Oracle: String = {
+    val bucketExpr = (0 until 6).map { p =>
+      val plane = (0 until 64)
+        .map(dd => if (Similarity.planeSign(p, dd) > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+      s"(CASE WHEN list_inner_product(v, $plane::DOUBLE[]) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |    $bucketExpr AS bucket
+       |  FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id % 100 = 0),
+       |c AS (SELECT vec_id AS neighbor_id, v AS nv, bucket FROM b),
+       |scored AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, nv) AS cos
+       |  FROM q JOIN c USING (bucket) WHERE query_id != neighbor_id)
+       |SELECT query_id, neighbor_id, rnk FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 10""".stripMargin
+  }
 
   val decls: Seq[Decl] = Seq(
 
@@ -38,17 +123,22 @@ object PipelineQueries {
         |FROM inter JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id
         |WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= 0.6""".stripMargin),
 
-    // MinHash + LSH near-dup candidates (rows-only check: the banded
-    // hash arithmetic is not reasonably expressible in the oracle).
-    declNoOracle("q42_minhash_lsh",
+    // MinHash + LSH near-dup candidates — exact oracle over the same
+    // banded signature arithmetic (constants inlined from Dedup.perm).
+    decl("q42_minhash_lsh",
       (s, d) => Dedup.minhashLshPairs(t(s, d, "documents"),
         col("doc_id"), col("text"), n = 3, maxDf = 50,
-        bands = 8, rowsPerBand = 4, minEstJaccard = 0.5)),
+        bands = 8, rowsPerBand = 4, minEstJaccard = 0.5),
+      q42Oracle),
 
-    // SimHash near-dup candidates (rows-only check).
-    declNoOracle("q43_simhash",
+    // SimHash near-dup pairs — pigeonhole candidate generation with
+    // chunks = maxHamming+1 guarantees 100% recall, so the brute-force
+    // SQL signature pipeline is an exact oracle.
+    decl("q43_simhash",
       (s, d) => Dedup.simhashPairs(t(s, d, "documents"),
-        col("doc_id"), col("text"), maxHamming = 6)),
+          col("doc_id"), col("text"), maxHamming = 6)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming")),
+      q43Oracle),
 
     // Brute-force cosine top-k ANN (exact baseline).
     decl("q44_ann_cosine",
@@ -68,15 +158,17 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= 10""".stripMargin),
 
-    // LSH-bucketed ANN — the scale path (rows-only check).
-    declNoOracle("q45_ann_lsh",
+    // LSH-bucketed ANN — the scale path; exact oracle with the plane
+    // sign matrix inlined from Similarity.planeSign.
+    decl("q45_ann_lsh",
       (s, d) => {
         val e = t(s, d, "embeddings")
         Similarity.cosineTopKLsh(
           e.filter(col("vec_id") % 100 === 0).select(col("vec_id"), col("embedding")),
           e.select(col("vec_id"), col("embedding")), k = 10, dim = 64, planes = 6)
           .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
-      }),
+      },
+      q45Oracle),
 
     // Text quality signals.
     decl("q46_text_quality",
@@ -154,8 +246,10 @@ object PipelineQueries {
         |  CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 32 ELSE 0 END AS n_frames
         |FROM documents""".stripMargin),
 
-    // J9/J10/O2/O3: token-blocked similarity join with per-subject top-k,
-    // cutoff, and score-ratio pruning — the xref/enrichment pipeline.
+    // J9/J10/O2/O3: bigram-blocked similarity join with per-subject
+    // top-k, cutoff, and score-ratio pruning — the xref/enrichment
+    // pipeline. Bigram keys keep candidate generation near-linear on the
+    // small-vocabulary name corpus (see Blocking scaladoc).
     decl("q51_blocking_topk",
       (s, d) => {
         val p = t(s, d, "part")
@@ -163,38 +257,46 @@ object PipelineQueries {
         val targets = p.filter(col("p_partkey") % 2 === 1)
         val cands = Blocking.candidates(subjects, targets,
           col("p_partkey"), col("p_name"), col("p_partkey"), col("p_name"),
-          maxDf = 5000)
+          maxDf = 100)
         Blocking.topK(cands, k = 5, cutoff = 0.5, minScoreRatio = 0.1)
           .select(col("subject_id"), col("target_id"),
             col("score").cast("decimal(18,6)").cast("double").as("score"), col("rank").as("rnk"))
       },
-      """WITH tok AS (
-        |  SELECT DISTINCT p_partkey AS id, unnest(string_split(trim(lower(p_name)), ' ')) AS token
+      """WITH pn AS (
+        |  SELECT p_partkey AS id,
+        |    list_filter(string_split(regexp_replace(trim(lower(p_name)), '\s+', ' ', 'g'), ' '),
+        |                t -> len(t) > 0) AS w
         |  FROM part),
-        |tokf AS (SELECT tok.id, tok.token FROM tok
-        |  JOIN (SELECT token, COUNT(*) df FROM tok GROUP BY token) f
-        |  ON tok.token = f.token AND f.df <= 5000),
-        |si AS (SELECT id, token FROM tokf WHERE id % 2 = 0),
-        |ti AS (SELECT id, token FROM tokf WHERE id % 2 = 1),
-        |ssz AS (SELECT id, COUNT(*) sz FROM si GROUP BY id),
-        |tsz AS (SELECT id, COUNT(*) sz FROM ti GROUP BY id),
-        |cand AS (
-        |  SELECT si.id AS subject_id, ti.id AS target_id, COUNT(*) AS inter
-        |  FROM si JOIN ti ON si.token = ti.token GROUP BY 1, 2),
-        |scored AS (
-        |  SELECT subject_id, target_id,
-        |    inter::DOUBLE / (ssz.sz + tsz.sz - inter)::DOUBLE AS score
-        |  FROM cand JOIN ssz ON cand.subject_id = ssz.id JOIN tsz ON cand.target_id = tsz.id),
-        |pruned AS (
-        |  SELECT subject_id, target_id, score,
+        |keys0 AS (
+        |  SELECT id, unnest(CASE WHEN len(w) >= 2
+        |    THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+        |    ELSE w END) AS bkey
+        |  FROM pn),
+        |keys1 AS (SELECT DISTINCT id, bkey FROM keys0),
+        |skeys1 AS (SELECT id, bkey FROM keys1 WHERE id % 2 = 0),
+        |tkeys1 AS (SELECT id, bkey FROM keys1 WHERE id % 2 = 1),
+        |skeys AS (SELECT k.id, k.bkey FROM skeys1 k
+        |  JOIN (SELECT bkey, COUNT(*) df FROM skeys1 GROUP BY bkey) f
+        |  ON k.bkey = f.bkey AND f.df <= 100),
+        |tkeys AS (SELECT k.id, k.bkey FROM tkeys1 k
+        |  JOIN (SELECT bkey, COUNT(*) df FROM tkeys1 GROUP BY bkey) f
+        |  ON k.bkey = f.bkey AND f.df <= 100),
+        |toks AS (SELECT id, list_distinct(w) AS t FROM pn),
+        |pairs AS (SELECT DISTINCT sk.id AS subject_id, tk.id AS target_id
+        |  FROM skeys sk JOIN tkeys tk ON sk.bkey = tk.bkey),
+        |scored AS (SELECT subject_id, target_id,
+        |    len(list_intersect(st.t, tt.t))::DOUBLE
+        |      / (len(st.t) + len(tt.t) - len(list_intersect(st.t, tt.t)))::DOUBLE AS score
+        |  FROM pairs JOIN toks st ON pairs.subject_id = st.id
+        |             JOIN toks tt ON pairs.target_id = tt.id),
+        |pruned AS (SELECT subject_id, target_id, score,
         |    max(score) OVER (PARTITION BY subject_id) AS best
-        |  FROM scored)
+        |  FROM scored WHERE score >= 0.5)
         |SELECT subject_id, target_id,
         |  CAST(CAST(score AS DECIMAL(18,6)) AS DOUBLE) AS score, rnk
-        |FROM (
-        |  SELECT subject_id, target_id, score,
+        |FROM (SELECT subject_id, target_id, score,
         |    row_number() OVER (PARTITION BY subject_id ORDER BY score DESC, target_id) AS rnk
-        |  FROM pruned WHERE score >= 0.5 AND score >= best * 0.1)
+        |  FROM pruned WHERE score >= best * 0.1)
         |WHERE rnk <= 5""".stripMargin)
   )
 }

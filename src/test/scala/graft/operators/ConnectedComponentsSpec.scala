@@ -32,6 +32,29 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(out.values.toSet == Set(1L))
   }
 
+  test("random graphs match a driver-side union-find (no premature convergence)") {
+    // Regression for the old sum/count convergence signature, which two
+    // different edge sets could collide on and stop early; the exact
+    // set-equality check must always reach the true components.
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 40 + trial * 10
+      val edges = Seq.fill(n / 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val out = ConnectedComponents.run(
+        (0L until n.toLong).toDF("id"), edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      assert(out == expected, s"trial $trial")
+    }
+  }
+
   test("negative judgements veto merged components") {
     val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
     val pos = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
