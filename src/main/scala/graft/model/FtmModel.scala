@@ -61,15 +61,18 @@ object FtmModel {
       p("legalForm", Text), p("registrationNumber", Identifier),
       p("taxNumber", Identifier), p("innCode", Identifier),
       p("ogrnCode", Identifier), p("leiCode", Identifier),
-      p("address", Address), p("phone", Phone), p("email", Email),
+      p("address", Address), p("addressEntity", EntityRef),
+      p("phone", Phone), p("email", Email),
       p("website", Url), p("incorporationDate", Date),
-      p("dissolutionDate", Date))),
+      p("dissolutionDate", Date), p("programId", Identifier))),
     SchemaDef("Person", Seq("LegalEntity"), Seq(
       p("firstName", Name), p("middleName", Name), p("lastName", Name),
       p("fatherName", Name), p("title", Name), p("birthDate", Date),
       p("deathDate", Date), p("birthPlace", Text), p("nationality", Country),
       p("gender", Text), p("position", Text))),
-    SchemaDef("Organization", Seq("LegalEntity"), Nil),
+    // imoNumber on Organization mirrors FtM's IMO company identifiers
+    // (exercised by the maritime export — exporters/maritime.py:66-69)
+    SchemaDef("Organization", Seq("LegalEntity"), Seq(p("imoNumber", Identifier))),
     SchemaDef("Company", Seq("Organization"), Seq(
       p("isinCode", Identifier), p("jurisdiction", Country))),
     SchemaDef("PublicBody", Seq("Organization"), Nil),

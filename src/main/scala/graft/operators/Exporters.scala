@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Consolidated export products (K1 ftm.json, K3 targets.simple.csv,
+  * K4 targets.nested.json, K6 senzing.json, K7 securities.csv,
+  * K8 maritime.csv) as plans over ONE cached entity frame — the Spark
+  * shape of the reference's single-pass multi-sink export
+  * (zavod/zavod/exporters/__init__.py:49-84): Catalyst prunes each
+  * sink's columns; adjacency is the shared edge frame, not per-entity
+  * point lookups.
+  *
+  * JSON products are emitted via explicit string construction (sorted
+  * keys, minimal escaping) rather than `to_json` so output bytes are
+  * deterministic across engines and runs — the reference pins orjson
+  * formatting for the same reason (zavod/zavod/util.py:59-72).
+  */
+object Exporters {
+
+  /** Minimal JSON string escape for values (quote + backslash). */
+  private def jesc(c: Column): Column =
+    regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+
+  private def jarr(values: Column): Column =
+    concat(lit("["), array_join(transform(values, v =>
+      concat(lit("\""), jesc(v), lit("\""))), ","), lit("]"))
+
+  /** K1: one FtM JSON line per entity — {"id","schema","properties"}
+    * with keys sorted and property values sorted (exporters/ftm.py:7-21;
+    * value-set determinism per consolidate.py). `properties` is
+    * map<string, array<string>>. */
+  def ftmJsonLine(id: Column, schema: Column, properties: Column): Column = {
+    val entries = transform(
+      array_sort(map_entries(properties)),
+      e => concat(lit("\""), jesc(e.getField("key")), lit("\":"),
+        jarr(array_sort(e.getField("value")))))
+    concat(lit("{\"id\":\""), jesc(id),
+      lit("\",\"schema\":\""), jesc(schema),
+      lit("\",\"properties\":{"), array_join(entries, ","), lit("}}"))
+  }
+
+  /** K3 cell: sorted ';'-joined distinct values
+    * (exporters/simplecsv.py:36-45). */
+  def concatCell(values: Column): Column =
+    array_join(array_sort(array_distinct(values)), ";")
+
+  /** K3 sanction text: ' - '-joined program/reason/status/start/end
+    * (simplecsv.py:48-57); null parts skipped. */
+  def sanctionText(props: Column): Column =
+    array_join(flatten(filter(array(
+      element_at(props, "program"),
+      element_at(props, "reason"),
+      element_at(props, "status"),
+      element_at(props, "startDate"),
+      element_at(props, "endDate")), a => a.isNotNull)), " - ")
+
+  private def propVals(props: Column, name: String): Column =
+    coalesce(element_at(props, name), array().cast("array<string>"))
+
+  /** K3: targets.simple.csv — risk-topic targets with rollups of their
+    * adjacent Sanction / Address / Identification entities
+    * (simplecsv.py:66-115). `entities` is the assembled entity frame;
+    * adjacency is recomputed from it. Output one row per target with
+    * sorted ';'-concatenated cells. */
+  def simpleCsv(entities: DataFrame): DataFrame = {
+    val targets = entities.filter(
+      arrays_overlap(propVals(col("properties"), "topics"),
+        lit(graft.model.FtmModel.riskTopics.toSeq.sorted.toArray)))
+    val adj = Adjacency.adjacent(entities)
+
+    val sanctions = adj.filter(col("other_schema") === "Sanction")
+      .groupBy(col("id"))
+      .agg(collect_set(sanctionText(col("other_properties"))).as("sanction_texts"),
+        collect_set(element_at(col("other_properties"), "programId")).as("adj_prog"))
+    val addresses = adj.filter(col("other_schema") === "Address")
+      .groupBy(col("id"))
+      .agg(collect_set(try_element_at(element_at(col("other_properties"), "full"), lit(1)))
+        .as("adj_addresses"))
+    val idents = adj.filter(col("other_schema") === "Identification")
+      .groupBy(col("id"))
+      .agg(flatten(collect_list(propVals(col("other_properties"), "number"))).as("adj_numbers"),
+        flatten(collect_list(propVals(col("other_properties"), "country"))).as("adj_countries"))
+
+    targets
+      .join(sanctions, Seq("id"), "left")
+      .join(addresses, Seq("id"), "left")
+      .join(idents, Seq("id"), "left")
+      .select(
+        col("id"), col("schema"),
+        try_element_at(propVals(col("properties"), "name"), lit(1)).as("name"),
+        concatCell(propVals(col("properties"), "birthDate")).as("birth_date"),
+        concatCell(concat(propVals(col("properties"), "country"),
+          coalesce(col("adj_countries"), array()))).as("countries"),
+        concatCell(concat(propVals(col("properties"), "address"),
+          coalesce(col("adj_addresses"), array()))).as("addresses"),
+        // identifiers exclude program ids (simplecsv.py:70-72 — T3)
+        concatCell(array_except(
+          concat(propVals(col("properties"), "registrationNumber"),
+            coalesce(col("adj_numbers"), array())),
+          propVals(col("properties"), "programId"))).as("identifiers"),
+        concatCell(coalesce(col("sanction_texts"), array())).as("sanctions"),
+        concatCell(propVals(col("properties"), "programId")).as("program_ids"))
+  }
+
+  /** K4: targets.nested.json support — depth-1 adjacency per target
+    * (nested.py:6-22, entity.py:174-198): both directions, and edge-
+    * schema adjacents pull in their far endpoint (edges don't consume
+    * depth). Returns (id, adjacent_ids sorted array). */
+  def nestedAdjacency(entities: DataFrame): DataFrame = {
+    val adj = Adjacency.adjacent(entities)
+      .select(col("id"), col("other_id"), col("other_schema"))
+    val edgeSchemas = graft.model.FtmModel.schemata.values
+      .filter(_.isEdge).map(_.name).toSeq
+    // far endpoints of adjacent edge entities: the edge's other refs
+    val edgeAdj = adj.filter(col("other_schema").isin(edgeSchemas: _*))
+    val edges = Adjacency.refEdges(entities)
+      .select(col("src_id"), col("dst_id"))
+    val far = edgeAdj.join(edges, col("other_id") === col("src_id"))
+      .filter(col("dst_id") =!= col("id"))
+      .select(col("id"), col("dst_id").as("other_id"))
+    adj.select(col("id"), col("other_id"))
+      .unionByName(far)
+      .groupBy(col("id"))
+      .agg(array_sort(array_distinct(collect_list(col("other_id")))).as("adjacent_ids"))
+  }
+
+  /** K6: senzing.json core — record typing by schema lattice, name
+    * dedup by normalized hash, gender mapping
+    * (exporters/senzing.py:78-160). Output one row per matchable
+    * entity: (record_id, record_type, gender, n_names, identifiers). */
+  def senzing(entities: DataFrame): DataFrame = {
+    import graft.model.FtmModel
+    val persons = FtmModel.descendants("Person").toSeq.sorted
+    val orgs = FtmModel.descendants("Organization").toSeq.sorted
+    val vessels = FtmModel.descendants("Vessel").toSeq.sorted
+    val planes = FtmModel.descendants("Airplane").toSeq.sorted
+    val recordType = when(col("schema").isin(persons: _*), "PERSON")
+      .when(col("schema").isin(orgs: _*), "ORGANIZATION")
+      .when(col("schema").isin(planes: _*), "AIRCRAFT")
+      .when(col("schema").isin(vessels: _*), "VESSEL")
+    val norm = (c: Column) => regexp_replace(lower(c), "[^a-z0-9]", "")
+    val caption = try_element_at(propVals(col("properties"), "name"), lit(1))
+    val aliases = propVals(col("properties"), "alias")
+    // names deduped case/punctuation-insensitively against the caption
+    // and each other (senzing.py:115-124)
+    val distinctNames = array_distinct(transform(
+      concat(array(caption), aliases), n => norm(n)))
+    val genders = propVals(col("properties"), "gender")
+    val gender = when(size(genders) === 1,
+      when(try_element_at(genders, lit(1)) === "male", "M")
+        .when(try_element_at(genders, lit(1)) === "female", "F"))
+    entities
+      .withColumn("record_type", recordType)
+      .filter(col("record_type").isNotNull)
+      .select(
+        col("id").as("record_id"), col("record_type"),
+        gender.as("gender"),
+        size(distinctNames).cast("long").as("n_names"),
+        concatCell(concat(
+          propVals(col("properties"), "registrationNumber"),
+          propVals(col("properties"), "innCode"))).as("identifiers"))
+  }
+
+  /** K7: securities.csv — sanctioned organizations with LEI/ISIN
+    * rollups; ISINs come from the entity itself plus inverted-adjacent
+    * Security entities (securities.py:82-154). */
+  def securities(entities: DataFrame): DataFrame = {
+    import graft.model.FtmModel
+    val orgs = FtmModel.descendants("Organization").toSeq.sorted
+    val secIsins = Adjacency.inverted(entities)
+      .filter(col("ref_schema") === "Security")
+      .groupBy(col("id"))
+      .agg(flatten(collect_list(propVals(col("ref_properties"), "isin"))).as("sec_isins"))
+    entities
+      .filter(col("schema").isin(orgs: _*))
+      .filter(array_contains(propVals(col("properties"), "topics"), "sanction"))
+      .join(secIsins, Seq("id"), "left")
+      .select(
+        col("id"),
+        try_element_at(propVals(col("properties"), "name"), lit(1)).as("caption"),
+        concatCell(propVals(col("properties"), "leiCode")).as("leis"),
+        concatCell(concat(propVals(col("properties"), "isinCode"),
+          coalesce(col("sec_isins"), array()))).as("isins"),
+        concatCell(propVals(col("properties"), "country")).as("countries"))
+  }
+
+  /** K8: maritime.csv — one row per IMO number of vessels and IMO-
+    * registered organizations; vessels without an IMO keep one empty-IMO
+    * row (maritime.py:41-103). */
+  def maritime(entities: DataFrame): DataFrame = {
+    import graft.model.FtmModel
+    val vessels = FtmModel.descendants("Vessel").toSeq.sorted
+    val hasImoProp = FtmModel.schemata.keys
+      .filter(s => FtmModel.allProps(s).contains("imoNumber")).toSeq.sorted
+    val risks = lit(FtmModel.riskTopics.toSeq.sorted.toArray)
+    entities
+      .filter(col("schema").isin(hasImoProp: _*))
+      .withColumn("row_type",
+        when(col("schema").isin(vessels: _*), "VESSEL").otherwise("ORGANIZATION"))
+      .withColumn("imos", propVals(col("properties"), "imoNumber"))
+      // vessels with no IMO still get a row; orgs without IMO are dropped
+      .filter(col("row_type") === "VESSEL" || size(col("imos")) > 0)
+      .withColumn("imo", explode(when(size(col("imos")) > 0, col("imos"))
+        .otherwise(array(lit("")))))
+      .select(
+        col("row_type"),
+        try_element_at(propVals(col("properties"), "name"), lit(1)).as("caption"),
+        col("imo"),
+        concatCell(array_intersect(propVals(col("properties"), "topics"), risks))
+          .as("risk_topics"),
+        concatCell(propVals(col("properties"), "flag")).as("flags"),
+        concatCell(propVals(col("properties"), "mmsi")).as("mmsis"),
+        col("id"))
+  }
+}

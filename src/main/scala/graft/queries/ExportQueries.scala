@@ -1,0 +1,323 @@
+package graft.queries
+
+import graft.operators.{Adjacency, Exporters}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Adjacency operators (J1/J2/J12-adjacent) and the consolidated export
+  * products (K1/K3/K4/K6/K7/K8) exercised over a synthetic FtM-style
+  * entity graph derived deterministically from the TPC-H tables:
+  * customers become Person/Company entities, orders spawn Sanction /
+  * Identification / Security satellites pointing at them, suppliers
+  * become Vessels, and a small Address pool is shared via
+  * `addressEntity` refs. Every oracle recomputes the product straight
+  * from the base tables — the Spark side must flow through the real
+  * entity frame + adjacency operators to match.
+  */
+object ExportQueries {
+
+  private val EmptyArr = array().cast("array<string>")
+
+  private def m(pairs: (String, Column)*): Column =
+    map_filter(
+      map(pairs.flatMap { case (k, v) => Seq(lit(k), v) }: _*),
+      (_, v) => size(v) > 0).as("properties")
+
+  /** The shared synthetic entity frame: (id, schema, properties). */
+  def syntheticEntities(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+    val k = col("c_custkey")
+    val custEnt = cust.select(
+      concat(lit("c"), k.cast("string")).as("id"),
+      when(k % 4 === 0, "Company").otherwise("Person").as("schema"),
+      m(
+        "name" -> array(col("c_name")),
+        "alias" -> when(k % 5 === 0,
+          array(upper(col("c_name")), concat(col("c_name"), lit(" Ltd"))))
+          .otherwise(EmptyArr),
+        "topics" -> when(k % 3 === 0, array(lit("sanction")))
+          .when(k % 3 === 1, array(lit("poi"))).otherwise(EmptyArr),
+        "country" -> array(lower(col("n_name"))),
+        "birthDate" -> when(k % 4 =!= 0,
+          array(concat(lit("19"), (lit(50) + k % 50).cast("string"))))
+          .otherwise(EmptyArr),
+        "gender" -> when(k % 4 =!= 0,
+          when(k % 2 === 0, array(lit("male"))).otherwise(array(lit("female"))))
+          .otherwise(EmptyArr),
+        "addressEntity" -> array(concat(lit("a"), (k % 97).cast("string"))),
+        "programId" -> when(k % 3 === 0,
+          array(concat(lit("ZZ-"), (k % 5).cast("string")))).otherwise(EmptyArr),
+        "registrationNumber" -> when(k % 15 === 0,
+            array(concat(lit("RN"), k.cast("string")),
+              concat(lit("ZZ-"), (k % 5).cast("string"))))
+          .when(k % 6 === 0, array(concat(lit("RN"), k.cast("string"))))
+          .otherwise(EmptyArr),
+        "innCode" -> when(k % 6 === 1,
+          array(concat(lit("INN"), k.cast("string")))).otherwise(EmptyArr),
+        "leiCode" -> when(k % 4 === 0 && k % 8 === 0,
+          array(concat(lit("LEI"), k.cast("string")))).otherwise(EmptyArr),
+        "isinCode" -> when(k % 4 === 0 && k % 8 === 4,
+          array(concat(lit("OWNISIN"), k.cast("string")))).otherwise(EmptyArr),
+        "imoNumber" -> when(k % 20 === 0,
+          array(concat(lit("IMO"), lpad((k * 37 % 10000000L).cast("string"), 7, "0"))))
+          .otherwise(EmptyArr)))
+
+    val addrEnt = t(s, d, "customer")
+      .select((col("c_custkey") % 97).as("ak")).distinct()
+      .select(
+        concat(lit("a"), col("ak").cast("string")).as("id"),
+        lit("Address").as("schema"),
+        m(
+          "full" -> array(concat(lit("No. "), (col("ak") * 3).cast("string"), lit(" Main St"))),
+          "name" -> array(concat(lit("Addr "), col("ak").cast("string")))))
+
+    val o = t(s, d, "orders")
+    val ok = col("o_orderkey")
+    val sancEnt = o.filter(ok % 5 === 0).select(
+      concat(lit("s"), ok.cast("string")).as("id"),
+      lit("Sanction").as("schema"),
+      m(
+        "entity" -> array(concat(lit("c"), col("o_custkey").cast("string"))),
+        "program" -> array(concat(lit("PROG-"), (ok % 7).cast("string"))),
+        "startDate" -> array(date_format(col("o_orderdate"), "yyyy-MM-dd")),
+        "programId" -> array(concat(lit("ZZ-"), (ok % 5).cast("string")))))
+
+    val identEnt = o.filter(ok % 5 === 1).select(
+      concat(lit("i"), ok.cast("string")).as("id"),
+      lit("Identification").as("schema"),
+      m(
+        "holder" -> array(concat(lit("c"), col("o_custkey").cast("string"))),
+        "number" -> array(concat(lit("NUM"), (ok % 1000).cast("string"))),
+        "country" -> array(concat(lit("cc"), (ok % 10).cast("string")))))
+
+    val secEnt = o.filter(ok % 5 === 2).select(
+      concat(lit("sec"), ok.cast("string")).as("id"),
+      lit("Security").as("schema"),
+      m(
+        "issuer" -> array(concat(lit("c"), col("o_custkey").cast("string"))),
+        "isin" -> array(concat(lit("IS"), (ok % 997).cast("string")))))
+
+    val sup = t(s, d, "supplier")
+      .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+    val sk = col("s_suppkey")
+    val vesselEnt = sup.select(
+      concat(lit("v"), sk.cast("string")).as("id"),
+      lit("Vessel").as("schema"),
+      m(
+        "name" -> array(concat(lit("Vessel "), col("s_name"))),
+        "imoNumber" -> when(sk % 3 =!= 0,
+            when(sk % 5 === 0,
+              array(concat(lit("IMO"), lpad((sk * 37 % 10000000L).cast("string"), 7, "0")),
+                concat(lit("IMO"), lpad((sk * 41 % 10000000L).cast("string"), 7, "0"))))
+              .otherwise(array(concat(lit("IMO"), lpad((sk * 37 % 10000000L).cast("string"), 7, "0")))))
+          .otherwise(EmptyArr),
+        "flag" -> array(lower(col("n_name"))),
+        "mmsi" -> when(sk % 2 === 0, array(concat(lit("MM"), sk.cast("string"))))
+          .otherwise(EmptyArr),
+        "topics" -> when(sk % 4 === 0, array(lit("sanction"))).otherwise(EmptyArr)))
+
+    custEnt.unionByName(addrEnt).unionByName(sancEnt)
+      .unionByName(identEnt).unionByName(secEnt).unionByName(vesselEnt)
+  }
+
+  /** Shared oracle CTEs mirroring the synthetic construction. */
+  private val SqlCust =
+    """cust AS (
+      |  SELECT c_custkey AS k, c_name, lower(n_name) AS country,
+      |    CASE WHEN c_custkey % 4 = 0 THEN 'Company' ELSE 'Person' END AS sch
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey)""".stripMargin
+
+  val decls: Seq[Decl] = Seq(
+
+    // J1/J2: the adjacency edge frame, both directions.
+    decl("q70_adjacency",
+      (s, d) => Adjacency.adjacent(syntheticEntities(s, d))
+        .select(col("id"), col("direction"), col("prop"),
+          col("other_id"), col("other_schema")),
+      s"""WITH $SqlCust,
+         |addr_k AS (SELECT DISTINCT c_custkey % 97 AS ak FROM customer),
+         |fwd AS (
+         |  SELECT 'c' || k::VARCHAR AS id, 'addressEntity' AS prop,
+         |    'a' || ak::VARCHAR AS other_id, 'Address' AS other_schema
+         |  FROM cust JOIN addr_k ON k % 97 = ak
+         |  UNION ALL
+         |  SELECT 's' || o_orderkey::VARCHAR, 'entity', 'c' || o_custkey::VARCHAR,
+         |    CASE WHEN o_custkey % 4 = 0 THEN 'Company' ELSE 'Person' END
+         |  FROM orders JOIN customer ON o_custkey = c_custkey WHERE o_orderkey % 5 = 0
+         |  UNION ALL
+         |  SELECT 'i' || o_orderkey::VARCHAR, 'holder', 'c' || o_custkey::VARCHAR,
+         |    CASE WHEN o_custkey % 4 = 0 THEN 'Company' ELSE 'Person' END
+         |  FROM orders JOIN customer ON o_custkey = c_custkey WHERE o_orderkey % 5 = 1
+         |  UNION ALL
+         |  SELECT 'sec' || o_orderkey::VARCHAR, 'issuer', 'c' || o_custkey::VARCHAR,
+         |    CASE WHEN o_custkey % 4 = 0 THEN 'Company' ELSE 'Person' END
+         |  FROM orders JOIN customer ON o_custkey = c_custkey WHERE o_orderkey % 5 = 2),
+         |inv AS (
+         |  SELECT 'a' || (k % 97)::VARCHAR AS id, 'addressEntity' AS prop,
+         |    'c' || k::VARCHAR AS other_id, sch AS other_schema
+         |  FROM cust
+         |  UNION ALL
+         |  SELECT 'c' || o_custkey::VARCHAR, 'entity', 's' || o_orderkey::VARCHAR, 'Sanction'
+         |  FROM orders JOIN customer ON o_custkey = c_custkey WHERE o_orderkey % 5 = 0
+         |  UNION ALL
+         |  SELECT 'c' || o_custkey::VARCHAR, 'holder', 'i' || o_orderkey::VARCHAR, 'Identification'
+         |  FROM orders JOIN customer ON o_custkey = c_custkey WHERE o_orderkey % 5 = 1
+         |  UNION ALL
+         |  SELECT 'c' || o_custkey::VARCHAR, 'issuer', 'sec' || o_orderkey::VARCHAR, 'Security'
+         |  FROM orders JOIN customer ON o_custkey = c_custkey WHERE o_orderkey % 5 = 2)
+         |SELECT id, 'fwd' AS direction, prop, other_id, other_schema FROM fwd
+         |UNION ALL
+         |SELECT id, 'inv', prop, other_id, other_schema FROM inv""".stripMargin),
+
+    // K1/F13: deterministic FtM JSON lines (sorted keys, sorted values).
+    decl("q71_ftm_json",
+      (s, d) => {
+        val ents = syntheticEntities(s, d).filter(col("id").startsWith("c"))
+        ents.select(col("id"),
+          Exporters.ftmJsonLine(col("id"), col("schema"), col("properties")).as("json"))
+      },
+      s"""WITH $SqlCust
+         |SELECT 'c' || k::VARCHAR AS id,
+         |  '{"id":"c' || k::VARCHAR || '","schema":"' || sch || '","properties":{'
+         |  || array_to_string(list_filter([
+         |    '"addressEntity":["a' || (k % 97)::VARCHAR || '"]',
+         |    CASE WHEN k % 5 = 0 THEN '"alias":["' || upper(c_name) || '","' || c_name || ' Ltd"]' END,
+         |    CASE WHEN k % 4 != 0 THEN '"birthDate":["19' || (50 + k % 50)::VARCHAR || '"]' END,
+         |    '"country":["' || country || '"]',
+         |    CASE WHEN k % 4 != 0 THEN '"gender":["' || (CASE WHEN k % 2 = 0 THEN 'male' ELSE 'female' END) || '"]' END,
+         |    CASE WHEN k % 20 = 0 THEN '"imoNumber":["IMO' || lpad(((k * 37) % 10000000)::VARCHAR, 7, '0') || '"]' END,
+         |    CASE WHEN k % 6 = 1 THEN '"innCode":["INN' || k::VARCHAR || '"]' END,
+         |    CASE WHEN k % 4 = 0 AND k % 8 = 4 THEN '"isinCode":["OWNISIN' || k::VARCHAR || '"]' END,
+         |    CASE WHEN k % 4 = 0 AND k % 8 = 0 THEN '"leiCode":["LEI' || k::VARCHAR || '"]' END,
+         |    '"name":["' || c_name || '"]',
+         |    CASE WHEN k % 3 = 0 THEN '"programId":["ZZ-' || (k % 5)::VARCHAR || '"]' END,
+         |    CASE WHEN k % 15 = 0 THEN '"registrationNumber":["RN' || k::VARCHAR || '","ZZ-' || (k % 5)::VARCHAR || '"]'
+         |         WHEN k % 6 = 0 THEN '"registrationNumber":["RN' || k::VARCHAR || '"]' END,
+         |    CASE WHEN k % 3 = 0 THEN '"topics":["sanction"]'
+         |         WHEN k % 3 = 1 THEN '"topics":["poi"]' END
+         |  ], x -> x IS NOT NULL), ',') || '}}' AS json
+         |FROM cust""".stripMargin),
+
+    // K3: targets.simple.csv rollups over adjacency.
+    decl("q72_simple_csv",
+      (s, d) => Exporters.simpleCsv(syntheticEntities(s, d)),
+      s"""WITH $SqlCust,
+         |sanc AS (
+         |  SELECT o_custkey AS k,
+         |    string_agg(DISTINCT 'PROG-' || (o_orderkey % 7)::VARCHAR || ' - ' || strftime(o_orderdate, '%Y-%m-%d'), ';' ORDER BY 'PROG-' || (o_orderkey % 7)::VARCHAR || ' - ' || strftime(o_orderdate, '%Y-%m-%d')) AS sanctions
+         |  FROM orders WHERE o_orderkey % 5 = 0 GROUP BY o_custkey),
+         |idents AS (
+         |  SELECT o_custkey AS k,
+         |    string_agg(DISTINCT 'NUM' || (o_orderkey % 1000)::VARCHAR, ';' ORDER BY 'NUM' || (o_orderkey % 1000)::VARCHAR) AS numbers,
+         |    string_agg(DISTINCT 'cc' || (o_orderkey % 10)::VARCHAR, ';' ORDER BY 'cc' || (o_orderkey % 10)::VARCHAR) AS ccs
+         |  FROM orders WHERE o_orderkey % 5 = 1 GROUP BY o_custkey),
+         |cust_rows AS (
+         |  SELECT 'c' || c.k::VARCHAR AS id, c.sch AS schema, c.c_name AS name,
+         |    CASE WHEN c.k % 4 != 0 THEN '19' || (50 + c.k % 50)::VARCHAR ELSE '' END AS birth_date,
+         |    array_to_string(list_sort(list_distinct(list_filter(
+         |      [c.country] || string_split(COALESCE(i.ccs, ''), ';'),
+         |      x -> len(x) > 0))), ';') AS countries,
+         |    'No. ' || ((c.k % 97) * 3)::VARCHAR || ' Main St' AS addresses,
+         |    COALESCE(array_to_string(list_sort(list_distinct(list_filter(
+         |      (CASE WHEN c.k % 15 = 0 THEN ['RN' || c.k::VARCHAR, 'ZZ-' || (c.k % 5)::VARCHAR]
+         |            WHEN c.k % 6 = 0 THEN ['RN' || c.k::VARCHAR] ELSE [] END
+         |       || string_split(COALESCE(i.numbers, ''), ';')),
+         |      x -> len(x) > 0 AND NOT (c.k % 3 = 0 AND x = 'ZZ-' || (c.k % 5)::VARCHAR)))), ';'), '') AS identifiers,
+         |    COALESCE(s.sanctions, '') AS sanctions,
+         |    CASE WHEN c.k % 3 = 0 THEN 'ZZ-' || (c.k % 5)::VARCHAR ELSE '' END AS program_ids
+         |  FROM cust c
+         |  LEFT JOIN sanc s ON c.k = s.k
+         |  LEFT JOIN idents i ON c.k = i.k
+         |  WHERE c.k % 3 IN (0, 1)),
+         |vessel_rows AS (
+         |  SELECT 'v' || s_suppkey::VARCHAR AS id, 'Vessel' AS schema,
+         |    'Vessel ' || s_name AS name, '' AS birth_date, '' AS countries,
+         |    '' AS addresses, '' AS identifiers, '' AS sanctions, '' AS program_ids
+         |  FROM supplier WHERE s_suppkey % 4 = 0)
+         |SELECT * FROM cust_rows UNION ALL SELECT * FROM vessel_rows""".stripMargin),
+
+    // K4: nested depth-1 adjacency sets.
+    decl("q73_nested_adjacency",
+      (s, d) => Exporters.nestedAdjacency(syntheticEntities(s, d))
+        .select(col("id"), array_join(col("adjacent_ids"), ";").as("adjacent")),
+      s"""WITH $SqlCust,
+         |edges AS (
+         |  SELECT 'c' || k::VARCHAR AS a, 'a' || (k % 97)::VARCHAR AS b FROM cust
+         |  UNION ALL
+         |  SELECT 's' || o_orderkey::VARCHAR, 'c' || o_custkey::VARCHAR
+         |  FROM orders WHERE o_orderkey % 5 = 0
+         |  UNION ALL
+         |  SELECT 'i' || o_orderkey::VARCHAR, 'c' || o_custkey::VARCHAR
+         |  FROM orders WHERE o_orderkey % 5 = 1
+         |  UNION ALL
+         |  SELECT 'sec' || o_orderkey::VARCHAR, 'c' || o_custkey::VARCHAR
+         |  FROM orders WHERE o_orderkey % 5 = 2),
+         |sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges)
+         |SELECT a AS id, array_to_string(list_sort(list_distinct(list(b))), ';') AS adjacent
+         |FROM sym GROUP BY a""".stripMargin),
+
+    // K6: senzing record shaping.
+    decl("q84_senzing",
+      (s, d) => Exporters.senzing(syntheticEntities(s, d)),
+      s"""WITH $SqlCust
+         |SELECT 'c' || k::VARCHAR AS record_id,
+         |  CASE WHEN sch = 'Person' THEN 'PERSON' ELSE 'ORGANIZATION' END AS record_type,
+         |  CASE WHEN sch = 'Person' THEN (CASE WHEN k % 2 = 0 THEN 'M' ELSE 'F' END) END AS gender,
+         |  CASE WHEN k % 5 = 0 THEN 2 ELSE 1 END::BIGINT AS n_names,
+         |  COALESCE(array_to_string(list_sort(
+         |    CASE WHEN k % 15 = 0 THEN ['RN' || k::VARCHAR, 'ZZ-' || (k % 5)::VARCHAR]
+         |         WHEN k % 6 = 0 THEN ['RN' || k::VARCHAR]
+         |         WHEN k % 6 = 1 THEN ['INN' || k::VARCHAR]
+         |         ELSE [] END), ';'), '') AS identifiers
+         |FROM cust
+         |UNION ALL
+         |SELECT 'v' || s_suppkey::VARCHAR, 'VESSEL', NULL, 1::BIGINT, ''
+         |FROM supplier""".stripMargin),
+
+    // K7: securities rollup (own ISINs + inverted-adjacent Security).
+    decl("q85_securities",
+      (s, d) => Exporters.securities(syntheticEntities(s, d)),
+      s"""WITH $SqlCust,
+         |secs AS (
+         |  SELECT o_custkey AS k,
+         |    list_sort(list_distinct(list('IS' || (o_orderkey % 997)::VARCHAR))) AS sec_isins
+         |  FROM orders WHERE o_orderkey % 5 = 2 GROUP BY o_custkey)
+         |SELECT 'c' || c.k::VARCHAR AS id, c.c_name AS caption,
+         |  CASE WHEN c.k % 8 = 0 THEN 'LEI' || c.k::VARCHAR ELSE '' END AS leis,
+         |  COALESCE(array_to_string(list_sort(list_distinct(
+         |    (CASE WHEN c.k % 8 = 4 THEN ['OWNISIN' || c.k::VARCHAR] ELSE [] END)
+         |    || COALESCE(s.sec_isins, []))), ';'), '') AS isins,
+         |  c.country AS countries
+         |FROM cust c LEFT JOIN secs s ON c.k = s.k
+         |WHERE c.k % 4 = 0 AND c.k % 3 = 0""".stripMargin),
+
+    // K8: maritime rows, one per IMO.
+    decl("q86_maritime",
+      (s, d) => Exporters.maritime(syntheticEntities(s, d)),
+      """WITH vessels AS (
+        |  SELECT s_suppkey AS sk, 'Vessel ' || s_name AS caption, lower(n_name) AS flag
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+        |vessel_imos AS (
+        |  SELECT sk, caption, flag,
+        |    unnest(CASE
+        |      WHEN sk % 3 = 0 THEN ['']
+        |      WHEN sk % 5 = 0 THEN ['IMO' || lpad(((sk * 37) % 10000000)::VARCHAR, 7, '0'),
+        |                            'IMO' || lpad(((sk * 41) % 10000000)::VARCHAR, 7, '0')]
+        |      ELSE ['IMO' || lpad(((sk * 37) % 10000000)::VARCHAR, 7, '0')] END) AS imo
+        |  FROM vessels)
+        |SELECT 'VESSEL' AS row_type, caption, imo,
+        |  CASE WHEN sk % 4 = 0 THEN 'sanction' ELSE '' END AS risk_topics,
+        |  flag AS flags,
+        |  CASE WHEN sk % 2 = 0 THEN 'MM' || sk::VARCHAR ELSE '' END AS mmsis,
+        |  'v' || sk::VARCHAR AS id
+        |FROM vessel_imos
+        |UNION ALL
+        |SELECT 'ORGANIZATION', c_name,
+        |  'IMO' || lpad(((c_custkey * 37) % 10000000)::VARCHAR, 7, '0'),
+        |  CASE WHEN c_custkey % 3 = 0 THEN 'sanction' WHEN c_custkey % 3 = 1 THEN 'poi' ELSE '' END,
+        |  '', '', 'c' || c_custkey::VARCHAR
+        |FROM customer WHERE c_custkey % 20 = 0""".stripMargin)
+  )
+}
