@@ -1,0 +1,324 @@
+package graft.queries
+
+import graft.operators.{AutoMerge, EdgeDedup, Enricher, Validators}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Validators, auto-merge heuristics, edge dedupe, the enrichment
+  * judgement flow, version ordering and first-wins DB load — the
+  * resolver/quality side of SURVEY §2 (J8, R2, R4, J10/J12/P5, A3/A11,
+  * O5/T6, K12/K13), each oracle-checked.
+  */
+object ResolverQueries {
+
+  private val EmptyArr = array().cast("array<string>")
+
+  private def m(pairs: (String, Column)*): Column =
+    map_filter(
+      map(pairs.flatMap { case (k, v) => Seq(lit(k), v) }: _*),
+      (_, v) => size(v) > 0).as("properties")
+
+  val decls: Seq[Decl] = Seq(
+
+    // J8: two-hop self-reference detection.
+    decl("q74_self_reference",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val ok = col("o_orderkey")
+        val a = o.select(concat(lit("p"), ok.cast("string")).as("id"),
+          lit("UnknownLink").as("schema"),
+          m("subject" -> array(concat(lit("q"), ok.cast("string")))))
+        val b = o.select(concat(lit("q"), ok.cast("string")).as("id"),
+          lit("UnknownLink").as("schema"),
+          m("object" -> when(ok % 3 === 0,
+            array(concat(lit("p"), ok.cast("string")))).otherwise(EmptyArr)))
+        Validators.selfReferences(a.unionByName(b))
+      },
+      """SELECT 'p' || o_orderkey::VARCHAR AS id, 'subject' AS prop,
+        |  'q' || o_orderkey::VARCHAR AS other_id, 'object' AS other_prop
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT 'q' || o_orderkey::VARCHAR, 'object',
+        |  'p' || o_orderkey::VARCHAR, 'subject'
+        |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin),
+
+    // Assertions: min/max count gates over the synthetic entity frame.
+    decl("q75_assertions",
+      (s, d) => Validators.checkAssertions(
+        ExportQueries.syntheticEntities(s, d),
+        Seq(
+          Validators.Assertion("entity_count", "gte", "", 100),
+          Validators.Assertion("entity_count", "lte", "", 10),
+          Validators.Assertion("schema_entities", "gte", "Person", 10),
+          Validators.Assertion("schema_entities", "gte", "Airplane", 1),
+          Validators.Assertion("country_entities", "gte", "cc1", 1),
+          Validators.Assertion("countries", "lte", "", 1000))),
+      """WITH total AS (
+        |  SELECT (SELECT COUNT(*) FROM customer)
+        |    + (SELECT COUNT(DISTINCT c_custkey % 97) FROM customer)
+        |    + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 5 IN (0, 1, 2))
+        |    + (SELECT COUNT(*) FROM supplier) AS n),
+        |persons AS (SELECT COUNT(*) AS n FROM customer WHERE c_custkey % 4 != 0),
+        |cc1 AS (SELECT COUNT(DISTINCT o_orderkey) AS n FROM orders
+        |  WHERE o_orderkey % 5 = 1 AND o_orderkey % 10 = 1),
+        |ncountries AS (
+        |  SELECT COUNT(*) AS n FROM (
+        |    SELECT DISTINCT lower(n_name) AS c FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |    UNION SELECT DISTINCT 'cc' || (o_orderkey % 10)::VARCHAR FROM orders WHERE o_orderkey % 5 = 1))
+        |SELECT 'entity_count' AS metric, '' AS key, 'gte' AS comparison, 100::BIGINT AS threshold,
+        |  n::BIGINT AS actual, n >= 100 AS passed, NOT (n >= 100) AS fatal FROM total
+        |UNION ALL
+        |SELECT 'entity_count', '', 'lte', 10, n::BIGINT, n <= 10, FALSE FROM total
+        |UNION ALL
+        |SELECT 'schema_entities', 'Person', 'gte', 10, n::BIGINT, n >= 10, NOT (n >= 10) FROM persons
+        |UNION ALL
+        |SELECT 'schema_entities', 'Airplane', 'gte', 1, 0::BIGINT, FALSE, TRUE
+        |UNION ALL
+        |SELECT 'country_entities', 'cc1', 'gte', 1, n::BIGINT, n >= 1, NOT (n >= 1) FROM cc1
+        |UNION ALL
+        |SELECT 'countries', '', 'lte', 1000, n::BIGINT, n <= 1000, FALSE FROM ncountries""".stripMargin),
+
+    // A3/K13: issue level counts with share of total.
+    decl("q76_issue_counts",
+      (s, d) => Validators.issueCounts(Q.events(s, d), "event_type")
+        .select(col("level"), col("n"),
+          col("share").cast("decimal(18,6)").cast("double").as("share")),
+      """SELECT event_type AS level, COUNT(*) AS n,
+        |  CAST(CAST(COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM events)::DOUBLE AS DECIMAL(18,6)) AS DOUBLE) AS share
+        |FROM events GROUP BY event_type""".stripMargin),
+
+    // R2: auto-merge pair rules.
+    decl("q77_automerge",
+      (s, d) => {
+        val sup = t(s, d, "supplier")
+        val sk = col("s_suppkey")
+        val arr1 = (v: Column) => array(v)
+        val pair = sup.select(sk.as("pair_id"),
+          when(sk % 4 === 0, "Vessel").when(sk % 4 === 1, "Person")
+            .when(sk % 4 === 2, "Company").otherwise("Security").as("schema"),
+          arr1(concat(lit("IM"), (sk % 50).cast("string"))).as("l_imos"),
+          when(sk % 3 === 0, arr1(concat(lit("IM"), (sk % 50).cast("string"))))
+            .otherwise(arr1(concat(lit("IM"), (sk % 50 + 1).cast("string")))).as("r_imos"),
+          arr1(concat(lit("Alpha "), (sk % 20).cast("string"))).as("l_names"),
+          when(sk % 2 === 0, arr1(concat(lit("alpha "), (sk % 20).cast("string"))))
+            .otherwise(arr1(lit("Beta"))).as("r_names"),
+          when(sk % 5 === 0, arr1(lit("IS1"))).otherwise(EmptyArr).as("l_isins"),
+          when(sk % 5 === 0, arr1(lit("IS2"))).otherwise(EmptyArr).as("r_isins"),
+          arr1(lit("ru")).as("l_countries"),
+          when(sk % 7 === 0, arr1(lit("ru"))).otherwise(arr1(lit("us"))).as("r_countries"),
+          arr1(concat(lit("N"), sk.cast("string"))).as("l_inns"),
+          when(sk % 3 === 1, arr1(concat(lit("N"), sk.cast("string"))))
+            .otherwise(arr1(lit("X"))).as("r_inns"),
+          arr1(concat(lit("G"), sk.cast("string"))).as("l_ogrns"),
+          when(sk % 2 === 0, arr1(concat(lit("G"), sk.cast("string"))))
+            .otherwise(arr1(lit("Y"))).as("r_ogrns"),
+          when(sk % 9 === 0, arr1(lit("LEI1"))).otherwise(EmptyArr).as("l_leis"),
+          when(sk % 9 === 0, arr1(lit("LEI1"))).otherwise(EmptyArr).as("r_leis"),
+          when(sk % 10 === 1, arr1(lit("P1"))).otherwise(EmptyArr).as("l_pk"),
+          when(sk % 10 === 1, arr1(lit("P2"))).otherwise(EmptyArr).as("r_pk"))
+        pair.withColumn("res", AutoMerge.decide(col("schema"),
+            col("l_imos"), col("r_imos"), col("l_names"), col("r_names"),
+            col("l_isins"), col("r_isins"), col("l_countries"), col("r_countries"),
+            col("l_inns"), col("r_inns"), col("l_ogrns"), col("r_ogrns"),
+            col("l_leis"), col("r_leis"), col("l_pk"), col("r_pk")))
+          .select(col("pair_id"), col("schema"),
+            col("res.decision").as("decision"), col("res.rule").as("rule"))
+      },
+      """SELECT s_suppkey AS pair_id,
+        |  CASE WHEN s_suppkey % 4 = 0 THEN 'Vessel' WHEN s_suppkey % 4 = 1 THEN 'Person'
+        |       WHEN s_suppkey % 4 = 2 THEN 'Company' ELSE 'Security' END AS schema,
+        |  CASE
+        |    WHEN s_suppkey % 4 = 0 AND s_suppkey % 3 = 0 AND s_suppkey % 2 = 0 THEN 'POSITIVE'
+        |    WHEN s_suppkey % 4 = 1 AND s_suppkey % 7 = 0 AND s_suppkey % 3 = 1 THEN 'POSITIVE'
+        |    WHEN s_suppkey % 4 = 2 AND s_suppkey % 7 = 0 AND s_suppkey % 2 = 0 THEN 'POSITIVE'
+        |    WHEN s_suppkey % 4 = 2 AND (s_suppkey % 9 = 0 OR s_suppkey % 3 = 0) THEN 'POSITIVE'
+        |    WHEN s_suppkey % 4 = 1 AND s_suppkey % 10 = 1 THEN 'NEGATIVE'
+        |    WHEN s_suppkey % 4 = 3 AND s_suppkey % 5 = 0 THEN 'NEGATIVE'
+        |  END AS decision,
+        |  CASE
+        |    WHEN s_suppkey % 4 = 0 AND s_suppkey % 3 = 0 AND s_suppkey % 2 = 0 THEN 'vessel_imo'
+        |    WHEN s_suppkey % 4 = 1 AND s_suppkey % 7 = 0 AND s_suppkey % 3 = 1 THEN 'ru_inn'
+        |    WHEN s_suppkey % 4 = 2 AND s_suppkey % 7 = 0 AND s_suppkey % 2 = 0 THEN 'ru_ogrn'
+        |    WHEN s_suppkey % 4 = 2 AND (s_suppkey % 9 = 0 OR s_suppkey % 3 = 0) THEN 'org_identifier'
+        |    WHEN s_suppkey % 4 = 1 AND s_suppkey % 10 = 1 THEN 'pk_ids'
+        |    WHEN s_suppkey % 4 = 3 AND s_suppkey % 5 = 0 THEN 'security_isin'
+        |  END AS rule
+        |FROM supplier""".stripMargin),
+
+    // R4/J11/T7: full edge dedupe with protected-prop veto.
+    decl("q78_edge_dedup",
+      (s, d) => {
+        val o = t(s, d, "orders").filter(col("o_orderkey") % 2 === 0)
+        val ok = col("o_orderkey")
+        val edges = o.select(
+          ok.as("edge_id"),
+          lit("Membership").as("schema"),
+          concat(lit("p"), (col("o_custkey") % 50).cast("string")).as("source"),
+          concat(lit("org"), (ok % 20).cast("string")).as("target"),
+          lit("1995-01").as("startDate"),
+          lit("1995-12").as("endDate"),
+          when(ok % 7 === 0, EmptyArr)
+            .otherwise(array(concat(lit("Role "), (ok % 3).cast("string"))))
+            .as("protected"))
+        EdgeDedup.mergeGroups(edges, directedSchemas = Set("Membership"))
+      },
+      """WITH e AS (
+        |  SELECT o_orderkey AS eid, o_custkey % 50 AS pk, o_orderkey % 20 AS tk,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |         ELSE 'role-' || (o_orderkey % 3)::VARCHAR END AS role
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |g AS (SELECT pk, tk, min(eid) AS canon, COUNT(*) AS members,
+        |    COUNT(DISTINCT role) AS nroles
+        |  FROM e GROUP BY pk, tk)
+        |SELECT eid AS edge_id,
+        |  CASE WHEN nroles <= 1 AND members > 1 THEN canon ELSE eid END AS cluster,
+        |  nroles > 1 AS vetoed
+        |FROM e JOIN g USING (pk, tk)""".stripMargin),
+
+    // J10/P5: enrichment judgement gate with same-id short-circuit and
+    // person cutoff.
+    decl("q79_enrich_gate",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val k = col("c_custkey")
+        val subjects = c.filter(k % 2 === 0)
+          .select(concat(lit("c"), k.cast("string")).as("sid"))
+        val targets = c.filter(k % 3 === 0)
+          .select(concat(lit("c"), k.cast("string")).as("tid"))
+        val cands = c.filter(k % 2 === 0).select(
+          concat(lit("c"), k.cast("string")).as("subject_id"),
+          concat(lit("c"), ((k * 7) % 1500 + 1).cast("string")).as("target_id"),
+          ((k % 5).cast("double") / 10.0 + 0.3).as("score"))
+        val matches = Enricher.withSameIdMatches(cands,
+          c.filter(k % 2 === 0), c.filter(k % 3 === 0),
+          concat(lit("c"), col("c_custkey").cast("string")),
+          concat(lit("c"), col("c_custkey").cast("string")))
+        val decisions = c.filter(k % 2 === 0 && (k % 8 === 0 || k % 8 === 2)).select(
+          concat(lit("c"), k.cast("string")).as("subject_id"),
+          concat(lit("c"), ((k * 7) % 1500 + 1).cast("string")).as("target_id"),
+          when(k % 8 === 0, "POSITIVE").otherwise("NEGATIVE").as("judgement"))
+        val gated = Enricher.judgementGate(matches, decisions)
+        // person cutoff on the subject side
+        val subjDeath = c.select(
+          concat(lit("c"), k.cast("string")).as("subject_id"),
+          when(k % 10 === 0, concat(lit("19"), (lit(60) + k % 30).cast("string")))
+            .otherwise(lit(null).cast("string")).as("death"))
+        gated.join(subjDeath, "subject_id")
+          .filter(Enricher.personAlive(col("death"), lit(null).cast("string"),
+            lit("2020-01-01")))
+          .select(col("subject_id"), col("target_id"),
+            col("score").cast("decimal(18,6)").cast("double").as("score"), col("route"))
+      },
+      """WITH rows0 AS (
+        |  SELECT 'c' || c_custkey::VARCHAR AS subject_id,
+        |    'c' || ((c_custkey * 7) % 1500 + 1)::VARCHAR AS target_id,
+        |    (c_custkey % 5)::DOUBLE / 10.0 + 0.3 AS score,
+        |    CASE WHEN c_custkey % 8 = 0 THEN 'internal'
+        |         WHEN c_custkey % 8 = 2 THEN NULL
+        |         ELSE 'external' END AS route,
+        |    c_custkey AS k
+        |  FROM customer WHERE c_custkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 'c' || c_custkey::VARCHAR, 'c' || c_custkey::VARCHAR, 1.0,
+        |    'external', c_custkey
+        |  FROM customer WHERE c_custkey % 6 = 0)
+        |SELECT subject_id, target_id,
+        |  CAST(CAST(score AS DECIMAL(18,6)) AS DOUBLE) AS score, route
+        |FROM rows0
+        |WHERE route IS NOT NULL AND k % 10 != 0""".stripMargin),
+
+    // J12: bounded 2-hop graph expansion from sanctioned seeds.
+    decl("q80_graph_expand",
+      (s, d) => {
+        val seeds = t(s, d, "customer").filter(col("c_custkey") % 200 === 0)
+          .select(concat(lit("c"), col("c_custkey").cast("string")).as("id"))
+        graft.operators.Adjacency.expand(
+          ExportQueries.syntheticEntities(s, d), seeds, hops = 2)
+      },
+      """WITH seeds AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 200 = 0)
+        |SELECT DISTINCT id FROM (
+        |  SELECT 'c' || k::VARCHAR AS id FROM seeds
+        |  UNION ALL SELECT 'a' || (k % 97)::VARCHAR FROM seeds
+        |  UNION ALL SELECT 's' || o_orderkey::VARCHAR FROM orders JOIN seeds ON o_custkey = k
+        |    WHERE o_orderkey % 5 = 0
+        |  UNION ALL SELECT 'i' || o_orderkey::VARCHAR FROM orders JOIN seeds ON o_custkey = k
+        |    WHERE o_orderkey % 5 = 1
+        |  UNION ALL SELECT 'sec' || o_orderkey::VARCHAR FROM orders JOIN seeds ON o_custkey = k
+        |    WHERE o_orderkey % 5 = 2
+        |  UNION ALL SELECT 'c' || c_custkey::VARCHAR FROM customer JOIN seeds
+        |    ON c_custkey % 97 = k % 97)""".stripMargin),
+
+    // A11/O4: occupancy status state machine over partial-ISO dates.
+    decl("q81_occupancy_status",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val ok = col("o_orderkey")
+        val start = date_format(col("o_orderdate"), "yyyy-MM")
+        val end = when(ok % 4 === 0, lit(""))
+          .when(ok % 4 === 1, date_format(col("o_orderdate") + expr("INTERVAL 400 DAYS"), "yyyy"))
+          .otherwise(date_format(col("o_orderdate") + expr("INTERVAL 2000 DAYS"), "yyyy-MM-dd"))
+        val death = when(ok % 9 === 0, lit("1998")).otherwise(lit(null).cast("string"))
+        o.select(ok.as("o_orderkey"),
+          Enricher.occupancyStatus(start, end, death, lit("1998-06-15")).as("status"))
+      },
+      """SELECT o_orderkey,
+        |  CASE
+        |    WHEN (CASE WHEN o_orderkey % 4 = 0 THEN NULL
+        |               WHEN o_orderkey % 4 = 1 THEN make_date(year(o_orderdate + INTERVAL 400 DAY), 12, 31)
+        |               ELSE (o_orderdate + INTERVAL 2000 DAY)::DATE END) < DATE '1998-06-15'
+        |         OR (o_orderkey % 9 = 0 AND DATE '1998-12-31' < DATE '1998-06-15')
+        |      THEN 'ended'
+        |    WHEN make_date(year(o_orderdate), month(o_orderdate), 1) <= DATE '1998-06-15'
+        |         AND (o_orderkey % 4 = 0
+        |              OR (CASE WHEN o_orderkey % 4 = 1 THEN make_date(year(o_orderdate + INTERVAL 400 DAY), 12, 31)
+        |                       ELSE (o_orderdate + INTERVAL 2000 DAY)::DATE END) >= DATE '1998-06-15')
+        |      THEN 'current'
+        |    ELSE 'unknown'
+        |  END AS status
+        |FROM orders""".stripMargin),
+
+    // O5/T6: version ordering — newest-first walk with a bounded window.
+    decl("q83_version_window",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = t(s, d, "orders")
+        val versions = o.select(col("o_orderkey"),
+            explode(array(lit(1), lit(2), lit(3))).as("v"))
+          .filter(col("o_orderkey") % (col("v") + 1) =!= 0)
+          .select(col("o_orderkey"),
+            concat(lit("2024-0"), col("v").cast("string")).as("version"))
+        val w = Window.partitionBy("o_orderkey").orderBy(col("version").desc)
+        versions.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select(col("o_orderkey"), col("version"), col("rn"))
+      },
+      """SELECT o_orderkey, version, rn FROM (
+        |  SELECT o_orderkey, version,
+        |    row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+        |  FROM (SELECT o_orderkey, '2024-0' || v::VARCHAR AS version
+        |    FROM orders, generate_series(1, 3) AS g(v)
+        |    WHERE o_orderkey % (v + 1) != 0))
+        |WHERE rn <= 2""".stripMargin),
+
+    // K12: DB load with first-row-wins conflict handling.
+    decl("q87_db_load_firstwins",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = t(s, d, "orders")
+        val w = Window.partitionBy(col("stmt_id"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        o.select((col("o_orderkey") % 1000).as("stmt_id"),
+            col("o_orderkey"), col("o_orderdate"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("stmt_id"), col("o_orderkey").as("keeper"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("first_date"))
+      },
+      """SELECT stmt_id, o_orderkey AS keeper, strftime(o_orderdate, '%Y-%m-%d') AS first_date
+        |FROM (SELECT o_orderkey % 1000 AS stmt_id, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_orderkey % 1000 ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn = 1""".stripMargin)
+  )
+}
