@@ -185,6 +185,27 @@ object Exporters {
         concatCell(propVals(col("properties"), "country")).as("countries"))
   }
 
+  /** K11: index/catalog.json — per-dataset metadata over the statement
+    * frame (zavod/zavod/exporters/metadata/__init__.py:30-264): entity
+    * and statement counts, the distinct schema list, and the newest
+    * last_seen, emitted both as columns and as one deterministic JSON
+    * line per dataset. */
+  def catalog(statements: DataFrame): DataFrame =
+    statements.groupBy(col("dataset"))
+      .agg(
+        countDistinct(coalesce(col("canonicalId"), col("entityId"))).as("n_entities"),
+        count(lit(1)).as("n_statements"),
+        array_sort(collect_set(col("schema"))).as("schemata"),
+        max(date_format(col("lastSeen"), "yyyy-MM-dd")).as("last_change"))
+      .select(col("dataset"), col("n_entities"), col("n_statements"),
+        array_join(col("schemata"), ";").as("schemata"),
+        col("last_change"),
+        concat(lit("{\"name\":\""), jesc(col("dataset")),
+          lit("\",\"entity_count\":"), col("n_entities").cast("string"),
+          lit(",\"statement_count\":"), col("n_statements").cast("string"),
+          lit(",\"schemata\":"), jarr(col("schemata")),
+          lit(",\"last_change\":\""), col("last_change"), lit("\"}")).as("json"))
+
   /** K8: maritime.csv — one row per IMO number of vessels and IMO-
     * registered organizations; vessels without an IMO keep one empty-IMO
     * row (maritime.py:41-103). */

@@ -1,0 +1,101 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("xml scan reads row tags through the native datasource") {
+    val dir = Files.createTempDirectory("graft-xml")
+    val f = dir.resolve("data.xml")
+    Files.writeString(f,
+      """<records>
+        |  <rec><name>Alpha</name><code>1</code></rec>
+        |  <rec><name>Beta</name><code>2</code></rec>
+        |</records>""".stripMargin)
+    val df = Sources.xml(spark, f.toString, rowTag = "rec")
+    val rows = df.select($"name".cast("string"), $"code".cast("string"))
+      .as[(String, String)].collect().toSet
+    assert(rows == Set(("Alpha", "1"), ("Beta", "2")))
+  }
+
+  test("html table columns extract via xpath") {
+    val html =
+      "<html><body><table>" +
+        "<tr><td>John</td><td>DE</td></tr>" +
+        "<tr><td>Jane</td><td>FR</td></tr>" +
+        "</table></body></html>"
+    val out = Seq(html).toDF("html")
+      .select(Sources.htmlTableColumn($"html", 1).as("names"),
+        Sources.htmlTableColumn($"html", 2).as("codes"))
+      .as[(Seq[String], Seq[String])].collect()(0)
+    assert(out._1 == Seq("John", "Jane") && out._2 == Seq("DE", "FR"))
+  }
+
+  test("xlsx rows parse from the zip container (shared + inline strings)") {
+    val dir = Files.createTempDirectory("graft-xlsx")
+    val f = dir.resolve("book.xlsx")
+    val zip = new ZipOutputStream(Files.newOutputStream(f))
+    def put(name: String, content: String): Unit = {
+      zip.putNextEntry(new ZipEntry(name))
+      zip.write(content.getBytes("UTF-8"))
+      zip.closeEntry()
+    }
+    put("xl/sharedStrings.xml",
+      """<sst><si><t>name</t></si><si><t>Alpha</t></si></sst>""")
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="inlineStr"><is><t>serial</t></is></c></row>
+        |<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2"><v>44876</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zip.close()
+    val rows = Sources.xlsxRows(spark, f.toString)
+      .as[(String, String)].collect().toSeq
+    assert(rows == Seq(("name", "serial"), ("Alpha", "44876")))
+    // excel serial flows into the date kit
+    val iso = Seq("44876").toDF("v")
+      .select(graft.functions.Dates.excelSerialDate($"v"))
+      .as[String].collect()(0)
+    assert(iso == "2022-11-11T00:00:00")
+  }
+
+  test("fetch cache: fresh hits are reused, misses hit the fetcher once") {
+    val now = java.sql.Timestamp.valueOf("2026-01-10 00:00:00")
+    val cache = Seq(
+      ("fp1", "http://x/fresh", "cached-body", java.sql.Timestamp.valueOf("2026-01-05 00:00:00")),
+      ("fp2", "http://x/stale", "old-body", java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))
+    ).toDF("fingerprint", "url", "body", "fetched_at")
+    var calls = 0
+    val fetcher: Sources.Fetcher = url => { calls += 1; s"fetched:$url" }
+    val (bodies, newRows) = Sources.fetchCached(spark,
+      Seq("http://x/fresh", "http://x/stale", "http://x/new"),
+      cache, now, maxAgeDays = 30, fetcher = fetcher)
+    val got = bodies.as[(String, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("http://x/fresh") == (("cached-body", true)))
+    assert(got("http://x/stale") == (("fetched:http://x/stale", false)))
+    assert(got("http://x/new") == (("fetched:http://x/new", false)))
+    assert(calls == 2)
+    assert(newRows.count() == 2) // stale + new get appended to the cache
+  }
+
+  test("llm extraction runs the injected extractor with stable cache keys") {
+    val fake: Sources.Extractor = (prompt, payload) =>
+      s"""{"entities":["${payload.toUpperCase}"],"prompt_len":${prompt.length}}"""
+    val out = Sources.llmExtract(Seq("alpha", "beta").toDF("text"), "text",
+      "extract the names", fake)
+      .as[(String, String, String)].collect().toSeq.sortBy(_._2)
+    assert(out.map(_._2) == Seq("alpha", "beta"))
+    assert(out.head._3.contains("ALPHA"))
+    assert(out.map(_._1).distinct.size == 2) // distinct cache keys
+  }
+
+  test("pdf extraction is a declared stub") {
+    intercept[UnsupportedOperationException] {
+      Sources.pdfTableRows(spark, "/tmp/nope.pdf")
+    }
+  }
+}
