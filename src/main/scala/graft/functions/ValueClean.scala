@@ -21,6 +21,17 @@ object ValueClean {
 
   private def squash(c: Column): Column = regexp_replace(trim(c), "\\s+", " ")
 
+  /** All identifier formats the dynamic dispatch can validate. */
+  val AllFormats: Set[String] = Set("imo", "isin", "lei", "iban", "inn", "ogrn")
+
+  private val FormatValidators: Map[String, Column => Column] = Map(
+    "imo" -> Identifiers.imoValid,
+    "isin" -> Identifiers.isinValid,
+    "lei" -> Identifiers.leiValid,
+    "iban" -> Identifiers.ibanValid,
+    "inn" -> Identifiers.innValid,
+    "ogrn" -> Identifiers.ogrnValid)
+
   /** Dispatch cleaning for one (ptype, value) pair. Returns a struct:
     *  - clean:   the cleaned value, null when rejected
     *  - origin:  null, 'inferred' (topics — cleaning.py:162-163), or the
@@ -28,21 +39,27 @@ object ValueClean {
     *  - warning: null or a warning tag ('too_long', 'short_address',
     *             'invalid_identifier', 'invalid_name')
     *
-    * Identifier validation uses the IMO validator when `idFormat` is
-    * 'imo', ISIN when 'isin', LEI when 'lei' — mirroring the per-format
-    * registry (cleaning.py:19-63); unknown formats normalize only.
-    * Dates truncate to day precision (cleaning.py:134-136). Phones and
-    * URLs pass through on failed validation (cleaning.py:169-186). */
-  def clean(ptype: Column, value: Column, idFormat: Column = lit(null)): Column = {
+    * Identifier validation uses the per-format registry validators
+    * (cleaning.py:19-63); unknown formats normalize only. Dates
+    * truncate to day precision (cleaning.py:134-136). Phones and URLs
+    * pass through on failed validation (cleaning.py:169-186).
+    *
+    * `formats` bounds the validator branches compiled into the plan —
+    * the Luhn/mod-97 validators are higher-order-function expressions
+    * that disable whole-stage codegen for the projection, so a caller
+    * that only ingests (say) IMO ids should pass `Set("imo")` and keep
+    * the hot path fully codegen'd. When the format column is static per
+    * mapping, prefer the plan-time dispatch in
+    * [[graft.sources.Ingestion]]. */
+  def clean(ptype: Column, value: Column, idFormat: Column = lit(null),
+      formats: Set[String] = AllFormats): Column = {
     val v = squash(value)
 
     val idNorm = Identifiers.normalizeId(v)
-    val idValid = when(idFormat === "imo", Identifiers.imoValid(v))
-      .when(idFormat === "isin", Identifiers.isinValid(v))
-      .when(idFormat === "lei", Identifiers.leiValid(v))
-      .when(idFormat === "iban", Identifiers.ibanValid(v))
-      .when(idFormat === "inn", Identifiers.innValid(v))
-      .when(idFormat === "ogrn", Identifiers.ogrnValid(v))
+    val idValid = formats.toSeq.sorted
+      .foldLeft(when(lit(false), lit(true))) { (acc, f) =>
+        acc.when(idFormat === f, FormatValidators(f)(v))
+      }
       .otherwise(lit(true))
 
     val cleaned = when(ptype === "date", substring(v, 1, 10))
@@ -66,6 +83,42 @@ object ValueClean {
 
     val origin = when(ptype === "topic", lit("inferred"))
 
+    struct(cleaned.as("clean"), origin.as("origin"), warning.as("warning"))
+  }
+
+  /** Plan-time dispatch: when the property type and identifier format
+    * are known statically (the normal ingestion-mapping case), only the
+    * relevant branch is compiled into the plan — identical semantics to
+    * [[clean]], a fraction of the expression tree, and codegen-friendly
+    * whenever the chosen validator is. */
+  def cleanStatic(ptype: String, value: Column, idFormat: Option[String] = None): Column = {
+    val v = squash(value)
+    val idValid = idFormat.flatMap(FormatValidators.get)
+      .map(f => f(v)).getOrElse(lit(true))
+
+    val cleaned = ptype match {
+      case "date" => substring(v, 1, 10)
+      case "identifier" => when(idValid, Identifiers.normalizeId(v))
+      case "name" => when(length(v) >= 2 && !v.rlike("^[0-9]+$"), v)
+      case "country" => lower(v)
+      case "topic" => lower(v)
+      case "email" => when(v.rlike("^[^@\\s]+@[^@\\s]+\\.[^@\\s]+$"), lower(v))
+      case _ => v // url/phone/text pass through (cleaning.py:169-186)
+    }
+    val maxLen = MaxLengths.getOrElse(ptype, 65000)
+    val warning = ptype match {
+      case "identifier" =>
+        when(!idValid, lit("invalid_identifier"))
+          .when(length(cleaned) > maxLen, lit("too_long"))
+      case "name" =>
+        when(cleaned.isNull, lit("invalid_name"))
+          .when(length(cleaned) > maxLen, lit("too_long"))
+      case "address" =>
+        when(length(cleaned) > maxLen, lit("too_long"))
+          .when(cleaned.isNotNull && length(cleaned) <= 3, lit("short_address"))
+      case _ => when(length(cleaned) > maxLen, lit("too_long"))
+    }
+    val origin = if (ptype == "topic") lit("inferred") else lit(null).cast("string")
     struct(cleaned.as("clean"), origin.as("origin"), warning.as("warning"))
   }
 }

@@ -35,6 +35,19 @@ object Consolidate {
   def reduceWeakNames(strong: Column, weak: Column): Column =
     filter(weak, w => !exists(strong, s => lower(s) === lower(w)))
 
+  /** A7: case-variant reduction (consolidate.py:123-170 reduce_names):
+    * among names equal under lowercasing, keep the best-cased variant —
+    * mixed/lower case beats ALL-CAPS; ties break lexicographically.
+    * Pure HOF expression over the name array. */
+  def reduceCaseVariants(names: Column): Column = {
+    // quality: the name is not shouting (differs from its uppercase form)
+    def q(n: Column): Column = n =!= upper(n)
+    filter(names, n =>
+      !exists(names, o =>
+        (lower(o) === lower(n)) && (o =!= n) &&
+          ((q(o) && !q(n)) || (q(o) === q(n) && o < n))))
+  }
+
   /** A5/K5: squashed distinct-name key (case-insensitive, whitespace
     * collapsed) used for names.txt dedup (zavod/zavod/exporters/names.py:18-25). */
   def nameKey(name: Column): Column =

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.model.FtmModel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Resolver decision management (R3/R5) and schema filtering (P3) —
+  * the judgement-edge bookkeeping around connected components
+  * (zavod/zavod/integration/dedupe.py:93-128, context.py:149-171,
+  * runner/local_enricher.py:238-241).
+  *
+  * The decision log is an append-only frame (a, b, judgement, user,
+  * decided_at); the effective judgement for a pair is the LATEST row —
+  * so merge/explode/rekey are appends, never updates, exactly like the
+  * reference's resolver journal. Canonical ids come from re-running
+  * [[ConnectedComponents]] over the effective POSITIVE edges.
+  */
+object Resolver {
+
+  val Positive = "POSITIVE"
+  val Negative = "NEGATIVE"
+  val Unsure = "UNSURE"
+
+  private def canon(df: DataFrame): DataFrame =
+    df.select(least(col("a"), col("b")).as("a"),
+      greatest(col("a"), col("b")).as("b"),
+      col("judgement"), col("user"), col("decided_at"))
+
+  /** The latest judgement per (unordered) pair — the effective edge set. */
+  def effective(decisions: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("a", "b")
+      .orderBy(col("decided_at").desc, col("user").desc)
+    canon(decisions)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** R3 merge: append a POSITIVE decision (overrides UNSURE/NEGATIVE). */
+  def merge(decisions: DataFrame, a: String, b: String, user: String,
+      at: java.sql.Timestamp): DataFrame = {
+    val spark = decisions.sparkSession
+    import spark.implicits._
+    decisions.unionByName(
+      Seq((a, b, Positive, user, at)).toDF("a", "b", "judgement", "user", "decided_at"))
+  }
+
+  /** R3 explode: dissolve a cluster — every effective positive edge
+    * touching any of `ids` is overridden with UNSURE. */
+  def explodeCluster(decisions: DataFrame, ids: Seq[String], user: String,
+      at: java.sql.Timestamp): DataFrame = {
+    val idArr = lit(ids.toArray)
+    val overrides = effective(decisions)
+      .filter(col("judgement") === Positive &&
+        (array_contains(idArr, col("a")) || array_contains(idArr, col("b"))))
+      .select(col("a"), col("b"), lit(Unsure).as("judgement"),
+        lit(user).as("user"), lit(at).as("decided_at"))
+    decisions.unionByName(overrides)
+  }
+
+  /** R5 rekey: migrate an entity id — record old↔new as POSITIVE so the
+    * cluster follows the new id (context.py:149-171). */
+  def rekey(decisions: DataFrame, oldId: String, newId: String, user: String,
+      at: java.sql.Timestamp): DataFrame =
+    merge(decisions, oldId, newId, user, at)
+
+  /** Canonicalization table from the decision log: (id, canonical) over
+    * all ids present in `nodes`, via connected components on the
+    * effective POSITIVE edges. String ids are hashed to longs for the
+    * CC iteration; the canonical id is the lexicographic minimum of the
+    * cluster's string ids, so the choice is deterministic in the id
+    * domain, not the hash domain. */
+  def canonicalize(nodes: DataFrame, decisions: DataFrame): DataFrame = {
+    val ids = nodes.toDF("sid").distinct()
+      .withColumn("nid", xxhash64(col("sid")))
+    val eff = effective(decisions).filter(col("judgement") === Positive)
+    val edges = eff
+      .join(ids.select(col("sid").as("a"), col("nid").as("src")), "a")
+      .join(ids.select(col("sid").as("b"), col("nid").as("dst")), "b")
+      .select(col("src"), col("dst"))
+    val cc = ConnectedComponents.run(ids.select(col("nid").as("id")), edges)
+    val labeled = ids.join(cc, ids("nid") === cc("id"))
+      .select(col("sid"), col("component"))
+    val canonical = labeled.groupBy(col("component"))
+      .agg(min(col("sid")).as("canonical"))
+    labeled.join(canonical, "component")
+      .select(col("sid").as("id"), col("canonical"))
+  }
+
+  /** P3: schema filter with inheritance closure — restrict a frame to a
+    * schema subtree (local_enricher.py:238-241). */
+  def schemaFilter(df: DataFrame, schema: String, schemaCol: String = "schema"): DataFrame =
+    df.filter(col(schemaCol).isin(FtmModel.descendants(schema).toSeq.sorted: _*))
+}

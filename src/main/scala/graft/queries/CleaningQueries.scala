@@ -358,7 +358,8 @@ object CleaningQueries {
           .when(k % 6 === 4, when(k % 2 === 0, lit("NY")).otherwise(lit("Long Street 1")))
           .otherwise(concat(lit("+1-"), col("o_custkey").cast("string")))
         val res = ValueClean.clean(ptype, value,
-          idFormat = when(ptype === "identifier", "imo"))
+          idFormat = when(ptype === "identifier", "imo"),
+          formats = Set("imo"))
         o.select(k, ptype.as("ptype"), res.getField("clean").as("clean"),
           res.getField("origin").as("origin"), res.getField("warning").as("warning"))
       },

@@ -53,8 +53,9 @@ object Ingestion {
       runTime: Column): DataFrame = {
     val entityId = Ids.makeSlug(dataset, keyParts: _*)
     val propStructs = props.map { p =>
-      val cleaned = ValueClean.clean(lit(p.ptype), p.value,
-        if (p.idFormat == null) lit(null) else lit(p.idFormat))
+      // plan-time dispatch: the mapping's type/format are static, so
+      // only the relevant cleaning branch enters the plan (codegen'd)
+      val cleaned = ValueClean.cleanStatic(p.ptype, p.value, Option(p.idFormat))
       struct(
         lit(p.prop).as("prop"),
         cleaned.getField("clean").as("value"),

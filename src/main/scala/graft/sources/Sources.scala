@@ -142,6 +142,25 @@ object Sources {
   }
 
   // ---------------------------------------------------------------
+  // F12: change detection
+
+  /** F12: source-layout change detection (helpers/change.py:14-129).
+    * `assert_url_hash` compares the fetched body's hash against the
+    * expected value; `assert_dom_hash` hashes only the tag structure
+    * (text stripped), so prose edits don't fire the alarm but layout
+    * changes do. Both return a boolean "unchanged" column. */
+  def urlHashUnchanged(body: org.apache.spark.sql.Column, expected: String): org.apache.spark.sql.Column =
+    sha1(body) === lit(expected)
+
+  /** The DOM structure hash: collapse all text between tags, keep the
+    * tag skeleton, hash it. */
+  def domHash(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sha1(regexp_replace(regexp_replace(html, ">[^<>]*<", "><"), "\\s+", ""))
+
+  def domHashUnchanged(html: org.apache.spark.sql.Column, expected: String): org.apache.spark.sql.Column =
+    domHash(html) === lit(expected)
+
+  // ---------------------------------------------------------------
   // S11: LLM extraction behind the same cache pattern
 
   /** Pluggable extractor: (prompt, payload) → JSON string. */
