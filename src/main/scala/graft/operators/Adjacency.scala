@@ -40,36 +40,45 @@ object Adjacency {
         explode(col("vals")).as("dst_id"))
   }
 
-  /** J1 forward adjacency: source entity → referenced entity (inner join
-    * drops dangling refs; the validator surfaces those separately).
-    * Output: (src_id, prop, dst_id, dst_schema, dst_properties). */
-  def forward(entities: DataFrame): DataFrame =
-    refEdges(entities)
+  private def forwardFrom(edges: DataFrame, entities: DataFrame): DataFrame =
+    edges
       .join(entities.select(col("id").as("dst_id"), col("schema").as("dst_schema"),
         col("properties").as("dst_properties")), "dst_id")
       .select(col("src_id"), col("prop"), col("dst_id"), col("dst_schema"),
         col("dst_properties"))
 
-  /** J2 inverted adjacency: for each entity, the entities pointing AT it
-    * (fragment.py:43-65). Output: (id, prop, ref_id, ref_schema,
-    * ref_properties) — `ref_id` holds the pointing entity. */
-  def inverted(entities: DataFrame): DataFrame =
-    refEdges(entities)
+  private def invertedFrom(edges: DataFrame, entities: DataFrame): DataFrame =
+    edges
       .join(entities.select(col("id"), col("schema").as("_s"),
           col("properties").as("_p")),
         col("id") === col("src_id"))
       .select(col("dst_id").as("id"), col("prop"), col("src_id").as("ref_id"),
         col("_s").as("ref_schema"), col("_p").as("ref_properties"))
 
+  /** J1 forward adjacency: source entity → referenced entity (inner join
+    * drops dangling refs; the validator surfaces those separately).
+    * Output: (src_id, prop, dst_id, dst_schema, dst_properties). */
+  def forward(entities: DataFrame): DataFrame =
+    forwardFrom(refEdges(entities), entities)
+
+  /** J2 inverted adjacency: for each entity, the entities pointing AT it
+    * (fragment.py:43-65). Output: (id, prop, ref_id, ref_schema,
+    * ref_properties) — `ref_id` holds the pointing entity. */
+  def inverted(entities: DataFrame): DataFrame =
+    invertedFrom(refEdges(entities), entities)
+
   /** Both directions — the reference's `view.get_adjacent`
-    * (fragment.py:33-65): forward refs plus inverted refs. Output:
-    * (id, direction, prop, other_id, other_schema, other_properties). */
+    * (fragment.py:33-65): forward refs plus inverted refs. The edge
+    * frame is built once and shared by both branches (identical subplan
+    * ⇒ exchange reuse). Output: (id, direction, prop, other_id,
+    * other_schema, other_properties). */
   def adjacent(entities: DataFrame): DataFrame = {
-    val fwd = forward(entities).select(
+    val edges = refEdges(entities)
+    val fwd = forwardFrom(edges, entities).select(
       col("src_id").as("id"), lit("fwd").as("direction"), col("prop"),
       col("dst_id").as("other_id"), col("dst_schema").as("other_schema"),
       col("dst_properties").as("other_properties"))
-    val inv = inverted(entities).select(
+    val inv = invertedFrom(edges, entities).select(
       col("id"), lit("inv").as("direction"), col("prop"),
       col("ref_id").as("other_id"), col("ref_schema").as("other_schema"),
       col("ref_properties").as("other_properties"))

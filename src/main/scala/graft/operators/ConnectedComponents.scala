@@ -32,11 +32,17 @@ object ConnectedComponents {
     * component = min node id of the connected component. Nodes given in
     * `nodes` (single long column `id`) are included even when isolated.
     * Set `checkpointDir` for fault-tolerant lineage cuts on a cluster. */
+  /** @param checkEvery run the (join-based) convergence check only every
+    *   N rounds: skipped rounds chain lazily (their lineage cut
+    *   materializes with the next check), halving the number of Spark
+    *   jobs; at worst the loop runs checkEvery-1 rounds past the
+    *   fixpoint, which is a no-op on a converged edge set. */
   def run(
       nodes: DataFrame,
       edges: DataFrame,
       maxIterations: Int = 50,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      checkEvery: Int = 2): DataFrame = {
     val spark = nodes.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
 
@@ -83,15 +89,18 @@ object ConnectedComponents {
                    else small0.localCheckpoint(eager = false))
         .persist(StorageLevel.MEMORY_AND_DISK)
 
-      // Exact fixpoint check — also the action that materializes `small`.
-      val changed = small.withColumn("l", lit(1))
-        .join(e.withColumn("r", lit(1)), Seq("src", "dst"), "full_outer")
-        .filter(col("l").isNull || col("r").isNull)
-        .limit(1).count()
+      if (iter % checkEvery == checkEvery - 1 || iter == maxIterations - 1) {
+        // Exact fixpoint check — also the action that materializes the
+        // (possibly chained) checkpoints of the rounds since the last one.
+        val changed = small.withColumn("l", lit(1))
+          .join(e.withColumn("r", lit(1)), Seq("src", "dst"), "full_outer")
+          .filter(col("l").isNull || col("r").isNull)
+          .limit(1).count()
+        converged = changed == 0L
+      }
       val old = e
       e = small
       old.unpersist(blocking = false)
-      converged = changed == 0L
       iter += 1
     }
 

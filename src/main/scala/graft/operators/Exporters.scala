@@ -67,25 +67,23 @@ object Exporters {
     val targets = entities.filter(
       arrays_overlap(propVals(col("properties"), "topics"),
         lit(graft.model.FtmModel.riskTopics.toSeq.sorted.toArray)))
+    // ONE pass over the adjacency frame: per-schema rollups as
+    // conditional aggregates (collect_* skip the null non-matches), so
+    // the edge frame is scanned and shuffled once, not once per rollup.
     val adj = Adjacency.adjacent(entities)
-
-    val sanctions = adj.filter(col("other_schema") === "Sanction")
-      .groupBy(col("id"))
-      .agg(collect_set(sanctionText(col("other_properties"))).as("sanction_texts"),
-        collect_set(element_at(col("other_properties"), "programId")).as("adj_prog"))
-    val addresses = adj.filter(col("other_schema") === "Address")
-      .groupBy(col("id"))
-      .agg(collect_set(try_element_at(element_at(col("other_properties"), "full"), lit(1)))
-        .as("adj_addresses"))
-    val idents = adj.filter(col("other_schema") === "Identification")
-      .groupBy(col("id"))
-      .agg(flatten(collect_list(propVals(col("other_properties"), "number"))).as("adj_numbers"),
-        flatten(collect_list(propVals(col("other_properties"), "country"))).as("adj_countries"))
+    val rollups = adj.groupBy(col("id")).agg(
+      collect_set(when(col("other_schema") === "Sanction",
+        sanctionText(col("other_properties")))).as("sanction_texts"),
+      collect_set(when(col("other_schema") === "Address",
+        try_element_at(element_at(col("other_properties"), "full"), lit(1))))
+        .as("adj_addresses"),
+      flatten(collect_list(when(col("other_schema") === "Identification",
+        propVals(col("other_properties"), "number")))).as("adj_numbers"),
+      flatten(collect_list(when(col("other_schema") === "Identification",
+        propVals(col("other_properties"), "country")))).as("adj_countries"))
 
     targets
-      .join(sanctions, Seq("id"), "left")
-      .join(addresses, Seq("id"), "left")
-      .join(idents, Seq("id"), "left")
+      .join(rollups, Seq("id"), "left")
       .select(
         col("id"), col("schema"),
         try_element_at(propVals(col("properties"), "name"), lit(1)).as("name"),
