@@ -80,9 +80,20 @@ object EntityAssembler {
     }
 
   /** Assemble entities from a statement dataset, grouping by canonicalId
-    * (falling back to entityId when unresolved). Typed API; the scale
-    * path is [[assembleColumnar]]. */
+    * (falling back to entityId when unresolved). Delegates to the
+    * columnar plan — a closure-keyed `groupByKey` would defeat column
+    * pruning and serialize whole Statement objects through the shuffle —
+    * and only the final `as[Entity]` is typed. The [[aggregator]] stays
+    * as the typed-merge reference implementation (schema narrowing in
+    * `merge`), cross-checked against this path in the spec. */
   def assemble(statements: Dataset[Statement]): Dataset[Entity] = {
+    import statements.sparkSession.implicits._
+    assembleColumnar(statements.toDF()).as[Entity]
+  }
+
+  /** The typed-Aggregator assemble (kept for API parity and as the
+    * semantics reference for the columnar plan). */
+  def assembleAggregator(statements: Dataset[Statement]): Dataset[Entity] = {
     import statements.sparkSession.implicits._
     statements
       .groupByKey(s => if (s.canonicalId != null && s.canonicalId.nonEmpty) s.canonicalId else s.entityId)

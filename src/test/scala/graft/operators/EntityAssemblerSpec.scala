@@ -54,6 +54,24 @@ class EntityAssemblerSpec extends SparkSpec {
     assert(!e.properties.contains(Statement.Base))
   }
 
+  test("columnar plan and typed aggregator agree") {
+    val stmts = Seq(
+      st("e1", "name", "Alice", "LegalEntity", first = 500L),
+      st("e1", "name", "Alicia", "Person", last = 9000L),
+      st("e1", "birthDate", "1980", "Person", dataset = "ds2"),
+      st("a1", "name", "X", "Company", canonical = "canon-1"),
+      st("a2", "name", "Y", "Company", canonical = "canon-1")
+    ).toDS()
+    val colOut = EntityAssembler.assemble(stmts).collect()
+      .map(e => e.id -> e).toMap
+    val aggOut = EntityAssembler.assembleAggregator(stmts).collect()
+      .map(e => e.id -> e).toMap
+    assert(colOut.keySet == aggOut.keySet)
+    colOut.keySet.foreach { id =>
+      assert(colOut(id) == aggOut(id), s"mismatch for $id")
+    }
+  }
+
   test("target detection via risk topics") {
     val stmts = Seq(
       st("e1", "topics", "sanction", "Person"),
