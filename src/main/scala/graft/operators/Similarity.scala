@@ -79,6 +79,43 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path: every
+    * corpus vector is assigned to its nearest centroid (one pass over a
+    * broadcast centroid set), queries probe their `nprobe` nearest
+    * centroids, and exact ranking runs only inside the probed cells.
+    * Shuffle cost scales with cell sizes × nprobe, not |corpus|²; the
+    * centroid set is deterministic here (caller supplies it — a k-means
+    * refinement would slot in without changing the plan shape). */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int = 2): DataFrame = {
+    val cents = broadcast(centroids.toDF("centroid_id", "cvec"))
+    val assignW = Window.partitionBy("neighbor_id")
+      .orderBy(col("ccos").desc, col("centroid_id").asc)
+    val assigned = corpus.toDF("neighbor_id", "nvec")
+      .join(cents)
+      .withColumn("ccos", cosine(asDouble(col("nvec")), asDouble(col("cvec"))))
+      .withColumn("crank", row_number().over(assignW))
+      .filter(col("crank") === 1)
+      .select(col("neighbor_id"), col("nvec"), col("centroid_id"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("centroid_id").asc)
+    val probes = queries.toDF("query_id", "qvec")
+      .join(cents)
+      .withColumn("qcos", cosine(asDouble(col("qvec")), asDouble(col("cvec"))))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("centroid_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probes.join(assigned, "centroid_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(asDouble(col("qvec")), asDouble(col("nvec"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs over one corpus: bucket by
     * sign-LSH then keep pairs above the cosine threshold. */
   def cosineNearDupPairs(

@@ -101,4 +101,27 @@ object Validators {
     * ingestion mapping (context.py:600-620). Driver-side assertion. */
   def unconsumedColumns(source: DataFrame, consumed: Set[String]): Seq[String] =
     source.columns.filterNot(consumed.contains).toSeq.sorted
+
+  /** Schema-conflict report: entities whose statements carry schemata
+    * with NO common schema in the lattice. The assembler narrows with a
+    * deterministic fallback instead of raising (the reference raises
+    * InvalidData — entity.py:155-162); this surfaces those entities so
+    * the conflict is observable rather than silently absorbed. */
+  def schemaConflicts(statements: DataFrame): DataFrame = {
+    import graft.model.FtmModel
+    val conflicted = udf((ss: Seq[String]) => {
+      val distinct = ss.filter(s => s != null && s.nonEmpty).distinct.sorted
+      distinct.combinations(2).exists {
+        case Seq(a, b) => FtmModel.commonSchema(a, b).isEmpty
+        case _ => false
+      }
+    })
+    val key = when(col("canonicalId").isNotNull && length(col("canonicalId")) > 0,
+      col("canonicalId")).otherwise(col("entityId"))
+    statements
+      .groupBy(key.as("id"))
+      .agg(array_sort(collect_set(col("schema"))).as("schemata"))
+      .filter(conflicted(col("schemata")))
+      .select(col("id"), array_join(col("schemata"), ";").as("schemata"))
+  }
 }

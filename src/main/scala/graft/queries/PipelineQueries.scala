@@ -170,6 +170,65 @@ object PipelineQueries {
       },
       q45Oracle),
 
+    // Embedding-cosine near-dup pairs — sign-LSH bucketed; the oracle
+    // mirrors the bucketing with the same plane constants, so the
+    // bucket-local pair semantics are exactly checked.
+    decl("q92_cosine_neardup",
+      (s, d) => Similarity.cosineNearDupPairs(
+          t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+          dim = 64, threshold = 0.8, planes = 6)
+        .select(col("a"), col("b")),
+      {
+        val bucketExpr = (0 until 6).map { p =>
+          val plane = (0 until 64)
+            .map(dd => if (Similarity.planeSign(p, dd) > 0) "1.0" else "-1.0")
+            .mkString("[", ",", "]")
+          s"(CASE WHEN list_inner_product(v, $plane::DOUBLE[]) > 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString("\n    + ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e)
+           |SELECT l.vec_id AS a, r.vec_id AS b
+           |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+           |WHERE list_cosine_similarity(l.v, r.v) >= 0.8""".stripMargin
+      }),
+
+    // IVF ANN: deterministic coarse centroids, nprobe=2 cell probing,
+    // exact in-cell ranking — the inverted-file scale path next to the
+    // sign-LSH one.
+    decl("q93_ann_ivf",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.ivfTopK(
+          e.filter(col("vec_id") % 100 === 0).select(col("vec_id"), col("embedding")),
+          e.select(col("vec_id"), col("embedding")),
+          e.filter(col("vec_id") % 50 === 7).select(col("vec_id"), col("embedding")),
+          k = 10, nprobe = 2)
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+      },
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS centroid_id, v AS cvec FROM e WHERE vec_id % 50 = 7),
+        |assigned AS (
+        |  SELECT neighbor_id, nv, centroid_id FROM (
+        |    SELECT e.vec_id AS neighbor_id, e.v AS nv, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.centroid_id) AS crank
+        |    FROM e CROSS JOIN cents c)
+        |  WHERE crank = 1),
+        |probes AS (
+        |  SELECT query_id, qv, centroid_id FROM (
+        |    SELECT e.vec_id AS query_id, e.v AS qv, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.centroid_id) AS prank
+        |    FROM e CROSS JOIN cents c WHERE e.vec_id % 100 = 0)
+        |  WHERE prank <= 2)
+        |SELECT query_id, neighbor_id, rnk FROM (
+        |  SELECT p.query_id, a.neighbor_id,
+        |    row_number() OVER (PARTITION BY p.query_id
+        |      ORDER BY list_cosine_similarity(p.qv, a.nv) DESC, a.neighbor_id) AS rnk
+        |  FROM probes p JOIN assigned a USING (centroid_id)
+        |  WHERE p.query_id != a.neighbor_id)
+        |WHERE rnk <= 10""".stripMargin),
+
     // Text quality signals.
     decl("q46_text_quality",
       (s, d) => t(s, d, "documents")

@@ -60,6 +60,25 @@ class ResolverOpsSpec extends SparkSpec {
     assert(st("2001", "", "2015") == "ended")      // holder died
   }
 
+  test("entity hash does not collide on separator-bearing values") {
+    def h(pairs: Seq[String]): String =
+      Seq(1).toDF("x").select(Delta.entityHash(
+        lit("e1"), lit("Person"), lit(pairs.toArray)).as("r")).as[String].collect()(0)
+    assert(h(Seq("a|b")) != h(Seq("a", "b")))
+    assert(h(Seq("x", "y")) == h(Seq("y", "x"))) // order-insensitive
+  }
+
+  test("schema conflicts are reported, compatible narrowing is not") {
+    val stmts = Seq(
+      ("e1", "e1", "Person"), ("e1", "e1", "Vessel"),      // no common schema
+      ("e2", "e2", "LegalEntity"), ("e2", "e2", "Person")  // narrows fine
+    ).toDF("entityId", "canonicalId", "schema")
+    val out = Validators.schemaConflicts(stmts)
+      .as[(String, String)].collect().toMap
+    assert(out.keySet == Set("e1"))
+    assert(out("e1") == "Person;Vessel")
+  }
+
   test("person cutoff drops the dead and the implausibly old") {
     def alive(death: String, birth: String): Boolean =
       Seq(1).toDF("x").select(Enricher.personAlive(
