@@ -94,6 +94,40 @@ object Names {
       .otherwise(array(noTrail))
   }
 
+  /** apply_name (names.py:200-300): route name parts to their FtM
+    * props and synthesize the full name when the source didn't carry
+    * one — the synthesized value gets origin 'inferred'
+    * (ORIGIN_INFERRED), parts keep the caller origin. Returns an
+    * array<struct(prop, value, origin)> ready for the ingestion
+    * explode; null/empty parts produce no entry. */
+  def applyName(
+      full: Column = lit(null),
+      firstName: Column = lit(null),
+      middleName: Column = lit(null),
+      lastName: Column = lit(null),
+      fatherName: Column = lit(null),
+      prefix: Column = lit(null),
+      suffix: Column = lit(null),
+      origin: String = "crawl"): Column = {
+    val made = makeName(full = full, firstName = firstName,
+      middleName = middleName, patronymic = fatherName,
+      lastName = lastName, prefix = prefix, suffix = suffix)
+    val fullOrigin = when(full.isNotNull && length(trim(full)) > 0, lit(origin))
+      .otherwise(lit("inferred"))
+    def part(prop: String, v: Column) =
+      when(v.isNotNull && length(trim(v)) > 0,
+        struct(lit(prop).as("prop"), squashSpaces(v).as("value"),
+          lit(origin).as("origin")))
+    filter(array(
+      when(made.isNotNull,
+        struct(lit("name").as("prop"), made.as("value"), fullOrigin.as("origin"))),
+      part("firstName", firstName),
+      part("middleName", middleName),
+      part("lastName", lastName),
+      part("fatherName", fatherName),
+      part("title", prefix)), e => e.isNotNull)
+  }
+
   /** Name regularity heuristics (names.py:344-439), simplified to the
     * schema-spec checks: reject values containing configured characters
     * or phrases, too-short single tokens, or (for persons) a leading

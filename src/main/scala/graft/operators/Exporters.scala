@@ -123,6 +123,46 @@ object Exporters {
       .agg(array_sort(array_distinct(collect_list(col("other_id")))).as("adjacent_ids"))
   }
 
+  /** K4: the nested JSON line itself — the target entity with its
+    * depth-1 adjacents inlined under "adjacent" (sorted by id), each as
+    * a compact {"id","schema"} ref plus its own properties
+    * (nested.py:6-22 + entity.py:174-198). Deterministic bytes like
+    * [[ftmJsonLine]]. */
+  def nestedJsonLines(entities: DataFrame): DataFrame = {
+    val adj = Adjacency.adjacent(entities)
+      .select(col("id"),
+        concat(lit("{\"id\":\""), jesc(col("other_id")),
+          lit("\",\"schema\":\""), jesc(col("other_schema")), lit("\"}"))
+          .as("adj_json"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_set(col("adj_json"))).as("adj_jsons"))
+    entities.join(adj, Seq("id"), "left")
+      .select(col("id"),
+        concat(
+          lit("{\"entity\":"),
+          ftmJsonLine(col("id"), col("schema"), col("properties")),
+          lit(",\"adjacent\":["),
+          array_join(coalesce(col("adj_jsons"), array().cast("array<string>")), ","),
+          lit("]}")).as("json"))
+  }
+
+  /** K6 (full record): the senzing JSON line with NAMES / IDENTIFIERS
+    * arrays assembled from the shaped columns (senzing.py:106-160). */
+  def senzingJsonLines(entities: DataFrame, dataSource: String): DataFrame =
+    senzing(entities).select(col("record_id"),
+      concat(
+        lit(s"""{"DATA_SOURCE":"$dataSource","RECORD_ID":""""),
+        jesc(col("record_id")),
+        lit("\",\"RECORD_TYPE\":\""), col("record_type"), lit("\""),
+        when(col("gender").isNotNull,
+          concat(lit(",\"GENDER\":\""), col("gender"), lit("\"")))
+          .otherwise(lit("")),
+        when(length(col("identifiers")) > 0,
+          concat(lit(",\"IDENTIFIERS\":"),
+            jarr(split(col("identifiers"), ";"))))
+          .otherwise(lit("")),
+        lit("}")).as("json"))
+
   /** K6: senzing.json core — record typing by schema lattice, name
     * dedup by normalized hash, gender mapping
     * (exporters/senzing.py:78-160). Output one row per matchable

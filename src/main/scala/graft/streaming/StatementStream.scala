@@ -45,6 +45,32 @@ object StatementStream {
       .select(col("window.start").as("window_start"), col("dataset"),
         col("statements"), col("entities_approx"))
 
+  /** J5 as streaming state: the TimeStampIndex
+    * (zavod/zavod/runtime/timestamps.py:26-65) kept continuously — for
+    * every statement id, the earliest firstSeen ever observed.
+    * `mapGroupsWithState` holds one timestamp per id; incoming
+    * statements fold their timestamps into it, and each update emits
+    * the current (id, first_seen) for downstream upserts. */
+  def firstSeenIndex(stream: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.streaming.GroupState
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col("id"), col("firstSeen"))
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Long, (String, java.sql.Timestamp)](
+        GroupStateTimeout.NoTimeout()) {
+        case (id, rows, state: GroupState[Long]) =>
+          val minNew = rows.map(_._2.getTime).min
+          val first = state.getOption.fold(minNew)(math.min(_, minNew))
+          state.update(first)
+          (id, new java.sql.Timestamp(first))
+      }
+      .toDF("id", "first_seen")
+  }
+
   /** Run each micro-batch through an arbitrary batch transform (the
     * foreachBatch bridge): this is how assembled entities / deltas stay
     * ONE implementation for batch and streaming. Returns the started

@@ -54,6 +54,35 @@ class StatementStreamSpec extends SparkSpec {
     assert(seenBatches.nonEmpty)
   }
 
+  test("first_seen index keeps the earliest timestamp per id across batches") {
+    val landing = Files.createTempDirectory("graft-landing3").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt3").toString
+    Seq(stmt("x1", "e1", "name", "A", "2026-01-02 00:00:00")).toDS()
+      .write.parquet(s"$landing/b1")
+
+    val idx = StatementStream.firstSeenIndex(
+      StatementStream.readStatements(spark, s"$landing/*"))
+    val latest = scala.collection.mutable.Map.empty[String, String]
+    val q = idx.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.collect().foreach(r =>
+          latest(r.getString(0)) = r.getAs[Timestamp]("first_seen").toString))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(latest("x1").startsWith("2026-01-02"))
+      // an EARLIER arrival for the same id does not move first_seen
+      // forward, and a later one keeps the stored minimum
+      Seq(stmt("x1", "e1", "name", "A", "2026-01-01 00:00:00"),
+        stmt("x1", "e1", "name", "A", "2026-01-03 00:00:00")).toDS()
+        .write.parquet(s"$landing/b2")
+      q.processAllAvailable()
+      assert(latest("x1").startsWith("2026-01-01"))
+    } finally q.stop()
+  }
+
   test("windowed crawl stats aggregate per dataset and window") {
     val landing = Files.createTempDirectory("graft-landing2").toString
     val ckpt = Files.createTempDirectory("graft-ckpt2").toString
