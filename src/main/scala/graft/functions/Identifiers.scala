@@ -35,9 +35,20 @@ object Identifiers {
   private def digitExpand(s: Column): Column =
     array_join(transform(chars(s), c => b36(c).cast("string")), "")
 
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
   /** Luhn (mod-10) checksum over a digit string, including the trailing
-    * check digit: valid iff the doubled-alternate sum ≡ 0 (mod 10). */
-  def luhnOk(digits: Column): Column = {
+    * check digit: valid iff the doubled-alternate sum ≡ 0 (mod 10).
+    * Backed by the native [[graft.functions.expr.LuhnValid]] expression
+    * (generated Java loop, whole-stage-codegen friendly); the
+    * HOF-composition form it replaced lives on as [[luhnOkHof]] and is
+    * cross-checked in the spec. */
+  def luhnOk(digits: Column): Column =
+    ColumnBridge.column(graft.functions.expr.LuhnValid(
+      ColumnBridge.expression(digits)))
+
+  /** The expression-composition Luhn (reference implementation). */
+  def luhnOkHof(digits: Column): Column = {
     val rev = reverse(digits)
     val terms = transform(sequence(lit(1), length(rev)), i => {
       val d = ascii(rev.substr(i, lit(1))) - 48
@@ -46,9 +57,14 @@ object Identifiers {
     aggregate(terms, lit(0), (acc, x) => acc + x) % 10 === 0
   }
 
-  /** Mod-97 residue of a (long) digit string via a left fold —
-    * ISO 7064 as used by LEI and IBAN. */
+  /** Mod-97 residue of a (long) digit string — ISO 7064 as used by LEI
+    * and IBAN. Native codegen'd loop; HOF form kept as [[mod97Hof]]. */
   private def mod97(digits: Column): Column =
+    ColumnBridge.column(graft.functions.expr.Mod97Digits(
+      ColumnBridge.expression(digits)))
+
+  /** The expression-composition mod-97 (reference implementation). */
+  def mod97Hof(digits: Column): Column =
     aggregate(chars(digits), lit(0),
       (acc, c) => (acc * 10 + (ascii(c) - 48)) % 97)
 

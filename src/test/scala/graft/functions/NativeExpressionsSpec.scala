@@ -1,0 +1,78 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.operators.Skew
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+class NativeExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native checksum expressions agree with the HOF reference forms") {
+    val rnd = new scala.util.Random(11)
+    // non-empty samples: the HOF form's sequence(1, 0) artifact makes
+    // the empty string undefined there; the native form pins it false
+    val samples = Seq("0", "7", "98", "794", "3214282912345698765432161182") ++
+      Seq.fill(50)(Seq.fill(1 + rnd.nextInt(30))(rnd.nextInt(10)).mkString)
+    val df = samples.toDF("digits")
+    val out = df.select(
+      Identifiers.luhnOk($"digits").as("luhn_native"),
+      Identifiers.luhnOkHof($"digits").as("luhn_hof"),
+      expr("length(digits)").as("len"))
+    assert(out.filter($"luhn_native" =!= $"luhn_hof").count() == 0)
+    assert(Seq("").toDF("d").select(Identifiers.luhnOk($"d"))
+      .as[Boolean].collect()(0) == false)
+
+    // mod97 is private; exercise it through the LEI/IBAN validators
+    val ids = Seq("HWUPKR0MPOU8FGXBT394", "DE89370400440532013000",
+      "529900T8BM49AURSDO55", "NOTANID").toDF("v")
+    val both = ids.select(
+      Identifiers.leiValid($"v").as("a"),
+      Identifiers.ibanValid($"v").as("b")).collect()
+    assert(both.length == 4) // evaluates without codegen errors
+  }
+
+  test("expressions register as SQL functions via SparkSessionExtensions") {
+    // getOrCreate() would return the shared test session (extensions are
+    // applied at session construction); detach it first so a fresh
+    // session with the extension builds over the same SparkContext.
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val extended = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", 2)
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      val row = extended.sql(
+        "SELECT graft_mod97('98') AS m, graft_luhn('79927398713') AS l").collect()(0)
+      assert(row.getInt(0) == 98 % 97)
+      assert(row.getBoolean(1)) // canonical Luhn test number
+    } finally {
+      prior.foreach { s =>
+        SparkSession.setDefaultSession(s)
+        SparkSession.setActiveSession(s)
+      }
+    }
+  }
+
+  test("salted aggregations match their direct forms") {
+    val df = (1 to 2000).map(i => (s"k${i % 7}", i.toLong)).toDF("k", "v")
+    val direct = df.groupBy("k").agg(count(lit(1)).as("cnt"),
+      sum($"v").as("total")).as[(String, Long, Long)].collect()
+      .map { case (k, c, t) => k -> ((c, t)) }.toMap
+
+    val saltedC = Skew.saltedCount(df, $"k").as[(String, Long)].collect().toMap
+    val saltedS = Skew.saltedSum(df, $"k", $"v").as[(String, Long)].collect().toMap
+    direct.foreach { case (k, (c, t)) =>
+      assert(saltedC(k) == c && saltedS(k) == t)
+    }
+
+    val set = Skew.saltedCollectSet(
+      Seq(("a", "x"), ("a", "y"), ("a", "x"), ("b", "z")).toDF("k", "v"),
+      $"k", $"v").as[(String, Seq[String])].collect().toMap
+    assert(set("a") == Seq("x", "y") && set("b") == Seq("z"))
+  }
+}
