@@ -62,6 +62,24 @@ object StatementIO {
     spark.read.schema(Statement.sparkSchema).parquet(s"$root/$version").as[Statement]
   }
 
+  /** Bucketed statement table: hash-bucketed AND sorted by canonicalId,
+    * so every downstream canonical-id operation — entity assembly
+    * (A1), delta joins (J6), referents (J4) — co-locates without a
+    * shuffle: bucketed scans satisfy the join/aggregation distribution
+    * requirement directly. At 100 TB this turns the biggest recurring
+    * shuffle (statements → entities, every run) into a local sort-merge
+    * over pre-bucketed files. */
+  def writeBucketed(
+      statements: Dataset[Statement],
+      tableName: String,
+      buckets: Int = 32): Unit =
+    statements.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "canonicalId")
+      .sortBy("canonicalId")
+      .format("parquet")
+      .saveAsTable(tableName)
+
   /** K2: statements CSV export, skipping the BASE existence prop
     * (zavod/zavod/exporters/statements.py:9-30). */
   def exportCsv(statements: Dataset[Statement], path: String): Unit =

@@ -37,6 +37,25 @@ class StatementIOSpec extends SparkSpec {
     assert(prev == Set("a", "b", "c") && curr == Set("d"))
   }
 
+  test("bucketed statement tables join on canonicalId without a shuffle") {
+    val stmts = Seq(stmt("a", "ds1", "name", external = false),
+      stmt("b", "ds1", "alias", external = false)).toDS()
+    StatementIO.writeBucketed(stmts, "stmts_v1", buckets = 4)
+    StatementIO.writeBucketed(stmts, "stmts_v2", buckets = 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val joined = spark.table("stmts_v1").as("l")
+        .join(spark.table("stmts_v2").as("r"), "canonicalId")
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located bucketed scans: a sort-merge join with NO exchange
+      assert(plan.contains("SortMergeJoin"), plan.take(500))
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        plan.take(1000))
+      assert(joined.count() == 4) // both rows share canonicalId e1: 2x2
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("K2: statements CSV export skips the BASE existence prop") {
     val root = Files.createTempDirectory("graft-csv").toString
     val stmts = Seq(stmt("a", "ds1", "name", external = false),
