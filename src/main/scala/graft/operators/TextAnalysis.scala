@@ -26,6 +26,18 @@ object TextAnalysis {
   def subwordEstimate(text: Column): Column =
     (tokenCount(text).cast("double") * 1.3).cast("long")
 
+  /** GPT-2-family pre-tokenizer pattern: contraction suffixes, letter
+    * runs, digit runs, punctuation runs, whitespace runs — each match is
+    * one pre-token (the BPE merge step only ever splits WITHIN these, so
+    * this is the lower bound real tokenizers refine). Kept RE2-compatible
+    * so the same pattern runs in the DuckDB oracle. */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Pre-token count under the BPE-ish pattern (codegen'd regexp_count). */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpePattern)).cast("long")
+
   /** Quality signals: character count, token count, mean word length,
     * stopword ratio (against a small marker list). Returns a struct. */
   def qualitySignals(text: Column): Column = {

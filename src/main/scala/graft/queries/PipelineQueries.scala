@@ -281,6 +281,19 @@ object PipelineQueries {
         |  SELECT (length(text) - length(replace(text, ' ', '')) + 1) AS tc FROM documents)
         |GROUP BY 1""".stripMargin),
 
+    // BPE-ish pre-token counting (token budgets for training pipelines).
+    decl("q94_bpe_tokens",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.bpeTokenCount(
+            concat(col("text"), lit(" it's 3.14 done"))).as("n_bpe"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws")),
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text || ' it''s 3.14 done',
+         |    '${TextAnalysis.BpePattern.replace("'", "''")}'))::BIGINT AS n_bpe,
+         |  (length(text) - length(replace(text, ' ', '')) + 1) AS n_ws
+         |FROM documents""".stripMargin),
+
     // Multimodal metadata: binary blobs + deterministic stub decode math.
     decl("q50_multimodal_meta",
       (s, d) => {
