@@ -32,17 +32,19 @@ object ConnectedComponents {
     * component = min node id of the connected component. Nodes given in
     * `nodes` (single long column `id`) are included even when isolated.
     * Set `checkpointDir` for fault-tolerant lineage cuts on a cluster. */
-  /** @param checkEvery run the (join-based) convergence check only every
-    *   N rounds: skipped rounds chain lazily (their lineage cut
-    *   materializes with the next check), halving the number of Spark
-    *   jobs; at worst the loop runs checkEvery-1 rounds past the
-    *   fixpoint, which is a no-op on a converged edge set. */
+  /** @param checkEvery run the (join-based) convergence check — which is
+    *   also the per-round materialization barrier — every N rounds.
+    *   KEEP AT 1: each star round references the previous edge frame
+    *   twice (the symmetrized neighbor union), so an unmaterialized
+    *   round is recomputed multiplicatively by the next one; measured,
+    *   skipping the barrier made iteration several times SLOWER, not
+    *   faster. The parameter stays only to document that finding. */
   def run(
       nodes: DataFrame,
       edges: DataFrame,
       maxIterations: Int = 50,
       checkpointDir: Option[String] = None,
-      checkEvery: Int = 2): DataFrame = {
+      checkEvery: Int = 1): DataFrame = {
     val spark = nodes.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
 
