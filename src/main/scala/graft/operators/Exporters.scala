@@ -223,6 +223,27 @@ object Exporters {
         concatCell(propVals(col("properties"), "country")).as("countries"))
   }
 
+  /** K10 (full product): entities.delta.json lines — the versioned diff
+    * joined back to the current entities, emitted as
+    * {"op":"ADD|MOD|DEL","entity":{...}} (exporters/delta.py:11-55).
+    * DEL ops carry the previous version's entity. `diff` is
+    * Delta.diff's (id, op); both entity frames are (id, schema,
+    * properties). */
+  def deltaJsonLines(
+      diff: DataFrame, current: DataFrame, previous: DataFrame): DataFrame = {
+    val currJson = current.select(col("id"),
+      ftmJsonLine(col("id"), col("schema"), col("properties")).as("curr_json"))
+    val prevJson = previous.select(col("id"),
+      ftmJsonLine(col("id"), col("schema"), col("properties")).as("prev_json"))
+    diff.join(currJson, Seq("id"), "left")
+      .join(prevJson, Seq("id"), "left")
+      .select(col("id"), col("op"),
+        concat(lit("{\"op\":\""), col("op"), lit("\",\"entity\":"),
+          when(col("op") === Delta.OpDel, col("prev_json"))
+            .otherwise(col("curr_json")),
+          lit("}")).as("json"))
+  }
+
   /** K11: index/catalog.json — per-dataset metadata over the statement
     * frame (zavod/zavod/exporters/metadata/__init__.py:30-264): entity
     * and statement counts, the distinct schema list, and the newest

@@ -80,6 +80,23 @@ object StatementIO {
       .format("parquet")
       .saveAsTable(tableName)
 
+  /** Publish: promote a finished version to `latest` — the reference's
+    * archive copy to /datasets/latest (zavod/zavod/publish.py:63-94).
+    * A filesystem-level copy via the Hadoop FS API so it works on any
+    * scheme (local, HDFS, object stores with their committers). */
+  def publishLatest(spark: SparkSession, root: String, version: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$root/$version")
+    val dst = new org.apache.hadoop.fs.Path(s"$root/latest")
+    val fs = src.getFileSystem(conf)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+    // marker recording which version latest points at
+    val out = fs.create(new org.apache.hadoop.fs.Path(dst, "_VERSION"), true)
+    out.write(version.getBytes("UTF-8"))
+    out.close()
+  }
+
   /** K2: statements CSV export, skipping the BASE existence prop
     * (zavod/zavod/exporters/statements.py:9-30). */
   def exportCsv(statements: Dataset[Statement], path: String): Unit =

@@ -29,6 +29,37 @@ class JsonProductsSpec extends SparkSpec {
     assert(!out.contains("s1")) // non-matchable schema skipped
   }
 
+  test("delta json lines carry the right entity version per op") {
+    val prev = Seq(("e1", "Person", Map("name" -> Seq("Old"))),
+      ("e2", "Person", Map("name" -> Seq("Gone"))))
+      .toDF("id", "schema", "properties")
+    val curr = Seq(("e1", "Person", Map("name" -> Seq("New"))),
+      ("e3", "Person", Map("name" -> Seq("Born"))))
+      .toDF("id", "schema", "properties")
+    val diff = Seq(("e1", "MOD"), ("e2", "DEL"), ("e3", "ADD")).toDF("id", "op")
+    val out = Exporters.deltaJsonLines(diff, curr, prev)
+      .select($"id", $"json").as[(String, String)].collect().toMap
+    assert(out("e1").contains("\"op\":\"MOD\"") && out("e1").contains("New"))
+    assert(out("e2").contains("\"op\":\"DEL\"") && out("e2").contains("Gone"))
+    assert(out("e3").contains("\"op\":\"ADD\"") && out("e3").contains("Born"))
+  }
+
+  test("publish copies a version to latest with a marker") {
+    import graft.model.Statement
+    val root = java.nio.file.Files.createTempDirectory("graft-pub").toString
+    val stmts = Seq(Statement("s1", "e1", "e1", "name", "Person", "v", "ds",
+      "en", "crawl", "v", java.sql.Timestamp.valueOf("2026-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), external = false)).toDS()
+    graft.sources.StatementIO.write(stmts, root, "v7")
+    graft.sources.StatementIO.publishLatest(spark, root, "v7")
+    val back = graft.sources.StatementIO.scanVersion(spark, root, "latest")
+      .map(_.id).collect().toSeq
+    assert(back == Seq("s1"))
+    val marker = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/latest/_VERSION")), "UTF-8")
+    assert(marker == "v7")
+  }
+
   test("apply_name routes parts and infers the full name") {
     val routed = Seq(1).toDF("x")
       .select(explode(Names.applyName(
