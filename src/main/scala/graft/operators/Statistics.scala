@@ -26,6 +26,36 @@ object Statistics {
         .orderBy(col("cnt").desc, col("key").asc)
     }.reduce(_.unionByName(_))
 
+  /** A2's country facet family over an entity frame: counts per country
+    * for ALL things and for TARGETS separately, plus sanction-program
+    * counts from adjacent Sanction entities
+    * (zavod/zavod/exporters/statistics.py:73-152 — the reference keeps
+    * `countries` and `target_countries` as distinct facet blocks).
+    * Output: (facet, key, cnt) with facet ∈ country_all |
+    * country_targets | sanction_program. */
+  def entityFacets(entities: DataFrame): DataFrame = {
+    val risks = lit(graft.model.FtmModel.riskTopics.toSeq.sorted.toArray)
+    val withFlags = entities.select(col("id"),
+      coalesce(element_at(col("properties"), "country"),
+        array().cast("array<string>")).as("countries"),
+      arrays_overlap(coalesce(element_at(col("properties"), "topics"),
+        array().cast("array<string>")), risks).as("is_target"))
+    val exploded = withFlags.select(col("id"), col("is_target"),
+      explode(col("countries")).as("key"))
+    val all = exploded.groupBy("key").agg(countDistinct(col("id")).as("cnt"))
+      .select(lit("country_all").as("facet"), col("key"), col("cnt"))
+    val targets = exploded.filter(col("is_target"))
+      .groupBy("key").agg(countDistinct(col("id")).as("cnt"))
+      .select(lit("country_targets").as("facet"), col("key"), col("cnt"))
+    val programs = entities.filter(col("schema") === "Sanction")
+      .select(explode(coalesce(element_at(col("properties"), "program"),
+        array().cast("array<string>"))).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .select(lit("sanction_program").as("facet"), col("key"), col("cnt"))
+    all.unionByName(targets).unionByName(programs)
+      .orderBy(col("facet"), col("cnt").desc, col("key"))
+  }
+
   /** Fill rate per (schema, prop): fraction of entities of a schema that
     * carry the property (statistics.py:120-152). `stmts` is a statement
     * frame; output (schema, prop, entities, fill_rate). */

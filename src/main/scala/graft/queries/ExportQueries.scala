@@ -293,6 +293,26 @@ object ExportQueries {
          |FROM cust c LEFT JOIN secs s ON c.k = s.k
          |WHERE c.k % 4 = 0 AND c.k % 3 = 0""".stripMargin),
 
+    // A2/K9: country facets split things vs targets + sanction programs.
+    decl("q95_entity_facets",
+      (s, d) => graft.operators.Statistics.entityFacets(syntheticEntities(s, d)),
+      s"""WITH $SqlCust,
+         |exploded AS (
+         |  SELECT 'c' || k::VARCHAR AS id, country AS key, (k % 3 IN (0, 1)) AS is_target
+         |  FROM cust
+         |  UNION ALL
+         |  SELECT 'i' || o_orderkey::VARCHAR, 'cc' || (o_orderkey % 10)::VARCHAR, FALSE
+         |  FROM orders WHERE o_orderkey % 5 = 1)
+         |SELECT 'country_all' AS facet, key, COUNT(DISTINCT id) AS cnt
+         |FROM exploded GROUP BY key
+         |UNION ALL
+         |SELECT 'country_targets', key, COUNT(DISTINCT id)
+         |FROM exploded WHERE is_target GROUP BY key
+         |UNION ALL
+         |SELECT 'sanction_program', 'PROG-' || (o_orderkey % 7)::VARCHAR, COUNT(*)
+         |FROM orders WHERE o_orderkey % 5 = 0
+         |GROUP BY o_orderkey % 7""".stripMargin),
+
     // K8: maritime rows, one per IMO.
     decl("q86_maritime",
       (s, d) => Exporters.maritime(syntheticEntities(s, d)),

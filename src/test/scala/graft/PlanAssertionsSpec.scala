@@ -1,0 +1,57 @@
+package graft
+
+import graft.model.Statement
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Regression locks on the physical-plan properties the engine's scale
+  * story depends on: predicate/projection pushdown at the statement
+  * scan, broadcast canonicalization, and codegen coverage of the
+  * cleaning path. A refactor that silently loses one of these would
+  * still pass value-level tests — these specs pin the plans. */
+class PlanAssertionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stmt(id: String, ds: String, external: Boolean) =
+    Statement(id, "e1", "e1", "name", "Person", "v", ds, "en", "crawl", "v",
+      Timestamp.valueOf("2026-01-01 00:00:00"),
+      Timestamp.valueOf("2026-01-01 00:00:00"), external)
+
+  test("statement scan pushes the external filter and prunes columns") {
+    val root = Files.createTempDirectory("graft-plan").toString
+    graft.sources.StatementIO.write(
+      Seq(stmt("a", "ds1", external = false), stmt("b", "ds1", external = true)).toDS(),
+      root, "v1")
+    val scanned = graft.sources.StatementIO
+      .scan(spark, root, "v1", Seq("ds1"))
+      .select("id", "prop")
+    val plan = scanned.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("external"),
+      plan.take(800))
+    // projection pruning reaches the parquet reader: the ReadSchema must
+    // not include untouched wide columns like originalValue
+    assert(!plan.contains("originalValue"), plan.take(800))
+  }
+
+  test("canonicalization against a small linker table is a broadcast join") {
+    val stmts = (1 to 1000).map(i => (s"e$i", s"stmt$i")).toDF("entityId", "id")
+    val linker = Seq(("e1", "canon1"), ("e2", "canon1")).toDF("entityId", "canonicalId")
+    val joined = stmts.join(broadcast(linker), Seq("entityId"), "left")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
+
+  test("the static cleaning dispatch stays inside whole-stage codegen") {
+    // a local relation would constant-fold into a LocalTableScan; a
+    // parquet scan forces a real projection stage
+    val dir = Files.createTempDirectory("graft-clean-plan").toString
+    Seq("IMO 9074729", "IMO 1234568").toDF("v").write.parquet(s"$dir/t")
+    val df = spark.read.parquet(s"$dir/t")
+      .select(graft.functions.ValueClean.cleanStatic("identifier", col("v"),
+        Some("imo")).as("r"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"),
+      plan.take(500))
+  }
+}
