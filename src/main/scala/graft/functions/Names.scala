@@ -128,6 +128,27 @@ object Names {
       part("title", prefix)), e => e.isNotNull)
   }
 
+  /** Suggestion heuristics (names.py:361-400): which property a
+    * suspicious name should be DEMOTED to instead of dropped —
+    * single-token Person names become weakAlias; short all-uppercase
+    * single-token organization names become abbreviation. Returns the
+    * suggested property or null (keep as name). `isPerson`/`isOrg` are
+    * the schema-lattice flags (precomputed by the caller from
+    * FtmModel.descendants). */
+  def suggestNameProp(
+      name: Column,
+      isPerson: Column,
+      isOrg: Column,
+      abbreviationMaxLen: Int = 8): Column = {
+    val n = squashSpaces(name)
+    val singleToken = !n.contains(" ")
+    val allUpper = n === upper(n) && n.rlike("[A-Z]")
+    when(isPerson && singleToken, "weakAlias")
+      .when(isOrg && singleToken && allUpper && length(n) < abbreviationMaxLen,
+        "abbreviation")
+      .otherwise(lit(null).cast("string"))
+  }
+
   /** Name regularity heuristics (names.py:344-439), simplified to the
     * schema-spec checks: reject values containing configured characters
     * or phrases, too-short single tokens, or (for persons) a leading

@@ -66,6 +66,16 @@ class CleaningFunctionsSpec extends SparkSpec {
     assert(one(Names.stripNameTitles(lit("Dr."), Seq("Dr."), Nil)) == null)
   }
 
+  test("suggestion heuristics demote suspicious names, not regular ones") {
+    def sug(name: String, person: Boolean, org: Boolean): Any =
+      one(Names.suggestNameProp(lit(name), lit(person), lit(org)))
+    assert(sug("Madonna", person = true, org = false) == "weakAlias")
+    assert(sug("John Doe", person = true, org = false) == null)
+    assert(sug("NASA", person = false, org = true) == "abbreviation")
+    assert(sug("VeryLongNameCo", person = false, org = true) == null) // too long
+    assert(sug("Acme", person = false, org = true) == null)           // not all-caps
+  }
+
   test("split_comma_names keeps conjunctions and Last, First pairs intact") {
     def split(s: String) = one(Names.splitCommaNames(lit(s)))
       .asInstanceOf[scala.collection.Seq[String]].toSeq
