@@ -44,7 +44,8 @@ object ConnectedComponents {
       edges: DataFrame,
       maxIterations: Int = 50,
       checkpointDir: Option[String] = None,
-      checkEvery: Int = 1): DataFrame = {
+      checkEvery: Int = 1,
+      pointerJump: Boolean = false): DataFrame = {
     val spark = nodes.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
 
@@ -87,8 +88,23 @@ object ConnectedComponents {
           greatest(col("src"), col("dst")).as("src2"))
         .select(col("src2").as("src"), col("dst2").as("dst"))
         .distinct()
-      val small = (if (checkpointDir.isDefined) small0.checkpoint(eager = false)
-                   else small0.localCheckpoint(eager = false))
+      // Pointer jump: (u→p) with (p→gp) contracts to (u→gp) — one extra
+      // self-join per round that shortcuts long parent chains. Measured
+      // OFF by default: on the bench graphs (short paths, cliques) the
+      // extra shuffle costs more than the rounds it saves; enable for
+      // diameter-heavy graphs where star rounds alone need many
+      // iterations.
+      val small1 =
+        if (!pointerJump) small0
+        else {
+          val parents = small0.select(col("src").as("_p"), col("dst").as("_gp"))
+          small0.join(parents, col("dst") === col("_p"), "left")
+            .select(col("src"), coalesce(col("_gp"), col("dst")).as("dst"))
+            .filter(col("src") =!= col("dst"))
+            .distinct()
+        }
+      val small = (if (checkpointDir.isDefined) small1.checkpoint(eager = false)
+                   else small1.localCheckpoint(eager = false))
         .persist(StorageLevel.MEMORY_AND_DISK)
 
       if (iter % checkEvery == checkEvery - 1 || iter == maxIterations - 1) {
