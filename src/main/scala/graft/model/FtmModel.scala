@@ -93,6 +93,8 @@ object FtmModel {
     SchemaDef("Identification", Seq("Thing"), Seq(
       p("holder", EntityRef), p("number", Identifier), p("type", Text),
       p("authority", Text), p("startDate", Date), p("endDate", Date))),
+    SchemaDef("Passport", Seq("Identification"), Seq(
+      p("passportNumber", Identifier))),
     // Edge schemata (zavod/zavod/integration/edges.py:78-110)
     SchemaDef("Ownership", Seq("Thing"), Seq(
       p("owner", EntityRef), p("asset", EntityRef),
