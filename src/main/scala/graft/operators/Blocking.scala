@@ -13,15 +13,24 @@ import org.apache.spark.sql.functions._
   * the inverted index IS a DataFrame keyed by a blocking key, so
   * candidate generation is an equi-join that scales out.
   *
-  * Blocking keys are adjacent token *bigrams*, not single tokens: over a
-  * vocabulary of V tokens the bigram key space is ~V², so per-key
-  * document frequency — and with it the pair fan-out of the join, which
-  * is quadratic in df — drops by ~V× versus single-token blocking. A
-  * token key over a small vocabulary degenerates toward an all-pairs
-  * join (every key shared by n/V documents ⇒ Σ df² ≈ n²/V pairs); the
-  * bigram key keeps candidate generation near-linear. A df cap bounds
-  * the residual worst case (skewed keys) so no reducer sees more than
-  * maxDf² pairs per key.
+  * Blocking keys are token *bigrams over the SORTED distinct token set*,
+  * not single tokens: over a vocabulary of V tokens the bigram key space
+  * is ~V², so per-key document frequency — and with it the pair fan-out
+  * of the join, which is quadratic in df — drops by ~V× versus
+  * single-token blocking. A token key over a small vocabulary
+  * degenerates toward an all-pairs join (every key shared by n/V
+  * documents ⇒ Σ df² ≈ n²/V pairs); the bigram key keeps candidate
+  * generation near-linear. A df cap bounds the residual worst case
+  * (skewed keys) so no reducer sees more than maxDf² pairs per key.
+  *
+  * Sorting the tokens before forming bigrams preserves recall for
+  * word-order variants: 'Ivan Ivanov' and 'Ivanov Ivan' (token Jaccard
+  * 1.0, a candidate pair under the reference's token inverted index)
+  * share every sorted bigram, where positional bigrams would share none.
+  * Names whose token SETS differ but overlap can still miss (sorted
+  * adjacency differs), which is the deliberate recall-vs-fanout trade;
+  * exact-set variants — the reference's primary dupe class — always
+  * collide.
   */
 object Blocking {
 
@@ -32,13 +41,13 @@ object Blocking {
   def tokenSets(df: DataFrame, id: Column, name: Column): DataFrame =
     df.select(id.as("id"), array_sort(array_distinct(words(name))).as("toks"))
 
-  /** Blocking-key frame: (id, bkey) where bkey is an adjacent-token
-    * bigram (single-token names fall back to the lone token), with keys
-    * above `maxDf` document frequency dropped — the candidate-cap analog
-    * of the reference's blocker limits
+  /** Blocking-key frame: (id, bkey) where bkey is an adjacent bigram of
+    * the SORTED distinct token set (single-token names fall back to the
+    * lone token), with keys above `maxDf` document frequency dropped —
+    * the candidate-cap analog of the reference's blocker limits
     * (zavod/zavod/runner/local_enricher.py:36-45). */
   def blockingKeys(df: DataFrame, id: Column, name: Column, maxDf: Long): DataFrame = {
-    val w = words(name)
+    val w = array_sort(array_distinct(words(name)))
     val keysExpr = when(size(w) >= 2,
         transform(sequence(lit(1), size(w) - 1),
           i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))

@@ -18,9 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object Exporters {
 
-  /** Minimal JSON string escape for values (quote + backslash). */
-  private def jesc(c: Column): Column =
-    regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+  /** JSON string escape for values: backslash, quote, and all control
+    * characters (RFC 8259 §7 — the reference pins orjson, which escapes
+    * them too). \n/\r/\t/\b/\f get their short escapes; the remaining
+    * U+0000–U+001F are stripped (they never occur in whitespace-squashed
+    * property values; stripping keeps the JSONL framing safe even if one
+    * slips through upstream). */
+  private def jesc(c: Column): Column = {
+    val base = regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+    val named = Seq(
+      "\\n" -> "\\\\n", "\\r" -> "\\\\r", "\\t" -> "\\\\t",
+      "\\x08" -> "\\\\b", "\\x0c" -> "\\\\f")
+      .foldLeft(base) { case (acc, (pat, rep)) => regexp_replace(acc, pat, rep) }
+    regexp_replace(named, "[\\x00-\\x1f]", "")
+  }
 
   private def jarr(values: Column): Column =
     concat(lit("["), array_join(transform(values, v =>

@@ -69,10 +69,32 @@ object Resolver {
     * effective POSITIVE edges. String ids are hashed to longs for the
     * CC iteration; the canonical id is the lexicographic minimum of the
     * cluster's string ids, so the choice is deterministic in the id
-    * domain, not the hash domain. */
+    * domain, not the hash domain.
+    *
+    * The string→long hash is verified collision-free before use: a
+    * 64-bit collision would silently fuse two unrelated clusters, and at
+    * billions of ids the birthday probability is non-negligible (~3% at
+    * 1B). One aggregate checks `count(distinct sid) per nid`; on a
+    * collision we re-hash with an incremented salt (xxhash64(salt, sid))
+    * until the mapping is injective — a linear check, no quadratic
+    * work. */
   def canonicalize(nodes: DataFrame, decisions: DataFrame): DataFrame = {
-    val ids = nodes.toDF("sid").distinct()
-      .withColumn("nid", xxhash64(col("sid")))
+    val base = nodes.toDF("sid").distinct()
+    var salt = 0
+    var ids: DataFrame = null
+    var injective = false
+    while (!injective) {
+      require(salt < 8, "id hashing failed to become injective after 8 salts")
+      val h = if (salt == 0) xxhash64(col("sid")) else xxhash64(lit(salt), col("sid"))
+      ids = base.withColumn("nid", h)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val collided = ids.groupBy(col("nid"))
+        .agg(countDistinct(col("sid")).as("n"))
+        .filter(col("n") > 1).limit(1).count()
+      injective = collided == 0L
+      if (!injective) ids.unpersist(blocking = false)
+      salt += 1
+    }
     val eff = effective(decisions).filter(col("judgement") === Positive)
     val edges = eff
       .join(ids.select(col("sid").as("a"), col("nid").as("src")), "a")

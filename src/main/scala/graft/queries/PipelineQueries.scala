@@ -318,10 +318,11 @@ object PipelineQueries {
         |  CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 32 ELSE 0 END AS n_frames
         |FROM documents""".stripMargin),
 
-    // J9/J10/O2/O3: bigram-blocked similarity join with per-subject
-    // top-k, cutoff, and score-ratio pruning — the xref/enrichment
-    // pipeline. Bigram keys keep candidate generation near-linear on the
-    // small-vocabulary name corpus (see Blocking scaladoc).
+    // J9/J10/O2/O3: sorted-bigram-blocked similarity join with
+    // per-subject top-k, cutoff, and score-ratio pruning — the
+    // xref/enrichment pipeline. Sorted bigram keys keep candidate
+    // generation near-linear on the small-vocabulary name corpus while
+    // preserving recall for word-order variants (see Blocking scaladoc).
     decl("q51_blocking_topk",
       (s, d) => {
         val p = t(s, d, "part")
@@ -339,11 +340,12 @@ object PipelineQueries {
         |    list_filter(string_split(regexp_replace(trim(lower(p_name)), '\s+', ' ', 'g'), ' '),
         |                t -> len(t) > 0) AS w
         |  FROM part),
+        |pns AS (SELECT id, list_sort(list_distinct(w)) AS sw FROM pn),
         |keys0 AS (
-        |  SELECT id, unnest(CASE WHEN len(w) >= 2
-        |    THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
-        |    ELSE w END) AS bkey
-        |  FROM pn),
+        |  SELECT id, unnest(CASE WHEN len(sw) >= 2
+        |    THEN list_transform(generate_series(1, len(sw) - 1), i -> sw[i] || ' ' || sw[i+1])
+        |    ELSE sw END) AS bkey
+        |  FROM pns),
         |keys1 AS (SELECT DISTINCT id, bkey FROM keys0),
         |skeys1 AS (SELECT id, bkey FROM keys1 WHERE id % 2 = 0),
         |tkeys1 AS (SELECT id, bkey FROM keys1 WHERE id % 2 = 1),

@@ -47,7 +47,11 @@ object Sources {
     * shared strings and numeric cells are supported; dates arrive as
     * serial numbers for [[graft.functions.Dates.excelSerialDate]]
     * (helpers/excel.py:20-71). Returns one row per sheet row as cell
-    * strings padded to the widest row. */
+    * strings padded to the widest row. Cells are placed by their `r`
+    * reference attribute ("C3" → column 2) when present — real XLSX
+    * writers omit empty cells, so positional indexing would shift a
+    * sparse row's values into the wrong columns (openpyxl, which the
+    * reference uses, honors `r` the same way). */
   def xlsxRows(spark: SparkSession, path: String): DataFrame = {
     import scala.jdk.CollectionConverters._
     val zip = new java.util.zip.ZipFile(path)
@@ -65,19 +69,30 @@ object Sources {
       val sheet = read("xl/worksheets/sheet1.xml")
         .getOrElse(throw new IllegalArgumentException(s"no sheet1 in $path"))
       val rowNodes = sheet.getElementsByTagName("row")
+      // "C3" → 2; empty/absent reference → fall back to position.
+      def colIndex(ref: String): Option[Int] = {
+        val letters = ref.takeWhile(_.isLetter).toUpperCase
+        if (letters.isEmpty) None
+        else Some(letters.foldLeft(0)((acc, ch) => acc * 26 + (ch - 'A' + 1)) - 1)
+      }
       val rows: Seq[Seq[String]] = (0 until rowNodes.getLength).map { r =>
         val row = rowNodes.item(r).asInstanceOf[org.w3c.dom.Element]
         val cells = row.getElementsByTagName("c")
-        (0 until cells.getLength).map { ci =>
+        val placed = (0 until cells.getLength).map { ci =>
           val c = cells.item(ci).asInstanceOf[org.w3c.dom.Element]
           val t = c.getAttribute("t")
           val v = Option(c.getElementsByTagName("v").item(0)).map(_.getTextContent)
-          t match {
+          val value = t match {
             case "s" => v.map(i => shared(i.toInt)).orNull
             case "inlineStr" => c.getTextContent
             case _ => v.orNull
           }
+          colIndex(c.getAttribute("r")).getOrElse(ci) -> value
         }
+        val width = if (placed.isEmpty) 0 else placed.map(_._1).max + 1
+        val arr = Array.fill[String](width)(null)
+        placed.foreach { case (i, v) => arr(i) = v }
+        arr.toSeq
       }
       val width = if (rows.isEmpty) 0 else rows.map(_.size).max
       val schema = org.apache.spark.sql.types.StructType(

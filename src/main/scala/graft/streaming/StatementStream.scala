@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * streaming deployment instead watches a landing directory of
   * statement files and maintains the same invariants continuously:
   *
-  *  - statement-id dedupe (P6) becomes `dropDuplicates("id")` with a
-  *    watermark bounding the dedup state — the streaming form of
+  *  - statement-id dedupe (P6) becomes `dropDuplicatesWithinWatermark`
+  *    with a watermark bounding the dedup state — the streaming form of
   *    first-row-wins (tools/util.py:39-62);
   *  - crawl stats (A9) become a windowed aggregation per dataset;
   *  - entity upserts feed `foreachBatch`, where each micro-batch runs
@@ -29,11 +29,17 @@ object StatementStream {
 
   /** P6/T5 streaming: watermark + id-dedupe. `delay` bounds how late a
     * duplicate may arrive and still be suppressed — state is dropped
-    * beyond it, keeping memory bounded on an unbounded stream. */
+    * beyond it, keeping memory bounded on an unbounded stream.
+    *
+    * `dropDuplicatesWithinWatermark` is required for that bound: plain
+    * `dropDuplicates("id")` only evicts state when the event-time column
+    * is part of the dedup key, so keying on `id` alone would grow state
+    * forever. The WithinWatermark variant keys on `id` and expires each
+    * key once the watermark passes its event time. */
   def dedupedStatements(stream: DataFrame, delay: String = "1 hour"): DataFrame =
     stream
       .withWatermark("lastSeen", delay)
-      .dropDuplicates("id")
+      .dropDuplicatesWithinWatermark("id")
 
   /** A9 streaming: per-dataset statement counts in tumbling windows. */
   def windowedCrawlStats(stream: DataFrame, windowLength: String = "1 hour"): DataFrame =

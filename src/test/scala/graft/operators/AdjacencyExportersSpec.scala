@@ -60,6 +60,18 @@ class AdjacencyExportersSpec extends SparkSpec {
       """{"id":"s1","schema":"Sanction","properties":{"entity":["p1"],"program":["P"],"startDate":["2001"]}}""")
   }
 
+  test("ftm json escapes control characters per RFC 8259") {
+    val df = Seq(("e\n1", "Person", Map("name" -> Seq("a\tb\nc", "de"))))
+      .toDF("id", "schema", "properties")
+    val json = df.select(Exporters.ftmJsonLine($"id", $"schema", $"properties"))
+      .as[String].collect()(0)
+    // embedded newline/tab become \n/\t escapes; other controls stripped;
+    // the line itself stays single-line (JSONL framing intact)
+    assert(json ==
+      """{"id":"e\n1","schema":"Person","properties":{"name":["a\tb\nc","de"]}}""")
+    assert(!json.contains('\n') && !json.contains('\t'))
+  }
+
   test("sanction text joins program fields with ' - '") {
     val txt = entities.filter($"id" === "s1")
       .select(Exporters.sanctionText($"properties")).as[String].collect()(0)

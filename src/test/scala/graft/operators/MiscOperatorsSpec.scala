@@ -57,6 +57,16 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(!out.exists(_._1 == 2L))   // no candidates at all for subject 2
   }
 
+  test("blocking recalls word-order variants (sorted bigram keys)") {
+    // same token set, different order: Jaccard 1.0 — must be a candidate
+    val subjects = Seq((1L, "ivan ivanov")).toDF("id", "name")
+    val targets = Seq((10L, "ivanov ivan")).toDF("id", "name")
+    val cands = Blocking.candidates(subjects, targets,
+      col("id"), col("name"), col("id"), col("name"), maxDf = 100)
+      .as[(Long, Long, Double)].collect()
+    assert(cands.toSeq == Seq((1L, 10L, 1.0)))
+  }
+
   test("statement IO roundtrip with external filter and dataset pruning") {
     val t0 = new Timestamp(0L)
     val stmts = Seq(

@@ -62,6 +62,28 @@ class SourcesSpec extends SparkSpec {
     assert(iso == "2022-11-11T00:00:00")
   }
 
+  test("xlsx sparse rows place cells by their r reference, not position") {
+    val dir = Files.createTempDirectory("graft-xlsx-sparse")
+    val f = dir.resolve("book.xlsx")
+    val zip = new ZipOutputStream(Files.newOutputStream(f))
+    def put(name: String, content: String): Unit = {
+      zip.putNextEntry(new ZipEntry(name))
+      zip.write(content.getBytes("UTF-8"))
+      zip.closeEntry()
+    }
+    // row 1 is full; row 2 has ONLY column C — a positional reader would
+    // shift "solo" into column A
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>a</t></is></c><c r="B1" t="inlineStr"><is><t>b</t></is></c><c r="C1" t="inlineStr"><is><t>c</t></is></c></row>
+        |<row r="2"><c r="C2" t="inlineStr"><is><t>solo</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zip.close()
+    val rows = Sources.xlsxRows(spark, f.toString)
+      .as[(String, String, String)].collect().toSeq
+    assert(rows == Seq(("a", "b", "c"), (null, null, "solo")))
+  }
+
   test("fetch cache: fresh hits are reused, misses hit the fetcher once") {
     val now = java.sql.Timestamp.valueOf("2026-01-10 00:00:00")
     val cache = Seq(
