@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.operators.{EntityAssembler, Exporters}
 import graft.sources.Ingestion
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import Q._
 
@@ -96,6 +97,158 @@ object IngestQueries {
         |    array_to_string(list_sort(list_distinct(
         |      list(CASE WHEN o_orderkey % 3 = 0 THEN 'Person' ELSE 'Company' END))), ';') AS schemata,
         |    max(strftime(o_orderdate, '%Y-%m-%d')) AS last_change
-        |  FROM orders GROUP BY 1)""".stripMargin)
+        |  FROM orders GROUP BY 1)""".stripMargin),
+
+    // K2: statements CSV export ROUND-TRIPPED — the query writes the
+    // statement frame through StatementIO.exportCsv (BASE rows dropped,
+    // header on) into a temp dir, reads the CSV back with the statement
+    // schema, and aggregates; the oracle recomputes the aggregate from
+    // the source table, so a lossy export (column shift, quoting,
+    // BASE leak) breaks the hash match.
+    decl("q96_statements_csv_roundtrip",
+      (s, d) => {
+        import graft.model.Statement
+        import s.implicits._
+        val sup = t(s, d, "supplier")
+        val k = col("s_suppkey")
+        val eid = concat(lit("sup"), k.cast("string"))
+        val ts = lit("2026-01-01 00:00:00").cast("timestamp")
+        def stmt(prop: Column, value: Column) = sup.select(
+          md5(concat(prop, lit("|"), eid)).as("id"),
+          eid.as("entityId"), eid.as("canonicalId"),
+          prop.as("prop"), lit("Company").as("schema"), value.as("value"),
+          lit("ds_csv").as("dataset"), lit("en").as("lang"),
+          lit("crawl").as("origin"), value.as("originalValue"),
+          ts.as("firstSeen"), ts.as("lastSeen"), lit(false).as("external"))
+        val stmts = stmt(lit(Statement.Base), eid)
+          .unionByName(stmt(lit("name"), col("s_name")))
+          .unionByName(stmt(lit("country"),
+            concat(lit("Nation_"), col("s_nationkey").cast("string"))))
+          .as[Statement]
+        val dir = java.nio.file.Files.createTempDirectory("graft-k2").toString
+        graft.sources.StatementIO.exportCsv(stmts, dir)
+        s.read.schema(Statement.sparkSchema).option("header", "true").csv(dir)
+          .groupBy(col("prop"))
+          .agg(count(lit(1)).as("n_statements"),
+            countDistinct(col("entityId")).as("n_entities"),
+            min(col("value")).as("min_value"),
+            max(col("value")).as("max_value"))
+      },
+      // BASE ('id') rows are dropped by the export; only name/country
+      // survive the round-trip.
+      """WITH props AS (
+        |  SELECT 'name' AS prop, s_name AS value,
+        |    'sup' || s_suppkey::VARCHAR AS eid FROM supplier
+        |  UNION ALL
+        |  SELECT 'country', 'Nation_' || s_nationkey::VARCHAR,
+        |    'sup' || s_suppkey::VARCHAR FROM supplier)
+        |SELECT prop, COUNT(*) AS n_statements, COUNT(DISTINCT eid) AS n_entities,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM props GROUP BY prop""".stripMargin),
+
+    // A7: name reduction — weak aliases duplicating a strong name
+    // case-insensitively are dropped, then case variants are reduced to
+    // the best-cased form (consolidate.py:123-170). The oracle
+    // re-implements both reductions as DuckDB nested list lambdas.
+    decl("q97_name_reduction",
+      (s, d) => {
+        import graft.operators.Consolidate
+        val p = t(s, d, "part")
+        val strong = array(col("p_name"))
+        val weak = array(upper(col("p_name")), concat(col("p_name"), lit(" alias")))
+        val keptWeak = Consolidate.reduceWeakNames(strong, weak)
+        val all = concat(array(col("p_name"), upper(col("p_name"))), keptWeak)
+        p.select(col("p_partkey").as("id"),
+          array_join(array_sort(Consolidate.reduceCaseVariants(all)), ";").as("kept"),
+          array_join(array_sort(keptWeak), ";").as("kept_weak"))
+      },
+      """WITH n AS (
+        |  SELECT p_partkey AS id, p_name,
+        |    list_filter([upper(p_name), p_name || ' alias'],
+        |      w -> lower(w) <> lower(p_name)) AS kept_weak
+        |  FROM part),
+        |m AS (
+        |  SELECT id, kept_weak,
+        |    list_concat([p_name, upper(p_name)], kept_weak) AS names
+        |  FROM n)
+        |SELECT id,
+        |  array_to_string(list_sort(list_filter(names, a ->
+        |    len(list_filter(names, b ->
+        |      lower(b) = lower(a) AND b <> a AND
+        |      ((b <> upper(b) AND a = upper(a))
+        |       OR ((b <> upper(b)) = (a <> upper(a)) AND b < a)))) = 0)), ';') AS kept,
+        |  array_to_string(list_sort(kept_weak), ';') AS kept_weak
+        |FROM m""".stripMargin),
+
+    // A9: crawl stats over the emitted (pre-filter) statement stream —
+    // entities, statements (non-null values), warnings per dataset
+    // (zavod/zavod/runtime/stats.py). Same emit as q88, so the invalid
+    // IMO identifiers become the warning count.
+    decl("q98_crawl_stats",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val k = col("c_custkey")
+        val emitted = Ingestion.emit(
+          c,
+          dataset = "testsrc",
+          schema = when(k % 4 === 0, "Company").otherwise("Person"),
+          keyParts = Seq(col("c_name")),
+          props = Seq(
+            Ingestion.PropMapping("name", "name", col("c_name")),
+            Ingestion.PropMapping("country", "country",
+              concat(lit("Nation_"), col("c_nationkey").cast("string"))),
+            Ingestion.PropMapping("birthDate", "date",
+              concat(lit("19"), (lit(50) + k % 50).cast("string"),
+                lit("-06-15T10:00:00"))),
+            Ingestion.PropMapping("registrationNumber", "identifier",
+              concat(lit("IMO "), lpad((k * 37 % 10000000L).cast("string"), 7, "0")),
+              idFormat = "imo")),
+          runTime = lit("2026-01-01 00:00:00"))
+        Ingestion.crawlStats(emitted)
+      },
+      """WITH c AS (
+        |  SELECT c_custkey AS k,
+        |    lpad(((c_custkey * 37) % 10000000)::VARCHAR, 7, '0') AS imo
+        |  FROM customer),
+        |imo_ok AS (
+        |  SELECT k,
+        |    ((ascii(substr(imo,1,1))-48)*7 + (ascii(substr(imo,2,1))-48)*6
+        |     + (ascii(substr(imo,3,1))-48)*5 + (ascii(substr(imo,4,1))-48)*4
+        |     + (ascii(substr(imo,5,1))-48)*3 + (ascii(substr(imo,6,1))-48)*2) % 10
+        |      = ascii(substr(imo,7,1))-48 AS ok
+        |  FROM c)
+        |SELECT 'testsrc' AS dataset, COUNT(*) AS entities,
+        |  COUNT(*) * 3 + COUNT(*) FILTER (WHERE ok) AS statements,
+        |  COUNT(*) FILTER (WHERE NOT ok) AS warnings
+        |FROM imo_ok""".stripMargin),
+
+    // F12: change detection — DOM-structure hash (text stripped, tag
+    // skeleton hashed) and full-body hash, plus the unchanged assertion
+    // against a pinned skeleton digest (helpers/change.py:14-129).
+    // Odd part keys keep the pinned layout; even keys add a <div>.
+    decl("q99_change_detection",
+      (s, d) => {
+        import graft.sources.Sources
+        val p = t(s, d, "part")
+        val html = concat(lit("<html><body><p>"), col("p_name"), lit("</p>"),
+          when(col("p_partkey") % 2 === 0, lit("<div></div>")).otherwise(lit("")),
+          lit("</body></html>"))
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val pinned = md.digest("<html><body><p></p></body></html>".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        p.select(col("p_partkey").as("id"),
+          Sources.domHash(html).as("dom_hash"),
+          Sources.domHashUnchanged(html, pinned).as("layout_unchanged"),
+          sha2(html, 256).as("body_hash"))
+      },
+      """SELECT p_partkey AS id,
+        |  CASE WHEN p_partkey % 2 = 0
+        |    THEN sha256('<html><body><p></p><div></div></body></html>')
+        |    ELSE sha256('<html><body><p></p></body></html>') END AS dom_hash,
+        |  p_partkey % 2 <> 0 AS layout_unchanged,
+        |  sha256('<html><body><p>' || p_name || '</p>'
+        |    || CASE WHEN p_partkey % 2 = 0 THEN '<div></div>' ELSE '' END
+        |    || '</body></html>') AS body_hash
+        |FROM part""".stripMargin)
   )
 }

@@ -163,14 +163,16 @@ object Sources {
     * `assert_url_hash` compares the fetched body's hash against the
     * expected value; `assert_dom_hash` hashes only the tag structure
     * (text stripped), so prose edits don't fire the alarm but layout
-    * changes do. Both return a boolean "unchanged" column. */
+    * changes do. Both return a boolean "unchanged" column. SHA-256 is
+    * used (not the reference's sha1) so the oracle can recompute the
+    * digest — the contract is "stable digest", not a specific algo. */
   def urlHashUnchanged(body: org.apache.spark.sql.Column, expected: String): org.apache.spark.sql.Column =
-    sha1(body) === lit(expected)
+    sha2(body, 256) === lit(expected)
 
   /** The DOM structure hash: collapse all text between tags, keep the
     * tag skeleton, hash it. */
   def domHash(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sha1(regexp_replace(regexp_replace(html, ">[^<>]*<", "><"), "\\s+", ""))
+    sha2(regexp_replace(regexp_replace(html, ">[^<>]*<", "><"), "\\s+", ""), 256)
 
   def domHashUnchanged(html: org.apache.spark.sql.Column, expected: String): org.apache.spark.sql.Column =
     domHash(html) === lit(expected)
