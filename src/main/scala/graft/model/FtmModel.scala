@@ -40,7 +40,10 @@ object FtmModel {
       // two endpoints, plus whether the edge is directed
       edgeSource: Option[String] = None,
       edgeTarget: Option[String] = None,
-      edgeDirected: Boolean = true
+      edgeDirected: Boolean = true,
+      // FtM `matchable`: participates in cross-reference / record linkage
+      // (followthemoney schema flag; drives the senzing export scope)
+      matchable: Boolean = false
   ) {
     def isEdge: Boolean = edgeSource.isDefined && edgeTarget.isDefined
   }
@@ -64,35 +67,39 @@ object FtmModel {
       p("address", Address), p("addressEntity", EntityRef),
       p("phone", Phone), p("email", Email),
       p("website", Url), p("incorporationDate", Date),
-      p("dissolutionDate", Date), p("programId", Identifier))),
+      p("dissolutionDate", Date), p("programId", Identifier)),
+      matchable = true),
     SchemaDef("Person", Seq("LegalEntity"), Seq(
       p("firstName", Name), p("middleName", Name), p("lastName", Name),
       p("fatherName", Name), p("title", Name), p("birthDate", Date),
       p("deathDate", Date), p("birthPlace", Text), p("nationality", Country),
-      p("gender", Text), p("position", Text))),
+      p("gender", Text), p("position", Text)),
+      matchable = true),
     // imoNumber on Organization mirrors FtM's IMO company identifiers
     // (exercised by the maritime export — exporters/maritime.py:66-69)
-    SchemaDef("Organization", Seq("LegalEntity"), Seq(p("imoNumber", Identifier))),
+    SchemaDef("Organization", Seq("LegalEntity"), Seq(p("imoNumber", Identifier)), matchable = true),
     SchemaDef("Company", Seq("Organization"), Seq(
-      p("isinCode", Identifier), p("jurisdiction", Country))),
-    SchemaDef("PublicBody", Seq("Organization"), Nil),
+      p("isinCode", Identifier), p("jurisdiction", Country)), matchable = true),
+    SchemaDef("PublicBody", Seq("Organization"), Nil, matchable = true),
     SchemaDef("Asset", Seq("Thing"), Nil),
     SchemaDef("Security", Seq("Asset"), Seq(
-      p("isin", Identifier), p("issuer", EntityRef))),
+      p("isin", Identifier), p("issuer", EntityRef)), matchable = true),
     SchemaDef("Vessel", Seq("Asset"), Seq(
-      p("imoNumber", Identifier), p("flag", Country), p("mmsi", Identifier))),
-    SchemaDef("Airplane", Seq("Asset"), Seq(p("registrationNumber", Identifier))),
+      p("imoNumber", Identifier), p("flag", Country), p("mmsi", Identifier)),
+      matchable = true),
+    SchemaDef("Airplane", Seq("Asset"), Seq(p("registrationNumber", Identifier)), matchable = true),
     SchemaDef("Address", Seq("Thing"), Seq(
       p("full", Address), p("street", Text), p("city", Text),
-      p("postalCode", Text), p("region", Text))),
-    SchemaDef("Position", Seq("Thing"), Seq(p("subnationalArea", Text))),
+      p("postalCode", Text), p("region", Text)), matchable = true),
+    SchemaDef("Position", Seq("Thing"), Seq(p("subnationalArea", Text)), matchable = true),
     SchemaDef("Sanction", Seq("Thing"), Seq(
       p("entity", EntityRef), p("authority", Text), p("program", Text),
       p("programId", Identifier), p("startDate", Date), p("endDate", Date),
       p("listingDate", Date), p("reason", Text))),
     SchemaDef("Identification", Seq("Thing"), Seq(
       p("holder", EntityRef), p("number", Identifier), p("type", Text),
-      p("authority", Text), p("startDate", Date), p("endDate", Date))),
+      p("country", Country), p("authority", Text),
+      p("startDate", Date), p("endDate", Date))),
     SchemaDef("Passport", Seq("Identification"), Seq(
       p("passportNumber", Identifier))),
     // Edge schemata (zavod/zavod/integration/edges.py:78-110)
@@ -148,6 +155,10 @@ object FtmModel {
     schemata.keys.map { n =>
       n -> schemata.keys.filter(c => ancestors(c).contains(n)).toSet
     }.toMap
+
+  /** Schemata participating in record linkage (xref / senzing export). */
+  val matchableSchemata: Set[String] =
+    schemata.values.filter(_.matchable).map(_.name).toSet
 
   def isA(child: String, parent: String): Boolean =
     ancestors.getOrElse(child, Set(child)).contains(parent)

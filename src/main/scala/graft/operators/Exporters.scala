@@ -157,58 +157,281 @@ object Exporters {
           lit("]}")).as("json"))
   }
 
-  /** K6 (full record): the senzing JSON line with NAMES / IDENTIFIERS
-    * arrays assembled from the shaped columns (senzing.py:106-160). */
-  def senzingJsonLines(entities: DataFrame, dataSource: String): DataFrame =
-    senzing(entities).select(col("record_id"),
-      concat(
-        lit(s"""{"DATA_SOURCE":"$dataSource","RECORD_ID":""""),
-        jesc(col("record_id")),
-        lit("\",\"RECORD_TYPE\":\""), col("record_type"), lit("\""),
-        when(col("gender").isNotNull,
-          concat(lit(",\"GENDER\":\""), col("gender"), lit("\"")))
-          .otherwise(lit("")),
-        when(length(col("identifiers")) > 0,
-          concat(lit(",\"IDENTIFIERS\":"),
-            jarr(split(col("identifiers"), ";"))))
-          .otherwise(lit("")),
-        lit("}")).as("json"))
+  /** Senzing attribute-cell helpers: each family is an array of
+    * "ATTR=value" (or "ATTR=value|second") entries; [[senzing]] joins
+    * them into sorted ';' cells for the relational/oracle surface and
+    * [[senzingJsonLines]] renders them as the typed JSON record. */
+  private def snorm(c: Column): Column =
+    regexp_replace(lower(c), "[^a-z0-9_]", "")
 
-  /** K6: senzing.json core — record typing by schema lattice, name
-    * dedup by normalized hash, gender mapping
-    * (exporters/senzing.py:78-160). Output one row per matchable
-    * entity: (record_id, record_type, gender, n_names, identifiers). */
-  def senzing(entities: DataFrame): DataFrame = {
+  private def tag(attr: String, vals: Column): Column =
+    transform(filter(vals, v => v.isNotNull), v => concat(lit(attr + "="), v))
+
+  private def tagc(attr: Column, vals: Column): Column =
+    transform(filter(vals, v => v.isNotNull), v => concat(attr, lit("="), v))
+
+  /** K6: senzing.json shaped record — one row per matchable non-Address
+    * entity with every attribute family of the reference record
+    * (exporters/senzing.py:78-273): typed PRIMARY/ALIAS NAMES with
+    * normalized-hash dedup, GENDER, RISKS (topics), ADDRESSES (own +
+    * birthPlace + adjacent Address entities, hash-deduped), DATES,
+    * typed COUNTRIES, CONTACTS, IDENTIFIERS (typed props, adjacent
+    * Identification/Passport, remaining identifier statements with
+    * OTHER_ID fallback + OFAC url extraction + WIKIDATA trusted id +
+    * the domain record id), SOURCE_LINKS and RELATIONSHIPS (edge-schema
+    * adjacents as REL_POINTER/REL_ANCHOR). Families are deterministic
+    * sorted cells; [[senzingJsonLines]] renders the JSON product.
+    *
+    * `entities` may carry an optional `last_change` string column
+    * (exported as LAST_CHANGE). */
+  def senzing(entities: DataFrame, domain: String = "OPEN_SANCTIONS"): DataFrame = {
     import graft.model.FtmModel
     val persons = FtmModel.descendants("Person").toSeq.sorted
     val orgs = FtmModel.descendants("Organization").toSeq.sorted
     val vessels = FtmModel.descendants("Vessel").toSeq.sorted
     val planes = FtmModel.descendants("Airplane").toSeq.sorted
+    val addrSchemas = FtmModel.descendants("Address")
+    val matchable = (FtmModel.matchableSchemata -- addrSchemas).toSeq.sorted
+    val orgLike = (orgs ++ vessels ++ planes).distinct.sorted
+
+    val props = col("properties")
     val recordType = when(col("schema").isin(persons: _*), "PERSON")
       .when(col("schema").isin(orgs: _*), "ORGANIZATION")
       .when(col("schema").isin(planes: _*), "AIRCRAFT")
       .when(col("schema").isin(vessels: _*), "VESSEL")
-    val norm = (c: Column) => regexp_replace(lower(c), "[^a-z0-9]", "")
-    val caption = try_element_at(propVals(col("properties"), "name"), lit(1))
-    val aliases = propVals(col("properties"), "alias")
-    // names deduped case/punctuation-insensitively against the caption
-    // and each other (senzing.py:115-124)
-    val distinctNames = array_distinct(transform(
-      concat(array(caption), aliases), n => norm(n)))
-    val genders = propVals(col("properties"), "gender")
+    val isOrg = col("schema").isin(orgLike: _*)
+
+    // ---- adjacency rollups: one pass over the shared edge frame ----
+    def fp(p: Column, name: String): Column =
+      try_element_at(element_at(p, name), lit(1))
+    val adj = Adjacency.adjacent(entities)
+    val op = col("other_properties")
+    // edge-schema relationship entries (senzing.py:184-201)
+    val edgeDefs = FtmModel.schemata.values.filter(_.isEdge).toSeq.sortBy(_.name)
+    val noArr = lit(null).cast("array<string>")
+    val srcVals = edgeDefs.foldLeft(noArr)((acc, sd) =>
+      when(col("other_schema") === sd.name, element_at(op, sd.edgeSource.get)).otherwise(acc))
+    val dstVals = edgeDefs.foldLeft(noArr)((acc, sd) =>
+      when(col("other_schema") === sd.name, element_at(op, sd.edgeTarget.get)).otherwise(acc))
+    val relRole = coalesce(fp(op, "role"), fp(op, "relationship"),
+      fp(op, "name"), col("other_schema"))
+    val empty = array().cast("array<string>")
+    val relEntries = concat(
+      when(srcVals.isNotNull && array_contains(srcVals, col("id")),
+        transform(coalesce(dstVals, empty),
+          t => concat_ws("|", lit("POINTER"), relRole, t))).otherwise(empty),
+      when(dstVals.isNotNull && array_contains(dstVals, col("id")),
+        array(concat_ws("|", lit("ANCHOR"), col("id")))).otherwise(empty))
+    val adjRoll = adj.groupBy(col("id")).agg(
+      collect_set(when(col("other_schema").isin(addrSchemas.toSeq.sorted: _*),
+        fp(op, "full"))).as("adj_addr"),
+      collect_set(when(col("other_schema") === "Identification",
+        struct(fp(op, "number").as("num"), fp(op, "country").as("cc"))))
+        .as("adj_natid"),
+      collect_set(when(col("other_schema") === "Passport",
+        struct(coalesce(fp(op, "passportNumber"), fp(op, "number")).as("num"),
+          fp(op, "country").as("cc")))).as("adj_pass"),
+      flatten(collect_list(relEntries)).as("rels"))
+
+    // ---- names: PRIMARY caption + ALIAS values, normalized-hash dedup
+    // (senzing.py:113-124); caption falls back to the schema label ----
+    val caption = coalesce(fp(props, "name"), col("schema"))
+    val rawNames = concat(array(caption), propVals(props, "alias"))
+    val keptNames = filter(rawNames, (n, i) =>
+      i === 0 || (n.isNotNull &&
+        !exists(slice(rawNames, lit(1), i), m => snorm(m) === snorm(n))))
+
+    val genders = propVals(props, "gender")
     val gender = when(size(genders) === 1,
       when(try_element_at(genders, lit(1)) === "male", "M")
         .when(try_element_at(genders, lit(1)) === "female", "F"))
+
+    // ---- addresses: own + birthPlace + adjacent, hash-deduped
+    // (senzing.py:131,135,165-167,246-268) ----
+    val addrRaw = array_sort(array_distinct(concat(
+      tag("ADDR_FULL", propVals(props, "address")),
+      tag("PLACE_OF_BIRTH", propVals(props, "birthPlace")),
+      tag("ADDR_FULL", filter(coalesce(col("adj_addr"), empty), v => v.isNotNull)))))
+    val addrCell = filter(addrRaw, (e, i) =>
+      !exists(slice(addrRaw, lit(1), i), prior => snorm(prior) === snorm(e)))
+
+    val dates = array_sort(array_distinct(concat(
+      tag("DATE_OF_BIRTH", propVals(props, "birthDate")),
+      tag("DATE_OF_DEATH", propVals(props, "deathDate")),
+      tag("REGISTRATION_DATE", propVals(props, "incorporationDate")))))
+
+    val countries = array_sort(array_distinct(concat(
+      tagc(when(isOrg, "COUNTRY_OF_ASSOCIATION").otherwise("NATIONALITY"),
+        propVals(props, "country")),
+      tag("NATIONALITY", propVals(props, "nationality")),
+      tag("CITIZENSHIP", propVals(props, "citizenship")),
+      tag("REGISTRATION_COUNTRY", propVals(props, "jurisdiction")))))
+
+    val contacts = array_sort(array_distinct(concat(
+      tag("WEBSITE_ADDRESS", propVals(props, "website")),
+      tag("EMAIL_ADDRESS", propVals(props, "email")),
+      tag("PHONE_NUMBER", propVals(props, "phone")))))
+
+    // ---- identifiers (senzing.py:152-161,169-182,203-236) ----
+    val typedIdent = concat(
+      tag("PASSPORT_NUMBER", propVals(props, "passportNumber")),
+      tag("NATIONAL_ID_NUMBER", concat(
+        propVals(props, "idNumber"), propVals(props, "registrationNumber"),
+        propVals(props, "ogrnCode"))),
+      tag("TAX_ID_NUMBER", concat(
+        propVals(props, "taxNumber"), propVals(props, "innCode"),
+        propVals(props, "vatCode"))),
+      tag("SSN_NUMBER", propVals(props, "socialSecurityNumber")),
+      tag("LEI_NUMBER", propVals(props, "leiCode")),
+      tag("DUNS_NUMBER", propVals(props, "dunsCode")))
+    def pairEntries(attr: String, structs: Column): Column =
+      transform(filter(coalesce(structs, lit(null)), s => s.getField("num").isNotNull),
+        s => concat(lit(attr + "="), s.getField("num"),
+          when(s.getField("cc").isNotNull, concat(lit("|"), s.getField("cc")))
+            .otherwise(lit(""))))
+    val adjIdent = concat(
+      coalesce(pairEntries("NATIONAL_ID_NUMBER", col("adj_natid")), empty),
+      coalesce(pairEntries("PASSPORT_NUMBER", col("adj_pass")), empty))
+    // values already carried by typed/adjacent entries suppress the
+    // statement-level fallback (seen_identifiers — senzing.py:203-217)
+    val seenVals = concat(
+      transform(typedIdent, e => regexp_replace(e, "^[A-Z_]+=", "")),
+      flatten(transform(coalesce(col("adj_natid"), lit(null)),
+        s => filter(array(s.getField("num"), s.getField("cc")), v => v.isNotNull))),
+      flatten(transform(coalesce(col("adj_pass"), lit(null)),
+        s => filter(array(s.getField("num"), s.getField("cc")), v => v.isNotNull))))
+    val mappedProps = Set("passportNumber", "idNumber", "registrationNumber",
+      "ogrnCode", "taxNumber", "innCode", "vatCode", "socialSecurityNumber",
+      "leiCode", "dunsCode")
+    val stmtProps = (FtmModel.schemata.values.flatMap(_.props)
+      .filter(_.ptype == FtmModel.PropType.Identifier).map(_.name).toSet -- mappedProps)
+      .toSeq.sorted
+    val specialAttr = Map(
+      "imoNumber" -> "IMO_NUMBER", "mmsi" -> "MMSI_NUMBER",
+      "callSign" -> "CALL_SIGN", "isin" -> "ISIN_NUMBER",
+      "isinCode" -> "ISIN_NUMBER", "npiCode" -> "NPI_NUMBER")
+    val stmtStructs = flatten(transform(
+      filter(map_entries(props), e => e.getField("key").isin(stmtProps: _*)),
+      e => transform(e.getField("value"),
+        v => struct(e.getField("key").as("prop"), v.as("v")))))
+    val stmtKept = filter(stmtStructs, (s2, i) =>
+      !array_contains(coalesce(seenVals, empty), s2.getField("v")) &&
+        !exists(slice(stmtStructs, lit(1), i),
+          prior => prior.getField("v") === s2.getField("v")))
+    val stmtEntries = transform(stmtKept, s2 => concat(
+      specialAttr.foldLeft(concat(lit("OTHER_ID:"), s2.getField("prop"), lit("="))) {
+        case (acc, (prop, attr)) =>
+          when(s2.getField("prop") === prop, lit(attr + "=")).otherwise(acc)
+      }, s2.getField("v")))
+    val ofacEntries = transform(
+      filter(propVals(props, "sourceUrl"),
+        v => v.contains(".ofac.treas.gov/Details.aspx?id=")),
+      v => concat(lit("OFAC_ID="), regexp_extract(v, "\\?id=(.+)$", 1)))
+    val idEntry = when(col("id").rlike("^Q\\d+$"),
+        array(concat(lit("TRUSTED:WIKIDATA="), col("id"))))
+      .otherwise(array(concat(lit(s"OTHER_ID:$domain="), col("id"))))
+    val identifiers = array_sort(array_distinct(concat(
+      typedIdent, adjIdent, stmtEntries, ofacEntries, idEntry)))
+
+    val lastChange =
+      if (entities.columns.contains("last_change")) col("last_change")
+      else lit(null).cast("string")
+
     entities
-      .withColumn("record_type", recordType)
-      .filter(col("record_type").isNotNull)
+      .filter(col("schema").isin(matchable: _*) && col("id").isNotNull)
+      .join(adjRoll, Seq("id"), "left")
       .select(
-        col("id").as("record_id"), col("record_type"),
+        col("id").as("record_id"),
+        recordType.as("record_type"),
         gender.as("gender"),
-        size(distinctNames).cast("long").as("n_names"),
-        concatCell(concat(
-          propVals(col("properties"), "registrationNumber"),
-          propVals(col("properties"), "innCode"))).as("identifiers"))
+        lastChange.as("last_change"),
+        isOrg.as("is_org"),
+        size(keptNames).cast("long").as("n_names"),
+        concat(lit("["), array_join(transform(keptNames, (n, i) => concat(
+          lit("{\"NAME_TYPE\":\""),
+          when(i === 0, lit("PRIMARY")).otherwise(lit("ALIAS")),
+          lit("\",\""),
+          when(isOrg, lit("NAME_ORG")).otherwise(lit("NAME_FULL")),
+          lit("\":\""), jesc(n), lit("\"}"))), ","), lit("]")).as("names_json"),
+        array_join(array_sort(array_distinct(propVals(props, "topics"))), ";").as("risks"),
+        array_join(addrCell, ";").as("addresses"),
+        array_join(dates, ";").as("dates"),
+        array_join(countries, ";").as("countries"),
+        array_join(contacts, ";").as("contacts"),
+        array_join(identifiers, ";").as("identifiers"),
+        concatCell(propVals(props, "sourceUrl")).as("source_links"),
+        array_join(array_sort(array_distinct(coalesce(col("rels"), empty))), ";")
+          .as("relationships"))
+  }
+
+  /** K6 (full record): render the shaped senzing columns as the JSON
+    * line product (senzing.py feed() output via write_json). Families
+    * render from the "ATTR=value[|second]" cell entries; ADDR_TYPE
+    * BUSINESS is stamped on organization addresses (senzing.py:243-245). */
+  def senzingJsonLines(entities: DataFrame, dataSource: String): DataFrame = {
+    // one- or two-attribute object per cell entry
+    def entryObj(e: Column): Column = {
+      val key = regexp_extract(e, "^([^=]+)=", 1)
+      val value = regexp_replace(e, "^[^=]+=", "")
+      val first = regexp_extract(value, "^([^|]*)", 1)
+      val second = regexp_extract(value, "\\|(.*)$", 1)
+      val pairAttr = when(key === "NATIONAL_ID_NUMBER", "NATIONAL_ID_COUNTRY")
+        .when(key === "PASSPORT_NUMBER", "PASSPORT_COUNTRY")
+      when(key.startsWith("OTHER_ID:"),
+        concat(lit("{\"OTHER_ID_TYPE\":\""), jesc(regexp_replace(key, "^OTHER_ID:", "")),
+          lit("\",\"OTHER_ID_NUMBER\":\""), jesc(value), lit("\"}")))
+        .when(key === "TRUSTED:WIKIDATA",
+          concat(lit("{\"TRUSTED_ID_TYPE\":\"WIKIDATA\",\"TRUSTED_ID_NUMBER\":\""),
+            jesc(value), lit("\"}")))
+        .when(pairAttr.isNotNull && second =!= "",
+          concat(lit("{\""), key, lit("\":\""), jesc(first),
+            lit("\",\""), pairAttr, lit("\":\""), jesc(second), lit("\"}")))
+        .otherwise(concat(lit("{\""), key, lit("\":\""), jesc(value), lit("\"}")))
+    }
+    def family(name: String, cell: Column, extra: Column = lit("")): Column =
+      when(length(cell) > 0, concat(lit(",\"" + name + "\":["),
+        array_join(transform(split(cell, ";"),
+          e => concat(regexp_replace(entryObj(e), "\\}$", ""), extra, lit("}"))), ","),
+        lit("]"))).otherwise(lit(""))
+    def relObj(e: Column): Column =
+      when(e.startsWith("POINTER|"),
+        concat(lit("{\"REL_POINTER_ROLE\":\""),
+          jesc(regexp_extract(e, "^POINTER\\|([^|]*)\\|", 1)),
+          lit("\",\"REL_POINTER_DOMAIN\":\"" + "OPEN_SANCTIONS" + "\",\"REL_POINTER_KEY\":\""),
+          jesc(regexp_extract(e, "^POINTER\\|[^|]*\\|(.*)$", 1)), lit("\"}")))
+        .otherwise(concat(lit("{\"REL_ANCHOR_DOMAIN\":\"OPEN_SANCTIONS\",\"REL_ANCHOR_KEY\":\""),
+          jesc(regexp_replace(e, "^ANCHOR\\|", "")), lit("\"}")))
+    senzing(entities).select(col("record_id"),
+      concat(
+        lit(s"""{"DATA_SOURCE":"$dataSource","RECORD_ID":""""),
+        jesc(col("record_id")), lit("\""),
+        when(col("record_type").isNotNull,
+          concat(lit(",\"RECORD_TYPE\":\""), col("record_type"), lit("\"")))
+          .otherwise(lit("")),
+        when(col("last_change").isNotNull,
+          concat(lit(",\"LAST_CHANGE\":\""), jesc(col("last_change")), lit("\"")))
+          .otherwise(lit("")),
+        lit(",\"NAMES\":"), col("names_json"),
+        when(col("gender").isNotNull,
+          concat(lit(",\"GENDER\":\""), col("gender"), lit("\"")))
+          .otherwise(lit("")),
+        family("RISKS", when(length(col("risks")) > 0,
+          array_join(transform(split(col("risks"), ";"),
+            t => concat(lit("TOPIC="), t)), ";")).otherwise(lit(""))),
+        family("ADDRESSES", col("addresses"),
+          when(col("is_org"), lit(",\"ADDR_TYPE\":\"BUSINESS\"")).otherwise(lit(""))),
+        family("DATES", col("dates")),
+        family("COUNTRIES", col("countries")),
+        family("CONTACTS", col("contacts")),
+        family("IDENTIFIERS", col("identifiers")),
+        family("SOURCE_LINKS", when(length(col("source_links")) > 0,
+          array_join(transform(split(col("source_links"), ";"),
+            u => concat(lit("SOURCE_URL="), u)), ";")).otherwise(lit(""))),
+        when(length(col("relationships")) > 0,
+          concat(lit(",\"RELATIONSHIPS\":["),
+            array_join(transform(split(col("relationships"), ";"), relObj(_)), ","),
+            lit("]"))).otherwise(lit("")),
+        lit("}")).as("json"))
   }
 
   /** K7: securities.csv — sanctioned organizations with LEI/ISIN

@@ -258,23 +258,76 @@ object ExportQueries {
          |SELECT a AS id, array_to_string(list_sort(list_distinct(list(b))), ';') AS adjacent
          |FROM sym GROUP BY a""".stripMargin),
 
-    // K6: senzing record shaping.
+    // K6: the full senzing record — typed NAMES with hash dedup,
+    // RISKS/ADDRESSES/DATES/COUNTRIES/CONTACTS families, typed +
+    // adjacent + statement-level IDENTIFIERS with seen-value dedup and
+    // the OTHER_ID fallback, LAST_CHANGE — every family recomputed
+    // independently by the oracle (senzing.py:78-273).
     decl("q84_senzing",
-      (s, d) => Exporters.senzing(syntheticEntities(s, d)),
-      s"""WITH $SqlCust
-         |SELECT 'c' || k::VARCHAR AS record_id,
-         |  CASE WHEN sch = 'Person' THEN 'PERSON' ELSE 'ORGANIZATION' END AS record_type,
-         |  CASE WHEN sch = 'Person' THEN (CASE WHEN k % 2 = 0 THEN 'M' ELSE 'F' END) END AS gender,
-         |  CASE WHEN k % 5 = 0 THEN 2 ELSE 1 END::BIGINT AS n_names,
-         |  COALESCE(array_to_string(list_sort(
-         |    CASE WHEN k % 15 = 0 THEN ['RN' || k::VARCHAR, 'ZZ-' || (k % 5)::VARCHAR]
-         |         WHEN k % 6 = 0 THEN ['RN' || k::VARCHAR]
-         |         WHEN k % 6 = 1 THEN ['INN' || k::VARCHAR]
-         |         ELSE [] END), ';'), '') AS identifiers
-         |FROM cust
-         |UNION ALL
-         |SELECT 'v' || s_suppkey::VARCHAR, 'VESSEL', NULL, 1::BIGINT, ''
-         |FROM supplier""".stripMargin),
+      (s, d) => Exporters.senzing(
+        syntheticEntities(s, d).withColumn("last_change", lit("2026-02-01"))),
+      s"""WITH $SqlCust,
+         |idents AS (
+         |  SELECT o_custkey AS k,
+         |    list_sort(list_distinct(list(
+         |      'NATIONAL_ID_NUMBER=NUM' || (o_orderkey % 1000)::VARCHAR
+         |      || '|cc' || (o_orderkey % 10)::VARCHAR))) AS nat
+         |  FROM orders WHERE o_orderkey % 5 = 1 GROUP BY o_custkey),
+         |cust_rows AS (
+         |  SELECT 'c' || c.k::VARCHAR AS record_id,
+         |    CASE WHEN sch = 'Person' THEN 'PERSON' ELSE 'ORGANIZATION' END AS record_type,
+         |    CASE WHEN sch = 'Person' THEN (CASE WHEN c.k % 2 = 0 THEN 'M' ELSE 'F' END) END AS gender,
+         |    '2026-02-01' AS last_change,
+         |    sch <> 'Person' AS is_org,
+         |    (CASE WHEN c.k % 5 = 0 THEN 2 ELSE 1 END)::BIGINT AS n_names,
+         |    '[{"NAME_TYPE":"PRIMARY","' || (CASE WHEN sch = 'Person' THEN 'NAME_FULL' ELSE 'NAME_ORG' END)
+         |      || '":"' || c_name || '"}'
+         |      || CASE WHEN c.k % 5 = 0 THEN ',{"NAME_TYPE":"ALIAS","'
+         |           || (CASE WHEN sch = 'Person' THEN 'NAME_FULL' ELSE 'NAME_ORG' END)
+         |           || '":"' || c_name || ' Ltd"}' ELSE '' END || ']' AS names_json,
+         |    CASE WHEN c.k % 3 = 0 THEN 'sanction' WHEN c.k % 3 = 1 THEN 'poi' ELSE '' END AS risks,
+         |    'ADDR_FULL=No. ' || ((c.k % 97) * 3)::VARCHAR || ' Main St' AS addresses,
+         |    CASE WHEN c.k % 4 <> 0 THEN 'DATE_OF_BIRTH=19' || (50 + c.k % 50)::VARCHAR ELSE '' END AS dates,
+         |    (CASE WHEN sch = 'Person' THEN 'NATIONALITY=' ELSE 'COUNTRY_OF_ASSOCIATION=' END) || country AS countries,
+         |    '' AS contacts,
+         |    array_to_string(list_sort(list_distinct(
+         |      (CASE WHEN c.k % 15 = 0 THEN ['NATIONAL_ID_NUMBER=RN' || c.k::VARCHAR,
+         |                                  'NATIONAL_ID_NUMBER=ZZ-' || (c.k % 5)::VARCHAR]
+         |            WHEN c.k % 6 = 0 THEN ['NATIONAL_ID_NUMBER=RN' || c.k::VARCHAR] ELSE [] END)
+         |      || (CASE WHEN c.k % 6 = 1 THEN ['TAX_ID_NUMBER=INN' || c.k::VARCHAR] ELSE [] END)
+         |      || (CASE WHEN c.k % 8 = 0 THEN ['LEI_NUMBER=LEI' || c.k::VARCHAR] ELSE [] END)
+         |      || COALESCE(i.nat, [])
+         |      || (CASE WHEN c.k % 3 = 0 AND c.k % 15 <> 0 THEN ['OTHER_ID:programId=ZZ-' || (c.k % 5)::VARCHAR] ELSE [] END)
+         |      || (CASE WHEN c.k % 8 = 4 THEN ['ISIN_NUMBER=OWNISIN' || c.k::VARCHAR] ELSE [] END)
+         |      || (CASE WHEN c.k % 20 = 0 THEN ['IMO_NUMBER=IMO' || lpad(((c.k * 37) % 10000000)::VARCHAR, 7, '0')] ELSE [] END)
+         |      || ['OTHER_ID:OPEN_SANCTIONS=c' || c.k::VARCHAR])), ';') AS identifiers,
+         |    '' AS source_links, '' AS relationships
+         |  FROM cust c LEFT JOIN idents i ON c.k = i.k),
+         |vessel_rows AS (
+         |  SELECT 'v' || s_suppkey::VARCHAR, 'VESSEL', NULL, '2026-02-01', TRUE, 1::BIGINT,
+         |    '[{"NAME_TYPE":"PRIMARY","NAME_ORG":"Vessel ' || s_name || '"}]',
+         |    CASE WHEN s_suppkey % 4 = 0 THEN 'sanction' ELSE '' END,
+         |    '', '', '', '',
+         |    array_to_string(list_sort(list_distinct(
+         |      (CASE WHEN s_suppkey % 3 = 0 THEN []::VARCHAR[]
+         |            WHEN s_suppkey % 5 = 0 THEN
+         |              ['IMO_NUMBER=IMO' || lpad(((s_suppkey * 37) % 10000000)::VARCHAR, 7, '0'),
+         |               'IMO_NUMBER=IMO' || lpad(((s_suppkey * 41) % 10000000)::VARCHAR, 7, '0')]
+         |            ELSE ['IMO_NUMBER=IMO' || lpad(((s_suppkey * 37) % 10000000)::VARCHAR, 7, '0')] END)
+         |      || (CASE WHEN s_suppkey % 2 = 0 THEN ['MMSI_NUMBER=MM' || s_suppkey::VARCHAR] ELSE [] END)
+         |      || ['OTHER_ID:OPEN_SANCTIONS=v' || s_suppkey::VARCHAR])), ';'),
+         |    '', ''
+         |  FROM supplier),
+         |sec_rows AS (
+         |  SELECT 'sec' || o_orderkey::VARCHAR, NULL, NULL, '2026-02-01', FALSE, 1::BIGINT,
+         |    '[{"NAME_TYPE":"PRIMARY","NAME_FULL":"Security"}]', '', '', '', '', '',
+         |    array_to_string(list_sort(
+         |      ['ISIN_NUMBER=IS' || (o_orderkey % 997)::VARCHAR,
+         |       'OTHER_ID:OPEN_SANCTIONS=sec' || o_orderkey::VARCHAR]), ';'),
+         |    '', ''
+         |  FROM orders WHERE o_orderkey % 5 = 2)
+         |SELECT * FROM cust_rows UNION ALL SELECT * FROM vessel_rows
+         |UNION ALL SELECT * FROM sec_rows""".stripMargin),
 
     // K7: securities rollup (own ISINs + inverted-adjacent Security).
     decl("q85_securities",

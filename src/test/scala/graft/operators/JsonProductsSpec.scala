@@ -21,12 +21,38 @@ class JsonProductsSpec extends SparkSpec {
     assert(out("s1").endsWith(""""adjacent":[{"id":"p1","schema":"Person"}]}"""))
   }
 
-  test("senzing json record carries type, gender and identifiers") {
+  test("senzing json record carries type, names, gender and identifiers") {
     val out = Exporters.senzingJsonLines(entities, "OPEN_SANCTIONS")
       .as[(String, String)].collect().toMap
     assert(out("p1") ==
-      """{"DATA_SOURCE":"OPEN_SANCTIONS","RECORD_ID":"p1","RECORD_TYPE":"PERSON","GENDER":"F","IDENTIFIERS":["INN9"]}""")
+      """{"DATA_SOURCE":"OPEN_SANCTIONS","RECORD_ID":"p1","RECORD_TYPE":"PERSON","NAMES":[{"NAME_TYPE":"PRIMARY","NAME_FULL":"Alice"}],"GENDER":"F","IDENTIFIERS":[{"OTHER_ID_TYPE":"OPEN_SANCTIONS","OTHER_ID_NUMBER":"p1"},{"TAX_ID_NUMBER":"INN9"}]}""")
     assert(!out.contains("s1")) // non-matchable schema skipped
+  }
+
+  test("senzing record families: adjacent address w/ BUSINESS type, edge relationships") {
+    val ents = Seq(
+      ("o1", "Company", Map("name" -> Seq("Acme"), "country" -> Seq("us"),
+        "addressEntity" -> Seq("a1"))),
+      ("p9", "Person", Map("name" -> Seq("Boss"), "alias" -> Seq("BOSS", "El Jefe"))),
+      ("a1", "Address", Map("full" -> Seq("2 Side St"))),
+      ("d1", "Directorship", Map("director" -> Seq("p9"),
+        "organization" -> Seq("o1"), "role" -> Seq("CEO")))
+    ).toDF("id", "schema", "properties")
+    val shaped = Exporters.senzing(ents)
+      .select($"record_id", $"names_json", $"addresses", $"countries", $"relationships")
+      .as[(String, String, String, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // case-variant alias deduped against caption; distinct alias kept
+    assert(shaped("p9")._2 ==
+      """[{"NAME_TYPE":"PRIMARY","NAME_FULL":"Boss"},{"NAME_TYPE":"ALIAS","NAME_FULL":"El Jefe"}]""")
+    assert(shaped("o1")._3 == "ADDR_FULL=2 Side St")
+    assert(shaped("o1")._4 == "COUNTRY_OF_ASSOCIATION=us")
+    assert(shaped("p9")._5 == "POINTER|CEO|o1") // director side points
+    assert(shaped("o1")._5 == "ANCHOR|o1")      // organization side anchors
+    val json = Exporters.senzingJsonLines(ents, "OS_T")
+      .as[(String, String)].collect().toMap
+    assert(json("o1").contains(""""ADDRESSES":[{"ADDR_FULL":"2 Side St","ADDR_TYPE":"BUSINESS"}]"""))
+    assert(json("p9").contains(""""RELATIONSHIPS":[{"REL_POINTER_ROLE":"CEO","REL_POINTER_DOMAIN":"OPEN_SANCTIONS","REL_POINTER_KEY":"o1"}]"""))
   }
 
   test("delta json lines carry the right entity version per op") {
