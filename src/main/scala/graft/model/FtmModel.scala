@@ -67,7 +67,8 @@ object FtmModel {
       p("address", Address), p("addressEntity", EntityRef),
       p("phone", Phone), p("email", Email),
       p("website", Url), p("incorporationDate", Date),
-      p("dissolutionDate", Date), p("programId", Identifier)),
+      p("dissolutionDate", Date), p("programId", Identifier),
+      p("permId", Identifier), p("ricCode", Identifier)),
       matchable = true),
     SchemaDef("Person", Seq("LegalEntity"), Seq(
       p("firstName", Name), p("middleName", Name), p("lastName", Name),

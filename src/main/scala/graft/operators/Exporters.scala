@@ -69,47 +69,85 @@ object Exporters {
   private def propVals(props: Column, name: String): Column =
     coalesce(element_at(props, name), array().cast("array<string>"))
 
-  /** K3: targets.simple.csv — risk-topic targets with rollups of their
-    * adjacent Sanction / Address / Identification entities
-    * (simplecsv.py:66-115). `entities` is the assembled entity frame;
-    * adjacency is recomputed from it. Output one row per target with
-    * sorted ';'-concatenated cells. */
+  /** All values of the model-wide props with the given names. */
+  private def typedVals(props: Column, names: Seq[String]): Column =
+    flatten(transform(
+      filter(map_entries(props), e => e.getField("key").isin(names: _*)),
+      e => e.getField("value")))
+
+  /** K3: targets.simple.csv — risk-topic targets with the reference's
+    * full 16-column header (simplecsv.py:17-35,66-115): id, schema,
+    * name, aliases (name-type values minus the caption), birth_date,
+    * countries (country-type values + adjacent Identification
+    * countries), addresses (own + adjacent Address captions),
+    * identifiers (identifier-type values + adjacent Identification
+    * numbers, minus program ids), sanctions (adjacent Sanction texts),
+    * phones, emails, program_ids, dataset, first_seen, last_seen,
+    * last_change. The provenance columns read optional `datasets`
+    * (array) / `first_seen` / `last_seen` / `last_change` columns on
+    * the entity frame and default to empty when absent. */
   def simpleCsv(entities: DataFrame): DataFrame = {
+    import graft.model.FtmModel
+    import FtmModel.PropType
+    def propsOf(t: PropType): Seq[String] =
+      FtmModel.schemata.values.flatMap(_.props).filter(_.ptype == t)
+        .map(_.name).toSet.toSeq.sorted
+    val nameProps = propsOf(PropType.Name)
+    val countryProps = propsOf(PropType.Country)
+    val identProps = propsOf(PropType.Identifier)
+    val idents = FtmModel.descendants("Identification").toSeq.sorted
+    val addrs = FtmModel.descendants("Address").toSeq.sorted
+
     val targets = entities.filter(
       arrays_overlap(propVals(col("properties"), "topics"),
-        lit(graft.model.FtmModel.riskTopics.toSeq.sorted.toArray)))
+        lit(FtmModel.riskTopics.toSeq.sorted.toArray)))
     // ONE pass over the adjacency frame: per-schema rollups as
     // conditional aggregates (collect_* skip the null non-matches), so
     // the edge frame is scanned and shuffled once, not once per rollup.
     val adj = Adjacency.adjacent(entities)
+    val op = col("other_properties")
     val rollups = adj.groupBy(col("id")).agg(
       collect_set(when(col("other_schema") === "Sanction",
-        sanctionText(col("other_properties")))).as("sanction_texts"),
-      collect_set(when(col("other_schema") === "Address",
-        try_element_at(element_at(col("other_properties"), "full"), lit(1))))
-        .as("adj_addresses"),
-      flatten(collect_list(when(col("other_schema") === "Identification",
-        propVals(col("other_properties"), "number")))).as("adj_numbers"),
-      flatten(collect_list(when(col("other_schema") === "Identification",
-        propVals(col("other_properties"), "country")))).as("adj_countries"))
+        sanctionText(op))).as("sanction_texts"),
+      collect_set(when(col("other_schema").isin(addrs: _*),
+        coalesce(try_element_at(element_at(op, "full"), lit(1)),
+          try_element_at(element_at(op, "name"), lit(1))))).as("adj_addresses"),
+      flatten(collect_list(when(col("other_schema").isin(idents: _*),
+        propVals(op, "number")))).as("adj_numbers"),
+      flatten(collect_list(when(col("other_schema").isin(idents: _*),
+        propVals(op, "country")))).as("adj_countries"))
 
+    def opt(name: String): Column =
+      if (entities.columns.contains(name)) coalesce(col(name), lit("")) else lit("")
+    val datasetCell =
+      if (entities.columns.contains("datasets")) concatCell(coalesce(col("datasets"), array()))
+      else lit("")
+    val props = col("properties")
+    val caption = coalesce(try_element_at(propVals(props, "name"), lit(1)), col("schema"))
     targets
       .join(rollups, Seq("id"), "left")
       .select(
         col("id"), col("schema"),
-        try_element_at(propVals(col("properties"), "name"), lit(1)).as("name"),
-        concatCell(propVals(col("properties"), "birthDate")).as("birth_date"),
-        concatCell(concat(propVals(col("properties"), "country"),
+        caption.as("name"),
+        concatCell(array_remove(typedVals(props, nameProps), caption)).as("aliases"),
+        concatCell(propVals(props, "birthDate")).as("birth_date"),
+        concatCell(concat(typedVals(props, countryProps),
           coalesce(col("adj_countries"), array()))).as("countries"),
-        concatCell(concat(propVals(col("properties"), "address"),
+        concatCell(concat(propVals(props, "address"),
           coalesce(col("adj_addresses"), array()))).as("addresses"),
         // identifiers exclude program ids (simplecsv.py:70-72 — T3)
         concatCell(array_except(
-          concat(propVals(col("properties"), "registrationNumber"),
+          concat(typedVals(props, identProps),
             coalesce(col("adj_numbers"), array())),
-          propVals(col("properties"), "programId"))).as("identifiers"),
+          propVals(props, "programId"))).as("identifiers"),
         concatCell(coalesce(col("sanction_texts"), array())).as("sanctions"),
-        concatCell(propVals(col("properties"), "programId")).as("program_ids"))
+        concatCell(typedVals(props, Seq("phone"))).as("phones"),
+        concatCell(typedVals(props, Seq("email"))).as("emails"),
+        concatCell(propVals(props, "programId")).as("program_ids"),
+        datasetCell.as("dataset"),
+        opt("first_seen").as("first_seen"),
+        opt("last_seen").as("last_seen"),
+        opt("last_change").as("last_change"))
   }
 
   /** K4: targets.nested.json support — depth-1 adjacency per target
@@ -434,27 +472,75 @@ object Exporters {
         lit("}")).as("json"))
   }
 
-  /** K7: securities.csv — sanctioned organizations with LEI/ISIN
-    * rollups; ISINs come from the entity itself plus inverted-adjacent
-    * Security entities (securities.py:82-154). */
-  def securities(entities: DataFrame): DataFrame = {
+  /** K7: securities.csv — the reference's full 15-column issuer-centric
+    * table (securities.py:45-60,112-147): caption, lei, perm_id, isins
+    * (own isinCode + inverted-adjacent Security entities), ric,
+    * countries, sanctioned/eo_14071/public booleans, id, url, datasets,
+    * risk_datasets (datasets minus context datasets), aliases
+    * (space-squashed name-type values), referents.
+    *
+    * Scope: Organization-subtree entities that are sanctioned, or whose
+    * `datasets` (optional array column) include the EO-14071 / NBIM
+    * source lists (securities.py:115-120). `referents` is an optional
+    * array column; `urlBase` prepends the public entity URL when set. */
+  def securities(
+      entities: DataFrame,
+      contextDatasets: Set[String] =
+        Set("ru_nsd_isin", "permid", "openfigi", "research", "ext_gleif"),
+      urlBase: Option[String] = None): DataFrame = {
     import graft.model.FtmModel
     val orgs = FtmModel.descendants("Organization").toSeq.sorted
+    // join_cell (securities.py:70-80): trim, embedded ';' → ',', drop
+    // empties, sorted distinct
+    def joinCell(vals: Column): Column =
+      array_join(array_sort(array_distinct(filter(
+        transform(vals, v => regexp_replace(trim(v), ";", ",")),
+        v => length(v) > 0))), ";")
+    def boolText(c: Column): Column = when(c, "true").otherwise("false")
     val secIsins = Adjacency.inverted(entities)
       .filter(col("ref_schema") === "Security")
       .groupBy(col("id"))
       .agg(flatten(collect_list(propVals(col("ref_properties"), "isin"))).as("sec_isins"))
+    val props = col("properties")
+    val datasets =
+      if (entities.columns.contains("datasets")) coalesce(col("datasets"), array())
+      else array().cast("array<string>")
+    val referents =
+      if (entities.columns.contains("referents")) coalesce(col("referents"), array())
+      else array().cast("array<string>")
+    val topics = propVals(props, "topics")
+    val sanctioned = array_contains(topics, "sanction")
+    val eo14071 = array_contains(datasets, "ru_nsd_isin")
+    val nbim = array_contains(datasets, "no_nbim_exclusions")
+    val caption = coalesce(try_element_at(propVals(props, "name"), lit(1)), col("schema"))
+    // matchable name-type values, space-squashed (securities.py:103-109)
+    val aliases = transform(
+      concat(propVals(props, "name"), propVals(props, "alias")),
+      n => regexp_replace(trim(n), "\\s+", " "))
     entities
       .filter(col("schema").isin(orgs: _*))
-      .filter(array_contains(propVals(col("properties"), "topics"), "sanction"))
+      .filter(sanctioned || eo14071 || nbim)
       .join(secIsins, Seq("id"), "left")
       .select(
-        col("id"),
-        try_element_at(propVals(col("properties"), "name"), lit(1)).as("caption"),
-        concatCell(propVals(col("properties"), "leiCode")).as("leis"),
-        concatCell(concat(propVals(col("properties"), "isinCode"),
+        caption.as("caption"),
+        joinCell(propVals(props, "leiCode")).as("lei"),
+        joinCell(propVals(props, "permId")).as("perm_id"),
+        joinCell(concat(propVals(props, "isinCode"),
           coalesce(col("sec_isins"), array()))).as("isins"),
-        concatCell(propVals(col("properties"), "country")).as("countries"))
+        joinCell(propVals(props, "ricCode")).as("ric"),
+        joinCell(concat(propVals(props, "country"),
+          propVals(props, "jurisdiction"))).as("countries"),
+        boolText(sanctioned).as("sanctioned"),
+        boolText(eo14071).as("eo_14071"),
+        boolText(array_contains(topics, "corp.public")).as("public"),
+        col("id"),
+        urlBase.map(b => concat(lit(b), col("id"), lit("/")).as("url"))
+          .getOrElse(lit("").as("url")),
+        joinCell(datasets).as("datasets"),
+        joinCell(array_except(datasets,
+          lit(contextDatasets.toSeq.sorted.toArray))).as("risk_datasets"),
+        joinCell(aliases).as("aliases"),
+        joinCell(referents).as("referents"))
   }
 
   /** K10 (full product): entities.delta.json lines — the versioned diff

@@ -200,7 +200,9 @@ object ExportQueries {
          |  ], x -> x IS NOT NULL), ',') || '}}' AS json
          |FROM cust""".stripMargin),
 
-    // K3: targets.simple.csv rollups over adjacency.
+    // K3: targets.simple.csv — the full 16-column header with aliases,
+    // typed-value countries/identifiers, phones/emails and the
+    // provenance columns (simplecsv.py:17-35).
     decl("q72_simple_csv",
       (s, d) => Exporters.simpleCsv(syntheticEntities(s, d)),
       s"""WITH $SqlCust,
@@ -215,6 +217,9 @@ object ExportQueries {
          |  FROM orders WHERE o_orderkey % 5 = 1 GROUP BY o_custkey),
          |cust_rows AS (
          |  SELECT 'c' || c.k::VARCHAR AS id, c.sch AS schema, c.c_name AS name,
+         |    CASE WHEN c.k % 5 = 0
+         |      THEN array_to_string(list_sort([upper(c.c_name), c.c_name || ' Ltd']), ';')
+         |      ELSE '' END AS aliases,
          |    CASE WHEN c.k % 4 != 0 THEN '19' || (50 + c.k % 50)::VARCHAR ELSE '' END AS birth_date,
          |    array_to_string(list_sort(list_distinct(list_filter(
          |      [c.country] || string_split(COALESCE(i.ccs, ''), ';'),
@@ -223,19 +228,36 @@ object ExportQueries {
          |    COALESCE(array_to_string(list_sort(list_distinct(list_filter(
          |      (CASE WHEN c.k % 15 = 0 THEN ['RN' || c.k::VARCHAR, 'ZZ-' || (c.k % 5)::VARCHAR]
          |            WHEN c.k % 6 = 0 THEN ['RN' || c.k::VARCHAR] ELSE [] END
+         |       || (CASE WHEN c.k % 6 = 1 THEN ['INN' || c.k::VARCHAR] ELSE [] END)
+         |       || (CASE WHEN c.k % 4 = 0 AND c.k % 8 = 0 THEN ['LEI' || c.k::VARCHAR] ELSE [] END)
+         |       || (CASE WHEN c.k % 4 = 0 AND c.k % 8 = 4 THEN ['OWNISIN' || c.k::VARCHAR] ELSE [] END)
+         |       || (CASE WHEN c.k % 20 = 0 THEN ['IMO' || lpad(((c.k * 37) % 10000000)::VARCHAR, 7, '0')] ELSE [] END)
+         |       || (CASE WHEN c.k % 3 = 0 THEN ['ZZ-' || (c.k % 5)::VARCHAR] ELSE [] END)
          |       || string_split(COALESCE(i.numbers, ''), ';')),
          |      x -> len(x) > 0 AND NOT (c.k % 3 = 0 AND x = 'ZZ-' || (c.k % 5)::VARCHAR)))), ';'), '') AS identifiers,
          |    COALESCE(s.sanctions, '') AS sanctions,
-         |    CASE WHEN c.k % 3 = 0 THEN 'ZZ-' || (c.k % 5)::VARCHAR ELSE '' END AS program_ids
+         |    '' AS phones, '' AS emails,
+         |    CASE WHEN c.k % 3 = 0 THEN 'ZZ-' || (c.k % 5)::VARCHAR ELSE '' END AS program_ids,
+         |    '' AS dataset, '' AS first_seen, '' AS last_seen, '' AS last_change
          |  FROM cust c
          |  LEFT JOIN sanc s ON c.k = s.k
          |  LEFT JOIN idents i ON c.k = i.k
          |  WHERE c.k % 3 IN (0, 1)),
          |vessel_rows AS (
          |  SELECT 'v' || s_suppkey::VARCHAR AS id, 'Vessel' AS schema,
-         |    'Vessel ' || s_name AS name, '' AS birth_date, '' AS countries,
-         |    '' AS addresses, '' AS identifiers, '' AS sanctions, '' AS program_ids
-         |  FROM supplier WHERE s_suppkey % 4 = 0)
+         |    'Vessel ' || s_name AS name, '' AS aliases, '' AS birth_date,
+         |    lower(n_name) AS countries, '' AS addresses,
+         |    array_to_string(list_sort(
+         |      (CASE WHEN s_suppkey % 3 = 0 THEN []::VARCHAR[]
+         |            WHEN s_suppkey % 5 = 0 THEN
+         |              ['IMO' || lpad(((s_suppkey * 37) % 10000000)::VARCHAR, 7, '0'),
+         |               'IMO' || lpad(((s_suppkey * 41) % 10000000)::VARCHAR, 7, '0')]
+         |            ELSE ['IMO' || lpad(((s_suppkey * 37) % 10000000)::VARCHAR, 7, '0')] END)
+         |      || ['MM' || s_suppkey::VARCHAR]), ';') AS identifiers,
+         |    '' AS sanctions, '' AS phones, '' AS emails, '' AS program_ids,
+         |    '' AS dataset, '' AS first_seen, '' AS last_seen, '' AS last_change
+         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE s_suppkey % 4 = 0)
          |SELECT * FROM cust_rows UNION ALL SELECT * FROM vessel_rows""".stripMargin),
 
     // K4: nested depth-1 adjacency sets.
@@ -329,7 +351,9 @@ object ExportQueries {
          |SELECT * FROM cust_rows UNION ALL SELECT * FROM vessel_rows
          |UNION ALL SELECT * FROM sec_rows""".stripMargin),
 
-    // K7: securities rollup (own ISINs + inverted-adjacent Security).
+    // K7: securities rollup — the full 15-column issuer table
+    // (securities.py:45-60): PermID/RIC columns, boolean flags,
+    // datasets/risk_datasets, squashed aliases, referents.
     decl("q85_securities",
       (s, d) => Exporters.securities(syntheticEntities(s, d)),
       s"""WITH $SqlCust,
@@ -337,12 +361,20 @@ object ExportQueries {
          |  SELECT o_custkey AS k,
          |    list_sort(list_distinct(list('IS' || (o_orderkey % 997)::VARCHAR))) AS sec_isins
          |  FROM orders WHERE o_orderkey % 5 = 2 GROUP BY o_custkey)
-         |SELECT 'c' || c.k::VARCHAR AS id, c.c_name AS caption,
-         |  CASE WHEN c.k % 8 = 0 THEN 'LEI' || c.k::VARCHAR ELSE '' END AS leis,
+         |SELECT c.c_name AS caption,
+         |  CASE WHEN c.k % 8 = 0 THEN 'LEI' || c.k::VARCHAR ELSE '' END AS lei,
+         |  '' AS perm_id,
          |  COALESCE(array_to_string(list_sort(list_distinct(
          |    (CASE WHEN c.k % 8 = 4 THEN ['OWNISIN' || c.k::VARCHAR] ELSE [] END)
          |    || COALESCE(s.sec_isins, []))), ';'), '') AS isins,
-         |  c.country AS countries
+         |  '' AS ric,
+         |  c.country AS countries,
+         |  'true' AS sanctioned, 'false' AS eo_14071, 'false' AS public,
+         |  'c' || c.k::VARCHAR AS id, '' AS url, '' AS datasets, '' AS risk_datasets,
+         |  array_to_string(list_sort(list_distinct(
+         |    [c.c_name] || (CASE WHEN c.k % 5 = 0
+         |      THEN [upper(c.c_name), c.c_name || ' Ltd'] ELSE [] END))), ';') AS aliases,
+         |  '' AS referents
          |FROM cust c LEFT JOIN secs s ON c.k = s.k
          |WHERE c.k % 4 = 0 AND c.k % 3 = 0""".stripMargin),
 
