@@ -48,6 +48,45 @@ object Consolidate {
           ((q(o) && !q(n)) || (q(o) === q(n) && o < n))))
   }
 
+  /** Datasets whose name statements are never removed by
+    * [[simplifyNameStatements]] regardless of demotion
+    * (consolidate.py:29-46 NEVER_REMOVE_NAMES_DATASETS). */
+  val ProtectedNameDatasets: Set[String] = Set(
+    "us_ofac_sdn", "us_ofac_cons", "eu_sanctions_map", "gb_fcdo_sanctions",
+    "ca_dfatd_sema_sanctions", "au_dfat_sanctions")
+
+  /** A7 (statement level): the full simplify_names flow with the
+    * protected-source rule (consolidate.py:123-170). `stmts` is an
+    * array<struct<value,dataset>> of name statements for ONE property;
+    * `weakAliases` the entity's weakAlias values.
+    *
+    *  1. weak aliases that are short (<15 chars) or single-word demote
+    *     case-insensitively matching names — but only if any strong
+    *     name remains (always for the alias prop);
+    *  2. the surviving values lose no-letter entries and case variants
+    *     ([[reduceCaseVariants]]);
+    *  3. statements whose value fell out are removed — UNLESS their
+    *     dataset is protected (`protectedDatasets`), which keeps the
+    *     statement verbatim. */
+  def simplifyNameStatements(
+      stmts: Column,
+      weakAliases: Column,
+      protectedDatasets: Seq[String] = ProtectedNameDatasets.toSeq.sorted,
+      aliasProp: Boolean = false): Column = {
+    val weak = transform(
+      filter(weakAliases, a => length(a) < 15 || !a.contains(" ")),
+      a => lower(a))
+    val values = array_distinct(transform(stmts, s => s.getField("value")))
+    val strong = filter(values, v => !array_contains(weak, lower(v)))
+    val demoted =
+      if (aliasProp) strong
+      else when(size(strong) > 0, strong).otherwise(values)
+    val reduced = reduceCaseVariants(filter(demoted, v => v.rlike("\\p{L}")))
+    filter(stmts, s =>
+      s.getField("dataset").isin(protectedDatasets: _*) ||
+        array_contains(reduced, s.getField("value")))
+  }
+
   /** A5/K5: squashed distinct-name key (case-insensitive, whitespace
     * collapsed) used for names.txt dedup (zavod/zavod/exporters/names.py:18-25). */
   def nameKey(name: Column): Column =

@@ -249,6 +249,37 @@ object IngestQueries {
         |  sha256('<html><body><p>' || p_name || '</p>'
         |    || CASE WHEN p_partkey % 2 = 0 THEN '<div></div>' ELSE '' END
         |    || '</body></html>') AS body_hash
+        |FROM part""".stripMargin),
+
+    // A7 (protected-source rule): statement-level simplify_names — weak
+    // aliases demote case-insensitive matches, case variants reduce, but
+    // statements from protected datasets (OFAC et al.) are never removed
+    // (consolidate.py:29-46,144-163). Even keys carry a weak alias that
+    // demotes the 'wk' name; the ALL-CAPS duplicate from a protected
+    // dataset always survives while the unprotected copy is removed.
+    decl("q100_protected_name_statements",
+      (s, d) => {
+        import graft.operators.Consolidate
+        val p = t(s, d, "part")
+        val k = col("p_partkey")
+        val wk = concat(lit("wk"), k.cast("string"))
+        val stmts = array(
+          struct(col("p_name").as("value"), lit("src_main").as("dataset")),
+          struct(upper(col("p_name")).as("value"), lit("us_ofac_sdn").as("dataset")),
+          struct(upper(col("p_name")).as("value"), lit("src_dup").as("dataset")),
+          struct(wk.as("value"), lit("src_other").as("dataset")))
+        val weak = when(k % 2 === 0, array(wk)).otherwise(array().cast("array<string>"))
+        val kept = Consolidate.simplifyNameStatements(stmts, weak)
+        p.select(k.as("id"),
+          array_join(array_sort(transform(kept,
+            s2 => concat_ws("|", s2.getField("value"), s2.getField("dataset")))), ";")
+            .as("kept"))
+      },
+      """SELECT p_partkey AS id,
+        |  array_to_string(list_sort(
+        |    [p_name || '|src_main', upper(p_name) || '|us_ofac_sdn']
+        |    || (CASE WHEN p_partkey % 2 = 0 THEN []::VARCHAR[]
+        |        ELSE ['wk' || p_partkey::VARCHAR || '|src_other'] END)), ';') AS kept
         |FROM part""".stripMargin)
   )
 }
