@@ -104,18 +104,21 @@ object Exporters {
     // ONE pass over the adjacency frame: per-schema rollups as
     // conditional aggregates (collect_* skip the null non-matches), so
     // the edge frame is scanned and shuffled once, not once per rollup.
+    // The rollup is salted two-phase (Skew.saltedArrayRollup): a hub
+    // entity with millions of adjacents spreads over the salt buckets
+    // instead of one straggler reducer.
     val adj = Adjacency.adjacent(entities)
     val op = col("other_properties")
-    val rollups = adj.groupBy(col("id")).agg(
-      collect_set(when(col("other_schema") === "Sanction",
-        sanctionText(op))).as("sanction_texts"),
-      collect_set(when(col("other_schema").isin(addrs: _*),
+    val rollups = Skew.saltedArrayRollup(adj, "id", col("other_id"), Seq(
+      "sanction_texts" -> collect_set(when(col("other_schema") === "Sanction",
+        sanctionText(op))),
+      "adj_addresses" -> collect_set(when(col("other_schema").isin(addrs: _*),
         coalesce(try_element_at(element_at(op, "full"), lit(1)),
-          try_element_at(element_at(op, "name"), lit(1))))).as("adj_addresses"),
-      flatten(collect_list(when(col("other_schema").isin(idents: _*),
-        propVals(op, "number")))).as("adj_numbers"),
-      flatten(collect_list(when(col("other_schema").isin(idents: _*),
-        propVals(op, "country")))).as("adj_countries"))
+          try_element_at(element_at(op, "name"), lit(1))))),
+      "adj_numbers" -> flatten(collect_list(when(col("other_schema").isin(idents: _*),
+        propVals(op, "number")))),
+      "adj_countries" -> flatten(collect_list(when(col("other_schema").isin(idents: _*),
+        propVals(op, "country"))))))
 
     def opt(name: String): Column =
       if (entities.columns.contains(name)) coalesce(col(name), lit("")) else lit("")
@@ -166,10 +169,11 @@ object Exporters {
     val far = edgeAdj.join(edges, col("other_id") === col("src_id"))
       .filter(col("dst_id") =!= col("id"))
       .select(col("id"), col("dst_id").as("other_id"))
-    adj.select(col("id"), col("other_id"))
-      .unionByName(far)
-      .groupBy(col("id"))
-      .agg(array_sort(array_distinct(collect_list(col("other_id")))).as("adjacent_ids"))
+    val all = adj.select(col("id"), col("other_id")).unionByName(far)
+    // salted rollup (hub-entity armor); merge order normalized by sort
+    Skew.saltedArrayRollup(all, "id", col("other_id"),
+        Seq("adjacent_ids" -> collect_set(col("other_id"))))
+      .select(col("id"), array_sort(col("adjacent_ids")).as("adjacent_ids"))
   }
 
   /** K4: the nested JSON line itself — the target entity with its
@@ -178,13 +182,14 @@ object Exporters {
     * (nested.py:6-22 + entity.py:174-198). Deterministic bytes like
     * [[ftmJsonLine]]. */
   def nestedJsonLines(entities: DataFrame): DataFrame = {
-    val adj = Adjacency.adjacent(entities)
-      .select(col("id"),
+    val adjRows = Adjacency.adjacent(entities)
+      .select(col("id"), col("other_id"),
         concat(lit("{\"id\":\""), jesc(col("other_id")),
           lit("\",\"schema\":\""), jesc(col("other_schema")), lit("\"}"))
           .as("adj_json"))
-      .groupBy(col("id"))
-      .agg(array_sort(collect_set(col("adj_json"))).as("adj_jsons"))
+    val adj = Skew.saltedArrayRollup(adjRows, "id", col("other_id"),
+        Seq("adj_jsons" -> collect_set(col("adj_json"))))
+      .select(col("id"), array_sort(col("adj_jsons")).as("adj_jsons"))
     entities.join(adj, Seq("id"), "left")
       .select(col("id"),
         concat(
@@ -260,16 +265,16 @@ object Exporters {
           t => concat_ws("|", lit("POINTER"), relRole, t))).otherwise(empty),
       when(dstVals.isNotNull && array_contains(dstVals, col("id")),
         array(concat_ws("|", lit("ANCHOR"), col("id")))).otherwise(empty))
-    val adjRoll = adj.groupBy(col("id")).agg(
-      collect_set(when(col("other_schema").isin(addrSchemas.toSeq.sorted: _*),
-        fp(op, "full"))).as("adj_addr"),
-      collect_set(when(col("other_schema") === "Identification",
-        struct(fp(op, "number").as("num"), fp(op, "country").as("cc"))))
-        .as("adj_natid"),
-      collect_set(when(col("other_schema") === "Passport",
+    // salted two-phase rollup — hub entities spread over salt buckets
+    val adjRoll = Skew.saltedArrayRollup(adj, "id", col("other_id"), Seq(
+      "adj_addr" -> collect_set(when(
+        col("other_schema").isin(addrSchemas.toSeq.sorted: _*), fp(op, "full"))),
+      "adj_natid" -> collect_set(when(col("other_schema") === "Identification",
+        struct(fp(op, "number").as("num"), fp(op, "country").as("cc")))),
+      "adj_pass" -> collect_set(when(col("other_schema") === "Passport",
         struct(coalesce(fp(op, "passportNumber"), fp(op, "number")).as("num"),
-          fp(op, "country").as("cc")))).as("adj_pass"),
-      flatten(collect_list(relEntries)).as("rels"))
+          fp(op, "country").as("cc")))),
+      "rels" -> flatten(collect_list(relEntries))))
 
     // ---- names: PRIMARY caption + ALIAS values, normalized-hash dedup
     // (senzing.py:113-124); caption falls back to the schema label ----

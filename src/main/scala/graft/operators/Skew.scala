@@ -43,4 +43,29 @@ object Skew {
       .groupBy(col("key"))
       .agg(array_sort(array_distinct(flatten(collect_list(col("_partial")))))
         .as("values"))
+
+  /** Two-phase salted multi-aggregate rollup with SET semantics: each
+    * (name, partialAgg) must produce an array per (key, salt) group;
+    * the merge phase unions the partials per key with array_distinct.
+    * This is the skew armor for the exporter adjacency rollups
+    * (simple.csv / nested / senzing): a hub entity referenced by
+    * millions of edge rows is spread over `buckets` phase-1 reducers
+    * (salted by `saltBy`, normally the adjacent id) instead of
+    * funnelling into one. Exact: result equals the unsalted
+    * groupBy(key).agg(...) up to array order, which every consumer
+    * sorts or distincts anyway. */
+  def saltedArrayRollup(
+      df: DataFrame, keyCol: String, saltBy: Column,
+      aggs: Seq[(String, Column)], buckets: Int = 16): DataFrame = {
+    require(aggs.nonEmpty, "at least one aggregate required")
+    val partial = df
+      .withColumn("_salt", pmod(xxhash64(saltBy), lit(buckets)))
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (n, c) => c.as(n) }: _*)
+    def merge(n: String): Column =
+      array_distinct(flatten(collect_list(col(n)))).as(n)
+    partial.groupBy(col(keyCol))
+      .agg(merge(aggs.head._1), aggs.tail.map { case (n, _) => merge(n) }: _*)
+  }
 }

@@ -54,4 +54,28 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"),
       plan.take(500))
   }
+
+  test("exporter adjacency rollups are salted two-phase and stay exact") {
+    import graft.operators.Skew
+    // hub dataset: one entity adjacent to 50k rows, a handful of normal ones
+    val hub = (1 to 50000).map(i => ("hub", s"o$i")) ++
+      (1 to 10).map(i => (s"e$i", s"o$i"))
+    val df = hub.toDF("id", "other_id")
+    val rolled = Skew.saltedArrayRollup(df, "id", col("other_id"),
+      Seq("vals" -> collect_set(col("other_id"))), buckets = 16)
+    // exactness: equals the unsalted rollup up to array order
+    val direct = df.groupBy(col("id"))
+      .agg(array_sort(collect_set(col("other_id"))).as("vals"))
+      .as[(String, Seq[String])].collect().toMap
+    val salted = rolled.select(col("id"), array_sort(col("vals")))
+      .as[(String, Seq[String])].collect().toMap
+    assert(salted == direct)
+    assert(salted("hub").size == 50000)
+    // the plan really is two-phase: a shuffle keyed by (id, _salt)
+    // precedes the final shuffle keyed by id alone
+    val plan = rolled.queryExecution.executedPlan.toString
+    assert(plan.contains("_salt#"), plan.take(1200))
+    assert("hashpartitioning\\(id#\\d+, _salt#".r.findFirstIn(plan).isDefined,
+      plan.take(1200))
+  }
 }
