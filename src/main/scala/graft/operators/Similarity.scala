@@ -61,22 +61,92 @@ object Similarity {
   /** LSH-bucketed ANN: exact cosine ranking *within* each hyperplane
     * bucket — the shuffle is an equi-join on the bucket key, so cost
     * scales with bucket sizes, not |corpus|². Recall is traded for
-    * scale (the standard IVF/LSH trade). */
+    * scale (the standard IVF/LSH trade).
+    *
+    * `multiProbe` additionally probes every bucket at Hamming distance 1
+    * from the query's bucket (each of the `planes` bits flipped) — the
+    * standard multi-probe recall boost: a near neighbor straddling ONE
+    * hyperplane is recovered at the cost of (planes+1)× the query-side
+    * fan-out, while the corpus stays single-bucket. Candidate pairs
+    * reached through several probes are deduplicated before ranking. */
   def cosineTopKLsh(
       queries: DataFrame, corpus: DataFrame, k: Int,
-      dim: Int, planes: Int = 8): DataFrame = {
-    val q = queries.toDF("query_id", "qvec")
-      .withColumn("bucket", lshBucket(col("qvec"), dim, planes))
+      dim: Int, planes: Int = 8, multiProbe: Boolean = false): DataFrame = {
+    val q0 = queries.toDF("query_id", "qvec")
+      .withColumn("bucket0", lshBucket(col("qvec"), dim, planes))
+    val q =
+      if (!multiProbe) q0.select(col("query_id"), col("qvec"), col("bucket0").as("bucket"))
+      else q0.select(col("query_id"), col("qvec"),
+        explode(array(col("bucket0") +:
+          (0 until planes).map(i => col("bucket0").bitwiseXOR(lit(1L << i))): _*))
+          .as("bucket"))
     val c = corpus.toDF("neighbor_id", "nvec")
       .withColumn("bucket", lshBucket(col("nvec"), dim, planes))
-    val scored = c.join(q, "bucket")
+    val cand0 = c.join(q, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qvec"), col("neighbor_id"), col("nvec"))
+    val cand = if (multiProbe) cand0.dropDuplicates("query_id", "neighbor_id") else cand0
+    val scored = cand
       .withColumn("cosine", cosine(asDouble(col("qvec")), asDouble(col("nvec"))))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Multi-table (banded) sign-LSH ANN: `tables` independent hash
+    * tables of `planes` hyperplanes each (disjoint plane indices per
+    * table), candidates unioned across tables, then exact in-candidate
+    * ranking. The standard recall knob: a pair colliding in ANY table
+    * becomes a candidate, so recall ≈ 1-(1-p^planes)^tables while the
+    * per-table join stays an equi-join on (table, bits). Corpus-side
+    * cost is tables× the single-table index — the usual LSH storage
+    * trade. */
+  def cosineTopKLshTables(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      dim: Int, planes: Int = 4, tables: Int = 8): DataFrame = {
+    def tableBuckets(vec: Column): Column = {
+      val v = asDouble(vec)
+      array((0 until tables).map { t =>
+        val bits = (0 until planes).map { p =>
+          val abs = t * planes + p
+          val planeVec = array((0 until dim).map(d => lit(planeSign(abs, d))): _*)
+          when(dot(v, planeVec) > 0, 1L << p).otherwise(0L)
+        }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+        struct(lit(t).as("tbl"), bits.as("bits"))
+      }: _*)
+    }
+    val q = queries.toDF("query_id", "qvec")
+      .select(col("query_id"), col("qvec"), explode(tableBuckets(col("qvec"))).as("bk"))
+    val c = corpus.toDF("neighbor_id", "nvec")
+      .select(col("neighbor_id"), col("nvec"), explode(tableBuckets(col("nvec"))).as("bk"))
+    val cand = c.join(q, "bk")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qvec"), col("neighbor_id"), col("nvec"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand
+      .withColumn("cosine", cosine(asDouble(col("qvec")), asDouble(col("nvec"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Recall@k of an approximate ANN result against the exact one: the
+    * fraction of exact (query, neighbor) pairs the approximate method
+    * recovered. Both inputs are (query_id, neighbor_id, ...) frames. */
+  def recallAgainst(exact: DataFrame, approx: DataFrame, method: String): DataFrame = {
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val total = e.agg(count(lit(1)).as("exact_pairs"))
+    e.join(approx.select(col("query_id"), col("neighbor_id")).distinct(),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("found_pairs"))
+      .crossJoin(total)
+      .select(lit(method).as("method"), col("exact_pairs"), col("found_pairs"),
+        (col("found_pairs").cast("double") / col("exact_pairs").cast("double"))
+          .as("recall"))
   }
 
   /** IVF (inverted-file) ANN — the coarse-quantizer scale path: every
