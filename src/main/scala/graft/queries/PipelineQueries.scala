@@ -449,7 +449,10 @@ object PipelineQueries {
         val qs = e.filter(col("vec_id") % 100 === 0).select(col("vec_id"), col("embedding"))
         val corpus = e.select(col("vec_id"), col("embedding"))
         val cents = e.filter(col("vec_id") % 50 === 7).select(col("vec_id"), col("embedding"))
+        // the exact baseline feeds all four recall rows (semi-join +
+        // denominator each) — persist it or the 25M-pair ranking runs 8×
         val exact = Similarity.cosineTopK(qs, corpus, k = 10)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val lsh = Similarity.cosineTopKLsh(qs, corpus, k = 10, dim = 64, planes = 6)
         val mp = Similarity.cosineTopKLsh(qs, corpus, k = 10, dim = 64, planes = 6,
           multiProbe = true)
