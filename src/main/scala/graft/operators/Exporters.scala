@@ -24,7 +24,7 @@ object Exporters {
     * U+0000–U+001F are stripped (they never occur in whitespace-squashed
     * property values; stripping keeps the JSONL framing safe even if one
     * slips through upstream). */
-  private def jesc(c: Column): Column = {
+  private[operators] def jesc(c: Column): Column = {
     val base = regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
     val named = Seq(
       "\\n" -> "\\\\n", "\\r" -> "\\\\r", "\\t" -> "\\\\t",

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dataset statistics facets (A2/K9): counts by schema, by country, by
@@ -54,6 +54,138 @@ object Statistics {
       .select(lit("sanction_program").as("facet"), col("key"), col("cnt"))
     all.unionByName(targets).unionByName(programs)
       .orderBy(col("facet"), col("cnt").desc, col("key"))
+  }
+
+  /** K9: the complete statistics.json document with the reference's
+    * structure (statistics.py:73-170): last_change, schemata,
+    * properties (schema:prop qnames), entity/target counts, targets
+    * {total, countries, schemata}, sanctions{programs} (programId
+    * counts over Sanction entities), things{total, countries, schemata,
+    * entities_with_prop fill rates}. One JSON row, deterministic bytes.
+    *
+    * Deliberate deviations, documented: facet ties sort by key asc
+    * (the reference inherits dict insertion order — nondeterministic
+    * under parallel aggregation); schema label/plural derive from the
+    * schema name (the reference reads FtM YAML labels); country labels
+    * are the codes; fill_rate is fixed-point DECIMAL(8,6) so the bytes
+    * are engine-independent. `entities` may carry an optional
+    * `last_change` string column. */
+  def statisticsJson(entities: DataFrame): DataFrame = {
+    import graft.model.FtmModel
+    val jesc = (c: org.apache.spark.sql.Column) => Exporters.jesc(c)
+    val risks = lit(FtmModel.riskTopics.toSeq.sorted.toArray)
+    val countryProps = FtmModel.schemata.values.flatMap(_.props)
+      .filter(_.ptype == FtmModel.PropType.Country).map(_.name).toSet.toSeq.sorted
+    val things = FtmModel.descendants("Thing").toSeq.sorted
+    val lastChange =
+      if (entities.columns.contains("last_change")) col("last_change")
+      else lit(null).cast("string")
+    val props = col("properties")
+    val e = entities.select(
+      col("id"), col("schema"), props,
+      lastChange.as("lc"),
+      arrays_overlap(coalesce(element_at(props, "topics"),
+        array().cast("array<string>")), risks).as("is_target"),
+      flatten(transform(
+        filter(map_entries(props), en => en.getField("key").isin(countryProps: _*)),
+        en => en.getField("value"))).as("countries"),
+      col("schema").isin(things: _*).as("is_thing"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // ---- tiny aggregate frames, each reduced to one JSON fragment ----
+    def fragment(df: DataFrame, name: String, entry: Column, sortKey: Column): DataFrame =
+      df.agg(array_join(transform(
+        array_sort(collect_list(struct(sortKey.as("k"), entry.as("e")))),
+        x => x.getField("e")), ",").as(name))
+    // count-desc sort via inverted count in the key struct
+    def byCountDesc(cnt: Column, key: Column): Column =
+      struct((-cnt).as("nk"), key.as("tk"))
+
+    val totals = e.agg(
+      count(lit(1)).as("entity_count"),
+      count(when(col("is_target"), 1)).as("target_count"),
+      count(when(col("is_thing"), 1)).as("thing_count"),
+      max(col("lc")).as("last_change"))
+
+    val schemaCounts = e.groupBy(col("schema")).agg(count(lit(1)).as("cnt"))
+    val schemataList = fragment(schemaCounts, "schemata_json",
+      concat(lit("\""), jesc(col("schema")), lit("\"")), struct(col("schema")))
+    def schemaFacet(df: DataFrame, name: String) = fragment(
+      df, name,
+      concat(lit("{\"name\":\""), jesc(col("schema")),
+        lit("\",\"count\":"), col("cnt"),
+        lit(",\"label\":\""), jesc(col("schema")),
+        lit("\",\"plural\":\""), jesc(concat(col("schema"), lit("s"))), lit("\"}")),
+      byCountDesc(col("cnt"), col("schema")))
+    val thingSchemata = schemaFacet(
+      e.filter(col("is_thing")).groupBy(col("schema")).agg(count(lit(1)).as("cnt")),
+      "things_schemata_json")
+    val targetSchemata = schemaFacet(
+      e.filter(col("is_target")).groupBy(col("schema")).agg(count(lit(1)).as("cnt")),
+      "targets_schemata_json")
+
+    val qnames = fragment(
+      e.select(col("schema"), explode(map_keys(props)).as("p")).distinct(),
+      "properties_json",
+      concat(lit("\""), jesc(concat(col("schema"), lit(":"), col("p"))), lit("\"")),
+      struct(col("schema"), col("p")))
+
+    def countryFacet(df: DataFrame, name: String) = fragment(
+      df.select(explode(col("countries")).as("code"))
+        .groupBy(col("code")).agg(count(lit(1)).as("cnt")),
+      name,
+      concat(lit("{\"code\":\""), jesc(col("code")),
+        lit("\",\"count\":"), col("cnt"),
+        lit(",\"label\":\""), jesc(col("code")), lit("\"}")),
+      byCountDesc(col("cnt"), col("code")))
+    val thingCountries = countryFacet(e.filter(col("is_thing")), "things_countries_json")
+    val targetCountries = countryFacet(e.filter(col("is_target")), "targets_countries_json")
+
+    val programs = fragment(
+      e.filter(col("schema") === "Sanction")
+        .select(explode(coalesce(element_at(props, "programId"),
+          array().cast("array<string>"))).as("pid"))
+        .groupBy(col("pid")).agg(count(lit(1)).as("cnt")),
+      "programs_json",
+      concat(lit("{\"id\":\""), jesc(col("pid")), lit("\",\"count\":"), col("cnt"), lit("}")),
+      struct(col("pid")))
+
+    val withProp = e.select(col("schema"), explode(map_keys(props)).as("p"))
+      .groupBy(col("schema"), col("p")).agg(count(lit(1)).as("cnt"))
+      .join(schemaCounts.withColumnRenamed("cnt", "total"), "schema")
+    val entitiesWithProp = fragment(withProp, "entities_with_prop_json",
+      concat(lit("{\"schema\":\""), jesc(col("schema")),
+        lit("\",\"property\":\""), jesc(col("p")),
+        lit("\",\"count\":"), col("cnt"),
+        lit(",\"total\":"), col("total"),
+        lit(",\"fill_rate\":"),
+        (col("cnt").cast("double") / col("total").cast("double"))
+          .cast("decimal(8,6)").cast("string"), lit("}")),
+      struct(col("schema"), col("p")))
+
+    totals
+      .crossJoin(schemataList).crossJoin(qnames)
+      .crossJoin(targetCountries).crossJoin(targetSchemata)
+      .crossJoin(programs)
+      .crossJoin(thingCountries).crossJoin(thingSchemata)
+      .crossJoin(entitiesWithProp)
+      .select(concat(
+        lit("{\"last_change\":"),
+        when(col("last_change").isNotNull,
+          concat(lit("\""), jesc(col("last_change")), lit("\""))).otherwise(lit("null")),
+        lit(",\"schemata\":["), col("schemata_json"),
+        lit("],\"properties\":["), col("properties_json"),
+        lit("],\"entity_count\":"), col("entity_count"),
+        lit(",\"target_count\":"), col("target_count"),
+        lit(",\"targets\":{\"total\":"), col("target_count"),
+        lit(",\"countries\":["), col("targets_countries_json"),
+        lit("],\"schemata\":["), col("targets_schemata_json"),
+        lit("]},\"sanctions\":{\"programs\":["), col("programs_json"),
+        lit("]},\"things\":{\"total\":"), col("thing_count"),
+        lit(",\"countries\":["), col("things_countries_json"),
+        lit("],\"schemata\":["), col("things_schemata_json"),
+        lit("],\"entities_with_prop\":["), col("entities_with_prop_json"),
+        lit("]}}")).as("json"))
   }
 
   /** Fill rate per (schema, prop): fraction of entities of a schema that

@@ -398,6 +398,110 @@ object ExportQueries {
          |FROM orders WHERE o_orderkey % 5 = 0
          |GROUP BY o_orderkey % 7""".stripMargin),
 
+    // K9 (full document): statistics.json with the reference's complete
+    // structure — last_change, schemata, qnames, counts, target/thing
+    // facet blocks, sanction programs, per-(schema,prop) fill rates —
+    // over a compact bespoke frame (nation/region derived) so the
+    // oracle can rebuild the document byte-for-byte. (In this model's
+    // compact lattice every schema descends from Thing, so
+    // things.total == entity_count here.)
+    decl("q102_statistics_json",
+      (s, d) => {
+        val n = t(s, d, "nation")
+        val nk = col("n_nationkey")
+        val lc = concat(lit("2026-01-0"), (lit(1) + nk % 9).cast("string"))
+        val persons = n.filter(nk % 2 === 1).select(
+          concat(lit("p"), nk.cast("string")).as("id"),
+          lit("Person").as("schema"),
+          m(
+            "name" -> array(col("n_name")),
+            "country" -> array(concat(lit("r"), (nk % 5).cast("string"))),
+            "birthDate" -> array(concat(lit("19"), (lit(50) + nk).cast("string"))),
+            "topics" -> when(nk % 3 === 0, array(lit("sanction"))).otherwise(EmptyArr)),
+          lc.as("last_change"))
+        val companies = n.filter(nk % 2 === 0).select(
+          concat(lit("co"), nk.cast("string")).as("id"),
+          lit("Company").as("schema"),
+          m(
+            "name" -> array(col("n_name")),
+            "country" -> array(concat(lit("r"), (nk % 5).cast("string"))),
+            "registrationNumber" -> when(nk % 4 === 0,
+              array(concat(lit("R"), nk.cast("string")))).otherwise(EmptyArr),
+            "topics" -> when(nk % 3 === 1, array(lit("poi"))).otherwise(EmptyArr)),
+          lc.as("last_change"))
+        val r = t(s, d, "region")
+        val sancs = r.select(
+          concat(lit("sx"), col("r_regionkey").cast("string")).as("id"),
+          lit("Sanction").as("schema"),
+          m(
+            "entity" -> array(lit("p1")),
+            "programId" -> array(concat(lit("PR-"), (col("r_regionkey") % 2).cast("string")))),
+          lit("2026-01-01").as("last_change"))
+        graft.operators.Statistics.statisticsJson(
+          persons.unionByName(companies).unionByName(sancs))
+      },
+      """WITH ents AS (
+        |  SELECT 'Person' AS sch, 'r' || (n_nationkey % 5)::VARCHAR AS country,
+        |    n_nationkey % 3 = 0 AS is_target,
+        |    '2026-01-0' || (1 + n_nationkey % 9)::VARCHAR AS lc,
+        |    ['birthDate', 'country', 'name']
+        |      || (CASE WHEN n_nationkey % 3 = 0 THEN ['topics'] ELSE [] END) AS pk
+        |  FROM nation WHERE n_nationkey % 2 = 1
+        |  UNION ALL
+        |  SELECT 'Company', 'r' || (n_nationkey % 5)::VARCHAR, n_nationkey % 3 = 1,
+        |    '2026-01-0' || (1 + n_nationkey % 9)::VARCHAR,
+        |    ['country', 'name']
+        |      || (CASE WHEN n_nationkey % 4 = 0 THEN ['registrationNumber'] ELSE [] END)
+        |      || (CASE WHEN n_nationkey % 3 = 1 THEN ['topics'] ELSE [] END)
+        |  FROM nation WHERE n_nationkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 'Sanction', NULL, FALSE, '2026-01-01', ['entity', 'programId']
+        |  FROM region),
+        |tot AS (SELECT COUNT(*) AS ec, COUNT(*) FILTER (WHERE is_target) AS tc,
+        |  max(lc) AS mlc FROM ents),
+        |schl AS (SELECT string_agg('"' || sch || '"', ',' ORDER BY sch) AS j
+        |  FROM (SELECT DISTINCT sch FROM ents)),
+        |qn AS (SELECT string_agg('"' || sch || ':' || p || '"', ',' ORDER BY sch, p) AS j
+        |  FROM (SELECT DISTINCT sch, unnest(pk) AS p FROM ents)),
+        |tcf AS (SELECT COALESCE(string_agg('{"code":"' || country || '","count":'
+        |    || cnt::VARCHAR || ',"label":"' || country || '"}', ',' ORDER BY cnt DESC, country), '') AS j
+        |  FROM (SELECT country, COUNT(*) AS cnt FROM ents
+        |        WHERE is_target AND country IS NOT NULL GROUP BY country)),
+        |tsf AS (SELECT COALESCE(string_agg('{"name":"' || sch || '","count":' || cnt::VARCHAR
+        |    || ',"label":"' || sch || '","plural":"' || sch || 's"}', ',' ORDER BY cnt DESC, sch), '') AS j
+        |  FROM (SELECT sch, COUNT(*) AS cnt FROM ents WHERE is_target GROUP BY sch)),
+        |pgf AS (SELECT COALESCE(string_agg('{"id":"PR-' || pr::VARCHAR || '","count":'
+        |    || cnt::VARCHAR || '}', ',' ORDER BY pr), '') AS j
+        |  FROM (SELECT r_regionkey % 2 AS pr, COUNT(*) AS cnt FROM region GROUP BY r_regionkey % 2)),
+        |thcf AS (SELECT COALESCE(string_agg('{"code":"' || country || '","count":'
+        |    || cnt::VARCHAR || ',"label":"' || country || '"}', ',' ORDER BY cnt DESC, country), '') AS j
+        |  FROM (SELECT country, COUNT(*) AS cnt FROM ents
+        |        WHERE country IS NOT NULL GROUP BY country)),
+        |thsf AS (SELECT COALESCE(string_agg('{"name":"' || sch || '","count":' || cnt::VARCHAR
+        |    || ',"label":"' || sch || '","plural":"' || sch || 's"}', ',' ORDER BY cnt DESC, sch), '') AS j
+        |  FROM (SELECT sch, COUNT(*) AS cnt FROM ents GROUP BY sch)),
+        |ewp AS (SELECT string_agg('{"schema":"' || sch || '","property":"' || p
+        |    || '","count":' || cnt::VARCHAR || ',"total":' || total::VARCHAR
+        |    || ',"fill_rate":' || ((cnt::DOUBLE / total::DOUBLE)::DECIMAL(8,6))::VARCHAR
+        |    || '}', ',' ORDER BY sch, p) AS j
+        |  FROM (SELECT sch, p, COUNT(*) AS cnt
+        |        FROM (SELECT sch, unnest(pk) AS p FROM ents) GROUP BY sch, p)
+        |  JOIN (SELECT sch, COUNT(*) AS total FROM ents GROUP BY sch) USING (sch))
+        |SELECT '{"last_change":"' || tot.mlc || '","schemata":[' || schl.j
+        |  || '],"properties":[' || qn.j
+        |  || '],"entity_count":' || tot.ec
+        |  || ',"target_count":' || tot.tc
+        |  || ',"targets":{"total":' || tot.tc
+        |  || ',"countries":[' || tcf.j
+        |  || '],"schemata":[' || tsf.j
+        |  || ']},"sanctions":{"programs":[' || pgf.j
+        |  || ']},"things":{"total":' || tot.ec
+        |  || ',"countries":[' || thcf.j
+        |  || '],"schemata":[' || thsf.j
+        |  || '],"entities_with_prop":[' || ewp.j
+        |  || ']}}' AS json
+        |FROM tot, schl, qn, tcf, tsf, pgf, thcf, thsf, ewp""".stripMargin),
+
     // K8: maritime rows, one per IMO.
     decl("q86_maritime",
       (s, d) => Exporters.maritime(syntheticEntities(s, d)),
