@@ -24,8 +24,22 @@ object ExportQueries {
       map(pairs.flatMap { case (k, v) => Seq(lit(k), v) }: _*),
       (_, v) => size(v) > 0).as("properties")
 
-  /** The shared synthetic entity frame: (id, schema, properties). */
-  def syntheticEntities(s: SparkSession, d: String): DataFrame = {
+  /** The shared synthetic entity frame, cached per (session, dir): the
+    * export products are N plans over ONE entity frame (the engine's
+    * documented pattern — Exporters scaladoc), so the query-side frame
+    * is persisted exactly like a real caller would persist the
+    * assembled entity table before fanning out exporters. Without this
+    * the adjacency branches re-derive the six-way union per reference
+    * (37 scans in q84's plan). */
+  private val entityCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def syntheticEntities(s: SparkSession, d: String): DataFrame =
+    entityCache.getOrElseUpdate((s, d),
+      buildSyntheticEntities(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def buildSyntheticEntities(s: SparkSession, d: String): DataFrame = {
     val cust = t(s, d, "customer")
       .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
     val k = col("c_custkey")
