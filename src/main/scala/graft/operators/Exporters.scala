@@ -200,6 +200,90 @@ object Exporters {
           lit("]}")).as("json"))
   }
 
+  /** K4 (full fidelity): targets.nested.json exactly as the reference's
+    * `to_nested_dict(view, depth=1)` (entity.py:174-198, nested.py):
+    * each TARGET entity's FtM dict with its `properties` updated so
+    * every adjacency-reached prop (forward entity-ref props AND the
+    * inverted referring props, e.g. a Sanction's `entity`) maps to the
+    * FULL dicts of the adjacent entities instead of id strings; edge
+    * adjacents don't consume depth — the edge's dict nests its far
+    * endpoints' full dicts (the path rule excludes the origin entity).
+    * Keys and value arrays are sorted for deterministic bytes (the
+    * reference inherits dict insertion order). */
+  def nestedTargetJsonLines(entities: DataFrame): DataFrame = {
+    import graft.model.FtmModel
+    val edgeDefs = FtmModel.schemata.values.filter(_.isEdge).toSeq.sortBy(_.name)
+    val edgeSchemas = edgeDefs.map(_.name)
+    val targets = entities.filter(
+      arrays_overlap(propVals(col("properties"), "topics"),
+        lit(FtmModel.riskTopics.toSeq.sorted.toArray)))
+
+    val entJson = entities.select(col("id").as("j_id"),
+      ftmJsonLine(col("id"), col("schema"), col("properties")).as("full_json"))
+    val adj = Adjacency.adjacent(entities)
+
+    // non-edge adjacents: value = the adjacent's full dict
+    val plain = adj.filter(!col("other_schema").isin(edgeSchemas: _*))
+      .join(entJson, col("other_id") === col("j_id"))
+      .select(col("id"), col("prop"), col("full_json").as("value_json"))
+
+    // edge adjacents: the edge dict nests its far endpoints (path rule:
+    // the origin entity is excluded), other props stay string arrays
+    val edgeAdj = adj.filter(col("other_schema").isin(edgeSchemas: _*))
+      .select(col("id"), col("prop"), col("other_id"), col("other_schema"),
+        col("other_properties"))
+    val farRefs = Adjacency.refEdges(entities)
+      .select(col("src_id").as("e_id"), col("prop").as("e_prop"),
+        col("dst_id").as("far_id"))
+    val farJson = edgeAdj
+      .join(farRefs, col("other_id") === col("e_id") && col("far_id") =!= col("id"))
+      .join(entJson, col("far_id") === col("j_id"))
+      .groupBy(col("id"), col("prop"), col("other_id"), col("e_prop"))
+      .agg(sort_array(collect_set(col("full_json"))).as("far_jsons"))
+      .groupBy(col("id"), col("prop"), col("other_id"))
+      .agg(map_from_entries(collect_list(
+        struct(col("e_prop"), concat(lit("["),
+          array_join(col("far_jsons"), ","), lit("]"))))).as("far_map"))
+    val edgeValues = edgeAdj
+      .join(farJson, Seq("id", "prop", "other_id"), "left")
+      .select(col("id"), col("prop"),
+        nestedPropsJson(col("other_id"), col("other_schema"),
+          col("other_properties"), col("far_map")).as("value_json"))
+
+    // per (target, prop): sorted array of nested dicts. Two-level
+    // aggregation — (id, prop) partials first — spreads a hub entity's
+    // rows across its props before the per-id merge.
+    val nested = plain.unionByName(edgeValues)
+      .groupBy(col("id"), col("prop"))
+      .agg(sort_array(collect_set(col("value_json"))).as("vjsons"))
+      .groupBy(col("id"))
+      .agg(map_from_entries(collect_list(struct(col("prop"),
+        concat(lit("["), array_join(col("vjsons"), ","), lit("]")))))
+        .as("nested"))
+
+    targets.join(nested, Seq("id"), "left")
+      .select(col("id"),
+        nestedPropsJson(col("id"), col("schema"), col("properties"),
+          col("nested")).as("json"))
+  }
+
+  /** The FtM dict with `properties` merged against an override map
+    * (prop → pre-rendered JSON array string): override keys win,
+    * remaining props render as sorted string arrays; key order sorted. */
+  private def nestedPropsJson(
+      id: Column, schema: Column, properties: Column, overrides: Column): Column = {
+    val ov = coalesce(overrides, map().cast("map<string,string>"))
+    val keys = array_sort(array_distinct(concat(map_keys(properties), map_keys(ov))))
+    val entries = transform(keys, k => concat(
+      lit("\""), jesc(k), lit("\":"),
+      coalesce(element_at(ov, k),
+        jarr(array_sort(coalesce(element_at(properties, k),
+          array().cast("array<string>")))))))
+    concat(lit("{\"id\":\""), jesc(id),
+      lit("\",\"schema\":\""), jesc(schema),
+      lit("\",\"properties\":{"), array_join(entries, ","), lit("}}"))
+  }
+
   /** Senzing attribute-cell helpers: each family is an array of
     * "ATTR=value" (or "ATTR=value|second") entries; [[senzing]] joins
     * them into sorted ';' cells for the relational/oracle surface and

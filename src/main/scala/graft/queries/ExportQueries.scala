@@ -412,6 +412,88 @@ object ExportQueries {
          |FROM orders WHERE o_orderkey % 5 = 0
          |GROUP BY o_orderkey % 7""".stripMargin),
 
+    // K4 (full fidelity): targets.nested.json — each target's FtM dict
+    // with adjacency-reached props replaced by the adjacents' FULL
+    // dicts (entity.py:174-198); the oracle rebuilds every nested dict
+    // from the base tables.
+    decl("q103_nested_target_json",
+      (s, d) => Exporters.nestedTargetJsonLines(syntheticEntities(s, d)),
+      s"""WITH $SqlCust,
+         |sanc AS (
+         |  SELECT o_custkey AS k, '"entity":[' || string_agg(DISTINCT
+         |      '{"id":"s' || o_orderkey::VARCHAR || '","schema":"Sanction","properties":{"entity":["c'
+         |      || o_custkey::VARCHAR || '"],"program":["PROG-' || (o_orderkey % 7)::VARCHAR
+         |      || '"],"programId":["ZZ-' || (o_orderkey % 5)::VARCHAR
+         |      || '"],"startDate":["' || strftime(o_orderdate, '%Y-%m-%d') || '"]}}',
+         |      ',' ORDER BY '{"id":"s' || o_orderkey::VARCHAR || '","schema":"Sanction","properties":{"entity":["c'
+         |      || o_custkey::VARCHAR || '"],"program":["PROG-' || (o_orderkey % 7)::VARCHAR
+         |      || '"],"programId":["ZZ-' || (o_orderkey % 5)::VARCHAR
+         |      || '"],"startDate":["' || strftime(o_orderdate, '%Y-%m-%d') || '"]}}') || ']' AS j
+         |  FROM orders WHERE o_orderkey % 5 = 0 GROUP BY o_custkey),
+         |idn AS (
+         |  SELECT o_custkey AS k, '"holder":[' || string_agg(DISTINCT
+         |      '{"id":"i' || o_orderkey::VARCHAR || '","schema":"Identification","properties":{"country":["cc'
+         |      || (o_orderkey % 10)::VARCHAR || '"],"holder":["c' || o_custkey::VARCHAR
+         |      || '"],"number":["NUM' || (o_orderkey % 1000)::VARCHAR || '"]}}',
+         |      ',' ORDER BY '{"id":"i' || o_orderkey::VARCHAR || '","schema":"Identification","properties":{"country":["cc'
+         |      || (o_orderkey % 10)::VARCHAR || '"],"holder":["c' || o_custkey::VARCHAR
+         |      || '"],"number":["NUM' || (o_orderkey % 1000)::VARCHAR || '"]}}') || ']' AS j
+         |  FROM orders WHERE o_orderkey % 5 = 1 GROUP BY o_custkey),
+         |sec AS (
+         |  SELECT o_custkey AS k, '"issuer":[' || string_agg(DISTINCT
+         |      '{"id":"sec' || o_orderkey::VARCHAR || '","schema":"Security","properties":{"isin":["IS'
+         |      || (o_orderkey % 997)::VARCHAR || '"],"issuer":["c' || o_custkey::VARCHAR || '"]}}',
+         |      ',' ORDER BY '{"id":"sec' || o_orderkey::VARCHAR || '","schema":"Security","properties":{"isin":["IS'
+         |      || (o_orderkey % 997)::VARCHAR || '"],"issuer":["c' || o_custkey::VARCHAR || '"]}}') || ']' AS j
+         |  FROM orders WHERE o_orderkey % 5 = 2 GROUP BY o_custkey),
+         |cust_rows AS (
+         |  SELECT 'c' || c.k::VARCHAR AS id,
+         |    '{"id":"c' || c.k::VARCHAR || '","schema":"' || c.sch || '","properties":{'
+         |    || array_to_string(list_filter([
+         |      '"addressEntity":[{"id":"a' || (c.k % 97)::VARCHAR
+         |        || '","schema":"Address","properties":{"full":["No. ' || ((c.k % 97) * 3)::VARCHAR
+         |        || ' Main St"],"name":["Addr ' || (c.k % 97)::VARCHAR || '"]}}]',
+         |      CASE WHEN c.k % 5 = 0 THEN '"alias":["' || upper(c.c_name) || '","' || c.c_name || ' Ltd"]' END,
+         |      CASE WHEN c.k % 4 != 0 THEN '"birthDate":["19' || (50 + c.k % 50)::VARCHAR || '"]' END,
+         |      '"country":["' || c.country || '"]',
+         |      s.j,
+         |      CASE WHEN c.k % 4 != 0 THEN '"gender":["' || (CASE WHEN c.k % 2 = 0 THEN 'male' ELSE 'female' END) || '"]' END,
+         |      i.j,
+         |      CASE WHEN c.k % 20 = 0 THEN '"imoNumber":["IMO' || lpad(((c.k * 37) % 10000000)::VARCHAR, 7, '0') || '"]' END,
+         |      CASE WHEN c.k % 6 = 1 THEN '"innCode":["INN' || c.k::VARCHAR || '"]' END,
+         |      CASE WHEN c.k % 4 = 0 AND c.k % 8 = 4 THEN '"isinCode":["OWNISIN' || c.k::VARCHAR || '"]' END,
+         |      x.j,
+         |      CASE WHEN c.k % 4 = 0 AND c.k % 8 = 0 THEN '"leiCode":["LEI' || c.k::VARCHAR || '"]' END,
+         |      '"name":["' || c.c_name || '"]',
+         |      CASE WHEN c.k % 3 = 0 THEN '"programId":["ZZ-' || (c.k % 5)::VARCHAR || '"]' END,
+         |      CASE WHEN c.k % 15 = 0 THEN '"registrationNumber":["RN' || c.k::VARCHAR || '","ZZ-' || (c.k % 5)::VARCHAR || '"]'
+         |           WHEN c.k % 6 = 0 THEN '"registrationNumber":["RN' || c.k::VARCHAR || '"]' END,
+         |      CASE WHEN c.k % 3 = 0 THEN '"topics":["sanction"]' ELSE '"topics":["poi"]' END
+         |    ], x2 -> x2 IS NOT NULL), ',') || '}}' AS json
+         |  FROM cust c
+         |  LEFT JOIN sanc s ON c.k = s.k
+         |  LEFT JOIN idn i ON c.k = i.k
+         |  LEFT JOIN sec x ON c.k = x.k
+         |  WHERE c.k % 3 IN (0, 1)),
+         |vessel_rows AS (
+         |  SELECT 'v' || s_suppkey::VARCHAR AS id,
+         |    '{"id":"v' || s_suppkey::VARCHAR || '","schema":"Vessel","properties":{'
+         |    || array_to_string(list_filter([
+         |      '"flag":["' || lower(n_name) || '"]',
+         |      CASE WHEN s_suppkey % 3 != 0 THEN '"imoNumber":' ||
+         |        (CASE WHEN s_suppkey % 5 = 0 THEN
+         |          '["' || array_to_string(list_sort([
+         |            'IMO' || lpad(((s_suppkey * 37) % 10000000)::VARCHAR, 7, '0'),
+         |            'IMO' || lpad(((s_suppkey * 41) % 10000000)::VARCHAR, 7, '0')]), '","') || '"]'
+         |         ELSE '["IMO' || lpad(((s_suppkey * 37) % 10000000)::VARCHAR, 7, '0') || '"]' END) END,
+         |      '"mmsi":["MM' || s_suppkey::VARCHAR || '"]',
+         |      '"name":["Vessel ' || s_name || '"]',
+         |      '"topics":["sanction"]'
+         |    ], x2 -> x2 IS NOT NULL), ',') || '}}' AS json
+         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE s_suppkey % 4 = 0)
+         |SELECT * FROM cust_rows UNION ALL SELECT * FROM vessel_rows""".stripMargin),
+
     // K9 (full document): statistics.json with the reference's complete
     // structure — last_change, schemata, qnames, counts, target/thing
     // facet blocks, sanction programs, per-(schema,prop) fill rates —

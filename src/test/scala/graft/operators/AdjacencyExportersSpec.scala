@@ -52,6 +52,20 @@ class AdjacencyExportersSpec extends SparkSpec {
     assert(reached == Set("p1", "m1", "s1", "o1"))
   }
 
+  test("nested target json inlines full adjacent dicts, edges don't consume depth") {
+    val out = Exporters.nestedTargetJsonLines(entities)
+      .as[(String, String)].collect().toMap
+    assert(out.keySet == Set("p1")) // only the target
+    // s1 arrives under its referring prop `entity` as a FULL dict; the
+    // membership edge nests o1's full dict under `organization` while
+    // the path rule drops p1 itself from `member`'s far endpoints
+    assert(out("p1") ==
+      """{"id":"p1","schema":"Person","properties":{""" +
+      """"entity":[{"id":"s1","schema":"Sanction","properties":{"entity":["p1"],"program":["P"],"startDate":["2001"]}}],""" +
+      """"member":[{"id":"m1","schema":"Membership","properties":{"member":["p1"],"organization":[{"id":"o1","schema":"Organization","properties":{"name":["Acme"]}}]}}],""" +
+      """"name":["Alice"],"topics":["poi"]}}""")
+  }
+
   test("ftm json line is deterministic with sorted keys and values") {
     val json = entities.filter($"id" === "s1")
       .select(Exporters.ftmJsonLine($"id", $"schema", $"properties"))
