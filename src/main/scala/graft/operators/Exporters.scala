@@ -674,6 +674,63 @@ object Exporters {
           lit(",\"schemata\":"), jarr(col("schemata")),
           lit(",\"last_change\":\""), col("last_change"), lit("\"}")).as("json"))
 
+  /** K11 (full document): per-dataset index.json lines — the dataset
+    * metadata block the reference assembles in
+    * exporters/metadata/__init__.py:30-130: entity/target/thing/
+    * statement counts and last_change (the statistics passthrough),
+    * issue_levels + issue_count from the issue log, the resource list,
+    * version/updated_at/last_export/result run metadata. URL fields are
+    * deployment concerns and omitted; key order is fixed (the reference
+    * mutates a dict in steps). `issues` is a (dataset, level) frame. */
+  def datasetIndexJson(
+      statements: DataFrame,
+      issues: DataFrame,
+      version: String,
+      runTime: String,
+      resources: Seq[String] = Seq("entities.ftm.json", "names.txt",
+        "senzing.json", "statistics.json", "targets.nested.json",
+        "targets.simple.csv"),
+      result: String = "successful"): DataFrame = {
+    import graft.model.FtmModel
+    val risks = FtmModel.riskTopics.toSeq.sorted
+    val things = FtmModel.descendants("Thing").toSeq.sorted
+    val cid = coalesce(col("canonicalId"), col("entityId"))
+    val base = statements.groupBy(col("dataset")).agg(
+      countDistinct(cid).as("entity_count"),
+      countDistinct(when(col("prop") === "topics" &&
+        col("value").isin(risks: _*), cid)).as("target_count"),
+      countDistinct(when(col("schema").isin(things: _*), cid)).as("thing_count"),
+      count(lit(1)).as("statement_count"),
+      array_sort(collect_set(col("schema"))).as("schemata"),
+      max(date_format(col("lastSeen"), "yyyy-MM-dd")).as("last_change"))
+    val issJson = issues.groupBy(col("dataset"), col("level"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("dataset"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("level"), col("n")))),
+        x => concat(lit("\""), jesc(x.getField("level")), lit("\":"),
+          x.getField("n"))), ",").as("issue_levels_json"),
+        sum(col("n")).as("issue_count"))
+    val resJson = resources.sorted
+      .map(r => s"""{"name":"$r","path":"$r"}""").mkString(",")
+    base.join(issJson, Seq("dataset"), "left")
+      .select(col("dataset"),
+        concat(
+          lit("{\"name\":\""), jesc(col("dataset")),
+          lit("\",\"entity_count\":"), col("entity_count"),
+          lit(",\"target_count\":"), col("target_count"),
+          lit(",\"thing_count\":"), col("thing_count"),
+          lit(",\"statement_count\":"), col("statement_count"),
+          lit(",\"schemata\":"), jarr(col("schemata")),
+          lit(",\"last_change\":\""), col("last_change"),
+          lit("\",\"issue_levels\":{"),
+          coalesce(col("issue_levels_json"), lit("")),
+          lit("},\"issue_count\":"), coalesce(col("issue_count"), lit(0L)),
+          lit(s""",\"version\":\"$version\",\"updated_at\":\"$runTime\""""),
+          lit(s""",\"last_export\":\"$runTime\",\"result\":\"$result\""""),
+          lit(s""",\"resources\":[$resJson]}""")).as("json"))
+  }
+
   /** K8: maritime.csv — one row per IMO number of vessels and IMO-
     * registered organizations; vessels without an IMO keep one empty-IMO
     * row (maritime.py:41-103). */

@@ -280,6 +280,75 @@ object IngestQueries {
         |    [p_name || '|src_main', upper(p_name) || '|us_ofac_sdn']
         |    || (CASE WHEN p_partkey % 2 = 0 THEN []::VARCHAR[]
         |        ELSE ['wk' || p_partkey::VARCHAR || '|src_other'] END)), ';') AS kept
-        |FROM part""".stripMargin)
+        |FROM part""".stripMargin),
+
+    // K11 (full document): per-dataset index.json with the statistics
+    // passthrough (entity/target/thing counts, last_change), issue
+    // levels from the issue log, resources and run metadata
+    // (exporters/metadata/__init__.py:30-130).
+    decl("q104_dataset_index",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val ok = col("o_orderkey")
+        def stmtsOf(rows: org.apache.spark.sql.DataFrame, prop: Column, value: Column) =
+          rows.select(
+            md5(concat(prop, col("o_orderkey").cast("string"))).as("id"),
+            concat(lit("o"), col("o_orderkey").cast("string")).as("entityId"),
+            concat(lit("o"), col("o_orderkey").cast("string")).as("canonicalId"),
+            prop.as("prop"),
+            when(col("o_orderkey") % 3 === 0, "Person").otherwise("Company").as("schema"),
+            value.as("value"),
+            when(col("o_orderkey") % 2 === 0, "ds_even").otherwise("ds_odd").as("dataset"),
+            lit("en").as("lang"), lit("crawl").as("origin"),
+            value.as("originalValue"),
+            col("o_orderdate").cast("timestamp").as("firstSeen"),
+            col("o_orderdate").cast("timestamp").as("lastSeen"),
+            lit(false).as("external"))
+        val stmts = stmtsOf(o, lit("status"), col("o_orderstatus"))
+          .unionByName(stmtsOf(o.filter(ok % 13 === 0), lit("topics"), lit("sanction")))
+        val issues = o.filter(ok % 11 === 3).select(
+          when(ok % 2 === 0, "ds_even").otherwise("ds_odd").as("dataset"),
+          when(ok % 4 === 3, "error").otherwise("warning").as("level"))
+        Exporters.datasetIndexJson(stmts, issues,
+          version = "v20260101", runTime = "2026-01-01T00:00:00")
+      },
+      """WITH st AS (
+        |  SELECT o_orderkey AS ok,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 'ds_even' ELSE 'ds_odd' END AS ds,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 'Person' ELSE 'Company' END AS sch,
+        |    o_orderdate
+        |  FROM orders),
+        |base AS (
+        |  SELECT ds, COUNT(DISTINCT ok) AS ec,
+        |    COUNT(DISTINCT ok) FILTER (WHERE ok % 13 = 0) AS tc,
+        |    COUNT(*) + COUNT(*) FILTER (WHERE ok % 13 = 0) AS stc,
+        |    list_sort(list_distinct(list(sch))) AS schemata,
+        |    max(strftime(o_orderdate, '%Y-%m-%d')) AS lc
+        |  FROM st GROUP BY ds),
+        |iss AS (
+        |  SELECT ds, level, COUNT(*) AS n FROM (
+        |    SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'ds_even' ELSE 'ds_odd' END AS ds,
+        |      CASE WHEN o_orderkey % 4 = 3 THEN 'error' ELSE 'warning' END AS level
+        |    FROM orders WHERE o_orderkey % 11 = 3)
+        |  GROUP BY ds, level),
+        |issj AS (SELECT ds, string_agg('"' || level || '":' || n::VARCHAR, ',' ORDER BY level) AS j,
+        |    SUM(n) AS ic FROM iss GROUP BY ds)
+        |SELECT b.ds AS dataset,
+        |  '{"name":"' || b.ds || '","entity_count":' || ec
+        |  || ',"target_count":' || tc
+        |  || ',"thing_count":' || ec
+        |  || ',"statement_count":' || stc
+        |  || ',"schemata":["' || array_to_string(schemata, '","') || '"]'
+        |  || ',"last_change":"' || lc || '","issue_levels":{' || COALESCE(i.j, '')
+        |  || '},"issue_count":' || COALESCE(ic, 0)
+        |  || ',"version":"v20260101","updated_at":"2026-01-01T00:00:00"'
+        |  || ',"last_export":"2026-01-01T00:00:00","result":"successful"'
+        |  || ',"resources":[{"name":"entities.ftm.json","path":"entities.ftm.json"},'
+        |  || '{"name":"names.txt","path":"names.txt"},'
+        |  || '{"name":"senzing.json","path":"senzing.json"},'
+        |  || '{"name":"statistics.json","path":"statistics.json"},'
+        |  || '{"name":"targets.nested.json","path":"targets.nested.json"},'
+        |  || '{"name":"targets.simple.csv","path":"targets.simple.csv"}]}' AS json
+        |FROM base b LEFT JOIN issj i ON b.ds = i.ds""".stripMargin)
   )
 }
