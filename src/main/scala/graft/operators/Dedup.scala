@@ -29,6 +29,37 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col("_id")).as("keeper_id"), count(lit(1)).as("dup_count"))
 
+  /** Paragraph-level exact dedup across the whole corpus (the C4 /
+    * RefinedWeb cleaning step): documents split into fixed-size word
+    * chunks, every chunk kept only at its FIRST occurrence corpus-wide
+    * (smallest (doc, position)), and documents reassembled from their
+    * surviving chunks in order. All joins are equi-joins on the chunk
+    * hash — first-occurrence selection is a groupBy(min(struct)), never
+    * a window over the full corpus — so the plan survives 100TB.
+    * Returns (doc_id, n_chunks, n_kept, deduped_text). */
+  def paragraphDedup(
+      df: DataFrame, id: Column, text: Column, chunkWords: Int = 3): DataFrame = {
+    val words = split(text, " ")
+    val chunks = transform(
+      sequence(lit(0), ceil(size(words).cast("double") / chunkWords).cast("int") - 1),
+      i => concat_ws(" ", slice(words, i * chunkWords + 1, lit(chunkWords))))
+    val exploded = df.select(id.as("doc_id"), posexplode(chunks).as(Seq("pos", "chunk")))
+    val keepers = exploded.groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("keeper"))
+    exploded
+      .join(keepers, "chunk")
+      .withColumn("kept",
+        col("keeper.doc_id") === col("doc_id") && col("keeper.pos") === col("pos"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("pos"), col("chunk"))))),
+          x => x.getField("chunk")), " ").as("deduped_text"))
+  }
+
   /** Distinct word n-gram shingles per document: (doc id, shingle),
     * with shingles whose global document frequency exceeds `maxDf`
     * dropped (blocking cap). `text` must be single-space tokenized. */

@@ -71,6 +71,40 @@ object TextAnalysis {
 
   /** Document fingerprint: hash of whitespace-normalized lowercase text —
     * the rolling-hash analog for exact near-duplicate keys. */
+  /** Repetition-based quality signals (Gopher/RefinedWeb style rules):
+    * distinct-word ratio, top-word share, and the duplicated-bigram
+    * fraction within a document. The per-word counts run as explode +
+    * two-level aggregation (scale-safe); only the bounded per-document
+    * bigram arrays use HOF expressions. Fractions are DECIMAL(9,6) for
+    * engine-independent bytes. Returns (doc_id, n_words, word_ratio,
+    * top_word_share, dup_bigram_frac). */
+  def repetitionSignals(df: org.apache.spark.sql.DataFrame,
+      id: Column, text: Column): org.apache.spark.sql.DataFrame = {
+    val words = split(text, " ")
+    val base = df.select(id.as("doc_id"), words.as("w"))
+    val counts = base.select(col("doc_id"), explode(col("w")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("n")).as("top_n"))
+    val bigrams = base.select(col("doc_id"),
+      transform(sequence(lit(1), size(col("w")) - 1),
+        i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1)))
+        .as("bg"))
+      .select(col("doc_id"), size(col("bg")).as("n_bg"),
+        size(array_distinct(col("bg"))).as("n_bg_distinct"))
+    // decimal round-trip pins the fraction to 6 places so the bytes are
+    // engine-independent (double division alone differs in the last ulp)
+    def frac(a: Column, b: Column): Column =
+      (a.cast("double") / b.cast("double")).cast("decimal(9,6)").cast("double")
+    counts.join(bigrams, "doc_id")
+      .select(col("doc_id"), col("n_words"),
+        frac(col("n_distinct"), col("n_words")).as("word_ratio"),
+        frac(col("top_n"), col("n_words")).as("top_word_share"),
+        frac(col("n_bg") - col("n_bg_distinct"), col("n_bg")).as("dup_bigram_frac"))
+  }
+
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 }

@@ -429,6 +429,56 @@ object PipelineQueries {
         |  CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 32 ELSE 0 END AS n_frames
         |FROM documents""".stripMargin),
 
+    // Paragraph-level exact dedup across the corpus (C4/RefinedWeb
+    // cleaning): 3-word chunks, first corpus-wide occurrence wins,
+    // documents reassembled from surviving chunks. First-occurrence
+    // selection is groupBy(min(struct)) on the chunk hash, not a window
+    // over the corpus.
+    decl("q105_paragraph_dedup",
+      (s, d) => Dedup.paragraphDedup(
+        t(s, d, "documents"), col("doc_id"), col("text"), chunkWords = 3),
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |ch AS (
+        |  SELECT doc_id, x.pos AS pos, x.chunk AS chunk FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |        generate_series(0, CAST(ceil(len(ws) / 3.0) AS INT) - 1),
+        |        i -> {'pos': i, 'chunk': array_to_string(ws[i * 3 + 1 : i * 3 + 3], ' ')}))
+        |      AS x
+        |    FROM w)),
+        |rk AS (
+        |  SELECT doc_id, pos, chunk,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+        |  FROM ch)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |  COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+        |  COALESCE(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '')
+        |    AS deduped_text
+        |FROM rk GROUP BY doc_id""".stripMargin),
+
+    // Repetition-based quality signals (Gopher/RefinedWeb rules):
+    // distinct-word ratio, top-word share, duplicated-bigram fraction.
+    decl("q106_repetition_signals",
+      (s, d) => TextAnalysis.repetitionSignals(
+        t(s, d, "documents"), col("doc_id"), col("text")),
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |cnts AS (
+        |  SELECT doc_id, SUM(n)::BIGINT AS n_words, COUNT(*) AS n_distinct, MAX(n) AS top_n
+        |  FROM (SELECT doc_id, word, COUNT(*) AS n
+        |        FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+        |        GROUP BY doc_id, word)
+        |  GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id, len(bgl) AS n_bg, len(list_distinct(bgl)) AS n_bg_distinct
+        |  FROM (SELECT doc_id,
+        |      list_transform(generate_series(1, len(ws) - 1),
+        |        i -> ws[i] || ' ' || ws[i + 1]) AS bgl
+        |    FROM w))
+        |SELECT doc_id, n_words,
+        |  ((n_distinct::DOUBLE / n_words::DOUBLE)::DECIMAL(9,6))::DOUBLE AS word_ratio,
+        |  ((top_n::DOUBLE / n_words::DOUBLE)::DECIMAL(9,6))::DOUBLE AS top_word_share,
+        |  (((n_bg - n_bg_distinct)::DOUBLE / n_bg::DOUBLE)::DECIMAL(9,6))::DOUBLE AS dup_bigram_frac
+        |FROM cnts JOIN bg USING (doc_id)""".stripMargin),
+
     // ANN recall report: recall@10 of the approximate methods (IVF
     // nprobe=2, sign-LSH single-probe, sign-LSH multi-probe Hamming-1,
     // multi-table banded LSH) against the exact brute-force baseline,
