@@ -187,7 +187,9 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs over one corpus: bucket by
-    * sign-LSH then keep pairs above the cosine threshold. */
+    * sign-LSH then keep pairs above the cosine threshold. Single-probe:
+    * a pair straddling one hyperplane is missed — use
+    * [[cosineNearDupPairsTables]] when recall matters. */
   def cosineNearDupPairs(
       corpus: DataFrame, dim: Int, threshold: Double, planes: Int = 8): DataFrame = {
     val v = corpus.toDF("id", "vec")
@@ -195,6 +197,36 @@ object Similarity {
     v.select(col("id").as("a"), col("vec").as("va"), col("bucket"))
       .join(v.select(col("id").as("b"), col("vec").as("vb"), col("bucket")), "bucket")
       .filter(col("a") < col("b"))
+      .withColumn("cosine", cosine(asDouble(col("va")), asDouble(col("vb"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("cosine"))
+  }
+
+  /** Multi-table near-dup pairs: candidates colliding in ANY of the
+    * `tables` independent hash tables (disjoint hyperplane sets), so a
+    * pair straddling a hyperplane of one table is recovered by another
+    * — pair-recall 1-(1-(1-θ/π)^planes)^tables. Deduplicated before
+    * scoring; the join stays an equi-join on (table, bits). */
+  def cosineNearDupPairsTables(
+      corpus: DataFrame, dim: Int, threshold: Double,
+      planes: Int = 4, tables: Int = 8): DataFrame = {
+    def tableBuckets(vec: Column): Column = {
+      val v = asDouble(vec)
+      array((0 until tables).map { t =>
+        val bits = (0 until planes).map { p =>
+          val abs = t * planes + p
+          val planeVec = array((0 until dim).map(d => lit(planeSign(abs, d))): _*)
+          when(dot(v, planeVec) > 0, 1L << p).otherwise(0L)
+        }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+        struct(lit(t).as("tbl"), bits.as("bits"))
+      }: _*)
+    }
+    val v = corpus.toDF("id", "vec")
+      .select(col("id"), col("vec"), explode(tableBuckets(col("vec"))).as("bk"))
+    v.select(col("id").as("a"), col("vec").as("va"), col("bk"))
+      .join(v.select(col("id").as("b"), col("vec").as("vb"), col("bk")), "bk")
+      .filter(col("a") < col("b"))
+      .dropDuplicates("a", "b")
       .withColumn("cosine", cosine(asDouble(col("va")), asDouble(col("vb"))))
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), col("cosine"))

@@ -429,6 +429,38 @@ object PipelineQueries {
         |  CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 32 ELSE 0 END AS n_frames
         |FROM documents""".stripMargin),
 
+    // Multi-table near-dup pairs — recovers pairs straddling a single
+    // hyperplane (the q92 single-probe blind spot); oracle rebuilds all
+    // eight hash tables with the plane matrices inlined.
+    decl("q107_cosine_neardup_multitable",
+      (s, d) => Similarity.cosineNearDupPairsTables(
+          t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+          dim = 64, threshold = 0.8, planes = 4, tables = 8)
+        .select(col("a"), col("b")),
+      {
+        val mtTables = (0 until 8).map { tbl =>
+          val bits = (0 until 4).map { p =>
+            val abs = tbl * 4 + p
+            val plane = (0 until 64)
+              .map(dd => if (Similarity.planeSign(abs, dd) > 0) "1.0" else "-1.0")
+              .mkString("[", ",", "]")
+            s"(CASE WHEN list_inner_product(v, $plane::DOUBLE[]) > 0 THEN ${1L << p} ELSE 0 END)"
+          }.mkString(" + ")
+          s"SELECT vec_id, v, $tbl AS tbl, $bits AS bits FROM e"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |mtb AS (
+           |  $mtTables),
+           |cand AS (
+           |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+           |  FROM mtb l JOIN mtb r ON l.tbl = r.tbl AND l.bits = r.bits
+           |  WHERE l.vec_id < r.vec_id)
+           |SELECT a, b FROM cand
+           |JOIN e ea ON cand.a = ea.vec_id
+           |JOIN e eb ON cand.b = eb.vec_id
+           |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.8""".stripMargin
+      }),
+
     // Paragraph-level exact dedup across the corpus (C4/RefinedWeb
     // cleaning): 3-word chunks, first corpus-wide occurrence wins,
     // documents reassembled from surviving chunks. First-occurrence
