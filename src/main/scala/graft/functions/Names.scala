@@ -94,38 +94,68 @@ object Names {
       .otherwise(array(noTrail))
   }
 
-  /** apply_name (names.py:200-300): route name parts to their FtM
-    * props and synthesize the full name when the source didn't carry
-    * one — the synthesized value gets origin 'inferred'
-    * (ORIGIN_INFERRED), parts keep the caller origin. Returns an
-    * array<struct(prop, value, origin)> ready for the ingestion
-    * explode; null/empty parts produce no entry. */
+  /** apply_name (names.py:200-300), full routing parity: every part
+    * category maps to its FtM prop exactly as the reference —
+    * given/first/name1 → firstName, second/name2 → secondName,
+    * middle/name3/name4/name5 → middleName, patronymic → fatherName,
+    * matronymic → motherName, last/maiden/tail → lastName — and the
+    * full name is synthesized when absent (origin 'inferred' /
+    * ORIGIN_INFERRED; prefix and suffix only join into the full name,
+    * they are not parts). `alias`/`isWeak` select the name prop (alias
+    * / weakAlias); `isWeak` suppresses the part props entirely.
+    * Returns an array<struct(prop, value, lang, origin)> ready for the
+    * ingestion explode; null/empty parts produce no entry. */
   def applyName(
       full: Column = lit(null),
+      name1: Column = lit(null),
       firstName: Column = lit(null),
+      givenName: Column = lit(null),
+      name2: Column = lit(null),
+      secondName: Column = lit(null),
       middleName: Column = lit(null),
+      name3: Column = lit(null),
+      patronymic: Column = lit(null),
+      matronymic: Column = lit(null),
+      name4: Column = lit(null),
+      name5: Column = lit(null),
+      tailName: Column = lit(null),
       lastName: Column = lit(null),
-      fatherName: Column = lit(null),
+      maidenName: Column = lit(null),
       prefix: Column = lit(null),
       suffix: Column = lit(null),
+      alias: Boolean = false,
+      nameProp: String = "name",
+      isWeak: Boolean = false,
+      lang: Column = lit(null).cast("string"),
       origin: String = "crawl"): Column = {
-    val made = makeName(full = full, firstName = firstName,
-      middleName = middleName, patronymic = fatherName,
-      lastName = lastName, prefix = prefix, suffix = suffix)
+    val made = makeName(full = full, name1 = name1, firstName = firstName,
+      givenName = givenName, name2 = name2, secondName = secondName,
+      middleName = middleName, name3 = name3, patronymic = patronymic,
+      matronymic = matronymic, name4 = name4, name5 = name5,
+      tailName = tailName, lastName = lastName, prefix = prefix,
+      suffix = suffix)
+    val fullProp = if (isWeak) "weakAlias" else if (alias) "alias" else nameProp
     val fullOrigin = when(full.isNotNull && length(trim(full)) > 0, lit(origin))
       .otherwise(lit("inferred"))
     def part(prop: String, v: Column) =
       when(v.isNotNull && length(trim(v)) > 0,
         struct(lit(prop).as("prop"), squashSpaces(v).as("value"),
-          lit(origin).as("origin")))
-    filter(array(
+          lang.as("lang"), lit(origin).as("origin")))
+    val parts =
+      if (isWeak) Seq.empty[Column]
+      else Seq(
+        part("firstName", givenName), part("firstName", firstName),
+        part("secondName", secondName), part("middleName", middleName),
+        part("fatherName", patronymic), part("motherName", matronymic),
+        part("lastName", lastName), part("lastName", maidenName),
+        part("firstName", name1), part("secondName", name2),
+        part("middleName", name3), part("middleName", name4),
+        part("middleName", name5), part("lastName", tailName))
+    filter(array(parts :+
       when(made.isNotNull,
-        struct(lit("name").as("prop"), made.as("value"), fullOrigin.as("origin"))),
-      part("firstName", firstName),
-      part("middleName", middleName),
-      part("lastName", lastName),
-      part("fatherName", fatherName),
-      part("title", prefix)), e => e.isNotNull)
+        struct(lit(fullProp).as("prop"), made.as("value"),
+          lang.as("lang"), fullOrigin.as("origin"))): _*),
+      e => e.isNotNull)
   }
 
   /** Suggestion heuristics (names.py:361-400): which property a

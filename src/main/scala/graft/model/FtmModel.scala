@@ -71,8 +71,9 @@ object FtmModel {
       p("permId", Identifier), p("ricCode", Identifier)),
       matchable = true),
     SchemaDef("Person", Seq("LegalEntity"), Seq(
-      p("firstName", Name), p("middleName", Name), p("lastName", Name),
-      p("fatherName", Name), p("title", Name), p("birthDate", Date),
+      p("firstName", Name), p("secondName", Name), p("middleName", Name),
+      p("lastName", Name), p("fatherName", Name), p("motherName", Name),
+      p("title", Name), p("birthDate", Date),
       p("deathDate", Date), p("birthPlace", Text), p("nationality", Country),
       p("gender", Text), p("position", Text)),
       matchable = true),

@@ -92,16 +92,46 @@ class JsonProductsSpec extends SparkSpec {
         firstName = lit("John"), lastName = lit("Doe"), prefix = lit("Dr"))).as("s"))
       .select($"s.prop", $"s.value", $"s.origin")
       .as[(String, String, String)].collect().toSet
+    // prefix joins the full name but is NOT a part (names.py:256-273)
     assert(routed == Set(
       ("name", "Dr John Doe", "inferred"), // synthesized -> inferred origin
       ("firstName", "John", "crawl"),
-      ("lastName", "Doe", "crawl"),
-      ("title", "Dr", "crawl")))
+      ("lastName", "Doe", "crawl")))
 
     val withFull = Seq(1).toDF("x")
       .select(explode(Names.applyName(full = lit("Jane Roe"),
         firstName = lit("Jane"))).as("s"))
       .select($"s.prop", $"s.origin").as[(String, String)].collect().toSet
     assert(withFull.contains(("name", "crawl"))) // source-provided full name
+  }
+
+  test("apply_name full routing: given/maiden/tail/matronymic, weak and alias modes") {
+    val routed = Seq(1).toDF("x")
+      .select(explode(Names.applyName(
+        givenName = lit("Ana"), maidenName = lit("Silva"),
+        tailName = lit("Costa"), matronymic = lit("Marques"),
+        name2 = lit("Bea"), lang = lit("por"))).as("s"))
+      .select($"s.prop", $"s.value", $"s.lang")
+      .as[(String, String, String)].collect().toSet
+    assert(routed == Set(
+      ("firstName", "Ana", "por"),
+      ("lastName", "Silva", "por"),
+      ("lastName", "Costa", "por"),
+      ("motherName", "Marques", "por"),
+      ("secondName", "Bea", "por"),
+      // join order: given, name2(second), matronymic, tail, last(maiden? no:
+      // maiden maps to lastName part but make_name has no maiden slot)
+      ("name", "Ana Bea Marques Costa", "por")))
+
+    val weak = Seq(1).toDF("x")
+      .select(explode(Names.applyName(full = lit("El Jefe"), isWeak = true,
+        firstName = lit("X"))).as("s"))
+      .select($"s.prop").as[String].collect().toSet
+    assert(weak == Set("weakAlias")) // weak: no part props at all
+
+    val al = Seq(1).toDF("x")
+      .select(explode(Names.applyName(full = lit("Acme Intl"), alias = true)).as("s"))
+      .select($"s.prop").as[String].collect().toSet
+    assert(al == Set("alias"))
   }
 }
