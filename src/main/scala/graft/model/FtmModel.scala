@@ -94,6 +94,11 @@ object FtmModel {
       p("full", Address), p("street", Text), p("city", Text),
       p("postalCode", Text), p("region", Text)), matchable = true),
     SchemaDef("Position", Seq("Thing"), Seq(p("subnationalArea", Text)), matchable = true),
+    SchemaDef("Article", Seq("Thing"), Seq(
+      p("title", Text), p("publishedAt", Date))),
+    SchemaDef("Documentation", Seq("Thing"), Seq(
+      p("entity", EntityRef), p("document", EntityRef), p("date", Date)),
+      edgeSource = Some("entity"), edgeTarget = Some("document")),
     SchemaDef("Sanction", Seq("Thing"), Seq(
       p("entity", EntityRef), p("authority", Text), p("program", Text),
       p("programId", Identifier), p("startDate", Date), p("endDate", Date),

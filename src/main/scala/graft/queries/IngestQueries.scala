@@ -282,6 +282,62 @@ object IngestQueries {
         |        ELSE ['wk' || p_partkey::VARCHAR || '|src_other'] END)), ';') AS kept
         |FROM part""".stripMargin),
 
+    // Satellite factories (helpers/vessels.py, helpers/securities.py):
+    // make_security's ISIN entity (non-country prefixes carry no
+    // country) and the vessel/org IMO id keys — valid IMOs reduce to
+    // their 7 digits, invalid ones fall back to a slug so a faulty
+    // source IMO still keys a stable entity.
+    decl("q108_satellite_factories",
+      (s, d) => {
+        import graft.sources.Satellites
+        val sup = t(s, d, "supplier")
+        val sk = col("s_suppkey")
+        val isin = concat(when(sk % 6 === 0, "xs").otherwise("de"),
+          lpad(sk.cast("string"), 10, "0"))
+        val imoRaw = when(sk % 3 === 0,
+            concat(lit("IMO "), lpad((sk * 37 % 10000000L).cast("string"), 7, "0")))
+          .otherwise(concat(lit("bad imo "), sk.cast("string")))
+        val secFrame = Satellites.makeSecurity(sup.select(isin.as("isin")), col("isin"))
+          .select(col("id").as("sec_id"),
+            try_element_at(element_at(col("properties"), "isin"), lit(1)).as("sec_isin"),
+            coalesce(try_element_at(element_at(col("properties"), "country"), lit(1)),
+              lit("")).as("sec_country"))
+        sup.select(sk.as("k"),
+            concat(lit("isin-"), upper(isin)).as("sec_id"),
+            Satellites.makeVesselImoId(imoRaw).as("vsl_id"),
+            Satellites.makeOrgImoId(imoRaw).as("org_id"))
+          .join(secFrame, "sec_id")
+      },
+      """WITH sup AS (
+        |  SELECT s_suppkey AS k,
+        |    (CASE WHEN s_suppkey % 6 = 0 THEN 'xs' ELSE 'de' END)
+        |      || lpad(s_suppkey::VARCHAR, 10, '0') AS isin,
+        |    CASE WHEN s_suppkey % 3 = 0
+        |      THEN 'IMO ' || lpad(((s_suppkey * 37) % 10000000)::VARCHAR, 7, '0')
+        |      ELSE 'bad imo ' || s_suppkey::VARCHAR END AS imo_raw
+        |  FROM supplier),
+        |imo AS (
+        |  SELECT k, isin, imo_raw,
+        |    regexp_replace(upper(imo_raw), '[^0-9]', '', 'g') AS d
+        |  FROM sup),
+        |keyed AS (
+        |  SELECT k, isin, imo_raw,
+        |    CASE WHEN strlen(d) = 7 AND
+        |      ((ascii(substr(d,1,1))-48)*7 + (ascii(substr(d,2,1))-48)*6
+        |       + (ascii(substr(d,3,1))-48)*5 + (ascii(substr(d,4,1))-48)*4
+        |       + (ascii(substr(d,5,1))-48)*3 + (ascii(substr(d,6,1))-48)*2) % 10
+        |        = ascii(substr(d,7,1))-48
+        |      THEN d
+        |      ELSE regexp_replace(regexp_replace(lower(trim(imo_raw)),
+        |        '[^a-z0-9]+', '-', 'g'), '^-+|-+$', '', 'g') END AS imo_key
+        |  FROM imo)
+        |SELECT 'isin-' || upper(isin) AS sec_id, k,
+        |  'imo-vsl-' || imo_key AS vsl_id,
+        |  'imo-org-' || imo_key AS org_id,
+        |  upper(isin) AS sec_isin,
+        |  CASE WHEN upper(isin) LIKE 'XS%' THEN '' ELSE lower(substr(isin, 1, 2)) END AS sec_country
+        |FROM keyed""".stripMargin),
+
     // K11 (full document): per-dataset index.json with the statistics
     // passthrough (entity/target/thing counts, last_change), issue
     // levels from the issue log, resources and run metadata

@@ -75,6 +75,83 @@ object Satellites {
         "type" -> arr(docType),
         "country" -> arr(country)))
 
+  /** make_article (helpers/articles.py:6-31): one Article entity per
+    * published URL, keyed by the URL (+ optional extra). */
+  def makeArticle(
+      rows: DataFrame,
+      url: Column,
+      keyExtra: Column = lit(null),
+      title: Column = lit(null),
+      publishedAt: Column = lit(null)): DataFrame =
+    rows.select(
+      Ids.makeId("article", url, coalesce(keyExtra, lit(""))).as("id"),
+      lit("Article").as("schema"),
+      m(
+        "sourceUrl" -> array(url),
+        "title" -> arr(title),
+        "publishedAt" -> arr(publishedAt)))
+
+  /** make_documentation (helpers/articles.py:34-70): the Documentation
+    * edge linking an entity to an article it was mentioned in; pass the
+    * article's publishedAt as `date` to mirror the reference's
+    * fallback. */
+  def makeDocumentation(
+      rows: DataFrame,
+      entityId: Column,
+      articleId: Column,
+      keyExtra: Column = lit(null),
+      date: Column = lit(null)): DataFrame =
+    rows.select(
+      Ids.makeId("documentation", entityId, articleId,
+        coalesce(keyExtra, lit(""))).as("id"),
+      lit("Documentation").as("schema"),
+      m(
+        "entity" -> array(entityId),
+        "document" -> array(articleId),
+        "date" -> arr(date)))
+
+  /** The IMO portion of an entity id (helpers/vessels.py:5-19): a valid
+    * IMO reduces to its canonical 7 digits; a present-but-invalid one
+    * falls back to a slug of the raw value so a faulty source IMO still
+    * yields a stable key. Null/empty → null. */
+  def imoIdKey(value: Column): Column = {
+    val digits = regexp_replace(upper(trim(value)), "[^0-9]", "")
+    when(value.isNull || length(trim(value)) === 0, lit(null).cast("string"))
+      .when(graft.functions.Identifiers.imoValid(value), digits)
+      .otherwise(Ids.slugify(value))
+  }
+
+  /** make_vessel_imo_id (helpers/vessels.py:22-33). */
+  def makeVesselImoId(value: Column): Column = {
+    val k = imoIdKey(value)
+    when(k.isNotNull, concat(lit("imo-vsl-"), k))
+  }
+
+  /** make_org_imo_id (helpers/vessels.py:36-43) — IMO company numbers. */
+  def makeOrgImoId(value: Column): Column = {
+    val k = imoIdKey(value)
+    when(k.isNotNull, concat(lit("imo-org-"), k))
+  }
+
+  /** ISIN country prefixes that are NOT issuer countries
+    * (helpers/securities.py:5). */
+  val IsinNonCountry: Seq[String] = Seq("XS", "XD", "XC", "XF", "CS", "QS")
+
+  /** make_security (helpers/securities.py:8-17): id = 'isin-' + upper;
+    * the 2-letter prefix becomes the country unless it is a non-country
+    * code (lowercased — country values are normalized downstream). */
+  def makeSecurity(rows: DataFrame, isin: Column): DataFrame = {
+    val up = upper(trim(isin))
+    val cc = substring(up, 1, 2)
+    rows.select(
+      concat(lit("isin-"), up).as("id"),
+      lit("Security").as("schema"),
+      m(
+        "isin" -> array(up),
+        "country" -> when(!cc.isin(IsinNonCountry: _*), array(lower(cc)))
+          .otherwise(EmptyArr)))
+  }
+
   /** make_occupancy: id = 'occupancy-' + hash(person, position, dates);
     * status from the A11 state machine; `noEndImpliesCurrent` mirrors
     * the PEP convention for open-ended mandates (positions.py:132-200). */

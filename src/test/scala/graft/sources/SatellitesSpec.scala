@@ -33,6 +33,37 @@ class SatellitesSpec extends SparkSpec {
     assert(pass.select($"schema").as[String].collect()(0) == "Passport")
   }
 
+  test("article + documentation factories link mentions deterministically") {
+    val rows = Seq(("http://ex.org/a1", "e1", "Big Story", "2024-05-01"))
+      .toDF("url", "eid", "title", "pub")
+    val art = Satellites.makeArticle(rows, $"url", title = $"title",
+      publishedAt = $"pub")
+    val a = art.select($"id", $"schema",
+      element_at($"properties", "title")(0),
+      element_at($"properties", "publishedAt")(0)).as[(String, String, String, String)]
+      .collect()(0)
+    assert(a._1.startsWith("article-") && a._2 == "Article")
+    assert(a._3 == "Big Story" && a._4 == "2024-05-01")
+    // same url => same id (stable key)
+    assert(Satellites.makeArticle(rows, $"url").select($"id")
+      .as[String].collect()(0) == a._1)
+    val doc = Satellites.makeDocumentation(rows, $"eid", lit(a._1), date = $"pub")
+      .select($"schema", element_at($"properties", "entity")(0),
+        element_at($"properties", "document")(0),
+        element_at($"properties", "date")(0))
+      .as[(String, String, String, String)].collect()(0)
+    assert(doc == ("Documentation", "e1", a._1, "2024-05-01"))
+  }
+
+  test("security factory: non-country ISIN prefixes carry no country") {
+    val rows = Seq(("de000A1B2C3d"), ("XS9999999999")).toDF("isin")
+    val out = Satellites.makeSecurity(rows, $"isin")
+      .select($"id", coalesce(element_at($"properties", "country")(0), lit("")))
+      .as[(String, String)].collect().toMap
+    assert(out("isin-DE000A1B2C3D") == "de")
+    assert(out("isin-XS9999999999") == "")
+  }
+
   test("occupancy satellites route open-ended mandates per convention") {
     val rows = Seq(("p1", "pos1", "2010", "")).toDF("pid", "pos", "s", "e")
     def status(noEnd: Boolean): String =
