@@ -93,7 +93,10 @@ object FtmModel {
     SchemaDef("Address", Seq("Thing"), Seq(
       p("full", Address), p("street", Text), p("city", Text),
       p("postalCode", Text), p("region", Text)), matchable = true),
-    SchemaDef("Position", Seq("Thing"), Seq(p("subnationalArea", Text)), matchable = true),
+    SchemaDef("Position", Seq("Thing"), Seq(
+      p("subnationalArea", Text), p("inceptionDate", Date),
+      p("dissolutionDate", Date), p("numberOfSeats", Number)),
+      matchable = true),
     SchemaDef("Article", Seq("Thing"), Seq(
       p("title", Text), p("publishedAt", Date))),
     SchemaDef("Documentation", Seq("Thing"), Seq(

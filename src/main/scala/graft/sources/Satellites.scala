@@ -152,6 +152,34 @@ object Satellites {
           .otherwise(EmptyArr)))
   }
 
+  /** make_position (helpers/positions.py:21-130): Position entity keyed
+    * by (name, countries, subnational area) under an optional namespace
+    * prefix so same-named positions from different contexts don't
+    * collide; the LLM name-translation flow is an external concern
+    * (S11) and the untranslated name always derives the id. */
+  def makePosition(
+      rows: DataFrame,
+      name: Column,
+      country: Column = lit(null),
+      topics: Column = lit(null).cast("array<string>"),
+      subnationalArea: Column = lit(null),
+      inceptionDate: Column = lit(null),
+      dissolutionDate: Column = lit(null),
+      numberOfSeats: Column = lit(null),
+      idHashPrefix: String = "position"): DataFrame =
+    rows.filter(name.isNotNull && length(trim(name)) > 0).select(
+      Ids.makeId(idHashPrefix, name, coalesce(country, lit("")),
+        coalesce(subnationalArea, lit(""))).as("id"),
+      lit("Position").as("schema"),
+      m(
+        "name" -> array(name),
+        "country" -> arr(country),
+        "topics" -> coalesce(topics, EmptyArr),
+        "subnationalArea" -> arr(subnationalArea),
+        "inceptionDate" -> arr(inceptionDate),
+        "dissolutionDate" -> arr(dissolutionDate),
+        "numberOfSeats" -> arr(numberOfSeats)))
+
   /** make_occupancy: id = 'occupancy-' + hash(person, position, dates);
     * status from the A11 state machine; `noEndImpliesCurrent` mirrors
     * the PEP convention for open-ended mandates (positions.py:132-200). */
