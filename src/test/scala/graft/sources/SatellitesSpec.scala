@@ -55,6 +55,21 @@ class SatellitesSpec extends SparkSpec {
     assert(doc == ("Documentation", "e1", a._1, "2024-05-01"))
   }
 
+  test("position factory keys by name+country+area and skips blank names") {
+    val rows = Seq(("Minister of X", "de", "Bavaria"), ("", "fr", null))
+      .toDF("nm", "cc", "area")
+    val out = Satellites.makePosition(rows, $"nm", country = $"cc",
+      topics = array(lit("gov.national")), subnationalArea = $"area")
+    val collected = out.select($"id", $"schema",
+      element_at($"properties", "subnationalArea")(0),
+      element_at($"properties", "topics")(0))
+      .as[(String, String, String, String)].collect()
+    assert(collected.length == 1) // blank name row dropped
+    assert(collected(0)._1.startsWith("position-"))
+    assert(collected(0)._2 == "Position")
+    assert(collected(0)._3 == "Bavaria" && collected(0)._4 == "gov.national")
+  }
+
   test("security factory: non-country ISIN prefixes carry no country") {
     val rows = Seq(("de000A1B2C3d"), ("XS9999999999")).toDF("isin")
     val out = Satellites.makeSecurity(rows, $"isin")
