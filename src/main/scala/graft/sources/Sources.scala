@@ -107,10 +107,88 @@ object Sources {
   /** S9: PDF table extraction — STUB. Real PDF decoding needs a library
     * this container does not ship; the entry point keeps the engine's
     * surface shape (path → rows of cell strings) and fails loudly. */
-  def pdfTableRows(spark: SparkSession, path: String): DataFrame =
-    throw new UnsupportedOperationException(
-      "PDF table extraction is stubbed: no PDF codec in this environment " +
-        "(reference: zavod/zavod/helpers/pdf.py:25-147)")
+  /** S9: minimal REAL PDF text extraction in pure JDK — no external
+    * codec. Content streams are located by scanning for
+    * `<<dict>> stream…endstream` objects, FlateDecode streams are
+    * inflated with java.util.zip.Inflater, and text is read from the
+    * BT…ET blocks: `(…) Tj` / `[…] TJ` show text, `Td`/`TD`/`T*`/`'`
+    * start a new line. This covers programmatically-generated PDFs
+    * (the common case for the reference's tabular sources); scanned or
+    * exotic-encoding PDFs still need a real codec — the reference
+    * itself shells out to pdftoppm + plumber for those
+    * (zavod/zavod/helpers/pdf.py:25-147). */
+  def pdfTextLines(spark: SparkSession, path: String): Seq[String] = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val raw = new String(bytes, "ISO-8859-1") // byte-preserving charset
+    val streamRe = "(?s)<<(.*?)>>\\s*stream\r?\n".r
+    val texts = streamRe.findAllMatchIn(raw).flatMap { m =>
+      val dict = m.group(1)
+      val dataStart = m.end
+      val dataEnd = raw.indexOf("endstream", dataStart)
+      if (dataEnd < 0) None
+      else {
+        val data = bytes.slice(dataStart, dataEnd)
+        val content =
+          if (dict.contains("/FlateDecode")) {
+            try {
+              val inf = new java.util.zip.Inflater()
+              inf.setInput(data)
+              val out = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](8192)
+              while (!inf.finished() && inf.getRemaining > 0) {
+                val n = inf.inflate(buf)
+                if (n == 0 && !inf.finished()) throw new RuntimeException("stall")
+                out.write(buf, 0, n)
+              }
+              new String(out.toByteArray, "ISO-8859-1")
+            } catch { case _: Exception => "" }
+          } else new String(data, "ISO-8859-1")
+        if (content.contains("BT")) Some(content) else None
+      }
+    }
+    // Extract show-text operators inside BT..ET; line operators break rows.
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    def flush(): Unit = { if (sb.nonEmpty) { lines += sb.toString; sb.clear() } }
+    val tokenRe =
+      """\(((?:\\.|[^\\()])*)\)\s*Tj|\[((?:\\.|[^\]])*)\]\s*TJ|\bT[dD]\b|T\*|'""".r
+    def unescape(s: String): String =
+      s.replace("\\(", "(").replace("\\)", ")")
+        .replace("\\n", "\n").replace("\\r", "\r").replace("\\\\", "\\")
+    texts.foreach { content =>
+      "(?s)BT(.*?)ET".r.findAllMatchIn(content).foreach { bt =>
+        tokenRe.findAllMatchIn(bt.group(1)).foreach { t =>
+          if (t.group(1) != null) sb ++= unescape(t.group(1))
+          else if (t.group(2) != null) {
+            // TJ array: concatenate its string elements
+            """\(((?:\\.|[^\\()])*)\)""".r.findAllMatchIn(t.group(2))
+              .foreach(s2 => sb ++= unescape(s2.group(1)))
+          } else flush() // Td/TD/T*/' — new line
+        }
+        flush()
+      }
+    }
+    lines.toSeq
+  }
+
+  /** S9: PDF table rows — the extracted text lines split into cells on
+    * `delimiter` (generated tabular PDFs typically separate columns
+    * with a fixed delimiter or wide spacing; `\\s{2,}` is the default),
+    * padded to the widest row, as one DataFrame of string columns. */
+  def pdfTableRows(
+      spark: SparkSession, path: String,
+      delimiter: String = "\\s{2,}"): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = pdfTextLines(spark, path)
+      .map(_.split(delimiter).toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+    val width = if (rows.isEmpty) 0 else rows.map(_.size).max
+    val schema = org.apache.spark.sql.types.StructType(
+      (0 until width).map(i => org.apache.spark.sql.types.StructField(
+        s"c$i", org.apache.spark.sql.types.StringType, nullable = true)))
+    val data = rows.map(r => org.apache.spark.sql.Row.fromSeq(r.padTo(width, null)))
+    spark.createDataFrame(data.asJava, schema)
+  }
 
   // ---------------------------------------------------------------
   // S4/S10/S12: fetch-through-cache

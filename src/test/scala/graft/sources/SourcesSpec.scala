@@ -84,6 +84,30 @@ class SourcesSpec extends SparkSpec {
     assert(rows == Seq(("a", "b", "c"), (null, null, "solo")))
   }
 
+  test("pdf text extraction reads Tj/TJ from plain and Flate streams") {
+    val dir = Files.createTempDirectory("graft-pdf")
+    val f = dir.resolve("doc.pdf")
+    // content stream 1: plain; stream 2: FlateDecode-compressed
+    val cs1 = "BT /F1 12 Tf 72 720 Td (Alpha  One) Tj 0 -14 Td (Beta  Two) Tj ET"
+    val cs2raw = "BT 72 720 Td [(Gam) (ma)] TJ T* (Delta  Three) Tj ET"
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(cs2raw.getBytes("ISO-8859-1")); deflater.finish()
+    val buf = new Array[Byte](1024)
+    val n = deflater.deflate(buf)
+    val cs2 = new String(buf.take(n), "ISO-8859-1")
+    val pdf = "%PDF-1.4\n" +
+      s"1 0 obj\n<< /Length ${cs1.length} >>\nstream\n$cs1\nendstream\nendobj\n" +
+      s"2 0 obj\n<< /Length ${cs2.length} /Filter /FlateDecode >>\nstream\n$cs2\nendstream\nendobj\n" +
+      "%%EOF\n"
+    Files.write(f, pdf.getBytes("ISO-8859-1"))
+    val lines = Sources.pdfTextLines(spark, f.toString)
+    assert(lines == Seq("Alpha  One", "Beta  Two", "Gamma", "Delta  Three"))
+    val rows = Sources.pdfTableRows(spark, f.toString)
+      .as[(String, String)].collect().toSeq
+    assert(rows == Seq(("Alpha", "One"), ("Beta", "Two"),
+      ("Gamma", null), ("Delta", "Three")))
+  }
+
   test("fetch cache: fresh hits are reused, misses hit the fetcher once") {
     val now = java.sql.Timestamp.valueOf("2026-01-10 00:00:00")
     val cache = Seq(
@@ -115,9 +139,4 @@ class SourcesSpec extends SparkSpec {
     assert(out.map(_._1).distinct.size == 2) // distinct cache keys
   }
 
-  test("pdf extraction is a declared stub") {
-    intercept[UnsupportedOperationException] {
-      Sources.pdfTableRows(spark, "/tmp/nope.pdf")
-    }
-  }
 }
