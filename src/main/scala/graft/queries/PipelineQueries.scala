@@ -435,12 +435,12 @@ object PipelineQueries {
     decl("q107_cosine_neardup_multitable",
       (s, d) => Similarity.cosineNearDupPairsTables(
           t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
-          dim = 64, threshold = 0.8, planes = 4, tables = 8)
+          dim = 64, threshold = 0.8, planes = 6, tables = 4)
         .select(col("a"), col("b")),
       {
-        val mtTables = (0 until 8).map { tbl =>
-          val bits = (0 until 4).map { p =>
-            val abs = tbl * 4 + p
+        val mtTables = (0 until 4).map { tbl =>
+          val bits = (0 until 6).map { p =>
+            val abs = tbl * 6 + p
             val plane = (0 until 64)
               .map(dd => if (Similarity.planeSign(abs, dd) > 0) "1.0" else "-1.0")
               .mkString("[", ",", "]")
