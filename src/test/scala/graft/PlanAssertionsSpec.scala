@@ -78,4 +78,24 @@ class PlanAssertionsSpec extends SparkSpec {
     assert("hashpartitioning\\(id#\\d+, _salt#".r.findFirstIn(plan).isDefined,
       plan.take(1200))
   }
+
+  test("blocking topK prunes with ONE window shuffle; paragraph dedup has no window") {
+    import graft.operators.{Blocking, Dedup}
+    val cands = Seq((1L, 10L, 0.9), (1L, 11L, 0.8), (2L, 10L, 0.7))
+      .toDF("subject_id", "target_id", "score")
+    val topk = Blocking.topK(cands, k = 5)
+    val topkPlan = topk.queryExecution.executedPlan.toString
+    // both window functions (best-score + rank) share one partitioning:
+    // exactly one exchange keyed by subject_id feeds them
+    val exchanges = "Exchange hashpartitioning\\(subject_id".r
+      .findAllIn(topkPlan).size
+    assert(exchanges == 1, topkPlan.take(1500))
+
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c x y z")).toDF("doc_id", "text")
+    val dedup = Dedup.paragraphDedup(docs, col("doc_id"), col("text"))
+    val plan = dedup.queryExecution.executedPlan.toString
+    // first-occurrence selection must be an aggregate, never a
+    // corpus-wide window (windows serialize per-key on one reducer)
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
 }
