@@ -28,6 +28,16 @@ object Consolidate {
   def minDate(values: Column): Column = array_min(values)
   def maxDate(values: Column): Column = array_max(values)
 
+  /** The FtM date sentinel for "in the distant past, date unknown"
+    * (followthemoney DateType.HISTORIC); consolidation strips it
+    * (consolidate.py:82-88). */
+  val HistoricDate = "historical"
+
+  /** A6 (full): prefix simplification + HISTORIC sentinel removal — the
+    * complete per-prop date consolidation step. */
+  def simplifyDates(values: Column, historic: String = HistoricDate): Column =
+    filter(simplifyPrefixDates(values), v => v =!= historic)
+
   /** A7: name reduction — drop weak aliases that duplicate a strong name
     * case-insensitively (consolidate.py:123-170). `strong` and `weak` are
     * string arrays; returns the weak values whose lowercase form is not

@@ -21,6 +21,13 @@ class ConsolidateSpec extends SparkSpec {
     assert(out == Seq("1990-01-01", "1990-01-02"))
   }
 
+  test("full date simplification strips the HISTORIC sentinel") {
+    val df = Seq((1, Seq("historical", "1990", "1990-05"))).toDF("id", "vals")
+    val out = df.select(Consolidate.simplifyDates(col("vals")).as("kept"))
+      .as[Seq[String]].head()
+    assert(out == Seq("1990-05")) // prefix dropped AND sentinel removed
+  }
+
   test("partial date bounds expand year and month") {
     val df = Seq(("1990", "1990-05", "1990-05-17", "")).toDF("y", "m", "d", "e")
     val r = df.select(
