@@ -127,24 +127,25 @@ object IngestQueries {
           .as[Statement]
         val dir = java.nio.file.Files.createTempDirectory("graft-k2").toString
         graft.sources.StatementIO.exportCsv(stmts, dir)
-        s.read.schema(Statement.sparkSchema).option("header", "true").csv(dir)
-          .groupBy(col("prop"))
+        s.read.option("header", "true").csv(dir)
+          .groupBy(col("prop"), col("prop_type"))
           .agg(count(lit(1)).as("n_statements"),
-            countDistinct(col("entityId")).as("n_entities"),
+            countDistinct(col("entity_id")).as("n_entities"),
             min(col("value")).as("min_value"),
             max(col("value")).as("max_value"))
       },
       // BASE ('id') rows are dropped by the export; only name/country
-      // survive the round-trip.
+      // survive the round-trip, with their model-derived prop types.
       """WITH props AS (
-        |  SELECT 'name' AS prop, s_name AS value,
+        |  SELECT 'name' AS prop, 'name' AS prop_type, s_name AS value,
         |    'sup' || s_suppkey::VARCHAR AS eid FROM supplier
         |  UNION ALL
-        |  SELECT 'country', 'Nation_' || s_nationkey::VARCHAR,
+        |  SELECT 'country', 'country', 'Nation_' || s_nationkey::VARCHAR,
         |    'sup' || s_suppkey::VARCHAR FROM supplier)
-        |SELECT prop, COUNT(*) AS n_statements, COUNT(DISTINCT eid) AS n_entities,
+        |SELECT prop, prop_type, COUNT(*) AS n_statements,
+        |  COUNT(DISTINCT eid) AS n_entities,
         |  min(value) AS min_value, max(value) AS max_value
-        |FROM props GROUP BY prop""".stripMargin),
+        |FROM props GROUP BY prop, prop_type""".stripMargin),
 
     // A7: name reduction — weak aliases duplicating a strong name
     // case-insensitively are dropped, then case variants are reduced to

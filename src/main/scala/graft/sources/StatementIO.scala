@@ -97,10 +97,30 @@ object StatementIO {
     out.close()
   }
 
-  /** K2: statements CSV export, skipping the BASE existence prop
-    * (zavod/zavod/exporters/statements.py:9-30). */
-  def exportCsv(statements: Dataset[Statement], path: String): Unit =
+  /** K2: statements CSV export, skipping the BASE existence prop, in
+    * the FtM CSVStatementWriter column order with the derived
+    * `prop_type` column (zavod/zavod/exporters/statements.py:9-30;
+    * followthemoney statement CSV serialization). The (schema, prop) →
+    * type table is model metadata inlined as a literal map — a codegen'd
+    * lookup, no join. */
+  def exportCsv(statements: Dataset[Statement], path: String): Unit = {
+    import graft.model.FtmModel
+    val typeOf: Map[String, String] = (for {
+      s <- FtmModel.schemata.keys.toSeq
+      (pn, pd) <- FtmModel.allProps(s)
+    } yield s + "|" + pn -> pd.ptype.toString.toLowerCase).toMap
+    val propType = coalesce(
+      element_at(typedLit(typeOf), concat(col("schema"), lit("|"), col("prop"))),
+      lit("string"))
     statements
       .filter(col("prop") =!= Statement.Base)
+      .select(
+        col("id"), col("entityId").as("entity_id"),
+        col("canonicalId").as("canonical_id"), col("prop"),
+        propType.as("prop_type"), col("schema"), col("value"),
+        col("originalValue").as("original_value"), col("dataset"),
+        col("lang"), col("origin"), col("external"),
+        col("firstSeen").as("first_seen"), col("lastSeen").as("last_seen"))
       .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+  }
 }

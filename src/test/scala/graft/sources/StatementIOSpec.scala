@@ -64,5 +64,10 @@ class StatementIOSpec extends SparkSpec {
     val back = spark.read.option("header", "true").csv(s"$root/out")
     assert(back.count() == 1)
     assert(back.select("prop").as[String].collect().toSeq == Seq("name"))
+    // FtM CSVStatementWriter column order with the derived prop_type
+    assert(back.columns.toSeq == Seq("id", "entity_id", "canonical_id",
+      "prop", "prop_type", "schema", "value", "original_value", "dataset",
+      "lang", "origin", "external", "first_seen", "last_seen"))
+    assert(back.select("prop_type").as[String].collect().toSeq == Seq("name"))
   }
 }
