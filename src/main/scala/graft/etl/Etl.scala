@@ -1,0 +1,231 @@
+package graft.etl
+
+import graft.model.{FtmModel, Statement}
+import graft.operators.{Adjacency, Delta, EntityAssembler, Exporters, Resolver, Statistics, Validators}
+import graft.sources.StatementIO
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Top-level ETL orchestration — the engine's analog of the reference's
+  * `zavod run` (zavod/zavod/cli/etl.py:95-154): one job that takes a
+  * statement frame through
+  *
+  *   canonicalize (J3) → store (S1 versioned layout, T5 first_seen
+  *   preservation) → assemble (A1) → validate (J7 + assertion gate,
+  *   GTE failures abort — validators/assertions.py:156-183) → export
+  *   (every product a plan over ONE persisted entity frame —
+  *   exporters/__init__.py:49-84) → publish (versioned layout promoted
+  *   to latest, last-successful-version marker —
+  *   zavod/publish.py:63-94, runtime/versions.py).
+  *
+  * Scale shape: the statement store is written partitioned-by-dataset
+  * parquet (partition pruning + pushdown for every downstream scan);
+  * the entity frame is assembled ONCE and persisted, then the exporters
+  * are N independent sink plans over it — Catalyst prunes each sink's
+  * columns, and the expensive shuffle (statements → entities) happens
+  * exactly once per run, exactly like the reference's single pass over
+  * `view.entities()`.
+  */
+object Etl {
+
+  /** Product names follow the reference's FILE_NAMEs
+    * (exporters/__init__.py:24-45). */
+  val DefaultExporters: Seq[String] = Seq(
+    "entities.ftm.json", "names.txt", "targets.simple.csv",
+    "targets.nested.json", "senzing.json", "statistics.json",
+    "statements.csv", "entities.delta.json", "index.json", "catalog.json")
+
+  final case class Config(
+      datasetName: String,
+      version: String,
+      outRoot: String,
+      runTime: String,
+      assertions: Seq[Validators.Assertion] = Seq.empty,
+      exporters: Seq[String] = DefaultExporters,
+      previousVersion: Option[String] = None,
+      republishLatest: Boolean = true)
+
+  /** Fatal validation failures abort the run before any product is
+    * written (etl.py:122-131: validation failure → archive_failure,
+    * no export). */
+  final case class ValidationFailedException(failures: Seq[String])
+      extends RuntimeException(
+        s"validation aborted the run: ${failures.mkString("; ")}")
+
+  final case class Result(
+      version: String,
+      productDir: String,
+      products: Map[String, String],
+      entityCount: Long,
+      danglingRefCount: Long)
+
+  private def statementsRoot(cfg: Config) = s"${cfg.outRoot}/statements"
+  private def productDir(cfg: Config, version: String) =
+    s"${cfg.outRoot}/datasets/$version/${cfg.datasetName}"
+
+  /** All name-typed property values, one distinct sorted value per line
+    * (K5 — exporters/names.py:18-25). */
+  def namesTxt(entities: DataFrame): DataFrame = {
+    val nameProps = FtmModel.schemata.values.flatMap(_.props)
+      .filter(_.ptype == FtmModel.PropType.Name).map(_.name).toSet.toSeq.sorted
+    entities.select(explode(flatten(transform(
+        filter(map_entries(col("properties")),
+          e => e.getField("key").isin(nameProps: _*)),
+        e => e.getField("value")))).as("name"))
+      .filter(length(trim(col("name"))) > 0)
+      .distinct()
+  }
+
+  /** Entity content hash frame for the delta diff (A4). */
+  private def hashFrame(entities: DataFrame): DataFrame =
+    entities.select(col("id"),
+      Delta.entityHash(col("id"), col("schema"),
+        flatten(transform(map_entries(col("properties")),
+          e => transform(e.getField("value"),
+            v => concat_ws("|", e.getField("key"), v))))).as("hash"))
+
+  /** Run the full pipeline. `statements` must conform to
+    * [[Statement.sparkSchema]] minus `canonicalId` (recomputed here);
+    * `decisions` is the resolver journal (may be empty). */
+  def run(
+      spark: SparkSession,
+      statements: DataFrame,
+      decisions: DataFrame,
+      cfg: Config): Result = {
+    import spark.implicits._
+
+    // ---- 1. canonicalize (J3): remap entityId → cluster id. Only the
+    // non-identity rows of the mapping are joined (the resolver linker
+    // is sparse relative to the statement table), broadcast like the
+    // reference's in-memory linker (integration/dedupe.py).
+    val hasDecisions = !decisions.isEmpty
+    val canonicalized =
+      if (!hasDecisions)
+        statements.withColumn("canonicalId", col("entityId"))
+      else {
+        val mapping = Resolver.canonicalize(
+          statements.select(col("entityId")), decisions)
+        val remap = mapping.filter(col("canonical") =!= col("id"))
+          .select(col("id").as("entityId"), col("canonical"))
+        statements.drop("canonicalId")
+          .join(broadcast(remap), Seq("entityId"), "left")
+          .withColumn("canonicalId", coalesce(col("canonical"), col("entityId")))
+          .drop("canonical")
+      }
+
+    // ---- 2. store: first_seen preservation vs the previous version
+    // (T5 — runtime/timestamps.py:26-65), then the versioned layout.
+    val prevStatements = cfg.previousVersion.map(v =>
+      StatementIO.scanVersion(spark, statementsRoot(cfg), v).toDF())
+    val withSeen = prevStatements match {
+      case Some(prev) =>
+        Delta.preserveFirstSeen(canonicalized, prev,
+          lit(cfg.runTime).cast("timestamp"))
+      case None => canonicalized
+    }
+    val ordered = withSeen.select(
+      Statement.sparkSchema.map(f => col(f.name).cast(f.dataType)): _*)
+    StatementIO.write(ordered.as[Statement], statementsRoot(cfg), cfg.version)
+    val stored = StatementIO
+      .scanVersion(spark, statementsRoot(cfg), cfg.version).toDF()
+
+    // ---- 3. assemble ONCE; every downstream consumer shares this
+    // persisted frame (single-assembly invariant — EtlSpec asserts it).
+    val entities = EntityAssembler.assembleColumnar(stored)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val entityCount = entities.count()
+
+      // ---- 4. validate: assertion gate (fatal = failed GTE) + the
+      // warning-level structural validators (J7/J8).
+      if (cfg.assertions.nonEmpty) {
+        val failed = Validators.checkAssertions(entities, cfg.assertions)
+          .filter(col("fatal")).collect()
+        if (failed.nonEmpty)
+          throw ValidationFailedException(failed.toSeq.map(r =>
+            s"${r.getAs[String]("metric")}(${r.getAs[String]("key")}) " +
+              s"${r.getAs[String]("comparison")} ${r.getAs[Long]("threshold")} " +
+              s"but actual=${r.getAs[Long]("actual")}"))
+      }
+      val dangling = Validators.danglingRefs(entities).count()
+
+      // ---- 5. export: fan out the sinks over the ONE persisted frame.
+      val dir = productDir(cfg, cfg.version)
+      val issues = Seq.empty[(String, String)].toDF("dataset", "level")
+      val products = cfg.exporters.map { name =>
+        val path = s"$dir/$name"
+        name match {
+          // sortWithinPartitions: deterministic file contents with NO
+          // extra range-exchange per sink (a global sort would add one
+          // shuffle per product; consumers treat products as line sets)
+          case "entities.ftm.json" =>
+            writeText(entities.select(Exporters.ftmJsonLine(
+              col("id"), col("schema"), col("properties")).as("json"))
+              .sortWithinPartitions("json"), path)
+          case "names.txt" =>
+            writeText(namesTxt(entities).sortWithinPartitions("name"), path)
+          case "targets.simple.csv" =>
+            Exporters.simpleCsv(entities).sortWithinPartitions("id")
+              .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+          case "targets.nested.json" =>
+            writeText(Exporters.nestedTargetJsonLines(entities)
+              .select("json").sortWithinPartitions("json"), path)
+          case "senzing.json" =>
+            writeText(Exporters.senzingJsonLines(entities, cfg.datasetName)
+              .select("json").sortWithinPartitions("json"), path)
+          case "statistics.json" =>
+            writeText(Statistics.statisticsJson(entities), path)
+          case "statements.csv" =>
+            StatementIO.exportCsv(stored.as[Statement], path)
+          case "entities.delta.json" =>
+            val prevEntities = prevStatements match {
+              case Some(prev) => EntityAssembler.assembleColumnar(prev)
+              case None => entities.limit(0)
+            }
+            val diff = Delta.diff(hashFrame(prevEntities), hashFrame(entities))
+            writeText(Exporters.deltaJsonLines(diff, entities, prevEntities)
+              .select("json").sortWithinPartitions("json"), path)
+          case "index.json" =>
+            writeText(Exporters.datasetIndexJson(stored, issues,
+              cfg.version, cfg.runTime,
+              resources = cfg.exporters.sorted).select("json"), path)
+          case "catalog.json" =>
+            writeText(Exporters.catalog(stored).select("json")
+              .sortWithinPartitions("json"), path)
+          case other =>
+            throw new IllegalArgumentException(s"no exporter for: $other")
+        }
+        name -> s"$dir/$name"
+      }.toMap
+
+      // ---- 6. publish: promote to latest + record the successful
+      // version (publish.py:63-94; runtime/versions.py
+      // set_last_successful_version).
+      if (cfg.republishLatest) {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val src = new org.apache.hadoop.fs.Path(dir)
+        val dst = new org.apache.hadoop.fs.Path(
+          s"${cfg.outRoot}/datasets/latest/${cfg.datasetName}")
+        val fs = src.getFileSystem(conf)
+        if (fs.exists(dst)) fs.delete(dst, true)
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+        val marker = fs.create(
+          new org.apache.hadoop.fs.Path(dst, "_VERSION"), true)
+        marker.write(cfg.version.getBytes("UTF-8"))
+        marker.close()
+      }
+      val fs = new org.apache.hadoop.fs.Path(cfg.outRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val state = fs.create(new org.apache.hadoop.fs.Path(
+        s"${cfg.outRoot}/state/${cfg.datasetName}/last_successful_version"), true)
+      state.write(cfg.version.getBytes("UTF-8"))
+      state.close()
+
+      Result(cfg.version, dir, products, entityCount, dangling)
+    } finally entities.unpersist(blocking = false)
+  }
+
+  private def writeText(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).text(path)
+}

@@ -163,7 +163,7 @@ object Statistics {
           .cast("decimal(8,6)").cast("string"), lit("}")),
       struct(col("schema"), col("p")))
 
-    totals
+    val doc = totals
       .crossJoin(schemataList).crossJoin(qnames)
       .crossJoin(targetCountries).crossJoin(targetSchemata)
       .crossJoin(programs)
@@ -186,6 +186,15 @@ object Statistics {
         lit("],\"schemata\":["), col("things_schemata_json"),
         lit("],\"entities_with_prop\":["), col("entities_with_prop_json"),
         lit("]}}")).as("json"))
+    // the product is ONE document line: evaluate it eagerly so the
+    // shared scan cache can be released here instead of leaking into
+    // the caller's session (every fragment above is a distributed agg;
+    // only the final one-row assembly lands on the driver)
+    val line = doc.first().getString(0)
+    e.unpersist(blocking = false)
+    val spark = entities.sparkSession
+    import spark.implicits._
+    Seq(line).toDF("json")
   }
 
   /** Fill rate per (schema, prop): fraction of entities of a schema that

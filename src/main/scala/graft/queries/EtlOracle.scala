@@ -1,0 +1,124 @@
+package graft.queries
+
+/** DuckDB oracle for q109: recomputes every digested product of the v2
+  * ETL run straight from the base tables (see [[EtlQueries]] for the
+  * entity model). The digest is COUNT plus the order-independent sum of
+  * a 60-bit md5-prefix fold per line — the fold matches Spark's
+  * `conv(substring(md5(x),1,15),16,10)` exactly.
+  */
+object EtlOracle {
+
+  /** 60-bit md5-prefix fold of an expression, as DuckDB SQL. */
+  private def fold(e: String): String =
+    s"list_sum(list_transform(generate_series(1,15), i -> " +
+      s"(strpos('0123456789abcdef', substr(md5($e),i,1))-1)::BIGINT << (4*(15-i))))"
+
+  private def digest(product: String, linesCte: String): String =
+    s"""SELECT '$product' AS product, COUNT(*) AS n_lines,
+       |  SUM(${fold("line")})::DECIMAL(38,0)::VARCHAR AS hash_sum
+       |FROM $linesCte""".stripMargin
+
+  val sql: String =
+    s"""WITH cust AS (
+       |  SELECT c_custkey AS k, c_name,
+       |    CASE WHEN c_custkey % 4 = 0 THEN 'Company' ELSE 'Person' END AS sch,
+       |    lower(n_name) AS country
+       |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+       |ftm AS (
+       |  SELECT k,
+       |    '{"id":"c' || k::VARCHAR || '","schema":"' || sch || '","properties":{'
+       |    || concat_ws(',',
+       |        CASE WHEN k % 50 = 0 THEN '"alias":["' || upper(c_name) || '"]' END,
+       |        CASE WHEN k % 4 != 0 THEN '"birthDate":["19' || (50 + k % 50)::VARCHAR || '"]' END,
+       |        '"country":["' || country || '"]',
+       |        '"name":["' || c_name || '"]',
+       |        CASE WHEN k % 4 = 0 THEN '"registrationNumber":["RN' || k::VARCHAR || '"]' END,
+       |        CASE WHEN k % 3 = 0 THEN '"topics":["sanction"]' END)
+       |    || '}}' AS line
+       |  FROM cust),
+       |name_lines AS (
+       |  SELECT DISTINCT line FROM (
+       |    SELECT c_name AS line FROM cust
+       |    UNION ALL SELECT upper(c_name) FROM cust WHERE k % 50 = 0)),
+       |delta_lines AS (
+       |  SELECT '{"op":"' || (CASE WHEN k % 7 = 0 THEN 'ADD' ELSE 'MOD' END)
+       |    || '","entity":' || line || '}' AS line
+       |  FROM ftm WHERE k % 7 = 0 OR k % 11 = 0 OR k % 50 = 0
+       |  UNION ALL
+       |  SELECT '{"op":"DEL","entity":{"id":"x' || k::VARCHAR
+       |    || '","schema":"Person","properties":{"name":["Ghost '
+       |    || k::VARCHAR || '"]}}}'
+       |  FROM cust WHERE k % 13 = 0),
+       |v2s AS (
+       |  SELECT 'c'||k::VARCHAR AS eid, 'c'||k::VARCHAR AS cid, sch,
+       |    'name' AS prop, 'name' AS ptype, c_name AS value, k FROM cust
+       |  UNION ALL SELECT 'c'||k::VARCHAR, 'c'||k::VARCHAR, sch,
+       |    'country', 'country', country, k FROM cust
+       |  UNION ALL SELECT 'c'||k::VARCHAR, 'c'||k::VARCHAR, sch,
+       |    'birthDate', 'date', '19'||(50 + k % 50)::VARCHAR, k FROM cust WHERE k % 4 != 0
+       |  UNION ALL SELECT 'c'||k::VARCHAR, 'c'||k::VARCHAR, sch,
+       |    'registrationNumber', 'identifier', 'RN'||k::VARCHAR, k FROM cust WHERE k % 4 = 0
+       |  UNION ALL SELECT 'c'||k::VARCHAR, 'c'||k::VARCHAR, sch,
+       |    'topics', 'topic', 'sanction', k FROM cust WHERE k % 3 = 0
+       |  UNION ALL SELECT 'd'||k::VARCHAR, 'c'||k::VARCHAR, sch,
+       |    'name', 'name', c_name, k FROM cust WHERE k % 50 = 0
+       |  UNION ALL SELECT 'd'||k::VARCHAR, 'c'||k::VARCHAR, sch,
+       |    'alias', 'name', upper(c_name), k FROM cust WHERE k % 50 = 0),
+       |stmt_lines AS (
+       |  SELECT md5('etl_a|'||eid||'|'||prop||'|'||value) || '|' || eid || '|'
+       |    || cid || '|' || prop || '|' || ptype || '|' || sch || '|' || value
+       |    || '|' || value || '|etl_a|en|crawl|false|'
+       |    || (CASE WHEN eid LIKE 'c%' AND k % 7 != 0
+       |              AND NOT (prop = 'name' AND k % 11 = 0)
+       |         THEN '2025-01-01' ELSE '2026-01-01' END)
+       |    || '|2026-01-01' AS line
+       |  FROM v2s),
+       |simple_lines AS (
+       |  SELECT 'c'||k::VARCHAR || '|' || sch || '|' || c_name || '|'
+       |    || (CASE WHEN k % 50 = 0 THEN upper(c_name) ELSE '' END) || '|'
+       |    || (CASE WHEN k % 4 != 0 THEN '19'||(50 + k % 50)::VARCHAR ELSE '' END) || '|'
+       |    || country || '||'
+       |    || (CASE WHEN k % 4 = 0 THEN 'RN'||k::VARCHAR ELSE '' END)
+       |    || '|||||etl_a|||' AS line
+       |  FROM cust WHERE k % 3 = 0),
+       |counts AS (
+       |  SELECT (SELECT COUNT(*) FROM cust) AS n_ent,
+       |    (SELECT COUNT(*) FROM v2s) AS n_stmt,
+       |    (SELECT COUNT(*) FROM cust WHERE k % 3 = 0) AS n_target),
+       |catalog_lines AS (
+       |  SELECT '{"name":"etl_a","entity_count":' || n_ent::VARCHAR
+       |    || ',"statement_count":' || n_stmt::VARCHAR
+       |    || ',"schemata":["Company","Person"],"last_change":"2026-01-01"}' AS line
+       |  FROM counts),
+       |index_lines AS (
+       |  SELECT '{"name":"etl_a","entity_count":' || n_ent::VARCHAR
+       |    || ',"target_count":' || n_target::VARCHAR
+       |    || ',"thing_count":' || n_ent::VARCHAR
+       |    || ',"statement_count":' || n_stmt::VARCHAR
+       |    || ',"schemata":["Company","Person"],"last_change":"2026-01-01"'
+       |    || ',"issue_levels":{},"issue_count":0,"version":"v2"'
+       |    || ',"updated_at":"2026-01-01 00:00:00"'
+       |    || ',"last_export":"2026-01-01 00:00:00","result":"successful"'
+       |    || ',"resources":['
+       |    || '{"name":"catalog.json","path":"catalog.json"},'
+       |    || '{"name":"entities.delta.json","path":"entities.delta.json"},'
+       |    || '{"name":"entities.ftm.json","path":"entities.ftm.json"},'
+       |    || '{"name":"index.json","path":"index.json"},'
+       |    || '{"name":"names.txt","path":"names.txt"},'
+       |    || '{"name":"senzing.json","path":"senzing.json"},'
+       |    || '{"name":"statements.csv","path":"statements.csv"},'
+       |    || '{"name":"statistics.json","path":"statistics.json"},'
+       |    || '{"name":"targets.nested.json","path":"targets.nested.json"},'
+       |    || '{"name":"targets.simple.csv","path":"targets.simple.csv"}'
+       |    || ']}' AS line
+       |  FROM counts)
+       |SELECT product, n_lines, hash_sum FROM (
+       |  ${digest("entities.ftm.json", "(SELECT line FROM ftm)")}
+       |  UNION ALL ${digest("names.txt", "name_lines")}
+       |  UNION ALL ${digest("entities.delta.json", "delta_lines")}
+       |  UNION ALL ${digest("catalog.json", "catalog_lines")}
+       |  UNION ALL ${digest("index.json", "index_lines")}
+       |  UNION ALL ${digest("statements.csv", "stmt_lines")}
+       |  UNION ALL ${digest("targets.simple.csv", "simple_lines")})
+       |ORDER BY product""".stripMargin
+}

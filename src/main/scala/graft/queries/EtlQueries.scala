@@ -1,0 +1,186 @@
+package graft.queries
+
+import graft.etl.Etl
+import graft.operators.Validators
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** q109: the end-to-end `zavod run` analog (zavod/zavod/cli/etl.py:95-154)
+  * driven twice — a v1 run, then a v2 run with resolver decisions, an
+  * assertion gate, first_seen preservation and a delta against v1 — and
+  * verified by digesting the PUBLISHED products (read back from the
+  * `datasets/latest/<name>` layout, i.e. after the publish copy).
+  *
+  * The digest per product is (line count, order-independent sum of a
+  * 60-bit md5 prefix per line) — both exactly recomputable in DuckDB
+  * from the base tables, so a wrong byte anywhere in any digested
+  * product breaks the hash match. CSV products are digested on a
+  * canonical '|'-joined projection (byte-level CSV framing is already
+  * oracled by q96); senzing/statistics/nested are written by the run
+  * but digested by their own dedicated oracles (q84/q102/q103) on a
+  * richer corpus.
+  *
+  * The v2 entity model, mirrored in the oracle:
+  *  - customer k → entity c{k}: Person (k%4≠0, birthDate 19XX) or
+  *    Company (registrationNumber RNk); name, country, topics=sanction
+  *    when k%3=0
+  *  - k%50=0 → duplicate entity d{k} (name + alias=UPPER(name)) merged
+  *    into c{k} by a POSITIVE resolver decision (J3/R1)
+  *  - v1 differs: no d{k}, k%7=0 entities absent (→ ADD), k%11=0 names
+  *    carried an ' OLD' suffix (→ MOD), ghost entities x{k} for k%13=0
+  *    (→ DEL); unchanged statements keep first_seen = v1's run time
+  */
+object EtlQueries {
+
+  private val V1Time = "2025-01-01 00:00:00"
+  private val V2Time = "2026-01-01 00:00:00"
+
+  /** v2 statements: the full dataset incl. dup entities. */
+  private def v2Statements(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("k"), col("c_name"),
+        when(col("c_custkey") % 4 === 0, "Company").otherwise("Person").as("sch"),
+        lower(col("n_name")).as("country"))
+    val k = col("k")
+    def stmt(base: DataFrame, eid: org.apache.spark.sql.Column, prop: String,
+        value: org.apache.spark.sql.Column, runTime: String): DataFrame =
+      base.select(
+        md5(concat_ws("|", lit("etl_a"), eid, lit(prop), value)).as("id"),
+        eid.as("entityId"), eid.as("canonicalId"),
+        lit(prop).as("prop"), col("sch").as("schema"), value.as("value"),
+        lit("etl_a").as("dataset"), lit("en").as("lang"),
+        lit("crawl").as("origin"), value.as("originalValue"),
+        lit(runTime).cast("timestamp").as("firstSeen"),
+        lit(runTime).cast("timestamp").as("lastSeen"),
+        lit(false).as("external"))
+    val cid = concat(lit("c"), k.cast("string"))
+    val did = concat(lit("d"), k.cast("string"))
+    stmt(cust, cid, "name", col("c_name"), V2Time)
+      .unionByName(stmt(cust, cid, "country", col("country"), V2Time))
+      .unionByName(stmt(cust.filter(k % 4 =!= 0), cid, "birthDate",
+        concat(lit("19"), (lit(50) + k % 50).cast("string")), V2Time))
+      .unionByName(stmt(cust.filter(k % 4 === 0), cid, "registrationNumber",
+        concat(lit("RN"), k.cast("string")), V2Time))
+      .unionByName(stmt(cust.filter(k % 3 === 0), cid, "topics",
+        lit("sanction"), V2Time))
+      .unionByName(stmt(cust.filter(k % 50 === 0), did, "name",
+        col("c_name"), V2Time))
+      .unionByName(stmt(cust.filter(k % 50 === 0), did, "alias",
+        upper(col("c_name")), V2Time))
+  }
+
+  /** v1 statements: k%7=0 absent, k%11=0 names suffixed ' OLD', ghost
+    * x{k} rows for k%13=0, no dups. */
+  private def v1Statements(s: SparkSession, d: String): DataFrame = {
+    val v1name = when(col("k") % 11 === 0, concat(col("c_name"), lit(" OLD")))
+      .otherwise(col("c_name"))
+    val cust = t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("k"), col("c_name"),
+        when(col("c_custkey") % 4 === 0, "Company").otherwise("Person").as("sch"),
+        lower(col("n_name")).as("country"))
+      .filter(col("k") % 7 =!= 0)
+      .withColumn("c_name", v1name)
+    val ghosts = t(s, d, "customer")
+      .select(col("c_custkey").as("k"))
+      .filter(col("k") % 13 === 0)
+      .select(col("k"), concat(lit("Ghost "), col("k").cast("string")).as("c_name"),
+        lit("Person").as("sch"), lit(null).cast("string").as("country"))
+    val k = col("k")
+    def stmt(base: DataFrame, eid: org.apache.spark.sql.Column, prop: String,
+        value: org.apache.spark.sql.Column): DataFrame =
+      base.select(
+        md5(concat_ws("|", lit("etl_a"), eid, lit(prop), value)).as("id"),
+        eid.as("entityId"), eid.as("canonicalId"),
+        lit(prop).as("prop"), col("sch").as("schema"), value.as("value"),
+        lit("etl_a").as("dataset"), lit("en").as("lang"),
+        lit("crawl").as("origin"), value.as("originalValue"),
+        lit(V1Time).cast("timestamp").as("firstSeen"),
+        lit(V1Time).cast("timestamp").as("lastSeen"),
+        lit(false).as("external"))
+    val cid = concat(lit("c"), k.cast("string"))
+    val xid = concat(lit("x"), k.cast("string"))
+    stmt(cust, cid, "name", col("c_name"))
+      .unionByName(stmt(cust, cid, "country", col("country")))
+      .unionByName(stmt(cust.filter(k % 4 =!= 0), cid, "birthDate",
+        concat(lit("19"), (lit(50) + k % 50).cast("string"))))
+      .unionByName(stmt(cust.filter(k % 4 === 0), cid, "registrationNumber",
+        concat(lit("RN"), k.cast("string"))))
+      .unionByName(stmt(cust.filter(k % 3 === 0), cid, "topics", lit("sanction")))
+      .unionByName(stmt(ghosts, xid, "name", col("c_name")))
+  }
+
+  /** Run v1 then v2 into a scratch root; return the latest product dir. */
+  private def runPipeline(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val root = "/tmp/graft_etl_q109_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+
+    val noDecisions = Seq.empty[(String, String, String, String, java.sql.Timestamp)]
+      .toDF("a", "b", "judgement", "user", "decided_at")
+    Etl.run(s, v1Statements(s, d), noDecisions, Etl.Config(
+      datasetName = "etl_a", version = "v1", outRoot = root, runTime = V1Time,
+      assertions = Seq(Validators.Assertion("entity_count", "gte", "", 1L)),
+      republishLatest = false))
+
+    val decisions = t(s, d, "customer")
+      .filter(col("c_custkey") % 50 === 0)
+      .select(concat(lit("c"), col("c_custkey").cast("string")).as("a"),
+        concat(lit("d"), col("c_custkey").cast("string")).as("b"),
+        lit("POSITIVE").as("judgement"), lit("etl").as("user"),
+        lit(V2Time).cast("timestamp").as("decided_at"))
+    Etl.run(s, v2Statements(s, d), decisions, Etl.Config(
+      datasetName = "etl_a", version = "v2", outRoot = root, runTime = V2Time,
+      assertions = Seq(
+        Validators.Assertion("entity_count", "gte", "", 1L),
+        Validators.Assertion("schema_entities", "gte", "Person", 1L)),
+      previousVersion = Some("v1"), republishLatest = true))
+    s"$root/datasets/latest/etl_a"
+  }
+
+  /** Order-independent digest: 60-bit md5-prefix fold per line, summed.
+    * Exactly recomputable in DuckDB (strpos hex fold — see oracle). */
+  private def digest(lines: DataFrame, product: String,
+      line: org.apache.spark.sql.Column): DataFrame =
+    lines.agg(
+      count(lit(1)).as("n_lines"),
+      sum(conv(substring(md5(line), 1, 15), 16, 10).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").cast("string").as("hash_sum"))
+      .select(lit(product).as("product"), col("n_lines"), col("hash_sum"))
+
+  val decls: Seq[Decl] = Seq(
+    decl("q109_etl_run",
+      (s, d) => {
+        val latest = runPipeline(s, d)
+        def text(p: String) = s.read.text(s"$latest/$p")
+        def csv(p: String) = s.read.option("header", "true").csv(s"$latest/$p")
+        val c = (n: String) => coalesce(col(n), lit(""))
+
+        val ftm = digest(text("entities.ftm.json"), "entities.ftm.json", col("value"))
+        val names = digest(text("names.txt"), "names.txt", col("value"))
+        val deltaP = digest(text("entities.delta.json"), "entities.delta.json", col("value"))
+        val catalogP = digest(text("catalog.json"), "catalog.json", col("value"))
+        val indexP = digest(text("index.json"), "index.json", col("value"))
+        val stmtsCsv = digest(csv("statements.csv"), "statements.csv",
+          concat_ws("|", col("id"), col("entity_id"), col("canonical_id"),
+            col("prop"), col("prop_type"), col("schema"), c("value"),
+            c("original_value"), col("dataset"), c("lang"), c("origin"),
+            col("external"), substring(col("first_seen"), 1, 10),
+            substring(col("last_seen"), 1, 10)))
+        val simpleCsvP = digest(csv("targets.simple.csv"), "targets.simple.csv",
+          concat_ws("|", col("id"), col("schema"), c("name"), c("aliases"),
+            c("birth_date"), c("countries"), c("addresses"), c("identifiers"),
+            c("sanctions"), c("phones"), c("emails"), c("program_ids"),
+            c("dataset"), c("first_seen"), c("last_seen"), c("last_change")))
+
+        ftm.unionByName(names).unionByName(deltaP).unionByName(catalogP)
+          .unionByName(indexP).unionByName(stmtsCsv).unionByName(simpleCsvP)
+          .sort("product")
+      },
+      EtlOracle.sql)
+  )
+}
