@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Edge dedupe (R4/J11/T7) — merge duplicate relationship entities
@@ -17,50 +18,106 @@ import org.apache.spark.sql.functions._
   *  4. surviving multi-member groups become merge decisions keyed by
   *     the group's minimum edge id (edges.py:324-422).
   *
-  * Scale: the pair join is bucket-local (buckets are (schema, src, dst)
-  * — naturally tiny), and the transitive closure runs on the pair
-  * graph, which is orders of magnitude smaller than the edge frame.
+  * Scale: the pair join is bucket-local AND representative-collapsed —
+  * members with identical (interval bounds, protected set) are
+  * interchangeable for both the overlap and veto predicates, so they
+  * collapse to one representative (min edge_id) before any pairing. A
+  * poisoned dataset emitting 100k copies of one relationship therefore
+  * contributes ONE rep, not 5×10⁹ pairs. Buckets that still exceed
+  * `maxRepsPerBucket` DISTINCT reps get a rank-neighborhood cap on the
+  * pair join (sorted by interval start, each rep pairs with its nearest
+  * [[CapNeighborhood]] reps) — a bounded approximation that is logged,
+  * never silent. The transitive closure runs on the rep pair graph,
+  * orders of magnitude smaller than the edge frame.
   */
 object EdgeDedup {
+
+  /** Pairing neighborhood (in interval-start rank order) applied inside
+    * buckets larger than `maxRepsPerBucket` reps. */
+  val CapNeighborhood = 64
 
   /** edges: (edge_id long, schema, source, target, startDate, endDate,
     * protected array<string>) with `directed` telling which schemata
     * keep endpoint order. Returns (edge_id, cluster, vetoed): cluster =
     * min edge_id of the merge group (self when unmerged/vetoed). */
-  def mergeGroups(edges: DataFrame, directedSchemas: Set[String]): DataFrame = {
+  def mergeGroups(
+      edges: DataFrame,
+      directedSchemas: Set[String],
+      maxRepsPerBucket: Int = 4096): DataFrame = {
     val directed = lit(directedSchemas.toSeq.sorted.toArray)
     val keyed = edges.withColumn("bucket",
       concat_ws("|", col("schema"),
         when(array_contains(directed, col("schema")),
           concat_ws(">", col("source"), col("target")))
           .otherwise(Consolidate.undirectedKey(col("source"), col("target")))))
-      .withColumn("slugs", array_distinct(transform(col("protected"),
-        v => graft.functions.Ids.slugify(v))))
+      .withColumn("slugs", array_sort(array_distinct(transform(col("protected"),
+        v => graft.functions.Ids.slugify(v)))))
+      .withColumn("lo", Consolidate.partialDateLower(col("startDate")))
+      .withColumn("hi", Consolidate.partialDateUpper(col("endDate")))
+      // identical (bounds, slugs) members are interchangeable — EXCEPT
+      // degenerate inverted intervals (lo > hi), which do not overlap
+      // even themselves under the interval formula, so collapsing them
+      // would fuse edges the exact semantics keeps apart; they stay
+      // singleton reps (slug values are [a-z0-9-], separators safe)
+      .withColumn("rep_key",
+        when(col("lo") <= col("hi"),
+          concat_ws("", col("lo"), col("hi"),
+            concat_ws("", col("slugs"))))
+          .otherwise(concat(lit("!"), col("edge_id"))))
 
-    // bucket-local overlap pairs (T7; empty dates = wildcard)
-    val l = keyed.select(col("bucket"), col("edge_id").as("a"),
-      col("startDate").as("sa"), col("endDate").as("ea"))
-    val r = keyed.select(col("bucket"), col("edge_id").as("b"),
-      col("startDate").as("sb"), col("endDate").as("eb"))
+    val reps = keyed
+      .groupBy(col("bucket"), col("rep_key"))
+      .agg(min(col("edge_id")).as("rep_id"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+        first(col("slugs")).as("slugs"))
+
+    // rank + bucket size for the adversarial-bucket cap
+    val ranked = reps
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("bucket").orderBy(col("lo"), col("hi"), col("rep_id"))))
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy("bucket")))
+
+    // never silent: surface any bucket that hits the cap (one cheap
+    // two-level aggregate pass; output is at most five bucket keys)
+    val capped = reps.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxRepsPerBucket).select(col("bucket")).limit(5)
+      .collect().map(_.getString(0))
+    if (capped.nonEmpty)
+      System.err.println(
+        s"[graft] EdgeDedup: pair cap (neighborhood=$CapNeighborhood) applied to " +
+          s"bucket(s) over $maxRepsPerBucket reps: ${capped.mkString(", ")} ...")
+
+    // bucket-local overlap pairs over REPS (T7; empty dates = wildcard)
+    val l = ranked.select(col("bucket"), col("rep_id").as("a"),
+      col("lo").as("la"), col("hi").as("ha"), col("rnk").as("ra"), col("bn"))
+    val r = ranked.select(col("bucket"), col("rep_id").as("b"),
+      col("lo").as("lb"), col("hi").as("hb"), col("rnk").as("rb"))
     val overlapPairs = l.join(r, "bucket")
       .filter(col("a") < col("b"))
-      .filter(Consolidate.intervalsOverlap(col("sa"), col("ea"), col("sb"), col("eb")))
+      .filter(col("bn") <= maxRepsPerBucket ||
+        abs(col("rb") - col("ra")) <= CapNeighborhood)
+      .filter(col("la") <= col("hb") && col("lb") <= col("ha"))
       .select(col("a").as("src"), col("b").as("dst"))
 
     // temporal candidate groups = transitive closure of overlap
-    val nodes = keyed.select(col("edge_id").as("id"))
+    val nodes = ranked.select(col("rep_id").as("id"))
     val groups = ConnectedComponents.run(nodes, overlapPairs)
       .withColumnRenamed("component", "group")
+    val repGroups = ranked.join(groups, col("rep_id") === col("id")).drop("id")
 
-    val withGroup = keyed.join(groups, col("edge_id") === col("id")).drop("id")
+    // members inherit their rep's group
+    val withGroup = keyed.join(
+      repGroups.select(col("bucket"), col("rep_key"), col("group")),
+      Seq("bucket", "rep_key"))
 
-    // group veto: any two members with non-empty disjoint protected sets
-    val gl = withGroup.select(col("group"), col("edge_id").as("ga"), col("slugs").as("pa"))
-    val gr = withGroup.select(col("group"), col("edge_id").as("gb"), col("slugs").as("pb"))
-    val vetoedGroups = gl.join(gr, "group")
-      .filter(col("ga") < col("gb"))
-      .filter(size(col("pa")) > 0 && size(col("pb")) > 0 &&
-        size(array_intersect(col("pa"), col("pb"))) === 0)
+    // group veto over DISTINCT non-empty protected sets (identical sets
+    // never veto each other: their intersection is the full set)
+    val sets = repGroups.filter(size(col("slugs")) > 0)
+      .select(col("group"), col("slugs")).distinct()
+    val vetoedGroups = sets.select(col("group"), col("slugs").as("pa"))
+      .join(sets.select(col("group"), col("slugs").as("pb")), "group")
+      .filter(col("pa") =!= col("pb"))
+      .filter(size(array_intersect(col("pa"), col("pb"))) === 0)
       .select(col("group")).distinct()
       .withColumn("vetoed", lit(true))
 

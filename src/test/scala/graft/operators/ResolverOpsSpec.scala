@@ -48,6 +48,35 @@ class ResolverOpsSpec extends SparkSpec {
     assert(out(20L) == ((20L, false)) && out(21L) == ((21L, false)))
   }
 
+  test("edge dedupe: a poisoned bucket of duplicate edges collapses to one rep") {
+    // 100k identical copies of one relationship — quadratic pairing
+    // would be 5×10⁹ pairs; the rep collapse makes it ONE rep, so this
+    // must complete quickly and still merge everything to the min id
+    val n = 100000
+    val poisoned = spark.range(n).select(
+      col("id").as("edge_id"), lit("Membership").as("schema"),
+      lit("pX").as("source"), lit("oX").as("target"),
+      lit("2001").as("startDate"), lit("2003").as("endDate"),
+      lit(Array("Chair")).as("protected"))
+    val extra = Seq(
+      // same bucket, different-but-overlapping interval: joins the group
+      (900000L, "Membership", "pX", "oX", "2002", "2004", Seq("chair!")),
+      // unrelated healthy bucket: unchanged semantics
+      (900001L, "Membership", "pY", "oY", "2001", "2002", Seq("A")),
+      (900002L, "Membership", "pY", "oY", "2001", "2002", Seq("B"))
+    ).toDF("edge_id", "schema", "source", "target", "startDate", "endDate", "protected")
+    val t0 = System.nanoTime()
+    val out = EdgeDedup.mergeGroups(poisoned.unionByName(extra), Set("Membership"))
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (e, c, v) => e -> ((c, v)) }.toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out.size == n + 3)
+    assert(out(0L) == ((0L, false)) && out(99999L) == ((0L, false)))
+    assert(out(900000L) == ((0L, false)))
+    assert(out(900001L) == ((900001L, true)) && out(900002L) == ((900002L, true)))
+    assert(secs < 60.0, s"poisoned bucket took ${secs}s")
+  }
+
   test("occupancy status: ended / current / unknown") {
     def st(s: String, e: String, death: String): String =
       Seq(1).toDF("x").select(Enricher.occupancyStatus(
