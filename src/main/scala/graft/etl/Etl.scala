@@ -94,6 +94,7 @@ object Etl {
       decisions: DataFrame,
       cfg: Config): Result = {
     import spark.implicits._
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
 
     // ---- 1. canonicalize (J3): remap entityId → cluster id. Only the
     // non-identity rows of the mapping are joined (the resolver linker
@@ -127,6 +128,12 @@ object Etl {
     val ordered = withSeen.select(
       Statement.sparkSchema.map(f => col(f.name).cast(f.dataType)): _*)
     StatementIO.write(ordered.as[Statement], statementsRoot(cfg), cfg.version)
+    // the write is a materialization barrier: everything the resolver
+    // stage cached (id-hash map, CC round checkpoints) is consumed now —
+    // release it so a long-lived session does not accumulate storage
+    spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => persistedBefore.contains(id) }
+      .values.foreach(_.unpersist(false))
     val stored = StatementIO
       .scanVersion(spark, statementsRoot(cfg), cfg.version).toDF()
 

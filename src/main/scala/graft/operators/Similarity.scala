@@ -58,20 +58,23 @@ object Similarity {
     }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
   }
 
-  /** LSH-bucketed ANN: exact cosine ranking *within* each hyperplane
-    * bucket — the shuffle is an equi-join on the bucket key, so cost
-    * scales with bucket sizes, not |corpus|². Recall is traded for
-    * scale (the standard IVF/LSH trade).
-    *
-    * `multiProbe` additionally probes every bucket at Hamming distance 1
-    * from the query's bucket (each of the `planes` bits flipped) — the
-    * standard multi-probe recall boost: a near neighbor straddling ONE
-    * hyperplane is recovered at the cost of (planes+1)× the query-side
-    * fan-out, while the corpus stays single-bucket. Candidate pairs
-    * reached through several probes are deduplicated before ranking. */
-  def cosineTopKLsh(
-      queries: DataFrame, corpus: DataFrame, k: Int,
-      dim: Int, planes: Int = 8, multiProbe: Boolean = false): DataFrame = {
+  /** Exact cosine ranking within a candidate frame
+    * (query_id, qvec, neighbor_id, nvec). */
+  private def rankCandidates(cand: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand
+      .withColumn("cosine", cosine(asDouble(col("qvec")), asDouble(col("nvec"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Candidate pairs of the single-table sign-LSH (deduplicated; the
+    * frame the recall report counts as "examined"). */
+  def lshCandidates(
+      queries: DataFrame, corpus: DataFrame,
+      dim: Int, planes: Int, multiProbe: Boolean = false): DataFrame = {
     val q0 = queries.toDF("query_id", "qvec")
       .withColumn("bucket0", lshBucket(col("qvec"), dim, planes))
     val q =
@@ -85,14 +88,55 @@ object Similarity {
     val cand0 = c.join(q, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("qvec"), col("neighbor_id"), col("nvec"))
-    val cand = if (multiProbe) cand0.dropDuplicates("query_id", "neighbor_id") else cand0
-    val scored = cand
-      .withColumn("cosine", cosine(asDouble(col("qvec")), asDouble(col("nvec"))))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+    if (multiProbe) cand0.dropDuplicates("query_id", "neighbor_id") else cand0
+  }
+
+  /** LSH-bucketed ANN: exact cosine ranking *within* each hyperplane
+    * bucket — the shuffle is an equi-join on the bucket key, so cost
+    * scales with bucket sizes, not |corpus|². Recall is traded for
+    * scale (the standard IVF/LSH trade).
+    *
+    * `multiProbe` additionally probes every bucket at Hamming distance 1
+    * from the query's bucket (each of the `planes` bits flipped) — the
+    * standard multi-probe recall boost: a near neighbor straddling ONE
+    * hyperplane is recovered at the cost of (planes+1)× the query-side
+    * fan-out, while the corpus stays single-bucket. Candidate pairs
+    * reached through several probes are deduplicated before ranking. */
+  def cosineTopKLsh(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      dim: Int, planes: Int = 8, multiProbe: Boolean = false): DataFrame =
+    rankCandidates(lshCandidates(queries, corpus, dim, planes, multiProbe), k)
+
+  /** The (tbl, bits) signature array of the banded multi-table LSH —
+    * `tables` tables of `planes` hyperplanes with DISJOINT plane
+    * indices per table. */
+  private def tableBucketsCol(vec: Column, dim: Int, planes: Int, tables: Int): Column = {
+    val v = asDouble(vec)
+    array((0 until tables).map { t =>
+      val bits = (0 until planes).map { p =>
+        val abs = t * planes + p
+        val planeVec = array((0 until dim).map(d => lit(planeSign(abs, d))): _*)
+        when(dot(v, planeVec) > 0, 1L << p).otherwise(0L)
+      }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+      struct(lit(t).as("tbl"), bits.as("bits"))
+    }: _*)
+  }
+
+  /** Candidate pairs colliding in ANY of the multi-table LSH tables
+    * (deduplicated). */
+  def lshTableCandidates(
+      queries: DataFrame, corpus: DataFrame,
+      dim: Int, planes: Int, tables: Int): DataFrame = {
+    val q = queries.toDF("query_id", "qvec")
+      .select(col("query_id"), col("qvec"),
+        explode(tableBucketsCol(col("qvec"), dim, planes, tables)).as("bk"))
+    val c = corpus.toDF("neighbor_id", "nvec")
+      .select(col("neighbor_id"), col("nvec"),
+        explode(tableBucketsCol(col("nvec"), dim, planes, tables)).as("bk"))
+    c.join(q, "bk")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qvec"), col("neighbor_id"), col("nvec"))
+      .dropDuplicates("query_id", "neighbor_id")
   }
 
   /** Multi-table (banded) sign-LSH ANN: `tables` independent hash
@@ -105,34 +149,8 @@ object Similarity {
     * trade. */
   def cosineTopKLshTables(
       queries: DataFrame, corpus: DataFrame, k: Int,
-      dim: Int, planes: Int = 4, tables: Int = 8): DataFrame = {
-    def tableBuckets(vec: Column): Column = {
-      val v = asDouble(vec)
-      array((0 until tables).map { t =>
-        val bits = (0 until planes).map { p =>
-          val abs = t * planes + p
-          val planeVec = array((0 until dim).map(d => lit(planeSign(abs, d))): _*)
-          when(dot(v, planeVec) > 0, 1L << p).otherwise(0L)
-        }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
-        struct(lit(t).as("tbl"), bits.as("bits"))
-      }: _*)
-    }
-    val q = queries.toDF("query_id", "qvec")
-      .select(col("query_id"), col("qvec"), explode(tableBuckets(col("qvec"))).as("bk"))
-    val c = corpus.toDF("neighbor_id", "nvec")
-      .select(col("neighbor_id"), col("nvec"), explode(tableBuckets(col("nvec"))).as("bk"))
-    val cand = c.join(q, "bk")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("qvec"), col("neighbor_id"), col("nvec"))
-      .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cand
-      .withColumn("cosine", cosine(asDouble(col("qvec")), asDouble(col("nvec"))))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
-  }
+      dim: Int, planes: Int = 4, tables: Int = 8): DataFrame =
+    rankCandidates(lshTableCandidates(queries, corpus, dim, planes, tables), k)
 
   /** Recall@k of an approximate ANN result against the exact one: the
     * fraction of exact (query, neighbor) pairs the approximate method
@@ -149,6 +167,42 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Full recall report row: overall recall@k, PLANTED-pair recall (the
+    * fraction of exact pairs of the form (q, q + plantedOffset) — the
+    * deterministically planted near-duplicates — that the method
+    * recovered), and the measured candidate fraction (pairs the method
+    * actually examined over all possible query-corpus pairs). The
+    * planted metrics grade the method in the regime LSH is built for
+    * (near-dup cosine ≈ 1); the candidate fraction is the price paid. */
+  def recallReport(
+      exact: DataFrame, approx: DataFrame, method: String,
+      plantedOffset: Long, candidates: DataFrame,
+      queries: DataFrame, corpus: DataFrame): DataFrame = {
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val a = approx.select(col("query_id"), col("neighbor_id")).distinct()
+    val total = e.agg(count(lit(1)).as("exact_pairs"))
+    val found = e.join(a, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("found_pairs"))
+    val planted = e.filter(col("neighbor_id") === col("query_id") + plantedOffset)
+    val plantedTotal = planted.agg(count(lit(1)).as("planted_pairs"))
+    val plantedFound = planted.join(a, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("planted_found"))
+    val cand = candidates.agg(count(lit(1)).as("cand_pairs"))
+    val nq = queries.agg(count(lit(1)).as("_nq"))
+    val nc = corpus.agg(count(lit(1)).as("_nc"))
+    found.crossJoin(total).crossJoin(plantedFound).crossJoin(plantedTotal)
+      .crossJoin(cand).crossJoin(nq).crossJoin(nc)
+      .select(lit(method).as("method"), col("exact_pairs"), col("found_pairs"),
+        (col("found_pairs").cast("double") / col("exact_pairs").cast("double"))
+          .as("recall"),
+        col("planted_pairs"), col("planted_found"),
+        (col("planted_found").cast("double") / col("planted_pairs").cast("double"))
+          .as("planted_recall"),
+        col("cand_pairs"),
+        (col("cand_pairs").cast("double") /
+          (col("_nq") * (col("_nc") - 1)).cast("double")).as("cand_fraction"))
+  }
+
   /** IVF (inverted-file) ANN — the coarse-quantizer scale path: every
     * corpus vector is assigned to its nearest centroid (one pass over a
     * broadcast centroid set), queries probe their `nprobe` nearest
@@ -156,9 +210,11 @@ object Similarity {
     * Shuffle cost scales with cell sizes × nprobe, not |corpus|²; the
     * centroid set is deterministic here (caller supplies it — a k-means
     * refinement would slot in without changing the plan shape). */
-  def ivfTopK(
+  /** Candidate pairs of the IVF probe: queries meet the members of
+    * their `nprobe` nearest centroid cells. */
+  def ivfCandidates(
       queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      k: Int, nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2): DataFrame = {
     val cents = broadcast(centroids.toDF("centroid_id", "cvec"))
     val assignW = Window.partitionBy("neighbor_id")
       .orderBy(col("ccos").desc, col("centroid_id").asc)
@@ -176,15 +232,15 @@ object Similarity {
       .withColumn("prank", row_number().over(probeW))
       .filter(col("prank") <= nprobe)
       .select(col("query_id"), col("qvec"), col("centroid_id"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
     probes.join(assigned, "centroid_id")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(asDouble(col("qvec")), asDouble(col("nvec"))))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+      .select(col("query_id"), col("qvec"), col("neighbor_id"), col("nvec"))
   }
+
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int = 2): DataFrame =
+    rankCandidates(ivfCandidates(queries, corpus, centroids, nprobe), k)
 
   /** Embedding-cosine near-duplicate pairs over one corpus: bucket by
     * sign-LSH then keep pairs above the cosine threshold. Single-probe:
@@ -210,19 +266,9 @@ object Similarity {
   def cosineNearDupPairsTables(
       corpus: DataFrame, dim: Int, threshold: Double,
       planes: Int = 4, tables: Int = 8): DataFrame = {
-    def tableBuckets(vec: Column): Column = {
-      val v = asDouble(vec)
-      array((0 until tables).map { t =>
-        val bits = (0 until planes).map { p =>
-          val abs = t * planes + p
-          val planeVec = array((0 until dim).map(d => lit(planeSign(abs, d))): _*)
-          when(dot(v, planeVec) > 0, 1L << p).otherwise(0L)
-        }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
-        struct(lit(t).as("tbl"), bits.as("bits"))
-      }: _*)
-    }
     val v = corpus.toDF("id", "vec")
-      .select(col("id"), col("vec"), explode(tableBuckets(col("vec"))).as("bk"))
+      .select(col("id"), col("vec"),
+        explode(tableBucketsCol(col("vec"), dim, planes, tables)).as("bk"))
     v.select(col("id").as("a"), col("vec").as("va"), col("bk"))
       .join(v.select(col("id").as("b"), col("vec").as("vb"), col("bk")), "bk")
       .filter(col("a") < col("b"))

@@ -95,9 +95,10 @@ object PipelineQueries {
        |WHERE rnk <= 10""".stripMargin
   }
 
-  /** q101 oracle: exact / single-probe LSH / multi-probe LSH / IVF all
-    * recomputed in SQL (plane matrix inlined), then recall@10 of each
-    * approximate method against the exact pairs. */
+  /** q101 oracle: exact / single-probe LSH / multi-probe LSH /
+    * multi-table LSH / IVF all recomputed in SQL (plane matrix inlined)
+    * over the planted-overlay corpus, then recall@10, planted-pair
+    * recall, and measured candidate fraction of each method. */
   private def q101Oracle: String = {
     val bucketExpr = (0 until 6).map { p =>
       val plane = (0 until 64)
@@ -105,9 +106,10 @@ object PipelineQueries {
         .mkString("[", ",", "]")
       s"(CASE WHEN list_inner_product(v, $plane::DOUBLE[]) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("\n    + ")
-    val mtTables = (0 until 8).map { tbl =>
-      val bits = (0 until 4).map { p =>
-        val abs = tbl * 4 + p
+    // multi-table: 4 tables x 12 planes, disjoint plane indices
+    val mtTables = (0 until 4).map { tbl =>
+      val bits = (0 until 12).map { p =>
+        val abs = tbl * 12 + p
         val plane = (0 until 64)
           .map(dd => if (Similarity.planeSign(abs, dd) > 0) "1.0" else "-1.0")
           .mkString("[", ",", "]")
@@ -115,21 +117,29 @@ object PipelineQueries {
       }.mkString(" + ")
       s"SELECT vec_id, v, $tbl AS tbl, $bits AS bits FROM e"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH eb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |pl AS (
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |    list_transform(generate_series(1, 64),
+       |      i -> v[i] + (CASE WHEN (i - 1) % 2 = 0
+       |                   THEN 0.002::DOUBLE ELSE -0.002::DOUBLE END)) AS v
+       |  FROM eb WHERE vec_id % 50 = 0),
+       |e AS (SELECT vec_id, v FROM eb UNION ALL SELECT vec_id, v FROM pl),
+       |qv AS (SELECT vec_id, v FROM eb WHERE vec_id % 100 = 0),
        |exact AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rnk
-       |    FROM e q CROSS JOIN e c
-       |    WHERE q.vec_id % 100 = 0 AND q.vec_id != c.vec_id)
+       |    FROM qv q CROSS JOIN e c
+       |    WHERE q.vec_id != c.vec_id)
        |  WHERE rnk <= 10),
        |mtb AS (
        |  $mtTables),
        |mt_cand AS (
        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
        |  FROM mtb q JOIN mtb c ON q.tbl = c.tbl AND q.bits = c.bits
-       |  WHERE q.vec_id % 100 = 0 AND q.vec_id != c.vec_id),
+       |  WHERE q.vec_id % 100 = 0 AND q.vec_id < 1000000 AND q.vec_id != c.vec_id),
        |mt AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT m.query_id, m.neighbor_id,
@@ -139,17 +149,21 @@ object PipelineQueries {
        |                   JOIN e c ON m.neighbor_id = c.vec_id)
        |  WHERE rnk <= 10),
        |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
-       |qb AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id % 100 = 0),
+       |qb AS (SELECT vec_id AS query_id, v AS qv2, bucket FROM b
+       |       WHERE vec_id % 100 = 0 AND vec_id < 1000000),
        |cb AS (SELECT vec_id AS neighbor_id, v AS nv, bucket FROM b),
+       |lsh_cand AS (
+       |  SELECT query_id, neighbor_id, qv2, nv
+       |  FROM qb JOIN cb USING (bucket) WHERE query_id != neighbor_id),
        |lsh AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id,
        |      row_number() OVER (PARTITION BY query_id
-       |        ORDER BY list_cosine_similarity(qv, nv) DESC, neighbor_id) AS rnk
-       |    FROM qb JOIN cb USING (bucket) WHERE query_id != neighbor_id)
+       |        ORDER BY list_cosine_similarity(qv2, nv) DESC, neighbor_id) AS rnk
+       |    FROM lsh_cand)
        |  WHERE rnk <= 10),
        |mprobes AS (
-       |  SELECT query_id, qv,
+       |  SELECT query_id, qv2,
        |    unnest([bucket] || list_transform(generate_series(0, 5),
        |      i -> xor(bucket, (1::BIGINT << i)))) AS bucket2
        |  FROM qb),
@@ -165,7 +179,7 @@ object PipelineQueries {
        |    FROM mp_cand m JOIN e q ON m.query_id = q.vec_id
        |                   JOIN e c ON m.neighbor_id = c.vec_id)
        |  WHERE rnk <= 10),
-       |cents AS (SELECT vec_id AS centroid_id, v AS cvec FROM e WHERE vec_id % 50 = 7),
+       |cents AS (SELECT vec_id AS centroid_id, v AS cvec FROM eb WHERE vec_id % 50 = 7),
        |assigned AS (
        |  SELECT neighbor_id, nv, centroid_id FROM (
        |    SELECT e.vec_id AS neighbor_id, e.v AS nv, c.centroid_id,
@@ -174,36 +188,59 @@ object PipelineQueries {
        |    FROM e CROSS JOIN cents c)
        |  WHERE crank = 1),
        |iprobes AS (
-       |  SELECT query_id, qv, centroid_id FROM (
-       |    SELECT e.vec_id AS query_id, e.v AS qv, c.centroid_id,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.centroid_id) AS prank
-       |    FROM e CROSS JOIN cents c WHERE e.vec_id % 100 = 0)
+       |  SELECT query_id, qv2, centroid_id FROM (
+       |    SELECT q.vec_id AS query_id, q.v AS qv2, c.centroid_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.v, c.cvec) DESC, c.centroid_id) AS prank
+       |    FROM qv q CROSS JOIN cents c)
        |  WHERE prank <= 2),
+       |ivf_cand AS (
+       |  SELECT p.query_id, p.qv2, a.neighbor_id, a.nv
+       |  FROM iprobes p JOIN assigned a USING (centroid_id)
+       |  WHERE p.query_id != a.neighbor_id),
        |ivf AS (
        |  SELECT query_id, neighbor_id FROM (
-       |    SELECT p.query_id, a.neighbor_id,
-       |      row_number() OVER (PARTITION BY p.query_id
-       |        ORDER BY list_cosine_similarity(p.qv, a.nv) DESC, a.neighbor_id) AS rnk
-       |    FROM iprobes p JOIN assigned a USING (centroid_id)
-       |    WHERE p.query_id != a.neighbor_id)
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY list_cosine_similarity(qv2, nv) DESC, neighbor_id) AS rnk
+       |    FROM ivf_cand)
        |  WHERE rnk <= 10),
+       |dims AS (
+       |  SELECT (SELECT COUNT(*) FROM qv) AS nq, (SELECT COUNT(*) FROM e) AS nc,
+       |    (SELECT COUNT(*) FROM exact) AS exact_pairs,
+       |    (SELECT COUNT(*) FROM exact WHERE neighbor_id = query_id + 1000000)
+       |      AS planted_pairs),
        |methods AS (
        |  SELECT 'ivf' AS method,
-       |    (SELECT COUNT(*) FROM exact) AS exact_pairs,
-       |    (SELECT COUNT(*) FROM exact JOIN ivf USING (query_id, neighbor_id)) AS found_pairs
+       |    (SELECT COUNT(*) FROM exact JOIN ivf USING (query_id, neighbor_id)) AS found_pairs,
+       |    (SELECT COUNT(*) FROM exact JOIN ivf USING (query_id, neighbor_id)
+       |     WHERE neighbor_id = query_id + 1000000) AS planted_found,
+       |    (SELECT COUNT(*) FROM ivf_cand) AS cand_pairs
        |  UNION ALL
-       |  SELECT 'lsh', (SELECT COUNT(*) FROM exact),
-       |    (SELECT COUNT(*) FROM exact JOIN lsh USING (query_id, neighbor_id))
+       |  SELECT 'lsh',
+       |    (SELECT COUNT(*) FROM exact JOIN lsh USING (query_id, neighbor_id)),
+       |    (SELECT COUNT(*) FROM exact JOIN lsh USING (query_id, neighbor_id)
+       |     WHERE neighbor_id = query_id + 1000000),
+       |    (SELECT COUNT(*) FROM lsh_cand)
        |  UNION ALL
-       |  SELECT 'lsh_multiprobe', (SELECT COUNT(*) FROM exact),
-       |    (SELECT COUNT(*) FROM exact JOIN mp USING (query_id, neighbor_id))
+       |  SELECT 'lsh_multiprobe',
+       |    (SELECT COUNT(*) FROM exact JOIN mp USING (query_id, neighbor_id)),
+       |    (SELECT COUNT(*) FROM exact JOIN mp USING (query_id, neighbor_id)
+       |     WHERE neighbor_id = query_id + 1000000),
+       |    (SELECT COUNT(*) FROM mp_cand)
        |  UNION ALL
-       |  SELECT 'lsh_multitable', (SELECT COUNT(*) FROM exact),
-       |    (SELECT COUNT(*) FROM exact JOIN mt USING (query_id, neighbor_id)))
+       |  SELECT 'lsh_multitable',
+       |    (SELECT COUNT(*) FROM exact JOIN mt USING (query_id, neighbor_id)),
+       |    (SELECT COUNT(*) FROM exact JOIN mt USING (query_id, neighbor_id)
+       |     WHERE neighbor_id = query_id + 1000000),
+       |    (SELECT COUNT(*) FROM mt_cand))
        |SELECT method, exact_pairs, found_pairs,
-       |  found_pairs::DOUBLE / exact_pairs::DOUBLE AS recall
-       |FROM methods""".stripMargin
+       |  found_pairs::DOUBLE / exact_pairs::DOUBLE AS recall,
+       |  planted_pairs, planted_found,
+       |  planted_found::DOUBLE / planted_pairs::DOUBLE AS planted_recall,
+       |  cand_pairs,
+       |  cand_pairs::DOUBLE / (nq * (nc - 1))::DOUBLE AS cand_fraction
+       |FROM methods CROSS JOIN dims""".stripMargin
   }
 
   val decls: Seq[Decl] = Seq(
@@ -511,40 +548,56 @@ object PipelineQueries {
         |  (((n_bg - n_bg_distinct)::DOUBLE / n_bg::DOUBLE)::DECIMAL(9,6))::DOUBLE AS dup_bigram_frac
         |FROM cnts JOIN bg USING (doc_id)""".stripMargin),
 
-    // ANN recall report: recall@10 of the approximate methods (IVF
-    // nprobe=2, sign-LSH single-probe, sign-LSH multi-probe Hamming-1,
-    // multi-table banded LSH) against the exact brute-force baseline,
-    // as a four-row metrics frame; the oracle recomputes all methods
-    // and the recall arithmetic independently.
+    // ANN recall report over a PLANTED-near-dup overlay corpus: every
+    // 50th embedding is duplicated with a deterministic ±0.002
+    // per-coordinate perturbation (id offset 1e6, cosine ≈ 0.9997), so
+    // each query (vec_id % 100 = 0) has exactly one planted partner at
+    // rank 1 of the exact baseline. The report grades each method (IVF
+    // nprobe=2, sign-LSH single-probe, multi-probe Hamming-1,
+    // multi-table 12-plane × 4-table banded LSH) on overall recall@10,
+    // PLANTED-pair recall, and the measured candidate fraction; the
+    // oracle recomputes all methods and the arithmetic independently.
     //
-    // Measured finding (sf0.1): the synthetic embeddings are
-    // structureless (top-10 cosine ≈ 0.35-0.41 vs noise σ = 0.125), so
-    // recall tracks the candidate fraction almost linearly — e.g.
-    // planes=3/tables=12 examines ~80% of the corpus for recall 0.77.
-    // On real clustered embeddings (near-dup cosine ≥ 0.9) the same
-    // multi-table machinery reaches recall ≥ 0.99 at a few percent
-    // candidate fraction (p_collide = (1-θ/π)^planes per table); the
-    // report exists precisely to measure that trade per corpus.
+    // Measured finding: the base embeddings remain structureless
+    // (top-10 cosine ≈ 0.35-0.41), so overall recall still tracks
+    // candidate fraction — but the planted pairs demonstrate the
+    // LSH-native regime: multi-table recovers ≥ 0.95 of them while
+    // examining a few percent of all pairs (p_collide per table =
+    // (1-θ/π)^planes → ≈ 1 for θ ≈ 0.025 rad, missing all 4 tables is
+    // vanishingly rare).
     decl("q101_ann_recall",
       (s, d) => {
         val e = t(s, d, "embeddings")
-        val qs = e.filter(col("vec_id") % 100 === 0).select(col("vec_id"), col("embedding"))
-        val corpus = e.select(col("vec_id"), col("embedding"))
-        val cents = e.filter(col("vec_id") % 50 === 7).select(col("vec_id"), col("embedding"))
-        // the exact baseline feeds all four recall rows (semi-join +
-        // denominator each) — persist it or the 25M-pair ranking runs 8×
+        val base = e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        val planted = base.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => x + when(i % 2 === 0, lit(0.002)).otherwise(lit(-0.002)))
+              .as("embedding"))
+        val corpus = base.unionByName(planted)
+        val qs = base.filter(col("vec_id") % 100 === 0)
+        val cents = base.filter(col("vec_id") % 50 === 7)
+        // the exact baseline feeds all four report rows (semi-joins +
+        // denominators) — persist it or the all-pairs ranking runs 12×
         val exact = Similarity.cosineTopK(qs, corpus, k = 10)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val lshC = Similarity.lshCandidates(qs, corpus, dim = 64, planes = 6)
+        val mpC = Similarity.lshCandidates(qs, corpus, dim = 64, planes = 6,
+          multiProbe = true)
+        val mtC = Similarity.lshTableCandidates(qs, corpus, dim = 64,
+          planes = 12, tables = 4)
+        val ivfC = Similarity.ivfCandidates(qs, corpus, cents, nprobe = 2)
         val lsh = Similarity.cosineTopKLsh(qs, corpus, k = 10, dim = 64, planes = 6)
         val mp = Similarity.cosineTopKLsh(qs, corpus, k = 10, dim = 64, planes = 6,
           multiProbe = true)
         val mt = Similarity.cosineTopKLshTables(qs, corpus, k = 10, dim = 64,
-          planes = 4, tables = 8)
+          planes = 12, tables = 4)
         val ivf = Similarity.ivfTopK(qs, corpus, cents, k = 10, nprobe = 2)
-        Similarity.recallAgainst(exact, ivf, "ivf")
-          .unionByName(Similarity.recallAgainst(exact, lsh, "lsh"))
-          .unionByName(Similarity.recallAgainst(exact, mp, "lsh_multiprobe"))
-          .unionByName(Similarity.recallAgainst(exact, mt, "lsh_multitable"))
+        val P = 1000000L
+        Similarity.recallReport(exact, ivf, "ivf", P, ivfC, qs, corpus)
+          .unionByName(Similarity.recallReport(exact, lsh, "lsh", P, lshC, qs, corpus))
+          .unionByName(Similarity.recallReport(exact, mp, "lsh_multiprobe", P, mpC, qs, corpus))
+          .unionByName(Similarity.recallReport(exact, mt, "lsh_multitable", P, mtC, qs, corpus))
       },
       q101Oracle),
 

@@ -45,6 +45,7 @@ class EtlSpec extends SparkSpec {
 
   test("run publishes the versioned layout, latest copy and success marker") {
     val root = tmpRoot("publish")
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val res = Etl.run(spark, stmts(baseRows, "2025-01-01 00:00:00"), noDecisions,
       Etl.Config("t", "v1", root, "2025-01-01 00:00:00",
         assertions = Seq(Assertion("entity_count", "gte", "", 1L))))
@@ -61,11 +62,15 @@ class EtlSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$root/state/t/last_successful_version")), "UTF-8")
     assert(state === "v1")
     // single-assembly invariant: the shared entity cache is released
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    // (scoped to THIS run — the shared test session may carry other
+    // suites' checkpoints)
+    assert(spark.sparkContext.getPersistentRDDs.keySet
+      .subsetOf(persistedBefore))
   }
 
   test("fatal GTE assertion aborts before any product is written") {
     val root = tmpRoot("abort")
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val ex = intercept[Etl.ValidationFailedException] {
       Etl.run(spark, stmts(baseRows, "2025-01-01 00:00:00"), noDecisions,
         Etl.Config("t", "v1", root, "2025-01-01 00:00:00",
@@ -78,7 +83,8 @@ class EtlSpec extends SparkSpec {
     assert(ex.failures.head.contains("entity_count"))
     assert(!new java.io.File(s"$root/datasets/v1/t").exists())
     assert(!new java.io.File(s"$root/state/t/last_successful_version").exists())
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert(spark.sparkContext.getPersistentRDDs.keySet
+      .subsetOf(persistedBefore))
   }
 
   test("resolver decisions canonicalize; second run preserves first_seen and emits delta ops") {
