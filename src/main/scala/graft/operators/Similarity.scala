@@ -210,6 +210,69 @@ object Similarity {
     * Shuffle cost scales with cell sizes × nprobe, not |corpus|²; the
     * centroid set is deterministic here (caller supplies it — a k-means
     * refinement would slot in without changing the plan shape). */
+  /** Spherical k-means (Lloyd's) centroid trainer for the IVF index —
+    * the piece that makes [[ivfTopK]] self-contained at 100 TB scale:
+    *
+    *  - assignment is the same broadcast nearest-centroid join the IVF
+    *    probe uses (cosine metric, deterministic centroid-id tie-break);
+    *  - the update step recomputes each centroid as the element-wise
+    *    mean of its members, folded in SORTED member order with an
+    *    explicit sequential `aggregate` — floating-point summation is
+    *    order-dependent, so a deterministic fold makes training
+    *    bit-reproducible across runs, partitionings and engines (the
+    *    DuckDB oracle mirrors it with `list_reduce` over
+    *    `list(v ORDER BY id)`);
+    *  - every round ends in a localCheckpoint materialization barrier
+    *    (bounded lineage — the CC lesson), and with `earlyStop` the
+    *    loop exits when a centroid signature (count + xxhash64 sum,
+    *    exact on the double arrays) is unchanged — Lloyd's fixpoint;
+    *  - a centroid whose cell empties is dropped (both engines drop it
+    *    via the group-by), shrinking k rather than re-seeding.
+    *
+    * Returns (centroid_id, cvec array<double>). Deterministic for a
+    * fixed iteration count with `earlyStop = false` — what the oracle
+    * query uses. */
+  def kmeansCentroids(
+      corpus: DataFrame, init: DataFrame, dim: Int,
+      maxIterations: Int, earlyStop: Boolean = true): DataFrame = {
+    val members = corpus.toDF("id", "vec")
+      .select(col("id"), asDouble(col("vec")).as("vec"))
+    var cents = init.toDF("centroid_id", "cvec")
+      .select(col("centroid_id"), asDouble(col("cvec")).as("cvec"))
+    var prevSig: Option[(Long, java.math.BigDecimal)] = None
+    var it = 0
+    var converged = false
+    while (it < maxIterations && !converged) {
+      val assignW = Window.partitionBy("id")
+        .orderBy(col("ccos").desc, col("centroid_id").asc)
+      val assigned = members.join(broadcast(cents))
+        .withColumn("ccos", cosine(col("vec"), col("cvec")))
+        .withColumn("crank", row_number().over(assignW))
+        .filter(col("crank") === 1)
+        .select(col("id"), col("vec"), col("centroid_id"))
+      cents = assigned
+        .groupBy(col("centroid_id"))
+        .agg(sort_array(collect_list(
+          struct(col("id").as("i"), col("vec").as("v")))).as("vs"))
+        .select(col("centroid_id"),
+          transform(sequence(lit(1), lit(dim)), d =>
+            aggregate(col("vs"), lit(0.0),
+              (acc, x) => acc + element_at(x.getField("v"), d)) /
+              size(col("vs"))).as("cvec"))
+        .localCheckpoint() // per-round materialization barrier
+      it += 1
+      if (earlyStop) {
+        val row = cents.agg(count(lit(1)),
+          sum(xxhash64(col("centroid_id"), col("cvec")).cast("decimal(38,0)")))
+          .collect()(0)
+        val sig = (row.getLong(0), row.getDecimal(1))
+        converged = prevSig.contains(sig)
+        prevSig = Some(sig)
+      }
+    }
+    cents
+  }
+
   /** Candidate pairs of the IVF probe: queries meet the members of
     * their `nprobe` nearest centroid cells. */
   def ivfCandidates(

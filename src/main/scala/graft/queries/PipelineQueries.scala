@@ -340,34 +340,68 @@ object PipelineQueries {
            |WHERE list_cosine_similarity(l.v, r.v) >= 0.8""".stripMargin
       }),
 
-    // IVF ANN: deterministic coarse centroids, nprobe=2 cell probing,
-    // exact in-cell ranking — the inverted-file scale path next to the
-    // sign-LSH one.
+    // IVF ANN with a TRAINED coarse quantizer: two spherical-k-means
+    // (Lloyd's) iterations from a deterministic seed (vec_id % 50 = 7),
+    // then nprobe=2 cell probing and exact in-cell ranking. The oracle
+    // unrolls both Lloyd iterations in SQL — centroid means are folded
+    // in sorted member order on BOTH engines (aggregate ↔ list_reduce),
+    // so the trained centroids agree bit-for-bit.
     decl("q93_ann_ivf",
       (s, d) => {
         val e = t(s, d, "embeddings")
+        val corpus = e.select(col("vec_id"), col("embedding"))
+        val seed = e.filter(col("vec_id") % 50 === 7)
+          .select(col("vec_id"), col("embedding"))
+        val trained = Similarity.kmeansCentroids(corpus, seed, dim = 64,
+          maxIterations = 2, earlyStop = false)
         Similarity.ivfTopK(
           e.filter(col("vec_id") % 100 === 0).select(col("vec_id"), col("embedding")),
-          e.select(col("vec_id"), col("embedding")),
-          e.filter(col("vec_id") % 50 === 7).select(col("vec_id"), col("embedding")),
-          k = 10, nprobe = 2)
+          corpus, trained, k = 10, nprobe = 2)
           .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
       },
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |cents AS (SELECT vec_id AS centroid_id, v AS cvec FROM e WHERE vec_id % 50 = 7),
+        |c0 AS (SELECT vec_id AS centroid_id, v AS cvec FROM e WHERE vec_id % 50 = 7),
+        |a1 AS (
+        |  SELECT id, vec, centroid_id FROM (
+        |    SELECT e.vec_id AS id, e.v AS vec, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.centroid_id) AS crank
+        |    FROM e CROSS JOIN c0 c)
+        |  WHERE crank = 1),
+        |c1 AS (
+        |  SELECT centroid_id,
+        |    list_transform(generate_series(1, 64),
+        |      d -> list_reduce(list_transform(vs, x -> x[d]),
+        |             (acc, x) -> acc + x) / len(vs)) AS cvec
+        |  FROM (SELECT centroid_id, list(vec ORDER BY id) AS vs
+        |        FROM a1 GROUP BY centroid_id)),
+        |a2 AS (
+        |  SELECT id, vec, centroid_id FROM (
+        |    SELECT e.vec_id AS id, e.v AS vec, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.centroid_id) AS crank
+        |    FROM e CROSS JOIN c1 c)
+        |  WHERE crank = 1),
+        |c2 AS (
+        |  SELECT centroid_id,
+        |    list_transform(generate_series(1, 64),
+        |      d -> list_reduce(list_transform(vs, x -> x[d]),
+        |             (acc, x) -> acc + x) / len(vs)) AS cvec
+        |  FROM (SELECT centroid_id, list(vec ORDER BY id) AS vs
+        |        FROM a2 GROUP BY centroid_id)),
         |assigned AS (
         |  SELECT neighbor_id, nv, centroid_id FROM (
         |    SELECT e.vec_id AS neighbor_id, e.v AS nv, c.centroid_id,
         |      row_number() OVER (PARTITION BY e.vec_id
         |        ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.centroid_id) AS crank
-        |    FROM e CROSS JOIN cents c)
+        |    FROM e CROSS JOIN c2 c)
         |  WHERE crank = 1),
         |probes AS (
         |  SELECT query_id, qv, centroid_id FROM (
         |    SELECT e.vec_id AS query_id, e.v AS qv, c.centroid_id,
         |      row_number() OVER (PARTITION BY e.vec_id
         |        ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.centroid_id) AS prank
-        |    FROM e CROSS JOIN cents c WHERE e.vec_id % 100 = 0)
+        |    FROM e CROSS JOIN c2 c WHERE e.vec_id % 100 = 0)
         |  WHERE prank <= 2)
         |SELECT query_id, neighbor_id, rnk FROM (
         |  SELECT p.query_id, a.neighbor_id,

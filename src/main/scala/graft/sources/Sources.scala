@@ -205,18 +205,30 @@ object Sources {
   def cacheFingerprint(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sha1(trim(url))
 
+  /** Upper bound on the driver-side miss frontier of [[fetchCached]] —
+    * the reference caps its crawl at the frontier it planned, and this
+    * guard keeps a runaway url generator from materializing an
+    * unbounded list on the driver. */
+  val DefaultMaxFrontier = 100000
+
   /** S4: fetch urls through the cache: cache hits younger than
     * `maxAgeDays` are reused; misses go to `fetcher` ON THE DRIVER (the
-    * url list is crawler metadata, small by construction) and are
-    * appended to the cache. Returns (url, body, from_cache). */
+    * url list is crawler metadata, small by construction — and bounded
+    * by `maxFrontier`: exceeding it fails loudly rather than collecting
+    * an unbounded miss list). Returns (url, body, from_cache). */
   def fetchCached(
       spark: SparkSession,
       urls: Seq[String],
       cache: DataFrame,
       now: java.sql.Timestamp,
       maxAgeDays: Int,
-      fetcher: Fetcher = NoEgress): (DataFrame, DataFrame) = {
+      fetcher: Fetcher = NoEgress,
+      maxFrontier: Int = DefaultMaxFrontier): (DataFrame, DataFrame) = {
     import spark.implicits._
+    require(urls.size <= maxFrontier,
+      s"fetchCached: ${urls.size} planned urls exceed the driver-side " +
+        s"frontier bound of $maxFrontier; raise maxFrontier explicitly " +
+        s"if this crawl really plans that many fetches")
     val urlDf = urls.toDF("url")
     val fresh = cache
       .filter(col("fetched_at") >= date_sub(lit(now).cast("date"), maxAgeDays))

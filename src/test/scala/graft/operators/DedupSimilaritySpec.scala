@@ -74,4 +74,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(buckets(1L) == buckets(2L))
     assert(buckets(1L) != buckets(3L)) // opposite vector flips every sign
   }
+
+  test("k-means trainer converges to cluster means and early-stops at the fixpoint") {
+    // two well-separated clusters in 4 dims around (1,0,0,0) and (0,0,0,1)
+    val pts = Seq(
+      (0L, Seq(1.0, 0.1, 0.0, 0.0)), (1L, Seq(0.9, -0.1, 0.1, 0.0)),
+      (2L, Seq(1.1, 0.0, -0.1, 0.0)),
+      (10L, Seq(0.0, 0.1, 0.0, 1.0)), (11L, Seq(0.1, -0.1, 0.0, 0.9)),
+      (12L, Seq(-0.1, 0.0, 0.1, 1.1))
+    ).toDF("id", "vec")
+    // seeds: one point from each cluster
+    val seed = pts.filter(col("id").isin(1L, 11L))
+    val trained = Similarity.kmeansCentroids(pts, seed, dim = 4,
+      maxIterations = 20, earlyStop = true)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(trained.size == 2)
+    // each trained centroid is the exact mean of its cluster members
+    val c1 = trained(1L)
+    val c2 = trained(11L)
+    assert(math.abs(c1(0) - 1.0) < 1e-9 && math.abs(c1(3) - 0.0) < 1e-9)
+    assert(math.abs(c2(0) - 0.0) < 1e-9 && math.abs(c2(3) - 1.0) < 1e-9)
+    // deterministic: a fixed-iteration run from the fixpoint agrees
+    val again = Similarity.kmeansCentroids(pts, seed, dim = 4,
+      maxIterations = 3, earlyStop = false)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(again == trained)
+  }
 }

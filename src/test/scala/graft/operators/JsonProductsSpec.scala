@@ -134,4 +134,49 @@ class JsonProductsSpec extends SparkSpec {
       .select($"s.prop").as[String].collect().toSet
     assert(al == Set("alias"))
   }
+
+  test("senzing record parity with the reference testdataset1 expectations") {
+    // mirrors zavod/zavod/tests/exporters/test_senzing.py: an
+    // Umbrella-Corp-style company and a Hans-Gruber-style person with
+    // the documented family attributes
+    val ents = Seq(
+      ("osv-umbrella-corp", "Company", Map(
+        "name" -> Seq("Umbrella Corporation"),
+        "alias" -> Seq("Umbrella Pharmaceuticals, Inc.", "UMBRELLA CORPORATION"),
+        "incorporationDate" -> Seq("1980"),
+        "jurisdiction" -> Seq("us"),
+        "registrationNumber" -> Seq("8723-BX"))),
+      ("osv-hans-gruber", "Person", Map(
+        "name" -> Seq("Hans Gruber"),
+        "alias" -> Seq("Bill Clay"),
+        "address" -> Seq("Lauensteiner Str. 49, 01277 Dresden"),
+        "birthDate" -> Seq("1978-09-25"),
+        "nationality" -> Seq("dd")))
+    ).toDF("id", "schema", "properties")
+    val json = Exporters.senzingJsonLines(ents, "OS_TESTDATASET1")
+      .as[(String, String)].collect().toMap
+
+    val company = json("osv-umbrella-corp")
+    // record envelope key-for-key (senzing.py:223-228)
+    assert(company.startsWith(
+      """{"DATA_SOURCE":"OS_TESTDATASET1","RECORD_ID":"osv-umbrella-corp","RECORD_TYPE":"ORGANIZATION""""))
+    // NAME_ORG for orgs; PRIMARY first, ALIAS after; case-variant alias
+    // deduped against the caption by the normalised name hash
+    // (senzing.py:117-124)
+    assert(company.contains(
+      """"NAMES":[{"NAME_TYPE":"PRIMARY","NAME_ORG":"Umbrella Corporation"},{"NAME_TYPE":"ALIAS","NAME_ORG":"Umbrella Pharmaceuticals, Inc."}]"""))
+    assert(!company.contains("UMBRELLA CORPORATION"))
+    assert(company.contains(""""DATES":[{"REGISTRATION_DATE":"1980"}]"""))
+    assert(company.contains(""""COUNTRIES":[{"REGISTRATION_COUNTRY":"us"}]"""))
+    assert(company.contains("""{"NATIONAL_ID_NUMBER":"8723-BX"}"""))
+
+    val person = json("osv-hans-gruber")
+    assert(person.startsWith(
+      """{"DATA_SOURCE":"OS_TESTDATASET1","RECORD_ID":"osv-hans-gruber","RECORD_TYPE":"PERSON""""))
+    assert(person.contains(
+      """"NAMES":[{"NAME_TYPE":"PRIMARY","NAME_FULL":"Hans Gruber"},{"NAME_TYPE":"ALIAS","NAME_FULL":"Bill Clay"}]"""))
+    assert(person.contains(""""ADDRESSES":[{"ADDR_FULL":"Lauensteiner Str. 49, 01277 Dresden"}]"""))
+    assert(person.contains(""""DATES":[{"DATE_OF_BIRTH":"1978-09-25"}]"""))
+    assert(person.contains(""""COUNTRIES":[{"NATIONALITY":"dd"}]"""))
+  }
 }

@@ -128,6 +128,23 @@ class SourcesSpec extends SparkSpec {
     assert(newRows.count() == 2) // stale + new get appended to the cache
   }
 
+  test("fetch cache: a frontier beyond the driver-side bound fails loudly") {
+    val now = java.sql.Timestamp.valueOf("2026-01-10 00:00:00")
+    val cache = Seq.empty[(String, String, String, java.sql.Timestamp)]
+      .toDF("fingerprint", "url", "body", "fetched_at")
+    val ex = intercept[IllegalArgumentException] {
+      Sources.fetchCached(spark,
+        (1 to 10).map(i => s"http://x/$i"), cache, now, maxAgeDays = 30,
+        fetcher = url => s"fetched:$url", maxFrontier = 5)
+    }
+    assert(ex.getMessage.contains("frontier bound"))
+    // raising the bound explicitly lets the same crawl proceed
+    val (bodies, _) = Sources.fetchCached(spark,
+      (1 to 10).map(i => s"http://x/$i"), cache, now, maxAgeDays = 30,
+      fetcher = url => s"fetched:$url", maxFrontier = 10)
+    assert(bodies.count() == 10)
+  }
+
   test("llm extraction runs the injected extractor with stable cache keys") {
     val fake: Sources.Extractor = (prompt, payload) =>
       s"""{"entities":["${payload.toUpperCase}"],"prompt_len":${prompt.length}}"""
