@@ -105,8 +105,13 @@ object Etl {
       if (!hasDecisions)
         statements.withColumn("canonicalId", col("entityId"))
       else {
-        val mapping = Resolver.canonicalize(
-          statements.select(col("entityId")), decisions)
+        // CC only over ids the decision log touches — every other id
+        // maps to itself by construction, so running components over
+        // the full statement universe (like a first draft did) is pure
+        // waste; this is the reference's linker scope (judgement pairs)
+        val decisionIds = decisions.select(col("a").as("id"))
+          .unionByName(decisions.select(col("b").as("id"))).distinct()
+        val mapping = Resolver.canonicalize(decisionIds, decisions)
         val remap = mapping.filter(col("canonical") =!= col("id"))
           .select(col("id").as("entityId"), col("canonical"))
         statements.drop("canonicalId")
@@ -160,7 +165,12 @@ object Etl {
       // ---- 5. export: fan out the sinks over the ONE persisted frame.
       val dir = productDir(cfg, cfg.version)
       val issues = Seq.empty[(String, String)].toDF("dataset", "level")
-      val products = cfg.exporters.map { name =>
+      // the sinks are independent jobs over the ONE persisted frame —
+      // submit them concurrently (the Spark scheduler interleaves their
+      // stages across the cluster), the parallel analog of the
+      // reference's single-pass multi-exporter feed loop
+      // (exporters/__init__.py:49-84)
+      def writeProduct(name: String): Unit = {
         val path = s"$dir/$name"
         name match {
           // sortWithinPartitions: deterministic file contents with NO
@@ -203,8 +213,16 @@ object Etl {
           case other =>
             throw new IllegalArgumentException(s"no exporter for: $other")
         }
-        name -> s"$dir/$name"
-      }.toMap
+      }
+      val products = {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        Await.result(
+          Future.sequence(cfg.exporters.map(name =>
+            Future { writeProduct(name); name -> s"$dir/$name" })),
+          Duration.Inf).toMap
+      }
 
       // ---- 6. publish: promote to latest + record the successful
       // version (publish.py:63-94; runtime/versions.py

@@ -122,10 +122,13 @@ object EtlQueries {
 
     val noDecisions = Seq.empty[(String, String, String, String, java.sql.Timestamp)]
       .toDF("a", "b", "judgement", "user", "decided_at")
+    // v1 exists to seed the versioned statement store (first_seen
+    // preservation + delta base); its own products are not digested,
+    // so the exporter fan-out is skipped — halves the query's cost
     Etl.run(s, v1Statements(s, d), noDecisions, Etl.Config(
       datasetName = "etl_a", version = "v1", outRoot = root, runTime = V1Time,
       assertions = Seq(Validators.Assertion("entity_count", "gte", "", 1L)),
-      republishLatest = false))
+      exporters = Seq.empty, republishLatest = false))
 
     val decisions = t(s, d, "customer")
       .filter(col("c_custkey") % 50 === 0)

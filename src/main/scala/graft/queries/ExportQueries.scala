@@ -39,6 +39,15 @@ object ExportQueries {
       buildSyntheticEntities(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Release every cached entity frame — the hook a long-lived session
+    * calls when it is done with the export query family (the cache is
+    * otherwise intentionally run-scoped, like a real caller's persisted
+    * entity table across an export fan-out). */
+  def unpersistAll(): Unit =
+    entityCache.keys.toSeq.foreach { key =>
+      entityCache.remove(key).foreach(_.unpersist(blocking = false))
+    }
+
   private def buildSyntheticEntities(s: SparkSession, d: String): DataFrame = {
     val cust = t(s, d, "customer")
       .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
