@@ -44,7 +44,16 @@ object Etl {
       assertions: Seq[Validators.Assertion] = Seq.empty,
       exporters: Seq[String] = DefaultExporters,
       previousVersion: Option[String] = None,
-      republishLatest: Boolean = true)
+      republishLatest: Boolean = true,
+      // when set, the run ALSO writes the statements as a table
+      // bucketed+sorted by canonicalId (name = <prefix>_<version>) and
+      // assembles from it — the statements → entities aggregation then
+      // runs with NO exchange over the pre-bucketed files, the 100 TB
+      // shape of the biggest recurring shuffle. The parquet layout is
+      // still written: it is the versioned archive previous-run scans
+      // (first_seen, delta) read.
+      bucketedStorePrefix: Option[String] = None,
+      buckets: Int = 32)
 
   /** Fatal validation failures abort the run before any product is
     * written (etl.py:122-131: validation failure → archive_failure,
@@ -139,12 +148,23 @@ object Etl {
     spark.sparkContext.getPersistentRDDs
       .filterNot { case (id, _) => persistedBefore.contains(id) }
       .values.foreach(_.unpersist(false))
-    val stored = StatementIO
-      .scanVersion(spark, statementsRoot(cfg), cfg.version).toDF()
+    val stored = cfg.bucketedStorePrefix match {
+      case Some(prefix) =>
+        val table = s"${prefix}_${cfg.version}".replaceAll("[^a-zA-Z0-9_]", "_")
+        StatementIO.writeBucketed(
+          StatementIO.scanVersion(spark, statementsRoot(cfg), cfg.version),
+          table, cfg.buckets)
+        spark.table(table)
+      case None =>
+        StatementIO.scanVersion(spark, statementsRoot(cfg), cfg.version).toDF()
+    }
 
     // ---- 3. assemble ONCE; every downstream consumer shares this
     // persisted frame (single-assembly invariant — EtlSpec asserts it).
-    val entities = EntityAssembler.assembleColumnar(stored)
+    // canonicalId is guaranteed populated by stage 1, so the assembly
+    // groups on the raw column — shuffle-free over a bucketed store.
+    val entities = EntityAssembler
+      .assembleColumnar(stored, trustCanonicalId = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val entityCount = entities.count()

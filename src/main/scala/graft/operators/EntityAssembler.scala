@@ -117,10 +117,24 @@ object EntityAssembler {
     * is the once-per-entity schema-narrowing fold.
     *
     * Output schema matches [[Entity]]: (id, schema, properties,
-    * datasets, referents, firstSeen, lastSeen). */
-  def assembleColumnar(statements: DataFrame): DataFrame = {
-    val key = when(col("canonicalId").isNotNull && length(col("canonicalId")) > 0,
-      col("canonicalId")).otherwise(col("entityId"))
+    * datasets, referents, firstSeen, lastSeen).
+    *
+    * `trustCanonicalId = true` groups on the RAW `canonicalId` column
+    * instead of the coalesce-with-entityId expression. Use it when the
+    * caller guarantees canonicalId is populated (the ETL runner does —
+    * its canonicalize stage writes it on every row): grouping on the
+    * plain column lets a statement table bucketed by canonicalId
+    * satisfy the aggregation's required distribution directly, so the
+    * statements → entities step — the biggest recurring shuffle of a
+    * run — executes with NO exchange over pre-bucketed files
+    * (StatementIO.writeBucketed; plan-asserted in StatementIOSpec). */
+  def assembleColumnar(
+      statements: DataFrame,
+      trustCanonicalId: Boolean = false): DataFrame = {
+    val key =
+      if (trustCanonicalId) col("canonicalId")
+      else when(col("canonicalId").isNotNull && length(col("canonicalId")) > 0,
+        col("canonicalId")).otherwise(col("entityId"))
     statements
       .withColumn("_key", key)
       .groupBy(col("_key"), col("prop"))

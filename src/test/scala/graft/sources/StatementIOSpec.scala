@@ -56,6 +56,22 @@ class StatementIOSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("bucketed store assembles entities with no exchange (trusted canonicalId)") {
+    val stmts = Seq(stmt("a", "ds1", "name", external = false),
+      stmt("b", "ds1", "alias", external = false)).toDS()
+    StatementIO.writeBucketed(stmts, "stmts_asm", buckets = 4)
+    val trusted = graft.operators.EntityAssembler
+      .assembleColumnar(spark.table("stmts_asm"), trustCanonicalId = true)
+    val plan = trusted.queryExecution.executedPlan.toString
+    // the statements → entities aggregation — the biggest recurring
+    // shuffle of a run — satisfies its distribution from the bucketing
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(1500))
+    // and produces the same entities as the untrusted-key path
+    val untrusted = graft.operators.EntityAssembler
+      .assembleColumnar(spark.table("stmts_asm"))
+    assert(trusted.collect().toSet == untrusted.collect().toSet)
+  }
+
   test("K2: statements CSV export skips the BASE existence prop") {
     val root = Files.createTempDirectory("graft-csv").toString
     val stmts = Seq(stmt("a", "ds1", "name", external = false),
