@@ -96,12 +96,18 @@ object Etl {
 
   /** Run the full pipeline. `statements` must conform to
     * [[Statement.sparkSchema]] minus `canonicalId` (recomputed here);
-    * `decisions` is the resolver journal (may be empty). */
+    * `decisions` is the resolver journal (may be empty). `crawlIssues`
+    * is the optional (dataset, level, message) issue log from the crawl
+    * stage — structural warnings found here (dangling references) are
+    * appended to it, the combined log feeds index.json's issue_levels,
+    * and a non-empty log is published as an issues.json product (K13,
+    * runtime/issues.py). */
   def run(
       spark: SparkSession,
       statements: DataFrame,
       decisions: DataFrame,
-      cfg: Config): Result = {
+      cfg: Config,
+      crawlIssues: Option[DataFrame] = None): Result = {
     import spark.implicits._
     val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
 
@@ -180,11 +186,21 @@ object Etl {
               s"${r.getAs[String]("comparison")} ${r.getAs[Long]("threshold")} " +
               s"but actual=${r.getAs[Long]("actual")}"))
       }
-      val dangling = Validators.danglingRefs(entities).count()
+      // structural warnings join the crawl-stage issue log (the
+      // reference logs them through context.log into issues.json)
+      val danglingIssues = Validators.danglingRefs(entities)
+        .select(lit(cfg.datasetName).as("dataset"), lit("warning").as("level"),
+          concat(col("src_id"), lit(" property "), col("prop"),
+            lit(" references missing id "), col("dst_id")).as("message"))
+      val issues = (crawlIssues match {
+        case Some(ci) => ci.select(col("dataset"), col("level"), col("message"))
+          .unionByName(danglingIssues)
+        case None => danglingIssues
+      }).persist(StorageLevel.MEMORY_AND_DISK)
+      val dangling = danglingIssues.count()
 
       // ---- 5. export: fan out the sinks over the ONE persisted frame.
       val dir = productDir(cfg, cfg.version)
-      val issues = Seq.empty[(String, String)].toDF("dataset", "level")
       // the sinks are independent jobs over the ONE persisted frame —
       // submit them concurrently (the Spark scheduler interleaves their
       // stages across the cluster), the parallel analog of the
@@ -243,6 +259,16 @@ object Etl {
             Future { writeProduct(name); name -> s"$dir/$name" })),
           Duration.Inf).toMap
       }
+      // K13: a non-empty issue log publishes as issues.json
+      // (runtime/issues.py; exporters write it alongside the products)
+      val issuesProduct =
+        if (cfg.exporters.nonEmpty && !issues.isEmpty) {
+          writeText(issues
+            .select(to_json(struct(col("dataset"), col("level"),
+              col("message"))).as("json"))
+            .sortWithinPartitions("json"), s"$dir/issues.json")
+          Map("issues.json" -> s"$dir/issues.json")
+        } else Map.empty[String, String]
 
       // ---- 6. publish: promote to latest + record the successful
       // version (publish.py:63-94; runtime/versions.py
@@ -267,7 +293,8 @@ object Etl {
       state.write(cfg.version.getBytes("UTF-8"))
       state.close()
 
-      Result(cfg.version, dir, products, entityCount, dangling)
+      issues.unpersist(blocking = false)
+      Result(cfg.version, dir, products ++ issuesProduct, entityCount, dangling)
     } finally entities.unpersist(blocking = false)
   }
 
