@@ -688,6 +688,87 @@ object PipelineQueries {
         |FROM (SELECT subject_id, target_id, score,
         |    row_number() OVER (PARTITION BY subject_id ORDER BY score DESC, target_id) AS rnk
         |  FROM pruned WHERE score >= best * 0.1)
-        |WHERE rnk <= 5""".stripMargin)
+        |WHERE rnk <= 5""".stripMargin),
+
+    // J10/P4/O2/O3 composed: the full xref/enrichment flow as ONE job —
+    // blocked candidate generation → per-subject top-k pruning → the
+    // same-id short-circuit (targets include every id % 100 = 0, so
+    // some subjects exist verbatim on the target side) → the judgement
+    // gate (POSITIVE → internal statements, NEGATIVE dropped, unjudged
+    // → external candidates; judgements derived deterministically from
+    // the pair ids so the oracle can re-derive them). The xref analog
+    // of q109's ETL composition (local_enricher.py:86-199 end-to-end).
+    decl("q110_xref_pipeline",
+      (s, d) => {
+        val p = t(s, d, "part")
+        val k = col("p_partkey")
+        val subjects = p.filter(k % 2 === 0)
+        val targets = p.filter(k % 2 === 1 || k % 100 === 0)
+        val cands = Blocking.candidates(subjects, targets,
+          col("p_partkey"), col("p_name"), col("p_partkey"), col("p_name"),
+          maxDf = 100)
+        val top = Blocking.topK(cands, k = 5, cutoff = 0.5, minScoreRatio = 0.1)
+        val matches = graft.operators.Enricher.withSameIdMatches(
+          top.select(col("subject_id"), col("target_id"), col("score")),
+          subjects, targets, col("p_partkey"), col("p_partkey"))
+        val decisions = matches.select(col("subject_id"), col("target_id"))
+          .withColumn("judgement",
+            when((col("subject_id") + col("target_id")) % 7 === 0, "POSITIVE")
+              .when((col("subject_id") + col("target_id")) % 7 === 1, "NEGATIVE"))
+          .filter(col("judgement").isNotNull)
+        graft.operators.Enricher.judgementGate(matches, decisions)
+          .select(col("subject_id"), col("target_id"),
+            col("score").cast("decimal(18,6)").cast("double").as("score"),
+            col("route"))
+      },
+      """WITH pn AS (
+        |  SELECT p_partkey AS id,
+        |    list_filter(string_split(regexp_replace(trim(lower(p_name)), '\\s+', ' ', 'g'), ' '),
+        |                t -> len(t) > 0) AS w
+        |  FROM part),
+        |pns AS (SELECT id, list_sort(list_distinct(w)) AS sw FROM pn),
+        |keys0 AS (
+        |  SELECT id, unnest(CASE WHEN len(sw) >= 2
+        |    THEN list_transform(generate_series(1, len(sw) - 1), i -> sw[i] || ' ' || sw[i+1])
+        |    ELSE sw END) AS bkey
+        |  FROM pns),
+        |keys1 AS (SELECT DISTINCT id, bkey FROM keys0),
+        |skeys1 AS (SELECT id, bkey FROM keys1 WHERE id % 2 = 0),
+        |tkeys1 AS (SELECT id, bkey FROM keys1 WHERE id % 2 = 1 OR id % 100 = 0),
+        |skeys AS (SELECT k.id, k.bkey FROM skeys1 k
+        |  JOIN (SELECT bkey, COUNT(*) df FROM skeys1 GROUP BY bkey) f
+        |  ON k.bkey = f.bkey AND f.df <= 100),
+        |tkeys AS (SELECT k.id, k.bkey FROM tkeys1 k
+        |  JOIN (SELECT bkey, COUNT(*) df FROM tkeys1 GROUP BY bkey) f
+        |  ON k.bkey = f.bkey AND f.df <= 100),
+        |toks AS (SELECT id, list_distinct(w) AS t FROM pn),
+        |pairs AS (SELECT DISTINCT sk.id AS subject_id, tk.id AS target_id
+        |  FROM skeys sk JOIN tkeys tk ON sk.bkey = tk.bkey),
+        |scored AS (SELECT subject_id, target_id,
+        |    len(list_intersect(st.t, tt.t))::DOUBLE
+        |      / (len(st.t) + len(tt.t) - len(list_intersect(st.t, tt.t)))::DOUBLE AS score
+        |  FROM pairs JOIN toks st ON pairs.subject_id = st.id
+        |             JOIN toks tt ON pairs.target_id = tt.id),
+        |pruned AS (SELECT subject_id, target_id, score,
+        |    max(score) OVER (PARTITION BY subject_id) AS best
+        |  FROM scored WHERE score >= 0.5),
+        |topk AS (
+        |  SELECT subject_id, target_id, score
+        |  FROM (SELECT subject_id, target_id, score,
+        |      row_number() OVER (PARTITION BY subject_id ORDER BY score DESC, target_id) AS rnk
+        |    FROM pruned WHERE score >= best * 0.1)
+        |  WHERE rnk <= 5),
+        |same AS (
+        |  SELECT p_partkey AS subject_id, p_partkey AS target_id, 1.0::DOUBLE AS score
+        |  FROM part WHERE p_partkey % 2 = 0 AND (p_partkey % 2 = 1 OR p_partkey % 100 = 0)),
+        |allm AS (
+        |  SELECT DISTINCT subject_id, target_id, score FROM (
+        |    SELECT * FROM topk UNION ALL SELECT * FROM same))
+        |SELECT subject_id, target_id,
+        |  CAST(CAST(score AS DECIMAL(18,6)) AS DOUBLE) AS score,
+        |  CASE WHEN (subject_id + target_id) % 7 = 0 THEN 'internal'
+        |       ELSE 'external' END AS route
+        |FROM allm
+        |WHERE (subject_id + target_id) % 7 != 1""".stripMargin)
   )
 }
