@@ -88,16 +88,22 @@ object TextAnalysis {
       .agg(sum(col("n")).as("n_words"),
         count(lit(1)).as("n_distinct"),
         max(col("n")).as("top_n"))
+    // guard: Spark sequence(1, 0) DESCENDS ([1, 0]) rather than being
+    // empty, so a one-word doc would index out of bounds
     val bigrams = base.select(col("doc_id"),
-      transform(sequence(lit(1), size(col("w")) - 1),
-        i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1)))
+      when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+        .otherwise(array().cast("array<string>"))
         .as("bg"))
       .select(col("doc_id"), size(col("bg")).as("n_bg"),
         size(array_distinct(col("bg"))).as("n_bg_distinct"))
     // decimal round-trip pins the fraction to 6 places so the bytes are
     // engine-independent (double division alone differs in the last ulp)
+    // null divisor (not ANSI divide-by-zero) when a doc has no bigrams
     def frac(a: Column, b: Column): Column =
-      (a.cast("double") / b.cast("double")).cast("decimal(9,6)").cast("double")
+      (a.cast("double") / when(b =!= 0, b).cast("double"))
+        .cast("decimal(9,6)").cast("double")
     counts.join(bigrams, "doc_id")
       .select(col("doc_id"), col("n_words"),
         frac(col("n_distinct"), col("n_words")).as("word_ratio"),

@@ -769,6 +769,95 @@ object PipelineQueries {
         |  CASE WHEN (subject_id + target_id) % 7 = 0 THEN 'internal'
         |       ELSE 'external' END AS route
         |FROM allm
-        |WHERE (subject_id + target_id) % 7 != 1""".stripMargin)
+        |WHERE (subject_id + target_id) % 7 != 1""".stripMargin),
+
+    // The training-data cleaning pipeline composed end-to-end (the
+    // C4/RefinedWeb/Gopher shape): exact dedup (survivor = min doc_id
+    // per content hash) → corpus-wide paragraph dedup over the
+    // survivors → repetition/diversity quality gate over the DEDUPED
+    // text (first failing rule recorded as the drop reason, evaluated
+    // in fixed order) → language-ID and BPE-ish token counting for the
+    // kept docs only. One manifest row per survivor. The training-data
+    // counterpart of q109 (ETL) and q110 (xref).
+    decl("q111_corpus_pipeline",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val keepers = Dedup.exact(docs, col("doc_id"), col("text"))
+          .select(col("keeper_id").as("doc_id"))
+        val s1 = docs.join(keepers, Seq("doc_id"), "left_semi")
+        val s2 = Dedup.paragraphDedup(s1, col("doc_id"), col("text"), chunkWords = 3)
+          .select(col("doc_id"), col("deduped_text"))
+        val sig = TextAnalysis.repetitionSignals(
+          s2.filter(length(col("deduped_text")) > 0),
+          col("doc_id"), col("deduped_text"))
+        val joined = s2.join(sig, Seq("doc_id"), "left")
+        // rule order matters: the short-doc rules run first so the
+        // repetition signals (undefined for empty/one-word docs) are
+        // only consulted where both engines have well-defined values
+        val reason = when(length(col("deduped_text")) === 0, "empty")
+          .when(col("n_words") < 20, "too_short")
+          .when(col("word_ratio") < 0.40, "low_diversity")
+          .when(col("top_word_share") > 0.12, "top_heavy")
+          .when(col("dup_bigram_frac") > 0.30, "repetitive")
+          .otherwise("")
+        val lang = TextAnalysis.langId(col("deduped_text"), Seq(
+          "en" -> Seq("the", "a"),
+          "x1" -> Seq("data", "table"),
+          "x2" -> Seq("spark", "query")))
+        joined.withColumn("drop_reason", reason)
+          .withColumn("kept", col("drop_reason") === "")
+          .select(col("doc_id"), col("kept"), col("drop_reason"),
+            // sentinels, not nulls: a null numeric column round-trips as
+            // NaN in the comparator and NaN != NaN
+            when(col("kept"), lang).otherwise("").as("lang_pred"),
+            when(col("kept"), TextAnalysis.bpeTokenCount(col("deduped_text")))
+              .otherwise(0L).as("n_bpe"))
+      },
+      s"""WITH ex AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |s1 AS (SELECT d.doc_id, d.text FROM documents d JOIN ex USING (doc_id)),
+         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM s1),
+         |ch AS (SELECT doc_id, x.pos AS pos, x.chunk AS chunk FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |        generate_series(0, CAST(ceil(len(ws) / 3.0) AS INT) - 1),
+         |        i -> {'pos': i, 'chunk': array_to_string(ws[i * 3 + 1 : i * 3 + 3], ' ')})) AS x
+         |    FROM w)),
+         |rk AS (SELECT doc_id, pos, chunk,
+         |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn FROM ch),
+         |s2 AS (SELECT doc_id,
+         |    COALESCE(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '') AS dt
+         |  FROM rk GROUP BY doc_id),
+         |wd AS (SELECT doc_id, string_split(dt, ' ') AS ws FROM s2 WHERE len(dt) > 0),
+         |cnts AS (SELECT doc_id, SUM(n)::BIGINT AS n_words, COUNT(*) AS n_distinct, MAX(n) AS top_n
+         |  FROM (SELECT doc_id, word, COUNT(*) AS n
+         |        FROM (SELECT doc_id, unnest(ws) AS word FROM wd) GROUP BY 1, 2)
+         |  GROUP BY doc_id),
+         |bg AS (SELECT doc_id, len(bgl) AS n_bg, len(list_distinct(bgl)) AS n_bg_distinct
+         |  FROM (SELECT doc_id, list_transform(generate_series(1, len(ws) - 1),
+         |      i -> ws[i] || ' ' || ws[i + 1]) AS bgl FROM wd)),
+         |sig AS (SELECT doc_id, n_words,
+         |    ((n_distinct::DOUBLE / n_words::DOUBLE)::DECIMAL(9,6))::DOUBLE AS word_ratio,
+         |    ((top_n::DOUBLE / n_words::DOUBLE)::DECIMAL(9,6))::DOUBLE AS top_word_share,
+         |    (((n_bg - n_bg_distinct)::DOUBLE / n_bg::DOUBLE)::DECIMAL(9,6))::DOUBLE AS dup_bigram_frac
+         |  FROM cnts JOIN bg USING (doc_id)),
+         |cls AS (SELECT s2.doc_id, s2.dt,
+         |    CASE WHEN len(s2.dt) = 0 THEN 'empty'
+         |         WHEN sig.n_words < 20 THEN 'too_short'
+         |         WHEN sig.word_ratio < 0.40 THEN 'low_diversity'
+         |         WHEN sig.top_word_share > 0.12 THEN 'top_heavy'
+         |         WHEN sig.dup_bigram_frac > 0.30 THEN 'repetitive'
+         |         ELSE '' END AS drop_reason
+         |  FROM s2 LEFT JOIN sig USING (doc_id))
+         |SELECT doc_id, drop_reason = '' AS kept, drop_reason,
+         |  CASE WHEN drop_reason = '' THEN (CASE
+         |    WHEN s_en >= s_x1 AND s_en >= s_x2 THEN 'en'
+         |    WHEN s_x1 >= s_x2 THEN 'x1' ELSE 'x2' END) ELSE '' END AS lang_pred,
+         |  CASE WHEN drop_reason = '' THEN
+         |    len(regexp_extract_all(dt, '${TextAnalysis.BpePattern.replace("'", "''")}'))::BIGINT
+         |  ELSE 0 END AS n_bpe
+         |FROM (SELECT doc_id, drop_reason, dt,
+         |    (length(p) - length(replace(p, ' the ', ''))) // 5 + (length(p) - length(replace(p, ' a ', ''))) // 3 AS s_en,
+         |    (length(p) - length(replace(p, ' data ', ''))) // 6 + (length(p) - length(replace(p, ' table ', ''))) // 7 AS s_x1,
+         |    (length(p) - length(replace(p, ' spark ', ''))) // 7 + (length(p) - length(replace(p, ' query ', ''))) // 7 AS s_x2
+         |  FROM (SELECT doc_id, drop_reason, dt, ' ' || dt || ' ' AS p FROM cls))""".stripMargin)
   )
 }
