@@ -87,6 +87,16 @@ class EtlSpec extends SparkSpec {
       .subsetOf(persistedBefore))
   }
 
+  test("an empty dataset runs to completion with empty products (EmptyValidator analog)") {
+    val root = tmpRoot("empty")
+    val res = Etl.run(spark, stmts(Seq.empty, "2025-01-01 00:00:00"), noDecisions,
+      Etl.Config("t", "v1", root, "2025-01-01 00:00:00"))
+    assert(res.entityCount === 0)
+    for (p <- Etl.DefaultExporters)
+      assert(new java.io.File(s"$root/datasets/latest/t/$p").exists(), s"latest $p")
+    assert(spark.read.text(s"$root/datasets/latest/t/entities.ftm.json").count() === 0)
+  }
+
   test("issue log: crawl issues + dangling-ref warnings publish as issues.json and index issue_levels") {
     val root = tmpRoot("issues")
     // e9 references a missing entity via an entity-ref prop
