@@ -229,6 +229,16 @@ object Similarity {
     *  - a centroid whose cell empties is dropped (both engines drop it
     *    via the group-by), shrinking k rather than re-seeding.
     *
+    * Scale bound: the sorted fold materializes one cell's members as a
+    * single array row, so a cell must fit in executor memory — with a
+    * properly sized k (cells of 10⁴–10⁶ × dim doubles) that holds at
+    * 100 TB corpus scale. For degenerate cells beyond that, the same
+    * determinism is available WITHOUT materialization by accumulating
+    * coordinates as fixed-point decimals (`sum(col.cast("decimal"))` is
+    * exact and order-independent); it is not used here because decimal
+    * division semantics differ subtly across engines, which would break
+    * the oracle's bit-parity.
+    *
     * Returns (centroid_id, cvec array<double>). Deterministic for a
     * fixed iteration count with `earlyStop = false` — what the oracle
     * query uses. */
