@@ -1,7 +1,7 @@
 package graft.etl
 
 import graft.model.{FtmModel, Statement}
-import graft.operators.{Adjacency, Delta, EntityAssembler, Exporters, Resolver, Statistics, Validators}
+import graft.operators.{Delta, EntityAssembler, Exporters, Resolver, Statistics, Validators}
 import graft.sources.StatementIO
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -175,28 +175,38 @@ object Etl {
     try {
       val entityCount = entities.count()
 
-      // ---- 4. validate: assertion gate (fatal = failed GTE) + the
+      // ---- 4. validate: assertion gate (fatal = failed GTE, aborts;
+      // failed LTE assertions become warning-level issues —
+      // validators/assertions.py:156-183 warns without aborting) + the
       // warning-level structural validators (J7/J8).
-      if (cfg.assertions.nonEmpty) {
-        val failed = Validators.checkAssertions(entities, cfg.assertions)
-          .filter(col("fatal")).collect()
-        if (failed.nonEmpty)
-          throw ValidationFailedException(failed.toSeq.map(r =>
+      val assertionWarnings: Seq[(String, String, String)] =
+        if (cfg.assertions.isEmpty) Seq.empty
+        else {
+          def describe(r: org.apache.spark.sql.Row): String =
             s"${r.getAs[String]("metric")}(${r.getAs[String]("key")}) " +
               s"${r.getAs[String]("comparison")} ${r.getAs[Long]("threshold")} " +
-              s"but actual=${r.getAs[Long]("actual")}"))
-      }
+              s"but actual=${r.getAs[Long]("actual")}"
+          val failed = Validators.checkAssertions(entities, cfg.assertions)
+            .filter(!col("passed")).collect().toSeq
+          val fatal = failed.filter(_.getAs[Boolean]("fatal"))
+          if (fatal.nonEmpty)
+            throw ValidationFailedException(fatal.map(describe))
+          failed.map(r => (cfg.datasetName, "warning", "assertion failed: " + describe(r)))
+        }
       // structural warnings join the crawl-stage issue log (the
       // reference logs them through context.log into issues.json)
       val danglingIssues = Validators.danglingRefs(entities)
         .select(lit(cfg.datasetName).as("dataset"), lit("warning").as("level"),
           concat(col("src_id"), lit(" property "), col("prop"),
             lit(" references missing id "), col("dst_id")).as("message"))
-      val issues = (crawlIssues match {
+      val baseIssues = crawlIssues match {
         case Some(ci) => ci.select(col("dataset"), col("level"), col("message"))
           .unionByName(danglingIssues)
         case None => danglingIssues
-      }).persist(StorageLevel.MEMORY_AND_DISK)
+      }
+      val issues = baseIssues
+        .unionByName(assertionWarnings.toDF("dataset", "level", "message"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val dangling = danglingIssues.count()
 
       // ---- 5. export: fan out the sinks over the ONE persisted frame.

@@ -103,19 +103,22 @@ class EtlSpec extends SparkSpec {
     val rows = baseRows :+ (("e9", "entity", "ghost-id", "Sanction"))
     val crawlIssues = Seq(("t", "error", "bad date in row 7")).toDF("dataset", "level", "message")
     val res = Etl.run(spark, stmts(rows, "2025-01-01 00:00:00"), noDecisions,
-      Etl.Config("t", "v1", root, "2025-01-01 00:00:00"),
+      Etl.Config("t", "v1", root, "2025-01-01 00:00:00",
+        // a failed LTE assertion warns without aborting
+        assertions = Seq(Assertion("schema_entities", "lte", "Person", 1L))),
       crawlIssues = Some(crawlIssues))
     assert(res.danglingRefCount === 1)
     assert(res.products.contains("issues.json"))
     val issueLines = spark.read.text(s"$root/datasets/latest/t/issues.json")
       .as[String].collect().toSeq
-    assert(issueLines.size === 2)
+    assert(issueLines.size === 3)
     assert(issueLines.exists(l => l.contains("\"error\"") && l.contains("bad date")))
     assert(issueLines.exists(l => l.contains("\"warning\"") && l.contains("ghost-id")))
+    assert(issueLines.exists(l => l.contains("assertion failed") && l.contains("schema_entities")))
     val index = spark.read.text(s"$root/datasets/latest/t/index.json")
       .as[String].collect().head
-    assert(index.contains(""""issue_levels":{"error":1,"warning":1}"""))
-    assert(index.contains(""""issue_count":2"""))
+    assert(index.contains(""""issue_levels":{"error":1,"warning":2}"""))
+    assert(index.contains(""""issue_count":3"""))
   }
 
   test("resolver decisions canonicalize; second run preserves first_seen and emits delta ops") {
