@@ -90,6 +90,69 @@ object EtlOracle {
        |    || ',"statement_count":' || n_stmt::VARCHAR
        |    || ',"schemata":["Company","Person"],"last_change":"2026-01-01"}' AS line
        |  FROM counts),
+       |nested_lines AS (
+       |  SELECT line FROM ftm WHERE k % 3 = 0),
+       |pr AS (
+       |  SELECT k, sch, prop FROM (
+       |    SELECT k, sch, 'name' AS prop FROM cust
+       |    UNION ALL SELECT k, sch, 'country' FROM cust
+       |    UNION ALL SELECT k, sch, 'birthDate' FROM cust WHERE k % 4 != 0
+       |    UNION ALL SELECT k, sch, 'registrationNumber' FROM cust WHERE k % 4 = 0
+       |    UNION ALL SELECT k, sch, 'topics' FROM cust WHERE k % 3 = 0
+       |    UNION ALL SELECT k, sch, 'alias' FROM cust WHERE k % 50 = 0)),
+       |schemata_json AS (
+       |  SELECT string_agg(DISTINCT '"' || sch || '"', ',' ORDER BY '"' || sch || '"') AS j
+       |  FROM cust),
+       |properties_json AS (
+       |  SELECT string_agg(DISTINCT '"' || sch || ':' || prop || '"', ','
+       |    ORDER BY '"' || sch || ':' || prop || '"') AS j
+       |  FROM pr),
+       |tcountry_json AS (
+       |  SELECT COALESCE(string_agg(
+       |    '{"code":"' || country || '","count":' || cnt || ',"label":"' || country || '"}',
+       |    ',' ORDER BY cnt DESC, country), '') AS j
+       |  FROM (SELECT country, COUNT(*) AS cnt FROM cust WHERE k % 3 = 0 GROUP BY country)),
+       |thcountry_json AS (
+       |  SELECT COALESCE(string_agg(
+       |    '{"code":"' || country || '","count":' || cnt || ',"label":"' || country || '"}',
+       |    ',' ORDER BY cnt DESC, country), '') AS j
+       |  FROM (SELECT country, COUNT(*) AS cnt FROM cust GROUP BY country)),
+       |tschema_json AS (
+       |  SELECT COALESCE(string_agg(
+       |    '{"name":"' || sch || '","count":' || cnt || ',"label":"' || sch
+       |      || '","plural":"' || sch || 's"}',
+       |    ',' ORDER BY cnt DESC, sch), '') AS j
+       |  FROM (SELECT sch, COUNT(*) AS cnt FROM cust WHERE k % 3 = 0 GROUP BY sch)),
+       |thschema_json AS (
+       |  SELECT COALESCE(string_agg(
+       |    '{"name":"' || sch || '","count":' || cnt || ',"label":"' || sch
+       |      || '","plural":"' || sch || 's"}',
+       |    ',' ORDER BY cnt DESC, sch), '') AS j
+       |  FROM (SELECT sch, COUNT(*) AS cnt FROM cust GROUP BY sch)),
+       |ewp_json AS (
+       |  SELECT COALESCE(string_agg(
+       |    '{"schema":"' || sch || '","property":"' || prop || '","count":' || cnt
+       |      || ',"total":' || total || ',"fill_rate":'
+       |      || ((cnt::DOUBLE / total::DOUBLE)::DECIMAL(8,6))::VARCHAR || '}',
+       |    ',' ORDER BY sch, prop), '') AS j
+       |  FROM (SELECT p.sch, p.prop, COUNT(*) AS cnt, t.total
+       |        FROM pr p JOIN (SELECT sch, COUNT(*) AS total FROM cust GROUP BY sch) t
+       |          ON p.sch = t.sch
+       |        GROUP BY p.sch, p.prop, t.total)),
+       |stats_lines AS (
+       |  SELECT '{"last_change":null,"schemata":[' || s.j
+       |    || '],"properties":[' || p.j
+       |    || '],"entity_count":' || c.n_ent
+       |    || ',"target_count":' || c.n_target
+       |    || ',"targets":{"total":' || c.n_target
+       |    || ',"countries":[' || tc.j
+       |    || '],"schemata":[' || ts.j
+       |    || ']},"sanctions":{"programs":[]},"things":{"total":' || c.n_ent
+       |    || ',"countries":[' || thc.j
+       |    || '],"schemata":[' || ths.j
+       |    || '],"entities_with_prop":[' || ewp.j || ']}}' AS line
+       |  FROM schemata_json s, properties_json p, counts c, tcountry_json tc,
+       |       tschema_json ts, thcountry_json thc, thschema_json ths, ewp_json ewp),
        |index_lines AS (
        |  SELECT '{"name":"etl_a","entity_count":' || n_ent::VARCHAR
        |    || ',"target_count":' || n_target::VARCHAR
@@ -118,6 +181,8 @@ object EtlOracle {
        |  UNION ALL ${digest("entities.delta.json", "delta_lines")}
        |  UNION ALL ${digest("catalog.json", "catalog_lines")}
        |  UNION ALL ${digest("index.json", "index_lines")}
+       |  UNION ALL ${digest("statistics.json", "stats_lines")}
+       |  UNION ALL ${digest("targets.nested.json", "nested_lines")}
        |  UNION ALL ${digest("statements.csv", "stmt_lines")}
        |  UNION ALL ${digest("targets.simple.csv", "simple_lines")})
        |ORDER BY product""".stripMargin

@@ -17,9 +17,10 @@ import Q._
   * from the base tables, so a wrong byte anywhere in any digested
   * product breaks the hash match. CSV products are digested on a
   * canonical '|'-joined projection (byte-level CSV framing is already
-  * oracled by q96); senzing/statistics/nested are written by the run
-  * but digested by their own dedicated oracles (q84/q102/q103) on a
-  * richer corpus.
+  * oracled by q96); senzing is written by the run but digested by its
+  * own dedicated oracle (q84) on a richer corpus — the other NINE
+  * products, statistics.json's full document and the nested targets
+  * included, are digested here.
   *
   * The v2 entity model, mirrored in the oracle:
   *  - customer k → entity c{k}: Person (k%4≠0, birthDate 19XX) or
@@ -168,6 +169,10 @@ object EtlQueries {
         val deltaP = digest(text("entities.delta.json"), "entities.delta.json", col("value"))
         val catalogP = digest(text("catalog.json"), "catalog.json", col("value"))
         val indexP = digest(text("index.json"), "index.json", col("value"))
+        val statsP = digest(text("statistics.json"), "statistics.json", col("value"))
+        // targets with no adjacents nest as their plain FtM dict, so
+        // the product is the ftm lines of the k%3=0 targets
+        val nestedP = digest(text("targets.nested.json"), "targets.nested.json", col("value"))
         val stmtsCsv = digest(csv("statements.csv"), "statements.csv",
           concat_ws("|", col("id"), col("entity_id"), col("canonical_id"),
             col("prop"), col("prop_type"), col("schema"), c("value"),
@@ -181,7 +186,8 @@ object EtlQueries {
             c("dataset"), c("first_seen"), c("last_seen"), c("last_change")))
 
         ftm.unionByName(names).unionByName(deltaP).unionByName(catalogP)
-          .unionByName(indexP).unionByName(stmtsCsv).unionByName(simpleCsvP)
+          .unionByName(indexP).unionByName(statsP).unionByName(nestedP)
+          .unionByName(stmtsCsv).unionByName(simpleCsvP)
           .sort("product")
       },
       EtlOracle.sql)
