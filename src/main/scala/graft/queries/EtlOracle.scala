@@ -1,6 +1,6 @@
 package graft.queries
 
-/** DuckDB oracle for q109: recomputes every digested product of the v2
+/** DuckDB oracle for q109: recomputes EVERY published product of the v2
   * ETL run straight from the base tables (see [[EtlQueries]] for the
   * entity model). The digest is COUNT plus the order-independent sum of
   * a 60-bit md5-prefix fold per line — the fold matches Spark's
@@ -153,6 +153,24 @@ object EtlOracle {
        |    || '],"entities_with_prop":[' || ewp.j || ']}}' AS line
        |  FROM schemata_json s, properties_json p, counts c, tcountry_json tc,
        |       tschema_json ts, thcountry_json thc, thschema_json ths, ewp_json ewp),
+       |senzing_lines AS (
+       |  SELECT '{"DATA_SOURCE":"etl_a","RECORD_ID":"c' || k::VARCHAR
+       |    || '","RECORD_TYPE":"'
+       |    || (CASE WHEN k % 4 = 0 THEN 'ORGANIZATION' ELSE 'PERSON' END)
+       |    || '","NAMES":[{"NAME_TYPE":"PRIMARY","'
+       |    || (CASE WHEN k % 4 = 0 THEN 'NAME_ORG' ELSE 'NAME_FULL' END)
+       |    || '":"' || c_name || '"}]'
+       |    || (CASE WHEN k % 3 = 0 THEN ',"RISKS":[{"TOPIC":"sanction"}]' ELSE '' END)
+       |    || (CASE WHEN k % 4 != 0 THEN ',"DATES":[{"DATE_OF_BIRTH":"19'
+       |         || (50 + k % 50)::VARCHAR || '"}]' ELSE '' END)
+       |    || ',"COUNTRIES":[{"'
+       |    || (CASE WHEN k % 4 = 0 THEN 'COUNTRY_OF_ASSOCIATION' ELSE 'NATIONALITY' END)
+       |    || '":"' || country || '"}]'
+       |    || ',"IDENTIFIERS":['
+       |    || (CASE WHEN k % 4 = 0 THEN '{"NATIONAL_ID_NUMBER":"RN' || k::VARCHAR || '"},' ELSE '' END)
+       |    || '{"OTHER_ID_TYPE":"OPEN_SANCTIONS","OTHER_ID_NUMBER":"c' || k::VARCHAR
+       |    || '"}]}' AS line
+       |  FROM cust),
        |index_lines AS (
        |  SELECT '{"name":"etl_a","entity_count":' || n_ent::VARCHAR
        |    || ',"target_count":' || n_target::VARCHAR
@@ -183,6 +201,7 @@ object EtlOracle {
        |  UNION ALL ${digest("index.json", "index_lines")}
        |  UNION ALL ${digest("statistics.json", "stats_lines")}
        |  UNION ALL ${digest("targets.nested.json", "nested_lines")}
+       |  UNION ALL ${digest("senzing.json", "senzing_lines")}
        |  UNION ALL ${digest("statements.csv", "stmt_lines")}
        |  UNION ALL ${digest("targets.simple.csv", "simple_lines")})
        |ORDER BY product""".stripMargin

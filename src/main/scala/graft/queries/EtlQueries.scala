@@ -17,10 +17,8 @@ import Q._
   * from the base tables, so a wrong byte anywhere in any digested
   * product breaks the hash match. CSV products are digested on a
   * canonical '|'-joined projection (byte-level CSV framing is already
-  * oracled by q96); senzing is written by the run but digested by its
-  * own dedicated oracle (q84) on a richer corpus — the other NINE
-  * products, statistics.json's full document and the nested targets
-  * included, are digested here.
+  * oracled by q96). ALL TEN published products are digested, the full
+  * statistics.json document and the senzing records included.
   *
   * The v2 entity model, mirrored in the oracle:
   *  - customer k → entity c{k}: Person (k%4≠0, birthDate 19XX) or
@@ -173,6 +171,7 @@ object EtlQueries {
         // targets with no adjacents nest as their plain FtM dict, so
         // the product is the ftm lines of the k%3=0 targets
         val nestedP = digest(text("targets.nested.json"), "targets.nested.json", col("value"))
+        val senzingP = digest(text("senzing.json"), "senzing.json", col("value"))
         val stmtsCsv = digest(csv("statements.csv"), "statements.csv",
           concat_ws("|", col("id"), col("entity_id"), col("canonical_id"),
             col("prop"), col("prop_type"), col("schema"), c("value"),
@@ -187,7 +186,7 @@ object EtlQueries {
 
         ftm.unionByName(names).unionByName(deltaP).unionByName(catalogP)
           .unionByName(indexP).unionByName(statsP).unionByName(nestedP)
-          .unionByName(stmtsCsv).unionByName(simpleCsvP)
+          .unionByName(senzingP).unionByName(stmtsCsv).unionByName(simpleCsvP)
           .sort("product")
       },
       EtlOracle.sql)
