@@ -70,40 +70,56 @@ object EdgeDedup {
       .agg(min(col("edge_id")).as("rep_id"),
         first(col("lo")).as("lo"), first(col("hi")).as("hi"),
         first(col("slugs")).as("slugs"))
+      .persist()
 
-    // rank + bucket size for the adversarial-bucket cap
-    val ranked = reps
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("bucket").orderBy(col("lo"), col("hi"), col("rep_id"))))
-      .withColumn("bn", count(lit(1)).over(Window.partitionBy("bucket")))
-
-    // never silent: surface any bucket that hits the cap (one cheap
-    // two-level aggregate pass; output is at most five bucket keys)
+    // one cheap aggregate pass over the persisted rep frame both
+    // surfaces capped buckets (never silent) and short-circuits the
+    // rank/neighborhood machinery: in the common case (every bucket
+    // small) the pair join below needs NO window pass at all
     val capped = reps.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
       .filter(col("n") > maxRepsPerBucket).select(col("bucket")).limit(5)
       .collect().map(_.getString(0))
-    if (capped.nonEmpty)
+
+    // bucket-local overlap pairs over REPS (T7; empty dates = wildcard)
+    val base = reps.select(col("bucket"), col("rep_id"), col("lo"), col("hi"))
+    val overlapPairs = if (capped.isEmpty) {
+      val l = base.select(col("bucket"), col("rep_id").as("a"),
+        col("lo").as("la"), col("hi").as("ha"))
+      val r = base.select(col("bucket"), col("rep_id").as("b"),
+        col("lo").as("lb"), col("hi").as("hb"))
+      l.join(r, "bucket")
+        .filter(col("a") < col("b"))
+        .filter(col("la") <= col("hb") && col("lb") <= col("ha"))
+        .select(col("a").as("src"), col("b").as("dst"))
+    } else {
       System.err.println(
         s"[graft] EdgeDedup: pair cap (neighborhood=$CapNeighborhood) applied to " +
           s"bucket(s) over $maxRepsPerBucket reps: ${capped.mkString(", ")} ...")
-
-    // bucket-local overlap pairs over REPS (T7; empty dates = wildcard)
-    val l = ranked.select(col("bucket"), col("rep_id").as("a"),
-      col("lo").as("la"), col("hi").as("ha"), col("rnk").as("ra"), col("bn"))
-    val r = ranked.select(col("bucket"), col("rep_id").as("b"),
-      col("lo").as("lb"), col("hi").as("hb"), col("rnk").as("rb"))
-    val overlapPairs = l.join(r, "bucket")
-      .filter(col("a") < col("b"))
-      .filter(col("bn") <= maxRepsPerBucket ||
-        abs(col("rb") - col("ra")) <= CapNeighborhood)
-      .filter(col("la") <= col("hb") && col("lb") <= col("ha"))
-      .select(col("a").as("src"), col("b").as("dst"))
+      // rank once; bucket size = max(rnk) over the already-partitioned
+      // frame (reuses the row_number exchange+sort — no second shuffle,
+      // no separate aggregate pass, no driver round-trip beyond the one
+      // cap probe above)
+      val ranked = base
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("bucket").orderBy(col("lo"), col("hi"), col("rep_id"))))
+        .withColumn("bn", max(col("rnk")).over(Window.partitionBy("bucket")))
+      val l = ranked.select(col("bucket"), col("rep_id").as("a"),
+        col("lo").as("la"), col("hi").as("ha"), col("rnk").as("ra"), col("bn"))
+      val r = ranked.select(col("bucket"), col("rep_id").as("b"),
+        col("lo").as("lb"), col("hi").as("hb"), col("rnk").as("rb"))
+      l.join(r, "bucket")
+        .filter(col("a") < col("b"))
+        .filter(col("bn") <= maxRepsPerBucket ||
+          abs(col("rb") - col("ra")) <= CapNeighborhood)
+        .filter(col("la") <= col("hb") && col("lb") <= col("ha"))
+        .select(col("a").as("src"), col("b").as("dst"))
+    }
 
     // temporal candidate groups = transitive closure of overlap
-    val nodes = ranked.select(col("rep_id").as("id"))
+    val nodes = reps.select(col("rep_id").as("id"))
     val groups = ConnectedComponents.run(nodes, overlapPairs)
       .withColumnRenamed("component", "group")
-    val repGroups = ranked.join(groups, col("rep_id") === col("id")).drop("id")
+    val repGroups = reps.join(groups, col("rep_id") === col("id")).drop("id")
 
     // members inherit their rep's group
     val withGroup = keyed.join(

@@ -59,8 +59,10 @@ object Similarity {
   }
 
   /** Exact cosine ranking within a candidate frame
-    * (query_id, qvec, neighbor_id, nvec). */
-  private def rankCandidates(cand: DataFrame, k: Int): DataFrame = {
+    * (query_id, qvec, neighbor_id, nvec). Public so that callers which
+    * already materialized a candidate frame (e.g. for a candidate-count
+    * report) can rank it WITHOUT re-deriving the candidates. */
+  def rankCandidates(cand: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     cand
@@ -253,13 +255,20 @@ object Similarity {
     var it = 0
     var converged = false
     while (it < maxIterations && !converged) {
-      val assignW = Window.partitionBy("id")
-        .orderBy(col("ccos").desc, col("centroid_id").asc)
+      // top-1 nearest centroid as a min_by AGGREGATE, not a window:
+      // after the broadcast join each id's k candidate rows are
+      // co-located, so partial (map-side) aggregation reduces k→1
+      // before the shuffle — a factor-k shuffle-volume win on the
+      // corpus-assignment path. Tie-break identical to the former
+      // window (max ccos, then min centroid_id == min of the ordered
+      // struct (-ccos, centroid_id)), so assignment is deterministic.
       val assigned = members.join(broadcast(cents))
         .withColumn("ccos", cosine(col("vec"), col("cvec")))
-        .withColumn("crank", row_number().over(assignW))
-        .filter(col("crank") === 1)
-        .select(col("id"), col("vec"), col("centroid_id"))
+        .groupBy(col("id"))
+        .agg(min_by(struct(col("vec"), col("centroid_id")),
+          struct(negate(col("ccos")), col("centroid_id"))).as("best"))
+        .select(col("id"), col("best.vec").as("vec"),
+          col("best.centroid_id").as("centroid_id"))
       cents = assigned
         .groupBy(col("centroid_id"))
         .agg(sort_array(collect_list(
@@ -289,14 +298,19 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       nprobe: Int = 2): DataFrame = {
     val cents = broadcast(centroids.toDF("centroid_id", "cvec"))
-    val assignW = Window.partitionBy("neighbor_id")
-      .orderBy(col("ccos").desc, col("centroid_id").asc)
+    // corpus→cell assignment is the 100 TB-critical path: min_by
+    // aggregate (map-side partial: k candidate rows → 1 before the
+    // shuffle) instead of a per-id window, with the same deterministic
+    // tie-break (max ccos, then min centroid_id). The probe ranking
+    // below stays a window — it runs over the tiny query side only.
     val assigned = corpus.toDF("neighbor_id", "nvec")
       .join(cents)
       .withColumn("ccos", cosine(asDouble(col("nvec")), asDouble(col("cvec"))))
-      .withColumn("crank", row_number().over(assignW))
-      .filter(col("crank") === 1)
-      .select(col("neighbor_id"), col("nvec"), col("centroid_id"))
+      .groupBy(col("neighbor_id"))
+      .agg(min_by(struct(col("nvec"), col("centroid_id")),
+        struct(negate(col("ccos")), col("centroid_id"))).as("best"))
+      .select(col("neighbor_id"), col("best.nvec").as("nvec"),
+        col("best.centroid_id").as("centroid_id"))
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("qcos").desc, col("centroid_id").asc)
     val probes = queries.toDF("query_id", "qvec")

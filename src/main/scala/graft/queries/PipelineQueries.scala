@@ -125,7 +125,7 @@ object PipelineQueries {
        |                   THEN 0.002::DOUBLE ELSE -0.002::DOUBLE END)) AS v
        |  FROM eb WHERE vec_id % 50 = 0),
        |e AS (SELECT vec_id, v FROM eb UNION ALL SELECT vec_id, v FROM pl),
-       |qv AS (SELECT vec_id, v FROM eb WHERE vec_id % 100 = 0),
+       |qv AS (SELECT vec_id, v FROM eb WHERE vec_id % 100 = 0 AND vec_id < 100000),
        |exact AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -139,7 +139,7 @@ object PipelineQueries {
        |mt_cand AS (
        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
        |  FROM mtb q JOIN mtb c ON q.tbl = c.tbl AND q.bits = c.bits
-       |  WHERE q.vec_id % 100 = 0 AND q.vec_id < 1000000 AND q.vec_id != c.vec_id),
+       |  WHERE q.vec_id % 100 = 0 AND q.vec_id < 100000 AND q.vec_id != c.vec_id),
        |mt AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT m.query_id, m.neighbor_id,
@@ -150,7 +150,7 @@ object PipelineQueries {
        |  WHERE rnk <= 10),
        |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
        |qb AS (SELECT vec_id AS query_id, v AS qv2, bucket FROM b
-       |       WHERE vec_id % 100 = 0 AND vec_id < 1000000),
+       |       WHERE vec_id % 100 = 0 AND vec_id < 100000),
        |cb AS (SELECT vec_id AS neighbor_id, v AS nv, bucket FROM b),
        |lsh_cand AS (
        |  SELECT query_id, neighbor_id, qv2, nv
@@ -585,8 +585,9 @@ object PipelineQueries {
     // ANN recall report over a PLANTED-near-dup overlay corpus: every
     // 50th embedding is duplicated with a deterministic ±0.002
     // per-coordinate perturbation (id offset 1e6, cosine ≈ 0.9997), so
-    // each query (vec_id % 100 = 0) has exactly one planted partner at
-    // rank 1 of the exact baseline. The report grades each method (IVF
+    // each query (vec_id % 100 = 0, count-capped at 1000 queries — see
+    // inline comment) has exactly one planted partner at rank 1 of the
+    // exact baseline. The report grades each method (IVF
     // nprobe=2, sign-LSH single-probe, multi-probe Hamming-1,
     // multi-table 12-plane × 4-table banded LSH) on overall recall@10,
     // PLANTED-pair recall, and the measured candidate fraction; the
@@ -609,24 +610,33 @@ object PipelineQueries {
               (x, i) => x + when(i % 2 === 0, lit(0.002)).otherwise(lit(-0.002)))
               .as("embedding"))
         val corpus = base.unionByName(planted)
-        val qs = base.filter(col("vec_id") % 100 === 0)
+        // query sample rule: multiples of 100 BELOW 100*1000 — i.e. at
+        // most 1000 queries REGARDLESS of corpus size, so the exact
+        // (brute-force) ground-truth baseline stays O(1000·n), linear
+        // in the corpus, instead of the quadratic O(n²/100) a pure
+        // fixed-fraction sample would cost at scale-up. The oracle
+        // mirrors the same predicate.
+        val qs = base.filter(col("vec_id") % 100 === 0 && col("vec_id") < 100L * 1000)
         val cents = base.filter(col("vec_id") % 50 === 7)
+        val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         // the exact baseline feeds all four report rows (semi-joins +
         // denominators) — persist it or the all-pairs ranking runs 12×
-        val exact = Similarity.cosineTopK(qs, corpus, k = 10)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val exact = Similarity.cosineTopK(qs, corpus, k = 10).persist(mem)
+        // each candidate frame feeds BOTH the candidate-fraction count
+        // and the method's in-candidate ranking — build once, persist,
+        // rank from the persisted frame (never re-derive the buckets)
         val lshC = Similarity.lshCandidates(qs, corpus, dim = 64, planes = 6)
+          .persist(mem)
         val mpC = Similarity.lshCandidates(qs, corpus, dim = 64, planes = 6,
-          multiProbe = true)
+          multiProbe = true).persist(mem)
         val mtC = Similarity.lshTableCandidates(qs, corpus, dim = 64,
-          planes = 12, tables = 4)
+          planes = 12, tables = 4).persist(mem)
         val ivfC = Similarity.ivfCandidates(qs, corpus, cents, nprobe = 2)
-        val lsh = Similarity.cosineTopKLsh(qs, corpus, k = 10, dim = 64, planes = 6)
-        val mp = Similarity.cosineTopKLsh(qs, corpus, k = 10, dim = 64, planes = 6,
-          multiProbe = true)
-        val mt = Similarity.cosineTopKLshTables(qs, corpus, k = 10, dim = 64,
-          planes = 12, tables = 4)
-        val ivf = Similarity.ivfTopK(qs, corpus, cents, k = 10, nprobe = 2)
+          .persist(mem)
+        val lsh = Similarity.rankCandidates(lshC, k = 10)
+        val mp = Similarity.rankCandidates(mpC, k = 10)
+        val mt = Similarity.rankCandidates(mtC, k = 10)
+        val ivf = Similarity.rankCandidates(ivfC, k = 10)
         val P = 1000000L
         Similarity.recallReport(exact, ivf, "ivf", P, ivfC, qs, corpus)
           .unionByName(Similarity.recallReport(exact, lsh, "lsh", P, lshC, qs, corpus))

@@ -79,6 +79,24 @@ class PlanAssertionsSpec extends SparkSpec {
       plan.take(1200))
   }
 
+  test("IVF corpus assignment is a partial (map-side) aggregate, not a per-id window") {
+    import graft.operators.Similarity
+    val corpus = (1 to 100)
+      .map(i => (i.toLong, Array.tabulate(4)(d => (i * (d + 1)).toDouble)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 10 === 0)
+    val cents = corpus.filter(col("vec_id") % 20 === 7)
+    val cand = Similarity.ivfCandidates(queries, corpus, cents, nprobe = 1)
+    val plan = cand.queryExecution.executedPlan.toString
+    // the n×k corpus-assignment frame must reduce k→1 map-side: a
+    // partial min_by aggregate keyed by neighbor_id...
+    assert(plan.contains("partial_min_by"), plan.take(2000))
+    // ...and must NOT be shuffled into a per-neighbor window (the probe
+    // ranking window over the tiny query side is the only one allowed)
+    assert(!"windowspecdefinition\\(neighbor_id".r.findFirstIn(plan).isDefined,
+      plan.take(2000))
+  }
+
   test("blocking topK prunes with ONE window shuffle; paragraph dedup has no window") {
     import graft.operators.{Blocking, Dedup}
     val cands = Seq((1L, 10L, 0.9), (1L, 11L, 0.8), (2L, 10L, 0.7))
