@@ -1,7 +1,7 @@
 package graft.etl
 
 import graft.model.{FtmModel, Statement}
-import graft.operators.{Delta, EntityAssembler, Exporters, Resolver, Statistics, Validators}
+import graft.operators.{Blocking, Delta, EntityAssembler, Enricher, Exporters, Resolver, Statistics, Validators}
 import graft.sources.StatementIO
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -53,7 +53,27 @@ object Etl {
       // still written: it is the versioned archive previous-run scans
       // (first_seen, delta) read.
       bucketedStorePrefix: Option[String] = None,
-      buckets: Int = 32)
+      buckets: Int = 32,
+      // when set, the run composes the xref/enrichment flow (J9/J10)
+      // as a stage of the SAME pipeline, like the reference's
+      // enrichment datasets riding the normal ETL entry point
+      // (zavod/zavod/runner/enrich.py:21-50 via cli/etl.py:95-154)
+      enrichment: Option[Enrichment] = None)
+
+  /** Enrichment stage config: match the crawled subjects against an
+    * external target statement store; matched target entities are
+    * emitted INTO this run's statement frame — unjudged matches as
+    * `external=true` candidates (excluded from the default entity view
+    * and every target product, visible in statements.csv), POSITIVE
+    * matches as internal statements that canonicalize into the subject
+    * cluster, NEGATIVE matches dropped
+    * (runner/enrich.py:21-50, runner/local_enricher.py:161-199). */
+  final case class Enrichment(
+      targetStatements: DataFrame,
+      maxDf: Long = 100,
+      topK: Int = 5,
+      cutoff: Double = 0.5,
+      minScoreRatio: Double = 0.1)
 
   /** Fatal validation failures abort the run before any product is
     * written (etl.py:122-131: validation failure → archive_failure,
@@ -110,15 +130,23 @@ object Etl {
       crawlIssues: Option[DataFrame] = None): Result = {
     import spark.implicits._
     val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    // opt-in stage timing (GRAFT_ETL_TIMING=1): wall per pipeline stage
+    // to stderr — a profiling probe, not a product
+    val timed = sys.env.get("GRAFT_ETL_TIMING").contains("1")
+    var lastTick = System.nanoTime()
+    def tick(stage: String): Unit = if (timed) {
+      val now = System.nanoTime()
+      System.err.println(f"[etl-timing] $stage: ${(now - lastTick) / 1e9}%.2f s")
+      lastTick = now
+    }
 
     // ---- 1. canonicalize (J3): remap entityId → cluster id. Only the
     // non-identity rows of the mapping are joined (the resolver linker
     // is sparse relative to the statement table), broadcast like the
     // reference's in-memory linker (integration/dedupe.py).
     val hasDecisions = !decisions.isEmpty
-    val canonicalized =
-      if (!hasDecisions)
-        statements.withColumn("canonicalId", col("entityId"))
+    val remapOpt: Option[DataFrame] =
+      if (!hasDecisions) None
       else {
         // CC only over ids the decision log touches — every other id
         // maps to itself by construction, so running components over
@@ -127,13 +155,85 @@ object Etl {
         val decisionIds = decisions.select(col("a").as("id"))
           .unionByName(decisions.select(col("b").as("id"))).distinct()
         val mapping = Resolver.canonicalize(decisionIds, decisions)
-        val remap = mapping.filter(col("canonical") =!= col("id"))
+        // the remap is decision-scoped (tiny) but its lineage is the
+        // whole CC run — checkpoint it, or every downstream plan that
+        // broadcasts it re-walks (and re-plans) the resolver DAG once
+        // per reference; measured 10-40× on the enrichment flow
+        Some(mapping.filter(col("canonical") =!= col("id"))
           .select(col("id").as("entityId"), col("canonical"))
-        statements.drop("canonicalId")
+          .localCheckpoint())
+      }
+    def canonicalizeFrame(df: DataFrame): DataFrame = remapOpt match {
+      case None => df.withColumn("canonicalId", col("entityId"))
+      case Some(remap) =>
+        df.drop("canonicalId")
           .join(broadcast(remap), Seq("entityId"), "left")
           .withColumn("canonicalId", coalesce(col("canonical"), col("entityId")))
           .drop("canonical")
-      }
+    }
+    val crawled = canonicalizeFrame(statements)
+    tick("canonicalize-plan")
+
+    // ---- 1b. enrich (optional): the q110 xref flow composed INTO the
+    // run — blocked candidates against the external target store,
+    // per-subject top-k, the same-id short-circuit, then the judgement
+    // gate routes every surviving match: unjudged → the matched target
+    // entity's statements land here as external=true candidates,
+    // POSITIVE → internal statements whose canonicalId follows the SAME
+    // resolver mapping as the crawl side (so the match merges into the
+    // subject cluster), NEGATIVE → dropped. Route precedence per target
+    // entity is internal > external (a confirmed match stays visible
+    // even if another subject also matched it unjudged) — 'internal' >
+    // 'external' lexicographically, so max() encodes it.
+    val canonicalized = cfg.enrichment match {
+      case None => crawled
+      case Some(en) =>
+        // every DISTINCT (id, name) pair blocks independently (the
+        // reference indexes all names per entity); scores aggregate to
+        // the best name-pair score before top-k
+        val subj = crawled
+          .filter(col("prop") === "name" && !col("external"))
+          .select(col("canonicalId").as("sid"), col("value").as("sname"))
+          .distinct()
+        val tgt = en.targetStatements.filter(col("prop") === "name")
+          .select(col("entityId").as("tid"), col("value").as("tname"))
+          .distinct()
+        val cands = Blocking.candidates(subj, tgt,
+            col("sid"), col("sname"), col("tid"), col("tname"), en.maxDf)
+          .groupBy(col("subject_id"), col("target_id"))
+          .agg(max(col("score")).as("score"))
+        val top = Blocking.topK(cands, en.topK, en.cutoff, en.minScoreRatio)
+        // the match set is per-subject-top-k small, but its lineage is
+        // the full blocking DAG (self-joins + windows) — checkpoint it
+        // so the judgement gate, the emission join and the store write
+        // below plan over a leaf, not over the xref plan again
+        val matches = Enricher.withSameIdMatches(
+          top.select(col("subject_id"), col("target_id"), col("score")),
+          subj, tgt, col("sid"), col("tid"))
+          .localCheckpoint()
+        val eff = Resolver.effective(decisions)
+        val dec = eff
+          .select(col("a").as("subject_id"), col("b").as("target_id"), col("judgement"))
+          .unionByName(eff
+            .select(col("b").as("subject_id"), col("a").as("target_id"), col("judgement")))
+          .distinct()
+        val routed = Enricher.judgementGate(matches, dec)
+          .groupBy(col("target_id")).agg(max(col("route")).as("route"))
+        val emitted = en.targetStatements
+          .join(routed.withColumnRenamed("target_id", "entityId"), Seq("entityId"))
+          .withColumn("dataset", lit(cfg.datasetName))
+          .withColumn("origin", lit("enrich"))
+          .withColumn("external", col("route") === "external")
+          .withColumn("firstSeen", lit(cfg.runTime).cast("timestamp"))
+          .withColumn("lastSeen", lit(cfg.runTime).cast("timestamp"))
+          .drop("route")
+        // the emitted candidate frame is small (matched targets only)
+        // but its lineage is the whole xref DAG — checkpoint it so the
+        // store write below is a plain union, not a re-walk of the
+        // blocking/judgement plan (the CC-barrier lesson applied here)
+        crawled.unionByName(canonicalizeFrame(emitted)
+          .select(crawled.columns.map(col): _*).localCheckpoint())
+    }
 
     // ---- 2. store: first_seen preservation vs the previous version
     // (T5 — runtime/timestamps.py:26-65), then the versioned layout.
@@ -147,7 +247,9 @@ object Etl {
     }
     val ordered = withSeen.select(
       Statement.sparkSchema.map(f => col(f.name).cast(f.dataType)): _*)
+    tick("enrich-plan")
     StatementIO.write(ordered.as[Statement], statementsRoot(cfg), cfg.version)
+    tick("store-write")
     // the write is a materialization barrier: everything the resolver
     // stage cached (id-hash map, CC round checkpoints) is consumed now —
     // release it so a long-lived session does not accumulate storage
@@ -169,11 +271,17 @@ object Etl {
     // persisted frame (single-assembly invariant — EtlSpec asserts it).
     // canonicalId is guaranteed populated by stage 1, so the assembly
     // groups on the raw column — shuffle-free over a bucketed store.
+    // The entity frame is the DEFAULT view: external=true candidate
+    // statements (enrichment emissions awaiting judgement) are excluded
+    // from entities and every product over them — exactly the
+    // reference's store.view(scope, external=False); they remain in the
+    // statement store and statements.csv (P2 lets consumers scan them).
     val entities = EntityAssembler
-      .assembleColumnar(stored, trustCanonicalId = true)
+      .assembleColumnar(stored.filter(!col("external")), trustCanonicalId = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val entityCount = entities.count()
+      tick("assemble-count")
 
       // ---- 4. validate: assertion gate (fatal = failed GTE, aborts;
       // failed LTE assertions become warning-level issues —
@@ -208,6 +316,7 @@ object Etl {
         .unionByName(assertionWarnings.toDF("dataset", "level", "message"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val dangling = danglingIssues.count()
+      tick("validate")
 
       // ---- 5. export: fan out the sinks over the ONE persisted frame.
       val dir = productDir(cfg, cfg.version)
@@ -243,7 +352,8 @@ object Etl {
             StatementIO.exportCsv(stored.as[Statement], path)
           case "entities.delta.json" =>
             val prevEntities = prevStatements match {
-              case Some(prev) => EntityAssembler.assembleColumnar(prev)
+              case Some(prev) =>
+                EntityAssembler.assembleColumnar(prev.filter(!col("external")))
               case None => entities.limit(0)
             }
             val diff = Delta.diff(hashFrame(prevEntities), hashFrame(entities))
@@ -269,6 +379,7 @@ object Etl {
             Future { writeProduct(name); name -> s"$dir/$name" })),
           Duration.Inf).toMap
       }
+      tick("products")
       // K13: a non-empty issue log publishes as issues.json
       // (runtime/issues.py; exporters write it alongside the products)
       val issuesProduct =

@@ -9,11 +9,11 @@ package graft.queries
 object EtlOracle {
 
   /** 60-bit md5-prefix fold of an expression, as DuckDB SQL. */
-  private def fold(e: String): String =
+  private[queries] def fold(e: String): String =
     s"list_sum(list_transform(generate_series(1,15), i -> " +
       s"(strpos('0123456789abcdef', substr(md5($e),i,1))-1)::BIGINT << (4*(15-i))))"
 
-  private def digest(product: String, linesCte: String): String =
+  private[queries] def digest(product: String, linesCte: String): String =
     s"""SELECT '$product' AS product, COUNT(*) AS n_lines,
        |  SUM(${fold("line")})::DECIMAL(38,0)::VARCHAR AS hash_sum
        |FROM $linesCte""".stripMargin
@@ -205,4 +205,76 @@ object EtlOracle {
        |  UNION ALL ${digest("statements.csv", "stmt_lines")}
        |  UNION ALL ${digest("targets.simple.csv", "simple_lines")})
        |ORDER BY product""".stripMargin
+
+  /** DuckDB oracle for q113 (crawl + enrichment composed into one ETL
+    * run — see [[EtlQueries]] for the entity model). Match arithmetic:
+    * customer names are unique, so blocked pairs are exactly the
+    * name-equal (s{k}, t{k}) for even k with Jaccard 1.0; the
+    * judgement gate routes k%10=0 POSITIVE → internal (canonicalized
+    * into s{k}), k%10=6 NEGATIVE → dropped, the rest → external
+    * candidates; the same-id short-circuit adds the t-side s{k}
+    * (k%10=0) as an unjudged external. External statements appear in
+    * statements.csv with external=true and in NO entity-view product
+    * (ftm/names/targets). */
+  val enrichSql: String = {
+    val canon = "(CASE WHEN k % 10 = 0 THEN 's' ELSE 't' END) || k::VARCHAR"
+    val ext = "(CASE WHEN k % 10 = 0 THEN 'false' ELSE 'true' END)"
+    s"""WITH cust AS (SELECT c_custkey AS k, c_name FROM customer),
+       |ftm_lines AS (
+       |  SELECT '{"id":"s' || k::VARCHAR || '","schema":"Person","properties":{'
+       |    || '"name":["' || c_name || '"]'
+       |    || (CASE WHEN k % 10 = 0
+       |        THEN ',"registrationNumber":["X' || k::VARCHAR || '"]' ELSE '' END)
+       |    || (CASE WHEN k % 3 = 0 THEN ',"topics":["sanction"]' ELSE '' END)
+       |    || '}}' AS line
+       |  FROM cust),
+       |name_lines AS (SELECT DISTINCT c_name AS line FROM cust),
+       |stmt_lines AS (
+       |  SELECT md5('enr_a|s' || k::VARCHAR || '|name|' || c_name)
+       |    || '|s' || k::VARCHAR || '|s' || k::VARCHAR
+       |    || '|name|name|Person|' || c_name || '|' || c_name
+       |    || '|enr_a|en|crawl|false|2026-02-01|2026-02-01' AS line
+       |  FROM cust
+       |  UNION ALL
+       |  SELECT md5('enr_a|s' || k::VARCHAR || '|topics|sanction')
+       |    || '|s' || k::VARCHAR || '|s' || k::VARCHAR
+       |    || '|topics|topic|Person|sanction|sanction'
+       |    || '|enr_a|en|crawl|false|2026-02-01|2026-02-01'
+       |  FROM cust WHERE k % 3 = 0
+       |  UNION ALL
+       |  SELECT md5('ext_b|t' || k::VARCHAR || '|name|' || c_name)
+       |    || '|t' || k::VARCHAR || '|' || $canon
+       |    || '|name|name|Person|' || c_name || '|' || c_name
+       |    || '|enr_a|en|enrich|' || $ext || '|2026-02-01|2026-02-01'
+       |  FROM cust WHERE k % 2 = 0 AND k % 10 != 6
+       |  UNION ALL
+       |  SELECT md5('ext_b|t' || k::VARCHAR || '|registrationNumber|X' || k::VARCHAR)
+       |    || '|t' || k::VARCHAR || '|' || $canon
+       |    || '|registrationNumber|identifier|Person|X' || k::VARCHAR || '|X' || k::VARCHAR
+       |    || '|enr_a|en|enrich|' || $ext || '|2026-02-01|2026-02-01'
+       |  FROM cust WHERE k % 2 = 0 AND k % 10 != 6
+       |  UNION ALL
+       |  SELECT md5('ext_b|t' || k::VARCHAR || '|topics|sanction')
+       |    || '|t' || k::VARCHAR || '|' || $canon
+       |    || '|topics|topic|Person|sanction|sanction'
+       |    || '|enr_a|en|enrich|' || $ext || '|2026-02-01|2026-02-01'
+       |  FROM cust WHERE k % 2 = 0 AND k % 10 != 6 AND k % 3 = 0
+       |  UNION ALL
+       |  SELECT md5('ext_b|s' || k::VARCHAR || '|name|Same ' || k::VARCHAR)
+       |    || '|s' || k::VARCHAR || '|s' || k::VARCHAR
+       |    || '|name|name|Person|Same ' || k::VARCHAR || '|Same ' || k::VARCHAR
+       |    || '|enr_a|en|enrich|true|2026-02-01|2026-02-01'
+       |  FROM cust WHERE k % 10 = 0),
+       |simple_lines AS (
+       |  SELECT 's' || k::VARCHAR || '|Person|' || c_name || '|||||'
+       |    || (CASE WHEN k % 10 = 0 THEN 'X' || k::VARCHAR ELSE '' END)
+       |    || '|||||enr_a|||' AS line
+       |  FROM cust WHERE k % 3 = 0)
+       |SELECT product, n_lines, hash_sum FROM (
+       |  ${digest("entities.ftm.json", "ftm_lines")}
+       |  UNION ALL ${digest("names.txt", "name_lines")}
+       |  UNION ALL ${digest("statements.csv", "stmt_lines")}
+       |  UNION ALL ${digest("targets.simple.csv", "simple_lines")})
+       |ORDER BY product""".stripMargin
+  }
 }

@@ -154,6 +154,66 @@ object EtlQueries {
         .cast("decimal(38,0)").cast("string").as("hash_sum"))
       .select(lit(product).as("product"), col("n_lines"), col("hash_sum"))
 
+  // ---- q113: crawl + enrichment composed into ONE Etl.run ----
+  // Subjects s{k} (one per customer, name + sanction topic when k%3=0)
+  // enrich against an external target store: t{k} for even k carries
+  // the SAME name (unique names ⇒ the blocked match set is exactly
+  // (s{k}, t{k}) at Jaccard 1.0), plus a t-side entity reusing id s{k}
+  // for k%10=0 (the same-id short-circuit, name 'Same {k}' that blocks
+  // with nothing). The journal judges (s{k}, t{k}): k%10=0 POSITIVE,
+  // k%10=6 NEGATIVE. Expected: POSITIVE targets merge INTO s{k}
+  // (internal statements, canonicalId follows the resolver mapping),
+  // NEGATIVE targets vanish, everything else lands external=true —
+  // present in statements.csv, absent from ftm/names/targets products.
+
+  private val EnrTime = "2026-02-01 00:00:00"
+
+  private def enrStmt(base: DataFrame, ds: String,
+      eid: org.apache.spark.sql.Column, prop: String,
+      value: org.apache.spark.sql.Column): DataFrame =
+    base.select(
+      md5(concat_ws("|", lit(ds), eid, lit(prop), value)).as("id"),
+      eid.as("entityId"), eid.as("canonicalId"),
+      lit(prop).as("prop"), lit("Person").as("schema"), value.as("value"),
+      lit(ds).as("dataset"), lit("en").as("lang"),
+      lit("crawl").as("origin"), value.as("originalValue"),
+      lit(EnrTime).cast("timestamp").as("firstSeen"),
+      lit(EnrTime).cast("timestamp").as("lastSeen"),
+      lit(false).as("external"))
+
+  private def enrSubjects(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "customer").select(col("c_custkey").as("k"), col("c_name"))
+    val k = col("k")
+    val sid = concat(lit("s"), k.cast("string"))
+    enrStmt(cust, "enr_a", sid, "name", col("c_name"))
+      .unionByName(enrStmt(cust.filter(k % 3 === 0), "enr_a", sid,
+        "topics", lit("sanction")))
+  }
+
+  private def enrTargets(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "customer").select(col("c_custkey").as("k"), col("c_name"))
+    val k = col("k")
+    val tid = concat(lit("t"), k.cast("string"))
+    val sid = concat(lit("s"), k.cast("string"))
+    val even = cust.filter(k % 2 === 0)
+    enrStmt(even, "ext_b", tid, "name", col("c_name"))
+      .unionByName(enrStmt(even, "ext_b", tid, "registrationNumber",
+        concat(lit("X"), k.cast("string"))))
+      .unionByName(enrStmt(even.filter(k % 3 === 0), "ext_b", tid,
+        "topics", lit("sanction")))
+      .unionByName(enrStmt(cust.filter(k % 10 === 0), "ext_b", sid,
+        "name", concat(lit("Same "), k.cast("string"))))
+  }
+
+  private def enrDecisions(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_custkey").as("k"))
+      .filter(col("k") % 10 === 0 || col("k") % 10 === 6)
+      .select(concat(lit("s"), col("k").cast("string")).as("a"),
+        concat(lit("t"), col("k").cast("string")).as("b"),
+        when(col("k") % 10 === 0, "POSITIVE").otherwise("NEGATIVE").as("judgement"),
+        lit("xref").as("user"),
+        lit(EnrTime).cast("timestamp").as("decided_at"))
+
   val decls: Seq[Decl] = Seq(
     decl("q109_etl_run",
       (s, d) => {
@@ -189,6 +249,40 @@ object EtlQueries {
           .unionByName(senzingP).unionByName(stmtsCsv).unionByName(simpleCsvP)
           .sort("product")
       },
-      EtlOracle.sql)
+      EtlOracle.sql),
+
+    decl("q113_etl_enrich",
+      (s, d) => {
+        val root = "/tmp/graft_etl_q113_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        Etl.run(s, enrSubjects(s, d), enrDecisions(s, d), Etl.Config(
+          datasetName = "enr_a", version = "v1", outRoot = root,
+          runTime = EnrTime,
+          exporters = Seq("entities.ftm.json", "names.txt",
+            "statements.csv", "targets.simple.csv"),
+          republishLatest = false,
+          enrichment = Some(Etl.Enrichment(enrTargets(s, d)))))
+        val dir = s"$root/datasets/v1/enr_a"
+        def text(p: String) = s.read.text(s"$dir/$p")
+        def csv(p: String) = s.read.option("header", "true").csv(s"$dir/$p")
+        val c = (n: String) => coalesce(col(n), lit(""))
+        digest(text("entities.ftm.json"), "entities.ftm.json", col("value"))
+          .unionByName(digest(text("names.txt"), "names.txt", col("value")))
+          .unionByName(digest(csv("statements.csv"), "statements.csv",
+            concat_ws("|", col("id"), col("entity_id"), col("canonical_id"),
+              col("prop"), col("prop_type"), col("schema"), c("value"),
+              c("original_value"), col("dataset"), c("lang"), c("origin"),
+              col("external"), substring(col("first_seen"), 1, 10),
+              substring(col("last_seen"), 1, 10))))
+          .unionByName(digest(csv("targets.simple.csv"), "targets.simple.csv",
+            concat_ws("|", col("id"), col("schema"), c("name"), c("aliases"),
+              c("birth_date"), c("countries"), c("addresses"), c("identifiers"),
+              c("sanctions"), c("phones"), c("emails"), c("program_ids"),
+              c("dataset"), c("first_seen"), c("last_seen"), c("last_change"))))
+          .sort("product")
+      },
+      EtlOracle.enrichSql)
   )
 }
