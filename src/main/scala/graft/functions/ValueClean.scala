@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The per-type value_clean dispatch (F1) —
@@ -44,46 +44,92 @@ object ValueClean {
     * truncate to day precision (cleaning.py:134-136). Phones and URLs
     * pass through on failed validation (cleaning.py:169-186).
     *
-    * `formats` bounds the validator branches compiled into the plan —
-    * the Luhn/mod-97 validators are higher-order-function expressions
-    * that disable whole-stage codegen for the projection, so a caller
-    * that only ingests (say) IMO ids should pass `Set("imo")` and keep
-    * the hot path fully codegen'd. When the format column is static per
-    * mapping, prefer the plan-time dispatch in
-    * [[graft.sources.Ingestion]]. */
+    * `formats` bounds the validator branches compiled into the plan, so
+    * a caller that only ingests (say) IMO ids should pass `Set("imo")`.
+    * When the format column is static per mapping, prefer the plan-time
+    * dispatch in [[graft.sources.Ingestion]].
+    *
+    * SCALE WARNING: this single-Column form re-inlines `v` / `idValid`
+    * / `cleaned` at every reference site (the caller's value expression
+    * alone can appear ~36×), which blows the generated method past
+    * janino's 64 KB limit on non-trivial inputs and silently disables
+    * whole-stage codegen on the cleaning hot path. It is kept for
+    * literal-scale composition (tests, tiny lookup frames); every
+    * DataFrame-scale caller must use [[cleanInto]], which stages the
+    * intermediates behind Project boundaries. */
   def clean(ptype: Column, value: Column, idFormat: Column = lit(null),
       formats: Set[String] = AllFormats): Column = {
     val v = squash(value)
 
     val idNorm = Identifiers.normalizeId(v)
-    val idValid = formats.toSeq.sorted
+    val idValid = idValidExpr(v, idFormat, formats)
+
+    val cleaned = cleanedExpr(ptype, v, idValid, idNorm)
+
+    struct(cleaned.as("clean"), originExpr(ptype).as("origin"),
+      warningExpr(ptype, idValid, cleaned).as("warning"))
+  }
+
+  /** The per-type cleaned value, given pre-bound `v`/`idValid`/`idNorm`. */
+  private def cleanedExpr(p: Column, v: Column, idValid: Column,
+      idNorm: Column): Column =
+    when(p === "date", substring(v, 1, 10))
+      .when(p === "identifier", when(idValid, idNorm))
+      .when(p === "name", when(length(v) >= 2 && !v.rlike("^[0-9]+$"), v))
+      .when(p === "country", lower(v))
+      .when(p === "topic", lower(v))
+      .when(p === "email", when(v.rlike("^[^@\\s]+@[^@\\s]+\\.[^@\\s]+$"), lower(v)))
+      .when(p === "url", when(v.rlike("(?i)^https?://"), v).otherwise(v)) // pass through (cleaning.py:175-186)
+      .when(p === "phone", v) // pass through broken phones (cleaning.py:169-172)
+      .otherwise(v)
+
+  private def idValidExpr(v: Column, idFormat: Column,
+      formats: Set[String]): Column =
+    formats.toSeq.sorted
       .foldLeft(when(lit(false), lit(true))) { (acc, f) =>
         acc.when(idFormat === f, FormatValidators(f)(v))
       }
       .otherwise(lit(true))
 
-    val cleaned = when(ptype === "date", substring(v, 1, 10))
-      .when(ptype === "identifier", when(idValid, idNorm))
-      .when(ptype === "name", when(length(v) >= 2 && !v.rlike("^[0-9]+$"), v))
-      .when(ptype === "country", lower(v))
-      .when(ptype === "topic", lower(v))
-      .when(ptype === "email", when(v.rlike("^[^@\\s]+@[^@\\s]+\\.[^@\\s]+$"), lower(v)))
-      .when(ptype === "url", when(v.rlike("(?i)^https?://"), v).otherwise(v)) // pass through (cleaning.py:175-186)
-      .when(ptype === "phone", v) // pass through broken phones (cleaning.py:169-172)
-      .otherwise(v)
-
+  private def warningExpr(p: Column, idValid: Column, cleaned: Column): Column = {
     val maxLen = MaxLengths.foldLeft(lit(65000)) { case (acc, (t, n)) =>
-      when(ptype === t, lit(n)).otherwise(acc)
+      when(p === t, lit(n)).otherwise(acc)
     }
-    val warning = when(ptype === "identifier" && !idValid, lit("invalid_identifier"))
-      .when(ptype === "name" && cleaned.isNull, lit("invalid_name"))
+    when(p === "identifier" && !idValid, lit("invalid_identifier"))
+      .when(p === "name" && cleaned.isNull, lit("invalid_name"))
       .when(cleaned.isNotNull && length(cleaned) > maxLen, lit("too_long"))
-      .when(ptype === "address" && cleaned.isNotNull && length(cleaned) <= 3,
+      .when(p === "address" && cleaned.isNotNull && length(cleaned) <= 3,
         lit("short_address"))
+  }
 
-    val origin = when(ptype === "topic", lit("inferred"))
+  private def originExpr(p: Column): Column = when(p === "topic", lit("inferred"))
 
-    struct(cleaned.as("clean"), origin.as("origin"), warning.as("warning"))
+  /** DataFrame-scale dynamic dispatch: appends `outCol` as the same
+    * struct<clean,origin,warning> as [[clean]], with the intermediates
+    * (`v`, `idValid`, `cleaned`) each materialized ONCE behind a
+    * Project boundary. `CollapseProject` keeps the stages separate
+    * (non-cheap aliases referenced more than once are never re-inlined),
+    * so each projection's generated method stays far below janino's
+    * 64 KB limit and the whole chain runs inside whole-stage codegen —
+    * the per-row hot path the reference dispatches in
+    * zavod/zavod/runtime/cleaning.py:66-191. */
+  def cleanInto(df: DataFrame, outCol: String, ptype: Column, value: Column,
+      idFormat: Column = lit(null), formats: Set[String] = AllFormats): DataFrame = {
+    val V = "__vc_v"; val P = "__vc_p"; val F = "__vc_fmt"
+    val IV = "__vc_idvalid"; val IN = "__vc_idnorm"; val C = "__vc_cleaned"
+    val s1 = df
+      .withColumn(V, squash(value))
+      .withColumn(P, ptype)
+      .withColumn(F, idFormat)
+    val s2 = s1
+      .withColumn(IV, idValidExpr(col(V), col(F), formats))
+      .withColumn(IN, Identifiers.normalizeId(col(V)))
+    val s3 = s2.withColumn(C, cleanedExpr(col(P), col(V), col(IV), col(IN)))
+    s3.withColumn(outCol, struct(
+        col(C).as("clean"),
+        originExpr(col(P)).as("origin"),
+        warningExpr(col(P), col(IV), col(C)).as("warning")))
+      .drop(V, P, F, IV, IN, C)
   }
 
   /** Plan-time dispatch: when the property type and identifier format

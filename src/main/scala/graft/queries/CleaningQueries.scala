@@ -357,11 +357,17 @@ object CleaningQueries {
           .when(k % 6 === 3, lit("Sanction"))
           .when(k % 6 === 4, when(k % 2 === 0, lit("NY")).otherwise(lit("Long Street 1")))
           .otherwise(concat(lit("+1-"), col("o_custkey").cast("string")))
-        val res = ValueClean.clean(ptype, value,
-          idFormat = when(ptype === "identifier", "imo"),
+        // DataFrame-scale path: cleanInto stages v/idValid/cleaned behind
+        // Project boundaries so the generated code stays under the 64 KB
+        // method limit (the single-Column form re-inlined this query's
+        // value when-chain ~36× and fell out of whole-stage codegen).
+        val base = o.select(k, ptype.as("ptype"), value.as("value"))
+        val res = ValueClean.cleanInto(base, "res", col("ptype"), col("value"),
+          idFormat = when(col("ptype") === "identifier", "imo"),
           formats = Set("imo"))
-        o.select(k, ptype.as("ptype"), res.getField("clean").as("clean"),
-          res.getField("origin").as("origin"), res.getField("warning").as("warning"))
+        res.select(col("o_orderkey"), col("ptype"),
+          col("res.clean").as("clean"), col("res.origin").as("origin"),
+          col("res.warning").as("warning"))
       },
       {
         val imoD = "regexp_replace(value, '[^0-9]', '', 'g')"

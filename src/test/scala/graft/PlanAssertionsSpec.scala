@@ -55,6 +55,55 @@ class PlanAssertionsSpec extends SparkSpec {
       plan.take(500))
   }
 
+  test("the dynamic cleaning dispatch stays codegen'd under the 64 KB method limit") {
+    import org.apache.spark.sql.execution.debug._
+    import graft.functions.ValueClean
+    // replicate the q69 shape — a when-chain value expression feeding the
+    // dynamic dispatch — with the FULL validator set (worst case). The
+    // single-Column form re-inlined this into a >64 KB method and fell
+    // back to interpreted eval; cleanInto must stay inside codegen.
+    val dir = Files.createTempDirectory("graft-dynclean").toString
+    (1 to 64).map(i => (i.toLong, s"pri $i", s"2024-01-0${i % 9 + 1}"))
+      .toDF("k", "pri", "dt").write.parquet(s"$dir/t")
+    val o = spark.read.parquet(s"$dir/t")
+    val k = col("k")
+    val ptype = when(k % 6 === 0, "date").when(k % 6 === 1, "identifier")
+      .when(k % 6 === 2, "name").when(k % 6 === 3, "topic")
+      .when(k % 6 === 4, "address").otherwise("phone")
+    val value = when(k % 6 === 0, concat(col("dt"), lit("T12:34:56")))
+      .when(k % 6 === 1, concat(lit("IMO "),
+        lpad((k * 37 % 10000000L).cast("string"), 7, "0")))
+      .when(k % 6 === 2, when(k % 2 === 0, lit("7")).otherwise(col("pri")))
+      .when(k % 6 === 3, lit("Sanction"))
+      .when(k % 6 === 4, when(k % 2 === 0, lit("NY")).otherwise(lit("Long Street 1")))
+      .otherwise(concat(lit("+1-"), k.cast("string")))
+    val base = o.select(k, ptype.as("ptype"), value.as("value"))
+    val res = ValueClean.cleanInto(base, "res", col("ptype"), col("value"),
+      idFormat = when(col("ptype") === "identifier", "imo"),
+      formats = ValueClean.AllFormats)
+    val out = res.select(col("k"), col("res.clean").as("clean"),
+      col("res.origin").as("origin"), col("res.warning").as("warning"))
+    val plan = out.queryExecution.executedPlan
+    val planStr = plan.toString
+    assert(planStr.contains("*("), planStr.take(800))
+    // every projection fuses into whole-stage codegen (the "*(n)" prefix)
+    // EXCEPT the isolated idValid stage: higher-order-function validators
+    // are CodegenFallback, so that one Project runs as a standalone
+    // UnsafeProjection — which is the point of staging it.
+    val bareProjects = planStr.linesIterator
+      .filter(l => l.contains("Project [") && !l.contains("*("))
+      .toSeq
+    assert(bareProjects.forall(_.contains("__vc_idvalid")),
+      bareProjects.mkString("\n"))
+    // compile every generated subtree: all methods must stay far below
+    // the 64 KB JVM ceiling (janino refuses at 65535; JIT bails at 8 KB)
+    val stats = codegenStringSeq(plan)
+    assert(stats.nonEmpty)
+    stats.foreach { case (subtree, _, bc) =>
+      assert(bc.maxMethodCodeSize < 65535, s"method too large in:\n$subtree")
+    }
+  }
+
   test("exporter adjacency rollups are salted two-phase and stay exact") {
     import graft.operators.Skew
     // hub dataset: one entity adjacent to 50k rows, a handful of normal ones
