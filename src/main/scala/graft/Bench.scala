@@ -14,12 +14,22 @@ import org.apache.spark.sql.SparkSession
   * inherit the noise. The JSON records `runs` so readers know the
   * protocol; a warm-up action precedes timing so JVM/codegen startup is
   * not billed to the first query.
+  *
+  * Kill tolerance (round-5 lesson — a contended 1-hour window produced
+  * an EMPTY bench artifact): every completed wall is streamed to stderr
+  * as a `[bench-wall] {...}` line THE MOMENT it completes, so a killed
+  * run still leaves the full per-query record in the log tail; and each
+  * query run is capped at SPARK_GRAFT_BENCH_CAP seconds (default 120) —
+  * on expiry the query's Spark jobs (current and future) are cancelled
+  * and the wall is recorded as the cap, flagged `"capped":true`, so one
+  * pathological query can never eat the whole bench window.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    val capSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAP", "120").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,19 +46,55 @@ object Bench {
     // warm up: JVM + parquet footer reads
     spark.read.parquet(s"$sfDir/nation.parquet").count()
 
+    val sc = spark.sparkContext
+
+    // One timed, capped execution of `body`. Returns (wall, capped).
+    def timedCapped(name: String, body: () => Unit): (Double, Boolean) = {
+      val group = s"bench-$name-${System.nanoTime()}"
+      @volatile var expired = false
+      val watchdog = new Thread(() => {
+        try {
+          Thread.sleep(capSec * 1000L)
+          expired = true
+          // kill the query's running AND subsequently-submitted jobs —
+          // driver-side loops (CC fixpoints, ETL stages) keep submitting
+          // after a plain cancelJobGroup
+          sc.cancelJobGroupAndFutureJobs(group, s"bench cap ${capSec}s hit by $name")
+        } catch { case _: InterruptedException => () }
+      }, s"bench-watchdog-$name")
+      watchdog.setDaemon(true)
+      sc.setJobGroup(group, name, interruptOnCancel = true)
+      watchdog.start()
+      val t0 = System.nanoTime()
+      try body() catch {
+        case e: Throwable if !expired =>
+          System.err.println(s"[bench] $name: ${e.getMessage}")
+        case _: Throwable => () // cancellation from the cap — expected
+      } finally {
+        watchdog.interrupt()
+        sc.clearJobGroup()
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      if (expired) (capSec.toDouble, true) else (wall, false)
+    }
+
+    val capped = scala.collection.mutable.Set[String]()
     val results = SparkEntry.allDecls.map { d =>
       val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
         // Materialize via the noop sink: every output column is computed
         // and serialized, so projection-only queries (hashes, regexes,
         // date parses) are billed honestly — a bare .count() would let
         // Catalyst prune the entire projection.
-        try { d.fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
-          case e: Throwable => System.err.println(s"[bench] ${d.name}: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val (wall, wasCapped) = timedCapped(d.name,
+          () => d.fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+        if (wasCapped) capped += d.name
+        wall
       }
-      (d.name, times.min)
+      val best = times.min
+      // stream the wall immediately: a killed run keeps every line so far
+      System.err.println(
+        f"""[bench-wall] {"query":"${d.name}","sec":$best%.3f,"capped":${capped.contains(d.name)}}""")
+      (d.name, best)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -73,11 +119,8 @@ object Bench {
         val rows = top.map { case (name, tLarge) =>
           val decl = SparkEntry.allDecls.find(_.name == name).get
           val times = (1 to runs).map { _ =>
-            val t0 = System.nanoTime()
-            try { decl.fn(spark, scalingDir).write.format("noop").mode("overwrite").save() }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench-scaling] $name: ${e.getMessage}") }
-            (System.nanoTime() - t0) / 1e9
+            timedCapped(s"$name-scaling",
+              () => decl.fn(spark, scalingDir).write.format("noop").mode("overwrite").save())._1
           }
           val tSmall = times.min
           val ratio = tLarge / tSmall
@@ -90,7 +133,8 @@ object Bench {
           s""""note":"small-scale walls include fixed per-query overhead; ratios understate the data exponent","queries":${rows.mkString("{", ",", "}")}}"""
       }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir","scaling":$scalingJson}""")
+    val cappedJson = capped.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir","cap_sec":$capSec,"capped":$cappedJson,"scaling":$scalingJson}""")
     graft.queries.ExportQueries.unpersistAll()
     spark.stop()
   }
