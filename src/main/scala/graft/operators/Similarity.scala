@@ -8,19 +8,35 @@ import org.apache.spark.sql.functions._
   * (array<float>): brute-force cosine top-k as the exact baseline and an
   * LSH-bucketed (random hyperplane) variant as the 100 TB scale path.
   *
-  * All vector math is Catalyst `zip_with`/`aggregate` over doubles — no
-  * UDFs, fully codegen'd, and numerically reproducible.
+  * All vector math is native Catalyst expressions (fused single-pass
+  * Java loops with doGenCode — [[graft.functions.expr.CosineSim]]) — no
+  * UDFs, fully codegen'd, and numerically bit-identical to the
+  * sequential HOF folds they replaced (the [[dotHof]]/[[cosineHof]]
+  * reference forms, cross-checked in the spec).
   */
 object Similarity {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
 
   /** Dot product of two array<double> columns (sequential fold — order
-    * deterministic). */
+    * deterministic). Native fused loop; [[dotHof]] is the reference. */
   def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(graft.functions.expr.DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** The expression-composition dot (reference implementation). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Single-pass native cosine; [[cosineHof]] is the reference form. */
+  def cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(graft.functions.expr.CosineSim(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** The expression-composition cosine (reference implementation). */
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -32,14 +48,36 @@ object Similarity {
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.toDF("query_id", "qvec")
     val c = corpus.toDF("neighbor_id", "nvec")
+    // score BEFORE the ranking shuffle and drop the vectors: the window
+    // exchange then carries 24 bytes/row instead of the ~1 KB embedding
+    // payload (at n×k candidate volume the vector-laden shuffle IS the
+    // query wall — and at 100 TB it would be a multi-TB exchange)
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(asDouble(col("qvec")), asDouble(col("nvec"))))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(asDouble(col("qvec")), asDouble(col("nvec"))).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
+
+  /** Every (query, corpus) pair with vectors — the brute-force
+    * candidate frame (the exact baseline's "candidates are all pairs").
+    * Same schema as the LSH/IVF candidate generators. */
+  def allPairs(queries: DataFrame, corpus: DataFrame): DataFrame = {
+    val q = queries.toDF("query_id", "qvec")
+    val c = corpus.toDF("neighbor_id", "nvec")
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qvec"), col("neighbor_id"), col("nvec"))
+  }
+
+  /** Score a candidate frame down to its (query_id, neighbor_id,
+    * cosine) triple — the payload-free shape every later exchange
+    * (ranking window, dedupe, report join) should carry. */
+  def scoreCandidates(cand: DataFrame): DataFrame =
+    cand.select(col("query_id"), col("neighbor_id"),
+      cosine(asDouble(col("qvec")), asDouble(col("nvec"))).as("cosine"))
 
   /** Deterministic pseudo-random hyperplanes for sign-LSH: `planes`
     * vectors of dimension `dim` with ±1 entries derived from a fixed
@@ -65,8 +103,11 @@ object Similarity {
   def rankCandidates(cand: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    // score first, shuffle only (query_id, neighbor_id, cosine) — never
+    // the embedding payload (see cosineTopK)
     cand
-      .withColumn("cosine", cosine(asDouble(col("qvec")), asDouble(col("nvec"))))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(asDouble(col("qvec")), asDouble(col("nvec"))).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
@@ -179,29 +220,128 @@ object Similarity {
   def recallReport(
       exact: DataFrame, approx: DataFrame, method: String,
       plantedOffset: Long, candidates: DataFrame,
-      queries: DataFrame, corpus: DataFrame): DataFrame = {
-    val e = exact.select(col("query_id"), col("neighbor_id"))
-    val a = approx.select(col("query_id"), col("neighbor_id")).distinct()
-    val total = e.agg(count(lit(1)).as("exact_pairs"))
-    val found = e.join(a, Seq("query_id", "neighbor_id"), "left_semi")
-      .agg(count(lit(1)).as("found_pairs"))
-    val planted = e.filter(col("neighbor_id") === col("query_id") + plantedOffset)
-    val plantedTotal = planted.agg(count(lit(1)).as("planted_pairs"))
-    val plantedFound = planted.join(a, Seq("query_id", "neighbor_id"), "left_semi")
-      .agg(count(lit(1)).as("planted_found"))
-    val cand = candidates.agg(count(lit(1)).as("cand_pairs"))
+      queries: DataFrame, corpus: DataFrame): DataFrame =
+    recallReportAll(exact, Seq((method, candidates, approx)), plantedOffset,
+      queries, corpus)
+
+  /** The whole recall harness over ONE scored frame: `scored` is
+    * (method, query_id, neighbor_id, cosine) holding every method's
+    * candidates PLUS the exact baseline's all-pairs under
+    * `exactMethod`. One window (partitioned by method × query) ranks
+    * everything; the report is three grouped aggregations and a
+    * handful of scalar denominators. Compared to per-method frames
+    * this folds 5 persists + 5 windows + ~28 scalar jobs into 1 scan,
+    * 1 window and ~6 jobs — and no exchange ever carries an embedding.
+    * Callers persist `scored`; the report is tiny (one row per
+    * method). */
+  def recallReportScored(
+      scored: DataFrame, methods: Seq[String], exactMethod: String, k: Int,
+      plantedOffset: Long, queries: DataFrame, corpus: DataFrame): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy("method", "query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val ranked = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("method"), col("query_id"), col("neighbor_id"))
+    // ONE linear chain consumes the window exactly once: group the
+    // ranked pairs by (query, neighbor) collecting the method set
+    // (dedup for free), keep pairs the exact baseline found, explode
+    // back to per-method rows — the exact totals fall out as the
+    // exactMethod pseudo-row of the same aggregation.
+    val counts = ranked
+      .groupBy("query_id", "neighbor_id")
+      .agg(collect_set(col("method")).as("ms"))
+      .filter(array_contains(col("ms"), exactMethod))
+      .select(explode(col("ms")).as("method"),
+        (col("neighbor_id") === col("query_id") + plantedOffset)
+          .as("is_planted"))
+      .groupBy("method")
+      .agg(count(lit(1)).as("found_pairs"),
+        count(when(col("is_planted"), 1)).as("planted_found"))
+    val totals = counts.filter(col("method") === exactMethod)
+      .select(col("found_pairs").as("exact_pairs"),
+        col("planted_found").as("planted_pairs"))
+
+    val candCounts = scored.filter(col("method") =!= exactMethod)
+      .groupBy("method").agg(count(lit(1)).as("cand_pairs"))
     val nq = queries.agg(count(lit(1)).as("_nq"))
     val nc = corpus.agg(count(lit(1)).as("_nc"))
-    found.crossJoin(total).crossJoin(plantedFound).crossJoin(plantedTotal)
-      .crossJoin(cand).crossJoin(nq).crossJoin(nc)
-      .select(lit(method).as("method"), col("exact_pairs"), col("found_pairs"),
-        (col("found_pairs").cast("double") / col("exact_pairs").cast("double"))
-          .as("recall"),
-        col("planted_pairs"), col("planted_found"),
-        (col("planted_found").cast("double") / col("planted_pairs").cast("double"))
-          .as("planted_recall"),
-        col("cand_pairs"),
-        (col("cand_pairs").cast("double") /
+
+    methods.toDF("method")
+      .join(candCounts, Seq("method"), "left")
+      .join(counts.filter(col("method") =!= exactMethod), Seq("method"), "left")
+      .crossJoin(totals).crossJoin(nq).crossJoin(nc)
+      .select(col("method"), col("exact_pairs"),
+        coalesce(col("found_pairs"), lit(0L)).as("found_pairs"),
+        (coalesce(col("found_pairs"), lit(0L)).cast("double") /
+          col("exact_pairs").cast("double")).as("recall"),
+        col("planted_pairs"),
+        coalesce(col("planted_found"), lit(0L)).as("planted_found"),
+        (coalesce(col("planted_found"), lit(0L)).cast("double") /
+          col("planted_pairs").cast("double")).as("planted_recall"),
+        coalesce(col("cand_pairs"), lit(0L)).as("cand_pairs"),
+        (coalesce(col("cand_pairs"), lit(0L)).cast("double") /
+          (col("_nq") * (col("_nc") - 1)).cast("double")).as("cand_fraction"))
+  }
+
+  /** Multi-method recall report in ONE pass: the per-method frames are
+    * unioned under a `method` column and each metric family is a single
+    * grouped aggregation — one scan over the unioned candidates, one
+    * exact∩approx join, one planted∩approx join — instead of the ~7
+    * per-method scalar jobs the row-at-a-time form fired (4 methods ×
+    * 7 tiny aggregates + 1-row crossJoins cost 7% of the whole bench
+    * suite as pure job-scheduling overhead). `methods` is
+    * (name, candidates, rankedApprox) triples. */
+  def recallReportAll(
+      exact: DataFrame, methods: Seq[(String, DataFrame, DataFrame)],
+      plantedOffset: Long, queries: DataFrame, corpus: DataFrame): DataFrame = {
+    val spark = exact.sparkSession
+    import spark.implicits._
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+
+    val approxAll = methods.map { case (m, _, a) =>
+      a.select(col("query_id"), col("neighbor_id")).distinct()
+        .select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
+    val candAll = methods.map { case (m, c, _) =>
+      c.select(lit(m).as("method"))
+    }.reduce(_ unionByName _)
+
+    // per-method counts: each is ONE grouped aggregation over a union
+    val candCounts = candAll.groupBy("method")
+      .agg(count(lit(1)).as("cand_pairs"))
+    val foundCounts = e.join(approxAll, Seq("query_id", "neighbor_id"))
+      .groupBy("method").agg(count(lit(1)).as("found_pairs"))
+    val plantedE = e.filter(col("neighbor_id") === col("query_id") + plantedOffset)
+    val plantedCounts = plantedE.join(approxAll, Seq("query_id", "neighbor_id"))
+      .groupBy("method").agg(count(lit(1)).as("planted_found"))
+
+    // method-independent denominators: one aggregate over the exact
+    // frame (exact + planted totals together) + the two input counts
+    val totals = e.agg(count(lit(1)).as("exact_pairs"),
+      count(when(col("neighbor_id") === col("query_id") + plantedOffset, 1))
+        .as("planted_pairs"))
+    val nq = queries.agg(count(lit(1)).as("_nq"))
+    val nc = corpus.agg(count(lit(1)).as("_nc"))
+
+    // spine keeps a row per method even at zero found/planted counts
+    val spine = methods.map(_._1).toDF("method")
+    spine
+      .join(candCounts, Seq("method"), "left")
+      .join(foundCounts, Seq("method"), "left")
+      .join(plantedCounts, Seq("method"), "left")
+      .crossJoin(totals).crossJoin(nq).crossJoin(nc)
+      .select(col("method"), col("exact_pairs"),
+        coalesce(col("found_pairs"), lit(0L)).as("found_pairs"),
+        (coalesce(col("found_pairs"), lit(0L)).cast("double") /
+          col("exact_pairs").cast("double")).as("recall"),
+        col("planted_pairs"),
+        coalesce(col("planted_found"), lit(0L)).as("planted_found"),
+        (coalesce(col("planted_found"), lit(0L)).cast("double") /
+          col("planted_pairs").cast("double")).as("planted_recall"),
+        coalesce(col("cand_pairs"), lit(0L)).as("cand_pairs"),
+        (coalesce(col("cand_pairs"), lit(0L)).cast("double") /
           (col("_nq") * (col("_nc") - 1)).cast("double")).as("cand_fraction"))
   }
 
@@ -356,12 +496,16 @@ object Similarity {
     val v = corpus.toDF("id", "vec")
       .select(col("id"), col("vec"),
         explode(tableBucketsCol(col("vec"), dim, planes, tables)).as("bk"))
+    // score at the collision site, then dedupe on the bare (a, b,
+    // cosine) triple: the dedupe exchange never carries the embedding
+    // payload (a duplicated pair scores identically in every table, so
+    // score-then-dedupe ≡ dedupe-then-score)
     v.select(col("id").as("a"), col("vec").as("va"), col("bk"))
       .join(v.select(col("id").as("b"), col("vec").as("vb"), col("bk")), "bk")
       .filter(col("a") < col("b"))
-      .dropDuplicates("a", "b")
-      .withColumn("cosine", cosine(asDouble(col("va")), asDouble(col("vb"))))
+      .select(col("a"), col("b"),
+        cosine(asDouble(col("va")), asDouble(col("vb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .select(col("a"), col("b"), col("cosine"))
+      .dropDuplicates("a", "b")
   }
 }

@@ -619,29 +619,40 @@ object PipelineQueries {
         val qs = base.filter(col("vec_id") % 100 === 0 && col("vec_id") < 100L * 1000)
         val cents = base.filter(col("vec_id") % 50 === 7)
         val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        // the exact baseline feeds all four report rows (semi-joins +
-        // denominators) — persist it or the all-pairs ranking runs 12×
-        val exact = Similarity.cosineTopK(qs, corpus, k = 10).persist(mem)
-        // each candidate frame feeds BOTH the candidate-fraction count
-        // and the method's in-candidate ranking — build once, persist,
-        // rank from the persisted frame (never re-derive the buckets)
-        val lshC = Similarity.lshCandidates(qs, corpus, dim = 64, planes = 6)
-          .persist(mem)
-        val mpC = Similarity.lshCandidates(qs, corpus, dim = 64, planes = 6,
-          multiProbe = true).persist(mem)
-        val mtC = Similarity.lshTableCandidates(qs, corpus, dim = 64,
-          planes = 12, tables = 4).persist(mem)
-        val ivfC = Similarity.ivfCandidates(qs, corpus, cents, nprobe = 2)
-          .persist(mem)
-        val lsh = Similarity.rankCandidates(lshC, k = 10)
-        val mp = Similarity.rankCandidates(mpC, k = 10)
-        val mt = Similarity.rankCandidates(mtC, k = 10)
-        val ivf = Similarity.rankCandidates(ivfC, k = 10)
+        // ONE scored frame carries every method's candidates AND the
+        // exact all-pairs baseline under a `method` column, scored at
+        // generation so no downstream exchange carries an embedding;
+        // recallReportScored ranks it with ONE window and reports with
+        // three grouped aggregations (the per-method form fired ~28
+        // scalar jobs across 5 persisted frames — 7% of the bench suite
+        // in pure job overhead).
         val P = 1000000L
-        Similarity.recallReport(exact, ivf, "ivf", P, ivfC, qs, corpus)
-          .unionByName(Similarity.recallReport(exact, lsh, "lsh", P, lshC, qs, corpus))
-          .unionByName(Similarity.recallReport(exact, mp, "lsh_multiprobe", P, mpC, qs, corpus))
-          .unionByName(Similarity.recallReport(exact, mt, "lsh_multitable", P, mtC, qs, corpus))
+        val scored = Seq(
+          "__exact" -> Similarity.allPairs(qs, corpus),
+          "ivf" -> Similarity.ivfCandidates(qs, corpus, cents, nprobe = 2),
+          "lsh" -> Similarity.lshCandidates(qs, corpus, dim = 64, planes = 6),
+          "lsh_multiprobe" -> Similarity.lshCandidates(qs, corpus, dim = 64,
+            planes = 6, multiProbe = true),
+          "lsh_multitable" -> Similarity.lshTableCandidates(qs, corpus,
+            dim = 64, planes = 12, tables = 4))
+          .map { case (m, c) =>
+            Similarity.scoreCandidates(c).select(lit(m).as("method"),
+              col("query_id"), col("neighbor_id"), col("cosine"))
+          }
+          .reduce(_ unionByName _)
+          .persist(mem)
+        val report = Similarity.recallReportScored(scored,
+          Seq("ivf", "lsh", "lsh_multiprobe", "lsh_multitable"),
+          "__exact", k = 10, P, qs, corpus)
+        // the report is 4 rows: materialize it and release the cache —
+        // a verify/bench sweep must not leave frames cached for the
+        // life of the session
+        val rows = report.collect().toSeq
+        val schema = report.schema
+        scored.unpersist(false)
+        s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
       },
       q101Oracle),
 

