@@ -67,7 +67,15 @@ object Etl {
     * and every target product, visible in statements.csv), POSITIVE
     * matches as internal statements that canonicalize into the subject
     * cluster, NEGATIVE matches dropped
-    * (runner/enrich.py:21-50, runner/local_enricher.py:161-199). */
+    * (runner/enrich.py:21-50, runner/local_enricher.py:161-199).
+    *
+    * Scope note: only the matched target entity's OWN statements are
+    * emitted. The reference additionally expands a match's adjacent
+    * graph context — officers, owners, linked entities
+    * (enrich.py:32-48 `expand_wrapped`); that depth-limited expansion
+    * is not implemented here. Callers needing it can pre-expand
+    * `targetStatements` with [[graft.operators.Adjacency.expand]]
+    * before passing the store. */
   final case class Enrichment(
       targetStatements: DataFrame,
       maxDf: Long = 100,
@@ -211,14 +219,36 @@ object Etl {
           top.select(col("subject_id"), col("target_id"), col("score")),
           subj, tgt, col("sid"), col("tid"))
           .localCheckpoint()
+        // cluster-aware gate (nomenklatura resolver.get_judgement,
+        // local_enricher.py:174): BOTH the match pair and the decision
+        // pairs run through the SAME canonical remap as the statements,
+        // so a judgement recorded against a non-canonical member of a
+        // merged cluster still gates its whole cluster, and a target
+        // that resolves INTO the subject's cluster short-circuits to
+        // internal via the gate's same-id rule.
+        def canonId(df: DataFrame, idCol: String): DataFrame = remapOpt match {
+          case None => df
+          case Some(remap) =>
+            df.join(broadcast(remap.select(col("entityId").as(idCol),
+                col("canonical").as("__canon"))), Seq(idCol), "left")
+              .withColumn(idCol, coalesce(col("__canon"), col(idCol)))
+              .drop("__canon")
+        }
         val eff = Resolver.effective(decisions)
-        val dec = eff
+        val effCanon = canonId(canonId(eff.select(col("a"), col("b"),
+          col("judgement")), "a"), "b")
+        val dec = effCanon
           .select(col("a").as("subject_id"), col("b").as("target_id"), col("judgement"))
-          .unionByName(eff
+          .unionByName(effCanon
             .select(col("b").as("subject_id"), col("a").as("target_id"), col("judgement")))
           .distinct()
-        val routed = Enricher.judgementGate(matches, dec)
-          .groupBy(col("target_id")).agg(max(col("route")).as("route"))
+        // gate on the canonical target id, route by the ORIGINAL target
+        // id (emission pulls the raw target entity's statements)
+        val matchesCanon = canonId(
+          matches.withColumn("orig_target_id", col("target_id")), "target_id")
+        val routed = Enricher.judgementGate(matchesCanon, dec)
+          .groupBy(col("orig_target_id").as("target_id"))
+          .agg(max(col("route")).as("route"))
         val emitted = en.targetStatements
           .join(routed.withColumnRenamed("target_id", "entityId"), Seq("entityId"))
           .withColumn("dataset", lit(cfg.datasetName))
@@ -237,8 +267,18 @@ object Etl {
 
     // ---- 2. store: first_seen preservation vs the previous version
     // (T5 — runtime/timestamps.py:26-65), then the versioned layout.
-    val prevStatements = cfg.previousVersion.map(v =>
-      StatementIO.scanVersion(spark, statementsRoot(cfg), v).toDF())
+    // When the store is bucketed, the PREVIOUS version reads from its
+    // bucketed table too (written by the prior run with the same
+    // prefix): the prev-side assembly and the K10 delta hash join then
+    // ride the canonicalId bucketing with no Exchange — locked by
+    // EtlSpec's bucketed-delta plan assertion.
+    val prevStatements = cfg.previousVersion.map { v =>
+      cfg.bucketedStorePrefix
+        .map(prefix => s"${prefix}_$v".replaceAll("[^a-zA-Z0-9_]", "_"))
+        .filter(spark.catalog.tableExists)
+        .map(spark.table)
+        .getOrElse(StatementIO.scanVersion(spark, statementsRoot(cfg), v).toDF())
+    }
     val withSeen = prevStatements match {
       case Some(prev) =>
         Delta.preserveFirstSeen(canonicalized, prev,
@@ -353,7 +393,11 @@ object Etl {
           case "entities.delta.json" =>
             val prevEntities = prevStatements match {
               case Some(prev) =>
-                EntityAssembler.assembleColumnar(prev.filter(!col("external")))
+                // our own store always populates canonicalId (stage 1),
+                // so the key is a pure alias — the assembly then rides
+                // a bucketed prev scan with no Exchange
+                EntityAssembler.assembleColumnar(prev.filter(!col("external")),
+                  trustCanonicalId = true)
               case None => entities.limit(0)
             }
             val diff = Delta.diff(hashFrame(prevEntities), hashFrame(entities))

@@ -46,7 +46,14 @@ object Blocking {
     * lone token), with keys above `maxDf` document frequency dropped —
     * the candidate-cap analog of the reference's blocker limits
     * (zavod/zavod/runner/local_enricher.py:36-45). */
-  def blockingKeys(df: DataFrame, id: Column, name: Column, maxDf: Long): DataFrame = {
+  def blockingKeys(df: DataFrame, id: Column, name: Column, maxDf: Long): DataFrame =
+    blockingKeysWithFreq(df, id, name, maxDf)._1
+
+  /** blockingKeys plus the per-key document-frequency frame (already
+    * computed for the cap — reused by the skew salting decision). */
+  private def blockingKeysWithFreq(
+      df: DataFrame, id: Column, name: Column,
+      maxDf: Long): (DataFrame, DataFrame) = {
     val w = array_sort(array_distinct(words(name)))
     val keysExpr = when(size(w) >= 2,
         transform(sequence(lit(1), size(w) - 1),
@@ -55,7 +62,7 @@ object Blocking {
     val keys = df.select(id.as("id"), explode(keysExpr).as("bkey")).distinct()
     val freq = keys.groupBy("bkey").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-    keys.join(freq, "bkey").select(col("id"), col("bkey"))
+    (keys.join(freq, "bkey").select(col("id"), col("bkey")), freq)
   }
 
   /** J9: blocked candidate pairs between subjects and targets with a
@@ -67,10 +74,42 @@ object Blocking {
       subjects: DataFrame, targets: DataFrame,
       subjectId: Column, subjectName: Column,
       targetId: Column, targetName: Column,
-      maxDf: Long = 100): DataFrame = {
-    val sk = blockingKeys(subjects, subjectId, subjectName, maxDf).toDF("subject_id", "bkey")
-    val tk = blockingKeys(targets, targetId, targetName, maxDf).toDF("target_id", "bkey")
-    val pairs = sk.join(tk, "bkey")
+      maxDf: Long = 100,
+      saltBuckets: Int = 1,
+      saltMinPairs: Long = 250000L): DataFrame = {
+    val (sk0, sFreq) = blockingKeysWithFreq(subjects, subjectId, subjectName, maxDf)
+    val (tk0, tFreq) = blockingKeysWithFreq(targets, targetId, targetName, maxDf)
+    val sk = sk0.toDF("subject_id", "bkey")
+    val tk = tk0.toDF("target_id", "bkey")
+    // Skew path (saltBuckets > 1): the df cap bounds per-key fan-out at
+    // maxDf², but ALL of one hot key (a common surname bigram) still
+    // lands on ONE reducer — at a raised maxDf that single straggler is
+    // the 100× bottleneck. Keys whose subject-df × target-df exceeds
+    // `saltMinPairs` are salted: the subject side splits across the
+    // salt buckets by id hash, the target side replicates into each —
+    // exactly once per (key, pair), so the result is identical to the
+    // unsalted join (exactness locked in BlockingSpec). Cold keys keep
+    // salt 0 on both sides and pay nothing.
+    val rawPairs =
+      if (saltBuckets <= 1) sk.join(tk, "bkey")
+      else {
+        val hot = sFreq.select(col("bkey"), col("df").as("sdf"))
+          .join(tFreq.select(col("bkey"), col("df").as("tdf")), "bkey")
+          .filter(col("sdf") * col("tdf") >= saltMinPairs)
+          .select(col("bkey"), lit(true).as("__hot"))
+        val skS = sk.join(broadcast(hot), Seq("bkey"), "left")
+          .withColumn("__salt", when(col("__hot"),
+            pmod(xxhash64(col("subject_id")), lit(saltBuckets.toLong)))
+            .otherwise(lit(0L)))
+          .drop("__hot")
+        val tkS = tk.join(broadcast(hot), Seq("bkey"), "left")
+          .withColumn("__salt", explode(when(col("__hot"),
+            sequence(lit(0L), lit(saltBuckets.toLong - 1)))
+            .otherwise(array(lit(0L)))))
+          .drop("__hot")
+        skS.join(tkS, Seq("bkey", "__salt"))
+      }
+    val pairs = rawPairs
       .select(col("subject_id"), col("target_id")).distinct()
     val st = tokenSets(subjects, subjectId, subjectName).toDF("subject_id", "s_toks")
     val tt = tokenSets(targets, targetId, targetName).toDF("target_id", "t_toks")

@@ -28,11 +28,22 @@ object Enricher {
     * become internal statements, NEGATIVE matches are dropped, and
     * unjudged matches are emitted as external=true candidates.
     * `decisions` is (subject_id, target_id, judgement). Returns matches
-    * with a `route` column ('internal' | 'external'). */
+    * with a `route` column ('internal' | 'external').
+    *
+    * Identical ids short-circuit to POSITIVE/internal BEFORE the
+    * decision lookup — nomenklatura's resolver.get_judgement returns
+    * POSITIVE for identical (canonical) ids unconditionally
+    * (local_enricher.py:174), so a same-id match routes internal even
+    * against a recorded NEGATIVE. Callers that resolve ids into
+    * clusters must pass CANONICAL ids on both sides (see the
+    * enrichment stage of [[graft.etl.Etl.run]]): the same-id test then
+    * covers "members of the same merged cluster" exactly like the
+    * reference's cluster-aware lookup. */
   def judgementGate(matches: DataFrame, decisions: DataFrame): DataFrame =
     matches.join(decisions, Seq("subject_id", "target_id"), "left")
       .withColumn("route",
-        when(col("judgement") === "POSITIVE", "internal")
+        when(col("subject_id") === col("target_id"), "internal")
+          .when(col("judgement") === "POSITIVE", "internal")
           .when(col("judgement") === "NEGATIVE", lit(null).cast("string"))
           .otherwise("external"))
       .filter(col("route").isNotNull)

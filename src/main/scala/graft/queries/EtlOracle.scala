@@ -222,13 +222,17 @@ object EtlOracle {
     s"""WITH cust AS (SELECT c_custkey AS k, c_name FROM customer),
        |ftm_lines AS (
        |  SELECT '{"id":"s' || k::VARCHAR || '","schema":"Person","properties":{'
-       |    || '"name":["' || c_name || '"]'
+       |    || '"name":["' || c_name
+       |    || (CASE WHEN k % 10 = 0 THEN '","Same ' || k::VARCHAR ELSE '' END) || '"]'
        |    || (CASE WHEN k % 10 = 0
        |        THEN ',"registrationNumber":["X' || k::VARCHAR || '"]' ELSE '' END)
        |    || (CASE WHEN k % 3 = 0 THEN ',"topics":["sanction"]' ELSE '' END)
        |    || '}}' AS line
        |  FROM cust),
-       |name_lines AS (SELECT DISTINCT c_name AS line FROM cust),
+       |name_lines AS (
+       |  SELECT DISTINCT c_name AS line FROM cust
+       |  UNION
+       |  SELECT DISTINCT 'Same ' || k::VARCHAR FROM cust WHERE k % 10 = 0),
        |stmt_lines AS (
        |  SELECT md5('enr_a|s' || k::VARCHAR || '|name|' || c_name)
        |    || '|s' || k::VARCHAR || '|s' || k::VARCHAR
@@ -260,13 +264,17 @@ object EtlOracle {
        |    || '|enr_a|en|enrich|' || $ext || '|2026-02-01|2026-02-01'
        |  FROM cust WHERE k % 2 = 0 AND k % 10 != 6 AND k % 3 = 0
        |  UNION ALL
+       |  -- same-id matches short-circuit to POSITIVE/internal
+       |  -- (resolver.get_judgement on identical canonical ids), so the
+       |  -- 'Same k' target statements land external=false
        |  SELECT md5('ext_b|s' || k::VARCHAR || '|name|Same ' || k::VARCHAR)
        |    || '|s' || k::VARCHAR || '|s' || k::VARCHAR
        |    || '|name|name|Person|Same ' || k::VARCHAR || '|Same ' || k::VARCHAR
-       |    || '|enr_a|en|enrich|true|2026-02-01|2026-02-01'
+       |    || '|enr_a|en|enrich|false|2026-02-01|2026-02-01'
        |  FROM cust WHERE k % 10 = 0),
        |simple_lines AS (
-       |  SELECT 's' || k::VARCHAR || '|Person|' || c_name || '|||||'
+       |  SELECT 's' || k::VARCHAR || '|Person|' || c_name || '|'
+       |    || (CASE WHEN k % 10 = 0 THEN 'Same ' || k::VARCHAR ELSE '' END) || '||||'
        |    || (CASE WHEN k % 10 = 0 THEN 'X' || k::VARCHAR ELSE '' END)
        |    || '|||||enr_a|||' AS line
        |  FROM cust WHERE k % 3 = 0)

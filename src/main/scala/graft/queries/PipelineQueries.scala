@@ -787,10 +787,11 @@ object PipelineQueries {
         |    SELECT * FROM topk UNION ALL SELECT * FROM same))
         |SELECT subject_id, target_id,
         |  CAST(CAST(score AS DECIMAL(18,6)) AS DOUBLE) AS score,
-        |  CASE WHEN (subject_id + target_id) % 7 = 0 THEN 'internal'
+        |  CASE WHEN subject_id = target_id THEN 'internal'
+        |       WHEN (subject_id + target_id) % 7 = 0 THEN 'internal'
         |       ELSE 'external' END AS route
         |FROM allm
-        |WHERE (subject_id + target_id) % 7 != 1""".stripMargin),
+        |WHERE subject_id = target_id OR (subject_id + target_id) % 7 != 1""".stripMargin),
 
     // The training-data cleaning pipeline composed end-to-end (the
     // C4/RefinedWeb/Gopher shape): exact dedup (survivor = min doc_id

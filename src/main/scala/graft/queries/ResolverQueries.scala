@@ -220,8 +220,10 @@ object ResolverQueries {
         |    c_custkey AS k
         |  FROM customer WHERE c_custkey % 2 = 0
         |  UNION ALL
+        |  -- same-id matches short-circuit to internal (resolver
+        |  -- get_judgement: identical ids are POSITIVE unconditionally)
         |  SELECT 'c' || c_custkey::VARCHAR, 'c' || c_custkey::VARCHAR, 1.0,
-        |    'external', c_custkey
+        |    'internal', c_custkey
         |  FROM customer WHERE c_custkey % 6 = 0)
         |SELECT subject_id, target_id,
         |  CAST(CAST(score AS DECIMAL(18,6)) AS DOUBLE) AS score, route

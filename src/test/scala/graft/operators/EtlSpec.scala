@@ -121,6 +121,132 @@ class EtlSpec extends SparkSpec {
     assert(index.contains(""""issue_count":3"""))
   }
 
+  test("enrichment stage: cluster-aware judgement gate, same-id short-circuit, route precedence") {
+    val root = tmpRoot("enrich")
+    // subject cluster {s1, s9} merged by decision; s3/s4/s5/s6 single
+    val subjRows = Seq(
+      ("s1", "name", "Acme Trading", "Company"),
+      ("s9", "name", "Acme Trading Holdings", "Company"),
+      ("s3", "name", "Crimson Widgets", "Company"),
+      ("s4", "name", "Delta Works", "Company"),
+      ("s5", "name", "Echo Foxtrot", "Company"),
+      ("s6", "name", "Echo Foxtrot Group", "Company"))
+    // external target store (dataset "ext"):
+    //  tA judged POSITIVE against the NON-canonical member s9
+    //  tN judged NEGATIVE against the NON-canonical member s9
+    //  t3 unjudged (external candidate)
+    //  s4 present under the SUBJECT's own id (same-id short-circuit)
+    //  tP matched by two subjects: POSITIVE via s5, unjudged via s6
+    val tgtRows = Seq(
+      ("tA", "name", "Trading Acme", "Company"),
+      ("tA", "registrationNumber", "R123", "Company"),
+      ("tN", "name", "Acme Trading", "Company"),
+      ("t3", "name", "Crimson Widgets", "Company"),
+      ("t3", "email", "x@crimson.example", "Company"),
+      ("s4", "name", "Delta Prime", "Company"),
+      ("tP", "name", "Echo Foxtrot", "Company"))
+    val targets = tgtRows.toDF("entityId", "prop", "value", "schema")
+      .select(
+        md5(concat_ws("|", lit("ext"), col("entityId"), col("prop"), col("value"))).as("id"),
+        col("entityId"), col("entityId").as("canonicalId"),
+        col("prop"), col("schema"), col("value"),
+        lit("ext").as("dataset"), lit("en").as("lang"), lit("crawl").as("origin"),
+        col("value").as("originalValue"),
+        lit("2025-01-01 00:00:00").cast("timestamp").as("firstSeen"),
+        lit("2025-01-01 00:00:00").cast("timestamp").as("lastSeen"),
+        lit(false).as("external"))
+    val ts = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    val decisions = Seq(
+      ("s1", "s9", "POSITIVE", "tester", ts),
+      ("s9", "tA", "POSITIVE", "tester", ts), // against the non-canonical member
+      ("s9", "tN", "NEGATIVE", "tester", ts), // against the non-canonical member
+      ("s5", "tP", "POSITIVE", "tester", ts))
+      .toDF("a", "b", "judgement", "user", "decided_at")
+
+    Etl.run(spark, stmts(subjRows, "2025-01-01 00:00:00"), decisions,
+      Etl.Config("t", "v1", root, "2025-01-01 00:00:00",
+        exporters = Seq("entities.ftm.json", "names.txt"),
+        enrichment = Some(Etl.Enrichment(targets))))
+
+    val stored = spark.read.parquet(s"$root/statements/v1")
+    def rowsOf(id: String) = stored.filter(col("entityId") === id)
+
+    // POSITIVE via the non-canonical member: tA lands internal, in the
+    // subject's cluster (canonical s1 — the resolver merged {s1,s9,tA})
+    assert(rowsOf("tA").count() === 2)
+    assert(rowsOf("tA").filter(col("external") === false &&
+      col("canonicalId") === "s1" && col("origin") === "enrich").count() === 2)
+    // NEGATIVE via the non-canonical member: tN fully dropped
+    assert(rowsOf("tN").count() === 0)
+    // unjudged: t3's statements land as external=true candidates
+    assert(rowsOf("t3").filter(col("dataset") === "t").count() === 2)
+    assert(rowsOf("t3").filter(col("dataset") === "t")
+      .filter(col("external") === true).count() === 2)
+    // same-id: the target under the subject's own id routes INTERNAL
+    // (resolver.get_judgement returns POSITIVE for identical ids)
+    val s4enr = rowsOf("s4").filter(col("origin") === "enrich")
+    assert(s4enr.count() === 1)
+    assert(s4enr.filter(col("external") === false).count() === 1)
+    // precedence: tP is POSITIVE for s5 and unjudged for s6 —
+    // internal > external, one emission, canonical joins s5's cluster
+    assert(rowsOf("tP").count() === 1)
+    assert(rowsOf("tP").filter(col("external") === false &&
+      col("canonicalId") === "s5").count() === 1)
+
+    // products: internal enrichment statements surface in the entity
+    // products; external candidates do not
+    val ftm = spark.read.text(s"$root/datasets/latest/t/entities.ftm.json")
+      .as[String].collect()
+    val s1line = ftm.find(_.contains("\"id\":\"s1\"")).get
+    assert(s1line.contains("Trading Acme") && s1line.contains("R123"))
+    assert(ftm.find(_.contains("\"id\":\"s4\"")).get.contains("Delta Prime"))
+    assert(!ftm.exists(_.contains("\"id\":\"t3\"")))
+    assert(!ftm.exists(_.contains("crimson.example")))
+    val names = spark.read.text(s"$root/datasets/latest/t/names.txt")
+      .as[String].collect().toSet
+    assert(names.contains("Trading Acme") && names.contains("Delta Prime"))
+  }
+
+  test("bucketed store: prev-vs-curr delta assembly and hash join ride the buckets, no Exchange") {
+    val root = tmpRoot("bucketed")
+    val prefix = "graft_spec_bstore"
+    try {
+      Etl.run(spark, stmts(baseRows, "2025-01-01 00:00:00"), noDecisions,
+        Etl.Config("t", "v1", root, "2025-01-01 00:00:00",
+          exporters = Seq("entities.ftm.json"),
+          bucketedStorePrefix = Some(prefix)))
+      Etl.run(spark,
+        stmts(baseRows :+ (("e4", "name", "New Co", "Company")), "2026-01-01 00:00:00"),
+        noDecisions,
+        Etl.Config("t", "v2", root, "2026-01-01 00:00:00",
+          previousVersion = Some("v1"),
+          exporters = Seq("entities.delta.json"),
+          bucketedStorePrefix = Some(prefix)))
+      // value-level: the delta saw the bucketed prev version
+      val delta = spark.read.text(s"$root/datasets/latest/t/entities.delta.json")
+        .as[String].collect().toSeq
+      assert(delta.exists(l => l.contains("ADD") && l.contains("\"e4\"")), delta)
+      assert(delta.size === 1)
+      // plan-level K10 lock: both versions assemble from their bucketed
+      // tables and the prev-vs-curr hash join runs WITHOUT any Exchange —
+      // the aggregation and the full-outer join all ride the
+      // canonicalId bucketing (id is a pure alias of the bucket key)
+      def side(table: String) = EntityAssembler
+        .assembleColumnar(spark.table(table).filter(!col("external")),
+          trustCanonicalId = true)
+        .select(col("id"), xxhash64(to_json(col("properties"))).as("hash"))
+      val joined = side(s"${prefix}_v1").withColumnRenamed("hash", "prev_hash")
+        .join(side(s"${prefix}_v2").withColumnRenamed("hash", "curr_hash"),
+          Seq("id"), "full_outer")
+      assert(joined.count() === 4) // e1..e3 + e4
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(2500))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_v1")
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_v2")
+    }
+  }
+
   test("resolver decisions canonicalize; second run preserves first_seen and emits delta ops") {
     val root = tmpRoot("delta")
     Etl.run(spark, stmts(baseRows, "2025-01-01 00:00:00"), noDecisions,

@@ -67,6 +67,30 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(cands.toSeq == Seq((1L, 10L, 1.0)))
   }
 
+  test("skew-salted blocking join is exact on a hot-token corpus and salts only hot keys") {
+    // 200 subjects and 200 targets all sharing the sorted bigram
+    // "alpha beta" (the common-surname skew case) plus distinct cold
+    // tails; maxDf admits the hot key, so the unsalted join funnels
+    // 200×200 pairs through ONE reducer — the salted variant must
+    // produce the IDENTICAL candidate set
+    val subjects = (1 to 200).map(i => (i.toLong, s"alpha beta s$i")).toDF("id", "name")
+    val targets = (1 to 200).map(i => (i.toLong + 1000, s"alpha beta t$i")).toDF("id", "name")
+    def run(salt: Int) = Blocking.candidates(subjects, targets,
+      col("id"), col("name"), col("id"), col("name"), maxDf = 1000,
+      saltBuckets = salt, saltMinPairs = 100L)
+      .as[(Long, Long, Double)].collect().toSet
+    val plain = run(1)
+    val salted = run(8)
+    assert(plain.size === 200 * 200)
+    assert(salted === plain)
+    // the salted plan shuffles the pair join on (bkey, __salt)
+    val plan = Blocking.candidates(subjects, targets,
+      col("id"), col("name"), col("id"), col("name"), maxDf = 1000,
+      saltBuckets = 8, saltMinPairs = 100L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), plan.take(1500))
+  }
+
   test("statement IO roundtrip with external filter and dataset pruning") {
     val t0 = new Timestamp(0L)
     val stmts = Seq(
