@@ -54,6 +54,129 @@ object StreamingQueries {
       },
       """SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders,
         |  SUM(round(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents
-        |FROM orders GROUP BY 1""".stripMargin)
+        |FROM orders GROUP BY 1""".stripMargin),
+
+    // q114: the STREAMING statement store — the T4/T5 batch invariants
+    // (id dedupe first-wins + TimeStampIndex first_seen preservation,
+    // zavod/zavod/runtime/timestamps.py:26-65, tools/util.py:39-62)
+    // held continuously across two statement drops:
+    //   drop 1: one 'status' statement per order (run time T1);
+    //   drop 2: the k%3==0 statements REPEAT byte-identically but carry
+    //     an EARLIER firstSeen (a late backfill — the streaming-only
+    //     case: dedupe keeps the first ARRIVAL, the timestamp index
+    //     still folds in the earlier timestamp); k%3==1 orders emit a
+    //     NEW statement (different value ⇒ different id).
+    // Two stateful queries ride the landing dir, each restarted from
+    // its checkpoint between drops (state survives the restart):
+    //  - dropDuplicatesWithinWatermark (P6) appends first-arrival rows
+    //    to the store via foreachBatch;
+    //  - firstSeenIndex (mapGroupsWithState) appends (id, first_seen)
+    //    state emissions, versioned by micro-batch id.
+    // The result joins the store against the LATEST index emission per
+    // id; DuckDB recomputes both statefully-maintained artifacts as
+    // batch SQL over the reconstructed drops.
+    decl("q114_streaming_statement_store",
+      (s, d) => {
+        import graft.streaming.StatementStream
+        import graft.model.Statement
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val base = s"/tmp/graft_q114_$tag"
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val landing = s"$base/landing"
+        val storeDir = s"$base/store"
+        val idxDir = s"$base/idx"
+        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+
+        val T0 = "2025-12-01 00:00:00"
+        val T1 = "2026-01-01 00:00:00"
+        val T2 = "2026-02-01 00:00:00"
+        def stmts(rows: org.apache.spark.sql.DataFrame, value: org.apache.spark.sql.Column,
+            first: String, last: String) = {
+          val eid = concat(lit("o"), col("o_orderkey").cast("string"))
+          rows.select(
+            md5(concat_ws("|", eid, lit("status"), value)).as("id"),
+            eid.as("entityId"), eid.as("canonicalId"),
+            lit("status").as("prop"), lit("Thing").as("schema"),
+            value.as("value"), lit("stream").as("dataset"),
+            lit("en").as("lang"), lit("crawl").as("origin"),
+            value.as("originalValue"),
+            lit(first).cast("timestamp").as("firstSeen"),
+            lit(last).cast("timestamp").as("lastSeen"),
+            lit(false).as("external"))
+            .select(Statement.sparkSchema.map(f => col(f.name).cast(f.dataType)): _*)
+        }
+        val o = t(s, d, "orders")
+        val k = col("o_orderkey")
+        val drop1 = stmts(o, col("o_orderstatus"), T1, T1)
+        val drop2 = stmts(o.filter(k % 3 === 0), col("o_orderstatus"), T0, T2)
+          .unionByName(stmts(o.filter(k % 3 === 1), col("o_orderpriority"), T2, T2))
+
+        // one pass over whatever has landed: both stateful queries run
+        // to completion (AvailableNow), then stop — restarted per drop
+        def processAvailable(): Unit = {
+          val stream = StatementStream.readStatements(s, landing)
+          val avail = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()
+            : org.apache.spark.sql.streaming.Trigger)
+          val qStore = StatementStream.foreachBatchSink(
+            StatementStream.dedupedStatements(stream, delay = "90 days"),
+            s"$base/ck_store", trigger = avail) { (batch, _) =>
+            batch.write.mode("append").parquet(storeDir)
+          }
+          val qIdx = StatementStream.foreachBatchSink(
+            StatementStream.firstSeenIndex(stream),
+            s"$base/ck_idx", outputMode = "update", trigger = avail) { (batch, bid) =>
+            batch.withColumn("batch_seq", lit(bid))
+              .write.mode("append").parquet(idxDir)
+          }
+          qStore.awaitTermination(); qIdx.awaitTermination()
+        }
+        drop1.write.mode("append").parquet(landing)
+        processAvailable()
+        drop2.write.mode("append").parquet(landing)
+        processAvailable()
+
+        // store = first-arrival rows; index = latest state emission per
+        // id (min firstSeen ever observed)
+        val store = s.read.parquet(storeDir)
+        val idxW = org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy(col("batch_seq").desc)
+        val idx = s.read.parquet(idxDir)
+          .withColumn("rn", row_number().over(idxW))
+          .filter(col("rn") === 1)
+          .select(col("id"), col("first_seen"))
+        store.join(idx, "id")
+          .select(col("id"), col("entityId").as("entity_id"), col("prop"),
+            col("value"),
+            date_format(col("first_seen"), "yyyy-MM-dd HH:mm:ss").as("first_seen"),
+            date_format(col("lastSeen"), "yyyy-MM-dd HH:mm:ss").as("last_seen"))
+      },
+      """WITH d1 AS (
+        |  SELECT md5('o' || o_orderkey::VARCHAR || '|status|' || o_orderstatus) AS id,
+        |    'o' || o_orderkey::VARCHAR AS entity_id, 'status' AS prop,
+        |    o_orderstatus AS value,
+        |    TIMESTAMP '2026-01-01 00:00:00' AS first_seen,
+        |    TIMESTAMP '2026-01-01 00:00:00' AS last_seen, 1 AS seq
+        |  FROM orders),
+        |d2 AS (
+        |  SELECT md5('o' || o_orderkey::VARCHAR || '|status|' || o_orderstatus) AS id,
+        |    'o' || o_orderkey::VARCHAR, 'status', o_orderstatus,
+        |    TIMESTAMP '2025-12-01 00:00:00', TIMESTAMP '2026-02-01 00:00:00', 2
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT md5('o' || o_orderkey::VARCHAR || '|status|' || o_orderpriority) AS id,
+        |    'o' || o_orderkey::VARCHAR, 'status', o_orderpriority,
+        |    TIMESTAMP '2026-02-01 00:00:00', TIMESTAMP '2026-02-01 00:00:00', 2
+        |  FROM orders WHERE o_orderkey % 3 = 1),
+        |drops AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2),
+        |firstwins AS (
+        |  SELECT * FROM drops
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY seq) = 1),
+        |idx AS (SELECT id, MIN(first_seen) AS min_first FROM drops GROUP BY id)
+        |SELECT fw.id, fw.entity_id, fw.prop, fw.value,
+        |  strftime(idx.min_first, '%Y-%m-%d %H:%M:%S') AS first_seen,
+        |  strftime(fw.last_seen, '%Y-%m-%d %H:%M:%S') AS last_seen
+        |FROM firstwins fw JOIN idx USING (id)""".stripMargin)
   )
 }

@@ -83,11 +83,15 @@ object StatementStream {
     * query; caller stops it. */
   def foreachBatchSink(
       deduped: DataFrame,
-      checkpointDir: String)(
-      handle: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
-    deduped.writeStream
+      checkpointDir: String,
+      outputMode: String = "append",
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)(
+      handle: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = deduped.writeStream
       .option("checkpointLocation", checkpointDir)
+      .outputMode(outputMode)
       .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         handle(batch.toDF(), id))
-      .start()
+    trigger.fold(w)(w.trigger).start()
+  }
 }
