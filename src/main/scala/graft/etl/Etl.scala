@@ -58,7 +58,17 @@ object Etl {
       // as a stage of the SAME pipeline, like the reference's
       // enrichment datasets riding the normal ETL entry point
       // (zavod/zavod/runner/enrich.py:21-50 via cli/etl.py:95-154)
-      enrichment: Option[Enrichment] = None)
+      enrichment: Option[Enrichment] = None,
+      // per-run custom products (the reference's per-dataset exporter
+      // registry — zavod/zavod/exporters/__init__.py:24-44): name →
+      // writer over the assembled entity frame; the name must also
+      // appear in `exporters` to be scheduled
+      customExporters: Map[String, DataFrame => Unit] = Map.empty,
+      // upper bound on the concurrent product fan-out: a wedged sink
+      // must fail the run WITH the stuck product's name, not hang it
+      // forever (round-5 finding on the Duration.Inf wait)
+      productTimeout: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration(30, "min"))
 
   /** Enrichment stage config: match the crawled subjects against an
     * external target statement store; matched target entities are
@@ -89,6 +99,14 @@ object Etl {
   final case class ValidationFailedException(failures: Seq[String])
       extends RuntimeException(
         s"validation aborted the run: ${failures.mkString("; ")}")
+
+  /** The product fan-out exceeded `Config.productTimeout`; `stuck`
+    * names every exporter that had not completed — the diagnostic the
+    * unbounded wait it replaced could never give. */
+  final case class ProductTimeoutException(
+      stuck: Seq[String], timeout: scala.concurrent.duration.Duration)
+      extends RuntimeException(
+        s"product export exceeded $timeout; unfinished: ${stuck.mkString(", ")}")
 
   final case class Result(
       version: String,
@@ -367,6 +385,10 @@ object Etl {
       // (exporters/__init__.py:49-84)
       def writeProduct(name: String): Unit = {
         val path = s"$dir/$name"
+        cfg.customExporters.get(name) match {
+          case Some(write) => write(entities); return
+          case None => ()
+        }
         name match {
           // sortWithinPartitions: deterministic file contents with NO
           // extra range-exchange per sink (a global sort would add one
@@ -416,12 +438,16 @@ object Etl {
       }
       val products = {
         import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
         implicit val ec: ExecutionContext = ExecutionContext.global
-        Await.result(
-          Future.sequence(cfg.exporters.map(name =>
-            Future { writeProduct(name); name -> s"$dir/$name" })),
-          Duration.Inf).toMap
+        val done = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+        val all = Future.sequence(cfg.exporters.map(name =>
+          Future { writeProduct(name); done.add(name); name -> s"$dir/$name" }))
+        try Await.result(all, cfg.productTimeout).toMap
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            throw ProductTimeoutException(
+              cfg.exporters.filterNot(done.contains), cfg.productTimeout)
+        }
       }
       tick("products")
       // K13: a non-empty issue log publishes as issues.json

@@ -53,19 +53,55 @@ object Skew {
     * (salted by `saltBy`, normally the adjacent id) instead of
     * funnelling into one. Exact: result equals the unsalted
     * groupBy(key).agg(...) up to array order, which every consumer
-    * sorts or distincts anyway. */
+    * sorts or distincts anyway.
+    *
+    * ADAPTIVE (r6): unconditional salting taxed every skew-free rollup
+    * with a second shuffle and the nested-array merge (2.5× on four
+    * exporter walls at local scale). A map-side-combined count probe
+    * first finds keys at or above `hotThreshold` rows; with NO hot key
+    * the rollup is the plain single-shuffle aggregation (plus the
+    * probe, whose shuffle is bytes-per-key tiny), and with hot keys
+    * only THOSE salt across buckets — cold keys ride salt 0 so phase 1
+    * groups match the unsalted layout and phase 2 shuffles ≈ the
+    * result size. `hotThreshold = 0` forces the always-salt form. */
   def saltedArrayRollup(
       df: DataFrame, keyCol: String, saltBy: Column,
-      aggs: Seq[(String, Column)], buckets: Int = 16): DataFrame = {
+      aggs: Seq[(String, Column)], buckets: Int = 16,
+      hotThreshold: Long = 10000L): DataFrame = {
     require(aggs.nonEmpty, "at least one aggregate required")
-    val partial = df
-      .withColumn("_salt", pmod(xxhash64(saltBy), lit(buckets)))
-      .groupBy(col(keyCol), col("_salt"))
-      .agg(aggs.head._2.as(aggs.head._1),
-        aggs.tail.map { case (n, c) => c.as(n) }: _*)
-    def merge(n: String): Column =
-      array_distinct(flatten(collect_list(col(n)))).as(n)
-    partial.groupBy(col(keyCol))
-      .agg(merge(aggs.head._1), aggs.tail.map { case (n, _) => merge(n) }: _*)
+    def twoPhase(in: DataFrame, salt: Column): DataFrame = {
+      val partial = in
+        .withColumn("_salt", salt)
+        .groupBy(col(keyCol), col("_salt"))
+        .agg(aggs.head._2.as(aggs.head._1),
+          aggs.tail.map { case (n, c) => c.as(n) }: _*)
+      def merge(n: String): Column =
+        array_distinct(flatten(collect_list(col(n)))).as(n)
+      partial.groupBy(col(keyCol))
+        .agg(merge(aggs.head._1), aggs.tail.map { case (n, _) => merge(n) }: _*)
+    }
+    if (hotThreshold <= 0)
+      return twoPhase(df, pmod(xxhash64(saltBy), lit(buckets)))
+    // Probe contract: this re-evaluates `df` once, column-pruned to the
+    // key (a count per key, map-side combined — its shuffle is bytes-
+    // per-key tiny). Callers should hand in a frame whose expensive
+    // lineage is cached — every exporter call site derives the edge
+    // frame from the persisted entities frame, so the probe pays one
+    // narrow self-join, not a full re-assembly.
+    val hotKeys = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= hotThreshold)
+      .select(col(keyCol), lit(true).as("_hot"))
+    if (hotKeys.isEmpty) {
+      // no skew: ONE shuffle, normalized like the merge phase so both
+      // paths are value-identical after the consumers' sort/distinct
+      df.groupBy(col(keyCol))
+        .agg(array_distinct(aggs.head._2).as(aggs.head._1),
+          aggs.tail.map { case (n, c) => array_distinct(c).as(n) }: _*)
+    } else {
+      twoPhase(df.join(broadcast(hotKeys), Seq(keyCol), "left"),
+        when(col("_hot"), pmod(xxhash64(saltBy), lit(buckets)))
+          .otherwise(lit(0L)))
+    }
   }
 }

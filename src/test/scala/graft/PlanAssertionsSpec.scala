@@ -126,6 +126,20 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(plan.contains("_salt#"), plan.take(1200))
     assert("hashpartitioning\\(id#\\d+, _salt#".r.findFirstIn(plan).isDefined,
       plan.take(1200))
+
+    // ADAPTIVE: a skew-free frame must take the single-shuffle path —
+    // no salt column, no second aggregation — and still agree exactly
+    val cold = (1 to 2000).map(i => (s"e${i % 200}", s"o$i")).toDF("id", "other_id")
+    val coldRolled = Skew.saltedArrayRollup(cold, "id", col("other_id"),
+      Seq("vals" -> collect_set(col("other_id"))), buckets = 16)
+    val coldPlan = coldRolled.queryExecution.executedPlan.toString
+    assert(!coldPlan.contains("_salt#"), coldPlan.take(1200))
+    val coldDirect = cold.groupBy(col("id"))
+      .agg(array_sort(collect_set(col("other_id"))).as("vals"))
+      .as[(String, Seq[String])].collect().toMap
+    val coldSalted = coldRolled.select(col("id"), array_sort(col("vals")))
+      .as[(String, Seq[String])].collect().toMap
+    assert(coldSalted == coldDirect)
   }
 
   test("IVF corpus assignment is a partial (map-side) aggregate, not a per-id window") {

@@ -207,6 +207,19 @@ class EtlSpec extends SparkSpec {
     assert(names.contains("Trading Acme") && names.contains("Delta Prime"))
   }
 
+  test("a wedged product exporter fails the run naming the stuck product") {
+    val root = tmpRoot("hang")
+    val ex = intercept[Etl.ProductTimeoutException] {
+      Etl.run(spark, stmts(baseRows, "2025-01-01 00:00:00"), noDecisions,
+        Etl.Config("t", "v1", root, "2025-01-01 00:00:00",
+          exporters = Seq("names.txt", "hang.bin"),
+          customExporters = Map("hang.bin" -> (_ => Thread.sleep(120000L))),
+          productTimeout = scala.concurrent.duration.Duration(10, "sec")))
+    }
+    assert(ex.stuck === Seq("hang.bin"), ex.getMessage)
+    assert(ex.getMessage.contains("hang.bin"))
+  }
+
   test("bucketed store: prev-vs-curr delta assembly and hash join ride the buckets, no Exchange") {
     val root = tmpRoot("bucketed")
     val prefix = "graft_spec_bstore"

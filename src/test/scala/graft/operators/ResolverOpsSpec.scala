@@ -74,7 +74,11 @@ class ResolverOpsSpec extends SparkSpec {
     assert(out(0L) == ((0L, false)) && out(99999L) == ((0L, false)))
     assert(out(900000L) == ((0L, false)))
     assert(out(900001L) == ((900001L, true)) && out(900002L) == ((900002L, true)))
-    assert(secs < 60.0, s"poisoned bucket took ${secs}s")
+    // asymptotic guard, not an SLA: the rep collapse makes this O(n);
+    // a quadratic regression (5×10⁹ pairs) would run for HOURS. The
+    // budget is deliberately contention-safe — round 5 shipped a red
+    // suite because a 60 s budget met a loaded driver box at 74.9 s.
+    assert(secs < 300.0, s"poisoned bucket took ${secs}s")
   }
 
   test("occupancy status: ended / current / unknown") {
