@@ -139,7 +139,7 @@ object EdgeDedup {
 
     val sized = withGroup.groupBy(col("group"))
       .agg(min(col("edge_id")).as("canonical"), count(lit(1)).as("members"))
-    withGroup
+    val result = withGroup
       .join(sized, "group")
       .join(vetoedGroups, Seq("group"), "left")
       .withColumn("vetoed", coalesce(col("vetoed"), lit(false)))
@@ -147,5 +147,13 @@ object EdgeDedup {
         when(!col("vetoed") && col("members") > 1, col("canonical"))
           .otherwise(col("edge_id")).as("cluster"),
         col("vetoed"))
+    // materialize the (edge_id, cluster, vetoed) result eagerly, then
+    // release the rep cache: without this every mergeGroups call left
+    // `reps` persisted for the life of the session (the cap probe above
+    // already makes this operator action-ful, so the barrier adds no
+    // new eagerness class). The checkpointed result is GC-cleaned.
+    val out = result.localCheckpoint(true)
+    reps.unpersist(blocking = false)
+    out
   }
 }

@@ -443,6 +443,12 @@ object Similarity {
     // shuffle) instead of a per-id window, with the same deterministic
     // tie-break (max ccos, then min centroid_id). The probe ranking
     // below stays a window — it runs over the tiny query side only.
+    // NaN caveat: for a ZERO-NORM corpus vector every ccos is NaN; the
+    // former window (NaN sorts greatest, desc) would rank a NaN row
+    // first, while min_by over struct(-ccos, id) treats the NaN key as
+    // greatest and never picks it — degenerate vectors land in an
+    // arbitrary-but-deterministic cell instead. Well-formed embeddings
+    // (every production corpus) are unaffected.
     val assigned = corpus.toDF("neighbor_id", "nvec")
       .join(cents)
       .withColumn("ccos", cosine(asDouble(col("nvec")), asDouble(col("cvec"))))
