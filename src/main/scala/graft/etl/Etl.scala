@@ -79,19 +79,22 @@ object Etl {
     * cluster, NEGATIVE matches dropped
     * (runner/enrich.py:21-50, runner/local_enricher.py:161-199).
     *
-    * Scope note: only the matched target entity's OWN statements are
-    * emitted. The reference additionally expands a match's adjacent
-    * graph context — officers, owners, linked entities
-    * (enrich.py:32-48 `expand_wrapped`); that depth-limited expansion
-    * is not implemented here. Callers needing it can pre-expand
-    * `targetStatements` with [[graft.operators.Adjacency.expand]]
-    * before passing the store. */
+    * `expandHops` > 0 additionally emits the matched target's adjacent
+    * graph context from the target store — officers, owners, linked
+    * edge entities (the reference's `expand_wrapped`,
+    * enrich.py:32-48): each hop follows statement-level entity-ref
+    * edges in BOTH directions (an Ownership edge entity references its
+    * endpoints, so reaching the owner from a matched company takes two
+    * hops: company ← ownership → owner). Expanded entities inherit
+    * their seed's route, internal taking precedence when reached from
+    * both. 0 (default) emits only the matched entities themselves. */
   final case class Enrichment(
       targetStatements: DataFrame,
       maxDf: Long = 100,
       topK: Int = 5,
       cutoff: Double = 0.5,
-      minScoreRatio: Double = 0.1)
+      minScoreRatio: Double = 0.1,
+      expandHops: Int = 0)
 
   /** Fatal validation failures abort the run before any product is
     * written (etl.py:122-131: validation failure → archive_failure,
@@ -267,8 +270,36 @@ object Etl {
         val routed = Enricher.judgementGate(matchesCanon, dec)
           .groupBy(col("orig_target_id").as("target_id"))
           .agg(max(col("route")).as("route"))
+        // expand_wrapped (enrich.py:32-48): pull the matched targets'
+        // graph context along statement-level entity-ref edges, both
+        // directions per hop, routes inherited with internal > external
+        val routedExp =
+          if (en.expandHops <= 0) routed
+          else {
+            val refPairs: Seq[String] = (for {
+              sch <- graft.model.FtmModel.schemata.keys.toSeq
+              p <- graft.model.FtmModel.entityRefProps(sch)
+            } yield s"$sch|$p").sorted
+            val edges = en.targetStatements
+              .filter(concat_ws("|", col("schema"), col("prop"))
+                .isInCollection(refPairs))
+              .filter(col("value").isNotNull && length(col("value")) > 0)
+              .select(col("entityId").as("a"), col("value").as("b"))
+              .distinct()
+              .localCheckpoint()
+            var cur = routed
+            for (_ <- 1 to en.expandHops) {
+              val out = cur.join(edges, cur("target_id") === edges("a"))
+                .select(col("b").as("target_id"), col("route"))
+              val in = cur.join(edges, cur("target_id") === edges("b"))
+                .select(col("a").as("target_id"), col("route"))
+              cur = cur.unionByName(out).unionByName(in)
+                .groupBy("target_id").agg(max(col("route")).as("route"))
+            }
+            cur.localCheckpoint()
+          }
         val emitted = en.targetStatements
-          .join(routed.withColumnRenamed("target_id", "entityId"), Seq("entityId"))
+          .join(routedExp.withColumnRenamed("target_id", "entityId"), Seq("entityId"))
           .withColumn("dataset", lit(cfg.datasetName))
           .withColumn("origin", lit("enrich"))
           .withColumn("external", col("route") === "external")

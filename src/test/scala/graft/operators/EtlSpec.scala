@@ -207,6 +207,58 @@ class EtlSpec extends SparkSpec {
     assert(names.contains("Trading Acme") && names.contains("Delta Prime"))
   }
 
+  test("enrichment expansion emits the match's graph context with inherited routes") {
+    // subject s1 matches target tA (POSITIVE). The target store also
+    // holds an Ownership edge entity oE referencing tA and owner oW —
+    // reachable at hops 1 and 2 respectively, never matched themselves.
+    val subjRows = Seq(("s1", "name", "Acme Trading", "Company"))
+    val tgtRows = Seq(
+      ("tA", "name", "Acme Trading", "Company"),
+      ("oE", "asset", "tA", "Ownership"),
+      ("oE", "owner", "oW", "Ownership"),
+      ("oW", "name", "Wanda Owner", "Person"))
+    def tstmts(rows: Seq[(String, String, String, String)]) =
+      rows.toDF("entityId", "prop", "value", "schema").select(
+        md5(concat_ws("|", lit("ext"), col("entityId"), col("prop"), col("value"))).as("id"),
+        col("entityId"), col("entityId").as("canonicalId"),
+        col("prop"), col("schema"), col("value"),
+        lit("ext").as("dataset"), lit("en").as("lang"), lit("crawl").as("origin"),
+        col("value").as("originalValue"),
+        lit("2025-01-01 00:00:00").cast("timestamp").as("firstSeen"),
+        lit("2025-01-01 00:00:00").cast("timestamp").as("lastSeen"),
+        lit(false).as("external"))
+    val ts = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    val decisions = Seq(("s1", "tA", "POSITIVE", "tester", ts))
+      .toDF("a", "b", "judgement", "user", "decided_at")
+
+    // hops=0: only the matched entity itself
+    val root0 = tmpRoot("expand0")
+    Etl.run(spark, stmts(subjRows, "2025-01-01 00:00:00"), decisions,
+      Etl.Config("t", "v1", root0, "2025-01-01 00:00:00",
+        exporters = Seq("names.txt"),
+        enrichment = Some(Etl.Enrichment(tstmts(tgtRows)))))
+    val ids0 = spark.read.parquet(s"$root0/statements/v1")
+      .filter(col("origin") === "enrich")
+      .select("entityId").distinct().as[String].collect().toSet
+    assert(ids0 === Set("tA"))
+
+    // hops=2: company ← ownership → owner, all inherited internal
+    val root2 = tmpRoot("expand2")
+    Etl.run(spark, stmts(subjRows, "2025-01-01 00:00:00"), decisions,
+      Etl.Config("t", "v1", root2, "2025-01-01 00:00:00",
+        exporters = Seq("names.txt"),
+        enrichment = Some(Etl.Enrichment(tstmts(tgtRows), expandHops = 2))))
+    val enr2 = spark.read.parquet(s"$root2/statements/v1")
+      .filter(col("origin") === "enrich")
+    assert(enr2.select("entityId").distinct().as[String].collect().toSet
+      === Set("tA", "oE", "oW"))
+    // POSITIVE seed → everything reached is internal
+    assert(enr2.filter(col("external") === true).count() === 0)
+    val names2 = spark.read.text(s"$root2/datasets/latest/t/names.txt")
+      .as[String].collect().toSet
+    assert(names2.contains("Wanda Owner"))
+  }
+
   test("a wedged product exporter fails the run naming the stuck product") {
     val root = tmpRoot("hang")
     val ex = intercept[Etl.ProductTimeoutException] {
