@@ -105,8 +105,16 @@ object Resolver {
       .select(col("sid"), col("component"))
     val canonical = labeled.groupBy(col("component"))
       .agg(min(col("sid")).as("canonical"))
-    labeled.join(canonical, "component")
+    // the mapping is decision-scoped (small): materialize it eagerly
+    // and release the id-hash cache — the operator is already
+    // action-ful (injectivity probe above), and without the barrier
+    // every standalone canonicalize call left `ids` persisted for the
+    // life of the session (the EdgeDedup rep-cache lesson)
+    val out = labeled.join(canonical, "component")
       .select(col("sid").as("id"), col("canonical"))
+      .localCheckpoint(true)
+    ids.unpersist(blocking = false)
+    out
   }
 
   /** P3: schema filter with inheritance closure — restrict a frame to a
