@@ -160,6 +160,37 @@ class PlanAssertionsSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("similarity ranking shuffles never carry the embedding payload") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.operators.Similarity
+    val dir = Files.createTempDirectory("graft-simplan").toString
+    (1 to 64).map(i => (i.toLong, Array.tabulate(8)(d => (i * (d + 1)).toDouble)))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/e")
+    val e = spark.read.parquet(s"$dir/e")
+    val qs = e.filter(col("vec_id") % 8 === 0)
+    // exact top-k AND the bucketed variant: every shuffle in both plans
+    // must move only (ids, cosine) — the scoring projection runs BEFORE
+    // the exchange (at corpus scale a vector-laden ranking exchange is
+    // the query wall). AQE wraps the plan and hides the exchanges from
+    // collect, so plan with it off for the shape check.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      for (df <- Seq(
+          Similarity.cosineTopK(qs, e, k = 5),
+          Similarity.cosineTopKLsh(qs, e, k = 5, dim = 8, planes = 4))) {
+        val shuffles = df.queryExecution.executedPlan.collect {
+          case s: ShuffleExchangeExec => s.output.map(_.name)
+        }
+        assert(shuffles.nonEmpty)
+        shuffles.foreach { cols =>
+          assert(!cols.exists(c => c.contains("vec") && c != "vec_id"),
+            s"embedding column in shuffle: $cols")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
   test("blocking topK prunes with ONE window shuffle; paragraph dedup has no window") {
     import graft.operators.{Blocking, Dedup}
     val cands = Seq((1L, 10L, 0.9), (1L, 11L, 0.8), (2L, 10L, 0.7))
