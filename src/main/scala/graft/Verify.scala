@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0); val outDir = args(1)
+    // optional trailing names: dump only those queries (local iteration);
+    // the driver passes exactly two args and gets the full suite
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +22,9 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // no coalesce(1): a single-task write serializes at larger sf; the
     // driver reads the per-query directory as a glob either way
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -94,7 +94,10 @@ object Etl {
       topK: Int = 5,
       cutoff: Double = 0.5,
       minScoreRatio: Double = 0.1,
-      expandHops: Int = 0)
+      expandHops: Int = 0,
+      // > 1 turns on the skew-salted candidate join (a hot surname
+      // bigram splits across this many reducers — Blocking.candidates)
+      saltBuckets: Int = 1)
 
   /** Fatal validation failures abort the run before any product is
     * written (etl.py:122-131: validation failure → archive_failure,
@@ -119,6 +122,14 @@ object Etl {
       danglingRefCount: Long)
 
   private def statementsRoot(cfg: Config) = s"${cfg.outRoot}/statements"
+
+  /** Every (schema, prop) whose value is an entity reference — the
+    * rows whose VALUES the canonical remap and the enrichment
+    * expansion follow. */
+  private lazy val entityRefPairs: Seq[String] = (for {
+    sch <- graft.model.FtmModel.schemata.keys.toSeq
+    p <- graft.model.FtmModel.entityRefProps(sch)
+  } yield s"$sch|$p").sorted
   private def productDir(cfg: Config, version: String) =
     s"${cfg.outRoot}/datasets/$version/${cfg.datasetName}"
 
@@ -195,10 +206,24 @@ object Etl {
     def canonicalizeFrame(df: DataFrame): DataFrame = remapOpt match {
       case None => df.withColumn("canonicalId", col("entityId"))
       case Some(remap) =>
+        // nomenklatura's linker.apply_statement (tools/util.py:32)
+        // canonicalizes BOTH the entity id and entity-ref property
+        // VALUES — an edge pointing at a merged-away member must point
+        // at the cluster id, or the member's disappearance as an
+        // entity leaves the edge dangling. Same broadcast remap, second
+        // cheap join keyed on the value for ref-typed rows only;
+        // originalValue keeps the raw provenance.
+        val isRef = concat_ws("|", col("schema"), col("prop"))
+          .isInCollection(entityRefPairs)
         df.drop("canonicalId")
           .join(broadcast(remap), Seq("entityId"), "left")
           .withColumn("canonicalId", coalesce(col("canonical"), col("entityId")))
           .drop("canonical")
+          .join(broadcast(remap.select(col("entityId").as("__refv"),
+            col("canonical").as("__refc"))),
+            isRef && col("value") === col("__refv"), "left")
+          .withColumn("value", coalesce(col("__refc"), col("value")))
+          .drop("__refv", "__refc")
     }
     val crawled = canonicalizeFrame(statements)
     tick("canonicalize-plan")
@@ -228,7 +253,8 @@ object Etl {
           .select(col("entityId").as("tid"), col("value").as("tname"))
           .distinct()
         val cands = Blocking.candidates(subj, tgt,
-            col("sid"), col("sname"), col("tid"), col("tname"), en.maxDf)
+            col("sid"), col("sname"), col("tid"), col("tname"), en.maxDf,
+            saltBuckets = en.saltBuckets)
           .groupBy(col("subject_id"), col("target_id"))
           .agg(max(col("score")).as("score"))
         val top = Blocking.topK(cands, en.topK, en.cutoff, en.minScoreRatio)
@@ -276,13 +302,9 @@ object Etl {
         val routedExp =
           if (en.expandHops <= 0) routed
           else {
-            val refPairs: Seq[String] = (for {
-              sch <- graft.model.FtmModel.schemata.keys.toSeq
-              p <- graft.model.FtmModel.entityRefProps(sch)
-            } yield s"$sch|$p").sorted
             val edges = en.targetStatements
               .filter(concat_ws("|", col("schema"), col("prop"))
-                .isInCollection(refPairs))
+                .isInCollection(entityRefPairs))
               .filter(col("value").isNotNull && length(col("value")) > 0)
               .select(col("entityId").as("a"), col("value").as("b"))
               .distinct()

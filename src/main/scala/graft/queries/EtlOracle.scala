@@ -285,4 +285,58 @@ object EtlOracle {
        |  UNION ALL ${digest("targets.simple.csv", "simple_lines")})
        |ORDER BY product""".stripMargin
   }
+
+  /** q115: the enrichment-expansion run — subjects "alpha k", matched
+    * targets t_k (k%10==0) POSITIVE-merged into s_k, and the 2-hop
+    * expansion emitting the Ownership edge o_k and owner w_k, all
+    * internal. Statement lines mirror StatementIO.exportCsv's column
+    * order with model-derived prop types (asset/owner → entity). */
+  val expandSql: String = {
+    s"""WITH ks AS (SELECT c_custkey AS k FROM customer),
+       |tens AS (SELECT k FROM ks WHERE k % 10 = 0),
+       |name_lines AS (
+       |  SELECT DISTINCT 'alpha ' || k::VARCHAR AS line FROM ks
+       |  UNION
+       |  SELECT DISTINCT 'wanda ' || k::VARCHAR FROM tens),
+       |stmt_lines AS (
+       |  SELECT md5('enr_x|s' || k::VARCHAR || '|name|alpha ' || k::VARCHAR)
+       |    || '|s' || k::VARCHAR || '|s' || k::VARCHAR
+       |    || '|name|name|Company|alpha ' || k::VARCHAR || '|alpha ' || k::VARCHAR
+       |    || '|enr_x|en|crawl|false|2026-02-01|2026-02-01' AS line
+       |  FROM ks
+       |  UNION ALL
+       |  -- matched target: canonicalized into the subject cluster
+       |  SELECT md5('ext_y|t' || k::VARCHAR || '|name|alpha ' || k::VARCHAR)
+       |    || '|t' || k::VARCHAR || '|s' || k::VARCHAR
+       |    || '|name|name|Company|alpha ' || k::VARCHAR || '|alpha ' || k::VARCHAR
+       |    || '|enr_x|en|enrich|false|2026-02-01|2026-02-01'
+       |  FROM tens
+       |  UNION ALL
+       |  -- hop-1 Ownership edge entity (asset -> t_k, owner -> w_k);
+       |  -- the asset VALUE canonicalizes to the cluster id s_k
+       |  -- (apply_statement rewrites entity-ref values), while
+       |  -- original_value keeps the raw t_k provenance
+       |  SELECT md5('ext_y|o' || k::VARCHAR || '|asset|t' || k::VARCHAR)
+       |    || '|o' || k::VARCHAR || '|o' || k::VARCHAR
+       |    || '|asset|entity|Ownership|s' || k::VARCHAR || '|t' || k::VARCHAR
+       |    || '|enr_x|en|enrich|false|2026-02-01|2026-02-01'
+       |  FROM tens
+       |  UNION ALL
+       |  SELECT md5('ext_y|o' || k::VARCHAR || '|owner|w' || k::VARCHAR)
+       |    || '|o' || k::VARCHAR || '|o' || k::VARCHAR
+       |    || '|owner|entity|Ownership|w' || k::VARCHAR || '|w' || k::VARCHAR
+       |    || '|enr_x|en|enrich|false|2026-02-01|2026-02-01'
+       |  FROM tens
+       |  UNION ALL
+       |  -- hop-2 owner person
+       |  SELECT md5('ext_y|w' || k::VARCHAR || '|name|wanda ' || k::VARCHAR)
+       |    || '|w' || k::VARCHAR || '|w' || k::VARCHAR
+       |    || '|name|name|Person|wanda ' || k::VARCHAR || '|wanda ' || k::VARCHAR
+       |    || '|enr_x|en|enrich|false|2026-02-01|2026-02-01'
+       |  FROM tens)
+       |SELECT product, n_lines, hash_sum FROM (
+       |  ${digest("names.txt", "name_lines")}
+       |  UNION ALL ${digest("statements.csv", "stmt_lines")})
+       |ORDER BY product""".stripMargin
+  }
 }

@@ -283,6 +283,70 @@ object EtlQueries {
               c("dataset"), c("first_seen"), c("last_seen"), c("last_change"))))
           .sort("product")
       },
-      EtlOracle.enrichSql)
+      EtlOracle.enrichSql),
+
+    // The enrichment EXPANSION flow (expand_wrapped, enrich.py:32-48)
+    // under the oracle gate: every k%10==0 subject "alpha k" matches its
+    // target t_k exactly (unique sorted bigram per k), the POSITIVE
+    // decision routes it internal, and two expansion hops pull the
+    // Ownership edge entity o_k (hop 1, inbound via asset) and the
+    // owner person w_k (hop 2, outbound via owner) into the run —
+    // all internal by inheritance, t_k canonicalized into s_k's
+    // cluster. DuckDB reconstructs the expanded statement store and
+    // names product line-exact.
+    decl("q115_etl_enrich_expand",
+      (s, d) => {
+        val root = "/tmp/graft_etl_q115_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val cust = t(s, d, "customer").select(col("c_custkey").as("k"))
+        val k = col("k")
+        def st(base: DataFrame, ds: String, eid: org.apache.spark.sql.Column,
+            prop: String, value: org.apache.spark.sql.Column, schema: String) =
+          base.select(
+            md5(concat_ws("|", lit(ds), eid, lit(prop), value)).as("id"),
+            eid.as("entityId"), eid.as("canonicalId"),
+            lit(prop).as("prop"), lit(schema).as("schema"), value.as("value"),
+            lit(ds).as("dataset"), lit("en").as("lang"),
+            lit("crawl").as("origin"), value.as("originalValue"),
+            lit(EnrTime).cast("timestamp").as("firstSeen"),
+            lit(EnrTime).cast("timestamp").as("lastSeen"),
+            lit(false).as("external"))
+        val sid = concat(lit("s"), k.cast("string"))
+        val tid = concat(lit("t"), k.cast("string"))
+        val oid = concat(lit("o"), k.cast("string"))
+        val wid = concat(lit("w"), k.cast("string"))
+        val aname = concat(lit("alpha "), k.cast("string"))
+        val subjects = st(cust, "enr_x", sid, "name", aname, "Company")
+        val ten = cust.filter(k % 10 === 0)
+        val targets = st(ten, "ext_y", tid, "name", aname, "Company")
+          .unionByName(st(ten, "ext_y", oid, "asset", tid, "Ownership"))
+          .unionByName(st(ten, "ext_y", oid, "owner", wid, "Ownership"))
+          .unionByName(st(ten, "ext_y", wid, "name",
+            concat(lit("wanda "), k.cast("string")), "Person"))
+        val decisions = ten.select(sid.as("a"), tid.as("b"),
+          lit("POSITIVE").as("judgement"), lit("xref").as("user"),
+          lit(EnrTime).cast("timestamp").as("decided_at"))
+        Etl.run(s, subjects, decisions, Etl.Config(
+          datasetName = "enr_x", version = "v1", outRoot = root,
+          runTime = EnrTime,
+          exporters = Seq("names.txt", "statements.csv"),
+          republishLatest = false,
+          enrichment = Some(Etl.Enrichment(targets, expandHops = 2))))
+        val dir = s"$root/datasets/v1/enr_x"
+        val c = (n: String) => coalesce(col(n), lit(""))
+        digest(s.read.text(s"$dir/names.txt"), "names.txt", col("value"))
+          .unionByName(digest(
+            s.read.option("header", "true").csv(s"$dir/statements.csv"),
+            "statements.csv",
+            concat_ws("|", col("id"), col("entity_id"), col("canonical_id"),
+              col("prop"), col("prop_type"), col("schema"), c("value"),
+              c("original_value"), col("dataset"), c("lang"), c("origin"),
+              col("external"), substring(col("first_seen"), 1, 10),
+              substring(col("last_seen"), 1, 10))))
+          .sort("product")
+      },
+      EtlOracle.expandSql)
   )
 }

@@ -108,7 +108,13 @@ object StatementIO {
     val typeOf: Map[String, String] = (for {
       s <- FtmModel.schemata.keys.toSeq
       (pn, pd) <- FtmModel.allProps(s)
-    } yield s + "|" + pn -> pd.ptype.toString.toLowerCase).toMap
+      // registry names, not case-class names: an entity reference's FtM
+      // type is "entity" (followthemoney registry; statements.py:24)
+      tn = pd.ptype match {
+        case FtmModel.PropType.EntityRef => "entity"
+        case other => other.toString.toLowerCase
+      }
+    } yield s + "|" + pn -> tn).toMap
     val propType = coalesce(
       element_at(typedLit(typeOf), concat(col("schema"), lit("|"), col("prop"))),
       lit("string"))
