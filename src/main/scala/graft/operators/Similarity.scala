@@ -514,4 +514,44 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .dropDuplicates("a", "b")
   }
+
+  /** SemDeDup-style semantic deduplication: collapse groups of
+    * embedding-near-duplicate documents to one representative each.
+    *
+    * Near-dup PAIRS come from the multi-table sign-LSH join
+    * ([[cosineNearDupPairsTables]] — banded equi-join, never all-pairs);
+    * pairs chain into CLUSTERS via connected components (a cosine-0.9
+    * chain a~b~c is one duplication group even when cos(a,c) < θ —
+    * the same transitive-closure semantics the resolver applies to
+    * judgement pairs); each cluster keeps the member with the highest
+    * `weight` (ties → lowest id), everything else is marked dropped.
+    *
+    * 100 TB shape: candidate generation is a bucketed equi-join, the
+    * component loop is the hash-signature-barrier star contraction of
+    * [[ConnectedComponents]], and representative choice is a `max_by`
+    * partial aggregate — one shuffle keyed on component, no window, and
+    * no shuffle anywhere carries the embedding payload.
+    *
+    * @param corpus  (id: long, vec: array<float>) embedding frame
+    * @param weights (id: long, weight: long) representative preference
+    *   (e.g. document length or a quality score); members missing a
+    *   weight rank lowest
+    * @return (component, kept_id, n_members) — one row per cluster,
+    *   singletons included (kept_id = the lone member) */
+  def semanticDedup(
+      corpus: DataFrame, weights: DataFrame,
+      dim: Int, threshold: Double,
+      planes: Int = 4, tables: Int = 8): DataFrame = {
+    val v = corpus.toDF("id", "vec")
+    val pairs = cosineNearDupPairsTables(v, dim, threshold, planes, tables)
+    val comp = ConnectedComponents.run(
+      v.select(col("id")), pairs.select(col("a"), col("b")))
+    comp.join(weights.toDF("id", "weight"), Seq("id"), "left")
+      .groupBy(col("component"))
+      .agg(
+        max_by(col("id"),
+          struct(coalesce(col("weight"), lit(Long.MinValue)), negate(col("id"))))
+          .as("kept_id"),
+        count(lit(1)).as("n_members"))
+  }
 }

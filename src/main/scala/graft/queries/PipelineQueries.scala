@@ -532,6 +532,110 @@ object PipelineQueries {
            |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.8""".stripMargin
       }),
 
+    // SemDeDup-style semantic dedup: LSH near-dup pairs chained into
+    // clusters by connected components (transitive closure — a 0.8+
+    // cosine chain is ONE duplication group), each cluster collapsed to
+    // its longest member (ties → lowest id). The synthetic embeddings
+    // have no 0.8+ pairs of their own, so near-copies are PLANTED
+    // (q101's overlay pattern): every %50 base gets a +1e6 perturbed
+    // copy, every %100 base an additional +2e6 copy — 3-member clusters
+    // exercising the closure, with overlay weights covering all three
+    // representative outcomes (planted wins, base wins, tie → lowest
+    // id). The oracle rebuilds the overlay, the eight hash tables AND
+    // the closure (recursive CTE) in SQL, so the full
+    // pairs→clusters→representative pipeline is hash-checked.
+    decl("q116_semantic_dedup",
+      (s, d) => {
+        val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val pl1 = base.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => x + when(i % 2 === 0, lit(0.002)).otherwise(lit(-0.002)))
+              .as("embedding"))
+        val pl2 = base.filter(col("vec_id") % 100 === 0)
+          .select((col("vec_id") + 2000000L).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => x + when(i % 3 === 0, lit(0.003)).otherwise(lit(-0.001)))
+              .as("embedding"))
+        val corpus = base.unionByName(pl1).unionByName(pl2)
+        val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        val weights = docs
+          .unionByName(docs.filter(col("doc_id") % 50 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              // (id div 50) % 5 - 2 ∈ {-2..2}: the planted copy beats,
+              // ties (→ lowest id), or loses to its base — all three
+              // representative outcomes occur in the fixture
+              (col("n_chars") + expr("doc_id div 50 % 5 - 2")).as("n_chars")))
+          .unionByName(docs.filter(col("doc_id") % 100 === 0)
+            .select((col("doc_id") + 2000000L).as("doc_id"),
+              (col("n_chars") - 1).as("n_chars")))
+        Similarity.semanticDedup(corpus, weights,
+          dim = 64, threshold = 0.8, planes = 4, tables = 8)
+      },
+      {
+        val mtTables = (0 until 8).map { tbl =>
+          val bits = (0 until 4).map { p =>
+            val abs = tbl * 4 + p
+            val plane = (0 until 64)
+              .map(dd => if (Similarity.planeSign(abs, dd) > 0) "1.0" else "-1.0")
+              .mkString("[", ",", "]")
+            s"(CASE WHEN list_inner_product(v, $plane::DOUBLE[]) > 0 THEN ${1L << p} ELSE 0 END)"
+          }.mkString(" + ")
+          s"SELECT vec_id, v, $tbl AS tbl, $bits AS bits FROM e"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH RECURSIVE eb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |pl1 AS (
+           |  SELECT vec_id + 1000000 AS vec_id,
+           |    list_transform(generate_series(1, 64),
+           |      i -> v[i] + (CASE WHEN (i - 1) % 2 = 0
+           |                   THEN 0.002::DOUBLE ELSE -0.002::DOUBLE END)) AS v
+           |  FROM eb WHERE vec_id % 50 = 0),
+           |pl2 AS (
+           |  SELECT vec_id + 2000000 AS vec_id,
+           |    list_transform(generate_series(1, 64),
+           |      i -> v[i] + (CASE WHEN (i - 1) % 3 = 0
+           |                   THEN 0.003::DOUBLE ELSE -0.001::DOUBLE END)) AS v
+           |  FROM eb WHERE vec_id % 100 = 0),
+           |e AS (SELECT * FROM eb UNION ALL SELECT * FROM pl1
+           |  UNION ALL SELECT * FROM pl2),
+           |wts AS (
+           |  SELECT doc_id, n_chars FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, n_chars + doc_id // 50 % 5 - 2
+           |  FROM documents WHERE doc_id % 50 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 2000000, n_chars - 1
+           |  FROM documents WHERE doc_id % 100 = 0),
+           |mtb AS (
+           |  $mtTables),
+           |cand AS (
+           |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+           |  FROM mtb l JOIN mtb r ON l.tbl = r.tbl AND l.bits = r.bits
+           |  WHERE l.vec_id < r.vec_id),
+           |pairs AS (
+           |  SELECT a, b FROM cand
+           |  JOIN e ea ON cand.a = ea.vec_id
+           |  JOIN e eb2 ON cand.b = eb2.vec_id
+           |  WHERE list_cosine_similarity(ea.v, eb2.v) >= 0.8),
+           |sym AS (SELECT a AS x, b AS y FROM pairs
+           |  UNION SELECT b, a FROM pairs),
+           |reach(id, m) AS (
+           |  SELECT vec_id, vec_id FROM e
+           |  UNION
+           |  SELECT r.id, s.y FROM reach r JOIN sym s ON r.m = s.x),
+           |comp AS (SELECT id, MIN(m) AS component FROM reach GROUP BY id),
+           |wt AS (SELECT c.id, c.component, w.n_chars
+           |  FROM comp c LEFT JOIN wts w ON c.id = w.doc_id),
+           |rep AS (SELECT component, id,
+           |    row_number() OVER (PARTITION BY component
+           |      ORDER BY n_chars DESC NULLS LAST, id ASC) AS rn
+           |  FROM wt)
+           |SELECT c.component, r.id AS kept_id, c.n_members
+           |FROM (SELECT component, COUNT(*)::BIGINT AS n_members
+           |      FROM comp GROUP BY component) c
+           |JOIN rep r ON c.component = r.component AND r.rn = 1""".stripMargin
+      }),
+
     // Paragraph-level exact dedup across the corpus (C4/RefinedWeb
     // cleaning): 3-word chunks, first corpus-wide occurrence wins,
     // documents reassembled from surviving chunks. First-occurrence

@@ -141,4 +141,24 @@ class DedupSimilaritySpec extends SparkSpec {
       .as[(Long, Seq[Double])].collect().toMap
     assert(again == trained)
   }
+
+  test("semantic dedup chains near-dups transitively and keeps the heaviest member") {
+    // unit vectors at 0°, 18°, 36°: cos(18°)≈0.951 links 1~2 and 2~3,
+    // cos(36°)≈0.809 keeps 1~3 BELOW the 0.9 threshold — {1,2,3} is one
+    // cluster only via the connected-components closure, not pairwise
+    val rad = math.Pi / 180
+    def unit(deg: Double) = Seq(
+      math.cos(deg * rad).toFloat, math.sin(deg * rad).toFloat, 0.0f, 0.0f)
+    val corpus = Seq(
+      (1L, unit(0)), (2L, unit(18)), (3L, unit(36)),
+      (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("id", "vec")
+    // 2 and 3 tie at weight 20 → lowest id (2) wins; 4 has NO weight
+    // row and must still survive as its own singleton representative
+    val weights = Seq((1L, 10L), (2L, 20L), (3L, 20L)).toDF("id", "weight")
+    val out = Similarity.semanticDedup(corpus, weights,
+        dim = 4, threshold = 0.9)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 3L), (4L, 4L, 1L)))
+  }
 }
