@@ -78,8 +78,13 @@ object Bench {
       if (expired) (capSec.toDouble, true) else (wall, false)
     }
 
+    // optional trailing names: bench only those queries (local
+    // iteration); the driver passes no args and gets the full suite
+    val only = args.toSet
     val capped = scala.collection.mutable.Set[String]()
-    val results = SparkEntry.allDecls.map { d =>
+    val results = SparkEntry.allDecls
+      .filter(d => only.isEmpty || only(d.name))
+      .map { d =>
       val times = (1 to runs).map { _ =>
         // Materialize via the noop sink: every output column is computed
         // and serialized, so projection-only queries (hashes, regexes,

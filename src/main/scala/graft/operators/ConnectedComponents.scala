@@ -51,7 +51,8 @@ object ConnectedComponents {
       maxIterations: Int = 50,
       checkpointDir: Option[String] = None,
       checkEvery: Int = 1,
-      pointerJump: Boolean = false): DataFrame = {
+      pointerJump: Boolean = false,
+      pointerJumpAfter: Int = 4): DataFrame = {
     val spark = nodes.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
 
@@ -108,13 +109,16 @@ object ConnectedComponents {
         .select(col("src2").as("src"), col("dst2").as("dst"))
         .distinct()
       // Pointer jump: (u→p) with (p→gp) contracts to (u→gp) — one extra
-      // self-join per round that shortcuts long parent chains. Measured
-      // OFF by default: on the bench graphs (short paths, cliques) the
-      // extra shuffle costs more than the rounds it saves; enable for
-      // diameter-heavy graphs where star rounds alone need many
-      // iterations.
+      // self-join per round that shortcuts long parent chains. Adaptive:
+      // on short-diameter graphs (cliques, short paths) the star rounds
+      // alone converge within a few iterations and the extra shuffle
+      // would be pure cost, so the first `pointerJumpAfter` rounds never
+      // jump; a loop still going after that is evidence of a
+      // diameter-heavy graph (long chains), where each jump round
+      // contracts depth ~3× instead of ~2× and pays for itself.
+      // `pointerJump = true` forces it from round 0.
       val small1 =
-        if (!pointerJump) small0
+        if (!pointerJump && iter < pointerJumpAfter) small0
         else {
           val parents = small0.select(col("src").as("_p"), col("dst").as("_gp"))
           small0.join(parents, col("dst") === col("_p"), "left")

@@ -14,6 +14,22 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(out.keySet == (1L to 10L).toSet)
   }
 
+  test("long chain engages adaptive pointer jumping and still converges exactly") {
+    // 800-node path: star rounds alone need ~log2(800) ≈ 10 rounds, so
+    // the adaptive jump (rounds >= pointerJumpAfter) is exercised; the
+    // answer must be identical to the pure-star run
+    val nodes = (1L to 800L).toDF("id")
+    val edges = (1L until 800L).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = ConnectedComponents.run(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(out.values.toSet == Set(1L))
+    assert(out.keySet == (1L to 800L).toSet)
+    val pureStar = ConnectedComponents.run(nodes, edges,
+      pointerJumpAfter = Int.MaxValue)
+      .as[(Long, Long)].collect().toMap
+    assert(pureStar == out)
+  }
+
   test("disjoint components and isolated nodes keep separate labels") {
     val nodes = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("id")
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
