@@ -515,6 +515,48 @@ object Similarity {
       .dropDuplicates("a", "b")
   }
 
+  /** Per-vector symmetric int8 quantization: scale = max|x|/127, code =
+    * clamp(floor(x/scale + 0.5), -127, 127). The 100 TB ANN storage
+    * path — 4× smaller vectors and integer dot products — with the
+    * scale kept per vector so scores can be de-quantized. The floor
+    * form (not a round() builtin) is chosen because its double
+    * arithmetic is engine-portable: the DuckDB oracle reproduces the
+    * codes bit-exactly. Zero vectors quantize to all-zero codes.
+    * Returns (id, scale, qvec: array<int>). */
+  def quantizeInt8(corpus: DataFrame): DataFrame = {
+    val v = corpus.toDF("id", "vec")
+    v.select(col("id"), asDouble(col("vec")).as("v"))
+      .withColumn("scale",
+        aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0)
+      .select(col("id"), col("scale"),
+        when(col("scale") === 0.0,
+          transform(col("v"), _ => lit(0)))
+          .otherwise(transform(col("v"), x =>
+            least(greatest(floor(x / col("scale") + 0.5), lit(-127L)), lit(127L))
+              .cast("int")))
+          .as("qvec"))
+  }
+
+  /** Brute-force top-k over int8-quantized vectors: cosine on the
+    * integer codes (the per-vector scales cancel in the ratio, so no
+    * de-quantization is needed for ranking). Integer products at dim
+    * ≤ 2^10 stay far inside double's exact-integer range, so scoring
+    * is bit-deterministic. Same shape as [[cosineTopK]]: query side
+    * broadcast, one window, tie-break on neighbor id. */
+  def cosineTopKInt8(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = quantizeInt8(queries).select(
+      col("id").as("query_id"), col("qvec").as("qq"))
+    val c = quantizeInt8(corpus).select(
+      col("id").as("neighbor_id"), col("qvec").as("nq"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(asDouble(col("qq")), asDouble(col("nq"))).as("qcos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** SemDeDup-style semantic deduplication: collapse groups of
     * embedding-near-duplicate documents to one representative each.
     *

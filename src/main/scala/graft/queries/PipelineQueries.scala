@@ -532,6 +532,42 @@ object PipelineQueries {
            |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.8""".stripMargin
       }),
 
+    // Int8-quantized ANN: per-vector symmetric quantization (the 4×
+    // storage/bandwidth path for 100 TB embedding stores) and top-k
+    // ranking on the integer codes — scales cancel in the cosine ratio.
+    // The floor-form quantizer is engine-portable, so the oracle
+    // reproduces the exact codes and the exact ranking.
+    decl("q117_ann_int8",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.cosineTopKInt8(
+          e.filter(col("vec_id") % 100 === 0).select(col("vec_id"), col("embedding")),
+          e.select(col("vec_id"), col("embedding")), k = 10)
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+      },
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sc AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM e),
+        |qq AS (SELECT vec_id,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+        |         ELSE list_transform(v,
+        |           x -> least(greatest(floor(x / scale + 0.5), -127.0), 127.0))
+        |    END AS q
+        |  FROM sc),
+        |qs AS (SELECT vec_id AS query_id, q AS qv FROM qq
+        |  WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(qv, c.q) AS qcos
+        |  FROM qs, qq c WHERE c.vec_id != query_id)
+        |SELECT query_id, neighbor_id, rnk FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY qcos DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 10""".stripMargin),
+
     // SemDeDup-style semantic dedup: LSH near-dup pairs chained into
     // clusters by connected components (transitive closure — a 0.8+
     // cosine chain is ONE duplication group), each cluster collapsed to

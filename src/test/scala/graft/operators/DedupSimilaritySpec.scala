@@ -142,6 +142,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(again == trained)
   }
 
+  test("int8 quantization: exact codes, clamp, zero vector, rank fidelity") {
+    val corpus = Seq(
+      (1L, Seq(1.27f, -1.27f, 0.635f, 0.0f)), // scale=0.01: codes 127,-127,64,0
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),      // zero vector → zero codes
+      (3L, Seq(2.54f, 0.02f, 0.0f, 0.0f))     // scale=0.02: 127,1,0,0
+    ).toDF("id", "vec")
+    val q = Similarity.quantizeInt8(corpus)
+      .as[(Long, Double, Seq[Int])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(q(1L)._2 == Seq(127, -127, 64, 0)) // floor(63.5+0.5)=64
+    assert(math.abs(q(1L)._1 - 0.01) < 1e-8) // 1.27f widens to 1.2699999809…
+    assert(q(2L)._2 == Seq(0, 0, 0, 0) && q(2L)._1 == 0.0)
+    assert(q(3L)._2 == Seq(127, 1, 0, 0))
+    // ranking on codes agrees with float ranking on well-separated data
+    val vecs = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Seq(0.9f, 0.4f, 0.0f, 0.0f)),
+      (12L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (13L, Seq(-1.0f, 0.0f, 0.1f, 0.0f))
+    ).toDF("id", "vec")
+    val ranked = Similarity.cosineTopKInt8(
+        vecs.filter(col("id") === 10L), vecs, k = 3)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
+    assert(ranked == Map(11L -> 1, 12L -> 2, 13L -> 3))
+  }
+
   test("semantic dedup chains near-dups transitively and keeps the heaviest member") {
     // unit vectors at 0°, 18°, 36°: cos(18°)≈0.951 links 1~2 and 2~3,
     // cos(36°)≈0.809 keeps 1~3 BELOW the 0.9 threshold — {1,2,3} is one
