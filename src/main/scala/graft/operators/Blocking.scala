@@ -65,6 +65,52 @@ object Blocking {
     (keys.join(freq, "bkey").select(col("id"), col("bkey")), freq)
   }
 
+  /** Name-level phonetic fingerprint: the sorted distinct soundex codes
+    * of the name's tokens, space-joined — the phonetic analog of the
+    * token fingerprint the reference's matcher normalizes names to
+    * (fingerprints-style: order-, duplicate- and spelling-insensitive).
+    * Invariant under word order and any respelling that preserves each
+    * token's initial letter and consonant skeleton ('lavender
+    * goldenrod' ≡ 'goldanrad lavandar'). A single-token soundex key
+    * would be useless at scale (26×10³ possible codes ⇒ enormous df);
+    * the full sorted code SET is combinatorially distinctive, so the
+    * fingerprint works as ONE df-capped equi-join key. */
+  def phoneticFingerprint(name: Column): Column =
+    array_join(
+      array_sort(array_distinct(transform(words(name), t => soundex(t)))), " ")
+
+  /** Phonetic candidate pairs: records with the same df-capped phonetic
+    * fingerprint, scored by LEXICAL token Jaccard — so the score
+    * surfaces how little surface overlap the phonetic key recovered
+    * (a fully vowel-mangled twin pairs at score 0). Same equi-join
+    * shape (and therefore the same 100 TB profile) as [[candidates]],
+    * with one key per record instead of per bigram. */
+  def candidatesPhonetic(
+      subjects: DataFrame, targets: DataFrame,
+      subjectId: Column, subjectName: Column,
+      targetId: Column, targetName: Column,
+      maxDf: Long = 100): DataFrame = {
+    def keys(df: DataFrame, id: Column, name: Column) = {
+      val k = df.select(id.as("id"), phoneticFingerprint(name).as("bkey"))
+        .filter(length(col("bkey")) > 0).distinct()
+      val freq = k.groupBy("bkey").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf)
+      k.join(freq, "bkey").select(col("id"), col("bkey"))
+    }
+    val sk = keys(subjects, subjectId, subjectName).toDF("subject_id", "bkey")
+    val tk = keys(targets, targetId, targetName).toDF("target_id", "bkey")
+    val pairs = sk.join(tk, "bkey")
+      .select(col("subject_id"), col("target_id")).distinct()
+    val st = tokenSets(subjects, subjectId, subjectName).toDF("subject_id", "s_toks")
+    val tt = tokenSets(targets, targetId, targetName).toDF("target_id", "t_toks")
+    pairs.join(st, "subject_id").join(tt, "target_id")
+      .withColumn("inter", size(array_intersect(col("s_toks"), col("t_toks"))))
+      .withColumn("score",
+        col("inter").cast("double") /
+          (size(col("s_toks")) + size(col("t_toks")) - col("inter")).cast("double"))
+      .select(col("subject_id"), col("target_id"), col("score"))
+  }
+
   /** J9: blocked candidate pairs between subjects and targets with a
     * token-set Jaccard score. Candidates come from the bigram equi-join;
     * the exact token Jaccard is then computed via array_intersect on the

@@ -532,6 +532,102 @@ object PipelineQueries {
            |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.8""".stripMargin
       }),
 
+    // Phonetic-fingerprint blocking (the fuzzy complement to q51's
+    // bigram keys). Fixture: each part key spells its digits as words
+    // with a positional consonant suffix ('10423' → 'oneb zerod fourg
+    // twol threem'); the target twin (fresh id) respells every word
+    // with a DIFFERENT vowel pattern over the same initial + consonant
+    // skeleton ('onab zarad foarg twal thraam') — zero lexical token
+    // overlap, identical soundex codes. The positional suffix makes
+    // each code encode (digit, position), so the sorted-code-set
+    // fingerprint is unique per key and every subject pairs with
+    // exactly its twin: output linear in the corpus at every SF. The
+    // oracle implements the full classic soundex (H/W-skip rule, vowel
+    // separators) in SQL — validated character-for-character against
+    // Spark's builtin — and re-derives the fingerprint per pair.
+    decl("q118_phonetic_blocking",
+      (s, d) => {
+        val spellS = Seq("zero", "one", "two", "three", "four",
+          "five", "six", "seven", "eight", "nine")
+        val spellT = Seq("zara", "ona", "twa", "thraa", "foar",
+          "fiva", "sax", "savan", "eaght", "nina")
+        val sufx = Seq("b", "d", "g", "l", "m")
+        def spelled(words: Seq[String]) = {
+          val m = (0 to 9).map(i => i.toString -> words(i)).toMap
+          (key: org.apache.spark.sql.Column) =>
+            concat_ws(" ", zip_with(
+              split(lpad(key.cast("string"), 5, "0"), ""),
+              typedLit(sufx),
+              (ch, sf) => concat(element_at(typedLit(m), ch), sf)))
+        }
+        val p = t(s, d, "part")
+        val subjects = p.select((col("p_partkey") * 2).as("id"),
+          spelled(spellS)(col("p_partkey")).as("nm"))
+        val targets = p.select((col("p_partkey") * 2 + 1).as("id"),
+          spelled(spellT)(col("p_partkey")).as("nm"))
+        val pairs = Blocking.candidatesPhonetic(subjects, targets,
+          col("id"), col("nm"), col("id"), col("nm"), maxDf = 100)
+        // re-attach the verified fingerprint: hash-checks the actual
+        // soundex codes, not just the pair ids (score is 0 by
+        // construction — disjoint vocabularies)
+        pairs.join(subjects, col("subject_id") === col("id"))
+          .select(col("subject_id"), col("target_id"),
+            Blocking.phoneticFingerprint(col("nm")).as("fp"))
+      },
+      """WITH names AS (
+        |  SELECT p_partkey * 2 AS id, p_partkey AS key, 0 AS side FROM part
+        |  UNION ALL
+        |  SELECT p_partkey * 2 + 1, p_partkey, 1 FROM part),
+        |spelled AS (
+        |  SELECT id, side, list_transform(
+        |    generate_series(1, 5),
+        |    i -> (CASE substr(lpad(key::VARCHAR, 5, '0'), i, 1)
+        |      WHEN '0' THEN CASE side WHEN 0 THEN 'zero' ELSE 'zara' END
+        |      WHEN '1' THEN CASE side WHEN 0 THEN 'one' ELSE 'ona' END
+        |      WHEN '2' THEN CASE side WHEN 0 THEN 'two' ELSE 'twa' END
+        |      WHEN '3' THEN CASE side WHEN 0 THEN 'three' ELSE 'thraa' END
+        |      WHEN '4' THEN CASE side WHEN 0 THEN 'four' ELSE 'foar' END
+        |      WHEN '5' THEN CASE side WHEN 0 THEN 'five' ELSE 'fiva' END
+        |      WHEN '6' THEN CASE side WHEN 0 THEN 'six' ELSE 'sax' END
+        |      WHEN '7' THEN CASE side WHEN 0 THEN 'seven' ELSE 'savan' END
+        |      WHEN '8' THEN CASE side WHEN 0 THEN 'eight' ELSE 'eaght' END
+        |      ELSE CASE side WHEN 0 THEN 'nine' ELSE 'nina' END END)
+        |      || (CASE i WHEN 1 THEN 'b' WHEN 2 THEN 'd' WHEN 3 THEN 'g'
+        |          WHEN 4 THEN 'l' ELSE 'm' END)) AS ws
+        |  FROM names),
+        |toks0 AS (SELECT id, side, unnest(ws) AS tok FROM spelled),
+        |up AS (SELECT DISTINCT tok, upper(tok) AS u FROM toks0),
+        |ks AS (SELECT tok, u,
+        |  list_transform(generate_series(1, len(u)), i ->
+        |    CASE WHEN substr(u,i,1) IN ('B','F','P','V') THEN '1'
+        |         WHEN substr(u,i,1) IN ('C','G','J','K','Q','S','X','Z') THEN '2'
+        |         WHEN substr(u,i,1) IN ('D','T') THEN '3'
+        |         WHEN substr(u,i,1) = 'L' THEN '4'
+        |         WHEN substr(u,i,1) IN ('M','N') THEN '5'
+        |         WHEN substr(u,i,1) = 'R' THEN '6'
+        |         ELSE '0' END) AS k
+        |  FROM up),
+        |sx AS (SELECT tok,
+        |  substr(u,1,1) || rpad(substr(coalesce(array_to_string(
+        |    list_transform(
+        |      list_filter(generate_series(2, len(u)), i ->
+        |        substr(u,i,1) NOT IN ('H','W') AND k[i] != '0'
+        |        AND k[i] != k[list_max(list_filter(generate_series(1, i-1),
+        |          j -> j = 1 OR substr(u,j,1) NOT IN ('H','W')))]),
+        |      i -> k[i]), ''), ''), 1, 3), 3, '0') AS code
+        |  FROM ks),
+        |fps AS (SELECT t.id, t.side,
+        |    array_to_string(list_sort(list_distinct(list(s.code))), ' ') AS fp
+        |  FROM toks0 t JOIN sx s ON t.tok = s.tok GROUP BY t.id, t.side),
+        |skeys AS (SELECT k.id, k.fp FROM (SELECT id, fp FROM fps WHERE side = 0) k
+        |  JOIN (SELECT fp, COUNT(*) df FROM fps WHERE side = 0 GROUP BY fp) f
+        |  ON k.fp = f.fp AND f.df <= 100),
+        |tkeys AS (SELECT k.id, k.fp FROM (SELECT id, fp FROM fps WHERE side = 1) k
+        |  JOIN (SELECT fp, COUNT(*) df FROM fps WHERE side = 1 GROUP BY fp) f
+        |  ON k.fp = f.fp AND f.df <= 100)
+        |SELECT DISTINCT sk.id AS subject_id, tk.id AS target_id, sk.fp
+        |FROM skeys sk JOIN tkeys tk ON sk.fp = tk.fp""".stripMargin),
+
     // Int8-quantized ANN: per-vector symmetric quantization (the 4×
     // storage/bandwidth path for 100 TB embedding stores) and top-k
     // ranking on the integer codes — scales cancel in the cosine ratio.

@@ -91,6 +91,27 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(plan.contains("__salt"), plan.take(1500))
   }
 
+  test("phonetic fingerprint blocks spelling variants and respects the df cap") {
+    val subjects = Seq(
+      (1L, "Jon Smith"), (2L, "Bob Jones"), (3L, "common name"), (4L, "common name")
+    ).toDF("id", "nm")
+    val targets = Seq(
+      (11L, "Smyth Jan"),   // word order + vowels differ; codes match 1
+      (12L, "Bob Johnson"), // Jones J520 vs Johnson J525 — no match
+      (13L, "camman nama"), (14L, "comman nome")
+    ).toDF("id", "nm")
+    val pairs = Blocking.candidatesPhonetic(subjects, targets,
+        col("id"), col("nm"), col("id"), col("nm"), maxDf = 100)
+      .select("subject_id", "target_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 11L), (3L, 13L), (3L, 14L), (4L, 13L), (4L, 14L)))
+    // df cap: the duplicated 'common name' fingerprint exceeds cap 1 on
+    // the subject side; the unique fingerprints survive
+    val capped = Blocking.candidatesPhonetic(subjects, targets,
+        col("id"), col("nm"), col("id"), col("nm"), maxDf = 1)
+      .select("subject_id", "target_id").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 11L)))
+  }
+
   test("statement IO roundtrip with external filter and dataset pruning") {
     val t0 = new Timestamp(0L)
     val stmts = Seq(
