@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Blocking, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Blocking, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import Q._
 
@@ -531,6 +531,48 @@ object PipelineQueries {
            |JOIN e eb ON cand.b = eb.vec_id
            |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.8""".stripMargin
       }),
+
+    // As-of join: for each click, the user's latest purchase at or
+    // before the click instant. One shuffle (union + running window),
+    // no range-join explosion; DuckDB's native ASOF LEFT JOIN is the
+    // oracle, so the tie-inclusive point-in-time semantics are checked
+    // directly. Timestamps compare as integer microseconds on both
+    // engines (the parquet carries nanos; both floor-divide).
+    decl("q119_asof_join",
+      (s, d) => {
+        val raw = t(s, d, "events")
+        val ev = (if (raw.schema("ts").dataType ==
+            org.apache.spark.sql.types.LongType)
+          raw.withColumn("tsu", expr("ts div 1000"))
+        else raw.withColumn("tsu", unix_micros(col("ts"))))
+          .select(col("event_id"), col("user_id"), col("tsu"),
+            col("event_type"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("tsu"), col("event_id"), col("value"))
+        // equal-timestamp purchases resolve to the max event id via the
+        // window tie-break — no pre-aggregation exchange
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("tsu"),
+            col("event_id").as("p_event_id"), col("value").as("p_value"))
+        AsOf.asOfJoin(clicks, purchases, "user_id", "tsu",
+            rightTieBreak = Seq("p_event_id"))
+          // null-free output: the driver compare treats NULL/NaN rows as
+          // mismatched even when both engines emit them identically
+          .withColumn("p_event_id", coalesce(col("p_event_id"), lit(-1L)))
+          .withColumn("p_value", coalesce(col("p_value"), lit(0.0)))
+      },
+      """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tsu,
+        |    event_type, value FROM events),
+        |cl AS (SELECT user_id, tsu, event_id, value FROM ev
+        |  WHERE event_type = 'click'),
+        |pu AS (SELECT user_id, tsu, max(event_id) AS p_event_id,
+        |    arg_max(value, event_id) AS p_value
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY user_id, tsu)
+        |SELECT cl.user_id, cl.tsu, cl.event_id, cl.value,
+        |  COALESCE(pu.p_event_id, -1) AS p_event_id,
+        |  COALESCE(pu.p_value, 0.0) AS p_value
+        |FROM cl ASOF LEFT JOIN pu
+        |  ON cl.user_id = pu.user_id AND cl.tsu >= pu.tsu""".stripMargin),
 
     // Phonetic-fingerprint blocking (the fuzzy complement to q51's
     // bigram keys). Fixture: each part key spells its digits as words

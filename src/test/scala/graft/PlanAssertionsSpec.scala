@@ -210,4 +210,17 @@ class PlanAssertionsSpec extends SparkSpec {
     // corpus-wide window (windows serialize per-key on one reducer)
     assert(!plan.contains("Window"), plan.take(1500))
   }
+
+  test("as-of join is one exchange — union + running window, no range join") {
+    import graft.operators.AsOf
+    val left = Seq((1L, 10L, "a")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 5L, 1.0)).toDF("k", "ts", "px")
+    val out = AsOf.asOfJoin(left, right, "k", "ts",
+      rightTieBreak = Seq("px"))
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, plan.take(1500))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      plan.take(1500))
+  }
 }

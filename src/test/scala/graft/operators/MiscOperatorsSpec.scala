@@ -91,6 +91,26 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(plan.contains("__salt"), plan.take(1500))
   }
 
+  test("as-of join: latest at-or-before match per key, tie-inclusive, null when none") {
+    val left = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "early"), (2L, 50L, "c"), (3L, 9L, "d")
+    ).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, 10L, 100.0), (1L, 15L, 90.0), (1L, 15L, 150.0), (2L, 60L, 600.0)
+    ).toDF("k", "ts", "px")
+    // duplicate right rows at (1, 15): the tie-break keeps px=150.0
+    val out = AsOf.asOfJoin(left, right, "k", "ts",
+        rightTieBreak = Seq("px"))
+      .select("k", "ts", "tag", "px")
+      .as[(Long, Long, String, Option[Double])].collect().toSet
+    assert(out == Set(
+      (1L, 10L, "a", Some(100.0)),     // tie at ts=10 matches
+      (1L, 20L, "b", Some(150.0)),     // latest of the two priors
+      (1L, 5L, "early", None),         // before any right row
+      (2L, 50L, "c", None),            // right row is later only
+      (3L, 9L, "d", None)))            // key absent on the right
+  }
+
   test("phonetic fingerprint blocks spelling variants and respects the df cap") {
     val subjects = Seq(
       (1L, "Jon Smith"), (2L, "Bob Jones"), (3L, "common name"), (4L, "common name")
