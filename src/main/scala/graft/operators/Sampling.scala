@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting and sessionization — the
+  * bookkeeping operators of a training-data pipeline.
+  *
+  * Split assignment must be a pure function of the record id: random
+  * sampling re-deals the corpus every run (train/eval contamination as
+  * data grows), and partition-based sampling changes with cluster
+  * layout. Hashing the id into fixed basis-point ranges gives the
+  * stability property production pipelines rely on: a document's split
+  * never changes when the corpus around it does.
+  */
+object Sampling {
+
+  /** Assign each row a named split by id hash. `splits` are
+    * (name, basis_points) summing to ≤ 10000; ranges are allocated in
+    * the given order, remainder rows get the last split. The salt
+    * decorrelates independent splitting decisions over the same ids
+    * (e.g. a 1% eval carve-out inside an 80/20 split).
+    * Engine-portable: hash60 is the md5-prefix hash with an exact SQL
+    * mirror, so an oracle can re-derive every assignment. */
+  def assignSplits(
+      df: DataFrame, id: Column, salt: String,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum <= 10000,
+      "split basis points must sum to <= 10000")
+    val bucket = pmod(Dedup.hash60(concat(lit(salt), lit("|"), id.cast("string"))),
+      lit(10000L))
+    val bounds = splits.scanLeft(0) { case (acc, (_, bp)) => acc + bp }
+    val expr = splits.zipWithIndex.foldLeft(lit(splits.last._1)) {
+      case (acc, ((name, _), i)) =>
+        when(bucket >= bounds(i) && bucket < bounds(i + 1), lit(name))
+          .otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Gap-based sessionization: events of one key belong to the same
+    * session while consecutive gaps stay ≤ `maxGap` (same time unit as
+    * `ts`). One window shuffle keyed on `key`: the session index is a
+    * running sum of gap-break flags — no self-join, no state blow-up;
+    * at 100 TB this is the standard single-exchange sessionizer
+    * (skewed power-users bound the per-key sort, not the cluster).
+    * Adds `session_idx` (0-based per key). */
+  def sessionize(
+      df: DataFrame, key: Column, ts: Column, maxGap: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(key).orderBy(ts)
+    val gapBreak = when(
+      lag(ts, 1).over(w).isNull || ts - lag(ts, 1).over(w) <= maxGap, 0L)
+      .otherwise(1L)
+    df.withColumn("session_idx",
+      sum(gapBreak).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsOf, Blocking, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Blocking, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import Q._
 
@@ -531,6 +531,57 @@ object PipelineQueries {
            |JOIN e eb ON cand.b = eb.vec_id
            |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.8""".stripMargin
       }),
+
+    // Gap-based sessionization: one window shuffle turns the event
+    // stream into per-user sessions (30-minute gap rule); the oracle
+    // replicates the lag/cumsum construction. Per-row break flags
+    // depend only on the predecessor's timestamp, so equal-timestamp
+    // orderings cannot change any session assignment.
+    decl("q120_sessionize",
+      (s, d) => {
+        val raw = t(s, d, "events")
+        val ev = (if (raw.schema("ts").dataType ==
+            org.apache.spark.sql.types.LongType)
+          raw.withColumn("tsu", expr("ts div 1000"))
+        else raw.withColumn("tsu", unix_micros(col("ts"))))
+          .select(col("user_id"), col("tsu"))
+        Sampling.sessionize(ev, col("user_id"), col("tsu"),
+            maxGap = 30L * 60 * 1000000)
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("tsu")).as("start_tsu"), max(col("tsu")).as("end_tsu"))
+      },
+      """WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 AS tsu FROM events),
+        |lagd AS (SELECT user_id, tsu,
+        |    CASE WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu) IS NULL
+        |           OR tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu)
+        |              <= 1800000000 THEN 0 ELSE 1 END AS brk
+        |  FROM ev),
+        |sess AS (SELECT user_id, tsu,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu
+        |      ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM lagd)
+        |SELECT user_id, session_idx, COUNT(*)::BIGINT AS n_events,
+        |  MIN(tsu) AS start_tsu, MAX(tsu) AS end_tsu
+        |FROM sess GROUP BY user_id, session_idx""".stripMargin),
+
+    // Deterministic hash-based train/valid/test split: the assignment
+    // is a pure function of the document id (corpus growth or cluster
+    // layout can never migrate a document between splits — the
+    // train/eval-contamination guard). Every single assignment is
+    // hash-checked via the md5-prefix hash's exact SQL mirror.
+    decl("q121_stratified_split",
+      (s, d) => Sampling.assignSplits(
+          t(s, d, "documents").select(col("doc_id"), col("lang")),
+          col("doc_id"), "graft",
+          Seq("train" -> 8000, "valid" -> 1000, "test" -> 1000))
+        .select(col("doc_id"), col("lang"), col("split")),
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN b < 8000 THEN 'train'
+         |       WHEN b < 9000 THEN 'valid' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, lang,
+         |  ${sqlHash60("('graft|' || doc_id::VARCHAR)")} % 10000 AS b
+         |  FROM documents)""".stripMargin),
 
     // As-of join: for each click, the user's latest purchase at or
     // before the click instant. One shuffle (union + running window),

@@ -91,6 +91,45 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(plan.contains("__salt"), plan.take(1500))
   }
 
+  test("hash split is deterministic, salt-sensitive, and covers configured fractions") {
+    val ids = (1L to 2000L).toDF("id")
+    val s1 = Sampling.assignSplits(ids, col("id"), "saltA",
+        Seq("train" -> 8000, "valid" -> 1000, "test" -> 1000))
+      .as[(Long, String)].collect().toMap
+    // deterministic: identical re-run
+    val s2 = Sampling.assignSplits(ids, col("id"), "saltA",
+        Seq("train" -> 8000, "valid" -> 1000, "test" -> 1000))
+      .as[(Long, String)].collect().toMap
+    assert(s1 == s2)
+    // subset-stability: the corpus around a doc cannot move it
+    val sub = Sampling.assignSplits(ids.filter(col("id") <= 100), col("id"),
+        "saltA", Seq("train" -> 8000, "valid" -> 1000, "test" -> 1000))
+      .as[(Long, String)].collect().toMap
+    assert(sub.forall { case (k, v) => s1(k) == v })
+    // fractions roughly honored
+    val frac = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(frac("train") - 1600) < 120)
+    assert(frac("valid") > 40 && frac("test") > 40)
+    // a different salt re-deals
+    val s3 = Sampling.assignSplits(ids, col("id"), "saltB",
+        Seq("train" -> 8000, "valid" -> 1000, "test" -> 1000))
+      .as[(Long, String)].collect().toMap
+    assert(s3 != s1)
+  }
+
+  test("sessionize: gap rule splits sessions, running index per key") {
+    val ev = Seq(
+      (1L, 100L), (1L, 150L), (1L, 400L), (1L, 420L), (2L, 100L)
+    ).toDF("uid", "ts")
+    val out = Sampling.sessionize(ev, col("uid"), col("ts"), maxGap = 100L)
+      .select("uid", "ts", "session_idx")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 100L, 0L), (1L, 150L, 0L),   // gap 50 <= 100: same session
+      (1L, 400L, 1L), (1L, 420L, 1L),   // gap 250 breaks
+      (2L, 100L, 0L)))
+  }
+
   test("as-of join: latest at-or-before match per key, tie-inclusive, null when none") {
     val left = Seq(
       (1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "early"), (2L, 50L, "c"), (3L, 9L, "d")
