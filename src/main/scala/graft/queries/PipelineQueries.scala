@@ -558,8 +558,8 @@ object PipelineQueries {
         |              <= 1800000000 THEN 0 ELSE 1 END AS brk
         |  FROM ev),
         |sess AS (SELECT user_id, tsu,
-        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu
-        |      ROWS UNBOUNDED PRECEDING) AS session_idx
+        |    (SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu
+        |      ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
         |  FROM lagd)
         |SELECT user_id, session_idx, COUNT(*)::BIGINT AS n_events,
         |  MIN(tsu) AS start_tsu, MAX(tsu) AS end_tsu
