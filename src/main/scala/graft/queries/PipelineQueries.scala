@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsOf, Blocking, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Blocking, Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import Q._
 
@@ -531,6 +531,39 @@ object PipelineQueries {
            |JOIN e eb ON cand.b = eb.vec_id
            |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.8""".stripMargin
       }),
+
+    // Banded range join: every lineitem shipped inside a promo window
+    // ([order date, +7d] for a count-bounded promo set — bounded like
+    // q101's query sample so the fan-out stays linear in the corpus).
+    // The interval explodes into its ≤2 seven-day bands; the join is a
+    // hash equi-join on the band with the exact BETWEEN as residual —
+    // never a nested loop. DuckDB evaluates the plain BETWEEN join.
+    decl("q122_range_join",
+      (s, d) => {
+        val day0 = lit("1995-01-01").cast("date")
+        val promos = t(s, d, "orders")
+          .filter(col("o_orderkey") % 97 === 0 && col("o_orderkey") < 97L * 200)
+          .select(col("o_orderkey").as("promo_id"),
+            datediff(col("o_orderdate").cast("date"), day0).cast("long").as("lo"))
+          .withColumn("hi", col("lo") + 7)
+        val pts = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            datediff(col("l_shipdate").cast("date"), day0).cast("long").as("pd"))
+        RangeJoin.pointInInterval(pts, promos, "pd", "lo", "hi", bandWidth = 7)
+          .select(col("l_orderkey"), col("l_linenumber"), col("pd"),
+            col("promo_id"))
+      },
+      """WITH promos AS (
+        |  SELECT o_orderkey AS promo_id,
+        |    date_diff('day', DATE '1995-01-01', o_orderdate::DATE) AS lo,
+        |    date_diff('day', DATE '1995-01-01', o_orderdate::DATE) + 7 AS hi
+        |  FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey < 19400),
+        |pts AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    date_diff('day', DATE '1995-01-01', l_shipdate::DATE) AS pd
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, pd, promo_id
+        |FROM pts JOIN promos ON pd BETWEEN lo AND hi""".stripMargin),
 
     // Gap-based sessionization: one window shuffle turns the event
     // stream into per-user sessions (30-minute gap rule); the oracle

@@ -91,6 +91,26 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(plan.contains("__salt"), plan.take(1500))
   }
 
+  test("banded range join equals the naive BETWEEN join and avoids nested loops") {
+    val rnd = new scala.util.Random(11)
+    val pts = (1 to 500).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+      .toDF("pid", "pd")
+    val ivs = (1 to 40).map { i =>
+      val lo = rnd.nextInt(950).toLong
+      (1000L + i, lo, lo + rnd.nextInt(60).toLong) // spans 0-59, bands 0-3
+    }.toDF("iid", "lo", "hi")
+    val banded = RangeJoin.pointInInterval(pts, ivs, "pd", "lo", "hi",
+        bandWidth = 25)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val naive = pts.join(ivs, col("pd") >= col("lo") && col("pd") <= col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(banded == naive && naive.nonEmpty)
+    val plan = RangeJoin.pointInInterval(pts, ivs, "pd", "lo", "hi", 25)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      plan.take(1500))
+  }
+
   test("hash split is deterministic, salt-sensitive, and covers configured fractions") {
     val ids = (1L to 2000L).toDF("id")
     val s1 = Sampling.assignSplits(ids, col("id"), "saltA",
