@@ -177,6 +177,66 @@ object StreamingQueries {
         |SELECT fw.id, fw.entity_id, fw.prop, fw.value,
         |  strftime(idx.min_first, '%Y-%m-%d %H:%M:%S') AS first_seen,
         |  strftime(fw.last_seen, '%Y-%m-%d %H:%M:%S') AS last_seen
-        |FROM firstwins fw JOIN idx USING (id)""".stripMargin)
+        |FROM firstwins fw JOIN idx USING (id)""".stripMargin),
+
+    // q123: watermarked windowed aggregation with LATE-DATA DROP under
+    // the oracle gate (A9's windowed crawl-stats semantics on the
+    // events stream). Drop 1 carries the first 20 days; the run's
+    // no-data batch finalizes every 1-day window whose end is at or
+    // below watermark = max(event time) - 1h, appending it EXACTLY
+    // once. Drop 2 carries the remaining days PLUS re-injected copies
+    // of day 5 — far below the checkpointed watermark, so the restarted
+    // query provably discards them (day 5's count stays at its base
+    // value; a doubled count would mean the late rows leaked in). The
+    // final day's window never finalizes and must be absent. DuckDB
+    // recomputes the emitted-window set and counts from the non-late
+    // rows alone.
+    decl("q123_streaming_window_watermark",
+      (s, d) => {
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val base = s"/tmp/graft_q123_$tag"
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val landing = s"$base/landing"; val out = s"$base/out"
+        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+        val ev = Q.events(s, d).select(col("event_id"), col("ts"))
+        val cut = lit("2024-01-21 00:00:00").cast("timestamp")
+        def runPass(): Unit = {
+          val schema = ev.schema
+          // one batch per drop: every landed file in a single trigger,
+          // so the watermark only advances BETWEEN drops (deterministic
+          // late-row judgement against the previous drop's watermark)
+          val st = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "10000").parquet(landing)
+          val agg = st.withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "1 day").as("w"))
+            .agg(count(lit(1)).as("n"))
+            .select(col("w.start").as("window_start"), col("n"))
+          val q = agg.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", s"$base/ck")
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        ev.filter(col("ts") < cut)
+          .write.mode("append").parquet(landing)
+        runPass()
+        val late = ev
+          .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+            col("ts") < lit("2024-01-06").cast("timestamp"))
+          .withColumn("event_id", col("event_id") + 1000000L)
+        ev.filter(col("ts") >= cut).unionByName(late)
+          .write.mode("append").parquet(landing)
+        runPass()
+        s.read.parquet(out).select(
+          date_format(col("window_start"), "yyyy-MM-dd").as("day"), col("n"))
+      },
+      """WITH ev AS (SELECT epoch_ns(ts) AS tns,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day FROM events),
+        |wm AS (SELECT MAX(tns) // 1000 - 3600000000 AS w FROM ev)
+        |SELECT day, COUNT(*)::BIGINT AS n FROM ev
+        |GROUP BY day
+        |HAVING (epoch_ns((day || ' 00:00:00')::TIMESTAMP) // 1000
+        |        + 86400000000) <= (SELECT w FROM wm)""".stripMargin)
   )
 }
