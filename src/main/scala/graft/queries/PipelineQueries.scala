@@ -532,6 +532,40 @@ object PipelineQueries {
            |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.8""".stripMargin
       }),
 
+    // Corpus profiling: per-language volume and length distribution —
+    // the data-engineering report that precedes any cleaning run.
+    // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    // `quantile_cont`, rank p·(n−1) linear interpolation); doubles are
+    // decimal-rounded so a last-ulp interpolation difference cannot
+    // flip the hash.
+    decl("q124_corpus_profile",
+      (s, d) => {
+        val dec = (c: org.apache.spark.sql.Column) =>
+          c.cast("decimal(18,6)").cast("double")
+        t(s, d, "documents")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"),
+            expr("percentile(n_chars, 0.5)").as("p50"),
+            expr("percentile(n_chars, 0.95)").as("p95"),
+            avg(col("n_chars")).as("mean"))
+          .select(col("lang"), col("n_docs"), col("total_chars"),
+            col("min_chars"), col("max_chars"),
+            dec(col("p50")).as("p50_chars"), dec(col("p95")).as("p95_chars"),
+            dec(col("mean")).as("mean_chars"))
+      },
+      """SELECT lang, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(n_chars)::BIGINT AS total_chars,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        |  CAST(CAST(quantile_cont(n_chars, 0.5) AS DECIMAL(18,6)) AS DOUBLE)
+        |    AS p50_chars,
+        |  CAST(CAST(quantile_cont(n_chars, 0.95) AS DECIMAL(18,6)) AS DOUBLE)
+        |    AS p95_chars,
+        |  CAST(CAST(AVG(n_chars) AS DECIMAL(18,6)) AS DOUBLE) AS mean_chars
+        |FROM documents GROUP BY lang""".stripMargin),
+
     // Banded range join: every lineitem shipped inside a promo window
     // ([order date, +7d] for a count-bounded promo set — bounded like
     // q101's query sample so the fan-out stays linear in the corpus).
