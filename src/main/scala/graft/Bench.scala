@@ -81,6 +81,9 @@ object Bench {
     // optional trailing names: bench only those queries (local
     // iteration); the driver passes no args and gets the full suite
     val only = args.toSet
+    val known = SparkEntry.allDecls.map(_.name).toSet
+    only.diff(known).foreach(n =>
+      System.err.println(s"[bench] WARNING: no query named '$n' — skipped"))
     val capped = scala.collection.mutable.Set[String]()
     val results = SparkEntry.allDecls
       .filter(d => only.isEmpty || only(d.name))

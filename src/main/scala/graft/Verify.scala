@@ -9,6 +9,8 @@ object Verify {
     // optional trailing names: dump only those queries (local iteration);
     // the driver passes exactly two args and gets the full suite
     val only = args.drop(2).toSet
+    only.diff(SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[verify] WARNING: no query named '$n' — skipped"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -568,11 +568,13 @@ object Similarity {
     * judgement pairs); each cluster keeps the member with the highest
     * `weight` (ties → lowest id), everything else is marked dropped.
     *
-    * 100 TB shape: candidate generation is a bucketed equi-join, the
-    * component loop is the hash-signature-barrier star contraction of
-    * [[ConnectedComponents]], and representative choice is a `max_by`
+    * 100 TB shape: candidate generation is a bucketed equi-join (the
+    * one stage whose exchange carries vectors — scored at the collision
+    * site like q92/q107), the component loop is the
+    * hash-signature-barrier star contraction of [[ConnectedComponents]]
+    * over bare id pairs, and representative choice is a `max_by`
     * partial aggregate — one shuffle keyed on component, no window, and
-    * no shuffle anywhere carries the embedding payload.
+    * no embedding payload on any shuffle past the scoring join.
     *
     * @param corpus  (id: long, vec: array<float>) embedding frame
     * @param weights (id: long, weight: long) representative preference

@@ -170,11 +170,12 @@ object EtlQueries {
 
   private def enrStmt(base: DataFrame, ds: String,
       eid: org.apache.spark.sql.Column, prop: String,
-      value: org.apache.spark.sql.Column): DataFrame =
+      value: org.apache.spark.sql.Column,
+      schema: String = "Person"): DataFrame =
     base.select(
       md5(concat_ws("|", lit(ds), eid, lit(prop), value)).as("id"),
       eid.as("entityId"), eid.as("canonicalId"),
-      lit(prop).as("prop"), lit("Person").as("schema"), value.as("value"),
+      lit(prop).as("prop"), lit(schema).as("schema"), value.as("value"),
       lit(ds).as("dataset"), lit("en").as("lang"),
       lit("crawl").as("origin"), value.as("originalValue"),
       lit(EnrTime).cast("timestamp").as("firstSeen"),
@@ -304,15 +305,7 @@ object EtlQueries {
         val k = col("k")
         def st(base: DataFrame, ds: String, eid: org.apache.spark.sql.Column,
             prop: String, value: org.apache.spark.sql.Column, schema: String) =
-          base.select(
-            md5(concat_ws("|", lit(ds), eid, lit(prop), value)).as("id"),
-            eid.as("entityId"), eid.as("canonicalId"),
-            lit(prop).as("prop"), lit(schema).as("schema"), value.as("value"),
-            lit(ds).as("dataset"), lit("en").as("lang"),
-            lit("crawl").as("origin"), value.as("originalValue"),
-            lit(EnrTime).cast("timestamp").as("firstSeen"),
-            lit(EnrTime).cast("timestamp").as("lastSeen"),
-            lit(false).as("external"))
+          enrStmt(base, ds, eid, prop, value, schema)
         val sid = concat(lit("s"), k.cast("string"))
         val tid = concat(lit("t"), k.cast("string"))
         val oid = concat(lit("o"), k.cast("string"))

@@ -17,6 +17,17 @@ import Q._
   */
 object PipelineQueries {
 
+  /** Events with `tsu` = event time in integer microseconds — the
+    * engine-portable comparison domain (the parquet carries nanos;
+    * DuckDB oracles use epoch_ns(ts) // 1000). */
+  private def eventsMicros(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val raw = t(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("tsu", expr("ts div 1000"))
+    else raw.withColumn("tsu", unix_micros(col("ts")))
+  }
+
   /** DuckDB fragment: 60-bit hash of column `c` = first 15 hex digits of
     * md5 as a BIGINT — bit-for-bit Dedup.hash60. */
   private def sqlHash60(c: String): String =
@@ -606,12 +617,7 @@ object PipelineQueries {
     // orderings cannot change any session assignment.
     decl("q120_sessionize",
       (s, d) => {
-        val raw = t(s, d, "events")
-        val ev = (if (raw.schema("ts").dataType ==
-            org.apache.spark.sql.types.LongType)
-          raw.withColumn("tsu", expr("ts div 1000"))
-        else raw.withColumn("tsu", unix_micros(col("ts"))))
-          .select(col("user_id"), col("tsu"))
+        val ev = eventsMicros(s, d).select(col("user_id"), col("tsu"))
         Sampling.sessionize(ev, col("user_id"), col("tsu"),
             maxGap = 30L * 60 * 1000000)
           .groupBy(col("user_id"), col("session_idx"))
@@ -658,11 +664,7 @@ object PipelineQueries {
     // engines (the parquet carries nanos; both floor-divide).
     decl("q119_asof_join",
       (s, d) => {
-        val raw = t(s, d, "events")
-        val ev = (if (raw.schema("ts").dataType ==
-            org.apache.spark.sql.types.LongType)
-          raw.withColumn("tsu", expr("ts div 1000"))
-        else raw.withColumn("tsu", unix_micros(col("ts"))))
+        val ev = eventsMicros(s, d)
           .select(col("event_id"), col("user_id"), col("tsu"),
             col("event_type"), col("value"))
         val clicks = ev.filter(col("event_type") === "click")
@@ -693,11 +695,11 @@ object PipelineQueries {
         |  ON cl.user_id = pu.user_id AND cl.tsu >= pu.tsu""".stripMargin),
 
     // Phonetic-fingerprint blocking (the fuzzy complement to q51's
-    // bigram keys). Fixture: each part key spells its digits as words
-    // with a positional consonant suffix ('10423' → 'oneb zerod fourg
-    // twol threem'); the target twin (fresh id) respells every word
-    // with a DIFFERENT vowel pattern over the same initial + consonant
-    // skeleton ('onab zarad foarg twal thraam') — zero lexical token
+    // bigram keys). Fixture: each part key spells its zero-padded
+    // digits as words with a positional consonant suffix ('010423' →
+    // 'zerob oned fourg twol threem ...'); the target twin (fresh id)
+    // respells every word with a DIFFERENT vowel pattern over the same
+    // initial + consonant skeleton — zero lexical token
     // overlap, identical soundex codes. The positional suffix makes
     // each code encode (digit, position), so the sorted-code-set
     // fingerprint is unique per key and every subject pairs with
@@ -711,12 +713,16 @@ object PipelineQueries {
           "five", "six", "seven", "eight", "nine")
         val spellT = Seq("zara", "ona", "twa", "thraa", "foar",
           "fiva", "sax", "savan", "eaght", "nina")
-        val sufx = Seq("b", "d", "g", "l", "m")
+        // six digit positions cover every key below 1,000,000 (all
+        // provided SFs; a larger corpus would need a seventh position,
+        // and only six single consonants have distinct soundex codes —
+        // extend with two-letter suffixes if that day comes)
+        val sufx = Seq("b", "d", "g", "l", "m", "r")
         def spelled(words: Seq[String]) = {
           val m = (0 to 9).map(i => i.toString -> words(i)).toMap
           (key: org.apache.spark.sql.Column) =>
             concat_ws(" ", zip_with(
-              split(lpad(key.cast("string"), 5, "0"), ""),
+              split(lpad(key.cast("string"), 6, "0"), ""),
               typedLit(sufx),
               (ch, sf) => concat(element_at(typedLit(m), ch), sf)))
         }
@@ -740,8 +746,8 @@ object PipelineQueries {
         |  SELECT p_partkey * 2 + 1, p_partkey, 1 FROM part),
         |spelled AS (
         |  SELECT id, side, list_transform(
-        |    generate_series(1, 5),
-        |    i -> (CASE substr(lpad(key::VARCHAR, 5, '0'), i, 1)
+        |    generate_series(1, 6),
+        |    i -> (CASE substr(lpad(key::VARCHAR, 6, '0'), i, 1)
         |      WHEN '0' THEN CASE side WHEN 0 THEN 'zero' ELSE 'zara' END
         |      WHEN '1' THEN CASE side WHEN 0 THEN 'one' ELSE 'ona' END
         |      WHEN '2' THEN CASE side WHEN 0 THEN 'two' ELSE 'twa' END
@@ -753,7 +759,7 @@ object PipelineQueries {
         |      WHEN '8' THEN CASE side WHEN 0 THEN 'eight' ELSE 'eaght' END
         |      ELSE CASE side WHEN 0 THEN 'nine' ELSE 'nina' END END)
         |      || (CASE i WHEN 1 THEN 'b' WHEN 2 THEN 'd' WHEN 3 THEN 'g'
-        |          WHEN 4 THEN 'l' ELSE 'm' END)) AS ws
+        |          WHEN 4 THEN 'l' WHEN 5 THEN 'm' ELSE 'r' END)) AS ws
         |  FROM names),
         |toks0 AS (SELECT id, side, unnest(ws) AS tok FROM spelled),
         |up AS (SELECT DISTINCT tok, upper(tok) AS u FROM toks0),

@@ -233,7 +233,11 @@ object StreamingQueries {
       },
       """WITH ev AS (SELECT epoch_ns(ts) AS tns,
         |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day FROM events),
-        |wm AS (SELECT MAX(tns) // 1000 - 3600000000 AS w FROM ev)
+        |-- Spark tracks event-time watermarks at MILLISECOND granularity:
+        |-- floor the max event time to ms before subtracting the delay,
+        |-- or a sub-ms residue could flip a window that lands exactly on
+        |-- the boundary
+        |wm AS (SELECT (MAX(tns) // 1000000) * 1000 - 3600000000 AS w FROM ev)
         |SELECT day, COUNT(*)::BIGINT AS n FROM ev
         |GROUP BY day
         |HAVING (epoch_ns((day || ' 00:00:00')::TIMESTAMP) // 1000
