@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsOf, Blocking, Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Blocking, Dedup, Matcher, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import Q._
 
@@ -27,6 +27,32 @@ object PipelineQueries {
       raw.withColumn("tsu", expr("ts div 1000"))
     else raw.withColumn("tsu", unix_micros(col("ts")))
   }
+
+  /** DuckDB CTE fragment implementing classic soundex (H/W-skip rule,
+    * vowel separators — validated character-for-character against
+    * Spark's builtin). Expects a prior CTE `toks0` with a `tok` column;
+    * defines `up`, `ks`, and `sx(tok, code)`. */
+  private val sqlSoundexCtes: String =
+    """up AS (SELECT DISTINCT tok, upper(tok) AS u FROM toks0),
+      |ks AS (SELECT tok, u,
+      |  list_transform(generate_series(1, len(u)), i ->
+      |    CASE WHEN substr(u,i,1) IN ('B','F','P','V') THEN '1'
+      |         WHEN substr(u,i,1) IN ('C','G','J','K','Q','S','X','Z') THEN '2'
+      |         WHEN substr(u,i,1) IN ('D','T') THEN '3'
+      |         WHEN substr(u,i,1) = 'L' THEN '4'
+      |         WHEN substr(u,i,1) IN ('M','N') THEN '5'
+      |         WHEN substr(u,i,1) = 'R' THEN '6'
+      |         ELSE '0' END) AS k
+      |  FROM up),
+      |sx AS (SELECT tok,
+      |  substr(u,1,1) || rpad(substr(coalesce(array_to_string(
+      |    list_transform(
+      |      list_filter(generate_series(2, len(u)), i ->
+      |        substr(u,i,1) NOT IN ('H','W') AND k[i] != '0'
+      |        AND k[i] != k[list_max(list_filter(generate_series(1, i-1),
+      |          j -> j = 1 OR substr(u,j,1) NOT IN ('H','W')))]),
+      |      i -> k[i]), ''), ''), 1, 3), 3, '0') AS code
+      |  FROM ks)""".stripMargin
 
   /** DuckDB fragment: 60-bit hash of column `c` = first 15 hex digits of
     * md5 as a BIGINT — bit-for-bit Dedup.hash60. */
@@ -543,6 +569,92 @@ object PipelineQueries {
            |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.8""".stripMargin
       }),
 
+    // Multi-feature match scoring (the matcher stage behind candidate
+    // generation — J10's pluggable algorithm slot): each part pairs
+    // with a mutated twin exercising a different evidence mix —
+    // k%3==0 vowel-mangled name (phonetic rescues a 0-Jaccard pair),
+    // k%3==1 keeps one of the two tokens (Jaccard 0.5), k%3==2 exact;
+    // countries agree for even k, actively mismatch otherwise
+    // (negative evidence); years agree unless k%5==0; identifiers
+    // shared only for k%7==0 (decisive alone). The oracle recomputes
+    // every feature — including the phonetic fingerprints via the SQL
+    // soundex — and the clamped weighted sum.
+    decl("q125_match_scoring",
+      (s, d) => {
+        val p = t(s, d, "part")
+        val k = col("p_partkey")
+        def arr(c: org.apache.spark.sql.Column) = array(c.cast("string"))
+        val subjects = p.select((k * 2).as("id"), arr(col("p_name")).as("names"),
+          arr(concat(lit("c"), k % 25)).as("countries"),
+          arr(lit(1950) + k % 50).as("years"),
+          arr(concat(lit("ID"), k)).as("idents"))
+        val tname = when(k % 3 === 0, regexp_replace(col("p_name"), "[eiou]", "a"))
+          .when(k % 3 === 1, array_join(slice(split(col("p_name"), " "), 1, 1), " "))
+          .otherwise(col("p_name"))
+        val targets = p.select((k * 2 + 1).as("id"), arr(tname).as("names"),
+          arr(concat(lit("c"), when(k % 2 === 0, k % 25).otherwise((k + 1) % 25)))
+            .as("countries"),
+          arr(lit(1950) + when(k % 5 === 0, k % 50 + 1).otherwise(k % 50))
+            .as("years"),
+          arr(when(k % 7 === 0, concat(lit("ID"), k))
+            .otherwise(concat(lit("XX"), k))).as("idents"))
+        val pairs = p.select((k * 2).as("subject_id"), (k * 2 + 1).as("target_id"))
+        val dec = (c: org.apache.spark.sql.Column) =>
+          c.cast("decimal(18,6)").cast("double")
+        Matcher.score(pairs, subjects, targets)
+          .select(col("subject_id"), col("target_id"),
+            dec(col("name_jaccard")).as("name_jaccard"), col("phonetic_eq"),
+            col("country_match"), col("year_match"), col("ident_match"),
+            dec(col("score")).as("score"))
+      },
+      s"""WITH base AS (
+         |  SELECT p_partkey AS k, p_name,
+         |    CASE WHEN p_partkey % 3 = 0
+         |           THEN regexp_replace(p_name, '[eiou]', 'a', 'g')
+         |         WHEN p_partkey % 3 = 1
+         |           THEN array_to_string(string_split(p_name, ' ')[1:1], ' ')
+         |         ELSE p_name END AS tname
+         |  FROM part),
+         |norm AS (
+         |  SELECT k,
+         |    list_filter(string_split(regexp_replace(trim(lower(p_name)), '\\s+', ' ', 'g'), ' '),
+         |      t -> len(t) > 0) AS sw,
+         |    list_filter(string_split(regexp_replace(trim(lower(tname)), '\\s+', ' ', 'g'), ' '),
+         |      t -> len(t) > 0) AS tw
+         |  FROM base),
+         |toks0 AS (SELECT DISTINCT tok FROM (
+         |  SELECT unnest(sw) AS tok FROM norm
+         |  UNION SELECT unnest(tw) FROM norm)),
+         |$sqlSoundexCtes,
+         |stoks AS (SELECT k, unnest(sw) AS tok FROM norm),
+         |ttoks AS (SELECT k, unnest(tw) AS tok FROM norm),
+         |sfps AS (SELECT st.k,
+         |    array_to_string(list_sort(list_distinct(list(sx.code))), ' ') AS sfp
+         |  FROM stoks st JOIN sx ON st.tok = sx.tok GROUP BY st.k),
+         |tfps AS (SELECT tt.k,
+         |    array_to_string(list_sort(list_distinct(list(sx.code))), ' ') AS tfp
+         |  FROM ttoks tt JOIN sx ON tt.tok = sx.tok GROUP BY tt.k),
+         |fps AS (SELECT s.k, s.sfp, t.tfp FROM sfps s JOIN tfps t ON s.k = t.k),
+         |feat AS (
+         |  SELECT n.k,
+         |    len(list_intersect(list_distinct(n.sw), list_distinct(n.tw)))::DOUBLE
+         |      / (len(list_distinct(n.sw)) + len(list_distinct(n.tw))
+         |         - len(list_intersect(list_distinct(n.sw), list_distinct(n.tw))))::DOUBLE
+         |      AS name_jaccard,
+         |    CASE WHEN f.sfp = f.tfp THEN 1.0 ELSE 0.0 END AS phonetic_eq,
+         |    CASE WHEN n.k % 2 = 0 THEN 1.0 ELSE -1.0 END AS country_match,
+         |    CASE WHEN n.k % 5 = 0 THEN -1.0 ELSE 1.0 END AS year_match,
+         |    CASE WHEN n.k % 7 = 0 THEN 1.0 ELSE 0.0 END AS ident_match
+         |  FROM norm n JOIN fps f ON n.k = f.k)
+         |SELECT k * 2 AS subject_id, k * 2 + 1 AS target_id,
+         |  CAST(CAST(name_jaccard AS DECIMAL(18,6)) AS DOUBLE) AS name_jaccard,
+         |  phonetic_eq, country_match, year_match, ident_match,
+         |  CAST(CAST(least(greatest(
+         |    name_jaccard * 0.4 + phonetic_eq * 0.2 + country_match * 0.15
+         |    + year_match * 0.1 + ident_match * 0.6, 0.0), 1.0)
+         |    AS DECIMAL(18,6)) AS DOUBLE) AS score
+         |FROM feat""".stripMargin),
+
     // Corpus profiling: per-language volume and length distribution —
     // the data-engineering report that precedes any cleaning run.
     // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
@@ -740,7 +852,7 @@ object PipelineQueries {
           .select(col("subject_id"), col("target_id"),
             Blocking.phoneticFingerprint(col("nm")).as("fp"))
       },
-      """WITH names AS (
+      s"""WITH names AS (
         |  SELECT p_partkey * 2 AS id, p_partkey AS key, 0 AS side FROM part
         |  UNION ALL
         |  SELECT p_partkey * 2 + 1, p_partkey, 1 FROM part),
@@ -762,26 +874,7 @@ object PipelineQueries {
         |          WHEN 4 THEN 'l' WHEN 5 THEN 'm' ELSE 'r' END)) AS ws
         |  FROM names),
         |toks0 AS (SELECT id, side, unnest(ws) AS tok FROM spelled),
-        |up AS (SELECT DISTINCT tok, upper(tok) AS u FROM toks0),
-        |ks AS (SELECT tok, u,
-        |  list_transform(generate_series(1, len(u)), i ->
-        |    CASE WHEN substr(u,i,1) IN ('B','F','P','V') THEN '1'
-        |         WHEN substr(u,i,1) IN ('C','G','J','K','Q','S','X','Z') THEN '2'
-        |         WHEN substr(u,i,1) IN ('D','T') THEN '3'
-        |         WHEN substr(u,i,1) = 'L' THEN '4'
-        |         WHEN substr(u,i,1) IN ('M','N') THEN '5'
-        |         WHEN substr(u,i,1) = 'R' THEN '6'
-        |         ELSE '0' END) AS k
-        |  FROM up),
-        |sx AS (SELECT tok,
-        |  substr(u,1,1) || rpad(substr(coalesce(array_to_string(
-        |    list_transform(
-        |      list_filter(generate_series(2, len(u)), i ->
-        |        substr(u,i,1) NOT IN ('H','W') AND k[i] != '0'
-        |        AND k[i] != k[list_max(list_filter(generate_series(1, i-1),
-        |          j -> j = 1 OR substr(u,j,1) NOT IN ('H','W')))]),
-        |      i -> k[i]), ''), ''), 1, 3), 3, '0') AS code
-        |  FROM ks),
+        |$sqlSoundexCtes,
         |fps AS (SELECT t.id, t.side,
         |    array_to_string(list_sort(list_distinct(list(s.code))), ' ') AS fp
         |  FROM toks0 t JOIN sx s ON t.tok = s.tok GROUP BY t.id, t.side),

@@ -91,6 +91,30 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(plan.contains("__salt"), plan.take(1500))
   }
 
+  test("match scoring: evidence hierarchy and negative country evidence") {
+    def side(rows: Seq[(Long, Seq[String], Seq[String], Seq[String], Seq[String])]) =
+      rows.toDF("id", "names", "countries", "years", "idents")
+    val subjects = side(Seq(
+      (1L, Seq("Jon Smith"), Seq("de"), Seq("1980"), Seq("A1")),
+      (2L, Seq("Jon Smith"), Seq("de"), Seq.empty, Seq.empty),
+      (3L, Seq("Jon Smith"), Seq("de"), Seq.empty, Seq.empty)))
+    val targets = side(Seq(
+      (11L, Seq("totally other"), Seq("fr"), Seq("1999"), Seq("A1")), // ident only
+      (12L, Seq("Jan Smyth"), Seq("de"), Seq.empty, Seq.empty),       // phonetic + country
+      (13L, Seq("Jan Smyth"), Seq("fr"), Seq.empty, Seq.empty)))      // phonetic, country MISMATCH
+    val pairs = Seq((1L, 11L), (2L, 12L), (3L, 13L))
+      .toDF("subject_id", "target_id")
+    val out = Matcher.score(pairs, subjects, targets)
+      .select("subject_id", "score").as[(Long, Double)].collect().toMap
+    // ident alone (0.6) minus country/year mismatches (-0.25) = 0.35 —
+    // decisive but damped by active contradictions
+    assert(math.abs(out(1L) - 0.35) < 1e-9)
+    // phonetic (0.2) + country (0.15), zero token overlap
+    assert(math.abs(out(2L) - 0.35) < 1e-9)
+    // same pair with a country contradiction: 0.2 - 0.15
+    assert(math.abs(out(3L) - 0.05) < 1e-9)
+  }
+
   test("banded range join equals the naive BETWEEN join and avoids nested loops") {
     val rnd = new scala.util.Random(11)
     val pts = (1 to 500).map(i => (i.toLong, rnd.nextInt(1000).toLong))
