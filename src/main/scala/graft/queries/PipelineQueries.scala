@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsOf, Blocking, Dedup, Matcher, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Blocking, Dedup, Matcher, Multimodal, Pii, RangeJoin, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import Q._
 
@@ -688,6 +688,60 @@ object PipelineQueries {
         |    AS p95_chars,
         |  CAST(CAST(AVG(n_chars) AS DECIMAL(18,6)) AS DOUBLE) AS mean_chars
         |FROM documents GROUP BY lang""".stripMargin),
+
+    // PII detection + redaction. The synthetic corpus carries no PII,
+    // so a deterministic overlay plants emails / IPv4s / phones / cards
+    // (Luhn-valid AND Luhn-invalid candidates) from doc_id — replicated
+    // verbatim in the oracle — and the operator must detect, validate,
+    // and scrub them exactly (counts + md5 of the redacted text).
+    decl("q126_pii_redaction",
+      (s, d) => {
+        val doc = col("doc_id")
+        val piiText = concat(col("text"),
+          when(doc % 4 === 0, concat(lit(" contact user"), doc.cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+          when(doc % 3 === 0, concat(lit(" from 10."), (doc % 200).cast("string"),
+            lit(".0."), (doc % 250).cast("string"), lit(" logged"))).otherwise(lit("")),
+          when(doc % 5 === 0, concat(lit(" call +1-555-"),
+            lpad((doc % 1000).cast("string"), 3, "0"), lit("-0199"))).otherwise(lit("")),
+          when(doc % 7 === 0, lit(" card 4532015112830366 on file"))
+            .when(doc % 7 === 1, lit(" card 4532015112830367 on file"))
+            .otherwise(lit("")))
+        t(s, d, "documents")
+          .select(doc, piiText.as("pt"))
+          .select(doc, Pii.counts(col("pt")).as("c"),
+            md5(Pii.redact(col("pt"))).as("redacted_md5"))
+          .select(doc, col("c.n_emails"), col("c.n_ips"), col("c.n_phones"),
+            col("c.n_cards"), col("c.n_valid_cards"), col("redacted_md5"))
+      },
+      {
+        val luhn = "(list_sum(list_transform(generate_series(1, len(d)), i -> " +
+          "CASE WHEN i % 2 = 0 THEN (CASE WHEN (ascii(substr(reverse(d), i, 1)) - 48) * 2 > 9 " +
+          "THEN (ascii(substr(reverse(d), i, 1)) - 48) * 2 - 9 " +
+          "ELSE (ascii(substr(reverse(d), i, 1)) - 48) * 2 END) " +
+          "ELSE (ascii(substr(reverse(d), i, 1)) - 48) END)) % 10 = 0)"
+        s"""WITH pii AS (
+           |  SELECT doc_id, text
+           |    || CASE WHEN doc_id % 4 = 0 THEN ' contact user' || doc_id::VARCHAR || '@example.com now' ELSE '' END
+           |    || CASE WHEN doc_id % 3 = 0 THEN ' from 10.' || (doc_id % 200)::VARCHAR || '.0.' || (doc_id % 250)::VARCHAR || ' logged' ELSE '' END
+           |    || CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-0199' ELSE '' END
+           |    || CASE WHEN doc_id % 7 = 0 THEN ' card 4532015112830366 on file'
+           |       WHEN doc_id % 7 = 1 THEN ' card 4532015112830367 on file' ELSE '' END
+           |    AS pt
+           |  FROM documents)
+           |SELECT doc_id,
+           |  len(regexp_extract_all(pt, '${Pii.EmailPattern}'))::BIGINT AS n_emails,
+           |  len(regexp_extract_all(pt, '${Pii.Ipv4Pattern}'))::BIGINT AS n_ips,
+           |  len(regexp_extract_all(pt, '${Pii.PhonePattern}'))::BIGINT AS n_phones,
+           |  len(regexp_extract_all(pt, '${Pii.CardPattern}'))::BIGINT AS n_cards,
+           |  len(list_filter(regexp_extract_all(pt, '${Pii.CardPattern}'), d -> $luhn))::BIGINT AS n_valid_cards,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(pt,
+           |    '${Pii.EmailPattern}', '[EMAIL]', 'g'),
+           |    '${Pii.CardPattern}', '[CARD]', 'g'),
+           |    '${Pii.PhonePattern}', '[PHONE]', 'g'),
+           |    '${Pii.Ipv4Pattern}', '[IP]', 'g')) AS redacted_md5
+           |FROM pii""".stripMargin
+      }),
 
     // Banded range join: every lineitem shipped inside a promo window
     // ([order date, +7d] for a count-bounded promo set — bounded like

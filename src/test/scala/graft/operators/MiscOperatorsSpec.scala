@@ -262,4 +262,24 @@ class MiscOperatorsSpec extends SparkSpec {
       .map(r => (r._2) -> r._4).toMap
     assert(fr("name") == 1.0 && fr("birthDate") == 0.5)
   }
+
+  test("PII counts gate card candidates through Luhn") {
+    val df = Seq(Tuple1(
+      "mail a.b@x.co and c@y.org ip 10.0.0.1 call +1-555-123-4567 " +
+        "card 4532015112830366 card 4532015112830367")).toDF("text")
+    val c = df.select(Pii.counts(col("text")).as("c")).select(
+      col("c.n_emails"), col("c.n_ips"), col("c.n_phones"),
+      col("c.n_cards"), col("c.n_valid_cards"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(c == ((2L, 1L, 1L, 2L, 1L)))
+  }
+
+  test("PII redaction scrubs longer patterns first") {
+    val df = Seq(Tuple1(
+      "a.b@x.co then 4532015112830366 then +1-555-123-4567 then 10.0.0.1 end"))
+      .toDF("text")
+    val r = df.select(Pii.redact(col("text"))).as[String].head()
+    // the card's 16-digit run must become one [CARD], not IP-octet shreds
+    assert(r == "[EMAIL] then [CARD] then [PHONE] then [IP] end")
+  }
 }
