@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark-contamination detection: which held-out (eval) documents
+  * share verbatim word n-grams with the training corpus? The standard
+  * pre-training hygiene check (eval answers leaking into training data
+  * inflate benchmark scores), run here as exact shingle overlap.
+  *
+  * Scale shape: both sides explode into word `k`-gram shingles; the
+  * train side reduces to a distinct shingle set (one shuffle), the
+  * eval side to distinct (doc, shingle) pairs; overlap is a hash
+  * equi-join on the shingle string followed by a per-doc count. Never
+  * a doc×doc comparison — cost is linear in corpus shingle volume, and
+  * the shingle join key distributes well (high-cardinality strings).
+  * On a real cluster the train set would be written bucketed by
+  * shingle and reused across eval sweeps.
+  */
+object Contamination {
+
+  /** Per-eval-doc overlap report: distinct shingle count, shingles
+    * shared with ANY train doc, the shared fraction, and a flag at
+    * `flagMinShared` (a phrase of `k+flagMinShared-1` words fully
+    * contained in both sides trips it). Docs shorter than `k` words
+    * carry zero shingles and report 0/0.0/false — output is null-free
+    * so engine compares stay byte-stable. */
+  def report(docs: DataFrame, id: Column, text: Column, splitCol: Column,
+      k: Int = 8, flagMinShared: Long = 5L): DataFrame = {
+    val base = docs.select(id.as("doc_id"), splitCol.as("split"),
+      split(text, " ").as("w"))
+    val shingles = base.select(col("doc_id"), col("split"),
+      explode(when(size(col("w")) >= k,
+        transform(sequence(lit(1), size(col("w")) - (k - 1)),
+          i => concat_ws(" ", (0 until k).map(j => element_at(col("w"), i + j)): _*)))
+        .otherwise(array().cast("array<string>"))).as("shingle"))
+    val train = shingles.filter(col("split") === "train")
+      .select("shingle").distinct()
+    val eval = shingles.filter(col("split") === "eval")
+      .select("doc_id", "shingle").distinct()
+    val totals = eval.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val shared = eval.join(train, Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    val frac = (col("n_shared").cast("double") /
+      when(col("n_shingles") =!= 0, col("n_shingles")).cast("double"))
+      .cast("decimal(9,6)").cast("double")
+    base.filter(col("split") === "eval").select("doc_id")
+      .join(totals, Seq("doc_id"), "left")
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(frac, lit(0.0)).as("contam_frac"),
+        (coalesce(col("n_shared"), lit(0L)) >= flagMinShared).as("contaminated"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsOf, Blocking, Dedup, Matcher, Multimodal, Pii, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Blocking, Contamination, Dedup, Matcher, Multimodal, Pii, RangeJoin, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import Q._
 
@@ -741,6 +741,52 @@ object PipelineQueries {
            |    '${Pii.PhonePattern}', '[PHONE]', 'g'),
            |    '${Pii.Ipv4Pattern}', '[IP]', 'g')) AS redacted_md5
            |FROM pii""".stripMargin
+      }),
+
+    // Benchmark contamination: eval-split docs sharing verbatim 8-gram
+    // shingles with the train split. The split rides the q121 hash
+    // assignment (salt 'contam'); a planted 15-word phrase on doc_id%9
+    // docs guarantees cross-split overlap, and the corpus's own planted
+    // near-duplicates surface as fully-contaminated eval docs. Oracle
+    // rebuilds split, shingles, and overlap join in SQL.
+    decl("q127_benchmark_contamination",
+      (s, d) => {
+        val phrase = "benchmark question answer pair leaks verbatim into " +
+          "the training corpus and must be caught"
+        val docs = t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 9 === 0, lit(" " + phrase))
+              .otherwise(lit(""))).as("pt"))
+        val withSplit = Sampling.assignSplits(docs, col("doc_id"), "contam",
+          Seq("train" -> 9000, "eval" -> 1000))
+        Contamination.report(withSplit, col("doc_id"), col("pt"), col("split"))
+      },
+      {
+        val phrase = "benchmark question answer pair leaks verbatim into " +
+          "the training corpus and must be caught"
+        s"""WITH d0 AS (
+           |  SELECT doc_id,
+           |    text || CASE WHEN doc_id % 9 = 0 THEN ' $phrase' ELSE '' END AS pt,
+           |    CASE WHEN ${sqlHash60("('contam|' || doc_id::VARCHAR)")} % 10000 >= 9000
+           |      THEN 'eval' ELSE 'train' END AS split
+           |  FROM documents),
+           |w AS (SELECT doc_id, split, string_split(pt, ' ') AS w FROM d0),
+           |sh AS (SELECT doc_id, split, unnest(list_transform(generate_series(1, len(w) - 7),
+           |       i -> array_to_string(w[i:i+7], ' '))) AS shingle FROM w WHERE len(w) >= 8),
+           |tr AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
+           |ev AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE split = 'eval'),
+           |tot AS (SELECT doc_id, COUNT(*)::BIGINT AS n_shingles FROM ev GROUP BY 1),
+           |shr AS (SELECT ev.doc_id AS doc_id, COUNT(*)::BIGINT AS n_shared
+           |        FROM ev JOIN tr USING (shingle) GROUP BY 1)
+           |SELECT d.doc_id,
+           |  coalesce(tot.n_shingles, 0)::BIGINT AS n_shingles,
+           |  coalesce(shr.n_shared, 0)::BIGINT AS n_shared,
+           |  coalesce(CAST(CAST(shr.n_shared::DOUBLE / nullif(tot.n_shingles, 0)
+           |    AS DECIMAL(9,6)) AS DOUBLE), 0.0) AS contam_frac,
+           |  coalesce(shr.n_shared, 0) >= 5 AS contaminated
+           |FROM (SELECT doc_id FROM d0 WHERE split = 'eval') d
+           |LEFT JOIN tot ON d.doc_id = tot.doc_id
+           |LEFT JOIN shr ON d.doc_id = shr.doc_id""".stripMargin
       }),
 
     // Banded range join: every lineitem shipped inside a promo window

@@ -263,6 +263,23 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(fr("name") == 1.0 && fr("birthDate") == 0.5)
   }
 
+  test("contamination report flags shared shingles, zero-pads short docs") {
+    val leak = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq(
+      (1L, s"filler words here then $leak", "train"),
+      (2L, s"unrelated prefix tokens and $leak trailing", "eval"), // leaked
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota", "eval"), // clean
+      (4L, "too short", "eval") // < k words: zero shingles
+    ).toDF("doc_id", "text", "split")
+    val r = Contamination.report(docs, col("doc_id"), col("text"), col("split"))
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(t => t._1 -> t).toMap
+    // the 12-word leak yields exactly 12-8+1=5 shared shingles
+    assert(r(2L)._3 == 5L && r(2L)._5)
+    assert(r(3L)._3 == 0L && !r(3L)._5)
+    assert(r(4L) == ((4L, 0L, 0L, 0.0, false)))
+  }
+
   test("PII counts gate card candidates through Luhn") {
     val df = Seq(Tuple1(
       "mail a.b@x.co and c@y.org ip 10.0.0.1 call +1-555-123-4567 " +
