@@ -113,4 +113,20 @@ object TextAnalysis {
 
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** C4-style line keep rule (Raffel et al. 2020 §2.2 heuristics, the
+    * subset that needs no external model): a line survives iff it ends
+    * in terminal punctuation, has at least `minWords` words, and hits
+    * neither the boilerplate blocklist ("lorem ipsum") nor the
+    * code-fragment brace heuristic. Pure string expressions — the
+    * filter runs inside codegen over every line of the corpus. */
+  def c4LineKeep(line: Column, minWords: Int = 4): Column =
+    substring(line, -1, 1) === "." &&
+      tokenCount(line) >= minWords &&
+      !line.contains("lorem ipsum") &&
+      !line.contains("{")
+
+  /** Filter an array-of-lines column down to the C4 survivors. */
+  def c4CleanLines(lines: Column, minWords: Int = 4): Column =
+    filter(lines, l => c4LineKeep(l, minWords))
 }

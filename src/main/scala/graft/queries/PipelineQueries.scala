@@ -789,6 +789,61 @@ object PipelineQueries {
            |LEFT JOIN shr ON d.doc_id = shr.doc_id""".stripMargin
       }),
 
+    // C4-style line-level cleaning. The corpus has no line structure,
+    // so the query manufactures it deterministically (7-word chunks,
+    // terminal '.' on (doc_id+chunk)%3!=0, planted boilerplate / code /
+    // too-short junk lines) — replicated verbatim in the oracle — and
+    // the operator's keep rule must prune exactly: terminal punct,
+    // >=4 words, no "lorem ipsum", no brace.
+    decl("q128_c4_line_cleaning",
+      (s, d) => {
+        val doc = col("doc_id")
+        val wc = size(col("w"))
+        val nchunks = ((wc + lit(6)) / lit(7)).cast("int")
+        val lines0 = transform(sequence(lit(1), nchunks), c =>
+          concat(
+            concat_ws(" ", slice(col("w"), (c - 1) * 7 + 1,
+              least(lit(7), wc - (c - 1) * 7))),
+            when((doc + c) % 3 =!= 0, lit(".")).otherwise(lit(""))))
+        val emptyArr = array().cast("array<string>")
+        val junk = concat(
+          when(doc % 4 === 0, array(lit("lorem ipsum dolor sit amet line.")))
+            .otherwise(emptyArr),
+          when(doc % 6 === 0, array(lit("function init() { return 0; }")))
+            .otherwise(emptyArr),
+          when(doc % 5 === 0, array(lit("tiny line."))).otherwise(emptyArr))
+        t(s, d, "documents")
+          .select(doc, split(col("text"), " ").as("w"))
+          .select(doc, concat(lines0, junk).as("lines"))
+          .select(doc, size(col("lines")).cast("long").as("n_lines"),
+            TextAnalysis.c4CleanLines(col("lines")).as("kept"))
+          .select(doc, col("n_lines"), size(col("kept")).cast("long").as("n_kept"),
+            md5(array_join(col("kept"), "\n")).as("cleaned_md5"))
+      },
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, list_transform(generate_series(1, ((len(w) + 6) // 7)), c ->
+        |    array_to_string(w[(c-1)*7+1 : least(c*7, len(w))], ' ')
+        |    || CASE WHEN (doc_id + c) % 3 != 0 THEN '.' ELSE '' END) AS lines0
+        |  FROM w),
+        |planted AS (
+        |  SELECT doc_id, list_concat(lines0,
+        |    CASE WHEN doc_id % 4 = 0 THEN ['lorem ipsum dolor sit amet line.'] ELSE [] END
+        |    || CASE WHEN doc_id % 6 = 0 THEN ['function init() { return 0; }'] ELSE [] END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ['tiny line.'] ELSE [] END) AS lines
+        |  FROM chunks),
+        |cleaned AS (
+        |  SELECT doc_id, len(lines)::BIGINT AS n_lines,
+        |    list_filter(lines, l ->
+        |      substr(l, len(l), 1) = '.'
+        |      AND (length(l) - length(replace(l, ' ', '')) + 1) >= 4
+        |      AND NOT contains(l, 'lorem ipsum')
+        |      AND NOT contains(l, '{')) AS kept
+        |  FROM planted)
+        |SELECT doc_id, n_lines, len(kept)::BIGINT AS n_kept,
+        |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS cleaned_md5
+        |FROM cleaned""".stripMargin),
+
     // Banded range join: every lineitem shipped inside a promo window
     // ([order date, +7d] for a count-bounded promo set — bounded like
     // q101's query sample so the fan-out stays linear in the corpus).

@@ -280,6 +280,18 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(r(4L) == ((4L, 0L, 0L, 0.0, false)))
   }
 
+  test("C4 line keep rule: punct, length, blocklist, brace") {
+    val lines = Seq(
+      "a good long sentence here.", // kept
+      "no terminal punctuation at all", // dropped: no '.'
+      "too short.", // dropped: < 4 words
+      "contains lorem ipsum filler text.", // dropped: blocklist
+      "code like if (x) { return. ") // dropped: brace (and no terminal '.')
+      .toDF("l")
+    val kept = lines.filter(TextAnalysis.c4LineKeep(col("l"))).as[String].collect()
+    assert(kept.toSeq == Seq("a good long sentence here."))
+  }
+
   test("PII counts gate card candidates through Luhn") {
     val df = Seq(Tuple1(
       "mail a.b@x.co and c@y.org ip 10.0.0.1 call +1-555-123-4567 " +
