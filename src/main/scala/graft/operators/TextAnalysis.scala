@@ -114,6 +114,59 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  /** CCNet-style statistical quality scoring: train an add-one-smoothed
+    * bigram language model on the `train` split and score every `eval`
+    * document by average negative log-likelihood (high = unlike the
+    * reference corpus = drop candidate). The exact-arithmetic stand-in
+    * for the KenLM perplexity filter production pipelines run.
+    *
+    * Scale shape: the model IS two aggregated tables — bigram counts
+    * and (derived) prefix counts — built with one shuffle each from the
+    * train split; scoring is two hash equi-joins from the exploded eval
+    * bigrams, then a per-doc aggregate. No model object, no driver
+    * state, no broadcast requirement (counts join distributed when the
+    * vocab is large). The NLL is decimal-rounded to 4 places so the
+    * ln() ulp difference between engines cannot flip an oracle hash.
+    *
+    * Returns (doc_id, n_bigrams, n_unseen, avg_nll); docs under two
+    * words score 0 bigrams / 0.0 NLL (null-free output). */
+  def bigramLmReport(docs: org.apache.spark.sql.DataFrame,
+      id: Column, text: Column, splitCol: Column): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(id.as("doc_id"), splitCol.as("split"),
+      split(text, " ").as("w"))
+    val bigrams = base.select(col("doc_id"), col("split"),
+      explode(when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("doc_id"), col("split"), col("b.w1"), col("b.w2"))
+    val trainBg = bigrams.filter(col("split") === "train")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val prefix = trainBg.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val vocab = base.filter(col("split") === "train")
+      .select(explode(col("w")).as("u")).agg(countDistinct(col("u")).as("v"))
+    val scored = bigrams.filter(col("split") === "eval")
+      .select("doc_id", "w1", "w2")
+      .join(trainBg, Seq("w1", "w2"), "left")
+      .join(prefix, Seq("w1"), "left")
+      .select(col("doc_id"),
+        coalesce(col("c2"), lit(0L)).as("c2"),
+        coalesce(col("c1"), lit(0L)).as("c1"))
+    val perDoc = scored.crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c2") === 0, 1L).otherwise(0L)).as("n_unseen"),
+        avg(log(col("c1") + col("v")) - log(col("c2") + 1))
+          .cast("decimal(12,4)").cast("double").as("avg_nll"))
+    base.filter(col("split") === "eval").select("doc_id").distinct()
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        coalesce(col("avg_nll"), lit(0.0)).as("avg_nll"))
+  }
+
   /** C4-style line keep rule (Raffel et al. 2020 §2.2 heuristics, the
     * subset that needs no external model): a line survives iff it ends
     * in terminal punctuation, has at least `minWords` words, and hits

@@ -844,6 +844,58 @@ object PipelineQueries {
         |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS cleaned_md5
         |FROM cleaned""".stripMargin),
 
+    // Bigram-LM quality scoring (the KenLM/CCNet perplexity filter in
+    // exact arithmetic): model = train-split bigram + prefix counts,
+    // score = per-eval-doc average NLL under add-one smoothing. An OOV
+    // tail planted on doc_id%3 docs exercises the unseen-bigram path;
+    // the oracle rebuilds split, model tables, and scoring in SQL.
+    decl("q129_lm_quality_score",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" zxqv"), (col("doc_id") % 7).cast("string"), lit(" glorp")))
+              .otherwise(lit(""))).as("pt"))
+        val withSplit = Sampling.assignSplits(docs, col("doc_id"), "lm",
+          Seq("train" -> 9000, "eval" -> 1000))
+        TextAnalysis.bigramLmReport(withSplit, col("doc_id"), col("pt"), col("split"))
+      },
+      s"""WITH d0 AS (
+         |  SELECT doc_id,
+         |    text || CASE WHEN doc_id % 3 = 0 THEN ' zxqv' || (doc_id % 7)::VARCHAR || ' glorp' ELSE '' END AS pt,
+         |    CASE WHEN ${sqlHash60("('lm|' || doc_id::VARCHAR)")} % 10000 >= 9000
+         |      THEN 'eval' ELSE 'train' END AS split
+         |  FROM documents),
+         |w AS (SELECT doc_id, split, string_split(pt, ' ') AS w FROM d0),
+         |bg AS (SELECT doc_id, split,
+         |         unnest(list_transform(generate_series(1, len(w) - 1),
+         |           i -> {'w1': w[i], 'w2': w[i+1]})) AS b
+         |       FROM w WHERE len(w) >= 2),
+         |tbg AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*)::BIGINT AS c2
+         |        FROM bg WHERE split = 'train' GROUP BY 1, 2),
+         |tpre AS (SELECT w1, SUM(c2)::BIGINT AS c1 FROM tbg GROUP BY 1),
+         |vocab AS (SELECT COUNT(DISTINCT un.u)::BIGINT AS v FROM (
+         |  SELECT unnest(w) AS u FROM w WHERE split = 'train') un),
+         |ev AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg WHERE split = 'eval'),
+         |scored AS (
+         |  SELECT ev.doc_id AS doc_id,
+         |    coalesce(tbg.c2, 0) AS c2, coalesce(tpre.c1, 0) AS c1
+         |  FROM ev LEFT JOIN tbg ON ev.w1 = tbg.w1 AND ev.w2 = tbg.w2
+         |          LEFT JOIN tpre ON ev.w1 = tpre.w1),
+         |agg AS (
+         |  SELECT s.doc_id AS doc_id, COUNT(*)::BIGINT AS n_bigrams,
+         |    SUM(CASE WHEN s.c2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_unseen,
+         |    CAST(CAST(AVG(ln((s.c1 + vocab.v)::DOUBLE) - ln((s.c2 + 1)::DOUBLE))
+         |      AS DECIMAL(12,4)) AS DOUBLE) AS avg_nll
+         |  FROM scored s, vocab GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
+         |  coalesce(agg.n_unseen, 0)::BIGINT AS n_unseen,
+         |  coalesce(agg.avg_nll, 0.0) AS avg_nll
+         |FROM (SELECT DISTINCT doc_id FROM d0 WHERE split = 'eval') d
+         |LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
+      ),
+
     // Banded range join: every lineitem shipped inside a promo window
     // ([order date, +7d] for a count-bounded promo set — bounded like
     // q101's query sample so the fan-out stays linear in the corpus).

@@ -280,6 +280,21 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(r(4L) == ((4L, 0L, 0L, 0.0, false)))
   }
 
+  test("bigram LM scores by hand-checked add-one NLL") {
+    // train "a b a b": c2(a,b)=2, c2(b,a)=1; c1(a)=2, c1(b)=1; V=2
+    // eval "a b c": nll(a,b)=ln(4)-ln(3), nll(b,c)=ln(3)-ln(1)
+    //   avg = ln(4)/2 = ln(2) = 0.6931...
+    val docs = Seq(
+      (1L, "a b a b", "train"),
+      (2L, "a b c", "eval"),
+      (3L, "a", "eval") // under two words: zero bigrams
+    ).toDF("doc_id", "text", "split")
+    val r = TextAnalysis.bigramLmReport(docs, col("doc_id"), col("text"), col("split"))
+      .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(r(2L) == ((2L, 2L, 1L, 0.6931)))
+    assert(r(3L) == ((3L, 0L, 0L, 0.0)))
+  }
+
   test("C4 line keep rule: punct, length, blocklist, brace") {
     val lines = Seq(
       "a good long sentence here.", // kept
