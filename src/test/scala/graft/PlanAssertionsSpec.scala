@@ -223,4 +223,23 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
       plan.take(1500))
   }
+
+  test("contamination and LM scoring join on keys — no nested loops") {
+    import graft.operators.{Contamination, TextAnalysis}
+    val docs = Seq(
+      (1L, "a b c d e f g h i j", "train"),
+      (2L, "a b c d e f g h k l", "eval")).toDF("doc_id", "text", "split")
+    // the shingle overlap must be a hash equi-join on the shingle string
+    val cPlan = Contamination.report(docs, col("doc_id"), col("text"), col("split"))
+      .queryExecution.executedPlan.toString
+    assert(!cPlan.contains("NestedLoop") && !cPlan.contains("CartesianProduct"),
+      cPlan.take(1500))
+    // LM scoring: count-table lookups are equi-joins; the only allowed
+    // nested-loop is the broadcast of the 1-row vocab scalar
+    val lPlan = TextAnalysis.bigramLmReport(docs, col("doc_id"), col("text"), col("split"))
+      .queryExecution.executedPlan.toString
+    assert(!lPlan.contains("CartesianProduct"), lPlan.take(1500))
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(lPlan).size
+    assert(nlj <= 1, lPlan.take(1500))
+  }
 }
