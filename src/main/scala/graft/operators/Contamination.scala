@@ -25,19 +25,29 @@ object Contamination {
     * contained in both sides trips it). Docs shorter than `k` words
     * carry zero shingles and report 0/0.0/false — output is null-free
     * so engine compares stay byte-stable. */
-  def report(docs: DataFrame, id: Column, text: Column, splitCol: Column,
-      k: Int = 8, flagMinShared: Long = 5L): DataFrame = {
-    val base = docs.select(id.as("doc_id"), splitCol.as("split"),
-      split(text, " ").as("w"))
-    val shingles = base.select(col("doc_id"), col("split"),
+  /** Distinct (doc_id, shingle) word `k`-gram pairs per document —
+    * the building block both overlap directions share (eval-vs-train
+    * contamination reporting here; train-vs-eval decontamination in
+    * the composed curation pipeline). Documents under `k` words
+    * contribute no rows. */
+  def shingleSet(docs: DataFrame, id: Column, text: Column,
+      k: Int = 8): DataFrame = {
+    val base = docs.select(id.as("doc_id"), split(text, " ").as("w"))
+    base.select(col("doc_id"),
       explode(when(size(col("w")) >= k,
         transform(sequence(lit(1), size(col("w")) - (k - 1)),
           i => concat_ws(" ", (0 until k).map(j => element_at(col("w"), i + j)): _*)))
         .otherwise(array().cast("array<string>"))).as("shingle"))
-    val train = shingles.filter(col("split") === "train")
+      .distinct()
+  }
+
+  def report(docs: DataFrame, id: Column, text: Column, splitCol: Column,
+      k: Int = 8, flagMinShared: Long = 5L): DataFrame = {
+    val base = docs.select(id.as("doc_id"), splitCol.as("split"),
+      split(text, " ").as("w"))
+    val train = shingleSet(docs.filter(splitCol === "train"), id, text, k)
       .select("shingle").distinct()
-    val eval = shingles.filter(col("split") === "eval")
-      .select("doc_id", "shingle").distinct()
+    val eval = shingleSet(docs.filter(splitCol === "eval"), id, text, k)
     val totals = eval.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val shared = eval.join(train, Seq("shingle"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))

@@ -896,6 +896,127 @@ object PipelineQueries {
          |LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
       ),
 
+    // The COMPOSED curation pipeline, decontamination direction the
+    // real one: exact dedup → PII scrub → hash split → drop TRAIN docs
+    // leaking held-out content (≥5 shared 8-gram shingles with the
+    // eval set) → repetition quality gate → one manifest row per doc
+    // with ordered drop reasons. Planted clone bodies (doc_id%31=7),
+    // doc-specific repetitive bodies (doc_id%23=5), PII overlays, and
+    // the cross-split phrase make every reason reachable; the oracle
+    // rebuilds the whole flow in SQL. (The q129 LM gate composes the
+    // same way — verified separately to keep this oracle bounded.)
+    decl("q130_curation_manifest",
+      (s, d) => {
+        val doc = col("doc_id")
+        val phrase = "benchmark question answer pair leaks verbatim into " +
+          "the training corpus and must be caught"
+        val repBody = array_join(array_repeat(
+          concat(lit("w"), doc.cast("string"), lit(" z"), doc.cast("string")), 25), " ")
+        val base = t(s, d, "documents").select(doc,
+          when(doc % 31 === 7,
+            lit("cloned doc body repeated across the corpus for dedup testing purposes"))
+            .when(doc % 23 === 5, repBody)
+            .otherwise(col("text")).as("orig"))
+        val pt = concat(col("orig"),
+          when(doc % 4 === 0, concat(lit(" contact user"), doc.cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+          when(doc % 5 === 0, concat(lit(" call +1-555-"),
+            lpad((doc % 1000).cast("string"), 3, "0"), lit("-0199"))).otherwise(lit("")),
+          when(doc % 9 === 0, lit(" " + phrase)).otherwise(lit("")))
+        val red = base.select(doc, col("orig"), pt.as("pt"))
+          .select(doc, col("orig"), Pii.counts(col("pt")).as("c"),
+            Pii.redact(col("pt")).as("rt"))
+          .select(doc, col("orig"), col("rt"),
+            (col("c.n_emails") + col("c.n_ips") + col("c.n_phones") +
+              col("c.n_cards")).as("n_pii"))
+        val sp = Sampling.assignSplits(red, doc, "cur",
+          Seq("train" -> 9000, "eval" -> 1000))
+        val keepers = Dedup.exact(base, doc, col("orig"))
+          .select(col("keeper_id").as("doc_id"), lit(true).as("is_keeper"))
+        val evalSh = Contamination.shingleSet(
+          sp.filter(col("split") === "eval"), doc, col("rt"))
+          .select("shingle").distinct()
+        val shr = Contamination.shingleSet(
+          sp.filter(col("split") === "train"), doc, col("rt"))
+          .join(evalSh, Seq("shingle"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        val qual = TextAnalysis.repetitionSignals(sp, doc, col("rt"))
+          .select(col("doc_id"), col("n_words"), col("dup_bigram_frac"))
+        val reason = when(coalesce(col("is_keeper"), lit(false)) === false, "duplicate")
+          .when(col("split") === "eval", "heldout")
+          .when(coalesce(col("n_shared"), lit(0L)) >= 5, "contaminated")
+          .when(col("n_words") < 20, "too_short")
+          .when(coalesce(col("dup_bigram_frac"), lit(0.0)) > 0.30, "repetitive")
+          .otherwise("")
+        sp.join(keepers, Seq("doc_id"), "left")
+          .join(shr, Seq("doc_id"), "left")
+          .join(qual, Seq("doc_id"), "left")
+          .select(doc, reason.as("drop_reason"), (reason === "").as("kept"),
+            col("n_pii").cast("long").as("n_pii"),
+            coalesce(col("n_shared"), lit(0L)).cast("long").as("n_shared"),
+            col("n_words").cast("long").as("n_tokens"),
+            md5(col("rt")).as("clean_md5"))
+      },
+      {
+        val phrase = "benchmark question answer pair leaks verbatim into " +
+          "the training corpus and must be caught"
+        val reasonSql =
+          """CASE WHEN ex.keeper IS NULL THEN 'duplicate'
+            |       WHEN r.split = 'eval' THEN 'heldout'
+            |       WHEN coalesce(shr.n_shared, 0) >= 5 THEN 'contaminated'
+            |       WHEN q.n_words < 20 THEN 'too_short'
+            |       WHEN q.dup_bigram_frac > 0.30 THEN 'repetitive'
+            |       ELSE '' END""".stripMargin
+        s"""WITH b AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 31 = 7 THEN 'cloned doc body repeated across the corpus for dedup testing purposes'
+           |         WHEN doc_id % 23 = 5 THEN array_to_string(list_transform(generate_series(1, 25),
+           |           i -> 'w' || doc_id::VARCHAR || ' z' || doc_id::VARCHAR), ' ')
+           |         ELSE text END AS orig
+           |  FROM documents),
+           |pt AS (
+           |  SELECT doc_id, orig, orig
+           |    || CASE WHEN doc_id % 4 = 0 THEN ' contact user' || doc_id::VARCHAR || '@example.com now' ELSE '' END
+           |    || CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-0199' ELSE '' END
+           |    || CASE WHEN doc_id % 9 = 0 THEN ' $phrase' ELSE '' END AS pt
+           |  FROM b),
+           |ex AS (SELECT min(doc_id) AS keeper FROM pt GROUP BY md5(orig)),
+           |rt AS (
+           |  SELECT doc_id,
+           |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(pt,
+           |      '${Pii.EmailPattern}', '[EMAIL]', 'g'), '${Pii.CardPattern}', '[CARD]', 'g'),
+           |      '${Pii.PhonePattern}', '[PHONE]', 'g'), '${Pii.Ipv4Pattern}', '[IP]', 'g') AS rt,
+           |    len(regexp_extract_all(pt, '${Pii.EmailPattern}')) + len(regexp_extract_all(pt, '${Pii.Ipv4Pattern}'))
+           |      + len(regexp_extract_all(pt, '${Pii.PhonePattern}')) + len(regexp_extract_all(pt, '${Pii.CardPattern}')) AS n_pii,
+           |    CASE WHEN ${sqlHash60("('cur|' || doc_id::VARCHAR)")} % 10000 >= 9000
+           |      THEN 'eval' ELSE 'train' END AS split
+           |  FROM pt),
+           |w AS (SELECT doc_id, split, string_split(rt, ' ') AS w FROM rt),
+           |sh AS (SELECT DISTINCT doc_id, split, unnest(list_transform(generate_series(1, len(w) - 7),
+           |       i -> array_to_string(w[i:i+7], ' '))) AS shingle FROM w WHERE len(w) >= 8),
+           |evs AS (SELECT DISTINCT shingle FROM sh WHERE split = 'eval'),
+           |shr AS (SELECT s.doc_id AS doc_id, COUNT(*)::BIGINT AS n_shared
+           |        FROM sh s JOIN evs USING (shingle) WHERE s.split = 'train' GROUP BY 1),
+           |qual AS (
+           |  SELECT doc_id, len(w)::BIGINT AS n_words,
+           |    CASE WHEN len(w) >= 2 THEN
+           |      (((len(w) - 1 - len(list_distinct(list_transform(generate_series(1, len(w) - 1),
+           |        i -> w[i] || ' ' || w[i+1]))))::DOUBLE / (len(w) - 1)::DOUBLE)::DECIMAL(9,6))::DOUBLE
+           |    ELSE 0.0 END AS dup_bigram_frac
+           |  FROM w)
+           |SELECT r.doc_id,
+           |  $reasonSql AS drop_reason,
+           |  ($reasonSql) = '' AS kept,
+           |  r.n_pii::BIGINT AS n_pii,
+           |  coalesce(shr.n_shared, 0)::BIGINT AS n_shared,
+           |  q.n_words AS n_tokens,
+           |  md5(r.rt) AS clean_md5
+           |FROM rt r
+           |LEFT JOIN ex ON r.doc_id = ex.keeper
+           |LEFT JOIN shr ON r.doc_id = shr.doc_id
+           |JOIN qual q ON r.doc_id = q.doc_id""".stripMargin
+      }),
+
     // Banded range join: every lineitem shipped inside a promo window
     // ([order date, +7d] for a count-bounded promo set — bounded like
     // q101's query sample so the fan-out stays linear in the corpus).
