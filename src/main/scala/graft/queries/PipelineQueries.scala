@@ -1017,6 +1017,62 @@ object PipelineQueries {
            |JOIN qual q ON r.doc_id = q.doc_id""".stripMargin
       }),
 
+    // URL canonicalization + URL-level dedup (the crawl-pipeline key:
+    // collapse scheme/host case, www., default ports, fragments, utm_*
+    // params, param order, and trailing slashes BEFORE any content
+    // comparison). Four planted raw-URL shapes per doc; keeper = min
+    // doc_id per canonical form. Path case stays significant.
+    decl("q131_url_canonical",
+      (s, d) => {
+        val doc = col("doc_id")
+        val raw = when(doc % 4 === 0,
+          concat(lit("HTTPS://WWW.Example"), (doc % 20).cast("string"),
+            lit(".COM:443/Articles/"), (doc % 50).cast("string"),
+            lit("/?utm_source=feed&b=2&a=1&utm_campaign=x#frag")))
+          .when(doc % 4 === 1,
+            concat(lit("http://example"), (doc % 20).cast("string"),
+              lit(".com/Articles/"), (doc % 50).cast("string"), lit("/")))
+          .when(doc % 4 === 2,
+            concat(lit("https://www.example"), (doc % 20).cast("string"),
+              lit(".com/articles/"), (doc % 50).cast("string"), lit("?a=1&b=2")))
+          .otherwise(concat(lit("https://Example"), (doc % 20).cast("string"),
+            lit(".com")))
+        val urls = t(s, d, "documents").select(doc,
+          graft.functions.Urls.canonicalUrl(raw).as("canonical_url"))
+        val groups = urls.groupBy("canonical_url")
+          .agg(min(doc).as("keeper_id"), count(lit(1)).as("n_docs"))
+        urls.join(groups, Seq("canonical_url"))
+          .select(doc, col("canonical_url"), col("keeper_id"), col("n_docs"))
+      },
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'HTTPS://WWW.Example' || (doc_id % 20)::VARCHAR || '.COM:443/Articles/' || (doc_id % 50)::VARCHAR || '/?utm_source=feed&b=2&a=1&utm_campaign=x#frag'
+        |      WHEN 1 THEN 'http://example' || (doc_id % 20)::VARCHAR || '.com/Articles/' || (doc_id % 50)::VARCHAR || '/'
+        |      WHEN 2 THEN 'https://www.example' || (doc_id % 20)::VARCHAR || '.com/articles/' || (doc_id % 50)::VARCHAR || '?a=1&b=2'
+        |      ELSE 'https://Example' || (doc_id % 20)::VARCHAR || '.com'
+        |    END AS raw
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(raw, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    regexp_replace(lower(regexp_extract(raw, '^[A-Za-z]+://([^/?#]+)', 1)), '^www\.|:443$|:80$', '', 'g') AS host,
+        |    regexp_extract(raw, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        |    regexp_extract(raw, '\?([^#]*)', 1) AS query
+        |  FROM u),
+        |canon AS (
+        |  SELECT doc_id, scheme || '://' || host ||
+        |    CASE WHEN path = '' OR path = '/' THEN '/'
+        |         WHEN substr(path, len(path), 1) = '/' THEN substr(path, 1, len(path) - 1)
+        |         ELSE path END ||
+        |    CASE WHEN cq != '' THEN '?' || cq ELSE '' END AS canonical_url
+        |  FROM (SELECT *, array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |          p -> p != '' AND NOT starts_with(p, 'utm_'))), '&') AS cq FROM parts)),
+        |g AS (SELECT canonical_url, min(doc_id) AS keeper_id, COUNT(*)::BIGINT AS n_docs
+        |      FROM canon GROUP BY 1)
+        |SELECT c.doc_id, c.canonical_url, g.keeper_id, g.n_docs
+        |FROM canon c JOIN g USING (canonical_url)""".stripMargin),
+
     // Banded range join: every lineitem shipped inside a promo window
     // ([order date, +7d] for a count-bounded promo set — bounded like
     // q101's query sample so the fan-out stays linear in the corpus).

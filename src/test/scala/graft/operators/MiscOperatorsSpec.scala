@@ -280,6 +280,19 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(r(4L) == ((4L, 0L, 0L, 0.0, false)))
   }
 
+  test("URL canonicalization: case, www, ports, utm, order, slash") {
+    import graft.functions.Urls
+    val cases = Seq(
+      "HTTPS://WWW.Ex.COM:443/A/b/?utm_source=x&b=2&a=1#f" -> "https://ex.com/A/b?a=1&b=2",
+      "http://ex.com:80/" -> "http://ex.com/",
+      "https://ex.com" -> "https://ex.com/",
+      "https://ex.com/p?utm_only=1" -> "https://ex.com/p",
+      "https://ex.com/CaseKept" -> "https://ex.com/CaseKept")
+    val out = cases.map(_._1).toDF("u")
+      .select(Urls.canonicalUrl(col("u"))).as[String].collect()
+    assert(out.toSeq == cases.map(_._2))
+  }
+
   test("bigram LM scores by hand-checked add-one NLL") {
     // train "a b a b": c2(a,b)=2, c2(b,a)=1; c1(a)=2, c1(b)=1; V=2
     // eval "a b c": nll(a,b)=ln(4)-ln(3), nll(b,c)=ln(3)-ln(1)
