@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-level sequence packing — the GPT-style pretraining layout:
+  * documents are concatenated in a canonical order (with a separator
+  * token each) and the stream is chopped into fixed-length training
+  * sequences. The manifest maps every document to its global token
+  * offset and the range of sequences it spans.
+  *
+  * The global token offset is a prefix sum. The naive form — one
+  * window ordered over the whole corpus — serializes 100 TB through a
+  * single partition, so this runs the classic two-phase shape instead:
+  * a running sum WITHIN each doc-id bucket (shuffles by bucket, sorts
+  * locally), plus a bucket-prefix offset computed on the tiny
+  * per-bucket totals frame (rows = corpus/bucketSize — the only
+  * single-partition window, and it sees one row per thousand docs).
+  * The same decomposition is how array prefix-scan runs on any
+  * parallel machine.
+  */
+object Packing {
+
+  /** Per-document packing manifest: token count (incl. one separator),
+    * global start offset, and first/last sequence index at `seqLen`
+    * tokens per training sequence. Documents are packed in ascending
+    * `id` order. */
+  def packManifest(docs: DataFrame, id: Column, text: Column,
+      seqLen: Long, bucketSize: Long = 1000L): DataFrame = {
+    val toks = docs.select(id.as("doc_id"),
+      (TextAnalysis.tokenCount(text) + 1L).as("n_tokens"))
+    val bucketed = toks.withColumn("bucket",
+      floor(col("doc_id") / lit(bucketSize)).cast("long"))
+    val inBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = bucketed.withColumn("run", sum(col("n_tokens")).over(inBucket))
+    // bucket offsets: cumulative totals over the tiny bucket frame
+    val acrossBuckets = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = bucketed.groupBy("bucket")
+      .agg(sum(col("n_tokens")).as("btotal"))
+      .withColumn("bprefix", sum(col("btotal")).over(acrossBuckets) - col("btotal"))
+      .select("bucket", "bprefix")
+    run.join(broadcast(offsets), Seq("bucket"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("bprefix") + col("run") - col("n_tokens")).as("off_start"),
+        floor((col("bprefix") + col("run") - col("n_tokens")) / lit(seqLen))
+          .cast("long").as("seq_first"),
+        floor((col("bprefix") + col("run") - 1) / lit(seqLen))
+          .cast("long").as("seq_last"))
+  }
+}

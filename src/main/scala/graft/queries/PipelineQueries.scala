@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsOf, Blocking, Contamination, Dedup, Matcher, Multimodal, Pii, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Blocking, Contamination, Dedup, Matcher, Multimodal, Packing, Pii, RangeJoin, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import Q._
 
@@ -1072,6 +1072,28 @@ object PipelineQueries {
         |      FROM canon GROUP BY 1)
         |SELECT c.doc_id, c.canonical_url, g.keeper_id, g.n_docs
         |FROM canon c JOIN g USING (canonical_url)""".stripMargin),
+
+    // Token-level sequence packing (concat-and-chop pretraining
+    // layout). The global offset prefix-sum runs two-phase (per-bucket
+    // window + tiny bucket-offset frame) so no corpus-wide ordered
+    // window exists; the oracle computes the same offsets with a plain
+    // global cumsum, proving the decomposition exact.
+    decl("q132_sequence_packing",
+      (s, d) => Packing.packManifest(t(s, d, "documents"),
+        col("doc_id"), col("text"), seqLen = 512L, bucketSize = 100L),
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    (length(text) - length(replace(text, ' ', '')) + 2)::BIGINT AS n_tokens
+        |  FROM documents),
+        |run AS (
+        |  SELECT doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM toks)
+        |SELECT doc_id, n_tokens,
+        |  (cum - n_tokens)::BIGINT AS off_start,
+        |  ((cum - n_tokens) // 512)::BIGINT AS seq_first,
+        |  ((cum - 1) // 512)::BIGINT AS seq_last
+        |FROM run""".stripMargin),
 
     // Banded range join: every lineitem shipped inside a promo window
     // ([order date, +7d] for a count-bounded promo set — bounded like

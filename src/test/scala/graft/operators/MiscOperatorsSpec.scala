@@ -280,6 +280,21 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(r(4L) == ((4L, 0L, 0L, 0.0, false)))
   }
 
+  test("sequence packing: two-phase prefix sum matches the global layout") {
+    // tokens (words+1 sep): 4, 3, 5, 2 — offsets 0, 4, 7, 12
+    // seqLen=5: docs 1 and 5 straddle sequence boundaries; doc 11
+    // lands in bucket 1, exercising the cross-bucket prefix offset
+    val docs = Seq((0L, "a b c"), (1L, "d e"), (5L, "f g h i"), (11L, "j"))
+      .toDF("doc_id", "text")
+    val r = Packing.packManifest(docs, col("doc_id"), col("text"),
+      seqLen = 5L, bucketSize = 10L)
+      .as[(Long, Long, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    assert(r(0L) == ((0L, 4L, 0L, 0L, 0L)))
+    assert(r(1L) == ((1L, 3L, 4L, 0L, 1L)))
+    assert(r(5L) == ((5L, 5L, 7L, 1L, 2L)))
+    assert(r(11L) == ((11L, 2L, 12L, 2L, 2L)))
+  }
+
   test("URL canonicalization: case, www, ports, utm, order, slash") {
     import graft.functions.Urls
     val cases = Seq(
