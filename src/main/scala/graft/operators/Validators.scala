@@ -76,7 +76,11 @@ object Validators {
 
     val metrics = total.unionByName(bySchema).unionByName(byCountry)
       .unionByName(countryCount)
-    broadcast(spec).join(metrics, Seq("metric", "key"), "left")
+    // broadcast the metrics side: it's the build side of the left join
+    // (a preserved-side broadcast hint is unsupported and silently
+    // dropped), and it stays small at any corpus size — one row per
+    // metric × schema/country, not per entity
+    spec.join(broadcast(metrics), Seq("metric", "key"), "left")
       .withColumn("actual", coalesce(col("actual"), lit(0L)))
       .withColumn("passed",
         when(col("comparison") === "gte", col("actual") >= col("threshold"))
