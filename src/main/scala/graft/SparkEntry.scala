@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CleaningQueries, EngineQueries, EtlQueries, ExportQueries, IngestQueries, PipelineQueries, Q, RelationalQueries, ResolverQueries, StreamingQueries}
+import graft.queries.{CleaningQueries, EngineQueries, EtlQueries, ExportQueries, IngestQueries, PipelineQueries, Q, RelationalQueries, ResolverQueries, SelectionQueries, StreamingQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -15,7 +15,8 @@ object SparkEntry {
   val allDecls: Seq[Q.Decl] =
     RelationalQueries.decls ++ EngineQueries.decls ++ PipelineQueries.decls ++
       CleaningQueries.decls ++ ExportQueries.decls ++ ResolverQueries.decls ++
-      IngestQueries.decls ++ EtlQueries.decls ++ StreamingQueries.decls
+      IngestQueries.decls ++ EtlQueries.decls ++ StreamingQueries.decls ++
+      SelectionQueries.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus retrieval and data-selection operators for training-data
+  * pipelines: BM25 lexical search (the retrieval side of
+  * decontamination / hard-negative mining) and DSIR-style importance
+  * weighting (select raw-corpus documents that look like a target
+  * distribution — Xie et al. 2023, "Data Selection for Language Models
+  * via Importance Resampling").
+  *
+  * Both are pure equi-join/aggregate plans: the inverted-index join is
+  * keyed on the term, importance weighting on the hashed feature
+  * bucket — no doc×doc or doc×query nested loop anywhere, so both
+  * survive a 100 TB corpus (posting lists and bucket tables shuffle;
+  * nothing materializes quadratically).
+  *
+  * All floating-point outputs are rounded through DECIMAL(12,4) so an
+  * external engine recomputing the same arithmetic hash-matches
+  * (sum-of-ln / idf·tf sums carry ~1e-13 ulp noise, orders below the
+  * rounding grain).
+  */
+object Retrieval {
+
+  /** Tokenize `text` into word n-gram terms (words joined with '_').
+    * With a tiny base vocabulary, n-grams restore the Zipfian term
+    * discrimination real corpora have; with a real corpus, n=1 is
+    * plain keyword search. */
+  def ngramTerms(text: Column, n: Int): Column = {
+    val w = split(text, " ")
+    if (n == 1) w
+    else transform(sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
+      i => concat_ws("_", slice(w, i, lit(n))))
+  }
+
+  /** BM25 top-k retrieval: for each query, the `k` best-scoring corpus
+    * documents under Lucene-flavoured BM25
+    * (idf = ln(1 + (N - df + .5)/(df + .5)), tf-saturation k1, length
+    * normalization b). Terms with df > maxDfFrac·N are pruned before
+    * the postings join — the stop-term cap that bounds the hottest
+    * posting list at scale (a df-capped inverted index is how web-scale
+    * engines keep the join skew-free).
+    *
+    * Plan shape: one explode → (doc,term) partial-aggregated tf carrying
+    * doc length in the same pass (no separate dl join), a term-keyed df
+    * aggregate, the postings equi-join against the query's distinct
+    * terms, a (qid,doc) score aggregate, and one window for the per-query
+    * top-k. Corpus stats (N, avgdl) ride a broadcast 1-row frame.
+    *
+    * Returns (qid, doc_id, n_terms_hit, score, rank), rank 1..k ordered
+    * by rounded score desc then doc_id — ties broken deterministically
+    * in the rounded domain so ranking is engine-portable.
+    */
+  def bm25TopK(
+      corpus: DataFrame, docId: Column, docText: Column,
+      queries: DataFrame, qid: Column, qText: Column,
+      n: Int, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxDfFrac: Double = 0.5): DataFrame = {
+    val terms = corpus
+      .select(docId.as("doc_id"), size(split(docText, " ")).cast("long").as("dl"),
+        explode(ngramTerms(docText, n)).as("term"))
+    val tf = terms.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    // N / avgdl over ALL corpus docs (termless docs included) — one
+    // narrow scan collapsing to a single broadcast row
+    val stats = corpus
+      .select(size(split(docText, " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl").cast("double")).as("avgdl"))
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qTerms = queries
+      .select(qid.as("qid"), explode(ngramTerms(qText, n)).as("term"))
+      .distinct()
+    val postings = tf
+      .join(dfr, "term")
+      .crossJoin(broadcast(stats))
+      .where(col("df") <= col("n_docs").cast("double") * maxDfFrac)
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfPart = (col("tf") * (lit(k1) + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
+    val scored = qTerms.join(postings, "term")
+      .groupBy("qid", "doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum(idf * tfPart).as("s"))
+      .withColumn("score", col("s").cast("decimal(12,4)").cast("double"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("doc_id"), col("n_terms_hit"), col("score"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** DSIR-style importance weights: per-document log importance under
+    * hashed n-gram features — Σ_tokens ln(p_target(bucket) /
+    * p_raw(bucket)) with add-one smoothing over `buckets` feature
+    * buckets. `isTarget` marks the rows defining the target
+    * distribution; every row is scored (target rows too — their weights
+    * report how concentrated the target distribution is).
+    *
+    * The feature space is fixed-width (`buckets` rows), so both
+    * distribution tables collapse to broadcast-size regardless of corpus
+    * size, and scoring is one explode + bucket aggregate + broadcast
+    * join + doc aggregate: the exact shape importance-resampling needs
+    * at 100 TB (no vocabulary blow-up — hashing bounds the model).
+    *
+    * Returns (doc_id, is_target, n_feats, weight) with weight rounded
+    * through DECIMAL(12,4). */
+  def dsirWeights(
+      df: DataFrame, docId: Column, text: Column, isTarget: Column,
+      n: Int, buckets: Int): DataFrame = {
+    val feats = df
+      .select(docId.as("doc_id"), isTarget.as("is_target"),
+        explode(ngramTerms(text, n)).as("term"))
+      .withColumn("bucket", pmod(Dedup.hash60(col("term")), lit(buckets.toLong)))
+      .groupBy("doc_id", "is_target", "bucket")
+      .agg(count(lit(1)).as("c"))
+    val bucketStats = feats.groupBy("bucket").agg(
+      sum(when(col("is_target"), col("c")).otherwise(lit(0L))).as("ct"),
+      sum(col("c")).as("cr"))
+    val totals = bucketStats.agg(
+      sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val lnRatio =
+      (log(col("ct") + lit(1.0)) - log(col("tt") + lit(buckets.toDouble))) -
+        (log(col("cr") + lit(1.0)) - log(col("tr") + lit(buckets.toDouble)))
+    feats
+      .join(broadcast(bucketStats), "bucket")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id", "is_target")
+      .agg(sum(col("c")).as("n_feats"), sum(col("c") * lnRatio).as("w0"))
+      .select(col("doc_id"), col("is_target"),
+        col("n_feats"),
+        col("w0").cast("decimal(12,4)").cast("double").as("weight"))
+  }
+}

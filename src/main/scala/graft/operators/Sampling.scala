@@ -55,4 +55,55 @@ object Sampling {
     df.withColumn("session_idx",
       sum(gapBreak).over(w.rowsBetween(Window.unboundedPreceding, 0)))
   }
+
+  /** Mixture-planned stratified sample: allocate a document budget
+    * across strata (languages / source domains) by temperature-scaled
+    * token mass — w_s = sqrt(tokens_s) / Σ sqrt(tokens) — then pick each
+    * stratum's quota deterministically by smallest salted id-hash
+    * (a keyed "reservoir" that never re-deals as the corpus grows:
+    * a kept document stays kept unless enough new smaller hashes arrive).
+    *
+    * sqrt IS the temperature (α = 0.5): IEEE sqrt is correctly rounded
+    * in every engine, so the weights are reproducible bit-for-bit where
+    * pow(x, α) would not be.
+    *
+    * Scale shape: stratum stats are one aggregate collapsing to
+    * #strata rows (broadcast); the quota selection pre-filters with a
+    * hash-space threshold — hash < 4·quota/count of the 60-bit space —
+    * so the per-stratum sort ranks ~4·quota survivors, not the whole
+    * stratum (the window never sees more than a sliver of a 100 TB
+    * corpus; the filter is part of the operator's spec, mirrored by
+    * oracles, so exactness is unconditional).
+    *
+    * Returns kept docs: (id, stratum, stratum_docs, stratum_tokens,
+    * quota, pick_rank). */
+  def mixtureSample(
+      df: DataFrame, id: Column, stratum: Column, tokens: Column,
+      salt: String, budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(id.as("_id"), stratum.as("stratum"),
+      tokens.cast("long").as("_tok"))
+    val strata = base.groupBy("stratum")
+      .agg(count(lit(1)).as("stratum_docs"), sum(col("_tok")).as("stratum_tokens"))
+    val total = strata.agg(
+      sum(sqrt(col("stratum_tokens").cast("double"))).as("_tot"))
+    val quotas = strata.crossJoin(broadcast(total))
+      .withColumn("quota", floor(
+        lit(budget.toDouble) * sqrt(col("stratum_tokens").cast("double")) /
+          col("_tot") + lit(0.5)).cast("long"))
+      .withColumn("_thr", floor(least(lit(1.0),
+        lit(4.0) * col("quota").cast("double") / col("stratum_docs").cast("double")) *
+        lit(1152921504606846976.0)).cast("long"))
+      .drop("_tot")
+    val hashed = base.withColumn("_h",
+      Dedup.hash60(concat(lit(salt), lit("|"), col("_id").cast("string"))))
+      .join(broadcast(quotas), "stratum")
+      .where(col("_h") < col("_thr"))
+    val w = Window.partitionBy(col("stratum")).orderBy(col("_h"), col("_id"))
+    hashed
+      .withColumn("pick_rank", row_number().over(w).cast("long"))
+      .where(col("pick_rank") <= col("quota"))
+      .select(col("_id").as("id"), col("stratum"), col("stratum_docs"),
+        col("stratum_tokens"), col("quota"), col("pick_rank"))
+  }
 }

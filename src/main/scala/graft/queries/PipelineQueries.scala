@@ -56,7 +56,7 @@ object PipelineQueries {
 
   /** DuckDB fragment: 60-bit hash of column `c` = first 15 hex digits of
     * md5 as a BIGINT — bit-for-bit Dedup.hash60. */
-  private def sqlHash60(c: String): String =
+  private[queries] def sqlHash60(c: String): String =
     s"list_sum(list_transform(generate_series(1, 15), " +
       s"i -> ((strpos('0123456789abcdef', substr(md5($c), i, 1)) - 1)::BIGINT << (4 * (15 - i)))))::BIGINT"
 

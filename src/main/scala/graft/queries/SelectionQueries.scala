@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.operators.{Retrieval, Sampling}
+import org.apache.spark.sql.functions._
+import Q._
+import PipelineQueries.sqlHash60
+
+/** Data-selection operators of a training-data pipeline: BM25 lexical
+  * retrieval (decontamination lookup / hard-negative mining), DSIR
+  * importance weighting (pick raw docs that look like a target
+  * distribution), and mixture-planned stratified sampling (allocate a
+  * doc budget across languages by temperature-scaled token mass).
+  *
+  * The corpus vocabulary is tiny and synthetic, so the retrieval
+  * queries run over word TRIGRAMS (≈30k distinct terms, Zipf-ish df) —
+  * the same operator over real text runs n=1. Every oracle rebuilds
+  * the full arithmetic in SQL: idf/tf-saturation sums, hashed-feature
+  * log-ratios, and the hash-threshold quota selection, all rounded
+  * through DECIMAL(12,4) where doubles accumulate.
+  */
+object SelectionQueries {
+
+  val decls: Seq[Decl] = Seq(
+
+    // BM25 top-10 retrieval: queries are the first 8 words of every
+    // doc_id%37==3 doc, so each query's source doc carries a planted
+    // strong match while shared trigrams produce genuine partial
+    // matches to rank. Stop-term cap df <= N/2 verified in-plan.
+    decl("q133_bm25_topk",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val qs = docs.where(col("doc_id") % 37 === 3)
+          .select(col("doc_id").as("qid"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("qt"))
+        Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
+          qs, col("qid"), col("qt"), n = 3, k = 10)
+      },
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tg AS (SELECT doc_id, len(w)::BIGINT AS dl,
+        |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+        |    i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS term FROM w),
+        |tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf, min(dl) AS dl
+        |       FROM tg GROUP BY 1, 2),
+        |stats AS (SELECT COUNT(*)::BIGINT AS n_docs, AVG(len(w)::DOUBLE) AS avgdl FROM w),
+        |dfr AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |q AS (SELECT doc_id AS qid, w[1:8] AS qw FROM w WHERE doc_id % 37 = 3),
+        |qt AS (SELECT DISTINCT qid,
+        |  unnest(list_transform(generate_series(1, greatest(len(qw) - 2, 0)),
+        |    i -> qw[i] || '_' || qw[i+1] || '_' || qw[i+2])) AS term FROM q),
+        |post AS (SELECT tf.doc_id AS doc_id, tf.term AS term, tf.tf AS tf,
+        |         tf.dl AS dl, dfr.df AS df, stats.n_docs AS n_docs, stats.avgdl AS avgdl
+        |         FROM tf JOIN dfr USING (term), stats
+        |         WHERE dfr.df <= stats.n_docs::DOUBLE * 0.5),
+        |sc AS (SELECT qt.qid AS qid, post.doc_id AS doc_id,
+        |       COUNT(*)::BIGINT AS n_terms_hit,
+        |       CAST(CAST(SUM(
+        |         ln(1.0 + (post.n_docs - post.df + 0.5) / (post.df + 0.5)) *
+        |         (post.tf * (1.2 + 1.0)) /
+        |         (post.tf + 1.2 * (1.0 - 0.75 + 0.75 * post.dl / post.avgdl)))
+        |         AS DECIMAL(12,4)) AS DOUBLE) AS score
+        |       FROM qt JOIN post USING (term) GROUP BY 1, 2)
+        |SELECT qid, doc_id, n_terms_hit, score, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::BIGINT AS rank
+        |  FROM sc) WHERE rank <= 10""".stripMargin),
+
+    // DSIR importance weights, target = English: planted per-language
+    // marker tokens make the language distributions genuinely differ,
+    // so en docs score positive and others negative — the sign
+    // structure (not just the arithmetic) is oracle-checked.
+    decl("q134_dsir_weights",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"), lit(" m_"), col("lang"), lit(" m_"), col("lang"),
+            lit(" t_"), col("lang")).as("pt"),
+          (col("lang") === "en").as("tgt"))
+        Retrieval.dsirWeights(docs, col("doc_id"), col("pt"), col("tgt"),
+          n = 1, buckets = 64)
+      },
+      s"""WITH d0 AS (SELECT doc_id,
+         |  text || ' m_' || lang || ' m_' || lang || ' t_' || lang AS pt,
+         |  lang = 'en' AS is_target FROM documents),
+         |tk AS (SELECT doc_id, is_target, unnest(string_split(pt, ' ')) AS term FROM d0),
+         |f AS (SELECT doc_id, is_target, ${sqlHash60("term")} % 64 AS bucket,
+         |      COUNT(*)::BIGINT AS c FROM tk GROUP BY 1, 2, 3),
+         |bs AS (SELECT bucket,
+         |       SUM(CASE WHEN is_target THEN c ELSE 0 END)::BIGINT AS ct,
+         |       SUM(c)::BIGINT AS cr FROM f GROUP BY 1),
+         |tot AS (SELECT SUM(ct)::BIGINT AS tt, SUM(cr)::BIGINT AS tr FROM bs)
+         |SELECT f.doc_id AS doc_id, f.is_target AS is_target,
+         |  SUM(f.c)::BIGINT AS n_feats,
+         |  CAST(CAST(SUM(f.c *
+         |    ((ln(bs.ct + 1.0) - ln(tot.tt + 64.0)) - (ln(bs.cr + 1.0) - ln(tot.tr + 64.0))))
+         |    AS DECIMAL(12,4)) AS DOUBLE) AS weight
+         |FROM f JOIN bs USING (bucket), tot GROUP BY 1, 2""".stripMargin),
+
+    // Mixture-planned stratified sample: sqrt-temperature token-mass
+    // quotas over languages, smallest-salted-hash pick per stratum with
+    // the 4x hash-space threshold prefilter in-spec (the oracle applies
+    // the same filter, so exactness is unconditional).
+    decl("q135_mixture_sample",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+        Sampling.mixtureSample(docs, col("doc_id"), col("lang"), col("tok"),
+          "mix", budget = 100)
+          .select(col("id").as("doc_id"), col("stratum").as("lang"),
+            col("stratum_docs"), col("stratum_tokens"), col("quota"),
+            col("pick_rank"))
+      },
+      s"""WITH b AS (SELECT doc_id, lang,
+         |  len(string_split(text, ' '))::BIGINT AS tok FROM documents),
+         |st AS (SELECT lang, COUNT(*)::BIGINT AS stratum_docs,
+         |       SUM(tok)::BIGINT AS stratum_tokens FROM b GROUP BY 1),
+         |tot AS (SELECT SUM(sqrt(stratum_tokens::DOUBLE)) AS t FROM st),
+         |qs AS (SELECT st.*, floor(100.0 * sqrt(stratum_tokens::DOUBLE) / tot.t + 0.5)::BIGINT AS quota
+         |       FROM st, tot),
+         |qt AS (SELECT *, floor(least(1.0, 4.0 * quota::DOUBLE / stratum_docs::DOUBLE)
+         |       * 1152921504606846976.0)::BIGINT AS thr FROM qs),
+         |h AS (SELECT doc_id, lang, ${sqlHash60("('mix|' || doc_id::VARCHAR)")} AS h FROM b),
+         |f AS (SELECT h.doc_id AS doc_id, h.lang AS lang, qt.stratum_docs AS stratum_docs,
+         |      qt.stratum_tokens AS stratum_tokens, qt.quota AS quota, h.h AS h
+         |      FROM h JOIN qt USING (lang) WHERE h.h < qt.thr),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)::BIGINT AS pick_rank
+         |      FROM f)
+         |SELECT doc_id, lang, stratum_docs, stratum_tokens, quota, pick_rank
+         |FROM r WHERE pick_rank <= quota""".stripMargin))
+}

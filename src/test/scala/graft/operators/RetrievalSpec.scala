@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25 ranks the source doc first and prunes stop-terms") {
+    // 4 docs sharing the stop word pair; doc 1 uniquely holds the
+    // query's rare terms. n=1 unigram terms keep the fixture readable.
+    val corpus = Seq(
+      (1L, "zebra quark lemma common common filler"),
+      (2L, "common filler other words here banana"),
+      (3L, "common filler more words banana banana"),
+      (4L, "common filler words words quark extra")).toDF("doc_id", "text")
+    val qs = Seq((10L, "zebra quark lemma")).toDF("qid", "qt")
+    val out = Retrieval.bm25TopK(corpus, col("doc_id"), col("text"),
+      qs, col("qid"), col("qt"), n = 1, k = 3)
+      .orderBy("rank")
+      .select("doc_id", "n_terms_hit", "rank").as[(Long, Long, Long)].collect()
+    // "common"/"filler" hit all 4 docs (df > N/2 = 2) and are pruned, so
+    // they can never produce a hit; doc 1 hits all 3 rare query terms,
+    // doc 4 only "quark".
+    assert(out.map(_._1).toSeq == Seq(1L, 4L))
+    assert(out.head._2 == 3 && out(1)._2 == 1)
+  }
+
+  test("bm25 favors shorter docs at equal tf (length normalization)") {
+    // fillers keep df('target') = 2 <= N/2 under the stop-term cap
+    val corpus = Seq(
+      (1L, "target word pad1 pad2"),
+      (2L, "target word pad1 pad2 pad3 pad4 pad5 pad6"),
+      (3L, "filler words only here"),
+      (4L, "other filler words again")).toDF("doc_id", "text")
+    val qs = Seq((1L, "target")).toDF("qid", "qt")
+    val out = Retrieval.bm25TopK(corpus, col("doc_id"), col("text"),
+      qs, col("qid"), col("qt"), n = 1, k = 2)
+      .orderBy("rank").select("doc_id").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 2L))
+  }
+
+  test("dsir weights separate target-marked docs from the rest") {
+    // target docs share 'tmark', raw-only docs share 'rmark'; base
+    // vocabulary is common. Target-marker docs must score positive,
+    // rmark docs negative, and every doc gets exactly one row.
+    val docs = (1L to 20L).map { i =>
+      val tgt = i % 2 == 0
+      val marker = if (tgt) "tmark tmark" else "rmark rmark"
+      (i, s"base words shared $marker", tgt)
+    }.toDF("doc_id", "text", "tgt")
+    val out = Retrieval.dsirWeights(docs, col("doc_id"), col("text"),
+      col("tgt"), n = 1, buckets = 32)
+      .select("doc_id", "is_target", "weight")
+      .as[(Long, Boolean, Double)].collect()
+    assert(out.length == 20)
+    assert(out.filter(_._2).forall(_._3 > 0.0))
+    assert(out.filterNot(_._2).forall(_._3 < 0.0))
+  }
+
+  test("mixtureSample honors quotas and picks smallest salted hashes") {
+    val docs = (1L to 300L).map { i =>
+      val lang = if (i <= 200) "aa" else "bb"
+      (i, lang, 50L)
+    }.toDF("doc_id", "lang", "tok")
+    val out = Sampling.mixtureSample(docs, col("doc_id"), col("lang"),
+      col("tok"), "s", budget = 30)
+    val picked = out.select("stratum", "quota", "pick_rank", "id")
+      .as[(String, Long, Long, Long)].collect()
+    val byStratum = picked.groupBy(_._1)
+    // sqrt(10000)/ (sqrt(10000)+sqrt(5000)) ~ 0.586 -> quota 18; bb -> 12
+    assert(byStratum("aa").head._2 == 18L && byStratum("bb").head._2 == 12L)
+    assert(byStratum("aa").length == 18 && byStratum("bb").length == 12)
+    // picks are exactly the globally smallest salted hashes per stratum
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15), 16)
+    val expectAa = (1L to 200L).sortBy(i => h60("s|" + i)).take(18).toSet
+    assert(byStratum("aa").map(_._4).toSet == expectAa)
+    // ranks are 1..quota dense
+    assert(byStratum("bb").map(_._3).sorted.toSeq == (1L to 12L))
+  }
+}
