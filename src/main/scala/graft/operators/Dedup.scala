@@ -232,4 +232,65 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("hamming"))
   }
+
+  /** Exact repeated-substring excision (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": remove every span
+    * whose n-gram occurs elsewhere, instead of dropping whole docs):
+    * every word position opening an n-gram that appears >= minCount
+    * times CORPUS-WIDE (other docs or the same doc) contributes the
+    * interval [pos, pos+n-1]; per-doc overlapping intervals merge; the
+    * merged spans are cut out and the remaining words reassembled.
+    *
+    * Scale shape: one explode to (doc, pos, ngram-hash), a hash-keyed
+    * count aggregate, an equi-join back (the hot-hash side is tiny —
+    * only repeated n-grams survive the HAVING), and doc-partitioned
+    * windows for the classic running-max interval merge. Nothing is
+    * quadratic and no window ever spans more than one document's
+    * repeated positions.
+    *
+    * Returns (doc_id, n_words, n_spans, n_removed_words, kept_md5) —
+    * the kept text is digested rather than returned (it can be near
+    * the original size; callers wanting the text itself re-run the
+    * final projection without the md5). */
+  def exciseRepeatedSpans(
+      df: DataFrame, id: Column, text: Column, n: Int,
+      minCount: Long = 2): DataFrame = {
+    val words = df.select(id.as("_id"), split(text, " ").as("w"))
+    val sh = words
+      .select(col("_id"),
+        explode(when(size(col("w")) >= n,
+          transform(sequence(lit(1), size(col("w")) - (n - 1)),
+            i => struct(i.cast("long").as("pos"),
+              md5(concat_ws(" ", slice(col("w"), i, lit(n)))).as("h"))))
+          .otherwise(array().cast("array<struct<pos:bigint,h:string>>"))).as("p"))
+      .select(col("_id"), col("p.pos").as("pos"), col("p.h").as("h"))
+    val hot = sh.groupBy("h").agg(count(lit(1)).as("c"))
+      .where(col("c") >= minCount).select("h")
+    val dp = sh.join(hot, "h").select(col("_id"), col("pos"))
+    val wPrev = Window.partitionBy("_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val spans = dp
+      .withColumn("e", col("pos") + (n - 1))
+      .withColumn("brk",
+        when(col("pos") > coalesce(max(col("e")).over(wPrev), lit(-1L)), 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(wRun))
+      .groupBy("_id", "grp")
+      .agg(min(col("pos")).as("s"), max(col("e")).as("e"))
+    val perDoc = spans.groupBy("_id").agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("e") - col("s") + 1).as("n_removed"),
+      sort_array(collect_list(struct(col("s"), col("e")))).as("sp"))
+    val spArr = coalesce(col("sp"), array().cast("array<struct<s:bigint,e:bigint>>"))
+    val kept = filter(col("w"), (_, i) =>
+      !exists(spArr, b => i + 1 >= b.getField("s") && i + 1 <= b.getField("e")))
+    words.join(perDoc, Seq("_id"), "left")
+      .select(col("_id").as("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed_words"),
+        md5(concat_ws(" ", kept)).as("kept_md5"))
+  }
 }

@@ -31,8 +31,12 @@ object Retrieval {
   def ngramTerms(text: Column, n: Int): Column = {
     val w = split(text, " ")
     if (n == 1) w
-    else transform(sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
-      i => concat_ws("_", slice(w, i, lit(n))))
+    // guard: Spark's sequence(1, stop) runs DESCENDING for stop < 1
+    // (unlike generate_series), so sub-n-word docs need the empty case
+    else when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws("_", slice(w, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** BM25 top-k retrieval: for each query, the `k` best-scoring corpus

@@ -1781,6 +1781,56 @@ object PipelineQueries {
          |    (length(p) - length(replace(p, ' the ', ''))) // 5 + (length(p) - length(replace(p, ' a ', ''))) // 3 AS s_en,
          |    (length(p) - length(replace(p, ' data ', ''))) // 6 + (length(p) - length(replace(p, ' table ', ''))) // 7 AS s_x1,
          |    (length(p) - length(replace(p, ' spark ', ''))) // 7 + (length(p) - length(replace(p, ' query ', ''))) // 7 AS s_x2
-         |  FROM (SELECT doc_id, drop_reason, dt, ' ' || dt || ' ' AS p FROM cls))""".stripMargin)
+         |  FROM (SELECT doc_id, drop_reason, dt, ' ' || dt || ' ' AS p FROM cls))""".stripMargin),
+
+    // Exact repeated-substring excision (Lee et al. 2022): spans whose
+    // 8-gram repeats corpus-wide are cut out, not whole docs. Planted
+    // structure: a shared 12-word tail on doc_id%13==4 (cross-doc
+    // repeats, 5 overlapping shingles merging to one span) and a
+    // self-repeat on doc_id%17==2 (the doc's first 10 words appended —
+    // excises BOTH the head and the appended tail), on top of the
+    // corpus's own planted duplicate docs. The oracle rebuilds shingle
+    // counts, the running-max interval merge, and the index-filtered
+    // kept-text digest in SQL.
+    decl("q136_repeated_span_excision",
+      (s, d) => {
+        val doc = col("doc_id")
+        val phrase = "every repeated passage of training text gets removed " +
+          "span by span not document by document"
+        val pt = concat(col("text"),
+          when(doc % 13 === 4, lit(" " + phrase)).otherwise(lit("")),
+          when(doc % 17 === 2,
+            concat(lit(" "), concat_ws(" ", slice(split(col("text"), " "), 1, 10))))
+            .otherwise(lit("")))
+        Dedup.exciseRepeatedSpans(
+          t(s, d, "documents").select(doc, pt.as("pt")),
+          col("doc_id"), col("pt"), n = 8)
+      },
+      """WITH d0 AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 13 = 4 THEN ' every repeated passage of training text gets removed span by span not document by document' ELSE '' END
+        |  || CASE WHEN doc_id % 17 = 2 THEN ' ' || array_to_string((string_split(text, ' '))[1:10], ' ') ELSE '' END AS pt
+        |  FROM documents),
+        |w AS (SELECT doc_id, string_split(pt, ' ') AS w FROM d0),
+        |sh0 AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS pos FROM w),
+        |sh AS (SELECT doc_id, pos, md5(array_to_string(w[pos:pos+7], ' ')) AS h FROM sh0),
+        |hot AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 2),
+        |dp AS (SELECT sh.doc_id AS doc_id, sh.pos AS pos FROM sh JOIN hot USING (h)),
+        |m AS (SELECT doc_id, pos, pos + 7 AS e,
+        |  CASE WHEN pos > coalesce(max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+        |  FROM dp),
+        |g AS (SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM m),
+        |spans AS (SELECT doc_id, grp, MIN(pos) AS s, MAX(e) AS e FROM g GROUP BY 1, 2),
+        |sp AS (SELECT doc_id, COUNT(*)::BIGINT AS n_spans, SUM(e - s + 1)::BIGINT AS n_removed,
+        |       array_agg(s ORDER BY s) AS ss, array_agg(e ORDER BY s) AS ee FROM spans GROUP BY 1)
+        |SELECT w.doc_id AS doc_id, len(w.w)::BIGINT AS n_words,
+        |  coalesce(sp.n_spans, 0)::BIGINT AS n_spans,
+        |  coalesce(sp.n_removed, 0)::BIGINT AS n_removed_words,
+        |  md5(coalesce(array_to_string(list_transform(
+        |    list_filter(generate_series(1, len(w.w)), i ->
+        |      coalesce(list_sum(list_transform(generate_series(1, len(coalesce(sp.ss, []))),
+        |        j -> CASE WHEN i >= sp.ss[j] AND i <= sp.ee[j] THEN 1 ELSE 0 END)), 0) = 0),
+        |    i -> w.w[i]), ' '), '')) AS kept_md5
+        |FROM w LEFT JOIN sp USING (doc_id)""".stripMargin)
   )
 }

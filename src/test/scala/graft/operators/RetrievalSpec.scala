@@ -58,6 +58,30 @@ class RetrievalSpec extends SparkSpec {
     assert(out.filterNot(_._2).forall(_._3 < 0.0))
   }
 
+  test("exciseRepeatedSpans merges overlaps and keeps clean docs whole") {
+    // docs 1 and 2 share words 1..4 (two overlapping 3-gram positions
+    // merging into one span [1,4]); doc 3 is clean; doc 4 repeats its
+    // own opening trigram at the end (within-doc repeat, two spans).
+    val docs = Seq(
+      (1L, "a b c d x1 y1 z1"),
+      (2L, "a b c d x2 y2 z2"),
+      (3L, "p q r s t u v"),
+      (4L, "m n o k1 k2 k3 m n o")).toDF("doc_id", "text")
+    val out = Dedup.exciseRepeatedSpans(docs, col("doc_id"), col("text"), n = 3)
+      .select("doc_id", "n_words", "n_spans", "n_removed_words")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 7L, 1L, 4L)))
+    assert(out(1) == ((2L, 7L, 1L, 4L)))
+    assert(out(2) == ((3L, 7L, 0L, 0L)))
+    assert(out(3) == ((4L, 9L, 2L, 6L)))
+    // kept text of doc 1 is exactly the unshared tail
+    val k1 = Dedup.exciseRepeatedSpans(docs, col("doc_id"), col("text"), n = 3)
+      .where(col("doc_id") === 1).select("kept_md5").as[String].head()
+    val exp = java.security.MessageDigest.getInstance("MD5")
+      .digest("x1 y1 z1".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(k1 == exp)
+  }
+
   test("mixtureSample honors quotas and picks smallest salted hashes") {
     val docs = (1L to 300L).map { i =>
       val lang = if (i <= 200) "aa" else "bb"
