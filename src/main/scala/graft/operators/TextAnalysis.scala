@@ -182,4 +182,60 @@ object TextAnalysis {
   /** Filter an array-of-lines column down to the C4 survivors. */
   def c4CleanLines(lines: Column, minWords: Int = 4): Column =
     filter(lines, l => c4LineKeep(l, minWords))
+
+  /** BPE-style pair-merge training, `rounds` merge rounds unrolled:
+    * each round counts adjacent symbol pairs corpus-wide, picks the
+    * most frequent pair (ties broken lexicographically), and applies
+    * the greedy left-to-right non-overlapping merge to every document
+    * — the exact induction loop of byte-pair-encoding tokenizer
+    * training (Sennrich et al. 2016), run on word symbols here.
+    *
+    * Pure integer/string arithmetic, so merges reproduce bit-for-bit
+    * in any engine. Per round: one explode + pair-count aggregate, a
+    * 1-row argmax via min(struct(-cnt, a, b)) (no global sort), a
+    * broadcast of that single winner row, and the merge applied as an
+    * `aggregate` fold inside codegen. Nothing shuffles except the pair
+    * counts; document arrays never leave their partitions. Rounds
+    * recompute the lineage (bounded: rounds is small and each merge is
+    * a narrow map) — a long-horizon trainer would checkpoint per round
+    * like the IVF k-means trainer does.
+    *
+    * Returns one row per round:
+    * (round, sym_a, sym_b, pair_count, n_symbols_after). */
+  def bpeMergeRounds(df: org.apache.spark.sql.DataFrame, text: Column,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    val emptyPairs = array().cast("array<struct<a:string,b:string>>")
+    def pairCounts(sdf: org.apache.spark.sql.DataFrame) = sdf
+      .select(explode(when(size(col("syms")) >= 2,
+        transform(sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("a"),
+            element_at(col("syms"), i + 1).as("b"))))
+        .otherwise(emptyPairs)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    def winner(pairs: org.apache.spark.sql.DataFrame) = pairs
+      .agg(min(struct((-col("cnt")).as("nc"), col("a"), col("b"))).as("w"))
+      .select((-col("w.nc")).as("pair_count"), col("w.a").as("sym_a"),
+        col("w.b").as("sym_b"))
+    def applyMerge(sdf: org.apache.spark.sql.DataFrame,
+        win: org.apache.spark.sql.DataFrame) = sdf
+      .crossJoin(broadcast(win))
+      .select(aggregate(col("syms"), array().cast("array<string>"),
+        (acc, s) =>
+          when(size(acc) > 0 && element_at(acc, -1) === col("sym_a") &&
+            s === col("sym_b"),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(concat(col("sym_a"), lit("_"), col("sym_b")))))
+            .otherwise(concat(acc, array(s)))).as("syms"))
+    var cur = df.select(split(text, " ").as("syms"))
+    val rows = (1 to rounds).map { r =>
+      val win = winner(pairCounts(cur))
+      cur = applyMerge(cur, win)
+      val nAfter = cur.agg(sum(size(col("syms"))).cast("long").as("n_symbols_after"))
+      win.withColumn("round", lit(r.toLong)).crossJoin(nAfter)
+    }
+    rows.reduce(_.unionByName(_))
+      .select(col("round"), col("sym_a"), col("sym_b"), col("pair_count"),
+        col("n_symbols_after"))
+  }
 }

@@ -1831,6 +1831,32 @@ object PipelineQueries {
         |      coalesce(list_sum(list_transform(generate_series(1, len(coalesce(sp.ss, []))),
         |        j -> CASE WHEN i >= sp.ss[j] AND i <= sp.ee[j] THEN 1 ELSE 0 END)), 0) = 0),
         |    i -> w.w[i]), ' '), '')) AS kept_md5
-        |FROM w LEFT JOIN sp USING (doc_id)""".stripMargin)
+        |FROM w LEFT JOIN sp USING (doc_id)""".stripMargin),
+
+    // BPE pair-merge training, 3 rounds unrolled in the oracle: each
+    // round's winning pair, its count, and the corpus symbol count
+    // after the greedy merge. Pure integer/string arithmetic — the
+    // oracle replays the full induction (pair counts, lexicographic
+    // tie-break, list_reduce greedy merge) and must land on the exact
+    // same merges, proving rounds 2-3 see round 1's merged corpus.
+    decl("q137_bpe_merge_training",
+      (s, d) => TextAnalysis.bpeMergeRounds(
+        t(s, d, "documents"), col("text"), rounds = 3),
+      (1 to 3).map { i =>
+        s"""p$i AS (SELECT syms[j] AS a, syms[j+1] AS b FROM
+           |  (SELECT syms, unnest(generate_series(1, len(syms) - 1)) AS j FROM w${i - 1})),
+           |c$i AS (SELECT a, b, COUNT(*)::BIGINT AS cnt FROM p$i GROUP BY 1, 2),
+           |win$i AS (SELECT a, b, cnt, a || '_' || b AS m FROM c$i ORDER BY cnt DESC, a, b LIMIT 1),
+           |w$i AS (SELECT list_reduce(list_transform(syms, s -> [s]),
+           |  (acc, nxt) -> CASE WHEN len(acc) > 0 AND acc[-1] = win$i.a AND nxt[1] = win$i.b
+           |    THEN acc[1:len(acc)-1] || [win$i.m] ELSE acc || nxt END) AS syms
+           |  FROM w${i - 1}, win$i)""".stripMargin
+      }.mkString(
+        "WITH w0 AS (SELECT string_split(text, ' ') AS syms FROM documents),\n",
+        ",\n",
+        "\n" + (1 to 3).map { i =>
+          s"""SELECT $i::BIGINT AS round, a AS sym_a, b AS sym_b, cnt AS pair_count,
+             |  (SELECT SUM(len(syms))::BIGINT FROM w$i) AS n_symbols_after FROM win$i""".stripMargin
+        }.mkString("\nUNION ALL\n")))
   )
 }

@@ -82,6 +82,27 @@ class RetrievalSpec extends SparkSpec {
     assert(k1 == exp)
   }
 
+  test("bpeMergeRounds: round 2 counts the round-1 merged corpus") {
+    val docs = Seq(Tuple1("a b a b c"), Tuple1("a b c")).toDF("text")
+    val out = TextAnalysis.bpeMergeRounds(docs, col("text"), rounds = 2)
+      .orderBy("round")
+      .select("round", "sym_a", "sym_b", "pair_count", "n_symbols_after")
+      .as[(Long, String, String, Long, Long)].collect()
+    // r1: (a,b) x3 -> [a_b a_b c], [a_b c] (5 symbols);
+    // r2: (a_b,c) x2 beats (a_b,a_b) x1 -> 3 symbols
+    assert(out(0) == ((1L, "a", "b", 3L, 5L)))
+    assert(out(1) == ((2L, "a_b", "c", 2L, 3L)))
+  }
+
+  test("bpeMergeRounds greedy merge never overlaps a run") {
+    val docs = Seq(Tuple1("x x x x x")).toDF("text")
+    val out = TextAnalysis.bpeMergeRounds(docs, col("text"), rounds = 1)
+      .select("pair_count", "n_symbols_after").as[(Long, Long)].head()
+    // 4 overlapping (x,x) pairs counted, but the greedy merge yields
+    // [x_x, x_x, x] — 3 symbols, not 2
+    assert(out == ((4L, 3L)))
+  }
+
   test("mixtureSample honors quotas and picks smallest salted hashes") {
     val docs = (1L to 300L).map { i =>
       val lang = if (i <= 200) "aa" else "bb"
