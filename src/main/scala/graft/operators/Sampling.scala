@@ -106,4 +106,48 @@ object Sampling {
       .select(col("_id").as("id"), col("stratum"), col("stratum_docs"),
         col("stratum_tokens"), col("quota"), col("pick_rank"))
   }
+
+  /** Deterministic systematic resampling (stochastic-universal sampling
+    * with the jitter pinned at 0.5): draw exactly `m` copies from the
+    * corpus with per-doc multiplicity proportional to an INTEGER
+    * weight. Doc i with cumulative weight C_i out of total T receives
+    * #{k in [0,m) : (k+0.5)/m in [C_{i-1}/T, C_i/T)} copies — ALL
+    * integer arithmetic ((2k+1)·T < 2·m·C_i rearranged into a
+    * non-negative integer division), so any engine reproduces the
+    * counts bit-for-bit; no floating-point CDF can drift a copy across
+    * a boundary. Σ n_copies = m exactly, weight-0 docs get 0.
+    *
+    * The cumulative weight reuses Packing's two-phase prefix sum
+    * (per-bucket window + tiny bucket-offset frame) so no corpus-wide
+    * ordered window exists. Guard for 100 TB: 2·m·T must stay inside
+    * Long — with m ≤ 1e6 and T ≤ 1e12 that holds with margin.
+    *
+    * Returns (doc_id, w, n_copies) for every input doc (n_copies may
+    * be 0). */
+  def systematicResample(
+      df: DataFrame, id: Column, weight: Column, m: Long,
+      bucketSize: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(id.as("doc_id"),
+      greatest(weight.cast("long"), lit(0L)).as("w"))
+    val bucketed = base.withColumn("bucket",
+      floor(col("doc_id") / lit(bucketSize)).cast("long"))
+    val inBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val acrossBuckets = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = bucketed.groupBy("bucket").agg(sum(col("w")).as("btotal"))
+      .withColumn("bprefix", sum(col("btotal")).over(acrossBuckets) - col("btotal"))
+    val total = offs.agg(sum(col("btotal")).as("t"))
+    def copiesBelow(c: String): Column =
+      least(lit(m), expr(s"(greatest(2 * $m * $c - t, 0L) + 2 * t - 1) div (2 * t)"))
+    bucketed
+      .withColumn("run", sum(col("w")).over(inBucket))
+      .join(broadcast(offs.select("bucket", "bprefix")), Seq("bucket"))
+      .crossJoin(broadcast(total))
+      .withColumn("c", col("bprefix") + col("run"))
+      .withColumn("cprev", col("c") - col("w"))
+      .select(col("doc_id"), col("w"),
+        (copiesBelow("c") - copiesBelow("cprev")).as("n_copies"))
+  }
 }

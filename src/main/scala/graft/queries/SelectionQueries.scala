@@ -123,5 +123,33 @@ object SelectionQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)::BIGINT AS pick_rank
          |      FROM f)
          |SELECT doc_id, lang, stratum_docs, stratum_tokens, quota, pick_rank
-         |FROM r WHERE pick_rank <= quota""".stripMargin))
+         |FROM r WHERE pick_rank <= quota""".stripMargin),
+
+    // Deterministic systematic resampling to exactly 2000 copies:
+    // integer weights = token count, +40 planted upweight for English,
+    // zeroed on doc_id%41==6 (the zero-copy path). The oracle replays
+    // the all-integer boundary arithmetic on a plain global cumsum —
+    // proving the two-phase prefix decomposition AND that no copy
+    // drifts across a boundary in either engine.
+    decl("q138_systematic_resample",
+      (s, d) => {
+        val tok = size(split(col("text"), " ")).cast("long")
+        val w = when(col("doc_id") % 41 === 6, lit(0L))
+          .otherwise(tok + when(col("lang") === "en", lit(40L)).otherwise(lit(0L)))
+        Sampling.systematicResample(
+          t(s, d, "documents").select(col("doc_id"), w.as("w0")),
+          col("doc_id"), col("w0"), m = 2000L)
+      },
+      """WITH b AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 41 = 6 THEN 0
+        |       ELSE len(string_split(text, ' '))
+        |            + CASE WHEN lang = 'en' THEN 40 ELSE 0 END END::BIGINT AS w
+        |  FROM documents),
+        |r AS (SELECT doc_id, w,
+        |      SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c FROM b),
+        |t AS (SELECT SUM(w)::BIGINT AS t FROM b)
+        |SELECT doc_id, w,
+        |  (least(2000, (greatest(2 * 2000 * c - t.t, 0) + 2 * t.t - 1) // (2 * t.t))
+        |   - least(2000, (greatest(2 * 2000 * (c - w) - t.t, 0) + 2 * t.t - 1) // (2 * t.t)))::BIGINT AS n_copies
+        |FROM r, t""".stripMargin))
 }

@@ -103,6 +103,19 @@ class RetrievalSpec extends SparkSpec {
     assert(out == ((4L, 3L)))
   }
 
+  test("systematicResample draws exactly m copies, proportional, zero-safe") {
+    val docs = Seq((1L, 10L), (2L, 0L), (3L, 30L), (4L, 60L)).toDF("doc_id", "w0")
+    val out = Sampling.systematicResample(docs, col("doc_id"), col("w0"), m = 10L)
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toMap
+    // T=100, boundaries at C/T = .1, .1, .4, 1.0; u_k = (k+.5)/10
+    assert(out == Map(1L -> 1L, 2L -> 0L, 3L -> 3L, 4L -> 6L))
+    // sum is exactly m even when weights don't divide evenly
+    val skew = Seq((1L, 7L), (2L, 11L), (3L, 13L)).toDF("doc_id", "w0")
+    val tot = Sampling.systematicResample(skew, col("doc_id"), col("w0"), m = 9L)
+      .agg(sum("n_copies")).as[Long].head()
+    assert(tot == 9L)
+  }
+
   test("mixtureSample honors quotas and picks smallest salted hashes") {
     val docs = (1L to 300L).map { i =>
       val lang = if (i <= 200) "aa" else "bb"
