@@ -241,6 +241,73 @@ object StreamingQueries {
         |SELECT day, COUNT(*)::BIGINT AS n FROM ev
         |GROUP BY day
         |HAVING (epoch_ns((day || ' 00:00:00')::TIMESTAMP) // 1000
-        |        + 86400000000) <= (SELECT w FROM wm)""".stripMargin)
+        |        + 86400000000) <= (SELECT w FROM wm)""".stripMargin),
+
+    // q139: STREAMING content dedup for a crawl pipeline — the
+    // LLM-pipeline exact-dedup operator (q40) held continuously across
+    // two crawl drops with a checkpoint restart between them:
+    //   drop 1: the corpus, pre-deduped per drop (min doc_id per
+    //     content hash — each drop lands hash-unique, the realistic
+    //     per-crawl local dedup, and what keeps within-batch keeper
+    //     choice deterministic);
+    //   drop 2: doc_id%5==0 pages re-crawled UNCHANGED (same hash —
+    //     must be dropped by dedup STATE surviving the restart) and
+    //     doc_id%5==1 pages re-crawled with changed content (new hash —
+    //     must append with batch_seq 1).
+    // Plain dropDuplicates keys the state on the content hash alone —
+    // unbounded by design here (the corpus IS the keyspace); a
+    // time-bounded crawl would use dropDuplicatesWithinWatermark like
+    // q114. DuckDB recomputes the two-drop first-wins as batch SQL.
+    decl("q139_streaming_content_dedup",
+      (s, d) => {
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val base = s"/tmp/graft_q139_$tag"
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val landing = s"$base/landing"
+        val store = s"$base/store"
+        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+        val docs = t(s, d, "documents")
+        def dropFrame(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"), md5(col("text")).as("content_md5"))
+          .groupBy("content_md5").agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), col("content_md5"))
+        val drop1 = dropFrame(docs)
+        val drop2 = dropFrame(
+          docs.where(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+            .unionByName(docs.where(col("doc_id") % 5 === 1)
+              .select((col("doc_id") + 1000000L).as("doc_id"),
+                concat(col("text"), lit(" updated")).as("text"))))
+        def processAvailable(): Unit = {
+          val stream = s.readStream
+            .schema("doc_id LONG, content_md5 STRING").parquet(landing)
+          val q = graft.streaming.StatementStream.foreachBatchSink(
+            stream.dropDuplicates("content_md5"), s"$base/ck",
+            trigger = Some(Trigger.AvailableNow())) { (batch, bid) =>
+            batch.withColumn("batch_seq", lit(bid))
+              .write.mode("append").parquet(store)
+          }
+          q.awaitTermination()
+        }
+        drop1.write.mode("append").parquet(landing)
+        processAvailable()
+        drop2.write.mode("append").parquet(landing)
+        processAvailable()
+        s.read.parquet(store).select("doc_id", "content_md5", "batch_seq")
+      },
+      """WITH k1 AS (SELECT md5(text) AS h, MIN(doc_id) AS doc_id, 1 AS seq
+        |           FROM documents GROUP BY 1),
+        |d2 AS (SELECT md5(text) AS h, doc_id + 1000000 AS doc_id
+        |       FROM documents WHERE doc_id % 5 = 0
+        |       UNION ALL
+        |       SELECT md5(text || ' updated') AS h, doc_id + 1000000 AS doc_id
+        |       FROM documents WHERE doc_id % 5 = 1),
+        |k2 AS (SELECT h, MIN(doc_id) AS doc_id, 2 AS seq FROM d2 GROUP BY 1),
+        |drops AS (SELECT * FROM k1 UNION ALL SELECT * FROM k2)
+        |SELECT doc_id, h AS content_md5, (seq - 1)::BIGINT AS batch_seq
+        |FROM drops
+        |QUALIFY row_number() OVER (PARTITION BY h ORDER BY seq) = 1""".stripMargin)
   )
 }
