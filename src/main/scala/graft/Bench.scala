@@ -52,21 +52,28 @@ object Bench {
     def timedCapped(name: String, body: () => Unit): (Double, Boolean) = {
       val group = s"bench-$name-${System.nanoTime()}"
       @volatile var expired = false
+      @volatile var done = false
       val watchdog = new Thread(() => {
         try {
           Thread.sleep(capSec * 1000L)
-          expired = true
-          // kill the query's running AND subsequently-submitted jobs —
-          // driver-side loops (CC fixpoints, ETL stages) keep submitting
-          // after a plain cancelJobGroup
-          sc.cancelJobGroupAndFutureJobs(group, s"bench cap ${capSec}s hit by $name")
+          // `done` closes the completion race: without it a watchdog
+          // firing between body() returning and the finally-block
+          // interrupt would flag a FINISHED query as capped and cancel
+          // an already-idle job group
+          if (!done) {
+            expired = true
+            // kill the query's running AND subsequently-submitted jobs —
+            // driver-side loops (CC fixpoints, ETL stages) keep
+            // submitting after a plain cancelJobGroup
+            sc.cancelJobGroupAndFutureJobs(group, s"bench cap ${capSec}s hit by $name")
+          }
         } catch { case _: InterruptedException => () }
       }, s"bench-watchdog-$name")
       watchdog.setDaemon(true)
       sc.setJobGroup(group, name, interruptOnCancel = true)
       watchdog.start()
       val t0 = System.nanoTime()
-      try body() catch {
+      try { body(); done = true } catch {
         case e: Throwable if !expired =>
           System.err.println(s"[bench] $name: ${e.getMessage}")
         case _: Throwable => () // cancellation from the cap — expected
@@ -142,7 +149,27 @@ object Bench {
       }
 
     val cappedJson = capped.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir","cap_sec":$capSec,"capped":$cappedJson,"scaling":$scalingJson}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir","cap_sec":$capSec,"capped":$cappedJson,"scaling":$scalingJson}"""
+    println(json)
+    // Durability: the full summary (125+ queries + scaling block, ~4 KB)
+    // outgrows a harness's log-tail capture (round 6 stored only a
+    // 2,271-byte tail and BENCH parsed null despite a clean run), so the
+    // machine-readable artifact is also written — and fsynced — to a
+    // stable file that never depends on how much stdout a reader keeps.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_latest.json")
+    try {
+      val f = new java.io.File(outPath)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val fos = new java.io.FileOutputStream(f)
+      try {
+        fos.write((json + "\n").getBytes("UTF-8"))
+        fos.getFD.sync()
+      } finally fos.close()
+      System.err.println(s"[bench] summary written to $outPath")
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] WARNING: could not write $outPath: ${e.getMessage}")
+    }
     graft.queries.ExportQueries.unpersistAll()
     spark.stop()
   }

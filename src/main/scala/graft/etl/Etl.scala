@@ -491,15 +491,30 @@ object Etl {
       }
       val products = {
         import scala.concurrent.{Await, ExecutionContext, Future}
-        implicit val ec: ExecutionContext = ExecutionContext.global
+        // Dedicated pool, not ExecutionContext.global: on timeout the
+        // unfinished exporter futures must actually STOP — shutdownNow()
+        // interrupts them (writeProduct bodies are Spark actions, which
+        // respond to thread interrupts), so a wedged sink can neither
+        // keep mutating the version's product directory after the abort
+        // nor occupy a shared global-pool thread for the session.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.max(1, math.min(cfg.exporters.size, 8)))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
         val done = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
         val all = Future.sequence(cfg.exporters.map(name =>
           Future { writeProduct(name); done.add(name); name -> s"$dir/$name" }))
-        try Await.result(all, cfg.productTimeout).toMap
-        catch {
+        try {
+          val res = Await.result(all, cfg.productTimeout).toMap
+          pool.shutdown()
+          res
+        } catch {
           case _: java.util.concurrent.TimeoutException =>
+            pool.shutdownNow()
             throw ProductTimeoutException(
               cfg.exporters.filterNot(done.contains), cfg.productTimeout)
+          case e: Throwable =>
+            pool.shutdownNow()
+            throw e
         }
       }
       tick("products")

@@ -43,6 +43,18 @@ object AsOf {
     val payloadCols = right.columns.filterNot(c => c == key || c == ts).toSeq
     require(payloadCols.nonEmpty, "right side needs at least one payload column")
     val leftCols = left.columns.filterNot(c => c == key || c == ts).toSeq
+    // Collision guards (mirrors RangeJoin.pointInInterval): a left
+    // column sharing a name with a right payload column would emit a
+    // silently ambiguous duplicate-named output column, and an input
+    // column named like the internal scratch columns would break the
+    // union plan with an analysis error at best.
+    val overlap = leftCols.toSet intersect payloadCols.toSet
+    require(overlap.isEmpty,
+      s"left and right payload column names must be disjoint; shared: ${overlap.mkString(", ")}")
+    val reserved = Set("__pl", "__side", "__lrow", "__m")
+    val reservedHit = (left.columns ++ right.columns).filter(reserved).distinct
+    require(reservedHit.isEmpty,
+      s"input columns collide with asOfJoin internals: ${reservedHit.mkString(", ")}")
     val plType = org.apache.spark.sql.types.StructType(
       payloadCols.map(c => right.schema(c)))
     val lType = org.apache.spark.sql.types.StructType(

@@ -288,10 +288,10 @@ object Similarity {
   /** Multi-method recall report in ONE pass: the per-method frames are
     * unioned under a `method` column and each metric family is a single
     * grouped aggregation — one scan over the unioned candidates, one
-    * exact∩approx join, one planted∩approx join — instead of the ~7
-    * per-method scalar jobs the row-at-a-time form fired (4 methods ×
-    * 7 tiny aggregates + 1-row crossJoins cost 7% of the whole bench
-    * suite as pure job-scheduling overhead). `methods` is
+    * exact∩approx join, one planted∩approx join. (History: round 5
+    * shipped a row-at-a-time form — 7 scalar jobs per method — whose
+    * job-scheduling overhead dominated; this one-pass shape replaced it
+    * in round 6 at ~5× less wall.) `methods` is
     * (name, candidates, rankedApprox) triples. */
   def recallReportAll(
       exact: DataFrame, methods: Seq[(String, DataFrame, DataFrame)],

@@ -63,7 +63,16 @@ object Skew {
     * probe, whose shuffle is bytes-per-key tiny), and with hot keys
     * only THOSE salt across buckets — cold keys ride salt 0 so phase 1
     * groups match the unsalted layout and phase 2 shuffles ≈ the
-    * result size. `hotThreshold = 0` forces the always-salt form. */
+    * result size. `hotThreshold = 0` forces the always-salt form.
+    *
+    * EAGER PROBE: the hot-key probe runs a Spark job AT CALL TIME —
+    * this is a transformation-shaped API with one plan-time action
+    * inside, and the salt/no-salt decision is frozen into the returned
+    * plan. Re-executing that plan later over changed source data keeps
+    * the original decision (still exact either way — salting only
+    * changes the shuffle layout); callers on streaming or re-executed
+    * lineages who need the probe deferred (or skipped) should pass
+    * `hotThreshold = 0` to force the static always-salt form. */
   def saltedArrayRollup(
       df: DataFrame, keyCol: String, saltBy: Column,
       aggs: Seq[(String, Column)], buckets: Int = 16,

@@ -23,9 +23,15 @@ object PipelineQueries {
   private def eventsMicros(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val raw = t(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("tsu", expr("ts div 1000"))
-    else raw.withColumn("tsu", unix_micros(col("ts")))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("tsu", expr("ts div 1000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // UTC session tz everywhere → NTZ→TIMESTAMP cast is value-preserving
+        raw.withColumn("tsu",
+          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)))
+      case _ => raw.withColumn("tsu", unix_micros(col("ts")))
+    }
   }
 
   /** DuckDB CTE fragment implementing classic soundex (H/W-skip rule,

@@ -10,17 +10,23 @@ object Q {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries nanosecond parquet timestamps, which Spark's
-    * reader rejects. The session sets
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see Verify/Bench), so
-    * `ts` arrives as epoch-nanos long; convert to a microsecond timestamp
-    * here (floor division — matches DuckDB's epoch_us on TIMESTAMP_NS). */
+  /** Events with `ts` normalized to a plain TIMESTAMP regardless of how
+    * the parquet encodes it. Known generator variants: nanosecond
+    * timestamps (session sets `spark.sql.legacy.parquet.nanosAsLong=true`
+    * so `ts` arrives as epoch-nanos long → floor-divide to micros, matching
+    * DuckDB's epoch_us on TIMESTAMP_NS) and microsecond wall-clock
+    * timestamps (Spark infers TIMESTAMP_NTZ → cast to TIMESTAMP; the
+    * session timezone is UTC everywhere, so the cast is value-preserving
+    * and matches DuckDB's naive read). */
   def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = t(s, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
 
   /** One declared query: Spark plan + optional DuckDB oracle SQL. */
