@@ -497,8 +497,25 @@ object Etl {
         // respond to thread interrupts), so a wedged sink can neither
         // keep mutating the version's product directory after the abort
         // nor occupy a shared global-pool thread for the session.
+        // Daemon threads: every exit path below shuts the pool down, but
+        // an exporter that swallows its interrupt could otherwise pin a
+        // non-daemon thread and block JVM exit after shutdownNow. Note
+        // the failure semantics this pool carries (vs the old global
+        // pool): one exporter failing interrupts its siblings mid-write,
+        // so a failed run can leave MORE partially-written product files
+        // — ProductTimeoutException callers must treat the whole version
+        // directory as aborted, which the publish gate already does.
+        val poolThreads = math.max(1, math.min(cfg.exporters.size, 8))
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.max(1, math.min(cfg.exporters.size, 8)))
+          poolThreads,
+          new java.util.concurrent.ThreadFactory {
+            private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+            def newThread(r: Runnable): Thread = {
+              val t = new Thread(r, s"graft-exporter-${n.incrementAndGet()}")
+              t.setDaemon(true)
+              t
+            }
+          })
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
         val done = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
         val all = Future.sequence(cfg.exporters.map(name =>
