@@ -25,11 +25,22 @@ object Packing {
   /** Per-document packing manifest: token count (incl. one separator),
     * global start offset, and first/last sequence index at `seqLen`
     * tokens per training sequence. Documents are packed in ascending
-    * `id` order. */
+    * `id` order. Counts here are the whitespace estimate; a trained
+    * tokenizer's real counts enter via `packManifestFromCounts`. */
   def packManifest(docs: DataFrame, id: Column, text: Column,
+      seqLen: Long, bucketSize: Long = 1000L): DataFrame =
+    packManifestFromCounts(
+      docs.select(id.as("doc_id"),
+        (TextAnalysis.tokenCount(text) + 1L).as("n_tokens")),
+      seqLen, bucketSize)
+
+  /** Manifest over precomputed per-document token counts — the entry
+    * point for REAL tokenizer output (e.g. `TextAnalysis.bpeEncode`'s
+    * n_tokens, +1 separator added by the caller or already included in
+    * `n_tokens`). `toks` is (doc_id, n_tokens). Same two-phase prefix
+    * sum as above. */
+  def packManifestFromCounts(toks: DataFrame,
       seqLen: Long, bucketSize: Long = 1000L): DataFrame = {
-    val toks = docs.select(id.as("doc_id"),
-      (TextAnalysis.tokenCount(text) + 1L).as("n_tokens"))
     val bucketed = toks.withColumn("bucket",
       floor(col("doc_id") / lit(bucketSize)).cast("long"))
     val inBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))

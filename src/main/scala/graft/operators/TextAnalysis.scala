@@ -195,15 +195,21 @@ object TextAnalysis {
     * 1-row argmax via min(struct(-cnt, a, b)) (no global sort), a
     * broadcast of that single winner row, and the merge applied as an
     * `aggregate` fold inside codegen. Nothing shuffles except the pair
-    * counts; document arrays never leave their partitions. Rounds
-    * recompute the lineage (bounded: rounds is small and each merge is
-    * a narrow map) — a long-horizon trainer would checkpoint per round
-    * like the IVF k-means trainer does.
+    * counts; document arrays never leave their partitions.
+    *
+    * Lineage: each round's corpus is derived from the previous round's,
+    * so an unbounded unrolling would recompute every earlier merge on
+    * every later round's pair count. Beyond `checkpointAfter` rounds the
+    * trainer therefore ends each round in a localCheckpoint
+    * materialization barrier — same contract as the IVF k-means trainer
+    * (Similarity.kmeansCentroids) — making per-round cost flat in the
+    * round number. Short trainings (the common case) keep the pure
+    * lazy plan: a checkpoint there would only add materialization cost.
     *
     * Returns one row per round:
     * (round, sym_a, sym_b, pair_count, n_symbols_after). */
   def bpeMergeRounds(df: org.apache.spark.sql.DataFrame, text: Column,
-      rounds: Int): org.apache.spark.sql.DataFrame = {
+      rounds: Int, checkpointAfter: Int = 4): org.apache.spark.sql.DataFrame = {
     val emptyPairs = array().cast("array<struct<a:string,b:string>>")
     def pairCounts(sdf: org.apache.spark.sql.DataFrame) = sdf
       .select(explode(when(size(col("syms")) >= 2,
@@ -231,11 +237,59 @@ object TextAnalysis {
     val rows = (1 to rounds).map { r =>
       val win = winner(pairCounts(cur))
       cur = applyMerge(cur, win)
+      if (rounds > checkpointAfter) cur = cur.localCheckpoint()
       val nAfter = cur.agg(sum(size(col("syms"))).cast("long").as("n_symbols_after"))
       win.withColumn("round", lit(r.toLong)).crossJoin(nAfter)
     }
     rows.reduce(_.unionByName(_))
       .select(col("round"), col("sym_a"), col("sym_b"), col("pair_count"),
         col("n_symbols_after"))
+  }
+
+  /** BPE *encoding*: apply a trained merge table to tokenize documents —
+    * the operator that closes the pretraining seam between merge
+    * training (`bpeMergeRounds`) and sequence packing
+    * (`Packing.packManifest`): train a tokenizer on one split, encode
+    * the whole corpus, pack real token counts.
+    *
+    * `merges` is the trainer's output schema (round, sym_a, sym_b …):
+    * rules MUST apply in training order (BPE rank order — rule r+1 was
+    * induced on a corpus that had rule r applied), and each rule applies
+    * as the same greedy left-to-right non-overlapping adjacent merge
+    * the trainer used, so encoding the training split reproduces the
+    * trainer's final corpus exactly.
+    *
+    * Scale shape: the merge table is rank-many rows (a tokenizer is
+    * ~10^4–10^5 rules) — aggregated to ONE array row and broadcast; the
+    * encode itself is a nested `aggregate` fold (outer over rules,
+    * inner over the document's symbols) that runs entirely inside the
+    * document's partition. No shuffle, no UDF, no driver collect: the
+    * whole encode is one narrow projection over the corpus.
+    *
+    * Returns (doc_id, n_tokens, tokens_md5): the post-merge token
+    * count and an md5 digest of the space-joined token stream (the
+    * engine-independent witness that two encoders produced the same
+    * tokens). */
+  def bpeEncode(docs: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, merges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // one row: rules ordered by training round
+    val rules = merges
+      .agg(array_sort(collect_list(struct(col("round"), col("sym_a"), col("sym_b"))))
+        .as("rules"))
+    docs.select(id.as("doc_id"), split(text, " ").as("syms"))
+      .crossJoin(broadcast(rules))
+      .select(col("doc_id"),
+        aggregate(col("rules"), col("syms"), (acc, rule) => {
+          val a = rule.getField("sym_a")
+          val b = rule.getField("sym_b")
+          aggregate(acc, array().cast("array<string>"),
+            (out, s) =>
+              when(size(out) > 0 && element_at(out, -1) === a && s === b,
+                concat(slice(out, lit(1), size(out) - 1),
+                  array(concat(a, lit("_"), b))))
+                .otherwise(concat(out, array(s))))
+        }).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("toks"))).as("tokens_md5"))
   }
 }

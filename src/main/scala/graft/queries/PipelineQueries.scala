@@ -1863,6 +1863,80 @@ object PipelineQueries {
         "\n" + (1 to 3).map { i =>
           s"""SELECT $i::BIGINT AS round, a AS sym_a, b AS sym_b, cnt AS pair_count,
              |  (SELECT SUM(len(syms))::BIGINT FROM w$i) AS n_symbols_after FROM win$i""".stripMargin
-        }.mkString("\nUNION ALL\n")))
+        }.mkString("\nUNION ALL\n"))),
+
+    // BPE ENCODE — the seam-closer between tokenizer training (q137)
+    // and sequence packing (q132): merges are trained on HALF the
+    // corpus (doc_id % 2 = 0), then applied in rank order to every
+    // document. The oracle replays the split training AND the rule
+    // application per document, so the hash match proves the encoder
+    // applies rules in training order with the trainer's exact greedy
+    // left-to-right semantics — including on documents the trainer
+    // never saw.
+    decl("q140_bpe_encode",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val merges = TextAnalysis.bpeMergeRounds(
+          docs.filter(col("doc_id") % 2 === 0), col("text"), rounds = 3)
+          .select(col("round"), col("sym_a"), col("sym_b"))
+        TextAnalysis.bpeEncode(docs, col("doc_id"), col("text"), merges)
+      },
+      bpeSplitTrainSql(3) +
+        "\nSELECT doc_id, len(syms)::BIGINT AS n_tokens, " +
+        "md5(array_to_string(syms, ' ')) AS tokens_md5 FROM e3"),
+
+    // Train → encode → PACK: the full pretraining layout path on real
+    // tokenizer output. The packing manifest runs over bpeEncode's
+    // n_tokens (+1 separator) through the same two-phase prefix sum as
+    // q132; the oracle packs DuckDB's own re-encoded counts with a
+    // plain global cumsum.
+    decl("q141_bpe_pack",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val merges = TextAnalysis.bpeMergeRounds(
+          docs.filter(col("doc_id") % 2 === 0), col("text"), rounds = 3)
+          .select(col("round"), col("sym_a"), col("sym_b"))
+        val enc = TextAnalysis.bpeEncode(docs, col("doc_id"), col("text"), merges)
+        Packing.packManifestFromCounts(
+          enc.select(col("doc_id"), (col("n_tokens") + 1L).as("n_tokens")),
+          seqLen = 512L, bucketSize = 100L)
+      },
+      bpeSplitTrainSql(3) +
+        """,
+          |toks AS (SELECT doc_id, (len(syms) + 1)::BIGINT AS n_tokens FROM e3),
+          |run AS (
+          |  SELECT doc_id, n_tokens,
+          |    SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+          |  FROM toks)
+          |SELECT doc_id, n_tokens,
+          |  (cum - n_tokens)::BIGINT AS off_start,
+          |  ((cum - n_tokens) // 512)::BIGINT AS seq_first,
+          |  ((cum - 1) // 512)::BIGINT AS seq_last
+          |FROM run""".stripMargin)
   )
+
+  /** DuckDB CTE prefix: train `rounds` BPE merges on the even-doc_id
+    * split (t0..tN mirror the trainer's corpus; winI the rank-I rule)
+    * and apply each rule in rank order to the WHOLE corpus
+    * (e0..eN). Ends after the eN CTE — callers append the final
+    * SELECT. Same list_reduce greedy-merge lambda as the q137 oracle. */
+  private def bpeSplitTrainSql(rounds: Int): String = {
+    def mergeReduce(win: String, from: String): String =
+      s"""SELECT doc_id, list_reduce(list_transform(syms, s -> [s]),
+         |  (acc, nxt) -> CASE WHEN len(acc) > 0 AND acc[-1] = $win.a AND nxt[1] = $win.b
+         |    THEN acc[1:len(acc)-1] || [$win.m] ELSE acc || nxt END) AS syms
+         |  FROM $from, $win""".stripMargin
+    val ctes = (1 to rounds).map { i =>
+      s"""p$i AS (SELECT syms[j] AS a, syms[j+1] AS b FROM
+         |  (SELECT syms, unnest(generate_series(1, len(syms) - 1)) AS j FROM t${i - 1})),
+         |c$i AS (SELECT a, b, COUNT(*)::BIGINT AS cnt FROM p$i GROUP BY 1, 2),
+         |win$i AS (SELECT a, b, cnt, a || '_' || b AS m FROM c$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |t$i AS (SELECT doc_id, syms FROM (${mergeReduce(s"win$i", s"t${i - 1}")})),
+         |e$i AS (SELECT doc_id, syms FROM (${mergeReduce(s"win$i", s"e${i - 1}")}))""".stripMargin
+    }
+    "WITH d AS (SELECT doc_id, string_split(text, ' ') AS syms FROM documents),\n" +
+      "t0 AS (SELECT doc_id, syms FROM d WHERE doc_id % 2 = 0),\n" +
+      "e0 AS (SELECT doc_id, syms FROM d),\n" +
+      ctes.mkString(",\n")
+  }
 }

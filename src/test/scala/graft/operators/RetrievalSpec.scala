@@ -103,6 +103,47 @@ class RetrievalSpec extends SparkSpec {
     assert(out == ((4L, 3L)))
   }
 
+  test("bpeMergeRounds: checkpointed long training matches the lazy plan") {
+    val docs = Seq(Tuple1("a b c d e f a b c d e f a b c d"),
+      Tuple1("b c d e f a b c"), Tuple1("c d e f")).toDF("text")
+    // 6 rounds: default checkpointAfter=4 → per-round localCheckpoint;
+    // checkpointAfter=100 → pure lazy lineage. Identical merge history
+    // proves the barrier changes cost shape only, never results.
+    def run(ckptAfter: Int) =
+      TextAnalysis.bpeMergeRounds(docs, col("text"), rounds = 6,
+          checkpointAfter = ckptAfter)
+        .orderBy("round")
+        .select("round", "sym_a", "sym_b", "pair_count", "n_symbols_after")
+        .as[(Long, String, String, Long, Long)].collect().toSeq
+    val ckpt = run(4)
+    val lazyPlan = run(100)
+    assert(ckpt == lazyPlan)
+    assert(ckpt.length == 6)
+  }
+
+  test("bpeEncode applies trained rules in rank order, greedy, on unseen docs") {
+    val train = Seq(Tuple1("a b a b c"), Tuple1("a b c")).toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val merges = TextAnalysis.bpeMergeRounds(train, col("text"), rounds = 2)
+      .select("round", "sym_a", "sym_b")
+    // rules: r1 (a,b) → a_b; r2 (a_b,c) → a_b_c
+    val docs = Seq((1L, "a b c"), (2L, "a b a b c"), (3L, "c a b"),
+      (4L, "q"), (5L, "a a b b")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(docs, col("doc_id"), col("text"), merges)
+      .orderBy("doc_id").select("doc_id", "n_tokens")
+      .as[(Long, Long)].collect().toSeq
+    // 1: [a_b_c]; 2: [a_b_c? ...] — greedy: a b a b c → a_b a_b c → a_b a_b_c (2)
+    // 3: c a b → c a_b (2); 4: [q] (1); 5: a a b b → a a_b b (3)
+    assert(out == Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 1L), (5L, 3L)))
+    // encoding the training corpus reproduces the trainer's final state:
+    // total symbols == n_symbols_after of the last round
+    val enc = TextAnalysis.bpeEncode(train, col("doc_id"), col("text"), merges)
+      .agg(sum("n_tokens")).as[Long].head()
+    val lastRound = TextAnalysis.bpeMergeRounds(train, col("text"), rounds = 2)
+      .orderBy(col("round").desc).select("n_symbols_after").as[Long].head()
+    assert(enc == lastRound)
+  }
+
   test("systematicResample draws exactly m copies, proportional, zero-safe") {
     val docs = Seq((1L, 10L), (2L, 0L), (3L, 30L), (4L, 60L)).toDF("doc_id", "w0")
     val out = Sampling.systematicResample(docs, col("doc_id"), col("w0"), m = 10L)
