@@ -1912,7 +1912,149 @@ object PipelineQueries {
           |  (cum - n_tokens)::BIGINT AS off_start,
           |  ((cum - n_tokens) // 512)::BIGINT AS seq_first,
           |  ((cum - 1) // 512)::BIGINT AS seq_last
-          |FROM run""".stripMargin)
+          |FROM run""".stripMargin),
+
+    // Blocker-recall regression harness — the reference's bench_pairs
+    // measure (/root/reference/contrib/bench_pairs.py:1-60: how many
+    // known-positive pairs does the blocker re-propose?) as an oracle
+    // query. Every part spawns ONE planted variant whose true match is
+    // the original; the variant class cycles by key: exact copy,
+    // word-order shuffle, soundex-preserving vowel respelling (first
+    // letter + consonant skeleton kept), first-token-to-initial. Both
+    // production blockers run over the planted subjects vs the original
+    // targets, and the report is per (blocker, class): planted pairs,
+    // recalled pairs, recall, and total candidate volume — so a
+    // recall-destroying blocker change flips the oracle hash, exactly
+    // like the reference's regression gate. Expected shape, locked by
+    // the oracle: sorted-bigram recalls exact + word-order fully (order
+    // invariance by construction), loses most spelling variants (no
+    // shared tokens); phonetic recalls exact/word-order/spelling fully
+    // and initials never (the initial's soundex code differs).
+    decl("q142_blocker_recall",
+      (s, d) => {
+        val off = 10000000L
+        val p = t(s, d, "part")
+        val w = split(col("p_name"), " ")
+        val cls = (col("p_partkey") % 4).cast("int")
+        val variant = when(cls === 0, col("p_name"))
+          .when(cls === 1, concat_ws(" ", reverse(w)))
+          .when(cls === 2, concat_ws(" ", transform(w, tk =>
+            concat(substring(tk, 1, 1),
+              translate(substring(tk, 2, 1 << 20), "aeiou", "eioua")))))
+          .otherwise(concat_ws(" ",
+            concat(array(substring(element_at(w, 1), 1, 1)),
+              slice(w, lit(2), greatest(size(w) - 1, lit(0))))))
+        val subjects = p.select((col("p_partkey") + off).as("sid"),
+          variant.as("snm"), cls.as("cls"))
+        val targets = p.select(col("p_partkey").as("tid"), col("p_name").as("tnm"))
+        val lex = Blocking.candidates(subjects, targets,
+          col("sid"), col("snm"), col("tid"), col("tnm"), maxDf = 100)
+        val pho = Blocking.candidatesPhonetic(subjects, targets,
+          col("sid"), col("snm"), col("tid"), col("tnm"), maxDf = 100)
+        val subjCls = subjects.select(col("sid").as("subject_id"), col("cls"))
+        val planted = subjCls.groupBy("cls").agg(count(lit(1)).as("n_planted"))
+        def report(nm: String, cands: org.apache.spark.sql.DataFrame) = {
+          val cd = cands.select("subject_id", "target_id").distinct()
+          val recalled = subjCls
+            .withColumn("target_id", col("subject_id") - off)
+            .join(cd, Seq("subject_id", "target_id"), "left_semi")
+            .groupBy("cls").agg(count(lit(1)).as("n_recalled"))
+          val vol = cd.join(subjCls, "subject_id")
+            .groupBy("cls").agg(count(lit(1)).as("n_candidates"))
+          planted.join(recalled, Seq("cls"), "left").join(vol, Seq("cls"), "left")
+            .select(lit(nm).as("blocker"), col("cls"), col("n_planted"),
+              coalesce(col("n_recalled"), lit(0L)).as("n_recalled"),
+              (coalesce(col("n_recalled"), lit(0L)).cast("double") /
+                col("n_planted").cast("double"))
+                .cast("decimal(9,6)").cast("double").as("recall"),
+              coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+        }
+        report("bigram", lex).unionByName(report("phonetic", pho))
+          .withColumn("variant_class",
+            when(col("cls") === 0, "exact").when(col("cls") === 1, "word_order")
+              .when(col("cls") === 2, "spelling").otherwise("initials"))
+          .select(col("blocker"), col("variant_class"), col("n_planted"),
+            col("n_recalled"), col("recall"), col("n_candidates"))
+      },
+      s"""WITH p0 AS (SELECT p_partkey AS pk, p_name AS nm,
+        |    string_split(p_name, ' ') AS w, (p_partkey % 4) AS cls FROM part),
+        |subj AS (SELECT pk + 10000000 AS id, cls,
+        |  CASE cls
+        |    WHEN 0 THEN nm
+        |    WHEN 1 THEN array_to_string(list_transform(
+        |      generate_series(len(w), 1, -1), i -> w[i]), ' ')
+        |    WHEN 2 THEN array_to_string(list_transform(w, t ->
+        |      substr(t, 1, 1) || translate(substr(t, 2), 'aeiou', 'eioua')), ' ')
+        |    ELSE array_to_string([substr(w[1], 1, 1)] || w[2:], ' ')
+        |  END AS nm FROM p0),
+        |tgt AS (SELECT pk AS id, nm FROM p0),
+        |sw AS (SELECT id, list_sort(list_distinct(list_filter(
+        |    string_split(nm, ' '), t -> len(t) > 0))) AS sw FROM subj),
+        |twd AS (SELECT id, list_sort(list_distinct(list_filter(
+        |    string_split(nm, ' '), t -> len(t) > 0))) AS sw FROM tgt),
+        |skeys1 AS (SELECT DISTINCT id, unnest(CASE WHEN len(sw) >= 2
+        |    THEN list_transform(generate_series(1, len(sw) - 1), i -> sw[i] || ' ' || sw[i+1])
+        |    ELSE sw END) AS bkey FROM sw),
+        |tkeys1 AS (SELECT DISTINCT id, unnest(CASE WHEN len(sw) >= 2
+        |    THEN list_transform(generate_series(1, len(sw) - 1), i -> sw[i] || ' ' || sw[i+1])
+        |    ELSE sw END) AS bkey FROM twd),
+        |skeys AS (SELECT k.id, k.bkey FROM skeys1 k
+        |  JOIN (SELECT bkey, COUNT(*) df FROM skeys1 GROUP BY bkey) f
+        |  ON k.bkey = f.bkey AND f.df <= 100),
+        |tkeys AS (SELECT k.id, k.bkey FROM tkeys1 k
+        |  JOIN (SELECT bkey, COUNT(*) df FROM tkeys1 GROUP BY bkey) f
+        |  ON k.bkey = f.bkey AND f.df <= 100),
+        |lexpairs AS (SELECT DISTINCT sk.id AS subject_id, tk.id AS target_id
+        |  FROM skeys sk JOIN tkeys tk ON sk.bkey = tk.bkey),
+        |toks0 AS (SELECT DISTINCT tok FROM (
+        |  SELECT unnest(list_filter(string_split(nm, ' '), t -> len(t) > 0)) AS tok
+        |  FROM (SELECT nm FROM subj UNION ALL SELECT nm FROM tgt))),
+        |$sqlSoundexCtes,
+        |sfp AS (SELECT x.id,
+        |    array_to_string(list_sort(list_distinct(list(sx.code))), ' ') AS fp
+        |  FROM (SELECT id, unnest(list_filter(string_split(nm, ' '),
+        |      t -> len(t) > 0)) AS tok FROM subj) x
+        |  JOIN sx ON x.tok = sx.tok GROUP BY x.id),
+        |tfp AS (SELECT x.id,
+        |    array_to_string(list_sort(list_distinct(list(sx.code))), ' ') AS fp
+        |  FROM (SELECT id, unnest(list_filter(string_split(nm, ' '),
+        |      t -> len(t) > 0)) AS tok FROM tgt) x
+        |  JOIN sx ON x.tok = sx.tok GROUP BY x.id),
+        |sfpk AS (SELECT k.id, k.fp FROM sfp k
+        |  JOIN (SELECT fp, COUNT(*) df FROM sfp GROUP BY fp) f
+        |  ON k.fp = f.fp AND f.df <= 100),
+        |tfpk AS (SELECT k.id, k.fp FROM tfp k
+        |  JOIN (SELECT fp, COUNT(*) df FROM tfp GROUP BY fp) f
+        |  ON k.fp = f.fp AND f.df <= 100),
+        |phopairs AS (SELECT DISTINCT sk.id AS subject_id, tk.id AS target_id
+        |  FROM sfpk sk JOIN tfpk tk ON sk.fp = tk.fp),
+        |planted AS (SELECT cls, COUNT(*)::BIGINT AS n_planted FROM subj GROUP BY cls),
+        |reports AS (
+        |  SELECT 'bigram' AS blocker, p.cls, p.n_planted,
+        |    coalesce(r.n, 0)::BIGINT AS n_recalled,
+        |    coalesce(v.n, 0)::BIGINT AS n_candidates
+        |  FROM planted p
+        |  LEFT JOIN (SELECT s.cls, COUNT(*) n FROM lexpairs c
+        |    JOIN subj s ON c.subject_id = s.id AND c.target_id = s.id - 10000000
+        |    GROUP BY s.cls) r ON p.cls = r.cls
+        |  LEFT JOIN (SELECT s.cls, COUNT(*) n FROM lexpairs c
+        |    JOIN subj s ON c.subject_id = s.id GROUP BY s.cls) v ON p.cls = v.cls
+        |  UNION ALL
+        |  SELECT 'phonetic', p.cls, p.n_planted,
+        |    coalesce(r.n, 0)::BIGINT, coalesce(v.n, 0)::BIGINT
+        |  FROM planted p
+        |  LEFT JOIN (SELECT s.cls, COUNT(*) n FROM phopairs c
+        |    JOIN subj s ON c.subject_id = s.id AND c.target_id = s.id - 10000000
+        |    GROUP BY s.cls) r ON p.cls = r.cls
+        |  LEFT JOIN (SELECT s.cls, COUNT(*) n FROM phopairs c
+        |    JOIN subj s ON c.subject_id = s.id GROUP BY s.cls) v ON p.cls = v.cls)
+        |SELECT blocker,
+        |  CASE cls WHEN 0 THEN 'exact' WHEN 1 THEN 'word_order'
+        |    WHEN 2 THEN 'spelling' ELSE 'initials' END AS variant_class,
+        |  n_planted, n_recalled,
+        |  CAST(CAST(n_recalled::DOUBLE / n_planted::DOUBLE AS DECIMAL(9,6)) AS DOUBLE) AS recall,
+        |  n_candidates
+        |FROM reports""".stripMargin)
   )
 
   /** DuckDB CTE prefix: train `rounds` BPE merges on the even-doc_id
