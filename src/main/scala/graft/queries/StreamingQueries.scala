@@ -308,6 +308,107 @@ object StreamingQueries {
         |drops AS (SELECT * FROM k1 UNION ALL SELECT * FROM k2)
         |SELECT doc_id, h AS content_md5, (seq - 1)::BIGINT AS batch_seq
         |FROM drops
-        |QUALIFY row_number() OVER (PARTITION BY h ORDER BY seq) = 1""".stripMargin)
+        |QUALIFY row_number() OVER (PARTITION BY h ORDER BY seq) = 1""".stripMargin),
+
+    // q143: STREAMING version delta — the T4/J6 batch diff
+    // (Delta.entityHash/diff) held continuously: each landed drop is a
+    // full version snapshot; foreachBatch hashes the version's entities,
+    // diffs against the PREVIOUS version's persisted hash table, and
+    // emits (version, id, ADD/MOD/DEL) — zavod's delta exporter
+    // semantics, but incremental: no drop ever re-reads prior drops'
+    // statements, and the carried state is one (id, hash) row per live
+    // entity. Drop 2 exercises all three ops: k%7==0 orders change
+    // their status value (MOD), k%7==1 orders vanish (DEL), k%7==2
+    // orders spawn a fresh satellite entity (ADD), everything else is
+    // byte-identical and must emit NOTHING. The checkpoint restart
+    // between drops proves version continuity (batch ids continue).
+    // DuckDB reconstructs both snapshots and diffs them as batch SQL by
+    // comparing sorted (prop=value) lists — hash equality on the Spark
+    // side must agree exactly with list equality on the oracle side.
+    decl("q143_streaming_version_delta",
+      (s, d) => {
+        import graft.streaming.StatementStream
+        import graft.model.Statement
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val base = s"/tmp/graft_q143_$tag"
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val landing = s"$base/landing"
+        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+        val T1 = "2026-01-01 00:00:00"
+        def stmts(rows: org.apache.spark.sql.DataFrame, eid: org.apache.spark.sql.Column,
+            prop: String, value: org.apache.spark.sql.Column) =
+          rows.select(
+            md5(concat_ws("|", eid, lit(prop), value)).as("id"),
+            eid.as("entityId"), eid.as("canonicalId"),
+            lit(prop).as("prop"), lit("Thing").as("schema"),
+            value.as("value"), lit("stream").as("dataset"),
+            lit("en").as("lang"), lit("crawl").as("origin"),
+            value.as("originalValue"),
+            lit(T1).cast("timestamp").as("firstSeen"),
+            lit(T1).cast("timestamp").as("lastSeen"),
+            lit(false).as("external"))
+            .select(Statement.sparkSchema.map(f => col(f.name).cast(f.dataType)): _*)
+        val o = t(s, d, "orders")
+        val k = col("o_orderkey")
+        val oid = concat(lit("o"), k.cast("string"))
+        val nid = concat(lit("n"), k.cast("string"))
+        val drop1 = stmts(o, oid, "status", col("o_orderstatus"))
+          .unionByName(stmts(o, oid, "priority", col("o_orderpriority")))
+        val o2 = o.filter(k % 7 =!= 1)
+        val drop2 = stmts(o2, oid, "status",
+            when(k % 7 === 0, concat(col("o_orderstatus"), lit("_x")))
+              .otherwise(col("o_orderstatus")))
+          .unionByName(stmts(o2, oid, "priority", col("o_orderpriority")))
+          .unionByName(stmts(o.filter(k % 7 === 2), nid, "status", lit("NEW")))
+        def processAvailable(): Unit = {
+          val stream = s.readStream.schema(Statement.sparkSchema)
+            // one batch per drop: the whole drop in a single trigger, so
+            // each micro-batch is exactly one version snapshot
+            .option("maxFilesPerTrigger", "10000").parquet(landing)
+          val q = StatementStream.foreachBatchSink(stream, s"$base/ck",
+            trigger = Some(Trigger.AvailableNow())) { (batch, bid) =>
+            StatementStream.versionDeltaBatch(batch, bid,
+              s"$base/hashes", s"$base/ops")
+          }
+          q.awaitTermination()
+        }
+        drop1.write.mode("append").parquet(landing)
+        processAvailable()
+        drop2.write.mode("append").parquet(landing)
+        processAvailable()
+        s.read.parquet(s"$base/ops").select("version", "id", "op")
+      },
+      """WITH v0 AS (
+        |  SELECT 'o' || o_orderkey::VARCHAR AS id, 'status' AS prop,
+        |    o_orderstatus AS value FROM orders
+        |  UNION ALL
+        |  SELECT 'o' || o_orderkey::VARCHAR, 'priority', o_orderpriority FROM orders),
+        |v1 AS (
+        |  SELECT 'o' || o_orderkey::VARCHAR AS id, 'status' AS prop,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_orderstatus || '_x'
+        |         ELSE o_orderstatus END AS value
+        |  FROM orders WHERE o_orderkey % 7 != 1
+        |  UNION ALL
+        |  SELECT 'o' || o_orderkey::VARCHAR, 'priority', o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 != 1
+        |  UNION ALL
+        |  SELECT 'n' || o_orderkey::VARCHAR, 'status', 'NEW'
+        |  FROM orders WHERE o_orderkey % 7 = 2),
+        |h0 AS (SELECT id, list_sort(list(prop || '=' || value)) AS pairs
+        |       FROM v0 GROUP BY id),
+        |h1 AS (SELECT id, list_sort(list(prop || '=' || value)) AS pairs
+        |       FROM v1 GROUP BY id)
+        |SELECT 0::BIGINT AS version, id, 'ADD' AS op FROM h0
+        |UNION ALL
+        |SELECT 1::BIGINT, h0.id, 'DEL' FROM h0 LEFT JOIN h1 ON h0.id = h1.id
+        |WHERE h1.id IS NULL
+        |UNION ALL
+        |SELECT 1::BIGINT, h1.id, 'ADD' FROM h1 LEFT JOIN h0 ON h1.id = h0.id
+        |WHERE h0.id IS NULL
+        |UNION ALL
+        |SELECT 1::BIGINT, h1.id, 'MOD' FROM h1 JOIN h0 ON h1.id = h0.id
+        |WHERE h1.pairs != h0.pairs""".stripMargin)
   )
 }
