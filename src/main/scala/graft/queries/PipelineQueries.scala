@@ -2054,7 +2054,82 @@ object PipelineQueries {
         |  n_planted, n_recalled,
         |  CAST(CAST(n_recalled::DOUBLE / n_planted::DOUBLE AS DECIMAL(9,6)) AS DOUBLE) AS recall,
         |  n_candidates
-        |FROM reports""".stripMargin)
+        |FROM reports""".stripMargin),
+
+    // Review-table accept/reject protocol (stateful/review.py
+    // review_extraction + reviewer actions) across two crawls: crawl 1
+    // seeds the state (all pending), reviewers accept every k%3==0 key
+    // (editing the k%6==0 extractions), then crawl 2 exercises every
+    // precedence rule at once — k%5==0 changes source AND extraction
+    // (full reset, acceptance dropped), k%5==1 bumps crawler_version
+    // (reset), k%5==2 changes extraction only (refreshed IF unaccepted,
+    // untouched if accepted — reviewer data outranks the crawler),
+    // k%5==3 unchanged (last_seen bump only), k%5==4 absent (stale row
+    // keeps its old last_seen). The oracle replays the same precedence
+    // as CASE logic over a LEFT JOIN of reconstructed crawls.
+    decl("q144_review_protocol",
+      (s, d) => {
+        import graft.operators.Reviews
+        val p = t(s, d, "part")
+        val k = col("p_partkey")
+        val key = concat(lit("p"), k.cast("string"))
+        val crawl1 = p.select(key.as("key"), col("p_name").as("source_value"),
+          col("p_type").as("original_extraction"),
+          lit(1L).as("crawler_version"), lit("llm").as("origin"))
+        val state0 = crawl1.limit(0).select(col("key"), col("source_value"),
+          col("original_extraction"),
+          col("original_extraction").as("extracted_data"),
+          lit(false).as("accepted"), col("crawler_version"), col("origin"),
+          lit("").as("last_seen_version"), lit("").as("modified_version"),
+          lit("").as("modified_by"))
+        val state1 = Reviews.reviewExtraction(state0, crawl1, "v1")
+        val decisions = p.filter(k % 3 === 0).select(key.as("key"),
+          lit(true).as("accepted"),
+          when(k % 6 === 0, concat(col("p_type"), lit("_edit")))
+            .otherwise(lit(null).cast("string")).as("extracted_edit"),
+          lit("alice").as("reviewed_by"))
+        val state1r = Reviews.applyReviews(state1, decisions, "v1")
+        val crawl2 = p.filter(k % 5 =!= 4).select(key.as("key"),
+          when(k % 5 === 0, concat(col("p_name"), lit("_s2")))
+            .otherwise(col("p_name")).as("source_value"),
+          when(k % 5 === 0, concat(col("p_type"), lit("_v2")))
+            .when(k % 5 === 2, concat(col("p_type"), lit("_m2")))
+            .otherwise(col("p_type")).as("original_extraction"),
+          when(k % 5 === 1, 2L).otherwise(1L).as("crawler_version"),
+          lit("llm2").as("origin"))
+        Reviews.reviewExtraction(state1r, crawl2, "v2")
+      },
+      """WITH base AS (SELECT 'p' || p_partkey::VARCHAR AS key, p_partkey AS k,
+        |    p_name AS sv, p_type AS oe FROM part),
+        |s1 AS (SELECT key, k, sv, oe,
+        |  CASE WHEN k % 6 = 0 THEN oe || '_edit' ELSE oe END AS ed,
+        |  (k % 3 = 0) AS accepted, 1::BIGINT AS cv, 'llm' AS origin,
+        |  'v1' AS lsv, 'v1' AS mv,
+        |  CASE WHEN k % 3 = 0 THEN 'alice' ELSE 'crawler' END AS mb
+        |  FROM base),
+        |c2 AS (SELECT key,
+        |  CASE WHEN k % 5 = 0 THEN sv || '_s2' ELSE sv END AS sv2,
+        |  CASE WHEN k % 5 = 0 THEN oe || '_v2'
+        |       WHEN k % 5 = 2 THEN oe || '_m2' ELSE oe END AS oe2,
+        |  CASE WHEN k % 5 = 1 THEN 2 ELSE 1 END::BIGINT AS cv2
+        |  FROM base WHERE k % 5 != 4),
+        |j AS (SELECT s1.*, c2.sv2, c2.oe2, c2.cv2,
+        |  (c2.key IS NOT NULL) AS seen,
+        |  coalesce(c2.cv2 > s1.cv OR (c2.sv2 != s1.sv AND c2.oe2 != s1.oe),
+        |    false) AS rst,
+        |  coalesce(NOT s1.accepted AND c2.oe2 != s1.oe, false) AS fresh
+        |  FROM s1 LEFT JOIN c2 ON s1.key = c2.key)
+        |SELECT key,
+        |  CASE WHEN rst THEN sv2 ELSE sv END AS source_value,
+        |  CASE WHEN rst OR fresh THEN oe2 ELSE oe END AS original_extraction,
+        |  CASE WHEN rst OR fresh THEN oe2 ELSE ed END AS extracted_data,
+        |  CASE WHEN rst THEN false ELSE accepted END AS accepted,
+        |  CASE WHEN rst THEN cv2 ELSE cv END AS crawler_version,
+        |  CASE WHEN rst OR fresh THEN 'llm2' ELSE origin END AS origin,
+        |  CASE WHEN seen THEN 'v2' ELSE lsv END AS last_seen_version,
+        |  CASE WHEN rst OR fresh THEN 'v2' ELSE mv END AS modified_version,
+        |  CASE WHEN rst OR fresh THEN 'crawler' ELSE mb END AS modified_by
+        |FROM j""".stripMargin)
   )
 
   /** DuckDB CTE prefix: train `rounds` BPE merges on the even-doc_id

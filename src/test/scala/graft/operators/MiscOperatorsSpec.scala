@@ -354,4 +354,31 @@ class MiscOperatorsSpec extends SparkSpec {
     // the card's 16-digit run must become one [CARD], not IP-octet shreds
     assert(r == "[EMAIL] then [CARD] then [PHONE] then [IP] end")
   }
+
+  test("review state: accepted rows survive extraction drift; gate sees the rest") {
+    def crawl(rows: Seq[(String, String, String)], cv: Long) =
+      rows.toDF("key", "source_value", "original_extraction")
+        .withColumn("crawler_version", lit(cv))
+        .withColumn("origin", lit("llm"))
+    val c1 = crawl(Seq(("a", "s", "e1"), ("b", "s", "e1")), 1L)
+    val state0 = c1.limit(0).select(col("key"), col("source_value"),
+      col("original_extraction"), col("original_extraction").as("extracted_data"),
+      lit(false).as("accepted"), col("crawler_version"), col("origin"),
+      lit("").as("last_seen_version"), lit("").as("modified_version"),
+      lit("").as("modified_by"))
+    val s1 = Reviews.reviewExtraction(state0, c1, "v1")
+    val s1r = Reviews.applyReviews(s1,
+      Seq(("a", true, "e1fix", "bob")).toDF("key", "accepted", "extracted_edit", "reviewed_by"),
+      "v1")
+    // crawl 2: extraction drifts on BOTH keys (source unchanged)
+    val s2 = Reviews.reviewExtraction(s1r, crawl(Seq(("a", "s", "e2"), ("b", "s", "e2")), 1L), "v2")
+    val byKey = s2.select("key", "accepted", "extracted_data", "modified_by")
+      .as[(String, Boolean, String, String)].collect().map(r => r._1 -> r).toMap
+    // accepted 'a' keeps the reviewer's edit; unaccepted 'b' refreshes
+    assert(byKey("a") == (("a", true, "e1fix", "bob")))
+    assert(byKey("b") == (("b", false, "e2", "crawler")))
+    assert(Reviews.unaccepted(s2, "v2").select("key").as[String].collect().toSeq == Seq("b"))
+    assert(Reviews.acceptedExtractions(s2).select("extracted_data")
+      .as[String].collect().toSeq == Seq("e1fix"))
+  }
 }
