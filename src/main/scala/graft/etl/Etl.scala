@@ -505,7 +505,14 @@ object Etl {
         // so a failed run can leave MORE partially-written product files
         // — ProductTimeoutException callers must treat the whole version
         // directory as aborted, which the publish gate already does.
-        val poolThreads = math.max(1, math.min(cfg.exporters.size, 8))
+        // Cap A/B (sf0.1, best of 2): pool 8 = 17.8s, pool 10 (every
+        // sink concurrent) = 20.4s — the cap does not serialize the ten
+        // product sinks; each exporter is itself a parallel Spark
+        // action, so extra submitter threads only contend for cores.
+        // SPARK_GRAFT_EXPORT_POOL overrides for cluster-side tuning.
+        val poolThreads = sys.env.get("SPARK_GRAFT_EXPORT_POOL")
+          .flatMap(_.toIntOption)
+          .getOrElse(math.max(1, math.min(cfg.exporters.size, 8)))
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           poolThreads,
           new java.util.concurrent.ThreadFactory {
