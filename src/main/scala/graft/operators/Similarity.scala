@@ -381,6 +381,14 @@ object Similarity {
     * division semantics differ subtly across engines, which would break
     * the oracle's bit-parity.
     *
+    * SIZING RULE (round-8 stress point): assignment cost is n·k dot
+    * products per round, so k must NOT grow linearly with the corpus —
+    * the production rule is k ≈ √n (cell size √n, probe cost
+    * nprobe·√n). Measured at n=10k: a k∝n seed (the q93 fixture's
+    * vec_id%50, pinned for oracle stability) runs the IVF pipeline in
+    * 9.6 s where k=√n runs it in 4.0 s; graft.StressCheck re-derives
+    * the A/B on any stress directory.
+    *
     * Returns (centroid_id, cvec array<double>). Deterministic for a
     * fixed iteration count with `earlyStop = false` — what the oracle
     * query uses. */
@@ -575,6 +583,16 @@ object Similarity {
     * over bare id pairs, and representative choice is a `max_by`
     * partial aggregate — one shuffle keyed on component, no window, and
     * no embedding payload on any shuffle past the scoring join.
+    *
+    * SIZING RULE (round-8 stress point): `planes` is the scale knob.
+    * 2^planes buckets per table means occupancy n/2^planes and
+    * in-bucket pair cost ∝ occupancy² — with planes FIXED the operator
+    * is quadratic in n. Hold occupancy constant instead:
+    * planes ≈ log2(n / targetBucketSize). Measured at n=10k (5× the
+    * bench corpus): planes=4 → 98.5 s, planes=7 (128-vector buckets) →
+    * 49.3 s; the q116 fixture pins planes=4 only because the oracle SQL
+    * bakes the hyperplane literals (graft.StressCheck re-derives this
+    * A/B on any stress directory).
     *
     * @param corpus  (id: long, vec: array<float>) embedding frame
     * @param weights (id: long, weight: long) representative preference
