@@ -242,4 +242,19 @@ class PlanAssertionsSpec extends SparkSpec {
     val nlj = "BroadcastNestedLoopJoin".r.findAllIn(lPlan).size
     assert(nlj <= 1, lPlan.take(1500))
   }
+
+  test("BPE encode is a broadcast-only projection — no shuffle touches documents") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "a b a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMergeRounds(docs, col("text"), rounds = 2)
+      .select("round", "sym_a", "sym_b")
+    val plan = TextAnalysis.bpeEncode(docs, col("doc_id"), col("text"), merges)
+      .queryExecution.executedPlan.toString
+    // the rules array reaches every partition as ONE broadcast row; the
+    // document side must stay a narrow projection — a shuffle here would
+    // move the whole corpus to apply a kilobyte of merge rules
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    val docShuffles = "Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).size
+    assert(docShuffles == 0, plan.take(1500))
+  }
 }
