@@ -187,6 +187,45 @@ object Dedup {
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("est_jaccard"))
   }
 
+  /** The COMPOSED lexical near-dedup pipeline (the RedPajama/SlimPajama
+    * fuzzy-dedup shape a training-data team ships): MinHash+LSH
+    * candidate pairs → connected-components closure (an est-Jaccard
+    * chain a~b~c is ONE duplication group) → keeper per cluster
+    * (highest `weight`, ties → lowest id — same representative rule as
+    * the semantic variant, Similarity.semanticDedup) → one manifest row
+    * per document. The lexical twin of q116's embedding pipeline.
+    *
+    * 100 TB shape: candidates are the banded signature equi-join (never
+    * doc×doc), the closure runs over bare id pairs
+    * (ConnectedComponents' hash-signature-barrier loop), the keeper is
+    * one max_by partial aggregate, and the manifest join is keyed on
+    * the component id — no shuffle in the whole pipeline carries text
+    * or signatures past the banding join.
+    *
+    * `weights` is (id, weight) — e.g. document length or a quality
+    * score; members missing a weight rank lowest.
+    * Returns (doc_id, component, kept_id, is_kept, n_members). */
+  def nearDedupManifest(
+      df: DataFrame, id: Column, text: Column, weights: DataFrame,
+      n: Int = 3, maxDf: Long = 100, bands: Int = 8, rowsPerBand: Int = 4,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val pairs = minhashLshPairs(df, id, text, n, maxDf, bands, rowsPerBand,
+      minEstJaccard)
+    val comp = ConnectedComponents.run(
+      df.select(id.as("id")),
+      pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+    val rep = comp.join(weights.toDF("id", "weight"), Seq("id"), "left")
+      .groupBy(col("component"))
+      .agg(
+        max_by(col("id"),
+          struct(coalesce(col("weight"), lit(Long.MinValue)), negate(col("id"))))
+          .as("kept_id"),
+        count(lit(1)).as("n_members"))
+    comp.join(rep, "component")
+      .select(col("id").as("doc_id"), col("component"), col("kept_id"),
+        (col("id") === col("kept_id")).as("is_kept"), col("n_members"))
+  }
+
   /** SimHash: 60-bit signature — bit j is set iff the sum over tokens of
     * ±1 (sign = token-hash bit j) is positive. Near-dups = pairs within
     * `maxHamming` bits; candidate generation by splitting the signature

@@ -66,21 +66,16 @@ object PipelineQueries {
     s"list_sum(list_transform(generate_series(1, 15), " +
       s"i -> ((strpos('0123456789abcdef', substr(md5($c), i, 1)) - 1)::BIGINT << (4 * (15 - i)))))::BIGINT"
 
-  /** q42 oracle: the full MinHash+LSH pipeline in SQL with the same
-    * permutation constants as Dedup.perm. */
-  private def q42Oracle: String = {
+  /** MinHash signature CTE chain (words → df-capped 3-shingles →
+    * hashes → 32-column per-doc signature) with the same permutation
+    * constants as Dedup.perm — shared by the q42 and q145 oracles. */
+  private def minhashSigCtes: String = {
     val m = Dedup.PermModulus
     val mins = (0 until 32).map { i =>
       val (a, b) = Dedup.perm(i)
       s"min((h * $a + $b) % $m) AS m$i"
     }.mkString(",\n    ")
-    val bandEq = (0 until 8).map { j =>
-      (0 until 4).map(r => s"a.m${4 * j + r} = b.m${4 * j + r}")
-        .mkString("(", " AND ", ")")
-    }.mkString("\n   OR ")
-    val eqSum = (0 until 32).map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
-      .mkString(" + ")
-    s"""WITH words AS (SELECT doc_id AS doc, string_split(text, ' ') w FROM documents),
+    s"""words AS (SELECT doc_id AS doc, string_split(text, ' ') w FROM documents),
        |sh0 AS (SELECT DISTINCT doc, unnest(list_transform(generate_series(1, len(w)-2),
        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s
        |  FROM words WHERE len(w) >= 3),
@@ -89,13 +84,27 @@ object PipelineQueries {
        |hs AS (SELECT doc, ${sqlHash60("s")} % $m AS h FROM sh),
        |sig AS (SELECT doc,
        |    $mins
-       |  FROM hs GROUP BY doc)
-       |SELECT a.doc AS doc_a, b.doc AS doc_b,
-       |  ($eqSum)::DOUBLE / 32.0 AS est_jaccard
-       |FROM sig a JOIN sig b ON a.doc < b.doc
-       |WHERE ($bandEq)
-       |  AND ($eqSum)::DOUBLE / 32.0 >= 0.5""".stripMargin
+       |  FROM hs GROUP BY doc)""".stripMargin
   }
+
+  /** LSH band-collision predicate + matching-position sum over two sig
+    * aliases a/b — shared by the q42 and q145 oracles. */
+  private def minhashBandEq: String = (0 until 8).map { j =>
+    (0 until 4).map(r => s"a.m${4 * j + r} = b.m${4 * j + r}")
+      .mkString("(", " AND ", ")")
+  }.mkString("\n   OR ")
+  private def minhashEqSum: String =
+    (0 until 32).map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+
+  /** q42 oracle: the full MinHash+LSH pipeline in SQL. */
+  private def q42Oracle: String =
+    s"""WITH $minhashSigCtes
+       |SELECT a.doc AS doc_a, b.doc AS doc_b,
+       |  ($minhashEqSum)::DOUBLE / 32.0 AS est_jaccard
+       |FROM sig a JOIN sig b ON a.doc < b.doc
+       |WHERE ($minhashBandEq)
+       |  AND ($minhashEqSum)::DOUBLE / 32.0 >= 0.5""".stripMargin
 
   /** q43 oracle: full SimHash signatures + brute-force hamming pairs in
     * SQL. The Spark side's pigeonhole candidate generation is guaranteed
@@ -2055,6 +2064,48 @@ object PipelineQueries {
         |  CAST(CAST(n_recalled::DOUBLE / n_planted::DOUBLE AS DECIMAL(9,6)) AS DOUBLE) AS recall,
         |  n_candidates
         |FROM reports""".stripMargin),
+
+    // The COMPOSED lexical near-dedup pipeline (RedPajama/SlimPajama
+    // fuzzy dedup): MinHash+LSH pairs (q42's exact signature arithmetic)
+    // → connected-components closure → longest-member keeper (ties →
+    // lowest id) → one manifest row per document. The lexical twin of
+    // q116's semantic pipeline, riding the corpus's own planted
+    // duplicate docs. The oracle rebuilds signatures, band collisions,
+    // the recursive-CTE closure, and the keeper rule in SQL.
+    decl("q145_neardedup_manifest",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.nearDedupManifest(
+          docs.select(col("doc_id"), col("text")), col("doc_id"), col("text"),
+          docs.select(col("doc_id"), col("n_chars")),
+          n = 3, maxDf = 50, bands = 8, rowsPerBand = 4, minEstJaccard = 0.5)
+      },
+      s"""WITH RECURSIVE $minhashSigCtes,
+         |pairs AS (
+         |  SELECT a.doc AS a, b.doc AS b
+         |  FROM sig a JOIN sig b ON a.doc < b.doc
+         |  WHERE ($minhashBandEq)
+         |    AND ($minhashEqSum)::DOUBLE / 32.0 >= 0.5),
+         |sym AS (SELECT a AS x, b AS y FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |reach(id, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.id, s.y FROM reach r JOIN sym s ON r.m = s.x),
+         |comp AS (SELECT id, MIN(m) AS component FROM reach GROUP BY id),
+         |wt AS (SELECT c.id, c.component, d.n_chars
+         |  FROM comp c LEFT JOIN documents d ON c.id = d.doc_id),
+         |rep AS (SELECT component, id,
+         |    row_number() OVER (PARTITION BY component
+         |      ORDER BY n_chars DESC NULLS LAST, id ASC) AS rn
+         |  FROM wt),
+         |nm AS (SELECT component, COUNT(*)::BIGINT AS n_members
+         |  FROM comp GROUP BY component)
+         |SELECT c.id AS doc_id, c.component, r.id AS kept_id,
+         |  (c.id = r.id) AS is_kept, nm.n_members
+         |FROM comp c
+         |JOIN rep r ON c.component = r.component AND r.rn = 1
+         |JOIN nm ON c.component = nm.component""".stripMargin),
 
     // Review-table accept/reject protocol (stateful/review.py
     // review_extraction + reviewer actions) across two crawls: crawl 1

@@ -39,6 +39,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.contains((1L, 2L))) // high-jaccard near dup
   }
 
+  test("nearDedupManifest: clusters LSH pairs, keeps heaviest, manifests all docs") {
+    val weights = Seq((1L, 10L), (2L, 99L), (3L, 5L), (4L, 5L), (5L, 7L))
+      .toDF("doc_id", "w")
+    val out = Dedup.nearDedupManifest(docs, col("doc_id"), col("text"),
+        weights, n = 2, maxDf = 10, bands = 8, rowsPerBand = 2,
+        minEstJaccard = 0.4)
+      .select("doc_id", "component", "kept_id", "is_kept", "n_members")
+      .as[(Long, Long, Long, Boolean, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size == 5) // one manifest row per doc, singletons included
+    // {1,2}: weight 99 beats 10 → 2 kept; {3,4}: tie 5=5 → lowest id 3
+    assert(out(1L)._3 == 2L && !out(1L)._4 && out(1L)._5 == 2L)
+    assert(out(2L)._4)
+    assert(out(3L)._3 == 3L && out(3L)._4 && out(4L)._5 == 2L)
+    // singleton 5 keeps itself
+    assert(out(5L)._3 == 5L && out(5L)._4 && out(5L)._5 == 1L)
+  }
+
   test("simhash: identical docs at hamming 0, near-dups close") {
     val sigs = Dedup.simhashSignatures(docs, col("doc_id"), col("text"))
       .as[(Long, Long)].collect().toMap
