@@ -440,6 +440,22 @@ object Similarity {
     cents
   }
 
+  /** Corpus→cell assignment against trained centroids: the domain
+    * labeler for cluster-balanced sampling and the first half of the
+    * IVF probe. One min_by partial aggregate per vector (map-side: k
+    * candidate rows collapse to 1 before the shuffle; same
+    * deterministic tie-break and NaN behavior as [[ivfCandidates]]).
+    * Returns (id, centroid_id). */
+  def cellAssignments(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = broadcast(centroids.toDF("centroid_id", "cvec"))
+    corpus.toDF("id", "vec")
+      .join(cents)
+      .withColumn("ccos", cosine(asDouble(col("vec")), asDouble(col("cvec"))))
+      .groupBy(col("id"))
+      .agg(min_by(col("centroid_id"),
+        struct(negate(col("ccos")), col("centroid_id"))).as("centroid_id"))
+  }
+
   /** Candidate pairs of the IVF probe: queries meet the members of
     * their `nprobe` nearest centroid cells. */
   def ivfCandidates(

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Retrieval, Sampling}
+import graft.operators.{Retrieval, Sampling, Similarity}
 import org.apache.spark.sql.functions._
 import Q._
 import PipelineQueries.sqlHash60
@@ -123,6 +123,89 @@ object SelectionQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)::BIGINT AS pick_rank
          |      FROM f)
          |SELECT doc_id, lang, stratum_docs, stratum_tokens, quota, pick_rank
+         |FROM r WHERE pick_rank <= quota""".stripMargin),
+
+    // Cluster-balanced mixture sampling (the domain-mixing shape of
+    // DoReMi/D4-style curation, with k-means domains instead of given
+    // labels): train the deterministic spherical k-means (q93's
+    // trainer, 2 Lloyd rounds), label every embedding with its cell
+    // (one min_by partial aggregate), and allocate a 60-doc budget
+    // across the LEARNED domains by sqrt-temperature token mass with
+    // the smallest-salted-hash pick. The oracle unrolls both Lloyd
+    // rounds, the assignment, and the full quota arithmetic — trained
+    // clusters, not given strata, drive the sample.
+    decl("q146_cluster_mixture",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val corpus = e.select(col("vec_id"), col("embedding"))
+        val seed = e.filter(col("vec_id") % 50 === 7)
+          .select(col("vec_id"), col("embedding"))
+        val trained = Similarity.kmeansCentroids(corpus, seed, dim = 64,
+          maxIterations = 2, earlyStop = false)
+        val assigned = Similarity.cellAssignments(corpus, trained)
+        val toks = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        Sampling.mixtureSample(
+          assigned.join(toks, col("id") === col("doc_id")),
+          col("id"), col("centroid_id"), col("n_chars"),
+          "clustermix", budget = 60)
+          .select(col("id").as("vec_id"), col("stratum").as("centroid_id"),
+            col("stratum_docs"), col("stratum_tokens"), col("quota"),
+            col("pick_rank"))
+      },
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS centroid_id, v AS cvec FROM e WHERE vec_id % 50 = 7),
+         |a1 AS (
+         |  SELECT id, vec, centroid_id FROM (
+         |    SELECT e.vec_id AS id, e.v AS vec, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.centroid_id) AS crank
+         |    FROM e CROSS JOIN c0 c)
+         |  WHERE crank = 1),
+         |c1 AS (
+         |  SELECT centroid_id,
+         |    list_transform(generate_series(1, 64),
+         |      d -> list_reduce(list_transform(vs, x -> x[d]),
+         |             (acc, x) -> acc + x) / len(vs)) AS cvec
+         |  FROM (SELECT centroid_id, list(vec ORDER BY id) AS vs
+         |        FROM a1 GROUP BY centroid_id)),
+         |a2 AS (
+         |  SELECT id, vec, centroid_id FROM (
+         |    SELECT e.vec_id AS id, e.v AS vec, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.centroid_id) AS crank
+         |    FROM e CROSS JOIN c1 c)
+         |  WHERE crank = 1),
+         |c2 AS (
+         |  SELECT centroid_id,
+         |    list_transform(generate_series(1, 64),
+         |      d -> list_reduce(list_transform(vs, x -> x[d]),
+         |             (acc, x) -> acc + x) / len(vs)) AS cvec
+         |  FROM (SELECT centroid_id, list(vec ORDER BY id) AS vs
+         |        FROM a2 GROUP BY centroid_id)),
+         |asg AS (
+         |  SELECT id, centroid_id FROM (
+         |    SELECT e.vec_id AS id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.centroid_id) AS crank
+         |    FROM e CROSS JOIN c2 c)
+         |  WHERE crank = 1),
+         |b AS (SELECT a.id AS doc_id, a.centroid_id AS stratum, d.n_chars::BIGINT AS tok
+         |      FROM asg a JOIN documents d ON a.id = d.doc_id),
+         |st AS (SELECT stratum, COUNT(*)::BIGINT AS stratum_docs,
+         |       SUM(tok)::BIGINT AS stratum_tokens FROM b GROUP BY 1),
+         |tot AS (SELECT SUM(sqrt(stratum_tokens::DOUBLE)) AS t FROM st),
+         |qs AS (SELECT st.*, floor(60.0 * sqrt(stratum_tokens::DOUBLE) / tot.t + 0.5)::BIGINT AS quota
+         |       FROM st, tot),
+         |qt AS (SELECT *, floor(least(1.0, 4.0 * quota::DOUBLE / stratum_docs::DOUBLE)
+         |       * 1152921504606846976.0)::BIGINT AS thr FROM qs),
+         |h AS (SELECT doc_id, stratum, ${sqlHash60("('clustermix|' || doc_id::VARCHAR)")} AS h FROM b),
+         |f AS (SELECT h.doc_id AS doc_id, h.stratum AS stratum, qt.stratum_docs AS stratum_docs,
+         |      qt.stratum_tokens AS stratum_tokens, qt.quota AS quota, h.h AS h
+         |      FROM h JOIN qt USING (stratum) WHERE h.h < qt.thr),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY stratum ORDER BY h, doc_id)::BIGINT AS pick_rank
+         |      FROM f)
+         |SELECT doc_id AS vec_id, stratum AS centroid_id, stratum_docs, stratum_tokens,
+         |  quota, pick_rank
          |FROM r WHERE pick_rank <= quota""".stripMargin),
 
     // Deterministic systematic resampling to exactly 2000 copies:
