@@ -271,6 +271,15 @@ object TextAnalysis {
     * engine-independent witness that two encoders produced the same
     * tokens). */
   def bpeEncode(docs: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, merges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bpeEncodeTokens(docs, id, text, merges)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("toks"))).as("tokens_md5"))
+
+  /** The encode fold itself: (doc_id, toks array<string>) — tokens in
+    * document order after all merges. Internal currency for
+    * [[bpeEncode]] and [[bpeCoverage]]. */
+  def bpeEncodeTokens(docs: org.apache.spark.sql.DataFrame, id: Column,
       text: Column, merges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     // one row: rules ordered by training round
     val rules = merges
@@ -289,7 +298,34 @@ object TextAnalysis {
                   array(concat(a, lit("_"), b))))
                 .otherwise(concat(out, array(s))))
         }).as("toks"))
-      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
-        md5(concat_ws(" ", col("toks"))).as("tokens_md5"))
   }
+
+  /** Tokenizer-QA coverage report per document: word count, post-merge
+    * token count, how many tokens are MERGED symbols (the trained
+    * rules' footprint — merged symbols carry the "_" joiner, which is
+    * part of the merge spec), and the compression ratio
+    * tokens/words pinned to DECIMAL(9,6) for engine-independent bytes.
+    * The merge footprint is how a tokenizer team detects domain drift:
+    * a corpus slice where merges stop firing (compression → 1) is
+    * out-of-distribution for the trained vocab. Same narrow
+    * broadcast-fold shape as the encoder. */
+  def bpeCoverage(docs: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, merges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bpeEncodeTokens(docs, id, text, merges)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(filter(col("toks"), s => s.contains("_"))).cast("long")
+          .as("n_merged"),
+        // a merged token of m source words carries m-1 joiners, so
+        // words = tokens + Σ joiners — recovered from the token stream
+        // alone (assumes source words are joiner-free, which the merge
+        // spec shares; the oracle computes n_words from the ORIGINAL
+        // text, so the hash match proves this recovery identity)
+        aggregate(col("toks"), lit(0L), (acc, s) =>
+          acc + (length(s) - length(replace(s, lit("_"), lit("")))))
+          .as("joiners"))
+      .withColumn("n_words", col("n_tokens") + col("joiners"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"), col("n_merged"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .cast("decimal(9,6)").cast("double").as("compression"))
 }

@@ -1923,6 +1923,31 @@ object PipelineQueries {
           |  ((cum - 1) // 512)::BIGINT AS seq_last
           |FROM run""".stripMargin),
 
+    // Tokenizer-QA coverage: per doc, how hard the trained merges fire
+    // (merged-token count, tokens/words compression). The Spark side
+    // RECOVERS the word count from the token stream's joiner arithmetic
+    // (words = tokens + Σ joiners); the oracle computes it from the
+    // ORIGINAL text — the hash match proves the recovery identity, and
+    // any drift between encoder and trainer semantics breaks it. The
+    // drift detector a tokenizer team runs per corpus slice: merges
+    // that stop firing (compression → 1) flag out-of-distribution text.
+    decl("q147_bpe_coverage",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val merges = TextAnalysis.bpeMergeRounds(
+          docs.filter(col("doc_id") % 2 === 0), col("text"), rounds = 3)
+          .select(col("round"), col("sym_a"), col("sym_b"))
+        TextAnalysis.bpeCoverage(docs, col("doc_id"), col("text"), merges)
+      },
+      bpeSplitTrainSql(3) +
+        """
+          |SELECT e3.doc_id AS doc_id,
+          |  len(d.syms)::BIGINT AS n_words,
+          |  len(e3.syms)::BIGINT AS n_tokens,
+          |  len(list_filter(e3.syms, s -> contains(s, '_')))::BIGINT AS n_merged,
+          |  CAST(CAST(len(e3.syms)::DOUBLE / len(d.syms)::DOUBLE AS DECIMAL(9,6)) AS DOUBLE) AS compression
+          |FROM e3 JOIN d ON e3.doc_id = d.doc_id""".stripMargin),
+
     // Blocker-recall regression harness — the reference's bench_pairs
     // measure (/root/reference/contrib/bench_pairs.py:1-60: how many
     // known-positive pairs does the blocker re-propose?) as an oracle
