@@ -34,6 +34,46 @@ object Packing {
         (TextAnalysis.tokenCount(text) + 1L).as("n_tokens")),
       seqLen, bucketSize)
 
+  /** Deterministically SHUFFLED packing manifest: documents pack in
+    * salted-hash order instead of id order — the pre-pack shuffle every
+    * real pretraining pipeline runs (id-ordered packing puts a crawl's
+    * temporal/source locality into adjacent training sequences). The
+    * permutation is pure hash arithmetic, so it is reproducible
+    * bit-for-bit, stable under re-runs, and needs no materialized
+    * shuffle table.
+    *
+    * Scale shape is the id-ordered manifest's, generalized: the bucket
+    * is the hash's TOP `bucketBits` bits, so ascending bucket ids ARE
+    * ascending hash ranges and the two-phase prefix sum (in-bucket
+    * running window + tiny bucket-offset frame) reconstructs the exact
+    * global cumsum over (hash, doc_id) order — still no corpus-wide
+    * ordered window. Buckets are hash-uniform, so no bucket skew.
+    *
+    * `toks` is (doc_id, n_tokens). Returns (doc_id, n_tokens,
+    * off_start, seq_first, seq_last) under the shuffled order. */
+  def shuffledPackManifest(toks: DataFrame, salt: String,
+      seqLen: Long, bucketBits: Int = 10): DataFrame = {
+    val h = Dedup.hash60(concat_ws("|", lit(salt), col("doc_id").cast("string")))
+    val hashed = toks.withColumn("h", h)
+      .withColumn("bucket", (col("h") / lit(1L << (60 - bucketBits))).cast("long"))
+    val inBucket = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = hashed.withColumn("run", sum(col("n_tokens")).over(inBucket))
+    val acrossBuckets = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = hashed.groupBy("bucket")
+      .agg(sum(col("n_tokens")).as("btotal"))
+      .withColumn("bprefix", sum(col("btotal")).over(acrossBuckets) - col("btotal"))
+      .select("bucket", "bprefix")
+    run.join(broadcast(offsets), Seq("bucket"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("bprefix") + col("run") - col("n_tokens")).as("off_start"),
+        floor((col("bprefix") + col("run") - col("n_tokens")) / lit(seqLen))
+          .cast("long").as("seq_first"),
+        floor((col("bprefix") + col("run") - 1) / lit(seqLen))
+          .cast("long").as("seq_last"))
+  }
+
   /** Manifest over precomputed per-document token counts — the entry
     * point for REAL tokenizer output (e.g. `TextAnalysis.bpeEncode`'s
     * n_tokens, +1 separator added by the caller or already included in

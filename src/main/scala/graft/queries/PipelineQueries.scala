@@ -1923,6 +1923,34 @@ object PipelineQueries {
           |  ((cum - 1) // 512)::BIGINT AS seq_last
           |FROM run""".stripMargin),
 
+    // Deterministically SHUFFLED sequence packing: the pre-pack
+    // permutation every pretraining pipeline runs (id order would put
+    // crawl locality into adjacent training sequences), as pure salted-
+    // hash arithmetic — reproducible, stable under re-runs, no shuffle
+    // table. The two-phase prefix sum generalizes to the hash order by
+    // bucketing on the hash's TOP bits (ascending buckets = ascending
+    // hash ranges); the oracle's plain global cumsum over (h, doc_id)
+    // proves the decomposition exact in the shuffled domain too.
+    decl("q148_shuffled_packing",
+      (s, d) => Packing.shuffledPackManifest(
+        t(s, d, "documents").select(col("doc_id"),
+          (TextAnalysis.tokenCount(col("text")) + 1L).as("n_tokens")),
+        "shuf", seqLen = 512L, bucketBits = 6),
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    (length(text) - length(replace(text, ' ', '')) + 2)::BIGINT AS n_tokens,
+         |    ${sqlHash60("('shuf|' || doc_id::VARCHAR)")} AS h
+         |  FROM documents),
+         |run AS (
+         |  SELECT doc_id, n_tokens,
+         |    SUM(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM toks)
+         |SELECT doc_id, n_tokens,
+         |  (cum - n_tokens)::BIGINT AS off_start,
+         |  ((cum - n_tokens) // 512)::BIGINT AS seq_first,
+         |  ((cum - 1) // 512)::BIGINT AS seq_last
+         |FROM run""".stripMargin),
+
     // Tokenizer-QA coverage: per doc, how hard the trained merges fire
     // (merged-token count, tokens/words compression). The Spark side
     // RECOVERS the word count from the token stream's joiner arithmetic
