@@ -152,18 +152,27 @@ object Bench {
         flaggedNames.clear()
         val rows = top.map { case (name, tInsuite) =>
           val decl = SparkEntry.allDecls.find(_.name == name).get
-          def retime(dir: String): Double = (1 to runs).map { _ =>
-            timedCapped(s"$name-scaling",
-              () => decl.fn(spark, dir).write.format("noop").mode("overwrite").save())._1
-          }.min
-          val tLarge = retime(sfDir)
-          val tSmall = retime(scalingDir)
+          // best-of-N wall + whether the best run itself hit the cap:
+          // a capped re-time recorded as a clean wall would silently
+          // UNDERSTATE the exponent and dodge the flag — the exact
+          // class of misleading scaling evidence this block exists to
+          // prevent, so a capped row is always flagged and labeled
+          def retime(dir: String): (Double, Boolean) = {
+            val rs = (1 to runs).map { _ =>
+              timedCapped(s"$name-scaling",
+                () => decl.fn(spark, dir).write.format("noop").mode("overwrite").save())
+            }
+            (rs.map(_._1).min, rs.forall(_._2))
+          }
+          val (tLarge, capLarge) = retime(sfDir)
+          val (tSmall, capSmall) = retime(scalingDir)
+          val retimeCapped = capLarge || capSmall
           val ratio = tLarge / tSmall
           val expo = math.log(ratio) / math.log(dataRatio)
-          val flagged = ratio > 1.3 * dataRatio
+          val flagged = ratio > 1.3 * dataRatio || retimeCapped
           if (flagged) flaggedNames += name
           "\"" + name + "\":" +
-            f"""{"t_small":$tSmall%.3f,"t_large":$tLarge%.3f,"t_insuite":$tInsuite%.3f,"ratio":$ratio%.2f,"exponent":$expo%.2f,"flagged":$flagged}"""
+            f"""{"t_small":$tSmall%.3f,"t_large":$tLarge%.3f,"t_insuite":$tInsuite%.3f,"ratio":$ratio%.2f,"exponent":$expo%.2f,"retime_capped":$retimeCapped,"flagged":$flagged}"""
         }
         s"""{"small_sf_dir":"$scalingDir","data_ratio":$dataRatio,""" +
           s""""note":"t_large/t_small are fresh post-GC re-times (t_insuite = contaminated suite wall); small-scale walls include fixed per-query overhead so ratios understate the data exponent","queries":${rows.mkString("{", ",", "}")}}"""

@@ -77,12 +77,15 @@ object ScaleData {
       .drop("rep"))
     write("embeddings")(t => reps5(t)
       .withColumn("vec_id", shift("vec_id"))
-      .withColumn("embedding", when(col("rep") === 0, col("embedding"))
+      // rotation amount wraps at the dimension, so reps > dim cannot
+      // produce a negative slice length mid-write
+      .withColumn("rot", pmod(col("rep"), size(col("embedding")).cast("long")).cast("int"))
+      .withColumn("embedding", when(col("rot") === 0, col("embedding"))
         .otherwise(concat(
-          slice(col("embedding"), col("rep").cast("int") + 1,
-            size(col("embedding")) - col("rep").cast("int")),
-          slice(col("embedding"), lit(1), col("rep").cast("int")))))
-      .drop("rep"))
+          slice(col("embedding"), col("rot") + 1,
+            size(col("embedding")) - col("rot")),
+          slice(col("embedding"), lit(1), col("rot")))))
+      .drop("rep", "rot"))
     spark.stop()
   }
 }

@@ -510,9 +510,9 @@ object Etl {
         // product sinks; each exporter is itself a parallel Spark
         // action, so extra submitter threads only contend for cores.
         // SPARK_GRAFT_EXPORT_POOL overrides for cluster-side tuning.
-        val poolThreads = sys.env.get("SPARK_GRAFT_EXPORT_POOL")
+        val poolThreads = math.max(1, sys.env.get("SPARK_GRAFT_EXPORT_POOL")
           .flatMap(_.toIntOption)
-          .getOrElse(math.max(1, math.min(cfg.exporters.size, 8)))
+          .getOrElse(math.min(cfg.exporters.size, 8)))
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           poolThreads,
           new java.util.concurrent.ThreadFactory {

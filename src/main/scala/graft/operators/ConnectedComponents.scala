@@ -181,4 +181,20 @@ object ConnectedComponents {
     cc.join(vetoed, Seq("component"), "left")
       .select(col("id"), col("component"), coalesce(col("vetoed"), lit(false)).as("vetoed"))
   }
+
+  /** Representative per component — the keeper rule shared by the
+    * semantic (Similarity.semanticDedup) and lexical
+    * (Dedup.nearDedupManifest) dedup pipelines: highest `weight` wins,
+    * ties → lowest id, members missing a weight rank lowest. One
+    * max_by partial aggregate keyed on the component.
+    * `comp` is (id, component); `weights` is (id, weight).
+    * Returns (component, kept_id, n_members). */
+  def representatives(comp: DataFrame, weights: DataFrame): DataFrame =
+    comp.join(weights.toDF("id", "weight"), Seq("id"), "left")
+      .groupBy(col("component"))
+      .agg(
+        max_by(col("id"),
+          struct(coalesce(col("weight"), lit(Long.MinValue)), negate(col("id"))))
+          .as("kept_id"),
+        count(lit(1)).as("n_members"))
 }

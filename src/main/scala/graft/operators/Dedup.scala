@@ -214,13 +214,7 @@ object Dedup {
     val comp = ConnectedComponents.run(
       df.select(id.as("id")),
       pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
-    val rep = comp.join(weights.toDF("id", "weight"), Seq("id"), "left")
-      .groupBy(col("component"))
-      .agg(
-        max_by(col("id"),
-          struct(coalesce(col("weight"), lit(Long.MinValue)), negate(col("id"))))
-          .as("kept_id"),
-        count(lit(1)).as("n_members"))
+    val rep = ConnectedComponents.representatives(comp, weights)
     comp.join(rep, "component")
       .select(col("id").as("doc_id"), col("component"), col("kept_id"),
         (col("id") === col("kept_id")).as("is_kept"), col("n_members"))

@@ -44,13 +44,20 @@ object Reviews {
     */
   def reviewExtraction(state: DataFrame, incoming: DataFrame,
       runVersion: String, defaultAccepted: Boolean = false): DataFrame = {
+    // explicit presence markers: deciding row existence off a nullable
+    // data column (source_value) would misroute legitimately-NULL
+    // values — a state row with NULL source would reset every crawl,
+    // and a NULL-source incoming row would skip the last_seen bump and
+    // fall out of the unaccepted() export gate
     val st = state.columns.foldLeft(state)((d, c) => d.withColumnRenamed(c, s"s_$c"))
       .withColumnRenamed("s_key", "key")
+      .withColumn("s_present", lit(true))
     val in = incoming.columns.foldLeft(incoming)((d, c) => d.withColumnRenamed(c, s"i_$c"))
       .withColumnRenamed("i_key", "key")
+      .withColumn("i_present", lit(true))
     val joined = st.join(in, Seq("key"), "full_outer")
-    val isNew = col("s_source_value").isNull
-    val stale = col("i_source_value").isNull
+    val isNew = col("s_present").isNull
+    val stale = col("i_present").isNull
     val reset = col("i_crawler_version") > col("s_crawler_version") ||
       (col("i_source_value") =!= col("s_source_value") &&
         col("i_original_extraction") =!= col("s_original_extraction"))

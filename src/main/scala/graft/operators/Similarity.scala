@@ -624,12 +624,6 @@ object Similarity {
     val pairs = cosineNearDupPairsTables(v, dim, threshold, planes, tables)
     val comp = ConnectedComponents.run(
       v.select(col("id")), pairs.select(col("a"), col("b")))
-    comp.join(weights.toDF("id", "weight"), Seq("id"), "left")
-      .groupBy(col("component"))
-      .agg(
-        max_by(col("id"),
-          struct(coalesce(col("weight"), lit(Long.MinValue)), negate(col("id"))))
-          .as("kept_id"),
-        count(lit(1)).as("n_members"))
+    ConnectedComponents.representatives(comp, weights)
   }
 }

@@ -190,6 +190,13 @@ object TextAnalysis {
     * — the exact induction loop of byte-pair-encoding tokenizer
     * training (Sennrich et al. 2016), run on word symbols here.
     *
+    * Joiner contract (shared by the trainer, [[bpeEncode]] and
+    * [[bpeCoverage]]): merged symbols join with "_", so source symbols
+    * MUST NOT contain the joiner — a corpus with literal underscores in
+    * words (code, identifiers) needs a pre-pass remapping them, or a
+    * merged symbol becomes indistinguishable from a literal token and
+    * coverage's word-count recovery corrupts silently.
+    *
     * Pure integer/string arithmetic, so merges reproduce bit-for-bit
     * in any engine. Per round: one explode + pair-count aggregate, a
     * 1-row argmax via min(struct(-cnt, a, b)) (no global sort), a

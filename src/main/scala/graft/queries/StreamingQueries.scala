@@ -378,7 +378,7 @@ object StreamingQueries {
         processAvailable()
         drop2.write.mode("append").parquet(landing)
         processAvailable()
-        s.read.parquet(s"$base/ops").select("version", "id", "op")
+        s.read.parquet(s"$base/ops/v*").select("version", "id", "op")
       },
       """WITH v0 AS (
         |  SELECT 'o' || o_orderkey::VARCHAR AS id, 'status' AS prop,

@@ -87,13 +87,25 @@ object StatementStream {
     * so ADD/MOD/DEL streams out of every drop without ever re-reading
     * prior drops' statements.
     *
-    * Scale shape: state is ONE (id, hash) row per live entity — two
-    * orders of magnitude smaller than the statement store — and the
+    * Scale shape: carried state is ONE (id, hash) row per live entity —
+    * two orders of magnitude smaller than the statement store — and the
     * diff is an id-equi-join between consecutive hash tables; written
     * bucketed-by-id, consecutive versions co-partition and the join
     * plans with no extra Exchange (the q109 bucketed-delta path). The
     * hash table lives in plain parquet, not operator state, so a
-    * checkpoint restart re-reads it for free. */
+    * checkpoint restart re-reads it for free; tables older than the
+    * previous version are deleted once their successor's diff is
+    * written, so storage stays two tables deep.
+    *
+    * Delivery contract: foreachBatch is at-least-once, so every write
+    * here is per-version OVERWRITE — a retried batch id reproduces
+    * identical output instead of duplicating it (read the ops back
+    * with `opsDir/v*`). Each micro-batch MUST be one complete version
+    * snapshot (q143 forces that with maxFilesPerTrigger ≥ drop size) —
+    * a drop split across batches would diff a partial corpus and emit
+    * spurious DELs. A missing previous hash table for bid > 0 is an
+    * error, not an empty baseline: falling back silently would re-emit
+    * the whole corpus as ADDs. */
   def versionDeltaBatch(batch: DataFrame, bid: Long,
       hashRoot: String, opsDir: String): Unit = {
     import graft.operators.Delta
@@ -109,13 +121,20 @@ object StatementStream {
     val prevDir = new org.apache.hadoop.fs.Path(s"$hashRoot/v${bid - 1}")
     val fs = prevDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prev =
-      if (bid > 0 && fs.exists(prevDir))
+      if (bid > 0) {
+        if (!fs.exists(prevDir))
+          throw new IllegalStateException(
+            s"versionDeltaBatch: missing previous hash table $prevDir for batch $bid — " +
+              "refusing to diff against an empty baseline (would emit every entity as ADD)")
         spark.read.parquet(prevDir.toString).select("id", "hash")
-      else currR.limit(0)
+      } else currR.limit(0)
     Delta.diff(prev, currR)
       .withColumn("version", lit(bid))
       .select("version", "id", "op")
-      .write.mode("append").parquet(opsDir)
+      .write.mode("overwrite").parquet(s"$opsDir/v$bid")
+    // retention: only v{bid} (next round's baseline) and v{bid-1}
+    // (retried-batch safety) are ever read again
+    fs.delete(new org.apache.hadoop.fs.Path(s"$hashRoot/v${bid - 2}"), true)
   }
 
   /** Run each micro-batch through an arbitrary batch transform (the
