@@ -268,6 +268,79 @@ object Sources {
     domHash(html) === lit(expected)
 
   // ---------------------------------------------------------------
+  // Wikidata QID redirect dereference (helpers/wikidata.py:8-46)
+
+  /** The wbgetentities URL for one QID — kept as a plain function so the
+    * cache key (the URL) is stable and the injected fetcher sees the
+    * same request the reference issues. */
+  def wikidataQidUrl(apiBase: String, qid: String): String =
+    s"$apiBase?action=wbgetentities&format=json&ids=$qid"
+
+  /** Dereference Wikidata QID redirects over a whole column
+    * (helpers/wikidata.py:8-46 does this one QID at a time through the
+    * fetch cache; here the distinct QID *dimension* is dereferenced once
+    * and broadcast-joined back onto the data).
+    *
+    * Semantics mirrored from the reference:
+    *  - structurally invalid / null QIDs → null (deref returns None);
+    *  - a redirect (`entities.<qid>.redirects.to`) maps to its target;
+    *  - a non-redirect, an unparseable body, or a failed fetch keep the
+    *    original QID (the reference logs a warning and returns `qid`).
+    *
+    * Returns (df with `qidCol` rewritten in place, new cache rows to
+    * append — failed fetches are NOT cached, as in the reference where
+    * the exception fires before the cache write). The distinct-QID
+    * frontier rides [[fetchCached]]'s driver-side bound: QIDs are
+    * dimension-sized metadata, and exceeding `maxFrontier` fails loudly
+    * instead of collecting an unbounded list. */
+  def derefWikidataQids(
+      df: DataFrame,
+      qidCol: String,
+      cache: DataFrame,
+      now: java.sql.Timestamp,
+      maxAgeDays: Int = 60,
+      fetcher: Fetcher = NoEgress,
+      apiBase: String = "https://www.wikidata.org/w/api.php",
+      maxFrontier: Int = DefaultMaxFrontier): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val valid = graft.functions.Identifiers.qidValid(col(qidCol))
+    val qids = df.select(trim(col(qidCol)).as("qid"))
+      .filter(valid.isNotNull && valid)
+      .distinct()
+    val qidList = qids.as[String].collect().toSeq.sorted
+    // a fetch failure must not abort the whole remap (reference catches
+    // RequestException per QID) — sentinel null body, filtered from the
+    // cache append below
+    val safeFetcher: Fetcher = u =>
+      try fetcher(u) catch { case scala.util.control.NonFatal(_) => null }
+    val (bodies, newCacheRows) = fetchCached(
+      spark, qidList.map(wikidataQidUrl(apiBase, _)), cache, now,
+      maxAgeDays, safeFetcher, maxFrontier)
+    // url → qid (the ids= suffix); body → redirect target if present.
+    // The entity key inside the JSON is the QID itself, so parse the
+    // entities object as a MAP and take its single value.
+    val entSchema = org.apache.spark.sql.types.DataType.fromDDL(
+      "STRUCT<entities: MAP<STRING, STRUCT<redirects: STRUCT<to: STRING>>>>")
+    val parsed = bodies.select(
+      regexp_extract(col("url"), "ids=(Q[0-9]+)$", 1).as("__qid_key"),
+      // try_element_at: an unparseable/redirect-free body must yield
+      // null (→ keep original QID), not an ANSI out-of-bounds error
+      try_element_at(map_values(from_json(col("body"), entSchema).getField("entities")), lit(1))
+        .getField("redirects").getField("to").as("__qid_redirect"))
+    // collision-proof column names: qidCol may itself be named "qid"
+    val remap = parsed.select(col("__qid_key"),
+      coalesce(col("__qid_redirect"), col("__qid_key")).as("__qid_target"))
+    val out = df
+      .join(broadcast(remap), trim(col(qidCol)) === remap("__qid_key"), "left")
+      .withColumn(qidCol,
+        when(valid.isNotNull && valid, coalesce(col("__qid_target"), trim(col(qidCol))))
+          .otherwise(lit(null).cast("string")))
+      .drop("__qid_key", "__qid_target")
+    (out, newCacheRows.filter(col("body").isNotNull))
+  }
+
+  // ---------------------------------------------------------------
   // S11: LLM extraction behind the same cache pattern
 
   /** Pluggable extractor: (prompt, payload) → JSON string. */

@@ -145,6 +145,40 @@ class SourcesSpec extends SparkSpec {
     assert(bodies.count() == 10)
   }
 
+  test("wikidata deref: redirects remapped, invalids nulled, failures kept, cache reused") {
+    val now = java.sql.Timestamp.valueOf("2026-01-10 00:00:00")
+    val api = "https://wd.test/api"
+    // Q2 redirects to Q1; Q3 is canonical; Q4's fetch fails; Q5 is a
+    // fresh cache hit (fetcher must not be called for it)
+    val cache = Seq(
+      ("fp", Sources.wikidataQidUrl(api, "Q5"),
+        """{"entities":{"Q5":{"redirects":{"to":"Q50"}}}}""",
+        java.sql.Timestamp.valueOf("2026-01-08 00:00:00"))
+    ).toDF("fingerprint", "url", "body", "fetched_at")
+    var fetchedUrls = List.empty[String]
+    val fetcher: Sources.Fetcher = url => {
+      fetchedUrls ::= url
+      if (url.endsWith("ids=Q2")) """{"entities":{"Q2":{"redirects":{"to":"Q1"}}}}"""
+      else if (url.endsWith("ids=Q3")) """{"entities":{"Q3":{"id":"Q3"}}}"""
+      else throw new RuntimeException("boom")
+    }
+    val df = Seq("Q2", "Q3", "Q4", "Q5", "bogus", null)
+      .toDF("qid").withColumn("tag", lit("x"))
+    val (out, newRows) = Sources.derefWikidataQids(
+      df, "qid", cache, now, maxAgeDays = 30, fetcher = fetcher, apiBase = api)
+    val got = out.select("qid").as[String].collect().toSeq
+    assert(got.count(_ == "Q1") == 1)   // Q2 → redirect target
+    assert(got.count(_ == "Q3") == 1)   // canonical keeps itself
+    assert(got.count(_ == "Q4") == 1)   // failed fetch keeps original
+    assert(got.count(_ == "Q50") == 1)  // cache-served redirect
+    assert(got.count(_ == null) == 2)   // bogus + null → null
+    assert(!fetchedUrls.exists(_.endsWith("ids=Q5"))) // cache hit
+    // failed fetch (Q4) must NOT be appended to the cache
+    val cachedUrls = newRows.select("url").as[String].collect().toSeq
+    assert(cachedUrls.toSet ==
+      Set(Sources.wikidataQidUrl(api, "Q2"), Sources.wikidataQidUrl(api, "Q3")))
+  }
+
   test("llm extraction runs the injected extractor with stable cache keys") {
     val fake: Sources.Extractor = (prompt, payload) =>
       s"""{"entities":["${payload.toUpperCase}"],"prompt_len":${prompt.length}}"""
