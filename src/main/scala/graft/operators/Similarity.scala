@@ -626,4 +626,59 @@ object Similarity {
       v.select(col("id")), pairs.select(col("a"), col("b")))
     ConnectedComponents.representatives(comp, weights)
   }
+
+  // ---------------------------------------------------------------
+  // Auto-sizing: the two round-8 stress sizing rules as code, so the
+  // production entry points hold bucket occupancy / cell count constant
+  // as the corpus grows instead of relying on a caller-pinned knob.
+
+  /** LSH plane count holding bucket occupancy ≈ `targetBucketSize`:
+    * planes = ceil(log2(n / target)), clamped to [1, 24]. In-bucket
+    * pair cost stays ∝ n·target instead of n²/2^planes_fixed. */
+  def planesFor(n: Long, targetBucketSize: Long = 128): Int = {
+    require(targetBucketSize > 0, "targetBucketSize must be positive")
+    val buckets = math.max(1.0, n.toDouble / targetBucketSize)
+    math.min(24, math.max(1, math.ceil(math.log(buckets) / math.log(2)).toInt))
+  }
+
+  /** IVF/k-means cell count by the k ≈ √n production rule (assignment
+    * cost n·k per round stays n^1.5, cell size √n), clamped to
+    * [1, maxK] so the centroid table remains broadcast-size. */
+  def kFor(n: Long, maxK: Int = 65536): Int =
+    // clamp in the Long domain: sqrt(Long.MaxValue) ≈ 3e9 overflows Int
+    math.min(maxK.toLong, math.max(1L, math.round(math.sqrt(n.toDouble)))).toInt
+
+  /** [[semanticDedup]] with `planes` derived from the corpus count via
+    * [[planesFor]] — the scale-safe production entry point (one cheap
+    * count over the id column; the q116 fixture keeps explicit planes
+    * only because its oracle bakes the hyperplane literals). */
+  def semanticDedupAuto(
+      corpus: DataFrame, weights: DataFrame,
+      dim: Int, threshold: Double,
+      targetBucketSize: Long = 128, tables: Int = 8): DataFrame = {
+    val n = corpus.select(corpus.columns.head).count()
+    semanticDedup(corpus, weights, dim, threshold, planesFor(n, targetBucketSize), tables)
+  }
+
+  /** Deterministic k-means seeding for [[kmeansCentroids]]: the k
+    * corpus vectors with the smallest `xxhash64(id)` — a uniform
+    * pseudo-random draw that is a pure function of the ids (stable
+    * under re-partitioning and corpus append order). k defaults to the
+    * √n rule. Ordered by hash then id, so ties are impossible to
+    * mis-seed. Returns (centroid_id 0..k-1, cvec). */
+  def seedCentroids(corpus: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val v = corpus.toDF("id", "vec")
+    val picked = v
+      .select(col("id"), asDouble(col("vec")).as("cvec"),
+        xxhash64(col("id")).as("h"))
+      .orderBy(col("h"), col("id"))
+      .limit(k)
+    // stable dense ids 0..k-1 in hash order; k is small (≈√n) so the
+    // single-partition window over k rows is not a scale concern
+    picked.select(
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("h"), col("id"))) - 1).as("centroid_id"),
+      col("cvec"))
+  }
 }

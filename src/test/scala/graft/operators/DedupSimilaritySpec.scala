@@ -204,5 +204,35 @@ class DedupSimilaritySpec extends SparkSpec {
         dim = 4, threshold = 0.9)
       .as[(Long, Long, Long)].collect().toSet
     assert(out == Set((1L, 2L, 3L), (4L, 4L, 1L)))
+    // the auto-sized entry point gives the same clusters on this corpus
+    // (tiny n → planesFor clamps to 1 plane, a superset of candidates)
+    val auto = Similarity.semanticDedupAuto(corpus, weights,
+        dim = 4, threshold = 0.9)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(auto == out)
+  }
+
+  test("sizing rules: planesFor holds occupancy, kFor is sqrt, seeds deterministic") {
+    // the measured round-8 stress point: n=10k, target 128 → 7 planes
+    assert(Similarity.planesFor(10000L, 128) == 7)
+    assert(Similarity.planesFor(100L, 128) == 1)   // corpus below one bucket
+    assert(Similarity.planesFor(Long.MaxValue, 1) == 24) // clamp
+    assert(Similarity.kFor(10000L) == 100)
+    assert(Similarity.kFor(3L) == 2)
+    assert(Similarity.kFor(Long.MaxValue, maxK = 65536) == 65536)
+    val corpus = (0L until 50L).map(i => (i, Seq(i.toFloat, 1.0f)))
+      .toDF("id", "vec")
+    val seeds = Similarity.seedCentroids(corpus, k = 5)
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    assert(seeds.map(_._1) == Seq(0, 1, 2, 3, 4))
+    // a pure function of the ids: stable under re-partitioning
+    val again = Similarity.seedCentroids(corpus.repartition(7), k = 5)
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    assert(again == seeds)
+    // seeds feed the trainer directly
+    val trained = Similarity.kmeansCentroids(
+      corpus, Similarity.seedCentroids(corpus, 3), dim = 2, maxIterations = 2,
+      earlyStop = false)
+    assert(trained.count() == 3)
   }
 }
