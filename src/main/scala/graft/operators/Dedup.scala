@@ -29,6 +29,45 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col("_id")).as("keeper_id"), count(lit(1)).as("dup_count"))
 
+  /** Incremental (cross-snapshot) exact dedup: deduplicate a fresh
+    * crawl drop against an already-curated base corpus — the recurring
+    * production shape where each new CommonCrawl dump dedupes against
+    * everything previously kept, without ever re-deduping the base.
+    *
+    * Per fresh document the manifest records:
+    *  - `dup_of_base` — its content fingerprint exists in the base
+    *    (keeper = the smallest base id holding that fingerprint);
+    *  - `dup_in_new`  — novel vs the base but a smaller fresh id shares
+    *    the fingerprint (keeper = that id);
+    *  - `kept`        — first occurrence anywhere (keeper = itself).
+    *
+    * Plan shape: one fingerprint aggregate over each side plus two
+    * equi-joins on the hash — the base side reduces to ONE row per
+    * distinct fingerprint before the join, so the cost is bounded by
+    * distinct content, not corpus size, and nothing is broadcast
+    * (both sides shuffle on the hash key).
+    *
+    * Returns (id, content_hash, status, keeper_id). */
+  def incrementalExact(
+      base: DataFrame, baseId: Column, baseContent: Column,
+      fresh: DataFrame, freshId: Column, freshContent: Column): DataFrame = {
+    val baseKeepers = base
+      .select(md5(baseContent).as("content_hash"), baseId.as("bid"))
+      .groupBy("content_hash").agg(min(col("bid")).as("base_keeper"))
+    val f = fresh.select(freshId.as("id"), md5(freshContent).as("content_hash"))
+    val freshKeepers = f.groupBy("content_hash")
+      .agg(min(col("id")).as("fresh_keeper"))
+    f.join(baseKeepers, Seq("content_hash"), "left")
+      .join(freshKeepers, Seq("content_hash"))
+      .select(col("id"), col("content_hash"),
+        when(col("base_keeper").isNotNull, lit("dup_of_base"))
+          .when(col("fresh_keeper") =!= col("id"), lit("dup_in_new"))
+          .otherwise(lit("kept")).as("status"),
+        coalesce(col("base_keeper"),
+          when(col("fresh_keeper") =!= col("id"), col("fresh_keeper"))
+            .otherwise(col("id"))).as("keeper_id"))
+  }
+
   /** Paragraph-level exact dedup across the whole corpus (the C4 /
     * RefinedWeb cleaning step): documents split into fixed-size word
     * chunks, every chunk kept only at its FIRST occurrence corpus-wide
@@ -160,19 +199,32 @@ object Dedup {
     * (band, bucket-hash), return distinct candidate pairs with the
     * estimated Jaccard (fraction of matching signature positions).
     * `bands * rowsPerBand` must equal the signature length. */
-  def minhashLshPairs(
-      df: DataFrame, id: Column, text: Column,
-      n: Int = 3, maxDf: Long = 100, bands: Int = 8, rowsPerBand: Int = 4,
-      minEstJaccard: Double = 0.5): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val sig = minhashSignatures(df, id, text, n, maxDf, numHashes).cache()
-    val banded = sig.select(
+  /** Explode a signature frame (doc, sig) into one row per LSH band:
+    * (doc, sig, band, bucket) with bucket = md5 of the band's signature
+    * slice — the equi-join key shared by the within-corpus and
+    * cross-corpus candidate generators. */
+  private def bandedSignatures(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sig.select(
       col("doc"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws("_", transform(
           slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),
           x => x.cast("string")))))))
       .select(col("doc"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
+
+  /** Fraction of matching signature positions — the MinHash Jaccard
+    * estimate. Exact k/numHashes arithmetic (engine-portable). */
+  private def estJaccard(a: Column, b: Column, numHashes: Int): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), v => v))
+      .cast("double") / lit(numHashes).cast("double")
+
+  def minhashLshPairs(
+      df: DataFrame, id: Column, text: Column,
+      n: Int = 3, maxDf: Long = 100, bands: Int = 8, rowsPerBand: Int = 4,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = minhashSignatures(df, id, text, n, maxDf, numHashes).cache()
+    val banded = bandedSignatures(sig, bands, rowsPerBand)
     val pairs = banded.select(col("doc").as("a"), col("sig").as("siga"), col("band"), col("bucket"))
       .join(banded.select(col("doc").as("b"), col("sig").as("sigb"), col("band"), col("bucket")),
         Seq("band", "bucket"))
@@ -180,11 +232,52 @@ object Dedup {
       .select(col("a"), col("b"), col("siga"), col("sigb"))
       .distinct()
     pairs
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), b => b))
-          .cast("double") / lit(bands * rowsPerBand).cast("double"))
+      .withColumn("est_jaccard", estJaccard(col("siga"), col("sigb"), numHashes))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("est_jaccard"))
+  }
+
+  /** Incremental NEAR-dedup: fuzzy-dedupe a fresh crawl drop against a
+    * curated base corpus (the [[incrementalExact]] shape at MinHash
+    * granularity — each new dump is near-deduped against everything
+    * previously kept without re-deduping the base). Signatures are
+    * computed per side with that side's own df cap; candidates come
+    * from the cross-corpus banded equi-join (fresh × base bucket
+    * collisions only — never fresh × base all-pairs); a fresh document
+    * is `near_dup_of_base` when its best candidate reaches
+    * `minEstJaccard` (best = highest estimate, ties → smallest base
+    * id), else `kept`.
+    *
+    * Returns one row per fresh doc:
+    * (id, status, matched_base_id, est_jaccard) — match columns null
+    * for kept docs. */
+  def incrementalNearDup(
+      base: DataFrame, baseId: Column, baseText: Column,
+      fresh: DataFrame, freshId: Column, freshText: Column,
+      n: Int = 3, maxDf: Long = 100, bands: Int = 8, rowsPerBand: Int = 4,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val bSig = minhashSignatures(base, baseId, baseText, n, maxDf, numHashes)
+    val fSig = minhashSignatures(fresh, freshId, freshText, n, maxDf, numHashes)
+    val bBand = bandedSignatures(bSig, bands, rowsPerBand)
+      .select(col("doc").as("bid"), col("sig").as("bsig"), col("band"), col("bucket"))
+    val fBand = bandedSignatures(fSig, bands, rowsPerBand)
+      .select(col("doc").as("fid"), col("sig").as("fsig"), col("band"), col("bucket"))
+    val best = fBand.join(bBand, Seq("band", "bucket"))
+      .select(col("fid"), col("bid"), col("fsig"), col("bsig")).distinct()
+      .withColumn("est", estJaccard(col("fsig"), col("bsig"), numHashes))
+      .filter(col("est") >= minEstJaccard)
+      .groupBy(col("fid"))
+      .agg(min_by(struct(col("bid"), col("est")),
+        struct(negate(col("est")), col("bid"))).as("m"))
+      .select(col("fid"), col("m.bid").as("matched_base_id"),
+        col("m.est").as("est_jaccard"))
+    fresh.select(freshId.as("id")).distinct()
+      .join(best, col("id") === col("fid"), "left")
+      .select(col("id"),
+        when(col("matched_base_id").isNotNull, lit("near_dup_of_base"))
+          .otherwise(lit("kept")).as("status"),
+        col("matched_base_id"), col("est_jaccard"))
   }
 
   /** The COMPOSED lexical near-dedup pipeline (the RedPajama/SlimPajama

@@ -101,4 +101,39 @@ object Packing {
         floor((col("bprefix") + col("run") - 1) / lit(seqLen))
           .cast("long").as("seq_last"))
   }
+
+  /** Curriculum packing: lay out the corpus stage-by-stage (stage 0
+    * first — e.g. quality tiers from a trained classifier), documents
+    * ordered by id within a stage — the staged-training layout where
+    * early optimizer steps see the chosen tier. Same two-phase prefix
+    * sum as [[packManifestFromCounts]], with the stage as the leading
+    * bucket component: the in-bucket window is per (stage, id-range)
+    * partition and the cross-bucket offsets ride the tiny per-bucket
+    * frame (global ORDER BY over bucket count, never over documents).
+    *
+    * @param toks (doc_id: long, n_tokens: long, stage: int) — one row
+    *   per document
+    * @return (doc_id, stage, n_tokens, off_start, seq_first, seq_last) */
+  def curriculumPackManifest(toks: DataFrame,
+      seqLen: Long, bucketSize: Long = 1000L): DataFrame = {
+    val bucketed = toks.withColumn("bucket",
+      floor(col("doc_id") / lit(bucketSize)).cast("long"))
+    val inBucket = Window.partitionBy(col("stage"), col("bucket"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = bucketed.withColumn("run", sum(col("n_tokens")).over(inBucket))
+    val acrossBuckets = Window.orderBy(col("stage"), col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = bucketed.groupBy(col("stage"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("btotal"))
+      .withColumn("bprefix", sum(col("btotal")).over(acrossBuckets) - col("btotal"))
+      .select("stage", "bucket", "bprefix")
+    run.join(broadcast(offsets), Seq("stage", "bucket"))
+      .select(col("doc_id"), col("stage"), col("n_tokens"),
+        (col("bprefix") + col("run") - col("n_tokens")).as("off_start"),
+        floor((col("bprefix") + col("run") - col("n_tokens")) / lit(seqLen))
+          .cast("long").as("seq_first"),
+        floor((col("bprefix") + col("run") - 1) / lit(seqLen))
+          .cast("long").as("seq_last"))
+  }
 }

@@ -167,6 +167,84 @@ object TextAnalysis {
         coalesce(col("avg_nll"), lit(0.0)).as("avg_nll"))
   }
 
+  /** Hashed bag-of-words features, LENGTH-NORMALIZED (fastText-style
+    * mean): (doc_id, b, cnt) with b = hash60(word) mod `buckets` and
+    * cnt = occurrences / document word count. Normalization matters:
+    * raw counts make every bucket's gradient proportional to document
+    * length, so any length–label correlation in the corpus becomes a
+    * length prior that drowns the lexical signal (observed on the
+    * fixture corpus, where doc parity correlates with length). The
+    * integer/integer division is a single correctly-rounded IEEE op —
+    * engine-portable. Fixed bucket count keeps the weight tables
+    * broadcast-size at any corpus scale (the DSIR lesson, q134). */
+  private def hashedFeatures(docs: org.apache.spark.sql.DataFrame,
+      id: Column, text: Column, buckets: Int): org.apache.spark.sql.DataFrame =
+    docs.select(id.as("doc_id"), split(text, " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("double").as("l"),
+        explode(col("ws")).as("wo"))
+      .select(col("doc_id"), col("l"),
+        pmod(Dedup.hash60(col("wo")), lit(buckets)).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg((count(lit(1)).cast("double") / first(col("l"))).as("cnt"))
+
+  private def r4(c: Column): Column = c.cast("decimal(12,4)").cast("double")
+
+  /** DCLM/fastText-style trained quality classifier: a logistic probe
+    * over hashed bag-of-words features, trained IN-ENGINE by full-batch
+    * gradient descent on the `trainFilter` split. Each round is one
+    * broadcast join (weights are `buckets` rows), one groupBy(doc)
+    * margin aggregate, and one groupBy(bucket) gradient aggregate —
+    * nothing driver-side, nothing quadratic, and the weight table never
+    * exceeds `buckets` rows regardless of corpus size.
+    *
+    * Determinism contract (what makes the DuckDB oracle able to replay
+    * training): the margin z and each weight update round-trip
+    * DECIMAL(12,4) — double summation order and libm `exp` differ
+    * across engines only in final ulps, which the 4-dp barrier absorbs
+    * (the q129 ln() precedent). Round 1 starts from w = 0, so z = 0 and
+    * p = 0.5 exactly on both engines.
+    *
+    * @param label  boolean weak-supervision label evaluated on `docs`
+    * @param lr     learning rate — sized for the NORMALIZED feature
+    *   scale (per-doc tf sums to 1, so gradients are O(1/len); the
+    *   default 100 reaches separation in two rounds on balanced labels)
+    * @return (b, w) — one weight per hash bucket, all buckets present */
+  def logisticWeights(docs: org.apache.spark.sql.DataFrame,
+      id: Column, text: Column, label: Column, trainFilter: Column,
+      buckets: Int = 32, rounds: Int = 2, lr: Double = 100.0): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    val train = docs.filter(trainFilter)
+      .select(id.as("doc_id"), when(label, 1.0).otherwise(0.0).as("y"))
+    val x = hashedFeatures(docs.filter(trainFilter), id, text, buckets)
+    val n = train.agg(count(lit(1)).cast("double").as("n"))
+    var w = spark.range(buckets)
+      .select(col("id").cast("long").as("b"), lit(0.0).as("w"))
+    (1 to rounds).foreach { _ =>
+      val z = x.join(broadcast(w), "b")
+        .groupBy("doc_id").agg(r4(sum(col("w") * col("cnt"))).as("z"))
+      val resid = train.join(z, "doc_id")
+        .select(col("doc_id"), (col("y") - lit(1.0) / (lit(1.0) + exp(-col("z")))).as("r"))
+      val grad = x.join(resid, "doc_id")
+        .groupBy("b").agg(sum(col("r") * col("cnt")).as("g"))
+      w = w.join(grad, Seq("b"), "left").crossJoin(broadcast(n))
+        .select(col("b"),
+          r4(col("w") + lit(lr) * coalesce(col("g"), lit(0.0)) / col("n")).as("w"))
+        .localCheckpoint() // tiny frame; stops round-over-round lineage growth
+    }
+    w
+  }
+
+  /** Score documents under trained [[logisticWeights]]: the 4-dp margin
+    * z = Σ w_b·x_b and the sign decision. `buckets` must match
+    * training. Returns (doc_id, score, predicted). */
+  def logisticScores(docs: org.apache.spark.sql.DataFrame,
+      id: Column, text: Column, weights: org.apache.spark.sql.DataFrame,
+      buckets: Int = 32): org.apache.spark.sql.DataFrame =
+    hashedFeatures(docs, id, text, buckets)
+      .join(broadcast(weights.select(col("b"), col("w"))), "b")
+      .groupBy("doc_id").agg(r4(sum(col("w") * col("cnt"))).as("score"))
+      .select(col("doc_id"), col("score"), (col("score") > 0).as("predicted"))
+
   /** C4-style line keep rule (Raffel et al. 2020 §2.2 heuristics, the
     * subset that needs no external model): a line survives iff it ends
     * in terminal punctuation, has at least `minWords` words, and hits
@@ -182,6 +260,61 @@ object TextAnalysis {
   /** Filter an array-of-lines column down to the C4 survivors. */
   def c4CleanLines(lines: Column, minWords: Int = 4): Column =
     filter(lines, l => c4LineKeep(l, minWords))
+
+  /** The Gopher stop-word list (Rae et al. 2021, A1.1): a document must
+    * contain at least two of these to pass the stop-word rule. */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher document-quality signals (Rae et al. 2021, A1.1) over
+    * single-space text plus an array-of-lines column for the two
+    * line-level rules. All fractions round-trip DECIMAL(9,6) so the
+    * bytes are engine-independent, and everything is Catalyst
+    * expressions — the whole rule set runs inside one codegen'd
+    * projection per document. Returns a struct:
+    * (n_words, mean_word_len, symbol_ratio, alpha_frac, stop_hits,
+    * bullet_frac, ellipsis_frac). */
+  def gopherSignals(text: Column, lines: Column): Column = {
+    val w = split(text, " ")
+    val nWords = size(w).cast("long")
+    def ratio(a: Column, b: Column): Column =
+      (a.cast("double") / when(b =!= 0, b).cast("double"))
+        .cast("decimal(9,6)").cast("double")
+    val sumLen = aggregate(w, lit(0L), (acc, x) => acc + length(x))
+    // symbol-to-word ratio: '#' and '...' occurrences per word
+    val symbolHits = occurrences(text, "#") + occurrences(text, "...")
+    val alphaWords = size(filter(w, x => x.rlike("[A-Za-z]"))).cast("long")
+    val stopHits = size(array_intersect(
+      w, array(GopherStopWords.map(lit): _*))).cast("long")
+    val nLines = size(lines).cast("long")
+    val bulletLines = size(filter(lines,
+      l => l.startsWith("- ") || l.startsWith("* "))).cast("long")
+    val ellipsisLines = size(filter(lines, l => l.endsWith("..."))).cast("long")
+    struct(
+      nWords.as("n_words"),
+      ratio(sumLen, nWords).as("mean_word_len"),
+      ratio(symbolHits, nWords).as("symbol_ratio"),
+      ratio(alphaWords, nWords).as("alpha_frac"),
+      stopHits.as("stop_hits"),
+      ratio(bulletLines, nLines).as("bullet_frac"),
+      ratio(ellipsisLines, nLines).as("ellipsis_frac"))
+  }
+
+  /** The Gopher keep rule over [[gopherSignals]]: word count in
+    * [minWords, maxWords], mean word length in [3, 10], symbol ratio
+    * < 0.1, ≥ 80 % alphabetic words, ≥ 2 stop words, < 90 % bullet
+    * lines, < 30 % ellipsis lines. Null-safe: a degenerate document
+    * (no words / no lines → null ratios) is dropped, not null. */
+  def gopherKeep(sig: Column, minWords: Int = 50, maxWords: Int = 100000): Column =
+    coalesce(
+      sig.getField("n_words").between(minWords, maxWords) &&
+        sig.getField("mean_word_len").between(3.0, 10.0) &&
+        sig.getField("symbol_ratio") < 0.1 &&
+        sig.getField("alpha_frac") > 0.8 &&
+        sig.getField("stop_hits") >= 2 &&
+        sig.getField("bullet_frac") < 0.9 &&
+        sig.getField("ellipsis_frac") < 0.3,
+      lit(false))
 
   /** BPE-style pair-merge training, `rounds` merge rounds unrolled:
     * each round counts adjacent symbol pairs corpus-wide, picks the

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsOf, Blocking, Contamination, Dedup, Matcher, Multimodal, Packing, Pii, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Blocking, Contamination, Curation, Dedup, Matcher, Multimodal, Packing, Pii, RangeJoin, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import Q._
 
@@ -2233,8 +2233,379 @@ object PipelineQueries {
         |  CASE WHEN seen THEN 'v2' ELSE lsv END AS last_seen_version,
         |  CASE WHEN rst OR fresh THEN 'v2' ELSE mv END AS modified_version,
         |  CASE WHEN rst OR fresh THEN 'crawler' ELSE mb END AS modified_by
-        |FROM j""".stripMargin)
+        |FROM j""".stripMargin),
+
+    // Gopher document-quality rules (Rae et al. 2021 A1.1) — the
+    // heuristic filter suite between C4's line rules (q128) and the
+    // model-based scorers (q129): word-count bounds, mean word length,
+    // symbol-to-word ratio, alphabetic-word fraction, stop-word
+    // presence, and the two line-level rules (bullet / ellipsis line
+    // fractions) over deterministically manufactured lines. Overlays
+    // plant symbol runs (doc%4), numeric words (doc%6), stop words
+    // (doc%3), all-bullet docs (doc%11) so every rule fires both ways;
+    // the oracle replays overlays, line manufacture, and each signal.
+    decl("q149_gopher_quality",
+      (s, d) => {
+        val doc = col("doc_id")
+        val pt0 = concat(col("text"),
+          when(doc % 4 === 0, lit(" ### ## #")).otherwise(lit("")),
+          when(doc % 6 === 0, lit(" 111 222 333 444 555")).otherwise(lit("")),
+          when(doc % 3 === 0, lit(" of the and with")).otherwise(lit("")))
+        val base = t(s, d, "documents")
+          .select(doc, pt0.as("pt"))
+          .select(doc, col("pt"), split(col("pt"), " ").as("w"))
+        val wc = size(col("w"))
+        val nchunks = ((wc + lit(6)) / lit(7)).cast("int")
+        val lines = transform(sequence(lit(1), nchunks), c =>
+          concat(
+            when(doc % 11 === 0 || (doc + c) % 5 === 0, lit("- ")).otherwise(lit("")),
+            concat_ws(" ", slice(col("w"), (c - 1) * 7 + 1,
+              least(lit(7), wc - (c - 1) * 7))),
+            when((doc + c) % 3 === 0, lit("...")).otherwise(lit(""))))
+        base
+          .select(doc, TextAnalysis.gopherSignals(col("pt"), lines).as("g"))
+          .select(doc,
+            col("g.n_words").as("n_words"),
+            col("g.mean_word_len").as("mean_word_len"),
+            col("g.symbol_ratio").as("symbol_ratio"),
+            col("g.alpha_frac").as("alpha_frac"),
+            col("g.stop_hits").as("stop_hits"),
+            col("g.bullet_frac").as("bullet_frac"),
+            col("g.ellipsis_frac").as("ellipsis_frac"),
+            TextAnalysis.gopherKeep(col("g")).as("keep"))
+      },
+      """WITH d0 AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 4 = 0 THEN ' ### ## #' ELSE '' END
+        |         || CASE WHEN doc_id % 6 = 0 THEN ' 111 222 333 444 555' ELSE '' END
+        |         || CASE WHEN doc_id % 3 = 0 THEN ' of the and with' ELSE '' END AS pt
+        |  FROM documents),
+        |w AS (SELECT doc_id, pt, string_split(pt, ' ') AS w FROM d0),
+        |lined AS (
+        |  SELECT doc_id, pt, w,
+        |    list_transform(generate_series(1, ((len(w) + 6) // 7)), c ->
+        |      CASE WHEN doc_id % 11 = 0 OR (doc_id + c) % 5 = 0 THEN '- ' ELSE '' END
+        |      || array_to_string(w[(c-1)*7+1 : least(c*7, len(w))], ' ')
+        |      || CASE WHEN (doc_id + c) % 3 = 0 THEN '...' ELSE '' END) AS lines
+        |  FROM w),
+        |sig AS (
+        |  SELECT doc_id,
+        |    len(w)::BIGINT AS n_words,
+        |    CAST(CAST(list_sum(list_transform(w, x -> length(x)))::DOUBLE
+        |      / len(w) AS DECIMAL(9,6)) AS DOUBLE) AS mean_word_len,
+        |    CAST(CAST((
+        |      (length(pt) - length(replace(pt, '#', '')))
+        |      + (length(pt) - length(replace(pt, '...', ''))) // 3
+        |      )::DOUBLE / len(w) AS DECIMAL(9,6)) AS DOUBLE) AS symbol_ratio,
+        |    CAST(CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+        |      / len(w) AS DECIMAL(9,6)) AS DOUBLE) AS alpha_frac,
+        |    len(list_intersect(w,
+        |      ['the','be','to','of','and','that','have','with']))::BIGINT AS stop_hits,
+        |    CAST(CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %'))::DOUBLE
+        |      / len(lines) AS DECIMAL(9,6)) AS DOUBLE) AS bullet_frac,
+        |    CAST(CAST(len(list_filter(lines, l -> l LIKE '%...'))::DOUBLE
+        |      / len(lines) AS DECIMAL(9,6)) AS DOUBLE) AS ellipsis_frac
+        |  FROM lined)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+        |  stop_hits, bullet_frac, ellipsis_frac,
+        |  coalesce(n_words BETWEEN 50 AND 100000
+        |    AND mean_word_len BETWEEN 3.0 AND 10.0
+        |    AND symbol_ratio < 0.1 AND alpha_frac > 0.8 AND stop_hits >= 2
+        |    AND bullet_frac < 0.9 AND ellipsis_frac < 0.3, false) AS keep
+        |FROM sig""".stripMargin),
+
+    // Trained logistic quality classifier (the DCLM/fastText filter
+    // stage): hashed bag-of-words into 64 buckets, TWO full-batch GD
+    // rounds trained in-engine on half the corpus (doc_id%4 < 2),
+    // whole corpus scored. The label is balanced (doc_id parity) and
+    // carried by planted marker vocabulary — positives end in quality
+    // prose markers, negatives in junk markers; the markers were
+    // CHOSEN to hash into buckets disjoint from the 31-word base
+    // vocabulary AND from each other (hash60 is deterministic, so this
+    // is checkable up front) — the trained probe must separate the
+    // plant, and predictions flip per doc, not one global sign. The
+    // oracle replays BOTH training rounds: round 1 starts from w = 0
+    // (z = 0, p = 0.5 exactly on any engine), every margin and weight
+    // update round-trips DECIMAL(12,4) so double-sum order and libm
+    // exp ulps cannot flip the hash (the q129 ln precedent).
+    decl("q150_logistic_quality",
+      (s, d) => {
+        val doc = col("doc_id")
+        val docs = t(s, d, "documents").select(doc,
+          concat(col("text"),
+            when(doc % 2 === 0, lit(" crisp lucid prose"))
+              .otherwise(lit(" spammy vapid filler"))).as("pt"))
+        val w = TextAnalysis.logisticWeights(docs, doc, col("pt"),
+          doc % 2 === 0, doc % 4 < 2, buckets = 64, rounds = 2, lr = 100.0)
+        TextAnalysis.logisticScores(docs, doc, col("pt"), w, buckets = 64)
+      },
+      logisticFixtureCtes +
+        """
+          |SELECT doc_id, CAST(CAST(SUM(w * cnt) AS DECIMAL(12,4)) AS DOUBLE) AS score,
+          |  CAST(CAST(SUM(w * cnt) AS DECIMAL(12,4)) AS DOUBLE) > 0 AS predicted
+          |FROM x JOIN w2 USING (b) GROUP BY doc_id""".stripMargin),
+
+    // Host-level curation (the FineWeb domain step): per-host doc and
+    // token volume, corpus-wide exact-duplicate fraction, mean lexical
+    // diversity, and the keep/blocklist decision. URLs ride the q131
+    // manufacture (hosts example0..19.com); host example3.com is
+    // poisoned with one constant boilerplate text (dup_frac 1.0, floor
+    // diversity) so the blocklist branch provably fires.
+    decl("q151_host_curation",
+      (s, d) => {
+        val doc = col("doc_id")
+        val raw = when(doc % 4 === 0,
+          concat(lit("HTTPS://WWW.Example"), (doc % 20).cast("string"),
+            lit(".COM:443/Articles/"), (doc % 50).cast("string"),
+            lit("/?utm_source=feed&b=2&a=1&utm_campaign=x#frag")))
+          .when(doc % 4 === 1,
+            concat(lit("http://example"), (doc % 20).cast("string"),
+              lit(".com/Articles/"), (doc % 50).cast("string"), lit("/")))
+          .when(doc % 4 === 2,
+            concat(lit("https://www.example"), (doc % 20).cast("string"),
+              lit(".com/articles/"), (doc % 50).cast("string"), lit("?a=1&b=2")))
+          .otherwise(concat(lit("https://Example"), (doc % 20).cast("string"),
+            lit(".com")))
+        val pt = when(doc % 20 === 3,
+          lit("the same boilerplate line repeated again and again"))
+          .otherwise(col("text"))
+        val docs = t(s, d, "documents").select(doc, raw.as("url"), pt.as("pt"))
+        Curation.hostReport(docs, doc, col("url"), col("pt"))
+      },
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'HTTPS://WWW.Example' || (doc_id % 20)::VARCHAR || '.COM:443/Articles/' || (doc_id % 50)::VARCHAR || '/?utm_source=feed&b=2&a=1&utm_campaign=x#frag'
+        |      WHEN 1 THEN 'http://example' || (doc_id % 20)::VARCHAR || '.com/Articles/' || (doc_id % 50)::VARCHAR || '/'
+        |      WHEN 2 THEN 'https://www.example' || (doc_id % 20)::VARCHAR || '.com/articles/' || (doc_id % 50)::VARCHAR || '?a=1&b=2'
+        |      ELSE 'https://Example' || (doc_id % 20)::VARCHAR || '.com'
+        |    END AS raw,
+        |    CASE WHEN doc_id % 20 = 3
+        |      THEN 'the same boilerplate line repeated again and again'
+        |      ELSE text END AS pt
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(regexp_extract(raw, '^[A-Za-z]+://([^/?#]+)', 1)), '^www\.|:443$|:80$', '', 'g') AS host,
+        |    md5(regexp_replace(trim(lower(pt)), '\s+', ' ', 'g')) AS fp,
+        |    (length(pt) - length(replace(pt, ' ', '')) + 1)::BIGINT AS n_tok,
+        |    CAST(CAST(len(list_distinct(string_split(pt, ' ')))::DOUBLE
+        |      / len(string_split(pt, ' ')) AS DECIMAL(9,6)) AS DOUBLE) AS word_ratio
+        |  FROM u),
+        |fpn AS (SELECT fp, COUNT(*) AS fp_n FROM d GROUP BY fp),
+        |agg AS (
+        |  SELECT host, COUNT(*)::BIGINT AS n_docs, SUM(n_tok)::BIGINT AS n_tokens,
+        |    SUM(CASE WHEN fp_n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+        |    CAST(CAST(AVG(word_ratio) AS DECIMAL(9,6)) AS DOUBLE) AS mean_word_ratio
+        |  FROM d JOIN fpn USING (fp) GROUP BY host)
+        |SELECT host, n_docs, n_tokens, n_dup_docs,
+        |  CAST(CAST(n_dup_docs::DOUBLE / n_docs AS DECIMAL(9,6)) AS DOUBLE) AS dup_frac,
+        |  mean_word_ratio,
+        |  CASE WHEN CAST(CAST(n_dup_docs::DOUBLE / n_docs AS DECIMAL(9,6)) AS DOUBLE) >= 0.5
+        |         OR mean_word_ratio < 0.4
+        |    THEN 'blocklist' ELSE 'keep' END AS decision
+        |FROM agg""".stripMargin),
+
+    // Incremental exact dedup: a fresh crawl drop (ids shifted +1e6)
+    // deduped against the existing corpus WITHOUT re-deduping the base.
+    // Planted classes: doc%3=0 → verbatim base copy (dup_of_base, the
+    // keeper is the smallest base id of that content — the base's own
+    // planted dup groups exercise the min), doc%3=1 → one of 7 novel
+    // texts (dup_in_new chains, smallest fresh id keeps), doc%3=2 →
+    // uniquely suffixed (kept). Oracle replays both fingerprint tables
+    // and the two-join decision.
+    decl("q152_incremental_dedup",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val fresh = docs.select((col("doc_id") + 1000000L).as("fid"),
+          when(col("doc_id") % 3 === 0, col("text"))
+            .when(col("doc_id") % 3 === 1,
+              concat(lit("fresh content block "), (col("doc_id") % 7).cast("string")))
+            .otherwise(concat(col("text"), lit(" unique suffix "),
+              col("doc_id").cast("string"))).as("ftext"))
+        Dedup.incrementalExact(docs, col("doc_id"), col("text"),
+          fresh, col("fid"), col("ftext"))
+      },
+      """WITH fresh AS (
+        |  SELECT doc_id + 1000000 AS id,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN text
+        |      WHEN 1 THEN 'fresh content block ' || (doc_id % 7)::VARCHAR
+        |      ELSE text || ' unique suffix ' || doc_id::VARCHAR END AS ftext
+        |  FROM documents),
+        |b AS (SELECT md5(text) AS content_hash, MIN(doc_id) AS base_keeper
+        |      FROM documents GROUP BY 1),
+        |f AS (SELECT id, md5(ftext) AS content_hash FROM fresh),
+        |fk AS (SELECT content_hash, MIN(id) AS fresh_keeper FROM f GROUP BY 1)
+        |SELECT f.id, f.content_hash,
+        |  CASE WHEN b.base_keeper IS NOT NULL THEN 'dup_of_base'
+        |       WHEN fk.fresh_keeper != f.id THEN 'dup_in_new'
+        |       ELSE 'kept' END AS status,
+        |  coalesce(b.base_keeper,
+        |    CASE WHEN fk.fresh_keeper != f.id THEN fk.fresh_keeper ELSE f.id END) AS keeper_id
+        |FROM f LEFT JOIN b USING (content_hash) JOIN fk USING (content_hash)""".stripMargin),
+
+    // Curriculum packing: the q150 classifier's scores tier the corpus
+    // (fixed thresholds — quantile tiers would need a corpus sort; tier
+    // cutoffs are config in production), and the packer lays tokens out
+    // stage-by-stage (stage 0 = highest tier first) with the same
+    // two-phase prefix sum as q132/q148 — the oracle's single global
+    // cumsum over (stage, doc_id) proves the staged decomposition
+    // exact. Composes: train classifier → score → tier → pack.
+    decl("q153_curriculum_packing",
+      (s, d) => {
+        val doc = col("doc_id")
+        val docs = t(s, d, "documents").select(doc,
+          concat(col("text"),
+            when(doc % 2 === 0, lit(" crisp lucid prose"))
+              .otherwise(lit(" spammy vapid filler"))).as("pt"))
+        val w = TextAnalysis.logisticWeights(docs, doc, col("pt"),
+          doc % 2 === 0, doc % 4 < 2, buckets = 64, rounds = 2, lr = 100.0)
+        val scored = TextAnalysis.logisticScores(docs, doc, col("pt"), w, buckets = 64)
+        val toks = docs
+          .select(doc, TextAnalysis.tokenCount(col("pt")).as("n_tokens"))
+          .join(scored.select(col("doc_id"), col("score")), "doc_id")
+          .select(col("doc_id"), col("n_tokens"),
+            when(col("score") >= 0.08, 0)
+              .when(col("score") >= -0.08, 1)
+              .otherwise(2).cast("int").as("stage"))
+        Packing.curriculumPackManifest(toks, seqLen = 512L, bucketSize = 100L)
+      },
+      logisticFixtureCtes + """,
+        |sc AS (SELECT doc_id, CAST(CAST(SUM(w * cnt) AS DECIMAL(12,4)) AS DOUBLE) AS score
+        |       FROM x JOIN w2 USING (b) GROUP BY doc_id),
+        |st AS (SELECT d0.doc_id,
+        |  (length(d0.text) - length(replace(d0.text, ' ', '')) + 1)::BIGINT AS n_tokens,
+        |  CASE WHEN score >= 0.08 THEN 0 WHEN score >= -0.08 THEN 1 ELSE 2 END AS stage
+        |  FROM d0 JOIN sc USING (doc_id)),
+        |packed AS (SELECT doc_id, stage, n_tokens,
+        |  (SUM(n_tokens) OVER (ORDER BY stage, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)::BIGINT AS off_start
+        |  FROM st)
+        |SELECT doc_id, stage, n_tokens, off_start,
+        |  (off_start // 512)::BIGINT AS seq_first,
+        |  ((off_start + n_tokens - 1) // 512)::BIGINT AS seq_last
+        |FROM packed""".stripMargin),
+
+    // Incremental NEAR-dedup: the fresh drop of q152 at MinHash
+    // granularity — exact copies (doc%5=0) and truncated near-copies
+    // (doc%5=1, last two words dropped) must match their base doc
+    // through the cross-corpus banded join; word-reversed docs
+    // (doc%5∈{2,3,4}) share tokens but no 3-shingles and stay kept.
+    // Oracle rebuilds BOTH sides' signatures (per-side df caps), all 8
+    // band buckets, the estimate, and the best-match tie-break.
+    decl("q154_incremental_neardup",
+      (s, d) => {
+        val doc = col("doc_id")
+        val base = t(s, d, "documents").select(doc, col("text"))
+        val w = split(col("text"), " ")
+        val ftext = when(doc % 5 === 0, col("text"))
+          .when(doc % 5 === 1,
+            concat_ws(" ", slice(w, lit(1), greatest(size(w) - 2, lit(1)))))
+          .otherwise(concat_ws(" ", reverse(w)))
+        val fresh = t(s, d, "documents")
+          .select((doc + 1000000L).as("fid"), ftext.as("ftext"))
+        Dedup.incrementalNearDup(base, doc, col("text"),
+          fresh, col("fid"), col("ftext"),
+          n = 3, maxDf = 50, bands = 8, rowsPerBand = 4, minEstJaccard = 0.5)
+      },
+      incrementalNearDupSql)
   )
+
+  /** DuckDB oracle for q154: per-side MinHash signature chains (same
+    * permutation constants and df cap as the Spark operator), the 8
+    * per-band md5 bucket keys, the cross-corpus candidate join, and the
+    * (est DESC, base id) best-match rule. */
+  private def incrementalNearDupSql: String = {
+    val m = Dedup.PermModulus
+    val mins = (0 until 32).map { i =>
+      val (a, b) = Dedup.perm(i)
+      s"min((h * $a + $b) % $m) AS m$i"
+    }.mkString(",\n    ")
+    def sigChain(pfx: String, srcSql: String): String =
+      s"""${pfx}words AS (SELECT id AS doc, string_split(txt, ' ') w FROM ($srcSql)),
+         |${pfx}sh0 AS (SELECT DISTINCT doc, unnest(list_transform(generate_series(1, len(w)-2),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s
+         |  FROM ${pfx}words WHERE len(w) >= 3),
+         |${pfx}sh AS (SELECT ${pfx}sh0.doc, ${pfx}sh0.s FROM ${pfx}sh0
+         |  JOIN (SELECT s, COUNT(*) df FROM ${pfx}sh0 GROUP BY s) f
+         |    ON ${pfx}sh0.s = f.s AND f.df <= 50),
+         |${pfx}hs AS (SELECT doc, ${sqlHash60("s")} % $m AS h FROM ${pfx}sh),
+         |${pfx}sig AS (SELECT doc,
+         |    $mins
+         |  FROM ${pfx}hs GROUP BY doc)""".stripMargin
+    def bandUnion(pfx: String): String =
+      (0 until 8).map { b =>
+        val cols = (0 until 4).map(r => s"m${b * 4 + r}::VARCHAR").mkString(" || '_' || ")
+        s"SELECT doc, $b AS band, md5($cols) AS bucket FROM ${pfx}sig"
+      }.mkString("\n  UNION ALL ")
+    val matches = (0 until 32)
+      .map(i => s"CASE WHEN fs.m$i = bs.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH fresh AS (
+       |  SELECT doc_id + 1000000 AS id,
+       |    CASE
+       |      WHEN doc_id % 5 = 0 THEN text
+       |      WHEN doc_id % 5 = 1 THEN array_to_string(
+       |        string_split(text, ' ')[1:greatest(len(string_split(text, ' ')) - 2, 1)], ' ')
+       |      ELSE array_to_string(list_reverse(string_split(text, ' ')), ' ')
+       |    END AS txt
+       |  FROM documents),
+       |${sigChain("b", "SELECT doc_id AS id, text AS txt FROM documents")},
+       |${sigChain("f", "SELECT id, txt FROM fresh")},
+       |bband AS (
+       |  ${bandUnion("b")}),
+       |fband AS (
+       |  ${bandUnion("f")}),
+       |cands AS (SELECT DISTINCT f.doc AS fid, b.doc AS bid
+       |          FROM fband f JOIN bband b USING (band, bucket)),
+       |est AS (SELECT c.fid, c.bid, ($matches)::DOUBLE / 32.0 AS est
+       |        FROM cands c JOIN fsig fs ON c.fid = fs.doc JOIN bsig bs ON c.bid = bs.doc),
+       |best AS (SELECT fid, bid, est,
+       |           row_number() OVER (PARTITION BY fid ORDER BY est DESC, bid) AS rn
+       |         FROM est WHERE est >= 0.5)
+       |SELECT fresh.id,
+       |  CASE WHEN b1.bid IS NOT NULL THEN 'near_dup_of_base' ELSE 'kept' END AS status,
+       |  b1.bid AS matched_base_id, b1.est AS est_jaccard
+       |FROM fresh LEFT JOIN (SELECT fid, bid, est FROM best WHERE rn = 1) b1
+       |  ON fresh.id = b1.fid""".stripMargin
+  }
+
+  /** DuckDB CTE prefix shared by the q150/q153 oracles: the
+    * planted-marker logistic fixture — d0 (marker-overlaid text,
+    * parity labels, doc_id%4<2 train split), length-normalized hashed
+    * features `x` (64 buckets), train slice `xt`, and TWO unrolled GD
+    * rounds (lr = 100) ending in the weight table `w2`. Round 1 starts
+    * from w = 0 (z = 0, p = 0.5 exactly); every margin/weight
+    * round-trips DECIMAL(12,4). Callers append scoring CTEs or the
+    * final SELECT. */
+  private def logisticFixtureCtes: String =
+    s"""WITH d0 AS (
+       |  SELECT doc_id,
+       |    text || CASE WHEN doc_id % 2 = 0 THEN ' crisp lucid prose'
+       |                 ELSE ' spammy vapid filler' END AS text,
+       |    doc_id % 4 < 2 AS tr,
+       |    CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents),
+       |tok AS (SELECT doc_id, len(string_split(text, ' '))::DOUBLE AS l,
+       |        unnest(string_split(text, ' ')) AS wo FROM d0),
+       |x AS (SELECT doc_id, ${sqlHash60("wo")} % 64 AS b,
+       |        COUNT(*)::DOUBLE / min(l) AS cnt
+       |      FROM tok GROUP BY 1, 2),
+       |xt AS (SELECT x.* FROM x JOIN d0 USING (doc_id) WHERE tr),
+       |n AS (SELECT COUNT(*)::DOUBLE AS n FROM d0 WHERE tr),
+       |bk AS (SELECT unnest(generate_series(0, 63)) AS b),
+       |g1 AS (SELECT b, SUM((y - 0.5) * cnt) AS g
+       |       FROM xt JOIN d0 USING (doc_id) GROUP BY b),
+       |w1 AS (SELECT bk.b, CAST(CAST(100.0 * coalesce(g1.g, 0) / n.n AS DECIMAL(12,4)) AS DOUBLE) AS w
+       |       FROM bk LEFT JOIN g1 ON bk.b = g1.b CROSS JOIN n),
+       |z2 AS (SELECT doc_id, CAST(CAST(SUM(w * cnt) AS DECIMAL(12,4)) AS DOUBLE) AS z
+       |       FROM xt JOIN w1 USING (b) GROUP BY doc_id),
+       |r2 AS (SELECT d0.doc_id, d0.y - 1.0 / (1.0 + exp(-z2.z)) AS r
+       |       FROM d0 JOIN z2 USING (doc_id) WHERE tr),
+       |g2 AS (SELECT b, SUM(r * cnt) AS g FROM xt JOIN r2 USING (doc_id) GROUP BY b),
+       |w2 AS (SELECT w1.b, CAST(CAST(w1.w + 100.0 * coalesce(g2.g, 0) / n.n AS DECIMAL(12,4)) AS DOUBLE) AS w
+       |       FROM w1 LEFT JOIN g2 ON w1.b = g2.b CROSS JOIN n)""".stripMargin
 
   /** DuckDB CTE prefix: train `rounds` BPE merges on the even-doc_id
     * split (t0..tN mirror the trainer's corpus; winI the rank-I rule)

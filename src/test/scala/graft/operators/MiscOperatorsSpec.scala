@@ -381,4 +381,124 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(Reviews.acceptedExtractions(s2).select("extracted_data")
       .as[String].collect().toSeq == Seq("e1fix"))
   }
+
+  test("curriculum packing lays stages out sequentially with exact offsets") {
+    // stage 1 doc 1 comes AFTER all stage-0 docs despite the lower id
+    val toks = Seq((1L, 10L, 1), (2L, 7L, 0), (3L, 5L, 0), (4L, 4L, 1))
+      .toDF("doc_id", "n_tokens", "stage")
+    val out = Packing.curriculumPackManifest(toks, seqLen = 8L, bucketSize = 2L)
+      .select("doc_id", "off_start", "seq_first", "seq_last")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // layout: stage0 [2:0-6, 3:7-11], stage1 [1:12-21, 4:22-25]
+    assert(out(2L) == ((2L, 0L, 0L, 0L)))
+    assert(out(3L) == ((3L, 7L, 0L, 1L)))
+    assert(out(1L) == ((1L, 12L, 1L, 2L)))
+    assert(out(4L) == ((4L, 22L, 2L, 3L)))
+  }
+
+  test("incremental near-dedup matches copies to base, keeps novel docs") {
+    // base doc 1 and its verbatim fresh copy 11; 12 = truncated copy;
+    // 13 = unrelated words (no shared shingles)
+    val words = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val base = Seq((1L, words), (2L, (40 to 70).map(i => s"tok$i").mkString(" ")))
+      .toDF("id", "text")
+    val fresh = Seq(
+      (11L, words),
+      (12L, (1 to 28).map(i => s"tok$i").mkString(" ")),
+      (13L, (100 to 130).map(i => s"zz$i").mkString(" "))
+    ).toDF("id", "text")
+    val out = Dedup.incrementalNearDup(base, col("id"), col("text"),
+        fresh, col("id"), col("text"))
+      .select("id", "status", "matched_base_id")
+      .as[(Long, String, Option[Long])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(11L) == (("near_dup_of_base", Some(1L))))
+    assert(out(12L) == (("near_dup_of_base", Some(1L))))
+    assert(out(13L) == (("kept", None)))
+  }
+
+  test("incremental exact dedup classifies fresh docs against the base") {
+    // base has a dup group {1,2}; fresh: 10 copies base (keeper = MIN
+    // base id 1), 11+12 share novel text (in-new chain), 13 unique
+    val base = Seq((1L, "same text"), (2L, "same text"), (3L, "other text"))
+      .toDF("id", "text")
+    val fresh = Seq((10L, "same text"), (11L, "novel text"),
+      (12L, "novel text"), (13L, "lone text")).toDF("id", "text")
+    val out = Dedup.incrementalExact(base, col("id"), col("text"),
+        fresh, col("id"), col("text"))
+      .select("id", "status", "keeper_id")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(
+      10L -> (("dup_of_base", 1L)),
+      11L -> (("kept", 11L)),
+      12L -> (("dup_in_new", 11L)),
+      13L -> (("kept", 13L))))
+  }
+
+  test("host curation report blocklists duplicate farms and boilerplate hosts") {
+    val docs = Seq(
+      // mirror.com: 2 of 2 docs share content → dup_frac 1.0 → blocklist
+      (1L, "https://mirror.com/a", "alpha beta gamma delta"),
+      (2L, "https://www.mirror.com/b", "alpha beta gamma delta"),
+      // spam.com: unique content but degenerate diversity → blocklist
+      (3L, "https://spam.com/x", "spam spam spam spam spam spam spam zz"),
+      // good.com: unique diverse content → keep
+      (4L, "https://good.com/y", "one two three four five six seven"),
+      (5L, "https://good.com/z", "red green blue cyan magenta yellow")
+    ).toDF("id", "url", "text")
+    val out = Curation.hostReport(docs, col("id"), col("url"), col("text"))
+      .select("host", "n_docs", "n_dup_docs", "decision")
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      "mirror.com" -> ((2L, 2L, "blocklist")),
+      "spam.com" -> ((1L, 0L, "blocklist")),
+      "good.com" -> ((2L, 0L, "keep"))))
+  }
+
+  test("gopher signals and keep rule fire each threshold") {
+    val many = (1 to 60).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      // passes every rule: 60+ alpha words, stop words, clean lines
+      (1L, many + " the of and with", Seq("a good line.", "another line.")),
+      // too short
+      (2L, "the of tiny", Seq("x.")),
+      // symbol-heavy: ### ratio over 0.1
+      (3L, many + " the of ### ## ## #", Seq("ok.")),
+      // all-bullet lines
+      (4L, many + " the of", Seq("- b1", "- b2", "- b3"))
+    ).toDF("id", "text", "lines")
+    val out = docs.select(col("id"),
+        TextAnalysis.gopherSignals(col("text"), col("lines")).as("g"))
+      .select(col("id"), col("g.n_words"), col("g.stop_hits"),
+        TextAnalysis.gopherKeep(col("g")).as("keep"))
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._4 && out(1L)._3 >= 2)
+    assert(!out(2L)._4 && out(2L)._2 == 3)
+    assert(!out(3L)._4)
+    assert(!out(4L)._4)
+  }
+
+  test("logistic quality classifier separates planted vocab after two rounds") {
+    // positives repeat 'good', negatives repeat 'bad' — linearly
+    // separable in the hashed space, so two GD rounds must already
+    // classify every training doc correctly
+    val docs = (0L until 40L).map { i =>
+      val txt = if (i % 2 == 0) "good fine nice good solid good"
+      else "bad awful bad poor bad noisy"
+      (i, txt)
+    }.toDF("id", "text")
+    val label = concat(lit(" "), col("text"), lit(" ")).contains(" good ")
+    val w = TextAnalysis.logisticWeights(docs, col("id"), col("text"),
+      label, trainFilter = col("id") < 30, buckets = 16, rounds = 2, lr = 0.5)
+    assert(w.count() == 16) // every bucket present, trained or not
+    val scored = TextAnalysis.logisticScores(docs, col("id"), col("text"), w, 16)
+      .as[(Long, Double, Boolean)].collect()
+    assert(scored.length == 40)
+    scored.foreach { case (id, _, pred) => assert(pred == (id % 2 == 0), s"doc $id") }
+    // determinism: retraining reproduces identical weights
+    val w2 = TextAnalysis.logisticWeights(docs, col("id"), col("text"),
+      label, trainFilter = col("id") < 30, buckets = 16, rounds = 2, lr = 0.5)
+    assert(w.as[(Long, Double)].collect().toSet == w2.as[(Long, Double)].collect().toSet)
+  }
 }
