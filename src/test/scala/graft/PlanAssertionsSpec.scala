@@ -257,4 +257,32 @@ class PlanAssertionsSpec extends SparkSpec {
     val docShuffles = "Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).size
     assert(docShuffles == 0, plan.take(1500))
   }
+
+  test("incremental near-dedup joins on band buckets — never fresh × base") {
+    import graft.operators.Dedup
+    val base = (1L to 40L).map(i => (i, s"w$i x$i y$i z$i v$i")).toDF("id", "text")
+    val fresh = (1L to 40L).map(i => (i + 100, s"w$i x$i y$i z$i v$i")).toDF("id", "text")
+    val plan = Dedup.incrementalNearDup(base, col("id"), col("text"),
+        fresh, col("id"), col("text"))
+      .queryExecution.executedPlan.toString
+    // the cross-corpus candidate join must be the banded equi-join — a
+    // nested-loop/cartesian here is the all-pairs plan that dies at scale
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
+  test("logistic training keeps the weight table broadcast — features never re-shuffle onto it") {
+    import graft.operators.TextAnalysis
+    val docs = (0L until 50L).map(i =>
+      (i, if (i % 2 == 0) "good fine" else "bad poor")).toDF("id", "text")
+    val w = TextAnalysis.logisticWeights(docs, col("id"), col("text"),
+      col("id") % 2 === 0, lit(true), buckets = 16, rounds = 1)
+    val plan = TextAnalysis.logisticScores(docs, col("id"), col("text"), w, 16)
+      .queryExecution.executedPlan.toString
+    // scoring = features ⋈ broadcast(weights): a sort-merge join on the
+    // bucket key would shuffle the corpus-sized feature frame against a
+    // 16-row table
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!"SortMergeJoin.*\\bb\\b".r.findFirstIn(plan).isDefined, plan.take(1500))
+  }
 }
