@@ -150,4 +150,65 @@ object Sampling {
       .select(col("doc_id"), col("w"),
         (copiesBelow("c") - copiesBelow("cprev")).as("n_copies"))
   }
+
+  /** Data-constrained epoch planner (Muennighoff et al. 2023: when the
+    * best data runs out, REPEAT it — up to ~4 epochs — before reaching
+    * for lower tiers). Tiers fill the token budget in ascending `tier`
+    * order (0 = best): each takes up to `maxEpochs` full epochs of its
+    * token mass; the first tier the budget cannot cover takes a PARTIAL
+    * epoch — the hash-smallest documents that fit, a pure function of
+    * the ids — and every tier after it gets nothing.
+    *
+    * The greedy recurrence collapses to closed form
+    * (used_t = clamp(budget − Σ_{s<t} maxEpochs·m_s, 0, maxEpochs·m_t)),
+    * so the tier plan is one tiny aggregate + prefix window broadcast
+    * back, and partial-epoch membership is the hash-bucketed two-phase
+    * prefix sum inside the single partial tier (never a corpus-wide
+    * ordered window). All integer arithmetic — exactly replayable.
+    *
+    * @param toks (doc_id: long, n_tokens: long, tier: int)
+    * @return (doc_id, tier, n_tokens, epochs, in_partial,
+    *          planned_tokens = epochs·n_tokens (+ n_tokens if partial)) */
+  def epochPlan(toks: DataFrame, budget: Long, maxEpochs: Int, salt: String,
+      bucketBits: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxEpochs > 0 && budget >= 0, "epochPlan: bad budget/maxEpochs")
+    val masses = toks.groupBy("tier").agg(sum(col("n_tokens")).as("m"))
+    val before = Window.orderBy(col("tier"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val plan = masses
+      .withColumn("prefix_full",
+        coalesce(sum(col("m") * maxEpochs).over(before), lit(0L)))
+      .withColumn("used", least(col("m") * maxEpochs,
+        greatest(lit(budget) - col("prefix_full"), lit(0L))))
+      // a zero-mass tier (all docs empty) must plan 0 epochs, not
+      // null-divide and silently drop its docs at the join below
+      .withColumn("epochs",
+        when(col("m") > 0, expr("used div m")).otherwise(lit(0L)))
+      .withColumn("partial_tokens", col("used") - col("epochs") * col("m"))
+      .select("tier", "epochs", "partial_tokens")
+    val h = Dedup.hash60(concat_ws("|", lit(salt), col("doc_id").cast("string")))
+    val hashed = toks.join(broadcast(plan), "tier")
+      .withColumn("h", h)
+      .withColumn("bucket", (col("h") / lit(1L << (60 - bucketBits))).cast("long"))
+    val inBucket = Window.partitionBy(col("tier"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = hashed.withColumn("run", sum(col("n_tokens")).over(inBucket))
+    val acrossBuckets = Window.partitionBy(col("tier")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = hashed.groupBy(col("tier"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("btotal"))
+      .withColumn("bprefix", sum(col("btotal")).over(acrossBuckets) - col("btotal"))
+      .select("tier", "bucket", "bprefix")
+    run.join(broadcast(offsets), Seq("tier", "bucket"))
+      .withColumn("in_partial",
+        col("partial_tokens") > 0 &&
+          (col("bprefix") + col("run")) <= col("partial_tokens"))
+      .select(col("doc_id"), col("tier"), col("n_tokens"), col("epochs"),
+        col("in_partial"),
+        (col("epochs") * col("n_tokens") +
+          when(col("in_partial"), col("n_tokens")).otherwise(lit(0L)))
+          .as("planned_tokens"))
+  }
 }

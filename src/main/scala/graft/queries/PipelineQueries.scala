@@ -2510,7 +2510,7 @@ object PipelineQueries {
           n = 3, maxDf = 50, bands = 8, rowsPerBand = 4, minEstJaccard = 0.5)
       },
       incrementalNearDupSql)
-  )
+  ) :+ epochPlanDecl
 
   /** DuckDB oracle for q154: per-side MinHash signature chains (same
     * permutation constants and df cap as the Spark operator), the 8
@@ -2570,6 +2570,57 @@ object PipelineQueries {
        |FROM fresh LEFT JOIN (SELECT fid, bid, est FROM best WHERE rn = 1) b1
        |  ON fresh.id = b1.fid""".stripMargin
   }
+
+  /** q155's extra decls live here so the shared logistic fixture CTEs
+    * stay single-sourced. */
+  private[queries] def epochPlanDecl: Q.Decl =
+    decl("q155_epoch_plan",
+      (s, d) => {
+        val doc = col("doc_id")
+        val docs = t(s, d, "documents").select(doc,
+          concat(col("text"),
+            when(doc % 2 === 0, lit(" crisp lucid prose"))
+              .otherwise(lit(" spammy vapid filler"))).as("pt"))
+        val w = TextAnalysis.logisticWeights(docs, doc, col("pt"),
+          doc % 2 === 0, doc % 4 < 2, buckets = 64, rounds = 2, lr = 100.0)
+        val scored = TextAnalysis.logisticScores(docs, doc, col("pt"), w, buckets = 64)
+        val toks = docs
+          .select(doc, TextAnalysis.tokenCount(col("pt")).as("n_tokens"))
+          .join(scored.select(col("doc_id"), col("score")), "doc_id")
+          .select(col("doc_id"), col("n_tokens"),
+            when(col("score") >= 0.08, 0)
+              .when(col("score") >= -0.08, 1)
+              .otherwise(2).cast("int").as("tier"))
+        Sampling.epochPlan(toks, budget = 35000L, maxEpochs = 4, salt = "ep")
+      },
+      logisticFixtureCtes + s""",
+        |sc AS (SELECT doc_id, CAST(CAST(SUM(w * cnt) AS DECIMAL(12,4)) AS DOUBLE) AS score
+        |       FROM x JOIN w2 USING (b) GROUP BY doc_id),
+        |st AS (SELECT d0.doc_id,
+        |  (length(d0.text) - length(replace(d0.text, ' ', '')) + 1)::BIGINT AS n_tokens,
+        |  CASE WHEN score >= 0.08 THEN 0 WHEN score >= -0.08 THEN 1 ELSE 2 END AS tier
+        |  FROM d0 JOIN sc USING (doc_id)),
+        |ms AS (SELECT tier, SUM(n_tokens)::BIGINT AS m FROM st GROUP BY 1),
+        |pl AS (SELECT tier, m,
+        |  coalesce(SUM(m * 4) OVER (ORDER BY tier
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS prefix_full
+        |  FROM ms),
+        |pl2 AS (SELECT tier, m,
+        |  least(m * 4, greatest(35000 - prefix_full, 0))::BIGINT AS used FROM pl),
+        |pl3 AS (SELECT tier, (used // m)::BIGINT AS epochs,
+        |  (used - (used // m) * m)::BIGINT AS partial_tokens FROM pl2),
+        |hd AS (SELECT doc_id, tier, n_tokens,
+        |  ${sqlHash60("('ep|' || doc_id::VARCHAR)")} AS h FROM st),
+        |cum AS (SELECT doc_id, tier, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY tier ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS run
+        |  FROM hd)
+        |SELECT c.doc_id, c.tier, c.n_tokens, p.epochs,
+        |  (p.partial_tokens > 0 AND c.run <= p.partial_tokens) AS in_partial,
+        |  (p.epochs * c.n_tokens
+        |    + CASE WHEN p.partial_tokens > 0 AND c.run <= p.partial_tokens
+        |        THEN c.n_tokens ELSE 0 END)::BIGINT AS planned_tokens
+        |FROM cum c JOIN pl3 p USING (tier)""".stripMargin)
 
   /** DuckDB CTE prefix shared by the q150/q153 oracles: the
     * planted-marker logistic fixture — d0 (marker-overlaid text,

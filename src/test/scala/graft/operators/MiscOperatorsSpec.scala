@@ -416,6 +416,26 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(out(13L) == (("kept", None)))
   }
 
+  test("epoch plan caps the best tier, partial-fills the next, starves the rest") {
+    // m0=20 (2×10), m1=50 (5×10), m2=50; budget 105, maxEpochs 2:
+    // tier0 takes 2 full epochs (40), tier1 takes 1 epoch (50) + a
+    // 15-token partial — exactly ONE 10-token doc fits — tier2 nothing
+    val toks = ((1L to 2L).map((_, 10L, 0)) ++ (3L to 7L).map((_, 10L, 1)) ++
+      Seq((8L, 50L, 2))).toDF("doc_id", "n_tokens", "tier")
+    val out = Sampling.epochPlan(toks, budget = 105L, maxEpochs = 2, salt = "t")
+      .as[(Long, Int, Long, Long, Boolean, Long)].collect()
+    val byTier = out.groupBy(_._2)
+    assert(byTier(0).forall(r => r._4 == 2L && !r._5))
+    assert(byTier(1).forall(_._4 == 1L))
+    assert(byTier(1).count(_._5) == 1)
+    assert(byTier(2).forall(r => r._4 == 0L && !r._5 && r._6 == 0L))
+    assert(out.map(_._6).sum == 40L + 50L + 10L)
+    // pure function of ids: same plan under a different partitioning
+    val again = Sampling.epochPlan(toks.repartition(5), 105L, 2, "t")
+      .as[(Long, Int, Long, Long, Boolean, Long)].collect()
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
   test("incremental exact dedup classifies fresh docs against the base") {
     // base has a dup group {1,2}; fresh: 10 copies base (keeper = MIN
     // base id 1), 11+12 share novel text (in-new chain), 13 unique
