@@ -215,7 +215,11 @@ object TextAnalysis {
     val spark = docs.sparkSession
     val train = docs.filter(trainFilter)
       .select(id.as("doc_id"), when(label, 1.0).otherwise(0.0).as("y"))
+    // persist the feature frame: every round reads it twice (margin +
+    // gradient), and without the persist each round would re-scan and
+    // re-aggregate the raw corpus
     val x = hashedFeatures(docs.filter(trainFilter), id, text, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = train.agg(count(lit(1)).cast("double").as("n"))
     var w = spark.range(buckets)
       .select(col("id").cast("long").as("b"), lit(0.0).as("w"))
@@ -231,6 +235,9 @@ object TextAnalysis {
           r4(col("w") + lit(lr) * coalesce(col("g"), lit(0.0)) / col("n")).as("w"))
         .localCheckpoint() // tiny frame; stops round-over-round lineage growth
     }
+    // the per-round localCheckpoint materialized the final weights, so
+    // they no longer reference x's lineage — safe to release here
+    x.unpersist(blocking = false)
     w
   }
 
