@@ -63,4 +63,46 @@ object Contamination {
         coalesce(frac, lit(0.0)).as("contam_frac"),
         (coalesce(col("n_shared"), lit(0L)) >= flagMinShared).as("contaminated"))
   }
+
+  /** Pairwise source-overlap matrix — [[report]] generalized from one
+    * train/eval split to EVERY pair of sources (the audit a multi-source
+    * corpus runs before mixing: which feeds are verbatim-copying each
+    * other?). For each unordered source pair (a < b): the count of
+    * distinct shingles present in both, plus each side's distinct
+    * total and the containment fraction shared / min(total_a, total_b).
+    *
+    * Scale shape: distinct (source, shingle) is one shuffle; the pair
+    * join is a self equi-join on the shingle, whose fan-out per
+    * shingle is bounded by the NUMBER OF SOURCES (tiny), not document
+    * count — cost stays linear in corpus shingle volume. Source pairs
+    * that share nothing are emitted with 0 via the cross of per-source
+    * totals (sources are few; the cross is a driver-free tiny join).
+    *
+    * Returns (source_a, source_b, shared, total_a, total_b,
+    * containment). */
+  def sourceOverlapMatrix(docs: DataFrame, id: Column, text: Column,
+      source: Column, k: Int = 8): DataFrame = {
+    val ss = docs.select(source.as("src"), split(text, " ").as("w"))
+      .select(col("src"),
+        explode(when(size(col("w")) >= k,
+          transform(sequence(lit(1), size(col("w")) - (k - 1)),
+            i => concat_ws(" ", (0 until k).map(j => element_at(col("w"), i + j)): _*)))
+          .otherwise(array().cast("array<string>"))).as("shingle"))
+      .distinct()
+    val totals = ss.groupBy("src").agg(count(lit(1)).as("total"))
+    val sharedCounts = ss.toDF("src_a", "shingle")
+      .join(ss.toDF("src_b", "shingle"), "shingle")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared"))
+    val allPairs = totals.toDF("src_a", "total_a")
+      .crossJoin(totals.toDF("src_b", "total_b"))
+      .filter(col("src_a") < col("src_b"))
+    allPairs.join(sharedCounts, Seq("src_a", "src_b"), "left")
+      .select(col("src_a").as("source_a"), col("src_b").as("source_b"),
+        coalesce(col("shared"), lit(0L)).as("shared"),
+        col("total_a"), col("total_b"),
+        coalesce((col("shared").cast("double") /
+          least(col("total_a"), col("total_b")).cast("double"))
+          .cast("decimal(9,6)").cast("double"), lit(0.0)).as("containment"))
+  }
 }

@@ -2510,7 +2510,7 @@ object PipelineQueries {
           n = 3, maxDf = 50, bands = 8, rowsPerBand = 4, minEstJaccard = 0.5)
       },
       incrementalNearDupSql)
-  ) :+ epochPlanDecl
+  ) :+ epochPlanDecl :+ sourceOverlapDecl
 
   /** DuckDB oracle for q154: per-side MinHash signature chains (same
     * permutation constants and df cap as the Spark operator), the 8
@@ -2657,6 +2657,44 @@ object PipelineQueries {
        |g2 AS (SELECT b, SUM(r * cnt) AS g FROM xt JOIN r2 USING (doc_id) GROUP BY b),
        |w2 AS (SELECT w1.b, CAST(CAST(w1.w + 100.0 * coalesce(g2.g, 0) / n.n AS DECIMAL(12,4)) AS DOUBLE) AS w
        |       FROM w1 LEFT JOIN g2 ON w1.b = g2.b CROSS JOIN n)""".stripMargin
+
+  /** q156: the q127 contamination check generalized to every pair of
+    * sources — the mixing audit for a multi-source corpus. The fixture
+    * assigns four sources by doc_id%4 and plants the q127 phrase on
+    * doc_id%9 docs (9 ⊥ 4, so the phrase lands in all four sources and
+    * every pair shares at least its 8 shingles); the corpus's own
+    * planted dup groups also straddle sources. */
+  private[queries] def sourceOverlapDecl: Q.Decl = {
+    val phrase = "benchmark question answer pair leaks verbatim into " +
+      "the training corpus and must be caught"
+    decl("q156_source_overlap",
+      (s, d) => {
+        val doc = col("doc_id")
+        val docs = t(s, d, "documents").select(doc,
+          concat(col("text"),
+            when(doc % 9 === 0, lit(" " + phrase)).otherwise(lit(""))).as("pt"),
+          concat(lit("s"), (doc % 4).cast("string")).as("src"))
+        Contamination.sourceOverlapMatrix(docs, doc, col("pt"), col("src"))
+      },
+      s"""WITH d0 AS (
+         |  SELECT doc_id,
+         |    text || CASE WHEN doc_id % 9 = 0 THEN ' $phrase' ELSE '' END AS pt,
+         |    's' || (doc_id % 4)::VARCHAR AS src
+         |  FROM documents),
+         |w AS (SELECT src, string_split(pt, ' ') AS w FROM d0),
+         |sh AS (SELECT DISTINCT src, unnest(list_transform(generate_series(1, len(w) - 7),
+         |       i -> array_to_string(w[i:i+7], ' '))) AS shingle FROM w WHERE len(w) >= 8),
+         |tot AS (SELECT src, COUNT(*)::BIGINT AS total FROM sh GROUP BY 1),
+         |shr AS (SELECT a.src AS src_a, b.src AS src_b, COUNT(*)::BIGINT AS shared
+         |        FROM sh a JOIN sh b USING (shingle) WHERE a.src < b.src GROUP BY 1, 2),
+         |ap AS (SELECT ta.src AS src_a, ta.total AS total_a, tb.src AS src_b, tb.total AS total_b
+         |       FROM tot ta, tot tb WHERE ta.src < tb.src)
+         |SELECT ap.src_a AS source_a, ap.src_b AS source_b,
+         |  coalesce(shr.shared, 0)::BIGINT AS shared, ap.total_a, ap.total_b,
+         |  coalesce(CAST(CAST(shr.shared::DOUBLE / least(ap.total_a, ap.total_b)
+         |    AS DECIMAL(9,6)) AS DOUBLE), 0.0) AS containment
+         |FROM ap LEFT JOIN shr ON ap.src_a = shr.src_a AND ap.src_b = shr.src_b""".stripMargin)
+  }
 
   /** DuckDB CTE prefix: train `rounds` BPE merges on the even-doc_id
     * split (t0..tN mirror the trainer's corpus; winI the rank-I rule)

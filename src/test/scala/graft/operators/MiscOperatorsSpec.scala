@@ -416,6 +416,22 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(out(13L) == (("kept", None)))
   }
 
+  test("source overlap matrix counts shared shingles per pair, zero-fills strangers") {
+    val eight = (1 to 8).map(i => s"w$i").mkString(" ")     // one shared 8-gram
+    val docs = Seq(
+      (1L, "a", eight + " tail1 tail2"),
+      (2L, "b", eight + " other3 other4"),
+      (3L, "c", "totally different words one two three four five six")
+    ).toDF("id", "src", "text")
+    val out = Contamination.sourceOverlapMatrix(docs, col("id"), col("text"), col("src"))
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._6))).toMap
+    assert(out(("a", "b"))._1 == 1L)          // exactly the planted 8-gram
+    assert(out(("a", "c")) == ((0L, 0.0)))    // stranger pair present with 0
+    assert(out(("b", "c")) == ((0L, 0.0)))
+    assert(out(("a", "b"))._2 > 0.3)          // containment = 1/min(3,3)
+  }
+
   test("epoch plan caps the best tier, partial-fills the next, starves the rest") {
     // m0=20 (2×10), m1=50 (5×10), m2=50; budget 105, maxEpochs 2:
     // tier0 takes 2 full epochs (40), tier1 takes 1 epoch (50) + a
