@@ -80,16 +80,18 @@ object Contamination {
     *
     * Returns (source_a, source_b, shared, total_a, total_b,
     * containment). */
-  def sourceOverlapMatrix(docs: DataFrame, id: Column, text: Column,
+  def sourceOverlapMatrix(docs: DataFrame, text: Column,
       source: Column, k: Int = 8): DataFrame = {
-    val ss = docs.select(source.as("src"), split(text, " ").as("w"))
-      .select(col("src"),
-        explode(when(size(col("w")) >= k,
-          transform(sequence(lit(1), size(col("w")) - (k - 1)),
-            i => concat_ws(" ", (0 until k).map(j => element_at(col("w"), i + j)): _*)))
-          .otherwise(array().cast("array<string>"))).as("shingle"))
-      .distinct()
-    val totals = ss.groupBy("src").agg(count(lit(1)).as("total"))
+    // shingleSet keyed by source instead of doc id; cached because it
+    // feeds the totals aggregate AND both sides of the self-join
+    val ss = shingleSet(docs, source, text, k).toDF("src", "shingle").cache()
+    // the source universe comes from the DOCS, not from the shingle
+    // frame: a source whose documents are all shorter than k words has
+    // no shingles but must still appear in the matrix with 0s
+    val universe = docs.select(source.as("src")).distinct()
+    val totals = universe
+      .join(ss.groupBy("src").agg(count(lit(1)).as("total")), Seq("src"), "left")
+      .select(col("src"), coalesce(col("total"), lit(0L)).as("total"))
     val sharedCounts = ss.toDF("src_a", "shingle")
       .join(ss.toDF("src_b", "shingle"), "shingle")
       .filter(col("src_a") < col("src_b"))
@@ -101,8 +103,11 @@ object Contamination {
       .select(col("src_a").as("source_a"), col("src_b").as("source_b"),
         coalesce(col("shared"), lit(0L)).as("shared"),
         col("total_a"), col("total_b"),
-        coalesce((col("shared").cast("double") /
-          least(col("total_a"), col("total_b")).cast("double"))
-          .cast("decimal(9,6)").cast("double"), lit(0.0)).as("containment"))
+        // min-total 0 guard: a shingle-less source must report 0.0, not
+        // divide by zero
+        coalesce(when(least(col("total_a"), col("total_b")) > 0,
+          (col("shared").cast("double") /
+            least(col("total_a"), col("total_b")).cast("double"))
+            .cast("decimal(9,6)").cast("double")), lit(0.0)).as("containment"))
   }
 }

@@ -195,10 +195,6 @@ object Dedup {
       .select(col("doc"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** MinHash + LSH candidate pairs: band the signature, bucket-join on
-    * (band, bucket-hash), return distinct candidate pairs with the
-    * estimated Jaccard (fraction of matching signature positions).
-    * `bands * rowsPerBand` must equal the signature length. */
   /** Explode a signature frame (doc, sig) into one row per LSH band:
     * (doc, sig, band, bucket) with bucket = md5 of the band's signature
     * slice — the equi-join key shared by the within-corpus and
@@ -218,6 +214,10 @@ object Dedup {
     size(filter(zip_with(a, b, (x, y) => x === y), v => v))
       .cast("double") / lit(numHashes).cast("double")
 
+  /** MinHash + LSH candidate pairs: band the signature, bucket-join on
+    * (band, bucket-hash), return distinct candidate pairs with the
+    * estimated Jaccard (fraction of matching signature positions).
+    * `bands * rowsPerBand` must equal the signature length. */
   def minhashLshPairs(
       df: DataFrame, id: Column, text: Column,
       n: Int = 3, maxDf: Long = 100, bands: Int = 8, rowsPerBand: Int = 4,

@@ -22,6 +22,50 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** The shared two-phase prefix-sum core (every packing layout and the
+    * epoch planner's partial-epoch fill use it): `__run` = running sum
+    * of `valueCol` INCLUDING the current row within (groupCols,
+    * bucketCol) ordered by `orderCols`; `__bprefix` = total mass of all
+    * EARLIER buckets in the global layout order. With `partitioned`
+    * the cross-bucket cumsum restarts per groupCols (independent
+    * per-group offsets, e.g. one partial epoch per tier); without it
+    * the groupCols LEAD the global bucket order (e.g. curriculum
+    * stages laid out sequentially). The cross-bucket window runs over
+    * the tiny per-bucket frame, never over rows — the decomposition
+    * the q132/q148/q153 oracles prove exact against a plain global
+    * cumsum. */
+  private[operators] def twoPhaseRunning(df: DataFrame,
+      groupCols: Seq[String], bucketCol: String, orderCols: Seq[String],
+      valueCol: String, partitioned: Boolean = false): DataFrame = {
+    val grp = (groupCols :+ bucketCol).map(col)
+    val inBucket = Window.partitionBy(grp: _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = df.withColumn("__run", sum(col(valueCol)).over(inBucket))
+    val bucketOrder =
+      if (partitioned)
+        Window.partitionBy(groupCols.map(col): _*).orderBy(col(bucketCol))
+      else
+        Window.orderBy(grp: _*)
+    val acrossBuckets = bucketOrder
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = df.groupBy(grp: _*)
+      .agg(sum(col(valueCol)).as("__btotal"))
+      .withColumn("__bprefix",
+        sum(col("__btotal")).over(acrossBuckets) - col("__btotal"))
+      .drop("__btotal")
+    run.join(broadcast(offsets), groupCols :+ bucketCol)
+  }
+
+  /** Manifest columns from a two-phase frame: global start offset and
+    * first/last sequence index at `seqLen`. */
+  private def manifestCols(seqLen: Long): Seq[org.apache.spark.sql.Column] = Seq(
+    (col("__bprefix") + col("__run") - col("n_tokens")).as("off_start"),
+    floor((col("__bprefix") + col("__run") - col("n_tokens")) / lit(seqLen))
+      .cast("long").as("seq_first"),
+    floor((col("__bprefix") + col("__run") - 1) / lit(seqLen))
+      .cast("long").as("seq_last"))
+
   /** Per-document packing manifest: token count (incl. one separator),
     * global start offset, and first/last sequence index at `seqLen`
     * tokens per training sequence. Documents are packed in ascending
@@ -56,22 +100,8 @@ object Packing {
     val h = Dedup.hash60(concat_ws("|", lit(salt), col("doc_id").cast("string")))
     val hashed = toks.withColumn("h", h)
       .withColumn("bucket", (col("h") / lit(1L << (60 - bucketBits))).cast("long"))
-    val inBucket = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val run = hashed.withColumn("run", sum(col("n_tokens")).over(inBucket))
-    val acrossBuckets = Window.orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = hashed.groupBy("bucket")
-      .agg(sum(col("n_tokens")).as("btotal"))
-      .withColumn("bprefix", sum(col("btotal")).over(acrossBuckets) - col("btotal"))
-      .select("bucket", "bprefix")
-    run.join(broadcast(offsets), Seq("bucket"))
-      .select(col("doc_id"), col("n_tokens"),
-        (col("bprefix") + col("run") - col("n_tokens")).as("off_start"),
-        floor((col("bprefix") + col("run") - col("n_tokens")) / lit(seqLen))
-          .cast("long").as("seq_first"),
-        floor((col("bprefix") + col("run") - 1) / lit(seqLen))
-          .cast("long").as("seq_last"))
+    twoPhaseRunning(hashed, Seq.empty, "bucket", Seq("h", "doc_id"), "n_tokens")
+      .select(col("doc_id") +: col("n_tokens") +: manifestCols(seqLen): _*)
   }
 
   /** Manifest over precomputed per-document token counts — the entry
@@ -83,23 +113,8 @@ object Packing {
       seqLen: Long, bucketSize: Long = 1000L): DataFrame = {
     val bucketed = toks.withColumn("bucket",
       floor(col("doc_id") / lit(bucketSize)).cast("long"))
-    val inBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val run = bucketed.withColumn("run", sum(col("n_tokens")).over(inBucket))
-    // bucket offsets: cumulative totals over the tiny bucket frame
-    val acrossBuckets = Window.orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = bucketed.groupBy("bucket")
-      .agg(sum(col("n_tokens")).as("btotal"))
-      .withColumn("bprefix", sum(col("btotal")).over(acrossBuckets) - col("btotal"))
-      .select("bucket", "bprefix")
-    run.join(broadcast(offsets), Seq("bucket"))
-      .select(col("doc_id"), col("n_tokens"),
-        (col("bprefix") + col("run") - col("n_tokens")).as("off_start"),
-        floor((col("bprefix") + col("run") - col("n_tokens")) / lit(seqLen))
-          .cast("long").as("seq_first"),
-        floor((col("bprefix") + col("run") - 1) / lit(seqLen))
-          .cast("long").as("seq_last"))
+    twoPhaseRunning(bucketed, Seq.empty, "bucket", Seq("doc_id"), "n_tokens")
+      .select(col("doc_id") +: col("n_tokens") +: manifestCols(seqLen): _*)
   }
 
   /** Curriculum packing: lay out the corpus stage-by-stage (stage 0
@@ -118,22 +133,10 @@ object Packing {
       seqLen: Long, bucketSize: Long = 1000L): DataFrame = {
     val bucketed = toks.withColumn("bucket",
       floor(col("doc_id") / lit(bucketSize)).cast("long"))
-    val inBucket = Window.partitionBy(col("stage"), col("bucket"))
-      .orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val run = bucketed.withColumn("run", sum(col("n_tokens")).over(inBucket))
-    val acrossBuckets = Window.orderBy(col("stage"), col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = bucketed.groupBy(col("stage"), col("bucket"))
-      .agg(sum(col("n_tokens")).as("btotal"))
-      .withColumn("bprefix", sum(col("btotal")).over(acrossBuckets) - col("btotal"))
-      .select("stage", "bucket", "bprefix")
-    run.join(broadcast(offsets), Seq("stage", "bucket"))
-      .select(col("doc_id"), col("stage"), col("n_tokens"),
-        (col("bprefix") + col("run") - col("n_tokens")).as("off_start"),
-        floor((col("bprefix") + col("run") - col("n_tokens")) / lit(seqLen))
-          .cast("long").as("seq_first"),
-        floor((col("bprefix") + col("run") - 1) / lit(seqLen))
-          .cast("long").as("seq_last"))
+    // stage LEADS the global bucket order (partitioned = false):
+    // stage 0's buckets lay out before stage 1's
+    twoPhaseRunning(bucketed, Seq("stage"), "bucket", Seq("doc_id"), "n_tokens")
+      .select(col("doc_id") +: col("stage") +: col("n_tokens") +:
+        manifestCols(seqLen): _*)
   }
 }

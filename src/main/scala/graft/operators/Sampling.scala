@@ -191,20 +191,13 @@ object Sampling {
     val hashed = toks.join(broadcast(plan), "tier")
       .withColumn("h", h)
       .withColumn("bucket", (col("h") / lit(1L << (60 - bucketBits))).cast("long"))
-    val inBucket = Window.partitionBy(col("tier"), col("bucket"))
-      .orderBy(col("h"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val run = hashed.withColumn("run", sum(col("n_tokens")).over(inBucket))
-    val acrossBuckets = Window.partitionBy(col("tier")).orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = hashed.groupBy(col("tier"), col("bucket"))
-      .agg(sum(col("n_tokens")).as("btotal"))
-      .withColumn("bprefix", sum(col("btotal")).over(acrossBuckets) - col("btotal"))
-      .select("tier", "bucket", "bprefix")
-    run.join(broadcast(offsets), Seq("tier", "bucket"))
+    // partitioned = true: each tier's partial-epoch fill is an
+    // independent hash-ordered prefix sum
+    Packing.twoPhaseRunning(hashed, Seq("tier"), "bucket",
+        Seq("h", "doc_id"), "n_tokens", partitioned = true)
       .withColumn("in_partial",
         col("partial_tokens") > 0 &&
-          (col("bprefix") + col("run")) <= col("partial_tokens"))
+          (col("__bprefix") + col("__run")) <= col("partial_tokens"))
       .select(col("doc_id"), col("tier"), col("n_tokens"), col("epochs"),
         col("in_partial"),
         (col("epochs") * col("n_tokens") +

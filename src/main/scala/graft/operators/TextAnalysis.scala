@@ -220,7 +220,11 @@ object TextAnalysis {
     // re-aggregate the raw corpus
     val x = hashedFeatures(docs.filter(trainFilter), id, text, buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = train.agg(count(lit(1)).cast("double").as("n"))
+    // one 1-row count action up front: an empty train split would
+    // otherwise 0/0 the updates into an all-null weight table that
+    // flows silently into every downstream score
+    val n = train.count().toDouble
+    require(n > 0, "logisticWeights: trainFilter selects no documents")
     var w = spark.range(buckets)
       .select(col("id").cast("long").as("b"), lit(0.0).as("w"))
     (1 to rounds).foreach { _ =>
@@ -230,9 +234,9 @@ object TextAnalysis {
         .select(col("doc_id"), (col("y") - lit(1.0) / (lit(1.0) + exp(-col("z")))).as("r"))
       val grad = x.join(resid, "doc_id")
         .groupBy("b").agg(sum(col("r") * col("cnt")).as("g"))
-      w = w.join(grad, Seq("b"), "left").crossJoin(broadcast(n))
+      w = w.join(grad, Seq("b"), "left")
         .select(col("b"),
-          r4(col("w") + lit(lr) * coalesce(col("g"), lit(0.0)) / col("n")).as("w"))
+          r4(col("w") + lit(lr) * coalesce(col("g"), lit(0.0)) / lit(n)).as("w"))
         .localCheckpoint() // tiny frame; stops round-over-round lineage growth
     }
     // the per-round localCheckpoint materialized the final weights, so

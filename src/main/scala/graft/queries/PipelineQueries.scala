@@ -2674,7 +2674,7 @@ object PipelineQueries {
           concat(col("text"),
             when(doc % 9 === 0, lit(" " + phrase)).otherwise(lit(""))).as("pt"),
           concat(lit("s"), (doc % 4).cast("string")).as("src"))
-        Contamination.sourceOverlapMatrix(docs, doc, col("pt"), col("src"))
+        Contamination.sourceOverlapMatrix(docs, col("pt"), col("src"))
       },
       s"""WITH d0 AS (
          |  SELECT doc_id,

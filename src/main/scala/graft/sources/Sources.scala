@@ -328,9 +328,14 @@ object Sources {
       // null (→ keep original QID), not an ANSI out-of-bounds error
       try_element_at(map_values(from_json(col("body"), entSchema).getField("entities")), lit(1))
         .getField("redirects").getField("to").as("__qid_redirect"))
-    // collision-proof column names: qidCol may itself be named "qid"
-    val remap = parsed.select(col("__qid_key"),
-      coalesce(col("__qid_redirect"), col("__qid_key")).as("__qid_target"))
+    // collision-proof column names: qidCol may itself be named "qid".
+    // One row per QID: a cache holding duplicate fresh rows for the
+    // same URL would otherwise fan out every matching data row in the
+    // join below (min = deterministic pick among duplicates).
+    val remap = parsed
+      .select(col("__qid_key"),
+        coalesce(col("__qid_redirect"), col("__qid_key")).as("__qid_target"))
+      .groupBy("__qid_key").agg(min(col("__qid_target")).as("__qid_target"))
     val out = df
       .join(broadcast(remap), trim(col(qidCol)) === remap("__qid_key"), "left")
       .withColumn(qidCol,

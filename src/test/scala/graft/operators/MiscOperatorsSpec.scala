@@ -423,7 +423,7 @@ class MiscOperatorsSpec extends SparkSpec {
       (2L, "b", eight + " other3 other4"),
       (3L, "c", "totally different words one two three four five six")
     ).toDF("id", "src", "text")
-    val out = Contamination.sourceOverlapMatrix(docs, col("id"), col("text"), col("src"))
+    val out = Contamination.sourceOverlapMatrix(docs, col("text"), col("src"))
       .as[(String, String, Long, Long, Long, Double)].collect()
       .map(r => (r._1, r._2) -> ((r._3, r._6))).toMap
     assert(out(("a", "b"))._1 == 1L)          // exactly the planted 8-gram
