@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical data layout for scan efficiency — the file-level machinery
+  * that makes a 100 TB table cheap to query: zone-map (min/max) skipping
+  * indexes, Z-order multi-dimensional clustering, and small-file
+  * compaction planning. The reference engine stores its statement log as
+  * versioned parquet partitions (`zavod/zavod/archive/backend.py` — the
+  * dataset/version directory layout) and leans on the object store's
+  * listing for pruning; at the 100 TB scale this engine targets, layout
+  * becomes a first-class operator family:
+  *
+  *  - a ZONE MAP is the per-file min/max sidecar every lakehouse format
+  *    keeps (parquet row-group stats, Iceberg/Delta manifests). Built
+  *    here as one groupBy over the file key — mergeable, incremental.
+  *  - ZONE-MAP SKIPPING turns a range predicate into a candidate file
+  *    list (tiny — one row per file) broadcast back against the scan:
+  *    the engine-level analog of manifest pruning, with the residual
+  *    predicate still pushed to the surviving files.
+  *  - Z-ORDER assigns rows to files along a bit-interleaved curve over
+  *    two dimensions, so every file covers a small rectangle and a
+  *    rectangle query touches few files. The interleave is a static
+  *    6+6-bit integer expression — fully codegen'd, no UDF.
+  *  - COMPACTION packs an ordered fragment list into target-size output
+  *    groups by start offset — the same two-phase prefix sum as
+  *    sequence packing ([[Packing.twoPhaseRunning]]), applied to bytes:
+  *    no global ordered window even over a 100M-file manifest.
+  */
+object Layout {
+
+  /** Per-file zone map: (file_id, n_rows, min_<name>, max_<name> per
+    * stat column). One partial-aggregated groupBy; output is one row per
+    * file, safe to broadcast at any corpus scale where file count is
+    * manifest-sized. */
+  def zoneMap(df: DataFrame, fileId: Column, stats: Seq[(String, Column)]): DataFrame = {
+    val aggs = stats.flatMap { case (n, c) =>
+      Seq(min(c).as(s"min_$n"), max(c).as(s"max_$n"))
+    } :+ count(lit(1)).as("n_rows")
+    df.groupBy(fileId.as("file_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Candidate files for a closed range predicate `[lo, hi]` on stat
+    * column `name`: files whose [min,max] envelope intersects the range.
+    * `lo`/`hi` may be scalar subquery columns (data-derived bounds). */
+  def candidateFiles(zm: DataFrame, name: String, lo: Column, hi: Column): DataFrame =
+    zm.where(col(s"max_$name") >= lo && col(s"min_$name") <= hi)
+      .select(col("file_id"))
+
+  /** Zone-map-skipped scan: keep only rows of files in `candidates`,
+    * then apply the residual predicate. The candidate list is one row
+    * per surviving file — broadcast it so the scan side never shuffles;
+    * on a partitioned table the same list drives partition pruning
+    * instead (the join is the in-engine analog). */
+  def skipScan(df: DataFrame, fileId: Column, candidates: DataFrame,
+      residual: Column): DataFrame =
+    df.withColumn("file_id", fileId)
+      .join(broadcast(candidates), "file_id")
+      .where(residual)
+
+  /** Interleave the low `bits` bits of `x` (even positions) and `y`
+    * (odd positions) into a Z-value. Static unrolled integer expression
+    * — stays inside whole-stage codegen; disjoint bit positions mean
+    * `+` is exact OR, keeping the arithmetic portable to any SQL
+    * engine. */
+  def zInterleave(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      (shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)).cast("long")
+    }.reduce(_ + _)
+
+  /** Z-order layout report: bucket both dimensions equi-width into
+    * 2^bits cells (bounds derived from the data — one tiny aggregate,
+    * broadcast back), interleave to a Z-value, assign `filesLog2`-bit
+    * file ids from the TOP of the Z-value, and report each file's
+    * covered rectangle. Small per-file spans ARE the clustering
+    * guarantee: a rectangle query's candidate files come from the same
+    * zone-map intersection as [[candidateFiles]].
+    *
+    * @return (file_id, n_rows, min_x, max_x, min_y, max_y,
+    *          span_x, span_y) — x/y in the bucketed [0, 2^bits) domain */
+  def zorderReport(df: DataFrame, xRaw: Column, yRaw: Column,
+      bits: Int, filesLog2: Int): DataFrame = {
+    require(2 * bits <= 62 && filesLog2 <= 2 * bits)
+    val bounds = df.agg(
+      min(xRaw).as("_xlo"), max(xRaw).as("_xhi"),
+      min(yRaw).as("_ylo"), max(yRaw).as("_yhi"))
+    val b = df.withColumn("_xv", xRaw).withColumn("_yv", yRaw)
+      .crossJoin(broadcast(bounds))
+    // integer equi-width bucket: (v - lo) * 2^bits div (hi - lo + 1)
+    b.withColumn("_x",
+        expr(s"((_xv - _xlo) * ${1L << bits}) div (_xhi - _xlo + 1)"))
+      .withColumn("_y",
+        expr(s"((_yv - _ylo) * ${1L << bits}) div (_yhi - _ylo + 1)"))
+      .withColumn("_z", zInterleave(col("_x"), col("_y"), bits))
+      .withColumn("file_id", shiftright(col("_z"), 2 * bits - filesLog2))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("_x")).as("min_x"), max(col("_x")).as("max_x"),
+        min(col("_y")).as("min_y"), max(col("_y")).as("max_y"))
+      .withColumn("span_x", col("max_x") - col("min_x"))
+      .withColumn("span_y", col("max_y") - col("min_y"))
+  }
+
+  /** Compaction plan: pack the fragment list (one row per input file,
+    * `bytes` each) into output groups of `targetBytes`, filling in
+    * (`orderCol` ascending within `sourceCol`, sources ascending)
+    * order. A fragment's group is its START offset div target — the
+    * concat-and-chop rule, so the plan is a pure function of the
+    * manifest. Fragments larger than the target keep their own group
+    * (never split); the groups a giant fragment overflows into are
+    * simply skipped. Runs the shared two-phase prefix sum: the only
+    * global window is over per-source totals.
+    *
+    * @param frags (source: string, frag_idx: long, bytes: long)
+    * @return per-fragment plan + per-group rollup:
+    *         (source, frag_idx, bytes, start_off, out_group,
+    *          group_bytes, group_n_frags) */
+  def compactionPlan(frags: DataFrame, targetBytes: Long): DataFrame = {
+    val planned = Packing.twoPhaseRunning(frags, Seq.empty, "source",
+        Seq("frag_idx"), "bytes")
+      .withColumn("start_off", col("__bprefix") + col("__run") - col("bytes"))
+      .withColumn("out_group", expr(s"start_off div CAST($targetBytes AS BIGINT)"))
+      .select("source", "frag_idx", "bytes", "start_off", "out_group")
+    val groups = planned.groupBy("out_group")
+      .agg(sum("bytes").as("group_bytes"), count(lit(1)).as("group_n_frags"))
+    planned.join(broadcast(groups), "out_group")
+      .select("source", "frag_idx", "bytes", "start_off", "out_group",
+        "group_bytes", "group_n_frags")
+  }
+}

@@ -1,0 +1,131 @@
+package graft.queries
+
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Physical-layout operators at query level: zone-map data skipping,
+  * Z-order clustering, and compaction planning — the file-level
+  * machinery a 100 TB deployment of this engine relies on for cheap
+  * scans. Each oracle replays the layout arithmetic (min/max envelopes,
+  * bit interleaving, start-offset packing) in plain SQL, so the pruning
+  * logic itself — not just the surviving rows — is hash-checked.
+  */
+object LayoutQueries {
+
+  /** SQL fragment: interleave the low `bits` bits of `x` (even) and `y`
+    * (odd) — bit-for-bit [[Layout.zInterleave]]. Disjoint positions make
+    * `+` exact OR in both engines. */
+  private def zSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+
+  val decls: Seq[Decl] = Seq(
+
+    // Zone-map skipping: events land in ingest-ordered files (250 rows
+    // each), which are naturally time-clustered (ts tracks event_id in
+    // any append log) — so a 10%-of-timespan range predicate prunes
+    // ~90% of files from the MIN/MAX envelopes alone. The result
+    // carries files_total/files_scanned, so the oracle re-derives the
+    // zone map and the candidate set, not just the surviving rows; a
+    // wrongly pruned file would break the per-file aggregates.
+    decl("q157_zone_map_skip",
+      (s, d) => {
+        val ev = Q.events(s, d)
+          .select(col("event_id"), unix_micros(col("ts")).as("tsu"), col("value"))
+          .withColumn("file_id", expr("event_id div 250"))
+        val zm = Layout.zoneMap(ev, col("file_id"), Seq("tsu" -> col("tsu")))
+        val bounds = ev.agg(min("tsu").as("_tlo"), max("tsu").as("_thi"))
+          .select(expr("_tlo + ((_thi - _tlo) * 3) div 10").as("lo"),
+            expr("_tlo + ((_thi - _tlo) * 4) div 10").as("hi"))
+        val cands = Layout.candidateFiles(
+          zm.crossJoin(broadcast(bounds)), "tsu", col("lo"), col("hi"))
+        val totals = zm.agg(count(lit(1)).as("files_total"))
+        val scanned = cands.agg(count(lit(1)).as("files_scanned"))
+        Layout.skipScan(ev.drop("file_id").crossJoin(broadcast(bounds)),
+            expr("event_id div 250"), cands,
+            col("tsu") >= col("lo") && col("tsu") <= col("hi"))
+          .groupBy("file_id")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("value").cast("decimal(14,4)").cast("double").as("sum_value"))
+          .crossJoin(broadcast(totals)).crossJoin(broadcast(scanned))
+      },
+      """WITH ev AS (SELECT event_id, epoch_ns(ts) // 1000 AS tsu, value,
+        |            event_id // 250 AS file_id FROM events),
+        |zm AS (SELECT file_id, MIN(tsu) AS min_tsu, MAX(tsu) AS max_tsu FROM ev GROUP BY 1),
+        |bounds AS (SELECT MIN(tsu) + ((MAX(tsu) - MIN(tsu)) * 3) // 10 AS lo,
+        |                  MIN(tsu) + ((MAX(tsu) - MIN(tsu)) * 4) // 10 AS hi FROM ev),
+        |cand AS (SELECT file_id FROM zm, bounds WHERE max_tsu >= lo AND min_tsu <= hi),
+        |tot AS (SELECT COUNT(*)::BIGINT AS files_total FROM zm),
+        |sc AS (SELECT COUNT(*)::BIGINT AS files_scanned FROM cand)
+        |SELECT e.file_id AS file_id, COUNT(*)::BIGINT AS n_rows,
+        |  CAST(CAST(SUM(e.value) AS DECIMAL(14,4)) AS DOUBLE) AS sum_value,
+        |  tot.files_total AS files_total, sc.files_scanned AS files_scanned
+        |FROM ev e JOIN cand USING (file_id), bounds, tot, sc
+        |WHERE e.tsu BETWEEN lo AND hi
+        |GROUP BY 1, 4, 5""".stripMargin),
+
+    // Z-order layout: orders are bucketed equi-width on (custkey,
+    // order-day) into a 64x64 grid, bit-interleaved, and chopped into
+    // 64 files along the curve. The per-file rectangles (min/max/span
+    // of each dimension) ARE the clustering evidence — small spans mean
+    // a rectangle query's zone-map intersection touches few files. The
+    // oracle replays bucketing, the 6+6-bit interleave, and the file
+    // assignment in SQL bit arithmetic.
+    decl("q158_zorder_layout",
+      (s, d) => {
+        val o = t(s, d, "orders").select(
+          col("o_custkey").cast("long").as("xv"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1995-01-01").cast("date")).cast("long").as("yv"))
+        Layout.zorderReport(o, col("xv"), col("yv"), bits = 6, filesLog2 = 6)
+      },
+      s"""WITH o AS (SELECT o_custkey::BIGINT AS xv,
+         |  date_diff('day', DATE '1995-01-01', o_orderdate::DATE)::BIGINT AS yv
+         |  FROM orders),
+         |b AS (SELECT MIN(xv) AS xlo, MAX(xv) AS xhi,
+         |             MIN(yv) AS ylo, MAX(yv) AS yhi FROM o),
+         |z AS (SELECT ((xv - xlo) * 64) // (xhi - xlo + 1) AS x,
+         |             ((yv - ylo) * 64) // (yhi - ylo + 1) AS y FROM o, b),
+         |zz AS (SELECT x, y, ${zSql("x", "y", 6)} AS zval FROM z)
+         |SELECT (zval >> 6)::BIGINT AS file_id, COUNT(*)::BIGINT AS n_rows,
+         |  MIN(x)::BIGINT AS min_x, MAX(x)::BIGINT AS max_x,
+         |  MIN(y)::BIGINT AS min_y, MAX(y)::BIGINT AS max_y,
+         |  (MAX(x) - MIN(x))::BIGINT AS span_x,
+         |  (MAX(y) - MIN(y))::BIGINT AS span_y
+         |FROM zz GROUP BY 1""".stripMargin),
+
+    // Compaction plan: document fragments (per source, 100-doc ingest
+    // chunks — the small-file problem) pack into 64 KB output groups by
+    // start offset, in (source, frag_idx) order. The plan is a pure
+    // function of the fragment manifest, computed with the shared
+    // two-phase prefix sum (no global ordered window over fragments);
+    // the oracle proves it against a plain global cumsum and re-derives
+    // the per-group rollup and the before/after file counts.
+    decl("q159_compaction_plan",
+      (s, d) => {
+        val frags = t(s, d, "documents")
+          .groupBy(col("source"), expr("doc_id div 100").as("frag_idx"))
+          .agg(sum("n_chars").as("bytes"))
+        val plan = Layout.compactionPlan(frags, targetBytes = 65536L)
+        val tot = plan.agg(count(lit(1)).as("files_before"),
+          countDistinct(col("out_group")).as("files_after"))
+        plan.crossJoin(broadcast(tot))
+      },
+      """WITH fr AS (SELECT source, doc_id // 100 AS frag_idx,
+        |            SUM(n_chars)::BIGINT AS bytes FROM documents GROUP BY 1, 2),
+        |c AS (SELECT source, frag_idx, bytes,
+        |      CAST(SUM(bytes) OVER (ORDER BY source, frag_idx
+        |        ROWS UNBOUNDED PRECEDING) - bytes AS BIGINT) AS start_off FROM fr),
+        |g AS (SELECT *, start_off // 65536 AS out_group FROM c),
+        |r AS (SELECT out_group, SUM(bytes)::BIGINT AS group_bytes,
+        |      COUNT(*)::BIGINT AS group_n_frags FROM g GROUP BY 1),
+        |tot AS (SELECT COUNT(*)::BIGINT AS files_before,
+        |        COUNT(DISTINCT out_group)::BIGINT AS files_after FROM g)
+        |SELECT g.source AS source, g.frag_idx AS frag_idx, g.bytes AS bytes,
+        |  g.start_off AS start_off, g.out_group AS out_group,
+        |  r.group_bytes AS group_bytes, r.group_n_frags AS group_n_frags,
+        |  tot.files_before AS files_before, tot.files_after AS files_after
+        |FROM g JOIN r USING (out_group), tot""".stripMargin))
+}

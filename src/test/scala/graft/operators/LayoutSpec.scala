@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Layout family: zone-map skipping equivalence, Z-order locality, and
+  * compaction-plan invariants — plus the plan locks the scale story
+  * depends on (broadcast candidate join, no corpus-wide window in the
+  * compaction prefix sum). */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zInterleave is a bijection on the 6-bit grid and orders by curve") {
+    val grid = for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)
+    val df = grid.toDF("x", "y")
+      .withColumn("z", Layout.zInterleave(col("x"), col("y"), 6))
+    val zs = df.select("z").as[Long].collect()
+    assert(zs.distinct.length === 64 * 64)
+    assert(zs.min === 0L && zs.max === 64L * 64 - 1)
+    // the defining property: z restricted to y=0 interleaves to even
+    // bit positions only
+    val xOnly = df.where(col("y") === 0).select("x", "z").as[(Long, Long)].collect()
+    xOnly.foreach { case (x, z) =>
+      var acc = 0L
+      for (i <- 0 until 6) acc += ((x >> i) & 1L) << (2 * i)
+      assert(z === acc)
+    }
+  }
+
+  test("zone-map skipped scan equals the full-scan filter") {
+    val rows = (0L until 2000L).map(i => (i, i * 10 + (i % 7), (i % 13).toDouble))
+    val df = rows.toDF("id", "k", "v")
+    val withFile = df.withColumn("file_id", expr("id div 100"))
+    val zm = Layout.zoneMap(withFile, col("file_id"), Seq("k" -> col("k")))
+    val lo = lit(5000L); val hi = lit(7000L)
+    val cands = Layout.candidateFiles(zm, "k", lo, hi)
+    // time-clustered key → most files pruned
+    val nCand = cands.count()
+    assert(nCand < 5, s"expected <5 candidate files, got $nCand")
+    val skipped = Layout.skipScan(df, expr("id div 100"), cands,
+      col("k") >= lo && col("k") <= hi)
+    val full = df.where(col("k") >= lo && col("k") <= hi)
+    assert(skipped.select("id").as[Long].collect().sorted
+      === full.select("id").as[Long].collect().sorted)
+  }
+
+  test("skipScan joins the candidate list as a broadcast") {
+    val df = (0L until 1000L).map(i => (i, i * 3)).toDF("id", "k")
+    val zm = Layout.zoneMap(df.withColumn("file_id", expr("id div 100")),
+      col("file_id"), Seq("k" -> col("k")))
+    val cands = Layout.candidateFiles(zm, "k", lit(0L), lit(500L))
+    val plan = Layout.skipScan(df, expr("id div 100"), cands, col("k") >= 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+  }
+
+  test("zorderReport covers all rows with bounded per-file rectangles") {
+    val rows = (0L until 4096L).map(i => (i % 97, i % 89))
+    val rep = Layout.zorderReport(rows.toDF("a", "b"),
+      col("a"), col("b"), bits = 6, filesLog2 = 4)
+    val stats = rep.collect()
+    assert(stats.map(_.getAs[Long]("n_rows")).sum === 4096L)
+    // 4 file bits over a 6+6-bit curve → each file covers a z-range of
+    // 256 cells; the enclosing rectangle of any such range spans at
+    // most 32 cells per side (top 2 bits of each dim fixed → 16x16,
+    // plus boundary slack — assert the hard curve bound)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("span_x") <= 31, r.toString)
+      assert(r.getAs[Long]("span_y") <= 31, r.toString)
+    }
+  }
+
+  test("compaction plan: contiguous offsets, target-bounded groups, oversized kept whole") {
+    val frags = Seq(
+      ("a", 0L, 40L), ("a", 1L, 40L), ("a", 2L, 250L), // oversized
+      ("a", 3L, 40L), ("b", 0L, 60L), ("b", 1L, 60L), ("b", 2L, 10L))
+      .toDF("source", "frag_idx", "bytes")
+    val plan = Layout.compactionPlan(frags, targetBytes = 100L)
+      .orderBy("source", "frag_idx").collect()
+    // start offsets are the global cumsum in (source, frag_idx) order
+    var off = 0L
+    plan.foreach { r =>
+      assert(r.getAs[Long]("start_off") === off, r.toString)
+      off += r.getAs[Long]("bytes")
+    }
+    // group = start div target; every group except ones holding an
+    // oversized fragment stays <= target + one straddling fragment
+    val byGroup = plan.groupBy(_.getAs[Long]("out_group"))
+    byGroup.foreach { case (_, rs) =>
+      val bytes = rs.map(_.getAs[Long]("bytes")).sum
+      assert(rs.head.getAs[Long]("group_bytes") === bytes)
+      if (rs.forall(_.getAs[Long]("bytes") <= 100L))
+        assert(bytes <= 100L + rs.map(_.getAs[Long]("bytes")).max)
+    }
+    // the 250-byte fragment keeps its own group (never split)
+    val big = plan.find(_.getAs[Long]("bytes") === 250L).get
+    assert(byGroup(big.getAs[Long]("out_group")).map(_.getAs[Long]("bytes")).sum >= 250L)
+  }
+
+  test("compaction prefix sum has no corpus-wide ordered window") {
+    val frags = (0L until 1000L).map(i => (s"s${i % 7}", i, 50L))
+      .toDF("source", "frag_idx", "bytes")
+    val plan = Layout.compactionPlan(frags, 1000L).queryExecution.executedPlan.toString
+    // the only unpartitioned window runs over the per-source totals
+    // frame (7 rows); the per-fragment running sum is partitioned
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+}
