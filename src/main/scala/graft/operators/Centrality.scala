@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph centrality for corpus curation: PageRank over an entity or
+  * host graph ranks nodes by link mass — the FineWeb/CommonCrawl-style
+  * signal for host trust and the entity-graph signal for which resolver
+  * clusters matter most (the reference ranks entities by dataset reach
+  * in its statistics exporter, `zavod/zavod/exporters/statistics.py`;
+  * link-mass centrality is the graph-native generalization).
+  *
+  * The arithmetic is ALL-INTEGER on purpose: ranks live in units of
+  * `scale⁻¹` (default 10⁻¹²) and every contribution is a floor
+  * division, so the fixpoint is bit-identical on any engine regardless
+  * of summation order — the same engine-portability rule the resolver
+  * and sampling operators follow. Floor losses strictly shrink total
+  * mass (bounded by one unit per edge per round), they never create it.
+  *
+  * Scale shape per round: one equi-join of the rank frame against the
+  * edge list on `src` + one groupBy(dst) partial-aggregated sum — the
+  * textbook distributed PageRank round. The edge list is persisted and
+  * reused across rounds; the only driver-visible values are 1-row
+  * aggregates (node count, dangling mass).
+  */
+object Centrality {
+
+  /** Fixed-round integer PageRank. `edges` is a directed (src, dst)
+    * list — pre-deduplicated by the caller if multi-edges should not
+    * weigh double. Damping 0.85 as the classic 85/100 integer split;
+    * dangling mass (outdeg-0 nodes) is redistributed uniformly.
+    *
+    * @return (node, outdeg, rank) with rank in scale⁻¹ units */
+  def pageRank(edges: DataFrame, rounds: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).persist()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(outdeg, col("node") === col("src"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .persist()
+    val nRow = broadcast(nodes.agg(count(lit(1)).as("__n")))
+    var ranks = nodes.crossJoin(nRow)
+      .select(col("node"), col("outdeg"),
+        expr(s"CAST($scale AS BIGINT) div __n").as("rank"))
+    for (_ <- 0 until rounds) {
+      val contribs = ranks.where(col("outdeg") > 0)
+        .join(e, col("node") === col("src"))
+        .select(col("dst"), expr("((85 * rank) div 100) div outdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("__inmass"))
+      val dang = broadcast(ranks.where(col("outdeg") === 0)
+        .agg(coalesce(sum(expr("(85 * rank) div 100")), lit(0L)).as("__dang")))
+      ranks = nodes
+        .join(contribs, col("node") === col("dst"), "left")
+        .crossJoin(nRow).crossJoin(dang)
+        .select(col("node"), col("outdeg"),
+          (expr(s"CAST(${15 * scale / 100} AS BIGINT) div __n") +
+            expr("__dang div __n") +
+            coalesce(col("__inmass"), lit(0L))).as("rank"))
+    }
+    ranks
+  }
+}

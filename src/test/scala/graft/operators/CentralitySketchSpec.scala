@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.Sketches
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** KMV sketch + integer PageRank: exact-merge guarantees, plan shape
+  * (partial aggregation — the property that makes the sketch a sketch),
+  * and hand-checked fixpoint arithmetic including the dangling path the
+  * oracle fixture cannot reach. */
+class CentralitySketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmv is exact below k and deterministic above") {
+    val df = (1L to 40L).map(i => ("g", i * 1000L)).toDF("g", "h")
+    val r = df.groupBy("g").agg(Sketches.kmvDistinct(col("h"), 64).as("s"))
+      .select("s.est_distinct", "s.kth_hash", "s.n_kept").head()
+    assert(r === Row(40L, 40000L, 40))
+    // above k: estimator = (k-1) * 2^60 / h_k, integer division
+    val big = (1L to 500L).map(i => ("g", i * 1000000L)).toDF("g", "h")
+    val r2 = big.groupBy("g").agg(Sketches.kmvDistinct(col("h"), 64).as("s"))
+      .select("s.est_distinct", "s.kth_hash", "s.n_kept").head()
+    assert(r2.getInt(2) === 64)
+    assert(r2.getLong(1) === 64000000L)
+    assert(r2.getLong(0) === ((BigInt(63) << 60) / 64000000L).toLong)
+  }
+
+  test("kmv merge across partitions is bit-identical to one pass") {
+    val rows = (1L to 5000L).map(i => (s"g${i % 3}", Some(i).filter(_ % 11 != 0).map(_ * 77L)))
+    val df = rows.toDF("g", "h") // includes nulls (ignored) and dup-free hashes
+    def run(parts: Int) =
+      df.repartition(parts).groupBy("g")
+        .agg(Sketches.kmvDistinct(col("h"), 32).as("s"))
+        .select(col("g"), col("s.est_distinct"), col("s.kth_hash"), col("s.n_kept"))
+        .collect().sortBy(_.getString(0)).toSeq
+    assert(run(1) === run(16))
+  }
+
+  test("kmv aggregates with a partial (map-side) phase") {
+    val df = (1L to 100L).map(i => ("g", i)).toDF("g", "h")
+    val plan = df.groupBy("g").agg(Sketches.kmvDistinct(col("h"), 8))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(600))
+    assert(plan.contains("partial_graft_kmv_sketch"), plan.take(1200))
+  }
+
+  test("pagerank on a star graph: hand-checked integer rounds") {
+    // star: 1..4 -> 0 and back (bidirected), scale 10^6 for readable numbers
+    val eo = (1L to 4L).map(i => (i, 0L))
+    val edges = (eo ++ eo.map(_.swap)).toDF("src", "dst")
+    val out = Centrality.pageRank(edges, rounds = 1, scale = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // N=5, r0 = 200000 each. contrib leaf->center: (85*200000/100)/1 = 170000
+    // center->each leaf: (85*200000/100)/4 = 42500; base = 150000/5 = 30000
+    assert(out(0L) === 30000L + 4 * 170000L)
+    (1L to 4L).foreach(i => assert(out(i) === 30000L + 42500L))
+  }
+
+  test("pagerank redistributes dangling mass uniformly") {
+    // 0 -> 1, 1 has no out-edges: 1's damped mass returns to both
+    val edges = Seq((0L, 1L)).toDF("src", "dst")
+    val out = Centrality.pageRank(edges, rounds = 1, scale = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // N=2, r0=500000. dangling(1): 85*500000/100 = 425000 -> 212500 each.
+    // base = 150000/2 = 75000. node0: base + dang; node1: + contrib 425000
+    assert(out(0L) === 75000L + 212500L)
+    assert(out(1L) === 75000L + 212500L + 425000L)
+    // mass conservation up to floor loss
+    assert(out.values.sum <= 1000000L && out.values.sum >= 1000000L - 10L)
+  }
+
+  test("pagerank mass is conserved up to floor loss on a random graph") {
+    val scale = 1000000000000L
+    val edges = (0 until 400).map(i => ((i % 37).toLong, ((i * 7) % 41).toLong))
+      .distinct.toDF("src", "dst")
+    val ranks = Centrality.pageRank(edges, rounds = 3, scale = scale)
+      .select(sum("rank")).as[Long].head()
+    assert(ranks <= scale)
+    // floor losses: bounded by ~(edges + 2*nodes) units per round
+    assert(ranks >= scale - 3L * (400 + 2 * 78))
+  }
+}
