@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic Bloom runtime filter — the "small side prunes the big
+  * scan before the shuffle" pattern that Spark's own runtime row-level
+  * filtering applies under AQE, surfaced as an explicit operator so a
+  * pipeline can gate a 100 TB probe side on a selective dimension
+  * BEFORE the shuffle join (rows that fail the filter never enter the
+  * exchange). Unlike the builtin `BloomFilterAggregate` (random-seeded,
+  * opaque sketch bytes), this filter is pure hash60 arithmetic on an
+  * explicit (word, bits) bitset frame — deterministic, mergeable (the
+  * bitset build is a `bit_or` groupBy), and exactly replayable by any
+  * SQL engine, so false-positive behavior is oracle-checkable, not just
+  * asserted.
+  *
+  * Shapes: the bitset is `m/64` rows (a few thousand for m = 2^16..2^20)
+  * — always broadcast. Probing is `k` broadcast equi-joins + codegen'd
+  * bitwise tests: no shuffle, no explode, no per-row aggregation on the
+  * probe side.
+  */
+object Bloom {
+
+  private def pos(key: Column, j: Int, m: Int, salt: String): Column =
+    pmod(Dedup.hash60(concat(lit(s"$salt$j|"), key.cast("string"))), lit(m.toLong))
+
+  /** Build the bitset frame (word_idx, bits) from the build side's
+    * keys: k hash positions per key, OR-folded into 32-bit words (32,
+    * not 64, so `1 << (p % 32)` never touches a BIGINT sign bit — the
+    * arithmetic stays portable to engines that reject signed-overflow
+    * shifts). */
+  def buildBits(keys: DataFrame, key: Column, m: Int, k: Int,
+      salt: String): DataFrame = {
+    require(m % 32 == 0 && k >= 1 && k <= 8)
+    val perHash = (0 until k).map { j =>
+      keys.select(pos(key, j, m, salt).as("p"))
+    }.reduce(_ union _)
+    perHash
+      .select(expr("p div 32").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("bit"))
+      .groupBy("word_idx").agg(expr("bit_or(bit)").as("bits"))
+  }
+
+  /** Add a `bloom_pass` flag: true iff all k positions of `key` are set
+    * in `bits`. k broadcast left joins against the m/64-row bitset —
+    * the probe side stays shuffle-free and fully codegen'd. */
+  def mightContain(probe: DataFrame, key: Column, bits: DataFrame,
+      m: Int, k: Int, salt: String): DataFrame = {
+    var df = probe
+    val hits = (0 until k).map { j =>
+      val b = bits.select(col("word_idx").as(s"__w$j"), col("bits").as(s"__b$j"))
+      df = df.withColumn(s"__p$j", pos(key, j, m, salt))
+        .join(broadcast(b), expr(s"__p$j div 32") === col(s"__w$j"), "left")
+      expr(s"coalesce((__b$j & shiftleft(CAST(1 AS BIGINT), CAST(__p$j % 32 AS INT))) != 0, false)")
+    }
+    df.withColumn("bloom_pass", hits.reduce(_ && _))
+      .drop((0 until k).flatMap(j => Seq(s"__p$j", s"__w$j", s"__b$j")): _*)
+  }
+}

@@ -62,4 +62,53 @@ object Centrality {
     }
     ranks
   }
+
+  /** Per-node triangle counts via degree-ordered orientation — the
+    * standard distributed algorithm (Suri & Vassilvitskii's MR-friendly
+    * form): orient every undirected edge from its lower-(degree, id)
+    * endpoint to the higher one, so each node's out-neighborhood is at
+    * most O(√m) even on power-law graphs; enumerate wedges by joining
+    * oriented out-edges on their source, and close each wedge with one
+    * equi-join back against the oriented edge list. Every triangle is
+    * found exactly once; per-node counts explode it to its three
+    * corners. All equi-joins on node keys — no cartesian, wedge volume
+    * bounded by the orientation.
+    *
+    * @param edges undirected (u, v) pairs; dedup + self-loop removal
+    *              applied here
+    * @return (node, n_triangles) for nodes in at least one triangle */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("u"), col("v")).cast("long").as("a"),
+        greatest(col("u"), col("v")).cast("long").as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("node")).union(und.select(col("b")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient low-(deg, id) -> high-(deg, id)
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("src"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("dst"))
+      .persist()
+    // wedges (src, x, y) with x < y in orientation order need a total
+    // order on out-neighbors; (deg, id) order is encoded by re-joining
+    // degrees — use plain id order on dst: a wedge closes iff the
+    // third edge exists in EITHER orientation of (x, y), so enumerate
+    // unordered out-pairs by dst id and probe both orientations via
+    // canonical (min, max) form.
+    val e1 = oriented.select(col("src").as("s"), col("dst").as("x"))
+    val e2 = oriented.select(col("src").as("s"), col("dst").as("y"))
+    val wedges = e1.join(e2, "s").where(col("x") < col("y"))
+    val closing = oriented.select(
+      least(col("src"), col("dst")).as("x"), greatest(col("src"), col("dst")).as("y"))
+    val triangles = wedges.join(closing, Seq("x", "y")).persist()
+    triangles.select(explode(array(col("s"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

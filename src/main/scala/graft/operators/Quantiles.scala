@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fixed-width histogram quantile sketch: a mergeable per-group value
+  * summary whose quantile estimates are DETERMINISTIC — unlike t-digest
+  * or Greenwald-Khanna (both merge-order-sensitive), an equi-width
+  * histogram is just a groupBy, so partial aggregation, shuffles, and
+  * retries cannot move an estimate by a bit, and a SQL oracle can
+  * replay the whole sketch including the interpolation arithmetic.
+  * The trade-off is fixed resolution (range/buckets) instead of relative
+  * error — the right trade for monitoring pipelines where
+  * reproducibility outranks tail precision. State per group is at most
+  * `buckets` rows however large the group: the 100 TB shape.
+  */
+object Quantiles {
+
+  /** Per-group histogram-interpolated quantile estimates.
+    *
+    * Bounds come from one min/max aggregate (broadcast back); buckets
+    * are equi-width over [lo, hi] with the top edge clamped into the
+    * last bucket; the estimate interpolates linearly inside the bucket
+    * containing the ceil(q·n)-th value. All double arithmetic is a
+    * fixed IEEE expression tree, identical in any engine.
+    *
+    * @param qs quantiles in (0, 1], e.g. Seq(0.5, 0.9, 0.99)
+    * @return (group, qtile, est) one row per group × quantile */
+  def histQuantiles(df: DataFrame, group: Column, value: Column,
+      buckets: Int, qs: Seq[Double]): DataFrame = {
+    require(buckets >= 2 && qs.nonEmpty && qs.forall(q => q > 0 && q <= 1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(group.as("g"), value.cast("double").as("v"))
+    val bounds = base.groupBy("g").agg(min("v").as("__lo"), max("v").as("__hi"))
+    val hist = base.join(broadcast(bounds), "g")
+      .withColumn("b",
+        when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+          least(lit((buckets - 1).toLong),
+            floor((col("v") - col("__lo")) * lit(buckets.toDouble) /
+              (col("__hi") - col("__lo"))).cast("long"))))
+      .groupBy("g", "b").agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+        sum("cnt").over(Window.partitionBy("g").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cumb", col("cum") - col("cnt"))
+    val n = hist.groupBy("g").agg(sum("cnt").as("n"))
+    val qf = qs.toDF("qtile")
+    cum.join(broadcast(n), "g").crossJoin(broadcast(qf))
+      .withColumn("target", ceil(col("qtile") * col("n")).cast("long"))
+      .where(col("cum") >= col("target") && col("cumb") < col("target"))
+      .join(broadcast(bounds), "g")
+      .select(col("g").as("group"), col("qtile"),
+        (col("__lo") +
+          (col("b").cast("double") +
+            (col("target") - col("cumb")).cast("double") / col("cnt").cast("double")) *
+            (col("__hi") - col("__lo")) / lit(buckets.toDouble))
+          .cast("decimal(18,4)").cast("double").as("est"))
+  }
+}

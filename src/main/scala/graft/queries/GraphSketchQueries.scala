@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import Q._
 import PipelineQueries.sqlHash60
 
-/** Sketch aggregation and graph centrality at query level: the KMV
+/** Sketch aggregation and graph analytics at query level: the KMV
   * distinct sketch (bounded-state, exactly mergeable — unlike HLL its
   * estimator is deterministic integer arithmetic, so the ORACLE can
   * replay the estimate itself), and fixed-round integer PageRank over
@@ -101,5 +101,72 @@ object GraphSketchQueries {
          |n AS (SELECT COUNT(*)::BIGINT AS n FROM nn),
          |r0 AS (SELECT node, outdeg, $Scale // n.n AS rank FROM nn, n),
          |${prRounds(3)}
-         |SELECT node, outdeg, CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin))
+         |SELECT node, outdeg, CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin),
+
+    // Triangle counting over the part co-purchase graph (parts sharing
+    // an order), via degree-ordered orientation: out-neighborhoods stay
+    // O(sqrt(m)) even on skewed graphs, wedges enumerate at the
+    // orientation-minimal corner only, and one equi-join against the
+    // canonical edge form closes them — each triangle found exactly
+    // once, no cartesian anywhere. The oracle replays orientation,
+    // wedge enumeration, and closure in SQL.
+    decl("q163_triangle_counts",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").cast("long").as("pk"))
+        val a = li.select(col("ok"), col("pk").as("u"))
+        val b = li.select(col("ok"), col("pk").as("v"))
+        val edges = a.join(b, "ok").where(col("u") < col("v"))
+          .select("u", "v").distinct()
+        Centrality.triangleCounts(edges)
+      },
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey::BIGINT AS pk FROM lineitem),
+        |ed AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT node, COUNT(*)::BIGINT AS deg FROM
+        |        (SELECT a AS node FROM ed UNION ALL SELECT b FROM ed) GROUP BY 1),
+        |o AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND ed.a < ed.b)
+        |             THEN ed.a ELSE ed.b END AS src,
+        |             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND ed.a < ed.b)
+        |             THEN ed.b ELSE ed.a END AS dst
+        |      FROM ed JOIN deg da ON ed.a = da.node JOIN deg db ON ed.b = db.node),
+        |w AS (SELECT e1.src AS s, e1.dst AS x, e2.dst AS y
+        |      FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+        |cl AS (SELECT LEAST(src, dst) AS x, GREATEST(src, dst) AS y FROM o),
+        |tr AS (SELECT s, x, y FROM w JOIN cl USING (x, y)),
+        |ex AS (SELECT unnest([s, x, y]) AS node FROM tr)
+        |SELECT node, COUNT(*)::BIGINT AS n_triangles FROM ex GROUP BY 1""".stripMargin),
+
+    // Histogram quantile sketch: per event type, a 256-bucket equi-width
+    // histogram (a plain groupBy — mergeable, retry-proof, O(buckets)
+    // state per group) interpolates p50/p90/p99 of the value column.
+    // Every arithmetic step — bucket assignment, cumulative counts,
+    // ceil(q*n) targeting, in-bucket interpolation — is a fixed IEEE
+    // expression tree the oracle replays verbatim: a DETERMINISTIC
+    // quantile sketch, where t-digest/GK would be merge-order-sensitive.
+    decl("q164_hist_quantiles",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("event_type"), col("value"))
+        graft.operators.Quantiles.histQuantiles(ev, col("event_type"),
+          col("value"), buckets = 256, qs = Seq(0.5, 0.9, 0.99))
+      },
+      """WITH b AS (SELECT event_type AS g, value::DOUBLE AS v FROM events),
+        |bounds AS (SELECT g, MIN(v) AS lo, MAX(v) AS hi FROM b GROUP BY 1),
+        |h AS (SELECT g, CASE WHEN hi = lo THEN 0
+        |      ELSE LEAST(255, floor((v - lo) * 256.0 / (hi - lo))::BIGINT) END AS bkt,
+        |      COUNT(*)::BIGINT AS cnt
+        |      FROM b JOIN bounds USING (g) GROUP BY 1, 2),
+        |c AS (SELECT g, bkt, cnt,
+        |      CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY bkt
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h),
+        |n AS (SELECT g, SUM(cnt)::BIGINT AS n FROM h GROUP BY 1),
+        |q AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS qtile),
+        |sel AS (SELECT c.g, q.qtile, c.bkt, c.cnt, c.cum - c.cnt AS cumb, c.cum,
+        |        CAST(ceil(q.qtile * n.n) AS BIGINT) AS target
+        |        FROM c JOIN n USING (g) CROSS JOIN q)
+        |SELECT sel.g AS "group", sel.qtile AS qtile,
+        |  CAST(CAST(lo + (bkt::DOUBLE + (target - cumb)::DOUBLE / cnt::DOUBLE)
+        |    * (hi - lo) / 256.0 AS DECIMAL(18,4)) AS DOUBLE) AS est
+        |FROM sel JOIN bounds ON sel.g = bounds.g
+        |WHERE cum >= target AND cumb < target""".stripMargin))
 }

@@ -1,8 +1,9 @@
 package graft.queries
 
-import graft.operators.Layout
+import graft.operators.{Bloom, Layout}
 import org.apache.spark.sql.functions._
 import Q._
+import PipelineQueries.sqlHash60
 
 /** Physical-layout operators at query level: zone-map data skipping,
   * Z-order clustering, and compaction planning — the file-level
@@ -127,5 +128,58 @@ object LayoutQueries {
         |  g.start_off AS start_off, g.out_group AS out_group,
         |  r.group_bytes AS group_bytes, r.group_n_frags AS group_n_frags,
         |  tot.files_before AS files_before, tot.files_after AS files_after
-        |FROM g JOIN r USING (out_group), tot""".stripMargin))
+        |FROM g JOIN r USING (out_group), tot""".stripMargin),
+
+    // Deterministic Bloom runtime filter: urgent orders build a 64K-bit
+    // bitset (bit_or groupBy — mergeable); lineitem probes it with three
+    // broadcast joins + bitwise tests BEFORE the real join. The output
+    // counts prove both properties structurally: n_match_after_bloom ==
+    // n_match (no false negative ever) while n_bloom_pass sits between
+    // n_match and n_probe (false positives exist and are bounded). The
+    // oracle rebuilds the bitset and membership tests from the same
+    // hash arithmetic — the filter itself is hash-checked.
+    decl("q162_bloom_filter_join",
+      (s, d) => {
+        val m = 65536; val k = 3
+        val urgent = t(s, d, "orders")
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey")).distinct()
+        val bits = Bloom.buildBits(urgent, col("o_orderkey"), m, k, "bf")
+        val probe = t(s, d, "lineitem").select(col("l_orderkey"), col("l_returnflag"))
+        Bloom.mightContain(probe, col("l_orderkey"), bits, m, k, "bf")
+          .join(urgent.withColumn("__m", lit(1)),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_probe"),
+            sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_bloom_pass"),
+            sum(when(col("__m").isNotNull, 1L).otherwise(0L)).as("n_match"),
+            sum(when(col("bloom_pass") && col("__m").isNotNull, 1L).otherwise(0L))
+              .as("n_match_after_bloom"))
+      },
+      s"""WITH u AS (SELECT DISTINCT o_orderkey FROM orders
+         |           WHERE o_orderpriority = '1-URGENT'),
+         |pos AS (${(0 until 3).map(j =>
+             s"SELECT ${sqlHash60(s"('bf$j|' || o_orderkey::VARCHAR)")} % 65536 AS p FROM u")
+             .mkString("\n  UNION ALL ")}),
+         |wrd AS (SELECT p // 32 AS w,
+         |        bit_or(1::BIGINT << (p % 32)) AS bits FROM pos GROUP BY 1),
+         |pr AS (SELECT l_orderkey, l_returnflag,
+         |  ${(0 until 3).map(j =>
+             s"${sqlHash60(s"('bf$j|' || l_orderkey::VARCHAR)")} % 65536 AS p$j")
+             .mkString(",\n  ")}
+         |  FROM lineitem),
+         |fl AS (SELECT pr.l_orderkey, pr.l_returnflag,
+         |  ${(0 until 3).map(j =>
+             s"COALESCE((w$j.bits & (1::BIGINT << (p$j % 32))) != 0, FALSE)")
+             .mkString(" AND ")} AS pass
+         |  FROM pr
+         |  ${(0 until 3).map(j =>
+             s"LEFT JOIN wrd w$j ON p$j // 32 = w$j.w").mkString("\n  ")}),
+         |mt AS (SELECT fl.*, u.o_orderkey IS NOT NULL AS m
+         |       FROM fl LEFT JOIN u ON fl.l_orderkey = u.o_orderkey)
+         |SELECT l_returnflag, COUNT(*)::BIGINT AS n_probe,
+         |  SUM(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS n_bloom_pass,
+         |  SUM(CASE WHEN m THEN 1 ELSE 0 END)::BIGINT AS n_match,
+         |  SUM(CASE WHEN pass AND m THEN 1 ELSE 0 END)::BIGINT AS n_match_after_bloom
+         |FROM mt GROUP BY 1""".stripMargin))
 }

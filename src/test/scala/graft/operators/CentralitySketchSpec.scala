@@ -70,6 +70,33 @@ class CentralitySketchSpec extends SparkSpec {
     assert(out.values.sum <= 1000000L && out.values.sum >= 1000000L - 10L)
   }
 
+  test("triangle counts: K4 has four triangles, three per node; square has none") {
+    val k4 = for (u <- 0L to 3L; v <- 0L to 3L if u < v) yield (u, v)
+    val r = Centrality.triangleCounts(k4.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    val square = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("u", "v")
+    assert(Centrality.triangleCounts(square).count() === 0L)
+    // duplicate / reversed / self edges do not change counts
+    val noisy = (k4 ++ k4.map(_.swap) ++ Seq((1L, 1L))).toDF("u", "v")
+    val r2 = Centrality.triangleCounts(noisy)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 === r)
+  }
+
+  test("hist quantiles: uniform values interpolate exactly, degenerate group safe") {
+    val df = ((1 to 1000).map(i => ("u", i.toDouble)) ++ Seq(("c", 7.0), ("c", 7.0)))
+      .toDF("g", "v")
+    val out = Quantiles.histQuantiles(df, col("g"), col("v"),
+        buckets = 100, qs = Seq(0.5, 0.99))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    // uniform 1..1000: p50 estimate within one bucket width (~10) of 500
+    assert(math.abs(out(("u", 0.5)) - 500.0) < 11.0, out.toString)
+    assert(math.abs(out(("u", 0.99)) - 990.0) < 11.0, out.toString)
+    // degenerate group (hi == lo) lands on the constant
+    assert(out(("c", 0.5)) === 7.0 && out(("c", 0.99)) === 7.0)
+  }
+
   test("pagerank mass is conserved up to floor loss on a random graph") {
     val scale = 1000000000000L
     val edges = (0 until 400).map(i => ((i % 37).toLong, ((i * 7) % 41).toLong))

@@ -97,6 +97,24 @@ class LayoutSpec extends SparkSpec {
     assert(byGroup(big.getAs[Long]("out_group")).map(_.getAs[Long]("bytes")).sum >= 250L)
   }
 
+  test("bloom filter: no false negatives, bounded false positives, shuffle-free probe") {
+    val build = (0L until 500L).map(i => i * 3).toDF("key")
+    val bits = Bloom.buildBits(build, col("key"), m = 65536, k = 3, salt = "t")
+    val probe = (0L until 3000L).toDF("key")
+    val flagged = Bloom.mightContain(probe, col("key"), bits, 65536, 3, "t")
+    val rows = flagged.select("key", "bloom_pass").as[(Long, Boolean)].collect()
+    val members = build.as[Long].collect().toSet
+    // every member passes
+    rows.filter(r => members(r._1)).foreach(r => assert(r._2, s"false negative ${r._1}"))
+    // false positives exist only below a loose bound (m=64Ki, n=1500 inserts)
+    val fps = rows.count(r => !members(r._1) && r._2)
+    assert(fps < 100, s"fp count $fps out of bounds")
+    // probe plan: broadcast joins only, no Exchange on the probe side
+    val plan = flagged.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(!plan.contains("SortMergeJoin"), plan.take(600))
+  }
+
   test("compaction prefix sum has no corpus-wide ordered window") {
     val frags = (0L until 1000L).map(i => (s"s${i % 7}", i, 50L))
       .toDF("source", "frag_idx", "bytes")
