@@ -59,6 +59,12 @@ object Centrality {
           (expr(s"CAST(${15 * scale / 100} AS BIGINT) div __n") +
             expr("__dang div __n") +
             coalesce(col("__inmass"), lit(0L))).as("rank"))
+        // per-round materialization barrier (the k-means trainer's
+        // lineage contract): the next round reads THIS frame twice
+        // (contributions + dangling aggregate) — without the barrier
+        // each round re-evaluates the whole prior lineage per read and
+        // the plan compounds ~2^rounds
+        .localCheckpoint()
     }
     ranks
   }
@@ -107,7 +113,7 @@ object Centrality {
     val wedges = e1.join(e2, "s").where(col("x") < col("y"))
     val closing = oriented.select(
       least(col("src"), col("dst")).as("x"), greatest(col("src"), col("dst")).as("y"))
-    val triangles = wedges.join(closing, Seq("x", "y")).persist()
+    val triangles = wedges.join(closing, Seq("x", "y"))
     triangles.select(explode(array(col("s"), col("x"), col("y"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }

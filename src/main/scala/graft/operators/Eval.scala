@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classifier evaluation for the curation pipeline: the quality
+  * classifier (q150's trainer slot) gates what a 100 TB corpus keeps,
+  * so its AUC and operating-point metrics are production numbers, not
+  * notebook numbers — they must come out of the engine, deterministic
+  * and at scale.
+  *
+  * AUC is computed exactly via the Mann-Whitney rank statistic in pure
+  * integer arithmetic: group rows by distinct score, accumulate
+  * negatives-below via prefix sum, and sum `pos_at * (2·neg_below +
+  * neg_at)` — twice the U statistic, so score TIES contribute the
+  * conventional half-credit without ever leaving integers. The only
+  * ordered traversal runs as the shared two-phase prefix sum over
+  * equi-width score buckets ([[Packing.twoPhaseRunning]]) — no global
+  * ordered window over the score distribution.
+  */
+object Eval {
+
+  private def r6(c: Column): Column = c.cast("decimal(10,6)").cast("double")
+
+  /** One-row evaluation frame: (n_pos, n_neg, u2, tp, fp, fn, tn, auc,
+    * prec, rec, f1). `label` must be boolean; metrics at `score >
+    * thresh`. Degenerate inputs (no positives / no negatives) yield
+    * null metrics rather than failing. */
+  def binaryEval(scored: DataFrame, score: Column, label: Column,
+      thresh: Double = 0.0): DataFrame = {
+    val base = scored.select(score.cast("double").as("s"), label.as("yy"))
+    val gp = base.groupBy("s").agg(
+      sum(when(col("yy"), 1L).otherwise(0L)).as("pos_at"),
+      sum(when(col("yy"), 0L).otherwise(1L)).as("neg_at"))
+    val bounds = gp.agg(min("s").as("__lo"), max("s").as("__hi"))
+    val bucketed = gp.crossJoin(broadcast(bounds))
+      .withColumn("bucket", when(col("__hi") === col("__lo"), lit(0L))
+        .otherwise(least(lit(4095L),
+          floor((col("s") - col("__lo")) * lit(4096.0) /
+            (col("__hi") - col("__lo"))).cast("long"))))
+    val run = Packing.twoPhaseRunning(bucketed, Seq.empty, "bucket",
+        Seq("s"), "neg_at")
+      .withColumn("negcum", col("__bprefix") + col("__run"))
+    run.agg(
+        sum("pos_at").as("n_pos"), sum("neg_at").as("n_neg"),
+        sum(col("pos_at") *
+          (lit(2L) * (col("negcum") - col("neg_at")) + col("neg_at"))).as("u2"),
+        sum(when(col("s") > thresh, col("pos_at")).otherwise(0L)).as("tp"),
+        sum(when(col("s") > thresh, col("neg_at")).otherwise(0L)).as("fp"),
+        sum(when(col("s") <= thresh, col("pos_at")).otherwise(0L)).as("fn"),
+        sum(when(col("s") <= thresh, col("neg_at")).otherwise(0L)).as("tn"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        r6(col("u2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"),
+        r6(col("tp").cast("double") / (col("tp") + col("fp"))).as("prec"),
+        r6(col("tp").cast("double") / (col("tp") + col("fn"))).as("rec"),
+        r6((lit(2.0) * col("tp")) /
+          (lit(2.0) * col("tp") + col("fp") + col("fn"))).as("f1"))
+  }
+}

@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.functions.Sketches
-import graft.operators.{Centrality, Dedup}
+import graft.operators.{Centrality, Dedup, Frequency}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Q._
 import PipelineQueries.sqlHash60
@@ -168,5 +169,44 @@ object GraphSketchQueries {
         |  CAST(CAST(lo + (bkt::DOUBLE + (target - cumb)::DOUBLE / cnt::DOUBLE)
         |    * (hi - lo) / 256.0 AS DECIMAL(18,4)) AS DOUBLE) AS est
         |FROM sel JOIN bounds ON sel.g = bounds.g
-        |WHERE cum >= target AND cumb < target""".stripMargin))
+        |WHERE cum >= target AND cumb < target""".stripMargin),
+
+    // Count-min heavy hitters: a 3x1024 counter sketch over the event
+    // stream's user ids — counters are plain sums over fixed hash
+    // positions, so the sketch merges exactly and only ever OVERcounts.
+    // The top-20 users by exact count are probed back through the
+    // sketch; est_cnt >= exact_cnt holds structurally in the output.
+    // (The ranking window runs over the distinct-user frame — dimension
+    // cardinality, not event volume; at stream scale the sketch itself
+    // is the candidate generator.) The oracle rebuilds all d*w counters
+    // and the min-over-rows estimates from the same hash arithmetic.
+    decl("q166_countmin_heavy_hitters",
+      (s, d) => {
+        val m = 1024; val dd = 3
+        val ev = t(s, d, "events").select(col("user_id"))
+        val cm = Frequency.countMin(ev, col("user_id"), m, dd, "cm")
+        val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+          .withColumn("rk", row_number()
+            .over(Window.orderBy(col("exact_cnt").desc, col("user_id")))
+            .cast("long"))
+          .where(col("rk") <= 20)
+        Frequency.cmEstimate(top, col("user_id"), cm, m, dd, "cm")
+          .select("user_id", "exact_cnt", "rk", "est_cnt")
+      },
+      s"""WITH ev AS (SELECT user_id FROM events),
+         |pos AS (${(0 until 3).map(j =>
+             s"SELECT $j AS r, ${sqlHash60(s"('cm$j|' || user_id::VARCHAR)")} % 1024 AS p FROM ev")
+             .mkString("\n  UNION ALL ")}),
+         |cm AS (SELECT r, p, COUNT(*)::BIGINT AS cnt FROM pos GROUP BY 1, 2),
+         |ex AS (SELECT user_id, COUNT(*)::BIGINT AS exact_cnt FROM ev GROUP BY 1),
+         |top AS (SELECT * FROM (SELECT user_id, exact_cnt,
+         |        row_number() OVER (ORDER BY exact_cnt DESC, user_id)::BIGINT AS rk
+         |        FROM ex) WHERE rk <= 20)
+         |SELECT t.user_id AS user_id, t.exact_cnt AS exact_cnt, t.rk AS rk,
+         |  LEAST(${(0 until 3).map(j => s"COALESCE(c$j.cnt, 0)").mkString(", ")}) AS est_cnt
+         |FROM top t
+         |${(0 until 3).map(j =>
+             s"LEFT JOIN cm c$j ON c$j.r = $j AND c$j.p = " +
+               s"${sqlHash60(s"('cm$j|' || t.user_id::VARCHAR)")} % 1024")
+             .mkString("\n")}""".stripMargin))
 }

@@ -2510,7 +2510,7 @@ object PipelineQueries {
           n = 3, maxDf = 50, bands = 8, rowsPerBand = 4, minEstJaccard = 0.5)
       },
       incrementalNearDupSql)
-  ) :+ epochPlanDecl :+ sourceOverlapDecl
+  ) :+ epochPlanDecl :+ sourceOverlapDecl :+ classifierEvalDecl
 
   /** DuckDB oracle for q154: per-side MinHash signature chains (same
     * permutation constants and df cap as the Spark operator), the 8
@@ -2630,6 +2630,56 @@ object PipelineQueries {
     * from w = 0 (z = 0, p = 0.5 exactly); every margin/weight
     * round-trips DECIMAL(12,4). Callers append scoring CTEs or the
     * final SELECT. */
+  /** q165: the q150 classifier evaluated IN-ENGINE — exact AUC via the
+    * Mann-Whitney statistic in integer arithmetic (u2 = 2U keeps score
+    * ties integral), confusion counts and P/R/F1 at threshold 0. The
+    * label construction makes the classifier genuinely good but not
+    * perfect (hash-bucket collisions mix the planted marker words), so
+    * AUC lands strictly inside (0.5, 1) and the tie/interpolation paths
+    * are exercised. The oracle replays scoring, the rank statistic on a
+    * plain global cumsum (proving the engine's two-phase bucket
+    * decomposition), and every metric division. */
+  private[queries] def classifierEvalDecl: Q.Decl =
+    decl("q165_classifier_eval",
+      (s, d) => {
+        val doc = col("doc_id")
+        val docs = t(s, d, "documents").select(doc,
+          concat(col("text"),
+            when(doc % 2 === 0, lit(" crisp lucid prose"))
+              .otherwise(lit(" spammy vapid filler"))).as("pt"))
+        val w = TextAnalysis.logisticWeights(docs, doc, col("pt"),
+          doc % 2 === 0, doc % 4 < 2, buckets = 64, rounds = 2, lr = 100.0)
+        val scored = TextAnalysis.logisticScores(docs, doc, col("pt"), w,
+          buckets = 64)
+        graft.operators.Eval.binaryEval(scored, col("score"),
+          col("doc_id") % 2 === 0)
+      },
+      logisticFixtureCtes + """,
+        |sc AS (SELECT x.doc_id AS doc_id,
+        |       CAST(CAST(SUM(w * cnt) AS DECIMAL(12,4)) AS DOUBLE) AS s
+        |       FROM x JOIN w2 USING (b) GROUP BY 1),
+        |lb AS (SELECT sc.doc_id, sc.s, d0.y = 1.0 AS yy
+        |       FROM sc JOIN d0 USING (doc_id)),
+        |gp AS (SELECT s, SUM(CASE WHEN yy THEN 1 ELSE 0 END)::BIGINT AS pos_at,
+        |       SUM(CASE WHEN yy THEN 0 ELSE 1 END)::BIGINT AS neg_at
+        |       FROM lb GROUP BY 1),
+        |cw AS (SELECT s, pos_at, neg_at,
+        |       CAST(SUM(neg_at) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+        |         AS BIGINT) AS negcum FROM gp),
+        |ag AS (SELECT SUM(pos_at)::BIGINT AS n_pos, SUM(neg_at)::BIGINT AS n_neg,
+        |       SUM(pos_at * (2 * (negcum - neg_at) + neg_at))::BIGINT AS u2,
+        |       SUM(CASE WHEN s > 0 THEN pos_at ELSE 0 END)::BIGINT AS tp,
+        |       SUM(CASE WHEN s > 0 THEN neg_at ELSE 0 END)::BIGINT AS fp,
+        |       SUM(CASE WHEN s <= 0 THEN pos_at ELSE 0 END)::BIGINT AS fn,
+        |       SUM(CASE WHEN s <= 0 THEN neg_at ELSE 0 END)::BIGINT AS tn
+        |       FROM cw)
+        |SELECT n_pos, n_neg, u2, tp, fp, fn, tn,
+        |  CAST(CAST(u2::DOUBLE / (2.0 * n_pos * n_neg) AS DECIMAL(10,6)) AS DOUBLE) AS auc,
+        |  CAST(CAST(tp::DOUBLE / (tp + fp) AS DECIMAL(10,6)) AS DOUBLE) AS prec,
+        |  CAST(CAST(tp::DOUBLE / (tp + fn) AS DECIMAL(10,6)) AS DOUBLE) AS rec,
+        |  CAST(CAST((2.0 * tp) / (2.0 * tp + fp + fn) AS DECIMAL(10,6)) AS DOUBLE) AS f1
+        |FROM ag""".stripMargin)
+
   private def logisticFixtureCtes: String =
     s"""WITH d0 AS (
        |  SELECT doc_id,

@@ -97,6 +97,41 @@ class CentralitySketchSpec extends SparkSpec {
     assert(out(("c", 0.5)) === 7.0 && out(("c", 0.99)) === 7.0)
   }
 
+  test("binaryEval: hand-computed AUC with ties, metrics at threshold") {
+    // scores: pos {3, 1, 1}, neg {1, -2}. Pairs = 6.
+    // pos=3 beats both (2); each pos=1 beats -2 (1 each) and TIES the
+    // neg=1 (0.5 each) -> U = 5, AUC = 5/6. u2 = 10.
+    val df = Seq((3.0, true), (1.0, true), (1.0, true), (1.0, false), (-2.0, false))
+      .toDF("score", "y")
+    val r = Eval.binaryEval(df, col("score"), col("y")).head()
+    assert(r.getAs[Long]("n_pos") === 3L && r.getAs[Long]("n_neg") === 2L)
+    assert(r.getAs[Long]("u2") === 10L)
+    assert(math.abs(r.getAs[Double]("auc") - 5.0 / 6.0) < 1e-6)
+    // threshold 0: tp=3 (all pos > 0), fp=1 (neg at 1), fn=0, tn=1
+    assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("fn"), r.getAs[Long]("tn")) === ((3L, 1L, 0L, 1L)))
+    assert(r.getAs[Double]("prec") === 0.75)
+    assert(r.getAs[Double]("rec") === 1.0)
+    // perfect separation -> AUC exactly 1
+    val sep = Seq((2.0, true), (1.0, true), (-1.0, false)).toDF("score", "y")
+    assert(Eval.binaryEval(sep, col("score"), col("y")).head()
+      .getAs[Double]("auc") === 1.0)
+  }
+
+  test("count-min never undercounts and merges exactly across partitions") {
+    val keys = (0 until 2000).map(i => Tuple1((i % 97).toLong))
+    val df = keys.toDF("k")
+    def sketch(parts: Int) =
+      Frequency.countMin(df.repartition(parts), col("k"), w = 256, d = 3, salt = "t")
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sketch(1) === sketch(13)) // counter sums are partition-invariant
+    val exact = df.groupBy("k").count()
+    val est = Frequency.cmEstimate(exact, col("k"),
+      Frequency.countMin(df, col("k"), 256, 3, "t"), 256, 3, "t")
+    est.select(col("count"), col("est_cnt")).as[(Long, Long)].collect()
+      .foreach { case (ex, e) => assert(e >= ex, s"undercount: $e < $ex") }
+  }
+
   test("pagerank mass is conserved up to floor loss on a random graph") {
     val scale = 1000000000000L
     val edges = (0 until 400).map(i => ((i % 37).toLong, ((i * 7) % 41).toLong))
