@@ -409,6 +409,92 @@ object StreamingQueries {
         |WHERE h0.id IS NULL
         |UNION ALL
         |SELECT 1::BIGINT, h1.id, 'MOD' FROM h1 JOIN h0 ON h1.id = h0.id
-        |WHERE h1.pairs != h0.pairs""".stripMargin)
+        |WHERE h1.pairs != h0.pairs""".stripMargin),
+
+    // q167: the KMV sketch AS STREAMING STATE — per event type, the
+    // running distinct-user estimate held across two event drops with a
+    // checkpoint restart between them. The carried state is the sketch
+    // itself (<= k rows per group), updated by the sketch's defining
+    // merge law: k-smallest(state ∪ batch) = sketch of the whole stream
+    // so far — bounded state with a PROVABLE relationship to the full
+    // history, which is exactly why sketches exist in streaming
+    // engines. Per-batch state and report versions are overwritten
+    // keyed on the batch id (at-least-once safe, the q143 idempotency
+    // contract). The oracle replays both cumulative sketches (drop 1,
+    // drop 1 ∪ drop 2) by ranking distinct hashes in SQL.
+    decl("q167_streaming_kmv",
+      (s, d) => {
+        import graft.operators.Dedup
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val base = s"/tmp/graft_q167_$tag"
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val landing = s"$base/landing"
+        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+        val ev = t(s, d, "events").select(col("event_id"), col("event_type"),
+          Dedup.hash60(concat(lit("skmv|"), col("user_id").cast("string"))).as("h"))
+        val drop1 = ev.where(col("event_id") % 2 === 0).select("event_type", "h")
+        val drop2 = ev.where(col("event_id") % 2 === 1).select("event_type", "h")
+        def processAvailable(): Unit = {
+          val stream = s.readStream.schema("event_type STRING, h LONG")
+            .option("maxFilesPerTrigger", "10000").parquet(landing)
+          val q = graft.streaming.StatementStream.foreachBatchSink(
+            stream, s"$base/ck",
+            trigger = Some(Trigger.AvailableNow())) { (batch, bid) =>
+            val sp = batch.sparkSession
+            val prevPath = new org.apache.hadoop.fs.Path(s"$base/state/v${bid - 1}")
+            val prev =
+              if (bid > 0 && fs.exists(prevPath))
+                sp.read.parquet(prevPath.toString)
+              else batch.select(col("event_type"), col("h")).limit(0)
+            // merge law: the k smallest distinct of (state ∪ batch) IS
+            // the sketch of everything either side has ever seen
+            val kept = prev.unionByName(batch.select("event_type", "h"))
+              .distinct()
+              .withColumn("rk", row_number().over(
+                org.apache.spark.sql.expressions.Window
+                  .partitionBy("event_type").orderBy("h")))
+              .where(col("rk") <= 64).select("event_type", "h")
+            kept.write.mode("overwrite").parquet(s"$base/state/v$bid")
+            sp.read.parquet(s"$base/state/v$bid")
+              .groupBy("event_type")
+              .agg(graft.functions.Sketches.kmvDistinct(col("h"), 64).as("s"))
+              .select(lit(bid).as("batch_seq"), col("event_type"),
+                col("s.est_distinct").as("est_distinct"),
+                col("s.kth_hash").as("kth_hash"), col("s.n_kept").as("n_kept"))
+              .write.mode("overwrite").parquet(s"$base/reports/v$bid")
+          }
+          q.awaitTermination()
+        }
+        drop1.write.mode("append").parquet(landing)
+        processAvailable()
+        drop2.write.mode("append").parquet(landing)
+        processAvailable()
+        s.read.parquet(s"$base/reports/v*")
+          .select("batch_seq", "event_type", "est_distinct", "kth_hash", "n_kept")
+      },
+      s"""WITH e1 AS (SELECT DISTINCT event_type,
+         |  ${PipelineQueries.sqlHash60("('skmv|' || user_id::VARCHAR)")} AS h
+         |  FROM events WHERE event_id % 2 = 0),
+         |e12 AS (SELECT DISTINCT event_type,
+         |  ${PipelineQueries.sqlHash60("('skmv|' || user_id::VARCHAR)")} AS h
+         |  FROM events),
+         |r1 AS (SELECT event_type, h,
+         |       row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM e1),
+         |r2 AS (SELECT event_type, h,
+         |       row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM e12),
+         |k1 AS (SELECT event_type, MAX(CASE WHEN rk <= 64 THEN h END) AS kth_hash,
+         |       LEAST(COUNT(*), 64)::INT AS n_kept FROM r1 GROUP BY 1),
+         |k2 AS (SELECT event_type, MAX(CASE WHEN rk <= 64 THEN h END) AS kth_hash,
+         |       LEAST(COUNT(*), 64)::INT AS n_kept FROM r2 GROUP BY 1),
+         |u AS (SELECT 0::BIGINT AS batch_seq, * FROM k1
+         |      UNION ALL SELECT 1::BIGINT, * FROM k2)
+         |SELECT batch_seq, event_type,
+         |  CASE WHEN n_kept < 64 THEN n_kept::BIGINT
+         |       ELSE CAST((63::HUGEINT * ${1L << 60}::HUGEINT) // kth_hash AS BIGINT)
+         |  END AS est_distinct,
+         |  kth_hash, n_kept
+         |FROM u""".stripMargin)
   )
 }
