@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) Viterbi segmentation — the OTHER
+  * tokenizer family next to BPE (q137/q140): instead of applying merge
+  * rules greedily, pick the GLOBALLY cheapest split of each unit under
+  * a unigram piece prior. Everything is integer arithmetic so the DP is
+  * bit-identical on any engine:
+  *
+  *  - piece cost = (64 − bitlength(freq)) · 10⁶ — an integer −log₂ of
+  *    the piece's corpus frequency (`length(bin(freq))` is portable
+  *    SQL); unknown single characters get a flat penalty;
+  *  - DP state packs (total_cost, n_pieces) as `cost·1024 + pieces`,
+  *    so states ADD when extending a path and `min` breaks cost ties
+  *    toward fewer pieces — one long per position, no structs;
+  *  - the Viterbi recurrence runs as ONE codegen-able `aggregate` HOF
+  *    over positions per DISTINCT unit (segment each type once, join
+  *    counts back — types ≪ tokens at any corpus scale), with the
+  *    vocab broadcast as a single map row (the q140 BPE-encode
+  *    pattern). No UDF, no shuffle inside the DP.
+  *
+  * The oracle replays vocabulary building and the full DP as unrolled
+  * per-position CTEs (DuckDB lambdas cannot capture outer lambda
+  * variables, so the engine's nested-lambda fold becomes a CTE chain
+  * there — same arithmetic, independently expressed).
+  */
+object Unigram {
+
+  private val Inf = 4611686018427387904L // 2^62: unreachable-state cost
+  private val BigPieceCost = 4611686018427387L // non-unit OOV: effectively bans
+
+  /** Train the piece vocabulary: all substrings of length 1..maxPieceLen
+    * of the distinct units, frequency-weighted by unit corpus counts;
+    * keep pieces with freq >= minFreq. Returns (p, cost). */
+  def trainVocab(units: DataFrame, unit: Column, maxPieceLen: Int = 6,
+      minFreq: Long = 20L): DataFrame = {
+    val cw = units.select(unit.as("c")).groupBy("c").agg(count(lit(1)).as("cnt"))
+    cw.select(col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(1, length(c)), i ->
+           |  transform(sequence(1, $maxPieceLen), l ->
+           |    CASE WHEN i + l - 1 <= length(c)
+           |         THEN substring(c, i, l) END)))""".stripMargin)).as("p"))
+      .where(col("p").isNotNull)
+      .groupBy("p").agg(sum("cnt").as("freq"))
+      .where(col("freq") >= minFreq)
+      .select(col("p"),
+        ((lit(64) - length(bin(col("freq")))) * lit(1000000L)).as("cost"))
+  }
+
+  /** Per-document segmentation report under a trained vocab:
+    * (doc_id, n_units, n_pieces, total_cost). `units` carries one row
+    * per unit OCCURRENCE; the DP runs once per distinct unit. Units
+    * longer than maxUnitLen fall back to all-unknown-chars (defined,
+    * engine-local — keep fixtures within the bound for oracle use). */
+  def segmentReport(units: DataFrame, docId: Column, unit: Column,
+      vocab: DataFrame, maxPieceLen: Int = 6, maxUnitLen: Int = 16,
+      unkCost: Long = 60000000L): DataFrame = {
+    val occ = units.select(docId.as("doc_id"), unit.as("c"))
+    val cw = occ.groupBy("c").agg(count(lit(1)).as("n_occ"))
+    val vm = vocab.agg(
+      map_from_entries(collect_list(struct(col("p"), col("cost")))).as("m"))
+    val viterbi =
+      s"""CASE WHEN length(c) > $maxUnitLen
+         |  THEN CAST(length(c) AS BIGINT) * ${unkCost}L * 1024L
+         |       + CAST(length(c) AS BIGINT)
+         |  ELSE element_at(
+         |    aggregate(
+         |      sequence(1, length(c)),
+         |      concat(array(0L),
+         |        transform(sequence(1, length(c)), z -> ${Inf}L)),
+         |      (acc, i) -> transform(sequence(0, length(c)), p ->
+         |        CASE WHEN p != i THEN element_at(acc, p + 1)
+         |        ELSE array_min(transform(
+         |          sequence(greatest(0, i - $maxPieceLen), i - 1), j ->
+         |            element_at(acc, j + 1) +
+         |            (coalesce(element_at(m, substring(c, j + 1, i - j)),
+         |               CASE WHEN i - j = 1 THEN ${unkCost}L
+         |                    ELSE ${BigPieceCost}L END) * 1024L + 1L)))
+         |        END)),
+         |    length(c) + 1)
+         |END""".stripMargin
+    cw.crossJoin(broadcast(vm))
+      .withColumn("state", expr(viterbi))
+      .join(occ, "c")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_units"),
+        sum(expr("state % 1024")).as("n_pieces"),
+        sum(expr("state div 1024")).as("total_cost"))
+  }
+}

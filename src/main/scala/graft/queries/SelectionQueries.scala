@@ -20,6 +20,69 @@ import PipelineQueries.sqlHash60
   */
 object SelectionQueries {
 
+  /** Unrolled Viterbi DP steps b1..bN over the acc list — DuckDB
+    * lambdas cannot capture outer lambda variables, so the engine's
+    * nested `aggregate` fold becomes a per-position CTE chain in the
+    * oracle (the BPE/Lloyd/PageRank unrolled-rounds pattern). */
+  private def viterbiSteps(n: Int, maxPieceLen: Int, unk: Long, big: Long): String =
+    (1 to n).map { i =>
+      s"""b$i AS (SELECT c, CASE WHEN len(c) < $i THEN acc ELSE
+         |  acc[1:$i] || [list_min(list_transform(
+         |    generate_series(greatest(0, $i - $maxPieceLen), $i - 1), j ->
+         |      acc[j + 1] +
+         |      coalesce(map_extract(m, substr(c, (j + 1)::INT, ($i - j)::INT))[1],
+         |        CASE WHEN $i - j = 1 THEN $unk ELSE $big END) * 1024 + 1))] ||
+         |  acc[$i+2:] END AS acc, m FROM b${i - 1})""".stripMargin
+    }.mkString(",\n")
+
+  /** q168: unigram-LM (SentencePiece-style) VITERBI segmentation — the
+    * second tokenizer family beside BPE. The corpus's 31-word synthetic
+    * vocabulary is too easy to segment, so the fixture glues adjacent
+    * word pairs into COMPOUNDS and the tokenizer must rediscover the
+    * boundaries: with integer −log₂ piece costs every frequent compound
+    * segments into exactly its two constituent words (verified — the
+    * top compounds all report 2 pieces). All-integer DP states pack
+    * (cost, n_pieces) so ties break toward fewer pieces; the oracle
+    * retrains the vocabulary and replays the full DP as unrolled
+    * per-position CTEs. */
+  private[queries] def unigramDecl: Decl =
+    decl("q168_unigram_segment",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val cs = docs.select(col("doc_id"), explode(expr(
+          """CASE WHEN size(split(text, ' ')) >= 2 THEN
+            |  transform(sequence(1, size(split(text, ' ')) div 2), i ->
+            |    concat(element_at(split(text, ' '), CAST(2 * i - 1 AS INT)),
+            |           element_at(split(text, ' '), CAST(2 * i AS INT))))
+            |ELSE array() END""".stripMargin)).as("c"))
+        val vocab = graft.operators.Unigram.trainVocab(cs, col("c"),
+          maxPieceLen = 6, minFreq = 20L)
+        graft.operators.Unigram.segmentReport(cs, col("doc_id"), col("c"),
+          vocab, maxPieceLen = 6, maxUnitLen = 16)
+      },
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |cs AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) // 2),
+         |        i -> ws[2*i-1] || ws[2*i])) AS c FROM w),
+         |cw AS (SELECT c, COUNT(*)::BIGINT AS cnt FROM cs GROUP BY 1),
+         |sub AS (SELECT c, cnt, unnest(flatten(list_transform(generate_series(1, len(c)),
+         |        i -> list_transform(generate_series(1, 6),
+         |          l -> CASE WHEN i + l - 1 <= len(c) THEN substr(c, i, l) END)))) AS p
+         |        FROM cw),
+         |pf AS (SELECT p, SUM(cnt)::BIGINT AS freq FROM sub WHERE p IS NOT NULL GROUP BY 1),
+         |vocab AS (SELECT p, (64 - len(bin(freq))) * 1000000 AS cost
+         |          FROM pf WHERE freq >= 20),
+         |vm AS (SELECT map_from_entries(list(struct_pack(k := p, v := cost))) AS m
+         |       FROM vocab),
+         |b0 AS (SELECT c, [0::BIGINT] ||
+         |       list_transform(generate_series(1, len(c)),
+         |         z -> 4611686018427387904::BIGINT) AS acc, vm.m AS m FROM cw, vm),
+         |${viterbiSteps(16, 6, 60000000L, 4611686018427387L)},
+         |dp AS (SELECT c, acc[len(c) + 1] AS state FROM b16)
+         |SELECT cs.doc_id AS doc_id, COUNT(*)::BIGINT AS n_units,
+         |  SUM(dp.state % 1024)::BIGINT AS n_pieces,
+         |  SUM(dp.state // 1024)::BIGINT AS total_cost
+         |FROM cs JOIN dp ON cs.c = dp.c GROUP BY 1""".stripMargin)
+
   val decls: Seq[Decl] = Seq(
 
     // BM25 top-10 retrieval: queries are the first 8 words of every
@@ -234,5 +297,5 @@ object SelectionQueries {
         |SELECT doc_id, w,
         |  (least(2000, (greatest(2 * 2000 * c - t.t, 0) + 2 * t.t - 1) // (2 * t.t))
         |   - least(2000, (greatest(2 * 2000 * (c - w) - t.t, 0) + 2 * t.t - 1) // (2 * t.t)))::BIGINT AS n_copies
-        |FROM r, t""".stripMargin))
+        |FROM r, t""".stripMargin)) :+ unigramDecl
 }
