@@ -58,4 +58,45 @@ object Eval {
         r6((lit(2.0) * col("tp")) /
           (lit(2.0) * col("tp") + col("fp") + col("fn"))).as("f1"))
   }
+
+  /** ROC/PR operating points from a two-class equi-width score
+    * histogram: threshold at each bucket's lower edge, predicting
+    * positive for scores in bucket >= b. Counts are integers off a
+    * `buckets`-row frame (the histogram is a plain groupBy — mergeable,
+    * deterministic, O(buckets) state at any corpus size); rates are
+    * single divisions of exact integers. Buckets with no mass still
+    * appear implicitly in the cumulative counts of later thresholds.
+    *
+    * @return (bucket, thr, tp, fp, tpr, fpr, prec) one row per
+    *         non-empty bucket, descending-threshold semantics */
+  def rocPoints(scored: DataFrame, score: Column, label: Column,
+      buckets: Int = 32): DataFrame = {
+    val base = scored.select(score.cast("double").as("s"), label.as("yy"))
+    val bounds = base.agg(min("s").as("__lo"), max("s").as("__hi"))
+    val hist = base.crossJoin(broadcast(bounds))
+      .withColumn("b", when(col("__hi") === col("__lo"), lit(0L))
+        .otherwise(least(lit((buckets - 1).toLong),
+          floor((col("s") - col("__lo")) * lit(buckets.toDouble) /
+            (col("__hi") - col("__lo"))).cast("long"))))
+      .groupBy("b").agg(
+        sum(when(col("yy"), 1L).otherwise(0L)).as("pos_at"),
+        sum(when(col("yy"), 0L).otherwise(1L)).as("neg_at"))
+    val totals = hist.agg(sum("pos_at").as("__p"), sum("neg_at").as("__n"))
+    // reverse cumulative: tp at threshold b = positives in buckets >= b
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("b").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    hist
+      .withColumn("tp", sum("pos_at").over(w))
+      .withColumn("fp", sum("neg_at").over(w))
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(bounds))
+      .select(col("b").as("bucket"),
+        r6(col("__lo") + col("b").cast("double") *
+          (col("__hi") - col("__lo")) / lit(buckets.toDouble)).as("thr"),
+        col("tp"), col("fp"),
+        r6(col("tp").cast("double") / col("__p")).as("tpr"),
+        r6(col("fp").cast("double") / col("__n")).as("fpr"),
+        when(col("tp") + col("fp") === 0, lit(0.0))
+          .otherwise(r6(col("tp").cast("double") / (col("tp") + col("fp"))))
+          .as("prec"))
+  }
 }

@@ -2510,7 +2510,7 @@ object PipelineQueries {
           n = 3, maxDf = 50, bands = 8, rowsPerBand = 4, minEstJaccard = 0.5)
       },
       incrementalNearDupSql)
-  ) :+ epochPlanDecl :+ sourceOverlapDecl :+ classifierEvalDecl
+  ) :+ epochPlanDecl :+ sourceOverlapDecl :+ classifierEvalDecl :+ rocCurveDecl
 
   /** DuckDB oracle for q154: per-side MinHash signature chains (same
     * permutation constants and df cap as the Spark operator), the 8
@@ -2679,6 +2679,54 @@ object PipelineQueries {
         |  CAST(CAST(tp::DOUBLE / (tp + fn) AS DECIMAL(10,6)) AS DOUBLE) AS rec,
         |  CAST(CAST((2.0 * tp) / (2.0 * tp + fp + fn) AS DECIMAL(10,6)) AS DOUBLE) AS f1
         |FROM ag""".stripMargin)
+
+  /** q170: ROC operating points for the q150 classifier from a
+    * two-class 32-bucket score histogram — the curve a curation team
+    * reads to pick the keep threshold. The histogram is a plain groupBy
+    * (mergeable, O(buckets) state at any corpus size); thresholds are
+    * bucket edges; tp/fp are reverse-cumulative integer counts and
+    * every rate is one division of exact integers, all replayed by the
+    * oracle. */
+  private[queries] def rocCurveDecl: Q.Decl =
+    decl("q170_roc_curve",
+      (s, d) => {
+        val doc = col("doc_id")
+        val docs = t(s, d, "documents").select(doc,
+          concat(col("text"),
+            when(doc % 2 === 0, lit(" crisp lucid prose"))
+              .otherwise(lit(" spammy vapid filler"))).as("pt"))
+        val w = TextAnalysis.logisticWeights(docs, doc, col("pt"),
+          doc % 2 === 0, doc % 4 < 2, buckets = 64, rounds = 2, lr = 100.0)
+        val scored = TextAnalysis.logisticScores(docs, doc, col("pt"), w,
+          buckets = 64)
+        graft.operators.Eval.rocPoints(scored, col("score"),
+          col("doc_id") % 2 === 0, buckets = 32)
+      },
+      logisticFixtureCtes + """,
+        |sc AS (SELECT x.doc_id AS doc_id,
+        |       CAST(CAST(SUM(w * cnt) AS DECIMAL(12,4)) AS DOUBLE) AS s
+        |       FROM x JOIN w2 USING (b) GROUP BY 1),
+        |lb AS (SELECT sc.doc_id, sc.s, d0.y = 1.0 AS yy
+        |       FROM sc JOIN d0 USING (doc_id)),
+        |bounds AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM lb),
+        |h AS (SELECT CASE WHEN hi = lo THEN 0
+        |      ELSE LEAST(31, floor((s - lo) * 32.0 / (hi - lo))::BIGINT) END AS b,
+        |      SUM(CASE WHEN yy THEN 1 ELSE 0 END)::BIGINT AS pos_at,
+        |      SUM(CASE WHEN yy THEN 0 ELSE 1 END)::BIGINT AS neg_at
+        |      FROM lb, bounds GROUP BY 1),
+        |tt AS (SELECT SUM(pos_at)::BIGINT AS p, SUM(neg_at)::BIGINT AS n FROM h),
+        |cw2 AS (SELECT b,
+        |        CAST(SUM(pos_at) OVER (ORDER BY b DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+        |        CAST(SUM(neg_at) OVER (ORDER BY b DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+        |        FROM h)
+        |SELECT b AS bucket,
+        |  CAST(CAST(lo + b::DOUBLE * (hi - lo) / 32.0 AS DECIMAL(10,6)) AS DOUBLE) AS thr,
+        |  tp, fp,
+        |  CAST(CAST(tp::DOUBLE / tt.p AS DECIMAL(10,6)) AS DOUBLE) AS tpr,
+        |  CAST(CAST(fp::DOUBLE / tt.n AS DECIMAL(10,6)) AS DOUBLE) AS fpr,
+        |  CASE WHEN tp + fp = 0 THEN 0.0
+        |       ELSE CAST(CAST(tp::DOUBLE / (tp + fp) AS DECIMAL(10,6)) AS DOUBLE) END AS prec
+        |FROM cw2, tt, bounds""".stripMargin)
 
   private def logisticFixtureCtes: String =
     s"""WITH d0 AS (

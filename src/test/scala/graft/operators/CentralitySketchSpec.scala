@@ -118,6 +118,22 @@ class CentralitySketchSpec extends SparkSpec {
       .getAs[Double]("auc") === 1.0)
   }
 
+  test("rocPoints: reverse-cumulative counts and rates on a hand fixture") {
+    // scores spread over [0, 31] with 4 buckets of width 8
+    val rows = Seq((1.0, true), (2.0, false), (9.0, true), (17.0, false),
+      (25.0, true), (31.0, true))
+    val pts = Eval.rocPoints(rows.toDF("score", "y"), col("score"), col("y"),
+        buckets = 4)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Double]("tpr")))).toMap
+    // bucket 3 holds {25(+), 31(+)}: tp=2 fp=0 tpr=0.5
+    assert(pts(3L) === ((2L, 0L, 0.5)))
+    // bucket 2 adds {17(-)}: tp=2 fp=1
+    assert(pts(2L) === ((2L, 1L, 0.5)))
+    // bucket 0 covers everything: tp=4 fp=2 tpr=1.0
+    assert(pts(0L) === ((4L, 2L, 1.0)))
+  }
+
   test("count-min never undercounts and merges exactly across partitions") {
     val keys = (0 until 2000).map(i => Tuple1((i % 97).toLong))
     val df = keys.toDF("k")
