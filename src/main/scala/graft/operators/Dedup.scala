@@ -138,6 +138,51 @@ object Dedup {
     * operator is shingle-shuffle → pair/size aggregations → one join,
     * with no cache and no per-document array riding through the pair
     * join. */
+  /** EXACT Jaccard similarity join with the prefix-filtering guarantee
+    * (PPJoin family, Chaudhuri et al. / Xiao et al.): two sets with
+    * Jaccard >= t MUST share a token among each side's first
+    * `|s| - ceil(t·|s|) + 1` tokens in any GLOBAL canonical order — so
+    * candidates come from an equi-join on prefix tokens only, and
+    * unlike the df-capped [[ngramJaccardPairs]] no qualifying pair can
+    * ever be missed. The canonical order is rarest-first (df asc, token
+    * asc), which also makes prefixes the most selective tokens. The
+    * threshold test is INTEGER (`den·inter >= num·union`), so no
+    * floating point touches the decision.
+    *
+    * Scale shape: one df aggregate, one per-doc rank window, a
+    * prefix-token equi-join (fan-out bounded by prefix df, which
+    * rarest-first minimizes), and two id-joins for exact verification —
+    * all equi-joins, never doc×doc.
+    *
+    * @param toks (doc: long, tok: string) DISTINCT token sets
+    * @param num/den threshold t = num/den (e.g. 3/5 for 0.6)
+    * @return (a, b, inter, union_sz) with a < b, Jaccard >= t exactly */
+  def prefixJaccardJoin(toks: DataFrame, num: Int, den: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val sizes = toks.groupBy("doc").agg(count(lit(1)).as("sz"))
+    val ranked = toks.join(dfreq, "tok")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc").orderBy(col("df"), col("tok"))))
+      .join(sizes, "doc")
+      // prefix length = sz - ceil(t*sz) + 1, ceil via integer arithmetic
+      .withColumn("plen", col("sz") - expr(s"($num * sz + $den - 1) div $den") + 1)
+    val prefix = ranked.where(col("rk") <= col("plen")).select("doc", "tok")
+    val cands = prefix.select(col("doc").as("a"), col("tok"))
+      .join(prefix.select(col("doc").as("b"), col("tok")), "tok")
+      .where(col("a") < col("b")).select("a", "b").distinct()
+    val inter = cands
+      .join(toks.select(col("doc").as("a"), col("tok")), "a")
+      .join(toks.select(col("doc").as("b"), col("tok")), Seq("b", "tok"), "left_semi")
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc").as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col("doc").as("b"), col("sz").as("szb")), "b")
+      .withColumn("union_sz", col("sza") + col("szb") - col("inter"))
+      .where(col("inter") * den >= col("union_sz") * num)
+      .select("a", "b", "inter", "union_sz")
+  }
+
   def ngramJaccardPairs(
       df: DataFrame, id: Column, text: Column,
       n: Int, maxDf: Long, threshold: Double): DataFrame = {

@@ -2510,7 +2510,7 @@ object PipelineQueries {
           n = 3, maxDf = 50, bands = 8, rowsPerBand = 4, minEstJaccard = 0.5)
       },
       incrementalNearDupSql)
-  ) :+ epochPlanDecl :+ sourceOverlapDecl :+ classifierEvalDecl :+ rocCurveDecl
+  ) :+ epochPlanDecl :+ sourceOverlapDecl :+ classifierEvalDecl :+ rocCurveDecl :+ prefixJaccardDecl
 
   /** DuckDB oracle for q154: per-side MinHash signature chains (same
     * permutation constants and df cap as the Spark operator), the 8
@@ -2679,6 +2679,41 @@ object PipelineQueries {
         |  CAST(CAST(tp::DOUBLE / (tp + fn) AS DECIMAL(10,6)) AS DOUBLE) AS rec,
         |  CAST(CAST((2.0 * tp) / (2.0 * tp + fp + fn) AS DECIMAL(10,6)) AS DOUBLE) AS f1
         |FROM ag""".stripMargin)
+
+  /** q171: EXACT Jaccard similarity join with the prefix-filter
+    * completeness guarantee — the complement of q41's df-capped
+    * candidates (which can miss a pair whose every shingle is hot).
+    * Tokens are word trigrams in a rarest-first canonical order;
+    * candidates share a token within each side's
+    * |s|−⌈t·|s|⌉+1 prefix; verification and the 0.6 threshold are pure
+    * integer arithmetic (5·inter ≥ 3·union). The oracle is the
+    * BRUTE-FORCE all-shared-token join with the same integer test, so a
+    * hash match proves the pruning lost nothing. */
+  private[queries] def prefixJaccardDecl: Q.Decl =
+    decl("q171_prefix_jaccard_join",
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .where(size(col("ws")) >= 3)
+          .select(col("doc_id").as("doc"), explode(expr(
+            """array_distinct(transform(sequence(1, size(ws) - 2), i ->
+              |  concat_ws('_', element_at(ws, CAST(i AS INT)),
+              |    element_at(ws, CAST(i + 1 AS INT)),
+              |    element_at(ws, CAST(i + 2 AS INT)))))""".stripMargin)).as("tok"))
+        Dedup.prefixJaccardJoin(toks, num = 3, den = 5)
+      },
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tk AS (SELECT DISTINCT doc_id AS doc,
+        |       unnest(list_transform(generate_series(1, len(ws) - 2),
+        |         i -> ws[i] || '_' || ws[i+1] || '_' || ws[i+2])) AS tok
+        |       FROM w WHERE len(ws) >= 3),
+        |sz AS (SELECT doc, COUNT(*)::BIGINT AS sz FROM tk GROUP BY 1),
+        |it AS (SELECT a.doc AS a, b.doc AS b, COUNT(*)::BIGINT AS inter
+        |       FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc < b.doc GROUP BY 1, 2)
+        |SELECT it.a AS a, it.b AS b, inter,
+        |  (sa.sz + sb.sz - inter)::BIGINT AS union_sz
+        |FROM it JOIN sz sa ON it.a = sa.doc JOIN sz sb ON it.b = sb.doc
+        |WHERE inter * 5 >= (sa.sz + sb.sz - inter) * 3""".stripMargin)
 
   /** q170: ROC operating points for the q150 classifier from a
     * two-class 32-bucket score histogram — the curve a curation team

