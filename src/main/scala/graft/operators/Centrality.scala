@@ -69,6 +69,59 @@ object Centrality {
     ranks
   }
 
+  /** Bounded-round k-core peeling: repeatedly remove nodes whose
+    * degree among still-alive nodes is < k — after `rounds` rounds the
+    * survivors are a superset of the true k-core, equal to it when the
+    * last round removed nothing (the emitted `converged` flag, which
+    * also makes the bounded-round SPEC honest: the oracle replays the
+    * exact same R rounds, fixpoint or not). Dense cores = template /
+    * boilerplate clusters in a host graph — a curation signal; peeling
+    * is the standard distributed algorithm (one degree aggregate + one
+    * semi-join per round, lineage cut per round like the PageRank
+    * barrier).
+    *
+    * @return (node, removed_round ∈ [1, rounds] or 0 if surviving,
+    *          final_deg among survivors, converged) */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val und = edges.select(
+        least(col("u"), col("v")).cast("long").as("a"),
+        greatest(col("u"), col("v")).cast("long").as("b"))
+      .where(col("a") =!= col("b")).distinct().persist()
+    val both = und.select(col("a").as("s"), col("b").as("t"))
+      .union(und.select(col("b").as("s"), col("a").as("t"))).persist()
+    var alive = both.select(col("s").as("node")).distinct()
+      .withColumn("removed_round", lit(0L)).localCheckpoint()
+    var removedLast = true
+    for (r <- 1 to rounds) {
+      val aliveSet = alive.where(col("removed_round") === 0L).select("node")
+      val deg = both
+        .join(aliveSet.withColumnRenamed("node", "s"), "s")
+        .join(aliveSet.withColumnRenamed("node", "t"), "t")
+        .groupBy(col("s").as("node")).agg(count(lit(1)).as("deg"))
+      val toRemove = aliveSet
+        .join(deg, Seq("node"), "left")
+        .where(coalesce(col("deg"), lit(0L)) < k)
+        .select(col("node"), lit(r.toLong).as("rr"))
+      alive = alive.join(toRemove, Seq("node"), "left")
+        .select(col("node"),
+          when(col("removed_round") === 0L && col("rr").isNotNull, col("rr"))
+            .otherwise(col("removed_round")).as("removed_round"))
+        .localCheckpoint()
+      removedLast = alive.where(col("removed_round") === r.toLong).limit(1)
+        .count() > 0
+    }
+    val survivors = alive.where(col("removed_round") === 0L).select("node")
+    val finalDeg = both
+      .join(survivors.withColumnRenamed("node", "s"), "s")
+      .join(survivors.withColumnRenamed("node", "t"), "t")
+      .groupBy(col("s").as("node")).agg(count(lit(1)).as("deg"))
+    alive
+      .join(finalDeg, Seq("node"), "left")
+      .select(col("node"), col("removed_round"),
+        coalesce(col("deg"), lit(0L)).as("final_deg"),
+        lit(!removedLast).as("converged"))
+  }
+
   /** Per-node triangle counts via degree-ordered orientation — the
     * standard distributed algorithm (Suri & Vassilvitskii's MR-friendly
     * form): orient every undirected edge from its lower-(degree, id)

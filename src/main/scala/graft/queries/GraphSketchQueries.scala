@@ -138,6 +138,53 @@ object GraphSketchQueries {
         |ex AS (SELECT unnest([s, x, y]) AS node FROM tr)
         |SELECT node, COUNT(*)::BIGINT AS n_triangles FROM ex GROUP BY 1""".stripMargin),
 
+    // Bounded-round k-core peeling on the part co-purchase graph: four
+    // rounds at k=75 produce a genuine CASCADE (each removal lowers
+    // neighbors' degrees: 51 -> 8 -> 2 -> 1 nodes peel at sf0.01) and
+    // the emitted `converged` flag makes the bounded-round spec honest
+    // (round 4 still removed a node -> false, oracle-checked). One
+    // degree aggregate + alive semi-joins per round, lineage cut per
+    // round. Dense surviving cores = the template/boilerplate signal.
+    decl("q172_kcore_peel",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").cast("long").as("pk"))
+        val a = li.select(col("ok"), col("pk").as("u"))
+        val b = li.select(col("ok"), col("pk").as("v"))
+        val edges = a.join(b, "ok").where(col("u") < col("v"))
+          .select("u", "v").distinct()
+        Centrality.kCorePeel(edges, k = 75, rounds = 4)
+      }, {
+        val base =
+          """WITH li AS MATERIALIZED (SELECT l_orderkey AS ok, l_partkey::BIGINT AS pk FROM lineitem),
+            |ed AS MATERIALIZED (SELECT DISTINCT a.pk AS a, b.pk AS b
+            |     FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+            |bo AS MATERIALIZED (SELECT a AS s, b AS t FROM ed UNION ALL SELECT b, a FROM ed),
+            |n0 AS MATERIALIZED (SELECT DISTINCT s AS node FROM bo),
+            |a0 AS MATERIALIZED (SELECT node FROM n0)""".stripMargin
+        val rounds = (1 to 4).map { r =>
+          s"""d$r AS MATERIALIZED (SELECT s AS node, COUNT(*) AS dg FROM bo
+             |     JOIN a${r - 1} p1 ON bo.s = p1.node JOIN a${r - 1} p2 ON bo.t = p2.node
+             |     GROUP BY 1),
+             |rm$r AS MATERIALIZED (SELECT p.node FROM a${r - 1} p LEFT JOIN d$r USING (node)
+             |     WHERE COALESCE(dg, 0) < 75),
+             |a$r AS MATERIALIZED (SELECT node FROM a${r - 1} EXCEPT SELECT node FROM rm$r)"""
+            .stripMargin
+        }.mkString(",\n")
+        base + ",\n" + rounds +
+          """,
+            |removed AS (""".stripMargin +
+          (1 to 4).map(r => s"SELECT node, $r AS rr FROM rm$r")
+            .mkString(" UNION ALL ") + "),\n" +
+          """fd AS (SELECT s AS node, COUNT(*) AS dg FROM bo
+            |     JOIN a4 p1 ON bo.s = p1.node JOIN a4 p2 ON bo.t = p2.node GROUP BY 1),
+            |conv AS (SELECT (SELECT COUNT(*) FROM rm4) = 0 AS converged)
+            |SELECT n0.node AS node, COALESCE(rr, 0)::BIGINT AS removed_round,
+            |  COALESCE(fd.dg, 0)::BIGINT AS final_deg, conv.converged AS converged
+            |FROM n0 LEFT JOIN removed USING (node) LEFT JOIN fd USING (node), conv"""
+            .stripMargin
+      }),
+
     // Histogram quantile sketch: per event type, a 256-bucket equi-width
     // histogram (a plain groupBy — mergeable, retry-proof, O(buckets)
     // state per group) interpolates p50/p90/p99 of the value column.

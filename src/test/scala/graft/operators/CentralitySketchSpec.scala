@@ -148,6 +148,28 @@ class CentralitySketchSpec extends SparkSpec {
       .foreach { case (ex, e) => assert(e >= ex, s"undercount: $e < $ex") }
   }
 
+  test("kCorePeel cascades and converges on a known structure") {
+    // K5 clique (nodes 0-4) + a braced tail: 5~{0,1,6}, 6~{5,0,7},
+    // 7~{6}. Every tail node starts at deg >= 3 except 7, so the peel
+    // CASCADES: 7 (deg 1) round 1, then 6 drops to 2 -> round 2, then
+    // 5 drops to 2 -> round 3; the clique survives at degree 4 and
+    // round 4 removes nothing -> converged
+    val k5 = for (u <- 0L to 4L; v <- 0L to 4L if u < v) yield (u, v)
+    val edges = (k5 ++ Seq((0L, 5L), (1L, 5L), (5L, 6L), (0L, 6L), (6L, 7L)))
+      .toDF("u", "v")
+    val r = Centrality.kCorePeel(edges, k = 3, rounds = 4)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r(7L)._1 === 1L && r(6L)._1 === 2L && r(5L)._1 === 3L)
+    (0L to 4L).foreach { n =>
+      assert(r(n) === ((0L, if (n == 0L) 4L else 4L, true)))
+    }
+    // not converged when rounds stop mid-cascade
+    val r2 = Centrality.kCorePeel(edges, k = 3, rounds = 2).collect()
+      .map(x => x.getLong(0) -> x.getBoolean(3)).toMap
+    assert(!r2(0L))
+  }
+
   test("pagerank mass is conserved up to floor loss on a random graph") {
     val scale = 1000000000000L
     val edges = (0 until 400).map(i => ((i % 37).toLong, ((i * 7) % 41).toLong))

@@ -115,6 +115,28 @@ class LayoutSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(600))
   }
 
+  test("clusteredWrite produces disjoint per-file key envelopes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cluster").toString
+    val df = (0L until 5000L).map(i => (i * 2654435761L % 100000L, i))
+      .toDF("k", "payload")
+    Layout.clusteredWrite(df, partitions = 8, s"$dir/t", col("k"))
+    val back = spark.read.parquet(s"$dir/t")
+      .select(col("k"), input_file_name().as("f"))
+    val envelopes = back.groupBy("f")
+      .agg(min("k").as("lo"), max("k").as("hi"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    assert(envelopes.length > 1)
+    // range partitioning => file envelopes never overlap: every range
+    // predicate prunes via the zone map to O(1) files
+    envelopes.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, envelopes.toSeq)
+      case _ =>
+    }
+    // and all rows survive the layout
+    assert(back.count() === 5000L)
+  }
+
   test("compaction prefix sum has no corpus-wide ordered window") {
     val frags = (0L until 1000L).map(i => (s"s${i % 7}", i, 50L))
       .toDF("source", "frag_idx", "bytes")
