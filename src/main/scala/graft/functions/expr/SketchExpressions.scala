@@ -83,9 +83,14 @@ case class KmvSketch(
     if (n == 0) InternalRow(0L, null, 0)
     else {
       val kth = buf.last().longValue()
+      // clamp instead of BigInt.toLong truncation: an out-of-contract
+      // input (hashes below the 60-bit domain, kth < ~8) would wrap to
+      // a negative estimate; saturating keeps the failure visible and
+      // deterministic
       val est =
         if (n < k) n.toLong
-        else ((BigInt(k - 1) << 60) / kth).toLong
+        else if (kth <= 0L) Long.MaxValue
+        else ((BigInt(k - 1) << 60) / kth).min(BigInt(Long.MaxValue)).toLong
       InternalRow(est, kth, n)
     }
   }

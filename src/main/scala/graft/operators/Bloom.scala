@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * SQL engine, so false-positive behavior is oracle-checkable, not just
   * asserted.
   *
-  * Shapes: the bitset is `m/64` rows (a few thousand for m = 2^16..2^20)
+  * Shapes: the bitset is `m/32` rows (a few thousand for m = 2^16..2^20)
   * — always broadcast. Probing is `k` broadcast equi-joins + codegen'd
   * bitwise tests: no shuffle, no explode, no per-row aggregation on the
   * probe side.
@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
 object Bloom {
 
   private def pos(key: Column, j: Int, m: Int, salt: String): Column =
-    pmod(Dedup.hash60(concat(lit(s"$salt$j|"), key.cast("string"))), lit(m.toLong))
+    Dedup.saltedPos(key, j, m, salt)
 
   /** Build the bitset frame (word_idx, bits) from the build side's
     * keys: k hash positions per key, OR-folded into 32-bit words (32,
@@ -43,7 +43,7 @@ object Bloom {
   }
 
   /** Add a `bloom_pass` flag: true iff all k positions of `key` are set
-    * in `bits`. k broadcast left joins against the m/64-row bitset —
+    * in `bits`. k broadcast left joins against the m/32-row bitset —
     * the probe side stays shuffle-free and fully codegen'd. */
   def mightContain(probe: DataFrame, key: Column, bits: DataFrame,
       m: Int, k: Int, salt: String): DataFrame = {

@@ -66,6 +66,10 @@ object Centrality {
         // the plan compounds ~2^rounds
         .localCheckpoint()
     }
+    // the final ranks are materialized by the eager checkpoint above,
+    // so the edge/node caches can be released before returning
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
     ranks
   }
 
@@ -115,11 +119,16 @@ object Centrality {
       .join(survivors.withColumnRenamed("node", "s"), "s")
       .join(survivors.withColumnRenamed("node", "t"), "t")
       .groupBy(col("s").as("node")).agg(count(lit(1)).as("deg"))
-    alive
+    val out = alive
       .join(finalDeg, Seq("node"), "left")
       .select(col("node"), col("removed_round"),
         coalesce(col("deg"), lit(0L)).as("final_deg"),
         lit(!removedLast).as("converged"))
+      // eager barrier so the edge caches release before returning
+      .localCheckpoint()
+    und.unpersist(blocking = false)
+    both.unpersist(blocking = false)
+    out
   }
 
   /** Per-node triangle counts via degree-ordered orientation — the
@@ -167,7 +176,13 @@ object Centrality {
     val closing = oriented.select(
       least(col("src"), col("dst")).as("x"), greatest(col("src"), col("dst")).as("y"))
     val triangles = wedges.join(closing, Seq("x", "y"))
-    triangles.select(explode(array(col("s"), col("x"), col("y"))).as("node"))
+    val out = triangles
+      .select(explode(array(col("s"), col("x"), col("y"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      // eager barrier: counts are node-sized; materializing them here
+      // lets the oriented-edge cache release before returning
+      .localCheckpoint()
+    oriented.unpersist(blocking = false)
+    out
   }
 }

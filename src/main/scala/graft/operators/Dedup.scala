@@ -22,6 +22,14 @@ object Dedup {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** The j-th salted hash position of `key` in [0, m) — the shared
+    * bucket/slot arithmetic of the bloom filter and count-min sketch
+    * (one definition so both families' oracles stay bit-aligned with
+    * one SQL replay: hash60('<salt><j>|' || key) % m). */
+  private[operators] def saltedPos(key: Column, j: Int, m: Int,
+      salt: String): Column =
+    pmod(hash60(concat(lit(s"$salt$j|"), key.cast("string"))), lit(m.toLong))
+
   /** Exact dedup: group by content hash, keep the smallest id.
     * Returns (content_hash, keeper_id, dup_count). */
   def exact(df: DataFrame, id: Column, content: Column): DataFrame =

@@ -16,8 +16,7 @@ import org.apache.spark.sql.functions._
 object Frequency {
 
   private def pos(key: Column, j: Int, w: Int, salt: String): Column =
-    pmod(Dedup.hash60(concat(lit(s"$salt$j|"), key.cast("string"))),
-      lit(w.toLong))
+    Dedup.saltedPos(key, j, w, salt)
 
   /** Build the (r, p, cnt) counter frame: d hash rows of width w. */
   def countMin(df: DataFrame, key: Column, w: Int, d: Int,
@@ -42,7 +41,8 @@ object Frequency {
         .join(broadcast(c), col(s"__p$j") === col(s"__q$j"), "left")
       coalesce(col(s"__c$j"), lit(0L))
     }
-    df.withColumn("est_cnt", least(ests: _*))
+    // least() needs two args — a d=1 sketch's estimate IS its only row
+    df.withColumn("est_cnt", if (ests.size == 1) ests.head else least(ests: _*))
       .drop((0 until d).flatMap(j => Seq(s"__p$j", s"__q$j", s"__c$j")): _*)
   }
 }

@@ -125,10 +125,11 @@ object Layout {
     * (`orderCol` ascending within `sourceCol`, sources ascending)
     * order. A fragment's group is its START offset div target — the
     * concat-and-chop rule, so the plan is a pure function of the
-    * manifest. Fragments larger than the target keep their own group
-    * (never split); the groups a giant fragment overflows into are
-    * simply skipped. Runs the shared two-phase prefix sum: the only
-    * global window is over per-source totals.
+    * manifest. A fragment larger than the target is never split: it
+    * joins the group its start offset lands in (together with whatever
+    * smaller fragments started there), and the group ids its bytes
+    * overflow past are simply skipped. Runs the shared two-phase prefix
+    * sum: the only global window is over per-source totals.
     *
     * @param frags (source: string, frag_idx: long, bytes: long)
     * @return per-fragment plan + per-group rollup:

@@ -36,7 +36,8 @@ object Unigram {
     * keep pieces with freq >= minFreq. Returns (p, cost). */
   def trainVocab(units: DataFrame, unit: Column, maxPieceLen: Int = 6,
       minFreq: Long = 20L): DataFrame = {
-    val cw = units.select(unit.as("c")).groupBy("c").agg(count(lit(1)).as("cnt"))
+    val cw = units.select(unit.as("c")).where(length(col("c")) > 0)
+      .groupBy("c").agg(count(lit(1)).as("cnt"))
     cw.select(col("cnt"), explode(expr(
         s"""flatten(transform(sequence(1, length(c)), i ->
            |  transform(sequence(1, $maxPieceLen), l ->
@@ -66,18 +67,25 @@ object Unigram {
   def segmentReport(units: DataFrame, docId: Column, unit: Column,
       vocab: DataFrame, maxPieceLen: Int = 6, maxUnitLen: Int = 16,
       unkCost: Long = 60000000L): DataFrame = {
+    // the DP path's packed state stores piece counts in 10 bits; the
+    // over-length fallback bypasses packing entirely (below), so only
+    // the DP-covered range needs the bound
+    require(maxUnitLen >= 1 && maxUnitLen <= 1000, s"maxUnitLen: $maxUnitLen")
     val occ = units.select(docId.as("doc_id"), unit.as("c"))
     val cw = occ.groupBy("c").agg(count(lit(1)).as("n_occ"))
     // every candidate (start i, len l) of every distinct unit, with a
     // flat slot index idx = (i-1)*L + (l-1); pieces past the unit end
-    // stay null (their slots are never read by the DP)
+    // stay null (their slots are never read by the DP); empty units
+    // produce no slots (sequence(1, 0) would DESCEND in Spark) and are
+    // reported as 0 pieces / 0 cost
     val slots = cw.select(col("c"), explode(expr(
-        s"""flatten(transform(sequence(1, least(length(c), $maxUnitLen)), i ->
+        s"""CASE WHEN length(c) = 0 THEN array()
+           |ELSE flatten(transform(sequence(1, least(length(c), $maxUnitLen)), i ->
            |  transform(sequence(1, $maxPieceLen), l ->
            |    struct((CAST(i AS INT) - 1) * $maxPieceLen + CAST(l AS INT) - 1 AS idx,
            |      CASE WHEN i + l - 1 <= length(c)
-           |           THEN substring(c, CAST(i AS INT), CAST(l AS INT)) END AS p))))"""
-          .stripMargin)).as("e"))
+           |           THEN substring(c, CAST(i AS INT), CAST(l AS INT)) END AS p))))
+           |END""".stripMargin)).as("e"))
       .select(col("c"), col("e.idx").as("idx"), col("e.p").as("p"))
     val looked = slots.join(broadcast(vocab), slots("p") === vocab("p"), "left")
       .select(col("c"), col("idx"),
@@ -88,9 +96,7 @@ object Unigram {
       expr("transform(array_sort(collect_list(struct(idx, pcost))), x -> x.pcost)")
         .as("costs"))
     val viterbi =
-      s"""CASE WHEN length(c) > $maxUnitLen
-         |  THEN CAST(length(c) AS BIGINT) * ${unkCost}L * 1024L
-         |       + CAST(length(c) AS BIGINT)
+      s"""CASE WHEN length(c) = 0 OR length(c) > $maxUnitLen THEN 0L
          |  ELSE element_at(
          |    aggregate(
          |      sequence(1, length(c)),
@@ -106,12 +112,23 @@ object Unigram {
          |        END)),
          |    length(c) + 1)
          |END""".stripMargin
-    cw.join(costArr, "c")
+    // over-length units fall back to one unk piece per character,
+    // computed OUTSIDE the packed state (the 10-bit piece field would
+    // silently wrap past 1023 characters); empty units report zeros
+    cw.join(costArr, Seq("c"), "left")
       .withColumn("state", expr(viterbi))
+      .withColumn("u_pieces", expr(
+        s"""CASE WHEN length(c) = 0 THEN 0L
+           |WHEN length(c) > $maxUnitLen THEN CAST(length(c) AS BIGINT)
+           |ELSE state % 1024 END""".stripMargin))
+      .withColumn("u_cost", expr(
+        s"""CASE WHEN length(c) = 0 THEN 0L
+           |WHEN length(c) > $maxUnitLen THEN CAST(length(c) AS BIGINT) * ${unkCost}L
+           |ELSE state div 1024 END""".stripMargin))
       .join(occ, "c")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_units"),
-        sum(expr("state % 1024")).as("n_pieces"),
-        sum(expr("state div 1024")).as("total_cost"))
+        sum(col("u_pieces")).as("n_pieces"),
+        sum(col("u_cost")).as("total_cost"))
   }
 }

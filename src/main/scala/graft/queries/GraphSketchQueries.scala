@@ -19,6 +19,25 @@ object GraphSketchQueries {
 
   private val Scale = 1000000000000L
 
+  /** Part co-purchase graph (parts sharing an order) — one definition
+    * for the q163/q172 edge construction. */
+  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").cast("long").as("pk"))
+    val a = li.select(col("ok"), col("pk").as("u"))
+    val b = li.select(col("ok"), col("pk").as("v"))
+    a.join(b, "ok").where(col("u") < col("v")).select("u", "v").distinct()
+  }
+
+  /** Oracle twin of [[coPurchaseEdges]]: CTEs `li` and `ed(a, b)`,
+    * MATERIALIZED because downstream chains reference them repeatedly
+    * and inlined CTE re-evaluation compounds per reference. */
+  private val coPurchaseSql: String =
+    """li AS MATERIALIZED (SELECT l_orderkey AS ok, l_partkey::BIGINT AS pk FROM lineitem),
+      |ed AS MATERIALIZED (SELECT DISTINCT a.pk AS a, b.pk AS b
+      |     FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk)""".stripMargin
+
   /** Unrolled PageRank round CTEs r1..rN over base CTEs e/nn/n/r0. */
   private def prRounds(rounds: Int): String =
     (1 to rounds).map { r =>
@@ -112,18 +131,8 @@ object GraphSketchQueries {
     // once, no cartesian anywhere. The oracle replays orientation,
     // wedge enumeration, and closure in SQL.
     decl("q163_triangle_counts",
-      (s, d) => {
-        val li = t(s, d, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").cast("long").as("pk"))
-        val a = li.select(col("ok"), col("pk").as("u"))
-        val b = li.select(col("ok"), col("pk").as("v"))
-        val edges = a.join(b, "ok").where(col("u") < col("v"))
-          .select("u", "v").distinct()
-        Centrality.triangleCounts(edges)
-      },
-      """WITH li AS (SELECT l_orderkey AS ok, l_partkey::BIGINT AS pk FROM lineitem),
-        |ed AS (SELECT DISTINCT a.pk AS a, b.pk AS b
-        |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      (s, d) => Centrality.triangleCounts(coPurchaseEdges(s, d)),
+      s"""WITH $coPurchaseSql,
         |deg AS (SELECT node, COUNT(*)::BIGINT AS deg FROM
         |        (SELECT a AS node FROM ed UNION ALL SELECT b FROM ed) GROUP BY 1),
         |o AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND ed.a < ed.b)
@@ -146,19 +155,10 @@ object GraphSketchQueries {
     // degree aggregate + alive semi-joins per round, lineage cut per
     // round. Dense surviving cores = the template/boilerplate signal.
     decl("q172_kcore_peel",
-      (s, d) => {
-        val li = t(s, d, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").cast("long").as("pk"))
-        val a = li.select(col("ok"), col("pk").as("u"))
-        val b = li.select(col("ok"), col("pk").as("v"))
-        val edges = a.join(b, "ok").where(col("u") < col("v"))
-          .select("u", "v").distinct()
-        Centrality.kCorePeel(edges, k = 75, rounds = 4)
-      }, {
+      (s, d) => Centrality.kCorePeel(coPurchaseEdges(s, d), k = 75, rounds = 4),
+      {
         val base =
-          """WITH li AS MATERIALIZED (SELECT l_orderkey AS ok, l_partkey::BIGINT AS pk FROM lineitem),
-            |ed AS MATERIALIZED (SELECT DISTINCT a.pk AS a, b.pk AS b
-            |     FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+          s"""WITH $coPurchaseSql,
             |bo AS MATERIALIZED (SELECT a AS s, b AS t FROM ed UNION ALL SELECT b, a FROM ed),
             |n0 AS MATERIALIZED (SELECT DISTINCT s AS node FROM bo),
             |a0 AS MATERIALIZED (SELECT node FROM n0)""".stripMargin

@@ -2641,25 +2641,9 @@ object PipelineQueries {
     * decomposition), and every metric division. */
   private[queries] def classifierEvalDecl: Q.Decl =
     decl("q165_classifier_eval",
-      (s, d) => {
-        val doc = col("doc_id")
-        val docs = t(s, d, "documents").select(doc,
-          concat(col("text"),
-            when(doc % 2 === 0, lit(" crisp lucid prose"))
-              .otherwise(lit(" spammy vapid filler"))).as("pt"))
-        val w = TextAnalysis.logisticWeights(docs, doc, col("pt"),
-          doc % 2 === 0, doc % 4 < 2, buckets = 64, rounds = 2, lr = 100.0)
-        val scored = TextAnalysis.logisticScores(docs, doc, col("pt"), w,
-          buckets = 64)
-        graft.operators.Eval.binaryEval(scored, col("score"),
-          col("doc_id") % 2 === 0)
-      },
-      logisticFixtureCtes + """,
-        |sc AS (SELECT x.doc_id AS doc_id,
-        |       CAST(CAST(SUM(w * cnt) AS DECIMAL(12,4)) AS DOUBLE) AS s
-        |       FROM x JOIN w2 USING (b) GROUP BY 1),
-        |lb AS (SELECT sc.doc_id, sc.s, d0.y = 1.0 AS yy
-        |       FROM sc JOIN d0 USING (doc_id)),
+      (s, d) => graft.operators.Eval.binaryEval(classifierScored(s, d),
+        col("score"), col("doc_id") % 2 === 0),
+      classifierScoredCtes + """,
         |gp AS (SELECT s, SUM(CASE WHEN yy THEN 1 ELSE 0 END)::BIGINT AS pos_at,
         |       SUM(CASE WHEN yy THEN 0 ELSE 1 END)::BIGINT AS neg_at
         |       FROM lb GROUP BY 1),
@@ -2679,6 +2663,31 @@ object PipelineQueries {
         |  CAST(CAST(tp::DOUBLE / (tp + fn) AS DECIMAL(10,6)) AS DOUBLE) AS rec,
         |  CAST(CAST((2.0 * tp) / (2.0 * tp + fp + fn) AS DECIMAL(10,6)) AS DOUBLE) AS f1
         |FROM ag""".stripMargin)
+
+  /** The q150 classifier fixture scored over the whole corpus — one
+    * definition for the training/scoring chain so q165/q170 (and any
+    * future metric query) cannot drift from each other. */
+  private def classifierScored(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val doc = col("doc_id")
+    val docs = t(s, d, "documents").select(doc,
+      concat(col("text"),
+        when(doc % 2 === 0, lit(" crisp lucid prose"))
+          .otherwise(lit(" spammy vapid filler"))).as("pt"))
+    val w = TextAnalysis.logisticWeights(docs, doc, col("pt"),
+      doc % 2 === 0, doc % 4 < 2, buckets = 64, rounds = 2, lr = 100.0)
+    TextAnalysis.logisticScores(docs, doc, col("pt"), w, buckets = 64)
+  }
+
+  /** Oracle twin of [[classifierScored]]: fixture + scoring + labels as
+    * CTEs `sc` (doc_id, s) and `lb` (doc_id, s, yy). */
+  private def classifierScoredCtes: String =
+    logisticFixtureCtes + """,
+      |sc AS (SELECT x.doc_id AS doc_id,
+      |       CAST(CAST(SUM(w * cnt) AS DECIMAL(12,4)) AS DOUBLE) AS s
+      |       FROM x JOIN w2 USING (b) GROUP BY 1),
+      |lb AS (SELECT sc.doc_id, sc.s, d0.y = 1.0 AS yy
+      |       FROM sc JOIN d0 USING (doc_id))""".stripMargin
 
   /** q171: EXACT Jaccard similarity join with the prefix-filter
     * completeness guarantee — the complement of q41's df-capped
@@ -2724,25 +2733,9 @@ object PipelineQueries {
     * oracle. */
   private[queries] def rocCurveDecl: Q.Decl =
     decl("q170_roc_curve",
-      (s, d) => {
-        val doc = col("doc_id")
-        val docs = t(s, d, "documents").select(doc,
-          concat(col("text"),
-            when(doc % 2 === 0, lit(" crisp lucid prose"))
-              .otherwise(lit(" spammy vapid filler"))).as("pt"))
-        val w = TextAnalysis.logisticWeights(docs, doc, col("pt"),
-          doc % 2 === 0, doc % 4 < 2, buckets = 64, rounds = 2, lr = 100.0)
-        val scored = TextAnalysis.logisticScores(docs, doc, col("pt"), w,
-          buckets = 64)
-        graft.operators.Eval.rocPoints(scored, col("score"),
-          col("doc_id") % 2 === 0, buckets = 32)
-      },
-      logisticFixtureCtes + """,
-        |sc AS (SELECT x.doc_id AS doc_id,
-        |       CAST(CAST(SUM(w * cnt) AS DECIMAL(12,4)) AS DOUBLE) AS s
-        |       FROM x JOIN w2 USING (b) GROUP BY 1),
-        |lb AS (SELECT sc.doc_id, sc.s, d0.y = 1.0 AS yy
-        |       FROM sc JOIN d0 USING (doc_id)),
+      (s, d) => graft.operators.Eval.rocPoints(classifierScored(s, d),
+        col("score"), col("doc_id") % 2 === 0, buckets = 32),
+      classifierScoredCtes + """,
         |bounds AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM lb),
         |h AS (SELECT CASE WHEN hi = lo THEN 0
         |      ELSE LEAST(31, floor((s - lo) * 32.0 / (hi - lo))::BIGINT) END AS b,
