@@ -191,4 +191,37 @@ object Blocking {
       .filter(col("rank") <= k)
       .select(col("subject_id"), col("target_id"), col("score"), col("rank"))
   }
+
+  /** Exact edit-distance-1 join via deletion neighborhoods (FastSS,
+    * Bocek et al. 2007): two strings with Levenshtein distance ≤ 1 MUST
+    * share a key in `{s} ∪ single-deletions(s)` (a substitution meets
+    * at the both-sides deletion, an insertion/deletion meets at the
+    * shorter string itself), so candidates come from an equi-join on
+    * ~(len+1) keys per string — never name×name — and one exact
+    * `levenshtein` check removes the false candidates (e.g. adjacent
+    * transpositions share a deletion at distance 2). The complete exact
+    * companion to the phonetic/bigram blockers, whose recall is
+    * empirical (q142); here recall is a theorem.
+    *
+    * @param names (id, name); ids with equal names are still distinct
+    * @return (a, b, dist) with a < b and dist ∈ {0, 1} */
+  def editDistanceJoin(names: DataFrame, id: Column, name: Column): DataFrame = {
+    val base = names.select(id.as("nid"), name.as("nm"))
+      .where(col("nm").isNotNull && length(col("nm")) > 0)
+    val keys = base.select(col("nid"), explode(expr(
+        """array_union(array(nm),
+          |  transform(sequence(1, length(nm)), i ->
+          |    concat(substring(nm, 1, CAST(i AS INT) - 1),
+          |           substring(nm, CAST(i AS INT) + 1, length(nm)))))"""
+          .stripMargin)).as("k"))
+    val cands = keys.select(col("nid").as("a"), col("k"))
+      .join(keys.select(col("nid").as("b"), col("k")), "k")
+      .where(col("a") < col("b")).select("a", "b").distinct()
+    cands
+      .join(base.select(col("nid").as("a"), col("nm").as("nma")), "a")
+      .join(base.select(col("nid").as("b"), col("nm").as("nmb")), "b")
+      .withColumn("dist", levenshtein(col("nma"), col("nmb")).cast("long"))
+      .where(col("dist") <= 1)
+      .select("a", "b", "dist")
+  }
 }

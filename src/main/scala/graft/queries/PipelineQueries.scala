@@ -2510,7 +2510,7 @@ object PipelineQueries {
           n = 3, maxDf = 50, bands = 8, rowsPerBand = 4, minEstJaccard = 0.5)
       },
       incrementalNearDupSql)
-  ) :+ epochPlanDecl :+ sourceOverlapDecl :+ classifierEvalDecl :+ rocCurveDecl :+ prefixJaccardDecl
+  ) :+ epochPlanDecl :+ sourceOverlapDecl :+ classifierEvalDecl :+ rocCurveDecl :+ prefixJaccardDecl :+ editDistDecl
 
   /** DuckDB oracle for q154: per-side MinHash signature chains (same
     * permutation constants and df cap as the Spark operator), the 8
@@ -2663,6 +2663,22 @@ object PipelineQueries {
         |  CAST(CAST(tp::DOUBLE / (tp + fn) AS DECIMAL(10,6)) AS DOUBLE) AS rec,
         |  CAST(CAST((2.0 * tp) / (2.0 * tp + fp + fn) AS DECIMAL(10,6)) AS DOUBLE) AS f1
         |FROM ag""".stripMargin)
+
+  /** q173: exact edit-distance-1 join via deletion neighborhoods
+    * (FastSS) over customer names — numbered names make a dense but
+    * bounded distance-1 structure (names differing in exactly one
+    * digit), and the all-pairs BRUTE-FORCE oracle proves the
+    * deletion-neighborhood pruning is complete: where the phonetic and
+    * bigram blockers' recall is measured (q142), this one's is a
+    * theorem, and the hash match demonstrates it. */
+  private[queries] def editDistDecl: Q.Decl =
+    decl("q173_editdist_join",
+      (s, d) => graft.operators.Blocking.editDistanceJoin(
+        t(s, d, "customer"), col("c_custkey").cast("long"), col("c_name")),
+      """WITH c AS (SELECT c_custkey::BIGINT AS nid, c_name AS nm FROM customer)
+        |SELECT a.nid AS a, b.nid AS b, levenshtein(a.nm, b.nm)::BIGINT AS dist
+        |FROM c a JOIN c b ON a.nid < b.nid
+        |WHERE levenshtein(a.nm, b.nm) <= 1""".stripMargin)
 
   /** The q150 classifier fixture scored over the whole corpus — one
     * definition for the training/scoring chain so q165/q170 (and any

@@ -170,6 +170,35 @@ class CentralitySketchSpec extends SparkSpec {
     assert(!r2(0L))
   }
 
+  test("editDistanceJoin: all three edit kinds found, transpositions rejected") {
+    val names = Seq((1L, "spark"), (2L, "spork"), // substitution
+      (3L, "sparks"), // insertion
+      (4L, "spak"), // deletion
+      (5L, "sprak"), // transposition -> distance 2, must NOT match 1
+      (6L, "query"), (7L, "spark")) // exact duplicate name -> dist 0
+      .toDF("id", "n")
+    val got = Blocking.editDistanceJoin(names, col("id"), col("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L, 1L)) && got.contains((1L, 3L, 1L)) &&
+      got.contains((1L, 4L, 1L)) && got.contains((1L, 7L, 0L)))
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L && p._1 == 1L) ||
+      !got.contains((1L, 5L, 1L)))
+    // exhaustive: equals in-memory brute force
+    val all = names.collect().map(r => r.getLong(0) -> r.getString(1))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i.max(j))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, na) <- all; (ib, nb) <- all if ia < ib
+      dd = lev(na, nb) if dd <= 1
+    } yield (ia, ib, dd.toLong)).toSet
+    assert(got === want)
+  }
+
   test("pagerank mass is conserved up to floor loss on a random graph") {
     val scale = 1000000000000L
     val edges = (0 until 400).map(i => ((i % 37).toLong, ((i * 7) % 41).toLong))
