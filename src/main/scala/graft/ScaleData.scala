@@ -18,6 +18,10 @@ import org.apache.spark.sql.functions._
   *  - embeddings rotate by rep positions — norm and per-replica
   *    neighborhood structure preserved, cross-replica cosine decorrelated
   *    (identical vectors would multiply LSH bucket pair counts by R²);
+  *  - customer names suffix three copies of a replica letter (distance
+  *    ≥ 3 across replicas, same length), so the edit-distance-1 join's
+  *    pair structure repeats per replica instead of every name matching
+  *    its R−1 clones at distance 0;
   *  - dimension tables (region/nation) stay single-copy, as they would
   *    at any scale.
   *
@@ -53,7 +57,13 @@ object ScaleData {
     write("region")(identity)
     write("nation")(identity)
     write("customer")(t => reps5(t)
-      .withColumn("c_custkey", shift("c_custkey")).drop("rep"))
+      .withColumn("c_custkey", shift("c_custkey"))
+      // rep letter tripled: cross-replica name distance is exactly 3
+      // (never 0 or 1), replica-local distance structure unchanged
+      .withColumn("c_name", when(col("rep") === 0, col("c_name"))
+        .otherwise(concat(col("c_name"),
+          expr("repeat(char(97 + rep % 26), 3)"))))
+      .drop("rep"))
     write("supplier")(t => reps5(t)
       .withColumn("s_suppkey", shift("s_suppkey")).drop("rep"))
     write("part")(t => reps5(t)
