@@ -2510,7 +2510,7 @@ object PipelineQueries {
           n = 3, maxDf = 50, bands = 8, rowsPerBand = 4, minEstJaccard = 0.5)
       },
       incrementalNearDupSql)
-  ) :+ epochPlanDecl :+ sourceOverlapDecl :+ classifierEvalDecl :+ rocCurveDecl :+ prefixJaccardDecl :+ editDistDecl
+  ) :+ epochPlanDecl :+ sourceOverlapDecl :+ classifierEvalDecl :+ rocCurveDecl :+ prefixJaccardDecl :+ editDistDecl :+ percentileGateDecl
 
   /** DuckDB oracle for q154: per-side MinHash signature chains (same
     * permutation constants and df cap as the Spark operator), the 8
@@ -2704,6 +2704,50 @@ object PipelineQueries {
       |       FROM x JOIN w2 USING (b) GROUP BY 1),
       |lb AS (SELECT sc.doc_id, sc.s, d0.y = 1.0 AS yy
       |       FROM sc JOIN d0 USING (doc_id))""".stripMargin
+
+  /** q174: percentile-gated curation — the FineWeb-style "keep the top
+    * (1−q) of each language by quality score" cutoff, composed from the
+    * trained classifier (q150) and the deterministic histogram quantile
+    * sketch (q164): per-language p25 estimates gate every document.
+    * Mergeable-histogram percentiles mean the cutoff is computable in
+    * one pass at any corpus scale and is bit-stable under partitioning;
+    * the oracle replays scoring, the per-language histogram
+    * interpolation, and the gate. */
+  private[queries] def percentileGateDecl: Q.Decl =
+    decl("q174_percentile_gate",
+      (s, d) => {
+        val scored = classifierScored(s, d)
+          .join(t(s, d, "documents").select(col("doc_id"), col("lang")), "doc_id")
+        val p25 = graft.operators.Quantiles.histQuantiles(scored,
+            col("lang"), col("score"), buckets = 64, qs = Seq(0.25))
+          .select(col("group").as("lang"), col("est").as("p25"))
+        scored.join(broadcast(p25), "lang")
+          .select(col("doc_id"), col("lang"), col("score"), col("p25"),
+            (col("score") >= col("p25")).as("kept"))
+      },
+      classifierScoredCtes + """,
+        |sl AS (SELECT sc.doc_id AS doc_id, d.lang AS lang, sc.s AS v
+        |       FROM sc JOIN documents d USING (doc_id)),
+        |bounds AS (SELECT lang, MIN(v) AS lo, MAX(v) AS hi FROM sl GROUP BY 1),
+        |h AS (SELECT lang, CASE WHEN hi = lo THEN 0
+        |      ELSE LEAST(63, floor((v - lo) * 64.0 / (hi - lo))::BIGINT) END AS bkt,
+        |      COUNT(*)::BIGINT AS cnt
+        |      FROM sl JOIN bounds USING (lang) GROUP BY 1, 2),
+        |c AS (SELECT lang, bkt, cnt,
+        |      CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY bkt
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h),
+        |nl AS (SELECT lang, SUM(cnt)::BIGINT AS nn FROM h GROUP BY 1),
+        |sel AS (SELECT c.lang, c.bkt, c.cnt, c.cum - c.cnt AS cumb, c.cum,
+        |        CAST(ceil(0.25 * nl.nn) AS BIGINT) AS target
+        |        FROM c JOIN nl USING (lang)),
+        |p25 AS (SELECT sel.lang AS lang,
+        |  CAST(CAST(lo + (bkt::DOUBLE + (target - cumb)::DOUBLE / cnt::DOUBLE)
+        |    * (hi - lo) / 64.0 AS DECIMAL(18,4)) AS DOUBLE) AS p25
+        |  FROM sel JOIN bounds ON sel.lang = bounds.lang
+        |  WHERE cum >= target AND cumb < target)
+        |SELECT sl.doc_id AS doc_id, sl.lang AS lang, sl.v AS score,
+        |  p25.p25 AS p25, sl.v >= p25.p25 AS kept
+        |FROM sl JOIN p25 USING (lang)""".stripMargin)
 
   /** q171: EXACT Jaccard similarity join with the prefix-filter
     * completeness guarantee — the complement of q41's df-capped
