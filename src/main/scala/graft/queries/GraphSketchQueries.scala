@@ -90,6 +90,74 @@ object GraphSketchQueries {
          |  kk.kth_hash AS kth_hash, kk.n_kept AS n_kept
          |FROM kk JOIN base USING (event_type)""".stripMargin),
 
+    // Theta-sketch-style SET-INTERSECTION estimation from two KMV
+    // sketches — what an optimizer's join-cardinality estimator does
+    // with sketch metadata instead of scanning either side: θ =
+    // min(kth_a, kth_b) re-anchors both k-min samples to a common
+    // hash-space prefix, the intersection of the samples below θ is a
+    // uniform sample of A∩B, and est = c·2^60/θ in integer division.
+    // Exact counts ride along, so the estimate's quality is visible in
+    // the result, and every step — ranks, θ, sample overlap, the
+    // division — is replayed by the oracle. A = high-value events, B =
+    // engagement-type events: ~10k-key sets with genuinely partial
+    // overlap, so θ sits deep in the hash space and the estimate is
+    // meaningfully close to (and visibly not equal to) the exact count.
+    decl("q175_sketch_intersection",
+      (s, d) => {
+        val k = 128
+        val ev = t(s, d, "events").select(col("event_type"), col("value"),
+          Dedup.hash60(concat(lit("tsk|"), col("event_id").cast("string"))).as("h"))
+        val a = ev.where(col("value") >= 20.0).select(col("h")).distinct()
+        val b = ev.where(col("event_type").isin("click", "view", "signup"))
+          .select(col("h")).distinct()
+        def kmin(df: org.apache.spark.sql.DataFrame, tag: String) = df
+          .withColumn("rk", row_number().over(Window.orderBy("h")))
+          .where(col("rk") <= k).select(col("h").as(s"h_$tag"))
+        val ka = kmin(a, "a"); val kb = kmin(b, "b")
+        val stats = ka.agg(max("h_a").as("kth_a"), count(lit(1)).as("n_ka"))
+          .crossJoin(kb.agg(max("h_b").as("kth_b"), count(lit(1)).as("n_kb")))
+          .withColumn("theta", least(col("kth_a"), col("kth_b")))
+        val sample = ka.join(kb, col("h_a") === col("h_b"))
+          .crossJoin(broadcast(stats))
+          .where(col("h_a") < col("theta"))
+          .agg(count(lit(1)).as("sample_inter"))
+        val exact = a.select(col("h")).intersect(b.select(col("h")))
+          .agg(count(lit(1)).as("inter_exact"))
+          .crossJoin(a.agg(count(lit(1)).as("n_a_exact")))
+          .crossJoin(b.agg(count(lit(1)).as("n_b_exact")))
+        stats.crossJoin(broadcast(sample)).crossJoin(broadcast(exact))
+          .select(col("n_a_exact"), col("n_b_exact"), col("inter_exact"),
+            col("kth_a"), col("kth_b"), col("theta"), col("sample_inter"),
+            // est = c · (2^60 div θ): the factored form stays in BIGINT
+            // (c · 2^60 would overflow at c > 7) at ~1/(2^60/θ) relative
+            // precision — spec'd identically in the oracle
+            expr(s"sample_inter * (CAST(${1L << 60} AS BIGINT) div theta)")
+              .as("est_inter"))
+      },
+      s"""WITH ev AS (SELECT event_type, value,
+         |  ${sqlHash60("('tsk|' || event_id::VARCHAR)")} AS h FROM events),
+         |a AS (SELECT DISTINCT h FROM ev WHERE value >= 20.0),
+         |b AS (SELECT DISTINCT h FROM ev
+         |      WHERE event_type IN ('click', 'view', 'signup')),
+         |ka AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk
+         |       FROM a) WHERE rk <= 128),
+         |kb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk
+         |       FROM b) WHERE rk <= 128),
+         |st AS (SELECT (SELECT MAX(h) FROM ka) AS kth_a,
+         |              (SELECT MAX(h) FROM kb) AS kth_b),
+         |st2 AS (SELECT kth_a, kth_b, LEAST(kth_a, kth_b) AS theta FROM st),
+         |smp AS (SELECT COUNT(*)::BIGINT AS sample_inter
+         |        FROM ka JOIN kb USING (h), st2 WHERE ka.h < st2.theta),
+         |ex AS (SELECT (SELECT COUNT(*) FROM a)::BIGINT AS n_a_exact,
+         |       (SELECT COUNT(*) FROM b)::BIGINT AS n_b_exact,
+         |       (SELECT COUNT(*) FROM (SELECT h FROM a INTERSECT SELECT h FROM b))::BIGINT
+         |         AS inter_exact)
+         |SELECT ex.n_a_exact, ex.n_b_exact, ex.inter_exact,
+         |  st2.kth_a AS kth_a, st2.kth_b AS kth_b, st2.theta AS theta,
+         |  smp.sample_inter AS sample_inter,
+         |  smp.sample_inter * (${1L << 60} // st2.theta) AS est_inter
+         |FROM st2, smp, ex""".stripMargin),
+
     // Integer PageRank, 3 rounds, over the bidirected customer↔supplier
     // trade graph (suppliers offset by 10^6). Bidirection makes every
     // node's outdegree >= 1, so the engine's dangling-mass term is
