@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import Q._
+import PipelineQueries.sqlHash60
 
 /** q112: Structured Streaming under the SAME correctness gate as the
   * batch operators — the stream/batch parity promise made concrete.
@@ -422,6 +423,129 @@ object StreamingQueries {
     // keyed on the batch id (at-least-once safe, the q143 idempotency
     // contract). The oracle replays both cumulative sketches (drop 1,
     // drop 1 ∪ drop 2) by ranking distinct hashes in SQL.
+    // q176: BLOOM-GATED streaming dedup — the runtime filter composed
+    // into the stream. The carried state is (a) the exact seen-key set
+    // and (b) a bloom bitset over it, rebuilt incrementally per batch
+    // by the bitset's own merge law (bit_or of word frames). Each batch
+    // probes the bloom FIRST: rows the bloom rejects are provably
+    // unseen (no false negatives) and skip the exact anti-join
+    // entirely; only maybe-seen rows pay it. The bloom changes COST,
+    // never semantics — so the oracle is the plain two-drop first-wins
+    // dedup, and the hash match proves the optimization is invisible.
+    // Emitted rows also carry the per-batch probe accounting
+    // (n_bloom_maybe vs n_in), making the saved exact-join volume
+    // visible in the oracle-checked output.
+    decl("q176_streaming_bloom_dedup",
+      (s, d) => {
+        import graft.operators.{Bloom, Dedup}
+        val m = 1 << 16; val kk = 3
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val base = s"/tmp/graft_q176_$tag"
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val landing = s"$base/landing"
+        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+        val docs = t(s, d, "documents")
+        def dropFrame(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"), md5(col("text")).as("content_md5"))
+          .groupBy("content_md5").agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), col("content_md5"))
+        val drop1 = dropFrame(docs)
+        // drop 2: doc_id%5==0 unchanged re-crawls (must dedup against
+        // STATE through the bloom), %5==1 changed content (must pass)
+        val drop2 = dropFrame(
+          docs.where(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+            .unionByName(docs.where(col("doc_id") % 5 === 1)
+              .select((col("doc_id") + 1000000L).as("doc_id"),
+                concat(col("text"), lit(" fresh")).as("text"))))
+        def processAvailable(): Unit = {
+          val stream = s.readStream.schema("doc_id LONG, content_md5 STRING")
+            .option("maxFilesPerTrigger", "10000").parquet(landing)
+          val q = graft.streaming.StatementStream.foreachBatchSink(
+            stream, s"$base/ck",
+            trigger = Some(Trigger.AvailableNow())) { (batch, bid) =>
+            val sp = batch.sparkSession
+            val seenPath = new org.apache.hadoop.fs.Path(s"$base/seen/v${bid - 1}")
+            val havePrev = bid > 0 && fs.exists(seenPath)
+            val seen =
+              if (havePrev) sp.read.parquet(seenPath.toString)
+              else batch.select(col("content_md5")).limit(0)
+            val in = batch.withColumn("h",
+              Dedup.hash60(concat(lit("sbf|"), col("content_md5"))))
+            val bits = Bloom.buildBits(
+              seen.withColumn("h",
+                Dedup.hash60(concat(lit("sbf|"), col("content_md5"))))
+                .select(col("h")),
+              col("h"), m, kk, "sbf")
+            val probed = Bloom.mightContain(in, col("h"), bits, m, kk, "sbf")
+              .localCheckpoint() // probe once; reused for stats + both branches
+            val counts = probed.agg(count(lit(1)).as("n_in"),
+              sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_maybe"))
+              .head()
+            // bloom-rejected rows are PROVABLY unseen; only maybe-seen
+            // rows pay the exact anti-join against the state table
+            val fresh = probed.where(!col("bloom_pass"))
+              .unionByName(probed.where(col("bloom_pass"))
+                .join(seen, Seq("content_md5"), "left_anti"))
+              .select(col("doc_id"), col("content_md5"))
+              // within-batch keeper (drops are pre-deduped; keep min id
+              // for determinism under re-delivery)
+              .groupBy("content_md5").agg(min("doc_id").as("doc_id"))
+            fresh
+              .withColumn("batch_seq", lit(bid))
+              .withColumn("n_in", lit(counts.getLong(0)))
+              .withColumn("n_bloom_maybe", lit(counts.getLong(1)))
+              .write.mode("overwrite").parquet(s"$base/out/v$bid")
+            seen.select("content_md5")
+              .unionByName(fresh.select("content_md5")).distinct()
+              .write.mode("overwrite").parquet(s"$base/seen/v$bid")
+          }
+          q.awaitTermination()
+        }
+        drop1.write.mode("append").parquet(landing)
+        processAvailable()
+        drop2.write.mode("append").parquet(landing)
+        processAvailable()
+        s.read.parquet(s"$base/out/v*")
+          .select("batch_seq", "doc_id", "content_md5", "n_in", "n_bloom_maybe")
+      },
+      s"""WITH k1 AS (SELECT md5(text) AS h, MIN(doc_id) AS doc_id
+         |           FROM documents GROUP BY 1),
+         |d2 AS (SELECT md5(text) AS h, doc_id + 1000000 AS doc_id
+         |       FROM documents WHERE doc_id % 5 = 0
+         |       UNION ALL
+         |       SELECT md5(text || ' fresh') AS h, doc_id + 1000000 AS doc_id
+         |       FROM documents WHERE doc_id % 5 = 1),
+         |k2 AS (SELECT h, MIN(doc_id) AS doc_id FROM d2 GROUP BY 1),
+         |f2 AS (SELECT k2.h, k2.doc_id FROM k2 LEFT JOIN k1 ON k2.h = k1.h
+         |       WHERE k1.h IS NULL),
+         |-- the bloom accounting: batch-2 probes drop-2's keys against a
+         |-- bitset built from drop-1's keys with the same hash arithmetic
+         |pos1 AS (${(0 until 3).map(j =>
+             s"SELECT ${sqlHash60(s"('sbf$j|' || ${sqlHash60("('sbf|' || h)")}::VARCHAR)")} % 65536 AS p FROM k1")
+             .mkString("\n  UNION ALL ")}),
+         |wrd AS (SELECT p // 32 AS w, bit_or(1::BIGINT << (p % 32)) AS bits
+         |        FROM pos1 GROUP BY 1),
+         |pr AS (SELECT k2.h, ${sqlHash60("('sbf|' || h)")} AS hh FROM k2),
+         |fl AS (SELECT pr.h,
+         |  ${(0 until 3).map(j =>
+             s"COALESCE((w$j.bits & (1::BIGINT << (p$j % 32))) != 0, FALSE)")
+             .mkString(" AND ")} AS pass
+         |  FROM (SELECT h, hh, ${(0 until 3).map(j =>
+             s"${sqlHash60(s"('sbf$j|' || hh::VARCHAR)")} % 65536 AS p$j")
+             .mkString(", ")} FROM pr) pr
+         |  ${(0 until 3).map(j =>
+             s"LEFT JOIN wrd w$j ON p$j // 32 = w$j.w").mkString("\n  ")}),
+         |acc AS (SELECT (SELECT COUNT(*) FROM k2)::BIGINT AS n_in2,
+         |        (SELECT SUM(CASE WHEN pass THEN 1 ELSE 0 END) FROM fl)::BIGINT AS n_maybe2,
+         |        (SELECT COUNT(*) FROM k1)::BIGINT AS n_in1)
+         |SELECT 0::BIGINT AS batch_seq, doc_id, h AS content_md5,
+         |  acc.n_in1 AS n_in, 0::BIGINT AS n_bloom_maybe FROM k1, acc
+         |UNION ALL
+         |SELECT 1::BIGINT, doc_id, h, acc.n_in2, acc.n_maybe2 FROM f2, acc""".stripMargin),
+
     decl("q167_streaming_kmv",
       (s, d) => {
         import graft.operators.Dedup
