@@ -18,10 +18,12 @@ import org.apache.spark.sql.functions._
   *  - embeddings rotate by rep positions — norm and per-replica
   *    neighborhood structure preserved, cross-replica cosine decorrelated
   *    (identical vectors would multiply LSH bucket pair counts by R²);
-  *  - customer names suffix three copies of a replica letter (distance
-  *    ≥ 3 across replicas, same length), so the edit-distance-1 join's
-  *    pair structure repeats per replica instead of every name matching
-  *    its R−1 clones at distance 0;
+  *  - customer names suffix three copies of a distinct replica letter
+  *    (cross-replica distance = 3 between suffixed replicas, 3
+  *    insertions against the unsuffixed rep 0 — never 0 or 1), so the
+  *    edit-distance-1 join's pair structure repeats per replica instead
+  *    of every name matching its R−1 clones at distance 0; reps is
+  *    capped at 27 so the letter stays unique;
   *  - dimension tables (region/nation) stay single-copy, as they would
   *    at any scale.
   *
@@ -32,6 +34,11 @@ object ScaleData {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("target/sfbig")
     val reps = args.lift(2).flatMap(_.toIntOption).getOrElse(5)
+    // the customer-name suffix letter must be unique per replica (rep 0
+    // unsuffixed, reps 1..26 get distinct letters); at 28+ replicas the
+    // %26 wrap would silently reintroduce the distance-0 name clones
+    // the perturbation exists to prevent
+    require(reps >= 1 && reps <= 27, s"reps out of the letter-suffix range: $reps")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

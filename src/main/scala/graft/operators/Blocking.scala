@@ -207,13 +207,17 @@ object Blocking {
     * @return (a, b, dist) with a < b and dist ∈ {0, 1} */
   def editDistanceJoin(names: DataFrame, id: Column, name: Column): DataFrame = {
     val base = names.select(id.as("nid"), name.as("nm"))
-      .where(col("nm").isNotNull && length(col("nm")) > 0)
+      .where(col("nm").isNotNull)
+    // empty names keep their identity key only (sequence(1, 0) would
+    // DESCEND in Spark); "" still meets every 1-char name at the shared
+    // "" deletion key, so the completeness theorem holds for them too
     val keys = base.select(col("nid"), explode(expr(
-        """array_union(array(nm),
+        """CASE WHEN length(nm) = 0 THEN array(nm)
+          |ELSE array_union(array(nm),
           |  transform(sequence(1, length(nm)), i ->
           |    concat(substring(nm, 1, CAST(i AS INT) - 1),
-          |           substring(nm, CAST(i AS INT) + 1, length(nm)))))"""
-          .stripMargin)).as("k"))
+          |           substring(nm, CAST(i AS INT) + 1, length(nm)))))
+          |END""".stripMargin)).as("k"))
     val cands = keys.select(col("nid").as("a"), col("k"))
       .join(keys.select(col("nid").as("b"), col("k")), "k")
       .where(col("a") < col("b")).select("a", "b").distinct()

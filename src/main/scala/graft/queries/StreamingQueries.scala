@@ -481,8 +481,10 @@ object StreamingQueries {
               col("h"), m, kk, "sbf")
             val probed = Bloom.mightContain(in, col("h"), bits, m, kk, "sbf")
               .localCheckpoint() // probe once; reused for stats + both branches
+            // coalesce: sum over an empty re-delivered batch is null
             val counts = probed.agg(count(lit(1)).as("n_in"),
-              sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_maybe"))
+              coalesce(sum(when(col("bloom_pass"), 1L).otherwise(0L)), lit(0L))
+                .as("n_maybe"))
               .head()
             // bloom-rejected rows are PROVABLY unseen; only maybe-seen
             // rows pay the exact anti-join against the state table
@@ -493,6 +495,9 @@ object StreamingQueries {
               // within-batch keeper (drops are pre-deduped; keep min id
               // for determinism under re-delivery)
               .groupBy("content_md5").agg(min("doc_id").as("doc_id"))
+              // both the out/ and seen/ writes read this frame — the
+              // barrier keeps the exact-join from running twice
+              .localCheckpoint()
             fresh
               .withColumn("batch_seq", lit(bid))
               .withColumn("n_in", lit(counts.getLong(0)))

@@ -175,14 +175,14 @@ class CentralitySketchSpec extends SparkSpec {
       (3L, "sparks"), // insertion
       (4L, "spak"), // deletion
       (5L, "sprak"), // transposition -> distance 2, must NOT match 1
-      (6L, "query"), (7L, "spark")) // exact duplicate name -> dist 0
+      (6L, "query"), (7L, "spark"), // exact duplicate name -> dist 0
+      (8L, ""), (9L, "a")) // empty name: dist("", "a") = 1 must be found
       .toDF("id", "n")
     val got = Blocking.editDistanceJoin(names, col("id"), col("n"))
       .as[(Long, Long, Long)].collect().toSet
     assert(got.contains((1L, 2L, 1L)) && got.contains((1L, 3L, 1L)) &&
       got.contains((1L, 4L, 1L)) && got.contains((1L, 7L, 0L)))
-    assert(!got.exists(p => p._1 == 5L || p._2 == 5L && p._1 == 1L) ||
-      !got.contains((1L, 5L, 1L)))
+    assert(!got.exists(p => p._1 == 1L && p._2 == 5L)) // sprak is distance 2 from spark
     // exhaustive: equals in-memory brute force
     val all = names.collect().map(r => r.getLong(0) -> r.getString(1))
     def lev(a: String, b: String): Int = {
