@@ -158,6 +158,88 @@ object GraphSketchQueries {
          |  smp.sample_inter * (${1L << 60} // st2.theta) AS est_inter
          |FROM st2, smp, ex""".stripMargin),
 
+    // Sketch ROLLUP — the lakehouse "sketch column" pattern: build one
+    // per-(event_type, day) KMV table (≤ k rows per cell), then answer
+    // arbitrary day-range distinct-user questions from the SKETCH TABLE
+    // ALONE — k-min(∪ of cells' k-mins) = k-min(∪ of cells) is the KMV
+    // merge law, so re-aggregation never rescans raw events. Three
+    // ranges (full / early half / late half) are estimated from the
+    // same daily table; exact counts from the raw data ride along so
+    // estimate quality is visible. The oracle replays the daily k-min
+    // construction, the per-range re-rank, and the integer estimator.
+    decl("q177_sketch_rollup",
+      (s, d) => {
+        val k = 64
+        val ev = Q.events(s, d)
+          .select(col("event_type"), col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          // metric = distinct active USER-DAYS: genuinely range-dependent
+          // cardinality, so the three ranges produce distinct estimates
+          .select(col("event_type"), col("day"),
+            Dedup.hash60(concat(lit("rkmv|"), col("user_id").cast("string"),
+              lit("|"), col("day").cast("string"))).as("h"))
+        val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+          .select(col("d0"), expr("d0 + (d1 - d0) div 2").as("dm"), col("d1"))
+        val daily = ev.select(col("event_type"), col("day"), col("h")).distinct()
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("event_type", "day").orderBy("h")))
+          .where(col("rk") <= k).select("event_type", "day", "h")
+        def range(tag: String, pred: org.apache.spark.sql.Column) = {
+          val cells = daily.crossJoin(broadcast(bounds)).where(pred)
+          val merged = cells.select(col("event_type"), col("h")).distinct()
+            .withColumn("rk", row_number().over(
+              Window.partitionBy("event_type").orderBy("h")))
+            .where(col("rk") <= k)
+          val sk = merged.groupBy("event_type")
+            .agg(max("h").as("kth"), count(lit(1)).as("n_kept"))
+          val exact = ev.crossJoin(broadcast(bounds)).where(pred)
+            .groupBy("event_type").agg(countDistinct(col("h")).as("exact_distinct"))
+          // estimator factored to stay in BIGINT: (k-1)·2^54 div (kth div 64)
+          // — 63·2^60 would overflow; the 6 dropped low bits of kth are
+          // spec'd identically in the oracle
+          sk.join(exact, "event_type")
+            .select(lit(tag).as("range_tag"), col("event_type"),
+              expr(s"CASE WHEN n_kept < $k THEN CAST(n_kept AS BIGINT) " +
+                s"ELSE CAST(${(k - 1) * ((1L << 60) / 64)} AS BIGINT) div (kth div 64) END")
+                .as("est_distinct"),
+              col("kth").as("kth_hash"), col("n_kept"), col("exact_distinct"))
+        }
+        range("full", col("day") >= col("d0"))
+          .unionByName(range("early", col("day") <= col("dm")))
+          .unionByName(range("late", col("day") > col("dm")))
+      },
+      s"""WITH ev0 AS (SELECT event_type, user_id,
+         |  epoch_ns(ts) // 1000 // 86400000000 AS day FROM events),
+         |ev AS (SELECT event_type, day,
+         |  ${sqlHash60("('rkmv|' || user_id::VARCHAR || '|' || day::VARCHAR)")} AS h
+         |  FROM ev0),
+         |bd AS (SELECT MIN(day) AS d0, MIN(day) + (MAX(day) - MIN(day)) // 2 AS dm,
+         |       MAX(day) AS d1 FROM ev),
+         |daily AS (SELECT event_type, day, h FROM (
+         |  SELECT event_type, day, h,
+         |    row_number() OVER (PARTITION BY event_type, day ORDER BY h) AS rk
+         |  FROM (SELECT DISTINCT event_type, day, h FROM ev))
+         |  WHERE rk <= 64),
+         |${Seq(("full", "day >= bd.d0"), ("early", "day <= bd.dm"),
+               ("late", "day > bd.dm")).map { case (tag, pred) =>
+             s"""m_$tag AS (SELECT event_type, h FROM (
+                |  SELECT event_type, h,
+                |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+                |  FROM (SELECT DISTINCT event_type, h FROM daily, bd WHERE $pred))
+                |  WHERE rk <= 64),
+                |s_$tag AS (SELECT event_type, MAX(h) AS kth, COUNT(*)::BIGINT AS n_kept
+                |  FROM m_$tag GROUP BY 1),
+                |x_$tag AS (SELECT event_type, COUNT(DISTINCT h)::BIGINT AS exact_distinct
+                |  FROM ev, bd WHERE $pred GROUP BY 1),
+                |r_$tag AS (SELECT '$tag' AS range_tag, s_$tag.event_type AS event_type,
+                |  CASE WHEN n_kept < 64 THEN n_kept
+                |       ELSE (${63L * ((1L << 60) / 64)} // (kth // 64)) END AS est_distinct,
+                |  kth AS kth_hash, n_kept, exact_distinct
+                |  FROM s_$tag JOIN x_$tag USING (event_type))""".stripMargin
+           }.mkString(",\n")}
+         |SELECT * FROM r_full UNION ALL SELECT * FROM r_early
+         |UNION ALL SELECT * FROM r_late""".stripMargin),
+
     // Integer PageRank, 3 rounds, over the bidirected customer↔supplier
     // trade graph (suppliers offset by 10^6). Bidirection makes every
     // node's outdegree >= 1, so the engine's dangling-mass term is
