@@ -181,5 +181,81 @@ object LayoutQueries {
          |  SUM(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS n_bloom_pass,
          |  SUM(CASE WHEN m THEN 1 ELSE 0 END)::BIGINT AS n_match,
          |  SUM(CASE WHEN pass AND m THEN 1 ELSE 0 END)::BIGINT AS n_match_after_bloom
-         |FROM mt GROUP BY 1""".stripMargin))
+         |FROM mt GROUP BY 1""".stripMargin),
+
+    // BOTH scan gates in one plan — the deployment shape: a time-range
+    // predicate prunes FILES via the zone map, then the bloom gates
+    // ROWS on a key set (signup users), and only the doubly-surviving
+    // rows pay the exact semi-join. Composed semantics must equal the
+    // plain filter+join — the oracle computes that directly, plus the
+    // accounting of both gates (files scanned, bloom passes, exact
+    // matches), so each pruning layer's effect is hash-checked.
+    decl("q178_composed_scan_gates",
+      (s, d) => {
+        val m = 65536; val kk = 3
+        val ev = Q.events(s, d)
+          .select(col("event_id"), col("event_type"), col("user_id"),
+            unix_micros(col("ts")).as("tsu"))
+          .withColumn("file_id", expr("event_id div 250"))
+        val zm = Layout.zoneMap(ev, col("file_id"), Seq("tsu" -> col("tsu")))
+        val bounds = ev.agg(min("tsu").as("_tlo"), max("tsu").as("_thi"))
+          .select(expr("_tlo + ((_thi - _tlo) * 7) div 10").as("lo"),
+            expr("_thi").as("hi"))
+        val cands = Layout.candidateFiles(
+          zm.crossJoin(broadcast(bounds)), "tsu", col("lo"), col("hi"))
+        // a SELECTIVE key set (the synthetic corpus has few users and
+        // every one signs up — the %7 slice keeps the gate meaningful)
+        val signup = ev.where(col("event_type") === "signup" &&
+            col("user_id") % 7 === 0)
+          .select(col("user_id")).distinct()
+        val bits = Bloom.buildBits(signup, col("user_id"), m, kk, "cg")
+        val pruned = Layout.skipScan(
+            ev.drop("file_id").crossJoin(broadcast(bounds)),
+            expr("event_id div 250"), cands,
+            col("tsu") >= col("lo") && col("tsu") <= col("hi"))
+        val gated = Bloom.mightContain(pruned, col("user_id"), bits, m, kk, "cg")
+        val exact = gated.where(col("bloom_pass"))
+          .join(signup.withColumnRenamed("user_id", "__su"),
+            col("user_id") === col("__su"), "left_semi")
+        val filesScanned = cands.agg(count(lit(1)).as("files_scanned"))
+        val bloomPassed = gated.agg(
+          sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_bloom_pass"),
+          count(lit(1)).as("n_in_range"))
+        exact.groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"))
+          .crossJoin(broadcast(filesScanned))
+          .crossJoin(broadcast(bloomPassed))
+      },
+      s"""WITH ev AS (SELECT event_id, event_type, user_id,
+         |  epoch_ns(ts) // 1000 AS tsu, event_id // 250 AS file_id FROM events),
+         |bounds AS (SELECT MIN(tsu) + ((MAX(tsu) - MIN(tsu)) * 7) // 10 AS lo,
+         |           MAX(tsu) AS hi FROM ev),
+         |zm AS (SELECT file_id, MIN(tsu) AS mn, MAX(tsu) AS mx FROM ev GROUP BY 1),
+         |cand AS (SELECT file_id FROM zm, bounds WHERE mx >= lo AND mn <= hi),
+         |su AS (SELECT DISTINCT user_id FROM ev
+         |       WHERE event_type = 'signup' AND user_id % 7 = 0),
+         |pos AS (${(0 until 3).map(j =>
+             s"SELECT ${sqlHash60(s"('cg$j|' || user_id::VARCHAR)")} % 65536 AS p FROM su")
+             .mkString("\n  UNION ALL ")}),
+         |wrd AS (SELECT p // 32 AS w, bit_or(1::BIGINT << (p % 32)) AS bits
+         |        FROM pos GROUP BY 1),
+         |pruned AS (SELECT e.* FROM ev e JOIN cand USING (file_id), bounds
+         |           WHERE e.tsu BETWEEN lo AND hi),
+         |fl AS (SELECT pruned.*,
+         |  ${(0 until 3).map(j =>
+             s"COALESCE((w$j.bits & (1::BIGINT << (p$j % 32))) != 0, FALSE)")
+             .mkString(" AND ")} AS pass
+         |  FROM (SELECT *, ${(0 until 3).map(j =>
+             s"${sqlHash60(s"('cg$j|' || user_id::VARCHAR)")} % 65536 AS p$j")
+             .mkString(", ")} FROM pruned) pruned
+         |  ${(0 until 3).map(j =>
+             s"LEFT JOIN wrd w$j ON p$j // 32 = w$j.w").mkString("\n  ")}),
+         |acc AS (SELECT (SELECT COUNT(*) FROM cand)::BIGINT AS files_scanned,
+         |        (SELECT SUM(CASE WHEN pass THEN 1 ELSE 0 END) FROM fl)::BIGINT AS n_bloom_pass,
+         |        (SELECT COUNT(*) FROM fl)::BIGINT AS n_in_range)
+         |SELECT fl.event_type AS event_type, COUNT(*)::BIGINT AS n_rows,
+         |  acc.files_scanned, acc.n_bloom_pass, acc.n_in_range
+         |FROM fl JOIN su USING (user_id), acc
+         |WHERE fl.pass
+         |GROUP BY 1, 3, 4, 5""".stripMargin))
 }
