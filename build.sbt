@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify tail-parse protocol: the driver parses the LAST stdout
+// line of `sbt "runMain graft.Bench"` as JSON. Two sbt behaviors broke
+// that in rounds 6-8: the logger prefixes forked output with "[info] ",
+// and sbt appends "[success] Total time..." after the task. Route the
+// forked JVM's stdout/stderr straight through (no prefix) and suppress
+// the success banner so the bare compact-summary JSON is the final line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

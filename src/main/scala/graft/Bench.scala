@@ -48,6 +48,27 @@ object Bench {
 
     val sc = spark.sparkContext
 
+    // Memory-envelope evidence (round-9): max single-task execution
+    // memory + total shuffle/agg spill per query, from the task-metrics
+    // listener. Peak TASK memory is the per-executor envelope that must
+    // fit at any cluster size — the number that proves sketch/layout
+    // state is O(k)/O(files) rather than O(rows). Listener events are
+    // async (values are task-granular and a hair racy at query
+    // boundaries); good to the ~MB the envelope argument needs.
+    val peakTaskMem = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spilledBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          peakTaskMem.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+          spilledBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        }
+      }
+    })
+    def resetMem(): Unit = { peakTaskMem.set(0L); spilledBytes.set(0L) }
+    def memMb(v: Long): Double = v / 1048576.0
+
     // One timed, capped execution of `body`. Returns (wall, capped).
     def timedCapped(name: String, body: () => Unit): (Double, Boolean) = {
       val group = s"bench-$name-${System.nanoTime()}"
@@ -96,6 +117,7 @@ object Bench {
     val results = SparkEntry.allDecls
       .filter(d => only.isEmpty || only(d.name))
       .map { d =>
+      resetMem()
       val times = (1 to runs).map { _ =>
         // Materialize via the noop sink: every output column is computed
         // and serialized, so projection-only queries (hashes, regexes,
@@ -107,13 +129,18 @@ object Bench {
         wall
       }
       val best = times.min
+      // envelope over ALL runs of this query (max peak, summed spill)
+      val (pk, sp) = (memMb(peakTaskMem.get()), memMb(spilledBytes.get()))
       // stream the wall immediately: a killed run keeps every line so far
       System.err.println(
-        f"""[bench-wall] {"query":"${d.name}","sec":$best%.3f,"capped":${capped.contains(d.name)}}""")
-      (d.name, best)
+        f"""[bench-wall] {"query":"${d.name}","sec":$best%.3f,"capped":${capped.contains(d.name)},"peak_task_mem_mb":$pk%.1f,"spilled_mb":$sp%.1f}""")
+      (d.name, best, pk, sp)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val memJson = results.map { case (k, _, pk, sp) =>
+      "\"" + k + "\":" + f"""{"peak_task_mem_mb":$pk%.1f,"spilled_mb":$sp%.1f}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
     // Scaling-trend evidence: re-time the ten most expensive queries at
@@ -148,7 +175,7 @@ object Bench {
         spark.catalog.clearCache()
         System.gc()
         spark.read.parquet(s"$scalingDir/nation.parquet").count()
-        val top = results.sortBy(-_._2).take(10)
+        val top = results.sortBy(-_._2).take(10).map(r => (r._1, r._2))
         flaggedNames.clear()
         val rows = top.map { case (name, tInsuite) =>
           val decl = SparkEntry.allDecls.find(_.name == name).get
@@ -156,30 +183,33 @@ object Bench {
           // a capped re-time recorded as a clean wall would silently
           // UNDERSTATE the exponent and dodge the flag — the exact
           // class of misleading scaling evidence this block exists to
-          // prevent, so a capped row is always flagged and labeled
-          def retime(dir: String): (Double, Boolean) = {
+          // prevent, so a capped row is always flagged and labeled.
+          // Peak task memory is captured per scale: a flat peak across
+          // the data ratio is the O(state)-not-O(rows) evidence.
+          def retime(dir: String): (Double, Boolean, Double) = {
+            resetMem()
             val rs = (1 to runs).map { _ =>
               timedCapped(s"$name-scaling",
                 () => decl.fn(spark, dir).write.format("noop").mode("overwrite").save())
             }
-            (rs.map(_._1).min, rs.forall(_._2))
+            (rs.map(_._1).min, rs.forall(_._2), memMb(peakTaskMem.get()))
           }
-          val (tLarge, capLarge) = retime(sfDir)
-          val (tSmall, capSmall) = retime(scalingDir)
+          val (tLarge, capLarge, pkLarge) = retime(sfDir)
+          val (tSmall, capSmall, pkSmall) = retime(scalingDir)
           val retimeCapped = capLarge || capSmall
           val ratio = tLarge / tSmall
           val expo = math.log(ratio) / math.log(dataRatio)
           val flagged = ratio > 1.3 * dataRatio || retimeCapped
           if (flagged) flaggedNames += name
           "\"" + name + "\":" +
-            f"""{"t_small":$tSmall%.3f,"t_large":$tLarge%.3f,"t_insuite":$tInsuite%.3f,"ratio":$ratio%.2f,"exponent":$expo%.2f,"retime_capped":$retimeCapped,"flagged":$flagged}"""
+            f"""{"t_small":$tSmall%.3f,"t_large":$tLarge%.3f,"t_insuite":$tInsuite%.3f,"ratio":$ratio%.2f,"exponent":$expo%.2f,"peak_mem_small_mb":$pkSmall%.1f,"peak_mem_large_mb":$pkLarge%.1f,"retime_capped":$retimeCapped,"flagged":$flagged}"""
         }
         s"""{"small_sf_dir":"$scalingDir","data_ratio":$dataRatio,""" +
           s""""note":"t_large/t_small are fresh post-GC re-times (t_insuite = contaminated suite wall); small-scale walls include fixed per-query overhead so ratios understate the data exponent","queries":${rows.mkString("{", ",", "}")}}"""
       }
 
     val cappedJson = capped.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir","cap_sec":$capSec,"capped":$cappedJson,"scaling":$scalingJson}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"memory":$memJson,"runs":$runs,"sf":"$sfDir","cap_sec":$capSec,"capped":$cappedJson,"scaling":$scalingJson}"""
     println(json)
     // Durability: the full summary (125+ queries + scaling block, ~4 KB)
     // outgrows a harness's log-tail capture (round 6 stored only a
