@@ -44,17 +44,29 @@ object Bloom {
 
   /** Add a `bloom_pass` flag: true iff all k positions of `key` are set
     * in `bits`. k broadcast left joins against the m/32-row bitset —
-    * the probe side stays shuffle-free and fully codegen'd. */
+    * the probe side stays shuffle-free and fully codegen'd.
+    *
+    * `bloom_pass` is a RESERVED output name; the k working columns are
+    * salt-namespaced (`__bf<h>_{p,w,b}<j>`) so a probe frame carrying
+    * generic `__p0`-style names cannot collide. A probe that already
+    * carries any reserved name fails loudly here instead of producing
+    * an ambiguous-column error (or a silent drop) downstream. */
   def mightContain(probe: DataFrame, key: Column, bits: DataFrame,
       m: Int, k: Int, salt: String): DataFrame = {
+    val pfx = s"__bf${(salt.hashCode & Int.MaxValue) % 100000}_"
+    val reserved = "bloom_pass" +:
+      (0 until k).flatMap(j => Seq(s"${pfx}p$j", s"${pfx}w$j", s"${pfx}b$j"))
+    val clash = probe.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"probe frame already carries reserved bloom column(s): ${clash.mkString(", ")}")
     var df = probe
     val hits = (0 until k).map { j =>
-      val b = bits.select(col("word_idx").as(s"__w$j"), col("bits").as(s"__b$j"))
-      df = df.withColumn(s"__p$j", pos(key, j, m, salt))
-        .join(broadcast(b), expr(s"__p$j div 32") === col(s"__w$j"), "left")
-      expr(s"coalesce((__b$j & shiftleft(CAST(1 AS BIGINT), CAST(__p$j % 32 AS INT))) != 0, false)")
+      val b = bits.select(col("word_idx").as(s"${pfx}w$j"), col("bits").as(s"${pfx}b$j"))
+      df = df.withColumn(s"${pfx}p$j", pos(key, j, m, salt))
+        .join(broadcast(b), expr(s"${pfx}p$j div 32") === col(s"${pfx}w$j"), "left")
+      expr(s"coalesce((${pfx}b$j & shiftleft(CAST(1 AS BIGINT), CAST(${pfx}p$j % 32 AS INT))) != 0, false)")
     }
     df.withColumn("bloom_pass", hits.reduce(_ && _))
-      .drop((0 until k).flatMap(j => Seq(s"__p$j", s"__w$j", s"__b$j")): _*)
+      .drop((0 until k).flatMap(j => Seq(s"${pfx}p$j", s"${pfx}w$j", s"${pfx}b$j")): _*)
   }
 }

@@ -33,6 +33,13 @@ object Centrality {
     * @return (node, outdeg, rank) with rank in scale⁻¹ units */
   def pageRank(edges: DataFrame, rounds: Int,
       scale: Long = 1000000000000L): DataFrame = {
+    // Integer-arithmetic contract: the teleport term is `15 * scale / 100`
+    // (exact only when 100 | scale) and per-round contributions compute
+    // `85 * rank` with rank ≤ scale, so scale must stay below
+    // Long.MaxValue/100 to be overflow-free and divisible by 100 to keep
+    // the 85/15 split exact. The 1e12 default satisfies both.
+    require(scale > 0 && scale % 100 == 0 && scale <= Long.MaxValue / 100,
+      s"pageRank scale must be positive, divisible by 100, and <= ${Long.MaxValue / 100}: $scale")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).persist()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -95,7 +102,6 @@ object Centrality {
       .union(und.select(col("b").as("s"), col("a").as("t"))).persist()
     var alive = both.select(col("s").as("node")).distinct()
       .withColumn("removed_round", lit(0L)).localCheckpoint()
-    var removedLast = true
     for (r <- 1 to rounds) {
       val aliveSet = alive.where(col("removed_round") === 0L).select("node")
       val deg = both
@@ -111,9 +117,15 @@ object Centrality {
           when(col("removed_round") === 0L && col("rr").isNotNull, col("rr"))
             .otherwise(col("removed_round")).as("removed_round"))
         .localCheckpoint()
-      removedLast = alive.where(col("removed_round") === r.toLong).limit(1)
-        .count() > 0
     }
+    // Convergence = the FINAL round removed nothing; earlier rounds never
+    // feed the flag, so probing per round (as before round 9) was one
+    // wasted driver action per peel round. One probe on the final
+    // checkpointed frame is enough. rounds == 0 keeps the conservative
+    // "not converged" answer (no peel was attempted).
+    val removedLast = rounds > 0 &&
+      alive.where(col("removed_round") === rounds.toLong).limit(1).count() > 0
+    val converged = rounds > 0 && !removedLast
     val survivors = alive.where(col("removed_round") === 0L).select("node")
     val finalDeg = both
       .join(survivors.withColumnRenamed("node", "s"), "s")
@@ -123,7 +135,7 @@ object Centrality {
       .join(finalDeg, Seq("node"), "left")
       .select(col("node"), col("removed_round"),
         coalesce(col("deg"), lit(0L)).as("final_deg"),
-        lit(!removedLast).as("converged"))
+        lit(converged).as("converged"))
       // eager barrier so the edge caches release before returning
       .localCheckpoint()
     und.unpersist(blocking = false)

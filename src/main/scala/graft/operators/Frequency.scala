@@ -30,19 +30,30 @@ object Frequency {
 
   /** Estimate each probe key's frequency: d broadcast joins against the
     * d·w-row counter frame, estimate = min over rows (absent counter =
-    * 0). Probe side stays shuffle-free. */
+    * 0). Probe side stays shuffle-free.
+    *
+    * `est_cnt` is a RESERVED output name; working columns are
+    * salt-namespaced (`__cm<h>_{p,q,c}<j>`) so generic probe column
+    * names cannot collide, and any reserved-name clash fails loudly
+    * here rather than as an ambiguous column downstream. */
   def cmEstimate(probe: DataFrame, key: Column, cm: DataFrame, w: Int,
       d: Int, salt: String): DataFrame = {
+    val pfx = s"__cm${(salt.hashCode & Int.MaxValue) % 100000}_"
+    val reserved = "est_cnt" +:
+      (0 until d).flatMap(j => Seq(s"${pfx}p$j", s"${pfx}q$j", s"${pfx}c$j"))
+    val clash = probe.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"probe frame already carries reserved count-min column(s): ${clash.mkString(", ")}")
     var df = probe
     val ests = (0 until d).map { j =>
       val c = cm.where(col("r") === j)
-        .select(col("p").as(s"__q$j"), col("cnt").as(s"__c$j"))
-      df = df.withColumn(s"__p$j", pos(key, j, w, salt))
-        .join(broadcast(c), col(s"__p$j") === col(s"__q$j"), "left")
-      coalesce(col(s"__c$j"), lit(0L))
+        .select(col("p").as(s"${pfx}q$j"), col("cnt").as(s"${pfx}c$j"))
+      df = df.withColumn(s"${pfx}p$j", pos(key, j, w, salt))
+        .join(broadcast(c), col(s"${pfx}p$j") === col(s"${pfx}q$j"), "left")
+      coalesce(col(s"${pfx}c$j"), lit(0L))
     }
     // least() needs two args — a d=1 sketch's estimate IS its only row
     df.withColumn("est_cnt", if (ests.size == 1) ests.head else least(ests: _*))
-      .drop((0 until d).flatMap(j => Seq(s"__p$j", s"__q$j", s"__c$j")): _*)
+      .drop((0 until d).flatMap(j => Seq(s"${pfx}p$j", s"${pfx}q$j", s"${pfx}c$j")): _*)
   }
 }

@@ -83,9 +83,26 @@ object Layout {
   def zorderReport(df: DataFrame, xRaw: Column, yRaw: Column,
       bits: Int, filesLog2: Int): DataFrame = {
     require(2 * bits <= 62 && filesLog2 <= 2 * bits)
+    // Input-domain contract: the bucket expression multiplies the
+    // centered value by 2^bits BEFORE dividing, so a dimension whose
+    // raw range exceeds Long.MaxValue >> bits (epoch-nanos, raw hashes)
+    // would overflow BIGINT and silently scramble file assignment.
+    // Bounds are data-derived, so the guard is evaluated in-plan on the
+    // 1-row bounds aggregate: assert_true raises before any bucket is
+    // computed. Pre-bucket such columns (e.g. v div 2^k) to narrow them.
+    // The guard is folded into the lo bounds themselves (not a separate
+    // droppable column, which Catalyst would prune away unevaluated):
+    // any bucket computation forces the CASE, which raises on overflow.
+    val lim = Long.MaxValue >> bits
+    def guarded(lo: String, hi: String): Column =
+      when(col(hi) - col(lo) < lim, col(lo))
+        .otherwise(raise_error(lit(
+          s"zorderReport: dimension range must be < $lim (Long.MaxValue >> bits=$bits); pre-bucket wide domains")).cast("long"))
     val bounds = df.agg(
-      min(xRaw).as("_xlo"), max(xRaw).as("_xhi"),
-      min(yRaw).as("_ylo"), max(yRaw).as("_yhi"))
+        min(xRaw).as("_xlo_raw"), max(xRaw).as("_xhi"),
+        min(yRaw).as("_ylo_raw"), max(yRaw).as("_yhi"))
+      .select(guarded("_xlo_raw", "_xhi").as("_xlo"), col("_xhi"),
+        guarded("_ylo_raw", "_yhi").as("_ylo"), col("_yhi"))
     val b = df.withColumn("_xv", xRaw).withColumn("_yv", yRaw)
       .crossJoin(broadcast(bounds))
     // integer equi-width bucket: (v - lo) * 2^bits div (hi - lo + 1)
