@@ -661,9 +661,12 @@ object Similarity {
   }
 
   /** Deterministic k-means seeding for [[kmeansCentroids]]: the k
-    * corpus vectors with the smallest `xxhash64(id)` — a uniform
-    * pseudo-random draw that is a pure function of the ids (stable
-    * under re-partitioning and corpus append order). k defaults to the
+    * corpus vectors with the smallest portable 60-bit hash of the id —
+    * a uniform pseudo-random draw that is a pure function of the ids
+    * (stable under re-partitioning and corpus append order) AND
+    * bit-for-bit replayable by any md5-capable SQL engine
+    * (Dedup.hash60 ↔ the oracle's sqlHash60 — xxhash64 would be
+    * Spark-only, q181 hash-checks the seed pick). k defaults to the
     * √n rule. Ordered by hash then id, so ties are impossible to
     * mis-seed. Returns (centroid_id 0..k-1, cvec). */
   def seedCentroids(corpus: DataFrame, k: Int): DataFrame = {
@@ -671,7 +674,7 @@ object Similarity {
     val v = corpus.toDF("id", "vec")
     val picked = v
       .select(col("id"), asDouble(col("vec")).as("cvec"),
-        xxhash64(col("id")).as("h"))
+        Dedup.hash60(col("id").cast("string")).as("h"))
       .orderBy(col("h"), col("id"))
       .limit(k)
     // stable dense ids 0..k-1 in hash order; k is small (≈√n) so the

@@ -1448,6 +1448,181 @@ object PipelineQueries {
            |JOIN rep r ON c.component = r.component AND r.rn = 1""".stripMargin
       }),
 
+    // q116's pipeline through the PRODUCTION entry point: planes come
+    // from Similarity.planesFor(n) instead of the pinned 4 — the sizing
+    // rule the round-8 stress A/B promoted to code, now oracle-gated.
+    // The oracle bakes the SIZED plane count (computed from the same
+    // Scala constant at SQL-generation time, exactly like a pinned
+    // knob would be), so the oracle-shaped plan and the
+    // production-shaped plan are now the same plan.
+    decl("q180_semantic_dedup_auto",
+      (s, d) => {
+        val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val pl1 = base.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => x + when(i % 2 === 0, lit(0.002)).otherwise(lit(-0.002)))
+              .as("embedding"))
+        val pl2 = base.filter(col("vec_id") % 100 === 0)
+          .select((col("vec_id") + 2000000L).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => x + when(i % 3 === 0, lit(0.003)).otherwise(lit(-0.001)))
+              .as("embedding"))
+        val corpus = base.unionByName(pl1).unionByName(pl2)
+        val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        val weights = docs
+          .unionByName(docs.filter(col("doc_id") % 50 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              (col("n_chars") + expr("doc_id div 50 % 5 - 2")).as("n_chars")))
+          .unionByName(docs.filter(col("doc_id") % 100 === 0)
+            .select((col("doc_id") + 2000000L).as("doc_id"),
+              (col("n_chars") - 1).as("n_chars")))
+        Similarity.semanticDedupAuto(corpus, weights,
+          dim = 64, threshold = 0.8, targetBucketSize = 128, tables = 8)
+      },
+      {
+        // sf0.01 fixture corpus: 500 base + 500/50 + 500/100 planted
+        // overlays = 515 vectors → planesFor sizes the tables; the SQL
+        // bakes the sized literal the same way q116 bakes its pinned 4
+        val autoPlanes = Similarity.planesFor(515L, 128)
+        val mtTables = (0 until 8).map { tbl =>
+          val bits = (0 until autoPlanes).map { p =>
+            val abs = tbl * autoPlanes + p
+            val plane = (0 until 64)
+              .map(dd => if (Similarity.planeSign(abs, dd) > 0) "1.0" else "-1.0")
+              .mkString("[", ",", "]")
+            s"(CASE WHEN list_inner_product(v, $plane::DOUBLE[]) > 0 THEN ${1L << p} ELSE 0 END)"
+          }.mkString(" + ")
+          s"SELECT vec_id, v, $tbl AS tbl, $bits AS bits FROM e"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH RECURSIVE eb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |pl1 AS (
+           |  SELECT vec_id + 1000000 AS vec_id,
+           |    list_transform(generate_series(1, 64),
+           |      i -> v[i] + (CASE WHEN (i - 1) % 2 = 0
+           |                   THEN 0.002::DOUBLE ELSE -0.002::DOUBLE END)) AS v
+           |  FROM eb WHERE vec_id % 50 = 0),
+           |pl2 AS (
+           |  SELECT vec_id + 2000000 AS vec_id,
+           |    list_transform(generate_series(1, 64),
+           |      i -> v[i] + (CASE WHEN (i - 1) % 3 = 0
+           |                   THEN 0.003::DOUBLE ELSE -0.001::DOUBLE END)) AS v
+           |  FROM eb WHERE vec_id % 100 = 0),
+           |e AS (SELECT * FROM eb UNION ALL SELECT * FROM pl1
+           |  UNION ALL SELECT * FROM pl2),
+           |wts AS (
+           |  SELECT doc_id, n_chars FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, n_chars + doc_id // 50 % 5 - 2
+           |  FROM documents WHERE doc_id % 50 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 2000000, n_chars - 1
+           |  FROM documents WHERE doc_id % 100 = 0),
+           |mtb AS (
+           |  $mtTables),
+           |cand AS (
+           |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+           |  FROM mtb l JOIN mtb r ON l.tbl = r.tbl AND l.bits = r.bits
+           |  WHERE l.vec_id < r.vec_id),
+           |pairs AS (
+           |  SELECT a, b FROM cand
+           |  JOIN e ea ON cand.a = ea.vec_id
+           |  JOIN e eb2 ON cand.b = eb2.vec_id
+           |  WHERE list_cosine_similarity(ea.v, eb2.v) >= 0.8),
+           |sym AS (SELECT a AS x, b AS y FROM pairs
+           |  UNION SELECT b, a FROM pairs),
+           |reach(id, m) AS (
+           |  SELECT vec_id, vec_id FROM e
+           |  UNION
+           |  SELECT r.id, s.y FROM reach r JOIN sym s ON r.m = s.x),
+           |comp AS (SELECT id, MIN(m) AS component FROM reach GROUP BY id),
+           |wt AS (SELECT c.id, c.component, w.n_chars
+           |  FROM comp c LEFT JOIN wts w ON c.id = w.doc_id),
+           |rep AS (SELECT component, id,
+           |    row_number() OVER (PARTITION BY component
+           |      ORDER BY n_chars DESC NULLS LAST, id ASC) AS rn
+           |  FROM wt)
+           |SELECT c.component, r.id AS kept_id, c.n_members
+           |FROM (SELECT component, COUNT(*)::BIGINT AS n_members
+           |      FROM comp GROUP BY component) c
+           |JOIN rep r ON c.component = r.component AND r.rn = 1""".stripMargin
+      }),
+
+    // q93's IVF through the PRODUCTION sizing: k = kFor(n) ≈ √n
+    // centroids seeded by Similarity.seedCentroids (smallest portable
+    // hash60 of the id — exactly replayed by the oracle's sqlHash60,
+    // which is WHY seedCentroids uses hash60 and not xxhash64), then
+    // the same two unrolled Lloyd rounds and nprobe=2 probing as q93.
+    // Retires the STRESS_r08 k∝n flag on the oracle-gated path: the
+    // centroid count no longer grows with the corpus.
+    decl("q181_ann_ivf_auto",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val corpus = e.select(col("vec_id"), col("embedding"))
+        val seed = Similarity.seedCentroids(corpus, Similarity.kFor(500L))
+        val trained = Similarity.kmeansCentroids(corpus, seed, dim = 64,
+          maxIterations = 2, earlyStop = false)
+        Similarity.ivfTopK(
+          e.filter(col("vec_id") % 100 === 0).select(col("vec_id"), col("embedding")),
+          corpus, trained, k = 10, nprobe = 2)
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+      },
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |hs AS (SELECT vec_id, v, ${sqlHash60("vec_id::VARCHAR")} AS h FROM e),
+        |c0 AS (SELECT centroid_id, cvec FROM (
+        |  SELECT row_number() OVER (ORDER BY h, vec_id)::BIGINT - 1 AS centroid_id,
+        |         v AS cvec FROM hs)
+        |  WHERE centroid_id < ${Similarity.kFor(500L)}),
+        |a1 AS (
+        |  SELECT id, vec, centroid_id FROM (
+        |    SELECT e.vec_id AS id, e.v AS vec, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.centroid_id) AS crank
+        |    FROM e CROSS JOIN c0 c)
+        |  WHERE crank = 1),
+        |c1 AS (
+        |  SELECT centroid_id,
+        |    list_transform(generate_series(1, 64),
+        |      d -> list_reduce(list_transform(vs, x -> x[d]),
+        |             (acc, x) -> acc + x) / len(vs)) AS cvec
+        |  FROM (SELECT centroid_id, list(vec ORDER BY id) AS vs
+        |        FROM a1 GROUP BY centroid_id)),
+        |a2 AS (
+        |  SELECT id, vec, centroid_id FROM (
+        |    SELECT e.vec_id AS id, e.v AS vec, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.centroid_id) AS crank
+        |    FROM e CROSS JOIN c1 c)
+        |  WHERE crank = 1),
+        |c2 AS (
+        |  SELECT centroid_id,
+        |    list_transform(generate_series(1, 64),
+        |      d -> list_reduce(list_transform(vs, x -> x[d]),
+        |             (acc, x) -> acc + x) / len(vs)) AS cvec
+        |  FROM (SELECT centroid_id, list(vec ORDER BY id) AS vs
+        |        FROM a2 GROUP BY centroid_id)),
+        |assigned AS (
+        |  SELECT neighbor_id, nv, centroid_id FROM (
+        |    SELECT e.vec_id AS neighbor_id, e.v AS nv, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.centroid_id) AS crank
+        |    FROM e CROSS JOIN c2 c)
+        |  WHERE crank = 1),
+        |probes AS (
+        |  SELECT query_id, qv, centroid_id FROM (
+        |    SELECT e.vec_id AS query_id, e.v AS qv, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.centroid_id) AS prank
+        |    FROM e CROSS JOIN c2 c WHERE e.vec_id % 100 = 0)
+        |  WHERE prank <= 2)
+        |SELECT query_id, neighbor_id, rnk FROM (
+        |  SELECT p.query_id, a.neighbor_id,
+        |    row_number() OVER (PARTITION BY p.query_id
+        |      ORDER BY list_cosine_similarity(p.qv, a.nv) DESC, a.neighbor_id) AS rnk
+        |  FROM probes p JOIN assigned a USING (centroid_id)
+        |  WHERE p.query_id != a.neighbor_id)
+        |WHERE rnk <= 10""".stripMargin),
+
     // Paragraph-level exact dedup across the corpus (C4/RefinedWeb
     // cleaning): 3-word chunks, first corpus-wide occurrence wins,
     // documents reassembled from surviving chunks. First-occurrence

@@ -83,8 +83,10 @@ object SelectionQueries {
          |${viterbiSteps(16, 6, 60000000L, 4611686018427387L)},
          |dp AS (SELECT c, acc[len(c) + 1] AS state FROM b16)
          |SELECT cs.doc_id AS doc_id, COUNT(*)::BIGINT AS n_units,
-         |  SUM(dp.state % 1024)::BIGINT AS n_pieces,
-         |  SUM(dp.state // 1024)::BIGINT AS total_cost
+         |  SUM(CASE WHEN len(dp.c) > 16 THEN len(dp.c)::BIGINT
+         |      ELSE dp.state % 1024 END)::BIGINT AS n_pieces,
+         |  SUM(CASE WHEN len(dp.c) > 16 THEN len(dp.c)::BIGINT * 60000000
+         |      ELSE dp.state // 1024 END)::BIGINT AS total_cost
          |FROM cs JOIN dp ON cs.c = dp.c GROUP BY 1""".stripMargin)
 
   /** Shared BM25 oracle chain (WITH w … sc) — q133 ranks it directly,
@@ -370,5 +372,89 @@ object SelectionQueries {
         |         ON lex.qid = sem.qid AND lex.doc_id = sem.doc_id)
         |SELECT qid, doc_id, r_lex, r_sem, rrf, rank_fused FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id)::BIGINT AS rank_fused
-        |  FROM fu) WHERE rank_fused <= 5""".stripMargin)) :+ unigramDecl
+        |  FROM fu) WHERE rank_fused <= 5""".stripMargin),
+
+    // RRF over the SCALE-SAFE semantic arm: identical fusion arithmetic
+    // to q169, but the semantic ranker is the multi-table sign-LSH ANN
+    // (4 tables × 6 disjoint hyperplanes — candidates are equi-join
+    // collisions, ~4/64 of the corpus per query) instead of q169's
+    // brute-force all-pairs cosine. This is the production RAG shape:
+    // candidate volume scales with bucket sizes, not |queries|×|corpus|,
+    // so the fused plan survives the 100× scale-up where q169's exact
+    // arm (kept as the recall baseline) is n²/37. The oracle replays
+    // the plane arithmetic exactly (q107's CTE) so approximation is
+    // oracle-locked, not asserted.
+    decl("q179_rrf_fusion_ann",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val qs = docs.where(col("doc_id") % 37 === 3)
+          .select(col("doc_id").as("qid"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("qt"))
+        val lex = Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
+            qs, col("qid"), col("qt"), n = 3, k = 10)
+          .select(col("qid"), col("doc_id"), col("rank").as("r_lex"))
+        val e = t(s, d, "embeddings")
+        val sem = Similarity.cosineTopKLshTables(
+            e.where(col("vec_id") % 37 === 3).select(col("vec_id"), col("embedding")),
+            e.select(col("vec_id"), col("embedding")),
+            k = 10, dim = 64, planes = 6, tables = 4)
+          .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"),
+            col("rank").as("r_sem"))
+        val fused = lex.join(sem, Seq("qid", "doc_id"), "full_outer")
+          .withColumn("rrf",
+            (coalesce(lit(1.0) / (lit(60L) + col("r_lex")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60L) + col("r_sem")), lit(0.0)))
+              .cast("decimal(12,8)").cast("double"))
+          .withColumn("rank_fused", row_number().over(
+            Window.partitionBy("qid").orderBy(col("rrf").desc, col("doc_id")))
+            .cast("long"))
+          .where(col("rank_fused") <= 5)
+        fused.select(col("qid"), col("doc_id"),
+          coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+          coalesce(col("r_sem"), lit(0L)).as("r_sem"),
+          col("rrf"), col("rank_fused"))
+      },
+      {
+        // the multi-table signature CTE mirrors Similarity
+        // .tableBucketsCol bit-for-bit (q107's oracle pattern)
+        val mtTables = (0 until 4).map { tbl =>
+          val bits = (0 until 6).map { p =>
+            val abs = tbl * 6 + p
+            val plane = (0 until 64)
+              .map(dd => if (Similarity.planeSign(abs, dd) > 0) "1.0" else "-1.0")
+              .mkString("[", ",", "]")
+            s"(CASE WHEN list_inner_product(v, $plane::DOUBLE[]) > 0 THEN ${1L << p} ELSE 0 END)"
+          }.mkString(" + ")
+          s"SELECT vec_id, v, $tbl AS tbl, $bits AS bits FROM e"
+        }.mkString("\n  UNION ALL\n  ")
+        bm25Ctes + s""",
+          |lex AS (SELECT qid, doc_id, rank AS r_lex FROM (
+          |  SELECT qid, doc_id,
+          |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::BIGINT AS rank
+          |  FROM sc) WHERE rank <= 10),
+          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |mtb AS (
+          |  $mtTables),
+          |cand AS (
+          |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+          |  FROM mtb q JOIN mtb c ON q.tbl = c.tbl AND q.bits = c.bits
+          |  WHERE q.vec_id % 37 = 3 AND q.vec_id != c.vec_id),
+          |semsc AS (SELECT qid, nid, list_cosine_similarity(eq.v, en.v) AS cos
+          |          FROM cand JOIN e eq ON cand.qid = eq.vec_id
+          |                    JOIN e en ON cand.nid = en.vec_id),
+          |sem AS (SELECT qid, nid AS doc_id, rnk AS r_sem FROM (
+          |  SELECT qid, nid,
+          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid)::BIGINT AS rnk
+          |  FROM semsc) WHERE rnk <= 10),
+          |fu AS (SELECT COALESCE(lex.qid, sem.qid) AS qid,
+          |       COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+          |       COALESCE(r_lex, 0)::BIGINT AS r_lex, COALESCE(r_sem, 0)::BIGINT AS r_sem,
+          |       CAST(CAST(COALESCE(1.0 / (60 + r_lex), 0) + COALESCE(1.0 / (60 + r_sem), 0)
+          |         AS DECIMAL(12,8)) AS DOUBLE) AS rrf
+          |       FROM lex FULL OUTER JOIN sem
+          |         ON lex.qid = sem.qid AND lex.doc_id = sem.doc_id)
+          |SELECT qid, doc_id, r_lex, r_sem, rrf, rank_fused FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id)::BIGINT AS rank_fused
+          |  FROM fu) WHERE rank_fused <= 5""".stripMargin
+      })) :+ unigramDecl
 }
