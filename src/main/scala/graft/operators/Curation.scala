@@ -51,7 +51,12 @@ object Curation {
         count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("n_tokens"),
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"),
-        r6(avg(col("word_ratio"))).as("mean_word_ratio"))
+        // order-independent mean: word_ratio is already 6-dp quantized,
+        // so the decimal sum is EXACT and partition-order-free — a
+        // plain double avg() flipped the 6-dp rounding boundary on the
+        // second-seed sweep (the TextAnalysis.dsum lesson)
+        r6((sum(col("word_ratio").cast("decimal(20,6)")).cast("double") /
+          count(lit(1)).cast("double"))).as("mean_word_ratio"))
       .withColumn("dup_frac",
         r6(col("n_dup_docs").cast("double") / col("n_docs").cast("double")))
       .select(col("host"), col("n_docs"), col("n_tokens"),

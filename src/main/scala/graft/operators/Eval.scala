@@ -90,8 +90,14 @@ object Eval {
       .withColumn("fp", sum("neg_at").over(w))
       .crossJoin(broadcast(totals)).crossJoin(broadcast(bounds))
       .select(col("b").as("bucket"),
-        r6(col("__lo") + col("b").cast("double") *
-          (col("__hi") - col("__lo")) / lit(buckets.toDouble)).as("thr"),
+        // thr = lo + b·(hi−lo)/2^k over 4-dp bounds is a ≤9-dp-exact
+        // rational; rounding it at 6 dp would land exactly on half
+        // boundaries (x.xxxxxx5) where engines' double→decimal paths
+        // disagree (second-seed sweep finding) — 9 dp represents the
+        // value exactly, so no rounding decision ever happens
+        (col("__lo") + col("b").cast("double") *
+          (col("__hi") - col("__lo")) / lit(buckets.toDouble))
+          .cast("decimal(16,9)").cast("double").as("thr"),
         col("tp"), col("fp"),
         r6(col("tp").cast("double") / col("__p")).as("tpr"),
         r6(col("fp").cast("double") / col("__n")).as("fpr"),

@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+
+/** Snapshot-commit protocol for the versioned statement/entity store —
+  * the manifest-swap pattern (Iceberg/Delta's core idea) tying the
+  * layout family together: data files are IMMUTABLE once written, a
+  * MANIFEST lists the files (with their zone-map stats) that make up a
+  * version, and a single tiny pointer names the current manifest.
+  * Commit = write new files + write new manifest + atomically swap the
+  * pointer; concurrent readers that resolved the old pointer keep
+  * reading the old files, which no commit ever mutates or deletes
+  * (removal is a separate, retention-gated [[vacuumPlan]]).
+  *
+  * The reference publishes a finished crawl by copying the version
+  * directory over `latest` and rewriting it in place
+  * (zavod/zavod/publish.py:63-94, archive/backend.py's versioned
+  * paths) — a reader racing that copy can see a half-published mix.
+  * Here `latest` is never a directory copy: it is a one-line pointer
+  * swap, so publish is all-or-nothing at any table size (the 100 TB
+  * point: publish cost is O(manifest), not O(data)).
+  *
+  * Split by concern:
+  *  - MANIFEST ARITHMETIC (append / compaction / diff) is pure
+  *    DataFrame algebra over (version, file_id, n_rows, min/max key)
+  *    rows — oracle-checkable (q182) and engine-portable;
+  *  - the FS PROTOCOL (pointer swap atomicity, reader isolation,
+  *    vacuum safety) is exercised by SnapshotSpec against a real
+  *    Hadoop FileSystem.
+  */
+object Snapshot {
+
+  // ---------------------------------------------------------------
+  // Manifest arithmetic (relational, oracle-gated)
+
+  /** Manifest entries for a batch of rows about to become `version`'s
+    * NEW files: rows are assigned to `files` buckets by a portable hash
+    * of the id (the write-side layout), and each file's entry carries
+    * its zone-map stats — (version, file_id, n_rows, min_key, max_key).
+    * One partial-aggregated groupBy; output is manifest-sized. */
+  def manifestEntries(df: DataFrame, id: Column, key: Column,
+      files: Int, version: Long): DataFrame = {
+    require(files >= 1, s"files: $files")
+    df.select(pmod(Dedup.hash60(id.cast("string")), lit(files.toLong)).as("file_id"),
+        key.as("_k"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"), min(col("_k")).as("min_key"),
+        max(col("_k")).as("max_key"))
+      .select(lit(version).as("version"), col("file_id"), col("n_rows"),
+        col("min_key"), col("max_key"))
+  }
+
+  /** Append commit: the new version's manifest = every live entry of
+    * the previous manifest + the added entries, with added file ids
+    * offset past the previous maximum so ids never collide (file ids
+    * are table-unique, monotone across commits — the property vacuum
+    * and diff rely on). Broadcast of a 1-row max; no shuffle beyond
+    * the added side's aggregation. */
+  def commitAppend(prev: DataFrame, added: DataFrame, version: Long): DataFrame = {
+    val base = broadcast(prev.agg(
+      coalesce(max(col("file_id")) + 1L, lit(0L)).as("_base")))
+    prev.select(lit(version).as("version"), col("file_id"), col("n_rows"),
+        col("min_key"), col("max_key"))
+      .unionByName(added.crossJoin(base)
+        .select(lit(version).as("version"),
+          (col("file_id") + col("_base")).as("file_id"), col("n_rows"),
+          col("min_key"), col("max_key")))
+  }
+
+  /** Compaction commit: files smaller than `smallRows` are packed into
+    * replacement files of ≈`targetRows` by the same two-phase prefix
+    * sum as [[Layout.compactionPlan]] (no global window); full-size
+    * files carry over untouched. Replacement ids start past the
+    * previous max. Returns the NEW manifest: every output row is
+    * either a carried-over entry or a packed group of small ones
+    * (n_rows summed, key envelope unioned — exactly how a real
+    * compaction's zone map comes out). */
+  def commitCompact(prev: DataFrame, smallRows: Long, targetRows: Long,
+      version: Long): DataFrame = {
+    require(smallRows <= targetRows, "smallRows must be <= targetRows")
+    val keep = prev.where(col("n_rows") >= smallRows)
+    val small = prev.where(col("n_rows") < smallRows)
+    val base = broadcast(prev.agg(
+      coalesce(max(col("file_id")) + 1L, lit(0L)).as("_base")))
+    // pack in file_id order: running row total div target = group.
+    // Two-phase prefix sum (per-partition total + ordered partial) —
+    // the Packing.twoPhaseRunning shape, inlined here over the
+    // manifest frame, which is small enough that a single ordered
+    // window would also work; the two-phase form is the one that
+    // still holds on a 100M-file manifest.
+    val part = small.withColumn("_p", pmod(col("file_id"), lit(64L)))
+    val partTotals = part.groupBy("_p").agg(sum(col("n_rows")).as("_pt"))
+    val partOffsets = partTotals
+      .withColumn("_off", coalesce(sum(col("_pt")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("_p"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("_p"), col("_off"))
+    val wp = org.apache.spark.sql.expressions.Window.partitionBy(col("_p"))
+      .orderBy(col("file_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val grouped = part.join(broadcast(partOffsets), "_p")
+      .withColumn("_start", col("_off") + coalesce(sum(col("n_rows")).over(wp), lit(0L)))
+      .withColumn("_grp", expr(s"_start div $targetRows"))
+      .groupBy("_grp")
+      .agg(sum(col("n_rows")).as("n_rows"), min(col("min_key")).as("min_key"),
+        max(col("max_key")).as("max_key"))
+    keep.select(lit(version).as("version"), col("file_id"), col("n_rows"),
+        col("min_key"), col("max_key"))
+      .unionByName(grouped.crossJoin(base)
+        .select(lit(version).as("version"),
+          (col("_grp") + col("_base")).as("file_id"), col("n_rows"),
+          col("min_key"), col("max_key")))
+  }
+
+  /** Snapshot diff between two manifests: per version-pair file/row
+    * adds and removes — the audit row a lakehouse table history shows.
+    * A full outer join on file_id (file ids are table-unique and
+    * immutable, so identity is the id, not the stats). */
+  def snapshotDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.select(col("file_id"), col("n_rows").as("_ra"))
+    val r = b.select(col("file_id"), col("n_rows").as("_rb"))
+    l.join(r, Seq("file_id"), "full_outer")
+      .agg(
+        count(when(col("_ra").isNull, 1)).as("files_added"),
+        count(when(col("_rb").isNull, 1)).as("files_removed"),
+        coalesce(sum(when(col("_ra").isNull, col("_rb"))), lit(0L)).as("rows_added"),
+        coalesce(sum(when(col("_rb").isNull, col("_ra"))), lit(0L)).as("rows_removed"))
+  }
+
+  // ---------------------------------------------------------------
+  // Filesystem protocol (spec-gated; works on any Hadoop FS scheme)
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Commit `df` as version `version`: data parquet under
+    * `root/data/v<version>/`, manifest (the file list as parquet)
+    * under `root/manifest/v<version>/`, then the CURRENT pointer
+    * swapped via write-temp + atomic rename. Existing data/manifest
+    * directories of other versions are never touched. */
+  def commit(spark: SparkSession, root: String, version: Long,
+      df: DataFrame, manifest: DataFrame): Unit = {
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/data/v$version")
+    manifest.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/manifest/v$version")
+    val f = fs(spark, new Path(root))
+    val tmp = new Path(s"$root/_CURRENT.tmp$version")
+    val out = f.create(tmp, true)
+    out.write(s"v$version".getBytes("UTF-8"))
+    out.close()
+    val cur = new Path(s"$root/_CURRENT")
+    // rename is atomic on HDFS/local posix; object stores substitute
+    // their conditional-put committer behind the same FileSystem API
+    if (f.exists(cur)) f.delete(cur, false)
+    require(f.rename(tmp, cur), s"pointer swap failed for v$version")
+  }
+
+  /** Resolve the CURRENT pointer to its version string (e.g. "v3"). */
+  def currentVersion(spark: SparkSession, root: String): String = {
+    val f = fs(spark, new Path(root))
+    val in = f.open(new Path(s"$root/_CURRENT"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  /** Read the snapshot the CURRENT pointer names. A reader that holds
+    * the returned frame keeps a consistent view: later commits add new
+    * directories and swap the pointer but never rewrite this one. */
+  def readCurrent(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/data/${currentVersion(spark, root)}")
+
+  /** Versions safe to delete under a keep-last-`retain` policy: every
+    * version directory not among the `retain` highest and not the
+    * pointer target. Returns the version longs; the caller deletes.
+    * Pure listing arithmetic — never touches data. */
+  def vacuumPlan(spark: SparkSession, root: String, retain: Int): Seq[Long] = {
+    require(retain >= 1, s"retain: $retain")
+    val f = fs(spark, new Path(root))
+    val versions = f.listStatus(new Path(s"$root/data"))
+      .map(_.getPath.getName).filter(_.startsWith("v"))
+      .flatMap(n => scala.util.Try(n.drop(1).toLong).toOption)
+      .sorted
+    val current = currentVersion(spark, root).drop(1).toLong
+    versions.dropRight(retain).filterNot(_ == current).toSeq
+  }
+}

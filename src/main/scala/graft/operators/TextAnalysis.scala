@@ -189,6 +189,19 @@ object TextAnalysis {
 
   private def r4(c: Column): Column = c.cast("decimal(12,4)").cast("double")
 
+  /** Order-independent double sum: each term is quantized to 12
+    * decimal places and accumulated in EXACT decimal arithmetic, so
+    * the aggregate no longer depends on Spark's partition/merge order
+    * (a plain double SUM does, and the round-9 second-seed sweep
+    * caught it flipping a DECIMAL(12,4) rounding boundary — seed-42
+    * green was luck, not determinism). Decimal partial aggregation
+    * map-side-combines like any sum, and DECIMAL(30,12) holds ~1e17
+    * docs' worth of unit-scale terms — the scale-safe alternative to
+    * sorted-fold summation, whose per-group collect would be O(group)
+    * memory. The oracle replays the identical quantize-then-sum. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(30,12)")).cast("double")
+
   /** DCLM/fastText-style trained quality classifier: a logistic probe
     * over hashed bag-of-words features, trained IN-ENGINE by full-batch
     * gradient descent on the `trainFilter` split. Each round is one
@@ -229,11 +242,11 @@ object TextAnalysis {
       .select(col("id").cast("long").as("b"), lit(0.0).as("w"))
     (1 to rounds).foreach { _ =>
       val z = x.join(broadcast(w), "b")
-        .groupBy("doc_id").agg(r4(sum(col("w") * col("cnt"))).as("z"))
+        .groupBy("doc_id").agg(r4(dsum(col("w") * col("cnt"))).as("z"))
       val resid = train.join(z, "doc_id")
         .select(col("doc_id"), (col("y") - lit(1.0) / (lit(1.0) + exp(-col("z")))).as("r"))
       val grad = x.join(resid, "doc_id")
-        .groupBy("b").agg(sum(col("r") * col("cnt")).as("g"))
+        .groupBy("b").agg(dsum(col("r") * col("cnt")).as("g"))
       w = w.join(grad, Seq("b"), "left")
         .select(col("b"),
           r4(col("w") + lit(lr) * coalesce(col("g"), lit(0.0)) / lit(n)).as("w"))
@@ -253,7 +266,7 @@ object TextAnalysis {
       buckets: Int = 32): org.apache.spark.sql.DataFrame =
     hashedFeatures(docs, id, text, buckets)
       .join(broadcast(weights.select(col("b"), col("w"))), "b")
-      .groupBy("doc_id").agg(r4(sum(col("w") * col("cnt"))).as("score"))
+      .groupBy("doc_id").agg(r4(dsum(col("w") * col("cnt"))).as("score"))
       .select(col("doc_id"), col("score"), (col("score") > 0).as("predicted"))
 
   /** C4-style line keep rule (Raffel et al. 2020 §2.2 heuristics, the

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Bloom, Layout}
+import graft.operators.{Bloom, Layout, Snapshot}
 import org.apache.spark.sql.functions._
 import Q._
 import PipelineQueries.sqlHash60
@@ -257,5 +257,63 @@ object LayoutQueries {
          |  acc.files_scanned, acc.n_bloom_pass, acc.n_in_range
          |FROM fl JOIN su USING (user_id), acc
          |WHERE fl.pass
-         |GROUP BY 1, 3, 4, 5""".stripMargin))
+         |GROUP BY 1, 3, 4, 5""".stripMargin),
+
+    // Snapshot-commit manifest arithmetic over three table versions:
+    // v1 = initial load (16 hash-assigned files with zone-map stats),
+    // v2 = append commit (4 bigger files, ids offset past v1's max),
+    // v3 = compaction commit (the small v1 files packed to ~6k-row
+    // replacements by the prefix-sum grouping, the big v2 files carried
+    // over untouched). The result is all three manifests — so the
+    // commit arithmetic (id offsetting, row conservation, envelope
+    // union, packing group assignment) is hash-checked end to end. The
+    // FS half of the protocol (atomic pointer swap, reader isolation,
+    // vacuum) is spec-gated in SnapshotSpec. The SQL prefix sum is a
+    // plain ordered window, equivalent to the engine's two-phase form
+    // because every small file id here is distinct and < 64 (one id
+    // per %64 partition ⇒ the partition offset IS the exclusive prefix).
+    decl("q182_snapshot_commits",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val rowId = concat(col("l_orderkey"), lit("|"), col("l_linenumber"))
+        val v1src = li.where(col("l_shipdate") < to_timestamp(lit("1995-06-01")))
+        val v2add = li.where(col("l_shipdate") >= to_timestamp(lit("1995-06-01")))
+        val m1 = Snapshot.manifestEntries(v1src, rowId, col("l_orderkey"),
+          files = 16, version = 1L)
+        val m2 = Snapshot.commitAppend(m1,
+          Snapshot.manifestEntries(v2add, rowId, col("l_orderkey"),
+            files = 4, version = 2L), version = 2L)
+        val m3 = Snapshot.commitCompact(m2, smallRows = 3000L,
+          targetRows = 6000L, version = 3L)
+        m1.unionByName(m2).unionByName(m3)
+      },
+      s"""WITH li AS (SELECT l_orderkey, l_linenumber, l_shipdate,
+         |  ${sqlHash60("(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR)")} AS h
+         |  FROM lineitem),
+         |m1 AS (SELECT 1::BIGINT AS version, h % 16 AS file_id,
+         |       COUNT(*)::BIGINT AS n_rows, MIN(l_orderkey)::BIGINT AS min_key,
+         |       MAX(l_orderkey)::BIGINT AS max_key
+         |       FROM li WHERE l_shipdate < TIMESTAMP '1995-06-01' GROUP BY 2),
+         |add2 AS (SELECT h % 4 AS fid, COUNT(*)::BIGINT AS n_rows,
+         |        MIN(l_orderkey)::BIGINT AS min_key, MAX(l_orderkey)::BIGINT AS max_key
+         |        FROM li WHERE l_shipdate >= TIMESTAMP '1995-06-01' GROUP BY 1),
+         |b1 AS (SELECT MAX(file_id) + 1 AS base FROM m1),
+         |m2 AS (SELECT 2::BIGINT AS version, file_id, n_rows, min_key, max_key FROM m1
+         |       UNION ALL
+         |       SELECT 2::BIGINT, fid + b1.base, n_rows, min_key, max_key FROM add2, b1),
+         |keep AS (SELECT file_id, n_rows, min_key, max_key FROM m2 WHERE n_rows >= 3000),
+         |small AS (SELECT file_id, n_rows, min_key, max_key FROM m2 WHERE n_rows < 3000),
+         |b2 AS (SELECT MAX(file_id) + 1 AS base FROM m2),
+         |pk AS (SELECT n_rows, min_key, max_key,
+         |       COALESCE(SUM(n_rows) OVER (ORDER BY file_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS strt
+         |       FROM small),
+         |grp AS (SELECT (strt // 6000)::BIGINT AS g, SUM(n_rows)::BIGINT AS n_rows,
+         |        MIN(min_key) AS min_key, MAX(max_key) AS max_key FROM pk GROUP BY 1),
+         |m3 AS (SELECT 3::BIGINT AS version, file_id, n_rows, min_key, max_key FROM keep
+         |       UNION ALL
+         |       SELECT 3::BIGINT, (g + b2.base)::BIGINT, n_rows, min_key, max_key FROM grp, b2)
+         |SELECT version, file_id, n_rows, min_key, max_key FROM m1
+         |UNION ALL SELECT version, file_id, n_rows, min_key, max_key FROM m2
+         |UNION ALL SELECT version, file_id, n_rows, min_key, max_key FROM m3""".stripMargin))
 }

@@ -2516,8 +2516,8 @@ object PipelineQueries {
       },
       logisticFixtureCtes +
         """
-          |SELECT doc_id, CAST(CAST(SUM(w * cnt) AS DECIMAL(12,4)) AS DOUBLE) AS score,
-          |  CAST(CAST(SUM(w * cnt) AS DECIMAL(12,4)) AS DOUBLE) > 0 AS predicted
+          |SELECT doc_id, CAST(CAST(CAST(SUM(CAST(w * cnt AS DECIMAL(30,12))) AS DOUBLE) AS DECIMAL(12,4)) AS DOUBLE) AS score,
+          |  CAST(CAST(CAST(SUM(CAST(w * cnt AS DECIMAL(30,12))) AS DOUBLE) AS DECIMAL(12,4)) AS DOUBLE) > 0 AS predicted
           |FROM x JOIN w2 USING (b) GROUP BY doc_id""".stripMargin),
 
     // Host-level curation (the FineWeb domain step): per-host doc and
@@ -2571,7 +2571,8 @@ object PipelineQueries {
         |agg AS (
         |  SELECT host, COUNT(*)::BIGINT AS n_docs, SUM(n_tok)::BIGINT AS n_tokens,
         |    SUM(CASE WHEN fp_n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
-        |    CAST(CAST(AVG(word_ratio) AS DECIMAL(9,6)) AS DOUBLE) AS mean_word_ratio
+        |    CAST(CAST(CAST(SUM(CAST(word_ratio AS DECIMAL(20,6))) AS DOUBLE)
+        |      / COUNT(*) AS DECIMAL(9,6)) AS DOUBLE) AS mean_word_ratio
         |  FROM d JOIN fpn USING (fp) GROUP BY host)
         |SELECT host, n_docs, n_tokens, n_dup_docs,
         |  CAST(CAST(n_dup_docs::DOUBLE / n_docs AS DECIMAL(9,6)) AS DOUBLE) AS dup_frac,
@@ -2647,7 +2648,7 @@ object PipelineQueries {
         Packing.curriculumPackManifest(toks, seqLen = 512L, bucketSize = 100L)
       },
       logisticFixtureCtes + """,
-        |sc AS (SELECT doc_id, CAST(CAST(SUM(w * cnt) AS DECIMAL(12,4)) AS DOUBLE) AS score
+        |sc AS (SELECT doc_id, CAST(CAST(CAST(SUM(CAST(w * cnt AS DECIMAL(30,12))) AS DOUBLE) AS DECIMAL(12,4)) AS DOUBLE) AS score
         |       FROM x JOIN w2 USING (b) GROUP BY doc_id),
         |st AS (SELECT d0.doc_id,
         |  (length(d0.text) - length(replace(d0.text, ' ', '')) + 1)::BIGINT AS n_tokens,
@@ -2769,7 +2770,7 @@ object PipelineQueries {
         Sampling.epochPlan(toks, budget = 35000L, maxEpochs = 4, salt = "ep")
       },
       logisticFixtureCtes + s""",
-        |sc AS (SELECT doc_id, CAST(CAST(SUM(w * cnt) AS DECIMAL(12,4)) AS DOUBLE) AS score
+        |sc AS (SELECT doc_id, CAST(CAST(CAST(SUM(CAST(w * cnt AS DECIMAL(30,12))) AS DOUBLE) AS DECIMAL(12,4)) AS DOUBLE) AS score
         |       FROM x JOIN w2 USING (b) GROUP BY doc_id),
         |st AS (SELECT d0.doc_id,
         |  (length(d0.text) - length(replace(d0.text, ' ', '')) + 1)::BIGINT AS n_tokens,
@@ -2875,7 +2876,7 @@ object PipelineQueries {
   private def classifierScoredCtes: String =
     logisticFixtureCtes + """,
       |sc AS (SELECT x.doc_id AS doc_id,
-      |       CAST(CAST(SUM(w * cnt) AS DECIMAL(12,4)) AS DOUBLE) AS s
+      |       CAST(CAST(CAST(SUM(CAST(w * cnt AS DECIMAL(30,12))) AS DOUBLE) AS DECIMAL(12,4)) AS DOUBLE) AS s
       |       FROM x JOIN w2 USING (b) GROUP BY 1),
       |lb AS (SELECT sc.doc_id, sc.s, d0.y = 1.0 AS yy
       |       FROM sc JOIN d0 USING (doc_id))""".stripMargin
@@ -2983,7 +2984,7 @@ object PipelineQueries {
         |        CAST(SUM(neg_at) OVER (ORDER BY b DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
         |        FROM h)
         |SELECT b AS bucket,
-        |  CAST(CAST(lo + b::DOUBLE * (hi - lo) / 32.0 AS DECIMAL(10,6)) AS DOUBLE) AS thr,
+        |  CAST(CAST(lo + b::DOUBLE * (hi - lo) / 32.0 AS DECIMAL(16,9)) AS DOUBLE) AS thr,
         |  tp, fp,
         |  CAST(CAST(tp::DOUBLE / tt.p AS DECIMAL(10,6)) AS DOUBLE) AS tpr,
         |  CAST(CAST(fp::DOUBLE / tt.n AS DECIMAL(10,6)) AS DOUBLE) AS fpr,
@@ -3007,15 +3008,16 @@ object PipelineQueries {
        |xt AS (SELECT x.* FROM x JOIN d0 USING (doc_id) WHERE tr),
        |n AS (SELECT COUNT(*)::DOUBLE AS n FROM d0 WHERE tr),
        |bk AS (SELECT unnest(generate_series(0, 63)) AS b),
-       |g1 AS (SELECT b, SUM((y - 0.5) * cnt) AS g
+       |g1 AS (SELECT b, CAST(SUM(CAST((y - 0.5) * cnt AS DECIMAL(30,12))) AS DOUBLE) AS g
        |       FROM xt JOIN d0 USING (doc_id) GROUP BY b),
        |w1 AS (SELECT bk.b, CAST(CAST(100.0 * coalesce(g1.g, 0) / n.n AS DECIMAL(12,4)) AS DOUBLE) AS w
        |       FROM bk LEFT JOIN g1 ON bk.b = g1.b CROSS JOIN n),
-       |z2 AS (SELECT doc_id, CAST(CAST(SUM(w * cnt) AS DECIMAL(12,4)) AS DOUBLE) AS z
+       |z2 AS (SELECT doc_id, CAST(CAST(CAST(SUM(CAST(w * cnt AS DECIMAL(30,12))) AS DOUBLE) AS DECIMAL(12,4)) AS DOUBLE) AS z
        |       FROM xt JOIN w1 USING (b) GROUP BY doc_id),
        |r2 AS (SELECT d0.doc_id, d0.y - 1.0 / (1.0 + exp(-z2.z)) AS r
        |       FROM d0 JOIN z2 USING (doc_id) WHERE tr),
-       |g2 AS (SELECT b, SUM(r * cnt) AS g FROM xt JOIN r2 USING (doc_id) GROUP BY b),
+       |g2 AS (SELECT b, CAST(SUM(CAST(r * cnt AS DECIMAL(30,12))) AS DOUBLE) AS g
+       |       FROM xt JOIN r2 USING (doc_id) GROUP BY b),
        |w2 AS (SELECT w1.b, CAST(CAST(w1.w + 100.0 * coalesce(g2.g, 0) / n.n AS DECIMAL(12,4)) AS DOUBLE) AS w
        |       FROM w1 LEFT JOIN g2 ON w1.b = g2.b CROSS JOIN n)""".stripMargin
 

@@ -326,16 +326,23 @@ object ResolverQueries {
         graft.operators.Resolver.canonicalize(nodes,
           merges.unionByName(explodes))
       },
-      """WITH maxk AS (SELECT max(c_custkey) AS mk FROM customer)
-        |SELECT 'c' || c_custkey::VARCHAR AS id,
-        |  CASE
-        |    WHEN c_custkey % 10 = 1 AND c_custkey < (SELECT mk FROM maxk)
-        |      THEN 'c' || c_custkey::VARCHAR
-        |    WHEN c_custkey % 10 = 2 AND (c_custkey - 1) % 10 = 1
-        |      THEN 'c' || (c_custkey - 1)::VARCHAR
-        |    ELSE 'c' || c_custkey::VARCHAR
-        |  END AS canonical
-        |FROM customer""".stripMargin),
+      // A true REPLAY of the journal semantics, not a closed form: the
+      // original oracle assumed seed-42's contiguous custkeys (every
+      // k%5==1 has k+1 present), which the second-seed sweep caught —
+      // canonicalize only links a merge whose BOTH endpoints are nodes.
+      // Live edge = Positive (k%5==1) not overridden by the later
+      // Unsure (k%10==6), with k+1 existing in customer; canonical =
+      // string-min of the 2-node component = the a side (a,b always
+      // share digit count since a%10 ∈ {1,6} — never a trailing 9).
+      """WITH live AS (
+        |  SELECT 'c' || c.c_custkey::VARCHAR AS a,
+        |         'c' || (c.c_custkey + 1)::VARCHAR AS b
+        |  FROM customer c
+        |  JOIN customer c2 ON c2.c_custkey = c.c_custkey + 1
+        |  WHERE c.c_custkey % 5 = 1 AND c.c_custkey % 10 != 6)
+        |SELECT n.id AS id, COALESCE(live.a, n.id) AS canonical
+        |FROM (SELECT 'c' || c_custkey::VARCHAR AS id FROM customer) n
+        |LEFT JOIN live ON n.id = live.b""".stripMargin),
 
     // P3/J13: schema-subtree filter + stateful position categorisation.
     decl("q91_schema_filter_positions",
