@@ -195,6 +195,18 @@ object Similarity {
       dim: Int, planes: Int = 4, tables: Int = 8): DataFrame =
     rankCandidates(lshTableCandidates(queries, corpus, dim, planes, tables), k)
 
+  /** [[cosineTopKLshTables]] with `planes` derived from the corpus
+    * count via [[planesFor]] — bucket occupancy (and with it per-query
+    * candidate volume) stays ≈`targetBucketSize` as the corpus grows,
+    * where any pinned plane count goes quadratic. One cheap count; the
+    * scale-safe ANN entry point the RRF fusion (q179) composes over. */
+  def cosineTopKLshTablesAuto(
+      queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      targetBucketSize: Long = 128, tables: Int = 8): DataFrame = {
+    val n = corpus.select(corpus.columns.head).count()
+    cosineTopKLshTables(queries, corpus, k, dim, planesFor(n, targetBucketSize), tables)
+  }
+
   /** Recall@k of an approximate ANN result against the exact one: the
     * fraction of exact (query, neighbor) pairs the approximate method
     * recovered. Both inputs are (query_id, neighbor_id, ...) frames. */
@@ -523,7 +535,13 @@ object Similarity {
   def cosineNearDupPairsTables(
       corpus: DataFrame, dim: Int, threshold: Double,
       planes: Int = 4, tables: Int = 8): DataFrame = {
+    // float→double conversion happens ONCE PER VECTOR, before the
+    // bucket join: scoring inside the join previously re-converted
+    // both arrays PER CANDIDATE PAIR (~2 KB of allocation per pair —
+    // at the 25× stress point that was tens of GB of GC churn and the
+    // measured superlinearity; the dot product itself is linear)
     val v = corpus.toDF("id", "vec")
+      .select(col("id"), asDouble(col("vec")).as("vec"))
       .select(col("id"), col("vec"),
         explode(tableBucketsCol(col("vec"), dim, planes, tables)).as("bk"))
     // score at the collision site, then dedupe on the bare (a, b,
@@ -534,7 +552,7 @@ object Similarity {
       .join(v.select(col("id").as("b"), col("vec").as("vb"), col("bk")), "bk")
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
-        cosine(asDouble(col("va")), asDouble(col("vb"))).as("cosine"))
+        cosine(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .dropDuplicates("a", "b")
   }
@@ -651,7 +669,18 @@ object Similarity {
   /** [[semanticDedup]] with `planes` derived from the corpus count via
     * [[planesFor]] — the scale-safe production entry point (one cheap
     * count over the id column; the q116 fixture keeps explicit planes
-    * only because its oracle bakes the hyperplane literals). */
+    * only because its oracle bakes the hyperplane literals).
+    *
+    * Regime guidance (the 25× ProbeSemDedup measurement, STRESS.md
+    * round 9): occupancy sizing assumes dup groups are SMALL — a
+    * hyperplane separates two vectors with probability θ/π, so a
+    * cluster of near-identical vectors (cos ≈ 1) lands in ONE bucket
+    * at any plane count and pair enumeration is Ω(n · cluster_size).
+    * That is linear in n but with the cluster size as the constant;
+    * for corpora dominated by large near-identical clusters prefer
+    * the trained-quantizer path ([[kmeansCentroids]] +
+    * [[cellAssignments]] / [[ivfTopK]], exponent 0.77 over the same
+    * decade) and dedup per cell. */
   def semanticDedupAuto(
       corpus: DataFrame, weights: DataFrame,
       dim: Int, threshold: Double,

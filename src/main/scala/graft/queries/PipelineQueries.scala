@@ -1559,7 +1559,10 @@ object PipelineQueries {
       (s, d) => {
         val e = t(s, d, "embeddings")
         val corpus = e.select(col("vec_id"), col("embedding"))
-        val seed = Similarity.seedCentroids(corpus, Similarity.kFor(500L))
+        // k from the corpus COUNT at runtime (√n rule); the oracle
+        // bakes kFor(500) = the sized literal for the sf0.01 gate
+        val n = corpus.select("vec_id").count()
+        val seed = Similarity.seedCentroids(corpus, Similarity.kFor(n))
         val trained = Similarity.kmeansCentroids(corpus, seed, dim = 64,
           maxIterations = 2, earlyStop = false)
         Similarity.ivfTopK(

@@ -376,14 +376,15 @@ object SelectionQueries {
 
     // RRF over the SCALE-SAFE semantic arm: identical fusion arithmetic
     // to q169, but the semantic ranker is the multi-table sign-LSH ANN
-    // (4 tables × 6 disjoint hyperplanes — candidates are equi-join
-    // collisions, ~4/64 of the corpus per query) instead of q169's
-    // brute-force all-pairs cosine. This is the production RAG shape:
-    // candidate volume scales with bucket sizes, not |queries|×|corpus|,
-    // so the fused plan survives the 100× scale-up where q169's exact
-    // arm (kept as the recall baseline) is n²/37. The oracle replays
-    // the plane arithmetic exactly (q107's CTE) so approximation is
-    // oracle-locked, not asserted.
+    // with planes AUTO-SIZED by planesFor(n) (4 tables of ~128-vector
+    // buckets at any corpus size — candidates are equi-join collisions)
+    // instead of q169's brute-force all-pairs cosine. This is the
+    // production RAG shape: candidate volume stays ∝ n·targetBucket,
+    // not |queries|×|corpus|, so the fused plan survives the 100×
+    // scale-up where q169's exact arm (kept as the recall baseline) is
+    // n²/37. The oracle bakes the sized plane literals for the sf0.01
+    // corpus (n=500 → planesFor=2), exactly as q180 does — the
+    // oracle-shaped plan IS the production-shaped plan.
     decl("q179_rrf_fusion_ann",
       (s, d) => {
         val docs = t(s, d, "documents")
@@ -394,10 +395,10 @@ object SelectionQueries {
             qs, col("qid"), col("qt"), n = 3, k = 10)
           .select(col("qid"), col("doc_id"), col("rank").as("r_lex"))
         val e = t(s, d, "embeddings")
-        val sem = Similarity.cosineTopKLshTables(
+        val sem = Similarity.cosineTopKLshTablesAuto(
             e.where(col("vec_id") % 37 === 3).select(col("vec_id"), col("embedding")),
             e.select(col("vec_id"), col("embedding")),
-            k = 10, dim = 64, planes = 6, tables = 4)
+            k = 10, dim = 64, targetBucketSize = 128, tables = 4)
           .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"),
             col("rank").as("r_sem"))
         val fused = lex.join(sem, Seq("qid", "doc_id"), "full_outer")
@@ -416,10 +417,13 @@ object SelectionQueries {
       },
       {
         // the multi-table signature CTE mirrors Similarity
-        // .tableBucketsCol bit-for-bit (q107's oracle pattern)
+        // .tableBucketsCol bit-for-bit (q107's oracle pattern), with
+        // the plane count SIZED for the sf0.01 corpus exactly as the
+        // runtime auto-sizing computes it (500 embeddings → 2 planes)
+        val autoPlanes = Similarity.planesFor(500L, 128)
         val mtTables = (0 until 4).map { tbl =>
-          val bits = (0 until 6).map { p =>
-            val abs = tbl * 6 + p
+          val bits = (0 until autoPlanes).map { p =>
+            val abs = tbl * autoPlanes + p
             val plane = (0 until 64)
               .map(dd => if (Similarity.planeSign(abs, dd) > 0) "1.0" else "-1.0")
               .mkString("[", ",", "]")
