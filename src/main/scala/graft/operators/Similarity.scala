@@ -100,14 +100,20 @@ object Similarity {
     * (query_id, qvec, neighbor_id, nvec). Public so that callers which
     * already materialized a candidate frame (e.g. for a candidate-count
     * report) can rank it WITHOUT re-deriving the candidates. */
-  def rankCandidates(cand: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+  def rankCandidates(cand: DataFrame, k: Int): DataFrame =
     // score first, shuffle only (query_id, neighbor_id, cosine) — never
     // the embedding payload (see cosineTopK)
-    cand
+    rankScored(cand
       .select(col("query_id"), col("neighbor_id"),
-        cosine(asDouble(col("qvec")), asDouble(col("nvec"))).as("cosine"))
+        cosine(asDouble(col("qvec")), asDouble(col("nvec"))).as("cosine")), k)
+
+  /** Top-k window over an already-scored (query_id, neighbor_id,
+    * cosine) frame — the only exchange is the payload-free ranking
+    * shuffle. */
+  private def rankScored(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
@@ -166,7 +172,10 @@ object Similarity {
   }
 
   /** Candidate pairs colliding in ANY of the multi-table LSH tables
-    * (deduplicated). */
+    * (deduplicated). Kept for the recall harness (q101 counts the
+    * examined pairs); the ranking path uses the fused
+    * score-at-collision-site form below, whose dedupe exchange never
+    * carries an embedding. */
   def lshTableCandidates(
       queries: DataFrame, corpus: DataFrame,
       dim: Int, planes: Int, tables: Int): DataFrame = {
@@ -182,6 +191,31 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
   }
 
+  /** Scored multi-table candidates: cosine is computed AT the
+    * collision site (a pair duplicated across tables scores
+    * identically, so score-then-dedupe ≡ dedupe-then-score), the
+    * float→double conversion happens once per vector before the
+    * bucket join (the 25× allocation lesson), and the dedupe exchange
+    * carries only the (query_id, neighbor_id, cosine) triple — never
+    * the embedding payload. */
+  private def lshTableScored(
+      queries: DataFrame, corpus: DataFrame,
+      dim: Int, planes: Int, tables: Int): DataFrame = {
+    val q = queries.toDF("query_id", "qvec")
+      .select(col("query_id"), asDouble(col("qvec")).as("qvec"))
+      .select(col("query_id"), col("qvec"),
+        explode(tableBucketsCol(col("qvec"), dim, planes, tables)).as("bk"))
+    val c = corpus.toDF("neighbor_id", "nvec")
+      .select(col("neighbor_id"), asDouble(col("nvec")).as("nvec"))
+      .select(col("neighbor_id"), col("nvec"),
+        explode(tableBucketsCol(col("nvec"), dim, planes, tables)).as("bk"))
+    c.join(q, "bk")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("nvec")).as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
+  }
+
   /** Multi-table (banded) sign-LSH ANN: `tables` independent hash
     * tables of `planes` hyperplanes each (disjoint plane indices per
     * table), candidates unioned across tables, then exact in-candidate
@@ -193,7 +227,7 @@ object Similarity {
   def cosineTopKLshTables(
       queries: DataFrame, corpus: DataFrame, k: Int,
       dim: Int, planes: Int = 4, tables: Int = 8): DataFrame =
-    rankCandidates(lshTableCandidates(queries, corpus, dim, planes, tables), k)
+    rankScored(lshTableScored(queries, corpus, dim, planes, tables), k)
 
   /** [[cosineTopKLshTables]] with `planes` derived from the corpus
     * count via [[planesFor]] — bucket occupancy (and with it per-query

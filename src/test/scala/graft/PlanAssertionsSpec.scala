@@ -176,9 +176,13 @@ class PlanAssertionsSpec extends SparkSpec {
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // cosineTopKLshTables joined the list in round 9: its candidate
+      // dedupe previously shuffled (qvec, nvec) pair rows; the fused
+      // score-at-collision-site form dedupes the bare triple
       for (df <- Seq(
           Similarity.cosineTopK(qs, e, k = 5),
-          Similarity.cosineTopKLsh(qs, e, k = 5, dim = 8, planes = 4))) {
+          Similarity.cosineTopKLsh(qs, e, k = 5, dim = 8, planes = 4),
+          Similarity.cosineTopKLshTables(qs, e, k = 5, dim = 8, planes = 2, tables = 3))) {
         val shuffles = df.queryExecution.executedPlan.collect {
           case s: ShuffleExchangeExec => s.output.map(_.name)
         }
