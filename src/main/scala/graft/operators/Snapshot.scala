@@ -157,6 +157,28 @@ object Snapshot {
     require(f.rename(tmp, cur), s"pointer swap failed for v$version")
   }
 
+  /** Swap the CURRENT pointer to `version` iff it moves FORWARD
+    * (version ≥ the pointed one). The forward-only rule is what makes
+    * at-least-once writers (streaming foreachBatch retries) safe: a
+    * late retry of an old batch id re-publishes its version directory
+    * but can never roll the table back. Returns whether the pointer
+    * moved. */
+  def swapPointerForward(spark: SparkSession, root: String, version: Long): Boolean = {
+    val f = fs(spark, new Path(root))
+    val cur = new Path(s"$root/_CURRENT")
+    val current: Long =
+      if (!f.exists(cur)) -1L
+      else currentVersion(spark, root).drop(1).toLong
+    if (version < current) return false
+    val tmp = new Path(s"$root/_CURRENT.tmp$version")
+    val out = f.create(tmp, true)
+    out.write(s"v$version".getBytes("UTF-8"))
+    out.close()
+    if (f.exists(cur)) f.delete(cur, false)
+    require(f.rename(tmp, cur), s"pointer swap failed for v$version")
+    true
+  }
+
   /** Resolve the CURRENT pointer to its version string (e.g. "v3"). */
   def currentVersion(spark: SparkSession, root: String): String = {
     val f = fs(spark, new Path(root))

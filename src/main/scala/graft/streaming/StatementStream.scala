@@ -137,6 +137,37 @@ object StatementStream {
     fs.delete(new org.apache.hadoop.fs.Path(s"$hashRoot/v${bid - 2}"), true)
   }
 
+  /** Commit each micro-batch as an ATOMIC SNAPSHOT VERSION of the
+    * store (batch id → v{bid}) — the streaming half of the
+    * [[graft.operators.Snapshot]] protocol: data + manifest (zone-map
+    * stats, hash file assignment) land under per-version directories,
+    * then the CURRENT pointer swaps. Two delivery-contract choices
+    * differ from the batch `Snapshot.commit`:
+    *  - per-version directories are OVERWRITE, not ErrorIfExists —
+    *    foreachBatch is at-least-once, and a retried batch id must
+    *    reproduce its version instead of failing forever behind a
+    *    partial first attempt (the versionDeltaBatch rule);
+    *  - the pointer swap is FORWARD-ONLY
+    *    ([[graft.operators.Snapshot.swapPointerForward]]), so a late
+    *    retry of an old batch republishes its directory but can never
+    *    roll the table back.
+    * Readers that resolved an earlier version keep a consistent
+    * snapshot — no commit ever mutates a prior version's files. */
+  def snapshotCommitBatch(batch: DataFrame, bid: Long, root: String,
+      idCol: String, keyCol: String, files: Int = 16): Unit = {
+    import graft.operators.Snapshot
+    val spark = batch.sparkSession
+    batch.write.mode("overwrite").parquet(s"$root/data/v$bid")
+    // manifest from the PERSISTED data, not the live stream lineage:
+    // re-reading what was written guarantees the manifest describes
+    // exactly the committed bytes even if the batch frame is
+    // re-evaluated non-identically
+    val written = spark.read.parquet(s"$root/data/v$bid")
+    Snapshot.manifestEntries(written, col(idCol), col(keyCol), files, bid)
+      .write.mode("overwrite").parquet(s"$root/manifest/v$bid")
+    Snapshot.swapPointerForward(spark, root, bid)
+  }
+
   /** Run each micro-batch through an arbitrary batch transform (the
     * foreachBatch bridge): this is how assembled entities / deltas stay
     * ONE implementation for batch and streaming. Returns the started

@@ -107,4 +107,50 @@ class StatementStreamSpec extends SparkSpec {
     assert(rows.map(_._2).sum == 3)
     assert(rows.map(_._1).distinct.size == 2) // two hourly windows
   }
+
+  test("streaming snapshot commits: per-batch atomic versions, forward-only pointer") {
+    import graft.operators.Snapshot
+    val landing = Files.createTempDirectory("graft-snap-landing").toString
+    val ckpt = Files.createTempDirectory("graft-snap-ckpt").toString
+    val root = Files.createTempDirectory("graft-snap-store").toString
+
+    Seq(
+      stmt("s1", "e1", "name", "Alice", "2026-01-01 10:00:00"),
+      stmt("s2", "e2", "name", "Bob", "2026-01-01 10:00:00")
+    ).toDS().write.parquet(s"$landing/batch1")
+
+    val stream = StatementStream.readStatements(spark, s"$landing/*")
+    val q = StatementStream.foreachBatchSink(stream, ckpt) { (batch, id) =>
+      if (batch.count() > 0)
+        StatementStream.snapshotCommitBatch(batch, id, root, "id", "entityId", files = 2)
+    }
+    try {
+      q.processAllAvailable()
+      assert(Snapshot.currentVersion(spark, root) === "v0")
+      // a reader resolves v0 BEFORE the next batch commits
+      val oldReader = Snapshot.readCurrent(spark, root)
+      assert(oldReader.count() === 2L)
+
+      Seq(stmt("s3", "e3", "name", "Eve", "2026-01-01 10:05:00"))
+        .toDS().write.parquet(s"$landing/batch2")
+      q.processAllAvailable()
+      assert(Snapshot.currentVersion(spark, root) === "v1")
+      // the v0 reader is isolated from the v1 commit
+      assert(oldReader.count() === 2L)
+      assert(Snapshot.readCurrent(spark, root).count() === 1L)
+      // manifest describes the committed bytes
+      val m1 = spark.read.parquet(s"$root/manifest/v1")
+      assert(m1.agg(sum("n_rows")).head().getLong(0) === 1L)
+    } finally q.stop()
+
+    // at-least-once retry of an OLD batch id: directory republished,
+    // pointer does NOT roll back
+    val replay = Seq(
+      stmt("s1", "e1", "name", "Alice", "2026-01-01 10:00:00"),
+      stmt("s2", "e2", "name", "Bob", "2026-01-01 10:00:00")
+    ).toDS().toDF()
+    StatementStream.snapshotCommitBatch(replay, 0L, root, "id", "entityId", files = 2)
+    assert(Snapshot.currentVersion(spark, root) === "v1")
+    assert(spark.read.parquet(s"$root/data/v0").count() === 2L)
+  }
 }
