@@ -154,7 +154,33 @@ object Similarity {
   def cosineTopKLsh(
       queries: DataFrame, corpus: DataFrame, k: Int,
       dim: Int, planes: Int = 8, multiProbe: Boolean = false): DataFrame =
-    rankCandidates(lshCandidates(queries, corpus, dim, planes, multiProbe), k)
+    rankScored(lshScored(queries, corpus, dim, planes, multiProbe), k)
+
+  /** Scored single-table candidates (multi-probe aware): cosine at the
+    * collision site, float→double once per vector, and the multi-probe
+    * dedupe carries only the (ids, cosine) triple — the same
+    * no-payload-exchange shape as [[lshTableScored]]. */
+  private def lshScored(
+      queries: DataFrame, corpus: DataFrame,
+      dim: Int, planes: Int, multiProbe: Boolean): DataFrame = {
+    val q0 = queries.toDF("query_id", "qvec")
+      .select(col("query_id"), asDouble(col("qvec")).as("qvec"))
+      .withColumn("bucket0", lshBucket(col("qvec"), dim, planes))
+    val q =
+      if (!multiProbe) q0.select(col("query_id"), col("qvec"), col("bucket0").as("bucket"))
+      else q0.select(col("query_id"), col("qvec"),
+        explode(array(col("bucket0") +:
+          (0 until planes).map(i => col("bucket0").bitwiseXOR(lit(1L << i))): _*))
+          .as("bucket"))
+    val c = corpus.toDF("neighbor_id", "nvec")
+      .select(col("neighbor_id"), asDouble(col("nvec")).as("nvec"))
+      .withColumn("bucket", lshBucket(col("nvec"), dim, planes))
+    val scored = c.join(q, "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("nvec")).as("cosine"))
+    if (multiProbe) scored.dropDuplicates("query_id", "neighbor_id") else scored
+  }
 
   /** The (tbl, bits) signature array of the banded multi-table LSH —
     * `tables` tables of `planes` hyperplanes with DISJOINT plane

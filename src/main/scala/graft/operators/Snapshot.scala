@@ -207,4 +207,19 @@ object Snapshot {
     val current = currentVersion(spark, root).drop(1).toLong
     versions.dropRight(retain).filterNot(_ == current).toSeq
   }
+
+  /** Execute the retention vacuum: delete every version [[vacuumPlan]]
+    * names (its data AND manifest directories). The plan by
+    * construction never includes the pointer target or the retained
+    * tail, so a reader of any retained snapshot is unaffected.
+    * Returns the deleted versions. */
+  def vacuum(spark: SparkSession, root: String, retain: Int): Seq[Long] = {
+    val doomed = vacuumPlan(spark, root, retain)
+    val f = fs(spark, new Path(root))
+    doomed.foreach { v =>
+      f.delete(new Path(s"$root/data/v$v"), true)
+      f.delete(new Path(s"$root/manifest/v$v"), true)
+    }
+    doomed
+  }
 }

@@ -182,6 +182,7 @@ class PlanAssertionsSpec extends SparkSpec {
       for (df <- Seq(
           Similarity.cosineTopK(qs, e, k = 5),
           Similarity.cosineTopKLsh(qs, e, k = 5, dim = 8, planes = 4),
+          Similarity.cosineTopKLsh(qs, e, k = 5, dim = 8, planes = 4, multiProbe = true),
           Similarity.cosineTopKLshTables(qs, e, k = 5, dim = 8, planes = 2, tables = 3))) {
         val shuffles = df.queryExecution.executedPlan.collect {
           case s: ShuffleExchangeExec => s.output.map(_.name)

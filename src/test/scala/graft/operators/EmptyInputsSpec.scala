@@ -65,4 +65,23 @@ class EmptyInputsSpec extends SparkSpec {
       Seq.empty[(Long, String)].toDF("id", "n"), col("id"), col("n"))
       .count() === 0L)
   }
+
+  test("snapshot manifest arithmetic accepts empty frames") {
+    val noManifest = Seq.empty[(Long, Long, Long, Long, Long)]
+      .toDF("version", "file_id", "n_rows", "min_key", "max_key")
+    val noData = Seq.empty[(Long, Long)].toDF("id", "k")
+    assert(Snapshot.manifestEntries(noData, col("id"), col("k"), 4, 1L)
+      .count() === 0L)
+    // append onto an empty table: added ids start at 0
+    val added = Snapshot.manifestEntries(
+      (0L until 10L).map(i => (i, i)).toDF("id", "k"), col("id"), col("k"), 2, 1L)
+    val m = Snapshot.commitAppend(noManifest, added, 1L).collect()
+    assert(m.map(_.getAs[Long]("n_rows")).sum === 10L)
+    assert(m.map(_.getAs[Long]("file_id")).min === 0L)
+    // compacting an empty manifest is an empty manifest
+    assert(Snapshot.commitCompact(noManifest, 10L, 100L, 2L).count() === 0L)
+    val d = Snapshot.snapshotDiff(noManifest, noManifest).collect().head
+    assert(d.getAs[Long]("files_added") === 0L &&
+      d.getAs[Long]("rows_removed") === 0L)
+  }
 }

@@ -103,5 +103,14 @@ class SnapshotSpec extends SparkSpec {
     }
     assert(Snapshot.vacuumPlan(spark, root, retain = 2) === Seq(1L, 2L, 3L))
     assert(Snapshot.vacuumPlan(spark, root, retain = 5) === Seq.empty)
+    // executing the vacuum removes exactly those versions and leaves
+    // the retained tail fully readable
+    assert(Snapshot.vacuum(spark, root, retain = 2) === Seq(1L, 2L, 3L))
+    val f = new java.io.File(s"$root/data")
+    assert(f.listFiles().map(_.getName).sorted.toSeq === Seq("v4", "v5"))
+    assert(Snapshot.readCurrent(spark, root).count() === 10L)
+    assert(spark.read.parquet(s"$root/manifest/v4").count() > 0L)
+    // idempotent: a second vacuum has nothing to delete
+    assert(Snapshot.vacuum(spark, root, retain = 2) === Seq.empty)
   }
 }
