@@ -43,14 +43,24 @@ object Snapshot {
   def manifestEntries(df: DataFrame, id: Column, key: Column,
       files: Int, version: Long): DataFrame = {
     require(files >= 1, s"files: $files")
-    df.select(pmod(Dedup.hash60(id.cast("string")), lit(files.toLong)).as("file_id"),
-        key.as("_k"))
+    manifestEntriesBy(df,
+      pmod(Dedup.hash60(id.cast("string")), lit(files.toLong)), key, version)
+  }
+
+  /** Manifest entries with an EXPLICIT file-assignment expression.
+    * Hash assignment ([[manifestEntries]]) balances file sizes but
+    * every envelope spans the key domain — zone-map pruning never
+    * fires; a clustered assignment (`key div width`, the
+    * [[Layout.clusteredWrite]] layout) gives tight disjoint envelopes
+    * that a range query prunes to O(1) files (q183). */
+  def manifestEntriesBy(df: DataFrame, fileId: Column, key: Column,
+      version: Long): DataFrame =
+    df.select(fileId.as("file_id"), key.as("_k"))
       .groupBy("file_id")
       .agg(count(lit(1)).as("n_rows"), min(col("_k")).as("min_key"),
         max(col("_k")).as("max_key"))
       .select(lit(version).as("version"), col("file_id"), col("n_rows"),
         col("min_key"), col("max_key"))
-  }
 
   /** Append commit: the new version's manifest = every live entry of
     * the previous manifest + the added entries, with added file ids

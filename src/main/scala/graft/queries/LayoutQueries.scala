@@ -315,5 +315,85 @@ object LayoutQueries {
          |       SELECT 3::BIGINT, (g + b2.base)::BIGINT, n_rows, min_key, max_key FROM grp, b2)
          |SELECT version, file_id, n_rows, min_key, max_key FROM m1
          |UNION ALL SELECT version, file_id, n_rows, min_key, max_key FROM m2
-         |UNION ALL SELECT version, file_id, n_rows, min_key, max_key FROM m3""".stripMargin))
+         |UNION ALL SELECT version, file_id, n_rows, min_key, max_key FROM m3""".stripMargin),
+
+    // Manifest-pruned snapshot scan over a CLUSTERED layout: both
+    // commits assign files by key range (l_orderkey div width — the
+    // clusteredWrite layout, via Snapshot.manifestEntriesBy), so the
+    // manifest envelopes are tight and the middle-fifth range query
+    // prunes most files — the manifest IS the zone map, and pruning is
+    // the same broadcast candidate-list join as q157, driven from the
+    // snapshot layer. (Hash assignment, q182's choice for balance,
+    // would give every file a full-domain envelope and prune NOTHING —
+    // the layout/pruning trade stated on manifestEntriesBy.) Each scan
+    // row recomputes its commit-time file id, so the scan, the
+    // manifest, and the pruning hash-check each other: a wrongly
+    // pruned file breaks the per-file counts, a wrong envelope breaks
+    // files_scanned.
+    decl("q183_snapshot_pruned_scan",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val split = to_timestamp(lit("1995-06-01"))
+        // width from the key domain: 16 clustered v1 files, 4 coarser
+        // ones for the append (a compaction-pending "recent" tier)
+        val kb = broadcast(li.agg(max("l_orderkey").as("_kmax"))
+          .select(expr("_kmax div 16 + 1").as("_w1"),
+            expr("_kmax div 4 + 1").as("_w2")))
+        val v1 = li.where(col("l_shipdate") < split).crossJoin(kb)
+        val v2a = li.where(col("l_shipdate") >= split).crossJoin(kb)
+        val m1 = Snapshot.manifestEntriesBy(v1,
+          expr("l_orderkey div _w1"), col("l_orderkey"), version = 1L)
+        val m2 = Snapshot.commitAppend(m1,
+          Snapshot.manifestEntriesBy(v2a,
+            expr("l_orderkey div _w2"), col("l_orderkey"), version = 2L),
+          version = 2L)
+        // data-derived range: the middle fifth of the key domain
+        val bounds = li.agg(min("l_orderkey").as("_klo"), max("l_orderkey").as("_khi"))
+          .select(expr("_klo + ((_khi - _klo) * 4) div 10").as("lo"),
+            expr("_klo + ((_khi - _klo) * 6) div 10").as("hi"))
+        val cands = Layout.candidateFiles(
+          m2.crossJoin(broadcast(bounds)), "key", col("lo"), col("hi"))
+        val base = broadcast(m1.agg((max(col("file_id")) + 1L).as("_base")))
+        val fileId = when(col("l_shipdate") < split, expr("l_orderkey div _w1"))
+          .otherwise(expr("l_orderkey div _w2") + col("_base"))
+        val pruned = Layout.skipScan(
+          li.crossJoin(kb).crossJoin(base).crossJoin(broadcast(bounds)),
+          fileId, cands,
+          col("l_orderkey") >= col("lo") && col("l_orderkey") <= col("hi"))
+        val acc = broadcast(cands.agg(count(lit(1)).as("files_scanned"))
+          .crossJoin(m2.agg(count(lit(1)).as("files_total"))))
+        pruned.groupBy("file_id")
+          .agg(count(lit(1)).as("n_rows_in_range"),
+            min("l_orderkey").as("min_key_seen"), max("l_orderkey").as("max_key_seen"))
+          .crossJoin(acc)
+      },
+      s"""WITH w AS (SELECT MAX(l_orderkey) // 16 + 1 AS w1,
+         |           MAX(l_orderkey) // 4 + 1 AS w2 FROM lineitem),
+         |m1 AS (SELECT l_orderkey // w.w1 AS file_id, COUNT(*)::BIGINT AS n_rows,
+         |       MIN(l_orderkey)::BIGINT AS min_key, MAX(l_orderkey)::BIGINT AS max_key
+         |       FROM lineitem, w WHERE l_shipdate < TIMESTAMP '1995-06-01' GROUP BY 1),
+         |add2 AS (SELECT l_orderkey // w.w2 AS fid, COUNT(*)::BIGINT AS n_rows,
+         |        MIN(l_orderkey)::BIGINT AS min_key, MAX(l_orderkey)::BIGINT AS max_key
+         |        FROM lineitem, w WHERE l_shipdate >= TIMESTAMP '1995-06-01' GROUP BY 1),
+         |b1 AS (SELECT MAX(file_id) + 1 AS base FROM m1),
+         |m2 AS (SELECT file_id, n_rows, min_key, max_key FROM m1
+         |       UNION ALL
+         |       SELECT fid + b1.base, n_rows, min_key, max_key FROM add2, b1),
+         |bounds AS (SELECT MIN(l_orderkey) + ((MAX(l_orderkey) - MIN(l_orderkey)) * 4) // 10 AS lo,
+         |           MIN(l_orderkey) + ((MAX(l_orderkey) - MIN(l_orderkey)) * 6) // 10 AS hi
+         |           FROM lineitem),
+         |cand AS (SELECT file_id FROM m2, bounds WHERE max_key >= lo AND min_key <= hi),
+         |rows2 AS (SELECT CASE WHEN l_shipdate < TIMESTAMP '1995-06-01'
+         |            THEN l_orderkey // w.w1
+         |            ELSE l_orderkey // w.w2 + (SELECT base FROM b1) END AS file_id,
+         |          l_orderkey FROM lineitem, w),
+         |acc AS (SELECT (SELECT COUNT(*) FROM cand)::BIGINT AS files_scanned,
+         |        (SELECT COUNT(*) FROM m2)::BIGINT AS files_total)
+         |SELECT r.file_id AS file_id, COUNT(*)::BIGINT AS n_rows_in_range,
+         |  MIN(r.l_orderkey)::BIGINT AS min_key_seen,
+         |  MAX(r.l_orderkey)::BIGINT AS max_key_seen,
+         |  acc.files_scanned, acc.files_total
+         |FROM rows2 r JOIN cand USING (file_id), bounds, acc
+         |WHERE r.l_orderkey BETWEEN lo AND hi
+         |GROUP BY 1, 5, 6""".stripMargin))
 }
