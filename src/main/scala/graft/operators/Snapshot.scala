@@ -94,12 +94,14 @@ object Snapshot {
     val small = prev.where(col("n_rows") < smallRows)
     val base = broadcast(prev.agg(
       coalesce(max(col("file_id")) + 1L, lit(0L)).as("_base")))
-    // pack in file_id order: running row total div target = group.
-    // Two-phase prefix sum (per-partition total + ordered partial) —
-    // the Packing.twoPhaseRunning shape, inlined here over the
-    // manifest frame, which is small enough that a single ordered
-    // window would also work; the two-phase form is the one that
-    // still holds on a 100M-file manifest.
+    // pack in (file_id mod 64, file_id) order: running row total div
+    // target = group. Two-phase prefix sum (per-partition total +
+    // ordered partial) — the Packing.twoPhaseRunning shape, inlined
+    // here; the two-phase form is what still holds on a 100M-file
+    // manifest. The pack order is partition-major, NOT global file_id
+    // order once ids exceed 64 — any deterministic order packs
+    // equally well, and the q182 oracle's plain-window replay is
+    // exactly equivalent while all small ids are distinct mod 64.
     val part = small.withColumn("_p", pmod(col("file_id"), lit(64L)))
     val partTotals = part.groupBy("_p").agg(sum(col("n_rows")).as("_pt"))
     val partOffsets = partTotals

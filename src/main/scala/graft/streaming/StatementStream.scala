@@ -152,7 +152,13 @@ object StatementStream {
     *    retry of an old batch republishes its directory but can never
     *    roll the table back.
     * Readers that resolved an earlier version keep a consistent
-    * snapshot — no commit ever mutates a prior version's files. */
+    * snapshot — no commit ever mutates a prior version's files.
+    * One race is inherent to overwrite-on-retry and accepted: a reader
+    * that resolves version v at the exact moment a RETRY of batch v is
+    * republishing that directory can observe the rewrite; readers of
+    * every other version are untouched. The batch `Snapshot.commit`
+    * (ErrorIfExists) has no such window — use it when the writer is
+    * exactly-once. */
   def snapshotCommitBatch(batch: DataFrame, bid: Long, root: String,
       idCol: String, keyCol: String, files: Int = 16): Unit = {
     import graft.operators.Snapshot
