@@ -196,6 +196,24 @@ class PlanAssertionsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
+  test("manifest-pruned snapshot scan joins are broadcast-only") {
+    import graft.operators.{Layout, Snapshot}
+    val dir = Files.createTempDirectory("graft-snapplan").toString
+    (0L until 2000L).map(i => (i, i * 3)).toDF("id", "k")
+      .write.parquet(s"$dir/t")
+    val df = spark.read.parquet(s"$dir/t")
+    val m = Snapshot.manifestEntriesBy(df, expr("k div 500"), col("k"), 1L)
+    val cands = Layout.candidateFiles(m, "key", lit(1000L), lit(2000L))
+    val pruned = Layout.skipScan(df, expr("k div 500"), cands,
+      col("k") >= 1000L && col("k") <= 2000L)
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the candidate list is manifest-sized: its join onto the scan must
+    // broadcast, never shuffle the table side
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan.take(600))
+  }
+
   test("blocking topK prunes with ONE window shuffle; paragraph dedup has no window") {
     import graft.operators.{Blocking, Dedup}
     val cands = Seq((1L, 10L, 0.9), (1L, 11L, 0.8), (2L, 10L, 0.7))
