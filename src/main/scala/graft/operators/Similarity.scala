@@ -719,6 +719,27 @@ object Similarity {
     math.min(24, math.max(1, math.ceil(math.log(buckets) / math.log(2)).toInt))
   }
 
+  /** Table count holding sign-LSH recall ≈ `recall` for neighbors at
+    * cosine ≥ `cos`, given `planes` hyperplanes per table: per-plane
+    * agreement p = 1 − θ/π (θ = arccos), per-table collision p^planes,
+    * tables = ⌈log(1−recall) / log(1−p^planes)⌉. The OTHER half of the
+    * sizing family: [[planesFor]] holds COST (bucket occupancy)
+    * constant as n grows, which makes per-table collision shrink — so
+    * recall at a fixed similarity level decays unless tables grow with
+    * planes (measured: recall@10 0.40 → 0.22 across a 5× scale-up at
+    * tables = 4; near-duplicate neighbors with cos ≈ 1 keep p ≈ 1 and
+    * are retained regardless — the q101 planted-pair result). Clamped
+    * to [1, maxTables] since corpus-side cost is tables × the index. */
+  def tablesFor(planes: Int, cos: Double, recall: Double = 0.9,
+      maxTables: Int = 64): Int = {
+    require(planes >= 1 && cos > -1.0 && cos < 1.0 && recall > 0 && recall < 1)
+    val p = 1.0 - math.acos(cos) / math.Pi
+    val perTable = math.pow(p, planes.toDouble)
+    if (perTable >= 1.0) 1
+    else math.min(maxTables,
+      math.max(1, math.ceil(math.log1p(-recall) / math.log1p(-perTable)).toInt))
+  }
+
   /** IVF/k-means cell count by the k ≈ √n production rule (assignment
     * cost n·k per round stays n^1.5, cell size √n), clamped to
     * [1, maxK] so the centroid table remains broadcast-size. */

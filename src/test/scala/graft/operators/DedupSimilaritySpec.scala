@@ -220,6 +220,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Similarity.kFor(10000L) == 100)
     assert(Similarity.kFor(3L) == 2)
     assert(Similarity.kFor(Long.MaxValue, maxK = 65536) == 65536)
+    // tablesFor: the recall half of the sizing family. cos=0.9 →
+    // p = 1 - acos(0.9)/pi ≈ 0.857; p^4 ≈ 0.539; tables for R=0.9 =
+    // ceil(log(0.1)/log(0.461)) = 3. Near-identical pairs need 1 table;
+    // low-similarity targets blow past the clamp (the "wrong tool,
+    // use IVF" signal).
+    assert(Similarity.tablesFor(4, 0.9, 0.9) == 3)
+    // cos=0.999 → p ≈ 0.9858, p^8 ≈ 0.892 → 3 tables for R=0.99
+    assert(Similarity.tablesFor(8, 0.999, 0.99) == 3)
+    assert(Similarity.tablesFor(7, 0.35, 0.9, maxTables = 64) == 64)
     val corpus = (0L until 50L).map(i => (i, Seq(i.toFloat, 1.0f)))
       .toDF("id", "vec")
     val seeds = Similarity.seedCentroids(corpus, k = 5)
