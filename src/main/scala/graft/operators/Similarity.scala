@@ -659,34 +659,77 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Members of signature groups STRICTLY larger than this collapse to
+    * one representative before pair enumeration (see [[semanticDedup]]).
+    * Small groups — every correctness fixture — keep exact pairing. */
+  val DefaultMaxSigGroup = 16
+
+  /** Buckets holding more than this many reps after both collapses get
+    * a rank-neighborhood pair cap (logged, never silent). */
+  val DefaultMaxBucketReps = 4096
+
+  /** Pairing neighborhood (in rep-id rank order) inside capped buckets
+    * — the same bounded-approximation contract as EdgeDedup's. */
+  val CapNeighborhood = 64
+
   /** SemDeDup-style semantic deduplication: collapse groups of
     * embedding-near-duplicate documents to one representative each.
     *
-    * Near-dup PAIRS come from the multi-table sign-LSH join
-    * ([[cosineNearDupPairsTables]] — banded equi-join, never all-pairs);
-    * pairs chain into CLUSTERS via connected components (a cosine-0.9
-    * chain a~b~c is one duplication group even when cos(a,c) < θ —
-    * the same transitive-closure semantics the resolver applies to
-    * judgement pairs); each cluster keeps the member with the highest
-    * `weight` (ties → lowest id), everything else is marked dropped.
+    * Near-dup PAIRS come from the multi-table sign-LSH join (banded
+    * equi-join, never all-pairs); pairs chain into CLUSTERS via
+    * connected components (a cosine-0.9 chain a~b~c is one duplication
+    * group even when cos(a,c) < θ — the same transitive-closure
+    * semantics the resolver applies to judgement pairs); each cluster
+    * keeps the member with the highest `weight` (ties → lowest id),
+    * everything else is marked dropped.
     *
-    * 100 TB shape: candidate generation is a bucketed equi-join (the
-    * one stage whose exchange carries vectors — scored at the collision
-    * site like q92/q107), the component loop is the
+    * MEGA-CLUSTER DEFENSE (the round-9 25× finding): sign-LSH cannot
+    * split near-identical vectors — a hyperplane separates a pair with
+    * probability θ/π → 0 as cos → 1 — so a cluster of k near-identical
+    * documents lands in ONE bucket of every table at any plane count
+    * and naive enumeration is Ω(k²) with no occupancy knob to pull.
+    * Web-scale corpora contain exactly such clusters (boilerplate,
+    * templates, mirrored pages), so the pair stage applies EdgeDedup's
+    * two moves before enumerating:
+    *
+    *  1. EXACT-VECTOR COLLAPSE (semantics-preserving): bit-identical
+    *     vectors are interchangeable for every cosine predicate and
+    *     mutually duplicate by definition (cos = 1 ≥ θ), so each
+    *     distinct vector contributes ONE rep (min id). A dataset
+    *     emitting 100k copies of one embedding costs one rep, not
+    *     5·10⁹ pairs. Zero-norm vectors are excluded (their cosine is
+    *     NaN — exact semantics never merges them) and stay singletons.
+    *  2. SIGNATURE-GROUP COLLAPSE (bounded approximation, logged):
+    *     reps sharing the FULL tables×planes signature in groups
+    *     larger than `maxSigGroup` collapse to one weighted rep. Full
+    *     agreement over t·p independent hyperplanes is the LSH's own
+    *     evidence of cos ≈ 1 — a pair at cos 0.8 agrees on all 32
+    *     default planes with probability 0.795³² ≈ 7·10⁻⁴ — and the
+    *     move only fires on groups big enough that exact enumeration
+    *     is the scale hazard. Groups ≤ `maxSigGroup` (every oracle
+    *     fixture) keep exact per-member pairing, and collapsed group
+    *     reps still pair exactly against everything outside the group.
+    *  3. RESIDUAL BUCKET CAP (bounded approximation, logged): buckets
+    *     still exceeding `maxBucketReps` reps pair each rep only with
+    *     its [[CapNeighborhood]] nearest neighbors in rep-id rank
+    *     order — for the near-identical clusters that cause such
+    *     buckets, any chain connects the cluster, so connectivity is
+    *     preserved while pair cost drops from occ² to occ·64.
+    *
+    * 100 TB shape: the collapses are two keyed windows (vector, then
+    * signature); candidate generation is a bucketed equi-join over
+    * reps (the one stage whose exchange carries vectors — scored at
+    * the collision site like q92/q107); the component loop is the
     * hash-signature-barrier star contraction of [[ConnectedComponents]]
-    * over bare id pairs, and representative choice is a `max_by`
-    * partial aggregate — one shuffle keyed on component, no window, and
-    * no embedding payload on any shuffle past the scoring join.
+    * over bare rep pairs; members rejoin via two hash joins; and
+    * representative choice is a `max_by` partial aggregate — no
+    * embedding payload on any shuffle past the scoring join.
     *
-    * SIZING RULE (round-8 stress point): `planes` is the scale knob.
-    * 2^planes buckets per table means occupancy n/2^planes and
-    * in-bucket pair cost ∝ occupancy² — with planes FIXED the operator
-    * is quadratic in n. Hold occupancy constant instead:
-    * planes ≈ log2(n / targetBucketSize). Measured at n=10k (5× the
-    * bench corpus): planes=4 → 98.5 s, planes=7 (128-vector buckets) →
-    * 49.3 s; the q116 fixture pins planes=4 only because the oracle SQL
-    * bakes the hyperplane literals (graft.StressCheck re-derives this
-    * A/B on any stress directory).
+    * SIZING RULE (round-8 stress point): `planes` is the occupancy
+    * knob — hold occupancy constant via planes ≈ log2(n /
+    * targetBucketSize) ([[planesFor]], used by [[semanticDedupAuto]]);
+    * the collapses above are what keep the plan safe when occupancy
+    * sizing can't help because the occupants are near-identical.
     *
     * @param corpus  (id: long, vec: array<float>) embedding frame
     * @param weights (id: long, weight: long) representative preference
@@ -697,12 +740,112 @@ object Similarity {
   def semanticDedup(
       corpus: DataFrame, weights: DataFrame,
       dim: Int, threshold: Double,
-      planes: Int = 4, tables: Int = 8): DataFrame = {
+      planes: Int = 4, tables: Int = 8,
+      maxSigGroup: Int = DefaultMaxSigGroup,
+      maxBucketReps: Int = DefaultMaxBucketReps): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    require(maxSigGroup >= 1 && maxBucketReps >= 1)
+    import org.apache.spark.sql.expressions.Window
+
     val v = corpus.toDF("id", "vec")
-    val pairs = cosineNearDupPairsTables(v, dim, threshold, planes, tables)
-    val comp = ConnectedComponents.run(
-      v.select(col("id")), pairs.select(col("a"), col("b")))
-    ConnectedComponents.representatives(comp, weights)
+      .select(col("id"), asDouble(col("vec")).as("vec"))
+
+    // 1. exact-vector collapse: one window keyed on the vector itself
+    // (array equality — no hash-collision caveat); zero-norm vectors
+    // stay their own rep (cos(0,0) is NaN, never ≥ θ)
+    val exact = v
+      .withColumn("_nz", dot(col("vec"), col("vec")) > 0.0)
+      .withColumn("rep_id",
+        when(col("_nz"),
+          min(col("id")).over(Window.partitionBy(col("vec"))))
+          .otherwise(col("id")))
+    val memberMap = exact.select(col("id"), col("rep_id"))
+    val reps0 = exact.filter(col("id") === col("rep_id"))
+      .select(col("id").as("rid"), col("vec"), col("_nz"))
+
+    // 2. signature-group collapse over the full multi-table signature;
+    // degenerate (zero-norm) reps bypass — they can never pair anyway
+    val sigd = reps0.filter(col("_nz"))
+      .withColumn("bks", tableBucketsCol(col("vec"), dim, planes, tables))
+    val sw = Window.partitionBy(col("bks"))
+    val sigTagged = sigd
+      .withColumn("_smin", min(col("rid")).over(sw))
+      .withColumn("_scnt", count(lit(1)).over(sw))
+      .withColumn("sig_rep",
+        when(col("_scnt") > maxSigGroup, col("_smin")).otherwise(col("rid")))
+      .persist()
+    val sigMap = sigTagged.select(col("rid"), col("sig_rep"))
+    val pairReps = sigTagged.filter(col("rid") === col("sig_rep"))
+      .select(col("rid"), col("vec"), col("bks"))
+
+    // loud, bounded probes (EdgeDedup's contract: approximations are
+    // logged, never silent); one small collect each
+    val collapsedGroups = sigTagged
+      .filter(col("_scnt") > maxSigGroup && col("rid") === col("_smin"))
+      .select(col("rid"), col("_scnt")).limit(5)
+      .collect().map(r => s"rep=${r.get(0)} members=${r.get(1)}")
+    if (collapsedGroups.nonEmpty)
+      System.err.println(
+        s"[graft] semanticDedup: signature-group collapse (> $maxSigGroup " +
+          s"members share the full LSH signature) applied to group(s): " +
+          collapsedGroups.mkString(", ") + " ...")
+
+    val ex = pairReps.select(col("rid"), col("vec"), explode(col("bks")).as("bk"))
+    val capped = ex.groupBy(col("bk")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucketReps).select(col("bk")).limit(5)
+      .collect().map(_.get(0).toString)
+
+    // 3. pair enumeration: score at the collision site, dedupe on the
+    // bare (a, b, cosine) triple — never an embedding on the dedupe
+    // exchange (the q107/q116 shape)
+    val pairs = (if (capped.isEmpty) {
+      ex.select(col("rid").as("a"), col("vec").as("va"), col("bk"))
+        .join(ex.select(col("rid").as("b"), col("vec").as("vb"), col("bk")), "bk")
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cosine"))
+    } else {
+      System.err.println(
+        s"[graft] semanticDedup: pair cap (neighborhood=$CapNeighborhood) " +
+          s"applied to bucket(s) over $maxBucketReps reps: " +
+          capped.mkString(", ") + " ...")
+      val ranked = ex
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("bk")).orderBy(col("rid"))))
+        .withColumn("bn", max(col("rnk")).over(Window.partitionBy(col("bk"))))
+      ranked.select(col("bk"), col("rid").as("a"), col("vec").as("va"),
+          col("rnk").as("ra"), col("bn"))
+        .join(ranked.select(col("bk"), col("rid").as("b"), col("vec").as("vb"),
+          col("rnk").as("rb")), "bk")
+        .filter(col("a") < col("b"))
+        .filter(col("bn") <= maxBucketReps ||
+          abs(col("rb") - col("ra")) <= CapNeighborhood)
+        .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cosine"))
+    })
+      .filter(col("cosine") >= threshold)
+      .dropDuplicates("a", "b")
+
+    // components over PAIR REPS; members rejoin through the two
+    // collapse maps (component = min sig_rep = min rid = min member id,
+    // so labels are identical to the uncollapsed semantics)
+    val nodes = pairReps.select(col("rid").as("id"))
+      .unionByName(reps0.filter(!col("_nz")).select(col("rid").as("id")))
+    // run() materializes `pairs` at entry (its first signature scan is
+    // an action), so after it returns only the small (rid, sig_rep)
+    // map still needs sigTagged — checkpoint that map eagerly (two
+    // longs per rep) and release the cached signature frame
+    val comp = ConnectedComponents.run(nodes, pairs.select(col("a"), col("b")))
+    val sigMapC = sigMap.localCheckpoint(true)
+    sigTagged.unpersist(blocking = false)
+    val repComp = sigMapC
+      .join(comp, sigMapC("sig_rep") === comp("id"))
+      .select(col("rid"), col("component"))
+      .unionByName(reps0.filter(!col("_nz"))
+        .select(col("rid"), col("rid").as("component")))
+    val memberComp = memberMap
+      .join(repComp, memberMap("rep_id") === repComp("rid"))
+      .select(memberMap("id"), col("component"))
+    ConnectedComponents.representatives(memberComp, weights)
   }
 
   // ---------------------------------------------------------------
@@ -752,22 +895,22 @@ object Similarity {
     * count over the id column; the q116 fixture keeps explicit planes
     * only because its oracle bakes the hyperplane literals).
     *
-    * Regime guidance (the 25× ProbeSemDedup measurement, STRESS.md
-    * round 9): occupancy sizing assumes dup groups are SMALL — a
-    * hyperplane separates two vectors with probability θ/π, so a
-    * cluster of near-identical vectors (cos ≈ 1) lands in ONE bucket
-    * at any plane count and pair enumeration is Ω(n · cluster_size).
-    * That is linear in n but with the cluster size as the constant;
-    * for corpora dominated by large near-identical clusters prefer
-    * the trained-quantizer path ([[kmeansCentroids]] +
-    * [[cellAssignments]] / [[ivfTopK]], exponent 0.77 over the same
-    * decade) and dedup per cell. */
+    * Regime guidance: occupancy sizing handles the SMALL-dup-group
+    * regime; the round-9 25× probe showed near-identical clusters
+    * (cos ≈ 1) defeat any plane count, which is what the exact-vector
+    * and signature-group collapses plus the bucket cap inside
+    * [[semanticDedup]] now absorb (round-10). The trained-quantizer
+    * path ([[kmeansCentroids]] + [[cellAssignments]] / [[ivfTopK]])
+    * remains the alternative when per-cell dedup fits the workload. */
   def semanticDedupAuto(
       corpus: DataFrame, weights: DataFrame,
       dim: Int, threshold: Double,
-      targetBucketSize: Long = 128, tables: Int = 8): DataFrame = {
+      targetBucketSize: Long = 128, tables: Int = 8,
+      maxSigGroup: Int = DefaultMaxSigGroup,
+      maxBucketReps: Int = DefaultMaxBucketReps): DataFrame = {
     val n = corpus.select(corpus.columns.head).count()
-    semanticDedup(corpus, weights, dim, threshold, planesFor(n, targetBucketSize), tables)
+    semanticDedup(corpus, weights, dim, threshold,
+      planesFor(n, targetBucketSize), tables, maxSigGroup, maxBucketReps)
   }
 
   /** Deterministic k-means seeding for [[kmeansCentroids]]: the k

@@ -1548,6 +1548,103 @@ object PipelineQueries {
            |JOIN rep r ON c.component = r.component AND r.rn = 1""".stripMargin
       }),
 
+    // Mega-cluster-safe semantic dedup (the round-9 25× finding made a
+    // gate): the corpus plants (a) a 3001-member EXACT-duplicate
+    // cluster per %500==7 base vector — the boilerplate/template shape
+    // that made in-bucket pair enumeration Ω(cluster²) — which the
+    // exact-vector collapse reduces to ONE rep before any pairing, and
+    // (b) a 41-member NEAR-identical cluster per %500==11 base vector
+    // (perturbations ~1e-7, pairwise cosine ≈ 1) large enough to trip
+    // the signature-group collapse (> 16 members share the full
+    // 8-table×4-plane signature). Both defenses must reproduce the
+    // EXACT transitive-closure semantics here: the oracle replays the
+    // uncollapsed math — with its own legitimate identical-vector
+    // grouping so the replay stays polynomial — and hash-checks
+    // clusters, sizes, and weighted representatives on both seeds.
+    decl("q184_semantic_dedup_megacluster",
+      (s, d) => {
+        val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val mega = base.filter(col("vec_id") % 500 === 7)
+          .crossJoin(s.range(0, 3000).toDF("j"))
+          .select((lit(100000000L) + col("vec_id") * 10000L + col("j")).as("vec_id"),
+            col("embedding"))
+        val near = base.filter(col("vec_id") % 500 === 11)
+          .crossJoin(s.range(0, 40).toDF("j"))
+          .select((lit(200000000L) + col("vec_id") * 10000L + col("j")).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              x + (col("j") + lit(1L)) * lit(1e-7) *
+                when(i % 2 === 0, lit(1.0)).otherwise(lit(-1.0))).as("embedding"))
+        val corpus = base.unionByName(mega).unionByName(near)
+        val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        // planted NEAR members carry weights straddling the base's, so
+        // the weighted-representative pick is exercised on a collapsed
+        // cluster; MEGA copies carry none (weightless ranks lowest)
+        val weights = docs.unionByName(
+          docs.filter(col("doc_id") % 500 === 11)
+            .crossJoin(s.range(0, 40).toDF("j"))
+            .select((lit(200000000L) + col("doc_id") * 10000L + col("j")).as("doc_id"),
+              (col("n_chars") + col("j") % 5 - 2).as("n_chars")))
+        Similarity.semanticDedup(corpus, weights,
+          dim = 64, threshold = 0.8, planes = 4, tables = 8)
+      },
+      {
+        val mtTables = (0 until 8).map { tbl =>
+          val bits = (0 until 4).map { p =>
+            val abs = tbl * 4 + p
+            val plane = (0 until 64)
+              .map(dd => if (Similarity.planeSign(abs, dd) > 0) "1.0" else "-1.0")
+              .mkString("[", ",", "]")
+            s"(CASE WHEN list_inner_product(v, $plane::DOUBLE[]) > 0 THEN ${1L << p} ELSE 0 END)"
+          }.mkString(" + ")
+          s"SELECT rid, v, $tbl AS tbl, $bits AS bits FROM reps"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH RECURSIVE eb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |mega AS (SELECT 100000000 + vec_id * 10000 + j AS vec_id, v
+           |  FROM eb, generate_series(0, 2999) AS g(j) WHERE vec_id % 500 = 7),
+           |nr AS (SELECT 200000000 + vec_id * 10000 + j AS vec_id,
+           |    list_transform(generate_series(1, 64),
+           |      i -> v[i] + (j + 1) * 1e-7 *
+           |        (CASE WHEN (i - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END)) AS v
+           |  FROM eb, generate_series(0, 39) AS g(j) WHERE vec_id % 500 = 11),
+           |e AS (SELECT * FROM eb UNION ALL SELECT * FROM mega
+           |  UNION ALL SELECT * FROM nr),
+           |reps AS (SELECT MIN(vec_id) AS rid, v FROM e GROUP BY v),
+           |mtb AS (
+           |  $mtTables),
+           |cand AS (
+           |  SELECT DISTINCT l.rid AS a, r.rid AS b
+           |  FROM mtb l JOIN mtb r ON l.tbl = r.tbl AND l.bits = r.bits
+           |  WHERE l.rid < r.rid),
+           |pairs AS (
+           |  SELECT a, b FROM cand
+           |  JOIN reps ra ON cand.a = ra.rid
+           |  JOIN reps rb ON cand.b = rb.rid
+           |  WHERE list_cosine_similarity(ra.v, rb.v) >= 0.8),
+           |sym AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+           |reach(id, m) AS (
+           |  SELECT rid, rid FROM reps
+           |  UNION
+           |  SELECT r.id, s.y FROM reach r JOIN sym s ON r.m = s.x),
+           |rcomp AS (SELECT id, MIN(m) AS component FROM reach GROUP BY id),
+           |memb AS (SELECT e.vec_id AS id, r.rid FROM e JOIN reps r ON e.v = r.v),
+           |comp AS (SELECT memb.id, rcomp.component
+           |  FROM memb JOIN rcomp ON memb.rid = rcomp.id),
+           |wts AS (SELECT doc_id, n_chars FROM documents
+           |  UNION ALL
+           |  SELECT 200000000 + doc_id * 10000 + j, n_chars + j % 5 - 2
+           |  FROM documents, generate_series(0, 39) AS g(j) WHERE doc_id % 500 = 11),
+           |wt AS (SELECT c.id, c.component, w.n_chars
+           |  FROM comp c LEFT JOIN wts w ON c.id = w.doc_id),
+           |rep AS (SELECT component, id,
+           |    row_number() OVER (PARTITION BY component
+           |      ORDER BY n_chars DESC NULLS LAST, id ASC) AS rn
+           |  FROM wt)
+           |SELECT c.component, r.id AS kept_id, c.n_members
+           |FROM (SELECT component, COUNT(*)::BIGINT AS n_members
+           |      FROM comp GROUP BY component) c
+           |JOIN rep r ON c.component = r.component AND r.rn = 1""".stripMargin
+      }),
+
     // q93's IVF through the PRODUCTION sizing: k = kFor(n) ≈ √n
     // centroids seeded by Similarity.seedCentroids (smallest portable
     // hash60 of the id — exactly replayed by the oracle's sqlHash60,

@@ -212,6 +212,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(auto == out)
   }
 
+  test("semantic dedup mega-cluster defenses: exact collapse, sig collapse, bucket cap") {
+    val base = Seq(1.0f, 2.0f, -1.0f, 0.5f)
+    // 1000 bit-identical copies of `base` — exact-vector collapse path
+    val mega = (0 until 1000).map(j => (100L + j, base))
+    // 30 near-identical perturbations (pairwise cos ≈ 1) of a vector
+    // with odd-parity integer components, so no hyperplane dot can sit
+    // at zero and the full signatures genuinely coincide — the
+    // signature-group collapse path (30 > DefaultMaxSigGroup)
+    val nearBase = Seq(-3.0f, 1.0f, 2.0f, -1.0f)
+    val near = (0 until 30).map(j =>
+      (5000L + j, nearBase.zipWithIndex.map { case (x, i) =>
+        x + (j + 1) * 1e-6f * (if (i % 2 == 0) 1 else -1) }.toSeq))
+    // two zero vectors: cosine undefined (NaN), must stay singletons
+    val zeros = Seq((9001L, Seq(0f, 0f, 0f, 0f)), (9002L, Seq(0f, 0f, 0f, 0f)))
+    val corpus = ((5L, base) +: (mega ++ near ++ zeros)).toDF("id", "vec")
+    val weights = Seq((5L, 1L), (500L, 9L), (5003L, 7L)).toDF("id", "weight")
+    val out = Similarity.semanticDedup(corpus, weights, dim = 4,
+        threshold = 0.9, planes = 4, tables = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((5L, 500L, 1001L), (5000L, 5003L, 30L),
+      (9001L, 9001L, 1L), (9002L, 9002L, 1L)))
+    // force the RESIDUAL BUCKET CAP instead (sig collapse disabled via
+    // a huge maxSigGroup; 1 plane → 2 fat buckets → cap at 4 reps):
+    // near-identical members chain through the rank neighborhood, so
+    // the clusters are preserved under the bounded approximation
+    val capped = Similarity.semanticDedup(corpus, weights, dim = 4,
+        threshold = 0.9, planes = 1, tables = 2,
+        maxSigGroup = 1000000, maxBucketReps = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped == out)
+  }
+
   test("sizing rules: planesFor holds occupancy, kFor is sqrt, seeds deterministic") {
     // the measured round-8 stress point: n=10k, target 128 → 7 planes
     assert(Similarity.planesFor(10000L, 128) == 7)
