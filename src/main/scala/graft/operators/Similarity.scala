@@ -699,16 +699,21 @@ object Similarity {
     *     emitting 100k copies of one embedding costs one rep, not
     *     5·10⁹ pairs. Zero-norm vectors are excluded (their cosine is
     *     NaN — exact semantics never merges them) and stay singletons.
-    *  2. SIGNATURE-GROUP COLLAPSE (bounded approximation, logged):
-    *     reps sharing the FULL tables×planes signature in groups
-    *     larger than `maxSigGroup` collapse to one weighted rep. Full
-    *     agreement over t·p independent hyperplanes is the LSH's own
-    *     evidence of cos ≈ 1 — a pair at cos 0.8 agrees on all 32
-    *     default planes with probability 0.795³² ≈ 7·10⁻⁴ — and the
-    *     move only fires on groups big enough that exact enumeration
-    *     is the scale hazard. Groups ≤ `maxSigGroup` (every oracle
-    *     fixture) keep exact per-member pairing, and collapsed group
-    *     reps still pair exactly against everything outside the group.
+    *  2. θ-VERIFIED SIGNATURE-GROUP COLLAPSE (logged): in groups
+    *     larger than `maxSigGroup` sharing the FULL tables×planes
+    *     signature, each member is scored against the group rep (min
+    *     id) and contracts into it ONLY when cos(member, rep) ≥ θ —
+    *     so every contracted edge is a genuine θ-pair that exact
+    *     semantics would find in the shared bucket anyway. Members
+    *     failing the check stay individual pair reps (the second-seed
+    *     sweep caught why this matters: on cluster-structured corpora
+    *     whole latent clusters share signatures at low plane counts,
+    *     and an unverified contraction over-merged sub-θ members).
+    *     Residual approximation, by construction conservative: a chain
+    *     from an outside vector THROUGH a contracted member is only
+    *     found via the rep — for the cos≈1 clusters this defense
+    *     targets, angle(x, rep) ≤ angle(x, member) + ε, so the loss is
+    *     an ε-boundary effect, never a false merge.
     *  3. RESIDUAL BUCKET CAP (bounded approximation, logged): buckets
     *     still exceeding `maxBucketReps` reps pair each rep only with
     *     its [[CapNeighborhood]] nearest neighbors in rep-id rank
@@ -772,8 +777,12 @@ object Similarity {
     val sigTagged = sigd
       .withColumn("_smin", min(col("rid")).over(sw))
       .withColumn("_scnt", count(lit(1)).over(sw))
+      .withColumn("_repvec", min_by(col("vec"), col("rid")).over(sw))
       .withColumn("sig_rep",
-        when(col("_scnt") > maxSigGroup, col("_smin")).otherwise(col("rid")))
+        when(col("_scnt") > maxSigGroup &&
+            cosine(col("vec"), col("_repvec")) >= threshold,
+          col("_smin")).otherwise(col("rid")))
+      .drop("_repvec")
       .persist()
     val sigMap = sigTagged.select(col("rid"), col("sig_rep"))
     val pairReps = sigTagged.filter(col("rid") === col("sig_rep"))

@@ -169,6 +169,71 @@ object Snapshot {
     require(f.rename(tmp, cur), s"pointer swap failed for v$version")
   }
 
+  /** A CAS commit lost its race: CURRENT advanced past the version the
+    * writer read (its prepared manifest is stale), or another writer
+    * holds the claim on the target version. Retryable by construction:
+    * re-read CURRENT, re-derive the manifest from it, commit again. */
+  final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  /** Atomically claim `version` for one writer: FileSystem.create with
+    * overwrite=false on the version's claim marker — atomic on
+    * HDFS/posix; object stores substitute their conditional put behind
+    * the same API. Returns whether THIS caller won the claim. */
+  def claimVersion(spark: SparkSession, root: String, version: Long): Boolean = {
+    val f = fs(spark, new Path(root))
+    f.mkdirs(new Path(s"$root/claim"))
+    val marker = new Path(s"$root/claim/v$version")
+    try {
+      val out = f.create(marker, false)
+      out.write(s"v$version".getBytes("UTF-8"))
+      out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+  }
+
+  /** Release an orphaned claim (a writer that claimed a version and
+    * died before publishing). Admin/vacuum escape hatch — never called
+    * on the commit path, where a lost claim means retry-at-next. */
+  def releaseClaim(spark: SparkSession, root: String, version: Long): Unit =
+    fs(spark, new Path(root)).delete(new Path(s"$root/claim/v$version"), false)
+
+  /** Optimistic-concurrency commit (the Iceberg-style CAS seam on top
+    * of [[commit]]): the writer read `expected` as CURRENT (-1 for an
+    * empty table), derived its manifest from that snapshot, and
+    * publishes as `expected + 1` iff
+    *
+    *  1. CURRENT still equals `expected` (a stale read means the
+    *     prepared manifest is missing a concurrent commit's files — a
+    *     lost update if published), and
+    *  2. it WINS the atomic [[claimVersion]] of `expected + 1` —
+    *     exactly one of N racing writers does.
+    *
+    * Losers raise [[CommitConflictException]] BEFORE touching data or
+    * manifest directories (loud, retryable, no cleanup needed); the
+    * winner writes data + manifest and swaps the pointer forward. A
+    * writer crashing between claim and publish leaves an orphaned
+    * claim that blocks that one version number until
+    * [[releaseClaim]] — version numbers are cheap and the table is
+    * never half-published. Returns the committed version. */
+  def commitCas(spark: SparkSession, root: String, expected: Long,
+      df: DataFrame, manifest: DataFrame): Long = {
+    val f = fs(spark, new Path(root))
+    val cur = new Path(s"$root/_CURRENT")
+    val current: Long =
+      if (!f.exists(cur)) -1L else currentVersion(spark, root).drop(1).toLong
+    if (current != expected)
+      throw new CommitConflictException(
+        s"CAS commit: CURRENT is v$current but the writer prepared " +
+          s"against v$expected — re-read and re-derive the manifest")
+    val version = expected + 1
+    if (!claimVersion(spark, root, version))
+      throw new CommitConflictException(
+        s"CAS commit: version v$version already claimed by another " +
+          s"writer — re-read CURRENT and retry")
+    commit(spark, root, version, df, manifest)
+    version
+  }
+
   /** Swap the CURRENT pointer to `version` iff it moves FORWARD
     * (version ≥ the pointed one). The forward-only rule is what makes
     * at-least-once writers (streaming foreachBatch retries) safe: a

@@ -69,8 +69,17 @@ object Statistics {
     * schema name (the reference reads FtM YAML labels); country labels
     * are the codes; fill_rate is fixed-point DECIMAL(8,6) so the bytes
     * are engine-independent. `entities` may carry an optional
-    * `last_change` string column. */
-  def statisticsJson(entities: DataFrame): DataFrame = {
+    * `last_change` string column.
+    *
+    * `programRegistry` (round-10): when supplied — a
+    * [[Programs.registry]]-validated (program_key, title) frame — the
+    * sanctions program facet carries each program's registry title
+    * (`"title":"..."`, or `null` for an unregistered programId),
+    * mirroring the reference's Program join at
+    * exporters/statistics.py:114,141. Broadcast: the registry is
+    * dimension-sized at any corpus scale. */
+  def statisticsJson(entities: DataFrame,
+      programRegistry: Option[DataFrame] = None): DataFrame = {
     import graft.model.FtmModel
     val jesc = (c: org.apache.spark.sql.Column) => Exporters.jesc(c)
     val risks = lit(FtmModel.riskTopics.toSeq.sorted.toArray)
@@ -141,14 +150,31 @@ object Statistics {
     val thingCountries = countryFacet(e.filter(col("is_thing")), "things_countries_json")
     val targetCountries = countryFacet(e.filter(col("is_target")), "targets_countries_json")
 
-    val programs = fragment(
-      e.filter(col("schema") === "Sanction")
-        .select(explode(coalesce(element_at(props, "programId"),
-          array().cast("array<string>"))).as("pid"))
-        .groupBy(col("pid")).agg(count(lit(1)).as("cnt")),
-      "programs_json",
-      concat(lit("{\"id\":\""), jesc(col("pid")), lit("\",\"count\":"), col("cnt"), lit("}")),
-      struct(col("pid")))
+    val programCounts = e.filter(col("schema") === "Sanction")
+      .select(explode(coalesce(element_at(props, "programId"),
+        array().cast("array<string>"))).as("pid"))
+      .groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+    val programs = programRegistry match {
+      case None =>
+        fragment(programCounts, "programs_json",
+          concat(lit("{\"id\":\""), jesc(col("pid")),
+            lit("\",\"count\":"), col("cnt"), lit("}")),
+          struct(col("pid")))
+      case Some(reg) =>
+        fragment(
+          programCounts.join(
+            broadcast(reg.select(col("program_key").as("pid"),
+              col("title").as("_title"))),
+            Seq("pid"), "left"),
+          "programs_json",
+          concat(lit("{\"id\":\""), jesc(col("pid")),
+            lit("\",\"count\":"), col("cnt"), lit(",\"title\":"),
+            when(col("_title").isNotNull,
+              concat(lit("\""), jesc(col("_title")), lit("\"")))
+              .otherwise(lit("null")),
+            lit("}")),
+          struct(col("pid")))
+    }
 
     val withProp = e.select(col("schema"), explode(map_keys(props)).as("p"))
       .groupBy(col("schema"), col("p")).agg(count(lit(1)).as("cnt"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AutoMerge, EdgeDedup, Enricher, Validators}
+import graft.operators.{AutoMerge, ConnectedComponents, EdgeDedup, Enricher, Validators}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Q._
@@ -344,6 +344,74 @@ object ResolverQueries {
         |FROM (SELECT 'c' || c_custkey::VARCHAR AS id FROM customer) n
         |LEFT JOIN live ON n.id = live.b""".stripMargin),
 
+    // R1 (negative half) + R2 end to end: the signature
+    // entity-resolution semantics — automatic judgements from the REAL
+    // rule engine feed the negative-constrained closure
+    // (zavod/zavod/integration/dedupe.py:22-39: negative judgements
+    // veto cluster joins). Family A runs consecutive candidate pairs
+    // (k, k+1) through AutoMerge.decide with Vessel IMO+name inputs
+    // arranged so POSITIVE fires iff k % 4 != 3 — merged runs of up to
+    // four entities; family B runs skip-one pairs (k, k+2) through the
+    // Pakistani disjoint-ids rule, NEGATIVE iff k % 8 ∈ {1, 3}. A
+    // k≡1 (mod 8) negative spans one merged run (veto fires); a k≡3
+    // negative straddles two runs (no veto) — both outcomes occur on
+    // any key set. Both pair families require BOTH endpoints to exist
+    // (the q90 second-seed lesson), and the oracle replays decisions,
+    // closure (recursive CTE) and veto with no contiguity assumption.
+    decl("q185_negative_constrained_closure",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val keys = c.select(col("c_custkey").as("k"))
+        val arr1 = (v: Column) => array(v)
+        val pairsA = keys.alias("l")
+          .join(keys.alias("r"), col("l.k") + 1 === col("r.k"))
+          .select(col("l.k").as("a"), col("r.k").as("b"))
+        val decidedA = pairsA.withColumn("res", AutoMerge.decide(
+          lit("Vessel"),
+          arr1(concat(lit("IM"), col("a").cast("string"))),
+          arr1(concat(lit("IM"), col("a").cast("string"))),
+          arr1(lit("Alpha")),
+          when(col("a") % 4 =!= 3, arr1(lit("alpha"))).otherwise(arr1(lit("Beta"))),
+          EmptyArr, EmptyArr, arr1(lit("us")), arr1(lit("ca")),
+          EmptyArr, EmptyArr, EmptyArr, EmptyArr, EmptyArr, EmptyArr,
+          EmptyArr, EmptyArr))
+        val pairsB = keys.alias("l")
+          .join(keys.alias("r2"), col("l.k") + 2 === col("r2.k"))
+          .select(col("l.k").as("a"), col("r2.k").as("b"))
+        val pkGate = col("a") % 8 === 1 || col("a") % 8 === 3
+        val decidedB = pairsB.withColumn("res", AutoMerge.decide(
+          lit("Person"),
+          EmptyArr, EmptyArr, arr1(lit("Alpha")), arr1(lit("Beta")),
+          EmptyArr, EmptyArr, arr1(lit("us")), arr1(lit("ca")),
+          EmptyArr, EmptyArr, EmptyArr, EmptyArr, EmptyArr, EmptyArr,
+          when(pkGate, arr1(concat(lit("P"), col("a").cast("string"))))
+            .otherwise(EmptyArr),
+          when(pkGate, arr1(concat(lit("Q"), col("a").cast("string"))))
+            .otherwise(EmptyArr)))
+        val pos = decidedA.filter(col("res.decision") === AutoMerge.Positive)
+          .select(col("a"), col("b"))
+        val neg = decidedB.filter(col("res.decision") === AutoMerge.Negative)
+          .select(col("a"), col("b"))
+        ConnectedComponents.runWithNegatives(
+          keys.select(col("k").as("id")), pos, neg)
+      },
+      """WITH RECURSIVE ex AS (SELECT c_custkey AS k FROM customer),
+        |pos AS (SELECT a.k AS a, b.k AS b FROM ex a
+        |  JOIN ex b ON b.k = a.k + 1 WHERE a.k % 4 != 3),
+        |neg AS (SELECT a.k AS a, b.k AS b FROM ex a
+        |  JOIN ex b ON b.k = a.k + 2 WHERE a.k % 8 IN (1, 3)),
+        |sym AS (SELECT a AS x, b AS y FROM pos UNION SELECT b, a FROM pos),
+        |reach(id, m) AS (
+        |  SELECT k, k FROM ex
+        |  UNION
+        |  SELECT r.id, s.y FROM reach r JOIN sym s ON r.m = s.x),
+        |comp AS (SELECT id, MIN(m) AS component FROM reach GROUP BY id),
+        |vet AS (SELECT DISTINCT ca.component FROM neg
+        |  JOIN comp ca ON neg.a = ca.id
+        |  JOIN comp cb ON neg.b = cb.id AND ca.component = cb.component)
+        |SELECT c.id, c.component, (vet.component IS NOT NULL) AS vetoed
+        |FROM comp c LEFT JOIN vet ON c.component = vet.component""".stripMargin),
+
     // P3/J13: schema-subtree filter + stateful position categorisation.
     decl("q91_schema_filter_positions",
       (s, d) => {
@@ -365,6 +433,32 @@ object ResolverQueries {
         |       WHEN c_custkey % 8 = 0 THEN 'rejected'
         |       ELSE 'pending' END AS category
         |FROM customer WHERE c_custkey % 4 = 0""".stripMargin),
+
+    // K9 adjunct (stateful/programs.py:240-248): the keyed program
+    // registry with duplicate-key assertion, then the dangling-program
+    // validator — Sanction programId values that resolve to no
+    // registry key, the q08 anti-join shape against a broadcast
+    // dimension. The oracle replays the anti-join itself (no
+    // closed-form key-domain assumption — nation keys are bijected on
+    // the second seed, so which programs dangle changes with the seed).
+    decl("q187_program_registry",
+      (s, d) => {
+        val reg = graft.operators.Programs.registry(
+          t(s, d, "nation").select(
+            concat(lit("PRG"), col("n_nationkey").cast("string")).as("program_key"),
+            col("n_name").as("title")))
+        val sanctions = t(s, d, "orders")
+          .filter(col("o_orderkey") % 5 === 1)
+          .select(concat(lit("s"), col("o_orderkey").cast("string")).as("sid"),
+            concat(lit("PRG"), (col("o_orderkey") % 40).cast("string")).as("pk"))
+        graft.operators.Programs.danglingPrograms(
+          sanctions, col("sid"), col("pk"), reg)
+      },
+      """SELECT 's' || o_orderkey::VARCHAR AS id,
+        |  'PRG' || (o_orderkey % 40)::VARCHAR AS program_key
+        |FROM orders WHERE o_orderkey % 5 = 1
+        |  AND 'PRG' || (o_orderkey % 40)::VARCHAR NOT IN
+        |    (SELECT 'PRG' || n_nationkey::VARCHAR FROM nation)""".stripMargin),
 
     // K12: DB load with first-row-wins conflict handling.
     decl("q87_db_load_firstwins",

@@ -90,9 +90,10 @@ object SelectionQueries {
          |FROM cs JOIN dp ON cs.c = dp.c GROUP BY 1""".stripMargin)
 
   /** Shared BM25 oracle chain (WITH w … sc) — q133 ranks it directly,
-    * q169 fuses it with the semantic ranking. */
-  private val bm25Ctes: String =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    * q169/q179 fuse it with a semantic ranking. `qLimit` appends an
+    * ORDER BY/LIMIT to the query-set CTE (q169's pinned-100 cap). */
+  private def bm25Ctes(qLimit: String = ""): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |tg AS (SELECT doc_id, len(w)::BIGINT AS dl,
       |  unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
       |    i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS term FROM w),
@@ -100,7 +101,7 @@ object SelectionQueries {
       |       FROM tg GROUP BY 1, 2),
       |stats AS (SELECT COUNT(*)::BIGINT AS n_docs, AVG(len(w)::DOUBLE) AS avgdl FROM w),
       |dfr AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
-      |q AS (SELECT doc_id AS qid, w[1:8] AS qw FROM w WHERE doc_id % 37 = 3),
+      |q AS (SELECT doc_id AS qid, w[1:8] AS qw FROM w WHERE doc_id % 37 = 3$qLimit),
       |qt AS (SELECT DISTINCT qid,
       |  unnest(list_transform(generate_series(1, greatest(len(qw) - 2, 0)),
       |    i -> qw[i] || '_' || qw[i+1] || '_' || qw[i+2])) AS term FROM q),
@@ -132,7 +133,7 @@ object SelectionQueries {
         Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
           qs, col("qid"), col("qt"), n = 3, k = 10)
       },
-      bm25Ctes +
+      bm25Ctes() +
       """
         |SELECT qid, doc_id, n_terms_hit, score, rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::BIGINT AS rank
@@ -320,10 +321,19 @@ object SelectionQueries {
     // fusion is engine-portable without any tolerance. The full-outer
     // join shape is the production one: neither ranker's misses block
     // the other's hits.
+    //
+    // ROLE + SCOPE (round-10): this is the exact-cosine RECALL
+    // BASELINE for q179's production LSH arm, so its query set is
+    // capped at the first 100 %37==3 ids — the exact arm then costs
+    // O(100·n), a measurement of recall-baseline quality rather than a
+    // deliberately-quadratic (n²/37) bench member. At the sf0.01 gate
+    // the cap does not bind (≈13 queries), so oracle semantics are
+    // unchanged; at the 25× stress point it caps 1350 queries at 100.
     decl("q169_rrf_fusion",
       (s, d) => {
         val docs = t(s, d, "documents")
         val qs = docs.where(col("doc_id") % 37 === 3)
+          .orderBy(col("doc_id")).limit(100)
           .select(col("doc_id").as("qid"),
             concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("qt"))
         val lex = Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
@@ -331,7 +341,8 @@ object SelectionQueries {
           .select(col("qid"), col("doc_id"), col("rank").as("r_lex"))
         val e = t(s, d, "embeddings")
         val sem = Similarity.cosineTopK(
-            e.where(col("vec_id") % 37 === 3).select(col("vec_id"), col("embedding")),
+            e.where(col("vec_id") % 37 === 3).orderBy(col("vec_id")).limit(100)
+              .select(col("vec_id"), col("embedding")),
             e.select(col("vec_id"), col("embedding")), k = 10)
           .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"),
             col("rank").as("r_sem"))
@@ -349,13 +360,13 @@ object SelectionQueries {
           coalesce(col("r_sem"), lit(0L)).as("r_sem"),
           col("rrf"), col("rank_fused"))
       },
-      bm25Ctes + """,
+      bm25Ctes(" ORDER BY doc_id LIMIT 100") + """,
         |lex AS (SELECT qid, doc_id, rank AS r_lex FROM (
         |  SELECT qid, doc_id,
         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::BIGINT AS rank
         |  FROM sc) WHERE rank <= 10),
         |qe AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
-        |       WHERE vec_id % 37 = 3),
+        |       WHERE vec_id % 37 = 3 ORDER BY vec_id LIMIT 100),
         |ce AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nv FROM embeddings),
         |semsc AS (SELECT qid, nid, list_cosine_similarity(qv, nv) AS cos
         |          FROM qe, ce WHERE qid != nid),
@@ -431,7 +442,7 @@ object SelectionQueries {
           }.mkString(" + ")
           s"SELECT vec_id, v, $tbl AS tbl, $bits AS bits FROM e"
         }.mkString("\n  UNION ALL\n  ")
-        bm25Ctes + s""",
+        bm25Ctes() + s""",
           |lex AS (SELECT qid, doc_id, rank AS r_lex FROM (
           |  SELECT qid, doc_id,
           |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::BIGINT AS rank
@@ -460,5 +471,72 @@ object SelectionQueries {
           |SELECT qid, doc_id, r_lex, r_sem, rrf, rank_fused FROM (
           |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id)::BIGINT AS rank_fused
           |  FROM fu) WHERE rank_fused <= 5""".stripMargin
+      }),
+
+    // ANN RECALL is now a gate, not just a probe: recall@10 of q179's
+    // production arm (auto-sized multi-table sign-LSH) against the
+    // exact top-10, per query, hash-checked — so the sublinear fusion
+    // cannot silently trade recall for speed as the corpus grows (the
+    // round-9 ProbeAnnRecall finding, promoted per the verdict). The
+    // oracle replays BOTH arms: brute-force cosine ranking and the
+    // sized-plane LSH candidates (the q179 bake), then the per-query
+    // found/exact counts and the decimal-quantized ratio.
+    decl("q186_ann_recall_gate",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val corpus = e.select(col("vec_id"), col("embedding"))
+        val qs = e.where(col("vec_id") % 37 === 3)
+          .select(col("vec_id"), col("embedding"))
+        val exact = Similarity.cosineTopK(qs, corpus, k = 10)
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = Similarity.cosineTopKLshTablesAuto(qs, corpus,
+            k = 10, dim = 64, targetBucketSize = 128, tables = 4)
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+        exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+          .select(col("query_id"), col("n_exact"), col("n_found"),
+            (col("n_found").cast("double") / col("n_exact").cast("double"))
+              .cast("decimal(12,6)").cast("double").as("recall"))
+      },
+      {
+        val autoPlanes = Similarity.planesFor(500L, 128)
+        val mtTables = (0 until 4).map { tbl =>
+          val bits = (0 until autoPlanes).map { p =>
+            val abs = tbl * autoPlanes + p
+            val plane = (0 until 64)
+              .map(dd => if (Similarity.planeSign(abs, dd) > 0) "1.0" else "-1.0")
+              .mkString("[", ",", "]")
+            s"(CASE WHEN list_inner_product(v, $plane::DOUBLE[]) > 0 THEN ${1L << p} ELSE 0 END)"
+          }.mkString(" + ")
+          s"SELECT vec_id, v, $tbl AS tbl, $bits AS bits FROM e"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |qe AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 37 = 3),
+           |exsc AS (SELECT qid, c.vec_id AS nid,
+           |         list_cosine_similarity(qv, c.v) AS cos
+           |         FROM qe, e c WHERE c.vec_id != qid),
+           |ex AS (SELECT qid, nid FROM (
+           |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+           |    ORDER BY cos DESC, nid) AS rnk FROM exsc) WHERE rnk <= 10),
+           |mtb AS (
+           |  $mtTables),
+           |cand AS (
+           |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+           |  FROM mtb q JOIN mtb c ON q.tbl = c.tbl AND q.bits = c.bits
+           |  WHERE q.vec_id % 37 = 3 AND q.vec_id != c.vec_id),
+           |apsc AS (SELECT qid, nid, list_cosine_similarity(eq.v, en.v) AS cos
+           |         FROM cand JOIN e eq ON cand.qid = eq.vec_id
+           |                   JOIN e en ON cand.nid = en.vec_id),
+           |ap AS (SELECT qid, nid FROM (
+           |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+           |    ORDER BY cos DESC, nid) AS rnk FROM apsc) WHERE rnk <= 10)
+           |SELECT ex.qid AS query_id, COUNT(*)::BIGINT AS n_exact,
+           |  SUM(CASE WHEN ap.nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_found,
+           |  CAST(CAST(SUM(CASE WHEN ap.nid IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+           |    / COUNT(*)::DOUBLE AS DECIMAL(12,6)) AS DOUBLE) AS recall
+           |FROM ex LEFT JOIN ap ON ex.qid = ap.qid AND ex.nid = ap.nid
+           |GROUP BY 1""".stripMargin
       })) :+ unigramDecl
 }

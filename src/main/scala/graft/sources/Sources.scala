@@ -246,6 +246,57 @@ object Sources {
     (hits.unionByName(fetched), newCacheRows)
   }
 
+  /** Executor-side variant of [[fetchCached]] for ingestion jobs whose
+    * frontier exceeds the driver bound (millions of fetches at 100 TB
+    * ingestion scale): urls arrive as a DataFrame, cache misses are
+    * fetched INSIDE `mapPartitions` through the same injected
+    * [[Fetcher]] seam, and each partition enforces a minimum interval
+    * between its requests (per-partition politeness — with P
+    * partitions the aggregate rate is bounded by P / minIntervalMs,
+    * the executor-side analog of the reference's crawl cadence).
+    *
+    * Identical cache contract to [[fetchCached]]: returns
+    * (url, body, from_cache) results plus the new cache rows
+    * (fingerprint, url, body, fetched_at) for the misses. The driver
+    * path stays the default for crawler-metadata-sized frontiers; this
+    * is the scale seam. `partitions` > 0 re-buckets the miss frontier
+    * (e.g. to match a polite per-host parallelism). */
+  def fetchCachedDistributed(
+      urls: DataFrame,
+      cache: DataFrame,
+      now: java.sql.Timestamp,
+      maxAgeDays: Int,
+      fetcher: Fetcher,
+      minIntervalMs: Long = 0L,
+      partitions: Int = 0): (DataFrame, DataFrame) = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    val urlDf = urls.toDF("url")
+    val fresh = cache
+      .filter(col("fetched_at") >= date_sub(lit(now).cast("date"), maxAgeDays))
+      .select(col("url"), col("body"))
+    val hits = urlDf.join(fresh, Seq("url"))
+      .select(col("url"), col("body"), lit(true).as("from_cache"))
+    val misses0 = urlDf.join(fresh, Seq("url"), "left_anti").select(col("url"))
+    val misses = if (partitions > 0) misses0.repartition(partitions) else misses0
+    val fetched = misses.as[String].mapPartitions { it =>
+      var lastAt = 0L
+      it.map { u =>
+        if (minIntervalMs > 0L) {
+          val wait = lastAt + minIntervalMs - System.currentTimeMillis()
+          if (wait > 0L) Thread.sleep(wait)
+          lastAt = System.currentTimeMillis()
+        }
+        (u, fetcher(u))
+      }
+    }.toDF("url", "body")
+      .select(col("url"), col("body"), lit(false).as("from_cache"))
+    val newCacheRows = fetched.select(
+      cacheFingerprint(col("url")).as("fingerprint"),
+      col("url"), col("body"), lit(now).as("fetched_at"))
+    (hits.unionByName(fetched), newCacheRows)
+  }
+
   // ---------------------------------------------------------------
   // F12: change detection
 

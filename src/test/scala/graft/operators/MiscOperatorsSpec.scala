@@ -537,4 +537,33 @@ class MiscOperatorsSpec extends SparkSpec {
       label, trainFilter = col("id") < 30, buckets = 16, rounds = 2, lr = 0.5)
     assert(w.as[(Long, Double)].collect().toSet == w2.as[(Long, Double)].collect().toSet)
   }
+
+  test("program registry: dup-key assertion, dangling anti-join, facet titles") {
+    val reg = Programs.registry(
+      Seq(("PRG1", "Alpha Sanctions"), ("PRG2", "Beta Embargo"))
+        .toDF("program_key", "title"))
+    // duplicate keys fail loudly (the reference's assertion)
+    val dup = Seq(("PRG1", "A"), ("PRG1", "B")).toDF("program_key", "title")
+    assertThrows[IllegalArgumentException](Programs.registry(dup))
+    // dangling = references with no registry key
+    val sanc = Seq(("s1", "PRG1"), ("s2", "PRG9"), ("s3", "PRG2"), ("s4", "PRG9"))
+      .toDF("sid", "pk")
+    val dangling = Programs.danglingPrograms(sanc, col("sid"), col("pk"), reg)
+      .as[(String, String)].collect().toSet
+    assert(dangling == Set(("s2", "PRG9"), ("s4", "PRG9")))
+    // statisticsJson's program facet carries registry titles (null for
+    // an unregistered programId) when the registry is wired in
+    val ents = Seq(
+      ("e1", "Sanction", Map("programId" -> Seq("PRG1"))),
+      ("e2", "Sanction", Map("programId" -> Seq("PRG1", "PRG9"))))
+      .toDF("id", "schema", "properties")
+    val json = Statistics.statisticsJson(ents, programRegistry = Some(reg))
+      .as[String].head()
+    assert(json.contains(
+      "{\"id\":\"PRG1\",\"count\":2,\"title\":\"Alpha Sanctions\"}"))
+    assert(json.contains("{\"id\":\"PRG9\",\"count\":1,\"title\":null}"))
+    // without a registry the fragment keeps its historic shape (q102)
+    val plain = Statistics.statisticsJson(ents).as[String].head()
+    assert(plain.contains("{\"id\":\"PRG1\",\"count\":2}"))
+  }
 }

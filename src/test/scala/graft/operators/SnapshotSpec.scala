@@ -94,6 +94,56 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.currentVersion(spark, root) === "v2")
   }
 
+  test("CAS commit: two interleaved committers, one wins, no corruption") {
+    val root = java.nio.file.Files.createTempDirectory("snapcas").toString
+    val d1 = (0L until 100L).map(i => (i, s"a$i")).toDF("id", "v")
+    val m1 = Snapshot.manifestEntries(d1, col("id"), col("id"), 4, 1L)
+    // empty table: expected = -1, commits as v0
+    assert(Snapshot.commitCas(spark, root, -1L, d1, m1) === 0L)
+    assert(Snapshot.currentVersion(spark, root) === "v0")
+
+    // both writers read CURRENT = v0 and prepare against it
+    val expected = 0L
+    val dA = (0L until 150L).map(i => (i, s"A$i")).toDF("id", "v")
+    val dB = (0L until 200L).map(i => (i, s"B$i")).toDF("id", "v")
+    // A commits first and wins v1
+    assert(Snapshot.commitCas(spark, root, expected, dA,
+      Snapshot.manifestEntries(dA, col("id"), col("id"), 4, 1L)) === 1L)
+    // B's stale commit fails LOUDLY before touching any directory:
+    // CURRENT moved past the version B prepared against
+    intercept[Snapshot.CommitConflictException] {
+      Snapshot.commitCas(spark, root, expected, dB,
+        Snapshot.manifestEntries(dB, col("id"), col("id"), 4, 1L))
+    }
+    assert(Snapshot.currentVersion(spark, root) === "v1")
+    assert(Snapshot.readCurrent(spark, root).count() === 150L)
+    assert(!new java.io.File(s"$root/data/v2").exists())
+    // B retries the protocol: re-read, re-prepare, commit — wins v2
+    assert(Snapshot.commitCas(spark, root, 1L, dB,
+      Snapshot.manifestEntries(dB, col("id"), col("id"), 4, 2L)) === 2L)
+    assert(Snapshot.readCurrent(spark, root).count() === 200L)
+
+    // interleave at the CLAIM level: a racer (or dead writer) already
+    // holds v3's claim — commitCas fails loudly even though CURRENT
+    // matches; releaseClaim is the admin escape, then commit succeeds
+    assert(Snapshot.claimVersion(spark, root, 3L))
+    intercept[Snapshot.CommitConflictException] {
+      Snapshot.commitCas(spark, root, 2L, dA,
+        Snapshot.manifestEntries(dA, col("id"), col("id"), 4, 3L))
+    }
+    assert(Snapshot.currentVersion(spark, root) === "v2")
+    Snapshot.releaseClaim(spark, root, 3L)
+    assert(Snapshot.commitCas(spark, root, 2L, dA,
+      Snapshot.manifestEntries(dA, col("id"), col("id"), 4, 3L)) === 3L)
+    // every published manifest intact — no lost update, no mixed files
+    assert(spark.read.parquet(s"$root/manifest/v1")
+      .agg(sum(col("n_rows"))).head.getLong(0) === 150L)
+    assert(spark.read.parquet(s"$root/manifest/v2")
+      .agg(sum(col("n_rows"))).head.getLong(0) === 200L)
+    assert(spark.read.parquet(s"$root/manifest/v3")
+      .agg(sum(col("n_rows"))).head.getLong(0) === 150L)
+  }
+
   test("vacuumPlan never names the current or retained versions") {
     val root = java.nio.file.Files.createTempDirectory("snapvac").toString
     for (v <- 1L to 5L) {

@@ -128,6 +128,34 @@ class SourcesSpec extends SparkSpec {
     assert(newRows.count() == 2) // stale + new get appended to the cache
   }
 
+  test("executor-side fetch: parity with the driver path, same cache contract") {
+    val now = java.sql.Timestamp.valueOf("2026-01-10 00:00:00")
+    val cache = Seq(
+      ("fp1", "http://x/fresh", "cached-body", java.sql.Timestamp.valueOf("2026-01-05 00:00:00")),
+      ("fp2", "http://x/stale", "old-body", java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))
+    ).toDF("fingerprint", "url", "body", "fetched_at")
+    val urls = Seq("http://x/fresh", "http://x/stale", "http://x/new")
+    // the executor-side fetcher must be a serializable pure function of
+    // the url (closure ships to tasks) — same seam, no driver loop
+    val fetcher: Sources.Fetcher = url => s"fetched:$url"
+    val (dBodies, dRows) = Sources.fetchCached(spark, urls, cache, now,
+      maxAgeDays = 30, fetcher = fetcher)
+    val (eBodies, eRows) = Sources.fetchCachedDistributed(
+      urls.toDF("url"), cache, now, maxAgeDays = 30, fetcher = fetcher,
+      minIntervalMs = 1L, partitions = 2)
+    assert(eBodies.as[(String, String, Boolean)].collect().toSet ===
+      dBodies.as[(String, String, Boolean)].collect().toSet)
+    assert(eRows.as[(String, String, String, java.sql.Timestamp)].collect().toSet ===
+      dRows.as[(String, String, String, java.sql.Timestamp)].collect().toSet)
+    // a frontier far beyond the driver bound flows through untouched
+    val big = (1 to 200).map(i => s"http://y/$i")
+    val (bBodies, bRows) = Sources.fetchCachedDistributed(
+      big.toDF("url"), cache, now, maxAgeDays = 30, fetcher = fetcher)
+    assert(bBodies.count() === 200L)
+    assert(bBodies.where(col("from_cache")).count() === 0L)
+    assert(bRows.count() === 200L)
+  }
+
   test("fetch cache: a frontier beyond the driver-side bound fails loudly") {
     val now = java.sql.Timestamp.valueOf("2026-01-10 00:00:00")
     val cache = Seq.empty[(String, String, String, java.sql.Timestamp)]
