@@ -485,7 +485,12 @@ object SelectionQueries {
       (s, d) => {
         val e = t(s, d, "embeddings")
         val corpus = e.select(col("vec_id"), col("embedding"))
+        // the same pinned-100 query cap as q169: BOTH arms run the
+        // identical query set, so recall@10 is well-defined while the
+        // exact arm stays O(100·n) at any corpus size (uncapped it
+        // would be the n²/37 member q169's re-scope just removed)
         val qs = e.where(col("vec_id") % 37 === 3)
+          .orderBy(col("vec_id")).limit(100)
           .select(col("vec_id"), col("embedding"))
         val exact = Similarity.cosineTopK(qs, corpus, k = 10)
           .select(col("query_id"), col("neighbor_id"))
@@ -513,7 +518,8 @@ object SelectionQueries {
           s"SELECT vec_id, v, $tbl AS tbl, $bits AS bits FROM e"
         }.mkString("\n  UNION ALL\n  ")
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-           |qe AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 37 = 3),
+           |qe AS (SELECT vec_id AS qid, v AS qv FROM e
+           |       WHERE vec_id % 37 = 3 ORDER BY vec_id LIMIT 100),
            |exsc AS (SELECT qid, c.vec_id AS nid,
            |         list_cosine_similarity(qv, c.v) AS cos
            |         FROM qe, e c WHERE c.vec_id != qid),
@@ -525,7 +531,8 @@ object SelectionQueries {
            |cand AS (
            |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
            |  FROM mtb q JOIN mtb c ON q.tbl = c.tbl AND q.bits = c.bits
-           |  WHERE q.vec_id % 37 = 3 AND q.vec_id != c.vec_id),
+           |  JOIN qe ON q.vec_id = qe.qid
+           |  WHERE q.vec_id != c.vec_id),
            |apsc AS (SELECT qid, nid, list_cosine_similarity(eq.v, en.v) AS cos
            |         FROM cand JOIN e eq ON cand.qid = eq.vec_id
            |                   JOIN e en ON cand.nid = en.vec_id),
