@@ -267,6 +267,27 @@ object Similarity {
     cosineTopKLshTables(queries, corpus, k, dim, planesFor(n, targetBucketSize), tables)
   }
 
+  /** [[cosineTopKLshTables]] with BOTH axes of the sizing family
+    * derived from the data: `planes` from the corpus count via
+    * [[planesFor]] (holds COST — bucket occupancy — constant) and
+    * `tables` from the similarity target via [[tablesFor]] (holds
+    * RECALL at neighbors of cosine ≥ `cosTarget` ≈ `recall`). The
+    * round-9 probe showed occupancy sizing alone silently decays
+    * recall as n grows (per-table collision p^planes shrinks); this
+    * entry point is that finding as code: ask for the recall you need
+    * at the similarity level you care about, and the table count
+    * follows. A `cosTarget` low enough to blow past `maxTables` IS the
+    * signal that sign-LSH is the wrong tool (use IVF — [[ivfTopK]]). */
+  def cosineTopKLshAutoRecall(
+      queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      targetBucketSize: Long = 128, cosTarget: Double = 0.9,
+      recall: Double = 0.9, maxTables: Int = 64): DataFrame = {
+    val n = corpus.select(corpus.columns.head).count()
+    val planes = planesFor(n, targetBucketSize)
+    cosineTopKLshTables(queries, corpus, k, dim, planes,
+      tablesFor(planes, cosTarget, recall, maxTables))
+  }
+
   /** Recall@k of an approximate ANN result against the exact one: the
     * fraction of exact (query, neighbor) pairs the approximate method
     * recovered. Both inputs are (query_id, neighbor_id, ...) frames. */
@@ -920,6 +941,52 @@ object Similarity {
     val n = corpus.select(corpus.columns.head).count()
     semanticDedup(corpus, weights, dim, threshold,
       planesFor(n, targetBucketSize), tables, maxSigGroup, maxBucketReps)
+  }
+
+  /** SemDeDup through the trained coarse quantizer — the alternative
+    * regime path the q180 guidance names (and the shape of the
+    * original SemDeDup paper: dedup WITHIN k-means clusters). Every
+    * vector is assigned to its trained cell
+    * ([[cellAssignments]] — one broadcast min_by pass), candidate
+    * pairs are enumerated ONLY inside a cell, then the same
+    * θ-filter → connected components → weighted-representative chain
+    * as [[semanticDedup]].
+    *
+    * Scope, by design and not silently: cross-cell near-dup pairs are
+    * not considered — cos ≈ 1 pairs co-assign except exactly on a cell
+    * boundary, and the boundary loss is the documented SemDeDup trade.
+    * Cost is Σ cell² — with the k ≈ √n rule ([[kFor]]) and balanced
+    * cells that is O(n^1.5) worst-case and ∝ n·√n/k in practice, with
+    * NO dependence on plane counts or signature structure, which is
+    * why this path wins on corpora whose near-identical clusters defeat
+    * occupancy sizing (q181's 0.77 decade exponent vs q180's pre-fix
+    * 1.20).
+    *
+    * @param centroids trained (centroid_id, cvec) frame — e.g.
+    *   [[kmeansCentroids]] over [[seedCentroids]] with k = [[kFor]](n)
+    * @return (component, kept_id, n_members), singletons included */
+  def semanticDedupIvf(
+      corpus: DataFrame, weights: DataFrame, threshold: Double,
+      centroids: DataFrame): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    val v = corpus.toDF("id", "vec")
+      .select(col("id"), asDouble(col("vec")).as("vec"))
+    val cells = cellAssignments(v, centroids)
+    val withCell = v.join(cells, "id")
+    // cell-local pair enumeration: equi-join on the cell id, score at
+    // the collision site, and the (a, b, cosine) triple is the only
+    // thing any later exchange carries
+    val pairs = withCell
+      .select(col("centroid_id"), col("id").as("a"), col("vec").as("va"))
+      .join(withCell.select(col("centroid_id"), col("id").as("b"),
+        col("vec").as("vb")), "centroid_id")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    val comp = ConnectedComponents.run(v.select(col("id")),
+      pairs.select(col("a"), col("b")))
+    ConnectedComponents.representatives(comp, weights)
   }
 
   /** Deterministic k-means seeding for [[kmeansCentroids]]: the k

@@ -1723,6 +1723,126 @@ object PipelineQueries {
         |  WHERE p.query_id != a.neighbor_id)
         |WHERE rnk <= 10""".stripMargin),
 
+    // SemDeDup through the trained coarse quantizer (the alternative
+    // regime path, now oracle-gated): the q116 overlay corpus (planted
+    // +1e6/+2e6 near-copies), k = kFor(515) ≈ √n hash60-seeded
+    // centroids, two unrolled Lloyd rounds, cell assignment, CELL-LOCAL
+    // pair enumeration at θ=0.8, transitive closure, weighted keeper.
+    // Cross-cell pairs are out of scope BY DESIGN (the SemDeDup trade)
+    // — the oracle replays the same cell split, so any boundary loss
+    // is computed identically by both engines, on both seeds.
+    decl("q189_semantic_dedup_ivf",
+      (s, d) => {
+        val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val pl1 = base.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => x + when(i % 2 === 0, lit(0.002)).otherwise(lit(-0.002)))
+              .as("embedding"))
+        val pl2 = base.filter(col("vec_id") % 100 === 0)
+          .select((col("vec_id") + 2000000L).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => x + when(i % 3 === 0, lit(0.003)).otherwise(lit(-0.001)))
+              .as("embedding"))
+        val corpus = base.unionByName(pl1).unionByName(pl2)
+        val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        val weights = docs
+          .unionByName(docs.filter(col("doc_id") % 50 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              (col("n_chars") + expr("doc_id div 50 % 5 - 2")).as("n_chars")))
+          .unionByName(docs.filter(col("doc_id") % 100 === 0)
+            .select((col("doc_id") + 2000000L).as("doc_id"),
+              (col("n_chars") - 1).as("n_chars")))
+        val n = corpus.select("vec_id").count()
+        val seed = Similarity.seedCentroids(corpus, Similarity.kFor(n))
+        val trained = Similarity.kmeansCentroids(corpus, seed, dim = 64,
+          maxIterations = 2, earlyStop = false)
+        Similarity.semanticDedupIvf(corpus, weights, threshold = 0.8, trained)
+      },
+      s"""WITH RECURSIVE eb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |pl1 AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(generate_series(1, 64),
+        |      i -> v[i] + (CASE WHEN (i - 1) % 2 = 0
+        |                   THEN 0.002::DOUBLE ELSE -0.002::DOUBLE END)) AS v
+        |  FROM eb WHERE vec_id % 50 = 0),
+        |pl2 AS (
+        |  SELECT vec_id + 2000000 AS vec_id,
+        |    list_transform(generate_series(1, 64),
+        |      i -> v[i] + (CASE WHEN (i - 1) % 3 = 0
+        |                   THEN 0.003::DOUBLE ELSE -0.001::DOUBLE END)) AS v
+        |  FROM eb WHERE vec_id % 100 = 0),
+        |e AS (SELECT * FROM eb UNION ALL SELECT * FROM pl1
+        |  UNION ALL SELECT * FROM pl2),
+        |wts AS (
+        |  SELECT doc_id, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, n_chars + doc_id // 50 % 5 - 2
+        |  FROM documents WHERE doc_id % 50 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, n_chars - 1
+        |  FROM documents WHERE doc_id % 100 = 0),
+        |hs AS (SELECT vec_id, v, ${sqlHash60("vec_id::VARCHAR")} AS h FROM e),
+        |c0 AS (SELECT centroid_id, cvec FROM (
+        |  SELECT row_number() OVER (ORDER BY h, vec_id)::BIGINT - 1 AS centroid_id,
+        |         v AS cvec FROM hs)
+        |  WHERE centroid_id < ${Similarity.kFor(515L)}),
+        |a1 AS (
+        |  SELECT id, vec, centroid_id FROM (
+        |    SELECT e.vec_id AS id, e.v AS vec, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.centroid_id) AS crank
+        |    FROM e CROSS JOIN c0 c)
+        |  WHERE crank = 1),
+        |c1 AS (
+        |  SELECT centroid_id,
+        |    list_transform(generate_series(1, 64),
+        |      d -> list_reduce(list_transform(vs, x -> x[d]),
+        |             (acc, x) -> acc + x) / len(vs)) AS cvec
+        |  FROM (SELECT centroid_id, list(vec ORDER BY id) AS vs
+        |        FROM a1 GROUP BY centroid_id)),
+        |a2 AS (
+        |  SELECT id, vec, centroid_id FROM (
+        |    SELECT e.vec_id AS id, e.v AS vec, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.centroid_id) AS crank
+        |    FROM e CROSS JOIN c1 c)
+        |  WHERE crank = 1),
+        |c2 AS (
+        |  SELECT centroid_id,
+        |    list_transform(generate_series(1, 64),
+        |      d -> list_reduce(list_transform(vs, x -> x[d]),
+        |             (acc, x) -> acc + x) / len(vs)) AS cvec
+        |  FROM (SELECT centroid_id, list(vec ORDER BY id) AS vs
+        |        FROM a2 GROUP BY centroid_id)),
+        |asg AS (
+        |  SELECT id, vec, centroid_id FROM (
+        |    SELECT e.vec_id AS id, e.v AS vec, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.centroid_id) AS crank
+        |    FROM e CROSS JOIN c2 c)
+        |  WHERE crank = 1),
+        |pairs AS (
+        |  SELECT l.id AS a, r.id AS b
+        |  FROM asg l JOIN asg r ON l.centroid_id = r.centroid_id
+        |  WHERE l.id < r.id AND list_cosine_similarity(l.vec, r.vec) >= 0.8),
+        |sym AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(id, m) AS (
+        |  SELECT vec_id, vec_id FROM e
+        |  UNION
+        |  SELECT r.id, s.y FROM reach r JOIN sym s ON r.m = s.x),
+        |comp AS (SELECT id, MIN(m) AS component FROM reach GROUP BY id),
+        |wt AS (SELECT c.id, c.component, w.n_chars
+        |  FROM comp c LEFT JOIN wts w ON c.id = w.doc_id),
+        |rep AS (SELECT component, id,
+        |    row_number() OVER (PARTITION BY component
+        |      ORDER BY n_chars DESC NULLS LAST, id ASC) AS rn
+        |  FROM wt)
+        |SELECT c.component, r.id AS kept_id, c.n_members
+        |FROM (SELECT component, COUNT(*)::BIGINT AS n_members
+        |      FROM comp GROUP BY component) c
+        |JOIN rep r ON c.component = r.component AND r.rn = 1""".stripMargin),
+
     // Paragraph-level exact dedup across the corpus (C4/RefinedWeb
     // cleaning): 3-word chunks, first corpus-wide occurrence wins,
     // documents reassembled from surviving chunks. First-occurrence

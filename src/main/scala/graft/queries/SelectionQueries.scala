@@ -545,5 +545,52 @@ object SelectionQueries {
            |    / COUNT(*)::DOUBLE AS DECIMAL(12,6)) AS DOUBLE) AS recall
            |FROM ex LEFT JOIN ap ON ex.qid = ap.qid AND ex.nid = ap.nid
            |GROUP BY 1""".stripMargin
+      }),
+
+    // BOTH axes of the LSH sizing family on one oracle-gated path:
+    // planes from planesFor(n) (cost) AND tables from tablesFor
+    // (recall at the declared similarity target) — the q186/round-9
+    // recall-decay finding as a production entry point instead of a
+    // caller-pinned table count. At the sf0.01 gate the sizing
+    // resolves to planes=2, tables=2 (cos-0.9 neighbors at 90%
+    // recall); the oracle bakes exactly those literals, computed from
+    // the same Scala functions (the q179/q180 bake pattern).
+    decl("q188_ann_recall_sized",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.cosineTopKLshAutoRecall(
+          e.where(col("vec_id") % 37 === 3).select(col("vec_id"), col("embedding")),
+          e.select(col("vec_id"), col("embedding")),
+          k = 10, dim = 64, targetBucketSize = 128,
+          cosTarget = 0.9, recall = 0.9)
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+      },
+      {
+        val autoPlanes = Similarity.planesFor(500L, 128)
+        val autoTables = Similarity.tablesFor(autoPlanes, 0.9, 0.9)
+        val mtTables = (0 until autoTables).map { tbl =>
+          val bits = (0 until autoPlanes).map { p =>
+            val abs = tbl * autoPlanes + p
+            val plane = (0 until 64)
+              .map(dd => if (Similarity.planeSign(abs, dd) > 0) "1.0" else "-1.0")
+              .mkString("[", ",", "]")
+            s"(CASE WHEN list_inner_product(v, $plane::DOUBLE[]) > 0 THEN ${1L << p} ELSE 0 END)"
+          }.mkString(" + ")
+          s"SELECT vec_id, v, $tbl AS tbl, $bits AS bits FROM e"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |mtb AS (
+           |  $mtTables),
+           |cand AS (
+           |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+           |  FROM mtb q JOIN mtb c ON q.tbl = c.tbl AND q.bits = c.bits
+           |  WHERE q.vec_id % 37 = 3 AND q.vec_id != c.vec_id),
+           |sc2 AS (SELECT qid, nid, list_cosine_similarity(eq.v, en.v) AS cos
+           |        FROM cand JOIN e eq ON cand.qid = eq.vec_id
+           |                  JOIN e en ON cand.nid = en.vec_id)
+           |SELECT qid AS query_id, nid AS neighbor_id, rnk FROM (
+           |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+           |    ORDER BY cos DESC, nid) AS rnk FROM sc2)
+           |WHERE rnk <= 10""".stripMargin
       })) :+ unigramDecl
 }

@@ -212,6 +212,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(auto == out)
   }
 
+  test("semanticDedupIvf chains within cells; auto-recall sizing composes both rules") {
+    val rad = math.Pi / 180
+    def unit(deg: Double) = Seq(
+      math.cos(deg * rad).toFloat, math.sin(deg * rad).toFloat, 0.0f, 0.0f)
+    val corpus = Seq(
+      (1L, unit(0)), (2L, unit(18)), (3L, unit(36)),
+      (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("id", "vec")
+    val weights = Seq((1L, 10L), (2L, 20L), (3L, 20L)).toDF("id", "weight")
+    // two trained cells: x-ish vs z — the chain co-assigns, 4 is alone;
+    // within-cell closure must match semanticDedup's on this geometry
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 0.0, 1.0, 0.0)))
+      .toDF("centroid_id", "cvec")
+    val out = Similarity.semanticDedupIvf(corpus, weights, threshold = 0.9, cents)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 3L), (4L, 4L, 1L)))
+    // recall-targeted sizing: cos-0.9 neighbors at 90% recall need 2
+    // tables at planes=2; sub-threshold targets escalate toward the
+    // clamp (the "wrong tool" signal documented on tablesFor)
+    assert(Similarity.tablesFor(Similarity.planesFor(500L, 128), 0.9, 0.9) == 2)
+    val ranked = Similarity.cosineTopKLshAutoRecall(
+      corpus.filter(col("id") === 1L), corpus, k = 2, dim = 4,
+      targetBucketSize = 2, cosTarget = 0.9, recall = 0.9)
+    // vector 2 (cos 0.951 to vector 1) must be recalled at rank 1
+    val top = ranked.orderBy(col("rank")).as[(Long, Long, Int, Double)].head()
+    assert(top._1 == 1L && top._2 == 2L)
+  }
+
   test("semantic dedup mega-cluster defenses: exact collapse, sig collapse, bucket cap") {
     val base = Seq(1.0f, 2.0f, -1.0f, 0.5f)
     // 1000 bit-identical copies of `base` — exact-vector collapse path
