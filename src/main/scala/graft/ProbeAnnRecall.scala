@@ -3,18 +3,30 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** One-off probe: recall@10 of the AUTO-SIZED multi-table LSH ANN
-  * (q179's semantic arm) against the exact brute-force top-10, at any
-  * scale directory — the approximation-quality number that pairs with
-  * the 25×-decade cost measurements in STRESS.md (cost exponent 0.93
-  * means little if recall collapses with n; this shows it doesn't).
+/** One-off probe: recall@10 of an approximate ANN arm against the
+  * exact brute-force top-10, at any scale directory — the
+  * approximation-quality number that pairs with the 25×-decade cost
+  * measurements in STRESS.md (cost exponent 0.93 means little if
+  * recall collapses with n; this shows whether it does).
   *
-  * Usage: runMain graft.ProbeAnnRecall [dir] [tables]
+  * Three arms, selected by `mode`:
+  *  - `fixed <tables>`  — occupancy-sized planes, caller-pinned table
+  *    count: the pre-round-11 q179 arm whose decay this probe
+  *    originally measured (recall@10 0.40 → 0.22 across 5×).
+  *  - `router <cos> <recall>` — the production router
+  *    (Similarity.cosineTopKAnnAuto): LSH with tablesNeeded tables
+  *    while that fits under 64, trained-IVF beyond; reports which
+  *    branch fired and its sizing.
+  *  - `ivf <nprobe>` — the IVF branch with an explicit probe width
+  *    (k-means k ≈ √n, deterministic init), for calibrating
+  *    Similarity.nprobeFor against measured recall.
+  *
+  * Usage: runMain graft.ProbeAnnRecall [dir] [mode] [args...]
   */
 object ProbeAnnRecall {
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val tables = args.lift(1).flatMap(_.toIntOption).getOrElse(4)
+    val mode = args.lift(1).getOrElse("fixed")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,14 +40,58 @@ object ProbeAnnRecall {
     // the q179 query sample, capped so the exact baseline stays O(1000·n)
     val qs = e.where(col("vec_id") % 37 === 3 && col("vec_id") < 37L * 1000)
     val n = e.count()
+    val planes = Similarity.planesFor(n, 128)
     val exact = Similarity.cosineTopK(qs, e, k = 10)
-    val approx = Similarity.cosineTopKLshTablesAuto(qs, e, k = 10,
-      dim = 64, targetBucketSize = 128, tables = tables)
-    val r = Similarity.recallAgainst(exact, approx, s"auto_lsh_n=$n")
+    val t0 = System.nanoTime()
+    val (approx, label) = mode match {
+      case "fixed" =>
+        val tables = args.lift(2).flatMap(_.toIntOption).getOrElse(4)
+        (Similarity.cosineTopKLshTablesAuto(qs, e, k = 10, dim = 64,
+          targetBucketSize = 128, tables = tables),
+          s"fixed planes=$planes tables=$tables")
+      case "router" =>
+        val cos = args.lift(2).flatMap(_.toDoubleOption).getOrElse(0.35)
+        val rec = args.lift(3).flatMap(_.toDoubleOption).getOrElse(0.9)
+        val needed = Similarity.tablesNeeded(planes, cos, rec)
+        val branch =
+          if (needed <= 8) s"LSH planes=$planes tables=$needed"
+          else {
+            val cells = Similarity.kFor(n)
+            s"IVF cells=$cells nprobe=${Similarity.nprobeFor(cells, rec)} " +
+              s"(LSH would need $needed tables)"
+          }
+        (Similarity.cosineTopKAnnAuto(qs, e, k = 10, dim = 64,
+          targetBucketSize = 128, cosTarget = cos, recall = rec),
+          s"router cos=$cos recall=$rec -> $branch")
+      case "ivf" =>
+        val nprobe = args.lift(2).flatMap(_.toIntOption).getOrElse(2)
+        val cells = Similarity.kFor(n)
+        val step = math.max(1L, n / cells)
+        val c = e.toDF("id", "vec")
+        val init = c
+          .filter(col("id") % step === 0 && col("id") < step * cells)
+          .select(col("id").as("centroid_id"), col("vec").as("cvec"))
+        val cents = Similarity.kmeansCentroids(c, init, 64, 3, earlyStop = false)
+        (Similarity.ivfTopK(qs, e, cents, k = 10, nprobe = nprobe),
+          s"ivf cells=$cells nprobe=$nprobe")
+      case other => sys.error(s"unknown mode $other")
+    }
+    val r = Similarity.recallAgainst(exact, approx, s"n=$n $label")
       .collect()(0)
-    System.err.println(s"[ann-recall] ${r.getString(0)} tables=$tables: " +
+    val secs = (System.nanoTime() - t0) / 1e9
+    // contract-level recall: the router's declared floor covers
+    // neighbors AT OR ABOVE cosTarget — exact-top-10 members below it
+    // are out of contract (the collision formula cannot see them), so
+    // report both numbers and let STRESS.md show the split
+    val cosFloor = args.lift(2).flatMap(_.toDoubleOption).getOrElse(0.35)
+    val rc = Similarity.recallAgainst(
+      exact.filter(col("cosine") >= cosFloor), approx, "contract")
+      .collect()(0)
+    System.err.println(s"[ann-recall] ${r.getString(0)}: " +
       s"exact_pairs=${r.getLong(1)} found=${r.getLong(2)} " +
-      f"recall=${r.getDouble(3)}%.3f (planes=${Similarity.planesFor(n, 128)})")
+      f"recall=${r.getDouble(3)}%.3f " +
+      s"| cos>=$cosFloor pairs=${rc.getLong(1)} found=${rc.getLong(2)} " +
+      f"recall=${rc.getDouble(3)}%.3f wall=$secs%.1fs")
     spark.stop()
   }
 }

@@ -150,14 +150,22 @@ object Snapshot {
 
   /** Commit `df` as version `version`: data parquet under
     * `root/data/v<version>/`, manifest (the file list as parquet)
-    * under `root/manifest/v<version>/`, then the CURRENT pointer
-    * swapped via write-temp + atomic rename. Existing data/manifest
-    * directories of other versions are never touched. */
+    * under `root/manifest/v<version>/`, a one-line commit-time record
+    * under `root/meta/v<version>` (what [[resolveVersionAsOf]] reads),
+    * then the CURRENT pointer swapped via write-temp + atomic rename.
+    * Existing data/manifest directories of other versions are never
+    * touched. `commitMillis` defaults to the wall clock; tests and
+    * replayable pipelines pass an explicit timestamp. */
   def commit(spark: SparkSession, root: String, version: Long,
-      df: DataFrame, manifest: DataFrame): Unit = {
+      df: DataFrame, manifest: DataFrame,
+      commitMillis: Long = System.currentTimeMillis()): Unit = {
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/data/v$version")
     manifest.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/manifest/v$version")
     val f = fs(spark, new Path(root))
+    f.mkdirs(new Path(s"$root/meta"))
+    val meta = f.create(new Path(s"$root/meta/v$version"), true)
+    meta.write(commitMillis.toString.getBytes("UTF-8"))
+    meta.close()
     val tmp = new Path(s"$root/_CURRENT.tmp$version")
     val out = f.create(tmp, true)
     out.write(s"v$version".getBytes("UTF-8"))
@@ -175,20 +183,45 @@ object Snapshot {
     * re-read CURRENT, re-derive the manifest from it, commit again. */
   final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
-  /** Atomically claim `version` for one writer: FileSystem.create with
-    * overwrite=false on the version's claim marker — atomic on
-    * HDFS/posix; object stores substitute their conditional put behind
-    * the same API. Returns whether THIS caller won the claim. */
+  /** Atomically claim `version` for one writer. The primitive is
+    * scheme-dependent, because Hadoop's create(overwrite = false) is
+    * only atomic where the underlying store makes it so:
+    *
+    *  - HDFS: namenode create-exclusive IS atomic — use it directly;
+    *  - local fs: Hadoop's LocalFileSystem (ChecksumFileSystem) opens
+    *    with an exists() CHECK before the create — a TOCTOU hole under
+    *    real thread/process concurrency — so the claim drops to POSIX
+    *    O_CREAT|O_EXCL via java.nio `CREATE_NEW`, which the kernel
+    *    makes atomic (SnapshotSpec's thread-stress hammers this);
+    *  - object stores (S3A): NEITHER call is conditional — a real
+    *    deployment there must swap in a conditional-put (If-None-Match)
+    *    or DynamoDB-style lock, as Iceberg/Delta do on S3.
+    *
+    * Only "the marker already exists" reads as a LOST claim; any other
+    * I/O failure propagates — masking a broken filesystem as a lost
+    * race would send writers into a silent retry loop (round-10
+    * advisory). Returns whether THIS caller won. */
   def claimVersion(spark: SparkSession, root: String, version: Long): Boolean = {
     val f = fs(spark, new Path(root))
     f.mkdirs(new Path(s"$root/claim"))
     val marker = new Path(s"$root/claim/v$version")
     try {
-      val out = f.create(marker, false)
-      out.write(s"v$version".getBytes("UTF-8"))
-      out.close()
+      f match {
+        case l: org.apache.hadoop.fs.LocalFileSystem =>
+          java.nio.file.Files.write(l.pathToFile(marker).toPath,
+            s"v$version".getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+        case _ =>
+          val out = f.create(marker, false)
+          out.write(s"v$version".getBytes("UTF-8"))
+          out.close()
+      }
       true
-    } catch { case _: java.io.IOException => false }
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+    }
   }
 
   /** Release an orphaned claim (a writer that claimed a version and
@@ -216,7 +249,8 @@ object Snapshot {
     * [[releaseClaim]] — version numbers are cheap and the table is
     * never half-published. Returns the committed version. */
   def commitCas(spark: SparkSession, root: String, expected: Long,
-      df: DataFrame, manifest: DataFrame): Long = {
+      df: DataFrame, manifest: DataFrame,
+      commitMillis: Long = System.currentTimeMillis()): Long = {
     val f = fs(spark, new Path(root))
     val cur = new Path(s"$root/_CURRENT")
     val current: Long =
@@ -230,7 +264,7 @@ object Snapshot {
       throw new CommitConflictException(
         s"CAS commit: version v$version already claimed by another " +
           s"writer — re-read CURRENT and retry")
-    commit(spark, root, version, df, manifest)
+    commit(spark, root, version, df, manifest, commitMillis)
     version
   }
 
@@ -270,6 +304,43 @@ object Snapshot {
   def readCurrent(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/data/${currentVersion(spark, root)}")
 
+  /** Iceberg-style time travel: resolve the version that was CURRENT
+    * at `asOfMillis` — the HIGHEST version whose commit record
+    * (`root/meta/v*`, written by [[commit]] before the pointer swap)
+    * is ≤ the probe, never a version published after it. Versions the
+    * vacuum has dropped no longer resolve (their meta goes with their
+    * data), exactly as a lakehouse table's expired snapshots stop
+    * resolving. O(versions) driver-side listing of one-line files —
+    * the same cost class as [[vacuumPlan]]; no Spark job. Throws if no
+    * version is old enough (the table did not exist at `asOfMillis`).
+    * Commit timestamps are monotone whenever the caller's clock is —
+    * the CAS path serializes commits, so a skewed multi-writer clock
+    * can at worst re-order meta stamps, in which case the max-version
+    * tie-break below still resolves deterministically. */
+  def resolveVersionAsOf(spark: SparkSession, root: String,
+      asOfMillis: Long): Long = {
+    val f = fs(spark, new Path(root))
+    val eligible = f.listStatus(new Path(s"$root/meta"))
+      .map(_.getPath).filter(_.getName.startsWith("v"))
+      .flatMap { p =>
+        val in = f.open(p)
+        val ts = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+        scala.util.Try(p.getName.drop(1).toLong).toOption.map(v => (v, ts))
+      }
+      .filter(_._2 <= asOfMillis)
+    require(eligible.nonEmpty,
+      s"no snapshot of $root existed at t=$asOfMillis")
+    eligible.maxBy(v => (v._2, v._1))._1
+  }
+
+  /** Read the snapshot that was CURRENT at `asOfMillis` — the
+    * timestamp form of time travel beside [[readCurrent]]'s
+    * pointer-follow (the SnapshotSpec as-of case drives both). */
+  def readAsOf(spark: SparkSession, root: String, asOfMillis: Long): DataFrame =
+    spark.read.parquet(
+      s"$root/data/v${resolveVersionAsOf(spark, root, asOfMillis)}")
+
   /** Versions safe to delete under a keep-last-`retain` policy: every
     * version directory not among the `retain` highest and not the
     * pointer target. Returns the version longs; the caller deletes.
@@ -296,6 +367,11 @@ object Snapshot {
     doomed.foreach { v =>
       f.delete(new Path(s"$root/data/v$v"), true)
       f.delete(new Path(s"$root/manifest/v$v"), true)
+      // the commit record and the claim marker expire with the data:
+      // as-of resolution must stop naming a vacuumed snapshot, and a
+      // retired version number's marker has no writer left to exclude
+      f.delete(new Path(s"$root/meta/v$v"), false)
+      f.delete(new Path(s"$root/claim/v$v"), false)
     }
     doomed
   }

@@ -305,6 +305,52 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(trained.count() == 3)
   }
 
+  test("ANN router: sizing arithmetic, LSH branch under 8 tables, IVF branch beyond") {
+    // tablesNeeded is the UNCLAMPED collision-formula count (what the
+    // router compares against the LSH-viability bound); tablesFor is
+    // its clamped storage-bounded form — they must agree under the clamp
+    assert(Similarity.tablesNeeded(7, 0.35, 0.9) == 69)
+    assert(Similarity.tablesFor(7, 0.35, 0.9, maxTables = 64) == 64)
+    assert(Similarity.tablesFor(4, 0.9, 0.9) ==
+      Similarity.tablesNeeded(4, 0.9, 0.9))
+    // nprobeFor: small-end floor 32, fraction rule past it, cell clamp
+    assert(Similarity.nprobeFor(45, 0.9) == 32)
+    assert(Similarity.nprobeFor(224, 0.9) == 32)
+    assert(Similarity.nprobeFor(1000, 0.9) == 100)
+    assert(Similarity.nprobeFor(10, 0.9) == 10) // degrades to exact
+    val corpus = (0L until 64L).map { i =>
+      (i, Seq((i % 7 + 1).toFloat, (i % 5 + 1).toFloat,
+        (i % 3 + 1).toFloat, (i % 11 + 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qs = corpus.filter(col("vec_id") < 4)
+    // high-cos contract at default bucket size: planes=1, tablesNeeded
+    // small → LSH branch; result must equal the explicit LSH call
+    val lshBranch = Similarity.cosineTopKAnnAuto(qs, corpus, k = 3, dim = 4,
+        targetBucketSize = 128, cosTarget = 0.9, recall = 0.9)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val lshDirect = Similarity.cosineTopKLshTables(qs, corpus, k = 3, dim = 4,
+        planes = Similarity.planesFor(64, 128),
+        tables = Similarity.tablesNeeded(Similarity.planesFor(64, 128), 0.9, 0.9))
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(lshBranch == lshDirect)
+    // low-cos contract with tiny buckets: planes=5 → tablesNeeded(5,
+    // .35, .9)=26 > 8 → IVF branch; nprobeFor floors at all 8 cells, so
+    // every cell is probed and the router must return EXACTLY the
+    // brute-force top-k (the graceful small-n degeneration, end-to-end
+    // through k-means training + probe + rank)
+    assert(Similarity.tablesNeeded(5, 0.35, 0.9) == 26)
+    val ivfBranch = Similarity.cosineTopKAnnAuto(qs, corpus, k = 3, dim = 4,
+        targetBucketSize = 2, cosTarget = 0.35, recall = 0.9)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val exact = Similarity.cosineTopK(qs, corpus, k = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ivfBranch == exact)
+  }
+
   test("prefix Jaccard join is complete vs brute force and actually prunes") {
     // 40 docs over a 60-token space: doc i holds tokens [i, i+9] mod 60,
     // so adjacent docs overlap 9/11 and distant docs overlap 0

@@ -144,6 +144,98 @@ class SnapshotSpec extends SparkSpec {
       .agg(sum(col("n_rows"))).head.getLong(0) === 150L)
   }
 
+  test("CAS commit: N genuinely concurrent threads, one winner per version") {
+    // real thread-level concurrency (round-10 brief): 6 uncoordinated
+    // writers hammer commitCas until 20 versions exist. The claim
+    // marker is POSIX O_CREAT|O_EXCL on local fs (claimVersion's
+    // LocalFileSystem branch), so exactly one thread can win each
+    // version no matter how the threads interleave — the invariant
+    // this test would break loudly if the claim were exists-then-create.
+    val root = java.nio.file.Files.createTempDirectory("snapcasmt").toString
+    val target = 19L // highest version to reach (20 commits, v0..v19)
+    val wins = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 6).map { tid =>
+      new Thread(() => {
+        try {
+          var done = false
+          while (!done) {
+            val expected =
+              if (!new java.io.File(s"$root/_CURRENT").exists()) -1L
+              else Snapshot.currentVersion(spark, root).drop(1).toLong
+            if (expected >= target) done = true
+            else {
+              val d = Seq((tid, expected + 1)).toDF("writer", "attempt_for")
+              try {
+                val v = Snapshot.commitCas(spark, root, expected, d,
+                  Snapshot.manifestEntries(d, col("writer"), col("writer"),
+                    1, expected + 1))
+                wins.add((tid, v))
+              } catch { case _: Snapshot.CommitConflictException => () }
+            }
+          }
+        } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(300000))
+    assert(failures.isEmpty, s"writer thread died: ${failures.peek()}")
+    assert(Snapshot.currentVersion(spark, root) === s"v$target")
+    // exactly one winner per version, every version won exactly once
+    val byVersion = wins.toArray(Array.empty[(Int, Long)]).groupBy(_._2)
+    assert(byVersion.keySet === (0L to target).toSet)
+    assert(byVersion.values.forall(_.length == 1))
+    // the work is spread: with 6 threads racing 20 rounds, no single
+    // thread monopolizes (a monopoly would mean the others never get a
+    // consistent read — i.e. mutual exclusion degenerated to lockout)
+    assert(wins.toArray(Array.empty[(Int, Long)]).map(_._1).distinct.length > 1)
+    // every version's data says exactly the writer who won it, and its
+    // claim marker exists (winners never release; markers expire via
+    // vacuum with their version)
+    (0L to target).foreach { v =>
+      val rows = spark.read.parquet(s"$root/data/v$v").collect()
+      assert(rows.length === 1)
+      assert(rows(0).getAs[Int]("writer") === byVersion(v)(0)._1)
+      assert(new java.io.File(s"$root/claim/v$v").exists())
+    }
+    // a claimed-then-crashed writer blocks only its number until
+    // released; after releaseClaim there is no orphan marker
+    assert(Snapshot.claimVersion(spark, root, target + 1))
+    Snapshot.releaseClaim(spark, root, target + 1)
+    assert(!new java.io.File(s"$root/claim/v${target + 1}").exists())
+  }
+
+  test("as-of timestamp resolution: time travel, ties, vacuum expiry") {
+    val root = java.nio.file.Files.createTempDirectory("snapasof").toString
+    var expected = -1L
+    for ((n, ts) <- Seq((10L, 1000L), (20L, 2000L), (30L, 3000L))) {
+      val d = (0L until n).map(i => (i, s"r$i")).toDF("id", "v")
+      expected = Snapshot.commitCas(spark, root, expected, d,
+        Snapshot.manifestEntries(d, col("id"), col("id"), 2, expected + 1),
+        commitMillis = ts)
+    }
+    // before the first commit: the table did not exist
+    intercept[IllegalArgumentException] {
+      Snapshot.resolveVersionAsOf(spark, root, 999L)
+    }
+    // exact stamp resolves to that version; between stamps, the floor
+    assert(Snapshot.resolveVersionAsOf(spark, root, 1000L) === 0L)
+    assert(Snapshot.resolveVersionAsOf(spark, root, 1999L) === 0L)
+    assert(Snapshot.resolveVersionAsOf(spark, root, 2000L) === 1L)
+    assert(Snapshot.resolveVersionAsOf(spark, root, Long.MaxValue) === 2L)
+    assert(Snapshot.readAsOf(spark, root, 2500L).count() === 20L)
+    // readCurrent and the as-of-now read agree
+    assert(Snapshot.readAsOf(spark, root, 3000L).count() ===
+      Snapshot.readCurrent(spark, root).count())
+    // vacuumed snapshots stop resolving — their meta expires with them
+    assert(Snapshot.vacuum(spark, root, retain = 1) === Seq(0L, 1L))
+    intercept[IllegalArgumentException] {
+      Snapshot.resolveVersionAsOf(spark, root, 2500L)
+    }
+    assert(Snapshot.resolveVersionAsOf(spark, root, 3000L) === 2L)
+    assert(!new java.io.File(s"$root/claim/v0").exists())
+    assert(!new java.io.File(s"$root/meta/v1").exists())
+  }
+
   test("vacuumPlan never names the current or retained versions") {
     val root = java.nio.file.Files.createTempDirectory("snapvac").toString
     for (v <- 1L to 5L) {
