@@ -549,6 +549,32 @@ object Similarity {
         struct(negate(col("ccos")), col("centroid_id"))).as("centroid_id"))
   }
 
+  /** Corpus→cell MULTI-assignment: each vector's `nprobe` nearest
+    * trained cells (rank by cosine desc, centroid-id tie-break — the
+    * same deterministic order as [[cellAssignments]]' top-1). The
+    * boundary-loss fix for cell-local pair enumeration
+    * ([[semanticDedupIvf]] nprobe ≥ 2): a θ-pair straddling one cell
+    * boundary still shares its SECOND-nearest cell almost surely, so
+    * multi-assigning recovers it while pair candidates stay
+    * cell-bounded. The ranking shuffle carries (id, centroid_id, ccos)
+    * scalars only — the embedding payload never rides the exchange;
+    * volume is n·k rows, the same as the assignment join itself.
+    * Returns (id, centroid_id), nprobe rows per id. */
+  def cellAssignmentsMulti(corpus: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe: $nprobe")
+    val cents = broadcast(centroids.toDF("centroid_id", "cvec"))
+    val scored = corpus.toDF("id", "vec")
+      .join(cents)
+      .select(col("id"), col("centroid_id"),
+        cosine(asDouble(col("vec")), asDouble(col("cvec"))).as("ccos"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("ccos").desc, col("centroid_id").asc)
+    scored.withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= nprobe)
+      .select(col("id"), col("centroid_id"))
+  }
+
   /** Candidate pairs of the IVF probe: queries meet the members of
     * their `nprobe` nearest centroid cells. */
   def ivfCandidates(
@@ -809,22 +835,32 @@ object Similarity {
     val pairReps = sigTagged.filter(col("rid") === col("sig_rep"))
       .select(col("rid"), col("vec"), col("bks"))
 
-    // loud, bounded probes (EdgeDedup's contract: approximations are
-    // logged, never silent); one small collect each
-    val collapsedGroups = sigTagged
+    val ex = pairReps.select(col("rid"), col("vec"), explode(col("bks")).as("bk"))
+
+    // ONE bounded probe job for both defenses (round-10 advisory: the
+    // two separate collects taxed every call with an extra job). The
+    // capped-bucket half is LOAD-BEARING — it selects the pair-branch
+    // plan below — so a probe is unavoidable; the sig-collapse half is
+    // the never-silent log (EdgeDedup's contract) and now rides the
+    // same action. Both sides scan the already-persisted signature
+    // frame, never recompute it.
+    val probeRows = sigTagged
       .filter(col("_scnt") > maxSigGroup && col("rid") === col("_smin"))
-      .select(col("rid"), col("_scnt")).limit(5)
-      .collect().map(r => s"rep=${r.get(0)} members=${r.get(1)}")
+      .select(lit("sig").as("kind"), col("rid").cast("string").as("k"),
+        col("_scnt").as("n")).limit(5)
+      .unionByName(ex.groupBy(col("bk")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxBucketReps)
+        .select(lit("cap").as("kind"), col("bk").cast("string").as("k"),
+          col("n")).limit(5))
+      .collect()
+    val collapsedGroups = probeRows.filter(_.getString(0) == "sig")
+      .map(r => s"rep=${r.getString(1)} members=${r.get(2)}")
     if (collapsedGroups.nonEmpty)
       System.err.println(
         s"[graft] semanticDedup: signature-group collapse (> $maxSigGroup " +
           s"members share the full LSH signature) applied to group(s): " +
           collapsedGroups.mkString(", ") + " ...")
-
-    val ex = pairReps.select(col("rid"), col("vec"), explode(col("bks")).as("bk"))
-    val capped = ex.groupBy(col("bk")).agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxBucketReps).select(col("bk")).limit(5)
-      .collect().map(_.get(0).toString)
+    val capped = probeRows.filter(_.getString(0) == "cap").map(_.getString(1))
 
     // 3. pair enumeration: score at the collision site, dedupe on the
     // bare (a, b, cosine) triple — never an embedding on the dedupe
@@ -1044,12 +1080,19 @@ object Similarity {
     * @return (component, kept_id, n_members), singletons included */
   def semanticDedupIvf(
       corpus: DataFrame, weights: DataFrame, threshold: Double,
-      centroids: DataFrame): DataFrame = {
+      centroids: DataFrame, nprobe: Int = 1): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1]: $threshold")
+    require(nprobe >= 1, s"nprobe: $nprobe")
     val v = corpus.toDF("id", "vec")
       .select(col("id"), asDouble(col("vec")).as("vec"))
-    val cells = cellAssignments(v, centroids)
+    // nprobe = 1 keeps the top-1 path (min_by aggregate, the documented
+    // NaN semantics); nprobe ≥ 2 multi-assigns so a θ-pair straddling a
+    // cell boundary still collides in a shared second-nearest cell —
+    // q192 measures the boundary loss this closes
+    val cells =
+      if (nprobe == 1) cellAssignments(v, centroids)
+      else cellAssignmentsMulti(v, centroids, nprobe)
     val withCell = v.join(cells, "id")
     // cell-local pair enumeration: equi-join on the cell id, score at
     // the collision site, and the (a, b, cosine) triple is the only
@@ -1061,8 +1104,13 @@ object Similarity {
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
+    // with nprobe ≥ 2 a pair can collide in two shared cells; it
+    // scores identically in both, so the dedupe exchange carries the
+    // bare scored triple, never the embedding payload (nprobe = 1
+    // pairs are unique by construction — no extra exchange there)
+    val uniq = if (nprobe == 1) pairs else pairs.dropDuplicates("a", "b")
     val comp = ConnectedComponents.run(v.select(col("id")),
-      pairs.select(col("a"), col("b")))
+      uniq.select(col("a"), col("b")))
     ConnectedComponents.representatives(comp, weights)
   }
 

@@ -73,11 +73,16 @@ object Statistics {
     *
     * `programRegistry` (round-10): when supplied — a
     * [[Programs.registry]]-validated (program_key, title) frame — the
-    * sanctions program facet carries each program's registry title
-    * (`"title":"..."`, or `null` for an unregistered programId),
-    * mirroring the reference's Program join at
-    * exporters/statistics.py:114,141. Broadcast: the registry is
-    * dimension-sized at any corpus scale. */
+    * sanctions program facet ADDITIONALLY carries each program's
+    * registry title (`"title":"..."`, or `null` for an unregistered
+    * programId). This is an INTENTIONAL EXTENSION beyond the reference
+    * format: the reference's facet is exactly {id, count}
+    * (exporters/statistics.py:39-46; its counting loop at :114 never
+    * joins Program titles), and that is what the default `None` —
+    * every exporter/ETL path — emits byte-for-byte. Wire the registry
+    * only for consumers that want the enriched facet; the join is a
+    * broadcast (the registry is dimension-sized at any corpus
+    * scale). */
   def statisticsJson(entities: DataFrame,
       programRegistry: Option[DataFrame] = None): DataFrame = {
     import graft.model.FtmModel

@@ -22,6 +22,55 @@ object LayoutQueries {
       s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
       .mkString(" + ")
 
+  /** The q182 three-version manifest chain (v1 initial load, v2 append,
+    * v3 compaction) — shared by q182 (manifest arithmetic gate) and
+    * q190 (as-of timestamp resolution over the same chain). */
+  private def manifestChain(li: org.apache.spark.sql.DataFrame):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    val rowId = concat(col("l_orderkey"), lit("|"), col("l_linenumber"))
+    val v1src = li.where(col("l_shipdate") < to_timestamp(lit("1995-06-01")))
+    val v2add = li.where(col("l_shipdate") >= to_timestamp(lit("1995-06-01")))
+    val m1 = Snapshot.manifestEntries(v1src, rowId, col("l_orderkey"),
+      files = 16, version = 1L)
+    val m2 = Snapshot.commitAppend(m1,
+      Snapshot.manifestEntries(v2add, rowId, col("l_orderkey"),
+        files = 4, version = 2L), version = 2L)
+    val m3 = Snapshot.commitCompact(m2, smallRows = 3000L,
+      targetRows = 6000L, version = 3L)
+    (m1, m2, m3)
+  }
+
+  /** The oracle half of [[manifestChain]]: WITH-chain through m1/m2/m3
+    * (no final SELECT), shared by the q182 and q190 oracles. */
+  private def manifestChainCtes: String =
+    s"""WITH li AS (SELECT l_orderkey, l_linenumber, l_shipdate,
+       |  ${sqlHash60("(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR)")} AS h
+       |  FROM lineitem),
+       |m1 AS (SELECT 1::BIGINT AS version, h % 16 AS file_id,
+       |       COUNT(*)::BIGINT AS n_rows, MIN(l_orderkey)::BIGINT AS min_key,
+       |       MAX(l_orderkey)::BIGINT AS max_key
+       |       FROM li WHERE l_shipdate < TIMESTAMP '1995-06-01' GROUP BY 2),
+       |add2 AS (SELECT h % 4 AS fid, COUNT(*)::BIGINT AS n_rows,
+       |        MIN(l_orderkey)::BIGINT AS min_key, MAX(l_orderkey)::BIGINT AS max_key
+       |        FROM li WHERE l_shipdate >= TIMESTAMP '1995-06-01' GROUP BY 1),
+       |b1 AS (SELECT MAX(file_id) + 1 AS base FROM m1),
+       |m2 AS (SELECT 2::BIGINT AS version, file_id, n_rows, min_key, max_key FROM m1
+       |       UNION ALL
+       |       SELECT 2::BIGINT, fid + b1.base, n_rows, min_key, max_key FROM add2, b1),
+       |keep AS (SELECT file_id, n_rows, min_key, max_key FROM m2 WHERE n_rows >= 3000),
+       |small AS (SELECT file_id, n_rows, min_key, max_key FROM m2 WHERE n_rows < 3000),
+       |b2 AS (SELECT MAX(file_id) + 1 AS base FROM m2),
+       |pk AS (SELECT n_rows, min_key, max_key,
+       |       COALESCE(SUM(n_rows) OVER (ORDER BY file_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS strt
+       |       FROM small),
+       |grp AS (SELECT (strt // 6000)::BIGINT AS g, SUM(n_rows)::BIGINT AS n_rows,
+       |        MIN(min_key) AS min_key, MAX(max_key) AS max_key FROM pk GROUP BY 1),
+       |m3 AS (SELECT 3::BIGINT AS version, file_id, n_rows, min_key, max_key FROM keep
+       |       UNION ALL
+       |       SELECT 3::BIGINT, (g + b2.base)::BIGINT, n_rows, min_key, max_key FROM grp, b2)""".stripMargin
+
   val decls: Seq[Decl] = Seq(
 
     // Zone-map skipping: events land in ingest-ordered files (250 rows
@@ -274,45 +323,10 @@ object LayoutQueries {
     // per %64 partition ⇒ the partition offset IS the exclusive prefix).
     decl("q182_snapshot_commits",
       (s, d) => {
-        val li = t(s, d, "lineitem")
-        val rowId = concat(col("l_orderkey"), lit("|"), col("l_linenumber"))
-        val v1src = li.where(col("l_shipdate") < to_timestamp(lit("1995-06-01")))
-        val v2add = li.where(col("l_shipdate") >= to_timestamp(lit("1995-06-01")))
-        val m1 = Snapshot.manifestEntries(v1src, rowId, col("l_orderkey"),
-          files = 16, version = 1L)
-        val m2 = Snapshot.commitAppend(m1,
-          Snapshot.manifestEntries(v2add, rowId, col("l_orderkey"),
-            files = 4, version = 2L), version = 2L)
-        val m3 = Snapshot.commitCompact(m2, smallRows = 3000L,
-          targetRows = 6000L, version = 3L)
+        val (m1, m2, m3) = manifestChain(t(s, d, "lineitem"))
         m1.unionByName(m2).unionByName(m3)
       },
-      s"""WITH li AS (SELECT l_orderkey, l_linenumber, l_shipdate,
-         |  ${sqlHash60("(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR)")} AS h
-         |  FROM lineitem),
-         |m1 AS (SELECT 1::BIGINT AS version, h % 16 AS file_id,
-         |       COUNT(*)::BIGINT AS n_rows, MIN(l_orderkey)::BIGINT AS min_key,
-         |       MAX(l_orderkey)::BIGINT AS max_key
-         |       FROM li WHERE l_shipdate < TIMESTAMP '1995-06-01' GROUP BY 2),
-         |add2 AS (SELECT h % 4 AS fid, COUNT(*)::BIGINT AS n_rows,
-         |        MIN(l_orderkey)::BIGINT AS min_key, MAX(l_orderkey)::BIGINT AS max_key
-         |        FROM li WHERE l_shipdate >= TIMESTAMP '1995-06-01' GROUP BY 1),
-         |b1 AS (SELECT MAX(file_id) + 1 AS base FROM m1),
-         |m2 AS (SELECT 2::BIGINT AS version, file_id, n_rows, min_key, max_key FROM m1
-         |       UNION ALL
-         |       SELECT 2::BIGINT, fid + b1.base, n_rows, min_key, max_key FROM add2, b1),
-         |keep AS (SELECT file_id, n_rows, min_key, max_key FROM m2 WHERE n_rows >= 3000),
-         |small AS (SELECT file_id, n_rows, min_key, max_key FROM m2 WHERE n_rows < 3000),
-         |b2 AS (SELECT MAX(file_id) + 1 AS base FROM m2),
-         |pk AS (SELECT n_rows, min_key, max_key,
-         |       COALESCE(SUM(n_rows) OVER (ORDER BY file_id
-         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS strt
-         |       FROM small),
-         |grp AS (SELECT (strt // 6000)::BIGINT AS g, SUM(n_rows)::BIGINT AS n_rows,
-         |        MIN(min_key) AS min_key, MAX(max_key) AS max_key FROM pk GROUP BY 1),
-         |m3 AS (SELECT 3::BIGINT AS version, file_id, n_rows, min_key, max_key FROM keep
-         |       UNION ALL
-         |       SELECT 3::BIGINT, (g + b2.base)::BIGINT, n_rows, min_key, max_key FROM grp, b2)
+      manifestChainCtes + """
          |SELECT version, file_id, n_rows, min_key, max_key FROM m1
          |UNION ALL SELECT version, file_id, n_rows, min_key, max_key FROM m2
          |UNION ALL SELECT version, file_id, n_rows, min_key, max_key FROM m3""".stripMargin),
@@ -395,5 +409,77 @@ object LayoutQueries {
          |  acc.files_scanned, acc.files_total
          |FROM rows2 r JOIN cand USING (file_id), bounds, acc
          |WHERE r.l_orderkey BETWEEN lo AND hi
-         |GROUP BY 1, 5, 6""".stripMargin))
+         |GROUP BY 1, 5, 6""".stripMargin),
+
+    // AS-OF TIMESTAMP resolution over the q182 manifest chain — the
+    // relational half of Snapshot.resolveVersionAsOf (whose FS half is
+    // SnapshotSpec-gated): each version carries a data-derived commit
+    // timestamp (v1 publishes at the newest shipdate it contains, v2 at
+    // the table's newest, v3 — the compaction — a day later), probes
+    // are every shipdate month-start plus one "now" probe past v3, and
+    // each probe resolves to the HIGHEST version committed at-or-before
+    // it — Iceberg's snapshot-for-timestamp rule. The resolution is a
+    // broadcast range join + max (the version set is O(versions), never
+    // windowed), then each probe reports the table's live file/row
+    // stats AS OF that instant. Probes older than v1 resolve to the
+    // no-table sentinel (-1, 0 files, 0 rows). Scale shape: one
+    // distinct-aggregation over the fact table for probes; everything
+    // downstream is manifest-sized broadcasts.
+    decl("q190_snapshot_asof_resolve",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val split = to_timestamp(lit("1995-06-01"))
+        val (m1, m2, m3) = manifestChain(li)
+        val perVersion = m1.unionByName(m2).unionByName(m3)
+          .groupBy("version")
+          .agg(count(lit(1)).as("files_live"), sum("n_rows").as("rows_live"))
+        val vts = li.agg(
+            max(when(col("l_shipdate") < split, col("l_shipdate"))).as("t1"),
+            max(col("l_shipdate")).as("t2"))
+          .select(explode(array(
+            struct(lit(1L).as("version"), col("t1").as("commit_ts")),
+            struct(lit(2L).as("version"), col("t2").as("commit_ts")),
+            struct(lit(3L).as("version"),
+              (col("t2") + expr("INTERVAL 1 DAY")).as("commit_ts")))).as("v"))
+          .select(col("v.version").as("version"), col("v.commit_ts").as("commit_ts"))
+        val probes = li
+          .select(date_trunc("month", col("l_shipdate")).as("probe_ts")).distinct()
+          .unionByName(li.agg(
+            (max(col("l_shipdate")) + expr("INTERVAL 2 DAY")).as("probe_ts")))
+        val resolved = probes
+          .join(broadcast(vts), col("probe_ts") >= col("commit_ts"), "left")
+          .groupBy("probe_ts").agg(max("version").as("version"))
+        resolved.join(broadcast(perVersion), Seq("version"), "left")
+          // STRING probe output: Spark serializes the fixture's
+          // ns-precision timestamps as parquet timestamp[ns] where the
+          // oracle's frame is us-precision — a dtype-only gate mismatch
+          // (and DATE round-trips as datetime again); the probes are
+          // day-grained, resolution still compares full timestamps above
+          .select(date_format(col("probe_ts"), "yyyy-MM-dd").as("probe_ts"),
+            coalesce(col("version"), lit(-1L)).as("version"),
+            coalesce(col("files_live"), lit(0L)).as("files_live"),
+            coalesce(col("rows_live"), lit(0L)).as("rows_live"))
+      },
+      manifestChainCtes + """,
+         |vts AS (SELECT 1::BIGINT AS version,
+         |          MAX(CASE WHEN l_shipdate < TIMESTAMP '1995-06-01'
+         |              THEN l_shipdate END) AS commit_ts FROM lineitem
+         |        UNION ALL SELECT 2::BIGINT, MAX(l_shipdate) FROM lineitem
+         |        UNION ALL SELECT 3::BIGINT, MAX(l_shipdate) + INTERVAL 1 DAY
+         |          FROM lineitem),
+         |pv AS (SELECT version, COUNT(*)::BIGINT AS files_live,
+         |       SUM(n_rows)::BIGINT AS rows_live FROM (
+         |         SELECT * FROM m1 UNION ALL SELECT * FROM m2
+         |         UNION ALL SELECT * FROM m3) GROUP BY 1),
+         |probes AS (SELECT DISTINCT date_trunc('month', l_shipdate) AS probe_ts
+         |           FROM lineitem
+         |           UNION
+         |           SELECT MAX(l_shipdate) + INTERVAL 2 DAY FROM lineitem),
+         |res AS (SELECT probe_ts, MAX(vts.version) AS version FROM probes
+         |        LEFT JOIN vts ON probe_ts >= commit_ts GROUP BY 1)
+         |SELECT strftime(probe_ts, '%Y-%m-%d') AS probe_ts,
+         |  COALESCE(res.version, -1)::BIGINT AS version,
+         |  COALESCE(pv.files_live, 0)::BIGINT AS files_live,
+         |  COALESCE(pv.rows_live, 0)::BIGINT AS rows_live
+         |FROM res LEFT JOIN pv ON res.version = pv.version""".stripMargin))
 }

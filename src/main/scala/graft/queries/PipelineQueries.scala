@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.operators.{AsOf, Blocking, Contamination, Curation, Dedup, Matcher, Multimodal, Packing, Pii, RangeJoin, Sampling, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Q._
 
@@ -293,6 +294,26 @@ object PipelineQueries {
        |  cand_pairs,
        |  cand_pairs::DOUBLE / (nq * (nc - 1))::DOUBLE AS cand_fraction
        |FROM methods CROSS JOIN dims""".stripMargin
+  }
+
+  /** The q189 planted-overlay embedding corpus: every 50th base vector
+    * near-copied at +1e6 (±0.002 per-coordinate), every 100th at +2e6
+    * (+0.003/−0.001) — deterministic near-identical clusters of 2–3.
+    * Shared by q189 (IVF-cell dedup) and q192 (its measured boundary
+    * loss). */
+  private def ivfOverlayCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val pl1 = base.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + when(i % 2 === 0, lit(0.002)).otherwise(lit(-0.002)))
+          .as("embedding"))
+    val pl2 = base.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + 2000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + when(i % 3 === 0, lit(0.003)).otherwise(lit(-0.001)))
+          .as("embedding"))
+    base.unionByName(pl1).unionByName(pl2)
   }
 
   val decls: Seq[Decl] = Seq(
@@ -1574,7 +1595,15 @@ object PipelineQueries {
             transform(col("embedding"), (x, i) =>
               x + (col("j") + lit(1L)) * lit(1e-7) *
                 when(i % 2 === 0, lit(1.0)).otherwise(lit(-1.0))).as("embedding"))
-        val corpus = base.unionByName(mega).unionByName(near)
+        // three identical ZERO vectors: cos(0, ·) is NaN, so they must
+        // survive as singletons through every collapse (the documented
+        // NaN semantics, previously unit-test-only — the round-10
+        // advisory noted the oracle merged identical zero vectors where
+        // the engine does not; both sides now encode the same rule)
+        val zeros = s.range(0, 3)
+          .select((lit(300000000L) + col("id")).as("vec_id"),
+            array_repeat(lit(0.0f), 64).as("embedding"))
+        val corpus = base.unionByName(mega).unionByName(near).unionByName(zeros)
         val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
         // planted NEAR members carry weights straddling the base's, so
         // the weighted-representative pick is exercised on a collapsed
@@ -1606,9 +1635,17 @@ object PipelineQueries {
            |      i -> v[i] + (j + 1) * 1e-7 *
            |        (CASE WHEN (i - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END)) AS v
            |  FROM eb, generate_series(0, 39) AS g(j) WHERE vec_id % 500 = 11),
+           |zz AS (SELECT 300000000 + j AS vec_id,
+           |  list_transform(generate_series(1, 64), x -> 0.0::DOUBLE) AS v
+           |  FROM generate_series(0, 2) AS gz(j)),
            |e AS (SELECT * FROM eb UNION ALL SELECT * FROM mega
-           |  UNION ALL SELECT * FROM nr),
-           |reps AS (SELECT MIN(vec_id) AS rid, v FROM e GROUP BY v),
+           |  UNION ALL SELECT * FROM nr UNION ALL SELECT * FROM zz),
+           |reps AS (
+           |  SELECT MIN(vec_id) AS rid, v FROM e
+           |  WHERE list_inner_product(v, v) > 0 GROUP BY v
+           |  UNION ALL
+           |  SELECT vec_id AS rid, v FROM e
+           |  WHERE NOT (list_inner_product(v, v) > 0)),
            |mtb AS (
            |  $mtTables),
            |cand AS (
@@ -1626,7 +1663,12 @@ object PipelineQueries {
            |  UNION
            |  SELECT r.id, s.y FROM reach r JOIN sym s ON r.m = s.x),
            |rcomp AS (SELECT id, MIN(m) AS component FROM reach GROUP BY id),
-           |memb AS (SELECT e.vec_id AS id, r.rid FROM e JOIN reps r ON e.v = r.v),
+           |memb AS (
+           |  SELECT e.vec_id AS id, r.rid FROM e JOIN reps r ON e.v = r.v
+           |  WHERE list_inner_product(e.v, e.v) > 0
+           |  UNION ALL
+           |  SELECT vec_id, vec_id FROM e
+           |  WHERE NOT (list_inner_product(v, v) > 0)),
            |comp AS (SELECT memb.id, rcomp.component
            |  FROM memb JOIN rcomp ON memb.rid = rcomp.id),
            |wts AS (SELECT doc_id, n_chars FROM documents
@@ -1733,18 +1775,7 @@ object PipelineQueries {
     // is computed identically by both engines, on both seeds.
     decl("q189_semantic_dedup_ivf",
       (s, d) => {
-        val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-        val pl1 = base.filter(col("vec_id") % 50 === 0)
-          .select((col("vec_id") + 1000000L).as("vec_id"),
-            transform(col("embedding"),
-              (x, i) => x + when(i % 2 === 0, lit(0.002)).otherwise(lit(-0.002)))
-              .as("embedding"))
-        val pl2 = base.filter(col("vec_id") % 100 === 0)
-          .select((col("vec_id") + 2000000L).as("vec_id"),
-            transform(col("embedding"),
-              (x, i) => x + when(i % 3 === 0, lit(0.003)).otherwise(lit(-0.001)))
-              .as("embedding"))
-        val corpus = base.unionByName(pl1).unionByName(pl2)
+        val corpus = ivfOverlayCorpus(s, d)
         val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
         val weights = docs
           .unionByName(docs.filter(col("doc_id") % 50 === 0)
@@ -1842,6 +1873,127 @@ object PipelineQueries {
         |FROM (SELECT component, COUNT(*)::BIGINT AS n_members
         |      FROM comp GROUP BY component) c
         |JOIN rep r ON c.component = r.component AND r.rn = 1""".stripMargin),
+
+    // q189's boundary loss, MEASURED (round-10 brief #2): cell-local
+    // pair enumeration loses exactly the θ-pairs whose endpoints land
+    // in different cells, and this gate counts them instead of leaving
+    // "by design" unquantified. Per sampled vector (the planted-family
+    // ids, (id mod 1e6) % 50 == 0 — every θ-pair in this corpus is
+    // incident to one): the exact θ-neighbor count at 0.8, how many
+    // share the vector's top-1 cell (recalled by q189's enumeration),
+    // how many straddle a boundary (lost), and how many share ANY of
+    // the two nearest cells (recalled by the nprobe=2 multi-assignment
+    // — semanticDedupIvf's boundary fix, cellAssignmentsMulti). The
+    // exact arm is O(|sample|·n), the q169/q186 capped-baseline shape;
+    // the oracle retrains the quantizer and replays every count.
+    decl("q192_semantic_dedup_ivf_boundary",
+      (s, d) => {
+        val corpus = ivfOverlayCorpus(s, d)
+        val n = corpus.select("vec_id").count()
+        val seed = Similarity.seedCentroids(corpus, Similarity.kFor(n))
+        val trained = Similarity.kmeansCentroids(corpus, seed, dim = 64,
+          maxIterations = 2, earlyStop = false)
+        val v = corpus.select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+        val cells1 = Similarity.cellAssignments(v, trained)
+        val cells2 = Similarity.cellAssignmentsMulti(v, trained, nprobe = 2)
+        val sample = v.filter((col("id") % 1000000L) % 50 === 0)
+          .select(col("id").as("u"), col("vec").as("uv"))
+        val ex = broadcast(sample)
+          .join(v.select(col("id").as("v"), col("vec").as("vv")),
+            col("u") =!= col("v"))
+          .filter(Similarity.cosine(col("uv"), col("vv")) >= 0.8)
+          .select(col("u"), col("v"))
+        val shared2 = ex
+          .join(cells2.toDF("u", "c"), Seq("u"))
+          .join(cells2.toDF("v", "c"), Seq("v", "c"))
+          .select(col("u"), col("v")).distinct()
+          .withColumn("p2", lit(1L))
+        ex.join(cells1.toDF("u", "cu"), Seq("u"))
+          .join(cells1.toDF("v", "cv"), Seq("v"))
+          .join(shared2, Seq("u", "v"), "left")
+          .groupBy(col("u"))
+          .agg(count(lit(1)).as("n_theta"),
+            sum((col("cu") === col("cv")).cast("long")).as("n_same_cell"),
+            sum(coalesce(col("p2"), lit(0L))).as("n_probe2"))
+          .select(col("u").as("vec_id"), col("n_theta"), col("n_same_cell"),
+            (col("n_theta") - col("n_same_cell")).as("n_cross_cell"),
+            col("n_probe2"))
+      },
+      s"""WITH eb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |pl1 AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(generate_series(1, 64),
+        |      i -> v[i] + (CASE WHEN (i - 1) % 2 = 0
+        |                   THEN 0.002::DOUBLE ELSE -0.002::DOUBLE END)) AS v
+        |  FROM eb WHERE vec_id % 50 = 0),
+        |pl2 AS (
+        |  SELECT vec_id + 2000000 AS vec_id,
+        |    list_transform(generate_series(1, 64),
+        |      i -> v[i] + (CASE WHEN (i - 1) % 3 = 0
+        |                   THEN 0.003::DOUBLE ELSE -0.001::DOUBLE END)) AS v
+        |  FROM eb WHERE vec_id % 100 = 0),
+        |e AS (SELECT * FROM eb UNION ALL SELECT * FROM pl1
+        |  UNION ALL SELECT * FROM pl2),
+        |hs AS (SELECT vec_id, v, ${sqlHash60("vec_id::VARCHAR")} AS h FROM e),
+        |c0 AS (SELECT centroid_id, cvec FROM (
+        |  SELECT row_number() OVER (ORDER BY h, vec_id)::BIGINT - 1 AS centroid_id,
+        |         v AS cvec FROM hs)
+        |  WHERE centroid_id < ${graft.operators.Similarity.kFor(515L)}),
+        |a1 AS (
+        |  SELECT id, vec, centroid_id FROM (
+        |    SELECT e.vec_id AS id, e.v AS vec, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.centroid_id) AS crank
+        |    FROM e CROSS JOIN c0 c)
+        |  WHERE crank = 1),
+        |c1 AS (
+        |  SELECT centroid_id,
+        |    list_transform(generate_series(1, 64),
+        |      d -> list_reduce(list_transform(vs, x -> x[d]),
+        |             (acc, x) -> acc + x) / len(vs)) AS cvec
+        |  FROM (SELECT centroid_id, list(vec ORDER BY id) AS vs
+        |        FROM a1 GROUP BY centroid_id)),
+        |a2 AS (
+        |  SELECT id, vec, centroid_id FROM (
+        |    SELECT e.vec_id AS id, e.v AS vec, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.centroid_id) AS crank
+        |    FROM e CROSS JOIN c1 c)
+        |  WHERE crank = 1),
+        |c2 AS (
+        |  SELECT centroid_id,
+        |    list_transform(generate_series(1, 64),
+        |      d -> list_reduce(list_transform(vs, x -> x[d]),
+        |             (acc, x) -> acc + x) / len(vs)) AS cvec
+        |  FROM (SELECT centroid_id, list(vec ORDER BY id) AS vs
+        |        FROM a2 GROUP BY centroid_id)),
+        |ranked AS (
+        |  SELECT e.vec_id AS id, c.centroid_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.centroid_id) AS crank
+        |  FROM e CROSS JOIN c2 c),
+        |asg AS (SELECT id, centroid_id FROM ranked WHERE crank = 1),
+        |asgm AS (SELECT id, centroid_id FROM ranked WHERE crank <= 2),
+        |ex AS (
+        |  SELECT su.vec_id AS u, cv.vec_id AS v
+        |  FROM e su JOIN e cv ON su.vec_id != cv.vec_id
+        |  WHERE (su.vec_id % 1000000) % 50 = 0
+        |    AND list_cosine_similarity(su.v, cv.v) >= 0.8),
+        |p2 AS (
+        |  SELECT DISTINCT ex.u, ex.v FROM ex
+        |  JOIN asgm mu ON ex.u = mu.id
+        |  JOIN asgm mv ON ex.v = mv.id AND mu.centroid_id = mv.centroid_id)
+        |SELECT ex.u AS vec_id, COUNT(*)::BIGINT AS n_theta,
+        |  SUM(CASE WHEN au.centroid_id = av.centroid_id THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_same_cell,
+        |  SUM(CASE WHEN au.centroid_id = av.centroid_id THEN 0 ELSE 1 END)::BIGINT
+        |    AS n_cross_cell,
+        |  SUM(CASE WHEN p2.u IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_probe2
+        |FROM ex JOIN asg au ON ex.u = au.id
+        |JOIN asg av ON ex.v = av.id
+        |LEFT JOIN p2 ON ex.u = p2.u AND ex.v = p2.v
+        |GROUP BY 1""".stripMargin),
 
     // Paragraph-level exact dedup across the corpus (C4/RefinedWeb
     // cleaning): 3-word chunks, first corpus-wide occurrence wins,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AutoMerge, ConnectedComponents, EdgeDedup, Enricher, Validators}
+import graft.operators.{AutoMerge, ConnectedComponents, EdgeDedup, Enricher, Reviews, Validators}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Q._
@@ -18,6 +18,50 @@ object ResolverQueries {
     map_filter(
       map(pairs.flatMap { case (k, v) => Seq(lit(k), v) }: _*),
       (_, v) => size(v) > 0).as("properties")
+
+  /** The q185 decision pipeline — REAL AutoMerge judgements feeding the
+    * negative-constrained closure: positive pairs from the Vessel
+    * IMO+name rule on consecutive keys, negative pairs from the
+    * disjoint-ids rule on skip-one keys. Returns the flagged closure
+    * (id, component, vetoed) plus the negative pairs (a, b) — shared by
+    * q185 (the closure gate) and q191 (vetoed components routed into
+    * the review queue). */
+  private def negativeClosure(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val c = t(s, d, "customer")
+    val keys = c.select(col("c_custkey").as("k"))
+    val arr1 = (v: Column) => array(v)
+    val pairsA = keys.alias("l")
+      .join(keys.alias("r"), col("l.k") + 1 === col("r.k"))
+      .select(col("l.k").as("a"), col("r.k").as("b"))
+    val decidedA = pairsA.withColumn("res", AutoMerge.decide(
+      lit("Vessel"),
+      arr1(concat(lit("IM"), col("a").cast("string"))),
+      arr1(concat(lit("IM"), col("a").cast("string"))),
+      arr1(lit("Alpha")),
+      when(col("a") % 4 =!= 3, arr1(lit("alpha"))).otherwise(arr1(lit("Beta"))),
+      EmptyArr, EmptyArr, arr1(lit("us")), arr1(lit("ca")),
+      EmptyArr, EmptyArr, EmptyArr, EmptyArr, EmptyArr, EmptyArr,
+      EmptyArr, EmptyArr))
+    val pairsB = keys.alias("l")
+      .join(keys.alias("r2"), col("l.k") + 2 === col("r2.k"))
+      .select(col("l.k").as("a"), col("r2.k").as("b"))
+    val pkGate = col("a") % 8 === 1 || col("a") % 8 === 3
+    val decidedB = pairsB.withColumn("res", AutoMerge.decide(
+      lit("Person"),
+      EmptyArr, EmptyArr, arr1(lit("Alpha")), arr1(lit("Beta")),
+      EmptyArr, EmptyArr, arr1(lit("us")), arr1(lit("ca")),
+      EmptyArr, EmptyArr, EmptyArr, EmptyArr, EmptyArr, EmptyArr,
+      when(pkGate, arr1(concat(lit("P"), col("a").cast("string"))))
+        .otherwise(EmptyArr),
+      when(pkGate, arr1(concat(lit("Q"), col("a").cast("string"))))
+        .otherwise(EmptyArr)))
+    val pos = decidedA.filter(col("res.decision") === AutoMerge.Positive)
+      .select(col("a"), col("b"))
+    val neg = decidedB.filter(col("res.decision") === AutoMerge.Negative)
+      .select(col("a"), col("b"))
+    (ConnectedComponents.runWithNegatives(
+      keys.select(col("k").as("id")), pos, neg), neg)
+  }
 
   val decls: Seq[Decl] = Seq(
 
@@ -359,42 +403,7 @@ object ResolverQueries {
     // (the q90 second-seed lesson), and the oracle replays decisions,
     // closure (recursive CTE) and veto with no contiguity assumption.
     decl("q185_negative_constrained_closure",
-      (s, d) => {
-        val c = t(s, d, "customer")
-        val keys = c.select(col("c_custkey").as("k"))
-        val arr1 = (v: Column) => array(v)
-        val pairsA = keys.alias("l")
-          .join(keys.alias("r"), col("l.k") + 1 === col("r.k"))
-          .select(col("l.k").as("a"), col("r.k").as("b"))
-        val decidedA = pairsA.withColumn("res", AutoMerge.decide(
-          lit("Vessel"),
-          arr1(concat(lit("IM"), col("a").cast("string"))),
-          arr1(concat(lit("IM"), col("a").cast("string"))),
-          arr1(lit("Alpha")),
-          when(col("a") % 4 =!= 3, arr1(lit("alpha"))).otherwise(arr1(lit("Beta"))),
-          EmptyArr, EmptyArr, arr1(lit("us")), arr1(lit("ca")),
-          EmptyArr, EmptyArr, EmptyArr, EmptyArr, EmptyArr, EmptyArr,
-          EmptyArr, EmptyArr))
-        val pairsB = keys.alias("l")
-          .join(keys.alias("r2"), col("l.k") + 2 === col("r2.k"))
-          .select(col("l.k").as("a"), col("r2.k").as("b"))
-        val pkGate = col("a") % 8 === 1 || col("a") % 8 === 3
-        val decidedB = pairsB.withColumn("res", AutoMerge.decide(
-          lit("Person"),
-          EmptyArr, EmptyArr, arr1(lit("Alpha")), arr1(lit("Beta")),
-          EmptyArr, EmptyArr, arr1(lit("us")), arr1(lit("ca")),
-          EmptyArr, EmptyArr, EmptyArr, EmptyArr, EmptyArr, EmptyArr,
-          when(pkGate, arr1(concat(lit("P"), col("a").cast("string"))))
-            .otherwise(EmptyArr),
-          when(pkGate, arr1(concat(lit("Q"), col("a").cast("string"))))
-            .otherwise(EmptyArr)))
-        val pos = decidedA.filter(col("res.decision") === AutoMerge.Positive)
-          .select(col("a"), col("b"))
-        val neg = decidedB.filter(col("res.decision") === AutoMerge.Negative)
-          .select(col("a"), col("b"))
-        ConnectedComponents.runWithNegatives(
-          keys.select(col("k").as("id")), pos, neg)
-      },
+      (s, d) => negativeClosure(s, d)._1,
       """WITH RECURSIVE ex AS (SELECT c_custkey AS k FROM customer),
         |pos AS (SELECT a.k AS a, b.k AS b FROM ex a
         |  JOIN ex b ON b.k = a.k + 1 WHERE a.k % 4 != 3),
@@ -411,6 +420,92 @@ object ResolverQueries {
         |  JOIN comp cb ON neg.b = cb.id AND ca.component = cb.component)
         |SELECT c.id, c.component, (vet.component IS NOT NULL) AS vetoed
         |FROM comp c LEFT JOIN vet ON c.component = vet.component""".stripMargin),
+
+    // The veto flag gets its CONSUMER (round-10 brief #5): components
+    // the negative-constrained closure flagged are routed into the
+    // review state machine as conflict rows — the reference's resolver
+    // sends exactly these to human judgement (UNSURE queue,
+    // zavod/zavod/integration/dedupe.py:93-128) rather than silently
+    // keeping or splitting the merge. One review row per vetoed
+    // component: the member list is what the reviewer sees
+    // (source_value), the negative-pair count is the extraction under
+    // review, and the row enters via the REAL q144 upsert
+    // (Reviews.reviewExtraction on empty state) then surfaces through
+    // the unaccepted() export gate — so a vetoed cluster now BLOCKS
+    // export until a reviewer decides, exactly the reference's
+    // assert_all_accepted contract. Scale shape: member lists aggregate
+    // per component (vetoed components are rare and bounded by the
+    // closure's own cluster sizes), the upsert is the q144 full-outer
+    // equi-join on key.
+    decl("q191_vetoed_review_queue",
+      (s, d) => {
+        val (cc, neg) = negativeClosure(s, d)
+        val compOf = cc.select(col("id"), col("component"))
+        val nveto = neg
+          .join(compOf.withColumnRenamed("id", "a")
+            .withColumnRenamed("component", "ca"), Seq("a"))
+          .join(compOf.withColumnRenamed("id", "b")
+            .withColumnRenamed("component", "cb"), Seq("b"))
+          .filter(col("ca") === col("cb"))
+          .groupBy(col("ca")).agg(count(lit(1)).as("n_vetoes"))
+          .withColumnRenamed("ca", "component")
+        val members = cc.filter(col("vetoed"))
+          .groupBy(col("component"))
+          .agg(concat_ws(",", sort_array(collect_list(col("id")))).as("members"),
+            count(lit(1)).as("n_members"))
+        val incoming = members.join(nveto, Seq("component"))
+          .select(
+            concat(lit("veto-"), col("component").cast("string")).as("key"),
+            col("members").as("source_value"),
+            concat(lit("negative-pairs:"), col("n_vetoes").cast("string"),
+              lit(";members:"), col("n_members").cast("string"))
+              .as("original_extraction"),
+            lit(1L).as("crawler_version"),
+            lit("dedupe-veto").as("origin"))
+        val emptyState = incoming.limit(0).select(
+          col("key"), col("source_value"), col("original_extraction"),
+          col("original_extraction").as("extracted_data"),
+          lit(false).as("accepted"), col("crawler_version"), col("origin"),
+          lit("").as("last_seen_version"), lit("").as("modified_version"),
+          lit("").as("modified_by"))
+        val state = Reviews.reviewExtraction(emptyState, incoming, "r1")
+        Reviews.unaccepted(state, "r1")
+          .select(col("key"), col("source_value"), col("original_extraction"),
+            col("extracted_data"), col("accepted"), col("origin"),
+            col("modified_by"))
+      },
+      """WITH RECURSIVE ex AS (SELECT c_custkey AS k FROM customer),
+        |pos AS (SELECT a.k AS a, b.k AS b FROM ex a
+        |  JOIN ex b ON b.k = a.k + 1 WHERE a.k % 4 != 3),
+        |neg AS (SELECT a.k AS a, b.k AS b FROM ex a
+        |  JOIN ex b ON b.k = a.k + 2 WHERE a.k % 8 IN (1, 3)),
+        |sym AS (SELECT a AS x, b AS y FROM pos UNION SELECT b, a FROM pos),
+        |reach(id, m) AS (
+        |  SELECT k, k FROM ex
+        |  UNION
+        |  SELECT r.id, s.y FROM reach r JOIN sym s ON r.m = s.x),
+        |comp AS (SELECT id, MIN(m) AS component FROM reach GROUP BY id),
+        |nv AS (SELECT ca.component AS component, COUNT(*)::BIGINT AS n_vetoes
+        |  FROM neg JOIN comp ca ON neg.a = ca.id
+        |  JOIN comp cb ON neg.b = cb.id AND ca.component = cb.component
+        |  GROUP BY 1),
+        |mem AS (SELECT component,
+        |  string_agg(id::VARCHAR, ',' ORDER BY id) AS members
+        |  FROM comp WHERE component IN (SELECT component FROM nv)
+        |  GROUP BY 1),
+        |mm AS (SELECT component, members,
+        |  (SELECT COUNT(*) FROM comp c2
+        |   WHERE c2.component = mem.component)::BIGINT AS n_members
+        |  FROM mem)
+        |SELECT 'veto-' || mm.component::VARCHAR AS key,
+        |  members AS source_value,
+        |  'negative-pairs:' || nv.n_vetoes::VARCHAR ||
+        |    ';members:' || n_members::VARCHAR AS original_extraction,
+        |  'negative-pairs:' || nv.n_vetoes::VARCHAR ||
+        |    ';members:' || n_members::VARCHAR AS extracted_data,
+        |  FALSE AS accepted, 'dedupe-veto' AS origin,
+        |  'crawler' AS modified_by
+        |FROM mm JOIN nv ON mm.component = nv.component""".stripMargin),
 
     // P3/J13: schema-subtree filter + stateful position categorisation.
     decl("q91_schema_filter_positions",

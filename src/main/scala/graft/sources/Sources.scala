@@ -257,10 +257,15 @@ object Sources {
     *
     * Identical cache contract to [[fetchCached]]: returns
     * (url, body, from_cache) results plus the new cache rows
-    * (fingerprint, url, body, fetched_at) for the misses. The driver
-    * path stays the default for crawler-metadata-sized frontiers; this
-    * is the scale seam. `partitions` > 0 re-buckets the miss frontier
-    * (e.g. to match a polite per-host parallelism). */
+    * (fingerprint, url, body, fetched_at) for the misses, and the
+    * fetch itself runs EXACTLY ONCE — the miss fetch is eagerly
+    * materialized (localCheckpoint) before either returned frame is
+    * derived from it, matching the driver path's collect-once
+    * behavior (a lazy plan would refetch per action on each frame).
+    * The driver path stays the default for crawler-metadata-sized
+    * frontiers; this is the scale seam. `partitions` > 0 re-buckets
+    * the miss frontier (e.g. to match a polite per-host
+    * parallelism). */
   def fetchCachedDistributed(
       urls: DataFrame,
       cache: DataFrame,
@@ -279,6 +284,16 @@ object Sources {
       .select(col("url"), col("body"), lit(true).as("from_cache"))
     val misses0 = urlDf.join(fresh, Seq("url"), "left_anti").select(col("url"))
     val misses = if (partitions > 0) misses0.repartition(partitions) else misses0
+    // MATERIALIZE the side-effecting fetch exactly once (eager
+    // localCheckpoint): both returned frames derive from this plan, so
+    // leaving it lazy would re-invoke the fetcher — and re-pay the
+    // politeness interval — for every action on either frame, and a
+    // non-idempotent source could then cache a different body than it
+    // returned. With the lineage cut, every downstream action reads
+    // the stored blocks. Residual caveat (documented, unavoidable at
+    // this layer): a task retry DURING the one materialization job
+    // still re-runs that partition's fetches, and losing an executor's
+    // checkpoint blocks fails the job rather than silently refetching.
     val fetched = misses.as[String].mapPartitions { it =>
       var lastAt = 0L
       it.map { u =>
@@ -291,6 +306,7 @@ object Sources {
       }
     }.toDF("url", "body")
       .select(col("url"), col("body"), lit(false).as("from_cache"))
+      .localCheckpoint(true)
     val newCacheRows = fetched.select(
       cacheFingerprint(col("url")).as("fingerprint"),
       col("url"), col("body"), lit(now).as("fetched_at"))

@@ -5,6 +5,14 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 import java.util.zip.{ZipEntry, ZipOutputStream}
 
+/** JVM-global fetch counter: Spark local mode deserializes task
+  * closures into fresh copies, so a CAPTURED counter would count
+  * nothing — a singleton object's field is resolved per-JVM at
+  * deserialization and sees every executor-side invocation. */
+object FetchCounter {
+  val n = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
 
@@ -154,6 +162,33 @@ class SourcesSpec extends SparkSpec {
     assert(bBodies.count() === 200L)
     assert(bBodies.where(col("from_cache")).count() === 0L)
     assert(bRows.count() === 200L)
+  }
+
+  test("distributed fetch runs the fetcher EXACTLY once per miss") {
+    // the round-10 advisory: both returned frames share the fetch
+    // lineage, so without the eager materialization every action on
+    // either frame re-invoked the fetcher (double fetch + double
+    // politeness wait; non-idempotent sources could cache a body
+    // different from the returned one)
+    val now = java.sql.Timestamp.valueOf("2026-01-10 00:00:00")
+    val cache = (1 to 5).map(i =>
+        ("fp", s"http://z/$i", s"cached:$i",
+          java.sql.Timestamp.valueOf("2026-01-09 00:00:00")))
+      .toDF("fingerprint", "url", "body", "fetched_at")
+    FetchCounter.n.set(0)
+    val counting: Sources.Fetcher = url => {
+      FetchCounter.n.incrementAndGet(); s"fetched:$url"
+    }
+    val (bodies, rows) = Sources.fetchCachedDistributed(
+      (1 to 20).map(i => s"http://z/$i").toDF("url"), cache, now,
+      maxAgeDays = 30, fetcher = counting, partitions = 3)
+    // drive BOTH frames, twice each — the cached body count must stay
+    // at the 15 misses
+    assert(bodies.count() === 20L)
+    assert(rows.count() === 15L)
+    assert(bodies.where(!col("from_cache")).count() === 15L)
+    assert(rows.select("url").distinct().count() === 15L)
+    assert(FetchCounter.n.get() === 15)
   }
 
   test("fetch cache: a frontier beyond the driver-side bound fails loudly") {
