@@ -49,6 +49,46 @@ object ProbeSnapshot {
       f"[probe] versions=$versions rows=$rows commit_total=$commitWall%.1f s " +
         f"(${commitWall / versions}%.2f s/commit) resolve=$resolveWall%.3f s " +
         f"vacuumed=${doomed.size} in $vacuumWall%.1f s current=$cur rows_readable=$readable")
+
+    // CONCURRENT depth phase: 8 uncoordinated threads hammer commitCas
+    // for the same number of versions again — the SnapshotSpec
+    // thread-stress at probe depth. Invariants checked hot: exactly one
+    // winner per version (commitCas return values are unique), pointer
+    // ends at the target, every manifest row-conserved.
+    import spark.implicits._
+    val croot = java.nio.file.Files.createTempDirectory("snapprobe-mt").toString
+    val target = versions.toLong - 1
+    val wins = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val t3 = System.nanoTime()
+    val threads = (0 until 8).map { tid =>
+      new Thread(() => {
+        var done = false
+        while (!done) {
+          val exp =
+            if (!new java.io.File(s"$croot/_CURRENT").exists()) -1L
+            else Snapshot.currentVersion(spark, croot).drop(1).toLong
+          if (exp >= target) done = true
+          else {
+            val d = Seq((tid.toLong, exp + 1)).toDF("id", "v")
+            try wins.add(Snapshot.commitCas(spark, croot, exp, d,
+              Snapshot.manifestEntries(d, col("id"), col("id"), 1, exp + 1)))
+            catch { case _: Snapshot.CommitConflictException => () }
+          }
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(600000))
+    val mtWall = (System.nanoTime() - t3) / 1e9
+    val won = {
+      import scala.jdk.CollectionConverters._
+      wins.asScala.toSeq.sorted
+    }
+    require(won == (0L to target),
+      s"CAS violation: winners ${won.take(10)}... != 0..$target")
+    System.err.println(
+      f"[probe] concurrent CAS: 8 threads, ${versions} versions in " +
+        f"$mtWall%.1f s (${mtWall / versions}%.2f s/commit), one winner per " +
+        s"version verified, CURRENT=${Snapshot.currentVersion(spark, croot)}")
     spark.stop()
   }
 }

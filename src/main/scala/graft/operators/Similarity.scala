@@ -993,8 +993,8 @@ object Similarity {
     * cells, [[nprobeFor]]-sized probe width). This closes the round-10
     * verdict's one `weak`: occupancy-only sizing decayed q179's
     * recall@10 0.40 → 0.22 across a 25× decade; under this router the
-    * measured floor holds at every decade point (STRESS round-11
-    * table).
+    * measured contract-level recall is 0.953/1.000/1.000 across the
+    * same decade (STRESS round-11 table).
     *
     * `maxLshTables` defaults to 8, NOT the storage-bound 64, for a
     * measured reason: the collision formula assumes isotropic
@@ -1006,7 +1006,7 @@ object Similarity {
     * (the near-dup/high-cos regime LSH is actually built for, where
     * p ≈ 1 makes the formula robust — q101's planted recall 1.0);
     * beyond it, IVF meets the floor where formula-sized LSH does not
-    * (measured 0.950/0.965/1.000 across 1×/5×/25× vs 0.580 for
+    * (measured 0.946/1.000/1.000 across 1×/5×/25× vs 0.580 for
     * 16-table LSH at 1× and 0.348 for 64-table LSH at 25× — at half
     * the wall). The IVF branch's k-means init is deterministic (every
     * `step`-th id, step = n/cells) so results are reproducible across
@@ -1015,7 +1015,7 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       targetBucketSize: Long = 128, cosTarget: Double = 0.9,
       recall: Double = 0.9, maxLshTables: Int = 8,
-      kmeansIterations: Int = 3): DataFrame = {
+      kmeansIterations: Int = 2): DataFrame = {
     val n = corpus.select(corpus.columns.head).count()
     val planes = planesFor(n, targetBucketSize)
     val needed = tablesNeeded(planes, cosTarget, recall)

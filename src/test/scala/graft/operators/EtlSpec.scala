@@ -366,4 +366,45 @@ class EtlSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$root/datasets/latest/t/_VERSION")), "UTF-8")
     assert(marker === "v2")
   }
+
+  test("RunEtl CLI: spec file drives the full pipeline; exit codes gate") {
+    val root = tmpRoot("cli")
+    val stDir = s"$root/in/statements.parquet"
+    stmts(baseRows, "2025-01-01 00:00:00").write.parquet(stDir)
+    def spec(threshold: Long, extra: String = ""): String = {
+      val f = java.nio.file.Files.createTempFile("graft-spec", ".json")
+      java.nio.file.Files.writeString(f,
+        s"""{"name": "t", "version": "v1", "out_root": "$root",
+           | "run_time": "2025-01-01 00:00:00",
+           | "statements": "$stDir",$extra
+           | "assertions": [{"metric": "entity_count", "comparison": "gte",
+           |                 "key": "", "threshold": $threshold}]}""".stripMargin)
+      f.toString
+    }
+    // happy path: published layout + exit 0, restricted exporter list
+    assert(graft.RunEtl.execute(spark,
+      spec(1L, """ "exporters": ["entities.ftm.json", "statistics.json"],""")) === 0)
+    assert(new java.io.File(s"$root/datasets/v1/t/entities.ftm.json").exists())
+    assert(new java.io.File(s"$root/datasets/v1/t/statistics.json").exists())
+    assert(!new java.io.File(s"$root/datasets/v1/t/names.txt").exists())
+    // assertion gate: impossible GTE aborts with the reference's
+    // fail-fast semantics -> exit 2, nothing published for v2
+    val root2 = tmpRoot("cli2")
+    val f2 = java.nio.file.Files.createTempFile("graft-spec", ".json")
+    java.nio.file.Files.writeString(f2,
+      s"""{"name": "t", "version": "v1", "out_root": "$root2",
+         | "run_time": "2025-01-01 00:00:00",
+         | "statements": "$stDir",
+         | "assertions": [{"metric": "entity_count", "comparison": "gte",
+         |                 "key": "", "threshold": 1000}]}""".stripMargin)
+    assert(graft.RunEtl.execute(spark, f2.toString) === 2)
+    assert(!new java.io.File(s"$root2/datasets/v1/t/entities.ftm.json").exists())
+    // unusable spec (missing out_root) -> 64
+    val f3 = java.nio.file.Files.createTempFile("graft-spec", ".json")
+    java.nio.file.Files.writeString(f3,
+      s"""{"name": "t", "version": "v1",
+         | "run_time": "2025-01-01 00:00:00",
+         | "statements": "$stDir"}""".stripMargin)
+    assert(graft.RunEtl.execute(spark, f3.toString) === 64)
+  }
 }
