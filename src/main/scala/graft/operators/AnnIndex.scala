@@ -1,0 +1,278 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted, versioned ANN index — the build-once / query-many serving
+  * pattern the per-call trainers ([[Similarity.ivfTopK]],
+  * [[Similarity.cosineTopKAnnAuto]]) deliberately do not cover. At
+  * 100 TB the quantizer training pass (n·k per Lloyd round) is the
+  * expensive step; a production retrieval path trains ONCE, publishes
+  * the trained index atomically, absorbs corpus growth by assigning new
+  * vectors to the FROZEN quantizer, and serves probes that read only
+  * the probed cells. This operator composes the two halves the engine
+  * already gates separately:
+  *
+  *  - [[Snapshot]] gives the index store its versioned-publish
+  *    protocol: atomic pointer swap (readers are never torn), CAS
+  *    optimistic concurrency for racing writers, as-of time travel
+  *    (query the index as it stood before an append), vacuum.
+  *  - [[Similarity]] gives it the quantizer: hash-seeded deterministic
+  *    k-means ([[Similarity.seedCentroids]] +
+  *    [[Similarity.kmeansCentroids]]), √n cell sizing
+  *    ([[Similarity.kFor]]), recall-calibrated probe width
+  *    ([[Similarity.nprobeFor]]).
+  *
+  * Index layout: ONE frame per version (so one atomic pointer governs
+  * both halves) with a `kind` discriminator — 'c' rows are the trained
+  * centroids (broadcast-sized, ≤ 65536 by [[Similarity.kFor]]'s clamp),
+  * 'm' rows are the corpus vectors with their frozen cell assignment.
+  * Member rows are range-partitioned and sorted by `centroid_id` before
+  * the write, so parquet row-group stats are tight per cell and a
+  * probed-cell predicate prunes the scan to ~nprobe/cells of the data;
+  * the manifest assigns one entry per cell (clustered, not hashed — the
+  * [[Snapshot.manifestEntriesBy]] trade), so manifest-level pruning
+  * (q183's broadcast candidate join) composes on top for a deployment
+  * that splits cells across files.
+  *
+  * Freezing the quantizer on append is the deliberate semantics, not a
+  * shortcut: retraining would re-shuffle every existing assignment
+  * (rebuilding the index), and SemDeDup-style pipelines depend on cell
+  * ids being stable across corpus growth. The cost is drift — appended
+  * vectors far from every trained centroid get poor cells — so
+  * [[append]] logs the batch's assignment-cosine envelope against the
+  * index's stored build-time envelope; a production operator rebuilds
+  * when the logged drift crosses its threshold (the classic
+  * IVF-index maintenance contract). Reference analog: the reference
+  * publishes per-release artifacts and serves matching from the
+  * published artifact, not from a per-query rebuild
+  * (zavod/zavod/archive.py publish + opensanctions' release-versioned
+  * index consumption); this is that release model applied to the
+  * retrieval index.
+  *
+  * Correctness: q193 gates build → publish → frozen append → as-of and
+  * current probes against a DuckDB replay of the full quantizer
+  * arithmetic on both seeds; AnnIndexSpec gates the FS protocol
+  * (equivalence with the direct IVF path, centroid freeze, time travel,
+  * vacuum survival, pruned-scan plan shape). */
+object AnnIndex {
+
+  /** Probed-cell sets at most this large are pushed to the member scan
+    * as an IN predicate (real parquet row-group pruning); larger sets
+    * fall back to the equi-join plan (same rows, no pushdown) — an IN
+    * list past a few thousand entries stops being a win inside codegen. */
+  val MaxPushdownCells = 1024
+
+  private def asDouble(c: org.apache.spark.sql.Column) = c.cast("array<double>")
+
+  /** (id, vec, centroid_id): nearest FROZEN centroid per vector — the
+    * same min_by partial aggregate, deterministic tie-break (max
+    * cosine, then min centroid id) and NaN behavior as
+    * [[Similarity.ivfCandidates]]' corpus assignment, carrying the
+    * vector through so members persist with their cell. */
+  private def assignMembers(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.toDF("id", "vec")
+      .select(col("id"), asDouble(col("vec")).as("vec"))
+      .join(broadcast(centroids.toDF("centroid_id", "cvec")))
+      .withColumn("ccos", Similarity.cosine(col("vec"), col("cvec")))
+      .groupBy(col("id"))
+      .agg(min_by(struct(col("vec"), col("centroid_id")),
+        struct(negate(col("ccos")), col("centroid_id"))).as("best"))
+      .select(col("id"), col("best.vec").as("vec"),
+        col("best.centroid_id").as("centroid_id"))
+
+  /** One versioned index frame from its two halves. Member rows are
+    * clustered by cell before the write so the probe predicate prunes
+    * row groups; centroid rows ride in front (kind 'c', centroid_id as
+    * both id and cell). */
+  private def indexFrame(centroids: DataFrame, members: DataFrame): DataFrame = {
+    val c = centroids.toDF("centroid_id", "cvec")
+      .select(lit("c").as("kind"), col("centroid_id").cast("long").as("id"),
+        col("cvec").as("vec"), col("centroid_id").cast("long").as("centroid_id"))
+    val m = members
+      .select(lit("m").as("kind"), col("id").cast("long").as("id"), col("vec"),
+        col("centroid_id").cast("long").as("centroid_id"))
+      .repartitionByRange(col("centroid_id"))
+      .sortWithinPartitions("centroid_id")
+    c.unionByName(m)
+  }
+
+  private def commitIndex(spark: SparkSession, root: String, version: Long,
+      idx: DataFrame, commitMillis: Long): Unit = {
+    val persisted = idx.persist()
+    try {
+      val manifest = Snapshot.manifestEntriesBy(persisted,
+        when(col("kind") === "c", lit(-1L)).otherwise(col("centroid_id")),
+        col("centroid_id"), version)
+      Snapshot.commit(spark, root, version, persisted, manifest, commitMillis)
+    } finally persisted.unpersist()
+  }
+
+  /** Train the quantizer on `corpus` and publish version 1 of the
+    * index at `root`. Deterministic for a fixed `kmeansIterations`
+    * (earlyStop off — the oracle-replayable trainer); cells follow the
+    * √n rule. Returns the published version (1). */
+  def build(spark: SparkSession, root: String, corpus: DataFrame, dim: Int,
+      kmeansIterations: Int = 2,
+      commitMillis: Long = System.currentTimeMillis()): Long = {
+    val v = corpus.toDF("id", "vec")
+      .select(col("id"), asDouble(col("vec")).as("vec"))
+    val n = v.count()
+    val seed = Similarity.seedCentroids(v, Similarity.kFor(n))
+    val trained = Similarity.kmeansCentroids(v, seed, dim,
+      maxIterations = kmeansIterations, earlyStop = false)
+    commitIndex(spark, root, 1L, indexFrame(trained, assignMembers(v, trained)),
+      commitMillis)
+    1L
+  }
+
+  private def split(idx: DataFrame): (DataFrame, DataFrame) = (
+    idx.filter(col("kind") === "c")
+      .select(col("centroid_id"), col("vec").as("cvec")),
+    idx.filter(col("kind") === "m")
+      .select(col("id"), col("vec"), col("centroid_id")))
+
+  /** Assign `added` to the CURRENT version's frozen centroids and
+    * publish the grown index as the next version. The centroid half is
+    * carried over bit-identical (AnnIndexSpec gates the freeze). Logs
+    * the batch's assignment-cosine envelope next to the current
+    * members' — the drift signal a maintenance policy rebuilds on.
+    * Returns the new version. */
+  def append(spark: SparkSession, root: String, added: DataFrame,
+      commitMillis: Long = System.currentTimeMillis()): Long = {
+    val cur = Snapshot.currentVersion(spark, root).drop(1).toLong
+    val (cents, members) = split(Snapshot.readCurrent(spark, root))
+    val newMembers = assignMembers(added, cents).persist()
+    try {
+      // one 2-row aggregate job for the drift log (bounded, never per-row)
+      val env = newMembers.select(lit("batch").as("side"), col("vec"),
+          col("centroid_id"))
+        .unionByName(members.select(lit("index").as("side"), col("vec"),
+          col("centroid_id")))
+        .join(broadcast(cents), "centroid_id")
+        .groupBy("side")
+        .agg(avg(Similarity.cosine(col("vec"), col("cvec"))).as("mean_cos"),
+          min(Similarity.cosine(col("vec"), col("cvec"))).as("min_cos"))
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2))).toMap
+      for (b <- env.get("batch"); i <- env.get("index"))
+        System.err.println(
+          f"[graft] AnnIndex.append v${cur + 1}: batch assignment cosine " +
+            f"mean=${b._1}%.4f min=${b._2}%.4f vs index mean=${i._1}%.4f " +
+            f"min=${i._2}%.4f — rebuild when the batch envelope drifts")
+      commitIndex(spark, root, cur + 1L,
+        indexFrame(cents, members.unionByName(newMembers)), commitMillis)
+    } finally newMembers.unpersist()
+    cur + 1L
+  }
+
+  /** Probe an ALREADY-LOADED index frame: queries rank their `nprobe`
+    * nearest cells (window over the query side only — the small side),
+    * then meet members cell-locally and rank exactly. When the probed
+    * cell set is small it is collected (bounded by
+    * min(|queries|·nprobe, cells) — driver-bounded the same way the
+    * zone-map candidate lists are) and pushed as an IN predicate so the
+    * member scan prunes row groups; past [[MaxPushdownCells]] the probe
+    * joins instead. */
+  def queryFrame(idx: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val (cents, members) = split(idx)
+    val bc = broadcast(cents)
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("centroid_id").asc)
+    val probes = queries.toDF("query_id", "qvec")
+      .select(col("query_id"), asDouble(col("qvec")).as("qvec"))
+      .join(bc)
+      .withColumn("qcos", Similarity.cosine(col("qvec"), col("cvec")))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("centroid_id"))
+      .persist()
+    try {
+      val cellIds = probes.select(col("centroid_id").cast("long")).distinct()
+        .limit(MaxPushdownCells + 1).collect().map(_.getLong(0))
+      val scoped =
+        if (cellIds.length <= MaxPushdownCells)
+          members.filter(col("centroid_id").isin(cellIds: _*))
+        else members
+      // the probe side is |queries|·nprobe rows — ALWAYS the small side
+      // of this join; broadcast it explicitly so the member store is
+      // never shuffled (a sort-merge here would move every member
+      // vector of the probed cells through an exchange)
+      val cand = broadcast(probes).join(scoped, "centroid_id")
+        .filter(col("query_id") =!= col("id"))
+        .select(col("query_id"), col("qvec"),
+          col("id").as("neighbor_id"), col("vec").as("nvec"))
+      // rankCandidates shuffles scored scalars only — materialize the
+      // ranked frame while the probe side is still pinned
+      Similarity.rankCandidates(cand, k).localCheckpoint()
+    } finally probes.unpersist()
+  }
+
+  /** Probe the published index: the CURRENT version, or — Iceberg-style
+    * — the version live at `asOfMillis` (query the index as it stood
+    * before an append). */
+  def query(spark: SparkSession, root: String, queries: DataFrame, k: Int,
+      nprobe: Int = 2, asOfMillis: Option[Long] = None): DataFrame = {
+    val idx = asOfMillis match {
+      case Some(t) => Snapshot.readAsOf(spark, root, t)
+      case None => Snapshot.readCurrent(spark, root)
+    }
+    queryFrame(idx, queries, k, nprobe)
+  }
+
+  /** One micro-batch of STREAMING semantic dedup against the frozen
+    * quantizer — the online-serving twin of the batch
+    * [[Similarity.semanticDedupIvf]]: an incoming vector is DROPPED
+    * when some already-accepted vector in its (top-1, frozen) cell — or
+    * a SMALLER-ID vector of the same batch in the same cell — is
+    * θ-close; otherwise it is KEPT and joins the accepted set for
+    * every later batch. The within-batch half is deliberately the
+    * RELATIONAL rule (θ-close to any smaller-id batch peer, whether or
+    * not that peer itself survived), not the sequential greedy chain:
+    * it is order-deterministic, one equi-join, and exactly replayable
+    * by the oracle — at the cost of occasionally dropping both ends of
+    * a within-batch pair chain (conservative: never keeps a duplicate).
+    *
+    * Scale shape per batch: |batch|·cells broadcast assignment, then
+    * ONE cell-bucketed equi-join against the accepted members of the
+    * batch's own cells — the accepted store is never scanned outside
+    * the touched cells when its layout clusters by cell (the
+    * [[indexFrame]] write order), and no exchange carries an embedding
+    * beyond the bucket join itself (scored scalars only afterwards).
+    *
+    * `centroids` is the frozen (centroid_id, cvec) half of the index;
+    * `accepted` is (id, vec, centroid_id) — index members plus every
+    * previously kept streaming vector; `batch` is (id, vec). Returns
+    * (id, centroid_id, vec, status kept|dropped, matched_id = the
+    * smallest θ-matching id, null when kept) — the caller appends the
+    * kept rows to the accepted store and emits the decisions. */
+  def dedupBatch(centroids: DataFrame, accepted: DataFrame, batch: DataFrame,
+      theta: Double): DataFrame = {
+    val asg = assignMembers(batch, centroids)
+    val acc = accepted.toDF("mid", "mvec", "centroid_id")
+      .select(col("mid"), asDouble(col("mvec")).as("mvec"), col("centroid_id"))
+    // the batch is the micro-batch-sized side; broadcast it so the
+    // accepted store (index members + everything kept so far — the
+    // side that grows without bound) is never shuffled
+    val fromAccepted = broadcast(asg).join(acc, "centroid_id")
+      .filter(Similarity.cosine(col("vec"), col("mvec")) >= theta)
+      .select(col("id"), col("mid"))
+    val peers = asg.select(col("id").as("mid"), col("vec").as("mvec"),
+      col("centroid_id"))
+    val fromBatch = asg.join(broadcast(peers), "centroid_id")
+      .filter(col("mid") < col("id") &&
+        Similarity.cosine(col("vec"), col("mvec")) >= theta)
+      .select(col("id"), col("mid"))
+    val matches = fromAccepted.unionByName(fromBatch)
+      .groupBy("id").agg(min(col("mid")).as("matched_id"))
+    // matches is ≤ |batch| rows — broadcast so the decision join never
+    // re-shuffles the batch either
+    asg.join(broadcast(matches), Seq("id"), "left")
+      .select(col("id"), col("centroid_id"), col("vec"),
+        when(col("matched_id").isNull, lit("kept"))
+          .otherwise(lit("dropped")).as("status"),
+        col("matched_id"))
+  }
+}

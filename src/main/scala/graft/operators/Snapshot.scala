@@ -167,14 +167,36 @@ object Snapshot {
     meta.write(commitMillis.toString.getBytes("UTF-8"))
     meta.close()
     val tmp = new Path(s"$root/_CURRENT.tmp$version")
-    val out = f.create(tmp, true)
-    out.write(s"v$version".getBytes("UTF-8"))
-    out.close()
     val cur = new Path(s"$root/_CURRENT")
-    // rename is atomic on HDFS/local posix; object stores substitute
-    // their conditional-put committer behind the same FileSystem API
-    if (f.exists(cur)) f.delete(cur, false)
-    require(f.rename(tmp, cur), s"pointer swap failed for v$version")
+    // The swap must REPLACE atomically: a delete-then-rename leaves a
+    // window with no _CURRENT at all, and a concurrent reader's
+    // currentVersion dies with FileNotFoundException (caught live by
+    // SnapshotSpec's thread-stress). Scheme-dependent like
+    // claimVersion: local fs gets POSIX rename(2) via NIO ATOMIC_MOVE
+    // + REPLACE_EXISTING (the kernel swaps the directory entry in
+    // place — readers see old or new, never absent; the temp is
+    // NIO-written too, so no checksum sidecar is left orphaned); HDFS
+    // would use FileContext.rename(OVERWRITE) (namenode-atomic); the
+    // FileSystem fallback keeps delete+rename and inherits its tiny
+    // gap — object stores need their conditional-put committer
+    // regardless.
+    pointerSwap(f, tmp, cur, version)
+  }
+
+  private def pointerSwap(f: org.apache.hadoop.fs.FileSystem,
+      tmp: Path, cur: Path, version: Long): Unit = f match {
+    case l: org.apache.hadoop.fs.LocalFileSystem =>
+      val tmpNio = l.pathToFile(tmp).toPath
+      java.nio.file.Files.write(tmpNio, s"v$version".getBytes("UTF-8"))
+      java.nio.file.Files.move(tmpNio, l.pathToFile(cur).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    case _ =>
+      val out = f.create(tmp, true)
+      out.write(s"v$version".getBytes("UTF-8"))
+      out.close()
+      if (f.exists(cur)) f.delete(cur, false)
+      require(f.rename(tmp, cur), s"pointer swap failed for v$version")
   }
 
   /** A CAS commit lost its race: CURRENT advanced past the version the
@@ -281,12 +303,8 @@ object Snapshot {
       if (!f.exists(cur)) -1L
       else currentVersion(spark, root).drop(1).toLong
     if (version < current) return false
-    val tmp = new Path(s"$root/_CURRENT.tmp$version")
-    val out = f.create(tmp, true)
-    out.write(s"v$version".getBytes("UTF-8"))
-    out.close()
-    if (f.exists(cur)) f.delete(cur, false)
-    require(f.rename(tmp, cur), s"pointer swap failed for v$version")
+    // same no-absent-window atomic replace as [[commit]]'s swap
+    pointerSwap(f, new Path(s"$root/_CURRENT.tmp$version"), cur, version)
     true
   }
 

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsOf, Blocking, Contamination, Curation, Dedup, Matcher, Multimodal, Packing, Pii, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AnnIndex, AsOf, Blocking, Contamination, Curation, Dedup, Matcher, Multimodal, Packing, Pii, RangeJoin, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Q._
@@ -1994,6 +1994,121 @@ object PipelineQueries {
         |JOIN asg av ON ex.v = av.id
         |LEFT JOIN p2 ON ex.u = p2.u AND ex.v = p2.v
         |GROUP BY 1""".stripMargin),
+
+    // PERSISTED ANN index: build-once / query-many (AnnIndex — the
+    // Snapshot × Similarity composition). The index trains ONCE on the
+    // base corpus and publishes as v1 (commit t=1000); the planted
+    // batch (every 50th vector near-copied at +1e6) is then appended
+    // with the quantizer FROZEN — assigned to v1's centroids, never
+    // retrained — publishing v2 (t=2000). Both probes run through the
+    // published store: the as-of(t=1500) probe time-travels to v1 and
+    // must not see any appended id; the current probe serves v2 where
+    // each planted near-copy outranks every true neighbor of its twin.
+    // The oracle replays the whole lifecycle relationally: quantizer
+    // trained on the BASE ONLY (the freeze — contrast q189, which
+    // trains on the overlay), the appended batch assigned to those
+    // same frozen centroids, probes ranked per version. FS-side
+    // guarantees (atomic publish, centroid freeze bit-equality, vacuum)
+    // are AnnIndexSpec-gated.
+    decl("q193_ann_index_persisted",
+      (s, d) => {
+        val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val added = base.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => x + when(i % 2 === 0, lit(0.002)).otherwise(lit(-0.002)))
+              .as("embedding"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-annindex").toString
+        AnnIndex.build(s, root, base, dim = 64, commitMillis = 1000L)
+        AnnIndex.append(s, root, added, commitMillis = 2000L)
+        val queries = base.filter(col("vec_id") % 100 === 0)
+        val v1 = AnnIndex.query(s, root, queries, k = 10, nprobe = 2,
+            asOfMillis = Some(1500L))
+          .select(lit(1L).as("index_version"), col("query_id"),
+            col("neighbor_id"), col("rank").as("rnk"))
+        val v2 = AnnIndex.query(s, root, queries, k = 10, nprobe = 2)
+          .select(lit(2L).as("index_version"), col("query_id"),
+            col("neighbor_id"), col("rank").as("rnk"))
+        v1.unionByName(v2)
+      },
+      s"""WITH eb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |pl1 AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(generate_series(1, 64),
+        |      i -> v[i] + (CASE WHEN (i - 1) % 2 = 0
+        |                   THEN 0.002::DOUBLE ELSE -0.002::DOUBLE END)) AS v
+        |  FROM eb WHERE vec_id % 50 = 0),
+        |hs AS (SELECT vec_id, v, ${sqlHash60("vec_id::VARCHAR")} AS h FROM eb),
+        |c0 AS (SELECT centroid_id, cvec FROM (
+        |  SELECT row_number() OVER (ORDER BY h, vec_id)::BIGINT - 1 AS centroid_id,
+        |         v AS cvec FROM hs)
+        |  WHERE centroid_id < ${graft.operators.Similarity.kFor(500L)}),
+        |a1 AS (
+        |  SELECT id, vec, centroid_id FROM (
+        |    SELECT eb.vec_id AS id, eb.v AS vec, c.centroid_id,
+        |      row_number() OVER (PARTITION BY eb.vec_id
+        |        ORDER BY list_cosine_similarity(eb.v, c.cvec) DESC, c.centroid_id) AS crank
+        |    FROM eb CROSS JOIN c0 c)
+        |  WHERE crank = 1),
+        |c1 AS (
+        |  SELECT centroid_id,
+        |    list_transform(generate_series(1, 64),
+        |      d -> list_reduce(list_transform(vs, x -> x[d]),
+        |             (acc, x) -> acc + x) / len(vs)) AS cvec
+        |  FROM (SELECT centroid_id, list(vec ORDER BY id) AS vs
+        |        FROM a1 GROUP BY centroid_id)),
+        |a2 AS (
+        |  SELECT id, vec, centroid_id FROM (
+        |    SELECT eb.vec_id AS id, eb.v AS vec, c.centroid_id,
+        |      row_number() OVER (PARTITION BY eb.vec_id
+        |        ORDER BY list_cosine_similarity(eb.v, c.cvec) DESC, c.centroid_id) AS crank
+        |    FROM eb CROSS JOIN c1 c)
+        |  WHERE crank = 1),
+        |c2 AS (
+        |  SELECT centroid_id,
+        |    list_transform(generate_series(1, 64),
+        |      d -> list_reduce(list_transform(vs, x -> x[d]),
+        |             (acc, x) -> acc + x) / len(vs)) AS cvec
+        |  FROM (SELECT centroid_id, list(vec ORDER BY id) AS vs
+        |        FROM a2 GROUP BY centroid_id)),
+        |mv1 AS (
+        |  SELECT id, vec, centroid_id FROM (
+        |    SELECT eb.vec_id AS id, eb.v AS vec, c.centroid_id,
+        |      row_number() OVER (PARTITION BY eb.vec_id
+        |        ORDER BY list_cosine_similarity(eb.v, c.cvec) DESC, c.centroid_id) AS crank
+        |    FROM eb CROSS JOIN c2 c)
+        |  WHERE crank = 1),
+        |madd AS (
+        |  SELECT id, vec, centroid_id FROM (
+        |    SELECT pl1.vec_id AS id, pl1.v AS vec, c.centroid_id,
+        |      row_number() OVER (PARTITION BY pl1.vec_id
+        |        ORDER BY list_cosine_similarity(pl1.v, c.cvec) DESC, c.centroid_id) AS crank
+        |    FROM pl1 CROSS JOIN c2 c)
+        |  WHERE crank = 1),
+        |mv2 AS (SELECT * FROM mv1 UNION ALL SELECT * FROM madd),
+        |probes AS (
+        |  SELECT query_id, qv, centroid_id FROM (
+        |    SELECT eb.vec_id AS query_id, eb.v AS qv, c.centroid_id,
+        |      row_number() OVER (PARTITION BY eb.vec_id
+        |        ORDER BY list_cosine_similarity(eb.v, c.cvec) DESC, c.centroid_id) AS prank
+        |    FROM eb CROSS JOIN c2 c WHERE eb.vec_id % 100 = 0)
+        |  WHERE prank <= 2)
+        |SELECT 1::BIGINT AS index_version, query_id, neighbor_id, rnk FROM (
+        |  SELECT p.query_id, m.id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY p.query_id
+        |      ORDER BY list_cosine_similarity(p.qv, m.vec) DESC, m.id) AS rnk
+        |  FROM probes p JOIN mv1 m USING (centroid_id)
+        |  WHERE p.query_id != m.id)
+        |WHERE rnk <= 10
+        |UNION ALL
+        |SELECT 2::BIGINT AS index_version, query_id, neighbor_id, rnk FROM (
+        |  SELECT p.query_id, m.id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY p.query_id
+        |      ORDER BY list_cosine_similarity(p.qv, m.vec) DESC, m.id) AS rnk
+        |  FROM probes p JOIN mv2 m USING (centroid_id)
+        |  WHERE p.query_id != m.id)
+        |WHERE rnk <= 10""".stripMargin),
 
     // Paragraph-level exact dedup across the corpus (C4/RefinedWeb
     // cleaning): 3-word chunks, first corpus-wide occurrence wins,

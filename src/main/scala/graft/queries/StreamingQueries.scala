@@ -435,6 +435,234 @@ object StreamingQueries {
     // Emitted rows also carry the per-batch probe accounting
     // (n_bloom_maybe vs n_in), making the saved exact-join volume
     // visible in the oracle-checked output.
+    // q194: STREAMING semantic dedup against the PERSISTED ANN index —
+    // the online-serving twin of the batch semanticDedupIvf (q189),
+    // composing q193's frozen-quantizer store with the q139/q176
+    // foreachBatch state protocol. The index trains ONCE on the base
+    // embeddings; each arriving micro-batch is assigned to its frozen
+    // top-1 cell and dropped iff θ-close (0.8) to an already-accepted
+    // vector in that cell or to a smaller-id batch peer there (the
+    // relational within-batch rule — AnnIndex.dedupBatch's contract);
+    // kept vectors join the accepted set for every later batch.
+    //   drop 1 (batch 0): near-copies of every 50th base vector (+1e6,
+    //     ±0.002 — must drop against the INDEX) + synthetic axis
+    //     vectors for every 25th id (+3e6 — novel, must be kept);
+    //   drop 2 (batch 1, after a checkpoint restart): near-copies of
+    //     drop 1's novel vectors (+4e6 — must drop against STREAMING
+    //     STATE accepted in batch 0, proving state survives the
+    //     restart) + q189-style +2e6 copies of every 100th base (must
+    //     drop against the index) + fresh axis vectors on a different
+    //     axis map for every 60th id (+5e6 — kept).
+    // Per-batch state is the versioned accepted/v<bid> store (prev ∪
+    // kept, overwrite-per-batch — idempotent under re-delivery, the
+    // q176 protocol); decisions land in out/v<bid>. The oracle replays
+    // the whole lifecycle: quantizer trained on the base, both drops
+    // assigned to the frozen cells, both decision rounds and the state
+    // carry computed as batch SQL.
+    decl("q194_streaming_semantic_dedup",
+      (s, d) => {
+        import graft.operators.{AnnIndex, Snapshot}
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val base = s"/tmp/graft_q194_$tag"
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val landing = s"$base/landing"
+        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val root = s"$base/index"
+        AnnIndex.build(s, root, emb, dim = 64, commitMillis = 1000L)
+        val idx = Snapshot.readCurrent(s, root)
+        val cents = idx.filter(col("kind") === "c")
+          .select(col("centroid_id"), col("vec").as("cvec"))
+          .localCheckpoint() // broadcast-sized; pin before streaming reuse
+        val members = idx.filter(col("kind") === "m")
+          .select(col("id"), col("vec"), col("centroid_id"))
+        // synthetic novel vectors: one dominant axis per id + small
+        // deterministic wiggle — replayed verbatim by the oracle
+        def axisVec(mult: Int, shift: Int) =
+          transform(sequence(lit(0L), lit(63L)), dc =>
+            when(dc === pmod(col("vec_id") * mult + shift, lit(64L)), lit(1.0))
+              .otherwise(lit(0.01) * pmod(col("vec_id") + dc, lit(5L))))
+        def nearCopy(vec: org.apache.spark.sql.Column) =
+          transform(vec, (x, i) =>
+            x + when(i % 2 === 0, lit(0.002)).otherwise(lit(-0.002)))
+        val drop1 = emb.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            nearCopy(col("embedding")).cast("array<double>").as("vec"))
+          .unionByName(emb.filter(col("vec_id") % 25 === 0)
+            .select((col("vec_id") + 3000000L).as("vec_id"),
+              axisVec(7, 0).as("vec")))
+        val drop2 = emb.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 4000000L).as("vec_id"),
+            nearCopy(axisVec(7, 0)).as("vec"))
+          .unionByName(emb.filter(col("vec_id") % 100 === 0)
+            .select((col("vec_id") + 2000000L).as("vec_id"),
+              transform(col("embedding"), (x, i) =>
+                x + when(i % 3 === 0, lit(0.003)).otherwise(lit(-0.001)))
+                .cast("array<double>").as("vec")))
+          .unionByName(emb.filter(col("vec_id") % 60 === 0)
+            .select((col("vec_id") + 5000000L).as("vec_id"),
+              axisVec(11, 3).as("vec")))
+        def processAvailable(): Unit = {
+          val stream = s.readStream.schema("vec_id LONG, vec ARRAY<DOUBLE>")
+            .option("maxFilesPerTrigger", "10000").parquet(landing)
+          val q = graft.streaming.StatementStream.foreachBatchSink(
+            stream, s"$base/ck",
+            trigger = Some(Trigger.AvailableNow())) { (batch, bid) =>
+            val sp = batch.sparkSession
+            val prevPath = new org.apache.hadoop.fs.Path(s"$base/accepted/v${bid - 1}")
+            val accepted =
+              if (bid > 0 && fs.exists(prevPath))
+                sp.read.parquet(prevPath.toString)
+                  .select("id", "vec", "centroid_id")
+              else members
+            val decisions = AnnIndex.dedupBatch(cents, accepted,
+                batch.select(col("vec_id"), col("vec")), theta = 0.8)
+              .localCheckpoint() // decide once; both writes reuse it
+            decisions
+              .select(col("id").as("vec_id"), lit(bid).as("batch_seq"),
+                col("status"), col("matched_id"))
+              .write.mode("overwrite").parquet(s"$base/out/v$bid")
+            accepted
+              .unionByName(decisions.filter(col("status") === "kept")
+                .select(col("id"), col("vec"), col("centroid_id")))
+              .write.mode("overwrite").parquet(s"$base/accepted/v$bid")
+          }
+          q.awaitTermination()
+        }
+        drop1.write.mode("append").parquet(landing)
+        processAvailable()
+        drop2.write.mode("append").parquet(landing)
+        processAvailable()
+        s.read.parquet(s"$base/out/v*")
+          .select("vec_id", "batch_seq", "status", "matched_id")
+      },
+      s"""WITH eb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |hs AS (SELECT vec_id, v, ${sqlHash60("vec_id::VARCHAR")} AS h FROM eb),
+        |c0 AS (SELECT centroid_id, cvec FROM (
+        |  SELECT row_number() OVER (ORDER BY h, vec_id)::BIGINT - 1 AS centroid_id,
+        |         v AS cvec FROM hs)
+        |  WHERE centroid_id < ${graft.operators.Similarity.kFor(500L)}),
+        |a1 AS (
+        |  SELECT id, vec, centroid_id FROM (
+        |    SELECT eb.vec_id AS id, eb.v AS vec, c.centroid_id,
+        |      row_number() OVER (PARTITION BY eb.vec_id
+        |        ORDER BY list_cosine_similarity(eb.v, c.cvec) DESC, c.centroid_id) AS crank
+        |    FROM eb CROSS JOIN c0 c)
+        |  WHERE crank = 1),
+        |c1 AS (
+        |  SELECT centroid_id,
+        |    list_transform(generate_series(1, 64),
+        |      d -> list_reduce(list_transform(vs, x -> x[d]),
+        |             (acc, x) -> acc + x) / len(vs)) AS cvec
+        |  FROM (SELECT centroid_id, list(vec ORDER BY id) AS vs
+        |        FROM a1 GROUP BY centroid_id)),
+        |a2 AS (
+        |  SELECT id, vec, centroid_id FROM (
+        |    SELECT eb.vec_id AS id, eb.v AS vec, c.centroid_id,
+        |      row_number() OVER (PARTITION BY eb.vec_id
+        |        ORDER BY list_cosine_similarity(eb.v, c.cvec) DESC, c.centroid_id) AS crank
+        |    FROM eb CROSS JOIN c1 c)
+        |  WHERE crank = 1),
+        |c2 AS (
+        |  SELECT centroid_id,
+        |    list_transform(generate_series(1, 64),
+        |      d -> list_reduce(list_transform(vs, x -> x[d]),
+        |             (acc, x) -> acc + x) / len(vs)) AS cvec
+        |  FROM (SELECT centroid_id, list(vec ORDER BY id) AS vs
+        |        FROM a2 GROUP BY centroid_id)),
+        |mv AS (
+        |  SELECT id, vec, centroid_id FROM (
+        |    SELECT eb.vec_id AS id, eb.v AS vec, c.centroid_id,
+        |      row_number() OVER (PARTITION BY eb.vec_id
+        |        ORDER BY list_cosine_similarity(eb.v, c.cvec) DESC, c.centroid_id) AS crank
+        |    FROM eb CROSS JOIN c2 c)
+        |  WHERE crank = 1),
+        |ax1 AS (SELECT vec_id + 3000000 AS vec_id, v FROM (
+        |  SELECT vec_id,
+        |    list_transform(generate_series(0, 63),
+        |      d -> CASE WHEN d = (vec_id * 7) % 64 THEN 1.0::DOUBLE
+        |           ELSE 0.01::DOUBLE * ((vec_id + d) % 5) END) AS v
+        |  FROM eb WHERE vec_id % 25 = 0)),
+        |d1 AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(generate_series(1, 64),
+        |      i -> v[i] + (CASE WHEN (i - 1) % 2 = 0
+        |                   THEN 0.002::DOUBLE ELSE -0.002::DOUBLE END)) AS v
+        |  FROM eb WHERE vec_id % 50 = 0
+        |  UNION ALL SELECT vec_id, v FROM ax1),
+        |ad1 AS (
+        |  SELECT id, vec, centroid_id FROM (
+        |    SELECT d1.vec_id AS id, d1.v AS vec, c.centroid_id,
+        |      row_number() OVER (PARTITION BY d1.vec_id
+        |        ORDER BY list_cosine_similarity(d1.v, c.cvec) DESC, c.centroid_id) AS crank
+        |    FROM d1 CROSS JOIN c2 c)
+        |  WHERE crank = 1),
+        |m1 AS (
+        |  SELECT b.id, MIN(m.id) AS matched_id
+        |  FROM ad1 b JOIN mv m USING (centroid_id)
+        |  WHERE list_cosine_similarity(b.vec, m.vec) >= 0.8 GROUP BY 1
+        |  UNION ALL
+        |  SELECT b.id, MIN(p.id) AS matched_id
+        |  FROM ad1 b JOIN ad1 p USING (centroid_id)
+        |  WHERE p.id < b.id
+        |    AND list_cosine_similarity(b.vec, p.vec) >= 0.8 GROUP BY 1),
+        |dec1 AS (
+        |  SELECT b.id, MIN(m1.matched_id) AS matched_id
+        |  FROM ad1 b LEFT JOIN m1 ON b.id = m1.id GROUP BY 1),
+        |acc1 AS (SELECT id, vec, centroid_id FROM mv
+        |  UNION ALL
+        |  SELECT b.id, b.vec, b.centroid_id FROM ad1 b
+        |  JOIN dec1 ON b.id = dec1.id WHERE dec1.matched_id IS NULL),
+        |d2 AS (
+        |  SELECT vec_id - 3000000 + 4000000 AS vec_id,
+        |    list_transform(generate_series(1, 64),
+        |      i -> v[i] + (CASE WHEN (i - 1) % 2 = 0
+        |                   THEN 0.002::DOUBLE ELSE -0.002::DOUBLE END)) AS v
+        |  FROM ax1
+        |  UNION ALL
+        |  SELECT vec_id + 2000000 AS vec_id,
+        |    list_transform(generate_series(1, 64),
+        |      i -> v[i] + (CASE WHEN (i - 1) % 3 = 0
+        |                   THEN 0.003::DOUBLE ELSE -0.001::DOUBLE END)) AS v
+        |  FROM eb WHERE vec_id % 100 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 5000000 AS vec_id, v FROM (
+        |    SELECT vec_id,
+        |      list_transform(generate_series(0, 63),
+        |        d -> CASE WHEN d = (vec_id * 11 + 3) % 64 THEN 1.0::DOUBLE
+        |             ELSE 0.01::DOUBLE * ((vec_id + d) % 5) END) AS v
+        |    FROM eb WHERE vec_id % 60 = 0)),
+        |ad2 AS (
+        |  SELECT id, vec, centroid_id FROM (
+        |    SELECT d2.vec_id AS id, d2.v AS vec, c.centroid_id,
+        |      row_number() OVER (PARTITION BY d2.vec_id
+        |        ORDER BY list_cosine_similarity(d2.v, c.cvec) DESC, c.centroid_id) AS crank
+        |    FROM d2 CROSS JOIN c2 c)
+        |  WHERE crank = 1),
+        |m2 AS (
+        |  SELECT b.id, MIN(m.id) AS matched_id
+        |  FROM ad2 b JOIN acc1 m USING (centroid_id)
+        |  WHERE list_cosine_similarity(b.vec, m.vec) >= 0.8 GROUP BY 1
+        |  UNION ALL
+        |  SELECT b.id, MIN(p.id) AS matched_id
+        |  FROM ad2 b JOIN ad2 p USING (centroid_id)
+        |  WHERE p.id < b.id
+        |    AND list_cosine_similarity(b.vec, p.vec) >= 0.8 GROUP BY 1),
+        |dec2 AS (
+        |  SELECT b.id, MIN(m2.matched_id) AS matched_id
+        |  FROM ad2 b LEFT JOIN m2 ON b.id = m2.id GROUP BY 1)
+        |SELECT id AS vec_id, 0::BIGINT AS batch_seq,
+        |  CASE WHEN matched_id IS NULL THEN 'kept' ELSE 'dropped' END AS status,
+        |  matched_id
+        |FROM dec1
+        |UNION ALL
+        |SELECT id AS vec_id, 1::BIGINT AS batch_seq,
+        |  CASE WHEN matched_id IS NULL THEN 'kept' ELSE 'dropped' END AS status,
+        |  matched_id
+        |FROM dec2""".stripMargin),
+
     decl("q176_streaming_bloom_dedup",
       (s, d) => {
         import graft.operators.{Bloom, Dedup}

@@ -308,4 +308,28 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
     assert(!"SortMergeJoin.*\\bb\\b".r.findFirstIn(plan).isDefined, plan.take(1500))
   }
+
+  test("streaming semantic dedup never shuffles the accepted store") {
+    import graft.operators.AnnIndex
+    // the accepted store grows without bound (index members + all kept
+    // streaming vectors); every per-batch join must broadcast the
+    // micro-batch side — a sort-merge would re-shuffle the store's
+    // vector payload on EVERY batch
+    val cents = Seq((0L, Seq.fill(8)(1.0)), (1L, Seq.tabulate(8)(_.toDouble)))
+      .toDF("centroid_id", "cvec")
+    val accepted = (0L until 500L)
+      .map(i => (i, Seq.tabulate(8)(d => (i + d).toDouble), i % 2))
+      .toDF("id", "vec", "centroid_id")
+    val batch = (1000L until 1008L)
+      .map(i => (i, Seq.tabulate(8)(d => (i + d).toDouble)))
+      .toDF("id", "vec")
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = AnnIndex.dedupBatch(cents, accepted, batch, theta = 0.9)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+      assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
 }
