@@ -140,12 +140,29 @@ object AnnIndex {
     * members' — the drift signal a maintenance policy rebuilds on.
     * Returns the new version. */
   def append(spark: SparkSession, root: String, added: DataFrame,
-      commitMillis: Long = System.currentTimeMillis()): Long = {
+      commitMillis: Long = System.currentTimeMillis()): Long =
+    appendWithDrift(spark, root, added, commitMillis)._1
+
+  /** The assignment-cosine envelope of one appended batch against the
+    * live index — the measured drift signal. A batch whose vectors sit
+    * where the quantizer was trained assigns about as well as the
+    * index's own members (`batchMean ≈ indexMean`); a batch the
+    * quantizer has never seen assigns poorly (`batchMean` drops), cells
+    * stop isolating neighborhoods, and probe recall decays — the
+    * classic frozen-IVF failure mode, surfaced as a number instead of a
+    * silent quality loss. */
+  final case class Drift(batchMean: Double, batchMin: Double,
+      indexMean: Double, indexMin: Double)
+
+  /** [[append]], returning the measured [[Drift]] alongside the new
+    * version (None for a degenerate empty batch or empty index). */
+  def appendWithDrift(spark: SparkSession, root: String, added: DataFrame,
+      commitMillis: Long = System.currentTimeMillis()): (Long, Option[Drift]) = {
     val cur = Snapshot.currentVersion(spark, root).drop(1).toLong
     val (cents, members) = split(Snapshot.readCurrent(spark, root))
     val newMembers = assignMembers(added, cents).persist()
     try {
-      // one 2-row aggregate job for the drift log (bounded, never per-row)
+      // one 2-row aggregate job for the drift signal (bounded, never per-row)
       val env = newMembers.select(lit("batch").as("side"), col("vec"),
           col("centroid_id"))
         .unionByName(members.select(lit("index").as("side"), col("vec"),
@@ -156,15 +173,59 @@ object AnnIndex {
           min(Similarity.cosine(col("vec"), col("cvec"))).as("min_cos"))
         .collect().map(r => r.getString(0) ->
           (r.getDouble(1), r.getDouble(2))).toMap
-      for (b <- env.get("batch"); i <- env.get("index"))
+      val drift = for (b <- env.get("batch"); i <- env.get("index"))
+        yield Drift(b._1, b._2, i._1, i._2)
+      drift.foreach { dr =>
         System.err.println(
           f"[graft] AnnIndex.append v${cur + 1}: batch assignment cosine " +
-            f"mean=${b._1}%.4f min=${b._2}%.4f vs index mean=${i._1}%.4f " +
-            f"min=${i._2}%.4f — rebuild when the batch envelope drifts")
+            f"mean=${dr.batchMean}%.4f min=${dr.batchMin}%.4f vs index " +
+            f"mean=${dr.indexMean}%.4f min=${dr.indexMin}%.4f")
+      }
       commitIndex(spark, root, cur + 1L,
         indexFrame(cents, members.unionByName(newMembers)), commitMillis)
+      (cur + 1L, drift)
     } finally newMembers.unpersist()
+  }
+
+  /** RETRAIN the quantizer on the full current member set and publish
+    * the rebuilt index as the next version — the maintenance event a
+    * drifted index pays for. Cell ids change (every member re-assigns),
+    * which is exactly why [[append]] freezes by default and rebuilds
+    * are policy-gated, not automatic. Returns the new version. */
+  def rebuild(spark: SparkSession, root: String, dim: Int,
+      kmeansIterations: Int = 2,
+      commitMillis: Long = System.currentTimeMillis()): Long = {
+    val cur = Snapshot.currentVersion(spark, root).drop(1).toLong
+    val corpus = split(Snapshot.readCurrent(spark, root))._2
+      .select(col("id"), col("vec"))
+    val n = corpus.count()
+    val seed = Similarity.seedCentroids(corpus, Similarity.kFor(n))
+    val trained = Similarity.kmeansCentroids(corpus, seed, dim,
+      maxIterations = kmeansIterations, earlyStop = false)
+    commitIndex(spark, root, cur + 1L,
+      indexFrame(trained, assignMembers(corpus, trained)), commitMillis)
     cur + 1L
+  }
+
+  /** The drift-policy maintenance step: append the batch, then rebuild
+    * iff its mean assignment cosine fell below `rebuildFactor` × the
+    * index mean — in-distribution growth stays on the cheap frozen
+    * path (ProbeAnnIndex: 7% of a build at 25×), out-of-distribution
+    * drift pays one retrain before probe recall decays silently.
+    * Returns (published version, whether a rebuild fired). */
+  def maintain(spark: SparkSession, root: String, added: DataFrame, dim: Int,
+      rebuildFactor: Double = 0.8, kmeansIterations: Int = 2,
+      appendMillis: Long = System.currentTimeMillis(),
+      rebuildMillis: Long = System.currentTimeMillis()): (Long, Boolean) = {
+    val (v, drift) = appendWithDrift(spark, root, added, appendMillis)
+    drift match {
+      case Some(dr) if dr.batchMean < rebuildFactor * dr.indexMean =>
+        System.err.println(
+          f"[graft] AnnIndex.maintain: drift ${dr.batchMean}%.4f < " +
+            f"$rebuildFactor%.2f × ${dr.indexMean}%.4f — rebuilding")
+        (rebuild(spark, root, dim, kmeansIterations, rebuildMillis), true)
+      case _ => (v, false)
+    }
   }
 
   /** Probe an ALREADY-LOADED index frame: queries rank their `nprobe`

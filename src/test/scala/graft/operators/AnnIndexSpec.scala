@@ -81,6 +81,46 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("maintain: in-distribution appends stay frozen, drifted batches trigger a rebuild") {
+    val root = java.nio.file.Files.createTempDirectory("annidx-maintain").toString
+    val base = vecs(0 until 60)
+    AnnIndex.build(spark, root, base, dim = 8, commitMillis = 1000L)
+    // in-distribution batch: same generator, new ids -> frozen append
+    val (v2, rebuilt2) = AnnIndex.maintain(spark, root,
+      vecs(0 until 10, offset = 1000L), dim = 8,
+      appendMillis = 2000L, rebuildMillis = 2001L)
+    assert(v2 === 2L && !rebuilt2)
+    val centsV2 = spark.read.parquet(s"$root/data/v2")
+      .filter(col("kind") === "c").select("id", "vec")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // out-of-distribution batch: concentrated on an axis no member
+    // uses (d == 7 dominant) -> low assignment cosine -> rebuild fires
+    val ood = (0 until 10).map { i =>
+      (2000L + i, Array.tabulate(8)(d =>
+        if (d == 7) 1.0 else 0.0001 * ((i + d) % 3)))
+    }.toDF("id", "vec")
+    val (v4, rebuilt4) = AnnIndex.maintain(spark, root, ood, dim = 8,
+      appendMillis = 3000L, rebuildMillis = 3001L)
+    assert(rebuilt4 && v4 === 4L) // v3 = the append, v4 = the rebuild
+    // the rebuilt quantizer differs and every member re-assigned under it
+    val centsV4 = spark.read.parquet(s"$root/data/v4")
+      .filter(col("kind") === "c").select("id", "vec")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(centsV4 !== centsV2)
+    val m4 = spark.read.parquet(s"$root/data/v4").filter(col("kind") === "m")
+    assert(m4.count() === 80) // 60 base + 10 in-dist + 10 ood, none lost
+    // the ood family now assigns to a cell of its own quantizer: its
+    // mean assignment cosine must beat the drifted pre-rebuild one
+    val cents = spark.read.parquet(s"$root/data/v4")
+      .filter(col("kind") === "c")
+      .select(col("centroid_id"), col("vec").as("cvec"))
+    def meanCos(ids: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      m4.filter(ids(col("id"))).join(cents, "centroid_id")
+        .agg(avg(Similarity.cosine(col("vec"), col("cvec"))))
+        .collect()(0).getDouble(0)
+    assert(meanCos(id => id >= 2000L) > 0.9)
+  }
+
   test("dedupBatch: drops against accepted AND against smaller-id batch peers") {
     // two cells: axis-0 and axis-4 vectors; the accepted set owns one
     // axis-0 vector, the batch brings a near-copy of it (drop vs
