@@ -74,6 +74,18 @@ object ProbeAnnRecall {
         val cents = Similarity.kmeansCentroids(c, init, 64, 3, earlyStop = false)
         (Similarity.ivfTopK(qs, e, cents, k = 10, nprobe = nprobe),
           s"ivf cells=$cells nprobe=$nprobe")
+      case "pq" =>
+        // PQ ADC + exact re-rank (operators/ProductQuantizer): recall
+        // is governed by whether the true top-10 survive the ADC cut
+        // at depth r — the approximation axis the q195 gate pins at
+        // the correctness scale and this probe measures against n
+        import graft.operators.ProductQuantizer
+        val r = args.lift(2).flatMap(_.toIntOption).getOrElse(50)
+        val cb = ProductQuantizer.trainCodebooks(e, dim = 64, m = 8, k = 16)
+        val codes = ProductQuantizer.encode(e, cb, dim = 64, m = 8)
+        (ProductQuantizer.adcTopK(qs, codes, cb, e, dim = 64, m = 8,
+          k = 10, r = r),
+          s"pq m=8 k=16 r=$r")
       case other => sys.error(s"unknown mode $other")
     }
     val r = Similarity.recallAgainst(exact, approx, s"n=$n $label")
@@ -83,7 +95,13 @@ object ProbeAnnRecall {
     // neighbors AT OR ABOVE cosTarget — exact-top-10 members below it
     // are out of contract (the collision formula cannot see them), so
     // report both numbers and let STRESS.md show the split
-    val cosFloor = args.lift(2).flatMap(_.toDoubleOption).getOrElse(0.35)
+    // arg 2 is only the cosine floor for router/fixed modes — ivf/pq
+    // use it as nprobe/r, so reinterpreting it here would filter the
+    // exact set empty and 0/0 the contract recall
+    val cosFloor =
+      if (mode == "router" || mode == "fixed")
+        args.lift(2).flatMap(_.toDoubleOption).getOrElse(0.35)
+      else 0.35
     val rc = Similarity.recallAgainst(
       exact.filter(col("cosine") >= cosFloor), approx, "contract")
       .collect()(0)

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AnnIndex, AsOf, Blocking, Contamination, Curation, Dedup, Matcher, Multimodal, Packing, Pii, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AnnIndex, AsOf, Blocking, Contamination, Curation, Dedup, Matcher, Multimodal, Packing, Pii, ProductQuantizer, RangeJoin, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Q._
@@ -2108,6 +2108,112 @@ object PipelineQueries {
         |      ORDER BY list_cosine_similarity(p.qv, m.vec) DESC, m.id) AS rnk
         |  FROM probes p JOIN mv2 m USING (centroid_id)
         |  WHERE p.query_id != m.id)
+        |WHERE rnk <= 10""".stripMargin),
+
+    // PRODUCT QUANTIZATION: train → encode → ADC → exact re-rank
+    // (operators/ProductQuantizer — the memory half of ANN serving:
+    // 8×16 codebooks make a member cost ~4 information bytes instead
+    // of 512). Codebooks train per-subspace in ONE relational pass
+    // (hash-seeded, 2 fixed Lloyd rounds keyed by (sub, code) — the
+    // same protocol as the coarse quantizer), encoding ranks by the
+    // L2-equivalent 2·⟨s,c⟩−⟨c,c⟩ score, and ADC sums per-subspace
+    // partials through the DECIMAL barrier so the candidate cut is
+    // exact and order-independent — the property that lets DuckDB
+    // replay the whole lifecycle: subspace slicing, both training
+    // rounds, encoding, the per-query lookup tables, the decimal ADC
+    // ranking, and the full-precision re-rank of the top-50.
+    decl("q195_pq_topk",
+      (s, d) => {
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val cb = ProductQuantizer.trainCodebooks(e, dim = 64, m = 8,
+          k = 16, iterations = 2)
+        val codes = ProductQuantizer.encode(e, cb, dim = 64, m = 8)
+        val qs = e.filter(col("vec_id") % 100 === 0)
+        ProductQuantizer.adcTopK(qs, codes, cb, e, dim = 64, m = 8,
+            k = 10, r = 50)
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+      },
+      s"""WITH eb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sv AS (SELECT id, x.sub AS sub, x.svec AS svec FROM (
+        |  SELECT vec_id AS id, unnest(list_transform(generate_series(0, 7), s ->
+        |    {'sub': s, 'svec': list_transform(generate_series(1, 8),
+        |                         j -> v[s * 8 + j])})) AS x
+        |  FROM eb)),
+        |hs AS (SELECT vec_id, ${sqlHash60("vec_id::VARCHAR")} AS h FROM eb),
+        |seeds AS (SELECT code, vec_id FROM (
+        |  SELECT row_number() OVER (ORDER BY h, vec_id)::BIGINT - 1 AS code,
+        |         vec_id FROM hs)
+        |  WHERE code < 16),
+        |cb0 AS (SELECT sv.sub, seeds.code, sv.svec AS cvec
+        |  FROM sv JOIN seeds ON sv.id = seeds.vec_id),
+        |a1 AS (SELECT id, sub, svec, code FROM (
+        |  SELECT sv.id, sv.sub, sv.svec, c.code,
+        |    row_number() OVER (PARTITION BY sv.id, sv.sub ORDER BY
+        |      (2.0 * list_reduce(list_transform(generate_series(1, 8),
+        |         j -> sv.svec[j] * c.cvec[j]), (a, b) -> a + b)
+        |       - list_reduce(list_transform(generate_series(1, 8),
+        |         j -> c.cvec[j] * c.cvec[j]), (a, b) -> a + b)) DESC,
+        |      c.code) AS rk
+        |  FROM sv JOIN cb0 c USING (sub)) WHERE rk = 1),
+        |cb1 AS (SELECT sub, code,
+        |  list_transform(generate_series(1, 8), d ->
+        |    list_reduce(list_transform(vs, x -> x[d]),
+        |      (acc, x) -> acc + x) / len(vs)) AS cvec
+        |  FROM (SELECT sub, code, list(svec ORDER BY id) AS vs
+        |        FROM a1 GROUP BY 1, 2)),
+        |a2 AS (SELECT id, sub, svec, code FROM (
+        |  SELECT sv.id, sv.sub, sv.svec, c.code,
+        |    row_number() OVER (PARTITION BY sv.id, sv.sub ORDER BY
+        |      (2.0 * list_reduce(list_transform(generate_series(1, 8),
+        |         j -> sv.svec[j] * c.cvec[j]), (a, b) -> a + b)
+        |       - list_reduce(list_transform(generate_series(1, 8),
+        |         j -> c.cvec[j] * c.cvec[j]), (a, b) -> a + b)) DESC,
+        |      c.code) AS rk
+        |  FROM sv JOIN cb1 c USING (sub)) WHERE rk = 1),
+        |cb2 AS (SELECT sub, code,
+        |  list_transform(generate_series(1, 8), d ->
+        |    list_reduce(list_transform(vs, x -> x[d]),
+        |      (acc, x) -> acc + x) / len(vs)) AS cvec
+        |  FROM (SELECT sub, code, list(svec ORDER BY id) AS vs
+        |        FROM a2 GROUP BY 1, 2)),
+        |codes AS (SELECT id, sub, code FROM (
+        |  SELECT sv.id, sv.sub, c.code,
+        |    row_number() OVER (PARTITION BY sv.id, sv.sub ORDER BY
+        |      (2.0 * list_reduce(list_transform(generate_series(1, 8),
+        |         j -> sv.svec[j] * c.cvec[j]), (a, b) -> a + b)
+        |       - list_reduce(list_transform(generate_series(1, 8),
+        |         j -> c.cvec[j] * c.cvec[j]), (a, b) -> a + b)) DESC,
+        |      c.code) AS rk
+        |  FROM sv JOIN cb2 c USING (sub)) WHERE rk = 1),
+        |qs AS (SELECT vec_id AS query_id, v FROM eb WHERE vec_id % 100 = 0),
+        |qsv AS (SELECT query_id, x.sub AS sub, x.qsub AS qsub FROM (
+        |  SELECT query_id, unnest(list_transform(generate_series(0, 7), s ->
+        |    {'sub': s, 'qsub': list_transform(generate_series(1, 8),
+        |                         j -> v[s * 8 + j])})) AS x
+        |  FROM qs)),
+        |lut AS (SELECT q.query_id, c.sub, c.code,
+        |    list_reduce(list_transform(generate_series(1, 8),
+        |      j -> q.qsub[j] * c.cvec[j]), (a, b) -> a + b) AS ip,
+        |    list_reduce(list_transform(generate_series(1, 8),
+        |      j -> c.cvec[j] * c.cvec[j]), (a, b) -> a + b) AS cn2
+        |  FROM qsv q JOIN cb2 c USING (sub)),
+        |scored AS (SELECT l.query_id, k.id,
+        |    SUM(l.ip::DECIMAL(30,12)) AS ddot,
+        |    SUM(l.cn2::DECIMAL(30,12)) AS dn2
+        |  FROM codes k JOIN lut l ON k.sub = l.sub AND k.code = l.code
+        |  WHERE l.query_id != k.id
+        |  GROUP BY 1, 2),
+        |cand AS (SELECT query_id, id FROM (
+        |  SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY (ddot::DOUBLE / sqrt(dn2::DOUBLE)) DESC, id) AS arank
+        |  FROM scored)
+        |  WHERE arank <= 50)
+        |SELECT query_id, neighbor_id, rnk FROM (
+        |  SELECT c.query_id, c.id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY c.query_id
+        |      ORDER BY list_cosine_similarity(q.v, e.v) DESC, c.id) AS rnk
+        |  FROM cand c JOIN eb e ON c.id = e.vec_id
+        |  JOIN qs q ON c.query_id = q.query_id)
         |WHERE rnk <= 10""".stripMargin),
 
     // Paragraph-level exact dedup across the corpus (C4/RefinedWeb
