@@ -38,7 +38,9 @@ def main():
             cols = list(spark_df.columns) == list(oracle_df.columns)
             if rows and cols:
                 import numpy as np
-                neq = ((spark_df.values != oracle_df.values).any(axis=1)
+                # NaN-aware like check.py: NaN == NaN for the gate
+                neq = (((spark_df != oracle_df) &
+                        ~(spark_df.isna() & oracle_df.isna())).any(axis=1)
                        if len(spark_df) else np.array([], dtype=bool))
                 if neq.any():
                     print(f"FAIL {name}: {int(neq.sum())} mismatched rows")

@@ -204,4 +204,64 @@ object Sampling {
           when(col("in_partial"), col("n_tokens")).otherwise(lit(0L)))
           .as("planned_tokens"))
   }
+
+  /** DoReMi-style mixture reweighting (Xie et al. 2023, Algorithm 1's
+    * exponentiated-gradient step): domains whose measured loss exceeds
+    * the reference's get up-weighted multiplicatively, then the
+    * distribution is smoothed toward uniform — one EG step over a
+    * (domain, excess_loss) frame, plus a largest-remainder integer
+    * allocation of a document budget under the new weights.
+    *
+    * Cross-engine float discipline (the q150 idiom, tightened):
+    * excess clamps at 0 and quantizes to 4 dp BEFORE exp, so both
+    * engines exponentiate identical doubles; exp output quantizes
+    * through DECIMAL(20,8) (the one op where libm and the JVM may
+    * differ by an ulp — killed at the quantum, not at the gate);
+    * the normalizer is an EXACT decimal sum (order-independent across
+    * partitions), and the final division/smoothing runs on
+    * bit-identical doubles. The allocation is pure decimal/integer
+    * arithmetic: share = w₆·budget exactly, floor + signed
+    * largest-remainder correction (quantized weights may sum to
+    * 1 ± 1e-5, so the leftover can be negative — the correction
+    * subtracts from the smallest remainders then), Σ n_alloc ≡ budget.
+    *
+    * Scale shape: everything after the caller's per-domain loss
+    * aggregation is domain-cardinality-sized — the two windows rank
+    * O(domains) rows; nothing here ever touches documents.
+    *
+    * Returns (domain, excess, weight, n_alloc). */
+  def doremiReweight(domainExcess: DataFrame, eta: Double,
+      smoothing: Double, budget: Long): DataFrame = {
+    require(smoothing >= 0 && smoothing < 1, s"smoothing: $smoothing")
+    require(budget >= 0, s"budget: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val q = domainExcess.select(col("domain"),
+      greatest(col("excess"), lit(0.0)).cast("decimal(12,4)").cast("double")
+        .as("excess"))
+    val expd = q.withColumn("_e",
+      exp(lit(eta) * col("excess")).cast("decimal(20,8)"))
+    val norm = broadcast(expd.agg(sum(col("_e")).as("_s"),
+      count(lit(1)).as("_k")))
+    val w6 = expd.crossJoin(norm)
+      .withColumn("_w",
+        (lit(1.0 - smoothing) * (col("_e").cast("double") / col("_s").cast("double")) +
+          lit(smoothing) / col("_k").cast("double")).cast("decimal(18,6)"))
+    val alloc = w6
+      .withColumn("_share", col("_w") * lit(budget))
+      .withColumn("_base", floor(col("_share")).cast("long"))
+      .withColumn("_rem", col("_share") - col("_base"))
+    val left = broadcast(alloc.agg((lit(budget) - sum(col("_base"))).as("_left")))
+    val up = Window.orderBy(col("_rem").desc, col("domain").asc)
+    val down = Window.orderBy(col("_rem").asc, col("domain").desc)
+    alloc.crossJoin(left)
+      .withColumn("_ru", row_number().over(up).cast("long"))
+      .withColumn("_rd", row_number().over(down).cast("long"))
+      .withColumn("n_alloc",
+        col("_base") +
+          when(col("_left") > 0 && col("_ru") <= col("_left"), lit(1L))
+            .when(col("_left") < 0 && col("_rd") <= -col("_left"), lit(-1L))
+            .otherwise(lit(0L)))
+      .select(col("domain"), col("excess"),
+        col("_w").cast("double").as("weight"), col("n_alloc"))
+  }
 }

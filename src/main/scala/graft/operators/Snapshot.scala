@@ -127,6 +127,105 @@ object Snapshot {
           col("min_key"), col("max_key")))
   }
 
+  /** Copy-on-write MERGE commit — the Delta/Iceberg `MERGE INTO`
+    * write shape, the one mutation the append/compact family can't
+    * express. `source` carries keyed ops ('U' upsert: update matched /
+    * insert unmatched; 'D' delete matched; keys must be unique, as in
+    * Delta's multiple-match error), `target` the current rows tagged
+    * with their file, `prevManifest` the live manifest.
+    *
+    * COW contract: ONLY files containing a matched source key are
+    * rewritten. The touch set is one semi-join + distinct — a
+    * manifest-sized frame broadcast back into every downstream join —
+    * and every untouched manifest entry carries forward id-stable with
+    * NO data rescan, so a point update on a 100 TB table costs one
+    * file rewrite, not a table rewrite (and on a clustered layout the
+    * touch set is as tight as the source's key locality, q196).
+    * Rewritten and insert files take fresh monotone ids past the
+    * previous max — the table-unique-id invariant [[vacuumPlan]] and
+    * [[snapshotDiff]] rely on; inserts hash-pack into `insertFiles`
+    * new files. The only unpartitioned window ranks the touch set —
+    * manifest-sized by construction.
+    *
+    * Returns (manifest', rows', changes):
+    *  - manifest' — (version, file_id, n_rows, min_key, max_key,
+    *    action ∈ carried|rewritten|added);
+    *  - rows' — complete post-merge rows (file_id, key, value);
+    *  - changes — the writer-side change feed (key, change_type ∈
+    *    insert|update|delete, value_before, value_after), emitted from
+    *    the same join that built the rewrite, so it costs nothing
+    *    extra. Updates that leave the value unchanged are suppressed
+    *    (reader-parity semantics: the reader-side version diff — q197
+    *    — must agree row-for-row, the cross-check SnapshotSpec
+    *    asserts; Delta's CDF would emit them).
+    *
+    * Reference analog: the resolver DB load is first-wins append
+    * (zavod/zavod/integration/dedupe.py — no in-place update shape
+    * exists there); merge is what a mutable-entity deployment of the
+    * same versioned store needs. */
+  def mergeCow(target: DataFrame, source: DataFrame,
+      prevManifest: DataFrame, valCol: String, version: Long,
+      insertFiles: Int): (DataFrame, DataFrame, DataFrame) = {
+    require(insertFiles >= 1, s"insertFiles: $insertFiles")
+    import org.apache.spark.sql.expressions.Window
+    val vType = target.schema(valCol).dataType
+    val nullV = lit(null).cast(vType)
+    val srcK = source.select(col("key"), col("op"), col(valCol).as("_sv"))
+
+    // the COW touch set: files holding at least one matched key
+    val touched = target.join(srcK.select("key").distinct(), Seq("key"), "left_semi")
+      .select("file_id").distinct()
+    val touchedRk = touched.withColumn("_rk",
+      row_number().over(Window.orderBy(col("file_id"))).cast("long") - 1L)
+    val nTouched = broadcast(touched.agg(count(lit(1)).as("_nt")))
+    val base = broadcast(prevManifest.agg(
+      coalesce(max(col("file_id")) + 1L, lit(0L)).as("_base")))
+
+    val carried = prevManifest.join(broadcast(touched), Seq("file_id"), "left_anti")
+      .select(lit(version).as("version"), col("file_id"), col("n_rows"),
+        col("min_key"), col("max_key"), lit("carried").as("action"))
+
+    // rewrite: only the touched files' rows ride the ops join
+    val tt = target.join(broadcast(touchedRk), Seq("file_id"))
+      .join(srcK, Seq("key"), "left")
+    val survivors = tt.filter(col("op").isNull || col("op") === "U")
+      .crossJoin(base)
+      .select((col("_base") + col("_rk")).as("file_id"), col("key"),
+        when(col("op") === "U", col("_sv")).otherwise(col(valCol)).as(valCol))
+    val rewritten = survivors.groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"), min("key").as("min_key"),
+        max("key").as("max_key"))
+      .select(lit(version).as("version"), col("file_id"), col("n_rows"),
+        col("min_key"), col("max_key"), lit("rewritten").as("action"))
+
+    // inserts: unmatched upserts, hash-packed into fresh files
+    val ins = srcK.filter(col("op") === "U")
+      .join(target.select("key"), Seq("key"), "left_anti")
+      .crossJoin(base).crossJoin(nTouched)
+      .select((col("_base") + col("_nt") +
+          pmod(Dedup.hash60(col("key").cast("string")), lit(insertFiles.toLong)))
+        .as("file_id"), col("key"), col("_sv").as(valCol))
+    val added = ins.groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"), min("key").as("min_key"),
+        max("key").as("max_key"))
+      .select(lit(version).as("version"), col("file_id"), col("n_rows"),
+        col("min_key"), col("max_key"), lit("added").as("action"))
+
+    val manifest2 = carried.unionByName(rewritten).unionByName(added)
+    val rows2 = target.join(broadcast(touched), Seq("file_id"), "left_anti")
+      .select(col("file_id"), col("key"), col(valCol))
+      .unionByName(survivors).unionByName(ins)
+    val changes = tt.filter(col("op") === "D")
+        .select(col("key"), lit("delete").as("change_type"),
+          col(valCol).as("value_before"), nullV.as("value_after"))
+      .unionByName(tt.filter(col("op") === "U" && !(col("_sv") <=> col(valCol)))
+        .select(col("key"), lit("update").as("change_type"),
+          col(valCol).as("value_before"), col("_sv").as("value_after")))
+      .unionByName(ins.select(col("key"), lit("insert").as("change_type"),
+        nullV.as("value_before"), col(valCol).as("value_after")))
+    (manifest2, rows2, changes)
+  }
+
   /** Snapshot diff between two manifests: per version-pair file/row
     * adds and removes — the audit row a lakehouse table history shows.
     * A full outer join on file_id (file ids are table-unique and

@@ -71,6 +71,66 @@ object LayoutQueries {
        |       UNION ALL
        |       SELECT 3::BIGINT, (g + b2.base)::BIGINT, n_rows, min_key, max_key FROM grp, b2)""".stripMargin
 
+  /** The q196/q197 merge fixture: v1 = the whole table clustered into
+    * 16 key-range files (key = l_orderkey*8 + l_linenumber, unique);
+    * source ops drawn from the middle fifth of the key domain
+    * (l_orderkey mod 7: 0 → update qty+100, 3 → delete, 5 → insert at
+    * key+kmax+1, i.e. past the domain) — so the COW touch set is only
+    * the ~4 files whose envelopes meet the band, and carried /
+    * rewritten / added are all non-trivially exercised. Returns
+    * (target, source, v1 manifest). */
+  private def mergeFixture(li: org.apache.spark.sql.DataFrame):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    val kb = broadcast(li
+      .agg(max(expr("l_orderkey * 8 + l_linenumber")).as("_kmax"),
+        min(expr("l_orderkey * 8 + l_linenumber")).as("_kmin"))
+      .select(col("_kmax"), expr("_kmax div 16 + 1").as("_w"),
+        expr("_kmin + ((_kmax - _kmin) * 4) div 10").as("_lo"),
+        expr("_kmin + ((_kmax - _kmin) * 6) div 10").as("_hi")))
+    // the synthetic lineitem repeats (orderkey, linenumber) pairs, so
+    // collapse to unique keys first (min qty — deterministic in both
+    // engines); l_orderkey is recoverable as key div 8 (linenumber
+    // 1..7 never carries)
+    val uniq = li.groupBy(expr("l_orderkey * 8 + l_linenumber").as("key"))
+      .agg(min(col("l_quantity")).as("qty"))
+    val keyed = uniq.crossJoin(kb)
+      .select(col("key"), expr("key div 8").as("l_orderkey"), col("qty"),
+        col("_w"), col("_lo"), col("_hi"), col("_kmax"))
+    val target = keyed
+      .select(expr("key div _w").as("file_id"), col("key"), col("qty"))
+    val band = keyed.filter(col("key") >= col("_lo") && col("key") <= col("_hi"))
+    val source = band.filter(expr("l_orderkey % 7 = 0"))
+        .select(col("key"), lit("U").as("op"), (col("qty") + lit(100.0d)).as("qty"))
+      .unionByName(band.filter(expr("l_orderkey % 7 = 3"))
+        .select(col("key"), lit("D").as("op"), col("qty")))
+      .unionByName(band.filter(expr("l_orderkey % 7 = 5"))
+        .select((col("key") + col("_kmax") + lit(1L)).as("key"),
+          lit("U").as("op"), col("qty")))
+    val m1 = Snapshot.manifestEntriesBy(target, col("file_id"), col("key"),
+      version = 1L)
+    (target, source, m1)
+  }
+
+  /** The oracle half of [[mergeFixture]]: WITH-chain through tgt/src
+    * (no final SELECT), shared by the q196 and q197 oracles. */
+  private def mergeFixtureCtes: String =
+    s"""WITH kb AS (SELECT MAX(l_orderkey * 8 + l_linenumber)::BIGINT AS kmax,
+       |            MIN(l_orderkey * 8 + l_linenumber)::BIGINT AS kmin FROM lineitem),
+       |k2 AS (SELECT kmax, kmax // 16 + 1 AS w,
+       |       kmin + ((kmax - kmin) * 4) // 10 AS lo,
+       |       kmin + ((kmax - kmin) * 6) // 10 AS hi FROM kb),
+       |tgt0 AS (SELECT (l_orderkey * 8 + l_linenumber)::BIGINT AS key,
+       |         MIN(l_quantity) AS qty FROM lineitem GROUP BY 1),
+       |tgt AS (SELECT (key // k2.w)::BIGINT AS file_id, key, qty,
+       |        key // 8 AS l_orderkey FROM tgt0, k2),
+       |band AS (SELECT t.* FROM tgt t, k2 WHERE t.key BETWEEN k2.lo AND k2.hi),
+       |src AS (SELECT key, 'U' AS op, qty + 100 AS sv FROM band WHERE l_orderkey % 7 = 0
+       |        UNION ALL
+       |        SELECT key, 'D', qty FROM band WHERE l_orderkey % 7 = 3
+       |        UNION ALL
+       |        SELECT key + k2.kmax + 1, 'U', qty FROM band, k2 WHERE l_orderkey % 7 = 5)""".stripMargin
+
   val decls: Seq[Decl] = Seq(
 
     // Zone-map skipping: events land in ingest-ordered files (250 rows
@@ -481,5 +541,108 @@ object LayoutQueries {
          |  COALESCE(res.version, -1)::BIGINT AS version,
          |  COALESCE(pv.files_live, 0)::BIGINT AS files_live,
          |  COALESCE(pv.rows_live, 0)::BIGINT AS rows_live
-         |FROM res LEFT JOIN pv ON res.version = pv.version""".stripMargin))
+         |FROM res LEFT JOIN pv ON res.version = pv.version""".stripMargin),
+
+    // Copy-on-write MERGE INTO over the snapshot store — the one
+    // mutation the q182 append/compact chain can't express. The v2
+    // manifest's action column IS the COW contract under test: the
+    // ~12 files whose envelopes miss the source band must come out
+    // `carried` (id-stable, straight from the v1 manifest, no data
+    // rescan), the ~4 banded files `rewritten` under fresh monotone
+    // ids, the out-of-domain inserts hash-packed into 2 `added`
+    // files — and the oracle recomputes all of it (file ranking, id
+    // offsets, envelope recompute, change counts) independently in
+    // SQL. Scale shape: touch-set discovery is one semi-join +
+    // distinct, broadcast back everywhere; the carried branch never
+    // touches data; only banded rows ride the ops join.
+    decl("q196_snapshot_merge_cow",
+      (s, d) => {
+        val (target, source, m1) = mergeFixture(t(s, d, "lineitem"))
+        val (m2, _, changes) = Snapshot.mergeCow(target, source, m1,
+          valCol = "qty", version = 2L, insertFiles = 2)
+        val counts = broadcast(changes.agg(
+          coalesce(sum(when(col("change_type") === "update", 1L)), lit(0L))
+            .as("n_updated"),
+          coalesce(sum(when(col("change_type") === "delete", 1L)), lit(0L))
+            .as("n_deleted"),
+          coalesce(sum(when(col("change_type") === "insert", 1L)), lit(0L))
+            .as("n_inserted")))
+        m2.crossJoin(counts)
+      },
+      mergeFixtureCtes + s""",
+         |m1 AS (SELECT file_id, COUNT(*)::BIGINT AS n_rows, MIN(key)::BIGINT AS min_key,
+         |       MAX(key)::BIGINT AS max_key FROM tgt GROUP BY 1),
+         |touched AS (SELECT DISTINCT t.file_id FROM tgt t JOIN src s ON t.key = s.key),
+         |trk AS (SELECT file_id,
+         |        (ROW_NUMBER() OVER (ORDER BY file_id) - 1)::BIGINT AS rk FROM touched),
+         |base AS (SELECT COALESCE(MAX(file_id) + 1, 0)::BIGINT AS b FROM m1),
+         |nt AS (SELECT COUNT(*)::BIGINT AS n FROM touched),
+         |surv AS (SELECT (base.b + trk.rk)::BIGINT AS file_id, tg.key,
+         |         CASE WHEN s.op = 'U' THEN s.sv ELSE tg.qty END AS qty
+         |         FROM tgt tg JOIN trk ON tg.file_id = trk.file_id
+         |         LEFT JOIN src s ON tg.key = s.key
+         |         CROSS JOIN base
+         |         WHERE s.op IS NULL OR s.op = 'U'),
+         |ins AS (SELECT (base.b + nt.n +
+         |          ${sqlHash60("s.key::VARCHAR")} % 2)::BIGINT AS file_id,
+         |        s.key, s.sv AS qty
+         |        FROM src s CROSS JOIN base CROSS JOIN nt
+         |        WHERE s.op = 'U' AND s.key NOT IN (SELECT key FROM tgt)),
+         |m2 AS (SELECT 2::BIGINT AS version, file_id, n_rows, min_key, max_key,
+         |         'carried' AS action
+         |       FROM m1 WHERE file_id NOT IN (SELECT file_id FROM touched)
+         |       UNION ALL
+         |       SELECT 2::BIGINT, file_id, COUNT(*)::BIGINT, MIN(key)::BIGINT,
+         |         MAX(key)::BIGINT, 'rewritten' FROM surv GROUP BY 2
+         |       UNION ALL
+         |       SELECT 2::BIGINT, file_id, COUNT(*)::BIGINT, MIN(key)::BIGINT,
+         |         MAX(key)::BIGINT, 'added' FROM ins GROUP BY 2),
+         |cnt AS (SELECT
+         |  (SELECT COUNT(*) FROM tgt tg JOIN src s ON tg.key = s.key
+         |   WHERE s.op = 'U' AND s.sv <> tg.qty)::BIGINT AS n_updated,
+         |  (SELECT COUNT(*) FROM tgt tg JOIN src s ON tg.key = s.key
+         |   WHERE s.op = 'D')::BIGINT AS n_deleted,
+         |  (SELECT COUNT(*) FROM ins)::BIGINT AS n_inserted)
+         |SELECT m2.version, m2.file_id, m2.n_rows, m2.min_key, m2.max_key,
+         |  m2.action, cnt.n_updated, cnt.n_deleted, cnt.n_inserted
+         |FROM m2, cnt""".stripMargin),
+
+    // Reader-side change-data-feed across the merge: reconstruct the
+    // row-level diff v1 → v2 by full-outer-joining the two versions'
+    // rows on key — a DIFFERENT plan from the writer's change feed
+    // (mergeCow derives its changes from the rewrite join; SnapshotSpec
+    // asserts the two agree), and the oracle takes a third route,
+    // classifying straight from the op table. Three independent
+    // derivations of the same change set hash-checking each other.
+    // Scale shape: the version diff shuffles on key once — inherent to
+    // reader-side CDF; the writer-side feed is the free alternative
+    // when the merge itself is in hand.
+    decl("q197_snapshot_change_feed",
+      (s, d) => {
+        val (target, source, m1) = mergeFixture(t(s, d, "lineitem"))
+        val (_, rows2, _) = Snapshot.mergeCow(target, source, m1,
+          valCol = "qty", version = 2L, insertFiles = 2)
+        target.select(col("key"), col("qty").as("_qa"))
+          .join(rows2.select(col("key"), col("qty").as("_qb")),
+            Seq("key"), "full_outer")
+          .filter(col("_qa").isNull || col("_qb").isNull ||
+            !(col("_qa") <=> col("_qb")))
+          .select(col("key"),
+            when(col("_qa").isNull, lit("insert"))
+              .when(col("_qb").isNull, lit("delete"))
+              .otherwise(lit("update")).as("change_type"),
+            col("_qa").as("qty_before"), col("_qb").as("qty_after"))
+      },
+      mergeFixtureCtes + """
+         |SELECT tg.key AS key, 'update' AS change_type,
+         |  tg.qty AS qty_before, s.sv AS qty_after
+         |FROM tgt tg JOIN src s ON tg.key = s.key
+         |WHERE s.op = 'U' AND s.sv <> tg.qty
+         |UNION ALL
+         |SELECT tg.key, 'delete', tg.qty, NULL::DOUBLE
+         |FROM tgt tg JOIN src s ON tg.key = s.key WHERE s.op = 'D'
+         |UNION ALL
+         |SELECT s.key, 'insert', NULL::DOUBLE, s.sv
+         |FROM src s LEFT JOIN tgt tg ON s.key = tg.key
+         |WHERE s.op = 'U' AND tg.key IS NULL""".stripMargin))
 }

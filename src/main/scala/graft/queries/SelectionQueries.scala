@@ -610,5 +610,66 @@ object SelectionQueries {
            |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
            |    ORDER BY cos DESC, nid) AS rnk FROM sc2)
            |WHERE rnk <= 10""".stripMargin
-      })) :+ unigramDecl
+      })) :+ unigramDecl :+ doremiDecl
+
+  // DoReMi-style mixture reweighting (Xie et al. 2023): per-domain
+    // excess loss (chars-per-token proxy vs the corpus-wide reference,
+    // decimal-summed means so the excess is order-independent) drives
+    // one exponentiated-gradient step + uniform smoothing, then a
+    // largest-remainder allocation of a 10k-doc budget — Σ n_alloc ≡
+    // budget exactly. The oracle replays every stage: the 4-dp clamp
+    // before exp, the DECIMAL(20,8) quantization after it (the one op
+    // where libm and the JVM may differ by an ulp), the exact decimal
+    // normalizer, and the signed remainder correction. Constants 2.0 /
+    // 0.75 / 0.25 are exactly representable, so both engines mix
+    // bit-identical doubles. Scale shape: one pass over documents for
+    // the per-domain means; everything after is domain-sized.
+  private def doremiDecl: Decl =
+    decl("q198_doremi_reweight",
+      (s, d) => {
+        val b = t(s, d, "documents").select(col("source").as("domain"),
+          (col("n_chars").cast("double") /
+            size(split(col("text"), " ")).cast("double")).as("cpt"))
+        val dm = b.groupBy("domain").agg(
+          (sum(col("cpt").cast("decimal(30,12)")).cast("double") /
+            count(lit(1)).cast("double")).as("ml"))
+        val g = broadcast(b.agg(
+          (sum(col("cpt").cast("decimal(30,12)")).cast("double") /
+            count(lit(1)).cast("double")).as("gl")))
+        val ex = dm.crossJoin(g)
+          .select(col("domain"), (col("ml") - col("gl")).as("excess"))
+        Sampling.doremiReweight(ex, eta = 2.0, smoothing = 0.25,
+          budget = 10000L)
+      },
+      s"""WITH b AS (SELECT source AS domain,
+         |  n_chars::DOUBLE / len(string_split(text, ' '))::DOUBLE AS cpt
+         |  FROM documents),
+         |dm AS (SELECT domain,
+         |       CAST(SUM(CAST(cpt AS DECIMAL(30,12))) AS DOUBLE)
+         |         / COUNT(*)::DOUBLE AS ml FROM b GROUP BY 1),
+         |g AS (SELECT CAST(SUM(CAST(cpt AS DECIMAL(30,12))) AS DOUBLE)
+         |      / COUNT(*)::DOUBLE AS gl FROM b),
+         |e AS (SELECT domain,
+         |      CAST(CAST(greatest(ml - g.gl, 0.0) AS DECIMAL(12,4)) AS DOUBLE)
+         |        AS excess FROM dm, g),
+         |x AS (SELECT domain, excess,
+         |      CAST(exp(CAST(2.0 AS DOUBLE) * excess) AS DECIMAL(20,8)) AS ed
+         |      FROM e),
+         |n AS (SELECT SUM(ed) AS sm, COUNT(*)::BIGINT AS k FROM x),
+         |w AS (SELECT domain, excess,
+         |      CAST(CAST(0.75 AS DOUBLE) * (ed::DOUBLE / n.sm::DOUBLE)
+         |        + CAST(0.25 AS DOUBLE) / n.k::DOUBLE AS DECIMAL(18,6)) AS w6
+         |      FROM x, n),
+         |a AS (SELECT domain, excess, w6, w6 * 10000 AS share,
+         |      floor(w6 * 10000)::BIGINT AS base FROM w),
+         |l AS (SELECT (10000 - SUM(base))::BIGINT AS lft FROM a),
+         |r AS (SELECT a.*, (share - base) AS rem,
+         |      row_number() OVER (ORDER BY (share - base) DESC, domain ASC)::BIGINT AS ru,
+         |      row_number() OVER (ORDER BY (share - base) ASC, domain DESC)::BIGINT AS rd
+         |      FROM a)
+         |SELECT domain, excess, w6::DOUBLE AS weight,
+         |  (base + CASE WHEN l.lft > 0 AND ru <= l.lft THEN 1
+         |               WHEN l.lft < 0 AND rd <= -l.lft THEN -1
+         |               ELSE 0 END)::BIGINT AS n_alloc
+         |FROM r, l""".stripMargin)
 }

@@ -566,4 +566,28 @@ class MiscOperatorsSpec extends SparkSpec {
     val plain = Statistics.statisticsJson(ents).as[String].head()
     assert(plain.contains("{\"id\":\"PRG1\",\"count\":2}"))
   }
+
+  test("doremiReweight: EG step up-weights excess-loss domains, allocation is exact") {
+    val ex = Seq(("a", 0.5), ("b", 0.0), ("c", -0.3), ("d", 0.1))
+      .toDF("domain", "excess")
+    val out = Sampling.doremiReweight(ex, eta = 2.0, smoothing = 0.25,
+      budget = 1000L).collect()
+      .map(r => r.getAs[String]("domain") ->
+        (r.getAs[Double]("excess"), r.getAs[Double]("weight"),
+          r.getAs[Long]("n_alloc"))).toMap
+    // negative excess clamps to zero before the exponent
+    assert(out("c")._1 === 0.0)
+    // ordering follows excess; the budget is conserved exactly
+    assert(out("a")._2 > out("d")._2)
+    assert(out("d")._2 > out("b")._2)
+    assert(out("b")._2 === out("c")._2)
+    assert(out.values.map(_._3).sum === 1000L)
+    // smoothing floors every domain at c/K of the budget
+    assert(out.values.forall(_._3 >= (0.25 / 4 * 1000).toLong - 1))
+    // zero excess everywhere → uniform weights, budget split evenly
+    val flat = Sampling.doremiReweight(
+      Seq(("a", 0.0), ("b", 0.0), ("c", 0.0), ("d", 0.0)).toDF("domain", "excess"),
+      eta = 2.0, smoothing = 0.25, budget = 1000L).collect()
+    assert(flat.map(_.getAs[Long]("n_alloc")).toSeq.forall(_ === 250L))
+  }
 }

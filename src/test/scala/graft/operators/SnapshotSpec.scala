@@ -255,4 +255,76 @@ class SnapshotSpec extends SparkSpec {
     // idempotent: a second vacuum has nothing to delete
     assert(Snapshot.vacuum(spark, root, retain = 2) === Seq.empty)
   }
+
+  // --- mergeCow: keys 0..99 in 4 files of 25; ops touch files 1 and 2
+  private def mergeFixture() = {
+    val target = (0L until 100L).map(i => (i / 25L, i, i * 10.0))
+      .toDF("file_id", "key", "qty")
+    val source = Seq(
+      (30L, "U", 999.0),  // update in file 1
+      (55L, "D", 0.0),    // delete in file 2
+      (200L, "U", 42.0),  // insert (no existing file)
+      (201L, "U", 43.0)   // insert
+    ).toDF("key", "op", "qty")
+    val m1 = Snapshot.manifestEntriesBy(target, col("file_id"), col("key"), 1L)
+    (target, source, m1)
+  }
+
+  test("mergeCow rewrites only touched files, carries the rest id-stable") {
+    val (target, source, m1) = mergeFixture()
+    val (m2, rows2, changes) = Snapshot.mergeCow(target, source, m1, "qty", 2L, 2)
+    val man = m2.collect()
+    // untouched files 0 and 3 carried with original ids; 1 and 2
+    // rewritten under fresh monotone ids past the previous max (3)
+    assert(man.filter(_.getAs[String]("action") == "carried")
+      .map(_.getAs[Long]("file_id")).sorted.toSeq === Seq(0L, 3L))
+    val rewritten = man.filter(_.getAs[String]("action") == "rewritten")
+    assert(rewritten.map(_.getAs[Long]("file_id")).sorted.toSeq === Seq(4L, 5L))
+    // the deleted key's file lost one row; the updated file kept 25
+    assert(rewritten.map(_.getAs[Long]("n_rows")).sorted.toSeq === Seq(24L, 25L))
+    val added = man.filter(_.getAs[String]("action") == "added")
+    assert(added.forall(_.getAs[Long]("file_id") >= 6L))
+    assert(added.map(_.getAs[Long]("n_rows")).sum === 2L)
+    // row conservation: 100 - 1 delete + 2 inserts
+    assert(rows2.count() === 101L)
+    // manifest row counts agree with the actual rows per file
+    val perFile = rows2.groupBy("file_id").count().collect()
+      .map(r => r.getAs[Long]("file_id") -> r.getAs[Long]("count")).toMap
+    assert(man.forall(r => perFile(r.getAs[Long]("file_id")) === r.getAs[Long]("n_rows")))
+    // the updated value landed; the deleted key is gone
+    val byKey = rows2.collect().map(r => r.getAs[Long]("key") -> r.getAs[Double]("qty")).toMap
+    assert(byKey(30L) === 999.0)
+    assert(!byKey.contains(55L))
+    assert(byKey(200L) === 42.0)
+    assert(changes.count() === 4L)
+  }
+
+  test("mergeCow writer-side change feed agrees with the reader-side version diff") {
+    val (target, source, m1) = mergeFixture()
+    val (_, rows2, changes) = Snapshot.mergeCow(target, source, m1, "qty", 2L, 2)
+    val readerDiff = target.select(col("key"), col("qty").as("_qa"))
+      .join(rows2.select(col("key"), col("qty").as("_qb")), Seq("key"), "full_outer")
+      .filter(col("_qa").isNull || col("_qb").isNull || !(col("_qa") <=> col("_qb")))
+      .select(col("key"),
+        when(col("_qa").isNull, lit("insert"))
+          .when(col("_qb").isNull, lit("delete"))
+          .otherwise(lit("update")).as("change_type"),
+        col("_qa").as("value_before"), col("_qb").as("value_after"))
+    val w = changes.collect().map(_.toSeq).toSet
+    val r = readerDiff.collect().map(_.toSeq).toSet
+    assert(w === r)
+  }
+
+  test("mergeCow with an empty source carries everything and changes nothing") {
+    val (target, _, m1) = mergeFixture()
+    val empty = Seq.empty[(Long, String, Double)].toDF("key", "op", "qty")
+    val (m2, rows2, changes) = Snapshot.mergeCow(target, empty, m1, "qty", 2L, 2)
+    assert(m2.collect().forall(_.getAs[String]("action") == "carried"))
+    assert(rows2.count() === 100L)
+    assert(changes.count() === 0L)
+    // a no-op update (same value) is suppressed from the change feed
+    val noop = Seq((30L, "U", 300.0)).toDF("key", "op", "qty")
+    val (_, _, c2) = Snapshot.mergeCow(target, noop, m1, "qty", 2L, 2)
+    assert(c2.count() === 0L)
+  }
 }
