@@ -199,10 +199,18 @@ object Bench {
           val retimeCapped = capLarge || capSmall
           val ratio = tLarge / tSmall
           val expo = math.log(ratio) / math.log(dataRatio)
-          val flagged = ratio > 1.3 * dataRatio || retimeCapped
+          // A retime orders of magnitude under the in-suite wall means
+          // the jobs failed instantly (round-11 forensics: a shutdown
+          // kill mid-scaling stopped the SparkContext, every retime
+          // "completed" in 4 ms, and the artifact recorded nonsense
+          // exponents with stderr already gone). Flag it so a reader
+          // never mistakes a dead context for a fast query.
+          val anomalous = spark.sparkContext.isStopped ||
+            (tInsuite > 1.0 && (tLarge < tInsuite / 100 || tSmall < 0.05))
+          val flagged = ratio > 1.3 * dataRatio || retimeCapped || anomalous
           if (flagged) flaggedNames += name
           "\"" + name + "\":" +
-            f"""{"t_small":$tSmall%.3f,"t_large":$tLarge%.3f,"t_insuite":$tInsuite%.3f,"ratio":$ratio%.2f,"exponent":$expo%.2f,"peak_mem_small_mb":$pkSmall%.1f,"peak_mem_large_mb":$pkLarge%.1f,"retime_capped":$retimeCapped,"flagged":$flagged}"""
+            f"""{"t_small":$tSmall%.3f,"t_large":$tLarge%.3f,"t_insuite":$tInsuite%.3f,"ratio":$ratio%.2f,"exponent":$expo%.2f,"peak_mem_small_mb":$pkSmall%.1f,"peak_mem_large_mb":$pkLarge%.1f,"retime_capped":$retimeCapped,"retime_anomalous":$anomalous,"flagged":$flagged}"""
         }
         s"""{"small_sf_dir":"$scalingDir","data_ratio":$dataRatio,""" +
           s""""note":"t_large/t_small are fresh post-GC re-times (t_insuite = contaminated suite wall); small-scale walls include fixed per-query overhead so ratios understate the data exponent","queries":${rows.mkString("{", ",", "}")}}"""
@@ -222,6 +230,13 @@ object Bench {
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
       val root = sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", System.getProperty("user.dir"))
       new java.io.File(root, "target/bench_latest.json").getPath
+    }
+    // Never overwrite a good artifact from a dying JVM: a shutdown kill
+    // mid-run stops the SparkContext and the remaining "measurements"
+    // are instant failures (round-11 forensics).
+    if (spark.sparkContext.isStopped) {
+      System.err.println(s"[bench] ABORT: SparkContext stopped mid-run — summary NOT written")
+      return
     }
     try {
       val f = new java.io.File(outPath)

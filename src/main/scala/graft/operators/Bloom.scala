@@ -69,4 +69,49 @@ object Bloom {
     df.withColumn("bloom_pass", hits.reduce(_ && _))
       .drop((0 until k).flatMap(j => Seq(s"${pfx}p$j", s"${pfx}w$j", s"${pfx}b$j")): _*)
   }
+
+  /** Per-FILE Bloom index for the snapshot manifest: one (file_id,
+    * word_idx, bits) bitset per data file, built in a single groupBy
+    * over the write path's rows. Carried next to the min/max envelope,
+    * it upgrades point-key operations from "scan the table to find the
+    * touched files" to METADATA-ONLY discovery ([[candidateFiles]]) —
+    * the same role Iceberg/Parquet bloom columns play. Size per file is
+    * m/32 longs (m=4096 → 128 words ≈ 1 KB); the index is
+    * files × m/32 rows — metadata-scale, never row-scale. */
+  def buildFileBits(rows: DataFrame, fileCol: Column, key: Column,
+      m: Int, k: Int, salt: String): DataFrame = {
+    require(m % 32 == 0 && k >= 1 && k <= 8)
+    val perHash = (0 until k).map { j =>
+      rows.select(fileCol.as("file_id"), pos(key, j, m, salt).as("p"))
+    }.reduce(_ union _)
+    perHash
+      .select(col("file_id"), expr("p div 32").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("bit"))
+      .groupBy("file_id", "word_idx").agg(expr("bit_or(bit)").as("bits"))
+  }
+
+  /** Metadata-only touch-set discovery: which files MIGHT contain any
+    * of `keys`? A file qualifies iff for some probe key all k of its
+    * positions are set in that file's bitset. No false negatives (the
+    * exact touch set is always a subset — the gate [[q202]] checks),
+    * false positives are bounded by the (m, k, keys-per-file) choice
+    * and only cost a wasted file read downstream.
+    *
+    * Shape: |keys|·k probe rows join the files × m/32 index on
+    * word_idx — metadata joined to metadata; the table's rows are
+    * never touched. Returns distinct (file_id). */
+  def candidateFiles(keys: DataFrame, key: Column, fileBits: DataFrame,
+      m: Int, k: Int, salt: String): DataFrame = {
+    val probes = (0 until k).map { j =>
+      keys.select(key.cast("string").as("_k"), lit(j).as("_j"),
+        pos(key, j, m, salt).as("_p"))
+    }.reduce(_ union _)
+    probes
+      .join(fileBits, expr("_p div 32") === col("word_idx"))
+      .filter(expr("(bits & shiftleft(CAST(1 AS BIGINT), CAST(_p % 32 AS INT))) != 0"))
+      .groupBy(col("_k"), col("file_id"))
+      .agg(countDistinct(col("_j")).as("_hits"))
+      .filter(col("_hits") === k)
+      .select("file_id").distinct()
+  }
 }

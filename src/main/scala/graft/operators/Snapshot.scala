@@ -226,6 +226,64 @@ object Snapshot {
     (manifest2, rows2, changes)
   }
 
+  /** Range delete with METADATA-ONLY file drops — the shape that makes
+    * a retention/GDPR sweep on a clustered 100 TB table cheap. Files
+    * are classified by their manifest envelope against [lo, hi]:
+    *
+    *  - envelope disjoint from the range → `carried` (id-stable, no
+    *    data touched);
+    *  - envelope CONTAINED in the range → `dropped` — removed from the
+    *    live manifest WITHOUT READING A BYTE (Iceberg's metadata
+    *    delete; on a key-clustered layout this is almost every
+    *    affected file);
+    *  - envelope straddling a boundary → `rewritten`: only these
+    *    files' rows ride a filter, landing under fresh monotone ids.
+    *
+    * Returns (audit, rows'): `audit` carries EVERY classification
+    * (version, file_id, n_rows, min_key, max_key, action ∈
+    * carried|dropped|rewritten) — the live v-manifest is
+    * `action != 'dropped'`; dropped entries keep their ORIGINAL stats
+    * as the deletion record (a change feed for dropped files would
+    * have to read them — the one thing this operator exists to avoid;
+    * Delta's CDF makes the same trade and calls it out). `rows'`
+    * excludes dropped files by an anti-join on file_id, so their
+    * parquet is pruned, not scanned. */
+  def deleteRange(target: DataFrame, prevManifest: DataFrame,
+      valCol: String, lo: Long, hi: Long, version: Long): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val carried = prevManifest
+      .filter(col("max_key") < lo || col("min_key") > hi)
+      .select(lit(version).as("version"), col("file_id"), col("n_rows"),
+        col("min_key"), col("max_key"), lit("carried").as("action"))
+    val dropped = prevManifest
+      .filter(col("min_key") >= lo && col("max_key") <= hi)
+      .select(lit(version).as("version"), col("file_id"), col("n_rows"),
+        col("min_key"), col("max_key"), lit("dropped").as("action"))
+    val boundary = prevManifest
+      .filter(col("min_key") < lo && col("max_key") >= lo ||
+        col("min_key") <= hi && col("max_key") > hi)
+      .select("file_id")
+    val boundaryRk = boundary.withColumn("_rk",
+      row_number().over(Window.orderBy(col("file_id"))).cast("long") - 1L)
+    val base = broadcast(prevManifest.agg(
+      coalesce(max(col("file_id")) + 1L, lit(0L)).as("_base")))
+    val surv = target.join(broadcast(boundaryRk), Seq("file_id"))
+      .filter(col("key") < lo || col("key") > hi)
+      .crossJoin(base)
+      .select((col("_base") + col("_rk")).as("file_id"), col("key"), col(valCol))
+    val rewritten = surv.groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"), min("key").as("min_key"),
+        max("key").as("max_key"))
+      .select(lit(version).as("version"), col("file_id"), col("n_rows"),
+        col("min_key"), col("max_key"), lit("rewritten").as("action"))
+    val audit = carried.unionByName(dropped).unionByName(rewritten)
+    val touched = boundary.unionByName(dropped.select("file_id"))
+    val rows2 = target.join(broadcast(touched), Seq("file_id"), "left_anti")
+      .select(col("file_id"), col("key"), col(valCol))
+      .unionByName(surv)
+    (audit, rows2)
+  }
+
   /** Snapshot diff between two manifests: per version-pair file/row
     * adds and removes — the audit row a lakehouse table history shows.
     * A full outer join on file_id (file ids are table-unique and

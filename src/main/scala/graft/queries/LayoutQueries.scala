@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Bloom, Layout, Snapshot}
+import graft.operators.{Bloom, Ivm, Layout, Snapshot}
 import org.apache.spark.sql.functions._
 import Q._
 import PipelineQueries.sqlHash60
@@ -79,7 +79,7 @@ object LayoutQueries {
     * the ~4 files whose envelopes meet the band, and carried /
     * rewritten / added are all non-trivially exercised. Returns
     * (target, source, v1 manifest). */
-  private def mergeFixture(li: org.apache.spark.sql.DataFrame):
+  private[queries] def mergeFixture(li: org.apache.spark.sql.DataFrame):
       (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame) = {
     val kb = broadcast(li
@@ -114,7 +114,7 @@ object LayoutQueries {
 
   /** The oracle half of [[mergeFixture]]: WITH-chain through tgt/src
     * (no final SELECT), shared by the q196 and q197 oracles. */
-  private def mergeFixtureCtes: String =
+  private[queries] def mergeFixtureCtes: String =
     s"""WITH kb AS (SELECT MAX(l_orderkey * 8 + l_linenumber)::BIGINT AS kmax,
        |            MIN(l_orderkey * 8 + l_linenumber)::BIGINT AS kmin FROM lineitem),
        |k2 AS (SELECT kmax, kmax // 16 + 1 AS w,
@@ -644,5 +644,170 @@ object LayoutQueries {
          |UNION ALL
          |SELECT s.key, 'insert', NULL::DOUBLE, s.sv
          |FROM src s LEFT JOIN tgt tg ON s.key = tg.key
-         |WHERE s.op = 'U' AND tg.key IS NULL""".stripMargin))
+         |WHERE s.op = 'U' AND tg.key IS NULL""".stripMargin),
+
+    // Incremental view maintenance off the change feed — the consumer
+    // that makes the CDF worth emitting. The Spark side NEVER touches
+    // the post-merge table: it builds the v1 view, then applies
+    // mergeCow's writer feed through the delta rules (insert +v/+1,
+    // delete −v/−1, update after−before/0) with a DECIMAL(30,12)
+    // running sum. The oracle is the FULL RECOMPUTE over the post-merge
+    // rows — so the gate proves incremental ≡ recompute exactly, on
+    // both seeds, across engines. Scale shape: maintenance shuffles
+    // the change feed (kilobytes) and merges into a group-sized view —
+    // O(|changes| + |view|), never O(|table|); a recompute rescans
+    // everything.
+    decl("q199_ivm_change_feed",
+      (s, d) => {
+        val (target, source, m1) = mergeFixture(t(s, d, "lineitem"))
+        val (_, _, changes) = Snapshot.mergeCow(target, source, m1,
+          valCol = "qty", version = 2L, insertFiles = 2)
+        val v1 = Ivm.buildSumCount(target, expr("key div 1024"), "qty")
+        Ivm.applySumCountDelta(v1, changes, expr("key div 1024"))
+          .select(col("group").as("grp"),
+            col("sum_val").cast("double").as("sum_qty"), col("n"))
+      },
+      ivmViewOracle),
+
+    // Range delete with METADATA-ONLY drops: on the key-clustered
+    // fixture, deleting the middle band [lo, hi] drops the files whose
+    // envelopes are CONTAINED in the range straight from the manifest
+    // (no data read — their parquet is anti-join-pruned), rewrites only
+    // the two boundary-straddling files, and carries the rest. The
+    // oracle reclassifies every file from envelopes, replays the
+    // boundary rewrite (fresh monotone ids), and recomputes the live
+    // row/qty totals — so the file-skipping arithmetic itself is
+    // hash-gated. Scale shape: a retention/GDPR sweep on a clustered
+    // 100 TB table costs O(boundary files), not O(table) — the reason
+    // lakehouse deletes are metadata operations.
+    decl("q201_delete_range_metadata",
+      (s, d) => {
+        val (target, _, m1) = mergeFixture(t(s, d, "lineitem"))
+        val b = t(s, d, "lineitem")
+          .agg(max(expr("l_orderkey * 8 + l_linenumber")).as("_kmax"),
+            min(expr("l_orderkey * 8 + l_linenumber")).as("_kmin"))
+          .select(expr("_kmin + ((_kmax - _kmin) * 4) div 10").as("lo"),
+            expr("_kmin + ((_kmax - _kmin) * 6) div 10").as("hi"))
+          .head()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val (audit, rows2) = Snapshot.deleteRange(target, m1, "qty", lo, hi, 2L)
+        audit.crossJoin(broadcast(rows2.agg(
+          count(lit(1)).as("rows_live"),
+          coalesce(sum(col("qty").cast("decimal(30,12)")),
+            lit(0).cast("decimal(30,12)")).cast("double").as("qty_live"))))
+      },
+      mergeFixtureCtes + """,
+         |m1 AS (SELECT file_id, COUNT(*)::BIGINT AS n_rows, MIN(key)::BIGINT AS min_key,
+         |       MAX(key)::BIGINT AS max_key FROM tgt GROUP BY 1),
+         |cls AS (SELECT m1.*, CASE
+         |          WHEN max_key < k2.lo OR min_key > k2.hi THEN 'carried'
+         |          WHEN min_key >= k2.lo AND max_key <= k2.hi THEN 'dropped'
+         |          ELSE 'rewritten_src' END AS c
+         |        FROM m1, k2),
+         |bnd AS (SELECT file_id, (ROW_NUMBER() OVER (ORDER BY file_id) - 1)::BIGINT AS rk
+         |        FROM cls WHERE c = 'rewritten_src'),
+         |base AS (SELECT COALESCE(MAX(file_id) + 1, 0)::BIGINT AS b FROM m1),
+         |surv AS (SELECT (base.b + bnd.rk)::BIGINT AS file_id, tg.key, tg.qty
+         |         FROM tgt tg, bnd, base, k2
+         |         WHERE tg.file_id = bnd.file_id
+         |           AND (tg.key < k2.lo OR tg.key > k2.hi)),
+         |aud AS (SELECT 2::BIGINT AS version, file_id, n_rows, min_key, max_key,
+         |          c AS action FROM cls WHERE c <> 'rewritten_src'
+         |        UNION ALL
+         |        SELECT 2::BIGINT, file_id, COUNT(*)::BIGINT, MIN(key)::BIGINT,
+         |          MAX(key)::BIGINT, 'rewritten' FROM surv GROUP BY 2),
+         |live AS (SELECT COUNT(*)::BIGINT AS rows_live,
+         |         CAST(COALESCE(SUM(CAST(qty AS DECIMAL(30,12))), 0) AS DOUBLE) AS qty_live
+         |         FROM tgt, k2 WHERE key < k2.lo OR key > k2.hi)
+         |SELECT aud.version, aud.file_id, aud.n_rows, aud.min_key, aud.max_key,
+         |  aud.action, live.rows_live, live.qty_live
+         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl
+
+  private def bloomTouchDecl: Decl = {
+    val m = 4096; val k = 3
+    // Manifest Bloom index → METADATA-ONLY merge touch-set discovery.
+    // mergeCow's touch set today costs one semi-join over the TABLE; a
+    // per-file bloom carried in the manifest answers "which files might
+    // hold these keys" from files × 128 words of metadata instead — the
+    // table's rows are never read to plan the merge (Iceberg/Parquet
+    // bloom columns' role). The gate computes BOTH the bloom candidate
+    // set and the exact touch set per file, plus candidate/touched/
+    // false-positive counts, and the oracle replays the whole bitset
+    // arithmetic (per-file bit_or fold, k-of-k probe hits) in SQL —
+    // no false negative can hide: the exact set is recomputed
+    // independently on both engines.
+    decl("q202_manifest_bloom_touchset",
+      (s, d) => {
+        val (target, source, m1) = mergeFixture(t(s, d, "lineitem"))
+        val fb = Bloom.buildFileBits(target, col("file_id"), col("key"), m, k, "mbf")
+        val keys = source.select("key").distinct()
+        val cand = Bloom.candidateFiles(keys, col("key"), fb, m, k, "mbf")
+          .withColumn("bloom_candidate", lit(true))
+        val exact = target.join(keys, Seq("key"), "left_semi")
+          .select("file_id").distinct().withColumn("exactly_touched", lit(true))
+        val flags = m1.select("file_id")
+          .join(cand, Seq("file_id"), "left")
+          .join(exact, Seq("file_id"), "left")
+          .select(col("file_id"),
+            coalesce(col("bloom_candidate"), lit(false)).as("bloom_candidate"),
+            coalesce(col("exactly_touched"), lit(false)).as("exactly_touched"))
+        val counts = broadcast(flags.agg(
+          sum(when(col("bloom_candidate"), 1L).otherwise(0L)).as("n_candidates"),
+          sum(when(col("exactly_touched"), 1L).otherwise(0L)).as("n_touched"),
+          sum(when(col("bloom_candidate") && !col("exactly_touched"), 1L)
+            .otherwise(0L)).as("n_false_pos"),
+          sum(when(col("exactly_touched") && !col("bloom_candidate"), 1L)
+            .otherwise(0L)).as("n_false_neg")))
+        flags.crossJoin(counts)
+      },
+      mergeFixtureCtes + s""",
+         |m1f AS (SELECT DISTINCT file_id FROM tgt),
+         |ph AS (${(0 until k).map(j =>
+             s"SELECT file_id, ${sqlHash60(s"('mbf$j|' || key::VARCHAR)")} % $m AS p FROM tgt")
+             .mkString("\n  UNION ALL ")}),
+         |fb AS (SELECT file_id, p // 32 AS w, bit_or(1::BIGINT << (p % 32)) AS bits
+         |       FROM ph GROUP BY 1, 2),
+         |sk AS (SELECT DISTINCT key FROM src),
+         |pr AS (${(0 until k).map(j =>
+             s"SELECT key, $j AS j, ${sqlHash60(s"('mbf$j|' || key::VARCHAR)")} % $m AS p FROM sk")
+             .mkString("\n  UNION ALL ")}),
+         |hit AS (SELECT pr.key, fb.file_id, COUNT(DISTINCT pr.j) AS h
+         |        FROM pr JOIN fb ON pr.p // 32 = fb.w
+         |        WHERE (fb.bits & (1::BIGINT << (pr.p % 32))) != 0
+         |        GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT file_id FROM hit WHERE h = $k),
+         |ex AS (SELECT DISTINCT t.file_id FROM tgt t JOIN sk ON t.key = sk.key),
+         |fl AS (SELECT m1f.file_id,
+         |         cand.file_id IS NOT NULL AS bloom_candidate,
+         |         ex.file_id IS NOT NULL AS exactly_touched
+         |       FROM m1f LEFT JOIN cand ON m1f.file_id = cand.file_id
+         |                LEFT JOIN ex ON m1f.file_id = ex.file_id),
+         |cnt AS (SELECT
+         |  SUM(CASE WHEN bloom_candidate THEN 1 ELSE 0 END)::BIGINT AS n_candidates,
+         |  SUM(CASE WHEN exactly_touched THEN 1 ELSE 0 END)::BIGINT AS n_touched,
+         |  SUM(CASE WHEN bloom_candidate AND NOT exactly_touched THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_false_pos,
+         |  SUM(CASE WHEN exactly_touched AND NOT bloom_candidate THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_false_neg
+         |  FROM fl)
+         |SELECT fl.file_id, fl.bloom_candidate, fl.exactly_touched,
+         |  cnt.n_candidates, cnt.n_touched, cnt.n_false_pos, cnt.n_false_neg
+         |FROM fl, cnt""".stripMargin)
+  }
+
+  /** The full-recompute oracle for the post-merge per-group view —
+    * shared by q199 (batch IVM) and q200 (streaming IVM): both
+    * maintenance paths must converge to this recomputed state. */
+  private[queries] def ivmViewOracle: String =
+    mergeFixtureCtes + """,
+       |rows2 AS (SELECT tg.key, CASE WHEN s.op = 'U' THEN s.sv ELSE tg.qty END AS qty
+       |          FROM tgt tg LEFT JOIN src s ON tg.key = s.key
+       |          WHERE s.op IS NULL OR s.op = 'U'
+       |          UNION ALL
+       |          SELECT s.key, s.sv FROM src s LEFT JOIN tgt tg ON s.key = tg.key
+       |          WHERE s.op = 'U' AND tg.key IS NULL)
+       |SELECT key // 1024 AS grp,
+       |  CAST(SUM(CAST(qty AS DECIMAL(30,12))) AS DOUBLE) AS sum_qty,
+       |  COUNT(*)::BIGINT AS n
+       |FROM rows2 GROUP BY 1""".stripMargin
 }

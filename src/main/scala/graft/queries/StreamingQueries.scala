@@ -852,6 +852,67 @@ object StreamingQueries {
          |       ELSE CAST((63::HUGEINT * ${1L << 60}::HUGEINT) // kth_hash AS BIGINT)
          |  END AS est_distinct,
          |  kth_hash, n_kept
-         |FROM u""".stripMargin)
+         |FROM u""".stripMargin),
+
+    // q200: STREAMING incremental view maintenance — the CDC-consumer
+    // side of the q196→q199 family. Micro-batches ARE change feeds
+    // (drop 1: the initial load as inserts; drop 2: mergeCow's
+    // writer-side feed), and foreachBatch folds each into a versioned
+    // view store: view/v<bid> = applySumCountDelta(view/v<bid-1>,
+    // batch). Overwrite-per-batch keyed on bid (the q176 protocol) —
+    // idempotent under at-least-once re-delivery; the stream RESTARTS
+    // from its checkpoint between drops. The oracle is the same full
+    // recompute that gates the batch path (q199), so stream and batch
+    // maintenance are hash-proven to converge to the same state.
+    // Scale shape: per batch, one change-sized shuffle + a view-sized
+    // merge — the table itself is never rescanned by the stream.
+    decl("q200_streaming_ivm",
+      (s, d) => {
+        import graft.operators.{Ivm, Snapshot}
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val base = s"/tmp/graft_q200_$tag"
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val landing = s"$base/landing"
+        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+        val (target, source, m1) = LayoutQueries.mergeFixture(t(s, d, "lineitem"))
+        val drop1 = target.select(col("key"),
+          lit("insert").as("change_type"),
+          lit(null).cast("double").as("value_before"),
+          col("qty").as("value_after"))
+        val (_, _, changes) = Snapshot.mergeCow(target, source, m1,
+          valCol = "qty", version = 2L, insertFiles = 2)
+        val drop2 = changes
+          .select(col("key"), col("change_type"),
+            col("value_before"), col("value_after"))
+        def processAvailable(): Unit = {
+          val stream = s.readStream.schema(
+            "key LONG, change_type STRING, value_before DOUBLE, value_after DOUBLE")
+            .option("maxFilesPerTrigger", "10000").parquet(landing)
+          val q = graft.streaming.StatementStream.foreachBatchSink(
+            stream, s"$base/ck",
+            trigger = Some(Trigger.AvailableNow())) { (batch, bid) =>
+            val sp = batch.sparkSession
+            val prevPath = new org.apache.hadoop.fs.Path(s"$base/view/v${bid - 1}")
+            val prev =
+              if (bid > 0 && fs.exists(prevPath))
+                sp.read.parquet(prevPath.toString)
+              else sp.range(0).select(col("id").as("group"),
+                lit(0).cast("decimal(30,12)").as("sum_val"), lit(0L).as("n"))
+            Ivm.applySumCountDelta(prev, batch, expr("key div 1024"))
+              .write.mode("overwrite").parquet(s"$base/view/v$bid")
+          }
+          q.awaitTermination()
+        }
+        drop1.write.mode("append").parquet(landing)
+        processAvailable()
+        drop2.write.mode("append").parquet(landing)
+        processAvailable()
+        s.read.parquet(s"$base/view/v1")
+          .select(col("group").as("grp"),
+            col("sum_val").cast("double").as("sum_qty"), col("n"))
+      },
+      LayoutQueries.ivmViewOracle)
   )
 }

@@ -315,6 +315,116 @@ class SnapshotSpec extends SparkSpec {
     assert(w === r)
   }
 
+  test("Ivm: incremental maintenance off the change feed equals full recompute") {
+    val (target, source, m1) = mergeFixture()
+    val (_, rows2, changes) = Snapshot.mergeCow(target, source, m1, "qty", 2L, 2)
+    val grp = expr("key div 32")
+    val v1 = Ivm.buildSumCount(target, grp, "qty")
+    val inc = Ivm.applySumCountDelta(v1, changes, expr("key div 32"))
+    val full = Ivm.buildSumCount(rows2, grp, "qty")
+    assert(inc.collect().map(_.toSeq).toSet === full.collect().map(_.toSeq).toSet)
+    // empty feed → identity
+    val empty = Seq.empty[(Long, String, Option[Double], Option[Double])]
+      .toDF("key", "change_type", "value_before", "value_after")
+    assert(Ivm.applySumCountDelta(v1, empty, expr("key div 32"))
+      .collect().map(_.toSeq).toSet === v1.collect().map(_.toSeq).toSet)
+    // deleting every row of a group removes the group from the view;
+    // inserting into an unseen group creates it
+    val feed = (0L until 32L)
+      .map(k => (k, "delete", Option(k * 10.0), Option.empty[Double]))
+      .toDF("key", "change_type", "value_before", "value_after")
+      .unionByName(Seq((9000L, "insert", Option.empty[Double], Option(5.0)))
+        .toDF("key", "change_type", "value_before", "value_after"))
+    val v2 = Ivm.applySumCountDelta(v1, feed, expr("key div 32")).collect()
+      .map(r => r.getAs[Long]("group") ->
+        (r.getAs[java.math.BigDecimal]("sum_val").doubleValue, r.getAs[Long]("n"))).toMap
+    assert(!v2.contains(0L))
+    assert(v2(281L) === ((5.0, 1L)))
+  }
+
+  test("deleteRange: contained files drop metadata-only, boundary files rewrite") {
+    val (target, _, m1) = mergeFixture() // keys 0..99, 4 files of 25
+    // [25, 74] exactly covers files 1 and 2 → both drop, nothing rewrites
+    val (a1, r1) = Snapshot.deleteRange(target, m1, "qty", 25L, 74L, 2L)
+    val c1 = a1.collect().map(r =>
+      r.getAs[Long]("file_id") -> r.getAs[String]("action")).toMap
+    assert(c1 === Map(0L -> "carried", 1L -> "dropped", 2L -> "dropped", 3L -> "carried"))
+    assert(r1.count() === 50L)
+    // [30, 60] straddles both → no drops, files 1 and 2 rewrite under
+    // fresh ids with only their surviving rows
+    val (a2, r2) = Snapshot.deleteRange(target, m1, "qty", 30L, 60L, 2L)
+    val acts = a2.collect()
+    assert(acts.count(_.getAs[String]("action") == "dropped") === 0)
+    val rw = acts.filter(_.getAs[String]("action") == "rewritten")
+    assert(rw.map(_.getAs[Long]("file_id")).sorted.toSeq === Seq(4L, 5L))
+    assert(rw.map(_.getAs[Long]("n_rows")).sum === (5 + 14)) // 25..29 and 61..74
+    assert(r2.count() === 100L - 31L)
+    // no key inside the range survives anywhere
+    assert(r2.filter(col("key").between(30L, 60L)).count() === 0L)
+  }
+
+  test("optimistic concurrent merges: CAS loser rebases; disjoint merges commute") {
+    // Delta-style optimistic concurrency composed from the existing
+    // primitives: two writers prepare merges against the same snapshot,
+    // one wins the CAS, the loser gets a LOUD conflict and REBASES —
+    // recomputes its merge against the winner's output and commits the
+    // next version. Disjoint key sets must serialize to the same table
+    // either way.
+    val root = java.nio.file.Files.createTempDirectory("graft_cas_merge").toString
+    val (target, _, m1) = mergeFixture()
+    Snapshot.commitCas(spark, root, expected = -1L, target,
+      m1.withColumn("version", lit(0L)))
+
+    def mergeAgainstCurrent(source: org.apache.spark.sql.DataFrame, expected: Long): Long = {
+      val cur = Snapshot.readCurrent(spark, root)
+      val ver = expected + 1
+      val man = spark.read.parquet(
+        s"$root/manifest/v${Snapshot.currentVersion(spark, root).drop(1)}")
+      val (m2, rows2, _) = Snapshot.mergeCow(cur, source, man, "qty", ver, 2)
+      Snapshot.commitCas(spark, root, expected, rows2, m2)
+    }
+
+    val srcA = Seq((10L, "U", 111.0), (11L, "U", 222.0)).toDF("key", "op", "qty")
+    val srcB = Seq((90L, "D", 0.0), (200L, "U", 42.0)).toDF("key", "op", "qty")
+
+    // B prepares its merge against v0 BEFORE A commits...
+    val v0rows = Snapshot.readCurrent(spark, root)
+    val v0man = spark.read.parquet(s"$root/manifest/v0")
+    val (bStaleMan, bStaleRows, _) =
+      Snapshot.mergeCow(v0rows, srcB, v0man, "qty", 1L, 2)
+    // ...A wins at v1; B's stale commit must fail LOUDLY pre-data
+    assert(mergeAgainstCurrent(srcA, 0L) === 1L)
+    intercept[Snapshot.CommitConflictException] {
+      Snapshot.commitCas(spark, root, expected = 0L, bStaleRows, bStaleMan)
+    }
+    // nothing half-published by the loser
+    assert(Snapshot.currentVersion(spark, root) === "v1")
+    // B rebases against v1 and lands v2
+    assert(mergeAgainstCurrent(srcB, 1L) === 2L)
+
+    val got = Snapshot.readCurrent(spark, root).collect()
+      .map(r => r.getAs[Long]("key") -> r.getAs[Double]("qty")).toMap
+    // serial A-then-B state: both writers' effects present
+    assert(got(10L) === 111.0 && got(11L) === 222.0)
+    assert(!got.contains(90L) && got(200L) === 42.0)
+    assert(got.size === 100) // 100 - 1 delete + 1 insert; updates in place
+    // commutativity check: B-then-A on a second table yields the same rows
+    val root2 = java.nio.file.Files.createTempDirectory("graft_cas_merge2").toString
+    Snapshot.commitCas(spark, root2, expected = -1L, target,
+      m1.withColumn("version", lit(0L)))
+    def mergeIn(root: String, source: org.apache.spark.sql.DataFrame, expected: Long): Long = {
+      val cur = Snapshot.readCurrent(spark, root)
+      val man = spark.read.parquet(
+        s"$root/manifest/v${Snapshot.currentVersion(spark, root).drop(1)}")
+      val (m2, rows2, _) = Snapshot.mergeCow(cur, source, man, "qty", expected + 1, 2)
+      Snapshot.commitCas(spark, root, expected, rows2, m2)
+    }
+    mergeIn(root2, srcB, 0L); mergeIn(root2, srcA, 1L)
+    val got2 = Snapshot.readCurrent(spark, root2).collect()
+      .map(r => r.getAs[Long]("key") -> r.getAs[Double]("qty")).toMap
+    assert(got2 === got)
+  }
+
   test("mergeCow with an empty source carries everything and changes nothing") {
     val (target, _, m1) = mergeFixture()
     val empty = Seq.empty[(Long, String, Double)].toDF("key", "op", "qty")
