@@ -89,6 +89,41 @@ object ProbeSnapshot {
       f"[probe] concurrent CAS: 8 threads, ${versions} versions in " +
         f"$mtWall%.1f s (${mtWall / versions}%.2f s/commit), one winner per " +
         s"version verified, CURRENT=${Snapshot.currentVersion(spark, croot)}")
+
+    // MERGE-CHAIN depth phase: N successive point merges (one updated
+    // key each) through mergeCow + commitCas on the same table. The
+    // 100 TB claim under test: per-merge cost tracks the TOUCH SET
+    // (one file here), not table size or chain depth — the first and
+    // last merge should cost the same. Reported as first-5 vs last-5
+    // mean wall so drift is visible, and the final table is checked
+    // row-conserved with every update applied.
+    val mroot = java.nio.file.Files.createTempDirectory("snapprobe-merge").toString
+    val base = spark.range(rows).select(col("id").as("key"),
+      col("id").cast("double").as("qty"))
+      .withColumn("file_id", expr(s"key div ${rows / 16 max 1}"))
+      .select("file_id", "key", "qty")
+    var exp2 = Snapshot.commitCas(spark, mroot, -1L, base,
+      graft.operators.Snapshot.manifestEntriesBy(base, col("file_id"), col("key"), 0L))
+    val nMerges = versions min 40
+    val walls = (1 to nMerges).map { i =>
+      val tM = System.nanoTime()
+      val cur = Snapshot.readCurrent(spark, mroot)
+      val man = spark.read.parquet(s"$mroot/manifest/v$exp2")
+      val src = Seq(((i * 37L) % rows, "U", -1.0 * i)).toDF("key", "op", "qty")
+      val (m2, rows2, _) = Snapshot.mergeCow(cur, src, man, "qty", exp2 + 1, 1)
+      exp2 = Snapshot.commitCas(spark, mroot, exp2, rows2, m2)
+      (System.nanoTime() - tM) / 1e9
+    }
+    val finalRows = Snapshot.readCurrent(spark, mroot)
+    require(finalRows.count() == rows, "merge chain lost rows")
+    val applied = finalRows.filter(col("qty") < 0).count()
+    require(applied == ((1 to nMerges).map(i => (i * 37L) % rows).distinct.size),
+      s"merge chain lost updates: $applied")
+    System.err.println(
+      f"[probe] merge chain: $nMerges point merges, first-5 mean " +
+        f"${walls.take(5).sum / 5}%.2f s, last-5 mean " +
+        f"${walls.takeRight(5).sum / 5}%.2f s (flat = per-merge cost is " +
+        "O(touched files), independent of chain depth)")
     spark.stop()
   }
 }

@@ -284,6 +284,48 @@ object Snapshot {
     (audit, rows2)
   }
 
+  /** Schema evolution across snapshot versions — read files written
+    * under an OLD schema through the CURRENT one, without rewriting a
+    * byte of data (Iceberg's column-mapping rule: identity lives in
+    * the mapping, not in the parquet footer):
+    *
+    *  - `renames`  old-name → current-name (a renamed column keeps its
+    *    data; only the manifest-level mapping changes);
+    *  - `added`    (name, sqlType) columns that postdate the old
+    *    files — backfilled as typed NULL on old rows, never written;
+    *  - type WIDENING is implicit: every shared column is cast to the
+    *    new frame's type (long ← int, double ← float, decimal
+    *    precision growth — the safe directions; narrowing throws in
+    *    ANSI mode, which is the correct failure).
+    *
+    * The reference's statement schema gained columns over crawls
+    * (`external`, `last_change` — zavod/zavod/entity.py's statement
+    * rows); previous-version scans (S3) read those older files through
+    * today's schema exactly this way.
+    *
+    * Scale shape: pure projection — no shuffle, no data rewrite; the
+    * cost of evolving a 100 TB table is one manifest commit. */
+  def readEvolved(oldFiles: DataFrame, newFiles: DataFrame,
+      renames: Map[String, String] = Map.empty,
+      added: Seq[(String, String)] = Seq.empty): DataFrame = {
+    val renamed = renames.foldLeft(oldFiles) {
+      case (df, (o, n)) => df.withColumnRenamed(o, n)
+    }
+    val backfilled = added.foldLeft(renamed) { case (df, (n, t)) =>
+      require(!df.columns.contains(n),
+        s"added column '$n' already exists in the old schema")
+      df.withColumn(n, lit(null).cast(t))
+    }
+    val widened = newFiles.schema.fields.foldLeft(backfilled) { (df, f) =>
+      if (df.schema.fieldNames.contains(f.name) &&
+        df.schema(f.name).dataType != f.dataType)
+        df.withColumn(f.name, col(f.name).cast(f.dataType))
+      else df
+    }
+    widened.select(newFiles.columns.map(col).toIndexedSeq: _*)
+      .unionByName(newFiles)
+  }
+
   /** Snapshot diff between two manifests: per version-pair file/row
     * adds and removes — the audit row a lakehouse table history shows.
     * A full outer join on file_id (file ids are table-unique and

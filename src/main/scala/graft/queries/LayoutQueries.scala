@@ -721,7 +721,7 @@ object LayoutQueries {
          |         FROM tgt, k2 WHERE key < k2.lo OR key > k2.hi)
          |SELECT aud.version, aud.file_id, aud.n_rows, aud.min_key, aud.max_key,
          |  aud.action, live.rows_live, live.qty_live
-         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl
+         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl
 
   private def bloomTouchDecl: Decl = {
     val m = 4096; val k = 3
@@ -794,6 +794,51 @@ object LayoutQueries {
          |  cnt.n_candidates, cnt.n_touched, cnt.n_false_pos, cnt.n_false_neg
          |FROM fl, cnt""".stripMargin)
   }
+
+  private def schemaEvolveDecl: Decl =
+    // Schema evolution by column mapping: "old files" (pre-1995-06
+    // shipments) were written as (key, qty INT); the table then evolved
+    // — qty RENAMED to quantity and WIDENED to double, a disc column
+    // ADDED — and "new files" carry the new shape. readEvolved projects
+    // the old files through the current schema (rename by mapping,
+    // typed-NULL backfill, safe cast) with no data rewrite. The gate
+    // aggregates across the mixed read — null-counting disc so the
+    // backfill itself is hash-checked — and the oracle rebuilds the
+    // union straight from lineitem. Scale shape: pure projection; no
+    // shuffle added to the scan, evolution costs one manifest commit.
+    decl("q203_schema_evolution",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val key = expr("l_orderkey * 8 + l_linenumber")
+        val cut = to_timestamp(lit("1995-06-01"))
+        val oldF = li.filter(col("l_shipdate") < cut)
+          .select(key.as("key"), col("l_quantity").cast("int").as("qty"))
+        val newF = li.filter(col("l_shipdate") >= cut)
+          .select(key.as("key"), col("l_quantity").as("quantity"),
+            col("l_discount").as("disc"))
+        Snapshot.readEvolved(oldF, newF,
+            renames = Map("qty" -> "quantity"),
+            added = Seq(("disc", "double")))
+          .groupBy(pmod(col("key"), lit(97L)).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("quantity").cast("decimal(30,12)")).cast("double")
+              .as("sum_quantity"),
+            sum(when(col("disc").isNull, 1L).otherwise(0L)).as("n_disc_null"),
+            coalesce(sum(col("disc").cast("decimal(30,12)")),
+              lit(0).cast("decimal(30,12)")).cast("double").as("sum_disc"))
+      },
+      """WITH u AS (
+        |  SELECT (l_orderkey * 8 + l_linenumber)::BIGINT AS key,
+        |    l_quantity::INT::DOUBLE AS quantity, NULL::DOUBLE AS disc
+        |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01'
+        |  UNION ALL
+        |  SELECT (l_orderkey * 8 + l_linenumber)::BIGINT, l_quantity, l_discount
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-06-01')
+        |SELECT key % 97 AS bucket, COUNT(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(quantity AS DECIMAL(30,12))) AS DOUBLE) AS sum_quantity,
+        |  SUM(CASE WHEN disc IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_disc_null,
+        |  CAST(COALESCE(SUM(CAST(disc AS DECIMAL(30,12))), 0) AS DOUBLE) AS sum_disc
+        |FROM u GROUP BY 1""".stripMargin)
 
   /** The full-recompute oracle for the post-merge per-group view —
     * shared by q199 (batch IVM) and q200 (streaming IVM): both

@@ -342,6 +342,22 @@ class SnapshotSpec extends SparkSpec {
     assert(v2(281L) === ((5.0, 1L)))
   }
 
+  test("readEvolved: rename + typed-NULL backfill + widening, no data rewrite") {
+    val oldF = Seq((1, 10), (2, 20)).toDF("key", "qty")           // key INT, qty INT
+    val newF = Seq((3L, 30.5, 0.1)).toDF("key", "quantity", "disc") // evolved
+    val out = Snapshot.readEvolved(oldF, newF,
+      renames = Map("qty" -> "quantity"), added = Seq(("disc", "double")))
+    assert(out.schema.map(f => (f.name, f.dataType.simpleString)) ===
+      Seq(("key", "bigint"), ("quantity", "double"), ("disc", "double")))
+    val rows = out.collect().map(r => (r.getLong(0),
+      r.getDouble(1), Option(r.get(2)))).sortBy(_._1)
+    assert(rows === Seq((1L, 10.0, None), (2L, 20.0, None), (3L, 30.5, Some(0.1))))
+    // an added column that already exists in the old schema is a bug
+    intercept[IllegalArgumentException] {
+      Snapshot.readEvolved(oldF, newF, added = Seq(("qty", "double")))
+    }
+  }
+
   test("deleteRange: contained files drop metadata-only, boundary files rewrite") {
     val (target, _, m1) = mergeFixture() // keys 0..99, 4 files of 25
     // [25, 74] exactly covers files 1 and 2 → both drop, nothing rewrites
