@@ -332,4 +332,46 @@ class PlanAssertionsSpec extends SparkSpec {
       assert(!plan.contains("SortMergeJoin"), plan.take(1500))
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
+
+  test("COW merge with a point source never sort-merges the table") {
+    import graft.operators.Snapshot
+    // a point MERGE's source is tiny; every join it appears in (touch-set
+    // discovery, the ops join, insert anti-join) must broadcast the
+    // source/touched side — a sort-merge would shuffle the 100 TB table
+    // to apply a one-row update
+    val target = (0L until 2000L).map(i => (i / 500L, i, i * 1.0))
+      .toDF("file_id", "key", "qty")
+    val source = Seq((42L, "U", 9.0), (700L, "D", 0.0)).toDF("key", "op", "qty")
+    val m1 = Snapshot.manifestEntriesBy(target, col("file_id"), col("key"), 1L)
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val (m2, rows2, changes) = Snapshot.mergeCow(target, source, m1, "qty", 2L, 1)
+      Seq(m2, rows2, changes).foreach { df =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+          plan.take(1500))
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  test("manifest-bloom candidate probe is broadcast-only over persisted metadata") {
+    import graft.operators.Bloom
+    val dir = Files.createTempDirectory("graft-bloomidx").toString
+    val target = (0L until 2000L).map(i => (i / 500L, i)).toDF("file_id", "key")
+    Bloom.buildFileBits(target, col("file_id"), col("key"), 4096, 3, "pbt")
+      .write.parquet(s"$dir/fb")
+    val fb = spark.read.parquet(s"$dir/fb")
+    val keys = Seq(42L, 700L, 9999L).toDF("key")
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = Bloom.candidateFiles(keys, col("key"), fb, 4096, 3, "pbt")
+        .queryExecution.executedPlan.toString
+      // |keys|·k probe rows against files×words metadata: the probe side
+      // broadcasts; the TABLE is nowhere in this plan at all
+      assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+      assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
 }
