@@ -63,4 +63,72 @@ object Ivm {
         (coalesce(col("n"), lit(0L)) + coalesce(col("_dn"), lit(0L))).as("n"))
       .filter(col("n") > 0L)
   }
+
+  /** Build the (group, min_val, max_val, n) view from scratch. */
+  def buildMinMax(rows: DataFrame, groupOf: Column, valueCol: String): DataFrame =
+    rows.groupBy(groupOf.as("group"))
+      .agg(min(col(valueCol)).as("min_val"), max(col(valueCol)).as("max_val"),
+        count(lit(1)).as("n"))
+
+  /** MIN/MAX maintenance — the honest IVM case: min/max are NOT
+    * self-maintainable under deletes (removing the extremum needs the
+    * runner-up, which the view doesn't hold). The classic split:
+    *
+    *  - GROWTH absorbs free: inserts and update-afters fold in as
+    *    `least/greatest` against the stored extrema;
+    *  - SHRINKAGE dirties: a delete or update whose `value_before`
+    *    TOUCHES the group's stored min or max (equality is the exact
+    *    rule — removing a non-extremal value cannot move an extremum,
+    *    and duplicates only make the recompute a no-op) marks the
+    *    group DIRTY, as does any group unseen by the view;
+    *  - dirty groups take a TARGETED recompute: `currentRows`
+    *    semi-joined to the dirty-group set — O(rows of touched
+    *    groups), never O(table).
+    *
+    * Returns (group, min_val, max_val, n, recomputed) — the flag is
+    * the audit trail of which rule fired; callers (and the q204
+    * oracle) can count recomputes to bound maintenance cost. Groups
+    * whose count reaches zero leave the view. */
+  def applyMinMaxDelta(view: DataFrame, changes: DataFrame,
+      groupOfChange: Column, currentRows: DataFrame,
+      groupOfRows: Column, valueCol: String): DataFrame = {
+    val d = changes.select(groupOfChange.as("group"), col("change_type"),
+      col("value_before"), col("value_after"))
+    val agg = d.groupBy("group").agg(
+      min(col("value_after")).as("_in_min"),
+      max(col("value_after")).as("_in_max"),
+      sum(when(col("change_type") === "insert", 1L)
+        .when(col("change_type") === "delete", -1L).otherwise(0L)).as("_dn"),
+      max(when(col("change_type").isin("delete", "update"), col("value_before")))
+        .as("_rm_max"),
+      min(when(col("change_type").isin("delete", "update"), col("value_before")))
+        .as("_rm_min"))
+    val merged = view.join(agg, Seq("group"), "full_outer")
+      .select(col("group"),
+        col("min_val"), col("max_val"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("_dn"), lit(0L))).as("n"),
+        col("_in_min"), col("_in_max"),
+        // coalesce each removal test: a group with NO removals yields
+        // NULL comparisons, and a null dirty flag would drop the row
+        // from BOTH branches
+        (col("min_val").isNull ||
+          coalesce(col("_rm_min") <= col("min_val"), lit(false)) ||
+          coalesce(col("_rm_max") >= col("max_val"), lit(false)))
+          .as("_dirty"))
+      .filter(col("n") > 0L)
+    val clean = merged.filter(!col("_dirty"))
+      .select(col("group"),
+        least(col("min_val"), coalesce(col("_in_min"), col("min_val"))).as("min_val"),
+        greatest(col("max_val"), coalesce(col("_in_max"), col("max_val"))).as("max_val"),
+        col("n"), lit(false).as("recomputed"))
+    val dirtyGroups = merged.filter(col("_dirty")).select("group")
+    val recomputed = currentRows
+      .join(broadcast(dirtyGroups.withColumnRenamed("group", "_dg")),
+        groupOfRows === col("_dg"), "left_semi")
+      .groupBy(groupOfRows.as("group"))
+      .agg(min(col(valueCol)).as("min_val"), max(col(valueCol)).as("max_val"),
+        count(lit(1)).as("n"))
+      .withColumn("recomputed", lit(true))
+    clean.unionByName(recomputed)
+  }
 }

@@ -721,7 +721,7 @@ object LayoutQueries {
          |         FROM tgt, k2 WHERE key < k2.lo OR key > k2.hi)
          |SELECT aud.version, aud.file_id, aud.n_rows, aud.min_key, aud.max_key,
          |  aud.action, live.rows_live, live.qty_live
-         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl
+         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl
 
   private def bloomTouchDecl: Decl = {
     val m = 4096; val k = 3
@@ -839,6 +839,58 @@ object LayoutQueries {
         |  SUM(CASE WHEN disc IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_disc_null,
         |  CAST(COALESCE(SUM(CAST(disc AS DECIMAL(30,12))), 0) AS DOUBLE) AS sum_disc
         |FROM u GROUP BY 1""".stripMargin)
+
+  private def minMaxIvmDecl: Decl =
+    // MIN/MAX IVM — the case delta rules CANNOT fully absorb: growth
+    // (inserts, update-afters) folds into the stored extrema for free,
+    // but a removal TOUCHING a group's min or max dirties it and only a
+    // targeted recompute (rows of dirty groups, never the table)
+    // restores the view. The gate checks both halves independently:
+    // final min/max/n come from the oracle's FULL recompute (so the
+    // clean-path least/greatest arithmetic is proven, not trusted), and
+    // the `recomputed` flag is re-derived in SQL from the same
+    // touches-the-extremum rule — maintenance COST is gated, not just
+    // values. Scale shape: clean groups never touch data; dirty groups
+    // cost O(their rows).
+    decl("q204_ivm_minmax_dirty",
+      (s, d) => {
+        val (target, source, m1) = mergeFixture(t(s, d, "lineitem"))
+        val (_, rows2, changes) = Snapshot.mergeCow(target, source, m1,
+          valCol = "qty", version = 2L, insertFiles = 2)
+        val v1 = Ivm.buildMinMax(target, expr("key div 1024"), "qty")
+        Ivm.applyMinMaxDelta(v1, changes, expr("key div 1024"),
+            rows2, expr("key div 1024"), "qty")
+          .select(col("group").as("grp"), col("min_val").as("min_qty"),
+            col("max_val").as("max_qty"), col("n"), col("recomputed"))
+      },
+      mergeFixtureCtes + """,
+         |rows2 AS (SELECT tg.key, CASE WHEN s.op = 'U' THEN s.sv ELSE tg.qty END AS qty
+         |          FROM tgt tg LEFT JOIN src s ON tg.key = s.key
+         |          WHERE s.op IS NULL OR s.op = 'U'
+         |          UNION ALL
+         |          SELECT s.key, s.sv FROM src s LEFT JOIN tgt tg ON s.key = tg.key
+         |          WHERE s.op = 'U' AND tg.key IS NULL),
+         |v1 AS (SELECT key // 1024 AS grp, MIN(qty) AS mn, MAX(qty) AS mx
+         |       FROM tgt GROUP BY 1),
+         |chg AS (SELECT tg.key // 1024 AS grp, 'update' AS ct, tg.qty AS vb
+         |        FROM tgt tg JOIN src s ON tg.key = s.key
+         |        WHERE s.op = 'U' AND s.sv <> tg.qty
+         |        UNION ALL
+         |        SELECT tg.key // 1024, 'delete', tg.qty
+         |        FROM tgt tg JOIN src s ON tg.key = s.key WHERE s.op = 'D'
+         |        UNION ALL
+         |        SELECT s.key // 1024, 'insert', NULL
+         |        FROM src s LEFT JOIN tgt tg ON s.key = tg.key
+         |        WHERE s.op = 'U' AND tg.key IS NULL),
+         |dirty AS (SELECT DISTINCT c.grp FROM chg c LEFT JOIN v1 ON c.grp = v1.grp
+         |          WHERE v1.grp IS NULL
+         |             OR (c.ct IN ('delete', 'update')
+         |                 AND (c.vb <= v1.mn OR c.vb >= v1.mx))),
+         |fin AS (SELECT key // 1024 AS grp, MIN(qty) AS min_qty, MAX(qty) AS max_qty,
+         |        COUNT(*)::BIGINT AS n FROM rows2 GROUP BY 1)
+         |SELECT fin.grp, fin.min_qty, fin.max_qty, fin.n,
+         |  dirty.grp IS NOT NULL AS recomputed
+         |FROM fin LEFT JOIN dirty ON fin.grp = dirty.grp""".stripMargin)
 
   /** The full-recompute oracle for the post-merge per-group view —
     * shared by q199 (batch IVM) and q200 (streaming IVM): both

@@ -342,6 +342,37 @@ class SnapshotSpec extends SparkSpec {
     assert(v2(281L) === ((5.0, 1L)))
   }
 
+  test("Ivm minmax: growth absorbs free, extremum removal dirties, duplicates survive") {
+    def feed(rows: (Long, String, Option[Double], Option[Double])*) =
+      rows.toSeq.toDF("key", "change_type", "value_before", "value_after")
+    // group = key div 10; group 0 holds {1.0, 5.0, 5.0}; group 1 holds {7.0}
+    val rows0 = Seq((0L, 1.0), (1L, 5.0), (2L, 5.0), (10L, 7.0)).toDF("key", "qty")
+    val v1 = Ivm.buildMinMax(rows0, expr("key div 10"), "qty")
+    def view(changes: org.apache.spark.sql.DataFrame,
+        current: org.apache.spark.sql.DataFrame) =
+      Ivm.applyMinMaxDelta(v1, changes, expr("key div 10"),
+        current, expr("key div 10"), "qty").collect()
+        .map(r => r.getAs[Long]("group") ->
+          (r.getAs[Double]("min_val"), r.getAs[Double]("max_val"),
+            r.getAs[Long]("n"), r.getAs[Boolean]("recomputed"))).toMap
+    // growth only: insert 9.0 into group 0 — absorbed, no recompute
+    val cur1 = rows0.unionByName(Seq((3L, 9.0)).toDF("key", "qty"))
+    val g = view(feed((3L, "insert", None, Some(9.0))), cur1)
+    assert(g(0L) === ((1.0, 9.0, 4L, false)) && g(1L) === ((7.0, 7.0, 1L, false)))
+    // delete the min of group 0 — dirty, targeted recompute
+    val cur2 = rows0.filter(col("key") =!= 0L)
+    val r = view(feed((0L, "delete", Some(1.0), None)), cur2)
+    assert(r(0L) === ((5.0, 5.0, 2L, true)) && r(1L) === ((7.0, 7.0, 1L, false)))
+    // delete ONE copy of the duplicated max — conservative dirty, value survives
+    val cur3 = rows0.filter(col("key") =!= 1L)
+    val dup = view(feed((1L, "delete", Some(5.0), None)), cur3)
+    assert(dup(0L) === ((1.0, 5.0, 2L, true)))
+    // non-extremal update stays clean; unseen group recomputes
+    val cur4 = rows0.unionByName(Seq((25L, 2.0)).toDF("key", "qty"))
+    val nu = view(feed((25L, "insert", None, Some(2.0))), cur4)
+    assert(nu(2L) === ((2.0, 2.0, 1L, true)) && nu(0L)._4 === false)
+  }
+
   test("readEvolved: rename + typed-NULL backfill + widening, no data rewrite") {
     val oldF = Seq((1, 10), (2, 20)).toDF("key", "qty")           // key INT, qty INT
     val newF = Seq((3L, 30.5, 0.1)).toDF("key", "quantity", "disc") // evolved
