@@ -81,9 +81,10 @@ object Bloom {
   def buildFileBits(rows: DataFrame, fileCol: Column, key: Column,
       m: Int, k: Int, salt: String): DataFrame = {
     require(m % 32 == 0 && k >= 1 && k <= 8)
-    val perHash = (0 until k).map { j =>
-      rows.select(fileCol.as("file_id"), pos(key, j, m, salt).as("p"))
-    }.reduce(_ union _)
+    // ONE scan: the k positions explode from an inline array (a k-way
+    // union re-reads the table k times)
+    val perHash = rows.select(fileCol.as("file_id"),
+      explode(array((0 until k).map(j => pos(key, j, m, salt)): _*)).as("p"))
     perHash
       .select(col("file_id"), expr("p div 32").as("word_idx"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("bit"))

@@ -913,6 +913,73 @@ object StreamingQueries {
           .select(col("group").as("grp"),
             col("sum_val").cast("double").as("sum_qty"), col("n"))
       },
-      LayoutQueries.ivmViewOracle)
+      LayoutQueries.ivmViewOracle),
+
+    // q205: STREAMING CDC ingestion into the versioned store ITSELF —
+    // the Debezium→lakehouse pattern that closes the loop (q200
+    // maintains a downstream VIEW; this maintains the TABLE). Each
+    // micro-batch of keyed ops applies through mergeCow against the
+    // CURRENT snapshot and publishes via commitCas as version bid+1;
+    // re-delivery is absorbed by the forward-only rule (a batch whose
+    // version is already behind CURRENT is skipped — the q176
+    // idempotency protocol restated for CAS), and the stream RESTARTS
+    // from its checkpoint between drops. The two drops split the merge
+    // source by key parity — disjoint op sets, so the composed final
+    // state must equal ONE merge of the whole source: the oracle is
+    // the same full recompute that gates q199/q200, now also proving
+    // sequential COW merges compose. Scale shape per batch: touch-set
+    // semi-join + banded rewrite + O(manifest) publish — never a table
+    // rewrite.
+    decl("q205_streaming_cdc_merge",
+      (s, d) => {
+        import graft.operators.Snapshot
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val base = s"/tmp/graft_q205_$tag"
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val landing = s"$base/landing"
+        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+        val root = s"$base/store"
+        val (target, source, m1) = LayoutQueries.mergeFixture(t(s, d, "lineitem"))
+        Snapshot.commitCas(s, root, expected = -1L, target,
+          m1.withColumn("version", lit(0L)))
+        val drop1 = source.filter(pmod(col("key"), lit(2L)) === 0)
+        val drop2 = source.filter(pmod(col("key"), lit(2L)) === 1)
+        def processAvailable(): Unit = {
+          val stream = s.readStream.schema("key LONG, op STRING, qty DOUBLE")
+            .option("maxFilesPerTrigger", "10000").parquet(landing)
+          val q = graft.streaming.StatementStream.foreachBatchSink(
+            stream, s"$base/ck",
+            trigger = Some(Trigger.AvailableNow())) { (batch, bid) =>
+            val sp = batch.sparkSession
+            val curV = Snapshot.currentVersion(sp, root).drop(1).toLong
+            // forward-only idempotency: a re-delivered batch whose
+            // version already published is a no-op
+            if (curV < bid + 1) {
+              val cur = Snapshot.readCurrent(sp, root)
+              val man = sp.read.parquet(s"$root/manifest/v$curV")
+              val (m2, rows2, _) = Snapshot.mergeCow(cur, batch, man,
+                valCol = "qty", version = curV + 1, insertFiles = 2)
+              Snapshot.commitCas(sp, root, curV, rows2, m2)
+            }
+          }
+          q.awaitTermination()
+        }
+        drop1.write.mode("append").parquet(landing)
+        processAvailable()
+        drop2.write.mode("append").parquet(landing)
+        processAvailable()
+        val fin = Snapshot.currentVersion(s, root).drop(1).toLong
+        Snapshot.readCurrent(s, root)
+          .groupBy(expr("key div 1024").as("grp"))
+          .agg(sum(col("qty").cast("decimal(30,12)")).cast("double").as("sum_qty"),
+            count(lit(1)).as("n"))
+          .withColumn("version", lit(fin))
+      },
+      LayoutQueries.ivmViewOracle.replace(
+          "SELECT key // 1024 AS grp,",
+          "SELECT 2::BIGINT AS version, key // 1024 AS grp,")
+        .replace("FROM rows2 GROUP BY 1", "FROM rows2 GROUP BY 2"))
   )
 }
