@@ -91,6 +91,27 @@ object Bloom {
       .groupBy("file_id", "word_idx").agg(expr("bit_or(bit)").as("bits"))
   }
 
+  /** Incrementally maintain the per-file bloom index across a COW
+    * merge: `carried` files keep their bitsets VERBATIM (their data
+    * did not change — the bits cannot either), and only the
+    * rewritten/added files rebuild, from THEIR rows alone. The index
+    * inherits mergeCow's cost model — O(touched files), never
+    * O(table) — and stays bit-identical to a full rebuild (the q206
+    * gate). `newManifest` is mergeCow's action-tagged manifest;
+    * `newRows` its post-merge rows. */
+  def maintainFileBits(prevBits: DataFrame, newManifest: DataFrame,
+      newRows: DataFrame, key: Column, m: Int, k: Int, salt: String): DataFrame = {
+    val carriedIds = newManifest.filter(col("action") === "carried")
+      .select("file_id")
+    val freshIds = newManifest.filter(col("action") =!= "carried")
+      .select("file_id")
+    val kept = prevBits.join(broadcast(carriedIds), Seq("file_id"), "left_semi")
+    val fresh = buildFileBits(
+      newRows.join(broadcast(freshIds), Seq("file_id"), "left_semi"),
+      col("file_id"), key, m, k, salt)
+    kept.unionByName(fresh)
+  }
+
   /** Metadata-only touch-set discovery: which files MIGHT contain any
     * of `keys`? A file qualifies iff for some probe key all k of its
     * positions are set in that file's bitset. No false negatives (the

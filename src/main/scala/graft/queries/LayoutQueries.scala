@@ -721,7 +721,7 @@ object LayoutQueries {
          |         FROM tgt, k2 WHERE key < k2.lo OR key > k2.hi)
          |SELECT aud.version, aud.file_id, aud.n_rows, aud.min_key, aud.max_key,
          |  aud.action, live.rows_live, live.qty_live
-         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl
+         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl :+ bloomMaintainDecl
 
   private def bloomTouchDecl: Decl = {
     val m = 4096; val k = 3
@@ -891,6 +891,52 @@ object LayoutQueries {
          |SELECT fin.grp, fin.min_qty, fin.max_qty, fin.n,
          |  dirty.grp IS NOT NULL AS recomputed
          |FROM fin LEFT JOIN dirty ON fin.grp = dirty.grp""".stripMargin)
+
+  private def bloomMaintainDecl: Decl = {
+    val m = 4096; val k = 3
+    // Incremental bloom-index maintenance across the COW merge: carried
+    // files keep their bitsets verbatim, only rewritten/added files
+    // rebuild from their own rows — the index inherits mergeCow's
+    // O(touched files) cost model. The Spark side takes the incremental
+    // path end-to-end (v1 index + merge + maintain); the oracle is the
+    // FULL REBUILD over the post-merge table (file-id arithmetic
+    // replayed from the q196 chain, bitset fold from q202), so the gate
+    // proves incremental ≡ rebuild BIT-IDENTICAL across engines.
+    decl("q206_bloom_index_maintenance",
+      (s, d) => {
+        val (target, source, m1) = mergeFixture(t(s, d, "lineitem"))
+        val prevBits = Bloom.buildFileBits(target, col("file_id"), col("key"),
+          m, k, "mbf")
+        val (m2, rows2, _) = Snapshot.mergeCow(target, source, m1,
+          valCol = "qty", version = 2L, insertFiles = 2)
+        Bloom.maintainFileBits(prevBits, m2, rows2, col("key"), m, k, "mbf")
+      },
+      mergeFixtureCtes + s""",
+         |m1 AS (SELECT file_id, MAX(key) AS mx FROM tgt GROUP BY 1),
+         |touched AS (SELECT DISTINCT t.file_id FROM tgt t JOIN src s ON t.key = s.key),
+         |trk AS (SELECT file_id,
+         |        (ROW_NUMBER() OVER (ORDER BY file_id) - 1)::BIGINT AS rk FROM touched),
+         |base AS (SELECT COALESCE(MAX(file_id) + 1, 0)::BIGINT AS b FROM m1),
+         |nt AS (SELECT COUNT(*)::BIGINT AS n FROM touched),
+         |r2 AS (SELECT tg.file_id, tg.key FROM tgt tg
+         |       WHERE tg.file_id NOT IN (SELECT file_id FROM touched)
+         |       UNION ALL
+         |       SELECT (base.b + trk.rk)::BIGINT, tg.key
+         |       FROM tgt tg JOIN trk ON tg.file_id = trk.file_id
+         |       LEFT JOIN src s ON tg.key = s.key CROSS JOIN base
+         |       WHERE s.op IS NULL OR s.op = 'U'
+         |       UNION ALL
+         |       SELECT (base.b + nt.n + ${sqlHash60("s.key::VARCHAR")} % 2)::BIGINT,
+         |         s.key
+         |       FROM src s CROSS JOIN base CROSS JOIN nt
+         |       WHERE s.op = 'U' AND s.key NOT IN (SELECT key FROM tgt)),
+         |ph AS (${(0 until k).map(j =>
+             s"SELECT file_id, ${sqlHash60(s"('mbf$j|' || key::VARCHAR)")} % $m AS p FROM r2")
+             .mkString("\n  UNION ALL ")})
+         |SELECT file_id, p // 32 AS word_idx,
+         |  bit_or(1::BIGINT << (p % 32)) AS bits
+         |FROM ph GROUP BY 1, 2""".stripMargin)
+  }
 
   /** The full-recompute oracle for the post-merge per-group view —
     * shared by q199 (batch IVM) and q200 (streaming IVM): both
