@@ -573,6 +573,41 @@ object PipelineQueries {
         |  CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 32 ELSE 0 END AS n_frames
         |FROM documents""".stripMargin),
 
+    // Multimodal frame sampling: one video row explodes into stride-4
+    // frame rows (the flatMap shape a real decoder pipeline uses); the
+    // oracle replays the frame-count and sampling arithmetic from byte
+    // lengths — so the explode's CARDINALITY contract (and the exact
+    // frame numbers via max) is hash-gated, not just row counts.
+    // Scale shape: pure per-row flatMap, no shuffle until the count agg.
+    decl("q207_multimodal_frame_sample",
+      (s, d) => {
+        // content deliberately SHORT (8..32 bytes) so frame offsets wrap
+        // past the blob and tail slices come up short of 16 — the
+        // arithmetic the oracle replays is the interesting half
+        val media = t(s, d, "documents")
+          .filter(col("doc_id") % 3 === 2)
+          .select(col("doc_id").as("media_id"),
+            lit("video").as("modality"),
+            encode(expr("substring(text, 1, 8 + cast(doc_id % 25 as int))"),
+              "UTF-8").as("content"))
+        Multimodal.sampleFrames(media, stride = 4)
+          .groupBy("media_id")
+          .agg(count(lit(1)).as("n_sampled"),
+            max(col("frame_no")).as("max_frame_no"),
+            sum(octet_length(col("frame_bytes")).cast("long")).as("frame_bytes_total"))
+      },
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  strlen(left(text, (8 + doc_id % 25)::INT)) AS nb
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT media_id,
+        |  ((1 + nb % 32) + 3) // 4 AS n_sampled,
+        |  (((1 + nb % 32) - 1) // 4) * 4 AS max_frame_no,
+        |  -- each sampled frame slices min(16, nb - (frame_no % nb))
+        |  (SELECT SUM(LEAST(16, nb - (f.f % nb)))
+        |   FROM (SELECT UNNEST(generate_series(0, (1 + nb % 32) - 1, 4)) AS f) f
+        |  )::BIGINT AS frame_bytes_total
+        |FROM m""".stripMargin),
+
     // Multi-table near-dup pairs — recovers pairs straddling a single
     // hyperplane (the q92 single-probe blind spot); oracle rebuilds all
     // eight hash tables with the plane matrices inlined.
