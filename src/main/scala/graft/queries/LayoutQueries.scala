@@ -721,7 +721,7 @@ object LayoutQueries {
          |         FROM tgt, k2 WHERE key < k2.lo OR key > k2.hi)
          |SELECT aud.version, aud.file_id, aud.n_rows, aud.min_key, aud.max_key,
          |  aud.action, live.rows_live, live.qty_live
-         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl :+ bloomMaintainDecl
+         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl :+ bloomMaintainDecl :+ lifecycleDecl
 
   private def bloomTouchDecl: Decl = {
     val m = 4096; val k = 3
@@ -937,6 +937,109 @@ object LayoutQueries {
          |  bit_or(1::BIGINT << (p % 32)) AS bits
          |FROM ph GROUP BY 1, 2""".stripMargin)
   }
+
+  private def lifecycleDecl: Decl =
+    // The mutation lifecycle COMPOSED: one gate drives CDC merge →
+    // IVM off the writer feed → retention range-delete (metadata
+    // drops) → the view absorbing the delete (derived feed — the
+    // documented CDF cost of metadata deletes) → small-file compaction
+    // of what remains. The oracle replays EVERY stage in SQL — merge
+    // file arithmetic (q196), delete classification + boundary rewrite
+    // (q201), compaction packing (q182), and the view as a full
+    // recompute over the final rows (q199) — so the composition, not
+    // just the parts, is hash-gated. Scale shape: each stage keeps its
+    // own bound (touch set / boundary files / manifest-sized packing /
+    // change-sized view merge); composing them adds no table rescan.
+    decl("q208_lakehouse_lifecycle",
+      (s, d) => {
+        val grp = expr("key div 1024")
+        val (target, source, m1) = mergeFixture(t(s, d, "lineitem"))
+        val (m2, rows2, changes) = Snapshot.mergeCow(target, source, m1,
+          valCol = "qty", version = 2L, insertFiles = 2)
+        val v2 = Ivm.applySumCountDelta(
+          Ivm.buildSumCount(target, grp, "qty"), changes, expr("key div 1024"))
+        val b = t(s, d, "lineitem")
+          .agg(min(expr("l_orderkey * 8 + l_linenumber")).as("kmin"),
+            max(expr("l_orderkey * 8 + l_linenumber")).as("kmax")).head()
+        val (lo2, hi2) = (b.getLong(0), b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 10)
+        val (audit3, rows3) = Snapshot.deleteRange(rows2,
+          m2.select("file_id", "n_rows", "min_key", "max_key"), "qty", lo2, hi2, 3L)
+        val delFeed = rows2.filter(col("key").between(lo2, hi2))
+          .select(col("key"), lit("delete").as("change_type"),
+            col("qty").as("value_before"), lit(null).cast("double").as("value_after"))
+        val v3 = Ivm.applySumCountDelta(v2, delFeed, expr("key div 1024"))
+        val m3live = audit3.filter(col("action") =!= "dropped")
+          .select(lit(3L).as("version"), col("file_id"), col("n_rows"),
+            col("min_key"), col("max_key"))
+        val m4 = Snapshot.commitCompact(m3live, smallRows = 2000L,
+          targetRows = 6000L, version = 4L)
+        val tot = broadcast(m4.agg(count(lit(1)).as("files_live"),
+          sum(col("n_rows")).as("rows_live")))
+        v3.select(col("group").as("grp"),
+            col("sum_val").cast("double").as("sum_qty"), col("n"))
+          .crossJoin(tot)
+      },
+      mergeFixtureCtes + s""",
+         |m1 AS (SELECT file_id, COUNT(*)::BIGINT AS n_rows, MIN(key)::BIGINT AS min_key,
+         |       MAX(key)::BIGINT AS max_key FROM tgt GROUP BY 1),
+         |touched AS (SELECT DISTINCT t.file_id FROM tgt t JOIN src s ON t.key = s.key),
+         |trk AS (SELECT file_id,
+         |        (ROW_NUMBER() OVER (ORDER BY file_id) - 1)::BIGINT AS rk FROM touched),
+         |base AS (SELECT COALESCE(MAX(file_id) + 1, 0)::BIGINT AS b FROM m1),
+         |nt AS (SELECT COUNT(*)::BIGINT AS n FROM touched),
+         |r2 AS (SELECT tg.file_id, tg.key, tg.qty FROM tgt tg
+         |       WHERE tg.file_id NOT IN (SELECT file_id FROM touched)
+         |       UNION ALL
+         |       SELECT (base.b + trk.rk)::BIGINT, tg.key,
+         |         CASE WHEN s.op = 'U' THEN s.sv ELSE tg.qty END
+         |       FROM tgt tg JOIN trk ON tg.file_id = trk.file_id
+         |       LEFT JOIN src s ON tg.key = s.key CROSS JOIN base
+         |       WHERE s.op IS NULL OR s.op = 'U'
+         |       UNION ALL
+         |       SELECT (base.b + nt.n + ${sqlHash60("s.key::VARCHAR")} % 2)::BIGINT,
+         |         s.key, s.sv
+         |       FROM src s CROSS JOIN base CROSS JOIN nt
+         |       WHERE s.op = 'U' AND s.key NOT IN (SELECT key FROM tgt)),
+         |m2 AS (SELECT file_id, COUNT(*)::BIGINT AS n_rows, MIN(key)::BIGINT AS min_key,
+         |       MAX(key)::BIGINT AS max_key FROM r2 GROUP BY 1),
+         |k3 AS (SELECT kmin AS lo2, kmin + (kmax - kmin) // 10 AS hi2 FROM kb),
+         |cls AS (SELECT m2.*, CASE
+         |          WHEN max_key < k3.lo2 OR min_key > k3.hi2 THEN 'carried'
+         |          WHEN min_key >= k3.lo2 AND max_key <= k3.hi2 THEN 'dropped'
+         |          ELSE 'rw' END AS c
+         |        FROM m2, k3),
+         |bnd AS (SELECT file_id, (ROW_NUMBER() OVER (ORDER BY file_id) - 1)::BIGINT AS rk
+         |        FROM cls WHERE c = 'rw'),
+         |b3 AS (SELECT COALESCE(MAX(file_id) + 1, 0)::BIGINT AS b FROM m2),
+         |surv3 AS (SELECT (b3.b + bnd.rk)::BIGINT AS file_id, r2.key, r2.qty
+         |          FROM r2, bnd, b3, k3
+         |          WHERE r2.file_id = bnd.file_id
+         |            AND (r2.key < k3.lo2 OR r2.key > k3.hi2)),
+         |m3 AS (SELECT file_id, n_rows, min_key, max_key FROM cls WHERE c = 'carried'
+         |       UNION ALL
+         |       SELECT file_id, COUNT(*)::BIGINT, MIN(key)::BIGINT, MAX(key)::BIGINT
+         |       FROM surv3 GROUP BY 1),
+         |keep AS (SELECT * FROM m3 WHERE n_rows >= 2000),
+         |small AS (SELECT * FROM m3 WHERE n_rows < 2000),
+         |b4 AS (SELECT COALESCE(MAX(file_id) + 1, 0)::BIGINT AS b FROM m3),
+         |pk AS (SELECT n_rows,
+         |       COALESCE(SUM(n_rows) OVER (ORDER BY file_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS strt
+         |       FROM small),
+         |grp2 AS (SELECT (strt // 6000)::BIGINT AS g, SUM(n_rows)::BIGINT AS n_rows
+         |         FROM pk GROUP BY 1),
+         |m4 AS (SELECT file_id, n_rows FROM keep
+         |       UNION ALL SELECT g + b4.b, n_rows FROM grp2, b4),
+         |tot AS (SELECT COUNT(*)::BIGINT AS files_live, SUM(n_rows)::BIGINT AS rows_live
+         |        FROM m4),
+         |rows3 AS (SELECT r2.key, r2.qty FROM r2, k3
+         |          WHERE r2.key < k3.lo2 OR r2.key > k3.hi2),
+         |vw AS (SELECT key // 1024 AS grp,
+         |       CAST(SUM(CAST(qty AS DECIMAL(30,12))) AS DOUBLE) AS sum_qty,
+         |       COUNT(*)::BIGINT AS n
+         |       FROM rows3 GROUP BY 1)
+         |SELECT vw.grp, vw.sum_qty, vw.n, tot.files_live, tot.rows_live
+         |FROM vw, tot""".stripMargin)
 
   /** The full-recompute oracle for the post-merge per-group view —
     * shared by q199 (batch IVM) and q200 (streaming IVM): both
