@@ -953,6 +953,11 @@ object LayoutQueries {
     decl("q208_lakehouse_lifecycle",
       (s, d) => {
         val grp = expr("key div 1024")
+        // NOTE measured, not guessed: persisting target/rows2 here was
+        // tried and made the wall 2× WORSE (18.6 → 38.9 s at sf0.1) —
+        // Catalyst's ReuseExchange already dedupes the shared subtrees
+        // inside the single action, and persist forced serial
+        // materialization + storage serialization on top
         val (target, source, m1) = mergeFixture(t(s, d, "lineitem"))
         val (m2, rows2, changes) = Snapshot.mergeCow(target, source, m1,
           valCol = "qty", version = 2L, insertFiles = 2)
