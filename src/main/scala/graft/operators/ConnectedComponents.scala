@@ -182,6 +182,97 @@ object ConnectedComponents {
       .select(col("id"), col("component"), coalesce(col("vetoed"), lit(false)).as("vetoed"))
   }
 
+  /** Incremental maintenance of a components fixpoint (the resolver's
+    * daily regime: yesterday's canonicalization plus today's decision
+    * batch — reference: the dedupe journal is append-only,
+    * zavod/zavod/integration/dedupe.py:93-128, so each run adds edges
+    * to an already-resolved graph).
+    *
+    * Instead of re-iterating large-star/small-star over the FULL edge
+    * set, contract the new edges onto the component graph: map each new
+    * endpoint through the old labeling (an endpoint the store has never
+    * seen labels itself), run the full CC fixpoint on that contracted
+    * graph — O(batch) rows, not O(corpus) — and broadcast the changed
+    * old-label → new-root mapping back over the big labeling.
+    *
+    * Exactness: labels are min-node-ids, and min over a union of merged
+    * components equals min over their min-labels, so the incremental
+    * result is row-identical to a full recompute over (old ∪ new) edges
+    * — spec-asserted against `run` on a random graph, and oracle-gated
+    * end-to-end (q209).
+    *
+    * Scale contract: `prev` is scanned exactly twice (one broadcast
+    * semi-probe to label the touched endpoints, one broadcast remap) and
+    * NEVER shuffled or iterated; everything iterative happens on the
+    * contracted graph, whose size is bounded by the batch. At 100 TB
+    * this is the difference between O(|batch| · log²|batch|) and
+    * re-running the full O(|corpus| · log²|corpus|) fixpoint per day.
+    *
+    * @param prev     (id, component) — a `run` fixpoint (component = min id)
+    * @param newEdges (src, dst) — the decision batch
+    * @param newNodes (id) — nodes to include even when isolated; may
+    *                 overlap `prev` (overlaps keep their old label)
+    * @return (id, component) over prev-nodes ∪ newNodes ∪ edge endpoints */
+  def incremental(
+      prev: DataFrame,
+      newEdges: DataFrame,
+      newNodes: DataFrame): DataFrame = {
+    val p = prev.toDF("id", "component")
+    val e = newEdges.toDF("src", "dst")
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+    // Touched node set: batch endpoints + declared new nodes. Small by
+    // contract (one decision batch), so it broadcasts.
+    val touch = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .union(newNodes.toDF("id"))
+      .distinct()
+
+    // Old labels for the touched nodes — prev scanned ONCE, probe side
+    // broadcast, output bounded by the batch.
+    val touchLbl = p.join(broadcast(touch), Seq("id"))
+      .select(col("id"), col("component"))
+
+    // Contract endpoints through the old labeling; unseen endpoints
+    // label themselves (they are genuinely new singleton components).
+    val la = touchLbl.select(col("id").as("src"), col("component").as("ca"))
+    val lb = touchLbl.select(col("id").as("dst"), col("component").as("cb"))
+    val contracted = e
+      .join(broadcast(la), Seq("src"), "left")
+      .join(broadcast(lb), Seq("dst"), "left")
+      .select(coalesce(col("ca"), col("src")).as("src"),
+        coalesce(col("cb"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+
+    // Contracted-graph nodes: every touched node's (old label | itself),
+    // so isolated new nodes still come out labeled.
+    val cnodes = touch
+      .join(broadcast(touchLbl.withColumnRenamed("component", "c0")), Seq("id"), "left")
+      .select(coalesce(col("c0"), col("id")).as("id"))
+      .distinct()
+
+    // Full fixpoint on the batch-sized graph.
+    val mapping = run(cnodes, contracted)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Broadcast remap over the big labeling: only labels that actually
+    // moved ride the broadcast — prev scanned the SECOND and last time.
+    val changed = mapping.filter(col("component") =!= col("id"))
+      .select(col("id").as("component"), col("component").as("newc"))
+    val remapped = p.join(broadcast(changed), Seq("component"), "left")
+      .select(col("id"), coalesce(col("newc"), col("component")).as("component"))
+
+    // Genuinely-new nodes (incl. unseen edge endpoints): their final
+    // label is their contracted-graph component, remapped nowhere else.
+    val known = p.select(col("id"))
+    val freshIds = touch.join(known, Seq("id"), "left_anti")
+    val fresh = freshIds.join(mapping.withColumnRenamed("component", "newc"), Seq("id"))
+      .select(col("id"), col("newc").as("component"))
+
+    remapped.unionByName(fresh)
+  }
+
   /** Representative per component — the keeper rule shared by the
     * semantic (Similarity.semanticDedup) and lexical
     * (Dedup.nearDedupManifest) dedup pipelines: highest `weight` wins,

@@ -71,6 +71,55 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("incremental batch equals full recompute on random graphs") {
+    // The contract that makes `incremental` safe to run daily: for any
+    // split of the edge set into (base, batch), contract-and-remap is
+    // row-identical to the full fixpoint over base ∪ batch.
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 4) {
+      val n = 50 + trial * 15
+      val all = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val (base, batch) = all.splitAt(all.size / 2)
+      val nodes = (0L until n.toLong).toDF("id")
+      val prev = ConnectedComponents.run(nodes, base.toDF("src", "dst"))
+      val inc = ConnectedComponents.incremental(
+        prev, batch.toDF("src", "dst"), spark.emptyDataset[Long].toDF("id"))
+        .as[(Long, Long)].collect().toMap
+      val full = ConnectedComponents.run(nodes, all.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      assert(inc == full, s"trial $trial")
+    }
+  }
+
+  test("incremental handles new nodes: isolated, attached, and new-new edges") {
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L).toDF("id")
+    val prev = ConnectedComponents.run(nodes, Seq((1L, 2L), (10L, 11L)).toDF("src", "dst"))
+    // 20 attaches to the {1,2} component via 2; 30-31 is a brand-new
+    // pair; 40 arrives isolated; 3 stays untouched.
+    val out = ConnectedComponents.incremental(
+      prev,
+      Seq((20L, 2L), (30L, 31L)).toDF("src", "dst"),
+      Seq(40L).toDF("id"))
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(20L) == 1L)
+    assert(out(30L) == 30L && out(31L) == 30L)
+    assert(out(40L) == 40L)
+    assert(out(3L) == 3L && out(10L) == 10L && out(11L) == 10L)
+    assert(out.size == 9)
+  }
+
+  test("incremental merging two old components relabels both to the joint min") {
+    val nodes = (1L to 6L).toDF("id")
+    val prev = ConnectedComponents.run(nodes, Seq((1L, 2L), (5L, 6L), (3L, 4L)).toDF("src", "dst"))
+    val out = ConnectedComponents.incremental(
+      prev, Seq((6L, 4L)).toDF("src", "dst"), spark.emptyDataset[Long].toDF("id"))
+      .as[(Long, Long)].collect().toMap
+    // {5,6} ∪ {3,4} → min 3; {1,2} untouched
+    assert(out(3L) == 3L && out(4L) == 3L && out(5L) == 3L && out(6L) == 3L)
+    assert(out(1L) == 1L && out(2L) == 1L)
+  }
+
   test("negative judgements veto merged components") {
     val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
     val pos = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
