@@ -507,6 +507,193 @@ object ResolverQueries {
         |  'crawler' AS modified_by
         |FROM mm JOIN nv ON mm.component = nv.component""".stripMargin),
 
+    // R1 incremental (round-11): the resolver's DAILY regime — a new
+    // decision batch lands on yesterday's canonicalization fixpoint.
+    // Base state: q19's per-nation path graphs, resolved by the full
+    // fixpoint. The batch then (a) bridges nation pairs (an edge
+    // between the min custkeys of nations 2k and 2k+1 — both endpoints
+    // must exist, the q90 second-seed rule), (b) attaches a shifted
+    // twin (+10M) of every customer to its base node, exercising
+    // new-node attachment. `ConnectedComponents.incremental` contracts
+    // the batch onto the component graph (O(batch) rows), runs the
+    // fixpoint THERE, and broadcast-remaps — the big labeling is
+    // scanned twice and never iterated or shuffled. The oracle is the
+    // analytic closure: components = min custkey per nation PAIR,
+    // twins inherit their base's component.
+    decl("q209_incremental_components",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val c = t(s, d, "customer")
+        val w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+        val pathEdges = c.withColumn("next", lead(col("c_custkey"), 1).over(w))
+          .filter(col("next").isNotNull)
+          .select(col("c_custkey").cast("long").as("src"),
+            col("next").cast("long").as("dst"))
+        val nodes = c.select(col("c_custkey").cast("long").as("id"))
+        val prev = ConnectedComponents.run(nodes, pathEdges)
+        val mins = c.groupBy(col("c_nationkey").as("n"))
+          .agg(min(col("c_custkey")).cast("long").as("mk"))
+        val bridges = mins.filter(col("n") % 2 === 0)
+          .select(expr("n div 2").as("g"), col("mk").as("src"))
+          .join(mins.filter(col("n") % 2 === 1)
+            .select(expr("n div 2").as("g"), col("mk").as("dst")), Seq("g"))
+          .select(col("src"), col("dst"))
+        val attach = c.select(
+          (col("c_custkey") + 10000000L).cast("long").as("src"),
+          col("c_custkey").cast("long").as("dst"))
+        val twins = c.select((col("c_custkey") + 10000000L).cast("long").as("id"))
+        ConnectedComponents.incremental(
+          prev, bridges.unionByName(attach), twins)
+          .select(col("id").as("custkey"), col("component"))
+      },
+      """WITH grp AS (
+        |  SELECT c_custkey::BIGINT AS custkey,
+        |    (min(c_custkey) OVER (PARTITION BY c_nationkey // 2))::BIGINT AS component
+        |  FROM customer)
+        |SELECT custkey, component FROM grp
+        |UNION ALL
+        |SELECT custkey + 10000000, component FROM grp""".stripMargin),
+
+    // R2 companion (round-11): Fellegi–Sunter probabilistic linkage
+    // trained by EM — the unsupervised complement to the deterministic
+    // AutoMerge rules. Candidate pairs (consecutive custkeys, both
+    // endpoints required) carry three boolean agreement fields whose
+    // rates differ between a planted latent match class (k%5=0) and
+    // the rest; the engine aggregates pairs ONCE into the ≤2^3-row
+    // comparison-vector value-count table and EM iterates over THAT
+    // (per-round cost independent of pair count — the Splink shape).
+    // The oracle replays all three EM rounds: every weight round-trips
+    // DECIMAL(14,12), every sum is exact decimal, every new parameter
+    // rounds through DECIMAL(12,9) — training is bit-replayable across
+    // engines by construction.
+    decl("q210_fellegi_sunter_em",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val pairs = c.alias("l")
+          .join(c.alias("r"), col("r.c_custkey") === col("l.c_custkey") + 1)
+          .select(col("l.c_custkey").as("k"))
+          .select(
+            when(col("k") % 5 === 0, col("k") % 7 =!= 0)
+              .otherwise(col("k") % 11 === 0).as("g1"),
+            when(col("k") % 5 === 0, col("k") % 3 =!= 0)
+              .otherwise(col("k") % 13 === 0).as("g2"),
+            when(col("k") % 5 === 0, col("k") % 2 === 0)
+              .otherwise(col("k") % 17 === 0).as("g3"))
+        val gs = Seq("g1", "g2", "g3")
+        val vc = graft.operators.Linkage.comparisonVectorCounts(pairs, gs)
+        val params = graft.operators.Linkage.fellegiSunterEm(vc, gs)
+        graft.operators.Linkage.fsScorePatterns(vc, gs, params)
+          .crossJoin(broadcast(params))
+      },
+      """WITH pr AS (SELECT a.c_custkey AS k FROM customer a
+        |  JOIN customer b ON b.c_custkey = a.c_custkey + 1),
+        |g AS (SELECT
+        |  CASE WHEN k % 5 = 0 THEN k % 7 <> 0 ELSE k % 11 = 0 END AS g1,
+        |  CASE WHEN k % 5 = 0 THEN k % 3 <> 0 ELSE k % 13 = 0 END AS g2,
+        |  CASE WHEN k % 5 = 0 THEN k % 2 = 0 ELSE k % 17 = 0 END AS g3
+        |  FROM pr),
+        |vc AS (SELECT g1, g2, g3, COUNT(*)::BIGINT AS n FROM g GROUP BY 1, 2, 3),
+        |p0 AS (SELECT 0.1::DOUBLE AS lam, 0.9::DOUBLE AS m1, 0.9::DOUBLE AS m2,
+        |  0.9::DOUBLE AS m3, 0.1::DOUBLE AS u1, 0.1::DOUBLE AS u2, 0.1::DOUBLE AS u3),
+        |e1 AS (SELECT vc.*, CAST(
+        |  (lam * (CASE WHEN g1 THEN m1 ELSE 1.0 - m1 END)
+        |       * (CASE WHEN g2 THEN m2 ELSE 1.0 - m2 END)
+        |       * (CASE WHEN g3 THEN m3 ELSE 1.0 - m3 END)) /
+        |  ((lam * (CASE WHEN g1 THEN m1 ELSE 1.0 - m1 END)
+        |        * (CASE WHEN g2 THEN m2 ELSE 1.0 - m2 END)
+        |        * (CASE WHEN g3 THEN m3 ELSE 1.0 - m3 END))
+        |   + ((1.0 - lam) * (CASE WHEN g1 THEN u1 ELSE 1.0 - u1 END)
+        |                  * (CASE WHEN g2 THEN u2 ELSE 1.0 - u2 END)
+        |                  * (CASE WHEN g3 THEN u3 ELSE 1.0 - u3 END)))
+        |  AS DECIMAL(14,12))::DOUBLE AS w FROM vc CROSS JOIN p0),
+        |p1 AS (SELECT
+        |  CAST(SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE / SUM(n)::DOUBLE AS DECIMAL(12,9))::DOUBLE AS lam,
+        |  CAST(SUM(CAST(CASE WHEN g1 THEN w * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+        |     / SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS m1,
+        |  CAST(SUM(CAST(CASE WHEN g2 THEN w * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+        |     / SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS m2,
+        |  CAST(SUM(CAST(CASE WHEN g3 THEN w * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+        |     / SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS m3,
+        |  CAST(SUM(CAST(CASE WHEN g1 THEN (1.0 - w) * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+        |     / SUM(CAST((1.0 - w) * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS u1,
+        |  CAST(SUM(CAST(CASE WHEN g2 THEN (1.0 - w) * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+        |     / SUM(CAST((1.0 - w) * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS u2,
+        |  CAST(SUM(CAST(CASE WHEN g3 THEN (1.0 - w) * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+        |     / SUM(CAST((1.0 - w) * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS u3
+        |  FROM e1),
+        |e2 AS (SELECT vc.*, CAST(
+        |  (lam * (CASE WHEN g1 THEN m1 ELSE 1.0 - m1 END)
+        |       * (CASE WHEN g2 THEN m2 ELSE 1.0 - m2 END)
+        |       * (CASE WHEN g3 THEN m3 ELSE 1.0 - m3 END)) /
+        |  ((lam * (CASE WHEN g1 THEN m1 ELSE 1.0 - m1 END)
+        |        * (CASE WHEN g2 THEN m2 ELSE 1.0 - m2 END)
+        |        * (CASE WHEN g3 THEN m3 ELSE 1.0 - m3 END))
+        |   + ((1.0 - lam) * (CASE WHEN g1 THEN u1 ELSE 1.0 - u1 END)
+        |                  * (CASE WHEN g2 THEN u2 ELSE 1.0 - u2 END)
+        |                  * (CASE WHEN g3 THEN u3 ELSE 1.0 - u3 END)))
+        |  AS DECIMAL(14,12))::DOUBLE AS w FROM vc CROSS JOIN p1),
+        |p2 AS (SELECT
+        |  CAST(SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE / SUM(n)::DOUBLE AS DECIMAL(12,9))::DOUBLE AS lam,
+        |  CAST(SUM(CAST(CASE WHEN g1 THEN w * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+        |     / SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS m1,
+        |  CAST(SUM(CAST(CASE WHEN g2 THEN w * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+        |     / SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS m2,
+        |  CAST(SUM(CAST(CASE WHEN g3 THEN w * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+        |     / SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS m3,
+        |  CAST(SUM(CAST(CASE WHEN g1 THEN (1.0 - w) * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+        |     / SUM(CAST((1.0 - w) * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS u1,
+        |  CAST(SUM(CAST(CASE WHEN g2 THEN (1.0 - w) * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+        |     / SUM(CAST((1.0 - w) * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS u2,
+        |  CAST(SUM(CAST(CASE WHEN g3 THEN (1.0 - w) * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+        |     / SUM(CAST((1.0 - w) * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS u3
+        |  FROM e2),
+        |e3 AS (SELECT vc.*, CAST(
+        |  (lam * (CASE WHEN g1 THEN m1 ELSE 1.0 - m1 END)
+        |       * (CASE WHEN g2 THEN m2 ELSE 1.0 - m2 END)
+        |       * (CASE WHEN g3 THEN m3 ELSE 1.0 - m3 END)) /
+        |  ((lam * (CASE WHEN g1 THEN m1 ELSE 1.0 - m1 END)
+        |        * (CASE WHEN g2 THEN m2 ELSE 1.0 - m2 END)
+        |        * (CASE WHEN g3 THEN m3 ELSE 1.0 - m3 END))
+        |   + ((1.0 - lam) * (CASE WHEN g1 THEN u1 ELSE 1.0 - u1 END)
+        |                  * (CASE WHEN g2 THEN u2 ELSE 1.0 - u2 END)
+        |                  * (CASE WHEN g3 THEN u3 ELSE 1.0 - u3 END)))
+        |  AS DECIMAL(14,12))::DOUBLE AS w FROM vc CROSS JOIN p2),
+        |p3 AS (SELECT
+        |  CAST(SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE / SUM(n)::DOUBLE AS DECIMAL(12,9))::DOUBLE AS lam,
+        |  CAST(SUM(CAST(CASE WHEN g1 THEN w * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+        |     / SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS m1,
+        |  CAST(SUM(CAST(CASE WHEN g2 THEN w * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+        |     / SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS m2,
+        |  CAST(SUM(CAST(CASE WHEN g3 THEN w * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+        |     / SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS m3,
+        |  CAST(SUM(CAST(CASE WHEN g1 THEN (1.0 - w) * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+        |     / SUM(CAST((1.0 - w) * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS u1,
+        |  CAST(SUM(CAST(CASE WHEN g2 THEN (1.0 - w) * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+        |     / SUM(CAST((1.0 - w) * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS u2,
+        |  CAST(SUM(CAST(CASE WHEN g3 THEN (1.0 - w) * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+        |     / SUM(CAST((1.0 - w) * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS u3
+        |  FROM e3)
+        |SELECT g1, g2, g3, n,
+        |  CAST(
+        |  (lam * (CASE WHEN g1 THEN m1 ELSE 1.0 - m1 END)
+        |       * (CASE WHEN g2 THEN m2 ELSE 1.0 - m2 END)
+        |       * (CASE WHEN g3 THEN m3 ELSE 1.0 - m3 END)) /
+        |  ((lam * (CASE WHEN g1 THEN m1 ELSE 1.0 - m1 END)
+        |        * (CASE WHEN g2 THEN m2 ELSE 1.0 - m2 END)
+        |        * (CASE WHEN g3 THEN m3 ELSE 1.0 - m3 END))
+        |   + ((1.0 - lam) * (CASE WHEN g1 THEN u1 ELSE 1.0 - u1 END)
+        |                  * (CASE WHEN g2 THEN u2 ELSE 1.0 - u2 END)
+        |                  * (CASE WHEN g3 THEN u3 ELSE 1.0 - u3 END)))
+        |  AS DECIMAL(14,12))::DOUBLE AS match_probability,
+        |  CAST(log2(lam / (1.0 - lam))
+        |    + log2((CASE WHEN g1 THEN m1 ELSE 1.0 - m1 END) / (CASE WHEN g1 THEN u1 ELSE 1.0 - u1 END))
+        |    + log2((CASE WHEN g2 THEN m2 ELSE 1.0 - m2 END) / (CASE WHEN g2 THEN u2 ELSE 1.0 - u2 END))
+        |    + log2((CASE WHEN g3 THEN m3 ELSE 1.0 - m3 END) / (CASE WHEN g3 THEN u3 ELSE 1.0 - u3 END))
+        |  AS DECIMAL(12,4))::DOUBLE AS match_weight,
+        |  lam AS lambda, m1 AS m_g1, m2 AS m_g2, m3 AS m_g3,
+        |  u1 AS u_g1, u2 AS u_g2, u3 AS u_g3
+        |FROM vc CROSS JOIN p3""".stripMargin),
+
     // P3/J13: schema-subtree filter + stateful position categorisation.
     decl("q91_schema_filter_positions",
       (s, d) => {
