@@ -96,6 +96,59 @@ object Retrieval {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Distinct character trigrams per record — the pg_trgm-style index
+    * unit for fuzzy NAME search (the reference ecosystem serves
+    * sanctions-entity name lookup through a fuzzy full-text index;
+    * trigram overlap is the standard engine-side primitive for it).
+    * Sub-3-char names fall back to the whole string; empties drop. */
+  def trigramSets(df: DataFrame, id: Column, name: Column): DataFrame = {
+    val tgs = when(length(name) >= 3,
+      array_distinct(transform(sequence(lit(1), length(name) - 2),
+        i => name.substr(i, lit(3)))))
+      .otherwise(when(length(name) > 0, array(name))
+        .otherwise(array().cast("array<string>")))
+    df.select(id.as("id"), tgs.as("tg"))
+  }
+
+  /** Fuzzy name search over a trigram inverted index: candidates come
+    * from a df-capped trigram postings equi-join (trigrams hotter than
+    * `maxDfFrac`·N are stop-trigrams — they never seed a candidate,
+    * which is what bounds the hottest posting list at corpus scale);
+    * each candidate is then scored by EXACT trigram-set Jaccard via
+    * array_intersect on the two per-record sets (no per-trigram pair
+    * shuffle — the Blocking.candidates shape), and a per-query window
+    * keeps the top `k` (score desc, id asc — a ratio of small integers
+    * is an exact double, so the ordering is engine-portable without a
+    * rounding barrier).
+    *
+    * Returns (qid, target_id, inter, score, rank). */
+  def trigramTopK(
+      targets: DataFrame, targetId: Column, targetName: Column,
+      queries: DataFrame, qid: Column, qName: Column,
+      k: Int, maxDfFrac: Double = 0.2): DataFrame = {
+    val tt = trigramSets(targets, targetId, targetName)
+    val qt = trigramSets(queries, qid, qName).toDF("qid", "qtg")
+    val tpost = tt.select(col("id"), explode(col("tg")).as("t3"))
+    val nStat = tt.agg(count(lit(1)).as("nd"))
+    val keep = tpost.groupBy("t3").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nStat))
+      .where(col("df") <= col("nd").cast("double") * maxDfFrac)
+      .select(col("t3"))
+    val qpost = qt.select(col("qid"), explode(col("qtg")).as("t3"))
+    val cand = qpost.join(keep, "t3").join(tpost, "t3")
+      .select(col("qid"), col("id")).distinct()
+    val scored = cand.join(qt, "qid").join(tt, "id")
+      .withColumn("inter",
+        size(array_intersect(col("qtg"), col("tg"))).cast("long"))
+      .withColumn("score", col("inter").cast("double") /
+        (size(col("qtg")) + size(col("tg")) - col("inter")).cast("double"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("id").as("target_id"), col("inter"),
+        col("score"), col("rank").cast("long").as("rank"))
+  }
+
   /** DSIR-style importance weights: per-document log importance under
     * hashed n-gram features — Σ_tokens ln(p_target(bucket) /
     * p_raw(bucket)) with add-one smoothing over `buckets` feature

@@ -139,6 +139,64 @@ object SelectionQueries {
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::BIGINT AS rank
         |  FROM sc) WHERE rank <= 10""".stripMargin),
 
+    // Fuzzy NAME search over a trigram inverted index (round-11): the
+    // pg_trgm shape — the reference ecosystem's entity-name lookup is
+    // fuzzy full-text search, and trigram-overlap retrieval is its
+    // engine-side primitive. Queries are real customer names with a
+    // deterministic typo (3rd character deleted), so token-level
+    // equality fails and only sub-word matching can recover the
+    // source row (the shared "customer#0…" stem is exactly the
+    // stop-trigram regime — the df cap removes it from candidate
+    // GENERATION while the exact Jaccard still scores it, and the
+    // discriminating digit-suffix trigrams drive retrieval; rank-1
+    // self-recovery is spec-asserted). Candidates: df-capped trigram
+    // postings equi-join
+    // (stop-trigrams never seed candidates); score: EXACT trigram-set
+    // Jaccard via array_intersect; per-query top-3 window. The oracle
+    // rebuilds the index, the cap, the candidate join and the exact
+    // Jaccard from scratch in SQL.
+    decl("q211_trigram_name_search",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val targets = c.select(col("c_custkey").cast("long").as("id"),
+          lower(col("c_name")).as("nm"))
+        val qs = c.where(col("c_custkey") % 89 === 1)
+          .select(col("c_custkey").cast("long").as("qid"),
+            concat(substring(lower(col("c_name")), 1, 2),
+              expr("substring(lower(c_name), 4)")).as("qnm"))
+        Retrieval.trigramTopK(targets, col("id"), col("nm"),
+          qs, col("qid"), col("qnm"), k = 3, maxDfFrac = 0.2)
+      },
+      """WITH tgt AS (SELECT c_custkey::BIGINT AS id, lower(c_name) AS nm FROM customer),
+        |q AS (SELECT c_custkey::BIGINT AS qid,
+        |  substr(lower(c_name), 1, 2) || substr(lower(c_name), 4) AS nm
+        |  FROM customer WHERE c_custkey % 89 = 1),
+        |ttg AS (SELECT id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(nm) - 2), i -> substr(nm, i, 3)))) AS t3
+        |  FROM tgt WHERE len(nm) >= 3
+        |  UNION ALL SELECT id, nm FROM tgt WHERE len(nm) BETWEEN 1 AND 2),
+        |qtg AS (SELECT qid, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(nm) - 2), i -> substr(nm, i, 3)))) AS t3
+        |  FROM q WHERE len(nm) >= 3
+        |  UNION ALL SELECT qid, nm FROM q WHERE len(nm) BETWEEN 1 AND 2),
+        |tsz AS (SELECT id, COUNT(*)::BIGINT AS tn FROM ttg GROUP BY 1),
+        |qsz AS (SELECT qid, COUNT(*)::BIGINT AS qn FROM qtg GROUP BY 1),
+        |nd AS (SELECT COUNT(*)::BIGINT AS n FROM tgt),
+        |keep AS (SELECT t3 FROM (SELECT t3, COUNT(*)::BIGINT AS df FROM ttg GROUP BY 1), nd
+        |  WHERE df <= n::DOUBLE * 0.2),
+        |cand AS (SELECT DISTINCT qid, id
+        |  FROM qtg JOIN keep USING (t3) JOIN ttg USING (t3)),
+        |inter AS (SELECT c.qid, c.id, COUNT(*)::BIGINT AS inter
+        |  FROM cand c JOIN qtg ON qtg.qid = c.qid
+        |  JOIN ttg ON ttg.id = c.id AND ttg.t3 = qtg.t3
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT i.qid, i.id, i.inter,
+        |  i.inter::DOUBLE / (qn + tn - i.inter)::DOUBLE AS score
+        |  FROM inter i JOIN qsz USING (qid) JOIN tsz USING (id))
+        |SELECT qid, id AS target_id, inter, score, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id)::BIGINT AS rank
+        |  FROM sc) WHERE rank <= 3""".stripMargin),
+
     // DSIR importance weights, target = English: planted per-language
     // marker tokens make the language distributions genuinely differ,
     // so en docs score positive and others negative — the sign

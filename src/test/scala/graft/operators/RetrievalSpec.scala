@@ -179,4 +179,35 @@ class RetrievalSpec extends SparkSpec {
     // ranks are 1..quota dense
     assert(byStratum("bb").map(_._3).sorted.toSeq == (1L to 12L))
   }
+
+  test("trigramSets: distinct trigrams, short-name fallback, empty drop") {
+    val df = Seq((1L, "abcd"), (2L, "ab"), (3L, ""), (4L, "aaaa"))
+      .toDF("id", "nm")
+    val out = Retrieval.trigramSets(df, col("id"), col("nm"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) == Seq("abc", "bcd"))
+    assert(out(2L) == Seq("ab"))      // sub-3-char: whole string
+    assert(out(3L) == Seq.empty)      // empty name: no trigrams
+    assert(out(4L) == Seq("aaa"))     // distinct collapses repeats
+  }
+
+  test("trigramTopK: typo'd query recovers its source at rank 1; stop-trigrams never seed") {
+    // 40 distinct names with a shared hot stem "customerx" (df 100% →
+    // capped at any maxDfFrac < 1) plus a discriminating digit tail.
+    val targets = (0 until 40).map(i => (i.toLong, f"customerx$i%04d"))
+      .toDF("id", "nm")
+    // typo: drop the 3rd character
+    val queries = Seq((7L, "cutomerx0007"), (23L, "cutomerx0023"))
+      .toDF("qid", "qnm")
+    val out = Retrieval.trigramTopK(targets, col("id"), col("nm"),
+      queries, col("qid"), col("qnm"), k = 3, maxDfFrac = 0.5)
+      .as[(Long, Long, Long, Double, Long)].collect()
+    val top1 = out.filter(_._5 == 1L).map(r => r._1 -> r._2).toMap
+    assert(top1 == Map(7L -> 7L, 23L -> 23L), s"got ${out.mkString(",")}")
+    // a query made ONLY of hot trigrams retrieves nothing
+    val hotOnly = Seq((99L, "customerx")).toDF("qid", "qnm")
+    val none = Retrieval.trigramTopK(targets, col("id"), col("nm"),
+      hotOnly, col("qid"), col("qnm"), k = 3, maxDfFrac = 0.5).count()
+    assert(none == 0L)
+  }
 }
