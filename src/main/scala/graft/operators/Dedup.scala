@@ -431,6 +431,56 @@ object Dedup {
     * the kept text is digested rather than returned (it can be near
     * the original size; callers wanting the text itself re-run the
     * final projection without the md5). */
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
+    * the MOSS algorithm): per document, hash every word n-gram, then
+    * keep only each sliding window's MINIMUM hash. Density is ~2/(w+1)
+    * of the n-gram stream, yet any two documents sharing a verbatim
+    * run of ≥ n+w−1 words are GUARANTEED to share an anchor (every
+    * length-w window inside the shared run picks the same minimum on
+    * both sides). This is the scale answer to cross-document exact
+    * substring dedup: the all-n-grams join (the q41 shape) ships the
+    * whole n-gram stream through the shuffle; winnowing ships a
+    * guaranteed-recall sample of it.
+    *
+    * Documents with fewer than `w` n-grams emit nothing — they cannot
+    * contain a ≥ n+w−1-word run (whole-short-doc duplicates are exact
+    * dedup's job, q40). Returns (doc_id, a) distinct anchors. */
+  def winnowAnchors(
+      df: DataFrame, id: Column, text: Column,
+      n: Int = 8, w: Int = 4): DataFrame = {
+    val words = split(text, " ")
+    val p = (size(words) - (n - 1)).cast("long")
+    val ng = df.select(id.as("doc_id"), words.as("w"), p.as("p"))
+      .where(col("p") >= w)
+      .select(col("doc_id"), col("p"),
+        explode(transform(sequence(lit(1), col("p")),
+          i => struct(i.cast("long").as("pos"),
+            hash60(concat_ws(" ", slice(col("w"), i, lit(n)))).as("h")))).as("g"))
+      .select(col("doc_id"), col("p"), col("g.pos").as("pos"), col("g.h").as("h"))
+    val wspec = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    ng.withColumn("a", min(col("h")).over(wspec))
+      .where(col("pos") <= col("p") - (w - 1)) // full windows only
+      .select(col("doc_id"), col("a")).distinct()
+  }
+
+  /** Candidate pairs from shared winnowing anchors: a df-capped anchor
+    * equi-join (an anchor hotter than `maxDf` is boilerplate — it
+    * would fan out quadratically and is dropped, logged by the cap
+    * being data-visible in the output counts), then one aggregate
+    * counting shared anchors per pair. Never doc×doc.
+    * Returns (x, y, shared_anchors) with x < y. */
+  def winnowPairs(anchors: DataFrame, maxDf: Long = 64): DataFrame = {
+    val an = anchors.toDF("doc_id", "a")
+    val keep = an.groupBy("a").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select("a")
+    val kept = an.join(keep, "a")
+    kept.select(col("a"), col("doc_id").as("x"))
+      .join(kept.select(col("a"), col("doc_id").as("y")), "a")
+      .where(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("shared_anchors"))
+  }
+
   def exciseRepeatedSpans(
       df: DataFrame, id: Column, text: Column, n: Int,
       minCount: Long = 2): DataFrame = {

@@ -2277,6 +2277,34 @@ object PipelineQueries {
         |    AS deduped_text
         |FROM rk GROUP BY doc_id""".stripMargin),
 
+    // Winnowing cross-document substring dedup (round-11, Schleimer et
+    // al. SIGMOD'03): per doc hash every 8-word n-gram but keep only
+    // each 4-window's MINIMUM hash — ~2/(w+1) of the stream rides the
+    // shuffle, yet any two docs sharing a verbatim ≥ 11-word run are
+    // GUARANTEED to share an anchor (spec-proven on planted runs).
+    // Pairs come from a df-capped anchor equi-join, never doc×doc.
+    // The oracle rebuilds n-gram hashes, the window minima, the full-
+    // window filter, the cap and the pair counts from scratch in SQL.
+    decl("q212_winnow_substring_dedup",
+      (s, d) => {
+        val anchors = Dedup.winnowAnchors(
+          t(s, d, "documents"), col("doc_id"), col("text"), n = 8, w = 4)
+        Dedup.winnowPairs(anchors, maxDf = 64)
+      },
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |st AS (SELECT doc_id, (len(w) - 7)::BIGINT AS p, w FROM tk WHERE len(w) - 7 >= 4),
+         |ngp AS (SELECT doc_id, p, w, unnest(generate_series(1, p)) AS pos FROM st),
+         |ng AS (SELECT doc_id, p, pos,
+         |  ${sqlHash60("array_to_string(w[pos:pos+7], ' ')")} AS h FROM ngp),
+         |win AS (SELECT doc_id, p, pos,
+         |  MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS a FROM ng),
+         |an AS (SELECT DISTINCT doc_id, a FROM win WHERE pos <= p - 3),
+         |keep AS (SELECT a FROM an GROUP BY a HAVING COUNT(*) <= 64)
+         |SELECT x.doc_id AS x, y.doc_id AS y, COUNT(*)::BIGINT AS shared_anchors
+         |FROM an x JOIN keep USING (a) JOIN an y USING (a)
+         |WHERE x.doc_id < y.doc_id GROUP BY 1, 2""".stripMargin),
+
     // Repetition-based quality signals (Gopher/RefinedWeb rules):
     // distinct-word ratio, top-word share, duplicated-bigram fraction.
     decl("q106_repetition_signals",

@@ -372,4 +372,59 @@ class DedupSimilaritySpec extends SparkSpec {
     // and the prefix equi-join generated far fewer candidates than 40*39/2
     // (structural: each prefix is 10 - ceil(6) + 1 = 5 rarest tokens)
   }
+
+  test("winnowing: shared run >= n+w-1 words is ALWAYS anchored; density is bounded") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // n=8, w=4 → guarantee threshold 11 words. Plant an 11-word run
+    // shared by docs 1 and 2 inside otherwise-unrelated text; doc 3 is
+    // unrelated; docs 4/5 share only a 10-word run (below threshold —
+    // winnowing MAY miss it, so we don't assert either way).
+    val run11 = (1 to 11).map(i => s"shared$i").mkString(" ")
+    val run10 = (1 to 10).map(i => s"tenrun$i").mkString(" ")
+    def filler(tag: String, k: Int) = (1 to k).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${filler("alpha", 20)} $run11 ${filler("beta", 20)}"),
+      (2L, s"${filler("gamma", 17)} $run11 ${filler("delta", 23)}"),
+      (3L, filler("omega", 60)),
+      (4L, s"${filler("eps", 20)} $run10 ${filler("zeta", 20)}"),
+      (5L, s"${filler("eta", 21)} $run10 ${filler("theta", 19)}"))
+      .toDF("doc_id", "text")
+    val anchors = Dedup.winnowAnchors(docs, col("doc_id"), col("text"), n = 8, w = 4)
+    val pairs = Dedup.winnowPairs(anchors, maxDf = 64)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((1L, 2L)), s"guaranteed pair missing: $pairs")
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) })
+    // density: anchors per doc ≈ 2/(w+1) of the n-gram stream, never more
+    // than the full-window count
+    val perDoc = anchors.groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    val nWords = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ").length }.toMap
+    perDoc.foreach { case (id, c) =>
+      val windows = nWords(id) - 7 - 3 // full windows of w n-grams
+      assert(c <= windows, s"doc $id: $c anchors > $windows windows")
+      assert(c.toDouble / windows < 0.8, s"doc $id density ${c.toDouble / windows}")
+    }
+  }
+
+  test("winnowing: sub-threshold docs emit nothing; hot anchors are capped") {
+    import org.apache.spark.sql.functions.col
+    val tiny = Seq((1L, "a b c d e f g h i j")) // 10 words → 3 ngrams < w
+      .toDF("doc_id", "text")
+    assert(Dedup.winnowAnchors(tiny, col("doc_id"), col("text"), 8, 4).count() == 0)
+    // 20 docs all sharing one boilerplate run: maxDf=5 kills the anchor
+    val run = (1 to 15).map(i => s"boiler$i").mkString(" ")
+    val many = (1L to 20L).map(i => (i, s"u${i}a u${i}b u${i}c $run u${i}d"))
+      .toDF("doc_id", "text")
+    val an = Dedup.winnowAnchors(many, col("doc_id"), col("text"), 8, 4)
+    val capped = Dedup.winnowPairs(an, maxDf = 5).count()
+    val uncapped = Dedup.winnowPairs(an, maxDf = 64).count()
+    assert(uncapped == 190L, s"uncapped=$uncapped") // all C(20,2) pairs
+    // The pure-boilerplate anchors (df=20) are dropped by maxDf=5, so
+    // the quadratic blow-up collapses. Windows straddling unique filler
+    // and boilerplate can still surface low-df shared anchors (the min
+    // lands on a boiler n-gram for a few docs) — each contributes at
+    // most C(5,2) pairs, so the bound is structural, not exact-zero.
+    assert(capped < uncapped / 4, s"capped=$capped uncapped=$uncapped")
+  }
 }
