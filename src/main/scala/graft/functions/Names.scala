@@ -14,6 +14,18 @@ object Names {
   def squashSpaces(s: Column): Column =
     regexp_replace(trim(s), "\\s+", " ")
 
+  /** Jaro–Winkler similarity — native codegen'd Catalyst expression
+    * (graft.functions.expr.JaroWinkler): the standard string comparator
+    * behind probabilistic-linkage agreement fields. Classic Winkler
+    * variant (0.7 boost threshold, prefix cap 4, floor'd transposition
+    * halves, empty → 0.0) — byte-matched against DuckDB's
+    * jaro_winkler_similarity so oracles can replay scores. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.expr.JaroWinkler(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+
   private def nonEmpty(c: Column): Column =
     when(c.isNotNull && length(trim(c)) > 0, squashSpaces(c))
 

@@ -122,10 +122,14 @@ object Retrieval {
     * rounding barrier).
     *
     * Returns (qid, target_id, inter, score, rank). */
-  def trigramTopK(
+  /** Candidate (qid, id) pairs from the df-capped trigram postings
+    * equi-join — the generation stage shared by the Jaccard ranking
+    * ([[trigramTopK]]) and any downstream comparator (e.g. the
+    * codegen'd Jaro–Winkler in q213). */
+  def trigramCandidates(
       targets: DataFrame, targetId: Column, targetName: Column,
       queries: DataFrame, qid: Column, qName: Column,
-      k: Int, maxDfFrac: Double = 0.2): DataFrame = {
+      maxDfFrac: Double = 0.2): DataFrame = {
     val tt = trigramSets(targets, targetId, targetName)
     val qt = trigramSets(queries, qid, qName).toDF("qid", "qtg")
     val tpost = tt.select(col("id"), explode(col("tg")).as("t3"))
@@ -135,8 +139,18 @@ object Retrieval {
       .where(col("df") <= col("nd").cast("double") * maxDfFrac)
       .select(col("t3"))
     val qpost = qt.select(col("qid"), explode(col("qtg")).as("t3"))
-    val cand = qpost.join(keep, "t3").join(tpost, "t3")
+    qpost.join(keep, "t3").join(tpost, "t3")
       .select(col("qid"), col("id")).distinct()
+  }
+
+  def trigramTopK(
+      targets: DataFrame, targetId: Column, targetName: Column,
+      queries: DataFrame, qid: Column, qName: Column,
+      k: Int, maxDfFrac: Double = 0.2): DataFrame = {
+    val tt = trigramSets(targets, targetId, targetName)
+    val qt = trigramSets(queries, qid, qName).toDF("qid", "qtg")
+    val cand = trigramCandidates(targets, targetId, targetName,
+      queries, qid, qName, maxDfFrac)
     val scored = cand.join(qt, "qid").join(tt, "id")
       .withColumn("inter",
         size(array_intersect(col("qtg"), col("tg"))).cast("long"))

@@ -197,6 +197,60 @@ object SelectionQueries {
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id)::BIGINT AS rank
         |  FROM sc) WHERE rank <= 3""".stripMargin),
 
+    // The composed fuzzy-match API (round-11): trigram candidate
+    // generation (the q211 index) ranked by the NATIVE codegen'd
+    // Jaro–Winkler expression (graft.functions.expr.JaroWinkler — a
+    // two-pointer match scan no built-in HOF can express without
+    // leaving whole-stage codegen). The implementation is byte-matched
+    // to DuckDB's jaro_winkler_similarity (classic Winkler: 0.7 boost
+    // threshold, prefix cap 4, floor'd transposition halves, empty→0),
+    // so the oracle replays candidate generation AND scoring; a 6-dp
+    // barrier absorbs division-order ulps. At scale this is the
+    // matching-service shape: index prunes, comparator ranks — never
+    // query×corpus.
+    decl("q213_fuzzy_match_jw",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val targets = c.select(col("c_custkey").cast("long").as("id"),
+          lower(col("c_name")).as("nm"))
+        val qs = c.where(col("c_custkey") % 89 === 1)
+          .select(col("c_custkey").cast("long").as("qid"),
+            concat(substring(lower(col("c_name")), 1, 2),
+              expr("substring(lower(c_name), 4)")).as("qnm"))
+        val cand = Retrieval.trigramCandidates(targets, col("id"), col("nm"),
+          qs, col("qid"), col("qnm"), maxDfFrac = 0.2)
+        val scored = cand.join(qs, "qid").join(targets, "id")
+          .withColumn("jw", graft.functions.Names.jaroWinkler(col("qnm"), col("nm"))
+            .cast("decimal(10,6)").cast("double"))
+        val w = Window.partitionBy("qid").orderBy(col("jw").desc, col("id"))
+        scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+          .select(col("qid"), col("id").as("target_id"), col("jw"),
+            col("rank").cast("long").as("rank"))
+      },
+      """WITH tgt AS (SELECT c_custkey::BIGINT AS id, lower(c_name) AS nm FROM customer),
+        |q AS (SELECT c_custkey::BIGINT AS qid,
+        |  substr(lower(c_name), 1, 2) || substr(lower(c_name), 4) AS nm
+        |  FROM customer WHERE c_custkey % 89 = 1),
+        |ttg AS (SELECT id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(nm) - 2), i -> substr(nm, i, 3)))) AS t3
+        |  FROM tgt WHERE len(nm) >= 3
+        |  UNION ALL SELECT id, nm FROM tgt WHERE len(nm) BETWEEN 1 AND 2),
+        |qtg AS (SELECT qid, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(nm) - 2), i -> substr(nm, i, 3)))) AS t3
+        |  FROM q WHERE len(nm) >= 3
+        |  UNION ALL SELECT qid, nm FROM q WHERE len(nm) BETWEEN 1 AND 2),
+        |nd AS (SELECT COUNT(*)::BIGINT AS n FROM tgt),
+        |keep AS (SELECT t3 FROM (SELECT t3, COUNT(*)::BIGINT AS df FROM ttg GROUP BY 1), nd
+        |  WHERE df <= n::DOUBLE * 0.2),
+        |cand AS (SELECT DISTINCT qid, id
+        |  FROM qtg JOIN keep USING (t3) JOIN ttg USING (t3)),
+        |sc AS (SELECT c.qid, c.id,
+        |  CAST(jaro_winkler_similarity(q.nm, t.nm) AS DECIMAL(10,6))::DOUBLE AS jw
+        |  FROM cand c JOIN q ON q.qid = c.qid JOIN tgt t ON t.id = c.id)
+        |SELECT qid, id AS target_id, jw, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY jw DESC, id)::BIGINT AS rank
+        |  FROM sc) WHERE rank <= 3""".stripMargin),
+
     // DSIR importance weights, target = English: planted per-language
     // marker tokens make the language distributions genuinely differ,
     // so en docs score positive and others negative — the sign

@@ -75,4 +75,41 @@ class NativeExpressionsSpec extends SparkSpec {
       $"k", $"v").as[(String, Seq[String])].collect().toMap
     assert(set("a") == Seq("x", "y") && set("b") == Seq("z"))
   }
+
+  test("jaroWinkler matches the classic-variant reference values (DuckDB-probed)") {
+    // Every expectation below was probed against DuckDB's
+    // jaro_winkler_similarity — the oracle engine — so this pins the
+    // exact variant: 0.7 boost threshold, prefix cap 4, FLOOR'd
+    // transposition halves (the abcxyz/bcaxyz case distinguishes
+    // floor from float halves: 0.9444 vs 0.9167), empty → 0.
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dwayne", "duane", 0.8400000000000001),
+      ("abcdxxxx", "abcdyyyy", 0.6666666666666666), // below boost threshold
+      ("ab", "ab", 1.0),
+      ("a", "b", 0.0),
+      ("aabbcc", "ccbbaa", 0.5555555555555555),
+      ("crate", "trace", 0.7333333333333334),
+      ("abcxyz", "bcaxyz", 0.9444444444444445),     // odd transposition count
+      ("", "", 0.0),
+      ("abc", "", 0.0))
+    val got = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select($"a", $"b", Names.jaroWinkler($"a", $"b").as("jw"))
+      .as[(String, String, Double)].collect()
+      .map { case (a, b, v) => (a, b) -> v }.toMap
+    cases.foreach { case (a, b, want) =>
+      assert(math.abs(got((a, b)) - want) < 1e-12, s"jw($a,$b)=${got((a, b))}")
+    }
+    // interpreted path (eval without codegen) agrees with the static impl
+    cases.foreach { case (a, b, want) =>
+      assert(math.abs(graft.functions.expr.JaroWinklerImpl.jw(a, b) - want) < 1e-12)
+    }
+    // the expression stays inside whole-stage codegen: the projection
+    // carries the `*(n)` codegen-stage marker (a UDF fallback would
+    // print an unstarred Project / BatchEvalPython-style node)
+    val plan = spark.range(100)
+      .select(Names.jaroWinkler(concat(lit("n"), $"id"), lit("n1")).as("jw"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("graft_jaro_winkler"), plan)
+  }
 }
