@@ -369,6 +369,96 @@ object RelationalQueries {
         |    FROM events))
         |GROUP BY user_id""".stripMargin),
 
+    // Ordered funnel (round-11): view → click → purchase per user,
+    // each stage's timestamp the MIN strictly after the previous
+    // stage's — the product-analytics staple. Three stage-filtered
+    // aggregates chained by user_id equi-joins (never a per-event
+    // self-join, never a window over the whole event stream): at
+    // 100 TB each stage is one shuffle on user_id of an
+    // already-aggregated frame. Epoch-micros keep the arithmetic
+    // integer-exact across engines.
+    decl("q214_funnel",
+      (s, d) => {
+        val e = Q.events(s, d)
+        val us = unix_micros(col("ts"))
+        val v = e.filter(col("event_type") === "view").groupBy("user_id")
+          .agg(min(us).as("t_view"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, "user_id").where(us > col("t_view"))
+          .groupBy("user_id").agg(min(us).as("t_click"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, "user_id").where(us > col("t_click"))
+          .groupBy("user_id").agg(min(us).as("t_purchase"))
+        e.select("user_id").distinct()
+          .join(v, Seq("user_id"), "left")
+          .join(c, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+            when(col("t_purchase").isNotNull, 3L)
+              .when(col("t_click").isNotNull, 2L)
+              .when(col("t_view").isNotNull, 1L)
+              .otherwise(0L).as("stage"))
+      },
+      """WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS t_view
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(epoch_us(ts)) AS t_click
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE event_type = 'click' AND epoch_us(ts) > t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(epoch_us(ts)) AS t_purchase
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  WHERE event_type = 'purchase' AND epoch_us(ts) > t_click GROUP BY 1)
+        |SELECT u.user_id, t_view, t_click, t_purchase,
+        |  (CASE WHEN t_purchase IS NOT NULL THEN 3
+        |        WHEN t_click IS NOT NULL THEN 2
+        |        WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS stage
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)""".stripMargin),
+
+    // Trailing-window anomaly gate (round-11): hourly event counts per
+    // type, z-scored against the PRECEDING 24 observed hours. The
+    // variance comes from exact integer window sums (Σx, Σx²) turned
+    // into doubles at the end — no engine-specific Welford/naive
+    // stddev drift to absorb, only sqrt's libm ulps, which the 6-dp
+    // barrier covers (the q129 ln precedent). Full windows only, and
+    // zero-variance windows are excluded rather than emitted as ±inf.
+    decl("q215_hourly_anomaly",
+      (s, d) => {
+        val h = Q.events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("cnt"))
+        val win = Window.partitionBy("event_type").orderBy("hr")
+          .rowsBetween(-24, -1)
+        val sd = h
+          .withColumn("sdbl", sum(col("cnt")).over(win).cast("double"))
+          .withColumn("ssq", sum(col("cnt") * col("cnt")).over(win).cast("double"))
+          .withColumn("n", count(lit(1)).over(win))
+          .where(col("n") === 24)
+          .withColumn("varr", (col("ssq") - col("sdbl") * col("sdbl") / 24.0) / 23.0)
+          .where(col("varr") > 0)
+          .withColumn("z", ((col("cnt").cast("double") - col("sdbl") / 24.0) /
+            sqrt(col("varr"))).cast("decimal(10,6)").cast("double"))
+        sd.select(col("event_type"),
+          date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("cnt"), col("z"), (col("z") > 3.0).as("anomalous"))
+      },
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, hr, cnt,
+        |  SUM(cnt) OVER win::DOUBLE AS sdbl,
+        |  SUM(cnt * cnt) OVER win::DOUBLE AS ssq,
+        |  COUNT(*) OVER win AS n
+        |  FROM h WINDOW win AS (PARTITION BY event_type ORDER BY hr
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |v AS (SELECT event_type, hr, cnt,
+        |  (ssq - sdbl * sdbl / 24.0) / 23.0 AS varr, sdbl
+        |  FROM w WHERE n = 24),
+        |z AS (SELECT event_type, hr, cnt,
+        |  CAST((cnt::DOUBLE - sdbl / 24.0) / sqrt(varr) AS DECIMAL(10,6))::DOUBLE AS z
+        |  FROM v WHERE varr > 0)
+        |SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  cnt, z, z > 3.0 AS anomalous FROM z""".stripMargin),
+
     // T5: first_seen / last_seen SCD columns.
     decl("q27_first_last_seen",
       (s, d) => Q.events(s, d)
