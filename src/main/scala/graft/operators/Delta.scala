@@ -44,6 +44,33 @@ object Delta {
       .select(col("id"), col("op"))
   }
 
+  /** SCD type-2 dimension build from a change log (round-11): collapse
+    * consecutive duplicate values per key, then emit one row per value
+    * RUN with its validity interval — the warehouse-standard
+    * slowly-changing-dimension shape the first/last_seen columns (T5)
+    * are the degenerate case of.
+    *
+    * `seq` must be strictly unique per key (a change-sequence number,
+    * e.g. epoch-derived + a unique id in the low digits) — it orders
+    * the log deterministically and serves as the interval bound.
+    * Value comparison is null-safe (a null value is a legal state).
+    *
+    * Scale shape: one shuffle on the key, two window passes over each
+    * key's (small) change history — never a self-join, never a global
+    * order. Returns (key, value, valid_from, valid_to, is_current)
+    * with valid_to null on the open interval. */
+  def scd2(changes: DataFrame, key: Column, seq: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("key").orderBy("seq")
+    val cp = changes.select(key.as("key"), seq.as("seq"), value.as("value"))
+      .withColumn("pv", lag(col("value"), 1).over(w))
+      .withColumn("first", row_number().over(w) === 1)
+      .where(col("first") || !(col("pv") <=> col("value")))
+    cp.withColumn("valid_to", lead(col("seq"), 1).over(w))
+      .select(col("key"), col("value"), col("seq").as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+  }
+
   /** J5/T5: first_seen preservation — new statements inherit first_seen
     * from the previous run by statement id, else the current run time
     * (zavod/zavod/runtime/timestamps.py:26-65). */

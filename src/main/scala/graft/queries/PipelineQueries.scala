@@ -1296,6 +1296,30 @@ object PipelineQueries {
     // oracle implements the full classic soundex (H/W-skip rule, vowel
     // separators) in SQL — validated character-for-character against
     // Spark's builtin — and re-derives the fingerprint per pair.
+    // Sorted-neighborhood blocking (round-11, Hernández & Stolfo
+    // SIGMOD'95): records sorted by reversed lowercase name (suffix
+    // order clusters the discriminating digit tails), each paired with
+    // its 7 global successors — candidate volume EXACTLY n·w. The
+    // global rank is the two-phase shape (within-bucket row_number +
+    // broadcast bucket offsets, bucket = first sort-key char), and the
+    // oracle replays it as one true global row_number, proving the
+    // decomposition exact — including pairs straddling bucket
+    // boundaries.
+    decl("q217_sorted_neighborhood",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val base = c.select(col("c_custkey").cast("long").as("id"),
+          reverse(lower(col("c_name"))).as("sk"))
+        Blocking.sortedNeighborhood(base, col("id"), col("sk"),
+          substring(col("sk"), 1, 1), w = 7)
+      },
+      """WITH r AS (SELECT c_custkey::BIGINT AS id,
+        |  row_number() OVER (ORDER BY reverse(lower(c_name)), c_custkey) AS rnk
+        |  FROM customer)
+        |SELECT a.id AS a, b.id AS b, j::BIGINT AS dist
+        |FROM r a CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS j) s
+        |JOIN r b ON b.rnk = a.rnk + j""".stripMargin),
+
     decl("q118_phonetic_blocking",
       (s, d) => {
         val spellS = Seq("zero", "one", "two", "three", "four",

@@ -459,6 +459,34 @@ object RelationalQueries {
         |SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
         |  cnt, z, z > 3.0 AS anomalous FROM z""".stripMargin),
 
+    // SCD type-2 dimension build (round-11): each customer's order-
+    // status history collapsed to value runs with validity intervals —
+    // the warehouse-standard slowly-changing-dimension shape T5's
+    // first/last_seen is the degenerate case of. The change-sequence
+    // number (epoch-days in the high digits, the unique orderkey in
+    // the low) makes ordering strict and engine-portable; value
+    // comparison is null-safe on both sides (IS DISTINCT FROM).
+    decl("q216_scd2_dimension",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val seq = datediff(col("o_orderdate"), lit("1970-01-01")).cast("long") *
+          10000000000L + col("o_orderkey")
+        Delta.scd2(o, col("o_custkey"), seq, col("o_orderstatus"))
+      },
+      """WITH c AS (SELECT o_custkey AS key,
+        |  date_diff('day', DATE '1970-01-01', o_orderdate)::BIGINT * 10000000000
+        |    + o_orderkey AS seq,
+        |  o_orderstatus AS value FROM orders),
+        |cp AS (SELECT key, seq, value FROM (
+        |  SELECT key, seq, value,
+        |    lag(value) OVER (PARTITION BY key ORDER BY seq) AS pv,
+        |    row_number() OVER (PARTITION BY key ORDER BY seq) AS rn
+        |  FROM c) WHERE rn = 1 OR pv IS DISTINCT FROM value)
+        |SELECT key, value, seq AS valid_from,
+        |  lead(seq) OVER (PARTITION BY key ORDER BY seq) AS valid_to,
+        |  lead(seq) OVER (PARTITION BY key ORDER BY seq) IS NULL AS is_current
+        |FROM cp""".stripMargin),
+
     // T5: first_seen / last_seen SCD columns.
     decl("q27_first_last_seen",
       (s, d) => Q.events(s, d)

@@ -590,4 +590,36 @@ class MiscOperatorsSpec extends SparkSpec {
       eta = 2.0, smoothing = 0.25, budget = 1000L).collect()
     assert(flat.map(_.getAs[Long]("n_alloc")).toSeq.forall(_ === 250L))
   }
+
+  test("scd2 collapses runs, emits validity intervals, null-safe values") {
+    val log = Seq(
+      ("k1", 1L, Some("a")), ("k1", 2L, Some("a")), ("k1", 3L, Some("b")),
+      ("k1", 4L, None), ("k1", 5L, None), ("k1", 6L, Some("a")),
+      ("k2", 1L, Some("x")))
+      .toDF("k", "seq", "v")
+    val out = Delta.scd2(log, col("k"), col("seq"), col("v"))
+      .as[(String, Option[String], Long, Option[Long], Boolean)]
+      .collect().toSet
+    assert(out == Set(
+      ("k1", Some("a"), 1L, Some(3L), false),
+      ("k1", Some("b"), 3L, Some(4L), false),
+      ("k1", None, 4L, Some(6L), false),     // null is a legal state
+      ("k1", Some("a"), 6L, None, true),     // value may recur
+      ("k2", Some("x"), 1L, None, true)))
+  }
+
+  test("sortedNeighborhood: exactly n*w pairs (minus tail), spans bucket boundaries") {
+    // sort key = 2-digit string, bucket = first digit: ranks must be
+    // GLOBAL, so (id 19, id 20) — adjacent across the '1'/'2' bucket
+    // boundary — must pair at dist 1
+    val rows = (10L to 39L).map(i => (i, i.toString)).toDF("id", "sk")
+    val out = Blocking.sortedNeighborhood(rows, col("id"), col("sk"),
+      substring(col("sk"), 1, 1), w = 3)
+      .as[(Long, Long, Long)].collect()
+    val n = 30
+    assert(out.length == n * 3 - (1 + 2 + 3)) // last 3 records truncate
+    assert(out.contains((19L, 20L, 1L)))
+    assert(out.contains((19L, 22L, 3L)))
+    assert(out.forall { case (a, b, dd) => b - a == dd }) // numeric order == lex order here
+  }
 }
