@@ -107,6 +107,39 @@ object Sampling {
         col("stratum_tokens"), col("quota"), col("pick_rank"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * "Weighted random sampling with a reservoir"): each record draws an
+    * exponential arrival key −ln(u)/weight from a deterministic salted
+    * hash u ∈ (0,1]; the m smallest keys per stratum are EXACTLY a
+    * weighted sample without replacement (record i enters with the
+    * inclusion probabilities of sequential weighted draws). One
+    * projection plus one per-stratum top-m window — the distributed
+    * form needs no reservoir state, and merging partitions is just
+    * min-k, so the same keys ride a streaming or map-side-combine
+    * variant unchanged.
+    *
+    * Determinism contract: u is hash-derived (same record → same draw
+    * on any engine/retry), keys round through DECIMAL(28,9) before
+    * ranking (ln/division libm ulps live far below the grain), ties
+    * break on id. Weight ≤ 0 rows are excluded (they cannot be drawn).
+    * Returns (id, stratum, weight, key, pick_rank ≤ m). */
+  def weightedSample(
+      df: DataFrame, id: Column, stratum: Column, weight: Column,
+      salt: String, m: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val twoPow60 = 1152921504606846976.0 // 2^60
+    val base = df.select(id.as("id"), stratum.as("stratum"),
+      weight.cast("double").as("weight"))
+      .where(col("weight") > 0)
+    val u = (Dedup.hash60(concat(lit(salt), lit("|"), col("id").cast("string")))
+      .cast("double") + lit(1.0)) / lit(twoPow60)
+    val keyed = base.withColumn("key",
+      (-log(u) / col("weight")).cast("decimal(28,9)"))
+    val w = Window.partitionBy("stratum").orderBy(col("key").asc, col("id").asc)
+    keyed.withColumn("pick_rank", row_number().over(w).cast("long"))
+      .where(col("pick_rank") <= m)
+  }
+
   /** Deterministic systematic resampling (stochastic-universal sampling
     * with the jitter pinned at 0.5): draw exactly `m` copies from the
     * corpus with per-doc multiplicity proportional to an INTEGER

@@ -285,6 +285,33 @@ object SelectionQueries {
     // quotas over languages, smallest-salted-hash pick per stratum with
     // the 4x hash-space threshold prefilter in-spec (the oracle applies
     // the same filter, so exactness is unconditional).
+    // Weighted sampling WITHOUT replacement (round-11, Efraimidis &
+    // Spirakis): token-mass-weighted per-language document draws via
+    // exponential arrival keys −ln(u)/w from salted hashes — one
+    // projection + per-stratum top-m window, no reservoir state, and
+    // the key construction is hash-deterministic so any engine, retry
+    // or executor count draws the SAME sample. The oracle rebuilds u,
+    // the keys and the ranking from scratch; the DECIMAL(28,9) barrier
+    // puts ln/division ulps far below the ranking grain.
+    decl("q218_weighted_sample",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Sampling.weightedSample(docs, col("doc_id"), col("lang"),
+          size(split(col("text"), " ")), "es", m = 20)
+          .select(col("id"), col("stratum"), col("weight"),
+            col("key").cast("double").as("key"), col("pick_rank"))
+      },
+      s"""WITH b AS (SELECT doc_id AS id, lang AS stratum,
+         |  len(string_split(text, ' '))::DOUBLE AS weight FROM documents
+         |  WHERE len(string_split(text, ' ')) > 0),
+         |k AS (SELECT id, stratum, weight,
+         |  CAST(-ln((${sqlHash60("('es|' || id::VARCHAR)")}::DOUBLE + 1.0)
+         |    / 1152921504606846976.0) / weight AS DECIMAL(28,9)) AS key FROM b)
+         |SELECT id, stratum, weight, key::DOUBLE AS key, pick_rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY stratum
+         |    ORDER BY key, id)::BIGINT AS pick_rank FROM k)
+         |WHERE pick_rank <= 20""".stripMargin),
+
     decl("q135_mixture_sample",
       (s, d) => {
         val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),

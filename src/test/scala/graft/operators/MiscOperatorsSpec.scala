@@ -591,6 +591,31 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(flat.map(_.getAs[Long]("n_alloc")).toSeq.forall(_ === 250L))
   }
 
+  test("weightedSample: ES keys match a driver-side replay; heavy weights dominate") {
+    val rows = (1L to 400L).map(i => (i, "s", if (i <= 40) 100.0 else 1.0))
+    val df = rows.toDF("id", "st", "w")
+    val out = Sampling.weightedSample(df, col("id"), col("st"), col("w"), "t1", m = 20)
+      .select("id", "pick_rank").as[(Long, Long)].collect()
+    // exact replay: same hash, same key formula, same ordering
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15), 16)
+    val keys = rows.map { case (i, _, w) =>
+      val u = (h60(s"t1|$i").toDouble + 1.0) / 1152921504606846976.0
+      i -> BigDecimal(-math.log(u) / w).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val want = keys.sortBy { case (i, k) => (k, i) }.take(20).map(_._1)
+    assert(out.sortBy(_._2).map(_._1).toSeq == want)
+    // the 10% heavy-weight (100×) records should take most of the picks
+    val heavy = out.count(_._1 <= 40)
+    assert(heavy >= 15, s"heavy picks = $heavy / 20")
+    // weight <= 0 rows can never be drawn
+    val withZero = (rows :+ ((401L, "s", 0.0))).toDF("id", "st", "w")
+    val z = Sampling.weightedSample(withZero, col("id"), col("st"), col("w"), "t1", 400)
+      .select("id").as[Long].collect()
+    assert(!z.contains(401L))
+  }
+
   test("scd2 collapses runs, emits validity intervals, null-safe values") {
     val log = Seq(
       ("k1", 1L, Some("a")), ("k1", 2L, Some("a")), ("k1", 3L, Some("b")),
