@@ -63,6 +63,117 @@ object ResolverQueries {
       keys.select(col("k").as("id")), pos, neg), neg)
   }
 
+  /** The q210/q219 linkage fixture: candidate pairs (consecutive
+    * custkeys, both endpoints required) with three boolean agreement
+    * fields whose rates differ between the planted latent match class
+    * (k%5=0) and the rest. Returns (k, g1, g2, g3). */
+  private def fsFixture(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    c.alias("l")
+      .join(c.alias("r"), col("r.c_custkey") === col("l.c_custkey") + 1)
+      .select(col("l.c_custkey").as("k"))
+      .select(col("k"),
+        when(col("k") % 5 === 0, col("k") % 7 =!= 0)
+          .otherwise(col("k") % 11 === 0).as("g1"),
+        when(col("k") % 5 === 0, col("k") % 3 =!= 0)
+          .otherwise(col("k") % 13 === 0).as("g2"),
+        when(col("k") % 5 === 0, col("k") % 2 === 0)
+          .otherwise(col("k") % 17 === 0).as("g3"))
+  }
+
+  /** Shared EM-training CTE chain (q210 + q219): pairs, gammas (k
+    * carried for the calibration gate), value counts, and the three
+    * unrolled EM rounds ending in the trained params p3. */
+  private val fsEmSqlCtes: String =
+    """WITH pr AS (SELECT a.c_custkey AS k FROM customer a
+      |  JOIN customer b ON b.c_custkey = a.c_custkey + 1),
+      |g AS (SELECT k,
+      |  CASE WHEN k % 5 = 0 THEN k % 7 <> 0 ELSE k % 11 = 0 END AS g1,
+      |  CASE WHEN k % 5 = 0 THEN k % 3 <> 0 ELSE k % 13 = 0 END AS g2,
+      |  CASE WHEN k % 5 = 0 THEN k % 2 = 0 ELSE k % 17 = 0 END AS g3
+      |  FROM pr),
+      |vc AS (SELECT g1, g2, g3, COUNT(*)::BIGINT AS n FROM g GROUP BY 1, 2, 3),
+      |p0 AS (SELECT 0.1::DOUBLE AS lam, 0.9::DOUBLE AS m1, 0.9::DOUBLE AS m2,
+      |  0.9::DOUBLE AS m3, 0.1::DOUBLE AS u1, 0.1::DOUBLE AS u2, 0.1::DOUBLE AS u3),
+      |e1 AS (SELECT vc.*, CAST(
+      |  (lam * (CASE WHEN g1 THEN m1 ELSE 1.0 - m1 END)
+      |       * (CASE WHEN g2 THEN m2 ELSE 1.0 - m2 END)
+      |       * (CASE WHEN g3 THEN m3 ELSE 1.0 - m3 END)) /
+      |  ((lam * (CASE WHEN g1 THEN m1 ELSE 1.0 - m1 END)
+      |        * (CASE WHEN g2 THEN m2 ELSE 1.0 - m2 END)
+      |        * (CASE WHEN g3 THEN m3 ELSE 1.0 - m3 END))
+      |   + ((1.0 - lam) * (CASE WHEN g1 THEN u1 ELSE 1.0 - u1 END)
+      |                  * (CASE WHEN g2 THEN u2 ELSE 1.0 - u2 END)
+      |                  * (CASE WHEN g3 THEN u3 ELSE 1.0 - u3 END)))
+      |  AS DECIMAL(14,12))::DOUBLE AS w FROM vc CROSS JOIN p0),
+      |p1 AS (SELECT
+      |  CAST(SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE / SUM(n)::DOUBLE AS DECIMAL(12,9))::DOUBLE AS lam,
+      |  CAST(SUM(CAST(CASE WHEN g1 THEN w * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+      |     / SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS m1,
+      |  CAST(SUM(CAST(CASE WHEN g2 THEN w * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+      |     / SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS m2,
+      |  CAST(SUM(CAST(CASE WHEN g3 THEN w * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+      |     / SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS m3,
+      |  CAST(SUM(CAST(CASE WHEN g1 THEN (1.0 - w) * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+      |     / SUM(CAST((1.0 - w) * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS u1,
+      |  CAST(SUM(CAST(CASE WHEN g2 THEN (1.0 - w) * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+      |     / SUM(CAST((1.0 - w) * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS u2,
+      |  CAST(SUM(CAST(CASE WHEN g3 THEN (1.0 - w) * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+      |     / SUM(CAST((1.0 - w) * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS u3
+      |  FROM e1),
+      |e2 AS (SELECT vc.*, CAST(
+      |  (lam * (CASE WHEN g1 THEN m1 ELSE 1.0 - m1 END)
+      |       * (CASE WHEN g2 THEN m2 ELSE 1.0 - m2 END)
+      |       * (CASE WHEN g3 THEN m3 ELSE 1.0 - m3 END)) /
+      |  ((lam * (CASE WHEN g1 THEN m1 ELSE 1.0 - m1 END)
+      |        * (CASE WHEN g2 THEN m2 ELSE 1.0 - m2 END)
+      |        * (CASE WHEN g3 THEN m3 ELSE 1.0 - m3 END))
+      |   + ((1.0 - lam) * (CASE WHEN g1 THEN u1 ELSE 1.0 - u1 END)
+      |                  * (CASE WHEN g2 THEN u2 ELSE 1.0 - u2 END)
+      |                  * (CASE WHEN g3 THEN u3 ELSE 1.0 - u3 END)))
+      |  AS DECIMAL(14,12))::DOUBLE AS w FROM vc CROSS JOIN p1),
+      |p2 AS (SELECT
+      |  CAST(SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE / SUM(n)::DOUBLE AS DECIMAL(12,9))::DOUBLE AS lam,
+      |  CAST(SUM(CAST(CASE WHEN g1 THEN w * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+      |     / SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS m1,
+      |  CAST(SUM(CAST(CASE WHEN g2 THEN w * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+      |     / SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS m2,
+      |  CAST(SUM(CAST(CASE WHEN g3 THEN w * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+      |     / SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS m3,
+      |  CAST(SUM(CAST(CASE WHEN g1 THEN (1.0 - w) * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+      |     / SUM(CAST((1.0 - w) * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS u1,
+      |  CAST(SUM(CAST(CASE WHEN g2 THEN (1.0 - w) * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+      |     / SUM(CAST((1.0 - w) * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS u2,
+      |  CAST(SUM(CAST(CASE WHEN g3 THEN (1.0 - w) * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+      |     / SUM(CAST((1.0 - w) * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS u3
+      |  FROM e2),
+      |e3 AS (SELECT vc.*, CAST(
+      |  (lam * (CASE WHEN g1 THEN m1 ELSE 1.0 - m1 END)
+      |       * (CASE WHEN g2 THEN m2 ELSE 1.0 - m2 END)
+      |       * (CASE WHEN g3 THEN m3 ELSE 1.0 - m3 END)) /
+      |  ((lam * (CASE WHEN g1 THEN m1 ELSE 1.0 - m1 END)
+      |        * (CASE WHEN g2 THEN m2 ELSE 1.0 - m2 END)
+      |        * (CASE WHEN g3 THEN m3 ELSE 1.0 - m3 END))
+      |   + ((1.0 - lam) * (CASE WHEN g1 THEN u1 ELSE 1.0 - u1 END)
+      |                  * (CASE WHEN g2 THEN u2 ELSE 1.0 - u2 END)
+      |                  * (CASE WHEN g3 THEN u3 ELSE 1.0 - u3 END)))
+      |  AS DECIMAL(14,12))::DOUBLE AS w FROM vc CROSS JOIN p2),
+      |p3 AS (SELECT
+      |  CAST(SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE / SUM(n)::DOUBLE AS DECIMAL(12,9))::DOUBLE AS lam,
+      |  CAST(SUM(CAST(CASE WHEN g1 THEN w * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+      |     / SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS m1,
+      |  CAST(SUM(CAST(CASE WHEN g2 THEN w * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+      |     / SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS m2,
+      |  CAST(SUM(CAST(CASE WHEN g3 THEN w * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+      |     / SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS m3,
+      |  CAST(SUM(CAST(CASE WHEN g1 THEN (1.0 - w) * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+      |     / SUM(CAST((1.0 - w) * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS u1,
+      |  CAST(SUM(CAST(CASE WHEN g2 THEN (1.0 - w) * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+      |     / SUM(CAST((1.0 - w) * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS u2,
+      |  CAST(SUM(CAST(CASE WHEN g3 THEN (1.0 - w) * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
+      |     / SUM(CAST((1.0 - w) * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS u3
+      |  FROM e3)""".stripMargin
+
   val decls: Seq[Decl] = Seq(
 
     // J8: two-hop self-reference detection.
@@ -568,112 +679,15 @@ object ResolverQueries {
     // engines by construction.
     decl("q210_fellegi_sunter_em",
       (s, d) => {
-        val c = t(s, d, "customer")
-        val pairs = c.alias("l")
-          .join(c.alias("r"), col("r.c_custkey") === col("l.c_custkey") + 1)
-          .select(col("l.c_custkey").as("k"))
-          .select(
-            when(col("k") % 5 === 0, col("k") % 7 =!= 0)
-              .otherwise(col("k") % 11 === 0).as("g1"),
-            when(col("k") % 5 === 0, col("k") % 3 =!= 0)
-              .otherwise(col("k") % 13 === 0).as("g2"),
-            when(col("k") % 5 === 0, col("k") % 2 === 0)
-              .otherwise(col("k") % 17 === 0).as("g3"))
+        val pairs = fsFixture(s, d)
         val gs = Seq("g1", "g2", "g3")
         val vc = graft.operators.Linkage.comparisonVectorCounts(pairs, gs)
         val params = graft.operators.Linkage.fellegiSunterEm(vc, gs)
         graft.operators.Linkage.fsScorePatterns(vc, gs, params)
           .crossJoin(broadcast(params))
       },
-      """WITH pr AS (SELECT a.c_custkey AS k FROM customer a
-        |  JOIN customer b ON b.c_custkey = a.c_custkey + 1),
-        |g AS (SELECT
-        |  CASE WHEN k % 5 = 0 THEN k % 7 <> 0 ELSE k % 11 = 0 END AS g1,
-        |  CASE WHEN k % 5 = 0 THEN k % 3 <> 0 ELSE k % 13 = 0 END AS g2,
-        |  CASE WHEN k % 5 = 0 THEN k % 2 = 0 ELSE k % 17 = 0 END AS g3
-        |  FROM pr),
-        |vc AS (SELECT g1, g2, g3, COUNT(*)::BIGINT AS n FROM g GROUP BY 1, 2, 3),
-        |p0 AS (SELECT 0.1::DOUBLE AS lam, 0.9::DOUBLE AS m1, 0.9::DOUBLE AS m2,
-        |  0.9::DOUBLE AS m3, 0.1::DOUBLE AS u1, 0.1::DOUBLE AS u2, 0.1::DOUBLE AS u3),
-        |e1 AS (SELECT vc.*, CAST(
-        |  (lam * (CASE WHEN g1 THEN m1 ELSE 1.0 - m1 END)
-        |       * (CASE WHEN g2 THEN m2 ELSE 1.0 - m2 END)
-        |       * (CASE WHEN g3 THEN m3 ELSE 1.0 - m3 END)) /
-        |  ((lam * (CASE WHEN g1 THEN m1 ELSE 1.0 - m1 END)
-        |        * (CASE WHEN g2 THEN m2 ELSE 1.0 - m2 END)
-        |        * (CASE WHEN g3 THEN m3 ELSE 1.0 - m3 END))
-        |   + ((1.0 - lam) * (CASE WHEN g1 THEN u1 ELSE 1.0 - u1 END)
-        |                  * (CASE WHEN g2 THEN u2 ELSE 1.0 - u2 END)
-        |                  * (CASE WHEN g3 THEN u3 ELSE 1.0 - u3 END)))
-        |  AS DECIMAL(14,12))::DOUBLE AS w FROM vc CROSS JOIN p0),
-        |p1 AS (SELECT
-        |  CAST(SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE / SUM(n)::DOUBLE AS DECIMAL(12,9))::DOUBLE AS lam,
-        |  CAST(SUM(CAST(CASE WHEN g1 THEN w * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
-        |     / SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS m1,
-        |  CAST(SUM(CAST(CASE WHEN g2 THEN w * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
-        |     / SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS m2,
-        |  CAST(SUM(CAST(CASE WHEN g3 THEN w * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
-        |     / SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS m3,
-        |  CAST(SUM(CAST(CASE WHEN g1 THEN (1.0 - w) * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
-        |     / SUM(CAST((1.0 - w) * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS u1,
-        |  CAST(SUM(CAST(CASE WHEN g2 THEN (1.0 - w) * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
-        |     / SUM(CAST((1.0 - w) * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS u2,
-        |  CAST(SUM(CAST(CASE WHEN g3 THEN (1.0 - w) * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
-        |     / SUM(CAST((1.0 - w) * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS u3
-        |  FROM e1),
-        |e2 AS (SELECT vc.*, CAST(
-        |  (lam * (CASE WHEN g1 THEN m1 ELSE 1.0 - m1 END)
-        |       * (CASE WHEN g2 THEN m2 ELSE 1.0 - m2 END)
-        |       * (CASE WHEN g3 THEN m3 ELSE 1.0 - m3 END)) /
-        |  ((lam * (CASE WHEN g1 THEN m1 ELSE 1.0 - m1 END)
-        |        * (CASE WHEN g2 THEN m2 ELSE 1.0 - m2 END)
-        |        * (CASE WHEN g3 THEN m3 ELSE 1.0 - m3 END))
-        |   + ((1.0 - lam) * (CASE WHEN g1 THEN u1 ELSE 1.0 - u1 END)
-        |                  * (CASE WHEN g2 THEN u2 ELSE 1.0 - u2 END)
-        |                  * (CASE WHEN g3 THEN u3 ELSE 1.0 - u3 END)))
-        |  AS DECIMAL(14,12))::DOUBLE AS w FROM vc CROSS JOIN p1),
-        |p2 AS (SELECT
-        |  CAST(SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE / SUM(n)::DOUBLE AS DECIMAL(12,9))::DOUBLE AS lam,
-        |  CAST(SUM(CAST(CASE WHEN g1 THEN w * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
-        |     / SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS m1,
-        |  CAST(SUM(CAST(CASE WHEN g2 THEN w * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
-        |     / SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS m2,
-        |  CAST(SUM(CAST(CASE WHEN g3 THEN w * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
-        |     / SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS m3,
-        |  CAST(SUM(CAST(CASE WHEN g1 THEN (1.0 - w) * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
-        |     / SUM(CAST((1.0 - w) * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS u1,
-        |  CAST(SUM(CAST(CASE WHEN g2 THEN (1.0 - w) * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
-        |     / SUM(CAST((1.0 - w) * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS u2,
-        |  CAST(SUM(CAST(CASE WHEN g3 THEN (1.0 - w) * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
-        |     / SUM(CAST((1.0 - w) * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS u3
-        |  FROM e2),
-        |e3 AS (SELECT vc.*, CAST(
-        |  (lam * (CASE WHEN g1 THEN m1 ELSE 1.0 - m1 END)
-        |       * (CASE WHEN g2 THEN m2 ELSE 1.0 - m2 END)
-        |       * (CASE WHEN g3 THEN m3 ELSE 1.0 - m3 END)) /
-        |  ((lam * (CASE WHEN g1 THEN m1 ELSE 1.0 - m1 END)
-        |        * (CASE WHEN g2 THEN m2 ELSE 1.0 - m2 END)
-        |        * (CASE WHEN g3 THEN m3 ELSE 1.0 - m3 END))
-        |   + ((1.0 - lam) * (CASE WHEN g1 THEN u1 ELSE 1.0 - u1 END)
-        |                  * (CASE WHEN g2 THEN u2 ELSE 1.0 - u2 END)
-        |                  * (CASE WHEN g3 THEN u3 ELSE 1.0 - u3 END)))
-        |  AS DECIMAL(14,12))::DOUBLE AS w FROM vc CROSS JOIN p2),
-        |p3 AS (SELECT
-        |  CAST(SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE / SUM(n)::DOUBLE AS DECIMAL(12,9))::DOUBLE AS lam,
-        |  CAST(SUM(CAST(CASE WHEN g1 THEN w * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
-        |     / SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS m1,
-        |  CAST(SUM(CAST(CASE WHEN g2 THEN w * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
-        |     / SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS m2,
-        |  CAST(SUM(CAST(CASE WHEN g3 THEN w * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
-        |     / SUM(CAST(w * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS m3,
-        |  CAST(SUM(CAST(CASE WHEN g1 THEN (1.0 - w) * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
-        |     / SUM(CAST((1.0 - w) * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS u1,
-        |  CAST(SUM(CAST(CASE WHEN g2 THEN (1.0 - w) * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
-        |     / SUM(CAST((1.0 - w) * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS u2,
-        |  CAST(SUM(CAST(CASE WHEN g3 THEN (1.0 - w) * n ELSE 0.0 END AS DECIMAL(30,12)))::DOUBLE
-        |     / SUM(CAST((1.0 - w) * n AS DECIMAL(30,12)))::DOUBLE AS DECIMAL(12,9))::DOUBLE AS u3
-        |  FROM e3)
-        |SELECT g1, g2, g3, n,
+      fsEmSqlCtes + "\n" +
+      """SELECT g1, g2, g3, n,
         |  CAST(
         |  (lam * (CASE WHEN g1 THEN m1 ELSE 1.0 - m1 END)
         |       * (CASE WHEN g2 THEN m2 ELSE 1.0 - m2 END)
@@ -693,6 +707,57 @@ object ResolverQueries {
         |  lam AS lambda, m1 AS m_g1, m2 AS m_g2, m3 AS m_g3,
         |  u1 AS u_g1, u2 AS u_g2, u3 AS u_g3
         |FROM vc CROSS JOIN p3""".stripMargin),
+
+    // Calibration curve for the trained FS model (round-11): per-pair
+    // posterior probabilities binned into deciles, each bin reporting
+    // the mean prediction against the EMPIRICAL planted-match rate —
+    // the reliability diagram that tells a reviewer whether "0.9"
+    // means 90%. Scoring a pair is a broadcast join against the
+    // ≤ 2^K-row pattern table (one codegen'd projection at any pair
+    // count); the oracle replays training (shared CTE chain), scoring,
+    // binning and both exact-decimal ratios.
+    decl("q219_fs_calibration",
+      (s, d) => {
+        val pairs = fsFixture(s, d)
+        val gs = Seq("g1", "g2", "g3")
+        val vc = graft.operators.Linkage.comparisonVectorCounts(pairs, gs)
+        val params = graft.operators.Linkage.fellegiSunterEm(vc, gs)
+        val pat = graft.operators.Linkage.fsScorePatterns(vc, gs, params)
+          .select(col("g1"), col("g2"), col("g3"),
+            col("match_probability").as("p"))
+        val n = count(lit(1))
+        pairs.join(broadcast(pat), gs)
+          .withColumn("latent", col("k") % 5 === 0)
+          .withColumn("bin", least(floor(col("p") * 10), lit(9L)).cast("long"))
+          .groupBy("bin").agg(
+            n.as("n"),
+            (sum(col("p").cast("decimal(30,12)")).cast("double") /
+              n.cast("double")).cast("decimal(10,6)").cast("double")
+              .as("mean_predicted"),
+            (sum(when(col("latent"), 1L).otherwise(0L)).cast("double") /
+              n.cast("double")).cast("decimal(10,6)").cast("double")
+              .as("empirical_rate"))
+      },
+      fsEmSqlCtes + "\n" +
+      """, pp AS (SELECT g.k, CAST(
+        |  (lam * (CASE WHEN g1 THEN m1 ELSE 1.0 - m1 END)
+        |       * (CASE WHEN g2 THEN m2 ELSE 1.0 - m2 END)
+        |       * (CASE WHEN g3 THEN m3 ELSE 1.0 - m3 END)) /
+        |  ((lam * (CASE WHEN g1 THEN m1 ELSE 1.0 - m1 END)
+        |        * (CASE WHEN g2 THEN m2 ELSE 1.0 - m2 END)
+        |        * (CASE WHEN g3 THEN m3 ELSE 1.0 - m3 END))
+        |   + ((1.0 - lam) * (CASE WHEN g1 THEN u1 ELSE 1.0 - u1 END)
+        |                  * (CASE WHEN g2 THEN u2 ELSE 1.0 - u2 END)
+        |                  * (CASE WHEN g3 THEN u3 ELSE 1.0 - u3 END)))
+        |  AS DECIMAL(14,12))::DOUBLE AS p FROM g CROSS JOIN p3),
+        |b AS (SELECT LEAST(floor(p * 10), 9)::BIGINT AS bin, p,
+        |  (k % 5 = 0) AS latent FROM pp)
+        |SELECT bin, COUNT(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(p AS DECIMAL(30,12)))::DOUBLE / COUNT(*)::DOUBLE
+        |    AS DECIMAL(10,6))::DOUBLE AS mean_predicted,
+        |  CAST(SUM(CASE WHEN latent THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE
+        |    AS DECIMAL(10,6))::DOUBLE AS empirical_rate
+        |FROM b GROUP BY 1""".stripMargin),
 
     // P3/J13: schema-subtree filter + stateful position categorisation.
     decl("q91_schema_filter_positions",
