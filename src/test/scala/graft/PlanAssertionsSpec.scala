@@ -374,4 +374,50 @@ class PlanAssertionsSpec extends SparkSpec {
       assert(!plan.contains("SortMergeJoin"), plan.take(1500))
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
+
+  test("incremental components: the big labeling is never shuffled — batch joins broadcast") {
+    import graft.operators.ConnectedComponents
+    val prev = spark.range(100000).select(col("id"),
+      (col("id") - col("id") % 10).as("component"))
+    val batch = Seq((5L, 15L), (100020L, 7L)).toDF("src", "dst")
+    val newNodes = Seq(100020L).toDF("id")
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = ConnectedComponents.incremental(prev, batch, newNodes)
+        .queryExecution.executedPlan.toString
+      // prev appears only under BroadcastHashJoins (the touch probe and
+      // the remap); a SortMergeJoin would mean the fixpoint's labeling
+      // is being shuffled — the exact cost incremental exists to avoid
+      assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+      assert(!plan.contains("SortMergeJoin hashpartitioning(id"),
+        plan.take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  test("fuzzy match: trigram stop-list and score joins broadcast; JW stays codegen'd") {
+    import graft.operators.Retrieval
+    val targets = (0L until 5000L).map(i => (i, f"name$i%06d")).toDF("id", "nm")
+    val queries = Seq((7L, "nme000007")).toDF("qid", "qnm")
+    val cand = Retrieval.trigramCandidates(targets, col("id"), col("nm"),
+      queries, col("qid"), col("qnm"), maxDfFrac = 0.5)
+    val scored = cand.join(queries, "qid").join(targets, "id")
+      .select(graft.functions.Names.jaroWinkler(col("qnm"), col("nm")).as("jw"))
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_jaro_winkler"), plan.take(1200))
+    // the query side is index-sized: its joins broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+  }
+
+  test("weighted sample is one projection + one per-stratum window shuffle") {
+    import graft.operators.Sampling
+    val docs = spark.range(10000).select(col("id"),
+      (col("id") % 5).cast("string").as("st"), (col("id") % 7 + 1).as("w"))
+    val plan = Sampling.weightedSample(docs, col("id"), col("st"), col("w"),
+      "pl", m = 10).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\(stratum".r.findAllIn(plan).size
+    assert(exchanges == 1, plan.take(1500))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan.take(1500))
+  }
 }
