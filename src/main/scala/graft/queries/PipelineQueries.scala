@@ -2329,6 +2329,43 @@ object PipelineQueries {
          |FROM an x JOIN keep USING (a) JOIN an y USING (a)
          |WHERE x.doc_id < y.doc_id GROUP BY 1, 2""".stripMargin),
 
+    // PSI corpus-drift report (round-11): population stability index
+    // between the English slice and the rest over hashed token buckets
+    // — the dataset-shift monitor a pipeline runs between crawls.
+    // Bucket counts are exact integers; each contribution rounds
+    // through DECIMAL(12,6); the total is an exact decimal sum of the
+    // ROUNDED contributions — every byte engine-reproducible. The
+    // whole report is one explode + 64-row aggregate at any corpus
+    // size.
+    decl("q220_psi_drift",
+      (s, d) => graft.operators.Drift.psiTokenDrift(
+        t(s, d, "documents")
+          .select(col("lang"), concat(col("text"), lit(" m_"), col("lang"),
+            lit(" m_"), col("lang"), lit(" t_"), col("lang")).as("pt")),
+        col("pt"), col("lang") === "en", buckets = 64),
+      s"""WITH tk AS (SELECT (lang = 'en') AS is_ref,
+         |  unnest(list_filter(string_split(
+         |    text || ' m_' || lang || ' m_' || lang || ' t_' || lang, ' '),
+         |    t -> len(t) > 0)) AS tok
+         |  FROM documents),
+         |b AS (SELECT ${sqlHash60("tok")} % 64 AS bucket,
+         |  SUM(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+         |  SUM(CASE WHEN is_ref THEN 0 ELSE 1 END)::BIGINT AS n_cur
+         |  FROM tk GROUP BY 1),
+         |tt AS (SELECT SUM(n_ref)::BIGINT AS t_ref, SUM(n_cur)::BIGINT AS t_cur FROM b),
+         |c AS (SELECT bucket, n_ref, n_cur,
+         |  CAST((n_ref + 1.0::DOUBLE) / (t_ref + 64.0::DOUBLE) AS DECIMAL(12,6))::DOUBLE AS p_ref,
+         |  CAST((n_cur + 1.0::DOUBLE) / (t_cur + 64.0::DOUBLE) AS DECIMAL(12,6))::DOUBLE AS p_cur,
+         |  CAST(((n_ref + 1.0::DOUBLE) / (t_ref + 64.0::DOUBLE)
+         |        - (n_cur + 1.0::DOUBLE) / (t_cur + 64.0::DOUBLE))
+         |    * ln(((n_ref + 1.0::DOUBLE) / (t_ref + 64.0::DOUBLE))
+         |        / ((n_cur + 1.0::DOUBLE) / (t_cur + 64.0::DOUBLE)))
+         |    AS DECIMAL(12,6))::DOUBLE AS contrib
+         |  FROM b, tt)
+         |SELECT bucket, n_ref, n_cur, p_ref, p_cur, contrib,
+         |  (SUM(CAST(contrib AS DECIMAL(30,12))) OVER ())::DOUBLE AS psi_total
+         |FROM c""".stripMargin),
+
     // Repetition-based quality signals (Gopher/RefinedWeb rules):
     // distinct-word ratio, top-word share, duplicated-bigram fraction.
     decl("q106_repetition_signals",
