@@ -50,7 +50,78 @@ object GraphSketchQueries {
          |  FROM nn LEFT JOIN c$r USING (node), n)""".stripMargin
     }.mkString(",\n")
 
+
+  /** One advisor candidate's SQL replay (q221): KMV NDVs, θ-sample
+    * intersection, and the decision rules — the q160/q175 integer
+    * arithmetic verbatim. */
+  private def adviseSql(tag: String, label: String,
+      factTable: String, factKey: String,
+      dimTable: String, dimKey: String): String = {
+    val two60 = "1152921504606846976"
+    def ndv(r: String) =
+      s"""CASE WHEN COUNT(*) < 128 THEN COUNT(*)::BIGINT
+         |       ELSE CAST((127::HUGEINT * $two60::HUGEINT)
+         |            // MAX(CASE WHEN rk <= 128 THEN h END) AS BIGINT) END""".stripMargin
+    s"""ha$tag AS (SELECT DISTINCT ${sqlHash60(s"('ja|' || $factKey::VARCHAR)")} AS h FROM $factTable),
+       |hb$tag AS (SELECT DISTINCT ${sqlHash60(s"('ja|' || $dimKey::VARCHAR)")} AS h FROM $dimTable),
+       |ra$tag AS (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM ha$tag),
+       |rb$tag AS (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM hb$tag),
+       |sa$tag AS (SELECT MAX(CASE WHEN rk <= 128 THEN h END) AS kth_a,
+       |  ${ndv("a")} AS ndv_a FROM ra$tag),
+       |sb$tag AS (SELECT MAX(CASE WHEN rk <= 128 THEN h END) AS kth_b,
+       |  ${ndv("b")} AS ndv_b FROM rb$tag),
+       |sm$tag AS (SELECT COUNT(*)::BIGINT AS c FROM ra$tag a JOIN rb$tag b ON a.h = b.h
+       |  CROSS JOIN sa$tag CROSS JOIN sb$tag
+       |  WHERE a.rk <= 128 AND b.rk <= 128 AND a.h < LEAST(kth_a, kth_b)),
+       |ad$tag AS (SELECT '$label' AS join_key, ndv_a, ndv_b, c AS sample_inter,
+       |  c * ($two60 // LEAST(kth_a, kth_b)) AS est_common_keys,
+       |  CASE WHEN ndv_b <= 1000 THEN 'broadcast' ELSE 'shuffle' END AS strategy,
+       |  (c * ($two60 // LEAST(kth_a, kth_b)) * 2 < ndv_a) AS runtime_filter
+       |  FROM sa$tag CROSS JOIN sb$tag CROSS JOIN sm$tag)""".stripMargin
+  }
+
   val decls: Seq[Decl] = Seq(
+
+    // Sketch-driven join advisor (round-11): what a cost-based
+    // optimizer does with NDV statistics, computed from the engine's
+    // own KMV sketches — per-side NDV (q160 estimator), estimated
+    // common keys (q175 θ-intersection), a broadcast-vs-shuffle call
+    // from the dim side's NDV, and a runtime-filter recommendation
+    // (est common < half the fact NDV → a dim-key bloom prunes most
+    // fact rows, the q162 gate). NO global window in the engine path:
+    // the k-min sets materialize by broadcasting each sketch's kth
+    // hash back as a filter. Three real join candidates; all decision
+    // arithmetic integer, replayed in SQL.
+    decl("q221_join_advisor",
+      (s, d) => {
+        import graft.operators.JoinAdvisor
+        val o = t(s, d, "orders"); val c = t(s, d, "customer")
+        val l = t(s, d, "lineitem"); val p = t(s, d, "part")
+        val su = t(s, d, "supplier")
+        JoinAdvisor.advise(o, col("o_custkey"), c, col("c_custkey"),
+            "orders.custkey->customer")
+          .unionByName(JoinAdvisor.advise(l, col("l_partkey"), p, col("p_partkey"),
+            "lineitem.partkey->part"))
+          .unionByName(JoinAdvisor.advise(l, col("l_suppkey"), su, col("s_suppkey"),
+            "lineitem.suppkey->supplier"))
+          // a SELECTIVE dim (every 10th customer): common keys ≈ 10% of
+          // the fact NDV, so the runtime-filter rule FIRES — pushing the
+          // dim-key bloom prunes ~90% of fact rows before the shuffle
+          .unionByName(JoinAdvisor.advise(o, col("o_custkey"),
+            c.where(col("c_custkey") % 10 === 0), col("c_custkey"),
+            "orders.custkey->customer_decile"))
+      },
+      "WITH " + Seq(
+        adviseSql("1", "orders.custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        adviseSql("2", "lineitem.partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        adviseSql("3", "lineitem.suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        adviseSql("4", "orders.custkey->customer_decile", "orders", "o_custkey",
+          "(SELECT * FROM customer WHERE c_custkey % 10 = 0)", "c_custkey"))
+        .mkString(",\n") +
+      "\nSELECT * FROM ad1 UNION ALL SELECT * FROM ad2 UNION ALL SELECT * FROM ad3 UNION ALL SELECT * FROM ad4"),
 
     // KMV distinct-users-per-event-type: the sketch keeps the 64
     // smallest distinct user hashes per group — O(k) state however

@@ -591,6 +591,42 @@ class MiscOperatorsSpec extends SparkSpec {
     assert(flat.map(_.getAs[Long]("n_alloc")).toSeq.forall(_ === 250L))
   }
 
+  test("psiTokenDrift: identical slices score ~0, disjoint vocabularies score large") {
+    val same = (1L to 200L).map(i => (i, "alpha beta gamma delta", i % 2 == 0))
+      .toDF("id", "text", "is_ref")
+    val psiSame = Drift.psiTokenDrift(same, col("text"), col("is_ref"))
+      .select("psi_total").distinct().as[Double].head()
+    assert(math.abs(psiSame) < 0.01, s"psi=$psiSame")
+    val split = (1L to 200L).map(i =>
+      (i, if (i % 2 == 0) "aaa bbb ccc" else "xxx yyy zzz", i % 2 == 0))
+      .toDF("id", "text", "is_ref")
+    val psiSplit = Drift.psiTokenDrift(split, col("text"), col("is_ref"))
+      .select("psi_total").distinct().as[Double].head()
+    assert(psiSplit > 1.0, s"psi=$psiSplit") // total vocabulary shift
+    // contributions sum exactly to the total (decimal sum of rounded terms)
+    val rows = Drift.psiTokenDrift(split, col("text"), col("is_ref"))
+      .select("contrib", "psi_total").as[(Double, Double)].collect()
+    val sum = rows.map(r => BigDecimal(r._1)).sum
+    assert((sum - BigDecimal(rows.head._2)).abs < BigDecimal("1e-9"))
+  }
+
+  test("joinAdvisor: NDV within KMV error, subset dim fires the runtime filter") {
+    val fact = spark.range(5000).toDF("k")
+    val dimFull = spark.range(5000).toDF("k")
+    val dimTenth = spark.range(500).select((col("id") * 10).as("k"))
+    val full = JoinAdvisor.advise(fact, col("k"), dimFull, col("k"), "full",
+        k = 128, broadcastNdvLimit = 1000L).head()
+    assert(math.abs(full.getAs[Long]("ndv_a") - 5000L) < 700, full.toString)
+    assert(full.getAs[String]("strategy") == "shuffle")
+    assert(!full.getAs[Boolean]("runtime_filter")) // every fact key joins
+    val tenth = JoinAdvisor.advise(fact, col("k"), dimTenth, col("k"), "tenth",
+        k = 128, broadcastNdvLimit = 1000L).head()
+    assert(tenth.getAs[String]("strategy") == "broadcast")
+    assert(tenth.getAs[Boolean]("runtime_filter")) // ~10% of fact keys join
+    val est = tenth.getAs[Long]("est_common_keys")
+    assert(est > 200 && est < 900, s"est_common=$est (true 500)")
+  }
+
   test("weightedSample: ES keys match a driver-side replay; heavy weights dominate") {
     val rows = (1L to 400L).map(i => (i, "s", if (i <= 40) 100.0 else 1.0))
     val df = rows.toDF("id", "st", "w")
