@@ -24,5 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LuhnValid].getName, "graft_luhn"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         LuhnValid(children.head)))
+    // whole-operator extension: plans graft.plans.TopKPerGroup as
+    // partial-heap -> exchange -> final-heap (TopK.topKPerGroup also
+    // self-installs via spark.experimental.extraStrategies for
+    // sessions built without extensions)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

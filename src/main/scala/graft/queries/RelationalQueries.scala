@@ -487,6 +487,36 @@ object RelationalQueries {
         |  lead(seq) OVER (PARTITION BY key ORDER BY seq) IS NULL AS is_current
         |FROM cp""".stripMargin),
 
+    // Custom whole-operator plan (round-11, builder-brief preference
+    // (c)): top-3 lineitems per supplier through graft.plans.
+    // TopKPerGroup — a custom LogicalPlan + SparkStrategy + two
+    // SparkPlans (partial bounded heap per input partition →
+    // EnsureRequirements-inserted hash exchange → final heap). Unlike
+    // the window encoding (q11's shape) the exchange carries at most
+    // k rows per (group, partition) and NOTHING is ever sorted — the
+    // partial-aggregate trick applied to an operator Spark only
+    // offers in global form (TakeOrderedAndProject). Equality with
+    // the window form is spec-locked; here the oracle replays it as
+    // the standard row_number query.
+    decl("q222_native_topk_per_group",
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        graft.plans.TopK.topKPerGroup(
+          l.select(col("l_suppkey").cast("long").as("suppkey"),
+            col("l_orderkey").cast("long").as("orderkey"),
+            col("l_linenumber").cast("long").as("linenumber"),
+            col("l_extendedprice").as("price")),
+          Seq(col("suppkey")),
+          Seq(col("price").desc, col("orderkey"), col("linenumber")),
+          k = 3)
+      },
+      """SELECT suppkey, orderkey, linenumber, price FROM (
+        |  SELECT l_suppkey::BIGINT AS suppkey, l_orderkey::BIGINT AS orderkey,
+        |    l_linenumber::BIGINT AS linenumber, l_extendedprice AS price,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) WHERE rn <= 3""".stripMargin),
+
     // T5: first_seen / last_seen SCD columns.
     decl("q27_first_last_seen",
       (s, d) => Q.events(s, d)
