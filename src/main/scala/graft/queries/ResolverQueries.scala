@@ -759,6 +759,95 @@ object ResolverQueries {
         |    AS DECIMAL(10,6))::DOUBLE AS empirical_rate
         |FROM b GROUP BY 1""".stripMargin),
 
+    // The composed ER pipeline (round-11): the full Splink workflow as
+    // one gate — candidate pairs → comparison vectors → EM-trained FS
+    // model → posterior threshold (0.75 keeps the two high-evidence
+    // patterns, posterior 0.99/0.80 on seed A) → transitive closure to
+    // entity clusters. This gives the trained model its CONSUMER: the
+    // resolver merges on calibrated probability, not hand rules. The
+    // oracle replays training, scoring, the threshold and the closure
+    // (recursive CTE) end-to-end.
+    decl("q223_er_clusters",
+      (s, d) => {
+        val pairs = fsFixture(s, d)
+        val gs = Seq("g1", "g2", "g3")
+        val vc = graft.operators.Linkage.comparisonVectorCounts(pairs, gs)
+        val params = graft.operators.Linkage.fellegiSunterEm(vc, gs)
+        val pat = graft.operators.Linkage.fsScorePatterns(vc, gs, params)
+          .select(col("g1"), col("g2"), col("g3"),
+            col("match_probability").as("p"))
+        val edges = pairs.join(broadcast(pat), gs)
+          .where(col("p") > 0.75)
+          .select(col("k").as("src"), (col("k") + 1).as("dst"))
+        val nodes = t(s, d, "customer").select(col("c_custkey").as("id"))
+        ConnectedComponents.run(nodes, edges)
+          .select(col("id").as("custkey"), col("component"))
+      },
+      fsEmSqlCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + "\n" +
+      """, pp AS (SELECT g.k, CAST(
+        |  (lam * (CASE WHEN g1 THEN m1 ELSE 1.0 - m1 END)
+        |       * (CASE WHEN g2 THEN m2 ELSE 1.0 - m2 END)
+        |       * (CASE WHEN g3 THEN m3 ELSE 1.0 - m3 END)) /
+        |  ((lam * (CASE WHEN g1 THEN m1 ELSE 1.0 - m1 END)
+        |        * (CASE WHEN g2 THEN m2 ELSE 1.0 - m2 END)
+        |        * (CASE WHEN g3 THEN m3 ELSE 1.0 - m3 END))
+        |   + ((1.0 - lam) * (CASE WHEN g1 THEN u1 ELSE 1.0 - u1 END)
+        |                  * (CASE WHEN g2 THEN u2 ELSE 1.0 - u2 END)
+        |                  * (CASE WHEN g3 THEN u3 ELSE 1.0 - u3 END)))
+        |  AS DECIMAL(14,12))::DOUBLE AS p FROM g CROSS JOIN p3),
+        |ed AS (SELECT k AS a, k + 1 AS b FROM pp WHERE p > 0.75),
+        |sym AS (SELECT a AS x, b AS y FROM ed UNION SELECT b, a FROM ed),
+        |nodes AS (SELECT c_custkey AS id FROM customer),
+        |reach(id, m) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT r.id, s.y FROM reach r JOIN sym s ON r.m = s.x)
+        |SELECT id AS custkey, MIN(m) AS component FROM reach GROUP BY id""".stripMargin),
+
+    // SCD2 + as-of enrichment (round-11): the standard warehouse
+    // pattern end-to-end — the q216 dimension (order-status runs per
+    // customer) probed by month-end checkpoints through the AsOf
+    // operator (union + running window, ONE exchange, no range join).
+    // "What was each customer's status at each month end?" — probes
+    // before a customer's first order correctly surface null.
+    decl("q224_scd2_asof",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val seqc = datediff(col("o_orderdate"), lit("1970-01-01")).cast("long") *
+          10000000000L + col("o_orderkey")
+        val dim = graft.operators.Delta.scd2(o, col("o_custkey"), seqc, col("o_orderstatus"))
+          .select(col("key").as("ck"), col("valid_from").as("seq"),
+            col("value").as("status"))
+        val probes = o.select(col("o_custkey").as("ck")).distinct()
+          .crossJoin(o.select(
+            (datediff(last_day(col("o_orderdate")), lit("1970-01-01")).cast("long") *
+              10000000000L + 9999999999L).as("seq"),
+            date_format(last_day(col("o_orderdate")), "yyyy-MM").as("month"))
+            .distinct())
+        graft.operators.AsOf.asOfJoin(probes, dim, "ck", "seq")
+      },
+      """WITH c AS (SELECT o_custkey AS key,
+        |  date_diff('day', DATE '1970-01-01', o_orderdate)::BIGINT * 10000000000
+        |    + o_orderkey AS seq,
+        |  o_orderstatus AS value FROM orders),
+        |cp AS (SELECT key, seq, value FROM (
+        |  SELECT key, seq, value,
+        |    lag(value) OVER (PARTITION BY key ORDER BY seq) AS pv,
+        |    row_number() OVER (PARTITION BY key ORDER BY seq) AS rn
+        |  FROM c) WHERE rn = 1 OR pv IS DISTINCT FROM value),
+        |dim AS (SELECT key AS ck, seq AS vf, value AS status FROM cp),
+        |probes AS (SELECT ck, seq, month FROM
+        |  (SELECT DISTINCT o_custkey AS ck FROM orders)
+        |  CROSS JOIN (SELECT DISTINCT
+        |    date_diff('day', DATE '1970-01-01', last_day(o_orderdate))::BIGINT
+        |      * 10000000000 + 9999999999 AS seq,
+        |    strftime(last_day(o_orderdate), '%Y-%m') AS month FROM orders)),
+        |j AS (SELECT p.ck, p.seq, p.month, d.status,
+        |  row_number() OVER (PARTITION BY p.ck, p.seq
+        |    ORDER BY d.vf DESC NULLS LAST) AS rn
+        |  FROM probes p LEFT JOIN dim d ON d.ck = p.ck AND d.vf <= p.seq)
+        |SELECT ck, seq, month, status FROM j WHERE rn = 1""".stripMargin),
+
     // P3/J13: schema-subtree filter + stateful position categorisation.
     decl("q91_schema_filter_positions",
       (s, d) => {
