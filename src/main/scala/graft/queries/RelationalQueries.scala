@@ -1,6 +1,7 @@
 package graft.queries
 
-import graft.operators.{ConnectedComponents, Delta, Statistics}
+import graft.operators.{ConnectedComponents, Dedup, Delta, Statistics}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Q._
@@ -516,6 +517,181 @@ object RelationalQueries {
         |    row_number() OVER (PARTITION BY l_suppkey
         |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
         |  FROM lineitem) WHERE rn <= 3""".stripMargin),
+
+    // ANALYZE-TABLE stats collection (round-11): per-column
+    // n/nulls/min/max/NDV in ONE aggregate pass per column family —
+    // the metadata pipeline that feeds the q221 advisor and any CBO.
+    // NDV is the KMV aggregate (bounded state, mergeable); min/max
+    // computed on the TYPED value then rendered, so numeric order is
+    // never lexicographic.
+    decl("q225_table_stats",
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        def stats(name: String, v: Column, render: Column => Column) =
+          l.agg(
+            count(lit(1)).as("n"),
+            sum(when(v.isNull, 1L).otherwise(0L)).as("nulls"),
+            graft.functions.Sketches.kmvDistinct(
+              Dedup.hash60(concat(lit(name + "|"), v.cast("string"))), 128).as("s"),
+            render(min(v)).as("min_value"),
+            render(max(v)).as("max_value"))
+            .select(lit(name).as("column_name"), col("n"), col("nulls"),
+              col("s.est_distinct").as("ndv_est"), col("min_value"), col("max_value"))
+        val str = (c: Column) => c.cast("string")
+        val dt = (c: Column) => date_format(c, "yyyy-MM-dd")
+        stats("l_orderkey", col("l_orderkey"), str)
+          .unionByName(stats("l_suppkey", col("l_suppkey"), str))
+          .unionByName(stats("l_returnflag", col("l_returnflag"), str))
+          .unionByName(stats("l_shipdate", col("l_shipdate"), dt))
+      },
+      {
+        def block(name: String, expr: String, render: String) =
+          s"""SELECT '$name' AS column_name, COUNT(*)::BIGINT AS n,
+             |  SUM(CASE WHEN $expr IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls,
+             |  (SELECT CASE WHEN COUNT(*) < 128 THEN COUNT(*)::BIGINT
+             |     ELSE CAST((127::HUGEINT * 1152921504606846976::HUGEINT)
+             |          // MAX(CASE WHEN rk <= 128 THEN h END) AS BIGINT) END
+             |   FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM
+             |     (SELECT DISTINCT ${PipelineQueries.sqlHash60(s"('$name|' || $expr::VARCHAR)")} AS h
+             |      FROM lineitem WHERE $expr IS NOT NULL))) AS ndv_est,
+             |  $render(MIN($expr)) AS min_value, $render(MAX($expr)) AS max_value
+             |FROM lineitem""".stripMargin
+        def asStr(e: String) = e
+        Seq(
+          block("l_orderkey", "l_orderkey", "varchar_of"),
+          block("l_suppkey", "l_suppkey", "varchar_of"),
+          block("l_returnflag", "l_returnflag", "varchar_of"),
+          block("l_shipdate", "l_shipdate", "shipfmt"))
+          .mkString("\nUNION ALL\n")
+          .replace("varchar_of(", "(")
+          .replace("shipfmt(MIN(l_shipdate))", "strftime(MIN(l_shipdate), '%Y-%m-%d')")
+          .replace("shipfmt(MAX(l_shipdate))", "strftime(MAX(l_shipdate), '%Y-%m-%d')")
+          .replace("(MIN(l_orderkey))", "MIN(l_orderkey)::VARCHAR")
+          .replace("(MAX(l_orderkey))", "MAX(l_orderkey)::VARCHAR")
+          .replace("(MIN(l_suppkey))", "MIN(l_suppkey)::VARCHAR")
+          .replace("(MAX(l_suppkey))", "MAX(l_suppkey)::VARCHAR")
+          .replace("(MIN(l_returnflag))", "MIN(l_returnflag)::VARCHAR")
+          .replace("(MAX(l_returnflag))", "MAX(l_returnflag)::VARCHAR")
+      }),
+
+    // dbt-style constraint suite (round-11): PK uniqueness, FK
+    // integrity (the q08 anti-join shape), NOT NULL and accepted-value
+    // checks as ONE report frame — each check a count aggregate or a
+    // broadcast/shuffle anti-join, composable at any table size.
+    decl("q226_constraint_suite",
+      (s, d) => {
+        val l = t(s, d, "lineitem"); val o = t(s, d, "orders")
+        val p = t(s, d, "part"); val su = t(s, d, "supplier")
+        val c = t(s, d, "customer")
+        def check(name: String, violations: Column, from: DataFrame) =
+          from.agg(coalesce(violations, lit(0L)).as("violations"))
+            .select(lit(name).as("check_name"), col("violations"),
+              (col("violations") === 0L).as("passed"))
+        val pkDup = l.groupBy("l_orderkey", "l_linenumber")
+          .agg(count(lit(1)).as("c")).where(col("c") > 1)
+        val fkPart = l.join(p, col("l_partkey") === col("p_partkey"), "left_anti")
+        val fkSupp = l.join(su, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        val fkCust = o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")
+        check("pk_lineitem_unique", sum(col("c") - 1), pkDup)
+          .unionByName(check("fk_lineitem_part", count(lit(1)), fkPart))
+          .unionByName(check("fk_lineitem_supplier", count(lit(1)), fkSupp))
+          .unionByName(check("fk_orders_customer", count(lit(1)), fkCust))
+          .unionByName(check("not_null_orderdate",
+            sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)), o))
+          .unionByName(check("range_discount_0_1",
+            sum(when(col("l_discount") < 0.0 || col("l_discount") > 1.0, 1L)
+              .otherwise(0L)), l))
+          .unionByName(check("accepted_returnflag",
+            sum(when(col("l_returnflag").isin("A", "N", "R"), 0L).otherwise(1L)), l))
+      },
+      """SELECT 'pk_lineitem_unique' AS check_name,
+        |  COALESCE(SUM(c - 1), 0)::BIGINT AS violations,
+        |  COALESCE(SUM(c - 1), 0) = 0 AS passed
+        |FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber
+        |      HAVING COUNT(*) > 1)
+        |UNION ALL SELECT 'fk_lineitem_part', COUNT(*)::BIGINT, COUNT(*) = 0
+        |FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+        |UNION ALL SELECT 'fk_lineitem_supplier', COUNT(*)::BIGINT, COUNT(*) = 0
+        |FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+        |UNION ALL SELECT 'fk_orders_customer', COUNT(*)::BIGINT, COUNT(*) = 0
+        |FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |UNION ALL SELECT 'not_null_orderdate',
+        |  SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) = 0 FROM orders
+        |UNION ALL SELECT 'range_discount_0_1',
+        |  SUM(CASE WHEN l_discount < 0.0 OR l_discount > 1.0 THEN 1 ELSE 0 END)::BIGINT,
+        |  SUM(CASE WHEN l_discount < 0.0 OR l_discount > 1.0 THEN 1 ELSE 0 END) = 0
+        |FROM lineitem
+        |UNION ALL SELECT 'accepted_returnflag',
+        |  SUM(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1 END)::BIGINT,
+        |  SUM(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1 END) = 0
+        |FROM lineitem""".stripMargin),
+
+    // TPC-H Q3 shape (shipping-priority top-10): the classic
+    // three-way join + float revenue aggregate, with the house float
+    // discipline — per-row revenue quantized DECIMAL(30,12), summed
+    // exactly, rounded 4 dp for the ranking, ties broken on the key.
+    decl("q227_tpch_q3",
+      (s, d) => {
+        val c = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+        val o = t(s, d, "orders")
+          .where(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+        val l = t(s, d, "lineitem")
+          .where(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+        val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(30,12)")
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            col("o_orderpriority"))
+          .agg(sum(rev).cast("double").cast("decimal(18,4)").cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  o_orderpriority,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,12)))::DOUBLE
+        |    AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+
+    // TPC-H Q5 shape (local-supplier volume): the six-way star join
+    // with the same-nation constraint; dims broadcast, revenue through
+    // the exact-decimal barrier.
+    decl("q228_tpch_q5",
+      (s, d) => {
+        val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(30,12)")
+        t(s, d, "customer")
+          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+          .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+          .where(col("r_name") === "ASIA")
+          .groupBy(col("n_name"))
+          .agg(sum(rev).cast("double").cast("decimal(18,4)").cast("double").as("revenue"))
+      },
+      """SELECT n_name,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,12)))::DOUBLE
+        |    AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin),
 
     // T5: first_seen / last_seen SCD columns.
     decl("q27_first_last_seen",
