@@ -122,6 +122,53 @@ object Retrieval {
     * rounding barrier).
     *
     * Returns (qid, target_id, inter, score, rank). */
+  /** The trigram inverted index as a MAINTAINED artifact: exploded
+    * (id, t3) posting rows. Appending new records is pure posting
+    * union (document frequencies are additive, sizes are per-id —
+    * nothing existing is touched), so index maintenance costs
+    * O(delta) like the bloom (q206) and ANN (q193) indexes; q229
+    * gates merge ≡ rebuild. */
+  def trigramIndex(targets: DataFrame, id: Column, name: Column): DataFrame =
+    trigramSets(targets, id, name)
+      .select(col("id"), explode(col("tg")).as("t3"))
+
+  /** Fuzzy search served FROM a postings index (no access to the
+    * original name column): candidates from the df-capped posting
+    * join, exact Jaccard from posting-match counts and per-side set
+    * sizes — row-identical to [[trigramTopK]] (spec-locked). */
+  def trigramTopKFromPostings(
+      postings: DataFrame,
+      queries: DataFrame, qid: Column, qName: Column,
+      k: Int, maxDfFrac: Double = 0.2): DataFrame = {
+    val post = postings.toDF("id", "t3")
+    val qt = trigramSets(queries, qid, qName).toDF("qid", "qtg")
+    val qpost = qt.select(col("qid"), explode(col("qtg")).as("t3"))
+    val nStat = post.select(col("id")).distinct().agg(count(lit(1)).as("nd"))
+    val keep = post.groupBy("t3").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nStat))
+      .where(col("df") <= col("nd").cast("double") * maxDfFrac)
+      .select(col("t3"))
+    val cand = qpost.join(keep, "t3").join(post, "t3")
+      .select(col("qid"), col("id").as("cid")).distinct()
+    val inter = cand
+      .join(qpost, "qid")
+      .join(post.toDF("pid", "t3p"),
+        col("cid") === col("pid") && col("t3") === col("t3p"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(count(lit(1)).as("inter"))
+    val tn = post.groupBy("id").agg(count(lit(1)).as("tn"))
+      .withColumnRenamed("id", "cid")
+    val qn = qt.select(col("qid"), size(col("qtg")).cast("long").as("qn"))
+    val scored = inter.join(tn, "cid").join(qn, "qid")
+      .withColumn("score", col("inter").cast("double") /
+        (col("qn") + col("tn") - col("inter")).cast("double"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("cid").as("target_id"), col("inter"),
+        col("score"), col("rank").cast("long").as("rank"))
+  }
+
   /** Candidate (qid, id) pairs from the df-capped trigram postings
     * equi-join — the generation stage shared by the Jaccard ranking
     * ([[trigramTopK]]) and any downstream comparator (e.g. the

@@ -197,6 +197,63 @@ object SelectionQueries {
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id)::BIGINT AS rank
         |  FROM sc) WHERE rank <= 3""".stripMargin),
 
+    // Incremental text-index maintenance (round-11): the trigram
+    // inverted index as a MAINTAINED artifact, completing the index
+    // lifecycle trio (ANN q193, bloom q206, text here). Base postings
+    // built once; an append batch contributes ONLY its own postings
+    // (document frequencies are additive, per-id sizes disjoint —
+    // maintenance is O(delta)); search is served from the merged
+    // postings with no access to the original names. The oracle is the
+    // FULL REBUILD (q211's SQL verbatim), so merge ≡ rebuild is the
+    // gate, and the postings path is spec-locked row-identical to the
+    // array path.
+    decl("q229_trigram_index_maintenance",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        def named(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("c_custkey").cast("long").as("id"),
+            lower(col("c_name")).as("nm"))
+        val base = named(c.where(col("c_custkey") % 3 =!= 0))
+        val delta = named(c.where(col("c_custkey") % 3 === 0))
+        val maintained = Retrieval.trigramIndex(base, col("id"), col("nm"))
+          .unionByName(Retrieval.trigramIndex(delta, col("id"), col("nm")))
+        val qs = c.where(col("c_custkey") % 89 === 1)
+          .select(col("c_custkey").cast("long").as("qid"),
+            concat(substring(lower(col("c_name")), 1, 2),
+              expr("substring(lower(c_name), 4)")).as("qnm"))
+        Retrieval.trigramTopKFromPostings(maintained,
+          qs, col("qid"), col("qnm"), k = 3, maxDfFrac = 0.2)
+      },
+      """WITH tgt AS (SELECT c_custkey::BIGINT AS id, lower(c_name) AS nm FROM customer),
+        |q AS (SELECT c_custkey::BIGINT AS qid,
+        |  substr(lower(c_name), 1, 2) || substr(lower(c_name), 4) AS nm
+        |  FROM customer WHERE c_custkey % 89 = 1),
+        |ttg AS (SELECT id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(nm) - 2), i -> substr(nm, i, 3)))) AS t3
+        |  FROM tgt WHERE len(nm) >= 3
+        |  UNION ALL SELECT id, nm FROM tgt WHERE len(nm) BETWEEN 1 AND 2),
+        |qtg AS (SELECT qid, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(nm) - 2), i -> substr(nm, i, 3)))) AS t3
+        |  FROM q WHERE len(nm) >= 3
+        |  UNION ALL SELECT qid, nm FROM q WHERE len(nm) BETWEEN 1 AND 2),
+        |tsz AS (SELECT id, COUNT(*)::BIGINT AS tn FROM ttg GROUP BY 1),
+        |qsz AS (SELECT qid, COUNT(*)::BIGINT AS qn FROM qtg GROUP BY 1),
+        |nd AS (SELECT COUNT(*)::BIGINT AS n FROM tgt),
+        |keep AS (SELECT t3 FROM (SELECT t3, COUNT(*)::BIGINT AS df FROM ttg GROUP BY 1), nd
+        |  WHERE df <= n::DOUBLE * 0.2),
+        |cand AS (SELECT DISTINCT qid, id
+        |  FROM qtg JOIN keep USING (t3) JOIN ttg USING (t3)),
+        |inter AS (SELECT c.qid, c.id, COUNT(*)::BIGINT AS inter
+        |  FROM cand c JOIN qtg ON qtg.qid = c.qid
+        |  JOIN ttg ON ttg.id = c.id AND ttg.t3 = qtg.t3
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT i.qid, i.id, i.inter,
+        |  i.inter::DOUBLE / (qn + tn - i.inter)::DOUBLE AS score
+        |  FROM inter i JOIN qsz USING (qid) JOIN tsz USING (id))
+        |SELECT qid, id AS target_id, inter, score, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id)::BIGINT AS rank
+        |  FROM sc) WHERE rank <= 3""".stripMargin),
+
     // The composed fuzzy-match API (round-11): trigram candidate
     // generation (the q211 index) ranked by the NATIVE codegen'd
     // Jaro–Winkler expression (graft.functions.expr.JaroWinkler — a

@@ -191,6 +191,28 @@ class RetrievalSpec extends SparkSpec {
     assert(out(4L) == Seq("aaa"))     // distinct collapses repeats
   }
 
+  test("postings-served search is row-identical to the array path; merge = rebuild") {
+    val rnd = new scala.util.Random(41)
+    val targets = (0L until 300L).map(i =>
+      (i, f"stem${rnd.nextInt(40)}%02dtail$i%04d")).toDF("id", "nm")
+    val queries = (0L until 20L).map(i =>
+      (i + 1000L, f"stem${rnd.nextInt(40)}%02dtail${rnd.nextInt(300)}%04d"))
+      .toDF("qid", "qnm")
+    val direct = Retrieval.trigramTopK(targets, col("id"), col("nm"),
+      queries, col("qid"), col("qnm"), k = 3, maxDfFrac = 0.3)
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    // maintained index: base (id < 200) + appended delta (id >= 200)
+    val post = Retrieval.trigramIndex(
+        targets.where(col("id") < 200), col("id"), col("nm"))
+      .unionByName(Retrieval.trigramIndex(
+        targets.where(col("id") >= 200), col("id"), col("nm")))
+    val served = Retrieval.trigramTopKFromPostings(post,
+      queries, col("qid"), col("qnm"), k = 3, maxDfFrac = 0.3)
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    assert(served == direct)
+    assert(direct.nonEmpty)
+  }
+
   test("trigramTopK: typo'd query recovers its source at rank 1; stop-trigrams never seed") {
     // 40 distinct names with a shared hot stem "customerx" (df 100% →
     // capped at any maxDfFrac < 1) plus a discriminating digit tail.
