@@ -693,6 +693,72 @@ object RelationalQueries {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name""".stripMargin),
 
+    // OLAP breadth (round-11): CUBE over (status, priority) — every
+    // grouping-set combination plus the grand total in one pass
+    // (Spark expands cube to a single shuffle with grouping-id).
+    decl("q230_cube_facets",
+      (s, d) => t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total")),
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin),
+
+    // OLAP breadth (round-11): pivot — order counts by status, one
+    // column per priority class (fixed column set so the schema is
+    // static and engine-portable).
+    decl("q231_pivot_priorities",
+      (s, d) => {
+        val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        t(s, d, "orders")
+          .groupBy(col("o_orderstatus").as("status"))
+          .pivot("o_orderpriority", prios)
+          .agg(count(lit(1)))
+          .select(col("status"),
+            coalesce(col("1-URGENT"), lit(0L)).as("urgent"),
+            coalesce(col("2-HIGH"), lit(0L)).as("high"),
+            coalesce(col("3-MEDIUM"), lit(0L)).as("medium"),
+            coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("notspec"),
+            coalesce(col("5-LOW"), lit(0L)).as("low"))
+      },
+      """SELECT o_orderstatus AS status,
+        |  SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS urgent,
+        |  SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)::BIGINT AS high,
+        |  SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)::BIGINT AS medium,
+        |  SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)::BIGINT AS notspec,
+        |  SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)::BIGINT AS low
+        |FROM orders GROUP BY o_orderstatus""".stripMargin),
+
+    // OLAP breadth (round-11): ranking-window family — ntile deciles
+    // and percent_rank of account balance within each nation (2-dp
+    // balances make exact ties structural, so the rank functions'
+    // tie semantics themselves are under test; percent_rank is an
+    // exact small-integer ratio, engine-portable as a raw double).
+    decl("q232_balance_deciles",
+      (s, d) => {
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+        t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"),
+            ntile(10).over(w).cast("long").as("decile"),
+            percent_rank().over(
+              Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").asc))
+              .as("pct_rank"))
+      },
+      """SELECT c_custkey, c_nationkey,
+        |  ntile(10) OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal, c_custkey)::BIGINT AS decile,
+        |  percent_rank() OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal) AS pct_rank
+        |FROM customer""".stripMargin),
+
     // T5: first_seen / last_seen SCD columns.
     decl("q27_first_last_seen",
       (s, d) => Q.events(s, d)
