@@ -545,33 +545,29 @@ object RelationalQueries {
           .unionByName(stats("l_shipdate", col("l_shipdate"), dt))
       },
       {
-        def block(name: String, expr: String, render: String) =
+        // render: SQL agg-result formatter matching the Spark side's
+        // per-column renderer (::VARCHAR for string-safe types,
+        // strftime for dates — min/max on TYPED values, rendered last)
+        def block(name: String, render: String => String) =
           s"""SELECT '$name' AS column_name, COUNT(*)::BIGINT AS n,
-             |  SUM(CASE WHEN $expr IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls,
+             |  SUM(CASE WHEN $name IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls,
              |  (SELECT CASE WHEN COUNT(*) < 128 THEN COUNT(*)::BIGINT
              |     ELSE CAST((127::HUGEINT * 1152921504606846976::HUGEINT)
              |          // MAX(CASE WHEN rk <= 128 THEN h END) AS BIGINT) END
              |   FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM
-             |     (SELECT DISTINCT ${PipelineQueries.sqlHash60(s"('$name|' || $expr::VARCHAR)")} AS h
-             |      FROM lineitem WHERE $expr IS NOT NULL))) AS ndv_est,
-             |  $render(MIN($expr)) AS min_value, $render(MAX($expr)) AS max_value
+             |     (SELECT DISTINCT ${PipelineQueries.sqlHash60(s"('$name|' || $name::VARCHAR)")} AS h
+             |      FROM lineitem WHERE $name IS NOT NULL))) AS ndv_est,
+             |  ${render(s"MIN($name)")} AS min_value,
+             |  ${render(s"MAX($name)")} AS max_value
              |FROM lineitem""".stripMargin
-        def asStr(e: String) = e
+        val asVarchar = (e: String) => s"$e::VARCHAR"
+        val asDate = (e: String) => s"strftime($e, '%Y-%m-%d')"
         Seq(
-          block("l_orderkey", "l_orderkey", "varchar_of"),
-          block("l_suppkey", "l_suppkey", "varchar_of"),
-          block("l_returnflag", "l_returnflag", "varchar_of"),
-          block("l_shipdate", "l_shipdate", "shipfmt"))
+          block("l_orderkey", asVarchar),
+          block("l_suppkey", asVarchar),
+          block("l_returnflag", asVarchar),
+          block("l_shipdate", asDate))
           .mkString("\nUNION ALL\n")
-          .replace("varchar_of(", "(")
-          .replace("shipfmt(MIN(l_shipdate))", "strftime(MIN(l_shipdate), '%Y-%m-%d')")
-          .replace("shipfmt(MAX(l_shipdate))", "strftime(MAX(l_shipdate), '%Y-%m-%d')")
-          .replace("(MIN(l_orderkey))", "MIN(l_orderkey)::VARCHAR")
-          .replace("(MAX(l_orderkey))", "MAX(l_orderkey)::VARCHAR")
-          .replace("(MIN(l_suppkey))", "MIN(l_suppkey)::VARCHAR")
-          .replace("(MAX(l_suppkey))", "MAX(l_suppkey)::VARCHAR")
-          .replace("(MIN(l_returnflag))", "MIN(l_returnflag)::VARCHAR")
-          .replace("(MAX(l_returnflag))", "MAX(l_returnflag)::VARCHAR")
       }),
 
     // dbt-style constraint suite (round-11): PK uniqueness, FK
