@@ -157,6 +157,35 @@ object Centrality {
     * @param edges undirected (u, v) pairs; dedup + self-loop removal
     *              applied here
     * @return (node, n_triangles) for nodes in at least one triangle */
+  /** Bounded-hop seed proximity — the sanctions-domain network-risk
+    * query ("every entity within h hops of a sanctioned one", the
+    * graph question screening teams ask of the resolved entity graph).
+    * BFS by min-distance propagation: exactly `maxHops` rounds, each
+    * one edge-keyed shuffle + a min aggregate — distances are bounded
+    * by construction so there is no fixpoint detection to pay for, and
+    * lineage is cut per round (the PageRank lesson: an unbarriered
+    * h-round plan re-evaluates ~2^h times).
+    *
+    * `edges` undirected (symmetrized internally); `seeds` one id
+    * column. Returns (id, dist) for ids within maxHops only. */
+  def seedProximity(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val sym = edges.toDF("src", "dst")
+      .filter(col("src") =!= col("dst"))
+    val e = sym.unionByName(sym.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.toDF("id").distinct().select(col("id"), lit(0L).as("dist"))
+    (1 to maxHops).foreach { h =>
+      val next = e.join(dist.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionByName(next)
+        .groupBy("id").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    e.unpersist(blocking = false)
+    dist
+  }
+
   def triangleCounts(edges: DataFrame): DataFrame = {
     val und = edges.select(
         least(col("u"), col("v")).cast("long").as("a"),

@@ -82,6 +82,42 @@ object GraphSketchQueries {
 
   val decls: Seq[Decl] = Seq(
 
+    // Bounded-hop seed proximity (round-11): "every entity within 3
+    // hops of a sanctioned one" — the network-risk query screening
+    // teams run on the resolved graph. BFS min-distance propagation:
+    // exactly 3 edge-keyed rounds with per-round lineage cuts, no
+    // fixpoint machinery (hops bound the rounds by construction). The
+    // oracle replays it as a hop-bounded recursive CTE.
+    decl("q233_risk_proximity",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val c = t(s, d, "customer")
+        val w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+        val edges = c.withColumn("next", lead(col("c_custkey"), 1).over(w))
+          .filter(col("next").isNotNull)
+          .select(col("c_custkey").cast("long").as("src"),
+            col("next").cast("long").as("dst"))
+        // hash-derived seed set (~1/37 of customers on ANY key domain —
+        // a raw modulus broke on the bijected second seed, which has
+        // zero multiples of 37)
+        val seeds = c.where(pmod(Dedup.hash60(
+            concat(lit("rp|"), col("c_custkey").cast("string"))), lit(37L)) === 0)
+          .select(col("c_custkey").cast("long").as("id"))
+        Centrality.seedProximity(edges, seeds, maxHops = 3)
+      },
+      s"""WITH RECURSIVE base AS (
+         |  SELECT c_custkey::BIGINT AS src,
+         |    (lead(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey))::BIGINT AS dst
+         |  FROM customer),
+         |e AS (SELECT src, dst FROM base WHERE dst IS NOT NULL
+         |  UNION SELECT dst, src FROM base WHERE dst IS NOT NULL),
+         |reach(id, d) AS (
+         |  SELECT c_custkey::BIGINT, 0::BIGINT FROM customer
+         |  WHERE ${sqlHash60("('rp|' || c_custkey::VARCHAR)")} % 37 = 0
+         |  UNION
+         |  SELECT e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.id WHERE r.d < 3)
+         |SELECT id, MIN(d)::BIGINT AS dist FROM reach GROUP BY id""".stripMargin),
+
     // Sketch-driven join advisor (round-11): what a cost-based
     // optimizer does with NDV statistics, computed from the engine's
     // own KMV sketches — per-side NDV (q160 estimator), estimated
