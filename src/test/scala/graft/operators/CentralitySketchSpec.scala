@@ -209,4 +209,21 @@ class CentralitySketchSpec extends SparkSpec {
     // floor losses: bounded by ~(edges + 2*nodes) units per round
     assert(ranks >= scale - 3L * (400 + 2 * 78))
   }
+
+  test("seedProximity: exact BFS distances, hop bound respected, seeds win ties") {
+    // path 1-2-3-4-5-6-7-8-9-10 plus a disconnected pair 20-21
+    val edges = ((1L until 10L).map(i => (i, i + 1)) :+ ((20L, 21L)))
+      .toDF("src", "dst")
+    val seeds = Seq(3L, 21L).toDF("id")
+    val out = Centrality.seedProximity(edges, seeds, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(
+      3L -> 0L, 2L -> 1L, 4L -> 1L, 1L -> 2L, 5L -> 2L, 6L -> 3L,
+      21L -> 0L, 20L -> 1L))
+    // two seeds: min distance wins
+    val out2 = Centrality.seedProximity(edges, Seq(1L, 5L).toDF("id"), 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out2(3L) == 2L && out2(4L) == 1L && out2(6L) == 1L && out2(7L) == 2L)
+    assert(!out2.contains(8L)) // beyond the hop bound
+  }
 }
