@@ -146,8 +146,8 @@ object SelectionQueries {
     // deterministic typo (3rd character deleted), so token-level
     // equality fails and only sub-word matching can recover the
     // source row (the shared "customer#0…" stem is exactly the
-    // stop-trigram regime — the df cap removes it from candidate
-    // GENERATION while the exact Jaccard still scores it, and the
+    // stop-trigram regime — the ABSOLUTE df cap (256) removes it from
+    // candidate GENERATION while the exact Jaccard still scores it, and the
     // discriminating digit-suffix trigrams drive retrieval; rank-1
     // self-recovery is spec-asserted). Candidates: df-capped trigram
     // postings equi-join
@@ -165,7 +165,7 @@ object SelectionQueries {
             concat(substring(lower(col("c_name")), 1, 2),
               expr("substring(lower(c_name), 4)")).as("qnm"))
         Retrieval.trigramTopK(targets, col("id"), col("nm"),
-          qs, col("qid"), col("qnm"), k = 3, maxDfFrac = 0.2)
+          qs, col("qid"), col("qnm"), k = 3, maxDf = 256L)
       },
       """WITH tgt AS (SELECT c_custkey::BIGINT AS id, lower(c_name) AS nm FROM customer),
         |q AS (SELECT c_custkey::BIGINT AS qid,
@@ -181,9 +181,8 @@ object SelectionQueries {
         |  UNION ALL SELECT qid, nm FROM q WHERE len(nm) BETWEEN 1 AND 2),
         |tsz AS (SELECT id, COUNT(*)::BIGINT AS tn FROM ttg GROUP BY 1),
         |qsz AS (SELECT qid, COUNT(*)::BIGINT AS qn FROM qtg GROUP BY 1),
-        |nd AS (SELECT COUNT(*)::BIGINT AS n FROM tgt),
-        |keep AS (SELECT t3 FROM (SELECT t3, COUNT(*)::BIGINT AS df FROM ttg GROUP BY 1), nd
-        |  WHERE df <= n::DOUBLE * 0.2),
+        |keep AS (SELECT t3 FROM (SELECT t3, COUNT(*)::BIGINT AS df FROM ttg GROUP BY 1)
+        |  WHERE df <= 256),
         |cand AS (SELECT DISTINCT qid, id
         |  FROM qtg JOIN keep USING (t3) JOIN ttg USING (t3)),
         |inter AS (SELECT c.qid, c.id, COUNT(*)::BIGINT AS inter
@@ -222,7 +221,7 @@ object SelectionQueries {
             concat(substring(lower(col("c_name")), 1, 2),
               expr("substring(lower(c_name), 4)")).as("qnm"))
         Retrieval.trigramTopKFromPostings(maintained,
-          qs, col("qid"), col("qnm"), k = 3, maxDfFrac = 0.2)
+          qs, col("qid"), col("qnm"), k = 3, maxDf = 256L)
       },
       """WITH tgt AS (SELECT c_custkey::BIGINT AS id, lower(c_name) AS nm FROM customer),
         |q AS (SELECT c_custkey::BIGINT AS qid,
@@ -238,9 +237,8 @@ object SelectionQueries {
         |  UNION ALL SELECT qid, nm FROM q WHERE len(nm) BETWEEN 1 AND 2),
         |tsz AS (SELECT id, COUNT(*)::BIGINT AS tn FROM ttg GROUP BY 1),
         |qsz AS (SELECT qid, COUNT(*)::BIGINT AS qn FROM qtg GROUP BY 1),
-        |nd AS (SELECT COUNT(*)::BIGINT AS n FROM tgt),
-        |keep AS (SELECT t3 FROM (SELECT t3, COUNT(*)::BIGINT AS df FROM ttg GROUP BY 1), nd
-        |  WHERE df <= n::DOUBLE * 0.2),
+        |keep AS (SELECT t3 FROM (SELECT t3, COUNT(*)::BIGINT AS df FROM ttg GROUP BY 1)
+        |  WHERE df <= 256),
         |cand AS (SELECT DISTINCT qid, id
         |  FROM qtg JOIN keep USING (t3) JOIN ttg USING (t3)),
         |inter AS (SELECT c.qid, c.id, COUNT(*)::BIGINT AS inter
@@ -275,7 +273,7 @@ object SelectionQueries {
             concat(substring(lower(col("c_name")), 1, 2),
               expr("substring(lower(c_name), 4)")).as("qnm"))
         val cand = Retrieval.trigramCandidates(targets, col("id"), col("nm"),
-          qs, col("qid"), col("qnm"), maxDfFrac = 0.2)
+          qs, col("qid"), col("qnm"), maxDf = 256L)
         val scored = cand.join(qs, "qid").join(targets, "id")
           .withColumn("jw", graft.functions.Names.jaroWinkler(col("qnm"), col("nm"))
             .cast("decimal(10,6)").cast("double"))
@@ -296,9 +294,8 @@ object SelectionQueries {
         |    generate_series(1, len(nm) - 2), i -> substr(nm, i, 3)))) AS t3
         |  FROM q WHERE len(nm) >= 3
         |  UNION ALL SELECT qid, nm FROM q WHERE len(nm) BETWEEN 1 AND 2),
-        |nd AS (SELECT COUNT(*)::BIGINT AS n FROM tgt),
-        |keep AS (SELECT t3 FROM (SELECT t3, COUNT(*)::BIGINT AS df FROM ttg GROUP BY 1), nd
-        |  WHERE df <= n::DOUBLE * 0.2),
+        |keep AS (SELECT t3 FROM (SELECT t3, COUNT(*)::BIGINT AS df FROM ttg GROUP BY 1)
+        |  WHERE df <= 256),
         |cand AS (SELECT DISTINCT qid, id
         |  FROM qtg JOIN keep USING (t3) JOIN ttg USING (t3)),
         |sc AS (SELECT c.qid, c.id,

@@ -400,7 +400,7 @@ class PlanAssertionsSpec extends SparkSpec {
     val targets = (0L until 5000L).map(i => (i, f"name$i%06d")).toDF("id", "nm")
     val queries = Seq((7L, "nme000007")).toDF("qid", "qnm")
     val cand = Retrieval.trigramCandidates(targets, col("id"), col("nm"),
-      queries, col("qid"), col("qnm"), maxDfFrac = 0.5)
+      queries, col("qid"), col("qnm"), maxDf = 2500L)
     val scored = cand.join(queries, "qid").join(targets, "id")
       .select(graft.functions.Names.jaroWinkler(col("qnm"), col("nm")).as("jw"))
     val plan = scored.queryExecution.executedPlan.toString

@@ -199,7 +199,7 @@ class RetrievalSpec extends SparkSpec {
       (i + 1000L, f"stem${rnd.nextInt(40)}%02dtail${rnd.nextInt(300)}%04d"))
       .toDF("qid", "qnm")
     val direct = Retrieval.trigramTopK(targets, col("id"), col("nm"),
-      queries, col("qid"), col("qnm"), k = 3, maxDfFrac = 0.3)
+      queries, col("qid"), col("qnm"), k = 3, maxDf = 90L)
       .as[(Long, Long, Long, Double, Long)].collect().toSet
     // maintained index: base (id < 200) + appended delta (id >= 200)
     val post = Retrieval.trigramIndex(
@@ -207,7 +207,7 @@ class RetrievalSpec extends SparkSpec {
       .unionByName(Retrieval.trigramIndex(
         targets.where(col("id") >= 200), col("id"), col("nm")))
     val served = Retrieval.trigramTopKFromPostings(post,
-      queries, col("qid"), col("qnm"), k = 3, maxDfFrac = 0.3)
+      queries, col("qid"), col("qnm"), k = 3, maxDf = 90L)
       .as[(Long, Long, Long, Double, Long)].collect().toSet
     assert(served == direct)
     assert(direct.nonEmpty)
@@ -215,21 +215,21 @@ class RetrievalSpec extends SparkSpec {
 
   test("trigramTopK: typo'd query recovers its source at rank 1; stop-trigrams never seed") {
     // 40 distinct names with a shared hot stem "customerx" (df 100% →
-    // capped at any maxDfFrac < 1) plus a discriminating digit tail.
+    // capped at any maxDf < 40) plus a discriminating digit tail.
     val targets = (0 until 40).map(i => (i.toLong, f"customerx$i%04d"))
       .toDF("id", "nm")
     // typo: drop the 3rd character
     val queries = Seq((7L, "cutomerx0007"), (23L, "cutomerx0023"))
       .toDF("qid", "qnm")
     val out = Retrieval.trigramTopK(targets, col("id"), col("nm"),
-      queries, col("qid"), col("qnm"), k = 3, maxDfFrac = 0.5)
+      queries, col("qid"), col("qnm"), k = 3, maxDf = 20L)
       .as[(Long, Long, Long, Double, Long)].collect()
     val top1 = out.filter(_._5 == 1L).map(r => r._1 -> r._2).toMap
     assert(top1 == Map(7L -> 7L, 23L -> 23L), s"got ${out.mkString(",")}")
     // a query made ONLY of hot trigrams retrieves nothing
     val hotOnly = Seq((99L, "customerx")).toDF("qid", "qnm")
     val none = Retrieval.trigramTopK(targets, col("id"), col("nm"),
-      hotOnly, col("qid"), col("qnm"), k = 3, maxDfFrac = 0.5).count()
+      hotOnly, col("qid"), col("qnm"), k = 3, maxDf = 20L).count()
     assert(none == 0L)
   }
 }
