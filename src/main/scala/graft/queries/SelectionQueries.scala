@@ -252,6 +252,89 @@ object SelectionQueries {
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id)::BIGINT AS rank
         |  FROM sc) WHERE rank <= 3""".stripMargin),
 
+    // STREAMING text-index maintenance (round-11): the q229 arithmetic
+    // under the lakehouse streaming protocol — each micro-batch of new
+    // records appends ONLY its own postings to a versioned store
+    // (postings/v<bid> = prev ∪ batch postings, overwrite-per-batch
+    // keyed on bid: idempotent under at-least-once re-delivery, the
+    // q176/q205 rule), with a checkpoint restart between the two
+    // drops. Search served from the final version must equal the
+    // FULL-REBUILD oracle — the maintained artifact is never stale and
+    // never rescans old records.
+    decl("q234_streaming_text_index",
+      (s, d) => {
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val base = s"/tmp/graft_q234_$tag"
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val landing = s"$base/landing"
+        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+        val c = t(s, d, "customer")
+        def named(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("c_custkey").cast("long").as("id"),
+            lower(col("c_name")).as("nm"))
+        def processAvailable(): Unit = {
+          val stream = s.readStream.schema("id LONG, nm STRING")
+            .option("maxFilesPerTrigger", "10000").parquet(landing)
+          val q = graft.streaming.StatementStream.foreachBatchSink(
+            stream, s"$base/ck",
+            trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow())) {
+            (batch, bid) =>
+              val sp = batch.sparkSession
+              val prevPath = new org.apache.hadoop.fs.Path(s"$base/postings/v${bid - 1}")
+              val prev =
+                if (bid > 0 && fs.exists(prevPath)) sp.read.parquet(prevPath.toString)
+                else Retrieval.trigramIndex(batch.limit(0), col("id"), col("nm"))
+              prev.unionByName(
+                  Retrieval.trigramIndex(batch, col("id"), col("nm")))
+                .write.mode("overwrite").parquet(s"$base/postings/v$bid")
+          }
+          q.awaitTermination()
+        }
+        named(c.where(col("c_custkey") % 3 =!= 0))
+          .write.mode("append").parquet(landing)
+        processAvailable()
+        named(c.where(col("c_custkey") % 3 === 0))
+          .write.mode("append").parquet(landing)
+        processAvailable()
+        val qs = c.where(col("c_custkey") % 89 === 1)
+          .select(col("c_custkey").cast("long").as("qid"),
+            concat(substring(lower(col("c_name")), 1, 2),
+              expr("substring(lower(c_name), 4)")).as("qnm"))
+        Retrieval.trigramTopKFromPostings(
+          s.read.parquet(s"$base/postings/v1"),
+          qs, col("qid"), col("qnm"), k = 3, maxDf = 256L)
+      },
+      """WITH tgt AS (SELECT c_custkey::BIGINT AS id, lower(c_name) AS nm FROM customer),
+        |q AS (SELECT c_custkey::BIGINT AS qid,
+        |  substr(lower(c_name), 1, 2) || substr(lower(c_name), 4) AS nm
+        |  FROM customer WHERE c_custkey % 89 = 1),
+        |ttg AS (SELECT id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(nm) - 2), i -> substr(nm, i, 3)))) AS t3
+        |  FROM tgt WHERE len(nm) >= 3
+        |  UNION ALL SELECT id, nm FROM tgt WHERE len(nm) BETWEEN 1 AND 2),
+        |qtg AS (SELECT qid, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(nm) - 2), i -> substr(nm, i, 3)))) AS t3
+        |  FROM q WHERE len(nm) >= 3
+        |  UNION ALL SELECT qid, nm FROM q WHERE len(nm) BETWEEN 1 AND 2),
+        |tsz AS (SELECT id, COUNT(*)::BIGINT AS tn FROM ttg GROUP BY 1),
+        |qsz AS (SELECT qid, COUNT(*)::BIGINT AS qn FROM qtg GROUP BY 1),
+        |keep AS (SELECT t3 FROM (SELECT t3, COUNT(*)::BIGINT AS df FROM ttg GROUP BY 1)
+        |  WHERE df <= 256),
+        |cand AS (SELECT DISTINCT qid, id
+        |  FROM qtg JOIN keep USING (t3) JOIN ttg USING (t3)),
+        |inter AS (SELECT c.qid, c.id, COUNT(*)::BIGINT AS inter
+        |  FROM cand c JOIN qtg ON qtg.qid = c.qid
+        |  JOIN ttg ON ttg.id = c.id AND ttg.t3 = qtg.t3
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT i.qid, i.id, i.inter,
+        |  i.inter::DOUBLE / (qn + tn - i.inter)::DOUBLE AS score
+        |  FROM inter i JOIN qsz USING (qid) JOIN tsz USING (id))
+        |SELECT qid, id AS target_id, inter, score, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id)::BIGINT AS rank
+        |  FROM sc) WHERE rank <= 3""".stripMargin),
+
     // The composed fuzzy-match API (round-11): trigram candidate
     // generation (the q211 index) ranked by the NATIVE codegen'd
     // Jaro–Winkler expression (graft.functions.expr.JaroWinkler — a
