@@ -10,18 +10,41 @@ import org.apache.spark.unsafe.types.UTF8String
   * interpreted path and generated code (codegen emits a static call to
   * [[JaroWinklerImpl.jw]]), so the two paths cannot drift. */
 object JaroWinklerImpl {
+  /** The string decoded to Unicode CODE POINTS — one comparison unit
+    * per character even outside the BMP. Iterating UTF-16 code units
+    * (charAt) would split astral characters into surrogate halves and
+    * mis-score any non-ASCII name (diacritics and Cyrillic survive as
+    * single units either way, but the window/prefix lengths still
+    * shift whenever a supplementary character appears). */
+  private def codePoints(s: String): Array[Int] = {
+    val n = s.codePointCount(0, s.length)
+    val out = new Array[Int](n)
+    var ci = 0
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(ci)
+      out(i) = cp
+      ci += Character.charCount(cp)
+      i += 1
+    }
+    out
+  }
+
   /** Classic Jaro–Winkler: match window floor(max/2)−1, transpositions
     * = half the out-of-order matches, Winkler prefix boost (scale 0.1,
     * prefix capped at 4) applied only above the 0.7 boost threshold,
     * and 0.0 when either side is empty — the exact variant DuckDB's
     * jaro_winkler_similarity implements, which is what lets an
-    * external-engine oracle replay scores. Operates on UTF-16 code
-    * units (== code points for the ASCII name data this scores). */
-  def jw(a: String, b: String): Double = {
+    * external-engine oracle replay scores. Operates on Unicode code
+    * points (== DuckDB's comparison units for ASCII; codepoint-correct
+    * for the diacritic/Cyrillic/CJK names of the sanctions domain). */
+  def jw(sa: String, sb: String): Double = {
+    if (sa.isEmpty || sb.isEmpty) return 0.0
+    if (sa == sb) return 1.0
+    val a = codePoints(sa)
+    val b = codePoints(sb)
     val la = a.length
     val lb = b.length
-    if (la == 0 || lb == 0) return 0.0
-    if (a == b) return 1.0
     val window = math.max(math.max(la, lb) / 2 - 1, 0)
     val aMatch = new Array[Boolean](la)
     val bMatch = new Array[Boolean](lb)
@@ -33,7 +56,7 @@ object JaroWinklerImpl {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!bMatch(j) && a.charAt(i) == b.charAt(j)) {
+        if (!bMatch(j) && a(i) == b(j)) {
           aMatch(i) = true; bMatch(j) = true; m += 1; found = true
         }
         j += 1
@@ -47,7 +70,7 @@ object JaroWinklerImpl {
     while (i < la) {
       if (aMatch(i)) {
         while (!bMatch(k)) k += 1
-        if (a.charAt(i) != b.charAt(k)) t += 1
+        if (a(i) != b(k)) t += 1
         k += 1
       }
       i += 1
@@ -57,7 +80,7 @@ object JaroWinklerImpl {
     if (jaro <= 0.7) return jaro
     var prefix = 0
     val maxPrefix = math.min(4, math.min(la, lb))
-    while (prefix < maxPrefix && a.charAt(prefix) == b.charAt(prefix)) prefix += 1
+    while (prefix < maxPrefix && a(prefix) == b(prefix)) prefix += 1
     jaro + prefix * 0.1 * (1.0 - jaro)
   }
 }

@@ -265,9 +265,15 @@ object ConnectedComponents {
 
     // Genuinely-new nodes (incl. unseen edge endpoints): their final
     // label is their contracted-graph component, remapped nowhere else.
-    val known = p.select(col("id"))
-    val freshIds = touch.join(known, Seq("id"), "left_anti")
-    val fresh = freshIds.join(mapping.withColumnRenamed("component", "newc"), Seq("id"))
+    // Fresh = touch minus touchLbl's ids: touchLbl holds exactly the
+    // touched ids present in prev, so this anti-join stays batch-sized
+    // on BOTH sides (anti-joining touch against prev's full id column
+    // would sort-merge the entire corpus labeling once prev outgrows
+    // the broadcast threshold — the cost this operator exists to avoid).
+    val freshIds = touch.join(broadcast(touchLbl.select(col("id"))),
+      Seq("id"), "left_anti")
+    val fresh = freshIds.join(
+        broadcast(mapping.withColumnRenamed("component", "newc")), Seq("id"))
       .select(col("id"), col("newc").as("component"))
 
     remapped.unionByName(fresh)

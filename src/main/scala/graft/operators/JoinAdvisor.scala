@@ -56,8 +56,15 @@ object JoinAdvisor {
       .where(col("h") < col("theta"))
       .agg(count(lit(1)).as("sample_inter"))
     stats.crossJoin(broadcast(sample))
+      // multiply BEFORE the integral divide, widened through DECIMAL so
+      // sample_inter · 2^60 cannot overflow Long: dividing first
+      // truncates the 2^60/θ factor to an integer (θ in the upper hash
+      // space → factor 1.x rounds to 1, underestimating common keys by
+      // up to ~50% and potentially flipping the runtime-filter call)
       .withColumn("est_common_keys",
-        expr(s"sample_inter * (CAST($TwoPow60 AS BIGINT) div theta)"))
+        expr(s"CAST((CAST(sample_inter AS DECIMAL(38,0)) * " +
+          s"CAST($TwoPow60 AS DECIMAL(38,0))) div " +
+          s"CAST(theta AS DECIMAL(38,0)) AS BIGINT)"))
       .select(lit(label).as("join_key"),
         col("ndv_a"), col("ndv_b"), col("sample_inter"), col("est_common_keys"),
         when(col("ndv_b") <= broadcastNdvLimit, "broadcast")

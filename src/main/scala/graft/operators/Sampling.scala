@@ -135,7 +135,15 @@ object Sampling {
       .cast("double") + lit(1.0)) / lit(twoPow60)
     val keyed = base.withColumn("key",
       (-log(u) / col("weight")).cast("decimal(28,9)"))
-    val w = Window.partitionBy("stratum").orderBy(col("key").asc, col("id").asc)
+      // a sub-~1e-17 weight overflows DECIMAL(28,9) to NULL (Spark
+      // non-ANSI cast); with default nulls-first ordering that row
+      // would be picked AHEAD of every valid key. Drop it instead: an
+      // arrival key past 1e19 means a draw probability so small it is
+      // zero at any realistic sample size, so exclusion is the correct
+      // limit behavior (and nulls-last on the window backstops it).
+      .where(col("key").isNotNull)
+    val w = Window.partitionBy("stratum")
+      .orderBy(col("key").asc_nulls_last, col("id").asc)
     keyed.withColumn("pick_rank", row_number().over(w).cast("long"))
       .where(col("pick_rank") <= m)
   }

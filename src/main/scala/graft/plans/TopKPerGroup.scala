@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
@@ -43,11 +43,25 @@ case class TopKPerGroup(
 
 /** Physical form: `partial = true` runs per input partition (no
   * distribution requirement); `partial = false` declares
-  * ClusteredDistribution on the group keys, so EnsureRequirements
-  * inserts the hash exchange between the two — the same planning
-  * contract as partial/final aggregates. Per-partition state is one
-  * bounded heap (≤ k row copies) per group seen in that partition —
-  * the hash-aggregate memory envelope with k-row values. */
+  * ClusteredDistribution on the group keys PLUS a sort on them, so
+  * EnsureRequirements inserts the hash exchange and a partial-output-
+  * sized sort between the two — the same planning contract as
+  * partial/final sort-based aggregates.
+  *
+  * Memory is bounded at BOTH stages (not just "usually small"):
+  *  - partial keeps per-group k-row heaps in a hash map but FLUSHES
+  *    the whole map downstream whenever it holds [[TopKPerGroupExec
+  *    .FlushRows]] buffered row copies — emitting several partial
+  *    heaps for one group is harmless because the final stage
+  *    re-merges them, exactly like a hash aggregate falling back to
+  *    emitting unmerged partial rows under memory pressure. Worst
+  *    case resident: FlushRows + k copied rows, independent of group
+  *    cardinality.
+  *  - final streams its SORTED input one group at a time with a
+  *    single live k-heap, so arbitrarily many groups per reducer cost
+  *    k row copies; the sort itself is over the partial output
+  *    (≤ k·groups·partitions rows, never the corpus) and spills
+  *    through SortExec's managed-memory path. */
 case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     ordering: Seq[SortOrder],
@@ -61,6 +75,10 @@ case class TopKPerGroupExec(
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(groupExprs))
 
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(groupExprs.map(e => SortOrder(e, Ascending)))
+
   override def outputPartitioning = child.outputPartitioning
 
   protected override def doExecute(): RDD[InternalRow] = {
@@ -68,30 +86,76 @@ case class TopKPerGroupExec(
     val groupE = groupExprs
     val ordE = ordering
     val kk = k
-    child.execute().mapPartitions { iter =>
+    val flushRows = TopKPerGroupExec.FlushRows
+    if (partial) child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(groupE, childOutput)
       val ord = new LazilyGeneratedOrdering(ordE, childOutput)
-      // max-heap under `ord`: the root is the WORST retained row, so a
-      // new row enters iff it beats the root once the heap is full
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kk + 1, ord.reverse)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size() < kk) heap.add(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.add(row.copy())
-        }
-      }
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      // one map per flush window; a full window emits and drops, so
+      // resident state never exceeds flushRows row copies
+      new Iterator[Iterator[InternalRow]] {
+        override def hasNext: Boolean = iter.hasNext
+        override def next(): Iterator[InternalRow] = {
+          val heaps =
+            new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+          var retained = 0L
+          while (iter.hasNext && retained < flushRows) {
+            val row = iter.next()
+            val key = keyProj(row)
+            var heap = heaps.get(key)
+            if (heap == null) {
+              heap = new java.util.PriorityQueue[InternalRow](kk + 1, ord.reverse)
+              heaps.put(key.copy(), heap)
+            }
+            // max-heap under `ord`: the root is the WORST retained row,
+            // so a new row enters iff it beats the root once full
+            if (heap.size() < kk) { heap.add(row.copy()); retained += 1 }
+            else if (ord.compare(row, heap.peek()) < 0) {
+              heap.poll(); heap.add(row.copy())
+            }
+          }
+          heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+        }
+      }.flatten
+    } else child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(groupE, childOutput)
+      val ord = new LazilyGeneratedOrdering(ordE, childOutput)
+      import scala.jdk.CollectionConverters._
+      // input is sorted by group key: stream group runs, ONE heap alive
+      new Iterator[Iterator[InternalRow]] {
+        private var pending: InternalRow =
+          if (iter.hasNext) iter.next().copy() else null
+        override def hasNext: Boolean = pending != null
+        override def next(): Iterator[InternalRow] = {
+          val groupKey = keyProj(pending).copy()
+          val heap =
+            new java.util.PriorityQueue[InternalRow](kk + 1, ord.reverse)
+          heap.add(pending) // copied at stash time
+          pending = null
+          var done = false
+          while (!done && iter.hasNext) {
+            val row = iter.next()
+            if (keyProj(row) == groupKey) {
+              if (heap.size() < kk) heap.add(row.copy())
+              else if (ord.compare(row, heap.peek()) < 0) {
+                heap.poll(); heap.add(row.copy())
+              }
+            } else { pending = row.copy(); done = true }
+          }
+          heap.iterator().asScala
+        }
+      }.flatten
     }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
+}
+
+object TopKPerGroupExec {
+  /** Partial-stage buffer bound, in retained row copies. 1M UnsafeRow
+    * copies of typical ranker rows (~100 B) is ~100 MB per task —
+    * inside an executor-thread share at local[32]/128 GiB and at a
+    * 1000-executor cluster's default 1 GiB/core envelope. */
+  val FlushRows: Long = 1L << 20
 }

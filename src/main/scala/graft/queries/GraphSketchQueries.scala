@@ -74,9 +74,9 @@ object GraphSketchQueries {
        |  CROSS JOIN sa$tag CROSS JOIN sb$tag
        |  WHERE a.rk <= 128 AND b.rk <= 128 AND a.h < LEAST(kth_a, kth_b)),
        |ad$tag AS (SELECT '$label' AS join_key, ndv_a, ndv_b, c AS sample_inter,
-       |  c * ($two60 // LEAST(kth_a, kth_b)) AS est_common_keys,
+       |  CAST((c::HUGEINT * $two60::HUGEINT) // LEAST(kth_a, kth_b)::HUGEINT AS BIGINT) AS est_common_keys,
        |  CASE WHEN ndv_b <= 1000 THEN 'broadcast' ELSE 'shuffle' END AS strategy,
-       |  (c * ($two60 // LEAST(kth_a, kth_b)) * 2 < ndv_a) AS runtime_filter
+       |  (CAST((c::HUGEINT * $two60::HUGEINT) // LEAST(kth_a, kth_b)::HUGEINT AS BIGINT) * 2 < ndv_a) AS runtime_filter
        |  FROM sa$tag CROSS JOIN sb$tag CROSS JOIN sm$tag)""".stripMargin
   }
 

@@ -382,17 +382,41 @@ class PlanAssertionsSpec extends SparkSpec {
     val batch = Seq((5L, 15L), (100020L, 7L)).toDF("src", "dst")
     val newNodes = Seq(100020L).toDF("id")
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    val bcWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // auto-broadcast OFF: only the operator's explicit broadcast()
+      // hints fire, so a prev-sized join that relied on the 100k-row
+      // fixture slipping under the size threshold is exposed here as a
+      // SortMergeJoin (the round-11 freshIds anti-join did exactly that)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val plan = ConnectedComponents.incremental(prev, batch, newNodes)
         .queryExecution.executedPlan.toString
-      // prev appears only under BroadcastHashJoins (the touch probe and
-      // the remap); a SortMergeJoin would mean the fixpoint's labeling
-      // is being shuffled — the exact cost incremental exists to avoid
-      assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
-      assert(!plan.contains("SortMergeJoin hashpartitioning(id"),
-        plan.take(1500))
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      // every join that touches prev is hint-broadcast on its batch-
+      // sized side: the touch probe, the remap, and the freshIds
+      // anti-join (the ONLY LeftAnti in the operator) — none may
+      // sort-merge, because that shuffles the whole corpus labeling
+      // (run() on the CONTRACTED batch-sized graph may sort-merge
+      // internally — it is the corpus-scale fixpoint and must not
+      // broadcast-hint; only the joins that see prev are constrained)
+      assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+      // the freshIds anti-join — the ONLY LeftAnti in the operator, and
+      // round 11's prev-scanning regression — must broadcast its
+      // batch-sized right side
+      assert("SortMergeJoin [^\n]*LeftAnti".r.findFirstIn(plan).isEmpty,
+        plan.take(2000))
+      assert("BroadcastHashJoin [^\n]*LeftAnti".r.findFirstIn(plan).nonEmpty,
+        plan.take(2000))
+      // the remap — the only join keyed on `component`, prev's second
+      // and last scan — must broadcast the changed-labels side
+      assert("SortMergeJoin \\[component#".r.findFirstIn(plan).isEmpty,
+        plan.take(2000))
+      assert("BroadcastHashJoin \\[component#".r.findFirstIn(plan).nonEmpty,
+        plan.take(2000))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
+    }
   }
 
   test("fuzzy match: trigram stop-list and score joins broadcast; JW stays codegen'd") {

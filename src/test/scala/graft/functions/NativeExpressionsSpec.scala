@@ -112,4 +112,24 @@ class NativeExpressionsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project") && plan.contains("graft_jaro_winkler"), plan)
   }
+
+  test("jaroWinkler iterates code points, not UTF-16 units") {
+    import graft.functions.expr.JaroWinklerImpl
+    // BMP non-ASCII (Cyrillic): one code unit per char either way, so
+    // the classic martha/marhta value carries over unchanged
+    assert(math.abs(
+      JaroWinklerImpl.jw("мартха", "мархта") - 0.9611111111111111) < 1e-12)
+    // astral lead character (U+1D552, a surrogate PAIR in UTF-16):
+    // code-point JW sees 3-char strings — window 0, m=2, prefix 2 →
+    // 7/9 + 0.2·(2/9) = 0.8222…; the former code-unit iteration saw
+    // 4-unit strings (window 1, m=3, prefix 3 → 0.8833…), splitting
+    // the surrogate halves as separate "characters"
+    assert(math.abs(
+      JaroWinklerImpl.jw("𝕒bc", "𝕒bd")
+        - 0.8222222222222222) < 1e-12)
+    // and the column path agrees with the static impl on non-ASCII
+    val got = Seq(("мартха", "мархта")).toDF("a", "b")
+      .select(Names.jaroWinkler($"a", $"b")).as[Double].collect()(0)
+    assert(math.abs(got - 0.9611111111111111) < 1e-12)
+  }
 }

@@ -650,6 +650,14 @@ class MiscOperatorsSpec extends SparkSpec {
     val z = Sampling.weightedSample(withZero, col("id"), col("st"), col("w"), "t1", 400)
       .select("id").as[Long].collect()
     assert(!z.contains(401L))
+    // a sub-1e-17 positive weight overflows the DECIMAL(28,9) arrival
+    // key to NULL; it must be EXCLUDED (draw probability ~0), never
+    // ranked ahead of valid keys the way default nulls-first would
+    val withTiny = (rows :+ ((402L, "s", 1e-18))).toDF("id", "st", "w")
+    val tiny = Sampling.weightedSample(withTiny, col("id"), col("st"), col("w"), "t1", 5)
+      .select("id", "pick_rank").as[(Long, Long)].collect()
+    assert(!tiny.map(_._1).contains(402L))
+    assert(tiny.sortBy(_._2).map(_._1).toSeq == want.take(5)) // picks unchanged
   }
 
   test("scd2 collapses runs, emits validity intervals, null-safe values") {

@@ -34,7 +34,7 @@ class TopKPerGroupSpec extends SparkSpec {
     }
   }
 
-  test("plans as partial heap -> hash exchange -> final heap; no sort anywhere") {
+  test("plans as partial heap -> exchange -> group-key sort -> final heap") {
     val df = spark.range(100000).select(
       (col("id") % 50).as("g"), col("id"), (col("id") * 37 % 9973).as("v"))
     val out = TopK.topKPerGroup(df, Seq(col("g")),
@@ -43,9 +43,35 @@ class TopKPerGroupSpec extends SparkSpec {
     // the exec node prints as "TopKPerGroup [keys], [order], k, partial"
     assert("TopKPerGroup \\[".r.findAllIn(plan).size == 2, plan.take(1500))
     assert(plan.contains("Exchange hashpartitioning(g"), plan.take(1500))
-    assert(!plan.contains("Sort "), plan.take(1500)) // never a group sort
+    // the final stage streams sorted group runs with ONE live heap, so
+    // EnsureRequirements inserts exactly one sort — on the GROUP KEY
+    // only (never the ordering columns: nothing ever sorts by v), and
+    // ABOVE the exchange, i.e. over the k·groups·partitions partial
+    // output, not the corpus
+    assert("Sort \\[".r.findAllIn(plan).size == 1, plan.take(1500))
+    assert(plan.contains("Sort [g#"), plan.take(1500))
+    assert(!plan.contains("Sort [v#"), plan.take(1500))
+    assert(plan.indexOf("Sort [g#") < plan.indexOf("Exchange hashpartitioning"),
+      plan.take(1500)) // sort consumes the exchange output (printed above it)
     // and the result is right
     assert(out.count() == 250)
+  }
+
+  test("partial stage flushes at the buffer bound without changing results") {
+    // 5000 rows, 40 groups: with the production FlushRows (1M) nothing
+    // flushes mid-partition; the semantics contract is that EARLY
+    // flushes are invisible because the final stage re-merges. Assert
+    // it by checking the merged result is identical to the window form
+    // even when the input arrives in many partitions (each partial map
+    // emits independently — the degenerate form of flushing).
+    val rnd = new scala.util.Random(77)
+    val rows = Seq.fill(5000)((rnd.nextInt(40).toLong, rnd.nextLong(), rnd.nextInt(500)))
+      .zipWithIndex.map { case ((g, id, v), i) => (g, id + i, v) }
+    val df = rows.toDF("g", "id", "v").repartition(16)
+    val ours = TopK.topKPerGroup(df, Seq(col("g")),
+      Seq(col("v").desc, col("id")), k = 3).as[(Long, Long, Int)].collect().toSet
+    val want = windowTopK(df, 3).as[(Long, Long, Int)].collect().toSet
+    assert(ours == want)
   }
 
   test("the exchange carries at most k rows per (group, input partition)") {
