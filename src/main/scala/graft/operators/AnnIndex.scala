@@ -103,7 +103,9 @@ object AnnIndex {
     val persisted = idx.persist()
     try {
       val manifest = Snapshot.manifestEntriesBy(persisted,
-        when(col("kind") === "c", lit(-1L)).otherwise(col("centroid_id")),
+        when(col("kind") === "c", lit(-1L))
+          .when(col("kind") === "b", lit(-2L))
+          .otherwise(col("centroid_id")),
         col("centroid_id"), version)
       Snapshot.commit(spark, root, version, persisted, manifest, commitMillis)
     } finally persisted.unpersist()
@@ -281,6 +283,148 @@ object AnnIndex {
       case None => Snapshot.readCurrent(spark, root)
     }
     queryFrame(idx, queries, k, nprobe)
+  }
+
+  // ——— IVFPQ: PQ codes inside the persisted index (FAISS IVFPQ shape:
+  // coarse cells bound what a probe READS, packed PQ codes bound what
+  // each read member COSTS — ADC ranks within the probed cells off a
+  // (id, centroid_id, pq_code) projection that never touches the
+  // embedding column, and only the top-r pool fetches full vectors for
+  // the exact re-rank). Codes approximate the RAW vectors (not the
+  // FAISS residual refinement): raw-vector ADC keeps the arithmetic
+  // identical to the oracle-gated ProductQuantizer form, and the recall
+  // the composition buys comes from cell scoping, which the decade
+  // probe measures directly (ProbeAnnRecall ivfpq mode). ———
+
+  /** One versioned IVFPQ index frame: 'c' rows are coarse centroids,
+    * 'b' rows the PQ codebooks (centroid_id = subspace, id = code,
+    * vec = code vector), 'm' rows the members carrying BOTH the full
+    * vector (read only by the re-rank's id-join) and the packed
+    * one-long PQ code (the ADC path's entire per-member payload —
+    * parquet stores them as separate columns, so column pruning keeps
+    * the ADC scan code-only). Members cluster by cell exactly like the
+    * uncompressed layout, so probed-cell predicates prune row groups. */
+  private def pqIndexFrame(centroids: DataFrame, codebooks: DataFrame,
+      members: DataFrame): DataFrame = {
+    val c = centroids.toDF("centroid_id", "cvec")
+      .select(lit("c").as("kind"), col("centroid_id").cast("long").as("id"),
+        col("cvec").as("vec"), col("centroid_id").cast("long").as("centroid_id"),
+        lit(null).cast("long").as("pq_code"))
+    val b = codebooks.toDF("sub", "code", "cvec")
+      .select(lit("b").as("kind"), col("code").cast("long").as("id"),
+        col("cvec").as("vec"), col("sub").cast("long").as("centroid_id"),
+        lit(null).cast("long").as("pq_code"))
+    val m = members
+      .select(lit("m").as("kind"), col("id").cast("long").as("id"), col("vec"),
+        col("centroid_id").cast("long").as("centroid_id"), col("pq_code"))
+      .repartitionByRange(col("centroid_id"))
+      .sortWithinPartitions("centroid_id")
+    c.unionByName(b).unionByName(m)
+  }
+
+  /** Train BOTH quantizers on `corpus` and publish version 1 of the
+    * IVFPQ index at `root`: the coarse √n-cell k-means (identical to
+    * [[build]]) plus the (m × pqK) product codebooks, members stored
+    * with their frozen cell AND their packed PQ code. Deterministic
+    * end-to-end (both trainers are the fixed-round hash-seeded
+    * protocol), so a SQL engine replays the full lifecycle. */
+  def buildPq(spark: SparkSession, root: String, corpus: DataFrame, dim: Int,
+      m: Int = 8, pqK: Int = 16, kmeansIterations: Int = 2,
+      pqIterations: Int = 2,
+      commitMillis: Long = System.currentTimeMillis()): Long = {
+    val v = corpus.toDF("id", "vec")
+      .select(col("id"), asDouble(col("vec")).as("vec"))
+    val n = v.count()
+    val seed = Similarity.seedCentroids(v, Similarity.kFor(n))
+    val trained = Similarity.kmeansCentroids(v, seed, dim,
+      maxIterations = kmeansIterations, earlyStop = false)
+    val cb = ProductQuantizer.trainCodebooks(v, dim, m, pqK, pqIterations)
+    val members = assignMembers(v, trained)
+      .join(ProductQuantizer.packedCodes(v, cb, dim, m, pqK), "id")
+    commitIndex(spark, root, 1L, pqIndexFrame(trained, cb, members),
+      commitMillis)
+    1L
+  }
+
+  /** Probe an ALREADY-LOADED IVFPQ index frame: queries rank their
+    * `nprobe` nearest coarse cells, ADC ranks the probed cells' members
+    * from packed codes alone (per-query lookup tables broadcast; the
+    * scoring exchange carries (query_id, id, partial-decimal) scalars
+    * — never a vector, never even the code column past the map side),
+    * the top `r` per query fetch their full vectors by id, and the
+    * exact re-rank emits top-k. Decode is ((pq_code >> 4s) & 15) —
+    * integer-exact, oracle-replayable. */
+  def queryPqFrame(idx: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      m: Int = 8, nprobe: Int = 2, r: Int = 50): DataFrame = {
+    require(r >= k, s"re-rank pool r=$r must cover k=$k")
+    val (cents, _) = split(idx)
+    val cbs = idx.filter(col("kind") === "b")
+      .select(col("centroid_id").as("sub"), col("id").as("code"),
+        col("vec").as("cvec"))
+    // ADC projection: the embedding column is ABSENT — at 100 TB this
+    // is the difference between scanning ~12 B/member and ~520 B/member
+    val memCodes = idx.filter(col("kind") === "m")
+      .select(col("id"), col("centroid_id"), col("pq_code"))
+    val memVec = idx.filter(col("kind") === "m")
+      .select(col("id").as("neighbor_id"), col("vec").as("nvec"))
+    val q = queries.toDF("query_id", "qvec")
+      .select(col("query_id"), asDouble(col("qvec")).as("qvec"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("centroid_id").asc)
+    val probes = q.join(broadcast(cents))
+      .withColumn("qcos", Similarity.cosine(col("qvec"), col("cvec")))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("centroid_id"))
+      .persist()
+    try {
+      val cellIds = probes.select(col("centroid_id").cast("long")).distinct()
+        .limit(MaxPushdownCells + 1).collect().map(_.getLong(0))
+      val scoped =
+        if (cellIds.length <= MaxPushdownCells)
+          memCodes.filter(col("centroid_id").isin(cellIds: _*))
+        else memCodes
+      val lut = ProductQuantizer.queryLut(q, cbs, dim, m)
+      // (query, member) candidates: the probe side is |queries|·nprobe
+      // rows — broadcast so the member-code store never shuffles
+      val scored = broadcast(probes).join(scoped, "centroid_id")
+        .filter(col("query_id") =!= col("id"))
+        .select(col("query_id"), col("id"),
+          explode(sequence(lit(0), lit(m - 1))).as("sub"),
+          col("pq_code"))
+        .withColumn("code",
+          expr("shiftright(pq_code, cast(4 * sub as int)) & 15"))
+        .join(broadcast(lut), Seq("query_id", "sub", "code"))
+        .groupBy(col("query_id"), col("id"))
+        // exact decimal sums: order-independent across engines/retries
+        .agg(sum(col("ip").cast("decimal(30,12)")).as("ddot"),
+          sum(col("cn2").cast("decimal(30,12)")).as("dn2"))
+        .select(col("query_id"), col("id"),
+          (col("ddot").cast("double") / sqrt(col("dn2").cast("double")))
+            .as("ascore"))
+      val rankW = Window.partitionBy("query_id")
+        .orderBy(col("ascore").desc, col("id").asc)
+      val cand = scored.withColumn("arank", row_number().over(rankW))
+        .filter(col("arank") <= r)
+        .select(col("query_id"), col("id").as("neighbor_id"))
+      // the only touch of full vectors: |queries|·r candidate ids fetch
+      // by id-join (candidates broadcast; the member store un-shuffled)
+      val full = broadcast(cand).join(memVec, "neighbor_id")
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("qvec"), col("neighbor_id"), col("nvec"))
+      Similarity.rankCandidates(full, k).localCheckpoint()
+    } finally probes.unpersist()
+  }
+
+  /** Probe the published IVFPQ index: current version or as-of. */
+  def queryPq(spark: SparkSession, root: String, queries: DataFrame, k: Int,
+      dim: Int, m: Int = 8, nprobe: Int = 2, r: Int = 50,
+      asOfMillis: Option[Long] = None): DataFrame = {
+    val idx = asOfMillis match {
+      case Some(ts) => Snapshot.readAsOf(spark, root, ts)
+      case None => Snapshot.readCurrent(spark, root)
+    }
+    queryPqFrame(idx, queries, k, dim, m, nprobe, r)
   }
 
   /** One micro-batch of STREAMING semantic dedup against the frozen

@@ -105,11 +105,11 @@ object ProductQuantizer {
     cb
   }
 
-  /** Encode every vector as its m-code array: (id, codes array<long>),
-    * codes ordered by subspace. The 100 TB artifact: this table at
-    * (m=8, k=16) carries ~4 information bytes per vector where the
-    * embedding carried 512. */
-  def encode(corpus: DataFrame, codebooks: DataFrame, dim: Int,
+  /** (id, sub, code): the per-subspace code assignment — the stage
+    * shared by the array encoding ([[encode]]) and the packed IVFPQ
+    * encoding ([[packedCodes]]). One broadcast join against the
+    * codebooks, reduced by a partial min_by aggregate. */
+  def encodeSubCodes(corpus: DataFrame, codebooks: DataFrame, dim: Int,
       m: Int): DataFrame =
     subvectors(corpus, dim, m)
       .join(broadcast(codebooks.toDF("sub", "code", "cvec")), "sub")
@@ -117,10 +117,53 @@ object ProductQuantizer {
       .groupBy(col("id"), col("sub"))
       .agg(min_by(col("code"), struct(negate(col("score")), col("code")))
         .as("code"))
+
+  /** Encode every vector as its m-code array: (id, codes array<long>),
+    * codes ordered by subspace. The 100 TB artifact: this table at
+    * (m=8, k=16) carries ~4 information bytes per vector where the
+    * embedding carried 512. */
+  def encode(corpus: DataFrame, codebooks: DataFrame, dim: Int,
+      m: Int): DataFrame =
+    encodeSubCodes(corpus, codebooks, dim, m)
       .groupBy(col("id"))
       .agg(transform(sort_array(collect_list(
           struct(col("sub"), col("code")))),
         x => x.getField("code")).as("codes"))
+
+  /** Encode every vector as ONE BIGINT: subspace s's code occupies bits
+    * [4s, 4s+4) — with (m=8, k=16) the whole member code is 32 bits of
+    * one long, the literal "~4 bytes per member" the IVFPQ memory story
+    * rests on (an array<long> of codes would carry 8 longs plus array
+    * overhead per member — an order of magnitude looser). Requires
+    * k ≤ 16 and 4·m ≤ 60 so codes never collide bits and the pack stays
+    * positive in a signed long. Decode is pure integer arithmetic
+    * ((pq_code >> 4s) & 15) that any SQL engine replays bit-for-bit.
+    * Returns (id, pq_code). */
+  def packedCodes(corpus: DataFrame, codebooks: DataFrame, dim: Int,
+      m: Int, k: Int = 16): DataFrame = {
+    require(k <= 16, s"packedCodes packs 4-bit codes; k=$k > 16")
+    require(4 * m <= 60, s"packedCodes: 4·m=${4 * m} bits exceed a signed long")
+    encodeSubCodes(corpus, codebooks, dim, m)
+      .groupBy(col("id"))
+      // sum of disjoint-bit terms == bitwise OR of the shifted codes
+      .agg(sum(expr("code * (cast(1 as bigint) << cast(4 * sub as int))"))
+        .as("pq_code"))
+  }
+
+  /** Per-query ADC lookup tables against a codebook frame:
+    * (query_id, sub, code, ip = ⟨q_s, c_s⟩, cn2 = ⟨c_s, c_s⟩) —
+    * |queries|·m·k rows, always broadcast-sized. Shared by the
+    * full-corpus [[adcTopK]] and the cell-scoped
+    * [[AnnIndex.queryPqFrame]]. */
+  def queryLut(queries: DataFrame, codebooks: DataFrame, dim: Int,
+      m: Int): DataFrame =
+    subvectors(queries.toDF("query_id", "qvec")
+        .select(col("query_id"), asDouble(col("qvec")).as("qvec")),
+        dim, m).toDF("query_id", "sub", "qsub")
+      .join(broadcast(codebooks.toDF("sub", "code", "cvec")), "sub")
+      .select(col("query_id"), col("sub"), col("code"),
+        Similarity.dot(col("qsub"), col("cvec")).as("ip"),
+        Similarity.dot(col("cvec"), col("cvec")).as("cn2"))
 
   /** Re-rank pool size for a corpus of n: a FRACTION rule with a
     * floor, the same calibration shape as [[Similarity.nprobeFor]] —
@@ -150,11 +193,7 @@ object ProductQuantizer {
     require(r >= k, s"re-rank pool r=$r must cover k=$k")
     val q = queries.toDF("query_id", "qvec")
       .select(col("query_id"), asDouble(col("qvec")).as("qvec"))
-    val lut = subvectors(q, dim, m).toDF("query_id", "sub", "qsub")
-      .join(broadcast(codebooks.toDF("sub", "code", "cvec")), "sub")
-      .select(col("query_id"), col("sub"), col("code"),
-        Similarity.dot(col("qsub"), col("cvec")).as("ip"),
-        Similarity.dot(col("cvec"), col("cvec")).as("cn2"))
+    val lut = queryLut(q, codebooks, dim, m)
     val codeRows = codes.toDF("id", "codes")
       .select(col("id"), posexplode(col("codes")))
       .toDF("id", "sub", "code")

@@ -148,6 +148,73 @@ class AnnIndexSpec extends SparkSpec {
     assert(out(103L) === ("kept", None))
   }
 
+  test("ivfpq: full-pool queryPq equals the uncompressed cell-exact path") {
+    // with r covering every probed-cell member, the ADC cut keeps all
+    // candidates and the exact re-rank must reproduce the uncompressed
+    // index's ranking EXACTLY — the compression is then invisible, so
+    // any divergence is a bug in pack/decode/LUT arithmetic, not an
+    // approximation artifact
+    val rootPq = java.nio.file.Files.createTempDirectory("annidx-ivfpq").toString
+    val rootUc = java.nio.file.Files.createTempDirectory("annidx-uc").toString
+    val corpus = vecs(0 until 60)
+    assert(AnnIndex.buildPq(spark, rootPq, corpus, dim = 8, m = 4, pqK = 16,
+      commitMillis = 100L) === 1L)
+    AnnIndex.build(spark, rootUc, corpus, dim = 8, commitMillis = 100L)
+    val queries = corpus.filter(col("id") % 10 === 0)
+    val viaPq = AnnIndex.queryPq(spark, rootPq, queries, k = 5, dim = 8,
+        m = 4, nprobe = 2, r = 60)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    val viaUc = AnnIndex.query(spark, rootUc, queries, k = 5, nprobe = 2)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    assert(viaPq === viaUc)
+    assert(viaPq.nonEmpty)
+    // and the uncompressed query path still works against a PQ index
+    // (same 'c'/'m' rows; 'b' rows and pq_code are simply unread)
+    val ucOnPq = AnnIndex.query(spark, rootPq, queries, k = 5, nprobe = 2)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    assert(ucOnPq === viaUc)
+  }
+
+  test("ivfpq: packed codes decode back to the array encoding") {
+    val corpus = vecs(0 until 60)
+    val cb = ProductQuantizer.trainCodebooks(corpus, dim = 8, m = 4, k = 16,
+      iterations = 2)
+    val arr = ProductQuantizer.encode(corpus, cb, dim = 8, m = 4)
+      .as[(Long, Seq[Long])].collect().toMap
+    val packed = ProductQuantizer.packedCodes(corpus, cb, dim = 8, m = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(arr.keySet === packed.keySet)
+    arr.foreach { case (id, codes) =>
+      val p = packed(id)
+      codes.zipWithIndex.foreach { case (c, s) =>
+        assert(((p >> (4 * s)) & 15L) === c, s"id=$id sub=$s")
+      }
+      assert((p >> (4 * codes.length)) === 0L, s"id=$id stray bits")
+    }
+  }
+
+  test("ivfpq: the ADC member scan reads codes, never the embedding column") {
+    val root = java.nio.file.Files.createTempDirectory("annidx-pqscan").toString
+    val corpus = vecs(0 until 60)
+    AnnIndex.buildPq(spark, root, corpus, dim = 8, m = 4, commitMillis = 100L)
+    // the ADC-side projection queryPqFrame builds: kind='m' rows,
+    // (id, centroid_id, pq_code) only — column pruning must drop `vec`
+    // from the parquet ReadSchema (at 100 TB: ~12 B/member scanned
+    // instead of the ~520 B the embedding would add)
+    val idx = Snapshot.readCurrent(spark, root)
+    val memCodes = idx.filter(col("kind") === "m")
+      .select(col("id"), col("centroid_id"), col("pq_code"))
+      .filter(col("centroid_id").isin(0L, 1L))
+    val plan = memCodes.queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("pq_code"), plan.take(1500))
+    assert(!readSchema.contains("vec"), s"ADC scan reads vec:\n$readSchema")
+    // end-to-end still returns results
+    val out = AnnIndex.queryPq(spark, root,
+      corpus.filter(col("id") === 0L), k = 5, dim = 8, m = 4, nprobe = 2, r = 10)
+    assert(out.count() === 5)
+  }
+
   test("probed-cell predicate reaches the member scan as a pushed filter") {
     val root = java.nio.file.Files.createTempDirectory("annidx-plan").toString
     val corpus = vecs(0 until 60)
