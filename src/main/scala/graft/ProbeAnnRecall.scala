@@ -74,6 +74,24 @@ object ProbeAnnRecall {
         val cents = Similarity.kmeansCentroids(c, init, 64, 3, earlyStop = false)
         (Similarity.ivfTopK(qs, e, cents, k = 10, nprobe = nprobe),
           s"ivf cells=$cells nprobe=$nprobe")
+      case "ivfpq" =>
+        // the COMPOSED serving shape (AnnIndex.buildPq/queryPq): ADC
+        // within nprobe probed cells from packed one-long codes, exact
+        // re-rank of a pool sized as a fraction of the probed-cell scan
+        // (same 1/40 ratio as ProductQuantizer.rFor, floor 50) — the
+        // production IVFPQ memory/recall point this decade table gates
+        import graft.operators.AnnIndex
+        val rec = args.lift(2).flatMap(_.toDoubleOption).getOrElse(0.9)
+        val cells = Similarity.kFor(n)
+        val nprobe = Similarity.nprobeFor(cells, rec)
+        val r = args.lift(3).flatMap(_.toIntOption).getOrElse(
+          AnnIndex.rForCells(n, cells, nprobe))
+        val root = java.nio.file.Files
+          .createTempDirectory("probe-ivfpq").toString
+        AnnIndex.buildPq(spark, root, e, dim = 64, m = 8, pqK = 16)
+        (AnnIndex.queryPq(spark, root, qs, k = 10, dim = 64, m = 8,
+          nprobe = nprobe, r = r),
+          s"ivfpq cells=$cells nprobe=$nprobe r=$r")
       case "pq" =>
         // PQ ADC + exact re-rank (operators/ProductQuantizer): recall
         // is governed by whether the true top-10 survive the ADC cut

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CleaningQueries, EngineQueries, EtlQueries, ExportQueries, GraphSketchQueries, IngestQueries, LayoutQueries, PipelineQueries, Q, RelationalQueries, ResolverQueries, SelectionQueries, StreamingQueries}
+import graft.queries.{AnalystQueries, CleaningQueries, EngineQueries, EtlQueries, ExportQueries, GraphSketchQueries, IngestQueries, LayoutQueries, PipelineQueries, Q, RelationalQueries, ResolverQueries, SelectionQueries, StreamingQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -16,7 +16,8 @@ object SparkEntry {
     RelationalQueries.decls ++ EngineQueries.decls ++ PipelineQueries.decls ++
       CleaningQueries.decls ++ ExportQueries.decls ++ ResolverQueries.decls ++
       IngestQueries.decls ++ EtlQueries.decls ++ StreamingQueries.decls ++
-      SelectionQueries.decls ++ LayoutQueries.decls ++ GraphSketchQueries.decls
+      SelectionQueries.decls ++ LayoutQueries.decls ++ GraphSketchQueries.decls ++
+      AnalystQueries.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -416,6 +416,16 @@ object AnnIndex {
     } finally probes.unpersist()
   }
 
+  /** Re-rank pool size for a cell-scoped ADC probe: the same
+    * fraction-of-scanned-pool rule as [[ProductQuantizer.rFor]]
+    * (1/40, floor 50) applied to what the probe actually SCANS —
+    * ~n·nprobe/cells members instead of the whole corpus. A fixed
+    * pool decays with n exactly like the full-corpus form did
+    * (STRESS round-11 table); a corpus-fraction pool wastes re-rank
+    * work on members the ADC never scored. */
+  def rForCells(n: Long, cells: Int, nprobe: Int): Int =
+    math.max(50L, n * nprobe / (cells.toLong * 40L)).toInt
+
   /** Probe the published IVFPQ index: current version or as-of. */
   def queryPq(spark: SparkSession, root: String, queries: DataFrame, k: Int,
       dim: Int, m: Int = 8, nprobe: Int = 2, r: Int = 50,

@@ -1,0 +1,223 @@
+package graft.queries
+
+import graft.operators.Adjacency
+import org.apache.spark.sql.functions._
+import Q._
+
+/** The reference's ANALYST workload mirrored as oracle-gated queries —
+  * the ad-hoc SQL users run against the published data products
+  * (the reference's analysis directory), re-expressed over the synthetic FtM
+  * entity graph ([[ExportQueries.syntheticEntities]]) through the real
+  * engine operators (adjacency, rollup cells, semi/anti joins):
+  *
+  *  - q236 ← analysis/most_sanctioned.md:1-19 — per-person sanction
+  *    COUNT ranking through the statement→Sanction adjacency, with
+  *    distinct-rollup name/country cells and a country gate;
+  *  - q237 ← analysis/sanctions_over_time.md:1-26 — the sanction
+  *    listing-date time series: one row per Sanction with its target's
+  *    identity/country and the sanction's program/date rollups;
+  *  - q238 ← analysis/eu_not_ch.md:1-22 — "on list A but not list B":
+  *    a semi-join against one program's targets, an anti-join (the
+  *    reference's NOT EXISTS) against another's, rollup cells on the
+  *    survivors;
+  *  - q239 ← analysis/isin_sanctioned.md:1-15 — securities whose
+  *    issuer is sanctioned, with the per-issuer program array rollup
+  *    and the reference's HAVING NOT ANY(...) exclusion.
+  *
+  * Scale shape: every join is either broadcast-sized (program target
+  * lists, dimension rollups) or a key-partitioned equi-join on the
+  * entity id; rollups are per-entity array ops on the already-grouped
+  * properties map — no corpus-wide window anywhere.
+  */
+object AnalystQueries {
+
+  private val TargetCountries = Seq("nation_3", "nation_7", "nation_11")
+
+  val decls: Seq[Decl] = Seq(
+
+    // analysis/most_sanctioned.md — persons from the gated countries
+    // ranked by how many DISTINCT sanctions point at them, with the
+    // name/alias and country rollup cells the analysts chart.
+    decl("q236_analyst_most_sanctioned",
+      (s, d) => {
+        val ents = ExportQueries.syntheticEntities(s, d)
+        val persons = ents.filter(col("schema") === "Person")
+          .select(col("id"),
+            element_at(col("properties"), "name").as("nm"),
+            coalesce(element_at(col("properties"), "alias"),
+              array().cast("array<string>")).as("al"),
+            element_at(col("properties"), "country").as("co"))
+          .filter(arrays_overlap(col("co"),
+            array(TargetCountries.map(lit): _*)))
+          .select(col("id"),
+            element_at(col("nm"), 1).as("caption"),
+            concat_ws("; ", array_sort(col("co"))).as("countries"),
+            concat_ws("; ",
+              array_sort(array_distinct(concat(col("nm"), col("al")))))
+              .as("names"))
+        // the reference's `ssl.entity_id = ssa.value AND ssa.schema =
+        // 'Sanction'` self-join IS the inverted adjacency edge
+        val sanc = Adjacency.adjacent(ents)
+          .filter(col("direction") === "inv" && col("prop") === "entity" &&
+            col("other_id").startsWith("s"))
+          .select(col("id"), col("other_id").as("sanction_id"))
+        persons.join(sanc, "id")
+          .groupBy(col("id"), col("caption"), col("countries"), col("names"))
+          .agg(countDistinct(col("sanction_id")).as("sanctions"))
+      },
+      """WITH cust AS (
+        |  SELECT c_custkey AS k, c_name, lower(n_name) AS country
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |p AS (SELECT k, c_name, country,
+        |    array_to_string(list_sort(list_distinct(
+        |      CASE WHEN k % 5 = 0
+        |           THEN [c_name, upper(c_name), c_name || ' Ltd']
+        |           ELSE [c_name] END)), '; ') AS names
+        |  FROM cust
+        |  WHERE k % 4 != 0 AND country IN ('nation_3', 'nation_7', 'nation_11'))
+        |SELECT 'c' || k::VARCHAR AS id, c_name AS caption,
+        |  country AS countries, names,
+        |  COUNT(DISTINCT o_orderkey)::BIGINT AS sanctions
+        |FROM p JOIN orders ON o_custkey = k AND o_orderkey % 5 = 0
+        |GROUP BY 1, 2, 3, 4""".stripMargin),
+
+    // analysis/sanctions_over_time.md — the listing-date time series:
+    // one row per Sanction through the FORWARD adjacency to its
+    // target, carrying the target's identity/country and the
+    // sanction's program / programId / startDate rollup cells plus the
+    // derived listing year the analysts bucket by.
+    decl("q237_analyst_sanctions_over_time",
+      (s, d) => {
+        val ents = ExportQueries.syntheticEntities(s, d)
+        val adj = Adjacency.adjacent(ents)
+          .filter(col("direction") === "fwd" && col("prop") === "entity")
+          .select(col("id").as("sanction_id"), col("other_id").as("target_id"),
+            col("other_schema").as("entity_type"))
+        val sancProps = ents.filter(col("schema") === "Sanction")
+          .select(col("id").as("sanction_id"),
+            concat_ws(", ", element_at(col("properties"), "program"))
+              .as("program"),
+            concat_ws(", ", element_at(col("properties"), "programId"))
+              .as("program_id"),
+            element_at(element_at(col("properties"), "startDate"), 1)
+              .as("start_date"))
+        val tgt = ents.filter(col("schema").isin("Person", "Company"))
+          .select(col("id").as("target_id"),
+            element_at(element_at(col("properties"), "name"), 1)
+              .as("main_name"),
+            element_at(element_at(col("properties"), "country"), 1)
+              .as("linked_country"))
+        adj.join(sancProps, "sanction_id").join(tgt, "target_id")
+          .select(col("sanction_id"), col("target_id"), col("entity_type"),
+            col("main_name"), col("linked_country"), col("program"),
+            col("program_id"), col("start_date"),
+            substring(col("start_date"), 1, 4).as("listing_year"))
+      },
+      """WITH cust AS (
+        |  SELECT c_custkey AS k, c_name, lower(n_name) AS country,
+        |    CASE WHEN c_custkey % 4 = 0 THEN 'Company' ELSE 'Person' END AS sch
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |s AS (SELECT o_orderkey AS ok, o_custkey AS ck,
+        |    strftime(o_orderdate, '%Y-%m-%d') AS sd
+        |  FROM orders WHERE o_orderkey % 5 = 0)
+        |SELECT 's' || ok::VARCHAR AS sanction_id,
+        |  'c' || ck::VARCHAR AS target_id, sch AS entity_type,
+        |  c_name AS main_name, country AS linked_country,
+        |  'PROG-' || (ok % 7)::VARCHAR AS program,
+        |  'ZZ-' || (ok % 5)::VARCHAR AS program_id,
+        |  sd AS start_date, substr(sd, 1, 4) AS listing_year
+        |FROM s JOIN cust ON ck = k""".stripMargin),
+
+    // analysis/eu_not_ch.md — targets on one authority's list but not
+    // another's: country-gated entities, a semi-join against the
+    // PROG-1 target set, the reference's NOT EXISTS as an anti-join
+    // against PROG-2's, rollup cells on the survivors.
+    decl("q238_analyst_list_difference",
+      (s, d) => {
+        val ents = ExportQueries.syntheticEntities(s, d)
+        val sprog = ents.filter(col("schema") === "Sanction")
+          .select(
+            element_at(element_at(col("properties"), "entity"), 1).as("tid"),
+            element_at(element_at(col("properties"), "program"), 1)
+              .as("program"))
+        val listA = sprog.filter(col("program") === "PROG-1")
+          .select(col("tid")).distinct()
+        val listB = sprog.filter(col("program") === "PROG-2")
+          .select(col("tid")).distinct()
+        val tgts = ents.filter(col("schema").isin("Person", "Company"))
+          .select(col("id"), col("schema").as("type"),
+            element_at(element_at(col("properties"), "country"), 1)
+              .as("country"),
+            element_at(element_at(col("properties"), "name"), 1)
+              .as("main_name"),
+            concat_ws("; ", coalesce(element_at(col("properties"), "birthDate"),
+              array().cast("array<string>"))).as("birth_dates"))
+          .filter(col("country").isin(TargetCountries.map(lit): _*))
+        tgts
+          .join(broadcast(listA), col("id") === listA("tid"), "left_semi")
+          .join(broadcast(listB), col("id") === listB("tid"), "left_anti")
+      },
+      """WITH cust AS (
+        |  SELECT c_custkey AS k, c_name, lower(n_name) AS country,
+        |    CASE WHEN c_custkey % 4 = 0 THEN 'Company' ELSE 'Person' END AS sch
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |sanc AS (SELECT o_custkey AS ck,
+        |    'PROG-' || (o_orderkey % 7)::VARCHAR AS prog
+        |  FROM orders WHERE o_orderkey % 5 = 0)
+        |SELECT 'c' || k::VARCHAR AS id, sch AS type, country,
+        |  c_name AS main_name,
+        |  CASE WHEN k % 4 != 0 THEN '19' || (50 + k % 50)::VARCHAR
+        |       ELSE '' END AS birth_dates
+        |FROM cust
+        |WHERE country IN ('nation_3', 'nation_7', 'nation_11')
+        |  AND EXISTS (SELECT 1 FROM sanc WHERE ck = k AND prog = 'PROG-1')
+        |  AND NOT EXISTS (SELECT 1 FROM sanc WHERE ck = k AND prog = 'PROG-2')""".stripMargin),
+
+    // analysis/isin_sanctioned.md — securities whose issuer carries
+    // sanctions: the per-issuer sorted program rollup plus the
+    // reference's HAVING NOT 'x' = ANY(ARRAY_AGG(...)) exclusion.
+    decl("q239_analyst_isin_sanctioned",
+      (s, d) => {
+        val ents = ExportQueries.syntheticEntities(s, d)
+        val secs = ents.filter(col("schema") === "Security")
+          .select(
+            element_at(element_at(col("properties"), "isin"), 1).as("isin"),
+            element_at(element_at(col("properties"), "issuer"), 1)
+              .as("issuer_id"))
+        val progs = ents.filter(col("schema") === "Sanction")
+          .select(
+            element_at(element_at(col("properties"), "entity"), 1).as("tid"),
+            element_at(element_at(col("properties"), "program"), 1)
+              .as("program"))
+          .groupBy(col("tid"))
+          .agg(array_sort(collect_set(col("program"))).as("ps"))
+        val issuers = ents.filter(col("schema").isin("Person", "Company"))
+          .select(col("id").as("issuer_id"), col("schema").as("issuer_type"),
+            element_at(element_at(col("properties"), "name"), 1).as("caption"))
+        secs.join(progs, col("issuer_id") === col("tid"))
+          .filter(!array_contains(col("ps"), lit("PROG-3")))
+          .join(issuers, "issuer_id")
+          .select(col("isin"), col("issuer_id"), col("issuer_type"),
+            col("caption"), concat_ws("; ", col("ps")).as("programs"))
+          .distinct()
+      },
+      """WITH cust AS (
+        |  SELECT c_custkey AS k, c_name,
+        |    CASE WHEN c_custkey % 4 = 0 THEN 'Company' ELSE 'Person' END AS sch
+        |  FROM customer),
+        |sec AS (SELECT 'IS' || (o_orderkey % 997)::VARCHAR AS isin,
+        |    o_custkey AS ck
+        |  FROM orders WHERE o_orderkey % 5 = 2),
+        |sanc AS (SELECT o_custkey AS ck,
+        |    'PROG-' || (o_orderkey % 7)::VARCHAR AS prog
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |pr AS (SELECT ck,
+        |    array_to_string(list_sort(list_distinct(list(prog))), '; ')
+        |      AS programs,
+        |    list_contains(list(prog), 'PROG-3') AS has3
+        |  FROM sanc GROUP BY ck)
+        |SELECT DISTINCT sec.isin, 'c' || sec.ck::VARCHAR AS issuer_id,
+        |  cust.sch AS issuer_type, cust.c_name AS caption, pr.programs
+        |FROM sec JOIN pr ON sec.ck = pr.ck JOIN cust ON cust.k = sec.ck
+        |WHERE NOT pr.has3""".stripMargin))
+}
