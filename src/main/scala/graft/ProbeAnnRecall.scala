@@ -83,7 +83,8 @@ object ProbeAnnRecall {
         import graft.operators.AnnIndex
         val rec = args.lift(2).flatMap(_.toDoubleOption).getOrElse(0.9)
         val cells = Similarity.kFor(n)
-        val nprobe = Similarity.nprobeFor(cells, rec)
+        val nprobe = args.lift(4).flatMap(_.toIntOption).getOrElse(
+          Similarity.nprobeFor(cells, rec))
         val r = args.lift(3).flatMap(_.toIntOption).getOrElse(
           AnnIndex.rForCells(n, cells, nprobe))
         val root = java.nio.file.Files

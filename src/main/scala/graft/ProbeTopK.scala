@@ -23,29 +23,56 @@ object ProbeTopK {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    println(f"${"n"}%11s ${"window_s"}%9s ${"heap_s"}%8s ${"speedup"}%8s")
-    sizes.foreach { n =>
-      // 100 groups, with half of all rows landing in group 0 (hot)
-      val df = spark.range(n).select(
-        when(col("id") % 2 === 0, 0L).otherwise(col("id") % 100).as("g"),
-        col("id"), (col("id") * 2654435761L % 999983L).as("v"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-
-      val t0 = System.nanoTime()
-      val wRows = df.withColumn("rn", row_number().over(
+    // does Spark 4's WindowGroupLimit pushdown fire on the production
+    // ranker shape (row_number ≤ k filter)? It inserts Partial/Final
+    // WindowGroupLimit nodes around the exchange, bounding what the
+    // shuffle carries the same way the heap operator does — the
+    // adjudication fact for whether production rankers need rewiring
+    {
+      val probe = spark.range(1000)
+        .select((col("id") % 10).as("g"), col("id"),
+          (col("id") * 37 % 97).as("v"))
+        .withColumn("rn", row_number().over(
           Window.partitionBy("g").orderBy(col("v").desc, col("id"))))
-        .where(col("rn") <= 10).count()
-      val windowWall = (System.nanoTime() - t0) / 1e9
+        .where(col("rn") <= 10)
+      val plan = probe.queryExecution.executedPlan.toString
+      val hits = "WindowGroupLimit".r.findAllIn(plan).size
+      println(s"window plan WindowGroupLimit nodes: $hits " +
+        (if (hits >= 2) "(Partial+Final: shuffle already k-bounded)"
+         else if (hits == 1) "(Final only: shuffle carries whole groups)"
+         else "(absent: full sort per group)"))
+    }
 
-      val t1 = System.nanoTime()
-      val hRows = graft.plans.TopK.topKPerGroup(df, Seq(col("g")),
-        Seq(col("v").desc, col("id")), k = 10).count()
-      val heapWall = (System.nanoTime() - t1) / 1e9
+    println(f"${"n"}%11s ${"regime"}%10s ${"window_s"}%9s ${"heap_s"}%8s ${"speedup"}%8s")
+    sizes.foreach { n =>
+      // two regimes: "hot" (half of all rows in group 0 — the skewed
+      // blocking key) and "flat" (n/1000 groups of ~1000 rows — the
+      // production blocking/ranking shape where candidate caps bound
+      // group size)
+      val regimes = Seq(
+        "hot" -> when(col("id") % 2 === 0, 0L).otherwise(col("id") % 100),
+        "flat" -> (col("id") % greatest(lit(1L), lit(n / 1000L))))
+      regimes.foreach { case (label, gexpr) =>
+        val df = spark.range(n).select(gexpr.as("g"),
+          col("id"), (col("id") * 2654435761L % 999983L).as("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count()
 
-      require(wRows == hRows, s"row counts differ: $wRows vs $hRows")
-      df.unpersist(blocking = false)
-      println(f"$n%11d $windowWall%9.2f $heapWall%8.2f ${windowWall / heapWall}%7.1fx")
+        val t0 = System.nanoTime()
+        val wRows = df.withColumn("rn", row_number().over(
+            Window.partitionBy("g").orderBy(col("v").desc, col("id"))))
+          .where(col("rn") <= 10).count()
+        val windowWall = (System.nanoTime() - t0) / 1e9
+
+        val t1 = System.nanoTime()
+        val hRows = graft.plans.TopK.topKPerGroup(df, Seq(col("g")),
+          Seq(col("v").desc, col("id")), k = 10).count()
+        val heapWall = (System.nanoTime() - t1) / 1e9
+
+        require(wRows == hRows, s"row counts differ: $wRows vs $hRows")
+        df.unpersist(blocking = false)
+        println(f"$n%11d $label%10s $windowWall%9.2f $heapWall%8.2f ${windowWall / heapWall}%7.1fx")
+      }
     }
     spark.stop()
   }

@@ -127,6 +127,51 @@ object Snapshot {
           col("min_key"), col("max_key")))
   }
 
+  /** Compaction with the ROWS rewritten alongside the manifest — the
+    * physical form of [[commitCompact]], for stores whose rows carry
+    * their `file_id` (posting stores, the mergeCow row model). Small
+    * files pack by [[Layout.compactionPlan]]'s two-phase prefix sum
+    * (single-`source` frame ordered by file_id — manifest-sized, never
+    * a data window); the frag→group mapping broadcasts back over the
+    * data so ONLY the packed files' rows are rewritten (new file_id),
+    * kept files' rows carry through untouched. Manifest entries for
+    * packed groups re-aggregate from the REMAPPED rows, so
+    * manifest/rows consistency is by construction, not by parallel
+    * arithmetic. `key` is the zone-map column of `rows`.
+    * Returns (manifest', rows'). */
+  def compactFiles(rows: DataFrame, manifest: DataFrame, key: Column,
+      smallRows: Long, targetRows: Long, version: Long): (DataFrame, DataFrame) = {
+    require(smallRows <= targetRows, "smallRows must be <= targetRows")
+    val keep = manifest.where(col("n_rows") >= smallRows)
+    val small = manifest.where(col("n_rows") < smallRows)
+    val base = broadcast(manifest.agg(
+      coalesce(max(col("file_id")) + 1L, lit(0L)).as("_base")))
+    val mapping = Layout.compactionPlan(
+        small.select(lit("f").as("source"), col("file_id").as("frag_idx"),
+          col("n_rows").as("bytes")), targetRows)
+      .select(col("frag_idx").as("file_id"), col("out_group"))
+    val rows2 = rows.join(broadcast(keep.select("file_id")), Seq("file_id"),
+        "left_semi")
+      .unionByName(rows
+        .join(broadcast(mapping), Seq("file_id"))
+        .crossJoin(base)
+        .select((col("_base") + col("out_group")).as("file_id") +:
+          rows.columns.filterNot(_ == "file_id").map(col): _*)
+        .select(rows.columns.map(col): _*))
+    val packedEntries = rows2
+      .join(broadcast(keep.select("file_id")), Seq("file_id"), "left_anti")
+      .select(col("file_id"), key.as("_k"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"), min(col("_k")).as("min_key"),
+        max(col("_k")).as("max_key"))
+    val manifest2 = keep
+      .select(lit(version).as("version"), col("file_id"), col("n_rows"),
+        col("min_key"), col("max_key"))
+      .unionByName(packedEntries.select(lit(version).as("version"),
+        col("file_id"), col("n_rows"), col("min_key"), col("max_key")))
+    (manifest2, rows2)
+  }
+
   /** Copy-on-write MERGE commit — the Delta/Iceberg `MERGE INTO`
     * write shape, the one mutation the append/compact family can't
     * express. `source` carries keyed ops ('U' upsert: update matched /

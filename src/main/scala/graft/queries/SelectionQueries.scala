@@ -335,6 +335,126 @@ object SelectionQueries {
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id)::BIGINT AS rank
         |  FROM sc) WHERE rank <= 3""".stripMargin),
 
+    // POSTING-STORE COMPACTION (round-12): the maintenance event the
+    // O(delta) append lifecycle needs. Each streaming micro-batch
+    // writes ONLY its own posting files (nothing existing is read or
+    // rewritten — contrast q234's merged-version write, which pays
+    // O(index) per batch), so the file count grows one batch-worth per
+    // trigger until Snapshot.compactFiles packs the small files: the
+    // manifest-level commitCompact arithmetic (q182/q208) with the
+    // ROWS of packed files remapped through the same
+    // Layout.compactionPlan prefix sum, kept files untouched. The
+    // gate: search served from the COMPACTED rows equals the
+    // full-rebuild oracle (compaction is invisible to queries), and
+    // the file counts before/after ride the same hash-checked row.
+    decl("q240_posting_store_compaction",
+      (s, d) => {
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val base = s"/tmp/graft_q240_$tag"
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val landing = s"$base/landing"
+        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+        val c = t(s, d, "customer")
+        def named(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("c_custkey").cast("long").as("id"),
+            lower(col("c_name")).as("nm"))
+        def processAvailable(): Unit = {
+          val stream = s.readStream.schema("id LONG, nm STRING")
+            .option("maxFilesPerTrigger", "10000").parquet(landing)
+          val q = graft.streaming.StatementStream.foreachBatchSink(
+            stream, s"$base/ck",
+            trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow())) {
+            (batch, bid) =>
+              // the batch's own postings, hash-packed into a few fresh
+              // files — the base load gets 2 big files, every delta
+              // batch 6 small ones (the accumulation compaction bounds)
+              val nf = if (bid == 0L) 2L else 6L
+              val off = if (bid == 0L) 0L else 2L + (bid - 1L) * 6L
+              graft.operators.Retrieval.trigramIndex(batch, col("id"), col("nm"))
+                .withColumn("file_id", lit(off) +
+                  pmod(graft.operators.Dedup.hash60(
+                    concat(lit("pf|"), col("id").cast("string"))), lit(nf)))
+                .write.mode("overwrite").parquet(s"$base/postings/batch$bid")
+          }
+          q.awaitTermination()
+        }
+        named(c.where(pmod(col("c_custkey"), lit(5)).isin(0L, 4L)))
+          .write.mode("append").parquet(landing)
+        processAvailable()
+        named(c.where(pmod(col("c_custkey"), lit(5)).isin(1L, 2L)))
+          .write.mode("append").parquet(landing)
+        processAvailable()
+        named(c.where(pmod(col("c_custkey"), lit(5)) === 3L))
+          .write.mode("append").parquet(landing)
+        processAvailable()
+        val rows = s.read.parquet(s"$base/postings/batch*")
+        val m = graft.operators.Snapshot.manifestEntriesBy(
+            rows, col("file_id"), col("t3"), 4L)
+          .select("file_id", "n_rows", "min_key", "max_key")
+        val (m5, rows5) = graft.operators.Snapshot.compactFiles(
+          rows, m, col("t3"), smallRows = 2500L, targetRows = 6000L,
+          version = 5L)
+        val totals = broadcast(m.agg(count(lit(1)).as("files_before"))
+          .crossJoin(m5.agg(count(lit(1)).as("files_after"),
+            sum(col("n_rows")).as("rows_live"))))
+        val qs = c.where(col("c_custkey") % 89 === 1)
+          .select(col("c_custkey").cast("long").as("qid"),
+            concat(substring(lower(col("c_name")), 1, 2),
+              expr("substring(lower(c_name), 4)")).as("qnm"))
+        Retrieval.trigramTopKFromPostings(rows5.select(col("id"), col("t3")),
+            qs, col("qid"), col("qnm"), k = 3, maxDf = 256L)
+          .crossJoin(totals)
+      },
+      s"""WITH tgt AS (SELECT c_custkey::BIGINT AS id, lower(c_name) AS nm FROM customer),
+        |q AS (SELECT c_custkey::BIGINT AS qid,
+        |  substr(lower(c_name), 1, 2) || substr(lower(c_name), 4) AS nm
+        |  FROM customer WHERE c_custkey % 89 = 1),
+        |ttg AS (SELECT id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(nm) - 2), i -> substr(nm, i, 3)))) AS t3
+        |  FROM tgt WHERE len(nm) >= 3
+        |  UNION ALL SELECT id, nm FROM tgt WHERE len(nm) BETWEEN 1 AND 2),
+        |qtg AS (SELECT qid, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(nm) - 2), i -> substr(nm, i, 3)))) AS t3
+        |  FROM q WHERE len(nm) >= 3
+        |  UNION ALL SELECT qid, nm FROM q WHERE len(nm) BETWEEN 1 AND 2),
+        |tsz AS (SELECT id, COUNT(*)::BIGINT AS tn FROM ttg GROUP BY 1),
+        |qsz AS (SELECT qid, COUNT(*)::BIGINT AS qn FROM qtg GROUP BY 1),
+        |keep AS (SELECT t3 FROM (SELECT t3, COUNT(*)::BIGINT AS df FROM ttg GROUP BY 1)
+        |  WHERE df <= 256),
+        |cand AS (SELECT DISTINCT qid, id
+        |  FROM qtg JOIN keep USING (t3) JOIN ttg USING (t3)),
+        |inter AS (SELECT c.qid, c.id, COUNT(*)::BIGINT AS inter
+        |  FROM cand c JOIN qtg ON qtg.qid = c.qid
+        |  JOIN ttg ON ttg.id = c.id AND ttg.t3 = qtg.t3
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT i.qid, i.id, i.inter,
+        |  i.inter::DOUBLE / (qn + tn - i.inter)::DOUBLE AS score
+        |  FROM inter i JOIN qsz USING (qid) JOIN tsz USING (id)),
+        |pf AS (SELECT id, t3,
+        |    CASE WHEN id % 5 IN (0, 4) THEN h % 2
+        |         WHEN id % 5 IN (1, 2) THEN 2 + (h % 6)
+        |         ELSE 8 + (h % 6) END AS file_id
+        |  FROM (SELECT id, t3, ${sqlHash60("('pf|' || id::VARCHAR)")} AS h FROM ttg)),
+        |m AS (SELECT file_id, COUNT(*)::BIGINT AS n_rows FROM pf GROUP BY 1),
+        |fb AS (SELECT COUNT(*)::BIGINT AS files_before FROM m),
+        |pk AS (SELECT file_id, n_rows,
+        |    COALESCE(SUM(n_rows) OVER (ORDER BY file_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS strt
+        |  FROM m WHERE n_rows < 2500),
+        |grp AS (SELECT (strt // 6000)::BIGINT AS g, SUM(n_rows)::BIGINT AS n_rows
+        |  FROM pk GROUP BY 1),
+        |m5 AS (SELECT n_rows FROM m WHERE n_rows >= 2500
+        |  UNION ALL SELECT n_rows FROM grp),
+        |fa AS (SELECT COUNT(*)::BIGINT AS files_after,
+        |  SUM(n_rows)::BIGINT AS rows_live FROM m5)
+        |SELECT qid, target_id, inter, score, rank,
+        |  files_before, files_after, rows_live FROM (
+        |  SELECT qid, id AS target_id, inter, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id)::BIGINT AS rank
+        |  FROM sc) CROSS JOIN fb CROSS JOIN fa WHERE rank <= 3""".stripMargin),
+
     // The composed fuzzy-match API (round-11): trigram candidate
     // generation (the q211 index) ranked by the NATIVE codegen'd
     // Jaro–Winkler expression (graft.functions.expr.JaroWinkler — a
