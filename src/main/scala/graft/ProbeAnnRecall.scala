@@ -64,14 +64,15 @@ object ProbeAnnRecall {
           targetBucketSize = 128, cosTarget = cos, recall = rec),
           s"router cos=$cos recall=$rec -> $branch")
       case "ivf" =>
+        // hash-seeded like the production router (the former
+        // modulo-step init degenerated on ScaleData's offset ids —
+        // 9 effective centroids of 224 — and measured brute-force
+        // scans as "recall 1.0"; see nprobeFor's round-12 scaladoc)
         val nprobe = args.lift(2).flatMap(_.toIntOption).getOrElse(2)
         val cells = Similarity.kFor(n)
-        val step = math.max(1L, n / cells)
         val c = e.toDF("id", "vec")
-        val init = c
-          .filter(col("id") % step === 0 && col("id") < step * cells)
-          .select(col("id").as("centroid_id"), col("vec").as("cvec"))
-        val cents = Similarity.kmeansCentroids(c, init, 64, 3, earlyStop = false)
+        val cents = Similarity.kmeansCentroids(c,
+          Similarity.seedCentroids(c, cells), 64, 2, earlyStop = false)
         (Similarity.ivfTopK(qs, e, cents, k = 10, nprobe = nprobe),
           s"ivf cells=$cells nprobe=$nprobe")
       case "ivfpq" =>
@@ -87,12 +88,13 @@ object ProbeAnnRecall {
           Similarity.nprobeFor(cells, rec))
         val r = args.lift(3).flatMap(_.toIntOption).getOrElse(
           AnnIndex.rForCells(n, cells, nprobe))
+        val pqK = args.lift(5).flatMap(_.toIntOption).getOrElse(16)
         val root = java.nio.file.Files
           .createTempDirectory("probe-ivfpq").toString
-        AnnIndex.buildPq(spark, root, e, dim = 64, m = 8, pqK = 16)
+        AnnIndex.buildPq(spark, root, e, dim = 64, m = 8, pqK = pqK)
         (AnnIndex.queryPq(spark, root, qs, k = 10, dim = 64, m = 8,
-          nprobe = nprobe, r = r),
-          s"ivfpq cells=$cells nprobe=$nprobe r=$r")
+          nprobe = nprobe, r = r, pqK = pqK),
+          s"ivfpq cells=$cells nprobe=$nprobe r=$r pqK=$pqK")
       case "pq" =>
         // PQ ADC + exact re-rank (operators/ProductQuantizer): recall
         // is governed by whether the true top-10 survive the ADC cut

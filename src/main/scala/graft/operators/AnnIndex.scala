@@ -355,8 +355,10 @@ object AnnIndex {
     * exact re-rank emits top-k. Decode is ((pq_code >> 4s) & 15) —
     * integer-exact, oracle-replayable. */
   def queryPqFrame(idx: DataFrame, queries: DataFrame, k: Int, dim: Int,
-      m: Int = 8, nprobe: Int = 2, r: Int = 50): DataFrame = {
+      m: Int = 8, nprobe: Int = 2, r: Int = 50, pqK: Int = 16): DataFrame = {
     require(r >= k, s"re-rank pool r=$r must cover k=$k")
+    val bits = ProductQuantizer.bitsFor(pqK)
+    val codeMask = (1L << bits) - 1L
     val (cents, _) = split(idx)
     val cbs = idx.filter(col("kind") === "b")
       .select(col("centroid_id").as("sub"), col("id").as("code"),
@@ -393,7 +395,7 @@ object AnnIndex {
           explode(sequence(lit(0), lit(m - 1))).as("sub"),
           col("pq_code"))
         .withColumn("code",
-          expr("shiftright(pq_code, cast(4 * sub as int)) & 15"))
+          expr(s"shiftright(pq_code, cast($bits * sub as int)) & $codeMask"))
         .join(broadcast(lut), Seq("query_id", "sub", "code"))
         .groupBy(col("query_id"), col("id"))
         // exact decimal sums: order-independent across engines/retries
@@ -428,13 +430,13 @@ object AnnIndex {
 
   /** Probe the published IVFPQ index: current version or as-of. */
   def queryPq(spark: SparkSession, root: String, queries: DataFrame, k: Int,
-      dim: Int, m: Int = 8, nprobe: Int = 2, r: Int = 50,
+      dim: Int, m: Int = 8, nprobe: Int = 2, r: Int = 50, pqK: Int = 16,
       asOfMillis: Option[Long] = None): DataFrame = {
     val idx = asOfMillis match {
       case Some(ts) => Snapshot.readAsOf(spark, root, ts)
       case None => Snapshot.readCurrent(spark, root)
     }
-    queryPqFrame(idx, queries, k, dim, m, nprobe, r)
+    queryPqFrame(idx, queries, k, dim, m, nprobe, r, pqK)
   }
 
   /** One micro-batch of STREAMING semantic dedup against the frozen

@@ -130,23 +130,29 @@ object ProductQuantizer {
           struct(col("sub"), col("code")))),
         x => x.getField("code")).as("codes"))
 
-  /** Encode every vector as ONE BIGINT: subspace s's code occupies bits
-    * [4s, 4s+4) — with (m=8, k=16) the whole member code is 32 bits of
-    * one long, the literal "~4 bytes per member" the IVFPQ memory story
-    * rests on (an array<long> of codes would carry 8 longs plus array
-    * overhead per member — an order of magnitude looser). Requires
-    * k ≤ 16 and 4·m ≤ 60 so codes never collide bits and the pack stays
+  /** Bits per code for a k-entry codebook: ⌈log₂ k⌉, min 1. */
+  def bitsFor(k: Int): Int =
+    math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, k - 1)))
+
+  /** Encode every vector as ONE BIGINT: subspace s's code occupies
+    * bits [bs, bs+b), b = [[bitsFor]](k) — with (m=8, k=16) the whole
+    * member code is 32 bits of one long, the literal "~4 bytes per
+    * member" the IVFPQ memory story rests on; (m=8, k=128) spends
+    * 56 bits for the finer per-subspace resolution the low-cos regime
+    * needs (an array<long> of codes would carry m longs plus array
+    * overhead per member either way — an order of magnitude looser).
+    * Requires m·b ≤ 60 so codes never collide bits and the pack stays
     * positive in a signed long. Decode is pure integer arithmetic
-    * ((pq_code >> 4s) & 15) that any SQL engine replays bit-for-bit.
-    * Returns (id, pq_code). */
+    * ((pq_code >> bs) & (2^b − 1)) that any SQL engine replays
+    * bit-for-bit. Returns (id, pq_code). */
   def packedCodes(corpus: DataFrame, codebooks: DataFrame, dim: Int,
       m: Int, k: Int = 16): DataFrame = {
-    require(k <= 16, s"packedCodes packs 4-bit codes; k=$k > 16")
-    require(4 * m <= 60, s"packedCodes: 4·m=${4 * m} bits exceed a signed long")
+    val b = bitsFor(k)
+    require(b * m <= 60, s"packedCodes: $m×$b-bit codes exceed a signed long")
     encodeSubCodes(corpus, codebooks, dim, m)
       .groupBy(col("id"))
       // sum of disjoint-bit terms == bitwise OR of the shifted codes
-      .agg(sum(expr("code * (cast(1 as bigint) << cast(4 * sub as int))"))
+      .agg(sum(expr(s"code * (cast(1 as bigint) << cast($b * sub as int))"))
         .as("pq_code"))
   }
 

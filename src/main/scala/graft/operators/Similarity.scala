@@ -963,26 +963,41 @@ object Similarity {
     // clamp in the Long domain: sqrt(Long.MaxValue) ≈ 3e9 overflows Int
     math.min(maxK.toLong, math.max(1L, math.round(math.sqrt(n.toDouble)))).toInt
 
-  /** IVF probe width for a declared recall floor: nprobe =
-    * max(16, ⌈(1−recall)·cells⌉), clamped to `cells`. A FRACTION rule
-    * plus a floor, both calibrated on the synthetic low-cos (~0.35)
-    * neighbor fixture across the 1×/5×/25× decade (ProbeAnnRecall;
-    * STRESS.md round-11 recall table). The measured fraction NEEDED for
-    * recall 0.9 falls as n grows — 50000 vectors / 224 cells reach
-    * 0.985 at nprobe 8 (3.6% of cells) where 10000 / 100 need 16 (16%)
-    * — because finer cell sets isolate a query's neighborhood better;
-    * so a rule calibrated at the SMALL end (the floor: 32 probes reach
-    * 0.950 on 45 cells at n=2000) is conservative at the large end,
-    * never the reverse. Small corpora where the floor exceeds the cell
-    * count degrade gracefully to probing every cell — exact search,
-    * which is both correct and cheap exactly when n is small. Probe
-    * cost per query is nprobe·√n; at the 0.9 default that is
-    * ≈ max(32·√n, 0.1·n) scored candidates — ~10× under brute force
-    * at any measured large scale. */
-  def nprobeFor(cells: Int, recall: Double = 0.9): Int = {
+  /** IVF probe width for a declared recall floor, by similarity
+    * regime. RE-CALIBRATED in round 12 after the decade probe caught a
+    * measurement artifact: the round-11 "1.000 recall at 5×/25×" was
+    * produced by the modulo-step k-means init degenerating on
+    * ScaleData's offset id domain (ids ≥ 10⁹ fall outside
+    * `id < step·cells`, leaving ~9 effective centroids of 224 — nprobe
+    * 32 then probes EVERYTHING, i.e. the measurement was a silent
+    * brute-force scan). With the non-degenerate hash-seeded quantizer
+    * ([[seedCentroids]], the init every trainer now uses) the honest
+    * curve on the adversarial low-cos (~0.35) arm at 25× / 224 cells
+    * is: nprobe 32 → 0.622, 64 → 0.802, 112 → 0.924 (ProbeAnnRecall
+    * ivfpq mode, full-pool re-rank so the number is pure cell recall).
+    * Cos-0.35 neighbors of near-isotropic embeddings barely cluster,
+    * so a 0.9 floor genuinely costs ~half the cells — IVF buys ~2×
+    * over brute force there, and the honest rule must say so.
+    *
+    *  - `cosTarget` ≥ 0.6 (clusterable: near-dup/SemDeDup regimes,
+    *    where neighbors share cells): the round-11 fraction rule
+    *    max(32, ⌈(1−recall)·cells⌉) stands (q101-style planted recall
+    *    1.0 holds there).
+    *  - `cosTarget` < 0.6 (adversarial): nprobe = ⌈0.55·recall·cells⌉
+    *    — linear through the measured (0.5·cells → 0.924) anchor,
+    *    conservative between anchors (0.8 floor would get 0.44·cells
+    *    where 0.29·cells measured 0.802).
+    *
+    * Both clamp to [32, cells]; small corpora degrade gracefully to
+    * probing every cell — exact search, correct and cheap exactly when
+    * n is small. */
+  def nprobeFor(cells: Int, recall: Double = 0.9,
+      cosTarget: Double = 0.9): Int = {
     require(cells >= 1 && recall > 0 && recall < 1)
-    math.min(cells, math.max(32,
-      math.ceil((1.0 - recall) * cells).toInt))
+    val frac =
+      if (cosTarget >= 0.6) 1.0 - recall
+      else 0.55 * recall
+    math.min(cells, math.max(32, math.ceil(frac * cells).toInt))
   }
 
   /** PRODUCTION ANN entry point: a declared (cosTarget, recall)
@@ -1006,11 +1021,15 @@ object Similarity {
     * (the near-dup/high-cos regime LSH is actually built for, where
     * p ≈ 1 makes the formula robust — q101's planted recall 1.0);
     * beyond it, IVF meets the floor where formula-sized LSH does not
-    * (measured 0.946/1.000/1.000 across 1×/5×/25× vs 0.580 for
-    * 16-table LSH at 1× and 0.348 for 64-table LSH at 25× — at half
-    * the wall). The IVF branch's k-means init is deterministic (every
-    * `step`-th id, step = n/cells) so results are reproducible across
-    * runs and engines. */
+    * (1× measured 0.946 vs 0.580 for 16-table LSH; the round-11
+    * "1.000 at 5×/25×" figures were a measurement ARTIFACT — the
+    * modulo-step init degenerated on ScaleData's offset id domain into
+    * ~9 effective centroids, so the probe was a silent brute-force
+    * scan; see [[nprobeFor]]'s round-12 recalibration for the honest
+    * curve). The IVF branch's k-means init is [[seedCentroids]]
+    * (hash-ordered) — deterministic, engine-replayable, and
+    * independent of the id domain's shape, unlike the former
+    * `id % step` pick. */
   def cosineTopKAnnAuto(
       queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       targetBucketSize: Long = 128, cosTarget: Double = 0.9,
@@ -1023,13 +1042,17 @@ object Similarity {
       cosineTopKLshTables(queries, corpus, k, dim, planes, needed)
     else {
       val cells = kFor(n)
-      val step = math.max(1L, n / cells)
       val c = corpus.toDF("id", "vec")
-      val init = c
-        .filter(col("id") % step === 0 && col("id") < step * cells)
-        .select(col("id").as("centroid_id"), col("vec").as("cvec"))
+      // hash-ordered seeding (NOT `id % step`): modulo-step seeding
+      // assumes a dense 0..n id domain and silently degenerates on any
+      // other — on ScaleData's replica-offset ids it left 9 effective
+      // centroids of 224, turning the "indexed" probe into a
+      // brute-force scan that measured as recall 1.0 (the round-12
+      // decade probe caught it). The hash pick is a uniform sample of
+      // whatever the id domain is.
+      val init = seedCentroids(c, cells)
       val cents = kmeansCentroids(c, init, dim, kmeansIterations, earlyStop = false)
-      ivfTopK(queries, corpus, cents, k, nprobeFor(cells, recall))
+      ivfTopK(queries, corpus, cents, k, nprobeFor(cells, recall, cosTarget))
     }
   }
 
