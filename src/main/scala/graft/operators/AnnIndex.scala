@@ -418,15 +418,23 @@ object AnnIndex {
     } finally probes.unpersist()
   }
 
-  /** Re-rank pool size for a cell-scoped ADC probe: the same
-    * fraction-of-scanned-pool rule as [[ProductQuantizer.rFor]]
-    * (1/40, floor 50) applied to what the probe actually SCANS —
-    * ~n·nprobe/cells members instead of the whole corpus. A fixed
-    * pool decays with n exactly like the full-corpus form did
-    * (STRESS round-11 table); a corpus-fraction pool wastes re-rank
-    * work on members the ADC never scored. */
-  def rForCells(n: Long, cells: Int, nprobe: Int): Int =
-    math.max(50L, n * nprobe / (cells.toLong * 40L)).toInt
+  /** Re-rank pool size for a cell-scoped ADC probe. MEASURED rule
+    * (round-12 decade, ProbeAnnRecall ivfpq, cos≈0.35 arm): the pool
+    * must track CORPUS density (n/40, [[ProductQuantizer.rFor]]'s
+    * fraction), not the scanned-pool fraction — ADC distortion is an
+    * absolute property of the codes, so the depth needed to cover its
+    * ranking error grows with n regardless of how many cells were
+    * scanned (the scanned-pool form measured 0.287/0.331 at 5×/25×
+    * where this rule measures 0.811/0.891 with 128-entry codebooks).
+    * Floor 200, not 50: at the small end the corpus fraction
+    * undershoots the ADC error band (r=50 → 0.657 at 1×; r=200 →
+    * 0.835 against a 0.854 cell ceiling) and 200 exact cosines per
+    * query is noise at any scale. Capped at the scoped pool — ADC
+    * never scored anything beyond it. */
+  def rForCells(n: Long, cells: Int, nprobe: Int): Int = {
+    val pool = n * nprobe / math.max(1, cells).toLong
+    math.max(50L, math.min(math.max(200L, n / 40L), pool)).toInt
+  }
 
   /** Probe the published IVFPQ index: current version or as-of. */
   def queryPq(spark: SparkSession, root: String, queries: DataFrame, k: Int,

@@ -49,6 +49,30 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(tc(0) === tc(1))
   }
 
+  test("bitsFor and wide-codebook packing round-trip (k=32: 5-bit codes)") {
+    assert(ProductQuantizer.bitsFor(2) === 1)
+    assert(ProductQuantizer.bitsFor(16) === 4)
+    assert(ProductQuantizer.bitsFor(17) === 5)
+    assert(ProductQuantizer.bitsFor(128) === 7)
+    // k=32 on the spec corpus: 5-bit codes, 4 subspaces → 20 bits/long
+    val c = corpus(0 until 40)
+    val cb = ProductQuantizer.trainCodebooks(c, dim = 16, m = 4, k = 32,
+      iterations = 1)
+    val arr = ProductQuantizer.encode(c, cb, dim = 16, m = 4)
+      .as[(Long, Seq[Long])].collect().toMap
+    val packed = ProductQuantizer.packedCodes(c, cb, dim = 16, m = 4, k = 32)
+      .as[(Long, Long)].collect().toMap
+    arr.foreach { case (id, codes) =>
+      codes.zipWithIndex.foreach { case (code, s) =>
+        assert(((packed(id) >> (5 * s)) & 31L) === code, s"id=$id sub=$s")
+      }
+    }
+    // and the guard: 16 nibble-coded subspaces would need 64 bits
+    intercept[IllegalArgumentException] {
+      ProductQuantizer.packedCodes(c, cb, dim = 16, m = 16, k = 128)
+    }
+  }
+
   test("ADC with a full re-rank pool equals exact brute-force top-k") {
     val c = corpus(0 until 40)
     val qs = c.filter(col("id") % 10 === 0)
