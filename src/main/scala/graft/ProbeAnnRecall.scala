@@ -57,7 +57,7 @@ object ProbeAnnRecall {
           if (needed <= 8) s"LSH planes=$planes tables=$needed"
           else {
             val cells = Similarity.kFor(n)
-            s"IVF cells=$cells nprobe=${Similarity.nprobeFor(cells, rec)} " +
+            s"IVF cells=$cells nprobe=${Similarity.nprobeFor(cells, rec, cos)} " +
               s"(LSH would need $needed tables)"
           }
         (Similarity.cosineTopKAnnAuto(qs, e, k = 10, dim = 64,
