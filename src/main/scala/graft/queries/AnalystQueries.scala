@@ -33,6 +33,49 @@ object AnalystQueries {
 
   private val TargetCountries = Seq("nation_3", "nation_7", "nation_11")
 
+  /** Two-dataset birthDate statement fixture for the cross-list
+    * disagreement reports (q241/q242): every customer contributes a
+    * birthDate statement to ds_a, and ds_b re-reports it verbatim
+    * (k%4 ∈ {0,3}), with day/month SWAPPED (k%4 = 1 — the American-
+    * date ingestion bug the reference's ofsi_american_dates.md hunts)
+    * or with a different year (k%4 = 2 — a genuine conflict). */
+  private def bdayStatements(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val c = t(s, d, "customer")
+    val k = col("c_custkey")
+    val yearA = (lit(1950) + k % 50).cast("string")
+    val month = concat(lit("0"), (lit(1) + k % 9).cast("string"))
+    val day = (lit(10) + k % 19).cast("string")
+    val vA = concat_ws("-", yearA, month, day)
+    val vB = when(k % 4 === 1, concat_ws("-", yearA, day, month))
+      .when(k % 4 === 2,
+        concat_ws("-", (lit(1951) + k % 50).cast("string"), month, day))
+      .otherwise(vA)
+    def side(ds: String, v: org.apache.spark.sql.Column) = c.select(
+      concat(lit("c"), k.cast("string")).as("canonical_id"),
+      lit(ds).as("dataset"), lit("birthDate").as("prop"),
+      v.as("value"), col("c_name").as("caption"))
+    side("ds_a", vA).unionByName(side("ds_b", vB))
+  }
+
+  private val SqlBday =
+    """bd AS (
+      |  SELECT 'c' || c_custkey::VARCHAR AS canonical_id, c_name AS caption,
+      |    (1950 + c_custkey % 50)::VARCHAR || '-0' ||
+      |      (1 + c_custkey % 9)::VARCHAR || '-' ||
+      |      (10 + c_custkey % 19)::VARCHAR AS a_bday,
+      |    CASE c_custkey % 4
+      |      WHEN 1 THEN (1950 + c_custkey % 50)::VARCHAR || '-' ||
+      |        (10 + c_custkey % 19)::VARCHAR || '-0' ||
+      |        (1 + c_custkey % 9)::VARCHAR
+      |      WHEN 2 THEN (1951 + c_custkey % 50)::VARCHAR || '-0' ||
+      |        (1 + c_custkey % 9)::VARCHAR || '-' ||
+      |        (10 + c_custkey % 19)::VARCHAR
+      |      ELSE (1950 + c_custkey % 50)::VARCHAR || '-0' ||
+      |        (1 + c_custkey % 9)::VARCHAR || '-' ||
+      |        (10 + c_custkey % 19)::VARCHAR END AS b_bday
+      |  FROM customer)""".stripMargin
+
   val decls: Seq[Decl] = Seq(
 
     // analysis/most_sanctioned.md — persons from the gated countries
@@ -219,5 +262,121 @@ object AnalystQueries {
         |SELECT DISTINCT sec.isin, 'c' || sec.ck::VARCHAR AS issuer_id,
         |  cust.sch AS issuer_type, cust.c_name AS caption, pr.programs
         |FROM sec JOIN pr ON sec.ck = pr.ck JOIN cust ON cust.k = sec.ck
-        |WHERE NOT pr.has3""".stripMargin))
+        |WHERE NOT pr.has3""".stripMargin),
+
+    // analysis/nabc_nsdc_bday_diff.md — the cross-dataset field
+    // CONFLICT report: two lists report a birthDate for the same
+    // canonical entity and the values disagree. The reference shape is
+    // a statement self-join on canonical_id gated by (dataset, prop)
+    // on each side; at scale it is a key-partitioned equi-join on the
+    // canonical id, never dataset×dataset.
+    decl("q241_analyst_bday_conflicts",
+      (s, d) => {
+        val st = bdayStatements(s, d)
+        val a = st.filter(col("dataset") === "ds_a" && col("prop") === "birthDate")
+          .select(col("canonical_id"), col("caption"), col("value").as("a_bday"))
+        val b = st.filter(col("dataset") === "ds_b" && col("prop") === "birthDate")
+          .select(col("canonical_id"), col("value").as("b_bday"))
+        a.join(b, "canonical_id")
+          .filter(col("a_bday") =!= col("b_bday"))
+          .select(col("canonical_id"), col("caption"), col("a_bday"),
+            col("b_bday"))
+      },
+      s"""WITH $SqlBday
+        |SELECT canonical_id, caption, a_bday, b_bday
+        |FROM bd WHERE a_bday <> b_bday""".stripMargin),
+
+    // analysis/ofsi_american_dates.md — the month/day format-swap
+    // detector: same canonical entity, two lists, birthDates that
+    // DISAGREE but share the leading year — the signature of one list
+    // having ingested the other's date with month and day swapped.
+    // The reference's SUBSTR(value, 0, 5) year-equality gate verbatim,
+    // plus the explicit swap test the analyst eyeballs.
+    decl("q242_analyst_date_format_swap",
+      (s, d) => {
+        val st = bdayStatements(s, d)
+        val a = st.filter(col("dataset") === "ds_a")
+          .select(col("canonical_id"), col("value").as("a_bday"))
+        val b = st.filter(col("dataset") === "ds_b")
+          .select(col("canonical_id"), col("value").as("b_bday"))
+        a.join(b, "canonical_id")
+          .filter(col("a_bday") =!= col("b_bday") &&
+            substring(col("a_bday"), 1, 4) === substring(col("b_bday"), 1, 4))
+          .select(col("canonical_id"), col("a_bday"), col("b_bday"),
+            (substring(col("a_bday"), 6, 2) === substring(col("b_bday"), 9, 2) &&
+              substring(col("a_bday"), 9, 2) === substring(col("b_bday"), 6, 2))
+              .as("swapped"))
+      },
+      s"""WITH $SqlBday
+        |SELECT canonical_id, a_bday, b_bday,
+        |  (substr(a_bday, 6, 2) = substr(b_bday, 9, 2) AND
+        |   substr(a_bday, 9, 2) = substr(b_bday, 6, 2)) AS swapped
+        |FROM bd
+        |WHERE a_bday <> b_bday AND substr(a_bday, 1, 4) = substr(b_bday, 1, 4)""".stripMargin),
+
+    // analysis/rejected_values.md — the rejected-value rollup: which
+    // raw values does the cleaning layer reject, how often, under
+    // which property. Runs the REAL per-type cleaning dispatch
+    // (ValueClean.cleanInto — the q69 machinery) over the melted
+    // statement frame and groups the clean-IS-NULL rows by raw value,
+    // exactly the reference's GROUP BY data->>'value' over
+    // 'Rejected%' issues.
+    decl("q243_analyst_rejected_values",
+      (s, d) => {
+        import graft.functions.ValueClean
+        val o = t(s, d, "orders")
+        val k = col("o_orderkey")
+        val ptype = when(k % 6 === 0, "date").when(k % 6 === 1, "identifier")
+          .when(k % 6 === 2, "name").when(k % 6 === 3, "topic")
+          .when(k % 6 === 4, "address").otherwise("phone")
+        val value = when(k % 6 === 0,
+            concat(date_format(col("o_orderdate"), "yyyy-MM-dd"), lit("T12:34:56")))
+          .when(k % 6 === 1,
+            concat(lit("IMO "), lpad((k * 37 % 10000000L).cast("string"), 7, "0")))
+          .when(k % 6 === 2, when(k % 2 === 0, lit("7")).otherwise(col("o_orderpriority")))
+          .when(k % 6 === 3, lit("Sanction"))
+          .when(k % 6 === 4, when(k % 2 === 0, lit("NY")).otherwise(lit("Long Street 1")))
+          .otherwise(concat(lit("+1-"), col("o_custkey").cast("string")))
+        val base = o.select(k, ptype.as("ptype"), value.as("value"))
+        val res = ValueClean.cleanInto(base, "res", col("ptype"), col("value"),
+          idFormat = when(col("ptype") === "identifier", "imo"),
+          formats = Set("imo"))
+        res.filter(col("res.clean").isNull)
+          .groupBy(col("value"))
+          .agg(max(col("ptype")).as("prop"), count(lit(1)).as("n"))
+      },
+      {
+        val imoD = "regexp_replace(value, '[^0-9]', '', 'g')"
+        val imoSum = (1 to 6).map(i =>
+          s"(ascii(substr($imoD, $i, 1)) - 48) * ${8 - i}").mkString(" + ")
+        s"""WITH melted AS (
+           |  SELECT o_orderkey,
+           |    CASE o_orderkey % 6 WHEN 0 THEN 'date' WHEN 1 THEN 'identifier' WHEN 2 THEN 'name'
+           |      WHEN 3 THEN 'topic' WHEN 4 THEN 'address' ELSE 'phone' END AS ptype,
+           |    CASE o_orderkey % 6
+           |      WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d') || 'T12:34:56'
+           |      WHEN 1 THEN 'IMO ' || lpad(((o_orderkey * 37) % 10000000)::VARCHAR, 7, '0')
+           |      WHEN 2 THEN CASE WHEN o_orderkey % 2 = 0 THEN '7' ELSE o_orderpriority END
+           |      WHEN 3 THEN 'Sanction'
+           |      WHEN 4 THEN CASE WHEN o_orderkey % 2 = 0 THEN 'NY' ELSE 'Long Street 1' END
+           |      ELSE '+1-' || o_custkey::VARCHAR END AS value
+           |  FROM orders),
+           |checked AS (
+           |  SELECT o_orderkey, ptype, value,
+           |    CASE WHEN ptype = 'identifier'
+           |         THEN len($imoD) = 7 AND ($imoSum) % 10 = (ascii(substr($imoD, 7, 1)) - 48)
+           |         ELSE TRUE END AS id_ok
+           |  FROM melted),
+           |cleaned AS (
+           |  SELECT value, ptype,
+           |    CASE ptype
+           |      WHEN 'date' THEN substr(value, 1, 10)
+           |      WHEN 'identifier' THEN CASE WHEN id_ok THEN regexp_replace(upper(trim(value)), '[\\s-]', '', 'g') END
+           |      WHEN 'name' THEN CASE WHEN len(value) >= 2 AND NOT regexp_matches(value, '^[0-9]+$$') THEN value END
+           |      WHEN 'topic' THEN lower(value)
+           |      ELSE value END AS clean
+           |  FROM checked)
+           |SELECT value, MAX(ptype) AS prop, COUNT(*)::BIGINT AS n
+           |FROM cleaned WHERE clean IS NULL GROUP BY value""".stripMargin
+      }))
 }
