@@ -316,6 +316,161 @@ object PipelineQueries {
     base.unionByName(pl1).unionByName(pl2)
   }
 
+  /** IVFPQ lifecycle decl shared by q235 (the 4-bit baseline whose
+    * constants the round-12 STRESS decade used as the contrast arm)
+    * and q244 (the PRODUCTION 7-bit/k=128 code width that closed the
+    * ADC gap to the cell ceiling — 0.719 -> 0.891 recall at 25x on
+    * the low-cos arm). Same engine path, same oracle replay; only the
+    * codebook cardinality, the pack shift and the decode mask change.
+    * See the q235 decl comment below for the full lifecycle story. */
+  private def ivfpqDecl(name: String, pqK: Int): Decl = {
+    val bits = graft.operators.ProductQuantizer.bitsFor(pqK)
+    val mask = (1L << bits) - 1L
+    decl(name,
+      (s, d) => {
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-ivfpq").toString
+        AnnIndex.buildPq(s, root, e, dim = 64, m = 8, pqK = pqK,
+          commitMillis = 1000L)
+        val qs = e.filter(col("vec_id") % 100 === 0)
+        AnnIndex.queryPq(s, root, qs, k = 10, dim = 64, m = 8,
+            nprobe = 2, r = 50, pqK = pqK)
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+      },
+      s"""WITH eb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |hs AS (SELECT vec_id, v, ${sqlHash60("vec_id::VARCHAR")} AS h FROM eb),
+        |c0 AS (SELECT centroid_id, cvec FROM (
+        |  SELECT row_number() OVER (ORDER BY h, vec_id)::BIGINT - 1 AS centroid_id,
+        |         v AS cvec FROM hs)
+        |  WHERE centroid_id < ${graft.operators.Similarity.kFor(500L)}),
+        |a1 AS (SELECT id, vec, centroid_id FROM (
+        |  SELECT eb.vec_id AS id, eb.v AS vec, c.centroid_id,
+        |    row_number() OVER (PARTITION BY eb.vec_id
+        |      ORDER BY list_cosine_similarity(eb.v, c.cvec) DESC, c.centroid_id) AS crank
+        |  FROM eb CROSS JOIN c0 c)
+        |  WHERE crank = 1),
+        |c1 AS (SELECT centroid_id,
+        |  list_transform(generate_series(1, 64),
+        |    d -> list_reduce(list_transform(vs, x -> x[d]),
+        |           (acc, x) -> acc + x) / len(vs)) AS cvec
+        |  FROM (SELECT centroid_id, list(vec ORDER BY id) AS vs
+        |        FROM a1 GROUP BY centroid_id)),
+        |a2 AS (SELECT id, vec, centroid_id FROM (
+        |  SELECT eb.vec_id AS id, eb.v AS vec, c.centroid_id,
+        |    row_number() OVER (PARTITION BY eb.vec_id
+        |      ORDER BY list_cosine_similarity(eb.v, c.cvec) DESC, c.centroid_id) AS crank
+        |  FROM eb CROSS JOIN c1 c)
+        |  WHERE crank = 1),
+        |c2 AS (SELECT centroid_id,
+        |  list_transform(generate_series(1, 64),
+        |    d -> list_reduce(list_transform(vs, x -> x[d]),
+        |           (acc, x) -> acc + x) / len(vs)) AS cvec
+        |  FROM (SELECT centroid_id, list(vec ORDER BY id) AS vs
+        |        FROM a2 GROUP BY centroid_id)),
+        |mv AS (SELECT id, vec, centroid_id FROM (
+        |  SELECT eb.vec_id AS id, eb.v AS vec, c.centroid_id,
+        |    row_number() OVER (PARTITION BY eb.vec_id
+        |      ORDER BY list_cosine_similarity(eb.v, c.cvec) DESC, c.centroid_id) AS crank
+        |  FROM eb CROSS JOIN c2 c)
+        |  WHERE crank = 1),
+        |sv AS (SELECT id, x.sub AS sub, x.svec AS svec FROM (
+        |  SELECT vec_id AS id, unnest(list_transform(generate_series(0, 7), s ->
+        |    {'sub': s, 'svec': list_transform(generate_series(1, 8),
+        |                         j -> v[s * 8 + j])})) AS x
+        |  FROM eb)),
+        |seeds AS (SELECT code, vec_id FROM (
+        |  SELECT row_number() OVER (ORDER BY h, vec_id)::BIGINT - 1 AS code,
+        |         vec_id FROM hs)
+        |  WHERE code < $pqK),
+        |cb0 AS (SELECT sv.sub, seeds.code, sv.svec AS cvec
+        |  FROM sv JOIN seeds ON sv.id = seeds.vec_id),
+        |p1 AS (SELECT id, sub, svec, code FROM (
+        |  SELECT sv.id, sv.sub, sv.svec, c.code,
+        |    row_number() OVER (PARTITION BY sv.id, sv.sub ORDER BY
+        |      (2.0 * list_reduce(list_transform(generate_series(1, 8),
+        |         j -> sv.svec[j] * c.cvec[j]), (a, b) -> a + b)
+        |       - list_reduce(list_transform(generate_series(1, 8),
+        |         j -> c.cvec[j] * c.cvec[j]), (a, b) -> a + b)) DESC,
+        |      c.code) AS rk
+        |  FROM sv JOIN cb0 c USING (sub)) WHERE rk = 1),
+        |cb1 AS (SELECT sub, code,
+        |  list_transform(generate_series(1, 8), d ->
+        |    list_reduce(list_transform(vs, x -> x[d]),
+        |      (acc, x) -> acc + x) / len(vs)) AS cvec
+        |  FROM (SELECT sub, code, list(svec ORDER BY id) AS vs
+        |        FROM p1 GROUP BY 1, 2)),
+        |p2 AS (SELECT id, sub, svec, code FROM (
+        |  SELECT sv.id, sv.sub, sv.svec, c.code,
+        |    row_number() OVER (PARTITION BY sv.id, sv.sub ORDER BY
+        |      (2.0 * list_reduce(list_transform(generate_series(1, 8),
+        |         j -> sv.svec[j] * c.cvec[j]), (a, b) -> a + b)
+        |       - list_reduce(list_transform(generate_series(1, 8),
+        |         j -> c.cvec[j] * c.cvec[j]), (a, b) -> a + b)) DESC,
+        |      c.code) AS rk
+        |  FROM sv JOIN cb1 c USING (sub)) WHERE rk = 1),
+        |cb2 AS (SELECT sub, code,
+        |  list_transform(generate_series(1, 8), d ->
+        |    list_reduce(list_transform(vs, x -> x[d]),
+        |      (acc, x) -> acc + x) / len(vs)) AS cvec
+        |  FROM (SELECT sub, code, list(svec ORDER BY id) AS vs
+        |        FROM p2 GROUP BY 1, 2)),
+        |codes AS (SELECT id, sub, code FROM (
+        |  SELECT sv.id, sv.sub, c.code,
+        |    row_number() OVER (PARTITION BY sv.id, sv.sub ORDER BY
+        |      (2.0 * list_reduce(list_transform(generate_series(1, 8),
+        |         j -> sv.svec[j] * c.cvec[j]), (a, b) -> a + b)
+        |       - list_reduce(list_transform(generate_series(1, 8),
+        |         j -> c.cvec[j] * c.cvec[j]), (a, b) -> a + b)) DESC,
+        |      c.code) AS rk
+        |  FROM sv JOIN cb2 c USING (sub)) WHERE rk = 1),
+        |packed AS (SELECT id,
+        |  SUM(code * (1::BIGINT << ($bits * sub)))::BIGINT AS pq_code
+        |  FROM codes GROUP BY id),
+        |qs AS (SELECT vec_id AS query_id, v FROM eb WHERE vec_id % 100 = 0),
+        |probes AS (SELECT query_id, centroid_id FROM (
+        |  SELECT qs.query_id, c.centroid_id,
+        |    row_number() OVER (PARTITION BY qs.query_id
+        |      ORDER BY list_cosine_similarity(qs.v, c.cvec) DESC, c.centroid_id) AS prank
+        |  FROM qs CROSS JOIN c2 c)
+        |  WHERE prank <= 2),
+        |qsv AS (SELECT query_id, x.sub AS sub, x.qsub AS qsub FROM (
+        |  SELECT query_id, unnest(list_transform(generate_series(0, 7), s ->
+        |    {'sub': s, 'qsub': list_transform(generate_series(1, 8),
+        |                         j -> v[s * 8 + j])})) AS x
+        |  FROM qs)),
+        |lut AS (SELECT q.query_id, c.sub, c.code,
+        |    list_reduce(list_transform(generate_series(1, 8),
+        |      j -> q.qsub[j] * c.cvec[j]), (a, b) -> a + b) AS ip,
+        |    list_reduce(list_transform(generate_series(1, 8),
+        |      j -> c.cvec[j] * c.cvec[j]), (a, b) -> a + b) AS cn2
+        |  FROM qsv q JOIN cb2 c USING (sub)),
+        |cand0 AS (SELECT p.query_id, m.id, pk.pq_code
+        |  FROM probes p JOIN mv m USING (centroid_id)
+        |  JOIN packed pk ON m.id = pk.id
+        |  WHERE p.query_id != m.id),
+        |dec AS (SELECT query_id, id,
+        |  unnest(generate_series(0, 7)) AS sub, pq_code FROM cand0),
+        |scored AS (SELECT d.query_id, d.id,
+        |    SUM(l.ip::DECIMAL(30,12)) AS ddot,
+        |    SUM(l.cn2::DECIMAL(30,12)) AS dn2
+        |  FROM dec d JOIN lut l ON d.query_id = l.query_id
+        |    AND d.sub = l.sub AND ((d.pq_code >> ($bits * d.sub)) & $mask) = l.code
+        |  GROUP BY 1, 2),
+        |cand AS (SELECT query_id, id FROM (
+        |  SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY (ddot::DOUBLE / sqrt(dn2::DOUBLE)) DESC, id) AS arank
+        |  FROM scored)
+        |  WHERE arank <= 50)
+        |SELECT query_id, neighbor_id, rnk FROM (
+        |  SELECT c.query_id, c.id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY c.query_id
+        |      ORDER BY list_cosine_similarity(q.v, e.v) DESC, c.id) AS rnk
+        |  FROM cand c JOIN eb e ON c.id = e.vec_id
+        |  JOIN qs q ON c.query_id = q.query_id)
+        |WHERE rnk <= 10""".stripMargin)
+  }
+
   val decls: Seq[Decl] = Seq(
 
     // Exact dedup by content hash.
@@ -2288,149 +2443,14 @@ object PipelineQueries {
     // full vectors fetched by id. The oracle replays every stage:
     // both trainers, the member assignment, the nibble pack, the
     // probes, the decode, the decimal ADC cut and the exact re-rank.
-    decl("q235_ivfpq_lifecycle",
-      (s, d) => {
-        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-ivfpq").toString
-        AnnIndex.buildPq(s, root, e, dim = 64, m = 8, pqK = 16,
-          commitMillis = 1000L)
-        val qs = e.filter(col("vec_id") % 100 === 0)
-        AnnIndex.queryPq(s, root, qs, k = 10, dim = 64, m = 8,
-            nprobe = 2, r = 50)
-          .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
-      },
-      s"""WITH eb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |hs AS (SELECT vec_id, v, ${sqlHash60("vec_id::VARCHAR")} AS h FROM eb),
-        |c0 AS (SELECT centroid_id, cvec FROM (
-        |  SELECT row_number() OVER (ORDER BY h, vec_id)::BIGINT - 1 AS centroid_id,
-        |         v AS cvec FROM hs)
-        |  WHERE centroid_id < ${graft.operators.Similarity.kFor(500L)}),
-        |a1 AS (SELECT id, vec, centroid_id FROM (
-        |  SELECT eb.vec_id AS id, eb.v AS vec, c.centroid_id,
-        |    row_number() OVER (PARTITION BY eb.vec_id
-        |      ORDER BY list_cosine_similarity(eb.v, c.cvec) DESC, c.centroid_id) AS crank
-        |  FROM eb CROSS JOIN c0 c)
-        |  WHERE crank = 1),
-        |c1 AS (SELECT centroid_id,
-        |  list_transform(generate_series(1, 64),
-        |    d -> list_reduce(list_transform(vs, x -> x[d]),
-        |           (acc, x) -> acc + x) / len(vs)) AS cvec
-        |  FROM (SELECT centroid_id, list(vec ORDER BY id) AS vs
-        |        FROM a1 GROUP BY centroid_id)),
-        |a2 AS (SELECT id, vec, centroid_id FROM (
-        |  SELECT eb.vec_id AS id, eb.v AS vec, c.centroid_id,
-        |    row_number() OVER (PARTITION BY eb.vec_id
-        |      ORDER BY list_cosine_similarity(eb.v, c.cvec) DESC, c.centroid_id) AS crank
-        |  FROM eb CROSS JOIN c1 c)
-        |  WHERE crank = 1),
-        |c2 AS (SELECT centroid_id,
-        |  list_transform(generate_series(1, 64),
-        |    d -> list_reduce(list_transform(vs, x -> x[d]),
-        |           (acc, x) -> acc + x) / len(vs)) AS cvec
-        |  FROM (SELECT centroid_id, list(vec ORDER BY id) AS vs
-        |        FROM a2 GROUP BY centroid_id)),
-        |mv AS (SELECT id, vec, centroid_id FROM (
-        |  SELECT eb.vec_id AS id, eb.v AS vec, c.centroid_id,
-        |    row_number() OVER (PARTITION BY eb.vec_id
-        |      ORDER BY list_cosine_similarity(eb.v, c.cvec) DESC, c.centroid_id) AS crank
-        |  FROM eb CROSS JOIN c2 c)
-        |  WHERE crank = 1),
-        |sv AS (SELECT id, x.sub AS sub, x.svec AS svec FROM (
-        |  SELECT vec_id AS id, unnest(list_transform(generate_series(0, 7), s ->
-        |    {'sub': s, 'svec': list_transform(generate_series(1, 8),
-        |                         j -> v[s * 8 + j])})) AS x
-        |  FROM eb)),
-        |seeds AS (SELECT code, vec_id FROM (
-        |  SELECT row_number() OVER (ORDER BY h, vec_id)::BIGINT - 1 AS code,
-        |         vec_id FROM hs)
-        |  WHERE code < 16),
-        |cb0 AS (SELECT sv.sub, seeds.code, sv.svec AS cvec
-        |  FROM sv JOIN seeds ON sv.id = seeds.vec_id),
-        |p1 AS (SELECT id, sub, svec, code FROM (
-        |  SELECT sv.id, sv.sub, sv.svec, c.code,
-        |    row_number() OVER (PARTITION BY sv.id, sv.sub ORDER BY
-        |      (2.0 * list_reduce(list_transform(generate_series(1, 8),
-        |         j -> sv.svec[j] * c.cvec[j]), (a, b) -> a + b)
-        |       - list_reduce(list_transform(generate_series(1, 8),
-        |         j -> c.cvec[j] * c.cvec[j]), (a, b) -> a + b)) DESC,
-        |      c.code) AS rk
-        |  FROM sv JOIN cb0 c USING (sub)) WHERE rk = 1),
-        |cb1 AS (SELECT sub, code,
-        |  list_transform(generate_series(1, 8), d ->
-        |    list_reduce(list_transform(vs, x -> x[d]),
-        |      (acc, x) -> acc + x) / len(vs)) AS cvec
-        |  FROM (SELECT sub, code, list(svec ORDER BY id) AS vs
-        |        FROM p1 GROUP BY 1, 2)),
-        |p2 AS (SELECT id, sub, svec, code FROM (
-        |  SELECT sv.id, sv.sub, sv.svec, c.code,
-        |    row_number() OVER (PARTITION BY sv.id, sv.sub ORDER BY
-        |      (2.0 * list_reduce(list_transform(generate_series(1, 8),
-        |         j -> sv.svec[j] * c.cvec[j]), (a, b) -> a + b)
-        |       - list_reduce(list_transform(generate_series(1, 8),
-        |         j -> c.cvec[j] * c.cvec[j]), (a, b) -> a + b)) DESC,
-        |      c.code) AS rk
-        |  FROM sv JOIN cb1 c USING (sub)) WHERE rk = 1),
-        |cb2 AS (SELECT sub, code,
-        |  list_transform(generate_series(1, 8), d ->
-        |    list_reduce(list_transform(vs, x -> x[d]),
-        |      (acc, x) -> acc + x) / len(vs)) AS cvec
-        |  FROM (SELECT sub, code, list(svec ORDER BY id) AS vs
-        |        FROM p2 GROUP BY 1, 2)),
-        |codes AS (SELECT id, sub, code FROM (
-        |  SELECT sv.id, sv.sub, c.code,
-        |    row_number() OVER (PARTITION BY sv.id, sv.sub ORDER BY
-        |      (2.0 * list_reduce(list_transform(generate_series(1, 8),
-        |         j -> sv.svec[j] * c.cvec[j]), (a, b) -> a + b)
-        |       - list_reduce(list_transform(generate_series(1, 8),
-        |         j -> c.cvec[j] * c.cvec[j]), (a, b) -> a + b)) DESC,
-        |      c.code) AS rk
-        |  FROM sv JOIN cb2 c USING (sub)) WHERE rk = 1),
-        |packed AS (SELECT id,
-        |  SUM(code * (1::BIGINT << (4 * sub)))::BIGINT AS pq_code
-        |  FROM codes GROUP BY id),
-        |qs AS (SELECT vec_id AS query_id, v FROM eb WHERE vec_id % 100 = 0),
-        |probes AS (SELECT query_id, centroid_id FROM (
-        |  SELECT qs.query_id, c.centroid_id,
-        |    row_number() OVER (PARTITION BY qs.query_id
-        |      ORDER BY list_cosine_similarity(qs.v, c.cvec) DESC, c.centroid_id) AS prank
-        |  FROM qs CROSS JOIN c2 c)
-        |  WHERE prank <= 2),
-        |qsv AS (SELECT query_id, x.sub AS sub, x.qsub AS qsub FROM (
-        |  SELECT query_id, unnest(list_transform(generate_series(0, 7), s ->
-        |    {'sub': s, 'qsub': list_transform(generate_series(1, 8),
-        |                         j -> v[s * 8 + j])})) AS x
-        |  FROM qs)),
-        |lut AS (SELECT q.query_id, c.sub, c.code,
-        |    list_reduce(list_transform(generate_series(1, 8),
-        |      j -> q.qsub[j] * c.cvec[j]), (a, b) -> a + b) AS ip,
-        |    list_reduce(list_transform(generate_series(1, 8),
-        |      j -> c.cvec[j] * c.cvec[j]), (a, b) -> a + b) AS cn2
-        |  FROM qsv q JOIN cb2 c USING (sub)),
-        |cand0 AS (SELECT p.query_id, m.id, pk.pq_code
-        |  FROM probes p JOIN mv m USING (centroid_id)
-        |  JOIN packed pk ON m.id = pk.id
-        |  WHERE p.query_id != m.id),
-        |dec AS (SELECT query_id, id,
-        |  unnest(generate_series(0, 7)) AS sub, pq_code FROM cand0),
-        |scored AS (SELECT d.query_id, d.id,
-        |    SUM(l.ip::DECIMAL(30,12)) AS ddot,
-        |    SUM(l.cn2::DECIMAL(30,12)) AS dn2
-        |  FROM dec d JOIN lut l ON d.query_id = l.query_id
-        |    AND d.sub = l.sub AND ((d.pq_code >> (4 * d.sub)) & 15) = l.code
-        |  GROUP BY 1, 2),
-        |cand AS (SELECT query_id, id FROM (
-        |  SELECT query_id, id, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY (ddot::DOUBLE / sqrt(dn2::DOUBLE)) DESC, id) AS arank
-        |  FROM scored)
-        |  WHERE arank <= 50)
-        |SELECT query_id, neighbor_id, rnk FROM (
-        |  SELECT c.query_id, c.id AS neighbor_id,
-        |    row_number() OVER (PARTITION BY c.query_id
-        |      ORDER BY list_cosine_similarity(q.v, e.v) DESC, c.id) AS rnk
-        |  FROM cand c JOIN eb e ON c.id = e.vec_id
-        |  JOIN qs q ON c.query_id = q.query_id)
-        |WHERE rnk <= 10""".stripMargin),
+    ivfpqDecl("q235_ivfpq_lifecycle", pqK = 16),
+
+    // IVFPQ at the PRODUCTION code width (round-12): k=128 codebooks,
+    // 7-bit codes, 56 bits packed in the same single long — the config
+    // the STRESS decade measured at recall 0.835/0.811/0.891 against
+    // cell ceilings 0.854/0.887/0.924. Same oracle replay as q235
+    // with the codebook cardinality, pack shift and decode mask swapped.
+    ivfpqDecl("q244_ivfpq_wide_codes", pqK = 128),
 
     // Paragraph-level exact dedup across the corpus (C4/RefinedWeb
     // cleaning): 3-word chunks, first corpus-wide occurrence wins,
