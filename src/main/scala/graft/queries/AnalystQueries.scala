@@ -22,7 +22,27 @@ import Q._
   *    survivors;
   *  - q239 ← analysis/isin_sanctioned.md:1-15 — securities whose
   *    issuer is sanctioned, with the per-issuer program array rollup
-  *    and the reference's HAVING NOT ANY(...) exclusion.
+  *    and the reference's HAVING NOT ANY(...) exclusion;
+  *  - q241 ← analysis/nabc_nsdc_bday_diff.md — cross-dataset
+  *    birthDate conflicts through the canonical-id statement
+  *    self-join;
+  *  - q242 ← analysis/ofsi_american_dates.md — the month/day
+  *    format-swap detector (disagreeing dates sharing the year);
+  *  - q243 ← analysis/rejected_values.md — the rejected-value rollup
+  *    off the REAL cleaning dispatch (the reference groups
+  *    'Rejected%' issues by raw value);
+  *  - q245 ← analysis/all_peps.md:1-19 — the name-variant × country
+  *    expansion per entity with birthDate rollup cells (one row per
+  *    (variant, country) pair, the screening-export shape).
+  *
+  * The remaining four analysis files are covered by existing gates
+  * rather than re-mirrored: eu_targets.md is q238 without its
+  * anti-join; sanctioned_company_names.md is q236's shape over the
+  * Company schema; program_notes.md composes q237's sanction detail
+  * with the q187 program registry; db_maintenance.md (VACUUM/REINDEX
+  * runbook) maps to the store's own maintenance family
+  * (q208 compaction, q240 posting compaction, Snapshot vacuum —
+  * SnapshotSpec).
   *
   * Scale shape: every join is either broadcast-sized (program target
   * lists, dimension rollups) or a key-partitioned equi-join on the
@@ -378,5 +398,51 @@ object AnalystQueries {
            |  FROM checked)
            |SELECT value, MAX(ptype) AS prop, COUNT(*)::BIGINT AS n
            |FROM cleaned WHERE clean IS NULL GROUP BY value""".stripMargin
-      }))
+      }),
+
+    // analysis/all_peps.md — the screening-export expansion: one row
+    // per (name variant, linked country) pair per entity, carrying the
+    // entity's rollup cells. The reference's statement-level
+    // sn(prop_type=name) × sc(prop_type=country) self-join IS a
+    // per-entity explode of the two value arrays — expressed that way
+    // the plan needs no self-join at all, just two generators over the
+    // already-grouped properties map.
+    decl("q245_analyst_name_variants",
+      (s, d) => {
+        val ents = ExportQueries.syntheticEntities(s, d)
+        val base = ents.filter(col("schema").isin("Person", "Company"))
+          .select(col("id").as("entity_id"),
+            element_at(element_at(col("properties"), "name"), 1)
+              .as("main_name"),
+            array_distinct(concat(
+              element_at(col("properties"), "name"),
+              coalesce(element_at(col("properties"), "alias"),
+                array().cast("array<string>")))).as("variants"),
+            element_at(col("properties"), "country").as("countries"),
+            concat_ws("; ",
+              coalesce(element_at(col("properties"), "birthDate"),
+                array().cast("array<string>"))).as("birth_date"))
+        base
+          .select(col("entity_id"), col("main_name"),
+            explode(col("countries")).as("country"),
+            col("variants"), col("birth_date"))
+          .filter(col("country").isin(TargetCountries.map(lit): _*))
+          .select(col("entity_id"), col("main_name"), col("country"),
+            explode(col("variants")).as("name_variant"), col("birth_date"))
+      },
+      """WITH cust AS (
+        |  SELECT c_custkey AS k, c_name, lower(n_name) AS country
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE lower(n_name) IN ('nation_3', 'nation_7', 'nation_11')),
+        |v AS (SELECT k, c_name, country,
+        |    unnest(list_distinct(
+        |      CASE WHEN k % 5 = 0
+        |           THEN [c_name, upper(c_name), c_name || ' Ltd']
+        |           ELSE [c_name] END)) AS name_variant
+        |  FROM cust)
+        |SELECT 'c' || k::VARCHAR AS entity_id, c_name AS main_name,
+        |  country, name_variant,
+        |  CASE WHEN k % 4 != 0 THEN '19' || (50 + k % 50)::VARCHAR
+        |       ELSE '' END AS birth_date
+        |FROM v""".stripMargin))
 }
