@@ -418,6 +418,36 @@ object AnnIndex {
     } finally probes.unpersist()
   }
 
+  /** Assign `added` to the CURRENT IVFPQ index's FROZEN coarse
+    * centroids AND encode them against its FROZEN product codebooks,
+    * publishing the grown index as the next version — [[append]]'s
+    * twin for the compressed layout. Both quantizer halves carry over
+    * bit-identical (retraining either would re-assign/re-encode every
+    * existing member — a rebuild); the cost is the same drift story as
+    * the coarse-only index, and [[maintain]]'s policy applies
+    * unchanged through a rebuildPq a deployment would pair with this.
+    * Returns the new version. */
+  def appendPq(spark: SparkSession, root: String, added: DataFrame,
+      dim: Int, m: Int = 8, pqK: Int = 16,
+      commitMillis: Long = System.currentTimeMillis()): Long = {
+    val cur = Snapshot.currentVersion(spark, root).drop(1).toLong
+    val idx = Snapshot.readCurrent(spark, root)
+    val cents = idx.filter(col("kind") === "c")
+      .select(col("centroid_id"), col("vec").as("cvec"))
+    val cbs = idx.filter(col("kind") === "b")
+      .select(col("centroid_id").as("sub"), col("id").as("code"),
+        col("vec").as("cvec"))
+    val members = idx.filter(col("kind") === "m")
+      .select(col("id"), col("vec"), col("centroid_id"), col("pq_code"))
+    val a = added.toDF("id", "vec")
+      .select(col("id"), asDouble(col("vec")).as("vec"))
+    val newMembers = assignMembers(a, cents)
+      .join(ProductQuantizer.packedCodes(a, cbs, dim, m, pqK), "id")
+    commitIndex(spark, root, cur + 1L,
+      pqIndexFrame(cents, cbs, members.unionByName(newMembers)), commitMillis)
+    cur + 1L
+  }
+
   /** Re-rank pool size for a cell-scoped ADC probe. MEASURED rule
     * (round-12 decade, ProbeAnnRecall ivfpq, cos≈0.35 arm): the pool
     * must track CORPUS density (n/40, [[ProductQuantizer.rFor]]'s

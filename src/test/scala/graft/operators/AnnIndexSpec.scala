@@ -175,6 +175,37 @@ class AnnIndexSpec extends SparkSpec {
     assert(ucOnPq === viaUc)
   }
 
+  test("ivfpq: appendPq freezes both quantizers; as-of hides the batch") {
+    val root = java.nio.file.Files.createTempDirectory("annidx-pqapp").toString
+    val base = vecs(0 until 60)
+    AnnIndex.buildPq(spark, root, base, dim = 8, m = 4, commitMillis = 1000L)
+    def half(kind: String, v: Long) = spark.read.parquet(s"$root/data/v$v")
+      .filter(col("kind") === kind).select("kind", "id", "vec", "centroid_id")
+      .collect().map(_.toString).sorted.toSeq
+    val added = vecs(0 until 6, offset = 500L)
+    assert(AnnIndex.appendPq(spark, root, added, dim = 8, m = 4,
+      commitMillis = 2000L) === 2L)
+    // BOTH quantizer halves bit-identical across the append
+    assert(half("c", 1L) === half("c", 2L))
+    assert(half("b", 1L) === half("b", 2L))
+    // appended ids are members of v2 with codes, absent from v1
+    val v2ids = spark.read.parquet(s"$root/data/v2")
+      .filter(col("kind") === "m" && col("id") >= 500L)
+    assert(v2ids.count() === 6)
+    assert(v2ids.filter(col("pq_code").isNull).count() === 0)
+    assert(spark.read.parquet(s"$root/data/v1")
+      .filter(col("kind") === "m" && col("id") >= 500L).count() === 0)
+    // current probe can return an appended neighbor; as-of(1500) cannot
+    val q = base.filter(col("id") === 0L)
+    val now = AnnIndex.queryPq(spark, root, q, k = 60, dim = 8, m = 4,
+      nprobe = 8, r = 66).filter(col("neighbor_id") >= 500L).count()
+    val old = AnnIndex.queryPq(spark, root, q, k = 60, dim = 8, m = 4,
+      nprobe = 8, r = 66, asOfMillis = Some(1500L))
+      .filter(col("neighbor_id") >= 500L).count()
+    assert(now > 0L)
+    assert(old === 0L)
+  }
+
   test("ivfpq: packed codes decode back to the array encoding") {
     val corpus = vecs(0 until 60)
     val cb = ProductQuantizer.trainCodebooks(corpus, dim = 8, m = 4, k = 16,
