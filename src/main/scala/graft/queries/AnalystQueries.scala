@@ -35,14 +35,20 @@ import Q._
   *    expansion per entity with birthDate rollup cells (one row per
   *    (variant, country) pair, the screening-export shape).
   *
-  * The remaining four analysis files are covered by existing gates
+  *  - q247 ← analysis/db_maintenance.md — the cache-retention
+  *    runbook's "delete the oldest 20000 enrichment cache rows under
+  *    a url prefix" as an engine maintenance op
+  *    ([[graft.sources.Sources.cacheEvictOldest]]: bottom-k victim
+  *    selection via TakeOrdered + broadcast anti-join, never a global
+  *    sort of the cache).
+  *
+  * The remaining three analysis files are covered by existing gates
   * rather than re-mirrored: eu_targets.md is q238 without its
   * anti-join; sanctioned_company_names.md is q236's shape over the
   * Company schema; program_notes.md composes q237's sanction detail
-  * with the q187 program registry; db_maintenance.md (VACUUM/REINDEX
-  * runbook) maps to the store's own maintenance family
-  * (q208 compaction, q240 posting compaction, Snapshot vacuum —
-  * SnapshotSpec).
+  * with the q187 program registry. db_maintenance.md's VACUUM/REINDEX
+  * half maps to the store's own maintenance family (q208 compaction,
+  * q240 posting compaction, Snapshot vacuum — SnapshotSpec).
   *
   * Scale shape: every join is either broadcast-sized (program target
   * lists, dimension rollups) or a key-partitioned equi-join on the
@@ -444,5 +450,40 @@ object AnalystQueries {
         |  country, name_variant,
         |  CASE WHEN k % 4 != 0 THEN '19' || (50 + k % 50)::VARCHAR
         |       ELSE '' END AS birth_date
-        |FROM v""".stripMargin))
+        |FROM v""".stripMargin),
+
+    // analysis/db_maintenance.md — the cache-retention runbook:
+    // "delete the oldest 20000 cached enrichment items" under one url
+    // prefix. The victim set is an exact bottom-k by (timestamp, url)
+    // — Spark's TakeOrderedAndProject, an O(n)-heap per partition —
+    // broadcast into a left-anti join, so the cache table is scanned
+    // once and never globally sorted (the shape that still works when
+    // the cache is billions of rows and the eviction is 20k).
+    decl("q247_analyst_cache_retention",
+      (s, d) => {
+        import graft.sources.Sources
+        val o = t(s, d, "orders")
+        val k = col("o_orderkey")
+        val cache = o.select(
+          concat(
+            when(k % 3 === 0, "https://externals.example.org/")
+              .otherwise("https://data.example.org/"),
+            k.cast("string")).as("url"),
+          col("o_orderdate").as("fetched_at"))
+        Sources.cacheEvictOldest(cache, "https://externals.example.org/", 500)
+          .select(col("url"),
+            date_format(col("fetched_at"), "yyyy-MM-dd").as("fetched_on"))
+      },
+      """WITH cache AS (
+        |  SELECT CASE WHEN o_orderkey % 3 = 0
+        |           THEN 'https://externals.example.org/' || o_orderkey::VARCHAR
+        |           ELSE 'https://data.example.org/' || o_orderkey::VARCHAR END AS url,
+        |    o_orderdate AS fetched_at
+        |  FROM orders),
+        |victims AS (
+        |  SELECT url FROM cache
+        |  WHERE url LIKE 'https://externals.example.org/%'
+        |  ORDER BY fetched_at ASC, url ASC LIMIT 500)
+        |SELECT c.url, strftime(c.fetched_at, '%Y-%m-%d') AS fetched_on
+        |FROM cache c WHERE c.url NOT IN (SELECT url FROM victims)""".stripMargin))
 }

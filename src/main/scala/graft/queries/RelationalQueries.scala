@@ -755,6 +755,47 @@ object RelationalQueries {
         |    ORDER BY c_acctbal) AS pct_rank
         |FROM customer""".stripMargin),
 
+    // Native session-window aggregation (round-12): full per-session
+    // rows (start, last event, size, value mass) through Spark's
+    // session_window — the dedicated UpdatingSessions physical
+    // operator (one shuffle on user_id, sessions merged in a single
+    // sorted pass per key; no self-join, no corpus-wide window), where
+    // q26 only counted session boundaries with lag/cumsum. Boundary
+    // semantics pinned by SessionWindowSpec: a gap of EXACTLY
+    // 30 minutes EXTENDS the session (Spark merges on touch —
+    // measured, not assumed), so the oracle's new-session test is
+    // `> gap`. The value mass is summed in DECIMAL so the result is
+    // order-independent (the seed-B double-sum rule).
+    decl("q246_session_window",
+      (s, d) => {
+        val e = Q.events(s, d)
+        e.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"),
+            date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_event"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+          .select(col("user_id"),
+            date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            col("last_event"), col("n_events"), col("total_value"))
+      },
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_event,
+        |  COUNT(*)::BIGINT AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid""".stripMargin),
+
     // T5: first_seen / last_seen SCD columns.
     decl("q27_first_last_seen",
       (s, d) => Q.events(s, d)

@@ -244,6 +244,141 @@ object StreamingQueries {
         |HAVING (epoch_ns((day || ' 00:00:00')::TIMESTAMP) // 1000
         |        + 86400000000) <= (SELECT w FROM wm)""".stripMargin),
 
+    // q248 (round-12): STREAMING sessionization — the native
+    // session_window state operator under a watermark, held across two
+    // event drops with a checkpoint restart between them (q246's batch
+    // twin, the q123 watermark-replay pattern). Drops split at a global
+    // ts cut; the watermark delay (1 h) exceeds the session gap
+    // (30 min), so a session finalized in pass 1 can never be reopened
+    // by a pass-2 event — the structural condition that makes
+    // append-mode session output exactly-once here. Sessions still
+    // open at end-of-stream (within delay of the corpus max ts) are
+    // correctly ABSENT; the oracle rebuilds the same cutoff from the
+    // ms-floored max event time (Spark tracks watermarks in ms). The
+    // session merge itself needs no row order, so multi-file drops are
+    // deterministic. Value mass summed in DECIMAL (the seed-B rule).
+    decl("q248_streaming_sessions",
+      (s, d) => {
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val base = s"/tmp/graft_q248_$tag"
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val landing = s"$base/landing"; val out = s"$base/out"
+        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+        val ev = Q.events(s, d).select(col("event_id"), col("ts"),
+          col("user_id"), col("value"))
+        val cut = lit("2024-01-21 00:00:00").cast("timestamp")
+        def runPass(): Unit = {
+          val st = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "10000").parquet(landing)
+          val agg = st.withWatermark("ts", "1 hour")
+            .groupBy(col("user_id"),
+              session_window(col("ts"), "30 minutes").as("sw"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(col("value").cast("decimal(18,2)")).as("dv"))
+            .select(col("user_id"),
+              date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss")
+                .as("session_start"),
+              col("n_events"), col("dv").cast("double").as("total_value"))
+          val q = agg.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", s"$base/ck")
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        ev.filter(col("ts") < cut).write.mode("append").parquet(landing)
+        runPass()
+        ev.filter(col("ts") >= cut).write.mode("append").parquet(landing)
+        runPass()
+        s.read.parquet(out)
+      },
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, value, epoch_ns(ts) AS tns,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, event_id, ts, value, tns,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x),
+        |-- Spark tracks the event-time watermark at ms granularity
+        |wm AS (SELECT (MAX(tns) // 1000000) * 1000 - 3600000000 AS w
+        |       FROM s),
+        |sess AS (
+        |  SELECT user_id,
+        |    strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |    COUNT(*)::BIGINT AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |    MAX(tns) // 1000 AS last_us
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT user_id, session_start, n_events, total_value
+        |FROM sess
+        |WHERE last_us + 1800 * 1000000 <= (SELECT w FROM wm)""".stripMargin),
+
+    // q249 (round-12): STREAM–STREAM interval join — the one
+    // Structured Streaming operator family the suite lacked. View
+    // events join purchase events of the same user within one hour
+    // (click-attribution, the canonical shape), BOTH sides watermarked
+    // so Spark can evict join state, held across two drops with a
+    // checkpoint restart. Completeness argument (why append-mode inner
+    // join output equals the batch join here): a view's state is
+    // evicted only once the watermark passes view_ts + join window;
+    // every pass-2 purchase is ≥ the cut while pass 1's watermark is
+    // max(drop1) − 1 h < cut, so any view that could still pair
+    // (view_ts ≥ purchase_ts − 1 h ≥ cut − 1 h) is strictly above the
+    // eviction line when the restart happens — no pair can be lost.
+    // The delay is emitted in integer micros (exact on any engine).
+    decl("q249_streaming_interval_join",
+      (s, d) => {
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val base = s"/tmp/graft_q249_$tag"
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val landing = s"$base/landing"; val out = s"$base/out"
+        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+        val ev = Q.events(s, d).select(col("event_id"), col("ts"),
+          col("user_id"), col("event_type"))
+        val cut = lit("2024-01-21 00:00:00").cast("timestamp")
+        def runPass(): Unit = {
+          def side(tpe: String, idAs: String, tsAs: String) =
+            s.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "10000").parquet(landing)
+              .filter(col("event_type") === tpe)
+              .select(col("event_id").as(idAs), col("ts").as(tsAs),
+                col("user_id"))
+              .withWatermark(tsAs, "1 hour")
+          val views = side("view", "view_id", "t_view")
+          val buys = side("purchase", "buy_id", "t_buy")
+          val joined = views.join(buys,
+            views("user_id") === buys("user_id") &&
+              col("t_buy") >= col("t_view") &&
+              col("t_buy") <= col("t_view") + expr("INTERVAL 1 HOUR"))
+            .select(views("user_id"), col("view_id"), col("buy_id"),
+              (unix_micros(col("t_buy")) - unix_micros(col("t_view")))
+                .as("delay_us"))
+          val q = joined.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", s"$base/ck")
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        ev.filter(col("ts") < cut).write.mode("append").parquet(landing)
+        runPass()
+        ev.filter(col("ts") >= cut).write.mode("append").parquet(landing)
+        runPass()
+        s.read.parquet(out)
+      },
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS buy_id,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS delay_us
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts >= v.ts
+        |  AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600::BIGINT * 1000000""".stripMargin),
+
     // q139: STREAMING content dedup for a crawl pipeline — the
     // LLM-pipeline exact-dedup operator (q40) held continuously across
     // two crawl drops with a checkpoint restart between them:

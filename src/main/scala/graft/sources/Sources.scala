@@ -313,6 +313,29 @@ object Sources {
     (hits.unionByName(fetched), newCacheRows)
   }
 
+  /** S10 maintenance: evict the `n` OLDEST cache rows under a url
+    * prefix — the reference's cache-retention runbook
+    * (analysis/db_maintenance.md: `DELETE FROM cache WHERE key IN
+    * (SELECT key ... WHERE key ILIKE '<prefix>%' ORDER BY timestamp
+    * ASC LIMIT 20000)`). Returns the SURVIVING cache rows.
+    *
+    * Scale shape: the victim set is a bottom-k selection —
+    * `orderBy(fetched_at, url).limit(n)` compiles to Spark's
+    * TakeOrderedAndProject (an O(n) heap per partition, merged once;
+    * never a global sort of the cache), and the victims (≤ n rows,
+    * 20k in the runbook) broadcast into a left-anti join against the
+    * full table, so the cache itself is scanned exactly once and
+    * never shuffled. The url tie-break makes the victim set
+    * deterministic when timestamps collide. */
+  def cacheEvictOldest(cache: DataFrame, urlPrefix: String, n: Int): DataFrame = {
+    val victims = cache
+      .filter(col("url").startsWith(urlPrefix))
+      .orderBy(col("fetched_at").asc, col("url").asc)
+      .limit(n)
+      .select(col("url").as("victim_url"))
+    cache.join(broadcast(victims), cache("url") === col("victim_url"), "left_anti")
+  }
+
   // ---------------------------------------------------------------
   // F12: change detection
 
