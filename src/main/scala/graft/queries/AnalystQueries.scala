@@ -42,13 +42,21 @@ import Q._
   *    selection via TakeOrdered + broadcast anti-join, never a global
   *    sort of the cache).
   *
-  * The remaining three analysis files are covered by existing gates
-  * rather than re-mirrored: eu_targets.md is q238 without its
-  * anti-join; sanctioned_company_names.md is q236's shape over the
-  * Company schema; program_notes.md composes q237's sanction detail
-  * with the q187 program registry. db_maintenance.md's VACUUM/REINDEX
-  * half maps to the store's own maintenance family (q208 compaction,
-  * q240 posting compaction, Snapshot vacuum — SnapshotSpec).
+  *  - q250 ← analysis/eu_targets.md — the dataset-scoped screening
+  *    export: country-gated TARGET entities (the real risk-topic gate,
+  *    P1) joined to their sanctions, one row per (entity, sanction)
+  *    with name/birth/program/date rollup cells (authority/reason have
+  *    no fixture analog; program/startDate carry the same shape);
+  *  - q251 ← analysis/program_notes.md — sanction detail rows with the
+  *    reference's per-dataset EXCLUSIONS (`sc.dataset <> ...` twice)
+  *    and the LEFT OUTER notes-statement join;
+  *  - q252 ← analysis/sanctioned_company_names.md — the procurement
+  *    join feed: one (id, name) row per Company name variant.
+  *
+  * With q247 (db_maintenance.md's cache retention; its VACUUM/REINDEX
+  * half maps to the store's own maintenance family — q208 compaction,
+  * q240 posting compaction, Snapshot vacuum), all 12 analysis/ files
+  * are oracle-gated.
   *
   * Scale shape: every join is either broadcast-sized (program target
   * lists, dimension rollups) or a key-partitioned equi-join on the
@@ -485,5 +493,133 @@ object AnalystQueries {
         |  WHERE url LIKE 'https://externals.example.org/%'
         |  ORDER BY fetched_at ASC, url ASC LIMIT 500)
         |SELECT c.url, strftime(c.fetched_at, '%Y-%m-%d') AS fetched_on
-        |FROM cache c WHERE c.url NOT IN (SELECT url FROM victims)""".stripMargin))
+        |FROM cache c WHERE c.url NOT IN (SELECT url FROM victims)""".stripMargin),
+
+    // analysis/eu_targets.md — the dataset-scoped screening export:
+    // country-gated TARGET entities (the REAL risk-topic gate —
+    // arrays_overlap against FtmModel.riskTopics, P1) joined through
+    // the sanction pointer, one row per (entity, sanction) carrying
+    // the entity's name/birth rollup cells and the sanction's
+    // program/date. The reference orders by sanction first_seen for
+    // the analyst's eyeball; the gate hashes rows order-free.
+    decl("q250_analyst_eu_targets",
+      (s, d) => {
+        val ents = ExportQueries.syntheticEntities(s, d)
+        val risks = lit(graft.model.FtmModel.riskTopics.toSeq.sorted.toArray)
+        val empty = array().cast("array<string>")
+        val tgts = ents.filter(col("schema").isin("Person", "Company"))
+          .filter(arrays_overlap(
+            coalesce(element_at(col("properties"), "topics"), empty), risks))
+          .select(col("id"), col("schema").as("type"),
+            element_at(element_at(col("properties"), "country"), 1)
+              .as("country"),
+            element_at(element_at(col("properties"), "name"), 1)
+              .as("main_name"),
+            concat_ws("; ", array_sort(array_distinct(concat(
+              element_at(col("properties"), "name"),
+              coalesce(element_at(col("properties"), "alias"), empty)))))
+              .as("other_names"),
+            concat_ws("; ",
+              coalesce(element_at(col("properties"), "birthDate"), empty))
+              .as("birth_dates"))
+          .filter(col("country").isin(TargetCountries.map(lit): _*))
+        val sanc = ents.filter(col("schema") === "Sanction")
+          .select(col("id").as("sanction_id"),
+            element_at(element_at(col("properties"), "entity"), 1).as("tid"),
+            element_at(element_at(col("properties"), "program"), 1)
+              .as("program"),
+            element_at(element_at(col("properties"), "startDate"), 1)
+              .as("sanction_date"))
+        tgts.join(sanc, col("id") === col("tid"))
+          .select(col("id"), col("type"), col("country"), col("main_name"),
+            col("other_names"), col("birth_dates"), col("sanction_id"),
+            col("program"), col("sanction_date"))
+      },
+      """WITH cust AS (
+        |  SELECT c_custkey AS k, c_name, lower(n_name) AS country,
+        |    CASE WHEN c_custkey % 4 = 0 THEN 'Company' ELSE 'Person' END AS sch
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |tg AS (
+        |  SELECT k, c_name, country, sch,
+        |    array_to_string(list_sort(list_distinct(
+        |      CASE WHEN k % 5 = 0
+        |           THEN [c_name, upper(c_name), c_name || ' Ltd']
+        |           ELSE [c_name] END)), '; ') AS other_names,
+        |    CASE WHEN k % 4 != 0 THEN '19' || (50 + k % 50)::VARCHAR
+        |         ELSE '' END AS birth_dates
+        |  FROM cust
+        |  WHERE k % 3 != 2
+        |    AND country IN ('nation_3', 'nation_7', 'nation_11'))
+        |SELECT 'c' || k::VARCHAR AS id, sch AS type, country,
+        |  c_name AS main_name, other_names, birth_dates,
+        |  's' || o_orderkey::VARCHAR AS sanction_id,
+        |  'PROG-' || (o_orderkey % 7)::VARCHAR AS program,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS sanction_date
+        |FROM tg JOIN orders ON o_custkey = k AND o_orderkey % 5 = 0""".stripMargin),
+
+    // analysis/program_notes.md — sanction detail rows with the
+    // reference's dataset EXCLUSIONS (two `sc.dataset <>` predicates)
+    // and the LEFT OUTER join to the notes statement (a sanction
+    // without notes still reports, with an empty cell — coalesced on
+    // both engines so the hash never sees an engine-specific NULL
+    // rendering).
+    decl("q251_analyst_program_notes",
+      (s, d) => {
+        val ents = ExportQueries.syntheticEntities(s, d)
+        val o = t(s, d, "orders")
+        val ok = col("o_orderkey")
+        val sanc = o.filter(ok % 5 === 0)
+          .select(concat(lit("s"), ok.cast("string")).as("sanction_id"),
+            concat(lit("c"), col("o_custkey").cast("string")).as("target_id"),
+            concat(lit("ds_"), (ok % 4).cast("string")).as("dataset"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("first_seen"))
+          .filter(col("dataset") =!= "ds_1" && col("dataset") =!= "ds_2")
+        val notes = o.filter(ok % 5 === 0 && ok % 3 === 0)
+          .select(concat(lit("s"), ok.cast("string")).as("sanction_id"),
+            concat(lit("note for s"), ok.cast("string")).as("note"))
+        val tgt = ents.filter(col("schema").isin("Person", "Company"))
+          .select(col("id").as("target_id"), col("schema").as("entity_type"),
+            element_at(element_at(col("properties"), "name"), 1).as("name"))
+        sanc.join(notes, Seq("sanction_id"), "left")
+          .join(tgt, "target_id")
+          .select(col("target_id").as("id"), col("name"), col("entity_type"),
+            col("dataset"), col("first_seen"),
+            coalesce(col("note"), lit("")).as("notes"))
+      },
+      """WITH cust AS (
+        |  SELECT c_custkey AS k, c_name,
+        |    CASE WHEN c_custkey % 4 = 0 THEN 'Company' ELSE 'Person' END AS sch
+        |  FROM customer),
+        |sanc AS (
+        |  SELECT 's' || o_orderkey::VARCHAR AS sanction_id,
+        |    o_custkey AS ck, 'ds_' || (o_orderkey % 4)::VARCHAR AS dataset,
+        |    strftime(o_orderdate, '%Y-%m-%d') AS first_seen,
+        |    CASE WHEN o_orderkey % 3 = 0
+        |         THEN 'note for s' || o_orderkey::VARCHAR ELSE '' END AS notes
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |    AND 'ds_' || (o_orderkey % 4)::VARCHAR NOT IN ('ds_1', 'ds_2'))
+        |SELECT 'c' || ck::VARCHAR AS id, c_name AS name, sch AS entity_type,
+        |  dataset, first_seen, notes
+        |FROM sanc JOIN cust ON ck = k""".stripMargin),
+
+    // analysis/sanctioned_company_names.md — the procurement-join
+    // feed: one (id, name) row per Company name VARIANT (name + alias
+    // statements, the reference's prop_type = 'name' projection).
+    decl("q252_analyst_company_names",
+      (s, d) => {
+        val ents = ExportQueries.syntheticEntities(s, d)
+        val empty = array().cast("array<string>")
+        ents.filter(col("schema") === "Company")
+          .select(col("id"),
+            explode(array_distinct(concat(
+              element_at(col("properties"), "name"),
+              coalesce(element_at(col("properties"), "alias"), empty))))
+              .as("name"))
+      },
+      """SELECT 'c' || c_custkey::VARCHAR AS id,
+        |  unnest(list_distinct(
+        |    CASE WHEN c_custkey % 5 = 0
+        |         THEN [c_name, upper(c_name), c_name || ' Ltd']
+        |         ELSE [c_name] END)) AS name
+        |FROM customer WHERE c_custkey % 4 = 0""".stripMargin))
 }
