@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AnnIndex, AsOf, Blocking, Contamination, Curation, Dedup, Matcher, Multimodal, Packing, Pii, ProductQuantizer, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AnnIndex, AsOf, Blocking, ConnectedComponents, Contamination, Curation, Dedup, Matcher, Multimodal, Packing, Pii, ProductQuantizer, RangeJoin, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Q._
@@ -1399,6 +1399,55 @@ object PipelineQueries {
          |FROM (SELECT doc_id, lang,
          |  ${sqlHash60("('graft|' || doc_id::VARCHAR)")} % 10000 AS b
          |  FROM documents)""".stripMargin),
+
+    // Cluster-safe split (round-12): q121's hash split leaks when two
+    // NEAR-DUPLICATE documents land on opposite sides of the
+    // train/test fence — the paraphrase of a test document trains the
+    // model on its own eval set. The leakage-safe production rule:
+    // split by CLUSTER, not by document — every member of a near-dup
+    // cluster follows its component's hash. Composed entirely from
+    // shipped operators (minhashLshPairs → ConnectedComponents.run →
+    // assignSplits on the component id); the oracle replays the
+    // minhash pipeline, closes components with a recursive CTE
+    // (component = min reachable id, the CC label convention), and
+    // re-derives every assignment from the md5-prefix hash mirror.
+    // Scale: pairs are banded-LSH bucket joins, CC iterates on the
+    // pair graph only, and the split is a projection — no new shuffle
+    // beyond what dedup already paid.
+    decl("q253_cluster_safe_split",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val pairs = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
+          n = 3, maxDf = 50, bands = 8, rowsPerBand = 4, minEstJaccard = 0.5)
+        val labels = ConnectedComponents.run(
+          docs.select(col("doc_id").as("id")),
+          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        Sampling.assignSplits(
+            labels.select(col("id").as("doc_id"), col("component")),
+            col("component"), "graft",
+            Seq("train" -> 8000, "valid" -> 1000, "test" -> 1000))
+          .select(col("doc_id"), col("component"), col("split"))
+      },
+      s"""WITH RECURSIVE $minhashSigCtes,
+         |prs AS (
+         |  SELECT a.doc AS da, b.doc AS db
+         |  FROM sig a JOIN sig b ON a.doc < b.doc
+         |  WHERE ($minhashBandEq)
+         |    AND ($minhashEqSum)::DOUBLE / 32.0 >= 0.5),
+         |sym AS (SELECT da AS x, db AS y FROM prs
+         |        UNION SELECT db, da FROM prs),
+         |reach(id, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.id, s.y FROM reach r JOIN sym s ON r.m = s.x),
+         |comp AS (SELECT id AS doc_id, MIN(m) AS component
+         |         FROM reach GROUP BY id)
+         |SELECT doc_id, component,
+         |  CASE WHEN b < 8000 THEN 'train'
+         |       WHEN b < 9000 THEN 'valid' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, component,
+         |  ${sqlHash60("('graft|' || component::VARCHAR)")} % 10000 AS b
+         |  FROM comp)""".stripMargin),
 
     // As-of join: for each click, the user's latest purchase at or
     // before the click instant. One shuffle (union + running window),

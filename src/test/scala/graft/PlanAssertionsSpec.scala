@@ -433,6 +433,26 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
   }
 
+  test("session-window aggregation is one shuffle on the session key") {
+    // q246's plan contract: the native session_window groupBy compiles
+    // to the dedicated session operator (sessions merged in a sorted
+    // pass per user) above EXACTLY ONE hash exchange on user_id — no
+    // self-join, no corpus-wide window, which is why it holds at 100 TB.
+    val dir = Files.createTempDirectory("graft-sess-plan").toString
+    (0L until 1000L).map(i => (i, new Timestamp(1700000000000L + i * 60000L), i % 7))
+      .toDF("event_id", "ts", "user_id").write.parquet(s"$dir/ev")
+    val df = spark.read.parquet(s"$dir/ev")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(exchanges == 1, plan.take(1500))
+    assert(plan.contains("UpdatingSessions") || plan.contains("session_window"),
+      plan.take(1500))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan.take(1500))
+  }
+
   test("weighted sample is one projection + one per-stratum window shuffle") {
     import graft.operators.Sampling
     val docs = spark.range(10000).select(col("id"),
