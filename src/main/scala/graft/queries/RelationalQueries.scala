@@ -796,6 +796,72 @@ object RelationalQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, sid""".stripMargin),
 
+    // OLAP breadth (round-12): the TPC-H Q18 shape — "large-volume
+    // orders": a groupBy-HAVING on the fact table semi-gates the
+    // order/customer join. Quantities are integral in the fixture
+    // (checked), so the volume sum is an exact BIGINT; the price
+    // travels as integer cents (the q112 rule — no double→decimal
+    // rounding-mode seam between engines).
+    decl("q254_q18_large_orders",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val big = li.groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .filter(col("sum_qty") > 260)
+        t(s, d, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+            round(col("o_totalprice") * 100).cast("long").as("total_cents"),
+            col("sum_qty"))
+      },
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(l_quantity::BIGINT)::BIGINT AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity::BIGINT) > 260)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        |  round(o_totalprice * 100)::BIGINT AS total_cents, sum_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey""".stripMargin),
+
+    // OLAP breadth (round-12): the TPC-H Q21 shape — "the supplier
+    // solely to blame on a multi-supplier order" (EXISTS another
+    // supplier's line + NOT EXISTS another supplier's offending line).
+    // The engine runs the AGGREGATION REWRITE a 100 TB plan wants: the
+    // two correlated quantifiers collapse into per-(order, supplier)
+    // counts — two shuffles on orderkey and one on suppkey, never a
+    // line-granularity self-join — while the DuckDB oracle runs the
+    // TEXTBOOK correlated EXISTS/NOT-EXISTS form, so the rewrite's
+    // equivalence is itself what the gate checks.
+    decl("q255_q21_sole_blame",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val os = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_r"))
+        val perOrder = os.groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_supp"),
+            sum(when(col("n_r") > 0, 1L).otherwise(0L)).as("n_supp_r"))
+        val blamed = os.filter(col("n_r") > 0)
+          .join(perOrder, "l_orderkey")
+          .filter(col("n_supp") > 1 && col("n_supp_r") === 1)
+        blamed.groupBy(col("l_suppkey"))
+          .agg(sum(col("n_r")).as("numwait"))
+          .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      },
+      """SELECT s_suppkey, s_name, COUNT(*)::BIGINT AS numwait
+        |FROM lineitem l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_suppkey, s_name""".stripMargin),
+
     // T5: first_seen / last_seen SCD columns.
     decl("q27_first_last_seen",
       (s, d) => Q.events(s, d)
