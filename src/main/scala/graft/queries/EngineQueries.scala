@@ -142,6 +142,108 @@ object EngineQueries {
         |SELECT a.o_custkey, a.o_orderkey AS k1, b.o_orderkey AS k2
         |FROM o a JOIN o b ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
         |WHERE (a.ms || '-01') <= strftime(last_day(CAST(b.me || '-01' AS DATE)), '%Y-%m-%d')
-        |  AND (b.ms || '-01') <= strftime(last_day(CAST(a.me || '-01' AS DATE)), '%Y-%m-%d')""".stripMargin)
+        |  AND (b.ms || '-01') <= strftime(last_day(CAST(a.me || '-01' AS DATE)), '%Y-%m-%d')""".stripMargin),
+
+    // contrib/dead_statements.py (round-12): the maintenance DELETE
+    // that drops statements whose dataset left the published catalog.
+    // The catalog name set is crawl metadata (hundreds of rows) —
+    // broadcast into a LEFT-ANTI join, the statement table scanned
+    // once, never shuffled; survivors reported per dataset so the
+    // operation's effect is itself the gated result.
+    decl("q256_dead_statements",
+      (s, d) => {
+        import s.implicits._
+        val o = t(s, d, "orders")
+        val stmts = o.select(col("o_orderkey").as("stmt_id"),
+          concat(lit("ds_"), (col("o_orderkey") % 5).cast("string")).as("dataset"))
+        val catalog = Seq("ds_0", "ds_2", "ds_3").toDF("dataset")
+        stmts.join(broadcast(catalog), Seq("dataset"), "left_semi")
+          .groupBy(col("dataset"))
+          .agg(count(lit(1)).as("live_statements"))
+      },
+      """SELECT 'ds_' || (o_orderkey % 5)::VARCHAR AS dataset,
+        |  COUNT(*)::BIGINT AS live_statements
+        |FROM orders
+        |WHERE 'ds_' || (o_orderkey % 5)::VARCHAR IN ('ds_0', 'ds_2', 'ds_3')
+        |GROUP BY 1""".stripMargin),
+
+    // contrib/suggest_assertions.py (round-12): derive per-schema
+    // min/max assertion suggestions from the dataset's own statistics
+    // (the reference reads statistics.json and emits min = 85% of the
+    // count, max = 2x). INTEGER floor arithmetic ((n*85)/100) instead
+    // of the reference's float int() — the deliberate portability
+    // deviation every float barrier in this repo follows; int(n*0.85)
+    // is one ulp from flooring for some n, (n*85)//100 is exact on
+    // any engine.
+    decl("q257_suggest_assertions",
+      (s, d) => {
+        val ents = ExportQueries.syntheticEntities(s, d)
+        ents.groupBy(col("schema"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("schema"), col("n"),
+            expr("n * 85 div 100").as("assert_min"),
+            (col("n") * 2).as("assert_max"))
+      },
+      // schema population replayed from the fixture construction rules:
+      // customers (Person/Company by k%4), addresses (distinct k%97),
+      // orders fan out satellites by o_orderkey%5 (Sanction=0,
+      // Identification=1, Security=2), suppliers are Vessels.
+      """WITH pop AS (
+        |  SELECT CASE WHEN c_custkey % 4 = 0 THEN 'Company' ELSE 'Person' END AS schema
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'Address' FROM (SELECT DISTINCT c_custkey % 97 FROM customer)
+        |  UNION ALL
+        |  SELECT CASE o_orderkey % 5 WHEN 0 THEN 'Sanction'
+        |    WHEN 1 THEN 'Identification' ELSE 'Security' END
+        |  FROM orders WHERE o_orderkey % 5 IN (0, 1, 2)
+        |  UNION ALL
+        |  SELECT 'Vessel' FROM supplier)
+        |SELECT schema, COUNT(*)::BIGINT AS n,
+        |  (COUNT(*) * 85 // 100)::BIGINT AS assert_min,
+        |  (COUNT(*) * 2)::BIGINT AS assert_max
+        |FROM pop GROUP BY schema""".stripMargin),
+
+    // contrib/topic_check.py + contrib/key_length.py (round-12): the
+    // publish-side QA report — targets carrying NO topics (the
+    // screening-export smell topic_check hunts) and entity ids longer
+    // than the 255-byte store key bound (key_length's check; F10's
+    // make_slug caps at exactly this). One pass, two counters per
+    // schema, zero if clean — the shape of a production data test.
+    decl("q258_publish_qa",
+      (s, d) => {
+        val ents = ExportQueries.syntheticEntities(s, d)
+        val empty = array().cast("array<string>")
+        val topics = coalesce(element_at(col("properties"), "topics"), empty)
+        ents.groupBy(col("schema"))
+          .agg(
+            sum(when(size(topics) === 0 &&
+              col("schema").isin("Person", "Company"), 1L).otherwise(0L))
+              .as("untopiced_things"),
+            sum(when(length(col("id")) > 255, 1L).otherwise(0L))
+              .as("overlong_ids"))
+      },
+      """WITH ents AS (
+        |  SELECT 'c' || c_custkey::VARCHAR AS id,
+        |    CASE WHEN c_custkey % 4 = 0 THEN 'Company' ELSE 'Person' END AS schema,
+        |    (c_custkey % 3) IN (0, 1) AS has_topics
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'a' || ak::VARCHAR, 'Address', FALSE
+        |  FROM (SELECT DISTINCT c_custkey % 97 AS ak FROM customer)
+        |  UNION ALL
+        |  SELECT CASE o_orderkey % 5 WHEN 0 THEN 's' WHEN 1 THEN 'i' ELSE 'sec' END
+        |      || o_orderkey::VARCHAR,
+        |    CASE o_orderkey % 5 WHEN 0 THEN 'Sanction'
+        |      WHEN 1 THEN 'Identification' ELSE 'Security' END,
+        |    FALSE
+        |  FROM orders WHERE o_orderkey % 5 IN (0, 1, 2)
+        |  UNION ALL
+        |  SELECT 'v' || s_suppkey::VARCHAR, 'Vessel', FALSE FROM supplier)
+        |SELECT schema,
+        |  SUM(CASE WHEN NOT has_topics AND schema IN ('Person', 'Company')
+        |           THEN 1 ELSE 0 END)::BIGINT AS untopiced_things,
+        |  SUM(CASE WHEN length(id) > 255 THEN 1 ELSE 0 END)::BIGINT AS overlong_ids
+        |FROM ents GROUP BY schema""".stripMargin)
   )
 }
