@@ -379,6 +379,72 @@ object StreamingQueries {
         |  AND p.ts >= v.ts
         |  AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600::BIGINT * 1000000""".stripMargin),
 
+    // q259 (round-12): the NEW arbitrary-state operator —
+    // transformWithState (Spark 4's StatefulProcessor, the successor
+    // of the mapGroupsWithState that runs firstSeenIndex) exercised
+    // end-to-end: per-user ValueState cumulative event counts + an
+    // invocation sequence, held across two drops with a checkpoint
+    // restart on the RocksDB state store the operator requires (conf
+    // scoped to this query and restored). handleInputRows fires once
+    // per key per micro-batch and only for keys WITH input, so the
+    // oracle re-derives every (key, seq, cum) row from the drop split:
+    // a user seen in drop 1 gets (0, c1); a user seen in drop 2 gets
+    // (1 if seen in drop 1 else 0, c1+c2).
+    decl("q259_streaming_transform_state",
+      (s, d) => {
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val base = s"/tmp/graft_q259_$tag"
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val landing = s"$base/landing"; val out = s"$base/out"
+        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+        val ev = Q.events(s, d).select(col("event_id"), col("ts"), col("user_id"))
+        val cut = lit("2024-01-21 00:00:00").cast("timestamp")
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val provWas = s.conf.getOption(provKey)
+        s.conf.set(provKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          def runPass(): Unit = {
+            import s.implicits._
+            val st = s.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "10000").parquet(landing)
+            val counted = st.select(col("user_id").as[Long](org.apache.spark.sql.Encoders.scalaLong))
+              .groupByKey(identity)
+              .transformWithState(new graft.streaming.CumulativeCountProcessor,
+                org.apache.spark.sql.streaming.TimeMode.None(),
+                org.apache.spark.sql.streaming.OutputMode.Append())
+            val q = counted.toDF().writeStream.format("parquet")
+              .option("path", out)
+              .option("checkpointLocation", s"$base/ck")
+              .outputMode("append")
+              .trigger(Trigger.AvailableNow()).start()
+            q.awaitTermination()
+          }
+          ev.filter(col("ts") < cut).write.mode("append").parquet(landing)
+          runPass()
+          ev.filter(col("ts") >= cut).write.mode("append").parquet(landing)
+          runPass()
+        } finally {
+          provWas match {
+            case Some(v) => s.conf.set(provKey, v)
+            case None => s.conf.unset(provKey)
+          }
+        }
+        s.read.parquet(out)
+      },
+      """WITH c1 AS (SELECT user_id, COUNT(*)::BIGINT AS n FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-21 00:00:00' GROUP BY 1),
+        |c2 AS (SELECT user_id, COUNT(*)::BIGINT AS n FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-21 00:00:00' GROUP BY 1)
+        |SELECT user_id, 0::BIGINT AS batch_seq, n AS cum_events FROM c1
+        |UNION ALL
+        |SELECT c2.user_id,
+        |  (CASE WHEN c1.user_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS batch_seq,
+        |  (COALESCE(c1.n, 0) + c2.n)::BIGINT AS cum_events
+        |FROM c2 LEFT JOIN c1 USING (user_id)""".stripMargin),
+
     // q139: STREAMING content dedup for a crawl pipeline — the
     // LLM-pipeline exact-dedup operator (q40) held continuously across
     // two crawl drops with a checkpoint restart between them:

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** The NEW arbitrary-state operator (Spark 4's `transformWithState` /
+  * StatefulProcessor — the successor of mapGroupsWithState used by
+  * [[StatementStream.firstSeenIndex]]): per-key ValueState survives
+  * micro-batches AND checkpoint restarts inside the RocksDB state
+  * store, and the handle exposes typed value/list/map state plus TTL
+  * and timers the old API lacked.
+  *
+  * [[CumulativeCountProcessor]] is the smallest honest exercise: a
+  * per-key cumulative event counter with an invocation sequence —
+  * `handleInputRows` fires once per key per micro-batch (only for keys
+  * WITH input), so `(key, seq)` output rows pin both the state
+  * arithmetic and the invocation protocol, and a DuckDB oracle can
+  * re-derive every row from the batch split (q259).
+  *
+  * Scale: state is one (long, long) pair per key in RocksDB — bounded
+  * by distinct keys, not stream length; the operator shuffles once on
+  * the grouping key per micro-batch, identical to the aggregation
+  * exchange the old API paid.
+  */
+case class CumOut(user_id: Long, batch_seq: Long, cum_events: Long)
+
+class CumulativeCountProcessor extends StatefulProcessor[Long, Long, CumOut] {
+  @transient private var cnt: ValueState[Long] = _
+  @transient private var seq: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
+    seq = getHandle.getValueState[Long]("seq", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      key: Long, rows: Iterator[Long], tv: TimerValues): Iterator[CumOut] = {
+    var n = 0L
+    while (rows.hasNext) { rows.next(); n += 1 }
+    val total = (if (cnt.exists()) cnt.get() else 0L) + n
+    val s = if (seq.exists()) seq.get() else 0L
+    cnt.update(total)
+    seq.update(s + 1)
+    Iterator.single(CumOut(key, s, total))
+  }
+}
