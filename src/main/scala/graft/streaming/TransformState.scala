@@ -24,6 +24,45 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   */
 case class CumOut(user_id: Long, batch_seq: Long, cum_events: Long)
 
+/** Inactivity-timeout detection on the new API's EVENT-TIME TIMERS —
+  * the half of transformWithState q259's counter does not touch. Per
+  * key: every input batch re-registers one timer at
+  * `last event + timeoutMs` (deleting the previous one); when the
+  * event-time watermark passes a live timer, `handleExpiredTimer`
+  * emits a `TimeoutOut(key, expiry)` marker. Semantics pinned
+  * empirically by TransformStateSpec (timer-vs-watermark batch
+  * ordering is engine-internal, so this operator is spec-gated, not
+  * oracle-gated — the q248/q249 watermark family carries the oracle
+  * evidence for event-time cutoffs).
+  *
+  * State: one long (last seen) + at most ONE live timer per key —
+  * bounded by distinct keys, the 100 TB contract. */
+case class TimeoutOut(user_id: Long, timed_out_at: Long)
+
+class InactivityTimeoutProcessor(timeoutMs: Long)
+    extends StatefulProcessor[Long, (Long, Long), TimeoutOut] {
+  @transient private var lastSeen: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    lastSeen = getHandle.getValueState[Long]("lastSeen", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long, rows: Iterator[(Long, Long)],
+      tv: TimerValues): Iterator[TimeoutOut] = {
+    var maxTs = if (lastSeen.exists()) lastSeen.get() else Long.MinValue
+    while (rows.hasNext) { val t = rows.next()._2; if (t > maxTs) maxTs = t }
+    if (lastSeen.exists()) getHandle.deleteTimer(lastSeen.get() + timeoutMs)
+    lastSeen.update(maxTs)
+    getHandle.registerTimer(maxTs + timeoutMs)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(
+      key: Long, tv: TimerValues,
+      info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[TimeoutOut] =
+    Iterator.single(TimeoutOut(key, info.getExpiryTimeInMs))
+}
+
 class CumulativeCountProcessor extends StatefulProcessor[Long, Long, CumOut] {
   @transient private var cnt: ValueState[Long] = _
   @transient private var seq: ValueState[Long] = _
