@@ -445,6 +445,82 @@ object StreamingQueries {
         |  (COALESCE(c1.n, 0) + c2.n)::BIGINT AS cum_events
         |FROM c2 LEFT JOIN c1 USING (user_id)""".stripMargin),
 
+    // q260 (round-12): STATE BOOTSTRAP — the batch→streaming cutover.
+    // A warehouse holds per-user historical event counts; the
+    // streaming job takes over WITHOUT reprocessing history:
+    // StatefulProcessorWithInitialState seeds each key's ValueState
+    // from the batch frame before the first input row, then two
+    // stream drops accumulate on top across a checkpoint restart.
+    // The restart leg is the honest part: initial state must apply
+    // exactly once — if the engine (or a naive reimplementation)
+    // re-seeded on restart, every cum count would double history and
+    // the oracle (which adds history once) would fail the hash.
+    decl("q260_streaming_state_bootstrap",
+      (s, d) => {
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val base = s"/tmp/graft_q260_$tag"
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val landing = s"$base/landing"; val out = s"$base/out"
+        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+        val ev = Q.events(s, d).select(col("event_id"), col("ts"), col("user_id"))
+        val cut = lit("2024-01-21 00:00:00").cast("timestamp")
+        val cut2 = lit("2024-01-26 00:00:00").cast("timestamp")
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val provWas = s.conf.getOption(provKey)
+        s.conf.set(provKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          import s.implicits._
+          val histKv = ev.filter(col("ts") < cut)
+            .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+            .as[(Long, Long)].groupByKey(_._1).mapValues(_._2)
+          def runPass(): Unit = {
+            val st = s.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "10000").parquet(landing)
+            val counted = st.select(col("user_id").as[Long])
+              .groupByKey(identity)
+              .transformWithState(new graft.streaming.BootstrappedCountProcessor,
+                org.apache.spark.sql.streaming.TimeMode.None(),
+                org.apache.spark.sql.streaming.OutputMode.Append(),
+                histKv)
+            val q = counted.toDF().writeStream.format("parquet")
+              .option("path", out)
+              .option("checkpointLocation", s"$base/ck")
+              .outputMode("append")
+              .trigger(Trigger.AvailableNow()).start()
+            q.awaitTermination()
+          }
+          ev.filter(col("ts") >= cut && col("ts") < cut2)
+            .write.mode("append").parquet(landing)
+          runPass()
+          ev.filter(col("ts") >= cut2).write.mode("append").parquet(landing)
+          runPass()
+        } finally {
+          provWas match {
+            case Some(v) => s.conf.set(provKey, v)
+            case None => s.conf.unset(provKey)
+          }
+        }
+        s.read.parquet(out)
+      },
+      """WITH h AS (SELECT user_id, COUNT(*)::BIGINT AS n FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-21 00:00:00' GROUP BY 1),
+        |s1 AS (SELECT user_id, COUNT(*)::BIGINT AS n FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-21 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-26 00:00:00' GROUP BY 1),
+        |s2 AS (SELECT user_id, COUNT(*)::BIGINT AS n FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-26 00:00:00' GROUP BY 1)
+        |SELECT s1.user_id, 0::BIGINT AS batch_seq,
+        |  (COALESCE(h.n, 0) + s1.n)::BIGINT AS cum_events
+        |FROM s1 LEFT JOIN h USING (user_id)
+        |UNION ALL
+        |SELECT s2.user_id,
+        |  (CASE WHEN s1.user_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS batch_seq,
+        |  (COALESCE(h.n, 0) + COALESCE(s1.n, 0) + s2.n)::BIGINT AS cum_events
+        |FROM s2 LEFT JOIN s1 USING (user_id) LEFT JOIN h USING (user_id)""".stripMargin),
+
     // q139: STREAMING content dedup for a crawl pipeline — the
     // LLM-pipeline exact-dedup operator (q40) held continuously across
     // two crawl drops with a checkpoint restart between them:

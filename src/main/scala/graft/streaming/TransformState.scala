@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** The NEW arbitrary-state operator (Spark 4's `transformWithState` /
   * StatefulProcessor — the successor of mapGroupsWithState used by
@@ -23,6 +23,43 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   * exchange the old API paid.
   */
 case class CumOut(user_id: Long, batch_seq: Long, cum_events: Long)
+
+/** STATE BOOTSTRAP — the third face of the new API
+  * (StatefulProcessorWithInitialState): a streaming job takes over
+  * from a batch warehouse by seeding its per-key state from a batch
+  * frame, so day one of the stream continues the historical counts
+  * instead of restarting from zero (the migration pattern every
+  * lakehouse→streaming cutover needs). handleInitialState runs once
+  * per key of the initial-state frame BEFORE any input; subsequent
+  * micro-batches accumulate on top. Output rows are identical in
+  * shape to [[CumulativeCountProcessor]]'s, so the q260 oracle
+  * re-derives them from the batch/stream split: cum = historical +
+  * streamed-so-far, and keys present only in history stay silent
+  * until they stream. */
+class BootstrappedCountProcessor
+    extends StatefulProcessorWithInitialState[Long, Long, CumOut, Long] {
+  @transient private var cnt: ValueState[Long] = _
+  @transient private var seq: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
+    seq = getHandle.getValueState[Long]("seq", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInitialState(key: Long, initial: Long, tv: TimerValues): Unit =
+    cnt.update(initial)
+
+  override def handleInputRows(
+      key: Long, rows: Iterator[Long], tv: TimerValues): Iterator[CumOut] = {
+    var n = 0L
+    while (rows.hasNext) { rows.next(); n += 1 }
+    val total = (if (cnt.exists()) cnt.get() else 0L) + n
+    val s = if (seq.exists()) seq.get() else 0L
+    cnt.update(total)
+    seq.update(s + 1)
+    Iterator.single(CumOut(key, s, total))
+  }
+}
 
 /** Inactivity-timeout detection on the new API's EVENT-TIME TIMERS —
   * the half of transformWithState q259's counter does not touch. Per
