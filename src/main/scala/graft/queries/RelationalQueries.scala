@@ -862,6 +862,91 @@ object RelationalQueries {
         |      AND l3.l_returnflag = 'R')
         |GROUP BY s_suppkey, s_name""".stripMargin),
 
+    // Time-series resample + forward fill (round-12): the dense-grid
+    // shape every metrics warehouse needs — per-user hourly buckets
+    // materialized for EVERY hour between the user's first and last
+    // observation (sequence + explode: the grid is generated per key,
+    // never a cross-join against a global calendar), missing hours
+    // carried forward with last-non-null over a per-key window (one
+    // shuffle on user_id). The grid is bounded by each key's own span,
+    // so a 100 TB corpus pays rows ∝ Σ(span_k), not keys × calendar.
+    decl("q261_gap_fill_resample",
+      (s, d) => {
+        val e = Q.events(s, d)
+        val hourly = e
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+        val grid = hourly.groupBy("user_id")
+          .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+              .as("hr"))
+        val w = Window.partitionBy("user_id").orderBy("hr")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("user_id", "hr"), "left")
+          .select(col("user_id"),
+            date_format(col("hr"), "yyyy-MM-dd HH:00").as("hour"),
+            col("v").isNotNull.as("observed"),
+            last(col("v"), ignoreNulls = true).over(w).cast("double")
+              .as("value"))
+      },
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hr,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+        |  FROM (SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1
+        |        FROM hourly GROUP BY 1)),
+        |j AS (SELECT g.user_id, g.hr, h.v
+        |      FROM grid g LEFT JOIN hourly h USING (user_id, hr))
+        |SELECT user_id, strftime(hr, '%Y-%m-%d %H:00') AS hour,
+        |  v IS NOT NULL AS observed,
+        |  CAST(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS value
+        |FROM j""".stripMargin),
+
+    // OHLC bars (round-12): open/high/low/close per (user, hour) —
+    // the finance-standard downsample. Open/close are positional
+    // (first/last row by (ts, event_id) — two row_number windows over
+    // the same one exchange); high/low compare doubles without
+    // summing, so every output value is an INPUT value, bit-exact on
+    // any engine.
+    decl("q262_ohlc_bars",
+      (s, d) => {
+        val e = Q.events(s, d)
+          .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"),
+            col("ts"), col("event_id"), col("value"))
+        val wAsc = Window.partitionBy("user_id", "hr")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val wDesc = Window.partitionBy("user_id", "hr")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        e.withColumn("rn", row_number().over(wAsc))
+          .withColumn("rd", row_number().over(wDesc))
+          .groupBy(col("user_id"), col("hr"))
+          .agg(max(when(col("rn") === 1, col("value"))).as("open"),
+            max(col("value")).as("high"), min(col("value")).as("low"),
+            max(when(col("rd") === 1, col("value"))).as("close"),
+            count(lit(1)).as("n_trades"))
+          .select(col("user_id"),
+            date_format(col("hr"), "yyyy-MM-dd HH:00").as("hour"),
+            col("open"), col("high"), col("low"), col("close"),
+            col("n_trades"))
+      },
+      """WITH x AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hr, value,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts, event_id) AS rn,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM events)
+        |SELECT user_id, strftime(hr, '%Y-%m-%d %H:00') AS hour,
+        |  MAX(CASE WHEN rn = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MAX(CASE WHEN rd = 1 THEN value END) AS close,
+        |  COUNT(*)::BIGINT AS n_trades
+        |FROM x GROUP BY 1, 2""".stripMargin),
+
     // T5: first_seen / last_seen SCD columns.
     decl("q27_first_last_seen",
       (s, d) => Q.events(s, d)
