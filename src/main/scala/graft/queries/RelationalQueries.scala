@@ -830,10 +830,12 @@ object RelationalQueries {
     // supplier's line + NOT EXISTS another supplier's offending line).
     // The engine runs the AGGREGATION REWRITE a 100 TB plan wants: the
     // two correlated quantifiers collapse into per-(order, supplier)
-    // counts — two shuffles on orderkey and one on suppkey, never a
-    // line-granularity self-join — while the DuckDB oracle runs the
-    // TEXTBOOK correlated EXISTS/NOT-EXISTS form, so the rewrite's
-    // equivalence is itself what the gate checks.
+    // counts, so only AGGREGATED frames ever shuffle (4 exchanges
+    // measured; lineitem feeds two consumers as map-side-combined
+    // partials) and there is never a line-granularity self-join —
+    // while the DuckDB oracle runs the TEXTBOOK correlated
+    // EXISTS/NOT-EXISTS form, so the rewrite's equivalence is itself
+    // what the gate checks.
     decl("q255_q21_sole_blame",
       (s, d) => {
         val li = t(s, d, "lineitem")

@@ -324,9 +324,10 @@ object Sources {
     * TakeOrderedAndProject (an O(n) heap per partition, merged once;
     * never a global sort of the cache), and the victims (≤ n rows,
     * 20k in the runbook) broadcast into a left-anti join against the
-    * full table, so the cache itself is scanned exactly once and
-    * never shuffled. The url tie-break makes the victim set
-    * deterministic when timestamps collide. */
+    * full table. The cache is read twice — once prefix-pruned for the
+    * bottom-k, once full for the anti-join — but never shuffled. The
+    * url tie-break makes the victim set deterministic when timestamps
+    * collide. */
   def cacheEvictOldest(cache: DataFrame, urlPrefix: String, n: Int): DataFrame = {
     val victims = cache
       .filter(col("url").startsWith(urlPrefix))
