@@ -1411,9 +1411,10 @@ object PipelineQueries {
     // minhash pipeline, closes components with a recursive CTE
     // (component = min reachable id, the CC label convention), and
     // re-derives every assignment from the md5-prefix hash mirror.
-    // Scale: pairs are banded-LSH bucket joins, CC iterates on the
-    // pair graph only, and the split is a projection — no new shuffle
-    // beyond what dedup already paid.
+    // Scale: pairs are banded-LSH bucket joins; CC's fixpoint shuffles
+    // only the (small) pair graph plus one id-level grouping to attach
+    // isolated docs; the split itself is a pure projection on the
+    // component id.
     decl("q253_cluster_safe_split",
       (s, d) => {
         val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
