@@ -447,7 +447,10 @@ class PlanAssertionsSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
     assert(exchanges == 1, plan.take(1500))
-    assert(plan.contains("UpdatingSessions") || plan.contains("session_window"),
+    // the dedicated session physical operator, not just the column name:
+    // partial HashAggregate -> one Exchange -> Sort -> MergingSessions
+    // (UpdatingSessions is the in-memory variant some configs pick)
+    assert(plan.contains("MergingSessions") || plan.contains("UpdatingSessions"),
       plan.take(1500))
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       plan.take(1500))
