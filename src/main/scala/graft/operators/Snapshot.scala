@@ -329,6 +329,59 @@ object Snapshot {
     (audit, rows2)
   }
 
+  /** MERGE-ON-READ delete — the other half of the delete family
+    * ([[deleteRange]] drops/rewrites files eagerly; this writes a
+    * DELETION VECTOR instead, Iceberg-v2-position-delete /
+    * Delta-DV-style at the engine's (file_id, key) granularity):
+    * matched rows are recorded as (file_id, key) tombstones and the
+    * data files are NOT touched, so the delete's write cost is
+    * O(matched keys) regardless of file sizes — the shape a constant
+    * trickle of small GDPR/erasure deletes on a 100 TB table needs.
+    * The read side pays the anti-join until [[compactDv]] materializes
+    * hot files. */
+  def deleteMor(rows: DataFrame, matchKeys: DataFrame): DataFrame =
+    rows.join(matchKeys.select("key").distinct(), Seq("key"), "left_semi")
+      .select(col("file_id"), col("key"))
+
+  /** The MOR read path: live rows = data files minus the deletion
+    * vector. One (file_id, key) anti-join — the read amplification
+    * [[compactDv]] exists to bound. */
+  def readWithDv(rows: DataFrame, dv: DataFrame): DataFrame =
+    rows.join(dv.select("file_id", "key"), Seq("file_id", "key"), "left_anti")
+
+  /** DV compaction: files whose deleted fraction ≥ `threshold`
+    * materialize (their live rows rewritten under fresh monotone file
+    * ids, their DV entries dropped); everything else is carried
+    * untouched. Returns (rows', dv', audit) where audit =
+    * (file_id, n_rows, n_deleted, materialized). Bounds the read-side
+    * anti-join to cold files — the maintenance half of the MOR trade,
+    * same monotone-id + broadcast-touch-set discipline as
+    * [[mergeCow]]. */
+  def compactDv(rows: DataFrame, dv: DataFrame,
+      threshold: Double): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val perFile = rows.groupBy("file_id").agg(count(lit(1)).as("n_rows"))
+    val delPerFile = dv.groupBy("file_id").agg(count(lit(1)).as("n_deleted"))
+    val audit = perFile.join(delPerFile, Seq("file_id"), "left")
+      .withColumn("n_deleted", coalesce(col("n_deleted"), lit(0L)))
+      .withColumn("materialized",
+        col("n_deleted").cast("double") >= lit(threshold) * col("n_rows").cast("double"))
+    val hot = audit.filter(col("materialized")).select("file_id")
+    val hotRk = hot.withColumn("_rk",
+      row_number().over(Window.orderBy(col("file_id"))).cast("long") - 1L)
+    val base = broadcast(rows.agg(
+      coalesce(max(col("file_id")) + 1L, lit(0L)).as("_base")))
+    val materialized = readWithDv(rows.join(broadcast(hot), Seq("file_id"), "left_semi"), dv)
+      .join(broadcast(hotRk), Seq("file_id"))
+      .crossJoin(base)
+      .select((col("_base") + col("_rk")).as("file_id") +:
+        rows.columns.filterNot(_ == "file_id").map(col): _*)
+    val rows2 = rows.join(broadcast(hot), Seq("file_id"), "left_anti")
+      .unionByName(materialized.select(rows.columns.map(col): _*))
+    val dv2 = dv.join(broadcast(hot), Seq("file_id"), "left_anti")
+    (rows2, dv2, audit)
+  }
+
   /** Schema evolution across snapshot versions — read files written
     * under an OLD schema through the CURRENT one, without rewriting a
     * byte of data (Iceberg's column-mapping rule: identity lives in

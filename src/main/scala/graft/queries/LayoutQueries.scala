@@ -721,7 +721,64 @@ object LayoutQueries {
          |         FROM tgt, k2 WHERE key < k2.lo OR key > k2.hi)
          |SELECT aud.version, aud.file_id, aud.n_rows, aud.min_key, aud.max_key,
          |  aud.action, live.rows_live, live.qty_live
-         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl :+ bloomMaintainDecl :+ lifecycleDecl
+         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl :+ bloomMaintainDecl :+ lifecycleDecl :+ morDvDecl
+
+  // q263 (round-12): MERGE-ON-READ deletion vectors — the other half
+  // of the delete family. q201's deleteRange rewrites/drops files
+  // EAGERLY (copy-on-write); here a skewed key-predicate delete lands
+  // as (file_id, key) tombstones with ZERO data files touched
+  // (write cost O(matched keys) — the constant-trickle GDPR shape),
+  // reads subtract the DV with one anti-join, and compactDv
+  // materializes exactly the files whose deleted fraction crosses the
+  // threshold (the low-key files here, by construction), dropping
+  // their DV entries. The gate checks the read-side invariant — live
+  // rows after [MOR delete → compact → read] equal the plain filtered
+  // base — AND the accounting (dv entries, files materialized, dv
+  // entries surviving compaction), all replayed in SQL from the same
+  // file-assignment and threshold rules.
+  private def morDvDecl: Decl =
+    decl("q263_mor_deletion_vectors",
+      (s, d) => {
+        import graft.operators.Snapshot
+        val (target, _, _) = mergeFixture(t(s, d, "lineitem"))
+        val kb = broadcast(t(s, d, "lineitem")
+          .agg(max(expr("l_orderkey * 8 + l_linenumber")).as("_kmax"),
+            min(expr("l_orderkey * 8 + l_linenumber")).as("_kmin"))
+          .select(expr("_kmin + ((_kmax - _kmin) * 2) div 10").as("_cut")))
+        val del = target.crossJoin(kb)
+          .filter(col("key") <= col("_cut") && expr("(key div 8) % 3 = 0"))
+          .select("key")
+        val dv = Snapshot.deleteMor(target, del)
+        val (rows2, dv2, audit) = Snapshot.compactDv(target, dv, threshold = 0.2)
+        val live = Snapshot.readWithDv(rows2, dv2)
+        val stats = broadcast(
+          dv.agg(count(lit(1)).as("dv_entries"))
+            .crossJoin(audit.agg(
+              sum(when(col("materialized"), 1L).otherwise(0L))
+                .as("files_materialized")))
+            .crossJoin(dv2.agg(count(lit(1)).as("dv_after"))))
+        live.select(col("key"), col("qty")).crossJoin(stats)
+      },
+      mergeFixtureCtes + """,
+        |cut AS (SELECT (kmin + ((kmax - kmin) * 2) // 10)::BIGINT AS c
+        |        FROM kb),
+        |del AS (SELECT key FROM tgt, cut
+        |        WHERE key <= cut.c AND (key // 8) % 3 = 0),
+        |dv AS (SELECT t.file_id, t.key FROM tgt t JOIN del USING (key)),
+        |pf AS (SELECT file_id, COUNT(*)::BIGINT AS n_rows FROM tgt GROUP BY 1),
+        |df AS (SELECT file_id, COUNT(*)::BIGINT AS n_del FROM dv GROUP BY 1),
+        |aud AS (SELECT pf.file_id, pf.n_rows, COALESCE(df.n_del, 0) AS n_del,
+        |          COALESCE(df.n_del, 0)::DOUBLE >= 0.2 * pf.n_rows::DOUBLE AS hot
+        |        FROM pf LEFT JOIN df USING (file_id)),
+        |stats AS (SELECT
+        |    (SELECT COUNT(*) FROM dv)::BIGINT AS dv_entries,
+        |    (SELECT COUNT(*) FROM aud WHERE hot)::BIGINT AS files_materialized,
+        |    (SELECT COUNT(*) FROM dv JOIN aud USING (file_id)
+        |       WHERE NOT aud.hot)::BIGINT AS dv_after)
+        |SELECT t.key, t.qty, stats.dv_entries, stats.files_materialized,
+        |  stats.dv_after
+        |FROM tgt t, stats
+        |WHERE t.key NOT IN (SELECT key FROM del)""".stripMargin)
 
   private def bloomTouchDecl: Decl = {
     val m = 4096; val k = 3
