@@ -382,6 +382,33 @@ object Snapshot {
     (rows2, dv2, audit)
   }
 
+  /** MERGE-ON-READ merge — [[mergeCow]]'s write-cheap twin (Hudi-MOR /
+    * Iceberg-v2 shape): matched rows (updates AND deletes) land in the
+    * deletion vector, updated values and fresh inserts land in
+    * hash-packed APPEND files, and no existing data file is read or
+    * rewritten — write cost O(|source|), the high-frequency-upsert
+    * regime COW can't serve. The read is [[readWithDv]] over
+    * rows ∪ appends; [[compactDv]] bounds the read amplification.
+    * Returns (dv, appendedRows) — rows' = rows ∪ appended;
+    * read ≡ the COW merge result by construction (q264 gates it). */
+  def mergeMor(target: DataFrame, source: DataFrame, valCol: String,
+      insertFiles: Int): (DataFrame, DataFrame) = {
+    require(insertFiles >= 1, s"insertFiles: $insertFiles")
+    val srcK = source.select(col("key"), col("op"), col(valCol).as("_sv"))
+    // every matched key's CURRENT row is tombstoned (updates replace,
+    // deletes remove)
+    val dv = deleteMor(target, srcK.select("key"))
+    val base = broadcast(target.agg(
+      coalesce(max(col("file_id")) + 1L, lit(0L)).as("_base")))
+    // upserts (matched-update + unmatched-insert) append under fresh ids
+    val appended = srcK.filter(col("op") === "U")
+      .crossJoin(base)
+      .select((col("_base") +
+          pmod(Dedup.hash60(col("key").cast("string")), lit(insertFiles.toLong)))
+        .as("file_id"), col("key"), col("_sv").as(valCol))
+    (dv, appended)
+  }
+
   /** Schema evolution across snapshot versions — read files written
     * under an OLD schema through the CURRENT one, without rewriting a
     * byte of data (Iceberg's column-mapping rule: identity lives in

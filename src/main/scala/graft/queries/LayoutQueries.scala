@@ -721,7 +721,7 @@ object LayoutQueries {
          |         FROM tgt, k2 WHERE key < k2.lo OR key > k2.hi)
          |SELECT aud.version, aud.file_id, aud.n_rows, aud.min_key, aud.max_key,
          |  aud.action, live.rows_live, live.qty_live
-         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl :+ bloomMaintainDecl :+ lifecycleDecl :+ morDvDecl
+         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl :+ bloomMaintainDecl :+ lifecycleDecl :+ morDvDecl :+ morMergeDecl
 
   // q263 (round-12): MERGE-ON-READ deletion vectors — the other half
   // of the delete family. q201's deleteRange rewrites/drops files
@@ -779,6 +779,41 @@ object LayoutQueries {
         |  stats.dv_after
         |FROM tgt t, stats
         |WHERE t.key NOT IN (SELECT key FROM del)""".stripMargin)
+
+  // q264 (round-12): MERGE-ON-READ merge — q196's mergeCow rewrites
+  // every touched file (write amplification ∝ file sizes); mergeMor
+  // serves the same upsert batch by tombstoning the matched rows into
+  // the DV and APPENDING updated/new values under fresh file ids —
+  // write cost O(|source|), no data file read or rewritten, the
+  // high-frequency-upsert regime. The gate: the DV-subtracted read of
+  // rows ∪ appends must equal the same merged state the COW oracle
+  // computes, plus the write-side accounting (tombstones = matched
+  // EXISTING rows only; appended = every upsert including inserts).
+  private def morMergeDecl: Decl =
+    decl("q264_mor_merge",
+      (s, d) => {
+        import graft.operators.Snapshot
+        val (target, source, _) = mergeFixture(t(s, d, "lineitem"))
+        val (dv, app) = Snapshot.mergeMor(target, source, "qty", insertFiles = 4)
+        val live = Snapshot.readWithDv(
+          target.select("file_id", "key", "qty").unionByName(app), dv)
+        val stats = broadcast(
+          dv.agg(count(lit(1)).as("dv_entries"))
+            .crossJoin(app.agg(count(lit(1)).as("appended_rows"))))
+        live.select(col("key"), col("qty")).crossJoin(stats)
+      },
+      mergeFixtureCtes + """,
+        |matched AS (SELECT t.key FROM tgt t JOIN src USING (key)),
+        |live AS (
+        |  SELECT t.key, t.qty FROM tgt t
+        |  WHERE t.key NOT IN (SELECT key FROM src)
+        |  UNION ALL
+        |  SELECT key, sv AS qty FROM src WHERE op = 'U'),
+        |stats AS (SELECT
+        |  (SELECT COUNT(*) FROM matched)::BIGINT AS dv_entries,
+        |  (SELECT COUNT(*) FROM src WHERE op = 'U')::BIGINT AS appended_rows)
+        |SELECT live.key, live.qty, stats.dv_entries, stats.appended_rows
+        |FROM live, stats""".stripMargin)
 
   private def bloomTouchDecl: Decl = {
     val m = 4096; val k = 3

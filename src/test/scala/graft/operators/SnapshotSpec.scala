@@ -484,4 +484,42 @@ class SnapshotSpec extends SparkSpec {
     val (_, _, c2) = Snapshot.mergeCow(target, noop, m1, "qty", 2L, 2)
     assert(c2.count() === 0L)
   }
+
+  test("MOR deletion vectors: no-op on misses, idempotent, compaction extremes") {
+    val (target, _, _) = mergeFixture()
+    // deleting keys that don't exist tombstones nothing
+    val misses = Seq(900L, 901L).toDF("key")
+    assert(Snapshot.deleteMor(target, misses).count() === 0L)
+    // deleting the same keys twice yields the same DV (set semantics)
+    val keys = Seq(30L, 55L, 56L).toDF("key")
+    val dv1 = Snapshot.deleteMor(target, keys)
+    val dv2 = Snapshot.deleteMor(target, keys.unionByName(keys))
+    assert(dv1.exceptAll(dv2).isEmpty && dv2.exceptAll(dv1).isEmpty)
+    assert(Snapshot.readWithDv(target, dv1).count() === 97L)
+    // threshold 0: EVERY file materializes, DV fully drained, read stable
+    val (r0, d0, a0) = Snapshot.compactDv(target, dv1, threshold = 0.0)
+    assert(d0.count() === 0L)
+    assert(a0.filter(!col("materialized")).count() === 0L)
+    assert(Snapshot.readWithDv(r0, d0).count() === 97L)
+    // threshold > 1: nothing materializes, DV intact, read stable
+    val (r1, d1, a1) = Snapshot.compactDv(target, dv1, threshold = 1.1)
+    assert(d1.count() === dv1.count())
+    assert(a1.filter(col("materialized")).count() === 0L)
+    assert(Snapshot.readWithDv(r1, d1).count() === 97L)
+  }
+
+  test("mergeMor read equals mergeCow result on the same batch") {
+    val (target, source, m1) = mergeFixture()
+    val (_, cowRows, _) = Snapshot.mergeCow(target, source, m1, "qty", 2L, 2)
+    val (dv, app) = Snapshot.mergeMor(target, source, "qty", insertFiles = 2)
+    val morLive = Snapshot.readWithDv(
+      target.select("file_id", "key", "qty").unionByName(app), dv)
+    val a = cowRows.select("key", "qty")
+    val b = morLive.select("key", "qty")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "MOR read must equal the COW merged state")
+    // write-side accounting: tombstones only for EXISTING matched rows
+    assert(dv.count() === 2L) // keys 30 (U) and 55 (D); 200/201 are inserts
+    assert(app.count() === 3L) // updates 30 + inserts 200, 201
+  }
 }
