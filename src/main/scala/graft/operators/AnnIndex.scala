@@ -460,7 +460,11 @@ object AnnIndex {
     * undershoots the ADC error band (r=50 → 0.657 at 1×; r=200 →
     * 0.835 against a 0.854 cell ceiling) and 200 exact cosines per
     * query is noise at any scale. Capped at the scoped pool — ADC
-    * never scored anything beyond it. */
+    * never scored anything beyond it — except at tiny scales, where
+    * the 50-row floor deliberately WINS over the pool cap (the outer
+    * max applies last): a heap larger than the pool just keeps
+    * everything, so the floor is harmless there and keeps the formula
+    * monotone in n. */
   def rForCells(n: Long, cells: Int, nprobe: Int): Int = {
     val pool = n * nprobe / math.max(1, cells).toLong
     math.max(50L, math.min(math.max(200L, n / 40L), pool)).toInt

@@ -138,6 +138,14 @@ object Snapshot {
     * packed groups re-aggregate from the REMAPPED rows, so
     * manifest/rows consistency is by construction, not by parallel
     * arithmetic. `key` is the zone-map column of `rows`.
+    *
+    * Inconsistent inputs do NOT lose rows: a row whose file_id the
+    * manifest doesn't cover is not in the pack mapping, so it carries
+    * through UNTOUCHED (the non-packed branch is an anti-join on the
+    * mapping, not a semi-join on the kept manifest) and — not being a
+    * kept entry — gets a fresh manifest entry re-aggregated from its
+    * rows, healing the manifest/rows drift instead of silently
+    * dropping data (round-12 advisory).
     * Returns (manifest', rows'). */
   def compactFiles(rows: DataFrame, manifest: DataFrame, key: Column,
       smallRows: Long, targetRows: Long, version: Long): (DataFrame, DataFrame) = {
@@ -150,8 +158,8 @@ object Snapshot {
         small.select(lit("f").as("source"), col("file_id").as("frag_idx"),
           col("n_rows").as("bytes")), targetRows)
       .select(col("frag_idx").as("file_id"), col("out_group"))
-    val rows2 = rows.join(broadcast(keep.select("file_id")), Seq("file_id"),
-        "left_semi")
+    val rows2 = rows.join(broadcast(mapping.select("file_id")), Seq("file_id"),
+        "left_anti")
       .unionByName(rows
         .join(broadcast(mapping), Seq("file_id"))
         .crossJoin(base)

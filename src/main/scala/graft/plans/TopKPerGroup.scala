@@ -118,7 +118,18 @@ case class TopKPerGroupExec(
         }
       }.flatten
     } else child.execute().mapPartitions { iter =>
-      val keyProj = UnsafeProjection.create(groupE, childOutput)
+      // Group-run detection must use the SAME comparison as the
+      // required child sort, NOT UnsafeRow byte equality: for
+      // float/double group keys, 0.0 and -0.0 (and distinct NaN bit
+      // patterns) are sort-EQUAL but byte-DISTINCT — custom execs get
+      // no NormalizeFloatingNumbers pass (SPARK-26021 removed -0.0
+      // normalization from UnsafeProjection) — so a byte comparison
+      // could split one sorted run into interleaved fragments and emit
+      // more than k rows for that group (round-12 advisory). Comparing
+      // each row against the run's head row under the group-key
+      // ordering is exactly the sort's own notion of "same group".
+      val groupOrd = new LazilyGeneratedOrdering(
+        groupE.map(e => SortOrder(e, Ascending)), childOutput)
       val ord = new LazilyGeneratedOrdering(ordE, childOutput)
       import scala.jdk.CollectionConverters._
       // input is sorted by group key: stream group runs, ONE heap alive
@@ -127,15 +138,15 @@ case class TopKPerGroupExec(
           if (iter.hasNext) iter.next().copy() else null
         override def hasNext: Boolean = pending != null
         override def next(): Iterator[InternalRow] = {
-          val groupKey = keyProj(pending).copy()
+          val head = pending // a copy; stays valid even if heap-evicted
           val heap =
             new java.util.PriorityQueue[InternalRow](kk + 1, ord.reverse)
-          heap.add(pending) // copied at stash time
+          heap.add(head)
           pending = null
           var done = false
           while (!done && iter.hasNext) {
             val row = iter.next()
-            if (keyProj(row) == groupKey) {
+            if (groupOrd.compare(row, head) == 0) {
               if (heap.size() < kk) heap.add(row.copy())
               else if (ord.compare(row, heap.peek()) < 0) {
                 heap.poll(); heap.add(row.copy())

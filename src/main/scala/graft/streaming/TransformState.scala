@@ -72,8 +72,10 @@ class BootstrappedCountProcessor
   * oracle-gated — the q248/q249 watermark family carries the oracle
   * evidence for event-time cutoffs).
   *
-  * State: one long (last seen) + at most ONE live timer per key —
-  * bounded by distinct keys, the 100 TB contract. */
+  * State: one long (last seen) + at most ONE live timer per key while
+  * the session is ACTIVE; the expiry handler clears the key's state,
+  * so RocksDB is bounded by keys with a live session, not by every
+  * key ever seen — the 100 TB contract. */
 case class TimeoutOut(user_id: Long, timed_out_at: Long)
 
 class InactivityTimeoutProcessor(timeoutMs: Long)
@@ -96,8 +98,14 @@ class InactivityTimeoutProcessor(timeoutMs: Long)
 
   override def handleExpiredTimer(
       key: Long, tv: TimerValues,
-      info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[TimeoutOut] =
+      info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[TimeoutOut] = {
+    // a timed-out session's state is DEAD state: clear it so RocksDB
+    // holds only ACTIVE keys (a key seen again later correctly starts
+    // a fresh session from its new event) — without this, state grows
+    // with every key ever seen, breaking the bounded-state contract
+    lastSeen.clear()
     Iterator.single(TimeoutOut(key, info.getExpiryTimeInMs))
+  }
 }
 
 class CumulativeCountProcessor extends StatefulProcessor[Long, Long, CumOut] {

@@ -508,6 +508,25 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.readWithDv(r1, d1).count() === 97L)
   }
 
+  test("compactFiles never drops rows whose file_id the manifest misses") {
+    // manifest/rows drift (file 99 exists in rows but not in the
+    // manifest) must NOT silently lose data: the unknown row carries
+    // through untouched and the output manifest re-covers it
+    val rows = Seq((0L, 1L, "a"), (0L, 2L, "b"), (1L, 3L, "c"),
+      (99L, 500L, "x")).toDF("file_id", "key", "v")
+    val manifest = Seq((1L, 0L, 2L, 1L, 2L), (1L, 1L, 1L, 3L, 3L))
+      .toDF("version", "file_id", "n_rows", "min_key", "max_key")
+    val (m2, r2) = Snapshot.compactFiles(rows, manifest, col("key"),
+      smallRows = 2L, targetRows = 4L, version = 2L)
+    assert(r2.count() === rows.count())
+    assert(r2.filter(col("key") === 500L).select("file_id")
+      .as[Long].collect().toSeq === Seq(99L))
+    // every surviving row's file is a manifest entry (drift healed)
+    assert(r2.join(m2.select("file_id"), Seq("file_id"), "left_anti").count() === 0L)
+    // and the consistent part still compacts: small file 1 repacked
+    assert(m2.filter(col("file_id") === 1L).count() === 0L)
+  }
+
   test("mergeMor read equals mergeCow result on the same batch") {
     val (target, source, m1) = mergeFixture()
     val (_, cowRows, _) = Snapshot.mergeCow(target, source, m1, "qty", 2L, 2)

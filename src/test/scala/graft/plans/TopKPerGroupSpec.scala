@@ -74,6 +74,20 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(ours == want)
   }
 
+  test("float group keys: 0.0 and -0.0 are ONE group (sort-equal run detection)") {
+    // 0.0 and -0.0 are sort-EQUAL but byte-DISTINCT (no
+    // NormalizeFloatingNumbers pass runs on custom execs), and Spark's
+    // hash expressions normalize -0.0, so both variants land on the
+    // same reducer as one sorted run. Byte-equality run detection
+    // would split that run into interleaved fragments and emit up to
+    // 2k rows; the ordering-based detection emits exactly k.
+    val rows = (0 until 100).map(i => (if (i % 2 == 0) 0.0d else -0.0d, i.toLong, i))
+    val df = rows.toDF("g", "id", "v").repartition(8)
+    val ours = TopK.topKPerGroup(df, Seq(col("g")),
+      Seq(col("v").desc, col("id")), k = 3).select("id").as[Long].collect().toSet
+    assert(ours == Set(99L, 98L, 97L), s"got $ours")
+  }
+
   test("the exchange carries at most k rows per (group, input partition)") {
     // 100k rows, 10 groups, 8 input partitions: the window form would
     // shuffle all 100k rows; the partial heap forwards <= 10*8*5 = 400
