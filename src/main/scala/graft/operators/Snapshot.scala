@@ -35,6 +35,37 @@ object Snapshot {
   // ---------------------------------------------------------------
   // Manifest arithmetic (relational, oracle-gated)
 
+  /** Dense 0-based ranks over a file-id frame WITHOUT a global
+    * single-partition window: per-(file_id mod 64) row_number plus a
+    * 64-row offset frame — the [[Layout.compactionPlan]] two-phase
+    * discipline, so the house rule ("the only globally-ordered window
+    * is a tiny bucket frame") holds in the mutation family too. The
+    * frames here (merge touch set, delete boundary set, DV-hot set)
+    * are manifest-sized by construction, but a degenerate input (every
+    * file touched on a 100M-file manifest) must not single-partition —
+    * this keeps the rank assignment parallel at any frame size.
+    *
+    * Rank ORDER is partition-major — (file_id mod 64, file_id), not
+    * global file_id order. Any deterministic order serves: ranks only
+    * mint fresh UNIQUE ids past the manifest max. Oracles replay it as
+    * `ROW_NUMBER() OVER (ORDER BY file_id % 64, file_id) - 1`
+    * (equal to the plain file_id order while ids stay distinct
+    * mod 64, as every fixture's do — same note as commitCompact's). */
+  private def freshRanks(ids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = ids.withColumn("_p", pmod(col("file_id"), lit(64L)))
+    val offsets = part.groupBy("_p").agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(sum(col("_c")).over(
+        Window.orderBy(col("_p"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_p"), col("_off"))
+    part.join(broadcast(offsets), "_p")
+      .withColumn("_rk", col("_off") +
+        row_number().over(Window.partitionBy(col("_p"))
+          .orderBy(col("file_id"))).cast("long") - 1L)
+      .select(col("file_id"), col("_rk"))
+  }
+
   /** Manifest entries for a batch of rows about to become `version`'s
     * NEW files: rows are assigned to `files` buckets by a portable hash
     * of the id (the write-side layout), and each file's entry carries
@@ -197,8 +228,9 @@ object Snapshot {
     * Rewritten and insert files take fresh monotone ids past the
     * previous max — the table-unique-id invariant [[vacuumPlan]] and
     * [[snapshotDiff]] rely on; inserts hash-pack into `insertFiles`
-    * new files. The only unpartitioned window ranks the touch set —
-    * manifest-sized by construction.
+    * new files. Fresh ids come from [[freshRanks]]'s two-phase prefix
+    * sum — no unpartitioned window anywhere in the mutation family,
+    * even on a degenerate all-files-touched input.
     *
     * Returns (manifest', rows', changes):
     *  - manifest' — (version, file_id, n_rows, min_key, max_key,
@@ -220,7 +252,6 @@ object Snapshot {
       prevManifest: DataFrame, valCol: String, version: Long,
       insertFiles: Int): (DataFrame, DataFrame, DataFrame) = {
     require(insertFiles >= 1, s"insertFiles: $insertFiles")
-    import org.apache.spark.sql.expressions.Window
     val vType = target.schema(valCol).dataType
     val nullV = lit(null).cast(vType)
     val srcK = source.select(col("key"), col("op"), col(valCol).as("_sv"))
@@ -228,8 +259,7 @@ object Snapshot {
     // the COW touch set: files holding at least one matched key
     val touched = target.join(srcK.select("key").distinct(), Seq("key"), "left_semi")
       .select("file_id").distinct()
-    val touchedRk = touched.withColumn("_rk",
-      row_number().over(Window.orderBy(col("file_id"))).cast("long") - 1L)
+    val touchedRk = freshRanks(touched)
     val nTouched = broadcast(touched.agg(count(lit(1)).as("_nt")))
     val base = broadcast(prevManifest.agg(
       coalesce(max(col("file_id")) + 1L, lit(0L)).as("_base")))
@@ -303,7 +333,6 @@ object Snapshot {
     * parquet is pruned, not scanned. */
   def deleteRange(target: DataFrame, prevManifest: DataFrame,
       valCol: String, lo: Long, hi: Long, version: Long): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     val carried = prevManifest
       .filter(col("max_key") < lo || col("min_key") > hi)
       .select(lit(version).as("version"), col("file_id"), col("n_rows"),
@@ -316,8 +345,7 @@ object Snapshot {
       .filter(col("min_key") < lo && col("max_key") >= lo ||
         col("min_key") <= hi && col("max_key") > hi)
       .select("file_id")
-    val boundaryRk = boundary.withColumn("_rk",
-      row_number().over(Window.orderBy(col("file_id"))).cast("long") - 1L)
+    val boundaryRk = freshRanks(boundary)
     val base = broadcast(prevManifest.agg(
       coalesce(max(col("file_id")) + 1L, lit(0L)).as("_base")))
     val surv = target.join(broadcast(boundaryRk), Seq("file_id"))
@@ -367,7 +395,6 @@ object Snapshot {
     * [[mergeCow]]. */
   def compactDv(rows: DataFrame, dv: DataFrame,
       threshold: Double): (DataFrame, DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     val perFile = rows.groupBy("file_id").agg(count(lit(1)).as("n_rows"))
     val delPerFile = dv.groupBy("file_id").agg(count(lit(1)).as("n_deleted"))
     val audit = perFile.join(delPerFile, Seq("file_id"), "left")
@@ -375,8 +402,7 @@ object Snapshot {
       .withColumn("materialized",
         col("n_deleted").cast("double") >= lit(threshold) * col("n_rows").cast("double"))
     val hot = audit.filter(col("materialized")).select("file_id")
-    val hotRk = hot.withColumn("_rk",
-      row_number().over(Window.orderBy(col("file_id"))).cast("long") - 1L)
+    val hotRk = freshRanks(hot)
     val base = broadcast(rows.agg(
       coalesce(max(col("file_id")) + 1L, lit(0L)).as("_base")))
     val materialized = readWithDv(rows.join(broadcast(hot), Seq("file_id"), "left_semi"), dv)

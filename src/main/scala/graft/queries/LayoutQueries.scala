@@ -574,7 +574,7 @@ object LayoutQueries {
          |       MAX(key)::BIGINT AS max_key FROM tgt GROUP BY 1),
          |touched AS (SELECT DISTINCT t.file_id FROM tgt t JOIN src s ON t.key = s.key),
          |trk AS (SELECT file_id,
-         |        (ROW_NUMBER() OVER (ORDER BY file_id) - 1)::BIGINT AS rk FROM touched),
+         |        (ROW_NUMBER() OVER (ORDER BY file_id % 64, file_id) - 1)::BIGINT AS rk FROM touched),
          |base AS (SELECT COALESCE(MAX(file_id) + 1, 0)::BIGINT AS b FROM m1),
          |nt AS (SELECT COUNT(*)::BIGINT AS n FROM touched),
          |surv AS (SELECT (base.b + trk.rk)::BIGINT AS file_id, tg.key,
@@ -704,7 +704,7 @@ object LayoutQueries {
          |          WHEN min_key >= k2.lo AND max_key <= k2.hi THEN 'dropped'
          |          ELSE 'rewritten_src' END AS c
          |        FROM m1, k2),
-         |bnd AS (SELECT file_id, (ROW_NUMBER() OVER (ORDER BY file_id) - 1)::BIGINT AS rk
+         |bnd AS (SELECT file_id, (ROW_NUMBER() OVER (ORDER BY file_id % 64, file_id) - 1)::BIGINT AS rk
          |        FROM cls WHERE c = 'rewritten_src'),
          |base AS (SELECT COALESCE(MAX(file_id) + 1, 0)::BIGINT AS b FROM m1),
          |surv AS (SELECT (base.b + bnd.rk)::BIGINT AS file_id, tg.key, tg.qty
@@ -1007,7 +1007,7 @@ object LayoutQueries {
          |m1 AS (SELECT file_id, MAX(key) AS mx FROM tgt GROUP BY 1),
          |touched AS (SELECT DISTINCT t.file_id FROM tgt t JOIN src s ON t.key = s.key),
          |trk AS (SELECT file_id,
-         |        (ROW_NUMBER() OVER (ORDER BY file_id) - 1)::BIGINT AS rk FROM touched),
+         |        (ROW_NUMBER() OVER (ORDER BY file_id % 64, file_id) - 1)::BIGINT AS rk FROM touched),
          |base AS (SELECT COALESCE(MAX(file_id) + 1, 0)::BIGINT AS b FROM m1),
          |nt AS (SELECT COUNT(*)::BIGINT AS n FROM touched),
          |r2 AS (SELECT tg.file_id, tg.key FROM tgt tg
@@ -1081,7 +1081,7 @@ object LayoutQueries {
          |       MAX(key)::BIGINT AS max_key FROM tgt GROUP BY 1),
          |touched AS (SELECT DISTINCT t.file_id FROM tgt t JOIN src s ON t.key = s.key),
          |trk AS (SELECT file_id,
-         |        (ROW_NUMBER() OVER (ORDER BY file_id) - 1)::BIGINT AS rk FROM touched),
+         |        (ROW_NUMBER() OVER (ORDER BY file_id % 64, file_id) - 1)::BIGINT AS rk FROM touched),
          |base AS (SELECT COALESCE(MAX(file_id) + 1, 0)::BIGINT AS b FROM m1),
          |nt AS (SELECT COUNT(*)::BIGINT AS n FROM touched),
          |r2 AS (SELECT tg.file_id, tg.key, tg.qty FROM tgt tg
@@ -1105,7 +1105,7 @@ object LayoutQueries {
          |          WHEN min_key >= k3.lo2 AND max_key <= k3.hi2 THEN 'dropped'
          |          ELSE 'rw' END AS c
          |        FROM m2, k3),
-         |bnd AS (SELECT file_id, (ROW_NUMBER() OVER (ORDER BY file_id) - 1)::BIGINT AS rk
+         |bnd AS (SELECT file_id, (ROW_NUMBER() OVER (ORDER BY file_id % 64, file_id) - 1)::BIGINT AS rk
          |        FROM cls WHERE c = 'rw'),
          |b3 AS (SELECT COALESCE(MAX(file_id) + 1, 0)::BIGINT AS b FROM m2),
          |surv3 AS (SELECT (b3.b + bnd.rk)::BIGINT AS file_id, r2.key, r2.qty

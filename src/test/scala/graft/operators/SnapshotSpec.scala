@@ -527,6 +527,26 @@ class SnapshotSpec extends SparkSpec {
     assert(m2.filter(col("file_id") === 1L).count() === 0L)
   }
 
+  test("fresh-id rank windows are PARTITIONED (two-phase prefix sum, plan lock)") {
+    // the mutation family's fresh-file-id ranks must never plan as an
+    // unpartitioned row_number over the touch/boundary/hot frame — a
+    // degenerate input (every file touched) would single-partition it;
+    // freshRanks' row_number is partitioned by _p (mod 64), with only
+    // the <=64-row offsets frame globally ordered
+    val (target, source, m1) = mergeFixture()
+    val (_, cowRows, _) = Snapshot.mergeCow(target, source, m1, "qty", 2L, 2)
+    val (_, delRows) = Snapshot.deleteRange(target, m1, "qty", 30L, 60L, 2L)
+    val dv = Snapshot.deleteMor(target, Seq(30L, 55L).toDF("key"))
+    val (cRows, _, _) = Snapshot.compactDv(target, dv, 0.0)
+    for (df <- Seq(cowRows, delRows, cRows)) {
+      val plan = df.queryExecution.executedPlan.toString
+      val rn = plan.linesIterator.filter(_.contains("row_number()")).toSeq
+      assert(rn.nonEmpty, plan.take(1000))
+      rn.foreach(l =>
+        assert(l.contains("windowspecdefinition(_p#"), s"unpartitioned rank: $l"))
+    }
+  }
+
   test("mergeMor read equals mergeCow result on the same batch") {
     val (target, source, m1) = mergeFixture()
     val (_, cowRows, _) = Snapshot.mergeCow(target, source, m1, "qty", 2L, 2)
