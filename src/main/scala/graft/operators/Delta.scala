@@ -44,6 +44,56 @@ object Delta {
       .select(col("id"), col("op"))
   }
 
+  /** Two-pack entity-level compare — the contrib QA runbook that diffs
+    * two statement exports of the SAME dataset at ASSEMBLED-entity
+    * granularity (contrib/compare_pack.py:22-133: build a store from
+    * each pack, then four dict.items() set differences). Each pack is
+    * assembled twice — the INTERNAL view (external = false statements
+    * only) and the EXTERNAL view (all statements), the script's
+    * `default_view(external=...)` pair — and the sides diff on
+    * (id, content hash), exactly items() semantics: an id present in
+    * both packs with DIFFERENT content appears in BOTH directions, an
+    * id on one side only appears once.
+    *
+    * Content identity is (schema, properties) via [[entityHash]] —
+    * the pack-invariant payload; run timestamps are deliberately NOT
+    * part of identity (two crawls of identical content would otherwise
+    * diff on every entity, which is the opposite of what the runbook
+    * answers: "what CHANGED between these two exports").
+    *
+    * Returns (view, side, entity_id) with view ∈ internal|external,
+    * side ∈ in_a_not_b|in_b_not_a.
+    *
+    * Scale shape: two assembly aggregations per pack (the J4/A1
+    * machinery — one shuffle each on canonicalId) and ONE full-outer
+    * join per view on entity id carrying only 32-byte hashes, never
+    * the assembled payload; at 100 TB the packs diff without any
+    * entity's properties crossing the wire twice. */
+  def comparePacks(packA: DataFrame, packB: DataFrame): DataFrame = {
+    def assembled(pack: DataFrame, tag: String): DataFrame = {
+      def view(name: String, df: DataFrame) =
+        EntityAssembler.assembleColumnar(df)
+          .select(lit(name).as("view"), col("id").as("entity_id"),
+            entityHash(col("id"), col("schema"),
+              flatten(transform(map_entries(col("properties")), e =>
+                transform(e.getField("value"),
+                  v => concat(e.getField("key"), lit("="), v)))))
+              .as(s"_h$tag"))
+      view("internal", pack.filter(!col("external")))
+        .unionByName(view("external", pack))
+    }
+    assembled(packA, "a")
+      .join(assembled(packB, "b"), Seq("view", "entity_id"), "full_outer")
+      .select(col("view"), col("entity_id"),
+        explode(array(
+          when(col("_ha").isNotNull && !(col("_hb") <=> col("_ha")),
+            lit("in_a_not_b")),
+          when(col("_hb").isNotNull && !(col("_ha") <=> col("_hb")),
+            lit("in_b_not_a")))).as("side"))
+      .filter(col("side").isNotNull)
+      .select(col("view"), col("side"), col("entity_id"))
+  }
+
   /** SCD type-2 dimension build from a change log (round-11): collapse
     * consecutive duplicate values per key, then emit one row per value
     * RUN with its validity interval — the warehouse-standard

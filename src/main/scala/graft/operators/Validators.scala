@@ -128,4 +128,34 @@ object Validators {
       .filter(conflicted(col("schemata")))
       .select(col("id"), array_join(col("schemata"), ";").as("schemata"))
   }
+
+  /** Catalog hierarchy audit (contrib/check_hierarchy.py:20-42): the
+    * two warnings the runbook emits over the dataset catalog —
+    *
+    *  - `no_children_no_entry_point`: a dataset that is neither a
+    *    parent (no children) nor crawlable (no entry_point) can never
+    *    produce or aggregate data;
+    *  - `not_in_any_collection`: a non-collection, non-disabled
+    *    dataset that no collection includes is published nowhere.
+    *
+    * `catalog` is one row per dataset (name, is_collection, disabled,
+    * entry_point nullable); `children` the (collection, child)
+    * membership edges (the YAML's nested child list, normalized —
+    * the relational form a 10k-dataset catalog diffs and joins
+    * cheaply). The script's first-loop `continue` does not change
+    * semantics: a collection it skips has no children to contribute,
+    * so the second warning's child set is simply ALL membership edges.
+    * Both checks are metadata-sized anti-joins; a dataset can carry
+    * both issues (the script's loops warn independently). */
+  def checkHierarchy(catalog: DataFrame, children: DataFrame): DataFrame = {
+    val parents = children.select(col("collection").as("name")).distinct()
+    val noKids = catalog.join(parents, Seq("name"), "left_anti")
+      .filter(col("entry_point").isNull)
+      .select(col("name"), lit("no_children_no_entry_point").as("issue"))
+    val uncollected = catalog.filter(!col("is_collection") && !col("disabled"))
+      .join(children.select(col("child").as("name")).distinct(),
+        Seq("name"), "left_anti")
+      .select(col("name"), lit("not_in_any_collection").as("issue"))
+    noKids.unionByName(uncollected)
+  }
 }

@@ -58,6 +58,12 @@ import Q._
   * q240 posting compaction, Snapshot vacuum), all 12 analysis/ files
   * are oracle-gated.
   *
+  * Round 13 closes the contrib/ QA runbooks' query-shaped surface:
+  *  - q265 ← contrib/compare_pack.py:22-133 — the two-pack
+  *    entity-level diff ([[graft.operators.Delta.comparePacks]]);
+  *  - q266 ← contrib/check_hierarchy.py:20-42 — the catalog hierarchy
+  *    audit ([[graft.operators.Validators.checkHierarchy]]).
+  *
   * Scale shape: every join is either broadcast-sized (program target
   * lists, dimension rollups) or a key-partitioned equi-join on the
   * entity id; rollups are per-entity array ops on the already-grouped
@@ -621,5 +627,141 @@ object AnalystQueries {
         |    CASE WHEN c_custkey % 5 = 0
         |         THEN [c_name, upper(c_name), c_name || ' Ltd']
         |         ELSE [c_name] END)) AS name
-        |FROM customer WHERE c_custkey % 4 = 0""".stripMargin))
+        |FROM customer WHERE c_custkey % 4 = 0""".stripMargin),
+
+    // contrib/compare_pack.py:22-133 — the two-pack entity-level diff:
+    // assemble BOTH statement packs (internal view = external=false
+    // only; external view = all statements), then the four
+    // dict.items() set differences. Fixture: pack A omits entities
+    // o_orderkey%11=7 (B-only ids), pack B omits %13=0 (A-only ids),
+    // B perturbs an INTERNAL prop at %17=3 (both views diff, both
+    // directions) and an EXTERNAL-only prop at %19=5 (externals diff,
+    // internals agree) — all four script outputs non-trivially
+    // exercised. Spark diffs 32-byte content hashes (Delta.entityHash
+    // over the assembled map); the oracle independently replays
+    // assembly as a canonical prop=value string per entity and diffs
+    // by string inequality — hash-vs-string agreement IS the gate.
+    decl("q265_compare_packs",
+      (s, d) => {
+        def pack(tag: String): org.apache.spark.sql.DataFrame = {
+          val o = t(s, d, "orders")
+          val base = if (tag == "b") o.filter(col("o_orderkey") % 13 =!= 0)
+                     else o.filter(col("o_orderkey") % 11 =!= 7)
+          val prio = if (tag == "b")
+            when(col("o_orderkey") % 17 === 3,
+              concat(col("o_orderpriority"), lit("-B")))
+              .otherwise(col("o_orderpriority"))
+            else col("o_orderpriority")
+          val ref = if (tag == "b")
+            when(col("o_orderkey") % 19 === 5, col("o_custkey") + 1)
+              .otherwise(col("o_custkey"))
+            else col("o_custkey")
+          def st(prop: String, value: org.apache.spark.sql.Column,
+              external: Boolean) =
+            base.select(
+              concat(lit("o"), col("o_orderkey").cast("string")).as("entityId"),
+              concat(lit("o"), col("o_orderkey").cast("string")).as("canonicalId"),
+              lit(prop).as("prop"), lit("Person").as("schema"),
+              value.cast("string").as("value"), lit("orders").as("dataset"),
+              col("o_orderdate").as("firstSeen"),
+              col("o_orderdate").as("lastSeen"),
+              lit(external).as("external"))
+          st("status", col("o_orderstatus"), external = false)
+            .unionByName(st("priority", prio, external = false))
+            .unionByName(st("ref", ref, external = true))
+        }
+        graft.operators.Delta.comparePacks(pack("a"), pack("b"))
+          .withColumnRenamed("view", "view_kind")
+      },
+      """WITH base_a AS (SELECT * FROM orders WHERE o_orderkey % 11 != 7),
+        |base_b AS (SELECT * FROM orders WHERE o_orderkey % 13 != 0),
+        |stmts AS (
+        |  SELECT 'a' AS pack, 'o' || o_orderkey::VARCHAR AS entity_id,
+        |         'status' AS prop, o_orderstatus AS value, false AS ext
+        |  FROM base_a
+        |  UNION ALL SELECT 'a', 'o' || o_orderkey::VARCHAR, 'priority',
+        |    o_orderpriority, false FROM base_a
+        |  UNION ALL SELECT 'a', 'o' || o_orderkey::VARCHAR, 'ref',
+        |    o_custkey::VARCHAR, true FROM base_a
+        |  UNION ALL SELECT 'b', 'o' || o_orderkey::VARCHAR, 'status',
+        |    o_orderstatus, false FROM base_b
+        |  UNION ALL SELECT 'b', 'o' || o_orderkey::VARCHAR, 'priority',
+        |    CASE WHEN o_orderkey % 17 = 3 THEN o_orderpriority || '-B'
+        |         ELSE o_orderpriority END, false FROM base_b
+        |  UNION ALL SELECT 'b', 'o' || o_orderkey::VARCHAR, 'ref',
+        |    CASE WHEN o_orderkey % 19 = 5 THEN (o_custkey + 1)::VARCHAR
+        |         ELSE o_custkey::VARCHAR END, true FROM base_b),
+        |views AS (
+        |  SELECT 'internal' AS vw, pack, entity_id, prop, value
+        |  FROM stmts WHERE NOT ext
+        |  UNION ALL SELECT 'external', pack, entity_id, prop, value FROM stmts),
+        |ent AS (SELECT vw, pack, entity_id,
+        |        string_agg(DISTINCT prop || '=' || value, ';'
+        |          ORDER BY prop || '=' || value) AS state
+        |        FROM views GROUP BY 1, 2, 3),
+        |j AS (SELECT COALESCE(a.vw, b.vw) AS vw,
+        |             COALESCE(a.entity_id, b.entity_id) AS entity_id,
+        |             a.state AS sa, b.state AS sb
+        |      FROM (SELECT * FROM ent WHERE pack = 'a') a
+        |      FULL OUTER JOIN (SELECT * FROM ent WHERE pack = 'b') b
+        |        ON a.vw = b.vw AND a.entity_id = b.entity_id)
+        |SELECT vw AS view_kind, 'in_a_not_b' AS side, entity_id FROM j
+        |WHERE sa IS NOT NULL AND (sb IS NULL OR sb <> sa)
+        |UNION ALL
+        |SELECT vw, 'in_b_not_a', entity_id FROM j
+        |WHERE sb IS NOT NULL AND (sa IS NULL OR sa <> sb)""".stripMargin),
+
+    // contrib/check_hierarchy.py:20-42 — the catalog hierarchy audit:
+    // orphan datasets (no children AND no entry_point) and live leaf
+    // datasets no collection includes. Fixture catalog from
+    // nation/region: nations are leaf datasets (entry_point dropped at
+    // %5=0, disabled at %7=3), regions are collections whose children
+    // are their nations MINUS the %3=1 ones (so some leaves are
+    // uncollected), plus one childless entry-point-less collection.
+    // Overlapping rules mean one dataset can carry both issues — the
+    // script's two loops warn independently, and so does the operator.
+    decl("q266_catalog_hierarchy_audit",
+      (s, d) => {
+        val n = t(s, d, "nation")
+        val datasets = n.select(
+          concat(lit("ds_"), col("n_nationkey").cast("string")).as("name"),
+          lit(false).as("is_collection"),
+          (col("n_nationkey") % 7 === 3).as("disabled"),
+          when(col("n_nationkey") % 5 =!= 0, lit("crawler.py"))
+            .otherwise(lit(null).cast("string")).as("entry_point"))
+        val collections = t(s, d, "region").select(
+            concat(lit("col_"), col("r_regionkey").cast("string")).as("name"),
+            lit(true).as("is_collection"), lit(false).as("disabled"),
+            lit(null).cast("string").as("entry_point"))
+          .unionByName(s.range(1).select(lit("col_empty").as("name"),
+            lit(true).as("is_collection"), lit(false).as("disabled"),
+            lit(null).cast("string").as("entry_point")))
+        val children = n.filter(col("n_nationkey") % 3 =!= 1)
+          .select(
+            concat(lit("col_"), col("n_regionkey").cast("string")).as("collection"),
+            concat(lit("ds_"), col("n_nationkey").cast("string")).as("child"))
+        graft.operators.Validators.checkHierarchy(
+          datasets.unionByName(collections), children)
+      },
+      """WITH datasets AS (
+        |  SELECT 'ds_' || n_nationkey::VARCHAR AS name,
+        |         false AS is_collection, n_nationkey % 7 = 3 AS disabled,
+        |         CASE WHEN n_nationkey % 5 != 0 THEN 'crawler.py' END
+        |           AS entry_point
+        |  FROM nation),
+        |cat AS (
+        |  SELECT * FROM datasets
+        |  UNION ALL
+        |  SELECT 'col_' || r_regionkey::VARCHAR, true, false, NULL FROM region
+        |  UNION ALL SELECT 'col_empty', true, false, NULL),
+        |ch AS (SELECT 'col_' || n_regionkey::VARCHAR AS collection,
+        |              'ds_' || n_nationkey::VARCHAR AS child
+        |       FROM nation WHERE n_nationkey % 3 != 1)
+        |SELECT name, 'no_children_no_entry_point' AS issue FROM cat
+        |WHERE entry_point IS NULL
+        |  AND name NOT IN (SELECT collection FROM ch)
+        |UNION ALL
+        |SELECT name, 'not_in_any_collection' FROM cat
+        |WHERE NOT is_collection AND NOT disabled
+        |  AND name NOT IN (SELECT child FROM ch)""".stripMargin))
 }
