@@ -443,6 +443,71 @@ object Snapshot {
     (dv, appended)
   }
 
+  /** COW-vs-MOR merge advisor — the [[JoinAdvisor]] pattern applied to
+    * the mutation family: now that the engine owns BOTH merge shapes
+    * ([[mergeCow]] rewrites touched files; [[mergeMor]] tombstones +
+    * appends), the per-batch call between them is cost arithmetic the
+    * planner can run WITHOUT writing anything:
+    *
+    *  - COW write mass = rows of every touched file that survive
+    *    (touched_rows − matched deletes) + inserts — the rewrite;
+    *  - MOR write mass = matched keys (tombstones) + upserts
+    *    (appended values);
+    *  - dv_fraction = matched / target rows — the read-amplification
+    *    a MOR choice defers to [[readWithDv]]/[[compactDv]].
+    *
+    * Recommend MOR when the COW rewrite exceeds `cowFactor` × the MOR
+    * write mass (scattered point updates touching many files: COW
+    * rewrites whole files to change single rows); otherwise COW (a
+    * batch DENSE in its touched files pays little extra to materialize
+    * now and keeps every later read clean — the ProbeMorDv sweep
+    * measures exactly that read-side rent). `cowFactor` is the
+    * deployment's read/write exchange rate; 4 is a batch-analytics
+    * default (reads dominate), streaming-upsert deployments set it
+    * higher.
+    *
+    * Cost: one semi-join pass over the target (the same touch-set
+    * discovery the merge itself needs — or the q202 manifest-bloom
+    * route for a metadata-only estimate) + manifest-sized aggregates;
+    * all counts are EXACT, so the q267 gate re-runs both mutation
+    * paths and checks the estimates equal the measured write masses.
+    * Returns one row: every term above + `recommend` ∈ cow|mor. */
+  def adviseMerge(target: DataFrame, source: DataFrame,
+      prevManifest: DataFrame, cowFactor: Double = 4.0): DataFrame = {
+    val srcK = source.select(col("key"), col("op"))
+    val matched = target.join(srcK, Seq("key"))
+    val touched = matched.select("file_id").distinct()
+    val touchedStats = broadcast(prevManifest
+      .join(touched, Seq("file_id"), "left_semi")
+      .agg(coalesce(count(lit(1)), lit(0L)).as("files_touched"),
+        coalesce(sum(col("n_rows")), lit(0L)).as("touched_rows")))
+    val m = broadcast(matched.agg(
+      count(lit(1)).as("matched_keys"),
+      coalesce(sum(when(col("op") === "D", 1L).otherwise(0L)), lit(0L))
+        .as("matched_deletes")))
+    val ins = broadcast(srcK.filter(col("op") === "U")
+      .join(target.select("key"), Seq("key"), "left_anti")
+      .agg(count(lit(1)).as("inserts")))
+    val ups = broadcast(srcK.filter(col("op") === "U")
+      .agg(count(lit(1)).as("upserts")))
+    val nT = broadcast(target.agg(count(lit(1)).as("n_target")))
+    nT.crossJoin(m).crossJoin(ins).crossJoin(ups).crossJoin(touchedStats)
+      .withColumn("cow_write_rows",
+        col("touched_rows") - col("matched_deletes") + col("inserts"))
+      .withColumn("mor_write_rows", col("matched_keys") + col("upserts"))
+      .withColumn("dv_fraction",
+        round(col("matched_keys").cast("double") /
+          col("n_target").cast("double"), 6))
+      .withColumn("recommend",
+        when(col("cow_write_rows").cast("double") >
+          lit(cowFactor) * col("mor_write_rows").cast("double"), lit("mor"))
+          .otherwise(lit("cow")))
+      .select(col("n_target"), col("matched_keys"), col("matched_deletes"),
+        col("inserts"), col("upserts"), col("files_touched"),
+        col("touched_rows"), col("cow_write_rows"), col("mor_write_rows"),
+        col("dv_fraction"), col("recommend"))
+  }
+
   /** Schema evolution across snapshot versions — read files written
     * under an OLD schema through the CURRENT one, without rewriting a
     * byte of data (Iceberg's column-mapping rule: identity lives in

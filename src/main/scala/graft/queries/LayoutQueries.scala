@@ -721,7 +721,7 @@ object LayoutQueries {
          |         FROM tgt, k2 WHERE key < k2.lo OR key > k2.hi)
          |SELECT aud.version, aud.file_id, aud.n_rows, aud.min_key, aud.max_key,
          |  aud.action, live.rows_live, live.qty_live
-         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl :+ bloomMaintainDecl :+ lifecycleDecl :+ morDvDecl :+ morMergeDecl
+         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl :+ bloomMaintainDecl :+ lifecycleDecl :+ morDvDecl :+ morMergeDecl :+ advisorDecl
 
   // q263 (round-12): MERGE-ON-READ deletion vectors — the other half
   // of the delete family. q201's deleteRange rewrites/drops files
@@ -814,6 +814,89 @@ object LayoutQueries {
         |  (SELECT COUNT(*) FROM src WHERE op = 'U')::BIGINT AS appended_rows)
         |SELECT live.key, live.qty, stats.dv_entries, stats.appended_rows
         |FROM live, stats""".stripMargin)
+
+  // q267 (round-13): the COW-vs-MOR advisor — the engine owns both
+  // merge shapes, so the per-batch call between them is cost
+  // arithmetic (Snapshot.adviseMerge) runnable BEFORE writing a byte.
+  // Three batches span the regimes: 'point' (every 97th key across
+  // the whole domain — COW would rewrite every file to change ~1% of
+  // rows → mor), 'dense' (the whole middle band — the rewrite barely
+  // exceeds the tombstone+append mass → cow), and 'mixed' (the q196
+  // fixture source with updates+deletes+inserts, exercising every
+  // term). The gate runs BOTH mutation paths per batch and emits the
+  // MEASURED write masses beside the estimates; the oracle computes
+  // each term once from first principles, so any estimate-vs-actual
+  // divergence on the Spark side fails the hash.
+  private def advisorDecl: Decl =
+    decl("q267_cow_mor_advisor",
+      (s, d) => {
+        import graft.operators.Snapshot
+        val (target, source, m1) = mergeFixture(t(s, d, "lineitem"))
+        val b = t(s, d, "lineitem")
+          .agg(max(expr("l_orderkey * 8 + l_linenumber")).as("_kmax"),
+            min(expr("l_orderkey * 8 + l_linenumber")).as("_kmin"))
+          .select(expr("_kmin + ((_kmax - _kmin) * 4) div 10").as("lo"),
+            expr("_kmin + ((_kmax - _kmin) * 6) div 10").as("hi"))
+          .head()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val point = target.filter(col("key") % 97 === 0)
+          .select(col("key"), lit("U").as("op"), (col("qty") + 1.0d).as("qty"))
+        val dense = target.filter(col("key").between(lo, hi))
+          .select(col("key"), lit("U").as("op"), (col("qty") + 1.0d).as("qty"))
+        def run(tag: String, batch: org.apache.spark.sql.DataFrame) = {
+          val adv = Snapshot.adviseMerge(target, batch, m1)
+          val (m2, _, _) = Snapshot.mergeCow(target, batch, m1, "qty", 2L, 4)
+          val cowActual = broadcast(m2.filter(col("action") =!= "carried")
+            .agg(coalesce(sum(col("n_rows")), lit(0L)).as("cow_actual_rows")))
+          val (dv, app) = Snapshot.mergeMor(target, batch, "qty", insertFiles = 4)
+          val morActual = broadcast(dv.agg(count(lit(1)).as("dv_entries"))
+            .crossJoin(app.agg(count(lit(1)).as("appended"))))
+          adv.crossJoin(cowActual).crossJoin(morActual)
+            .select(lit(tag).as("batch") +: adv.columns.map(col) :+
+              col("cow_actual_rows") :+ col("dv_entries") :+ col("appended"): _*)
+        }
+        run("mixed", source)
+          .unionByName(run("point", point))
+          .unionByName(run("dense", dense))
+      },
+      mergeFixtureCtes + """,
+        |batches AS (
+        |  SELECT 'mixed' AS batch, key, op FROM src
+        |  UNION ALL
+        |  SELECT 'point', key, 'U' FROM tgt WHERE key % 97 = 0
+        |  UNION ALL
+        |  SELECT 'dense', key, 'U' FROM tgt, k2
+        |  WHERE key BETWEEN k2.lo AND k2.hi),
+        |m1 AS (SELECT file_id, COUNT(*)::BIGINT AS n_rows FROM tgt GROUP BY 1),
+        |mt AS (SELECT b.batch, t.file_id, b.op FROM tgt t JOIN batches b USING (key)),
+        |tch AS (SELECT DISTINCT batch, file_id FROM mt),
+        |tst AS (SELECT tch.batch, COUNT(*)::BIGINT AS files_touched,
+        |        SUM(m1.n_rows)::BIGINT AS touched_rows
+        |        FROM tch JOIN m1 USING (file_id) GROUP BY 1),
+        |ms AS (SELECT batch, COUNT(*)::BIGINT AS matched_keys,
+        |        SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END)::BIGINT AS matched_deletes
+        |       FROM mt GROUP BY 1),
+        |bu AS (SELECT batch, COUNT(*)::BIGINT AS upserts FROM batches
+        |       WHERE op = 'U' GROUP BY 1),
+        |bi AS (SELECT batch, COUNT(*)::BIGINT AS inserts FROM batches
+        |       WHERE op = 'U' AND key NOT IN (SELECT key FROM tgt) GROUP BY 1),
+        |nt AS (SELECT COUNT(*)::BIGINT AS n_target FROM tgt)
+        |SELECT tst.batch, nt.n_target, ms.matched_keys, ms.matched_deletes,
+        |  COALESCE(bi.inserts, 0)::BIGINT AS inserts, bu.upserts,
+        |  tst.files_touched, tst.touched_rows,
+        |  (tst.touched_rows - ms.matched_deletes + COALESCE(bi.inserts, 0))::BIGINT
+        |    AS cow_write_rows,
+        |  (ms.matched_keys + bu.upserts)::BIGINT AS mor_write_rows,
+        |  ROUND(ms.matched_keys::DOUBLE / nt.n_target::DOUBLE, 6) AS dv_fraction,
+        |  CASE WHEN (tst.touched_rows - ms.matched_deletes
+        |             + COALESCE(bi.inserts, 0))::DOUBLE
+        |         > 4.0 * (ms.matched_keys + bu.upserts)::DOUBLE
+        |       THEN 'mor' ELSE 'cow' END AS recommend,
+        |  (tst.touched_rows - ms.matched_deletes + COALESCE(bi.inserts, 0))::BIGINT
+        |    AS cow_actual_rows,
+        |  ms.matched_keys AS dv_entries, bu.upserts AS appended
+        |FROM tst JOIN ms USING (batch) JOIN bu USING (batch)
+        |  LEFT JOIN bi USING (batch) CROSS JOIN nt""".stripMargin)
 
   private def bloomTouchDecl: Decl = {
     val m = 4096; val k = 3
