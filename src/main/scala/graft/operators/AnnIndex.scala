@@ -507,6 +507,47 @@ object AnnIndex {
     * (id, centroid_id, vec, status kept|dropped, matched_id = the
     * smallest θ-matching id, null when kept) — the caller appends the
     * kept rows to the accepted store and emits the decisions. */
+  /** PQ twin of [[dedupBatch]] — the streaming dedup decision where
+    * the accepted state IS the persisted IVFPQ index (q268): the batch
+    * assigns to its frozen top-1 cell, the ACCEPTED side is ranked by
+    * ADC from packed codes alone ([[queryPqFrame]], nprobe = 1, pool
+    * `r`), and only the r survivors' full vectors are fetched for the
+    * exact θ-test — so however large the accepted set grows, its
+    * per-member cost on the scoring path stays ~8 bytes (the 100 TB
+    * serving story q194's full-vector cell probe does not have; kept
+    * vectors re-enter the index through [[appendPq]], codes composed
+    * against the frozen codebooks). Within-batch peers compare exactly
+    * — the micro-batch carries its own vectors. Decision contract
+    * matches [[dedupBatch]]: dropped iff a θ-close accepted candidate
+    * exists in the ADC top-r (an ADC miss past r keeps a dup — the
+    * documented approximate trade the r sizing bounds) or a smaller-id
+    * θ-close same-cell batch peer; matched_id = the smallest such id.
+    * Returns (id, centroid_id, vec, status, matched_id). */
+  def dedupBatchPq(idx: DataFrame, batch: DataFrame, theta: Double,
+      dim: Int, m: Int = 8, pqK: Int = 16, r: Int = 50): DataFrame = {
+    val (cents, _) = split(idx)
+    val b = batch.toDF("id", "vec")
+      .select(col("id"), asDouble(col("vec")).as("vec"))
+    val asg = assignMembers(b, cents)
+    val cand = queryPqFrame(idx, b, k = r, dim = dim, m = m, nprobe = 1,
+      r = r, pqK = pqK)
+    val fromAccepted = cand.filter(col("cosine") >= theta)
+      .select(col("query_id").as("id"), col("neighbor_id").as("mid"))
+    val peers = asg.select(col("id").as("mid"), col("vec").as("mvec"),
+      col("centroid_id"))
+    val fromBatch = asg.join(broadcast(peers), "centroid_id")
+      .filter(col("mid") < col("id") &&
+        Similarity.cosine(col("vec"), col("mvec")) >= theta)
+      .select(col("id"), col("mid"))
+    val matches = fromAccepted.unionByName(fromBatch)
+      .groupBy("id").agg(min(col("mid")).as("matched_id"))
+    asg.join(broadcast(matches), Seq("id"), "left")
+      .select(col("id"), col("centroid_id"), col("vec"),
+        when(col("matched_id").isNull, lit("kept"))
+          .otherwise(lit("dropped")).as("status"),
+        col("matched_id"))
+  }
+
   def dedupBatch(centroids: DataFrame, accepted: DataFrame, batch: DataFrame,
       theta: Double): DataFrame = {
     val asg = assignMembers(batch, centroids)

@@ -323,22 +323,15 @@ object PipelineQueries {
     * the low-cos arm). Same engine path, same oracle replay; only the
     * codebook cardinality, the pack shift and the decode mask change.
     * See the q235 decl comment below for the full lifecycle story. */
-  private def ivfpqDecl(name: String, pqK: Int): Decl = {
+  /** The IVFPQ TRAINING lifecycle replayed as a WITH-chain prefix —
+    * coarse k-means (c0 -> c2, the 2 unrolled hash-seeded Lloyd
+    * rounds), member assignment (mv), PQ codebook training
+    * (cb0 -> cb2) and the packed one-long member codes (packed).
+    * Shared by the q235/q244 lifecycle gates and q268's streaming
+    * dedup replay. Ends at `packed`, no trailing comma. */
+  private[queries] def pqTrainCtes(pqK: Int): String = {
     val bits = graft.operators.ProductQuantizer.bitsFor(pqK)
-    val mask = (1L << bits) - 1L
-    decl(name,
-      (s, d) => {
-        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-ivfpq").toString
-        AnnIndex.buildPq(s, root, e, dim = 64, m = 8, pqK = pqK,
-          commitMillis = 1000L)
-        val qs = e.filter(col("vec_id") % 100 === 0)
-        AnnIndex.queryPq(s, root, qs, k = 10, dim = 64, m = 8,
-            nprobe = 2, r = 50, pqK = pqK)
-          .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
-      },
-      s"""WITH eb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH eb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |hs AS (SELECT vec_id, v, ${sqlHash60("vec_id::VARCHAR")} AS h FROM eb),
         |c0 AS (SELECT centroid_id, cvec FROM (
         |  SELECT row_number() OVER (ORDER BY h, vec_id)::BIGINT - 1 AS centroid_id,
@@ -426,7 +419,25 @@ object PipelineQueries {
         |  FROM sv JOIN cb2 c USING (sub)) WHERE rk = 1),
         |packed AS (SELECT id,
         |  SUM(code * (1::BIGINT << ($bits * sub)))::BIGINT AS pq_code
-        |  FROM codes GROUP BY id),
+        |  FROM codes GROUP BY id)""".stripMargin
+  }
+
+  private def ivfpqDecl(name: String, pqK: Int): Decl = {
+    val bits = graft.operators.ProductQuantizer.bitsFor(pqK)
+    val mask = (1L << bits) - 1L
+    decl(name,
+      (s, d) => {
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-ivfpq").toString
+        AnnIndex.buildPq(s, root, e, dim = 64, m = 8, pqK = pqK,
+          commitMillis = 1000L)
+        val qs = e.filter(col("vec_id") % 100 === 0)
+        AnnIndex.queryPq(s, root, qs, k = 10, dim = 64, m = 8,
+            nprobe = 2, r = 50, pqK = pqK)
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+      },
+      pqTrainCtes(pqK) + s""",
         |qs AS (SELECT vec_id AS query_id, v FROM eb WHERE vec_id % 100 = 0),
         |probes AS (SELECT query_id, centroid_id FROM (
         |  SELECT qs.query_id, c.centroid_id,

@@ -1257,6 +1257,260 @@ object StreamingQueries {
       LayoutQueries.ivmViewOracle.replace(
           "SELECT key // 1024 AS grp,",
           "SELECT 2::BIGINT AS version, key // 1024 AS grp,")
-        .replace("FROM rows2 GROUP BY 1", "FROM rows2 GROUP BY 2"))
+        .replace("FROM rows2 GROUP BY 1", "FROM rows2 GROUP BY 2")),
+
+    q268Decl
   )
+
+  // ---- q268 oracle building blocks (the ADC replay, reused per batch)
+
+  /** Per-(query, sub, code) ADC lookup table of a (id, vec) batch CTE
+    * against the frozen cb2 codebooks — ip = ⟨qsub, code⟩ and
+    * cn2 = |code|², the two terms the decode sums. */
+  private def q268Lut(name: String, batch: String): String =
+    s"""$name AS (SELECT q.id AS query_id, c.sub, c.code,
+    list_reduce(list_transform(generate_series(1, 8),
+      j -> q.svec[j] * c.cvec[j]), (a, b) -> a + b) AS ip,
+    list_reduce(list_transform(generate_series(1, 8),
+      j -> c.cvec[j] * c.cvec[j]), (a, b) -> a + b) AS cn2
+  FROM (SELECT id, x.sub AS sub, x.svec AS svec FROM (
+    SELECT id, unnest(list_transform(generate_series(0, 7), s ->
+      {'sub': s, 'svec': list_transform(generate_series(1, 8),
+                           j -> vec[s * 8 + j])})) AS x
+    FROM $batch)) q
+  JOIN cb2 c USING (sub))"""
+
+  /** ADC scores of a batch CTE's queries against the accepted members'
+    * packed codes in the query's top-1 cell — exact DECIMAL partial
+    * sums, 4-bit decode (pq_code >> 4s) & 15, the queryPqFrame
+    * arithmetic. */
+  private def q268Adc(name: String, batch: String, members: String,
+      codes: String, lut: String): String =
+    s"""$name AS (SELECT d.query_id, d.mid,
+    SUM(l.ip::DECIMAL(30,12)) AS ddot, SUM(l.cn2::DECIMAL(30,12)) AS dn2
+  FROM (SELECT b.id AS query_id, m.id AS mid,
+          unnest(generate_series(0, 7)) AS sub, pk.pq_code
+        FROM $batch b JOIN $members m USING (centroid_id)
+        JOIN $codes pk ON m.id = pk.id) d
+  JOIN $lut l ON d.query_id = l.query_id AND d.sub = l.sub
+    AND ((d.pq_code >> (4 * d.sub)) & 15) = l.code
+  GROUP BY 1, 2)"""
+
+  /** ADC top-r candidates per query (score desc, id tie-break). */
+  private def q268Rank(name: String, scored: String, r: Int): String =
+    s"""$name AS (SELECT query_id, mid FROM (
+  SELECT query_id, mid, row_number() OVER (PARTITION BY query_id
+    ORDER BY (ddot::DOUBLE / sqrt(dn2::DOUBLE)) DESC, mid) AS arank
+  FROM $scored) WHERE arank <= $r)"""
+
+  /** Packed PQ codes of a kept (id, vec) CTE against the FROZEN cb2
+    * codebooks — the appendPq encode step. */
+  private def q268Encode(name: String, kept: String): String =
+    s"""$name AS (SELECT id,
+    SUM(code * (1::BIGINT << (4 * sub)))::BIGINT AS pq_code FROM (
+  SELECT s.id, s.sub, c.code,
+    row_number() OVER (PARTITION BY s.id, s.sub ORDER BY
+      (2.0 * list_reduce(list_transform(generate_series(1, 8),
+         j -> s.svec[j] * c.cvec[j]), (a, b) -> a + b)
+       - list_reduce(list_transform(generate_series(1, 8),
+         j -> c.cvec[j] * c.cvec[j]), (a, b) -> a + b)) DESC,
+      c.code) AS rk
+  FROM (SELECT id, x.sub AS sub, x.svec AS svec FROM (
+    SELECT id, unnest(list_transform(generate_series(0, 7), s ->
+      {'sub': s, 'svec': list_transform(generate_series(1, 8),
+                           j -> vec[s * 8 + j])})) AS x
+    FROM $kept)) s
+  JOIN cb2 c USING (sub)) WHERE rk = 1 GROUP BY id)"""
+
+  // q268: STREAMING semantic dedup where the accepted state IS the
+  // persisted IVFPQ INDEX — the round-12 verdict's composition ask.
+  // q194 proved the streaming protocol against the FULL-VECTOR index
+  // (every accepted member costs ~520 B on the probe's scoring path);
+  // here the same two-drop/checkpoint-restart lifecycle runs against
+  // buildPq/appendPq: each micro-batch is decided by the q235 ADC +
+  // exact-re-rank path (AnnIndex.dedupBatchPq — accepted members cost
+  // ~8 B of packed code until the top-r fetch), and KEPT vectors
+  // re-enter the index itself through appendPq (codes composed against
+  // the frozen codebooks), so batch 1 dedups against batch 0's
+  // survivors via their CODES — state lives in the versioned index
+  // store, not a side table. r = 8 on ~23-member cells so the ADC
+  // ranking genuinely gates the candidate pool (r = 50 would cover
+  // whole cells at this fixture scale and degenerate to q194).
+  // At-least-once: batch bid publishes index version bid+2; a
+  // re-delivered batch sees currentVersion >= bid+2 and no-ops (the
+  // q205 forward-only idempotency rule). The oracle replays the ENTIRE
+  // lifecycle in SQL: both quantizer trainings (pqTrainCtes), both
+  // drops' synthetic vectors, per-batch LUT → ADC → top-r → exact
+  // θ-test → min-id decision, the within-batch peer rule, and the
+  // frozen-codebook encode of batch 0's survivors feeding batch 1.
+  private def q268Decl: Decl =
+    decl("q268_streaming_dedup_ivfpq",
+      (s, d) => {
+        import graft.operators.{AnnIndex, Snapshot}
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val base = s"/tmp/graft_q268_$tag"
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val landing = s"$base/landing"
+        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val root = s"$base/index"
+        AnnIndex.buildPq(s, root, emb, dim = 64, m = 8, pqK = 16,
+          commitMillis = 1000L)
+        def axisVec(mult: Int, shift: Int) =
+          transform(sequence(lit(0L), lit(63L)), dc =>
+            when(dc === pmod(col("vec_id") * mult + shift, lit(64L)), lit(1.0))
+              .otherwise(lit(0.01) * pmod(col("vec_id") + dc, lit(5L))))
+        def nearCopy(vec: org.apache.spark.sql.Column) =
+          transform(vec, (x, i) =>
+            x + when(i % 2 === 0, lit(0.002)).otherwise(lit(-0.002)))
+        val drop1 = emb.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            nearCopy(col("embedding")).cast("array<double>").as("vec"))
+          .unionByName(emb.filter(col("vec_id") % 25 === 0)
+            .select((col("vec_id") + 3000000L).as("vec_id"),
+              axisVec(7, 0).as("vec")))
+        val drop2 = emb.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 4000000L).as("vec_id"),
+            nearCopy(axisVec(7, 0)).as("vec"))
+          .unionByName(emb.filter(col("vec_id") % 100 === 0)
+            .select((col("vec_id") + 2000000L).as("vec_id"),
+              transform(col("embedding"), (x, i) =>
+                x + when(i % 3 === 0, lit(0.003)).otherwise(lit(-0.001)))
+                .cast("array<double>").as("vec")))
+          .unionByName(emb.filter(col("vec_id") % 60 === 0)
+            .select((col("vec_id") + 5000000L).as("vec_id"),
+              axisVec(11, 3).as("vec")))
+        def processAvailable(): Unit = {
+          val stream = s.readStream.schema("vec_id LONG, vec ARRAY<DOUBLE>")
+            .option("maxFilesPerTrigger", "10000").parquet(landing)
+          val q = graft.streaming.StatementStream.foreachBatchSink(
+            stream, s"$base/ck",
+            trigger = Some(Trigger.AvailableNow())) { (batch, bid) =>
+            val sp = batch.sparkSession
+            val curV = Snapshot.currentVersion(sp, root).drop(1).toLong
+            // forward-only idempotency: batch bid publishes v(bid+2)
+            if (curV < bid + 2) {
+              val idx = Snapshot.readCurrent(sp, root)
+              val decisions = AnnIndex.dedupBatchPq(idx,
+                  batch.select(col("vec_id"), col("vec")), theta = 0.8,
+                  dim = 64, m = 8, pqK = 16, r = 8)
+                .localCheckpoint() // decide once; both writes reuse it
+              decisions
+                .select(col("id").as("vec_id"), lit(bid).as("batch_seq"),
+                  col("status"), col("matched_id"))
+                .write.mode("overwrite").parquet(s"$base/out/v$bid")
+              AnnIndex.appendPq(sp, root,
+                decisions.filter(col("status") === "kept")
+                  .select(col("id"), col("vec")),
+                dim = 64, m = 8, pqK = 16, commitMillis = 2000L + bid)
+            }
+          }
+          q.awaitTermination()
+        }
+        drop1.write.mode("append").parquet(landing)
+        processAvailable()
+        drop2.write.mode("append").parquet(landing)
+        processAvailable()
+        s.read.parquet(s"$base/out/v*")
+          .select("vec_id", "batch_seq", "status", "matched_id")
+      },
+      PipelineQueries.pqTrainCtes(16) + s""",
+        |ax1 AS (SELECT vec_id + 3000000 AS vec_id, v FROM (
+        |  SELECT vec_id,
+        |    list_transform(generate_series(0, 63),
+        |      d -> CASE WHEN d = (vec_id * 7) % 64 THEN 1.0::DOUBLE
+        |           ELSE 0.01::DOUBLE * ((vec_id + d) % 5) END) AS v
+        |  FROM eb WHERE vec_id % 25 = 0)),
+        |d1 AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(generate_series(1, 64),
+        |      i -> v[i] + (CASE WHEN (i - 1) % 2 = 0
+        |                   THEN 0.002::DOUBLE ELSE -0.002::DOUBLE END)) AS v
+        |  FROM eb WHERE vec_id % 50 = 0
+        |  UNION ALL SELECT vec_id, v FROM ax1),
+        |ad1 AS (
+        |  SELECT id, vec, centroid_id FROM (
+        |    SELECT d1.vec_id AS id, d1.v AS vec, c.centroid_id,
+        |      row_number() OVER (PARTITION BY d1.vec_id
+        |        ORDER BY list_cosine_similarity(d1.v, c.cvec) DESC, c.centroid_id) AS crank
+        |    FROM d1 CROSS JOIN c2 c)
+        |  WHERE crank = 1),
+        |${q268Lut("lut1", "ad1")},
+        |${q268Adc("sc1", "ad1", "mv", "packed", "lut1")},
+        |${q268Rank("r1", "sc1", 8)},
+        |m1 AS (
+        |  SELECT b.id, MIN(r1.mid) AS matched_id
+        |  FROM ad1 b JOIN r1 ON b.id = r1.query_id
+        |  JOIN mv m ON r1.mid = m.id
+        |  WHERE list_cosine_similarity(b.vec, m.vec) >= 0.8 GROUP BY 1
+        |  UNION ALL
+        |  SELECT b.id, MIN(p.id) AS matched_id
+        |  FROM ad1 b JOIN ad1 p USING (centroid_id)
+        |  WHERE p.id < b.id
+        |    AND list_cosine_similarity(b.vec, p.vec) >= 0.8 GROUP BY 1),
+        |dec1 AS (
+        |  SELECT b.id, MIN(m1.matched_id) AS matched_id
+        |  FROM ad1 b LEFT JOIN m1 ON b.id = m1.id GROUP BY 1),
+        |k1 AS (SELECT b.id, b.vec, b.centroid_id FROM ad1 b
+        |       JOIN dec1 ON b.id = dec1.id WHERE dec1.matched_id IS NULL),
+        |${q268Encode("pk1", "k1")},
+        |acc1 AS (SELECT id, vec, centroid_id FROM mv
+        |  UNION ALL
+        |  SELECT id, vec, centroid_id FROM k1),
+        |apk1 AS (SELECT id, pq_code FROM packed
+        |  UNION ALL
+        |  SELECT id, pq_code FROM pk1),
+        |d2 AS (
+        |  SELECT vec_id - 3000000 + 4000000 AS vec_id,
+        |    list_transform(generate_series(1, 64),
+        |      i -> v[i] + (CASE WHEN (i - 1) % 2 = 0
+        |                   THEN 0.002::DOUBLE ELSE -0.002::DOUBLE END)) AS v
+        |  FROM ax1
+        |  UNION ALL
+        |  SELECT vec_id + 2000000 AS vec_id,
+        |    list_transform(generate_series(1, 64),
+        |      i -> v[i] + (CASE WHEN (i - 1) % 3 = 0
+        |                   THEN 0.003::DOUBLE ELSE -0.001::DOUBLE END)) AS v
+        |  FROM eb WHERE vec_id % 100 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 5000000 AS vec_id, v FROM (
+        |    SELECT vec_id,
+        |      list_transform(generate_series(0, 63),
+        |        d -> CASE WHEN d = (vec_id * 11 + 3) % 64 THEN 1.0::DOUBLE
+        |             ELSE 0.01::DOUBLE * ((vec_id + d) % 5) END) AS v
+        |    FROM eb WHERE vec_id % 60 = 0)),
+        |ad2 AS (
+        |  SELECT id, vec, centroid_id FROM (
+        |    SELECT d2.vec_id AS id, d2.v AS vec, c.centroid_id,
+        |      row_number() OVER (PARTITION BY d2.vec_id
+        |        ORDER BY list_cosine_similarity(d2.v, c.cvec) DESC, c.centroid_id) AS crank
+        |    FROM d2 CROSS JOIN c2 c)
+        |  WHERE crank = 1),
+        |${q268Lut("lut2", "ad2")},
+        |${q268Adc("sc2", "ad2", "acc1", "apk1", "lut2")},
+        |${q268Rank("r2", "sc2", 8)},
+        |m2 AS (
+        |  SELECT b.id, MIN(r2.mid) AS matched_id
+        |  FROM ad2 b JOIN r2 ON b.id = r2.query_id
+        |  JOIN acc1 m ON r2.mid = m.id
+        |  WHERE list_cosine_similarity(b.vec, m.vec) >= 0.8 GROUP BY 1
+        |  UNION ALL
+        |  SELECT b.id, MIN(p.id) AS matched_id
+        |  FROM ad2 b JOIN ad2 p USING (centroid_id)
+        |  WHERE p.id < b.id
+        |    AND list_cosine_similarity(b.vec, p.vec) >= 0.8 GROUP BY 1),
+        |dec2 AS (
+        |  SELECT b.id, MIN(m2.matched_id) AS matched_id
+        |  FROM ad2 b LEFT JOIN m2 ON b.id = m2.id GROUP BY 1)
+        |SELECT id AS vec_id, 0::BIGINT AS batch_seq,
+        |  CASE WHEN matched_id IS NULL THEN 'kept' ELSE 'dropped' END AS status,
+        |  matched_id
+        |FROM dec1
+        |UNION ALL
+        |SELECT id AS vec_id, 1::BIGINT AS batch_seq,
+        |  CASE WHEN matched_id IS NULL THEN 'kept' ELSE 'dropped' END AS status,
+        |  matched_id
+        |FROM dec2""".stripMargin)
 }
