@@ -226,4 +226,82 @@ object Centrality {
     oriented.unpersist(blocking = false)
     out
   }
+
+  /** Synchronous label propagation (community detection) — the
+    * Raghavan-style LPA round the graph family was missing beside
+    * PageRank/triangles/k-core: every node adopts the MODE of its
+    * neighbors' previous-round labels, with a fully deterministic
+    * tie-break (max count, then min label) so the result is identical
+    * on any engine and any partitioning — the usual randomized LPA
+    * tie-coin is exactly what an oracle-gated distributed operator
+    * cannot afford. Initial label = node id; fixed `rounds` (the
+    * bounded-round discipline of [[kCorePeel]] — no fixpoint detection
+    * to pay for, lineage cut per round).
+    *
+    * Scale shape per round: one edge⋈label equi-join shuffled on the
+    * edge key + one (node, label) count + one per-node top-1 — the
+    * WindowGroupLimit-bounded ranker pattern, nothing node-quadratic.
+    * `edges` directed (src, dst) — callers bidirect for undirected
+    * semantics; a node with no in-edges keeps its label. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    (1 to rounds).foreach { _ =>
+      val counted = e.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val picked = counted.withColumn("rk", row_number().over(
+          Window.partitionBy("node").orderBy(desc("c"), asc("label"))))
+        .where(col("rk") === 1).select(col("node"), col("label"))
+      labels = nodes
+        .join(picked.withColumnRenamed("label", "_nl"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("_nl"), col("node")).as("label"))
+        .localCheckpoint()
+    }
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    labels
+  }
+
+  /** Earliest-arrival temporal reachability — time-respecting BFS over
+    * a timestamped edge list: a path is valid only if edge times
+    * STRICTLY INCREASE along it (you cannot ride an edge that departed
+    * before you arrived), the semantics plain reachability silently
+    * gets wrong on temporal graphs (a c→s→c' chain whose second hop
+    * predates the first is not a flow). Per (seed, node) the operator
+    * keeps the MINIMUM arrival time — the earliest-arrival semiring,
+    * merged per round exactly like [[seedProximity]]'s min-distance.
+    *
+    * Scale shape per round: frontier ⋈ edges equi-join on the node key
+    * with the `t_edge > t_arr` residual filter riding the join (never a
+    * cartesian), then a (seed, node) min aggregate; lineage cut per
+    * round. State is bounded by |seeds|·|reached nodes|, not by path
+    * count — the reason earliest-arrival beats path enumeration at any
+    * scale. `edges`: (src, dst, t); `seeds`: one id column; seeds start
+    * before all time (arrival −1 with times ≥ 0). Returns (seed, node,
+    * arrival) for nodes reached in 1..maxHops hops. */
+  def earliestArrival(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("t").cast("long").as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var reach = seeds.toDF("seed").distinct()
+      .select(col("seed").cast("long").as("seed"),
+        col("seed").cast("long").as("node"), lit(-1L).as("arrival"))
+    (1 to maxHops).foreach { _ =>
+      val next = e.join(reach.withColumnRenamed("node", "src"), "src")
+        .where(col("t") > col("arrival"))
+        .select(col("seed"), col("dst").as("node"), col("t").as("arrival"))
+      reach = reach.unionByName(next)
+        .groupBy("seed", "node").agg(min(col("arrival")).as("arrival"))
+        .localCheckpoint()
+    }
+    e.unpersist(blocking = false)
+    reach.where(col("arrival") >= 0L)
+  }
 }

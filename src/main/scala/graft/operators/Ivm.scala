@@ -131,4 +131,57 @@ object Ivm {
       .withColumn("recomputed", lit(true))
     clean.unionByName(recomputed)
   }
+
+  /** JOIN-VIEW maintenance — the view is an aggregate over a
+    * fact ⋈ dimension join (`SELECT d.attr, SUM(f.val), COUNT(*) FROM
+    * fact JOIN dim GROUP BY d.attr`), kept current under BOTH delta
+    * kinds a star schema sees, without ever rescanning the fact table:
+    *
+    *  - FACT INSERTS (`factDelta`): classic delta-join rule — join the
+    *    delta (alone) against the post-change dimension and fold the
+    *    per-group (+val, +1) deltas in. O(|ΔF|).
+    *  - DIMENSION REASSIGNMENTS (`dimChanges`: key, attr_old,
+    *    attr_new): the subtle arm. A dim row changing its attribute
+    *    MOVES every joined fact row between groups, so the rule needs
+    *    the per-changed-key fact totals — obtained by semi-join-scoping
+    *    the CURRENT fact table to the changed keys (broadcast — the
+    *    change set is metadata-sized) and aggregating ONLY those rows:
+    *    O(facts of changed keys), never O(|fact|). Each changed key
+    *    emits (attr_old, −t, −n) and (attr_new, +t, +n).
+    *
+    * Order contract: `factCurrent` is the fact state the view was
+    * built from (pre-delta) and `dimNew` the post-change dimension —
+    * i.e. the dim change applies first, then the fact inserts land
+    * against the updated dim. Sums ride DECIMAL(30,12) throughout, so
+    * the maintained view is bit-identical to a recompute over
+    * (factCurrent ∪ factDelta) ⋈ dimNew — the q270 gate. Groups whose
+    * count reaches zero leave the view; newly seen groups enter. */
+  def applyJoinViewDelta(view: DataFrame,
+      factDelta: DataFrame, deltaKey: Column, deltaVal: String,
+      dimNew: DataFrame, dimNewKey: Column, dimNewAttr: Column,
+      dimChanges: DataFrame,
+      factCurrent: DataFrame, curKey: Column, curVal: String): DataFrame = {
+    val ch = broadcast(dimChanges
+      .select(col("key").as("_dkey"), col("attr_old").as("_ao"),
+        col("attr_new").as("_an")))
+    val touched = factCurrent.join(ch, curKey === col("_dkey"))
+      .groupBy(col("_dkey"), col("_ao"), col("_an"))
+      .agg(sum(col(curVal).cast(Dec)).as("_t"), count(lit(1)).as("_tn"))
+    val dimArm = touched
+      .select(col("_ao").as("group"), (-col("_t")).cast(Dec).as("_dv"),
+        (-col("_tn")).as("_dn"))
+      .unionByName(touched.select(col("_an").as("group"),
+        col("_t").cast(Dec).as("_dv"), col("_tn").as("_dn")))
+    val factArm = factDelta.join(dimNew, deltaKey === dimNewKey)
+      .select(dimNewAttr.as("group"), col(deltaVal).cast(Dec).as("_dv"),
+        lit(1L).as("_dn"))
+    val d = dimArm.unionByName(factArm).groupBy("group")
+      .agg(sum(col("_dv")).as("_dsum"), sum(col("_dn")).as("_dn"))
+    view.join(d, Seq("group"), "full_outer")
+      .select(col("group"),
+        (coalesce(col("sum_val"), lit(0).cast(Dec)) +
+          coalesce(col("_dsum"), lit(0).cast(Dec))).cast(Dec).as("sum_val"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("_dn"), lit(0L))).as("n"))
+      .filter(col("n") > 0L)
+  }
 }

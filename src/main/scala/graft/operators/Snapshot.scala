@@ -782,6 +782,120 @@ object Snapshot {
     spark.read.parquet(
       s"$root/data/v${resolveVersionAsOf(spark, root, asOfMillis)}")
 
+  // ---------------------------------------------------------------
+  // Branch refs: write–audit–publish (WAP)
+
+  /** Iceberg-style named branch ref. A branch is a one-line pointer
+    * file `root/refs/<name>` recording its HEAD version and the main
+    * version it FORKED from (`v<head> base v<base>`). Version
+    * directories stay global and immutable — a branch commit mints a
+    * fresh global version through the same [[claimVersion]] CAS as
+    * main-line writers, it just swaps the BRANCH pointer instead of
+    * `_CURRENT`. Main readers never see staged data: nothing they
+    * resolve through `_CURRENT` changes until [[publishBranch]]'s
+    * single pointer swap — the write–audit–publish isolation property,
+    * at O(pointer) publish cost regardless of staged data size. */
+  def createBranch(spark: SparkSession, root: String, branch: String): Long = {
+    val base = currentVersion(spark, root).drop(1).toLong
+    writeBranchRef(spark, root, branch, head = base, base = base)
+    base
+  }
+
+  private def writeBranchRef(spark: SparkSession, root: String,
+      branch: String, head: Long, base: Long): Unit = {
+    val f = fs(spark, new Path(root))
+    f.mkdirs(new Path(s"$root/refs"))
+    // same no-absent-window swap discipline as _CURRENT: a concurrent
+    // branch reader sees the old head or the new one, never a missing ref
+    pointerSwapText(f, new Path(s"$root/refs/$branch.tmp$head"),
+      new Path(s"$root/refs/$branch"), s"v$head base v$base")
+  }
+
+  private def pointerSwapText(f: org.apache.hadoop.fs.FileSystem,
+      tmp: Path, dst: Path, text: String): Unit = f match {
+    case l: org.apache.hadoop.fs.LocalFileSystem =>
+      val tmpNio = l.pathToFile(tmp).toPath
+      java.nio.file.Files.write(tmpNio, text.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmpNio, l.pathToFile(dst).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    case _ =>
+      val out = f.create(tmp, true)
+      out.write(text.getBytes("UTF-8"))
+      out.close()
+      if (f.exists(dst)) f.delete(dst, false)
+      require(f.rename(tmp, dst), s"ref swap failed for $dst")
+  }
+
+  /** (head, base) of a branch ref. */
+  def branchRef(spark: SparkSession, root: String, branch: String): (Long, Long) = {
+    val f = fs(spark, new Path(root))
+    val in = f.open(new Path(s"$root/refs/$branch"))
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+    s match {
+      case BranchRefRe(h, b) => (h.toLong, b.toLong)
+      case other => throw new IllegalStateException(
+        s"malformed branch ref $root/refs/$branch: '$other'")
+    }
+  }
+  private val BranchRefRe = """v(\d+) base v(\d+)""".r
+
+  /** Read the snapshot a branch's HEAD names. */
+  def readBranch(spark: SparkSession, root: String, branch: String): DataFrame = {
+    val (head, _) = branchRef(spark, root, branch)
+    spark.read.parquet(s"$root/data/v$head")
+  }
+
+  /** Commit `df` as the branch's new HEAD: mint the next free global
+    * version (max of existing data versions + 1, CAS-claimed — racing
+    * main-line or sibling-branch writers each win distinct numbers,
+    * probing upward past lost claims), write data/manifest/meta through
+    * [[commit]]'s machinery WITHOUT touching `_CURRENT`, then swap the
+    * branch ref. Returns the minted version. */
+  def commitToBranch(spark: SparkSession, root: String, branch: String,
+      df: DataFrame, manifest: DataFrame,
+      commitMillis: Long = System.currentTimeMillis()): Long = {
+    val (_, base) = branchRef(spark, root, branch)
+    val f = fs(spark, new Path(root))
+    val existing = f.listStatus(new Path(s"$root/data"))
+      .map(_.getPath.getName).filter(_.startsWith("v"))
+      .flatMap(n => scala.util.Try(n.drop(1).toLong).toOption)
+    var version = (if (existing.isEmpty) -1L else existing.max) + 1
+    while (!claimVersion(spark, root, version)) version += 1
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/data/v$version")
+    manifest.write.mode(SaveMode.ErrorIfExists)
+      .parquet(s"$root/manifest/v$version")
+    f.mkdirs(new Path(s"$root/meta"))
+    val meta = f.create(new Path(s"$root/meta/v$version"), true)
+    meta.write(commitMillis.toString.getBytes("UTF-8"))
+    meta.close()
+    writeBranchRef(spark, root, branch, head = version, base = base)
+    version
+  }
+
+  /** Publish a branch: fast-forward `_CURRENT` to the branch HEAD —
+    * the "P" of write–audit–publish, one atomic pointer swap after the
+    * audit queries approved the staged state. Fails loudly
+    * ([[CommitConflictException]]) if main advanced past the branch's
+    * fork base: the staged state was derived from a snapshot that is
+    * no longer main's history, so fast-forwarding would silently drop
+    * the interleaved main commits (the caller rebases: re-fork, re-
+    * stage, re-audit). The ref is retired on publish. Returns the
+    * published version. */
+  def publishBranch(spark: SparkSession, root: String, branch: String): Long = {
+    val (head, base) = branchRef(spark, root, branch)
+    val mainV = currentVersion(spark, root).drop(1).toLong
+    if (mainV != base)
+      throw new CommitConflictException(
+        s"publish $branch: main is v$mainV but the branch forked from " +
+          s"v$base — rebase (re-fork, re-stage, re-audit) before publish")
+    require(swapPointerForward(spark, root, head),
+      s"publish $branch: pointer did not move to v$head")
+    fs(spark, new Path(root)).delete(new Path(s"$root/refs/$branch"), false)
+    head
+  }
+
   /** Versions safe to delete under a keep-last-`retain` policy: every
     * version directory not among the `retain` highest and not the
     * pointer target. Returns the version longs; the caller deletes.

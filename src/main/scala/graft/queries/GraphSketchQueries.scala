@@ -512,5 +512,100 @@ object GraphSketchQueries {
          |${(0 until 3).map(j =>
              s"LEFT JOIN cm c$j ON c$j.r = $j AND c$j.p = " +
                s"${sqlHash60(s"('cm$j|' || t.user_id::VARCHAR)")} % 1024")
-             .mkString("\n")}""".stripMargin))
+             .mkString("\n")}""".stripMargin)) :+ lpaDecl :+ temporalDecl
+
+  /** Unrolled LPA round CTEs aK/pK/lK over base CTEs bo/nod/l0. */
+  private def lpaRounds(rounds: Int): String =
+    (1 to rounds).map { r =>
+      s"""a$r AS (SELECT e.dst AS node, l.label, COUNT(*)::BIGINT AS c
+         |  FROM bo e JOIN l${r - 1} l ON e.src = l.node GROUP BY 1, 2),
+         |p$r AS (SELECT node, label FROM (
+         |  SELECT node, label, row_number() OVER (PARTITION BY node
+         |    ORDER BY c DESC, label) AS rk FROM a$r) WHERE rk = 1),
+         |l$r AS (SELECT nod.node, COALESCE(p$r.label, nod.node) AS label
+         |  FROM nod LEFT JOIN p$r USING (node))""".stripMargin
+    }.mkString(",\n")
+
+  // q271 (round-13): synchronous label propagation — the community-
+  // detection member of the graph family (PageRank ranks, triangles/
+  // k-core density-score, components connect; LPA CLUSTERS). Three
+  // deterministic rounds over the bidirected part co-purchase graph:
+  // each node adopts the mode of its neighbors' previous labels
+  // (max count, min label tie-break — no tie-coin, so any engine and
+  // any partitioning converge identically). Per round: one edge⋈label
+  // join + one (node, label) count + one WindowGroupLimit-bounded
+  // top-1 — nothing node-quadratic. The oracle unrolls all three
+  // rounds; community sizes ride along so the clustering itself (not
+  // just per-node labels) is hash-gated.
+  private def lpaDecl: Decl =
+    decl("q271_label_propagation",
+      (s, d) => {
+        val und = coPurchaseEdges(s, d)
+        val e = und.select(col("u").as("src"), col("v").as("dst"))
+          .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
+        val labels = Centrality.labelPropagation(e, rounds = 3)
+        val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
+        labels.join(sizes, "label").select("node", "label", "community_size")
+      },
+      s"""WITH $coPurchaseSql,
+         |bo AS MATERIALIZED (SELECT a AS src, b AS dst FROM ed
+         |     UNION ALL SELECT b, a FROM ed),
+         |nod AS MATERIALIZED (SELECT DISTINCT src AS node FROM bo),
+         |l0 AS (SELECT node, node AS label FROM nod),
+         |${lpaRounds(3)},
+         |sz AS (SELECT label, COUNT(*)::BIGINT AS community_size
+         |       FROM l3 GROUP BY 1)
+         |SELECT l3.node AS node, l3.label AS label, sz.community_size
+         |FROM l3 JOIN sz USING (label)""".stripMargin)
+
+  /** Unrolled earliest-arrival round CTEs nK/rK over base CTEs e/r0. */
+  private def taRounds(rounds: Int): String =
+    (1 to rounds).map { r =>
+      s"""n$r AS (SELECT r.seed, e.dst AS node, e.t AS arrival
+         |  FROM e JOIN r${r - 1} r ON e.src = r.node WHERE e.t > r.arrival),
+         |r$r AS (SELECT seed, node, MIN(arrival)::BIGINT AS arrival FROM (
+         |  SELECT * FROM r${r - 1} UNION ALL SELECT * FROM n$r) GROUP BY 1, 2)"""
+        .stripMargin
+    }.mkString(",\n")
+
+  // q272 (round-13): earliest-arrival TEMPORAL reachability — plain
+  // reachability (q233 BFS) is wrong on timestamped graphs: a
+  // customer→supplier→customer chain whose second hop PREDATES the
+  // first is not a flow. Time-respecting BFS keeps, per (seed, node),
+  // the minimum arrival over paths with strictly increasing edge
+  // times — the earliest-arrival semiring, state bounded by
+  // seeds×reached (never path-count), merged per round like q233's
+  // min-distance. Edges are the bidirected trade graph stamped with
+  // the order DATE (integer epoch days — exact in both engines); the
+  // `t > arrival` residual rides the node equi-join, never a
+  // cartesian. The oracle unrolls all three rounds.
+  private def temporalDecl: Decl =
+    decl("q272_temporal_reachability",
+      (s, d) => {
+        val eo = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+          .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").cast("long").as("c"),
+            (lit(1000000L) + col("l_suppkey")).as("sup"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1970-01-01").cast("date")).cast("long").as("t"))
+          .distinct()
+        val edges = eo.select(col("c").as("src"), col("sup").as("dst"), col("t"))
+          .unionByName(eo.select(col("sup").as("src"), col("c").as("dst"),
+            col("t")))
+        val seeds = t(s, d, "customer").select(col("c_custkey"))
+          .where(expr("c_custkey % 100 = 0"))
+        Centrality.earliestArrival(edges, seeds, maxHops = 3)
+      },
+      s"""WITH eo AS MATERIALIZED (SELECT DISTINCT o_custkey::BIGINT AS c,
+         |  (1000000 + l_suppkey)::BIGINT AS sup,
+         |  (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS t
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS MATERIALIZED (SELECT c AS src, sup AS dst, t FROM eo
+         |     UNION ALL SELECT sup, c, t FROM eo),
+         |r0 AS (SELECT c_custkey::BIGINT AS seed, c_custkey::BIGINT AS node,
+         |       (-1)::BIGINT AS arrival FROM customer WHERE c_custkey % 100 = 0),
+         |${taRounds(3)}
+         |SELECT seed, node, arrival FROM r3 WHERE arrival >= 0""".stripMargin)
 }

@@ -721,7 +721,7 @@ object LayoutQueries {
          |         FROM tgt, k2 WHERE key < k2.lo OR key > k2.hi)
          |SELECT aud.version, aud.file_id, aud.n_rows, aud.min_key, aud.max_key,
          |  aud.action, live.rows_live, live.qty_live
-         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl :+ bloomMaintainDecl :+ lifecycleDecl :+ morDvDecl :+ morMergeDecl :+ advisorDecl
+         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl :+ bloomMaintainDecl :+ lifecycleDecl :+ morDvDecl :+ morMergeDecl :+ advisorDecl :+ wapDecl :+ joinViewIvmDecl
 
   // q263 (round-12): MERGE-ON-READ deletion vectors — the other half
   // of the delete family. q201's deleteRange rewrites/drops files
@@ -1220,6 +1220,170 @@ object LayoutQueries {
          |       FROM rows3 GROUP BY 1)
          |SELECT vw.grp, vw.sum_qty, vw.n, tot.files_live, tot.rows_live
          |FROM vw, tot""".stripMargin)
+
+  // q269 (round-13): WRITE–AUDIT–PUBLISH branching on the versioned
+  // store (Snapshot.createBranch/commitToBranch/publishBranch — the
+  // Iceberg WAP pattern). The staging writer commits to a named branch
+  // ref (fresh global versions, CAS-claimed; `_CURRENT` untouched), the
+  // audit queries run over the BRANCH head (here: quarantine staged
+  // rows whose value exceeds 3× the published mean, decimal-summed so
+  // the threshold is bit-identical in the oracle), and publish is ONE
+  // atomic pointer fast-forward — O(pointer) regardless of staged data
+  // size, the property that makes audit-gated ingestion viable at
+  // 100 TB (a failed audit costs zero main-line churn). The oracle
+  // replays every phase's state arithmetic; the isolation claims are
+  // load-bearing in the result (main_during_stage must equal v1 AFTER
+  // the branch committed, and the stale sibling branch's publish must
+  // CONFLICT once main advanced past its fork base — the rebase rule).
+  private def wapDecl: Decl =
+    decl("q269_wap_branch_publish",
+      (s, d) => {
+        import graft.operators.Snapshot
+        val ev = Q.events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        val v1 = ev.filter(expr("event_id % 3 != 0"))
+        def mani(df: org.apache.spark.sql.DataFrame, v: Long) =
+          Snapshot.manifestEntriesBy(df, pmod(col("event_id"), lit(16)),
+            col("event_id"), version = v)
+        val root = java.nio.file.Files.createTempDirectory("graft-wap").toString
+        Snapshot.commit(s, root, 1L, v1, mani(v1, 1L), commitMillis = 1000L)
+        Snapshot.createBranch(s, root, "wap")
+        Snapshot.createBranch(s, root, "stale")
+        val staged = ev.filter(expr("event_id % 3 = 0"))
+        val stagedState = v1.unionByName(staged)
+        Snapshot.commitToBranch(s, root, "wap", stagedState,
+          mani(stagedState, 2L), commitMillis = 2000L)
+        // isolation probe: _CURRENT still names v1 while the branch holds v2
+        val mainDuring = Snapshot.readCurrent(s, root)
+        val branchState = Snapshot.readBranch(s, root, "wap")
+        val thr = broadcast(mainDuring.agg(
+          (lit(3.0) * (sum(col("value").cast("decimal(30,12)")).cast("double")
+            / count(lit(1)))).as("hi")))
+        val quarantined = branchState.crossJoin(thr)
+          .filter(expr("event_id % 3 = 0") && col("value") > col("hi"))
+        val audited = branchState.crossJoin(thr)
+          .filter(expr("event_id % 3 != 0") || !(col("value") > col("hi")))
+          .drop("hi")
+        Snapshot.commitToBranch(s, root, "wap", audited,
+          mani(audited, 3L), commitMillis = 3000L)
+        Snapshot.publishBranch(s, root, "wap")
+        val mainAfter = Snapshot.readCurrent(s, root)
+        // the sibling forked from v1; main is now v3 → publish must conflict
+        val conflict =
+          try { Snapshot.publishBranch(s, root, "stale"); 0L }
+          catch { case _: Snapshot.CommitConflictException => 1L }
+        def ph(tag: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("value").cast("decimal(30,12)")).cast("double"),
+              lit(0.0)).as("sum_value"),
+            coalesce(sum(col("event_id")), lit(0L)).as("sum_id"))
+            .select(lit(tag).as("phase"), col("n_rows"), col("sum_value"),
+              col("sum_id"))
+        ph("main_during_stage", mainDuring)
+          .unionByName(ph("branch_staged", branchState))
+          .unionByName(ph("quarantined", quarantined))
+          .unionByName(ph("published", mainAfter))
+          .unionByName(s.range(1).select(
+            lit("stale_publish_conflict").as("phase"),
+            lit(conflict).as("n_rows"), lit(0.0).as("sum_value"),
+            lit(0L).as("sum_id")))
+      },
+      """WITH ev AS (SELECT event_id, user_id, value FROM events),
+        |v1 AS (SELECT * FROM ev WHERE event_id % 3 <> 0),
+        |thr AS (SELECT 3.0 * (CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE)
+        |                      / COUNT(*)) AS hi FROM v1),
+        |staged AS (SELECT * FROM ev WHERE event_id % 3 = 0),
+        |br AS (SELECT * FROM v1 UNION ALL SELECT * FROM staged),
+        |quar AS (SELECT s.* FROM staged s, thr WHERE s.value > thr.hi),
+        |pub AS (SELECT b.* FROM br b, thr
+        |        WHERE b.event_id % 3 <> 0 OR NOT (b.value > thr.hi))
+        |SELECT 'main_during_stage' AS phase, COUNT(*)::BIGINT AS n_rows,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) AS sum_value,
+        |  COALESCE(SUM(event_id), 0)::BIGINT AS sum_id FROM v1
+        |UNION ALL
+        |SELECT 'branch_staged', COUNT(*)::BIGINT,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE),
+        |  COALESCE(SUM(event_id), 0)::BIGINT FROM br
+        |UNION ALL
+        |SELECT 'quarantined', COUNT(*)::BIGINT,
+        |  COALESCE(CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE), 0.0),
+        |  COALESCE(SUM(event_id), 0)::BIGINT FROM quar
+        |UNION ALL
+        |SELECT 'published', COUNT(*)::BIGINT,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE),
+        |  COALESCE(SUM(event_id), 0)::BIGINT FROM pub
+        |UNION ALL
+        |SELECT 'stale_publish_conflict', 1::BIGINT, 0.0::DOUBLE, 0::BIGINT""".stripMargin)
+
+  // q270 (round-13): JOIN-VIEW IVM — q199/q204 maintain aggregates of
+  // ONE table under its change feed; this maintains an aggregate over a
+  // fact ⋈ dimension JOIN under deltas on BOTH sides (fact inserts +
+  // dimension attribute reassignments), the star-schema case where
+  // naive IVM silently rescans: a dim row switching groups moves every
+  // joined fact row, and the maintenance rule must fetch those facts'
+  // totals by semi-join-scoping the fact table to the CHANGED keys only
+  // (broadcast — metadata-sized), never rescanning it. The gate: the
+  // maintained view is bit-identical (DECIMAL-summed) to a recompute
+  // over (F∪ΔF) ⋈ D_new, and facts_touched/delta_rows ride along so the
+  // oracle also checks the maintenance COST arithmetic (rows the dim
+  // arm was allowed to read), not just the converged state.
+  private def joinViewIvmDecl: Decl =
+    decl("q270_ivm_join_view",
+      (s, d) => {
+        import graft.operators.Ivm
+        // per-row quantization to the column's nominal precision (cents)
+        // BEFORE any summation: the raw doubles carry binary junk in
+        // decimal digits 3+, and summing that junk puts the two engines'
+        // decimal requantizations on different sides of a cent — rounding
+        // each ROW first is exact and identical in both, and the view
+        // then compares as integer cents with no double edge anywhere
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+        val c = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+        val f0 = o.filter(expr("o_orderkey % 10 != 0"))
+        val fd = o.filter(expr("o_orderkey % 10 = 0"))
+        val changes = c.filter(expr("c_custkey % 17 = 0"))
+          .select(col("c_custkey").as("key"), col("c_nationkey").as("attr_old"),
+            expr("(c_nationkey + 7) % 25").as("attr_new"))
+        val dimNew = c.select(col("c_custkey"),
+          expr("CASE WHEN c_custkey % 17 = 0 THEN (c_nationkey + 7) % 25 " +
+            "ELSE c_nationkey END").as("attr"))
+        val view0 = Ivm.buildSumCount(
+          f0.join(c, col("o_custkey") === col("c_custkey")),
+          col("c_nationkey"), "o_totalprice")
+        val maintained = Ivm.applyJoinViewDelta(view0,
+          fd, col("o_custkey"), "o_totalprice",
+          dimNew, col("c_custkey"), col("attr"),
+          changes,
+          f0, col("o_custkey"), "o_totalprice")
+        val stats = broadcast(
+          f0.join(changes.select(col("key")), col("o_custkey") === col("key"),
+              "left_semi")
+            .agg(count(lit(1)).as("facts_touched"))
+            .crossJoin(fd.agg(count(lit(1)).as("delta_rows"))))
+        maintained.select(col("group").as("grp"),
+            (col("sum_val") * lit(100)).cast("long").as("sum_cents"),
+            col("n"))
+          .crossJoin(stats)
+      },
+      """WITH f0 AS (SELECT o_custkey, o_totalprice::DECIMAL(18,2) AS p
+        |           FROM orders WHERE o_orderkey % 10 <> 0),
+        |fd AS (SELECT o_custkey, o_totalprice::DECIMAL(18,2) AS p
+        |       FROM orders WHERE o_orderkey % 10 = 0),
+        |dn AS (SELECT c_custkey,
+        |       CASE WHEN c_custkey % 17 = 0 THEN (c_nationkey + 7) % 25
+        |            ELSE c_nationkey END AS attr FROM customer),
+        |fall AS (SELECT * FROM f0 UNION ALL SELECT * FROM fd),
+        |vw AS (SELECT dn.attr AS grp,
+        |       (SUM(CAST(p AS DECIMAL(30,12))) * 100)::BIGINT AS sum_cents,
+        |       COUNT(*)::BIGINT AS n
+        |       FROM fall JOIN dn ON o_custkey = c_custkey GROUP BY 1),
+        |tch AS (SELECT COUNT(*)::BIGINT AS facts_touched FROM f0
+        |        WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                            WHERE c_custkey % 17 = 0)),
+        |dr AS (SELECT COUNT(*)::BIGINT AS delta_rows FROM fd)
+        |SELECT vw.grp, vw.sum_cents, vw.n, tch.facts_touched, dr.delta_rows
+        |FROM vw, tch, dr""".stripMargin)
 
   /** The full-recompute oracle for the post-merge per-group view —
     * shared by q199 (batch IVM) and q200 (streaming IVM): both

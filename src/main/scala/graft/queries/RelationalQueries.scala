@@ -958,6 +958,36 @@ object RelationalQueries {
       """SELECT user_id, event_type,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
-        |FROM events GROUP BY user_id, event_type""".stripMargin)
+        |FROM events GROUP BY user_id, event_type""".stripMargin),
+
+    // q273 (round-13): SEMI-STRUCTURED schema-on-read — the events
+    // stream carries a JSON props column (the reference's crawlers
+    // emit exactly such free-form property bags); extract a typed
+    // field with an EXPLICIT schema at the scan (from_json with a
+    // declared struct — no sampling-based inference pass, which at
+    // 100 TB would be a second full scan) and aggregate on it like any
+    // native column. Value sums ride the per-row-quantize + integer-
+    // cents gate (the q270 discipline), so no double edge anywhere.
+    decl("q273_json_props_extract",
+      (s, d) => {
+        val ev = Q.events(s, d).select(col("event_type"),
+          col("value").cast("decimal(14,2)").as("v"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.IntegerType))))
+            .getField("k").as("k"))
+        ev.groupBy(col("event_type"), expr("k % 10").as("kb"))
+          .agg(count(lit(1)).as("n"),
+            (sum(col("v").cast("decimal(30,12)")) * lit(100)).cast("long")
+              .as("sum_value_cents"),
+            min("k").as("min_k"), max("k").as("max_k"))
+      },
+      """WITH ev AS (SELECT event_type, value::DECIMAL(14,2) AS v,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k FROM events)
+        |SELECT event_type, k % 10 AS kb, COUNT(*)::BIGINT AS n,
+        |  (SUM(CAST(v AS DECIMAL(30,12))) * 100)::BIGINT AS sum_value_cents,
+        |  MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM ev GROUP BY 1, 2""".stripMargin)
   )
 }

@@ -1259,7 +1259,135 @@ object StreamingQueries {
           "SELECT 2::BIGINT AS version, key // 1024 AS grp,")
         .replace("FROM rows2 GROUP BY 1", "FROM rows2 GROUP BY 2")),
 
-    q268Decl
+    q268Decl,
+
+    // q274 (round-13): STREAMING write–audit–publish — the q269 branch
+    // protocol as the per-micro-batch ingestion QA gate (the pattern a
+    // production lakehouse runs: every arriving batch is STAGED to a
+    // branch, audited against the published state, and fast-forwarded
+    // into main only if it passes; a poisoned batch costs ZERO main-line
+    // churn — main's pointer never moves, readers never see it).
+    // Audit rule: reject a batch if >20% of its rows exceed 3× the
+    // CURRENT PUBLISHED mean — so the threshold evolves with the
+    // published state and the oracle must replay the batches in order,
+    // carrying each batch's accept/reject into the next threshold.
+    // Batch 1 is poisoned (values ×10 → ~85% violations → rejected);
+    // batches 0 and 2 are clean (~5% → published). Re-delivery is
+    // absorbed by a per-batch delivery claim (claimVersion CAS on a
+    // side namespace — production folds the claim into the publish
+    // commit itself; the checkpoint already makes AvailableNow
+    // exactly-once, the claim is the crash-replay belt). Final state
+    // sums ride the integer-cents gate.
+    decl("q274_streaming_wap",
+      (s, d) => {
+        import graft.operators.Snapshot
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val base = s"/tmp/graft_q274_$tag"
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val landing = s"$base/landing"
+        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+        val root = s"$base/store"
+        val ev = Q.events(s, d).select(col("event_id"), col("value"))
+        def mani(df: org.apache.spark.sql.DataFrame, v: Long) =
+          Snapshot.manifestEntriesBy(df, pmod(col("event_id"), lit(8)),
+            col("event_id"), version = v)
+        val init = ev.filter(expr("event_id % 4 = 3"))
+        Snapshot.commitCas(s, root, expected = -1L, init, mani(init, 0L),
+          commitMillis = 1000L)
+        def processAvailable(): Unit = {
+          val stream = s.readStream.schema("event_id LONG, value DOUBLE")
+            .option("maxFilesPerTrigger", "10000").parquet(landing)
+          val q = graft.streaming.StatementStream.foreachBatchSink(
+            stream, s"$base/ck",
+            trigger = Some(Trigger.AvailableNow())) { (batch, bid) =>
+            val sp = batch.sparkSession
+            if (Snapshot.claimVersion(sp, s"$base/delivery", bid)) {
+              val br = s"wap_b$bid"
+              Snapshot.createBranch(sp, root, br)
+              val cur = Snapshot.readCurrent(sp, root)
+              val staged = cur.unionByName(batch)
+              Snapshot.commitToBranch(sp, root, br, staged,
+                mani(staged, bid + 1), commitMillis = 1000L * (bid + 2))
+              val thr = cur.agg((lit(3.0) *
+                  (sum(col("value").cast("decimal(30,12)")).cast("double")
+                    / count(lit(1)))).as("hi"))
+                .collect()(0).getDouble(0)
+              val nb = batch.count()
+              val viol = batch.filter(col("value") > thr).count()
+              val publish = viol * 5 <= nb
+              if (publish) Snapshot.publishBranch(sp, root, br)
+              import sp.implicits._
+              Seq((bid, nb, viol, if (publish) 1L else 0L))
+                .toDF("bid", "batch_rows", "violations", "published")
+                .coalesce(1).write.mode("append").parquet(s"$base/audit")
+            }
+          }
+          q.awaitTermination()
+        }
+        val b0 = ev.filter(expr("event_id % 4 = 0"))
+        val b1 = ev.filter(expr("event_id % 4 = 1"))
+          .select(col("event_id"), (col("value") * lit(10.0)).as("value"))
+        val b2 = ev.filter(expr("event_id % 4 = 2"))
+        b0.write.mode("append").parquet(landing); processAvailable()
+        b1.write.mode("append").parquet(landing); processAvailable()
+        b2.write.mode("append").parquet(landing); processAvailable()
+        val fin = Snapshot.currentVersion(s, root).drop(1).toLong
+        val audits = s.read.parquet(s"$base/audit")
+          .select(concat(lit("batch_"), col("bid")).as("phase"),
+            col("batch_rows").as("a"), col("violations").as("b"),
+            col("published").as("c"))
+        val state = Snapshot.readCurrent(s, root)
+          .agg(count(lit(1)).as("a"),
+            (sum(col("value").cast("decimal(14,2)").cast("decimal(30,12)"))
+              * lit(100)).cast("long").as("b"))
+          .select(lit("final").as("phase"), col("a"), col("b"),
+            lit(fin).as("c"))
+        audits.unionByName(state)
+      },
+      """WITH ev AS (SELECT event_id, value FROM events),
+        |init AS (SELECT * FROM ev WHERE event_id % 4 = 3),
+        |b0 AS (SELECT * FROM ev WHERE event_id % 4 = 0),
+        |b1 AS (SELECT event_id, value * 10.0 AS value FROM ev
+        |       WHERE event_id % 4 = 1),
+        |b2 AS (SELECT * FROM ev WHERE event_id % 4 = 2),
+        |t0 AS (SELECT 3.0 * (CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE)
+        |       / COUNT(*)) AS hi FROM init),
+        |a0 AS (SELECT (SELECT COUNT(*) FROM b0)::BIGINT AS nb,
+        |       (SELECT COUNT(*) FROM b0, t0 WHERE value > hi)::BIGINT AS viol),
+        |p0 AS (SELECT nb, viol, (viol * 5 <= nb) AS pub FROM a0),
+        |s1 AS (SELECT * FROM init UNION ALL
+        |       SELECT b0.* FROM b0, p0 WHERE p0.pub),
+        |t1 AS (SELECT 3.0 * (CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE)
+        |       / COUNT(*)) AS hi FROM s1),
+        |a1 AS (SELECT (SELECT COUNT(*) FROM b1)::BIGINT AS nb,
+        |       (SELECT COUNT(*) FROM b1, t1 WHERE value > hi)::BIGINT AS viol),
+        |p1 AS (SELECT nb, viol, (viol * 5 <= nb) AS pub FROM a1),
+        |s2 AS (SELECT * FROM s1 UNION ALL
+        |       SELECT b1.* FROM b1, p1 WHERE p1.pub),
+        |t2 AS (SELECT 3.0 * (CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE)
+        |       / COUNT(*)) AS hi FROM s2),
+        |a2 AS (SELECT (SELECT COUNT(*) FROM b2)::BIGINT AS nb,
+        |       (SELECT COUNT(*) FROM b2, t2 WHERE value > hi)::BIGINT AS viol),
+        |p2 AS (SELECT nb, viol, (viol * 5 <= nb) AS pub FROM a2),
+        |s3 AS (SELECT * FROM s2 UNION ALL
+        |       SELECT b2.* FROM b2, p2 WHERE p2.pub),
+        |ver AS (SELECT CASE WHEN p2.pub THEN 3
+        |               WHEN p1.pub THEN 2
+        |               WHEN p0.pub THEN 1 ELSE 0 END::BIGINT AS v
+        |        FROM p0, p1, p2)
+        |SELECT 'batch_0' AS phase, nb AS a, viol AS b,
+        |  CASE WHEN pub THEN 1 ELSE 0 END::BIGINT AS c FROM p0
+        |UNION ALL
+        |SELECT 'batch_1', nb, viol, CASE WHEN pub THEN 1 ELSE 0 END::BIGINT FROM p1
+        |UNION ALL
+        |SELECT 'batch_2', nb, viol, CASE WHEN pub THEN 1 ELSE 0 END::BIGINT FROM p2
+        |UNION ALL
+        |SELECT 'final', COUNT(*)::BIGINT,
+        |  (SUM(CAST(value::DECIMAL(14,2) AS DECIMAL(30,12))) * 100)::BIGINT,
+        |  (SELECT v FROM ver)
+        |FROM s3""".stripMargin)
   )
 
   // ---- q268 oracle building blocks (the ADC replay, reused per batch)

@@ -57,6 +57,45 @@ class CentralitySketchSpec extends SparkSpec {
     (1L to 4L).foreach(i => assert(out(i) === 30000L + 42500L))
   }
 
+  test("label propagation: two triangles + a bridge converge to two " +
+      "communities with deterministic tie-breaks") {
+    // triangles {1,2,3} and {10,11,12}, bridged 3–10, bidirected
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = Centrality.labelPropagation(edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-rolled synchronous rounds (max count, min label):
+    // r1 {1:2, 2:1, 3:1, 10:3, 11:10, 12:10}
+    // r2 {1:1, 2:1, 3:1, 10:10, 11:3, 12:3}
+    // r3 {1:1, 2:1, 3:1, 10:3, 11:3, 12:3}
+    assert(Seq(1L, 2L, 3L).forall(out(_) === 1L))
+    assert(Seq(10L, 11L, 12L).forall(out(_) === 3L))
+  }
+
+  test("earliest arrival: strictly increasing times, min-merge, " +
+      "time-respecting rejection") {
+    // 1→2@5; 2→3@3 (departs before arrival — unusable); 2→3@7 (usable);
+    // 1→3@1 direct. Earliest at 3 is min(1, 7) = 1.
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 3L), (2L, 3L, 7L), (1L, 3L, 1L))
+      .toDF("src", "dst", "t")
+    val out = Centrality.earliestArrival(edges, Seq(1L).toDF("seed"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 2L)) === 5L)
+    assert(out((1L, 3L)) === 1L)
+    // without the direct edge and the @7 hop, 3 is UNREACHABLE in time
+    // order even though a static path exists (1→2@5 then 2→3@3)
+    val e2 = Seq((1L, 2L, 5L), (2L, 3L, 3L)).toDF("src", "dst", "t")
+    val out2 = Centrality.earliestArrival(e2, Seq(1L).toDF("seed"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out2 === Set((1L, 2L)))
+    // an exactly-equal time does NOT chain (strict increase)
+    val e3 = Seq((1L, 2L, 5L), (2L, 3L, 5L)).toDF("src", "dst", "t")
+    val out3 = Centrality.earliestArrival(e3, Seq(1L).toDF("seed"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out3 === Set((1L, 2L)))
+  }
+
   test("pagerank redistributes dangling mass uniformly") {
     // 0 -> 1, 1 has no out-edges: 1's damped mass returns to both
     val edges = Seq((0L, 1L)).toDF("src", "dst")

@@ -342,6 +342,33 @@ class SnapshotSpec extends SparkSpec {
     assert(v2(281L) === ((5.0, 1L)))
   }
 
+  test("Ivm join-view: dim reassignment + fact inserts equal a recompute; " +
+      "groups empty and appear") {
+    // facts: key→dim fk, value; dims: fk→attr
+    val f0 = Seq((1L, 10L, 2.5), (2L, 10L, 1.5), (3L, 11L, 4.0), (4L, 12L, 8.0))
+      .toDF("fk_ign", "fk", "v").select(col("fk"), col("v"))
+    val dim0 = Seq((10L, 100L), (11L, 100L), (12L, 200L)).toDF("dk", "attr")
+    // dim 11 moves 100→300 (new group); dim 12 moves 200→100 (200 empties)
+    val changes = Seq((11L, 100L, 300L), (12L, 200L, 100L))
+      .toDF("key", "attr_old", "attr_new")
+    val dimNew = Seq((10L, 100L), (11L, 300L), (12L, 100L)).toDF("dk", "attr")
+    val fd = Seq((11L, 1.0), (13L, 6.0)).toDF("fk", "v") // 13 unmatched → dropped
+    val v0 = Ivm.buildSumCount(f0.join(dim0, col("fk") === col("dk")),
+      col("attr"), "v")
+    val inc = Ivm.applyJoinViewDelta(v0, fd, col("fk"), "v",
+      dimNew, col("dk"), col("attr"), changes, f0, col("fk"), "v")
+    val full = Ivm.buildSumCount(
+      f0.unionByName(fd).join(dimNew, col("fk") === col("dk")),
+      col("attr"), "v")
+    assert(inc.collect().map(_.toSeq).toSet === full.collect().map(_.toSeq).toSet)
+    val m = inc.collect().map(r => r.getAs[Long]("group") ->
+      (r.getAs[java.math.BigDecimal]("sum_val").doubleValue,
+        r.getAs[Long]("n"))).toMap
+    assert(m(100L) === ((12.0, 3L))) // 2.5+1.5 stay; 8.0 moves in
+    assert(m(300L) === ((5.0, 2L))) // 4.0 moves in; insert 1.0 lands on new dim
+    assert(!m.contains(200L)) // emptied by the reassignment
+  }
+
   test("Ivm minmax: growth absorbs free, extremum removal dirties, duplicates survive") {
     def feed(rows: (Long, String, Option[Double], Option[Double])*) =
       rows.toSeq.toDF("key", "change_type", "value_before", "value_after")
@@ -545,6 +572,47 @@ class SnapshotSpec extends SparkSpec {
       rn.foreach(l =>
         assert(l.contains("windowspecdefinition(_p#"), s"unpartitioned rank: $l"))
     }
+  }
+
+  test("WAP branch: staged commits are invisible on main; publish is a " +
+      "fast-forward; a stale sibling conflicts; ref retired") {
+    val root = java.nio.file.Files.createTempDirectory("snapwap").toString
+    val d1 = (0L until 100L).map(i => (i, s"a$i")).toDF("id", "v")
+    Snapshot.commit(spark, root, 1L, d1,
+      Snapshot.manifestEntries(d1, col("id"), col("id"), 4, 1L),
+      commitMillis = 1000L)
+    assert(Snapshot.createBranch(spark, root, "wap") === 1L)
+    assert(Snapshot.createBranch(spark, root, "stale") === 1L)
+    val staged = (0L until 160L).map(i => (i, s"s$i")).toDF("id", "v")
+    val v2 = Snapshot.commitToBranch(spark, root, "wap", staged,
+      Snapshot.manifestEntries(staged, col("id"), col("id"), 4, 2L),
+      commitMillis = 2000L)
+    assert(v2 === 2L)
+    // write isolation: main still resolves v1, branch sees the staged state
+    assert(Snapshot.currentVersion(spark, root) === "v1")
+    assert(Snapshot.readCurrent(spark, root).count() === 100L)
+    assert(Snapshot.readBranch(spark, root, "wap").count() === 160L)
+    // audit approves → publish = one pointer fast-forward
+    assert(Snapshot.publishBranch(spark, root, "wap") === 2L)
+    assert(Snapshot.currentVersion(spark, root) === "v2")
+    assert(Snapshot.readCurrent(spark, root).count() === 160L)
+    // the published ref is retired
+    intercept[Exception] { Snapshot.branchRef(spark, root, "wap") }
+    // the sibling forked from v1; main moved past it → rebase rule fires
+    intercept[Snapshot.CommitConflictException] {
+      Snapshot.publishBranch(spark, root, "stale")
+    }
+    assert(Snapshot.currentVersion(spark, root) === "v2")
+    // branch commits never reuse version numbers a main commit claimed:
+    // a third branch minted AFTER v2 skips to v3
+    Snapshot.createBranch(spark, root, "next")
+    val v3 = Snapshot.commitToBranch(spark, root, "next", d1,
+      Snapshot.manifestEntries(d1, col("id"), col("id"), 4, 3L),
+      commitMillis = 3000L)
+    assert(v3 === 3L)
+    // as-of time travel resolves branch-committed versions once published
+    assert(Snapshot.publishBranch(spark, root, "next") === 3L)
+    assert(Snapshot.resolveVersionAsOf(spark, root, 2500L) === 2L)
   }
 
   test("mergeMor read equals mergeCow result on the same batch") {
