@@ -304,4 +304,72 @@ object Centrality {
     e.unpersist(blocking = false)
     reach.where(col("arrival") >= 0L)
   }
+
+  /** Per-seed hop distances — labeled multi-source BFS over an
+    * unweighted directed edge list, the static twin of
+    * [[earliestArrival]]. Per round only the FRESH frontier (nodes
+    * first reached last round) expands: a node re-reached later always
+    * loses the (seed, node) min, so expanding it again is pure waste —
+    * frontier work per round is bounded by newly-reached pairs, not by
+    * everything reached so far. Returns (seed, node, dist) for
+    * 1 ≤ dist ≤ maxHops; state is |seeds|·|reached|, never path count.
+    * `edges`: (src, dst); `seeds`: one id column. */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var reach = seeds.toDF("seed").distinct()
+      .select(col("seed").cast("long").as("seed"),
+        col("seed").cast("long").as("node"), lit(0L).as("dist"))
+    (1 to maxHops).foreach { h =>
+      val frontier = reach.where(col("dist") === (h - 1))
+      val next = e.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("seed"), col("dst").as("node"), lit(h.toLong).as("dist"))
+      reach = reach.unionByName(next)
+        .groupBy("seed", "node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    e.unpersist(blocking = false)
+    reach.where(col("dist") > 0L)
+  }
+
+  /** Community-quality report: Newman modularity of a labeling, in
+    * EXACT integer arithmetic. For undirected unique edges (u < v)
+    * with m = |E|, degree d(v) and per-community intra-edge count e_c
+    * and degree mass D_c, modularity is Σ_c (e_c/m − (D_c/2m)²) =
+    * Σ_c (4·m·e_c − D_c²) / 4m² — so the report emits the integer
+    * NUMERATOR per community plus the shared denominator, and the
+    * oracle replays the sum without a float anywhere (the
+    * engine-portable-arithmetic house rule; floor-division PageRank's
+    * sibling). One shuffle for degrees, two label equi-joins for
+    * intra-edges (labels are narrow), one broadcast 1-row m frame.
+    * `edges`: (u, v) undirected unique; `labels`: (node, label). */
+  def modularityReport(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v"))
+    val lbl = labels.select(col("node").cast("long").as("node"),
+      col("label").cast("long").as("label"))
+    val mFrame = e.agg(count(lit(1)).as("m"))
+    val deg = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val dSum = deg.join(lbl, "node")
+      .groupBy("label")
+      .agg(sum(col("d")).as("degree_sum"), count(lit(1)).as("n_nodes"))
+    val intra = e
+      .join(lbl.select(col("node").as("u"), col("label").as("lu")), "u")
+      .join(lbl.select(col("node").as("v"), col("label").as("lv")), "v")
+      .where(col("lu") === col("lv"))
+      .groupBy(col("lu").as("label")).agg(count(lit(1)).as("intra_edges"))
+    dSum.join(intra, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"), col("degree_sum"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"))
+      .crossJoin(broadcast(mFrame))
+      .select(col("label"), col("n_nodes"), col("degree_sum"),
+        col("intra_edges"),
+        (lit(4L) * col("m") * col("intra_edges")
+          - col("degree_sum") * col("degree_sum")).as("contrib_num"),
+        (lit(4L) * col("m") * col("m")).as("contrib_den"))
+  }
 }

@@ -164,4 +164,60 @@ object Layout {
       .select("source", "frag_idx", "bytes", "start_off", "out_group",
         "group_bytes", "group_n_frags")
   }
+
+  /** Incremental OPTIMIZE: restore the clustered-table invariant
+    * (disjoint per-file key envelopes, [[clusteredWrite]]) after
+    * unclustered appends, touching ONLY what the appends disturbed.
+    * A clustered file is rewritten iff its envelope overlaps some
+    * unclustered file's envelope; everything else is carried verbatim
+    * — the full-table OPTIMIZE a naive maintenance job runs is the
+    * degenerate case where appends span every range. The rewrite set
+    * (overlapped clustered + all unclustered rows) is re-packed in key
+    * order into `targetRows`-row files via the shared two-phase prefix
+    * sum (bucket = key div `bucketWidth`; bucket order is key order, so
+    * the rank equals a global ROW_NUMBER ordered by key without ever
+    * single-partitioning the rewrite set).
+    *
+    * Scale shape: overlap detection is manifest×append-manifest zone
+    * arithmetic — no data read decides anything; only rewrite-set ROWS
+    * shuffle, proportional to what the appends actually disturbed.
+    * Keys are assumed unique in the rewrite set (ties at a file
+    * boundary would make the packing order-ambiguous).
+    *
+    * @param rows     (file_id, k) current table rows
+    * @param manifest (file_id, clustered, n_rows, min_key, max_key)
+    * @return per-file audit: (phase ∈ carried|rewritten_src|new,
+    *         file_id, n_rows, min_key, max_key) */
+  def incrementalOptimize(rows: DataFrame, manifest: DataFrame,
+      targetRows: Long, freshBase: Long,
+      bucketWidth: Long = 4096L): DataFrame = {
+    val app = manifest.filter(!col("clustered"))
+    val appEnv = broadcast(app.select(col("min_key").as("a_lo"),
+      col("max_key").as("a_hi")))
+    val overlapped = manifest.filter(col("clustered"))
+      .join(appEnv, col("min_key") <= col("a_hi")
+        && col("max_key") >= col("a_lo"), "left_semi")
+    val rwIds = overlapped.select("file_id").unionByName(app.select("file_id"))
+    val carried = manifest.filter(col("clustered"))
+      .join(rwIds, Seq("file_id"), "left_anti")
+    val rwSrc = manifest.join(rwIds, Seq("file_id"), "left_semi")
+    val rw = rows.join(broadcast(rwIds), Seq("file_id"), "left_semi")
+      .select(col("k"), expr(s"k div $bucketWidth").as("__bkt"),
+        lit(1L).as("__one"))
+    val newFiles = Packing.twoPhaseRunning(rw, Seq.empty, "__bkt",
+        Seq("k"), "__one")
+      .select(col("k"),
+        (lit(freshBase) + expr(
+          s"(__bprefix + __run - 1) div CAST($targetRows AS BIGINT)"))
+          .cast("long").as("file_id"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"), min(col("k")).as("min_key"),
+        max(col("k")).as("max_key"))
+    def aud(tag: String, df: DataFrame) =
+      df.select(lit(tag).as("phase"), col("file_id"), col("n_rows"),
+        col("min_key"), col("max_key"))
+    aud("carried", carried)
+      .unionByName(aud("rewritten_src", rwSrc))
+      .unionByName(aud("new", newFiles))
+  }
 }

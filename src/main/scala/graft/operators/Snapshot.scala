@@ -565,6 +565,64 @@ object Snapshot {
         coalesce(sum(when(col("_rb").isNull, col("_ra"))), lit(0L)).as("rows_removed"))
   }
 
+  /** Three-way key-level merge of two DIVERGED snapshots against their
+    * common fork base — what [[publishBranch]]'s rebase rule punts to
+    * the caller, made an operator. Nessie/Iceberg-style branch merge
+    * semantics at row granularity: a side "changed" a key when its
+    * (presence, value) differs from base; an unchanged side always
+    * yields to a changed one; two sides that changed a key to the SAME
+    * outcome agree; two sides that changed it to different outcomes
+    * CONFLICT (surfaced as rows, never silently resolved — the
+    * reference's resolver has the same both-edited-pick-neither rule
+    * for contested merges).
+    *
+    * Output: one row per key present in any of the three states —
+    * (key, action, present, merged) with action ∈ {base, ours, theirs,
+    * both, conflict}; `present=false` rows are deletions (merged NULL)
+    * or conflicts. Callers commit `present` rows as the merged
+    * snapshot iff no conflict rows exist.
+    *
+    * Scale shape: two full-outer hash equi-joins on the key — the
+    * same co-partitioned single-key shuffle family as [[mergeCow]];
+    * nothing pairwise, nothing driver-side, value payloads ride the
+    * join untouched. Bucketed-by-key table layouts make all three
+    * sides Exchange-free. */
+  def threeWayMerge(base: DataFrame, ours: DataFrame, theirs: DataFrame,
+      keyCol: String, valCol: String): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      df.select(col(keyCol).as("k"), col(valCol).as(s"v_$tag"),
+        lit(true).as(s"in_$tag"))
+    val j = side(base, "b")
+      .join(side(ours, "o"), Seq("k"), "full_outer")
+      .join(side(theirs, "t"), Seq("k"), "full_outer")
+      .select(col("k"),
+        coalesce(col("in_b"), lit(false)).as("in_b"),
+        coalesce(col("in_o"), lit(false)).as("in_o"),
+        coalesce(col("in_t"), lit(false)).as("in_t"),
+        col("v_b"), col("v_o"), col("v_t"))
+    // a side changed the key iff its (presence, value) differs from base
+    val chO = col("in_o") =!= col("in_b") || !(col("v_o") <=> col("v_b"))
+    val chT = col("in_t") =!= col("in_b") || !(col("v_t") <=> col("v_b"))
+    val sameOutcome = col("in_o") === col("in_t") && (col("v_o") <=> col("v_t"))
+    j.select(col("k").as(keyCol),
+        when(!chO && !chT, lit("base"))
+          .when(chO && !chT, lit("ours"))
+          .when(chT && !chO, lit("theirs"))
+          .when(sameOutcome, lit("both"))
+          .otherwise(lit("conflict")).as("action"),
+        when(!chO && !chT, col("in_b"))
+          .when(chO && !chT, col("in_o"))
+          .when(chT && !chO, col("in_t"))
+          .when(sameOutcome, col("in_o"))
+          .otherwise(lit(false)).as("present"),
+        when(chO && !chT, col("v_o"))
+          .when(chT && !chO, col("v_t"))
+          .when(chO && chT && sameOutcome, col("v_o"))
+          .when(!chO && !chT, col("v_b"))
+          .as(valCol))
+      .withColumn(valCol, when(col("present"), col(valCol)))
+  }
+
   // ---------------------------------------------------------------
   // Filesystem protocol (spec-gated; works on any Hadoop FS scheme)
 
@@ -897,9 +955,14 @@ object Snapshot {
   }
 
   /** Versions safe to delete under a keep-last-`retain` policy: every
-    * version directory not among the `retain` highest and not the
-    * pointer target. Returns the version longs; the caller deletes.
-    * Pure listing arithmetic — never touches data. */
+    * version directory not among the `retain` highest, not the pointer
+    * target, and not named by any live branch ref (a branch HEAD must
+    * stay readable for audit, and its fork BASE must stay resolvable
+    * for the three-way rebase/[[threeWayMerge]] a conflicting publish
+    * requires — a retention policy that only counted from the top
+    * would silently destroy a long-lived staging branch). Returns the
+    * version longs; the caller deletes. Pure listing arithmetic —
+    * never touches data. */
   def vacuumPlan(spark: SparkSession, root: String, retain: Int): Seq[Long] = {
     require(retain >= 1, s"retain: $retain")
     val f = fs(spark, new Path(root))
@@ -908,7 +971,16 @@ object Snapshot {
       .flatMap(n => scala.util.Try(n.drop(1).toLong).toOption)
       .sorted
     val current = currentVersion(spark, root).drop(1).toLong
-    versions.dropRight(retain).filterNot(_ == current).toSeq
+    val refDir = new Path(s"$root/refs")
+    val pinned: Set[Long] =
+      if (!f.exists(refDir)) Set.empty
+      else f.listStatus(refDir).map(_.getPath.getName)
+        .filterNot(_.contains(".tmp"))
+        .flatMap { b =>
+          val (h, base) = branchRef(spark, root, b); Seq(h, base)
+        }.toSet
+    versions.dropRight(retain)
+      .filterNot(v => v == current || pinned.contains(v)).toSeq
   }
 
   /** Execute the retention vacuum: delete every version [[vacuumPlan]]

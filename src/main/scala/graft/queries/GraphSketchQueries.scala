@@ -512,7 +512,7 @@ object GraphSketchQueries {
          |${(0 until 3).map(j =>
              s"LEFT JOIN cm c$j ON c$j.r = $j AND c$j.p = " +
                s"${sqlHash60(s"('cm$j|' || t.user_id::VARCHAR)")} % 1024")
-             .mkString("\n")}""".stripMargin)) :+ lpaDecl :+ temporalDecl
+             .mkString("\n")}""".stripMargin)) :+ lpaDecl :+ temporalDecl :+ modularityDecl :+ harmonicDecl
 
   /** Unrolled LPA round CTEs aK/pK/lK over base CTEs bo/nod/l0. */
   private def lpaRounds(rounds: Int): String =
@@ -557,6 +557,107 @@ object GraphSketchQueries {
          |       FROM l3 GROUP BY 1)
          |SELECT l3.node AS node, l3.label AS label, sz.community_size
          |FROM l3 JOIN sz USING (label)""".stripMargin)
+
+  // q276 (round-13): MODULARITY of the q271 LPA communities — the
+  // quality score that makes a clustering auditable (is the labeling
+  // better than chance?), in exact integer arithmetic: per community
+  // the report emits (4·m·e_c − D_c²) over the shared 4m² denominator,
+  // so Q = Σ contrib_num / contrib_den with no float anywhere and the
+  // oracle replays degrees, intra-edge counts and the numerator sum
+  // verbatim. Composition gate: the LABELS come from the same
+  // three-round LPA the q271 oracle unrolls, so a drift in either
+  // operator breaks this hash too.
+  private def modularityDecl: Decl =
+    decl("q276_modularity",
+      (s, d) => {
+        val und = coPurchaseEdges(s, d)
+        val e = und.select(col("u").as("src"), col("v").as("dst"))
+          .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
+        val labels = Centrality.labelPropagation(e, rounds = 3)
+        Centrality.modularityReport(und, labels)
+      },
+      s"""WITH $coPurchaseSql,
+         |bo AS MATERIALIZED (SELECT a AS src, b AS dst FROM ed
+         |     UNION ALL SELECT b, a FROM ed),
+         |nod AS MATERIALIZED (SELECT DISTINCT src AS node FROM bo),
+         |l0 AS (SELECT node, node AS label FROM nod),
+         |${lpaRounds(3)},
+         |m AS (SELECT COUNT(*)::BIGINT AS m FROM ed),
+         |deg AS (SELECT src AS node, COUNT(*)::BIGINT AS d FROM bo GROUP BY 1),
+         |ds AS (SELECT l.label, SUM(deg.d)::BIGINT AS degree_sum,
+         |       COUNT(*)::BIGINT AS n_nodes
+         |       FROM deg JOIN l3 l ON deg.node = l.node GROUP BY 1),
+         |ie AS (SELECT lu.label AS label, COUNT(*)::BIGINT AS intra_edges
+         |       FROM ed JOIN l3 lu ON ed.a = lu.node
+         |       JOIN l3 lv ON ed.b = lv.node
+         |       WHERE lu.label = lv.label GROUP BY 1)
+         |SELECT ds.label, ds.n_nodes, ds.degree_sum,
+         |  COALESCE(ie.intra_edges, 0)::BIGINT AS intra_edges,
+         |  (4 * m.m * COALESCE(ie.intra_edges, 0)
+         |   - ds.degree_sum * ds.degree_sum)::BIGINT AS contrib_num,
+         |  (4 * m.m * m.m)::BIGINT AS contrib_den
+         |FROM ds LEFT JOIN ie USING (label), m""".stripMargin)
+
+  /** Unrolled plain-BFS round CTEs nK/rK over base CTEs e/r0 —
+    * earliest-arrival's static twin (dist, not time). */
+  private def bfsRounds(rounds: Int): String =
+    (1 to rounds).map { r =>
+      s"""n$r AS (SELECT r.seed, e.dst AS node, ${r}::BIGINT AS dist
+         |  FROM e JOIN r${r - 1} r ON e.src = r.node
+         |  WHERE r.dist = ${r - 1}),
+         |r$r AS (SELECT seed, node, MIN(dist)::BIGINT AS dist FROM (
+         |  SELECT * FROM r${r - 1} UNION ALL SELECT * FROM n$r) GROUP BY 1, 2)"""
+        .stripMargin
+    }.mkString(",\n")
+
+  // q277 (round-13): HARMONIC CENTRALITY of sampled seeds over the
+  // static customer↔supplier trade graph — Σ_reached 1/d, the
+  // disconnected-safe closeness variant, as pure integers: with hop
+  // distances d ∈ {1,2,3} the per-seed score is Σ 6/d =
+  // 6·n₁ + 3·n₂ + 2·n₃ (common denominator 6 — no float division,
+  // same rule as q161's floor-division PageRank). The BFS expands
+  // only each round's FRESH frontier; the oracle unrolls three
+  // labeled-BFS rounds and replays the arithmetic.
+  private def harmonicDecl: Decl =
+    decl("q277_harmonic_centrality",
+      (s, d) => {
+        val eo = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").cast("long").as("c"),
+            (lit(1000000L) + col("l_suppkey")).as("sup"))
+          .distinct()
+        val edges = eo.select(col("c").as("src"), col("sup").as("dst"))
+          .unionByName(eo.select(col("sup").as("src"), col("c").as("dst")))
+        val seeds = t(s, d, "customer").select(col("c_custkey"))
+          .where(expr("c_custkey % 100 = 0"))
+        Centrality.bfsDistances(edges, seeds, maxHops = 3)
+          .groupBy("seed")
+          .agg(sum(when(col("dist") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("dist") === 2, 1L).otherwise(0L)).as("n2"),
+            sum(when(col("dist") === 3, 1L).otherwise(0L)).as("n3"))
+          .select(col("seed"), col("n1"), col("n2"), col("n3"),
+            (lit(6L) * col("n1") + lit(3L) * col("n2")
+              + lit(2L) * col("n3")).as("harmonic_num"))
+      },
+      s"""WITH eo AS MATERIALIZED (SELECT DISTINCT o_custkey::BIGINT AS c,
+         |  (1000000 + l_suppkey)::BIGINT AS sup
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS MATERIALIZED (SELECT c AS src, sup AS dst FROM eo
+         |     UNION ALL SELECT sup, c FROM eo),
+         |r0 AS (SELECT c_custkey::BIGINT AS seed, c_custkey::BIGINT AS node,
+         |       0::BIGINT AS dist FROM customer WHERE c_custkey % 100 = 0),
+         |${bfsRounds(3)}
+         |SELECT seed,
+         |  SUM(CASE WHEN dist = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         |  SUM(CASE WHEN dist = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+         |  SUM(CASE WHEN dist = 3 THEN 1 ELSE 0 END)::BIGINT AS n3,
+         |  (6 * SUM(CASE WHEN dist = 1 THEN 1 ELSE 0 END)
+         |   + 3 * SUM(CASE WHEN dist = 2 THEN 1 ELSE 0 END)
+         |   + 2 * SUM(CASE WHEN dist = 3 THEN 1 ELSE 0 END))::BIGINT
+         |    AS harmonic_num
+         |FROM r3 WHERE dist > 0 GROUP BY 1""".stripMargin)
 
   /** Unrolled earliest-arrival round CTEs nK/rK over base CTEs e/r0. */
   private def taRounds(rounds: Int): String =

@@ -721,7 +721,7 @@ object LayoutQueries {
          |         FROM tgt, k2 WHERE key < k2.lo OR key > k2.hi)
          |SELECT aud.version, aud.file_id, aud.n_rows, aud.min_key, aud.max_key,
          |  aud.action, live.rows_live, live.qty_live
-         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl :+ bloomMaintainDecl :+ lifecycleDecl :+ morDvDecl :+ morMergeDecl :+ advisorDecl :+ wapDecl :+ joinViewIvmDecl
+         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl :+ bloomMaintainDecl :+ lifecycleDecl :+ morDvDecl :+ morMergeDecl :+ advisorDecl :+ wapDecl :+ joinViewIvmDecl :+ branchMergeDecl :+ incrOptimizeDecl
 
   // q263 (round-12): MERGE-ON-READ deletion vectors — the other half
   // of the delete family. q201's deleteRange rewrites/drops files
@@ -1384,6 +1384,164 @@ object LayoutQueries {
         |dr AS (SELECT COUNT(*)::BIGINT AS delta_rows FROM fd)
         |SELECT vw.grp, vw.sum_cents, vw.n, tch.facts_touched, dr.delta_rows
         |FROM vw, tch, dr""".stripMargin)
+
+  // q275 (round-13): THREE-WAY BRANCH MERGE — the operation
+  // publishBranch's rebase rule (q269) punts to the caller, closed.
+  // Two branches diverge from a common base with overlapping edit
+  // sets: updates, deletes, and inserts on arithmetic key classes so
+  // every action arm is populated — unchanged (base), one-sided edits
+  // (ours/theirs), agreeing edits incl. both-delete and same-value
+  // insert (both), and genuine conflicts in all three flavors
+  // (update-vs-update, update-vs-delete, insert-vs-insert). The
+  // operator is two co-partitioned full-outer key joins
+  // (Snapshot.threeWayMerge); the oracle replays the generic change
+  // classification — NOT the fixture's case analysis — so the gate
+  // checks the declared merge semantics, not the test's arithmetic.
+  private def branchMergeDecl: Decl =
+    decl("q275_branch_merge",
+      (s, d) => {
+        import graft.operators.Snapshot
+        val ob = t(s, d, "orders").select(
+          col("o_orderkey").cast("long").as("okey"),
+          round(col("o_totalprice") * 100).cast("long").as("vb"))
+        val base = ob.select(col("okey"), col("vb").as("cents"))
+        val ours = ob.filter(expr("okey % 7 != 2"))
+          .select(col("okey"),
+            when(expr("okey % 7 = 1"), col("vb") + 100)
+              .otherwise(col("vb")).as("cents"))
+          .unionByName(ob.filter(expr("okey % 7 = 3"))
+            .select((col("okey") + lit(3000000000L)).as("okey"),
+              (col("vb") + 7).as("cents")))
+        val theirs = ob.filter(expr("okey % 11 != 2"))
+          .select(col("okey"),
+            when(expr("okey % 11 = 1"), col("vb") + 200)
+              .otherwise(col("vb")).as("cents"))
+          .unionByName(ob.filter(expr("okey % 7 = 3 AND okey % 3 IN (0, 1)"))
+            .select((col("okey") + lit(3000000000L)).as("okey"),
+              when(expr("okey % 3 = 0"), col("vb") + 7)
+                .otherwise(col("vb") + 9).as("cents")))
+        Snapshot.threeWayMerge(base, ours, theirs, "okey", "cents")
+      },
+      """WITH ob AS MATERIALIZED (SELECT o_orderkey::BIGINT AS k,
+        |       round(o_totalprice * 100)::BIGINT AS vb FROM orders),
+        |b AS (SELECT k, vb AS v FROM ob),
+        |o AS (SELECT k, CASE WHEN k % 7 = 1 THEN vb + 100 ELSE vb END AS v
+        |      FROM ob WHERE k % 7 <> 2
+        |      UNION ALL
+        |      SELECT k + 3000000000, vb + 7 FROM ob WHERE k % 7 = 3),
+        |th AS (SELECT k, CASE WHEN k % 11 = 1 THEN vb + 200 ELSE vb END AS v
+        |       FROM ob WHERE k % 11 <> 2
+        |       UNION ALL
+        |       SELECT k + 3000000000,
+        |         CASE WHEN k % 3 = 0 THEN vb + 7 ELSE vb + 9 END
+        |       FROM ob WHERE k % 7 = 3 AND k % 3 IN (0, 1)),
+        |j1 AS (SELECT COALESCE(b.k, o.k) AS k,
+        |       b.k IS NOT NULL AS in_b, b.v AS v_b,
+        |       o.k IS NOT NULL AS in_o, o.v AS v_o
+        |       FROM b FULL JOIN o ON b.k = o.k),
+        |j AS (SELECT COALESCE(j1.k, th.k) AS k,
+        |      COALESCE(in_b, FALSE) AS in_b, v_b,
+        |      COALESCE(in_o, FALSE) AS in_o, v_o,
+        |      th.k IS NOT NULL AS in_t, th.v AS v_t
+        |      FROM j1 FULL JOIN th ON j1.k = th.k),
+        |cl AS (SELECT k, in_b, in_o, in_t, v_b, v_o, v_t,
+        |       (in_o <> in_b OR v_o IS DISTINCT FROM v_b) AS ch_o,
+        |       (in_t <> in_b OR v_t IS DISTINCT FROM v_b) AS ch_t,
+        |       (in_o = in_t AND v_o IS NOT DISTINCT FROM v_t) AS same
+        |       FROM j),
+        |res AS (SELECT k AS okey,
+        |  CASE WHEN NOT ch_o AND NOT ch_t THEN 'base'
+        |       WHEN ch_o AND NOT ch_t THEN 'ours'
+        |       WHEN ch_t AND NOT ch_o THEN 'theirs'
+        |       WHEN same THEN 'both' ELSE 'conflict' END AS action,
+        |  CASE WHEN NOT ch_o AND NOT ch_t THEN in_b
+        |       WHEN ch_o AND NOT ch_t THEN in_o
+        |       WHEN ch_t AND NOT ch_o THEN in_t
+        |       WHEN same THEN in_o ELSE FALSE END AS present,
+        |  CASE WHEN ch_o AND NOT ch_t THEN v_o
+        |       WHEN ch_t AND NOT ch_o THEN v_t
+        |       WHEN ch_o AND ch_t AND same THEN v_o
+        |       WHEN NOT ch_o AND NOT ch_t THEN v_b END AS cents
+        |  FROM cl)
+        |SELECT okey, action, present,
+        |  CASE WHEN present THEN cents END AS cents
+        |FROM res""".stripMargin)
+
+  // q279 (round-13): INCREMENTAL OPTIMIZE — clustered-table
+  // maintenance that touches only what appends disturbed. Fixture: a
+  // key-clustered table (disjoint file envelopes by construction) plus
+  // three unclustered append files confined to the TOP key decile (the
+  // recent-ingest shape), so only tail files overlap. The plan must
+  // carry every untouched file verbatim, rewrite exactly the
+  // overlapped + appended set, and re-pack it into disjoint
+  // targetRows-row files — whose envelopes the oracle recomputes with
+  // a plain ROW_NUMBER packing, gating the two-phase prefix-sum
+  // equivalence along with the overlap arithmetic.
+  private def incrOptimizeDecl: Decl =
+    decl("q279_incremental_optimize",
+      (s, d) => {
+        import graft.operators.Layout
+        val ob = t(s, d, "orders")
+          .select(col("o_orderkey").cast("long").as("k"))
+        val mx = broadcast(ob.agg(expr("(max(k) * 9) div 10").as("thr")))
+        val rows = ob.crossJoin(mx)
+          .select(col("k"),
+            when(expr("k % 10 = 7") && col("k") > col("thr"),
+              lit(1000000L) + expr("k % 3"))
+              .otherwise(expr("k div 2048")).cast("long").as("file_id"))
+        val manifest = rows.groupBy("file_id")
+          .agg(count(lit(1)).as("n_rows"), min(col("k")).as("min_key"),
+            max(col("k")).as("max_key"))
+          .withColumn("clustered", col("file_id") < 1000000L)
+        val aud = Layout.incrementalOptimize(rows, manifest,
+          targetRows = 2048L, freshBase = 2000000L)
+        val sm = broadcast(aud.agg(
+          sum(when(col("phase") === "carried", 1L).otherwise(0L))
+            .as("files_carried"),
+          sum(when(col("phase") === "rewritten_src", 1L).otherwise(0L))
+            .as("files_rewritten"),
+          sum(when(col("phase") === "new", 1L).otherwise(0L))
+            .as("files_new"),
+          sum(when(col("phase") === "rewritten_src", col("n_rows"))
+            .otherwise(0L)).as("rows_rewritten")))
+        aud.crossJoin(sm)
+      },
+      """WITH ob AS MATERIALIZED (SELECT o_orderkey::BIGINT AS k FROM orders),
+        |mx AS (SELECT (MAX(k) * 9) // 10 AS thr FROM ob),
+        |rws AS MATERIALIZED (SELECT k,
+        |       CASE WHEN k % 10 = 7 AND k > mx.thr THEN 1000000 + k % 3
+        |            ELSE k // 2048 END AS file_id FROM ob, mx),
+        |m1 AS MATERIALIZED (SELECT file_id, COUNT(*)::BIGINT AS n_rows,
+        |      MIN(k)::BIGINT AS min_key, MAX(k)::BIGINT AS max_key,
+        |      file_id < 1000000 AS clustered FROM rws GROUP BY 1),
+        |app AS (SELECT * FROM m1 WHERE NOT clustered),
+        |rwids AS (SELECT c.file_id FROM m1 c
+        |          WHERE c.clustered AND EXISTS (SELECT 1 FROM app a
+        |            WHERE c.min_key <= a.max_key AND c.max_key >= a.min_key)
+        |          UNION ALL SELECT file_id FROM app),
+        |rk AS (SELECT r.k, ROW_NUMBER() OVER (ORDER BY r.k) AS pos
+        |       FROM rws r JOIN rwids USING (file_id)),
+        |newf AS (SELECT (2000000 + (pos - 1) // 2048)::BIGINT AS file_id,
+        |         COUNT(*)::BIGINT AS n_rows, MIN(k)::BIGINT AS min_key,
+        |         MAX(k)::BIGINT AS max_key FROM rk GROUP BY 1),
+        |aud AS (SELECT 'carried' AS phase, file_id, n_rows, min_key, max_key
+        |        FROM m1 WHERE clustered
+        |          AND file_id NOT IN (SELECT file_id FROM rwids)
+        |        UNION ALL
+        |        SELECT 'rewritten_src', file_id, n_rows, min_key, max_key
+        |        FROM m1 WHERE file_id IN (SELECT file_id FROM rwids)
+        |        UNION ALL
+        |        SELECT 'new', file_id, n_rows, min_key, max_key FROM newf),
+        |sm AS (SELECT
+        |  SUM(CASE WHEN phase = 'carried' THEN 1 ELSE 0 END)::BIGINT
+        |    AS files_carried,
+        |  SUM(CASE WHEN phase = 'rewritten_src' THEN 1 ELSE 0 END)::BIGINT
+        |    AS files_rewritten,
+        |  SUM(CASE WHEN phase = 'new' THEN 1 ELSE 0 END)::BIGINT AS files_new,
+        |  SUM(CASE WHEN phase = 'rewritten_src' THEN n_rows ELSE 0 END)::BIGINT
+        |    AS rows_rewritten
+        |  FROM aud)
+        |SELECT aud.*, sm.* FROM aud, sm""".stripMargin)
 
   /** The full-recompute oracle for the post-merge per-group view —
     * shared by q199 (batch IVM) and q200 (streaming IVM): both

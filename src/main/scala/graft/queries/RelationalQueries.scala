@@ -988,6 +988,47 @@ object RelationalQueries {
         |SELECT event_type, k % 10 AS kb, COUNT(*)::BIGINT AS n,
         |  (SUM(CAST(v AS DECIMAL(30,12))) * 100)::BIGINT AS sum_value_cents,
         |  MIN(k) AS min_k, MAX(k) AS max_k
-        |FROM ev GROUP BY 1, 2""".stripMargin)
+        |FROM ev GROUP BY 1, 2""".stripMargin),
+
+    // q278 (round-13): the TPC-H Q17 shape — "small-quantity orders for
+    // a part class": lines whose quantity is under 20% of their part's
+    // average. The correlated scalar subquery DECORRELATES into one
+    // per-part aggregate joined back (the rewrite a 100 TB plan needs:
+    // lineitem is scanned twice but never self-joined at line
+    // granularity, and the per-part avg frame is partkey-aggregated —
+    // tiny — before the join). The 0.2·avg comparison is kept EXACT:
+    // qty < sum/(5·cnt) ⟺ 5·cnt·qty < sum in integers (quantities are
+    // integral), so no float boundary can flip a row between engines;
+    // revenue lands as an exact decimal-summed cents integer per
+    // brand, with the DuckDB oracle running the textbook correlated
+    // form so the decorrelation itself is what the gate checks.
+    decl("q278_tpch_q17",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"),
+          col("l_extendedprice").cast("decimal(14,2)").as("price"))
+        val perPart = li.groupBy(col("l_partkey").as("pk"))
+          .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+        val promo = t(s, d, "part")
+          .where(col("p_type") === "PROMO")
+          .select(col("p_partkey"), col("p_brand"))
+        li.join(perPart, col("l_partkey") === col("pk"))
+          .where(lit(5L) * col("cnt") * col("qty") < col("sum_qty"))
+          .join(promo, col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_small"),
+            (sum(col("price").cast("decimal(30,12)")) * lit(100))
+              .cast("long").as("sum_cents"))
+      },
+      """SELECT p_brand, COUNT(*)::BIGINT AS n_small,
+        |  (SUM(CAST(l_extendedprice::DECIMAL(14,2) AS DECIMAL(30,12)))
+        |   * 100)::BIGINT AS sum_cents
+        |FROM lineitem l JOIN part ON p_partkey = l_partkey
+        |WHERE p_type = 'PROMO'
+        |  AND 5 * (SELECT COUNT(*) FROM lineitem i
+        |           WHERE i.l_partkey = l.l_partkey) * l.l_quantity::BIGINT
+        |      < (SELECT SUM(i.l_quantity::BIGINT) FROM lineitem i
+        |         WHERE i.l_partkey = l.l_partkey)
+        |GROUP BY 1""".stripMargin)
   )
 }

@@ -265,4 +265,48 @@ class CentralitySketchSpec extends SparkSpec {
     assert(out2(3L) == 2L && out2(4L) == 1L && out2(6L) == 1L && out2(7L) == 2L)
     assert(!out2.contains(8L)) // beyond the hop bound
   }
+
+  test("bfsDistances: per-seed labeled distances, frontier-only expansion") {
+    // path 1-2-3-4-5 plus shortcut 1-4: seed 1 reaches 4 at dist 2
+    // (via the shortcut, not 3 via the path), 5 at dist 3
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+    val e = und.toDF("src", "dst")
+      .unionByName(und.map(_.swap).toDF("src", "dst"))
+    val out = Centrality.bfsDistances(e, Seq(1L, 5L).toDF("seed"), maxHops = 3)
+      .as[(Long, Long, Long)].collect()
+      .map { case (s, n, d) => (s, n) -> d }.toMap
+    assert(out((1L, 2L)) === 1L && out((1L, 4L)) === 1L)
+    assert(out((1L, 3L)) === 2L && out((1L, 5L)) === 2L)
+    assert(out((5L, 4L)) === 1L && out((5L, 1L)) === 2L && out((5L, 3L)) === 2L)
+    assert(out((5L, 2L)) === 3L)
+    assert(!out.contains((1L, 1L))) // a seed's own dist-0 row is dropped
+    // a cycle back to the seed never overwrites dist 0
+    assert(out.keySet.forall { case (s, n) => s != n })
+  }
+
+  test("modularityReport: two triangles + a bridge, hand-computed integers") {
+    // communities {1,2,3} and {4,5,6}, bridge 3-4: m=7, e_c=3 each,
+    // D_c = 2+2+3 = 7 each -> contrib = 4*7*3 - 49 = 35, den = 196,
+    // Q = 70/196 ~ 0.357
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("u", "v")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("node", "label")
+    val rows = Centrality.modularityReport(und, labels).collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_nodes") === 3L)
+      assert(r.getAs[Long]("intra_edges") === 3L)
+      assert(r.getAs[Long]("degree_sum") === 7L)
+      assert(r.getAs[Long]("contrib_num") === 35L)
+      assert(r.getAs[Long]("contrib_den") === 196L)
+    }
+    // a labeling that splits a triangle scores WORSE than the natural one
+    val badLabels = Seq((1L, 1L), (2L, 4L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("node", "label")
+    val qGood = rows.map(_.getAs[Long]("contrib_num")).sum
+    val qBad = Centrality.modularityReport(und, badLabels).collect()
+      .map(_.getAs[Long]("contrib_num")).sum
+    assert(qBad < qGood)
+  }
 }

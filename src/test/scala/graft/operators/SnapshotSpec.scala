@@ -256,6 +256,67 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.vacuum(spark, root, retain = 2) === Seq.empty)
   }
 
+  test("vacuumPlan pins versions named by live branch refs") {
+    val root = java.nio.file.Files.createTempDirectory("snapvacbr").toString
+    def d(v: Long) = (0L until 10L).map(i => (i, s"v$v-$i")).toDF("id", "v")
+    Snapshot.commit(spark, root, 1L, d(1),
+      Snapshot.manifestEntries(d(1), col("id"), col("id"), 2, 1L))
+    Snapshot.createBranch(spark, root, "stage") // head=1, base=1
+    for (v <- 2L to 5L)
+      Snapshot.commit(spark, root, v, d(v),
+        Snapshot.manifestEntries(d(v), col("id"), col("id"), 2, v))
+    // retain=2 would name 1,2,3 — but v1 is the branch's head AND base
+    assert(Snapshot.vacuumPlan(spark, root, retain = 2) === Seq(2L, 3L))
+    // branch advances: its head (v6) and fork base (v1) both stay pinned
+    Snapshot.commitToBranch(spark, root, "stage", d(6),
+      Snapshot.manifestEntries(d(6), col("id"), col("id"), 2, 6L))
+    assert(Snapshot.vacuumPlan(spark, root, retain = 1) === Seq(2L, 3L, 4L))
+    // vacuum executes the pinned plan; the branch stays readable
+    Snapshot.vacuum(spark, root, retain = 1)
+    assert(Snapshot.readBranch(spark, root, "stage").count() === 10L)
+    assert(spark.read.parquet(s"$root/data/v1").count() === 10L)
+  }
+
+  test("threeWayMerge classifies every divergence arm and merges branch reads") {
+    val root = java.nio.file.Files.createTempDirectory("snap3way").toString
+    val base = (1L to 10L).map(k => (k, k * 100L)).toDF("k", "v")
+    Snapshot.commit(spark, root, 1L, base,
+      Snapshot.manifestEntries(base, col("k"), col("k"), 2, 1L))
+    Snapshot.createBranch(spark, root, "ours")
+    Snapshot.createBranch(spark, root, "theirs")
+    // ours: update k=1 (+10), update k=4 (+40), delete k=2, insert 100
+    val ours = base.filter(col("k") =!= 2L)
+      .select(col("k"), when(col("k") === 1L, col("v") + 10)
+        .when(col("k") === 4L, col("v") + 40).otherwise(col("v")).as("v"))
+      .unionByName(Seq((100L, 7L)).toDF("k", "v"))
+    // theirs: update k=1 (+20) [conflict], delete k=2 [agrees],
+    // update k=3 (+30) [theirs-only], insert 101
+    val theirs = base.filter(col("k") =!= 2L)
+      .select(col("k"), when(col("k") === 1L, col("v") + 20)
+        .when(col("k") === 3L, col("v") + 30).otherwise(col("v")).as("v"))
+      .unionByName(Seq((101L, 9L)).toDF("k", "v"))
+    Snapshot.commitToBranch(spark, root, "ours", ours,
+      Snapshot.manifestEntries(ours, col("k"), col("k"), 2, 2L))
+    Snapshot.commitToBranch(spark, root, "theirs", theirs,
+      Snapshot.manifestEntries(theirs, col("k"), col("k"), 2, 3L))
+    val merged = Snapshot.threeWayMerge(Snapshot.readCurrent(spark, root),
+      Snapshot.readBranch(spark, root, "ours"),
+      Snapshot.readBranch(spark, root, "theirs"), "k", "v")
+    val byK = merged.collect().map(r => r.getAs[Long]("k") ->
+      (r.getAs[String]("action"), r.getAs[Boolean]("present"),
+        Option(r.getAs[java.lang.Long]("v")).map(_.toLong))).toMap
+    assert(byK(1L) === ("conflict", false, None))
+    assert(byK(2L) === ("both", false, None)) // both deleted — agree
+    assert(byK(3L) === ("theirs", true, Some(330L)))
+    assert(byK(4L) === ("ours", true, Some(440L)))
+    assert(byK(5L) === ("base", true, Some(500L)))
+    assert(byK(100L) === ("ours", true, Some(7L)))
+    assert(byK(101L) === ("theirs", true, Some(9L)))
+    assert(byK.size === 12) // 10 base keys + 2 one-sided inserts
+    // row conservation: every key of any side classified exactly once
+    assert(merged.groupBy("k").count().filter(col("count") > 1).count() === 0L)
+  }
+
   // --- mergeCow: keys 0..99 in 4 files of 25; ops touch files 1 and 2
   private def mergeFixture() = {
     val target = (0L until 100L).map(i => (i / 25L, i, i * 10.0))
