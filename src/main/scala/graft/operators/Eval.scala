@@ -105,4 +105,52 @@ object Eval {
           .otherwise(r6(col("tp").cast("double") / (col("tp") + col("fp"))))
           .as("prec"))
   }
+
+  /** Clustering-agreement report — the entity-resolution QA readout:
+    * how well a PREDICTED clustering (id → p) matches a REFERENCE one
+    * (id → t), as pairwise precision/recall and B-cubed. Everything
+    * reduces to the (p, t) CONTINGENCY counts n_ij plus the marginals,
+    * so cost is three aggregates on cluster keys — never pair
+    * enumeration (pairs enter only as the closed form n(n−1)/2, which
+    * is what makes the metric computable when one cluster holds 10⁷
+    * members). Pairwise counts are exact integers; B-cubed per-cell
+    * terms (n_ij²/marginal — one IEEE division of exact integers) are
+    * quantized to DECIMAL(30,12) and summed exactly (the dsum
+    * discipline), so the result is partition-order-free.
+    *
+    * @param pred  (id, p) predicted cluster labels
+    * @param truth (id, t) reference cluster labels (same id domain)
+    * @return one row: (n_items, pred_clusters, true_clusters,
+    *         pred_pairs, true_pairs, tp_pairs, bcubed_prec, bcubed_rec) */
+  def clusterAgreement(pred: DataFrame, truth: DataFrame): DataFrame = {
+    val j = pred.select(col("id"), col("p"))
+      .join(truth.select(col("id"), col("t")), "id")
+    val cell = j.groupBy("p", "t").agg(count(lit(1)).as("nij"))
+    val pm = j.groupBy("p").agg(count(lit(1)).as("np"))
+    val tm = j.groupBy("t").agg(count(lit(1)).as("nt"))
+    val nItems = j.agg(count(lit(1)).as("n_items"))
+    val tp = cell.agg(
+      coalesce(sum(expr("(nij * (nij - 1)) div 2")), lit(0L)).as("tp_pairs"))
+    val pp = pm.agg(count(lit(1)).as("pred_clusters"),
+      coalesce(sum(expr("(np * (np - 1)) div 2")), lit(0L)).as("pred_pairs"))
+    val tt = tm.agg(count(lit(1)).as("true_clusters"),
+      coalesce(sum(expr("(nt * (nt - 1)) div 2")), lit(0L)).as("true_pairs"))
+    val bp = cell.join(pm, "p")
+      .agg(coalesce(sum((col("nij") * col("nij")).cast("double")
+        .divide(col("np").cast("double")).cast("decimal(30,12)")), lit(0)
+        .cast("decimal(30,12)")).as("bp_sum"))
+    val br = cell.join(tm, "t")
+      .agg(coalesce(sum((col("nij") * col("nij")).cast("double")
+        .divide(col("nt").cast("double")).cast("decimal(30,12)")), lit(0)
+        .cast("decimal(30,12)")).as("br_sum"))
+    nItems.crossJoin(broadcast(pp)).crossJoin(broadcast(tt))
+      .crossJoin(broadcast(tp))
+      .crossJoin(broadcast(bp)).crossJoin(broadcast(br))
+      .select(col("n_items"), col("pred_clusters"), col("true_clusters"),
+        col("pred_pairs"), col("true_pairs"), col("tp_pairs"),
+        r6(col("bp_sum").cast("double") / col("n_items").cast("double"))
+          .as("bcubed_prec"),
+        r6(col("br_sum").cast("double") / col("n_items").cast("double"))
+          .as("bcubed_rec"))
+  }
 }

@@ -913,8 +913,10 @@ object Snapshot {
     * branch ref. Returns the minted version. */
   def commitToBranch(spark: SparkSession, root: String, branch: String,
       df: DataFrame, manifest: DataFrame,
-      commitMillis: Long = System.currentTimeMillis()): Long = {
-    val (_, base) = branchRef(spark, root, branch)
+      commitMillis: Long = System.currentTimeMillis(),
+      newBase: Option[Long] = None): Long = {
+    val (_, oldBase) = branchRef(spark, root, branch)
+    val base = newBase.getOrElse(oldBase)
     val f = fs(spark, new Path(root))
     val existing = f.listStatus(new Path(s"$root/data"))
       .map(_.getPath.getName).filter(_.startsWith("v"))
@@ -952,6 +954,43 @@ object Snapshot {
       s"publish $branch: pointer did not move to v$head")
     fs(spark, new Path(root)).delete(new Path(s"$root/refs/$branch"), false)
     head
+  }
+
+  /** Rebase a branch onto main's current head — the flow
+    * [[publishBranch]]'s conflict message demands, made an operator:
+    * three-way merge ([[threeWayMerge]]) of the branch head and main
+    * against the branch's FORK BASE, committed back to the branch with
+    * the base advanced to main's head, so a subsequent publish
+    * fast-forwards. Conflicting keys fail LOUDLY
+    * ([[CommitConflictException]]) before anything is written — a
+    * rebase never silently drops either side's edit. A branch whose
+    * base already equals main is a no-op (returns the current head).
+    *
+    * `manifestFn` builds the new head's manifest from the merged
+    * state (manifest layout is the caller's policy, as in
+    * [[commitToBranch]]). Returns the new branch head version. */
+  def rebaseBranch(spark: SparkSession, root: String, branch: String,
+      keyCol: String, valCol: String,
+      manifestFn: DataFrame => DataFrame,
+      commitMillis: Long = System.currentTimeMillis()): Long = {
+    val (head, base) = branchRef(spark, root, branch)
+    val mainV = currentVersion(spark, root).drop(1).toLong
+    if (mainV == base) return head
+    val baseDf = spark.read.parquet(s"$root/data/v$base")
+    val merged = threeWayMerge(baseDf,
+      readBranch(spark, root, branch), readCurrent(spark, root),
+      keyCol, valCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val conflicts = merged.filter(col("action") === "conflict").count()
+      if (conflicts > 0)
+        throw new CommitConflictException(
+          s"rebase $branch: $conflicts conflicting keys against main " +
+            s"v$mainV — resolve and re-stage")
+      val state = merged.filter(col("present")).select(keyCol, valCol)
+      commitToBranch(spark, root, branch, state, manifestFn(state),
+        commitMillis, newBase = Some(mainV))
+    } finally merged.unpersist(blocking = false)
   }
 
   /** Versions safe to delete under a keep-last-`retain` policy: every

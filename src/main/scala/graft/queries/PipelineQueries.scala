@@ -1461,6 +1461,108 @@ object PipelineQueries {
          |  ${sqlHash60("('graft|' || component::VARCHAR)")} % 10000 AS b
          |  FROM comp)""".stripMargin),
 
+    // q280 (round-13): CLUSTERING-QUALITY EVALUATION — pairwise
+    // precision/recall and B-cubed of the LSH near-dup clustering
+    // (q253's predicted components) against the EXACT Jaccard
+    // clustering (q171's integer-threshold join, closed into
+    // components) as reference. The reference threshold is a STRICT
+    // 19/20: the corpus's planted dup families sit at jaccard ≈1.0
+    // with a near-miss at 0.9, so the strict truth splits that pair
+    // out while the est≥0.5 LSH keeps it — the disagreement arms
+    // (precision < 1, over-merge cells) are exercised by real data,
+    // not just by the hand fixture in the spec. This is the ER QA readout a resolver
+    // team watches: how much does the approximate banding pipeline
+    // over- or under-merge relative to exact similarity? Both
+    // clusterings are REAL operators (nothing fixture-arithmetic); the
+    // metric reduces everything to contingency counts, so no pair is
+    // ever enumerated (C(n,2) in closed form — the property that keeps
+    // the evaluation computable when a cluster holds 10⁷ members).
+    // The oracle replays both clusterings (recursive-CTE closures) and
+    // the full contingency arithmetic.
+    decl("q280_er_cluster_quality",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val lsh = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
+          n = 3, maxDf = 50, bands = 8, rowsPerBand = 4, minEstJaccard = 0.5)
+        val pred = ConnectedComponents.run(
+          docs.select(col("doc_id").as("id")),
+          lsh.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        val toks = docs
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .where(size(col("ws")) >= 3)
+          .select(col("doc_id").as("doc"), explode(expr(
+            """array_distinct(transform(sequence(1, size(ws) - 2), i ->
+              |  concat_ws('_', element_at(ws, CAST(i AS INT)),
+              |    element_at(ws, CAST(i + 1 AS INT)),
+              |    element_at(ws, CAST(i + 2 AS INT)))))""".stripMargin))
+            .as("tok"))
+        val exact = Dedup.prefixJaccardJoin(toks, num = 19, den = 20)
+        val truth = ConnectedComponents.run(
+          docs.select(col("doc_id").as("id")),
+          exact.select(col("a").as("src"), col("b").as("dst")))
+        graft.operators.Eval.clusterAgreement(
+          pred.select(col("id"), col("component").as("p")),
+          truth.select(col("id"), col("component").as("t")))
+      },
+      s"""WITH RECURSIVE $minhashSigCtes,
+         |prs AS (
+         |  SELECT a.doc AS da, b.doc AS db
+         |  FROM sig a JOIN sig b ON a.doc < b.doc
+         |  WHERE ($minhashBandEq)
+         |    AND ($minhashEqSum)::DOUBLE / 32.0 >= 0.5),
+         |symp AS (SELECT da AS x, db AS y FROM prs
+         |         UNION SELECT db, da FROM prs),
+         |reachp(id, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.id, s.y FROM reachp r JOIN symp s ON r.m = s.x),
+         |predc AS (SELECT id, MIN(m) AS p FROM reachp GROUP BY id),
+         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |tk AS (SELECT DISTINCT doc_id AS doc,
+         |       unnest(list_transform(generate_series(1, len(ws) - 2),
+         |         i -> ws[i] || '_' || ws[i+1] || '_' || ws[i+2])) AS tok
+         |       FROM w WHERE len(ws) >= 3),
+         |szs AS (SELECT doc, COUNT(*)::BIGINT AS sz FROM tk GROUP BY 1),
+         |it AS (SELECT a.doc AS a, b.doc AS b, COUNT(*)::BIGINT AS inter
+         |       FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc < b.doc
+         |       GROUP BY 1, 2),
+         |ep AS (SELECT it.a AS a, it.b AS b
+         |       FROM it JOIN szs sa ON it.a = sa.doc
+         |       JOIN szs sb ON it.b = sb.doc
+         |       WHERE inter * 20 >= (sa.sz + sb.sz - inter) * 19),
+         |syme AS (SELECT a AS x, b AS y FROM ep UNION SELECT b, a FROM ep),
+         |reache(id, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.id, s.y FROM reache r JOIN syme s ON r.m = s.x),
+         |truec AS (SELECT id, MIN(m) AS t FROM reache GROUP BY id),
+         |jj AS (SELECT predc.id, p, t FROM predc JOIN truec USING (id)),
+         |cellc AS (SELECT p, t, COUNT(*)::BIGINT AS nij FROM jj GROUP BY 1, 2),
+         |pmar AS (SELECT p, COUNT(*)::BIGINT AS np FROM jj GROUP BY 1),
+         |tmar AS (SELECT t, COUNT(*)::BIGINT AS nt FROM jj GROUP BY 1),
+         |ni AS (SELECT COUNT(*)::BIGINT AS n_items FROM jj),
+         |tpp AS (SELECT COALESCE(SUM((nij * (nij - 1)) // 2), 0)::BIGINT
+         |        AS tp_pairs FROM cellc),
+         |ppp AS (SELECT COUNT(*)::BIGINT AS pred_clusters,
+         |        COALESCE(SUM((np * (np - 1)) // 2), 0)::BIGINT AS pred_pairs
+         |        FROM pmar),
+         |ttt AS (SELECT COUNT(*)::BIGINT AS true_clusters,
+         |        COALESCE(SUM((nt * (nt - 1)) // 2), 0)::BIGINT AS true_pairs
+         |        FROM tmar),
+         |bps AS (SELECT COALESCE(SUM(CAST((nij * nij)::DOUBLE / np::DOUBLE
+         |          AS DECIMAL(30,12))), 0) AS bp_sum
+         |        FROM cellc JOIN pmar USING (p)),
+         |brs AS (SELECT COALESCE(SUM(CAST((nij * nij)::DOUBLE / nt::DOUBLE
+         |          AS DECIMAL(30,12))), 0) AS br_sum
+         |        FROM cellc JOIN tmar USING (t))
+         |SELECT ni.n_items, ppp.pred_clusters, ttt.true_clusters,
+         |  ppp.pred_pairs, ttt.true_pairs, tpp.tp_pairs,
+         |  CAST(CAST(bps.bp_sum::DOUBLE / ni.n_items::DOUBLE
+         |    AS DECIMAL(10,6)) AS DOUBLE) AS bcubed_prec,
+         |  CAST(CAST(brs.br_sum::DOUBLE / ni.n_items::DOUBLE
+         |    AS DECIMAL(10,6)) AS DOUBLE) AS bcubed_rec
+         |FROM ni, ppp, ttt, tpp, bps, brs""".stripMargin),
+
     // As-of join: for each click, the user's latest purchase at or
     // before the click instant. One shuffle (union + running window),
     // no range-join explosion; DuckDB's native ASOF LEFT JOIN is the

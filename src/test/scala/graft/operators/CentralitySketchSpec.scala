@@ -284,6 +284,30 @@ class CentralitySketchSpec extends SparkSpec {
     assert(out.keySet.forall { case (s, n) => s != n })
   }
 
+  test("clusterAgreement: hand-computed contingency on 6 items") {
+    // pred {1,2,3},{4,5},{6}; truth {1,2},{3,4,5},{6}
+    val pred = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L),
+      (6L, 30L)).toDF("id", "p")
+    val truth = Seq((1L, 100L), (2L, 100L), (3L, 200L), (4L, 200L),
+      (5L, 200L), (6L, 300L)).toDF("id", "t")
+    val r = Eval.clusterAgreement(pred, truth).collect()(0)
+    assert(r.getAs[Long]("n_items") === 6L)
+    assert(r.getAs[Long]("pred_clusters") === 3L)
+    assert(r.getAs[Long]("true_clusters") === 3L)
+    assert(r.getAs[Long]("pred_pairs") === 4L)  // C(3,2)+C(2,2) = 3+1
+    assert(r.getAs[Long]("true_pairs") === 4L)  // C(2,2)+C(3,2) = 1+3
+    assert(r.getAs[Long]("tp_pairs") === 2L)    // {1,2} and {4,5}
+    // bcubed: (4/3 + 1/3 + 4/2 + 1)/6 = 0.777778 both ways (symmetric)
+    assert(r.getAs[Double]("bcubed_prec") === 0.777778)
+    assert(r.getAs[Double]("bcubed_rec") === 0.777778)
+    // identical clusterings score perfect agreement
+    val same = Eval.clusterAgreement(pred,
+      pred.select(col("id"), col("p").as("t"))).collect()(0)
+    assert(same.getAs[Long]("tp_pairs") === same.getAs[Long]("pred_pairs"))
+    assert(same.getAs[Double]("bcubed_prec") === 1.0)
+    assert(same.getAs[Double]("bcubed_rec") === 1.0)
+  }
+
   test("modularityReport: two triangles + a bridge, hand-computed integers") {
     // communities {1,2,3} and {4,5,6}, bridge 3-4: m=7, e_c=3 each,
     // D_c = 2+2+3 = 7 each -> contrib = 4*7*3 - 49 = 35, den = 196,

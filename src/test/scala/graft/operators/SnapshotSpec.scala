@@ -317,6 +317,45 @@ class SnapshotSpec extends SparkSpec {
     assert(merged.groupBy("k").count().filter(col("count") > 1).count() === 0L)
   }
 
+  test("rebaseBranch: conflicted publish -> rebase -> fast-forward publish") {
+    val root = java.nio.file.Files.createTempDirectory("snaprebase").toString
+    def mani(df: org.apache.spark.sql.DataFrame) =
+      Snapshot.manifestEntries(df, col("k"), col("k"), 2, 0L)
+    val base = (1L to 10L).map(k => (k, k * 100L)).toDF("k", "v")
+    Snapshot.commit(spark, root, 1L, base, mani(base))
+    Snapshot.createBranch(spark, root, "stage")
+    // branch edits k=1; main advances editing the DISJOINT k=9
+    val staged = base.select(col("k"),
+      when(col("k") === 1L, lit(111L)).otherwise(col("v")).as("v"))
+    Snapshot.commitToBranch(spark, root, "stage", staged, mani(staged))
+    val main2 = base.select(col("k"),
+      when(col("k") === 9L, lit(999L)).otherwise(col("v")).as("v"))
+    Snapshot.commit(spark, root, 3L, main2, mani(main2))
+    // stale publish conflicts (main moved past the fork base)
+    intercept[Snapshot.CommitConflictException] {
+      Snapshot.publishBranch(spark, root, "stage")
+    }
+    // rebase merges both edit sets; publish then fast-forwards
+    Snapshot.rebaseBranch(spark, root, "stage", "k", "v", mani)
+    val published = Snapshot.publishBranch(spark, root, "stage")
+    val state = Snapshot.readCurrent(spark, root).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Long]("v")).toMap
+    assert(state(1L) === 111L && state(9L) === 999L && state(5L) === 500L)
+    assert(state.size === 10)
+    assert(Snapshot.currentVersion(spark, root) === s"v$published")
+    // a CONFLICTING branch (same key, different value) refuses to rebase
+    Snapshot.createBranch(spark, root, "clash")
+    val clash = Snapshot.readCurrent(spark, root).select(col("k"),
+      when(col("k") === 2L, lit(21L)).otherwise(col("v")).as("v"))
+    Snapshot.commitToBranch(spark, root, "clash", clash, mani(clash))
+    val main3 = Snapshot.readCurrent(spark, root).select(col("k"),
+      when(col("k") === 2L, lit(22L)).otherwise(col("v")).as("v"))
+    Snapshot.commit(spark, root, published + 2, main3, mani(main3))
+    intercept[Snapshot.CommitConflictException] {
+      Snapshot.rebaseBranch(spark, root, "clash", "k", "v", mani)
+    }
+  }
+
   // --- mergeCow: keys 0..99 in 4 files of 25; ops touch files 1 and 2
   private def mergeFixture() = {
     val target = (0L until 100L).map(i => (i / 25L, i, i * 10.0))
