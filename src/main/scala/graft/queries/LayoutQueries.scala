@@ -721,7 +721,7 @@ object LayoutQueries {
          |         FROM tgt, k2 WHERE key < k2.lo OR key > k2.hi)
          |SELECT aud.version, aud.file_id, aud.n_rows, aud.min_key, aud.max_key,
          |  aud.action, live.rows_live, live.qty_live
-         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl :+ bloomMaintainDecl :+ lifecycleDecl :+ morDvDecl :+ morMergeDecl :+ advisorDecl :+ wapDecl :+ joinViewIvmDecl :+ branchMergeDecl :+ incrOptimizeDecl
+         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl :+ bloomMaintainDecl :+ lifecycleDecl :+ morDvDecl :+ morMergeDecl :+ advisorDecl :+ wapDecl :+ joinViewIvmDecl :+ branchMergeDecl :+ incrOptimizeDecl :+ rebaseDecl
 
   // q263 (round-12): MERGE-ON-READ deletion vectors — the other half
   // of the delete family. q201's deleteRange rewrites/drops files
@@ -1542,6 +1542,65 @@ object LayoutQueries {
         |    AS rows_rewritten
         |  FROM aud)
         |SELECT aud.*, sm.* FROM aud, sm""".stripMargin)
+
+  // q281 (round-13): REBASE → PUBLISH through the real snapshot store
+  // — the flow q269 leaves at "rebase before publish", executed:
+  // a branch stages edits, main advances past the fork base with
+  // DISJOINT edits, the stale publish CONFLICTS (probed, counted),
+  // rebaseBranch three-way-merges both edit sets (zero conflicting
+  // keys by construction) advancing the fork base, and publish then
+  // fast-forwards. The oracle replays the published state from the
+  // edit-class arithmetic — the gate proves the merge preserved BOTH
+  // sides' edits through the store round-trip.
+  private def rebaseDecl: Decl =
+    decl("q281_rebase_publish",
+      (s, d) => {
+        import graft.operators.Snapshot
+        val ev = Q.events(s, d).select(col("event_id").as("k"),
+          round(col("value") * 100).cast("long").as("v"))
+        def mani(df: org.apache.spark.sql.DataFrame) =
+          Snapshot.manifestEntriesBy(df, pmod(col("k"), lit(16)), col("k"),
+            version = 0L)
+        val root = java.nio.file.Files.createTempDirectory("graft-rb").toString
+        Snapshot.commit(s, root, 1L, ev, mani(ev), commitMillis = 1000L)
+        Snapshot.createBranch(s, root, "stage")
+        // branch: update k%5=1 (+10), delete k%5=2
+        val staged = ev.filter(expr("k % 5 != 2"))
+          .select(col("k"), when(expr("k % 5 = 1"), col("v") + 10)
+            .otherwise(col("v")).as("v"))
+        Snapshot.commitToBranch(s, root, "stage", staged, mani(staged),
+          commitMillis = 2000L)
+        // main advances with the DISJOINT edit: update k%5=3 (+20)
+        val main2 = ev.select(col("k"),
+          when(expr("k % 5 = 3"), col("v") + 20).otherwise(col("v")).as("v"))
+        Snapshot.commit(s, root, 3L, main2, mani(main2), commitMillis = 3000L)
+        val staleConflict =
+          try { Snapshot.publishBranch(s, root, "stage"); 0L }
+          catch { case _: Snapshot.CommitConflictException => 1L }
+        Snapshot.rebaseBranch(s, root, "stage", "k", "v", mani,
+          commitMillis = 4000L)
+        val published = Snapshot.publishBranch(s, root, "stage")
+        val cur = Snapshot.readCurrent(s, root)
+        cur.agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_cents"),
+            sum(when(expr("k % 5 = 1"), col("v"))).as("sum_branch_edit"),
+            sum(when(expr("k % 5 = 3"), col("v"))).as("sum_main_edit"))
+          .select(lit(staleConflict).as("stale_publish_conflict"),
+            lit(published - 3L).as("versions_past_main"),
+            col("n_rows"), col("sum_cents"), col("sum_branch_edit"),
+            col("sum_main_edit"))
+      },
+      """WITH ev AS (SELECT event_id AS k, round(value * 100)::BIGINT AS v
+        |           FROM events),
+        |pub AS (SELECT k, CASE WHEN k % 5 = 1 THEN v + 10
+        |                       WHEN k % 5 = 3 THEN v + 20
+        |                       ELSE v END AS v
+        |        FROM ev WHERE k % 5 <> 2)
+        |SELECT 1::BIGINT AS stale_publish_conflict,
+        |  1::BIGINT AS versions_past_main,
+        |  COUNT(*)::BIGINT AS n_rows, SUM(v)::BIGINT AS sum_cents,
+        |  SUM(CASE WHEN k % 5 = 1 THEN v END)::BIGINT AS sum_branch_edit,
+        |  SUM(CASE WHEN k % 5 = 3 THEN v END)::BIGINT AS sum_main_edit
+        |FROM pub""".stripMargin)
 
   /** The full-recompute oracle for the post-merge per-group view —
     * shared by q199 (batch IVM) and q200 (streaming IVM): both

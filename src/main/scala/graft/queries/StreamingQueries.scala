@@ -318,6 +318,76 @@ object StreamingQueries {
         |FROM sess
         |WHERE last_us + 1800 * 1000000 <= (SELECT w FROM wm)""".stripMargin),
 
+    // q282 (round-13): STREAMING OHLC bars — q262's downsample shape as
+    // a watermarked tumbling-window stream. open/close need
+    // ordered-within-window picks, which streaming expresses as
+    // min_by/max_by on the (ts, event_id) struct key (declarative
+    // aggregates — mergeable partial state, no sort, no row_number);
+    // two drops with a checkpoint restart, append mode emitting only
+    // watermark-finalized hours. The oracle runs q262's batch
+    // window-rank form RESTRICTED to the finalized cutoff — so the
+    // gate checks min_by/max_by ≡ rank-1 picks AND the tumbling-window
+    // finalization rule (window end ≤ ms-floored watermark) at once.
+    decl("q282_streaming_ohlc",
+      (s, d) => {
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val base = s"/tmp/graft_q282_$tag"
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val landing = s"$base/landing"; val out = s"$base/out"
+        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+        val ev = Q.events(s, d).select(col("event_id"), col("ts"),
+          col("user_id"), col("value"))
+        val cut = lit("2024-01-21 00:00:00").cast("timestamp")
+        def runPass(): Unit = {
+          val st = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "10000").parquet(landing)
+          val agg = st.withWatermark("ts", "1 hour")
+            .groupBy(col("user_id"), window(col("ts"), "1 hour").as("w"))
+            .agg(
+              min_by(col("value"), struct(col("ts"), col("event_id")))
+                .as("open"),
+              max(col("value")).as("high"), min(col("value")).as("low"),
+              max_by(col("value"), struct(col("ts"), col("event_id")))
+                .as("close"),
+              count(lit(1)).as("n_trades"))
+            .select(col("user_id"),
+              date_format(col("w.start"), "yyyy-MM-dd HH:00").as("hour"),
+              col("open"), col("high"), col("low"), col("close"),
+              col("n_trades"))
+          val q = agg.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", s"$base/ck")
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        ev.filter(col("ts") < cut).write.mode("append").parquet(landing)
+        runPass()
+        ev.filter(col("ts") >= cut).write.mode("append").parquet(landing)
+        runPass()
+        s.read.parquet(out)
+      },
+      """WITH x AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hr, value,
+        |    epoch_ns(ts) AS tns,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts, event_id) AS rn,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM events),
+        |wm AS (SELECT (MAX(tns) // 1000000) * 1000 - 3600000000 AS w FROM x),
+        |bars AS (
+        |  SELECT user_id, hr,
+        |    MAX(CASE WHEN rn = 1 THEN value END) AS open,
+        |    MAX(value) AS high, MIN(value) AS low,
+        |    MAX(CASE WHEN rd = 1 THEN value END) AS close,
+        |    COUNT(*)::BIGINT AS n_trades
+        |  FROM x GROUP BY 1, 2)
+        |SELECT user_id, strftime(hr, '%Y-%m-%d %H:00') AS hour,
+        |  open, high, low, close, n_trades
+        |FROM bars, wm
+        |WHERE epoch_us(hr + INTERVAL 1 HOUR) <= wm.w""".stripMargin),
+
     // q249 (round-12): STREAM–STREAM interval join — the one
     // Structured Streaming operator family the suite lacked. View
     // events join purchase events of the same user within one hour
