@@ -53,7 +53,14 @@ object Snapshot {
     * mod 64, as every fixture's do — same note as commitCompact's). */
   private def freshRanks(ids: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // materialize the id frame ONCE: it is manifest-sized, but its
+    // lineage is typically a join/aggregate over the data (the touch
+    // set, the boundary set, the DV-hot set) — without this, the
+    // two-phase shape evaluates that upstream subtree twice (in-bucket
+    // ranks + bucket offsets), which measured a 1.55× wall on the
+    // mutation-heavy q208 composition against the old one-pass window
     val part = ids.withColumn("_p", pmod(col("file_id"), lit(64L)))
+      .localCheckpoint()
     val offsets = part.groupBy("_p").agg(count(lit(1)).as("_c"))
       .withColumn("_off", coalesce(sum(col("_c")).over(
         Window.orderBy(col("_p"))
