@@ -467,4 +467,65 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       plan.take(1500))
   }
+
+  test("threeWayMerge is two key-hash full-outer joins, nothing pairwise") {
+    import graft.operators.Snapshot
+    val base = spark.range(10000).select(col("id").as("k"), col("id").as("v"))
+    val ours = spark.range(9000).select(col("id").as("k"), (col("id") + 1).as("v"))
+    val theirs = spark.range(8000).select(col("id").as("k"), (col("id") + 2).as("v"))
+    val plan = Snapshot.threeWayMerge(base, ours, theirs, "k", "v")
+      .queryExecution.executedPlan.toString
+    assert("FullOuter".r.findAllIn(plan).size == 2, plan.take(1500))
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    // every exchange hashes on the merge key — co-partitioned layouts
+    // (bucketed-by-key tables) would eliminate all of them
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(1500))
+  }
+
+  test("incrementalOptimize decides overlap from broadcast manifest arithmetic") {
+    import graft.operators.Layout
+    val rows = spark.range(50000).select(
+      (col("id") % 64).as("file_id"), col("id").as("k"))
+    val manifest = rows.groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"), min("k").as("min_key"),
+        max("k").as("max_key"))
+      .withColumn("clustered", col("file_id") < 60)
+    val plan = Layout.incrementalOptimize(rows, manifest, 1000L, 100000L)
+      .queryExecution.executedPlan.toString
+    // the zone-envelope overlap join is a broadcast non-equi join over
+    // MANIFEST frames — no data row participates in the decision
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("clusterAgreement reduces to aggregates — no pair enumeration anywhere") {
+    import graft.operators.Eval
+    val pred = spark.range(100000).select(col("id"), (col("id") % 97).as("p"))
+    val truth = spark.range(100000).select(col("id"), (col("id") % 89).as("t"))
+    val plan = Eval.clusterAgreement(pred, truth)
+      .queryExecution.executedPlan.toString
+    // the only joins are the id equi-join and broadcast 1-row frames;
+    // C(n,2) stays closed-form arithmetic — a pairwise form would show
+    // a self-join on cluster keys
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    // the id join is a hash equi-join (broadcast at this size, shuffled
+    // hash-partitioned at scale) — never a nested loop over pairs
+    assert(plan.contains("BroadcastHashJoin [id")
+      || "hashpartitioning\\(id".r.findAllIn(plan).nonEmpty, plan.take(1500))
+  }
+
+  test("modularityReport: the m frame broadcasts; label joins are equi-joins") {
+    import graft.operators.Centrality
+    val edges = spark.range(50000).select(
+      (col("id") % 1000).as("u"), ((col("id") + 7) % 1000).as("v"))
+    val labels = spark.range(1000).select(col("id").as("node"),
+      (col("id") % 10).as("label"))
+    val plan = Centrality.modularityReport(edges, labels)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    // the 1-row m frame rides a broadcast, never a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("BroadcastExchange"), plan.take(1500))
+  }
 }
