@@ -1461,6 +1461,64 @@ object PipelineQueries {
          |  ${sqlHash60("('graft|' || component::VARCHAR)")} % 10000 AS b
          |  FROM comp)""".stripMargin),
 
+    // q283 (round-13): CANONICAL-DOCUMENT ELECTION — the step a dedup
+    // pipeline runs AFTER clustering: per near-dup component, keep one
+    // representative (longest text, then smallest id — a total order,
+    // so any engine and any partitioning elect identically) and mark
+    // the rest as duplicates of it. The election is a single
+    // max_by(id, (len, −id)) aggregate — mergeable partial state, no
+    // window, no sort — while the ORACLE elects via a per-component
+    // ROW_NUMBER window, so the gate proves the aggregate ≡ rank-1
+    // rewrite (the q282 min_by lesson at component granularity).
+    decl("q283_dedup_canonical_election",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val pairs = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
+          n = 3, maxDf = 50, bands = 8, rowsPerBand = 4, minEstJaccard = 0.5)
+        val labels = ConnectedComponents.run(
+          docs.select(col("doc_id").as("id")),
+          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        val withLen = labels.join(
+          docs.select(col("doc_id").as("id"),
+            size(split(col("text"), " ")).cast("long").as("len")), "id")
+        val elect = withLen.groupBy("component")
+          .agg(max_by(col("id"), struct(col("len"), -col("id")))
+            .as("canonical_id"), count(lit(1)).as("comp_size"))
+        withLen.join(elect, "component")
+          .select(col("id").as("doc_id"), col("component"), col("len"),
+            col("canonical_id"), col("comp_size"),
+            when(col("id") === col("canonical_id"), lit("kept"))
+              .otherwise(lit("dup")).as("status"))
+      },
+      s"""WITH RECURSIVE $minhashSigCtes,
+         |prs AS (
+         |  SELECT a.doc AS da, b.doc AS db
+         |  FROM sig a JOIN sig b ON a.doc < b.doc
+         |  WHERE ($minhashBandEq)
+         |    AND ($minhashEqSum)::DOUBLE / 32.0 >= 0.5),
+         |sym AS (SELECT da AS x, db AS y FROM prs
+         |        UNION SELECT db, da FROM prs),
+         |reach(id, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.id, s.y FROM reach r JOIN sym s ON r.m = s.x),
+         |comp AS (SELECT id, MIN(m) AS component FROM reach GROUP BY id),
+         |wl AS (SELECT comp.id, comp.component,
+         |       len(string_split(d.text, ' '))::BIGINT AS len
+         |       FROM comp JOIN documents d ON comp.id = d.doc_id),
+         |rk AS (SELECT id, component, len,
+         |       ROW_NUMBER() OVER (PARTITION BY component
+         |         ORDER BY len DESC, id ASC) AS rn
+         |       FROM wl),
+         |el AS (SELECT component, MIN(CASE WHEN rn = 1 THEN id END)
+         |         AS canonical_id, COUNT(*)::BIGINT AS comp_size
+         |       FROM rk GROUP BY 1)
+         |SELECT wl.id AS doc_id, wl.component, wl.len, el.canonical_id,
+         |  el.comp_size,
+         |  CASE WHEN wl.id = el.canonical_id THEN 'kept' ELSE 'dup' END
+         |    AS status
+         |FROM wl JOIN el USING (component)""".stripMargin),
+
     // q280 (round-13): CLUSTERING-QUALITY EVALUATION — pairwise
     // precision/recall and B-cubed of the LSH near-dup clustering
     // (q253's predicted components) against the EXACT Jaccard

@@ -1029,6 +1029,62 @@ object RelationalQueries {
         |           WHERE i.l_partkey = l.l_partkey) * l.l_quantity::BIGINT
         |      < (SELECT SUM(i.l_quantity::BIGINT) FROM lineitem i
         |         WHERE i.l_partkey = l.l_partkey)
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin),
+
+    // q284 (round-13): the TPC-H Q10 shape — returned-item customer
+    // ranking for a quarter. Revenue terms price·(1−disc)·100 are
+    // single IEEE multiplies rounded per-row to integer CENTS (both
+    // engines compute the identical double, then round it identically)
+    // and summed as exact longs — no decimal edge anywhere; the
+    // top-20 is deterministic via an explicit (revenue DESC, custkey)
+    // tie-break rather than a bare LIMIT, which is engine-undefined on
+    // revenue ties. The date filter prunes at the orders scan before
+    // any join (plan: filter under the join, broadcast nation).
+    decl("q284_tpch_q10",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val li = t(s, d, "lineitem")
+          .where(col("l_returnflag") === "R")
+          .select(col("l_orderkey"),
+            round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * 100).cast("long").as("rev_cents"))
+        val perCust = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("rev_cents")).as("revenue_cents"))
+        // top-20 via TakeOrderedAndProject (distributed heap, no global
+        // exchange) under the full deterministic ordering; the explicit
+        // rank is then a 20-row frame — the only globally-ordered
+        // window, per the house rule
+        val top = perCust
+          .orderBy(col("revenue_cents").desc, col("o_custkey").asc)
+          .limit(20)
+        val ranked = top.withColumn("rk", row_number().over(
+          Window.orderBy(col("revenue_cents").desc, col("o_custkey").asc)))
+        ranked
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("n_name"),
+            col("revenue_cents"), col("rk"))
+      },
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    SUM(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)
+        |      ::BIGINT AS revenue_cents
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1),
+        |rk AS (SELECT o_custkey, revenue_cents,
+        |       ROW_NUMBER() OVER (ORDER BY revenue_cents DESC, o_custkey)
+        |         AS rk
+        |       FROM pc)
+        |SELECT c_custkey, c_name, n_name, revenue_cents, rk::BIGINT AS rk
+        |FROM rk JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE rk <= 20""".stripMargin)
   )
 }
