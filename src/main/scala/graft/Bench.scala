@@ -216,8 +216,73 @@ object Bench {
           s""""note":"t_large/t_small are fresh post-GC re-times (t_insuite = contaminated suite wall); small-scale walls include fixed per-query overhead so ratios understate the data exponent","queries":${rows.mkString("{", ",", "}")}}"""
       }
 
+    // Capped-query auto-repro (the round-13 adjudication protocol,
+    // generalized from q230): a capped wall on a loaded box is
+    // unadjudicable unless the artifact carries its own isolated
+    // re-measurement — BENCH_r13's q200 capped both driver runs at
+    // 120 s while measuring 5.4 s healthy, and nothing in the artifact
+    // could say which number was real. So every capped query re-runs
+    // in a FRESH JVM (same flags + classpath, graft.BenchOne, a
+    // warm-up pass then a steady-state pass) and the artifact records
+    // both walls: a fresh-JVM wall near the cap means the plan itself
+    // is slow; a fast fresh-JVM wall means suite/box contention.
+    val reproJson =
+      if (capped.isEmpty) "null"
+      else {
+        val javaBin = new java.io.File(new java.io.File(
+          System.getProperty("java.home"), "bin"), "java").getPath
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments
+          .toArray(Array.empty[String]).toSeq
+          .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+        val cp = System.getProperty("java.class.path")
+        val entries = capped.toSeq.sorted.map { name =>
+          System.err.println(s"[bench] capped-query repro: $name in a fresh JVM")
+          val cmd = Seq(javaBin) ++ jvmArgs ++
+            Seq("-cp", cp, "graft.BenchOne", name, name)
+          val pb = new ProcessBuilder(cmd: _*)
+          pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+          pb.redirectErrorStream(true)
+          val walls = scala.collection.mutable.ListBuffer[Double]()
+          var rc = -1
+          var timedOut = false
+          try {
+            val proc = pb.start()
+            val reader = new java.io.BufferedReader(
+              new java.io.InputStreamReader(proc.getInputStream))
+            val wallRe = """\[benchone\] \S+ ([0-9.]+) s""".r
+            // drain continuously so the child never blocks on a full pipe
+            val drainer = new Thread(() => {
+              var line = reader.readLine()
+              while (line != null) {
+                wallRe.findFirstMatchIn(line)
+                  .foreach(m => walls.synchronized { walls += m.group(1).toDouble })
+                line = reader.readLine()
+              }
+            }, s"repro-drain-$name")
+            drainer.setDaemon(true); drainer.start()
+            timedOut = !proc.waitFor(2L * capSec + 180L,
+              java.util.concurrent.TimeUnit.SECONDS)
+            if (timedOut) proc.destroyForcibly()
+            else rc = proc.exitValue()
+            drainer.join(5000)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[bench] repro $name failed to launch: ${e.getMessage}")
+          }
+          val ws = walls.synchronized(walls.toList)
+          val warm = ws.headOption.map(w => f"$w%.3f").getOrElse("null")
+          val steady = if (ws.length >= 2) f"${ws(1)}%.3f" else "null"
+          System.err.println(
+            s"""[bench-repro] {"query":"$name","fresh_jvm_warm_sec":$warm,"fresh_jvm_sec":$steady,"rc":$rc,"timed_out":$timedOut}""")
+          "\"" + name + "\":" +
+            s"""{"fresh_jvm_warm_sec":$warm,"fresh_jvm_sec":$steady,"rc":$rc,"timed_out":$timedOut}"""
+        }
+        entries.mkString("{", ",", "}")
+      }
+
     val cappedJson = capped.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"memory":$memJson,"runs":$runs,"sf":"$sfDir","cap_sec":$capSec,"capped":$cappedJson,"scaling":$scalingJson}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"memory":$memJson,"runs":$runs,"sf":"$sfDir","cap_sec":$capSec,"capped":$cappedJson,"capped_repro":$reproJson,"scaling":$scalingJson}"""
     println(json)
     // Durability: the full summary (125+ queries + scaling block, ~4 KB)
     // outgrows a harness's log-tail capture (round 6 stored only a
@@ -259,7 +324,7 @@ object Bench {
     // artifact lives.
     val flaggedJson = flaggedNames.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":"$sfDir","n_queries":${results.size},"cap_sec":$capSec,"capped":$cappedJson,"scaling_flagged":$flaggedJson,"full_summary":"$outPath"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":"$sfDir","n_queries":${results.size},"cap_sec":$capSec,"capped":$cappedJson,"capped_repro":$reproJson,"scaling_flagged":$flaggedJson,"full_summary":"$outPath"}""")
     spark.stop()
   }
 }

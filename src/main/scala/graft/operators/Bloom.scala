@@ -123,17 +123,29 @@ object Bloom {
     * word_idx — metadata joined to metadata; the table's rows are
     * never touched. Returns distinct (file_id). */
   def candidateFiles(keys: DataFrame, key: Column, fileBits: DataFrame,
+      m: Int, k: Int, salt: String): DataFrame =
+    candidateKeyFiles(keys, key, fileBits, m, k, salt)
+      .select("file_id").distinct()
+
+  /** [[candidateFiles]] at (key, file_id) granularity: every pair
+    * where the file's bitset passes all k probes for the key — the
+    * "might contain" relation itself, before the per-file collapse.
+    * No false negatives per pair; a key with NO pair is DEFINITELY
+    * absent from the table (what makes metadata-only insert lower
+    * bounds possible in [[Snapshot.adviseMergeFromManifest]]).
+    * Returns (key, file_id) with `key` in its original type. */
+  def candidateKeyFiles(keys: DataFrame, key: Column, fileBits: DataFrame,
       m: Int, k: Int, salt: String): DataFrame = {
     val probes = (0 until k).map { j =>
-      keys.select(key.cast("string").as("_k"), lit(j).as("_j"),
+      keys.select(key.as("key"), lit(j).as("_j"),
         pos(key, j, m, salt).as("_p"))
     }.reduce(_ union _)
     probes
       .join(fileBits, expr("_p div 32") === col("word_idx"))
       .filter(expr("(bits & shiftleft(CAST(1 AS BIGINT), CAST(_p % 32 AS INT))) != 0"))
-      .groupBy(col("_k"), col("file_id"))
+      .groupBy(col("key"), col("file_id"))
       .agg(countDistinct(col("_j")).as("_hits"))
       .filter(col("_hits") === k)
-      .select("file_id").distinct()
+      .select("key", "file_id")
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph centrality for corpus curation: PageRank over an entity or
@@ -240,8 +240,11 @@ object Centrality {
     * on any engine and any partitioning — the usual randomized LPA
     * tie-coin is exactly what an oracle-gated distributed operator
     * cannot afford. Initial label = node id; fixed `rounds` (the
-    * bounded-round discipline of [[kCorePeel]] — no fixpoint detection
-    * to pay for, lineage cut per round).
+    * bounded-round discipline of [[kCorePeel]] — no per-round fixpoint
+    * detection to pay for, lineage cut per round). Returns (node,
+    * label, converged): the flag is kCorePeel's honesty pattern —
+    * true iff the final round changed no label, from one bounded probe
+    * on the last two frames.
     *
     * Scale shape per round: one edge⋈label equi-join shuffled on the
     * edge key + one (node, label) count + one per-node top-1 — the
@@ -256,7 +259,9 @@ object Centrality {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
     var labels = nodes.select(col("node"), col("node").as("label"))
+    var prev = labels
     (1 to rounds).foreach { _ =>
+      prev = labels
       val counted = e.join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
@@ -268,9 +273,19 @@ object Centrality {
         .select(col("node"), coalesce(col("_nl"), col("node")).as("label"))
         .localCheckpoint()
     }
+    // Convergence honesty flag (the kCorePeel pattern): converged =
+    // the FINAL round changed no label. One bounded probe against the
+    // last two checkpointed frames — earlier rounds never feed the
+    // flag, so nothing is probed per round. rounds == 0 keeps the
+    // conservative "not converged" answer.
+    val changedLast = rounds > 0 && labels
+      .join(prev.withColumnRenamed("label", "_prev"), "node")
+      .where(col("label") =!= col("_prev")).limit(1).count() > 0
+    val out = labels.withColumn("converged",
+      lit(rounds > 0 && !changedLast))
     e.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
-    labels
+    out
   }
 
   /** Earliest-arrival temporal reachability — time-respecting BFS over
@@ -374,22 +389,41 @@ object Centrality {
     * engine-portable-arithmetic house rule; floor-division PageRank's
     * sibling). One shuffle for degrees, two label equi-joins for
     * intra-edges (labels are narrow), one broadcast 1-row m frame.
-    * `edges`: (u, v) undirected unique; `labels`: (node, label). */
+    * `edges`: (u, v) undirected unique; `labels`: (node, label), and
+    * MUST cover every node incident to an edge — a partial labeling
+    * raises at execution time instead of silently misreporting. */
   def modularityReport(edges: DataFrame, labels: DataFrame): DataFrame = {
     val e = edges.select(col("u").cast("long").as("u"),
       col("v").cast("long").as("v"))
     val lbl = labels.select(col("node").cast("long").as("node"),
       col("label").cast("long").as("label"))
     val mFrame = e.agg(count(lit(1)).as("m"))
+    // Coverage contract, enforced LOUDLY: labels must cover every node
+    // incident to an edge — an inner join would silently drop the
+    // degree mass and edges of unlabeled nodes, making the numerators
+    // modularity of NEITHER the full graph nor the labeled subgraph
+    // (m still counts all edges). Left joins + per-row raise_error cost
+    // the same shuffles, and a partial labeling fails at execution time
+    // instead of misreporting (round-13 advisory).
+    def labeled(lc: Column, nodeC: Column) =
+      when(lc.isNull, raise_error(format_string(
+        "modularityReport: node %d has an edge but no label — labels " +
+          "must cover every node incident to an edge", nodeC)))
+        .otherwise(lc)
     val deg = e.select(col("u").as("node"))
       .unionByName(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
-    val dSum = deg.join(lbl, "node")
+    val dSum = deg.join(lbl, Seq("node"), "left")
+      .select(col("d"), labeled(col("label"), col("node")).as("label"))
       .groupBy("label")
       .agg(sum(col("d")).as("degree_sum"), count(lit(1)).as("n_nodes"))
     val intra = e
-      .join(lbl.select(col("node").as("u"), col("label").as("lu")), "u")
-      .join(lbl.select(col("node").as("v"), col("label").as("lv")), "v")
+      .join(lbl.select(col("node").as("u"), col("label").as("lu")),
+        Seq("u"), "left")
+      .join(lbl.select(col("node").as("v"), col("label").as("lv")),
+        Seq("v"), "left")
+      .select(labeled(col("lu"), col("u")).as("lu"),
+        labeled(col("lv"), col("v")).as("lv"))
       .where(col("lu") === col("lv"))
       .groupBy(col("lu").as("label")).agg(count(lit(1)).as("intra_edges"))
     dSum.join(intra, Seq("label"), "left")

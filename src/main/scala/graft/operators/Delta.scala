@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.model.Statement
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -44,6 +45,46 @@ object Delta {
       .select(col("id"), col("op"))
   }
 
+  /** [[entityHash]] computed DIRECTLY from statements — bit-identical
+    * to hashing [[EntityAssembler.assembleColumnar]]'s output (same
+    * distinct non-Base (prop, value) pair set, same narrowed schema),
+    * without materializing the properties map, the dataset/referent
+    * sets, or the seen-range aggregates only to throw them away. Two
+    * shuffles either way ((key, prop[, value]) then key), but the
+    * payload here is 16-byte pair hashes instead of per-entity value
+    * arrays + a map — the q265 compare-packs wall was dominated by
+    * exactly that wasted assembly (round-13 brief #5). Returns
+    * (entity_id, hash). */
+  def entityHashes(statements: DataFrame,
+      trustCanonicalId: Boolean = false): DataFrame = {
+    val key =
+      if (trustCanonicalId) col("canonicalId")
+      else when(col("canonicalId").isNotNull && length(col("canonicalId")) > 0,
+        col("canonicalId")).otherwise(col("entityId"))
+    statements
+      .withColumn("_key", key)
+      // distinct-pair granularity: collect_set(value) in the assemble
+      // dedups per prop; grouping on (key, prop, value) dedups the
+      // same pairs while keeping the aggregate mergeable
+      .groupBy(col("_key"), col("prop"), col("value"))
+      .agg(collect_set(col("schema")).as("schemas"))
+      .groupBy(col("_key"))
+      .agg(
+        // collect_list skips nulls: Base rows and null values carry
+        // schema/existence but no pair — same rule as the assemble
+        sort_array(collect_list(
+          when(col("prop") =!= lit(Statement.Base) && col("value").isNotNull,
+            md5(concat(col("prop"), lit("="), col("value"))))))
+          .as("_pair_hashes"),
+        EntityAssembler.narrowSchemasCol(
+          array_distinct(flatten(collect_list(col("schemas"))))).as("_schema"))
+      .select(col("_key").as("entity_id"),
+        md5(concat_ws("|",
+          coalesce(col("_key"), lit("\u0000null")),
+          coalesce(col("_schema"), lit("\u0000null")),
+          concat_ws("|", col("_pair_hashes")))).as("hash"))
+  }
+
   /** Two-pack entity-level compare — the contrib QA runbook that diffs
     * two statement exports of the SAME dataset at ASSEMBLED-entity
     * granularity (contrib/compare_pack.py:22-133: build a store from
@@ -64,21 +105,17 @@ object Delta {
     * Returns (view, side, entity_id) with view ∈ internal|external,
     * side ∈ in_a_not_b|in_b_not_a.
     *
-    * Scale shape: two assembly aggregations per pack (the J4/A1
-    * machinery — one shuffle each on canonicalId) and ONE full-outer
-    * join per view on entity id carrying only 32-byte hashes, never
-    * the assembled payload; at 100 TB the packs diff without any
-    * entity's properties crossing the wire twice. */
+    * Scale shape: two [[entityHashes]] aggregations per pack (hash-
+    * only — no properties map ever materializes) and ONE full-outer
+    * join per view on entity id carrying only 32-byte hashes; at
+    * 100 TB the packs diff without any entity's properties crossing
+    * the wire at all. */
   def comparePacks(packA: DataFrame, packB: DataFrame): DataFrame = {
     def assembled(pack: DataFrame, tag: String): DataFrame = {
       def view(name: String, df: DataFrame) =
-        EntityAssembler.assembleColumnar(df)
-          .select(lit(name).as("view"), col("id").as("entity_id"),
-            entityHash(col("id"), col("schema"),
-              flatten(transform(map_entries(col("properties")), e =>
-                transform(e.getField("value"),
-                  v => concat(e.getField("key"), lit("="), v)))))
-              .as(s"_h$tag"))
+        entityHashes(df)
+          .select(lit(name).as("view"), col("entity_id"),
+            col("hash").as(s"_h$tag"))
       view("internal", pack.filter(!col("external")))
         .unionByName(view("external", pack))
     }

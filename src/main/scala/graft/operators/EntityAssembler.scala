@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.model.{Entity, FtmModel, Statement}
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -106,6 +106,12 @@ object EntityAssembler {
   private val narrowAllUdf = udf((ss: Seq[String]) =>
     ss.filter(s => s != null && s.nonEmpty).sorted
       .reduceLeftOption(narrow).getOrElse(""))
+
+  /** The schema-narrowing fold as a reusable Column seam, for
+    * consumers that need assemble-identical schema resolution without
+    * the full assemble (e.g. [[Delta.entityHashes]]' hash-only path). */
+  def narrowSchemasCol(distinctSchemas: Column): Column =
+    narrowAllUdf(distinctSchemas)
 
   /** Columnar assemble fast path (A1 at scale): two-level hash
     * aggregation entirely in Catalyst expressions. Level 1 groups on

@@ -118,13 +118,27 @@ object Eval {
     * quantized to DECIMAL(30,12) and summed exactly (the dsum
     * discipline), so the result is partition-order-free.
     *
-    * @param pred  (id, p) predicted cluster labels
-    * @param truth (id, t) reference cluster labels (same id domain)
+    * @param pred  (id, p) predicted cluster labels, labels non-null
+    * @param truth (id, t) reference cluster labels — the id domain must
+    *              EQUAL pred's; a one-sided id raises at execution time
+    *              rather than silently shrinking n_items
     * @return one row: (n_items, pred_clusters, true_clusters,
     *         pred_pairs, true_pairs, tp_pairs, bcubed_prec, bcubed_rec) */
   def clusterAgreement(pred: DataFrame, truth: DataFrame): DataFrame = {
+    // Same-id-domain contract, enforced LOUDLY: a full-outer join with
+    // a per-row raise_error on a one-sided id costs the same shuffle as
+    // the inner join but turns a partial labeling into an error instead
+    // of a silently shrunken n_items (round-13 advisory). Zero extra
+    // Spark actions — the guard rides the rows the metric reads anyway.
+    def only(c: Column, side: String) =
+      when(c.isNull, raise_error(format_string(
+        s"clusterAgreement: id %s present only in $side — pred and " +
+          "truth must share the same id domain", col("id").cast("string"))))
+        .otherwise(c)
     val j = pred.select(col("id"), col("p"))
-      .join(truth.select(col("id"), col("t")), "id")
+      .join(truth.select(col("id"), col("t")), Seq("id"), "full_outer")
+      .select(col("id"), only(col("p"), "truth").as("p"),
+        only(col("t"), "pred").as("t"))
     val cell = j.groupBy("p", "t").agg(count(lit(1)).as("nij"))
     val pm = j.groupBy("p").agg(count(lit(1)).as("np"))
     val tm = j.groupBy("t").agg(count(lit(1)).as("nt"))
@@ -148,9 +162,12 @@ object Eval {
       .crossJoin(broadcast(bp)).crossJoin(broadcast(br))
       .select(col("n_items"), col("pred_clusters"), col("true_clusters"),
         col("pred_pairs"), col("true_pairs"), col("tp_pairs"),
-        r6(col("bp_sum").cast("double") / col("n_items").cast("double"))
+        // empty inputs: n_items = 0 must yield NULL, not a 0/0 NaN row
+        when(col("n_items") > 0,
+          r6(col("bp_sum").cast("double") / col("n_items").cast("double")))
           .as("bcubed_prec"),
-        r6(col("br_sum").cast("double") / col("n_items").cast("double"))
+        when(col("n_items") > 0,
+          r6(col("br_sum").cast("double") / col("n_items").cast("double")))
           .as("bcubed_rec"))
   }
 }

@@ -174,9 +174,12 @@ object Layout {
     * degenerate case where appends span every range. The rewrite set
     * (overlapped clustered + all unclustered rows) is re-packed in key
     * order into `targetRows`-row files via the shared two-phase prefix
-    * sum (bucket = key div `bucketWidth`; bucket order is key order, so
-    * the rank equals a global ROW_NUMBER ordered by key without ever
-    * single-partitioning the rewrite set).
+    * sum (bucket = floor(key / `bucketWidth`) in exact long arithmetic
+    * — (k − pmod(k, w)) div w, so negative keys keep bucket order equal
+    * to key order; plain `div` truncates toward zero and would fold
+    * keys −w+1..w−1 into one bucket). The rank equals a global
+    * ROW_NUMBER ordered by key without ever single-partitioning the
+    * rewrite set.
     *
     * Scale shape: overlap detection is manifest×append-manifest zone
     * arithmetic — no data read decides anything; only rewrite-set ROWS
@@ -202,7 +205,9 @@ object Layout {
       .join(rwIds, Seq("file_id"), "left_anti")
     val rwSrc = manifest.join(rwIds, Seq("file_id"), "left_semi")
     val rw = rows.join(broadcast(rwIds), Seq("file_id"), "left_semi")
-      .select(col("k"), expr(s"k div $bucketWidth").as("__bkt"),
+      .select(col("k"),
+        expr(s"(k - pmod(k, ${bucketWidth}L)) div ${bucketWidth}L")
+          .as("__bkt"),
         lit(1L).as("__one"))
     val newFiles = Packing.twoPhaseRunning(rw, Seq.empty, "__bkt",
         Seq("k"), "__one")

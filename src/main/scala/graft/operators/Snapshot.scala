@@ -58,9 +58,15 @@ object Snapshot {
     // set, the boundary set, the DV-hot set) — without this, the
     // two-phase shape evaluates that upstream subtree twice (in-bucket
     // ranks + bucket offsets), which measured a 1.55× wall on the
-    // mutation-heavy q208 composition against the old one-pass window
+    // mutation-heavy q208 composition against the old one-pass window.
+    // LAZY persist, not localCheckpoint: the offsets broadcast job
+    // populates the columnar cache and the rank join reads it back, so
+    // single evaluation still holds, without the eager barrier job
+    // (~0.3 s/call at fixture scale, round-13 finding #2) or
+    // localCheckpoint's deserialized row copies (the round-13
+    // checkpoint-residency OOM class).
     val part = ids.withColumn("_p", pmod(col("file_id"), lit(64L)))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val offsets = part.groupBy("_p").agg(count(lit(1)).as("_c"))
       .withColumn("_off", coalesce(sum(col("_c")).over(
         Window.orderBy(col("_p"))
@@ -515,6 +521,63 @@ object Snapshot {
         col("dv_fraction"), col("recommend"))
   }
 
+  /** [[adviseMerge]]'s METADATA-ONLY sibling: the advisor from the
+    * manifest-carried per-file Bloom index ([[Bloom.buildFileBits]],
+    * maintained by [[Bloom.maintainFileBits]]) and the manifest's
+    * n_rows — the target's DATA is never read to produce the
+    * recommendation, which is the only advisor admissible at 100 TB
+    * (adviseMerge's exact semi-join is the same pass the merge itself
+    * pays; paying it twice to *decide how* to merge defeats the
+    * advisor). Bloom soundness (no false negatives) makes every
+    * estimate a one-sided BOUND, and the columns say which side:
+    *
+    *  - `est_files_touched` / `est_touched_rows` ≥ the exact touch
+    *    set (candidate files ⊇ touched files);
+    *  - `est_matched_keys_max` ≥ matched_keys (a key with no
+    *    candidate file is definitely absent);
+    *  - `definite_inserts` ≤ inserts ≤ `upserts`;
+    *  - `est_cow_write_rows_max` ≥ cow_write_rows and
+    *    `est_mor_write_rows_max` ≥ mor_write_rows.
+    *
+    * `recommend_estimate` compares the two UPPER bounds with the same
+    * `cowFactor` rule; the q285 gate runs this beside the exact
+    * advisor and checks every bound holds. Cost: |src keys|·k probe
+    * rows joined to files × m/32 index words + manifest-sized
+    * aggregates — metadata joined to metadata. */
+  def adviseMergeFromManifest(source: DataFrame, fileBits: DataFrame,
+      prevManifest: DataFrame, m: Int, k: Int, salt: String,
+      cowFactor: Double = 4.0): DataFrame = {
+    val srcKeys = source.select(col("key")).distinct()
+    val pairs = Bloom.candidateKeyFiles(srcKeys, col("key"), fileBits,
+        m, k, salt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candFiles = pairs.select("file_id").distinct()
+    val tStats = broadcast(prevManifest
+      .join(candFiles, Seq("file_id"), "left_semi")
+      .agg(coalesce(count(lit(1)), lit(0L)).as("est_files_touched"),
+        coalesce(sum(col("n_rows")), lit(0L)).as("est_touched_rows")))
+    val present = pairs.select("key").distinct()
+    val mk = broadcast(present.agg(count(lit(1)).as("est_matched_keys_max")))
+    val sc = broadcast(source.agg(
+      coalesce(sum(when(col("op") === "U", 1L).otherwise(0L)), lit(0L))
+        .as("upserts"),
+      coalesce(sum(when(col("op") === "D", 1L).otherwise(0L)), lit(0L))
+        .as("deletes")))
+    val di = broadcast(source.filter(col("op") === "U")
+      .join(present, Seq("key"), "left_anti")
+      .agg(count(lit(1)).as("definite_inserts")))
+    tStats.crossJoin(mk).crossJoin(sc).crossJoin(di)
+      .withColumn("est_cow_write_rows_max",
+        col("est_touched_rows") + col("upserts"))
+      .withColumn("est_mor_write_rows_max",
+        col("est_matched_keys_max") + col("upserts"))
+      .withColumn("recommend_estimate",
+        when(col("est_cow_write_rows_max").cast("double") >
+          lit(cowFactor) * col("est_mor_write_rows_max").cast("double"),
+          lit("mor"))
+          .otherwise(lit("cow")))
+  }
+
   /** Schema evolution across snapshot versions — read files written
     * under an OLD schema through the CURRENT one, without rewriting a
     * byte of data (Iceberg's column-mapping rule: identity lives in
@@ -663,29 +726,18 @@ object Snapshot {
     // claimVersion: local fs gets POSIX rename(2) via NIO ATOMIC_MOVE
     // + REPLACE_EXISTING (the kernel swaps the directory entry in
     // place — readers see old or new, never absent; the temp is
-    // NIO-written too, so no checksum sidecar is left orphaned); HDFS
-    // would use FileContext.rename(OVERWRITE) (namenode-atomic); the
-    // FileSystem fallback keeps delete+rename and inherits its tiny
-    // gap — object stores need their conditional-put committer
-    // regardless.
+    // NIO-written too, so no checksum sidecar is left orphaned); every
+    // other scheme tries FileContext.rename(OVERWRITE) first (on HDFS
+    // this is a namenode-atomic replace — same no-absent-window
+    // guarantee), and only a filesystem with no AbstractFileSystem
+    // binding falls back to delete+rename with its tiny gap — object
+    // stores need their conditional-put committer regardless.
     pointerSwap(f, tmp, cur, version)
   }
 
   private def pointerSwap(f: org.apache.hadoop.fs.FileSystem,
-      tmp: Path, cur: Path, version: Long): Unit = f match {
-    case l: org.apache.hadoop.fs.LocalFileSystem =>
-      val tmpNio = l.pathToFile(tmp).toPath
-      java.nio.file.Files.write(tmpNio, s"v$version".getBytes("UTF-8"))
-      java.nio.file.Files.move(tmpNio, l.pathToFile(cur).toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    case _ =>
-      val out = f.create(tmp, true)
-      out.write(s"v$version".getBytes("UTF-8"))
-      out.close()
-      if (f.exists(cur)) f.delete(cur, false)
-      require(f.rename(tmp, cur), s"pointer swap failed for v$version")
-  }
+      tmp: Path, cur: Path, version: Long): Unit =
+    pointerSwapText(f, tmp, cur, s"v$version")
 
   /** A CAS commit lost its race: CURRENT advanced past the version the
     * writer read (its prepared manifest is stale), or another writer
@@ -711,20 +763,28 @@ object Snapshot {
     * I/O failure propagates — masking a broken filesystem as a lost
     * race would send writers into a silent retry loop (round-10
     * advisory). Returns whether THIS caller won. */
-  def claimVersion(spark: SparkSession, root: String, version: Long): Boolean = {
+  def claimVersion(spark: SparkSession, root: String, version: Long): Boolean =
+    claimMarker(spark, root, s"v$version")
+
+  /** The exclusive-create primitive behind [[claimVersion]] and
+    * [[publishBranch]]'s sibling-publish CAS, for an arbitrary marker
+    * name under `root/claim/`. Same scheme-dependent atomicity story
+    * as the claimVersion scaladoc. */
+  private def claimMarker(spark: SparkSession, root: String,
+      name: String): Boolean = {
     val f = fs(spark, new Path(root))
     f.mkdirs(new Path(s"$root/claim"))
-    val marker = new Path(s"$root/claim/v$version")
+    val marker = new Path(s"$root/claim/$name")
     try {
       f match {
         case l: org.apache.hadoop.fs.LocalFileSystem =>
           java.nio.file.Files.write(l.pathToFile(marker).toPath,
-            s"v$version".getBytes("UTF-8"),
+            name.getBytes("UTF-8"),
             java.nio.file.StandardOpenOption.CREATE_NEW,
             java.nio.file.StandardOpenOption.WRITE)
         case _ =>
           val out = f.create(marker, false)
-          out.write(s"v$version".getBytes("UTF-8"))
+          out.write(name.getBytes("UTF-8"))
           out.close()
       }
       true
@@ -861,6 +921,9 @@ object Snapshot {
     * single pointer swap — the write–audit–publish isolation property,
     * at O(pointer) publish cost regardless of staged data size. */
   def createBranch(spark: SparkSession, root: String, branch: String): Long = {
+    require(!TmpRefRe.pattern.matcher(branch).matches,
+      s"branch name '$branch' matches the crash-leftover temp-ref " +
+        "pattern (*.tmp<digits>) — vacuumPlan could never pin it")
     val base = currentVersion(spark, root).drop(1).toLong
     writeBranchRef(spark, root, branch, head = base, base = base)
     base
@@ -870,12 +933,23 @@ object Snapshot {
       branch: String, head: Long, base: Long): Unit = {
     val f = fs(spark, new Path(root))
     f.mkdirs(new Path(s"$root/refs"))
-    // same no-absent-window swap discipline as _CURRENT: a concurrent
+    // same no-absent-window swap discipline as _CURRENT (local rename(2)
+    // / HDFS FileContext OVERWRITE — see pointerSwapText): a concurrent
     // branch reader sees the old head or the new one, never a missing ref
     pointerSwapText(f, new Path(s"$root/refs/$branch.tmp$head"),
       new Path(s"$root/refs/$branch"), s"v$head base v$base")
   }
 
+  /** One atomic-replace text-pointer swap, shared by `_CURRENT` and
+    * branch refs. Local fs: POSIX rename(2) (kernel-atomic, readers
+    * see old or new, never absent). Any other scheme: write the temp
+    * via the FileSystem, then FileContext.rename(OVERWRITE) — on HDFS
+    * a namenode-atomic replace with the same no-absent-window
+    * guarantee. Only when the scheme has no AbstractFileSystem binding
+    * (FileContext unavailable) does the swap degrade to
+    * delete+rename, which has a tiny absent window — object stores
+    * need a conditional-put committer regardless, as documented at
+    * [[claimVersion]]. */
   private def pointerSwapText(f: org.apache.hadoop.fs.FileSystem,
       tmp: Path, dst: Path, text: String): Unit = f match {
     case l: org.apache.hadoop.fs.LocalFileSystem =>
@@ -888,8 +962,14 @@ object Snapshot {
       val out = f.create(tmp, true)
       out.write(text.getBytes("UTF-8"))
       out.close()
-      if (f.exists(dst)) f.delete(dst, false)
-      require(f.rename(tmp, dst), s"ref swap failed for $dst")
+      val atomically = scala.util.Try {
+        org.apache.hadoop.fs.FileContext.getFileContext(f.getUri, f.getConf)
+          .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
+      if (atomically.isFailure) {
+        if (f.exists(dst)) f.delete(dst, false)
+        require(f.rename(tmp, dst), s"ref swap failed for $dst")
+      }
   }
 
   /** (head, base) of a branch ref. */
@@ -905,6 +985,10 @@ object Snapshot {
     }
   }
   private val BranchRefRe = """v(\d+) base v(\d+)""".r
+  /** Crash-leftover temp refs from [[writeBranchRef]]'s swap:
+    * `<branch>.tmp<head>`. Matched EXACTLY (not substring) so a branch
+    * whose name merely contains ".tmp" is still pinned by vacuum. */
+  private val TmpRefRe = """.+\.tmp\d+""".r
 
   /** Read the snapshot a branch's HEAD names. */
   def readBranch(spark: SparkSession, root: String, branch: String): DataFrame = {
@@ -952,15 +1036,37 @@ object Snapshot {
     * published version. */
   def publishBranch(spark: SparkSession, root: String, branch: String): Long = {
     val (head, base) = branchRef(spark, root, branch)
-    val mainV = currentVersion(spark, root).drop(1).toLong
-    if (mainV != base)
+    // Sibling-publish CAS: the mainV == base check below is
+    // check-then-swap, so TWO sibling branches forked from the same
+    // base racing publishBranch could both pass it and both
+    // fast-forward — the later swap silently dropping the earlier
+    // branch's state, exactly what the conflict rule exists to
+    // prevent. The atomic arbiter is the same exclusive-create
+    // primitive as [[claimVersion]]: exactly one publisher from a
+    // given fork base holds `claim/pub-v<base>` across its
+    // check-and-swap window; a contender raises BEFORE any pointer
+    // motion and retries (after the winner's swap the mainV check
+    // gives it the accurate rebase-first conflict). The marker is
+    // released on every exit — held only across the window — so a
+    // publisher that crashes mid-publish blocks publishes from that
+    // base until the [[releaseClaim]]-style escape hatch (delete
+    // `claim/pub-v<base>`), the same orphan story as claimVersion.
+    if (!claimMarker(spark, root, s"pub-v$base"))
       throw new CommitConflictException(
-        s"publish $branch: main is v$mainV but the branch forked from " +
-          s"v$base — rebase (re-fork, re-stage, re-audit) before publish")
-    require(swapPointerForward(spark, root, head),
-      s"publish $branch: pointer did not move to v$head")
-    fs(spark, new Path(root)).delete(new Path(s"$root/refs/$branch"), false)
-    head
+        s"publish $branch: a concurrent publish from fork base v$base " +
+          "is in flight — retry; rebase first if main has advanced")
+    try {
+      val mainV = currentVersion(spark, root).drop(1).toLong
+      if (mainV != base)
+        throw new CommitConflictException(
+          s"publish $branch: main is v$mainV but the branch forked from " +
+            s"v$base — rebase (re-fork, re-stage, re-audit) before publish")
+      require(swapPointerForward(spark, root, head),
+        s"publish $branch: pointer did not move to v$head")
+      fs(spark, new Path(root)).delete(new Path(s"$root/refs/$branch"), false)
+      head
+    } finally fs(spark, new Path(root))
+      .delete(new Path(s"$root/claim/pub-v$base"), false)
   }
 
   /** Rebase a branch onto main's current head — the flow
@@ -1021,9 +1127,18 @@ object Snapshot {
     val pinned: Set[Long] =
       if (!f.exists(refDir)) Set.empty
       else f.listStatus(refDir).map(_.getPath.getName)
-        .filterNot(_.contains(".tmp"))
+        .filterNot(TmpRefRe.pattern.matcher(_).matches)
         .flatMap { b =>
-          val (h, base) = branchRef(spark, root, b); Seq(h, base)
+          // a ref retired between listStatus and this read (publishBranch
+          // deletes on publish) simply stops pinning: its head is the
+          // published pointer target (protected separately below) and
+          // its fork base ages out under the normal retain rule — the
+          // plan must not abort on that benign race. ONLY the vanished
+          // ref is benign: a malformed ref still throws loudly, because
+          // silently unpinning a corrupted branch would hand its head
+          // to the vacuum
+          try { val (h, base) = branchRef(spark, root, b); Seq(h, base) }
+          catch { case _: java.io.FileNotFoundException => Seq.empty[Long] }
         }.toSet
     versions.dropRight(retain)
       .filterNot(v => v == current || pinned.contains(v)).toSeq

@@ -125,7 +125,11 @@ object IngestQueries {
           .unionByName(stmt(lit("country"),
             concat(lit("Nation_"), col("s_nationkey").cast("string"))))
           .as[Statement]
-        val dir = java.nio.file.Files.createTempDirectory("graft-k2").toString
+        // deterministic per-dataset path, pre-deleted (the q282 pattern)
+        val dir = "/tmp/graft_k2_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+        val fsH = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsH.delete(new org.apache.hadoop.fs.Path(dir), true)
         graft.sources.StatementIO.exportCsv(stmts, dir)
         s.read.option("header", "true").csv(dir)
           .groupBy(col("prop"), col("prop_type"))

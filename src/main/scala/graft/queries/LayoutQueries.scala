@@ -721,7 +721,7 @@ object LayoutQueries {
          |         FROM tgt, k2 WHERE key < k2.lo OR key > k2.hi)
          |SELECT aud.version, aud.file_id, aud.n_rows, aud.min_key, aud.max_key,
          |  aud.action, live.rows_live, live.qty_live
-         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl :+ bloomMaintainDecl :+ lifecycleDecl :+ morDvDecl :+ morMergeDecl :+ advisorDecl :+ wapDecl :+ joinViewIvmDecl :+ branchMergeDecl :+ incrOptimizeDecl :+ rebaseDecl
+         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl :+ bloomMaintainDecl :+ lifecycleDecl :+ morDvDecl :+ morMergeDecl :+ advisorDecl :+ wapDecl :+ joinViewIvmDecl :+ branchMergeDecl :+ incrOptimizeDecl :+ rebaseDecl :+ advisorManifestDecl
 
   // q263 (round-12): MERGE-ON-READ deletion vectors — the other half
   // of the delete family. q201's deleteRange rewrites/drops files
@@ -1244,7 +1244,12 @@ object LayoutQueries {
         def mani(df: org.apache.spark.sql.DataFrame, v: Long) =
           Snapshot.manifestEntriesBy(df, pmod(col("event_id"), lit(16)),
             col("event_id"), version = v)
-        val root = java.nio.file.Files.createTempDirectory("graft-wap").toString
+        // deterministic per-dataset path, pre-deleted (the q282 pattern)
+        // — createTempDirectory leaked one orphan dir per evaluation
+        val root = "/tmp/graft_q269_wap_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+        val fsH = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsH.delete(new org.apache.hadoop.fs.Path(root), true)
         Snapshot.commit(s, root, 1L, v1, mani(v1, 1L), commitMillis = 1000L)
         Snapshot.createBranch(s, root, "wap")
         Snapshot.createBranch(s, root, "stale")
@@ -1561,7 +1566,12 @@ object LayoutQueries {
         def mani(df: org.apache.spark.sql.DataFrame) =
           Snapshot.manifestEntriesBy(df, pmod(col("k"), lit(16)), col("k"),
             version = 0L)
-        val root = java.nio.file.Files.createTempDirectory("graft-rb").toString
+        // deterministic per-dataset path, pre-deleted (the q282 pattern)
+        // — createTempDirectory leaked one orphan dir per evaluation
+        val root = "/tmp/graft_q281_rb_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+        val fsH = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsH.delete(new org.apache.hadoop.fs.Path(root), true)
         Snapshot.commit(s, root, 1L, ev, mani(ev), commitMillis = 1000L)
         Snapshot.createBranch(s, root, "stage")
         // branch: update k%5=1 (+10), delete k%5=2
@@ -1601,6 +1611,104 @@ object LayoutQueries {
         |  SUM(CASE WHEN k % 5 = 1 THEN v END)::BIGINT AS sum_branch_edit,
         |  SUM(CASE WHEN k % 5 = 3 THEN v END)::BIGINT AS sum_main_edit
         |FROM pub""".stripMargin)
+
+  // q285 (round-14): the METADATA-ONLY COW-vs-MOR advisor — q267's
+  // advisor decides from an exact semi-join over the TABLE; at 100 TB
+  // the advisor must not read data to recommend, so
+  // adviseMergeFromManifest answers from the manifest-carried per-file
+  // Bloom index (q202's machinery) + n_rows alone. Bloom soundness
+  // makes every estimate a ONE-SIDED bound; the gate runs estimate and
+  // exact side by side and emits `bounds_hold`, and the oracle replays
+  // the full bitset arithmetic AND the exact advisor from first
+  // principles — a Spark-side bound violation breaks the hash, not
+  // just the boolean.
+  private def advisorManifestDecl: Decl = {
+    val m = 4096; val k = 3
+    decl("q285_metadata_only_advisor",
+      (s, d) => {
+        val (target, source, m1) = mergeFixture(t(s, d, "lineitem"))
+        val fb = Bloom.buildFileBits(target, col("file_id"), col("key"),
+          m, k, "mbf")
+        val est = Snapshot.adviseMergeFromManifest(source, fb, m1, m, k, "mbf")
+          .select("est_files_touched", "est_touched_rows",
+            "est_matched_keys_max", "definite_inserts", "upserts",
+            "deletes", "est_cow_write_rows_max", "est_mor_write_rows_max",
+            "recommend_estimate")
+        val exact = Snapshot.adviseMerge(target, source, m1)
+          .select("files_touched", "touched_rows", "matched_keys",
+            "matched_deletes", "inserts", "cow_write_rows",
+            "mor_write_rows", "recommend")
+        broadcast(est).crossJoin(broadcast(exact))
+          .withColumn("bounds_hold",
+            col("est_files_touched") >= col("files_touched") &&
+              col("est_touched_rows") >= col("touched_rows") &&
+              col("est_matched_keys_max") >= col("matched_keys") &&
+              col("definite_inserts") <= col("inserts") &&
+              col("est_cow_write_rows_max") >= col("cow_write_rows") &&
+              col("est_mor_write_rows_max") >= col("mor_write_rows"))
+      },
+      mergeFixtureCtes + s""",
+         |m1 AS (SELECT file_id, COUNT(*)::BIGINT AS n_rows FROM tgt GROUP BY 1),
+         |ph AS (${(0 until k).map(j =>
+             s"SELECT file_id, ${sqlHash60(s"('mbf$j|' || key::VARCHAR)")} % $m AS p FROM tgt")
+             .mkString("\n  UNION ALL ")}),
+         |fb AS (SELECT file_id, p // 32 AS w, bit_or(1::BIGINT << (p % 32)) AS bits
+         |       FROM ph GROUP BY 1, 2),
+         |sk AS (SELECT DISTINCT key FROM src),
+         |pr AS (${(0 until k).map(j =>
+             s"SELECT key, $j AS j, ${sqlHash60(s"('mbf$j|' || key::VARCHAR)")} % $m AS p FROM sk")
+             .mkString("\n  UNION ALL ")}),
+         |hit AS (SELECT pr.key, fb.file_id, COUNT(DISTINCT pr.j) AS h
+         |        FROM pr JOIN fb ON pr.p // 32 = fb.w
+         |        WHERE (fb.bits & (1::BIGINT << (pr.p % 32))) != 0
+         |        GROUP BY 1, 2),
+         |pairs AS (SELECT key, file_id FROM hit WHERE h = $k),
+         |cand AS (SELECT DISTINCT file_id FROM pairs),
+         |est1 AS (SELECT COUNT(*)::BIGINT AS est_files_touched,
+         |         COALESCE(SUM(m1.n_rows), 0)::BIGINT AS est_touched_rows
+         |         FROM cand JOIN m1 USING (file_id)),
+         |prs AS (SELECT DISTINCT key FROM pairs),
+         |mk AS (SELECT COUNT(*)::BIGINT AS est_matched_keys_max FROM prs),
+         |bu AS (SELECT COUNT(*)::BIGINT AS upserts FROM src WHERE op = 'U'),
+         |bd AS (SELECT COUNT(*)::BIGINT AS deletes FROM src WHERE op = 'D'),
+         |di AS (SELECT COUNT(*)::BIGINT AS definite_inserts FROM src
+         |       WHERE op = 'U' AND key NOT IN (SELECT key FROM prs)),
+         |mt AS (SELECT t.file_id, s.op FROM tgt t JOIN src s USING (key)),
+         |tch AS (SELECT DISTINCT file_id FROM mt),
+         |tste AS (SELECT COUNT(*)::BIGINT AS files_touched,
+         |         COALESCE(SUM(m1.n_rows), 0)::BIGINT AS touched_rows
+         |         FROM tch JOIN m1 USING (file_id)),
+         |ms AS (SELECT COUNT(*)::BIGINT AS matched_keys,
+         |       SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END)::BIGINT AS matched_deletes
+         |       FROM mt),
+         |bi AS (SELECT COUNT(*)::BIGINT AS inserts FROM src
+         |       WHERE op = 'U' AND key NOT IN (SELECT key FROM tgt))
+         |SELECT est1.est_files_touched, est1.est_touched_rows,
+         |  mk.est_matched_keys_max, di.definite_inserts, bu.upserts,
+         |  bd.deletes,
+         |  (est1.est_touched_rows + bu.upserts)::BIGINT AS est_cow_write_rows_max,
+         |  (mk.est_matched_keys_max + bu.upserts)::BIGINT AS est_mor_write_rows_max,
+         |  CASE WHEN (est1.est_touched_rows + bu.upserts)::DOUBLE
+         |         > 4.0 * (mk.est_matched_keys_max + bu.upserts)::DOUBLE
+         |       THEN 'mor' ELSE 'cow' END AS recommend_estimate,
+         |  tste.files_touched, tste.touched_rows, ms.matched_keys,
+         |  ms.matched_deletes, bi.inserts,
+         |  (tste.touched_rows - ms.matched_deletes + bi.inserts)::BIGINT
+         |    AS cow_write_rows,
+         |  (ms.matched_keys + bu.upserts)::BIGINT AS mor_write_rows,
+         |  CASE WHEN (tste.touched_rows - ms.matched_deletes + bi.inserts)::DOUBLE
+         |         > 4.0 * (ms.matched_keys + bu.upserts)::DOUBLE
+         |       THEN 'mor' ELSE 'cow' END AS recommend,
+         |  (est1.est_files_touched >= tste.files_touched
+         |   AND est1.est_touched_rows >= tste.touched_rows
+         |   AND mk.est_matched_keys_max >= ms.matched_keys
+         |   AND di.definite_inserts <= bi.inserts
+         |   AND (est1.est_touched_rows + bu.upserts)
+         |         >= (tste.touched_rows - ms.matched_deletes + bi.inserts)
+         |   AND (mk.est_matched_keys_max + bu.upserts)
+         |         >= (ms.matched_keys + bu.upserts)) AS bounds_hold
+         |FROM est1, mk, bu, bd, di, tste, ms, bi""".stripMargin)
+  }
 
   /** The full-recompute oracle for the post-merge per-group view —
     * shared by q199 (batch IVM) and q200 (streaming IVM): both

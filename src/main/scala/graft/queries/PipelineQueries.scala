@@ -428,8 +428,11 @@ object PipelineQueries {
     decl(name,
       (s, d) => {
         val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-ivfpq").toString
+        // deterministic per-dataset path, pre-deleted (the q282 pattern)
+        val root = s"/tmp/graft_${name}_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+        val fsH = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsH.delete(new org.apache.hadoop.fs.Path(root), true)
         AnnIndex.buildPq(s, root, e, dim = 64, m = 8, pqK = pqK,
           commitMillis = 1000L)
         val qs = e.filter(col("vec_id") % 100 === 0)
@@ -2453,8 +2456,11 @@ object PipelineQueries {
             transform(col("embedding"),
               (x, i) => x + when(i % 2 === 0, lit(0.002)).otherwise(lit(-0.002)))
               .as("embedding"))
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-annindex").toString
+        // deterministic per-dataset path, pre-deleted (the q282 pattern)
+        val root = "/tmp/graft_q193_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+        val fsH = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsH.delete(new org.apache.hadoop.fs.Path(root), true)
         AnnIndex.build(s, root, base, dim = 64, commitMillis = 1000L)
         AnnIndex.append(s, root, added, commitMillis = 2000L)
         val queries = base.filter(col("vec_id") % 100 === 0)

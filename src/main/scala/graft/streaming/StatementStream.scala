@@ -177,18 +177,34 @@ object StatementStream {
   /** Run each micro-batch through an arbitrary batch transform (the
     * foreachBatch bridge): this is how assembled entities / deltas stay
     * ONE implementation for batch and streaming. Returns the started
-    * query; caller stops it. */
+    * query; caller stops it.
+    *
+    * Every batch emits one `[stream-batch]` stderr line with the
+    * HANDLE wall (our per-batch work) and the GAP since the previous
+    * handle returned (everything the streaming machinery did in
+    * between: offset/commit checkpoint IO, source listing, trigger
+    * scheduling). When a streaming query walls out on a loaded box,
+    * these sub-timings say WHICH side wedged — a driver-box bench cap
+    * with no such line was round 13's one unadjudicable artifact. */
   def foreachBatchSink(
       deduped: DataFrame,
       checkpointDir: String,
       outputMode: String = "append",
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)(
       handle: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val label = checkpointDir.replaceAll(".*/graft_", "").replaceAll("[^a-zA-Z0-9_].*", "")
+    val lastEnd = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
     val w = deduped.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(outputMode)
-      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        handle(batch.toDF(), id))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val t0 = System.nanoTime()
+        handle(batch.toDF(), id)
+        val t1 = System.nanoTime()
+        val gap = (t0 - lastEnd.getAndSet(t1)) / 1e9
+        System.err.println(
+          f"""[stream-batch] {"sink":"$label","batch":$id,"handle_sec":${(t1 - t0) / 1e9}%.3f,"machinery_gap_sec":$gap%.3f}""")
+      }
     trigger.fold(w)(w.trigger).start()
   }
 }

@@ -73,6 +73,20 @@ class CentralitySketchSpec extends SparkSpec {
     assert(Seq(10L, 11L, 12L).forall(out(_) === 3L))
   }
 
+  test("label propagation: converged flag is honest (kCorePeel pattern)") {
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    // round 3 still flips node 10 (see the hand-rolled rounds above),
+    // round 4 changes nothing — the flag must say so in both cases
+    val r3 = Centrality.labelPropagation(edges, rounds = 3)
+      .select("converged").distinct().collect().map(_.getBoolean(0))
+    assert(r3.toSeq === Seq(false))
+    val r4 = Centrality.labelPropagation(edges, rounds = 4)
+      .select("converged").distinct().collect().map(_.getBoolean(0))
+    assert(r4.toSeq === Seq(true))
+  }
+
   test("earliest arrival: strictly increasing times, min-merge, " +
       "time-respecting rejection") {
     // 1→2@5; 2→3@3 (departs before arrival — unusable); 2→3@7 (usable);
@@ -332,5 +346,33 @@ class CentralitySketchSpec extends SparkSpec {
     val qBad = Centrality.modularityReport(und, badLabels).collect()
       .map(_.getAs[Long]("contrib_num")).sum
     assert(qBad < qGood)
+  }
+
+  test("modularityReport: a partial labeling fails loudly, never " +
+      "silently misreports") {
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    val partial = Seq((1L, 1L), (2L, 1L)).toDF("node", "label") // 3 unlabeled
+    val e = intercept[Exception] {
+      Centrality.modularityReport(und, partial).collect()
+    }
+    assert(e.getMessage.contains("no label") ||
+      Option(e.getCause).exists(_.getMessage.contains("no label")))
+  }
+
+  test("clusterAgreement: a one-sided id fails loudly; empty inputs " +
+      "yield null bcubed, not NaN") {
+    val pred = Seq((1L, 10L), (2L, 10L)).toDF("id", "p")
+    val truthShort = Seq((1L, 100L)).toDF("id", "t") // id 2 missing
+    val e = intercept[Exception] {
+      Eval.clusterAgreement(pred, truthShort).collect()
+    }
+    assert(e.getMessage.contains("only in") ||
+      Option(e.getCause).exists(_.getMessage.contains("only in")))
+    val empty = Seq.empty[(Long, Long)].toDF("id", "p")
+    val r = Eval.clusterAgreement(empty,
+      empty.select(col("id"), col("p").as("t"))).collect()(0)
+    assert(r.getAs[Long]("n_items") === 0L)
+    assert(r.isNullAt(r.fieldIndex("bcubed_prec")))
+    assert(r.isNullAt(r.fieldIndex("bcubed_rec")))
   }
 }

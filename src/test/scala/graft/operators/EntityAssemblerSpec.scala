@@ -72,6 +72,31 @@ class EntityAssemblerSpec extends SparkSpec {
     }
   }
 
+  test("Delta.entityHashes ≡ entityHash over assembleColumnar output") {
+    import org.apache.spark.sql.functions._
+    // exercises every divergence hazard: canonical grouping, duplicate
+    // values, multi-schema narrowing, the Base existence row, and a
+    // value containing the separator
+    val stmts = Seq(
+      st("e1", "name", "Alice", "LegalEntity", first = 500L),
+      st("e1", "name", "Alice", "Person", dataset = "ds2"), // dup value
+      st("e1", "note", "a|b", "Person"),                    // separator
+      st("e1", Statement.Base, "e1", "Person"),
+      st("a1", "name", "X", "Company", canonical = "canon-1"),
+      st("a2", "name", "Y", "Company", canonical = "canon-1")
+    ).toDS().toDF()
+    val viaAssemble = EntityAssembler.assembleColumnar(stmts)
+      .select(col("id").as("entity_id"),
+        Delta.entityHash(col("id"), col("schema"),
+          flatten(transform(map_entries(col("properties")), e =>
+            transform(e.getField("value"),
+              v => concat(e.getField("key"), lit("="), v))))).as("hash"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val direct = Delta.entityHashes(stmts)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(direct === viaAssemble)
+  }
+
   test("target detection via risk topics") {
     val stmts = Seq(
       st("e1", "topics", "sanction", "Person"),

@@ -277,6 +277,126 @@ class SnapshotSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/data/v1").count() === 10L)
   }
 
+  test("adviseMergeFromManifest: metadata-only estimates bound the " +
+      "exact advisor on every term") {
+    import graft.operators.Bloom
+    // 40 keys in 4 files of 10; batch: update keys 0-4 (file 0),
+    // delete 10-11 (file 1), insert 100-102 (absent)
+    val target = (0L until 40L).map(kk => (kk / 10L, kk, kk * 1.0))
+      .toDF("file_id", "key", "qty")
+    val m1 = Snapshot.manifestEntriesBy(target, col("file_id"), col("key"), 1L)
+    val source = ((0L until 5L).map(kk => (kk, "U")) ++
+      Seq((10L, "D"), (11L, "D")) ++
+      (100L until 103L).map(kk => (kk, "U"))).toDF("key", "op")
+    val fb = Bloom.buildFileBits(target, col("file_id"), col("key"),
+      4096, 3, "mbf")
+    val est = Snapshot.adviseMergeFromManifest(source, fb, m1, 4096, 3, "mbf")
+      .collect()(0)
+    val exact = Snapshot.adviseMerge(target, source, m1).collect()(0)
+    def l(r: org.apache.spark.sql.Row, c: String) = r.getAs[Long](c)
+    // one-sided bounds from bloom soundness (no false negatives)
+    assert(l(est, "est_files_touched") >= l(exact, "files_touched"))
+    assert(l(est, "est_touched_rows") >= l(exact, "touched_rows"))
+    assert(l(est, "est_matched_keys_max") >= l(exact, "matched_keys"))
+    assert(l(est, "definite_inserts") <= l(exact, "inserts"))
+    assert(l(est, "est_cow_write_rows_max") >= l(exact, "cow_write_rows"))
+    assert(l(est, "est_mor_write_rows_max") >= l(exact, "mor_write_rows"))
+    // with m=4096 over 40 keys the false-positive mass is ~zero: the
+    // estimates should EQUAL the exact terms here, not just bound them
+    assert(l(est, "est_files_touched") === l(exact, "files_touched"))
+    assert(l(est, "est_matched_keys_max") === l(exact, "matched_keys"))
+    assert(l(est, "definite_inserts") === l(exact, "inserts"))
+    assert(est.getAs[String]("recommend_estimate") ===
+      exact.getAs[String]("recommend"))
+  }
+
+  test("vacuumPlan: exact tmp-ref matching and crash-leftover tolerance") {
+    val root = java.nio.file.Files.createTempDirectory("snapvactmp").toString
+    def d(v: Long) = (0L until 10L).map(i => (i, s"v$v-$i")).toDF("id", "v")
+    Snapshot.commit(spark, root, 1L, d(1),
+      Snapshot.manifestEntries(d(1), col("id"), col("id"), 2, 1L))
+    // a branch whose NAME merely contains ".tmp" must still be pinned —
+    // the old substring filter silently never pinned it
+    Snapshot.createBranch(spark, root, "rel.tmpdir")
+    for (v <- 2L to 5L)
+      Snapshot.commit(spark, root, v, d(v),
+        Snapshot.manifestEntries(d(v), col("id"), col("id"), 2, v))
+    // a crash-leftover swap temp (<name>.tmp<digits>, possibly with
+    // garbage content) is skipped by PATTERN, not read as a ref
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/refs/rel.tmpdir.tmp7"),
+      "not a ref".getBytes("UTF-8"))
+    assert(Snapshot.vacuumPlan(spark, root, retain = 2) === Seq(2L, 3L))
+    // a branch name matching the crash-leftover pattern is refused at
+    // creation — vacuum could never pin it
+    intercept[IllegalArgumentException] {
+      Snapshot.createBranch(spark, root, "bad.tmp3")
+    }
+    // a malformed REAL ref still fails the plan loudly: silently
+    // unpinning a corrupted branch would hand its head to the vacuum
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/refs/corrupt"),
+      "garbage".getBytes("UTF-8"))
+    intercept[IllegalStateException] {
+      Snapshot.vacuumPlan(spark, root, retain = 2)
+    }
+  }
+
+  test("sibling publish race: one winner, loser conflicts, rebases, " +
+      "publishes; vacuum under fire destroys nothing") {
+    val root = java.nio.file.Files.createTempDirectory("snappubrace").toString
+    def mani(df: org.apache.spark.sql.DataFrame) =
+      Snapshot.manifestEntries(df, col("id"), col("id"), 2, 0L)
+    val base = (0L until 20L).map(i => (i, 0L)).toDF("id", "x")
+    Snapshot.commit(spark, root, 1L, base, mani(base), commitMillis = 1000L)
+    // two sibling branches forked from v1 with DISJOINT edits
+    Snapshot.createBranch(spark, root, "b1")
+    Snapshot.createBranch(spark, root, "b2")
+    val s1 = base.withColumn("x",
+      when(col("id") % 2 === 0, lit(100L)).otherwise(col("x")))
+    val s2 = base.withColumn("x",
+      when(col("id") % 2 === 1, lit(200L)).otherwise(col("x")))
+    Snapshot.commitToBranch(spark, root, "b1", s1, mani(s1), 2000L)
+    Snapshot.commitToBranch(spark, root, "b2", s2, mani(s2), 2000L)
+    // race the two publishes on real threads, with a vacuum hammering
+    // concurrently — the pin rule (branch heads AND fork bases) must
+    // hold while refs appear, move, and retire under it
+    val outcomes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stopVac = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val vac = new Thread(() => {
+      try while (!stopVac.get()) Snapshot.vacuum(spark, root, retain = 1)
+      catch { case t: Throwable => failures.add(t) }
+    })
+    val racers = Seq("b1", "b2").map(b => new Thread(() => {
+      try { Snapshot.publishBranch(spark, root, b); outcomes.put(b, "won") }
+      catch {
+        case _: Snapshot.CommitConflictException => outcomes.put(b, "conflict")
+        case t: Throwable => failures.add(t); outcomes.put(b, "died")
+      }
+    }))
+    vac.start(); racers.foreach(_.start()); racers.foreach(_.join(300000))
+    stopVac.set(true); vac.join(300000)
+    assert(failures.isEmpty, s"race thread died: ${failures.peek()}")
+    // exactly one winner; the loser got the loud retryable conflict
+    assert(outcomes.values().toArray.map(_.toString).toSeq.sorted ===
+      Seq("conflict", "won"))
+    val loser = Seq("b1", "b2").find(outcomes.get(_) == "conflict").get
+    val winner = Seq("b1", "b2").find(outcomes.get(_) == "won").get
+    // vacuum under fire never destroyed the loser's staged state
+    assert(Snapshot.readBranch(spark, root, loser).count() === 20L)
+    // loser retries per the conflict contract: rebase onto main, publish
+    Snapshot.rebaseBranch(spark, root, loser, "id", "x", mani, 3000L)
+    Snapshot.publishBranch(spark, root, loser)
+    // final state carries BOTH disjoint edits — nothing was dropped
+    val fin = Snapshot.readCurrent(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 20L).foreach { i =>
+      assert(fin(i) === (if (i % 2 == 0) 100L else 200L),
+        s"id $i lost an edit (winner=$winner loser=$loser)")
+    }
+  }
+
   test("threeWayMerge classifies every divergence arm and merges branch reads") {
     val root = java.nio.file.Files.createTempDirectory("snap3way").toString
     val base = (1L to 10L).map(k => (k, k * 100L)).toDF("k", "v")
