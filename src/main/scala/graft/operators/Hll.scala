@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HyperLogLog distinct-count sketch in ENGINE-PORTABLE arithmetic —
+  * the industry-standard per-group cardinality estimator (Flajolet et
+  * al. 2007; the sketch behind Spark's `approx_count_distinct`,
+  * Redis PFCOUNT, BigQuery HLL_COUNT) rebuilt on the house rules:
+  * every step is exact integer arithmetic over [[Dedup.hash60]], so
+  * registers and the harmonic numerator are bit-identical on any
+  * engine and any partitioning — unlike the built-in (random-seeded,
+  * opaque sketch bytes), the whole state is oracle-replayable.
+  *
+  * Construction (p index bits, m = 2^p registers):
+  *  - register index = hash60(key) mod m; suffix s = hash60 div m
+  *    (60 − p bits);
+  *  - ρ(s) = trailing zeros of s, + 1 — the trailing-zero HLL variant
+  *    (identical statistics to leading zeros, and one line of
+  *    portable bit arithmetic: `bit_count((s & -s) − 1) + 1`); the
+  *    all-zero suffix takes the sentinel ρ = 60 − p + 1;
+  *  - register value M_j = MAX ρ — commutative, idempotent,
+  *    map-side combinable; two sketches MERGE by the same max, which
+  *    is what makes the sketch maintainable incrementally and
+  *    shardable across days/partitions (spec-gated).
+  *
+  * The harmonic mean needs Σ 2^(−M_j); scaled by 2^R with
+  * R = 60 − p + 1 it becomes the INTEGER Σ 2^(R − M_j), bounded by
+  * m·2^R = 2^61 — it fits a BIGINT at every p, so the numerator is
+  * exact and portable, and the only float op is the final
+  * α·m²·2^R / num division (deterministic IEEE from exact integers).
+  *
+  * Scale shape: one (group, register) max aggregate + one per-group
+  * fold — state is O(m) per group regardless of row count, the
+  * defining property; beside [[graft.functions.Sketches.kmvDistinct]]
+  * (exact below k, order-statistic above) this is the fixed-memory
+  * arm of the distinct-count family.
+  */
+object Hll {
+
+  /** Per-group HLL report over `key`. Returns one row per group:
+    * (grp, n_registers_set, register_sum, harmonic_num, est_distinct)
+    * — `harmonic_num` is the exact scaled integer Σ 2^(R − M_j)
+    * (empty registers contribute 2^R each), `est_distinct` the
+    * standard-bias-corrected estimate rounded to 6 dp. `p` in [4, 16];
+    * the α constant uses the m ≥ 128 form, so prefer p ≥ 7. */
+  def groupDistinct(df: DataFrame, group: Column, key: Column,
+      p: Int): DataFrame =
+    report(registers(df, group, key, p), p)
+
+  /** [[groupDistinct]]'s report half over a register frame — callers
+    * that maintain sketches via [[registers]]/[[merge]] read the
+    * estimate off the merged state with this. */
+  def report(regs: DataFrame, p: Int): DataFrame = {
+    val m = 1L << p
+    val rMax = 60 - p + 1
+    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+    regs.groupBy("grp").agg(
+        count(lit(1)).as("n_registers_set"),
+        sum(col("mreg")).as("register_sum"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($rMax - mreg AS INT))"))
+          .as("_setnum"))
+      .select(col("grp"), col("n_registers_set"), col("register_sum"),
+        (col("_setnum") + (lit(m) - col("n_registers_set"))
+          * lit(1L << rMax)).as("harmonic_num"))
+      .withColumn("est_distinct",
+        round(lit(alpha * m.toDouble * m.toDouble * math.pow(2.0, rMax))
+          / col("harmonic_num").cast("double"), 6))
+  }
+
+  /** The raw (grp, reg, mreg) register frame — the MERGEABLE state
+    * behind [[groupDistinct]], exposed so callers can persist a
+    * sketch per shard/day and union+max-merge later ([[merge]]). */
+  def registers(df: DataFrame, group: Column, key: Column,
+      p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p: $p")
+    val m = 1L << p
+    val rMax = 60 - p + 1
+    df.select(group.as("grp"), Dedup.hash60(key.cast("string")).as("_h"))
+      .select(col("grp"), pmod(col("_h"), lit(m)).as("reg"),
+        expr(s"_h div $m").as("_s"))
+      .withColumn("rho",
+        when(col("_s") === 0L, lit(rMax.toLong))
+          .otherwise(expr("CAST(bit_count((_s & -_s) - 1) AS BIGINT) + 1")))
+      .groupBy("grp", "reg").agg(max(col("rho")).as("mreg"))
+  }
+
+  /** Merge register frames (same p) by per-register max — the HLL
+    * union. Exactly equals building one sketch over the row union. */
+  def merge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy("grp", "reg").agg(max(col("mreg")).as("mreg"))
+}

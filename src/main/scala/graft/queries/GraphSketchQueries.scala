@@ -512,7 +512,55 @@ object GraphSketchQueries {
          |${(0 until 3).map(j =>
              s"LEFT JOIN cm c$j ON c$j.r = $j AND c$j.p = " +
                s"${sqlHash60(s"('cm$j|' || t.user_id::VARCHAR)")} % 1024")
-             .mkString("\n")}""".stripMargin)) :+ lpaDecl :+ temporalDecl :+ modularityDecl :+ harmonicDecl
+             .mkString("\n")}""".stripMargin)) :+ lpaDecl :+ temporalDecl :+ modularityDecl :+ harmonicDecl :+ hllDecl
+
+  // q286 (round-14): per-group HYPERLOGLOG distinct — the fixed-memory
+  // arm of the distinct-count family beside KMV (q164: exact below k,
+  // order-statistic above; HLL: O(m) registers at ANY cardinality).
+  // Registers, the scaled harmonic numerator Σ 2^(R−M_j) (an exact
+  // BIGINT ≤ 2^61 by construction — no float in the state), and the
+  // bias-corrected estimate are all hash-gated, with the exact
+  // per-group distinct alongside; the oracle replays the trailing-zero
+  // rank (`bit_count((s & -s) - 1) + 1`), the register maxima, and
+  // the one IEEE division from first principles.
+  private def hllDecl: Decl = {
+    val p = 8; val m = 1L << p; val rMax = 60 - p + 1
+    decl("q286_hll_group_distinct",
+      (s, d) => {
+        import graft.operators.Hll
+        val ev = Q.events(s, d).select(col("event_type"), col("user_id"))
+        val rep = Hll.groupDistinct(ev, col("event_type"), col("user_id"), p)
+        val exact = ev.groupBy(col("event_type").as("grp"))
+          .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        rep.join(exact, "grp")
+          .select(col("grp").as("event_type"), col("n_registers_set"),
+            col("register_sum"), col("harmonic_num"), col("est_distinct"),
+            col("exact_distinct"))
+      },
+      s"""WITH ev AS (SELECT event_type, user_id FROM events),
+         |h AS (SELECT event_type, ${sqlHash60("user_id::VARCHAR")} AS h FROM ev),
+         |r AS (SELECT event_type, h % $m AS reg, h // $m AS s FROM h),
+         |rho AS (SELECT event_type, reg,
+         |        CASE WHEN s = 0 THEN $rMax
+         |             ELSE bit_count((s & -s) - 1) + 1 END AS rho FROM r),
+         |mreg AS (SELECT event_type, reg, MAX(rho)::BIGINT AS mr
+         |         FROM rho GROUP BY 1, 2),
+         |agg AS (SELECT event_type, COUNT(*)::BIGINT AS n_registers_set,
+         |        SUM(mr)::BIGINT AS register_sum,
+         |        SUM(1::BIGINT << ($rMax - mr)::INT)::BIGINT AS setnum
+         |        FROM mreg GROUP BY 1),
+         |ex AS (SELECT event_type, COUNT(DISTINCT user_id)::BIGINT
+         |         AS exact_distinct FROM ev GROUP BY 1)
+         |SELECT agg.event_type, agg.n_registers_set, agg.register_sum,
+         |  (agg.setnum + ($m - agg.n_registers_set)
+         |     * (1::BIGINT << $rMax))::BIGINT AS harmonic_num,
+         |  ROUND(((0.7213 / (1.0 + 1.079 / $m.0)) * $m.0 * $m.0
+         |           * (1::BIGINT << $rMax)::DOUBLE)
+         |        / (agg.setnum + ($m - agg.n_registers_set)
+         |             * (1::BIGINT << $rMax))::DOUBLE, 6) AS est_distinct,
+         |  ex.exact_distinct
+         |FROM agg JOIN ex USING (event_type)""".stripMargin)
+  }
 
   /** Unrolled LPA round CTEs aK/pK/lK over base CTEs bo/nod/l0. */
   private def lpaRounds(rounds: Int): String =

@@ -721,7 +721,7 @@ object LayoutQueries {
          |         FROM tgt, k2 WHERE key < k2.lo OR key > k2.hi)
          |SELECT aud.version, aud.file_id, aud.n_rows, aud.min_key, aud.max_key,
          |  aud.action, live.rows_live, live.qty_live
-         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl :+ bloomMaintainDecl :+ lifecycleDecl :+ morDvDecl :+ morMergeDecl :+ advisorDecl :+ wapDecl :+ joinViewIvmDecl :+ branchMergeDecl :+ incrOptimizeDecl :+ rebaseDecl :+ advisorManifestDecl
+         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl :+ bloomMaintainDecl :+ lifecycleDecl :+ morDvDecl :+ morMergeDecl :+ advisorDecl :+ wapDecl :+ joinViewIvmDecl :+ branchMergeDecl :+ incrOptimizeDecl :+ rebaseDecl :+ advisorManifestDecl :+ morBloomDecl
 
   // q263 (round-12): MERGE-ON-READ deletion vectors — the other half
   // of the delete family. q201's deleteRange rewrites/drops files
@@ -1708,6 +1708,97 @@ object LayoutQueries {
          |   AND (mk.est_matched_keys_max + bu.upserts)
          |         >= (ms.matched_keys + bu.upserts)) AS bounds_hold
          |FROM est1, mk, bu, bd, di, tste, ms, bi""".stripMargin)
+  }
+
+  // q287 (round-14): manifest Bloom maintenance across the MOR
+  // compaction path — q206 proved maintainFileBits stays bit-identical
+  // to a full rebuild across COW merges; this closes the OTHER
+  // mutation family: deleteMor tombstones change no file bytes (the
+  // blooms stand), compactDv then materializes hot files under FRESH
+  // ids, and the index must rebuild exactly those from exactly their
+  // surviving rows while cold files keep their bitsets verbatim. The
+  // gate emits the per-file maintained index summary (word count, set
+  // bits) PLUS a genuinely computed maintained-vs-full-rebuild
+  // mismatch count (0); the oracle replays compaction (q263's rules,
+  // incl. the fresh-id two-phase rank) and the bloom bitset fold
+  // (q202's arithmetic) from first principles.
+  private def morBloomDecl: Decl = {
+    val m = 4096; val k = 3
+    decl("q287_mor_bloom_maintenance",
+      (s, d) => {
+        import graft.operators.Snapshot
+        val (target, _, _) = mergeFixture(t(s, d, "lineitem"))
+        val kb = broadcast(t(s, d, "lineitem")
+          .agg(max(expr("l_orderkey * 8 + l_linenumber")).as("_kmax"),
+            min(expr("l_orderkey * 8 + l_linenumber")).as("_kmin"))
+          .select(expr("_kmin + ((_kmax - _kmin) * 2) div 10").as("_cut")))
+        val del = target.crossJoin(kb)
+          .filter(col("key") <= col("_cut") && expr("(key div 8) % 3 = 0"))
+          .select("key")
+        val dv = Snapshot.deleteMor(target, del)
+        val (rows2, dv2, audit) = Snapshot.compactDv(target, dv, threshold = 0.2)
+        val prevBits = Bloom.buildFileBits(target, col("file_id"),
+          col("key"), m, k, "mbf")
+        val carried = audit.filter(!col("materialized"))
+          .select(col("file_id"), lit("carried").as("action"))
+        val fresh = rows2.select("file_id").distinct()
+          .join(carried.select("file_id"), Seq("file_id"), "left_anti")
+          .select(col("file_id"), lit("added").as("action"))
+        val maintained = Bloom.maintainFileBits(prevBits,
+          carried.unionByName(fresh), rows2, col("key"), m, k, "mbf")
+        val full = Bloom.buildFileBits(rows2, col("file_id"), col("key"),
+          m, k, "mbf")
+        val mism = broadcast(maintained.withColumnRenamed("bits", "mb")
+          .join(full.withColumnRenamed("bits", "fb"),
+            Seq("file_id", "word_idx"), "full_outer")
+          .agg(coalesce(sum(when(!(col("mb") <=> col("fb")), 1L)
+            .otherwise(0L)), lit(0L)).as("n_mismatched_words")))
+        val stats = broadcast(audit
+          .agg(sum(when(col("materialized"), 1L).otherwise(0L))
+            .as("files_materialized"))
+          .crossJoin(dv2.agg(count(lit(1)).as("dv_after"))))
+        maintained.groupBy("file_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum(expr("bit_count(bits)")).cast("long").as("bits_set"))
+          .crossJoin(mism).crossJoin(stats)
+      },
+      mergeFixtureCtes + s""",
+         |cut AS (SELECT (kmin + ((kmax - kmin) * 2) // 10)::BIGINT AS c
+         |        FROM kb),
+         |del AS (SELECT key FROM tgt, cut
+         |        WHERE key <= cut.c AND (key // 8) % 3 = 0),
+         |dv AS (SELECT t.file_id, t.key FROM tgt t JOIN del USING (key)),
+         |pf AS (SELECT file_id, COUNT(*)::BIGINT AS n_rows FROM tgt GROUP BY 1),
+         |df AS (SELECT file_id, COUNT(*)::BIGINT AS n_del FROM dv GROUP BY 1),
+         |aud AS (SELECT pf.file_id, pf.n_rows, COALESCE(df.n_del, 0) AS n_del,
+         |          COALESCE(df.n_del, 0)::DOUBLE >= 0.2 * pf.n_rows::DOUBLE AS hot
+         |        FROM pf LEFT JOIN df USING (file_id)),
+         |base AS (SELECT (MAX(file_id) + 1)::BIGINT AS b FROM tgt),
+         |hotrk AS (SELECT file_id,
+         |          (ROW_NUMBER() OVER (ORDER BY file_id % 64, file_id) - 1)::BIGINT AS rk
+         |          FROM aud WHERE hot),
+         |rows2 AS (
+         |  SELECT t.file_id, t.key FROM tgt t JOIN aud USING (file_id)
+         |  WHERE NOT aud.hot
+         |  UNION ALL
+         |  SELECT (base.b + hotrk.rk)::BIGINT AS file_id, t.key
+         |  FROM tgt t JOIN hotrk USING (file_id), base
+         |  WHERE t.key NOT IN (SELECT key FROM del)),
+         |ph AS (${(0 until k).map(j =>
+             s"SELECT file_id, ${sqlHash60(s"('mbf$j|' || key::VARCHAR)")} % $m AS p FROM rows2")
+             .mkString("\n  UNION ALL ")}),
+         |fb AS (SELECT file_id, p // 32 AS w, bit_or(1::BIGINT << (p % 32)) AS bits
+         |       FROM ph GROUP BY 1, 2),
+         |summ AS (SELECT file_id, COUNT(*)::BIGINT AS n_words,
+         |         SUM(bit_count(bits))::BIGINT AS bits_set FROM fb GROUP BY 1),
+         |stats AS (SELECT
+         |  (SELECT COUNT(*) FROM aud WHERE hot)::BIGINT AS files_materialized,
+         |  (SELECT COUNT(*) FROM dv JOIN aud USING (file_id)
+         |     WHERE NOT aud.hot)::BIGINT AS dv_after)
+         |SELECT summ.file_id, summ.n_words, summ.bits_set,
+         |  0::BIGINT AS n_mismatched_words,
+         |  stats.files_materialized, stats.dv_after
+         |FROM summ, stats""".stripMargin)
   }
 
   /** The full-recompute oracle for the post-merge per-group view —

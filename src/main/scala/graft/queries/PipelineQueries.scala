@@ -3807,7 +3807,75 @@ object PipelineQueries {
           n = 3, maxDf = 50, bands = 8, rowsPerBand = 4, minEstJaccard = 0.5)
       },
       incrementalNearDupSql)
-  ) :+ epochPlanDecl :+ sourceOverlapDecl :+ classifierEvalDecl :+ rocCurveDecl :+ prefixJaccardDecl :+ editDistDecl :+ percentileGateDecl
+  ) :+ epochPlanDecl :+ sourceOverlapDecl :+ classifierEvalDecl :+ rocCurveDecl :+ prefixJaccardDecl :+ editDistDecl :+ percentileGateDecl :+ curationPipelineDecl
+
+  // q288 (round-14): the END-TO-END CURATION PIPELINE as one
+  // oracle-gated composition — the full corpus DAG a pretraining data
+  // team runs, each stage an operator the suite already gates alone:
+  // MinHash-LSH near-dup pairs (q42) → connected components (q253) →
+  // canonical-document election (q283) → a length quality gate →
+  // whitespace token counts → the two-phase-prefix packing manifest
+  // (q132). One drifting stage breaks the final packed offsets, so
+  // the hash gates the INTERACTION of five operators, not just each
+  // alone — the composition discipline of q223 (composed ER) applied
+  // to the document pipeline. Scale shape inherits the pieces': band
+  // equi-joins, mergeable election aggregate, no global window
+  // anywhere (the oracle's corpus-wide cumsum replays the two-phase
+  // prefix sum exactly).
+  private def curationPipelineDecl: Decl =
+    decl("q288_curation_pipeline",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val pairs = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
+          n = 3, maxDf = 50, bands = 8, rowsPerBand = 4, minEstJaccard = 0.5)
+        val labels = ConnectedComponents.run(
+          docs.select(col("doc_id").as("id")),
+          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        val withLen = labels.join(
+          docs.select(col("doc_id").as("id"),
+            size(split(col("text"), " ")).cast("long").as("len")), "id")
+        val elect = withLen.groupBy("component")
+          .agg(max_by(col("id"), struct(col("len"), -col("id")))
+            .as("canonical_id"))
+        val kept = withLen.join(elect, "component")
+          .filter(col("id") === col("canonical_id"))
+          .select(col("id").as("doc_id"), col("len"))
+        val quality = kept.filter(col("len") >= 20 && col("len") <= 5000)
+        val toks = quality.select(col("doc_id"),
+          (col("len") + 1L).as("n_tokens"))
+        Packing.packManifestFromCounts(toks, seqLen = 512L, bucketSize = 100L)
+      },
+      s"""WITH RECURSIVE $minhashSigCtes,
+         |prs AS (
+         |  SELECT a.doc AS da, b.doc AS db
+         |  FROM sig a JOIN sig b ON a.doc < b.doc
+         |  WHERE ($minhashBandEq)
+         |    AND ($minhashEqSum)::DOUBLE / 32.0 >= 0.5),
+         |sym AS (SELECT da AS x, db AS y FROM prs
+         |        UNION SELECT db, da FROM prs),
+         |reach(id, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.id, s.y FROM reach r JOIN sym s ON r.m = s.x),
+         |comp AS (SELECT id, MIN(m) AS component FROM reach GROUP BY id),
+         |wl AS (SELECT comp.id, comp.component,
+         |       len(string_split(d.text, ' '))::BIGINT AS len
+         |       FROM comp JOIN documents d ON comp.id = d.doc_id),
+         |rk AS (SELECT id, component, len,
+         |       ROW_NUMBER() OVER (PARTITION BY component
+         |         ORDER BY len DESC, id ASC) AS rn
+         |       FROM wl),
+         |kept AS (SELECT id AS doc_id, len FROM rk WHERE rn = 1),
+         |toks AS (SELECT doc_id, (len + 1)::BIGINT AS n_tokens FROM kept
+         |         WHERE len BETWEEN 20 AND 5000),
+         |run AS (SELECT doc_id, n_tokens,
+         |        SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |          AS cum FROM toks)
+         |SELECT doc_id, n_tokens,
+         |  (cum - n_tokens)::BIGINT AS off_start,
+         |  ((cum - n_tokens) // 512)::BIGINT AS seq_first,
+         |  ((cum - 1) // 512)::BIGINT AS seq_last
+         |FROM run""".stripMargin)
 
   /** DuckDB oracle for q154: per-side MinHash signature chains (same
     * permutation constants and df cap as the Spark operator), the 8

@@ -298,6 +298,34 @@ class CentralitySketchSpec extends SparkSpec {
     assert(out.keySet.forall { case (s, n) => s != n })
   }
 
+  test("hll: registers merge exactly (shard max ≡ one pass); estimate " +
+      "lands within the sketch's error band") {
+    val n = 5000
+    val df = (1 to n).map(i => (if (i % 2 == 0) "a" else "b", i.toLong))
+      .toDF("g", "k")
+    val p = 8
+    // mergeability: per-shard sketches max-merged equal the one-pass
+    // sketch — the property that makes HLL maintainable per day/shard
+    val whole = Hll.registers(df, col("g"), col("k"), p)
+    val h1 = Hll.registers(df.filter(col("k") % 3 === 0), col("g"), col("k"), p)
+    val h2 = Hll.registers(df.filter(col("k") % 3 =!= 0), col("g"), col("k"), p)
+    val merged = Hll.merge(h1, h2)
+    val a = whole.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = merged.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a === b)
+    // accuracy: std error ≈ 1.04/√256 ≈ 6.5%; assert a generous 20%
+    val rep = Hll.groupDistinct(df, col("g"), col("k"), p)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("est_distinct")).toMap
+    Seq("a", "b").foreach { g =>
+      val est = rep(g)
+      assert(math.abs(est - 2500.0) / 2500.0 < 0.2, s"group $g est=$est")
+    }
+    // harmonic_num stays within the BIGINT bound m·2^R by construction
+    val num = Hll.groupDistinct(df, col("g"), col("k"), p)
+      .collect().map(_.getAs[Long]("harmonic_num"))
+    assert(num.forall(v => v > 0L && v <= (1L << 8) * (1L << 53)))
+  }
+
   test("clusterAgreement: hand-computed contingency on 6 items") {
     // pred {1,2,3},{4,5},{6}; truth {1,2},{3,4,5},{6}
     val pred = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L),
