@@ -1457,7 +1457,79 @@ object StreamingQueries {
         |SELECT 'final', COUNT(*)::BIGINT,
         |  (SUM(CAST(value::DECIMAL(14,2) AS DECIMAL(30,12))) * 100)::BIGINT,
         |  (SELECT v FROM ver)
-        |FROM s3""".stripMargin)
+        |FROM s3""".stripMargin),
+
+    // q289 (round-14): STREAMING HLL — the per-group distinct sketch
+    // (q286) maintained as the stream's persisted state: each
+    // micro-batch's registers max-merge into a versioned register
+    // table (overwrite-per-batch keyed on bid — the q176/q200
+    // idempotency protocol), the stream RESTARTS from its checkpoint
+    // between two drops, and the final report off the MAINTAINED state
+    // must hash-equal the one-pass batch sketch the q286 oracle
+    // replays — merge-associativity proven through checkpoint
+    // restart, not just in a spec. State is O(groups·m) regardless of
+    // stream length — the property that makes a distinct-users-per-
+    // type dashboard maintainable forever at 100 TB/day.
+    decl("q289_streaming_hll",
+      (s, d) => {
+        import graft.operators.Hll
+        val p = 8
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val base = s"/tmp/graft_q289_$tag"
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val landing = s"$base/landing"
+        fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+        val ev = Q.events(s, d).select(col("event_type"), col("user_id"))
+        def processAvailable(): Unit = {
+          val stream = s.readStream
+            .schema("event_type STRING, user_id LONG")
+            .option("maxFilesPerTrigger", "10000").parquet(landing)
+          val q = graft.streaming.StatementStream.foreachBatchSink(
+            stream, s"$base/ck",
+            trigger = Some(Trigger.AvailableNow())) { (batch, bid) =>
+            val sp = batch.sparkSession
+            val prevPath = new org.apache.hadoop.fs.Path(s"$base/sk/v${bid - 1}")
+            val prev =
+              if (bid > 0 && fs.exists(prevPath))
+                sp.read.parquet(prevPath.toString)
+              else sp.range(0).select(col("id").cast("string").as("grp"),
+                col("id").as("reg"), col("id").as("mreg"))
+            Hll.merge(prev,
+                Hll.registers(batch, col("event_type"), col("user_id"), p))
+              .write.mode("overwrite").parquet(s"$base/sk/v$bid")
+          }
+          q.awaitTermination()
+        }
+        ev.filter(col("user_id") % 2 === 0).write.mode("append").parquet(landing)
+        processAvailable()
+        ev.filter(col("user_id") % 2 =!= 0).write.mode("append").parquet(landing)
+        processAvailable()
+        Hll.report(s.read.parquet(s"$base/sk/v1"), p)
+          .select(col("grp").as("event_type"), col("n_registers_set"),
+            col("register_sum"), col("harmonic_num"), col("est_distinct"))
+      },
+      s"""WITH ev AS (SELECT event_type, user_id FROM events),
+         |h AS (SELECT event_type, ${sqlHash60("user_id::VARCHAR")} AS h FROM ev),
+         |r AS (SELECT event_type, h % 256 AS reg, h // 256 AS s FROM h),
+         |rho AS (SELECT event_type, reg,
+         |        CASE WHEN s = 0 THEN 53
+         |             ELSE bit_count((s & -s) - 1) + 1 END AS rho FROM r),
+         |mreg AS (SELECT event_type, reg, MAX(rho)::BIGINT AS mr
+         |         FROM rho GROUP BY 1, 2),
+         |agg AS (SELECT event_type, COUNT(*)::BIGINT AS n_registers_set,
+         |        SUM(mr)::BIGINT AS register_sum,
+         |        SUM(1::BIGINT << (53 - mr)::INT)::BIGINT AS setnum
+         |        FROM mreg GROUP BY 1)
+         |SELECT agg.event_type, agg.n_registers_set, agg.register_sum,
+         |  (agg.setnum + (256 - agg.n_registers_set)
+         |     * (1::BIGINT << 53))::BIGINT AS harmonic_num,
+         |  ROUND(((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+         |           * (1::BIGINT << 53)::DOUBLE)
+         |        / (agg.setnum + (256 - agg.n_registers_set)
+         |             * (1::BIGINT << 53))::DOUBLE, 6) AS est_distinct
+         |FROM agg""".stripMargin)
   )
 
   // ---- q268 oracle building blocks (the ADC replay, reused per batch)
