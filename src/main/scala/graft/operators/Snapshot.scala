@@ -59,14 +59,18 @@ object Snapshot {
     // two-phase shape evaluates that upstream subtree twice (in-bucket
     // ranks + bucket offsets), which measured a 1.55× wall on the
     // mutation-heavy q208 composition against the old one-pass window.
-    // LAZY persist, not localCheckpoint: the offsets broadcast job
-    // populates the columnar cache and the rank join reads it back, so
-    // single evaluation still holds, without the eager barrier job
-    // (~0.3 s/call at fixture scale, round-13 finding #2) or
-    // localCheckpoint's deserialized row copies (the round-13
-    // checkpoint-residency OOM class).
+    // EAGER on purpose — round-14 A/B'd both cheaper-looking variants
+    // against it (same session, q01 as the ambient reference) and both
+    // lost: a lazy columnar persist keeps single evaluation but NOT
+    // the lineage cut, so merge-CHAIN plans (q208: merge feeding
+    // merge) grow across iterations (+50% on the chain);
+    // localCheckpoint(eager = false) measured worse still (~2× on the
+    // whole family — the first-job checkpoint capture replans under
+    // AQE instead of reusing blocks). The ~0.3 s/call eager constant
+    // at fixture scale is the price of the chain win and shrinks
+    // relative to real work at scale.
     val part = ids.withColumn("_p", pmod(col("file_id"), lit(64L)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val offsets = part.groupBy("_p").agg(count(lit(1)).as("_c"))
       .withColumn("_off", coalesce(sum(col("_c")).over(
         Window.orderBy(col("_p"))
