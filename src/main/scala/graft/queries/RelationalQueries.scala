@@ -1085,6 +1085,61 @@ object RelationalQueries {
         |SELECT c_custkey, c_name, n_name, revenue_cents, rk::BIGINT AS rk
         |FROM rk JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
-        |WHERE rk <= 20""".stripMargin)
+        |WHERE rk <= 20""".stripMargin),
+
+    // q290 (round-14): the TPC-H Q2 shape — "the supplier(s) achieving
+    // the minimum cost per part within a region" — the correlated-MIN
+    // subquery every warehouse benchmark opens with, adapted to this
+    // schema (no partsupp table: per-(part, supplier) unit cost =
+    // MIN over their lineitems of extendedprice·100 div quantity,
+    // exact integer cents — quantities are integral). The ENGINE runs
+    // the aggregation rewrite (per-part min as a groupBy + equality
+    // join back — only aggregated frames shuffle, never a correlated
+    // per-row subquery; same discipline as q255's Q21 rewrite), keeps
+    // ALL min-achieving suppliers (ties are data, not an ORDER BY
+    // accident), and restricts to one region via broadcast dims. The
+    // oracle runs the textbook correlated form — the rewrite's
+    // equivalence is what the gate checks.
+    decl("q290_tpch_q2_min_cost_supplier",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_partkey"),
+          col("l_suppkey"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT) div CAST(l_quantity AS BIGINT)")
+            .as("unit_cents"))
+        val sup = t(s, d, "supplier")
+          .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .join(t(s, d, "region").where(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        val cost = li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey"), col("s_suppkey"), col("s_name"),
+            col("n_name"))
+          .agg(min(col("unit_cents")).as("min_unit_cents"))
+        val best = cost.groupBy(col("l_partkey").as("pk"))
+          .agg(min(col("min_unit_cents")).as("best_cents"))
+        cost.join(best, col("l_partkey") === col("pk")
+            && col("min_unit_cents") === col("best_cents"))
+          .join(t(s, d, "part").where(col("p_type") === "PROMO"),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_partkey"), col("p_brand"), col("s_suppkey"),
+            col("s_name"), col("n_name"), col("min_unit_cents"))
+      },
+      """WITH sup AS (
+        |  SELECT s_suppkey, s_name, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |cost AS (
+        |  SELECT l_partkey, s_suppkey, s_name, n_name,
+        |    MIN(round(l_extendedprice * 100)::BIGINT // l_quantity::BIGINT)
+        |      ::BIGINT AS min_unit_cents
+        |  FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT p_partkey, p_brand, c.s_suppkey, c.s_name, c.n_name,
+        |  c.min_unit_cents
+        |FROM cost c JOIN part ON c.l_partkey = p_partkey
+        |WHERE p_type = 'PROMO'
+        |  AND c.min_unit_cents = (SELECT MIN(c2.min_unit_cents) FROM cost c2
+        |                          WHERE c2.l_partkey = c.l_partkey)""".stripMargin)
   )
 }
