@@ -1140,6 +1140,61 @@ object RelationalQueries {
         |FROM cost c JOIN part ON c.l_partkey = p_partkey
         |WHERE p_type = 'PROMO'
         |  AND c.min_unit_cents = (SELECT MIN(c2.min_unit_cents) FROM cost c2
-        |                          WHERE c2.l_partkey = c.l_partkey)""".stripMargin)
+        |                          WHERE c2.l_partkey = c.l_partkey)""".stripMargin),
+
+    // q291 (round-14): the TPC-H Q4 shape — order-priority checking:
+    // per-priority count of a quarter's orders with AT LEAST ONE
+    // returned line. The engine plans EXISTS as a LEFT SEMI join (the
+    // decorrelation every engine must get right: an order with five
+    // returned lines counts ONCE); the oracle runs the textbook
+    // correlated EXISTS. Priority counts make the semi-vs-inner
+    // distinction load-bearing — an inner join would overcount
+    // multi-line orders and break the hash.
+    decl("q291_tpch_q4",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        val returned = t(s, d, "lineitem")
+          .where(col("l_returnflag") === "R").select(col("l_orderkey"))
+        o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+      },
+      """SELECT o_orderpriority, COUNT(*)::BIGINT AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin),
+
+    // q292 (round-14): the TPC-H Q16 shape — parts/supplier
+    // relationship: DISTINCT supplier count per (brand, type, size
+    // bucket), EXCLUDING a supplier blacklist (here: suppliers in
+    // nations 0–4). The engine plans NOT IN (no NULLs by construction)
+    // as a LEFT ANTI join before the distinct aggregation; the oracle
+    // runs the textbook NOT IN subquery. countDistinct makes the
+    // anti-join placement load-bearing: excluding AFTER the count
+    // would differ whenever an excluded supplier shares a (brand,
+    // type, size) cell with a kept one.
+    decl("q292_tpch_q16",
+      (s, d) => {
+        val excluded = t(s, d, "supplier")
+          .where(col("s_nationkey") < 5).select(col("s_suppkey"))
+        val li = t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+          .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        li.join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"),
+            expr("p_size div 10").as("size_bucket"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      },
+      """SELECT p_brand, p_type, p_size // 10 AS size_bucket,
+        |  COUNT(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_nationkey < 5)
+        |GROUP BY 1, 2, 3""".stripMargin)
   )
 }
