@@ -436,4 +436,113 @@ object Centrality {
           - col("degree_sum") * col("degree_sum")).as("contrib_num"),
         (lit(4L) * col("m") * col("m")).as("contrib_den"))
   }
+
+  /** Per-seed WEIGHTED shortest distances — bounded-round Bellman-Ford
+    * over a directed edge list with non-negative integer weights, the
+    * weighted twin of [[bfsDistances]]. After `maxHops` rounds the
+    * result is exact over paths of ≤ maxHops edges (the bounded-round
+    * contract every operator in this family states; oracles replay the
+    * same rounds). Per round only the DELTA FRONTIER relaxes — (seed,
+    * node) pairs whose distance is new or improved since last round:
+    * re-relaxing an unimproved pair re-emits candidates the min-merge
+    * already holds (the min-plus-semiring delta argument, identical to
+    * [[earliestArrival]]'s), so per-round join volume tracks improved
+    * pairs, not everything ever reached. State is |seeds|·|reached|,
+    * never path count; per-round checkpoints hold SERIALIZED
+    * spill-safe blocks (the round-13 checkpoint-residency rule).
+    * `edges`: (src, dst, w) with w ≥ 0 integral — parallel edges are
+    * fine (the min absorbs them); `seeds`: one id column.
+    * Returns (seed, node, dist) for nodes reached in 1..maxHops hops. */
+  def weightedDistances(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var reach = seeds.toDF("seed").distinct()
+      .select(col("seed").cast("long").as("seed"),
+        col("seed").cast("long").as("node"), lit(0L).as("dist"))
+    var frontier = reach
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    (1 to maxHops).foreach { _ =>
+      val next = e.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("seed"), col("dst").as("node"),
+          (col("dist") + col("w")).as("dist"))
+      val merged = reach.unionByName(next)
+        .groupBy("seed", "node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true, lvl)
+      frontier = merged
+        .join(reach.withColumnRenamed("dist", "__prev"),
+          Seq("seed", "node"), "left")
+        .where(col("__prev").isNull || col("dist") < col("__prev"))
+        .select("seed", "node", "dist")
+        .localCheckpoint(true, lvl)
+      reach = merged
+    }
+    e.unpersist(blocking = false)
+    // drop the seed self-rows (dist 0 by construction — non-negative
+    // weights mean no cycle improves them); other pairs keep whatever
+    // the min-merge holds, including 0-cost arrivals over w=0 edges
+    reach.where(col("node") =!= col("seed"))
+  }
+
+  /** Fixed-round integer PERSONALIZED PageRank: teleport mass lands on
+    * the seed set instead of uniformly — the standard seed-proximity
+    * ranking (recommendation, entity-neighborhood relevance), sharing
+    * [[pageRank]]'s engine-portable arithmetic contract: every term is
+    * BIGINT floor division (85/100 damping split exact when 100 |
+    * scale), so ranks are identical on any engine and across any
+    * executor count. Dangling mass (outdeg-0 nodes) returns to the
+    * SEEDS uniformly — on a directed bipartite graph (e.g. customer →
+    * supplier) the whole supplier side is dangling, which is exactly
+    * what makes personalization visible: mass cycles seed → neighbor
+    * → seed instead of leaking. Initial ranks are the teleport
+    * distribution itself (scale div |S| on seeds, 0 elsewhere).
+    *
+    * @return (node, outdeg, is_seed, rank) with rank in scale⁻¹ units */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, rounds: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(scale > 0 && scale % 100 == 0 && scale <= Long.MaxValue / 100,
+      s"personalizedPageRank scale must be positive, divisible by 100, " +
+        s"and <= ${Long.MaxValue / 100}: $scale")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).persist()
+    val sd = seeds.toDF("seed").distinct()
+      .select(col("seed").cast("long").as("seed")).persist()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .union(sd.select(col("seed").as("node"))).distinct()
+      .join(outdeg, col("node") === col("src"), "left")
+      .join(sd, col("node") === col("seed"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        col("seed").isNotNull.as("is_seed"))
+      .persist()
+    val sRow = broadcast(sd.agg(count(lit(1)).as("__s")))
+    var ranks = nodes.crossJoin(sRow)
+      .select(col("node"), col("outdeg"), col("is_seed"),
+        when(col("is_seed"), expr(s"CAST($scale AS BIGINT) div __s"))
+          .otherwise(lit(0L)).as("rank"))
+    for (_ <- 0 until rounds) {
+      val contribs = ranks.where(col("outdeg") > 0)
+        .join(e, col("node") === col("src"))
+        .select(col("dst"), expr("((85 * rank) div 100) div outdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("__inmass"))
+      val dang = broadcast(ranks.where(col("outdeg") === 0)
+        .agg(coalesce(sum(expr("(85 * rank) div 100")), lit(0L)).as("__dang")))
+      ranks = nodes
+        .join(contribs, col("node") === col("dst"), "left")
+        .crossJoin(sRow).crossJoin(dang)
+        .select(col("node"), col("outdeg"), col("is_seed"),
+          (when(col("is_seed"),
+            expr(s"CAST(${15 * scale / 100} AS BIGINT) div __s")
+              + expr("__dang div __s")).otherwise(lit(0L)) +
+            coalesce(col("__inmass"), lit(0L))).as("rank"))
+        // same per-round lineage barrier as [[pageRank]]
+        .localCheckpoint()
+    }
+    e.unpersist(blocking = false)
+    sd.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    ranks
+  }
 }

@@ -225,4 +225,37 @@ object Layout {
       .unionByName(aud("rewritten_src", rwSrc))
       .unionByName(aud("new", newFiles))
   }
+
+  /** Clustering-health report: the OVERLAP-DEPTH profile of a
+    * manifest's zone envelopes — at any key k, depth(k) = how many
+    * files' [min_key, max_key] envelopes contain k = how many files a
+    * point probe at k must read. The metric behind "when is OPTIMIZE
+    * worth it": a perfectly clustered table reports depth 1
+    * everywhere; every hash-layout file adds a full-span +1. Computed
+    * by BOUNDARY SWEEP in exact integers: +1 at min_key, −1 at
+    * max_key+1, running sum over the sorted distinct boundaries —
+    * 2·files events regardless of table rows, so the ordered window
+    * runs over a manifest-sized frame (the house bucket-frame rule)
+    * and the whole report never reads a data byte.
+    *
+    * @param manifest (file_id, n_rows, min_key, max_key)
+    * @return (depth, n_segments, span) — for each occupied depth, how
+    *         many key segments sit at it and their total key width */
+  def clusteringDepth(manifest: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = manifest
+      .select(col("min_key").cast("long").as("k"), lit(1L).as("delta"))
+      .unionByName(manifest.select((col("max_key").cast("long") + 1L).as("k"),
+        lit(-1L).as("delta")))
+      .groupBy("k").agg(sum(col("delta")).as("d"))
+    val w = Window.orderBy("k")
+    bounds
+      .withColumn("depth", sum(col("d")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("next_k", lead(col("k"), 1).over(w))
+      .where(col("next_k").isNotNull && col("depth") > 0L)
+      .groupBy("depth")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("next_k") - col("k")).as("span"))
+  }
 }

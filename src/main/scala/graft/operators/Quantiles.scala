@@ -58,4 +58,43 @@ object Quantiles {
             (col("__hi") - col("__lo")) / lit(buckets.toDouble))
           .cast("decimal(18,4)").cast("double").as("est"))
   }
+
+  /** Per-group EXACT lower median over an INTEGRAL value column,
+    * computed from the (group, value) count histogram — never a row
+    * sort: the only ordered window runs over the distinct-value frame,
+    * bounded by the value DOMAIN rather than the row count (the house
+    * bucket-frame rule — a column with 10⁹ rows but 10⁴ distinct
+    * values medians over 10⁴ rows per group). Lower median = smallest
+    * v whose cumulative count reaches ceil(n/2); exact, deterministic,
+    * and replayable in any engine as integer arithmetic.
+    * Returns (g, n, med). */
+  def histMedian(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val hist = df.select(group.as("g"), value.cast("long").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+    val n = hist.groupBy("g").agg(sum("cnt").as("n"))
+    hist.withColumn("cum",
+        sum("cnt").over(Window.partitionBy("g").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(n), "g")
+      .where(col("cum") >= expr("(n + 1) div 2")
+        && col("cum") - col("cnt") < expr("(n + 1) div 2"))
+      .select(col("g"), col("n"), col("v").as("med"))
+  }
+
+  /** Per-group robust dispersion: exact lower median plus MAD (median
+    * absolute deviation — the lower median of |v − median| by the same
+    * histogram construction), the outlier scale that a handful of
+    * corrupt rows cannot move (unlike stddev, where one 10⁹-char
+    * document shifts every z-score in its group). All integer order
+    * statistics — no float, no sampling, no sort over rows.
+    * Returns (g, n, med, mad). */
+  def medianMad(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val base = df.select(group.as("g"), value.cast("long").as("v"))
+    val med = histMedian(base, col("g"), col("v"))
+    val dev = base.join(med.select(col("g"), col("med")), "g")
+      .select(col("g"), abs(col("v") - col("med")).as("d"))
+    val mad = histMedian(dev, col("g"), col("d"))
+      .select(col("g"), col("med").as("mad"))
+    med.join(mad, "g").select(col("g"), col("n"), col("med"), col("mad"))
+  }
 }

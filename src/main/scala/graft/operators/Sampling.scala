@@ -305,4 +305,67 @@ object Sampling {
       .select(col("domain"), col("excess"),
         col("_w").cast("double").as("weight"), col("n_alloc"))
   }
+
+  /** Neyman-style OPTIMAL stratified allocation in exact integer
+    * arithmetic: stratum h gets a share of `budget` proportional to
+    * its dispersion mass D_h = Σ|v − median_h| (total absolute
+    * deviation from the stratum's exact lower median — the integer
+    * robust analogue of Neyman's N_h·σ_h; classic proportional
+    * allocation oversamples big LOW-VARIANCE strata, Neyman puts the
+    * budget where the estimator variance actually is). Quotas are
+    * floor(budget·D_h / ΣD_h) topped up by LARGEST REMAINDER
+    * (budget·D_h mod ΣD_h, ties by stratum key) so Σ quota = budget
+    * exactly and every step is BIGINT — no float share ever computed.
+    * The remainder window runs over the strata frame (tiny by
+    * definition). A stratum with zero dispersion gets quota 0 unless
+    * remainders reach it. Quotas are NOT capped by stratum size —
+    * callers with budget ≳ any stratum's row count cap downstream.
+    * Returns (stratum, n_rows, median, dispersion, quota). */
+  def neymanAllocation(df: DataFrame, stratum: Column, value: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(stratum.as("g"), value.cast("long").as("v"))
+    val med = Quantiles.histMedian(base, col("g"), col("v"))
+    val disp = base.join(broadcast(med.select(col("g"), col("med"))), "g")
+      .groupBy("g").agg(sum(abs(col("v") - col("med"))).as("disp"))
+    val tot = broadcast(disp.agg(sum(col("disp")).as("tot")))
+    val quota = disp.crossJoin(tot)
+      .withColumn("_base", expr(s"($budget * disp) div tot"))
+      .withColumn("_rem", expr(s"($budget * disp) % tot"))
+    val left = broadcast(quota.agg((lit(budget) - sum(col("_base"))).as("_left")))
+    quota.crossJoin(left)
+      .withColumn("_ru", row_number().over(
+        Window.orderBy(col("_rem").desc, col("g").asc)).cast("long"))
+      .withColumn("quota", col("_base") +
+        when(col("_ru") <= col("_left"), 1L).otherwise(0L))
+      .join(med.select(col("g"), col("n"), col("med")), "g")
+      .select(col("g").as("stratum"), col("n").as("n_rows"),
+        col("med").as("median"), col("disp").as("dispersion"), col("quota"))
+  }
+
+  /** Draw the [[neymanAllocation]] sample deterministically: rows rank
+    * within their stratum by the salted id hash (a pure function of
+    * the id — the [[assignSplits]] stability property: a row's
+    * membership never changes when other strata grow) and the top
+    * `quota` per stratum are kept. The rank window is bounded to the
+    * constant `budget` FIRST (rank ≤ budget plans as a per-partition
+    * top-k heap under WindowGroupLimit — never a full per-stratum
+    * sort survives), then trimmed to the per-stratum quota.
+    * Returns input rows + (rk) for the selected rows. */
+  def neymanSample(df: DataFrame, stratum: Column, value: Column,
+      id: Column, budget: Long, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val alloc = neymanAllocation(df, stratum, value, budget)
+      .select(col("stratum").as("__g"), col("quota"))
+    val ranked = df.withColumn("__g", stratum)
+      .withColumn("__h", Dedup.hash60(
+        concat(lit(s"$salt|"), id.cast("string"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("__g")).orderBy(col("__h"), id)).cast("long"))
+      .where(col("rk") <= budget)
+    ranked.join(broadcast(alloc), "__g")
+      .where(col("rk") <= col("quota"))
+      .drop("__g", "__h", "quota")
+  }
 }

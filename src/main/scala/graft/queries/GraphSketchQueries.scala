@@ -512,7 +512,7 @@ object GraphSketchQueries {
          |${(0 until 3).map(j =>
              s"LEFT JOIN cm c$j ON c$j.r = $j AND c$j.p = " +
                s"${sqlHash60(s"('cm$j|' || t.user_id::VARCHAR)")} % 1024")
-             .mkString("\n")}""".stripMargin)) :+ lpaDecl :+ temporalDecl :+ modularityDecl :+ harmonicDecl :+ hllDecl
+             .mkString("\n")}""".stripMargin)) :+ lpaDecl :+ temporalDecl :+ modularityDecl :+ harmonicDecl :+ hllDecl :+ ssspDecl :+ pprDecl
 
   // q286 (round-14): per-group HYPERLOGLOG distinct — the fixed-memory
   // arm of the distinct-count family beside KMV (q164: exact below k,
@@ -757,4 +757,118 @@ object GraphSketchQueries {
          |       (-1)::BIGINT AS arrival FROM customer WHERE c_custkey % 100 = 0),
          |${taRounds(3)}
          |SELECT seed, node, arrival FROM r3 WHERE arrival >= 0""".stripMargin)
+
+  /** Unrolled Bellman-Ford relaxation CTEs nK/rK over base CTEs e/r0. */
+  private def wRounds(rounds: Int): String =
+    (1 to rounds).map { r =>
+      s"""n$r AS (SELECT r.seed, e.dst AS node, r.dist + e.w AS dist
+         |  FROM e JOIN r${r - 1} r ON e.src = r.node),
+         |r$r AS (SELECT seed, node, MIN(dist)::BIGINT AS dist FROM (
+         |  SELECT * FROM r${r - 1} UNION ALL SELECT * FROM n$r) GROUP BY 1, 2)"""
+        .stripMargin
+    }.mkString(",\n")
+
+  // q299 (round-14): WEIGHTED shortest paths — bounded-round
+  // Bellman-Ford over the trade graph where an edge costs its
+  // cheapest observed shipment quantity (exact integers): "what is
+  // the lightest 3-hop trade route from each sampled customer". The
+  // unweighted BFS family (q233/q277) cannot express this — a 2-hop
+  // path can beat a 1-hop edge, which is precisely what the min-plus
+  // merge arbitrates. Delta-frontier relaxation (only improved
+  // (seed, node) pairs expand — the q272 semiring argument), state
+  // |seeds|·|reached|, serialized spill-safe round checkpoints. The
+  // oracle unrolls the same three relaxation rounds.
+  private def ssspDecl: Decl =
+    decl("q299_weighted_sssp",
+      (s, d) => {
+        val eo = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(t(s, d, "lineitem").select(col("l_orderkey"),
+            col("l_suppkey"), col("l_quantity")),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey").cast("long").as("c"),
+            (lit(1000000L) + col("l_suppkey")).as("sup"))
+          .agg(min(col("l_quantity").cast("long")).as("w"))
+        val edges = eo.select(col("c").as("src"), col("sup").as("dst"), col("w"))
+          .unionByName(eo.select(col("sup").as("src"), col("c").as("dst"),
+            col("w")))
+        val seeds = t(s, d, "customer").select(col("c_custkey"))
+          .where(expr("c_custkey % 100 = 0"))
+        Centrality.weightedDistances(edges, seeds, maxHops = 3)
+      },
+      s"""WITH eo AS MATERIALIZED (SELECT o_custkey::BIGINT AS c,
+         |  (1000000 + l_suppkey)::BIGINT AS sup,
+         |  MIN(l_quantity::BIGINT) AS w
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1, 2),
+         |e AS MATERIALIZED (SELECT c AS src, sup AS dst, w FROM eo
+         |     UNION ALL SELECT sup, c, w FROM eo),
+         |r0 AS (SELECT c_custkey::BIGINT AS seed, c_custkey::BIGINT AS node,
+         |       0::BIGINT AS dist FROM customer WHERE c_custkey % 100 = 0),
+         |${wRounds(3)}
+         |SELECT seed, node, dist FROM r3 WHERE node <> seed""".stripMargin)
+
+  /** Unrolled personalized-PageRank round CTEs cK/gK/rK over base
+    * CTEs e/nn/sc — [[prRounds]] plus the seed-targeted teleport and
+    * the dangling-mass-to-seeds return arm. */
+  private def pprRounds(rounds: Int): String =
+    (1 to rounds).map { r =>
+      s"""c$r AS (SELECT e.dst AS node,
+         |  SUM(((85 * p.rank) // 100) // p.outdeg)::BIGINT AS inmass
+         |  FROM r${r - 1} p JOIN e ON p.node = e.src
+         |  WHERE p.outdeg > 0 GROUP BY 1),
+         |g$r AS (SELECT COALESCE(SUM((85 * rank) // 100), 0)::BIGINT AS dang
+         |  FROM r${r - 1} WHERE outdeg = 0),
+         |r$r AS (SELECT nn.node, nn.outdeg, nn.is_seed,
+         |  (CASE WHEN nn.is_seed
+         |   THEN (${15 * Scale / 100} // sc.s) + (g$r.dang // sc.s)
+         |   ELSE 0 END + COALESCE(c$r.inmass, 0))::BIGINT AS rank
+         |  FROM nn LEFT JOIN c$r USING (node), sc, g$r)""".stripMargin
+    }.mkString(",\n")
+
+  // q300 (round-14): PERSONALIZED PageRank — teleport mass lands on a
+  // seed set instead of uniformly, the standard seed-relative
+  // relevance ranking (recommendations, entity-neighborhood risk).
+  // Same engine-portable integer contract as q161 (85/100 floor
+  // division, BIGINT everywhere) with two new arms the oracle replays:
+  // the teleport CASE lands only on seeds, and dangling mass RETURNS
+  // to the seeds — on this deliberately DIRECTED customer→supplier
+  // graph the entire supplier side is dangling, so without that
+  // return arm the walk would leak 85% of its mass per round instead
+  // of cycling seed → supplier → seed.
+  private def pprDecl: Decl =
+    decl("q300_personalized_pagerank",
+      (s, d) => {
+        val edges = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").cast("long").as("src"),
+            (lit(1000000L) + col("l_suppkey")).as("dst"))
+          .distinct()
+        val seeds = t(s, d, "customer").select(col("c_custkey"))
+          .where(expr("c_custkey % 50 = 0"))
+        Centrality.personalizedPageRank(edges, seeds, rounds = 3,
+          scale = Scale)
+      },
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey::BIGINT AS src,
+         |  (1000000 + l_suppkey)::BIGINT AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |sd AS (SELECT c_custkey::BIGINT AS seed FROM customer
+         |       WHERE c_custkey % 50 = 0),
+         |od AS (SELECT src, COUNT(*)::BIGINT AS outdeg FROM e GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS node FROM e
+         |          UNION SELECT DISTINCT dst FROM e
+         |          UNION SELECT seed FROM sd),
+         |nn AS (SELECT node, COALESCE(od.outdeg, 0)::BIGINT AS outdeg,
+         |       (sd.seed IS NOT NULL) AS is_seed
+         |       FROM nodes LEFT JOIN od ON node = od.src
+         |       LEFT JOIN sd ON node = sd.seed),
+         |sc AS (SELECT COUNT(*)::BIGINT AS s FROM sd),
+         |r0 AS (SELECT node, outdeg, is_seed,
+         |       CASE WHEN is_seed THEN $Scale // sc.s ELSE 0 END AS rank
+         |       FROM nn, sc),
+         |${pprRounds(3)}
+         |SELECT node, outdeg, is_seed, CAST(rank AS BIGINT) AS rank
+         |FROM r3""".stripMargin)
 }

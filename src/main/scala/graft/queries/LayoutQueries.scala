@@ -721,7 +721,7 @@ object LayoutQueries {
          |         FROM tgt, k2 WHERE key < k2.lo OR key > k2.hi)
          |SELECT aud.version, aud.file_id, aud.n_rows, aud.min_key, aud.max_key,
          |  aud.action, live.rows_live, live.qty_live
-         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl :+ bloomMaintainDecl :+ lifecycleDecl :+ morDvDecl :+ morMergeDecl :+ advisorDecl :+ wapDecl :+ joinViewIvmDecl :+ branchMergeDecl :+ incrOptimizeDecl :+ rebaseDecl :+ advisorManifestDecl :+ morBloomDecl
+         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl :+ bloomMaintainDecl :+ lifecycleDecl :+ morDvDecl :+ morMergeDecl :+ advisorDecl :+ wapDecl :+ joinViewIvmDecl :+ branchMergeDecl :+ incrOptimizeDecl :+ rebaseDecl :+ advisorManifestDecl :+ morBloomDecl :+ clusterDepthDecl
 
   // q263 (round-12): MERGE-ON-READ deletion vectors — the other half
   // of the delete family. q201's deleteRange rewrites/drops files
@@ -1800,6 +1800,51 @@ object LayoutQueries {
          |  stats.files_materialized, stats.dv_after
          |FROM summ, stats""".stripMargin)
   }
+
+  // q304 (round-14): CLUSTERING-DEPTH report — the metadata-only
+  // health metric behind "is OPTIMIZE worth it": overlap depth(k) =
+  // how many file envelopes contain key k = how many files a point
+  // probe at k must read. The fixture manifests the same rows twice
+  // (half the table hash-layout — every envelope spans the key
+  // domain — half clustered into disjoint 2000-key files), so the
+  // profile shows exactly what mixed layouts cost: the hash files'
+  // full-span +8 rides on top of the clustered +1. Boundary sweep in
+  // exact integers (+1 at min, −1 at max+1, running sum over 2·files
+  // sorted boundaries) — never reads a data byte, and the ordered
+  // window runs over the manifest-sized boundary frame. The oracle
+  // replays file assignment, envelopes, sweep, and segment widths.
+  private def clusterDepthDecl: Decl =
+    decl("q304_clustering_depth",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey").cast("long").as("k"))
+        val clustered = Snapshot.manifestEntriesBy(
+          li.where(pmod(col("k"), lit(2L)) === 0L),
+          expr("k div 2000"), col("k"), version = 1L)
+        val hashed = Snapshot.manifestEntriesBy(
+          li.where(pmod(col("k"), lit(2L)) === 1L),
+          lit(100L) + pmod(graft.operators.Dedup.hash60(
+            col("k").cast("string")), lit(8L)),
+          col("k"), version = 1L)
+        Layout.clusteringDepth(clustered.unionByName(hashed))
+      },
+      s"""WITH rows0 AS (SELECT l_orderkey::BIGINT AS k FROM lineitem),
+         |man AS (
+         |  SELECT k // 2000 AS file_id, MIN(k) AS min_key, MAX(k) AS max_key
+         |  FROM rows0 WHERE k % 2 = 0 GROUP BY 1
+         |  UNION ALL
+         |  SELECT 100 + ${sqlHash60("(k::VARCHAR)")} % 8,
+         |    MIN(k), MAX(k) FROM rows0 WHERE k % 2 = 1 GROUP BY 1),
+         |b AS (SELECT k, SUM(delta)::BIGINT AS d FROM (
+         |  SELECT min_key AS k, 1 AS delta FROM man
+         |  UNION ALL SELECT max_key + 1, -1 FROM man) GROUP BY 1),
+         |sweep AS (SELECT k,
+         |  SUM(d) OVER (ORDER BY k)::BIGINT AS depth,
+         |  lead(k) OVER (ORDER BY k) AS next_k FROM b)
+         |SELECT depth, COUNT(*)::BIGINT AS n_segments,
+         |  SUM(next_k - k)::BIGINT AS span
+         |FROM sweep WHERE next_k IS NOT NULL AND depth > 0
+         |GROUP BY 1""".stripMargin)
 
   /** The full-recompute oracle for the post-merge per-group view —
     * shared by q199 (batch IVM) and q200 (streaming IVM): both

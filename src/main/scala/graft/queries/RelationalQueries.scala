@@ -1195,6 +1195,228 @@ object RelationalQueries {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
         |                        WHERE s_nationkey < 5)
-        |GROUP BY 1, 2, 3""".stripMargin)
+        |GROUP BY 1, 2, 3""".stripMargin),
+
+    // q293 (round-14): the TPC-H Q13 shape — customer order-count
+    // DISTRIBUTION ("how many customers placed exactly k orders").
+    // The engine's shape is LEFT OUTER join → count non-null keys per
+    // customer → count customers per count. The outer-ness is
+    // load-bearing twice: zero-order customers must appear (count 0 is
+    // the largest bucket of the distribution), and count(o_orderkey)
+    // (nulls excluded) — NOT count(*) — is what makes an unmatched row
+    // count as 0 rather than 1. The orders side carries a real filter
+    // (urgent orders excluded) so unmatched ≠ absent-from-orders.
+    decl("q293_tpch_q13",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .where(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val perCust = t(s, d, "customer").select(col("c_custkey"))
+          .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+        perCust.groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+      },
+      """SELECT c_count, COUNT(*)::BIGINT AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey)::BIGINT AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin),
+
+    // q294 (round-14): the TPC-H Q15 shape — top supplier(s) by
+    // quarterly revenue: a revenue view (one aggregate), then the
+    // suppliers ACHIEVING its maximum (scalar-max equality join — ties
+    // are kept, never broken by an ORDER BY accident). Revenue is
+    // exact integer e4-units: cents(extendedprice) × (100 −
+    // basis-points(discount)) — both factors integral by construction,
+    // so the sum, the max, and the equality are engine-portable with
+    // no float in sight. The max is a 1-row broadcast, not a window.
+    decl("q294_tpch_q15_top_supplier",
+      (s, d) => {
+        val rev = t(s, d, "lineitem")
+          .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .select(col("l_suppkey"),
+            (expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+              * (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+              .as("rev_e4"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(col("rev_e4")).as("total_rev_e4"))
+        val top = rev.agg(max(col("total_rev_e4")).as("best_e4"))
+        rev.join(broadcast(top), col("total_rev_e4") === col("best_e4"))
+          .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_rev_e4"))
+      },
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(round(l_extendedprice * 100)::BIGINT
+        |        * (100 - round(l_discount * 100)::BIGINT))::BIGINT AS total_rev_e4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev_e4
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev_e4 = (SELECT MAX(total_rev_e4) FROM rev)""".stripMargin),
+
+    // q295 (round-14): the TPC-H Q22 shape — "global sales
+    // opportunity": customers with above-average positive balance and
+    // no RECENT orders (none since 1999 — lapsed, not absent; every
+    // synthetic customer has some order), counted per nation. Two
+    // decorrelations in one query: the scalar AVG subquery becomes a
+    // 1-row broadcast compared in exact integers (balance_cents·N >
+    // total_cents — the division never happens, so there is no float
+    // and no rounding rule to disagree on), and the date-filtered
+    // NOT EXISTS becomes a LEFT ANTI join on the filtered orders.
+    decl("q295_tpch_q22_lapsed_customers",
+      (s, d) => {
+        val cust = t(s, d, "customer").select(col("c_custkey"),
+          col("c_nationkey"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+        val avgRef = cust.where(col("bal_cents") > 0L)
+          .agg(sum(col("bal_cents")).as("tot_cents"),
+            count(lit(1)).as("n_pos"))
+        val recent = t(s, d, "orders")
+          .where(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .select(col("o_custkey"))
+        cust.crossJoin(broadcast(avgRef))
+          .where(col("bal_cents") * col("n_pos") > col("tot_cents"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("numcust"),
+            sum(col("bal_cents")).as("totacctbal_cents"))
+      },
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    round(c_acctbal * 100)::BIGINT AS bal_cents
+        |  FROM customer)
+        |SELECT c_nationkey, COUNT(*)::BIGINT AS numcust,
+        |  SUM(bal_cents)::BIGINT AS totacctbal_cents
+        |FROM cust c
+        |WHERE bal_cents * (SELECT COUNT(*) FROM cust WHERE bal_cents > 0)
+        |      > (SELECT SUM(bal_cents) FROM cust WHERE bal_cents > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY 1""".stripMargin),
+
+    // q296 (round-14): the TPC-H Q20 shape — "potential part
+    // promotion", adapted (no partsupp): suppliers in a region who
+    // DOMINATE at least one PROMO part — ship more than an EIGHTH of
+    // that part's total quantity (~30 suppliers touch each part, so
+    // an eighth is ~4× the fair share; TPC-H's literal 50% never
+    // fires on this distribution). Nested decorrelation chain: the
+    // correlated fraction-of-sum subquery becomes a per-part total
+    // joined back (8·supplier_qty > part_total, integers — quantities
+    // are integral doubles), and the outer IN becomes a LEFT SEMI
+    // against the dominating (supplier) set. The semi placement is
+    // load-bearing: a supplier dominating three parts lists once.
+    decl("q296_tpch_q20_dominant_suppliers",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .join(t(s, d, "part").where(col("p_type") === "PROMO")
+            .select(col("p_partkey")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"), col("l_suppkey"),
+            col("l_quantity").cast("long").as("qty"))
+        val perSupp = li.groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("qty")).as("supp_qty"))
+        val perPart = li.groupBy(col("l_partkey").as("pk"))
+          .agg(sum(col("qty")).as("part_qty"))
+        val dominant = perSupp.join(perPart, col("l_partkey") === col("pk"))
+          .where(col("supp_qty") * 8L > col("part_qty"))
+          .select(col("l_suppkey")).distinct()
+        t(s, d, "supplier")
+          .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .where(col("n_regionkey") === 2)
+          .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      },
+      """SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_regionkey = 2
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey
+        |    FROM lineitem l JOIN part ON l_partkey = p_partkey
+        |    WHERE p_type = 'PROMO'
+        |    GROUP BY l.l_partkey, l_suppkey
+        |    HAVING SUM(l_quantity::BIGINT) * 8 >
+        |      (SELECT SUM(l2.l_quantity::BIGINT) FROM lineitem l2
+        |       JOIN part p2 ON l2.l_partkey = p2.p_partkey
+        |       WHERE p2.p_type = 'PROMO' AND l2.l_partkey = l.l_partkey))""".stripMargin),
+
+    // q297 (round-14): the TPC-H Q11 shape — "important stock": one
+    // nation's per-part shipped value, keeping parts above 0.1% of
+    // that NATION'S total (Q11's exact structure: the filter and the
+    // denominator share a sub-plan). The scalar total is a 1-row
+    // broadcast and the threshold compares in exact integers
+    // (part_e4 · 1000 > nation_e4) — group-vs-global fraction
+    // predicates are where float thresholds silently diverge between
+    // engines, so the division is never performed.
+    decl("q297_tpch_q11_important_value",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "supplier")
+            .where(col("s_nationkey") === 3).select(col("s_suppkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("l_partkey"),
+            (expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+              * (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+              .as("val_e4"))
+        val grouped = li.groupBy(col("l_partkey"))
+          .agg(sum(col("val_e4")).as("part_val_e4"))
+        val total = li.agg(sum(col("val_e4")).as("nation_val_e4"))
+        grouped.crossJoin(broadcast(total))
+          .where(col("part_val_e4") * 1000L > col("nation_val_e4"))
+          .select(col("l_partkey"), col("part_val_e4"))
+      },
+      """WITH li AS (
+        |  SELECT l_partkey,
+        |    round(l_extendedprice * 100)::BIGINT
+        |      * (100 - round(l_discount * 100)::BIGINT) AS val_e4
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE s_nationkey = 3)
+        |SELECT l_partkey, SUM(val_e4)::BIGINT AS part_val_e4
+        |FROM li
+        |GROUP BY 1
+        |HAVING SUM(val_e4) * 1000 > (SELECT SUM(val_e4) FROM li)""".stripMargin),
+
+    // q298 (round-14): the TPC-H Q19 shape — disjunctive predicate
+    // revenue: OR of three conjunctive (brand, size-range,
+    // quantity-range) branches across a join. The plan matters more
+    // than the arithmetic here: the part-side conjuncts (brand, size)
+    // must prune the PART scan and the lineitem-side bounds
+    // (quantity between the union of branch ranges) must reach the
+    // LINEITEM scan as a pushed filter even though the full predicate
+    // straddles the join — the classic "derive single-side filters
+    // from a cross-side OR" test.
+    decl("q298_tpch_q19_disjunctive",
+      (s, d) => {
+        val branch = (brand: String, sizeHi: Int, qLo: Int, qHi: Int) =>
+          col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+            col("l_quantity").between(qLo, qHi)
+        t(s, d, "lineitem")
+          // derived single-side bound: every branch needs quantity in
+          // [1, 30] — pushed to the scan independently of the OR
+          .where(col("l_quantity").between(1, 30))
+          .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+          .where(branch("Brand#12", 5, 1, 11) || branch("Brand#23", 10, 10, 20)
+            || branch("Brand#34", 15, 20, 30))
+          .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            * (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+            .as("revenue_e4"), count(lit(1)).as("n_lines"))
+      },
+      """SELECT SUM(round(l_extendedprice * 100)::BIGINT
+        |         * (100 - round(l_discount * 100)::BIGINT))::BIGINT AS revenue_e4,
+        |  COUNT(*)::BIGINT AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
   )
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Retrieval, Sampling, Similarity}
+import graft.operators.{Quantiles, Retrieval, Sampling, Similarity}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Q._
@@ -1006,7 +1006,7 @@ object SelectionQueries {
            |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
            |    ORDER BY cos DESC, nid) AS rnk FROM sc2)
            |WHERE rnk <= 10""".stripMargin
-      })) :+ unigramDecl :+ doremiDecl
+      })) :+ unigramDecl :+ doremiDecl :+ madDecl :+ neymanAllocDecl :+ neymanSampleDecl
 
   // DoReMi-style mixture reweighting (Xie et al. 2023): per-domain
     // excess loss (chars-per-token proxy vs the corpus-wide reference,
@@ -1068,4 +1068,123 @@ object SelectionQueries {
          |               WHEN l.lft < 0 AND rd <= -l.lft THEN -1
          |               ELSE 0 END)::BIGINT AS n_alloc
          |FROM r, l""".stripMargin)
+
+  // q301 (round-14): ROBUST outlier gate — per-language exact lower
+  // median + MAD of document length from the VALUE HISTOGRAM (the
+  // only ordered window runs over distinct lengths, bounded by the
+  // value domain, never a row sort — the 100 TB shape for exact
+  // order statistics on integral columns), flagging docs more than
+  // 3 MADs out. MAD is the scale one corrupt 10⁹-char document
+  // cannot move, unlike the stddev z-score it replaces; everything
+  // is an integer order statistic, so the oracle replays median,
+  // MAD, and the gate itself from first principles.
+  private def madDecl: Decl =
+    decl("q301_mad_outlier_gate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val mm = Quantiles.medianMad(docs, col("lang"), col("n_chars"))
+        docs.select(col("lang").as("g"), col("n_chars").cast("long").as("v"))
+          .join(broadcast(mm), "g")
+          .groupBy(col("g").as("lang"), col("n").as("n_docs"),
+            col("med").as("median_chars"), col("mad").as("mad_chars"))
+          .agg(sum(when(abs(col("v") - col("med")) > lit(3L) * col("mad"),
+            1L).otherwise(0L)).as("n_outliers"))
+      },
+      """WITH h AS (SELECT lang AS g, n_chars::BIGINT AS v,
+        |  COUNT(*)::BIGINT AS cnt FROM documents GROUP BY 1, 2),
+        |n AS (SELECT g, SUM(cnt)::BIGINT AS n FROM h GROUP BY 1),
+        |c AS (SELECT g, v, cnt,
+        |  SUM(cnt) OVER (PARTITION BY g ORDER BY v)::BIGINT AS cum FROM h),
+        |med AS (SELECT c.g, n.n, v AS med FROM c JOIN n USING (g)
+        |        WHERE cum >= (n + 1) // 2 AND cum - cnt < (n + 1) // 2),
+        |h2 AS (SELECT d.lang AS g, ABS(d.n_chars - med.med)::BIGINT AS v,
+        |       COUNT(*)::BIGINT AS cnt
+        |       FROM documents d JOIN med ON d.lang = med.g GROUP BY 1, 2),
+        |n2 AS (SELECT g, SUM(cnt)::BIGINT AS n FROM h2 GROUP BY 1),
+        |c2 AS (SELECT g, v, cnt,
+        |  SUM(cnt) OVER (PARTITION BY g ORDER BY v)::BIGINT AS cum FROM h2),
+        |mad AS (SELECT c2.g, v AS mad FROM c2 JOIN n2 USING (g)
+        |        WHERE cum >= (n + 1) // 2 AND cum - cnt < (n + 1) // 2)
+        |SELECT d.lang, med.n AS n_docs, med.med AS median_chars,
+        |  mad.mad AS mad_chars,
+        |  SUM(CASE WHEN ABS(d.n_chars - med.med) > 3 * mad.mad
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        |FROM documents d JOIN med ON d.lang = med.g
+        |JOIN mad ON d.lang = mad.g
+        |GROUP BY 1, 2, 3, 4""".stripMargin)
+
+  // q302 (round-14): NEYMAN optimal stratified allocation — the
+  // 200-doc budget lands where the estimator variance is: each
+  // language's share is proportional to its dispersion mass
+  // Σ|len − median| (the integer robust analogue of N_h·σ_h —
+  // proportional allocation would oversample big low-variance
+  // strata), apportioned by largest remainder so quotas sum to the
+  // budget EXACTLY with no float share ever computed. The oracle
+  // replays median, dispersion, floor quotas, and the remainder
+  // top-up rank for rank.
+  private def neymanAllocDecl: Decl =
+    decl("q302_neyman_allocation",
+      (s, d) => Sampling.neymanAllocation(t(s, d, "documents"),
+        col("lang"), col("n_chars"), budget = 200L),
+      """WITH h AS (SELECT lang AS g, n_chars::BIGINT AS v,
+        |  COUNT(*)::BIGINT AS cnt FROM documents GROUP BY 1, 2),
+        |n AS (SELECT g, SUM(cnt)::BIGINT AS n FROM h GROUP BY 1),
+        |c AS (SELECT g, v, cnt,
+        |  SUM(cnt) OVER (PARTITION BY g ORDER BY v)::BIGINT AS cum FROM h),
+        |med AS (SELECT c.g, n.n, v AS med FROM c JOIN n USING (g)
+        |        WHERE cum >= (n + 1) // 2 AND cum - cnt < (n + 1) // 2),
+        |disp AS (SELECT d.lang AS g,
+        |  SUM(ABS(d.n_chars - med.med))::BIGINT AS disp
+        |  FROM documents d JOIN med ON d.lang = med.g GROUP BY 1),
+        |tot AS (SELECT SUM(disp)::BIGINT AS tot FROM disp),
+        |q AS (SELECT g, disp, (200 * disp) // tot.tot AS base,
+        |      (200 * disp) % tot.tot AS rem FROM disp, tot),
+        |lft AS (SELECT (200 - SUM(base))::BIGINT AS lft FROM q),
+        |r AS (SELECT g, disp, base, rem,
+        |      row_number() OVER (ORDER BY rem DESC, g ASC)::BIGINT AS ru FROM q)
+        |SELECT r.g AS stratum, med.n AS n_rows, med.med AS median,
+        |  r.disp AS dispersion,
+        |  (r.base + CASE WHEN r.ru <= lft.lft THEN 1 ELSE 0 END)::BIGINT
+        |    AS quota
+        |FROM r JOIN med ON r.g = med.g, lft""".stripMargin)
+
+  // q303 (round-14): draw the q302 sample deterministically — rows
+  // rank inside their stratum by a salted id hash (membership is a
+  // pure function of the id: the corpus growing elsewhere never
+  // re-deals a stratum — the assignSplits stability property), the
+  // rank window is bounded by the constant budget FIRST (plans as a
+  // WindowGroupLimit heap, never a full per-stratum sort), then
+  // trimmed to each stratum's exact quota. Oracle re-derives every
+  // rank from the same md5-prefix hash.
+  private def neymanSampleDecl: Decl =
+    decl("q303_neyman_sample",
+      (s, d) => Sampling.neymanSample(t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        col("lang"), col("n_chars"), col("doc_id"),
+        budget = 200L, salt = "ney")
+        .select(col("doc_id"), col("lang"), col("rk")),
+      s"""WITH h AS (SELECT lang AS g, n_chars::BIGINT AS v,
+         |  COUNT(*)::BIGINT AS cnt FROM documents GROUP BY 1, 2),
+         |n AS (SELECT g, SUM(cnt)::BIGINT AS n FROM h GROUP BY 1),
+         |c AS (SELECT g, v, cnt,
+         |  SUM(cnt) OVER (PARTITION BY g ORDER BY v)::BIGINT AS cum FROM h),
+         |med AS (SELECT c.g, n.n, v AS med FROM c JOIN n USING (g)
+         |        WHERE cum >= (n + 1) // 2 AND cum - cnt < (n + 1) // 2),
+         |disp AS (SELECT d.lang AS g,
+         |  SUM(ABS(d.n_chars - med.med))::BIGINT AS disp
+         |  FROM documents d JOIN med ON d.lang = med.g GROUP BY 1),
+         |tot AS (SELECT SUM(disp)::BIGINT AS tot FROM disp),
+         |q AS (SELECT g, (200 * disp) // tot.tot AS base,
+         |      (200 * disp) % tot.tot AS rem FROM disp, tot),
+         |lft AS (SELECT (200 - SUM(base))::BIGINT AS lft FROM q),
+         |quota AS (SELECT g,
+         |  (base + CASE WHEN row_number() OVER (ORDER BY rem DESC, g ASC)
+         |     <= lft.lft THEN 1 ELSE 0 END)::BIGINT AS quota FROM q, lft),
+         |rk AS (SELECT doc_id, lang,
+         |  row_number() OVER (PARTITION BY lang ORDER BY
+         |    ${sqlHash60("('ney|' || doc_id::VARCHAR)")}, doc_id)::BIGINT AS rk
+         |  FROM documents)
+         |SELECT rk.doc_id, rk.lang, rk.rk
+         |FROM rk JOIN quota ON rk.lang = quota.g
+         |WHERE rk.rk <= quota.quota""".stripMargin)
 }
