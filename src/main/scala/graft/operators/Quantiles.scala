@@ -81,6 +81,35 @@ object Quantiles {
       .select(col("g"), col("n"), col("v").as("med"))
   }
 
+  /** Per-group EXACT rational quantiles over an integral column, the
+    * [[histMedian]] machinery generalized: for each quantile num/den
+    * the result is the ceil(n·num/den)-th order statistic — computed
+    * as (n·num + den − 1) div den, so the target index, like the value
+    * itself, never touches a float. One histogram, one ordered window
+    * over the distinct-value frame, one broadcast quantile list.
+    * Returns (g, n, qnum, qden, value) — one row per group × quantile. */
+  def histExactQuantiles(df: DataFrame, group: Column, value: Column,
+      qs: Seq[(Int, Int)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (n2, d2) => n2 > 0 && n2 <= d2 },
+      s"quantiles must be rationals in (0, 1]: $qs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df.select(group.as("g"), value.cast("long").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+    val n = hist.groupBy("g").agg(sum("cnt").as("n"))
+    val qf = qs.toDF("qnum", "qden")
+    hist.withColumn("cum",
+        sum("cnt").over(Window.partitionBy("g").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(n), "g")
+      .crossJoin(broadcast(qf))
+      .withColumn("target", expr("(n * qnum + qden - 1) div qden"))
+      .where(col("cum") >= col("target")
+        && col("cum") - col("cnt") < col("target"))
+      .select(col("g"), col("n"), col("qnum"), col("qden"),
+        col("v").as("value"))
+  }
+
   /** Per-group robust dispersion: exact lower median plus MAD (median
     * absolute deviation — the lower median of |v − median| by the same
     * histogram construction), the outlier scale that a handful of

@@ -1417,6 +1417,259 @@ object RelationalQueries {
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
-        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin),
+
+    // q305 (round-14): COHORT RETENTION matrix — the product-analytics
+    // staple: users bucketed by first-activity week; for each
+    // (cohort, week-offset) cell, how many of that cohort were active.
+    // Two aggregates and one equi-join on user_id: first-seen is a
+    // min-aggregate (mergeable, map-side combined), the matrix is a
+    // countDistinct over (cohort, offset) — no window, no per-user
+    // sort, weeks in exact integer epoch arithmetic (µs div week).
+    decl("q305_cohort_retention",
+      (s, d) => {
+        val ev = Q.events(s, d).select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("wk"))
+        val first = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+        val sizes = first.groupBy("cohort_week")
+          .agg(countDistinct(col("user_id")).as("cohort_size"))
+        ev.join(first, "user_id")
+          .groupBy(col("cohort_week"),
+            (col("wk") - col("cohort_week")).as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .join(sizes, "cohort_week")
+          .select(col("cohort_week"), col("week_offset"), col("n_active"),
+            col("cohort_size"))
+      },
+      """WITH ev AS (SELECT user_id,
+        |  epoch_ns(ts) // 1000 // 604800000000 AS wk FROM events),
+        |fs AS (SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY 1),
+        |sz AS (SELECT cohort_week, COUNT(DISTINCT user_id)::BIGINT
+        |       AS cohort_size FROM fs GROUP BY 1)
+        |SELECT fs.cohort_week, ev.wk - fs.cohort_week AS week_offset,
+        |  COUNT(DISTINCT ev.user_id)::BIGINT AS n_active, sz.cohort_size
+        |FROM ev JOIN fs USING (user_id)
+        |JOIN sz ON fs.cohort_week = sz.cohort_week
+        |GROUP BY 1, 2, 4""".stripMargin),
+
+    // q307 (round-14): the TPC-H Q6 shape — the simplest query in the
+    // suite and the purest SCAN test: one filter (date year + discount
+    // band + quantity cap), one global aggregate, nothing else. Every
+    // predicate must reach the parquet scan (PushedFilters); the
+    // forecast-revenue product is exact e4 integers (cents × basis
+    // points), so the oracle agrees to the last digit.
+    decl("q307_tpch_q6",
+      (s, d) => t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && expr("CAST(round(l_discount * 100) AS BIGINT)").between(5, 7)
+          && col("l_quantity") < 24)
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+          * expr("CAST(round(l_discount * 100) AS BIGINT)"))
+          .as("revenue_e4"), count(lit(1)).as("n_lines")),
+      """SELECT SUM(round(l_extendedprice * 100)::BIGINT
+        |      * round(l_discount * 100)::BIGINT)::BIGINT AS revenue_e4,
+        |  COUNT(*)::BIGINT AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND round(l_discount * 100)::BIGINT BETWEEN 5 AND 7
+        |  AND l_quantity < 24""".stripMargin),
+
+    // q308 (round-14): the TPC-H Q12 shape — shipping-mode priority
+    // audit (adapted: return-flag classes stand in for ship modes):
+    // per class, CONDITIONAL counts of high- vs low-priority orders in
+    // a shipping window. One join + one aggregate whose payload is two
+    // CASE sums — the shape that teaches conditional aggregation
+    // pushes into the partial-agg phase instead of becoming two scans.
+    decl("q308_tpch_q12",
+      (s, d) => t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count")),
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin),
+
+    // q309 (round-14): the TPC-H Q14 shape — promotion-revenue share:
+    // what fraction of a month's revenue came from PROMO parts. The
+    // classic ratio-of-conditional-sums; emitted as exact integer
+    // numerator + denominator + floor-division basis points, so the
+    // one place engines usually diverge (the final float division)
+    // never happens.
+    decl("q309_tpch_q14",
+      (s, d) => t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-03-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .select((expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+          * (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+          .as("rev_e4"), col("p_type"))
+        .agg(sum(when(col("p_type") === "PROMO", col("rev_e4"))
+          .otherwise(0L)).as("promo_rev_e4"),
+          sum(col("rev_e4")).as("total_rev_e4"))
+        .select(col("promo_rev_e4"), col("total_rev_e4"),
+          expr("(10000 * promo_rev_e4) div total_rev_e4").as("promo_bp")),
+      """WITH li AS (SELECT
+        |  round(l_extendedprice * 100)::BIGINT
+        |    * (100 - round(l_discount * 100)::BIGINT) AS rev_e4, p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'),
+        |s AS (SELECT
+        |  SUM(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END)::BIGINT
+        |    AS promo_rev_e4,
+        |  SUM(rev_e4)::BIGINT AS total_rev_e4 FROM li)
+        |SELECT promo_rev_e4, total_rev_e4,
+        |  (10000 * promo_rev_e4) // total_rev_e4 AS promo_bp FROM s""".stripMargin),
+
+    // q310 (round-14): the TPC-H Q7 shape — volume shipping between
+    // two nations: revenue flowing supplier-nation → customer-nation,
+    // for the (0,1)/(1,0) pair, by ship year. Two dimension chains off
+    // one fact scan (supplier side broadcast, customer side rides the
+    // orders join); the pair filter must land BEFORE the aggregate.
+    decl("q310_tpch_q7",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            year(col("l_shipdate")).cast("long").as("l_year"),
+            (expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+              * (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+              .as("rev_e4"))
+        li.join(broadcast(t(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey").cast("long")
+              .as("supp_nation"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer").select(col("c_custkey"),
+            col("c_nationkey").cast("long").as("cust_nation")),
+            col("o_custkey") === col("c_custkey"))
+          .where((col("supp_nation") === 0L && col("cust_nation") === 1L)
+            || (col("supp_nation") === 1L && col("cust_nation") === 0L))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+          .agg(sum(col("rev_e4")).as("revenue_e4"),
+            count(lit(1)).as("n_lines"))
+      },
+      """SELECT s_nationkey::BIGINT AS supp_nation,
+        |  c_nationkey::BIGINT AS cust_nation,
+        |  year(l_shipdate)::BIGINT AS l_year,
+        |  SUM(round(l_extendedprice * 100)::BIGINT
+        |    * (100 - round(l_discount * 100)::BIGINT))::BIGINT AS revenue_e4,
+        |  COUNT(*)::BIGINT AS n_lines
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE (s_nationkey = 0 AND c_nationkey = 1)
+        |   OR (s_nationkey = 1 AND c_nationkey = 0)
+        |GROUP BY 1, 2, 3""".stripMargin),
+
+    // q311 (round-14): the TPC-H Q8 shape — national market share:
+    // within one customer region and one part type, what share of
+    // yearly revenue did nation 3's suppliers take. Ratio of
+    // conditional sums again (the q309 discipline: integer numerator,
+    // denominator, floor-division basis points — never a float), over
+    // a 4-dimension star join where region and type prune FIRST.
+    decl("q311_tpch_q8",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+          .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .where(col("n_regionkey") === 2)
+          .select(col("c_custkey"))
+        t(s, d, "lineitem")
+          .join(t(s, d, "part").where(col("p_type") === "PROMO")
+            .select(col("p_partkey")),
+            col("l_partkey") === col("p_partkey"))
+          .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+          .join(broadcast(t(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(year(col("l_shipdate")).cast("long").as("o_year"),
+            (expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+              * (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+              .as("rev_e4"),
+            col("s_nationkey"))
+          .groupBy(col("o_year"))
+          .agg(sum(when(col("s_nationkey") === 3, col("rev_e4"))
+            .otherwise(0L)).as("nation_rev_e4"),
+            sum(col("rev_e4")).as("total_rev_e4"))
+          .select(col("o_year"), col("nation_rev_e4"), col("total_rev_e4"),
+            expr("(10000 * nation_rev_e4) div total_rev_e4").as("share_bp"))
+      },
+      """WITH li AS (SELECT year(l_shipdate)::BIGINT AS o_year,
+        |  round(l_extendedprice * 100)::BIGINT
+        |    * (100 - round(l_discount * 100)::BIGINT) AS rev_e4,
+        |  s_nationkey
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE p_type = 'PROMO'
+        |    AND o_custkey IN (SELECT c_custkey FROM customer
+        |      JOIN nation ON c_nationkey = n_nationkey
+        |      WHERE n_regionkey = 2)),
+        |s AS (SELECT o_year,
+        |  SUM(CASE WHEN s_nationkey = 3 THEN rev_e4 ELSE 0 END)::BIGINT
+        |    AS nation_rev_e4,
+        |  SUM(rev_e4)::BIGINT AS total_rev_e4 FROM li GROUP BY 1)
+        |SELECT o_year, nation_rev_e4, total_rev_e4,
+        |  (10000 * nation_rev_e4) // total_rev_e4 AS share_bp FROM s""".stripMargin),
+
+    // q312 (round-14): the TPC-H Q9 shape — product-line profit by
+    // supplier nation and order year: profit = revenue − cost (cost
+    // adapted to retail_cents·qty·100 — the schema has no partsupp),
+    // in the same e4 integer units so profit sums exactly even when
+    // NEGATIVE (the sign is data: discounted lines can sell below
+    // retail). The biggest join fan in the suite after Q8 — part
+    // filter prunes first, supplier dim broadcasts.
+    decl("q312_tpch_q9",
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "part").where(col("p_type") === "STANDARD")
+          .select(col("p_partkey"),
+            expr("CAST(round(p_retailprice * 100) AS BIGINT)")
+              .as("retail_cents")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey").cast("long")
+            .as("supp_nation"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders").select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("supp_nation"), col("o_year"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            * (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)"))
+            - col("retail_cents") * col("l_quantity").cast("long") * lit(100L))
+            .as("amount_e4"))
+        .groupBy(col("supp_nation"), col("o_year"))
+        .agg(sum(col("amount_e4")).as("profit_e4"),
+          count(lit(1)).as("n_lines")),
+      """SELECT s_nationkey::BIGINT AS supp_nation,
+        |  year(o_orderdate)::BIGINT AS o_year,
+        |  SUM(round(l_extendedprice * 100)::BIGINT
+        |      * (100 - round(l_discount * 100)::BIGINT)
+        |    - round(p_retailprice * 100)::BIGINT * l_quantity::BIGINT * 100
+        |  )::BIGINT AS profit_e4,
+        |  COUNT(*)::BIGINT AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_type = 'STANDARD'
+        |GROUP BY 1, 2""".stripMargin)
   )
 }

@@ -1006,7 +1006,7 @@ object SelectionQueries {
            |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
            |    ORDER BY cos DESC, nid) AS rnk FROM sc2)
            |WHERE rnk <= 10""".stripMargin
-      })) :+ unigramDecl :+ doremiDecl :+ madDecl :+ neymanAllocDecl :+ neymanSampleDecl
+      })) :+ unigramDecl :+ doremiDecl :+ madDecl :+ neymanAllocDecl :+ neymanSampleDecl :+ quartilesDecl
 
   // DoReMi-style mixture reweighting (Xie et al. 2023): per-domain
     // excess loss (chars-per-token proxy vs the corpus-wide reference,
@@ -1187,4 +1187,39 @@ object SelectionQueries {
          |SELECT rk.doc_id, rk.lang, rk.rk
          |FROM rk JOIN quota ON rk.lang = quota.g
          |WHERE rk.rk <= quota.quota""".stripMargin)
+
+  // q306 (round-14): EXACT per-language length quartiles — the q301
+  // histogram order statistics generalized to a rational quantile
+  // list: the p-th value is the ceil(n·num/den)-th order statistic,
+  // target index computed as (n·num + qden − 1) div qden, so neither
+  // the index nor the value ever touches a float (histQuantiles q166
+  // is the approximate fixed-resolution twin; this is the exact arm
+  // for integral domains). Pivoted to one row per language so the
+  // whole corpus-length profile reads at a glance.
+  private def quartilesDecl: Decl =
+    decl("q306_exact_quartiles",
+      (s, d) => Quantiles.histExactQuantiles(t(s, d, "documents"),
+          col("lang"), col("n_chars"), Seq((1, 4), (1, 2), (3, 4)))
+        .groupBy(col("g").as("lang"), col("n").as("n_docs"))
+        .agg(max(when(col("qnum") === 1 && col("qden") === 4,
+          col("value"))).as("p25"),
+          max(when(col("qnum") === 1 && col("qden") === 2,
+            col("value"))).as("p50"),
+          max(when(col("qnum") === 3 && col("qden") === 4,
+            col("value"))).as("p75")),
+      """WITH h AS (SELECT lang AS g, n_chars::BIGINT AS v,
+        |  COUNT(*)::BIGINT AS cnt FROM documents GROUP BY 1, 2),
+        |n AS (SELECT g, SUM(cnt)::BIGINT AS n FROM h GROUP BY 1),
+        |c AS (SELECT g, v, cnt,
+        |  SUM(cnt) OVER (PARTITION BY g ORDER BY v)::BIGINT AS cum FROM h),
+        |q AS (SELECT unnest([1, 1, 3]) AS qnum, unnest([4, 2, 4]) AS qden),
+        |pick AS (SELECT c.g, n.n, q.qnum, q.qden, c.v
+        |  FROM c JOIN n USING (g), q
+        |  WHERE cum >= (n * qnum + qden - 1) // qden
+        |    AND cum - cnt < (n * qnum + qden - 1) // qden)
+        |SELECT g AS lang, n AS n_docs,
+        |  MAX(CASE WHEN qnum = 1 AND qden = 4 THEN v END)::BIGINT AS p25,
+        |  MAX(CASE WHEN qnum = 1 AND qden = 2 THEN v END)::BIGINT AS p50,
+        |  MAX(CASE WHEN qnum = 3 AND qden = 4 THEN v END)::BIGINT AS p75
+        |FROM pick GROUP BY 1, 2""".stripMargin)
 }

@@ -102,6 +102,23 @@ class RobustStatsSpec extends SparkSpec {
     assert(r(10L) === 127500L) // 85% of round-1 seed rank 150000
   }
 
+  test("histExactQuantiles: rational targets hit exact order statistics") {
+    // 10 values 1..10: p25 -> ceil(10/4)=3rd -> 3; p50 -> 5th -> 5;
+    // p75 -> ceil(30/4)=8th -> 8; p100 -> 10th -> 10
+    val df = (1L to 10L).map(("g", _)).toDF("g", "v")
+    val r = Quantiles.histExactQuantiles(df, col("g"), col("v"),
+        Seq((1, 4), (1, 2), (3, 4), (1, 1)))
+      .orderBy("qden", "qnum")
+      .select("qnum", "qden", "value").collect().toSeq
+    assert(r === Seq(Row(1, 1, 10L), Row(1, 2, 5L),
+      Row(1, 4, 3L), Row(3, 4, 8L)))
+    // duplicates: 1,1,1,9 -> p75 target ceil(3)=3rd -> 1
+    val dup = Seq(1L, 1L, 1L, 9L).map(("g", _)).toDF("g", "v")
+    val r2 = Quantiles.histExactQuantiles(dup, col("g"), col("v"),
+      Seq((3, 4))).select("value").head()
+    assert(r2 === Row(1L))
+  }
+
   test("clusteringDepth: hand-built overlapping envelopes") {
     // files: [0,9], [5,14], [20,29] -> depths: [0,5)=1 [5,10)=2
     // [10,15)=1 [15,20)=0(dropped) [20,30)=1
