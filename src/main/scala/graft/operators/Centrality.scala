@@ -485,6 +485,46 @@ object Centrality {
     reach.where(col("node") =!= col("seed"))
   }
 
+  /** Per-seed SHORTEST-PATH COUNTS — the forward phase of Brandes'
+    * betweenness algorithm as a standalone operator: for every (seed,
+    * node) pair reached within `maxHops`, the hop distance AND the
+    * number σ of distinct shortest paths achieving it. The semiring is
+    * (min, +) on distance carrying (sum) on counts: a node first
+    * reached at hop h counts Σ σ(predecessor at h−1) paths — BFS
+    * layers make the path DAG explicit, so counts are one aggregate
+    * per round, never an enumeration (σ grows multiplicatively with
+    * degree, the row count does NOT). Per round only the fresh layer
+    * expands (the [[bfsDistances]] frontier rule) and an anti-join
+    * keeps earlier-reached pairs closed — a re-reach at a LATER hop is
+    * by construction not shortest. State is |seeds|·|reached| rows;
+    * serialized spill-safe round checkpoints as the whole family.
+    * `edges`: (src, dst); `seeds`: one id column.
+    * Returns (seed, node, dist, paths) for 1 ≤ dist ≤ maxHops. */
+  def shortestPathCounts(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var reach = seeds.toDF("seed").distinct()
+      .select(col("seed").cast("long").as("seed"),
+        col("seed").cast("long").as("node"), lit(0L).as("dist"),
+        lit(1L).as("paths"))
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    (1 to maxHops).foreach { h =>
+      val frontier = reach.where(col("dist") === (h - 1))
+      val layer = e.join(frontier.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("seed"), col("dst").as("node"))
+        .agg(sum(col("paths")).as("paths"))
+      val fresh = layer.join(reach.select("seed", "node"),
+          Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(h.toLong).as("dist"),
+          col("paths"))
+      reach = reach.unionByName(fresh).localCheckpoint(true, lvl)
+    }
+    e.unpersist(blocking = false)
+    reach.where(col("dist") > 0L)
+  }
+
   /** Fixed-round integer PERSONALIZED PageRank: teleport mass lands on
     * the seed set instead of uniformly — the standard seed-proximity
     * ranking (recommendation, entity-neighborhood relevance), sharing

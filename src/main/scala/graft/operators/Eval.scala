@@ -170,4 +170,61 @@ object Eval {
           r6(col("br_sum").cast("double") / col("n_items").cast("double")))
           .as("bcubed_rec"))
   }
+
+  /** Optimal single-feature GATE calibration — the 1R/decision-stump
+    * argmax in exact integers: find the integral threshold t whose
+    * rule "value ≤ t" best AGREES with a reference boolean label,
+    * trying both orientations (≤ t predicts positive, or predicts
+    * negative). Agreement (classification accuracy numerator) is a
+    * pure integer — unlike Gini/entropy it needs no per-threshold
+    * denominator, so the argmax is engine-portable with no rational
+    * comparison anywhere. This is how a curation pipeline CALIBRATES
+    * its cheap gates (length, punctuation ratio, token count) against
+    * an expensive reference label on a sample: candidates are the
+    * DISTINCT values (cumulative counts from the value histogram —
+    * the [[Quantiles.histMedian]] frame discipline: windows over the
+    * value domain, never the rows), the argmax is one max_by.
+    * Ties break toward the SMALLEST threshold, then toward the
+    * "≤ predicts positive" orientation (lexicographically via the
+    * packed tie-break tuple).
+    *
+    * @return one row: (threshold, le_predicts_positive, n, n_pos,
+    *         agree, base_agree) — base_agree = majority-class count,
+    *         the accuracy a thresholdless gate already achieves */
+  def bestThresholdGate(df: DataFrame, value: Column,
+      label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.select(value.cast("long").as("v"),
+        label.cast("boolean").as("y"))
+      .groupBy("v")
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("pos_at"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("neg_at"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("pos_le", sum(col("pos_at")).over(w))
+      .withColumn("neg_le", sum(col("neg_at")).over(w))
+    val tot = broadcast(hist.agg(sum(col("pos_at")).as("n_pos"),
+      sum(col("neg_at")).as("n_neg")))
+    val scored = cum.crossJoin(tot)
+      .select(col("v"), col("n_pos"), col("n_neg"),
+        (col("pos_le") + col("n_neg") - col("neg_le")).as("agree_pos"),
+        (col("neg_le") + col("n_pos") - col("pos_le")).as("agree_neg"))
+      .select(col("v"), col("n_pos"), col("n_neg"),
+        greatest(col("agree_pos"), col("agree_neg")).as("agree"),
+        (col("agree_pos") >= col("agree_neg")).as("le_pos"))
+    // argmax agree, ties -> smallest v, then le_pos=true first:
+    // max_by on (agree, -v, le_pos) — one mergeable aggregate
+    scored
+      .agg(max_by(struct(col("v"), col("le_pos"), col("agree")),
+        struct(col("agree"), (-col("v")).as("nv"),
+          col("le_pos"))).as("best"),
+        first(col("n_pos") + col("n_neg")).as("n"),
+        first(col("n_pos")).as("n_pos"),
+        max(greatest(col("n_pos"), col("n_neg"))).as("base_agree"))
+      .select(col("best.v").as("threshold"),
+        col("best.le_pos").as("le_predicts_positive"),
+        col("n"), col("n_pos"), col("best.agree").as("agree"),
+        col("base_agree"))
+  }
 }

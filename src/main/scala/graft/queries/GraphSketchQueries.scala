@@ -512,7 +512,7 @@ object GraphSketchQueries {
          |${(0 until 3).map(j =>
              s"LEFT JOIN cm c$j ON c$j.r = $j AND c$j.p = " +
                s"${sqlHash60(s"('cm$j|' || t.user_id::VARCHAR)")} % 1024")
-             .mkString("\n")}""".stripMargin)) :+ lpaDecl :+ temporalDecl :+ modularityDecl :+ harmonicDecl :+ hllDecl :+ ssspDecl :+ pprDecl
+             .mkString("\n")}""".stripMargin)) :+ lpaDecl :+ temporalDecl :+ modularityDecl :+ harmonicDecl :+ hllDecl :+ ssspDecl :+ pprDecl :+ pathCountDecl
 
   // q286 (round-14): per-group HYPERLOGLOG distinct — the fixed-memory
   // arm of the distinct-count family beside KMV (q164: exact below k,
@@ -793,7 +793,7 @@ object GraphSketchQueries {
           .unionByName(eo.select(col("sup").as("src"), col("c").as("dst"),
             col("w")))
         val seeds = t(s, d, "customer").select(col("c_custkey"))
-          .where(expr("c_custkey % 100 = 0"))
+          .where(expr("c_custkey % 500 = 0"))
         Centrality.weightedDistances(edges, seeds, maxHops = 3)
       },
       s"""WITH eo AS MATERIALIZED (SELECT o_custkey::BIGINT AS c,
@@ -804,7 +804,7 @@ object GraphSketchQueries {
          |e AS MATERIALIZED (SELECT c AS src, sup AS dst, w FROM eo
          |     UNION ALL SELECT sup, c, w FROM eo),
          |r0 AS (SELECT c_custkey::BIGINT AS seed, c_custkey::BIGINT AS node,
-         |       0::BIGINT AS dist FROM customer WHERE c_custkey % 100 = 0),
+         |       0::BIGINT AS dist FROM customer WHERE c_custkey % 500 = 0),
          |${wRounds(3)}
          |SELECT seed, node, dist FROM r3 WHERE node <> seed""".stripMargin)
 
@@ -871,4 +871,55 @@ object GraphSketchQueries {
          |${pprRounds(3)}
          |SELECT node, outdeg, is_seed, CAST(rank AS BIGINT) AS rank
          |FROM r3""".stripMargin)
+
+  /** Unrolled path-count round CTEs lK/rK over base CTEs e/r0: layer
+    * K sums predecessor counts, the NOT EXISTS keeps earlier-reached
+    * pairs closed (a later re-reach is by construction not shortest). */
+  private def pcRounds(rounds: Int): String =
+    (1 to rounds).map { h =>
+      s"""l$h AS (SELECT r.seed, e.dst AS node, SUM(r.paths)::BIGINT AS paths
+         |  FROM e JOIN r${h - 1} r ON e.src = r.node AND r.dist = ${h - 1}
+         |  GROUP BY 1, 2),
+         |r$h AS (SELECT * FROM r${h - 1}
+         |  UNION ALL
+         |  SELECT l.seed, l.node, $h::BIGINT AS dist, l.paths FROM l$h l
+         |  WHERE NOT EXISTS (SELECT 1 FROM r${h - 1} p
+         |    WHERE p.seed = l.seed AND p.node = l.node))""".stripMargin
+    }.mkString(",\n")
+
+  // q313 (round-14): SHORTEST-PATH COUNTS — Brandes' forward phase as
+  // an operator: distance AND the number σ of distinct shortest paths
+  // per (seed, node), the quantity betweenness/path-redundancy
+  // analyses start from ("how many independent 2-hop routes connect
+  // these parties" is itself a risk signal: σ = 1 is a chokepoint).
+  // The (min,+)-with-count-sums semiring rides BFS layers — counts
+  // grow multiplicatively with degree, ROWS do not (one aggregate per
+  // layer, an anti-join closes earlier-reached pairs). The oracle
+  // unrolls the same three layers with the same NOT-EXISTS closure.
+  private def pathCountDecl: Decl =
+    decl("q313_shortest_path_counts",
+      (s, d) => {
+        val eo = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").cast("long").as("c"),
+            (lit(1000000L) + col("l_suppkey")).as("sup"))
+          .distinct()
+        val edges = eo.select(col("c").as("src"), col("sup").as("dst"))
+          .unionByName(eo.select(col("sup").as("src"), col("c").as("dst")))
+        val seeds = t(s, d, "customer").select(col("c_custkey"))
+          .where(expr("c_custkey % 500 = 0"))
+        Centrality.shortestPathCounts(edges, seeds, maxHops = 3)
+      },
+      s"""WITH eo AS MATERIALIZED (SELECT DISTINCT o_custkey::BIGINT AS c,
+         |  (1000000 + l_suppkey)::BIGINT AS sup
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS MATERIALIZED (SELECT c AS src, sup AS dst FROM eo
+         |     UNION ALL SELECT sup, c FROM eo),
+         |r0 AS (SELECT c_custkey::BIGINT AS seed, c_custkey::BIGINT AS node,
+         |       0::BIGINT AS dist, 1::BIGINT AS paths
+         |       FROM customer WHERE c_custkey % 500 = 0),
+         |${pcRounds(3)}
+         |SELECT seed, node, dist, paths FROM r3 WHERE dist > 0""".stripMargin)
 }

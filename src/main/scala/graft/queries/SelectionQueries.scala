@@ -1006,7 +1006,7 @@ object SelectionQueries {
            |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
            |    ORDER BY cos DESC, nid) AS rnk FROM sc2)
            |WHERE rnk <= 10""".stripMargin
-      })) :+ unigramDecl :+ doremiDecl :+ madDecl :+ neymanAllocDecl :+ neymanSampleDecl :+ quartilesDecl
+      })) :+ unigramDecl :+ doremiDecl :+ madDecl :+ neymanAllocDecl :+ neymanSampleDecl :+ quartilesDecl :+ gateDecl
 
   // DoReMi-style mixture reweighting (Xie et al. 2023): per-domain
     // excess loss (chars-per-token proxy vs the corpus-wide reference,
@@ -1222,4 +1222,39 @@ object SelectionQueries {
         |  MAX(CASE WHEN qnum = 1 AND qden = 2 THEN v END)::BIGINT AS p50,
         |  MAX(CASE WHEN qnum = 3 AND qden = 4 THEN v END)::BIGINT AS p75
         |FROM pick GROUP BY 1, 2""".stripMargin)
+
+  // q314 (round-14): GATE CALIBRATION — the length threshold that
+  // best agrees with a reference label ("is this English"), in exact
+  // integer argmax: agreement counts need no per-threshold
+  // denominator (unlike Gini/entropy — no rational comparison
+  // anywhere), candidates are the distinct lengths with cumulative
+  // counts from the value histogram, both rule orientations tried,
+  // the argmax one mergeable max_by. This is how a curation pipeline
+  // tunes its cheap gates against an expensive reference on a sample;
+  // base_agree (the majority class) says whether the gate beats doing
+  // nothing. Ties break to the smallest threshold (oracle: the same
+  // ORDER BY ... LIMIT 1).
+  private def gateDecl: Decl =
+    decl("q314_threshold_gate_calibration",
+      (s, d) => graft.operators.Eval.bestThresholdGate(
+        t(s, d, "documents"), col("n_chars"), col("lang") === "en"),
+      """WITH h AS (SELECT n_chars::BIGINT AS v,
+        |  SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS pos_at,
+        |  SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS neg_at
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT SUM(pos_at)::BIGINT AS n_pos,
+        |      SUM(neg_at)::BIGINT AS n_neg FROM h),
+        |c AS (SELECT v,
+        |  SUM(pos_at) OVER (ORDER BY v)::BIGINT AS pos_le,
+        |  SUM(neg_at) OVER (ORDER BY v)::BIGINT AS neg_le FROM h),
+        |s AS (SELECT v,
+        |  (pos_le + n_neg - neg_le)::BIGINT AS agree_pos,
+        |  (neg_le + n_pos - pos_le)::BIGINT AS agree_neg FROM c, t),
+        |b AS (SELECT v, (agree_pos >= agree_neg) AS le_pos,
+        |  GREATEST(agree_pos, agree_neg)::BIGINT AS agree FROM s
+        |  ORDER BY agree DESC, v ASC, le_pos DESC LIMIT 1)
+        |SELECT b.v AS threshold, b.le_pos AS le_predicts_positive,
+        |  (t.n_pos + t.n_neg)::BIGINT AS n, t.n_pos,
+        |  b.agree, GREATEST(t.n_pos, t.n_neg)::BIGINT AS base_agree
+        |FROM b, t""".stripMargin)
 }

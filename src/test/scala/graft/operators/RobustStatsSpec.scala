@@ -70,6 +70,17 @@ class RobustStatsSpec extends SparkSpec {
     assert(aIds.subsetOf(aIds2) || aIds2.subsetOf(aIds))
   }
 
+  test("neymanSample plan-lock: rank bounds as a WindowGroupLimit heap") {
+    val df = (1L to 100L).map(i => (if (i <= 50) "a" else "b", i, i % 7))
+      .toDF("s", "id", "v")
+    val plan = Sampling.neymanSample(df, col("s"), col("v"), col("id"),
+      budget = 20L, salt = "t").queryExecution.executedPlan.toString
+    // the constant-budget rank filter must plan as WindowGroupLimit
+    // (per-partition top-k heaps around the exchange), so no full
+    // per-stratum sort ever materializes
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 1, plan.take(900))
+  }
+
   test("weightedDistances: 2-hop path beats the direct edge") {
     val edges = Seq((1L, 2L, 10L), (1L, 3L, 2L), (3L, 2L, 3L),
       (2L, 4L, 1L)).toDF("src", "dst", "w")
@@ -117,6 +128,38 @@ class RobustStatsSpec extends SparkSpec {
     val r2 = Quantiles.histExactQuantiles(dup, col("g"), col("v"),
       Seq((3, 4))).select("value").head()
     assert(r2 === Row(1L))
+  }
+
+  test("shortestPathCounts: diamond graph multiplies path counts") {
+    // 1 -> {2,3} -> 4 -> 5: node 4 has 2 shortest paths, node 5 inherits
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val r = Centrality.shortestPathCounts(edges, Seq(1L).toDF("id"), 3)
+      .collect().map(x => x.getLong(1) -> (x.getLong(2), x.getLong(3))).toMap
+    assert(r === Map(2L -> (1L, 1L), 3L -> (1L, 1L),
+      4L -> (2L, 2L), 5L -> (3L, 2L)))
+    // a longer re-reach of an already-closed node adds nothing:
+    // add 1 -> 4 direct, now 4 is at dist 1 with 1 path and 5 at 2
+    val r2 = Centrality.shortestPathCounts(
+        edges.unionByName(Seq((1L, 4L)).toDF("src", "dst")),
+        Seq(1L).toDF("id"), 3)
+      .collect().map(x => x.getLong(1) -> (x.getLong(2), x.getLong(3))).toMap
+    assert(r2(4L) === (1L, 1L) && r2(5L) === (2L, 1L))
+  }
+
+  test("bestThresholdGate: exact argmax, both orientations, tie rules") {
+    // v<=2 separates positives {1,2} from negatives {3,4}: agree 4/4
+    val df = Seq((1L, true), (2L, true), (3L, false), (4L, false))
+      .toDF("v", "y")
+    val r = Eval.bestThresholdGate(df, col("v"), col("y")).head()
+    assert(r === Row(2L, true, 4L, 2L, 4L, 2L))
+    // inverted labels -> same threshold, orientation flips
+    val inv = Eval.bestThresholdGate(df, col("v"), !col("y")).head()
+    assert(inv === Row(2L, false, 4L, 2L, 4L, 2L))
+    // uninformative values: best equals the majority baseline
+    val flat = Seq((7L, true), (7L, false), (7L, false)).toDF("v", "y")
+    val r3 = Eval.bestThresholdGate(flat, col("v"), col("y")).head()
+    assert(r3.getLong(4) === 2L && r3.getLong(5) === 2L)
   }
 
   test("clusteringDepth: hand-built overlapping envelopes") {
