@@ -241,6 +241,55 @@ object Layout {
     * @param manifest (file_id, n_rows, min_key, max_key)
     * @return (depth, n_segments, span) — for each occupied depth, how
     *         many key segments sit at it and their total key width */
+  /** EQUI-DEPTH layout plan: file boundaries from EXACT key quantiles
+    * (the [[Quantiles.histExactQuantiles]] machinery — ceil(n·i/files)
+    * order statistics, integer targets, histogram frame), so every
+    * file gets ~n/files ROWS regardless of key skew — the planning
+    * step Spark's own range partitioner approximates by SAMPLING,
+    * done exactly: a skewed key domain (half the table in one decade
+    * of keys) silently unbalances equi-WIDTH files (`k div w`), while
+    * equi-depth bounds follow the mass. Assignment is file_id =
+    * #boundaries below k, computed per row against the broadcast
+    * (files−1)-element boundary array — no sampling, no sort, no
+    * driver-side collect; heavy duplicate keys at a boundary stay
+    * together (both engines assign by the same strict `>`).
+    * Returns the [[Snapshot.manifestEntriesBy]] manifest of the plan:
+    * (version, file_id, n_rows, min_key, max_key) with disjoint
+    * envelopes by construction. */
+  def equiDepthPlan(df: DataFrame, key: Column, files: Int,
+      version: Long = 1L): DataFrame = {
+    require(files >= 2, s"files: $files")
+    val rows = df.select(key.cast("long").as("k"))
+    val qs = (1 until files).map(i => (i, files))
+    val bounds = Quantiles.histExactQuantiles(rows, lit("all"), col("k"), qs)
+      .agg(sort_array(collect_list(col("value"))).as("bs"))
+    val assigned = rows.crossJoin(broadcast(bounds))
+      .select(col("k"), aggregate(col("bs"), lit(0L),
+        (acc, b) => acc + when(col("k") > b, 1L).otherwise(0L)).as("fid"))
+    Snapshot.manifestEntriesBy(assigned, col("fid"), col("k"), version)
+  }
+
+  /** Per-file COLUMN STATS for a low-cardinality column — the exact
+    * sibling of the per-file Bloom index (q202): n_rows, null count,
+    * and the DISTINCT VALUE SET when it fits under `maxDistinct`
+    * (else null = "unknown, cannot prune" — the stats stay honest
+    * instead of silently lossy; Iceberg's per-file bounds have the
+    * same contract). For an equality predicate the touch set is an
+    * exact manifest lookup — no false positives, unlike the bloom —
+    * which is the right index for enum-like columns (status flags,
+    * country codes) where the whole set is a few bytes. Values are
+    * emitted as a sorted comma-joined string so the stats row is
+    * engine-portable. Returns (file_id, n_rows, n_nulls, vals). */
+  def columnStats(df: DataFrame, fileId: Column, value: Column,
+      maxDistinct: Int = 16): DataFrame =
+    df.select(fileId.as("file_id"), value.cast("string").as("v"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        when(size(collect_set(col("v"))) <= maxDistinct,
+          concat_ws(",", sort_array(collect_set(col("v")))))
+          .as("vals"))
+
   def clusteringDepth(manifest: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bounds = manifest

@@ -721,7 +721,7 @@ object LayoutQueries {
          |         FROM tgt, k2 WHERE key < k2.lo OR key > k2.hi)
          |SELECT aud.version, aud.file_id, aud.n_rows, aud.min_key, aud.max_key,
          |  aud.action, live.rows_live, live.qty_live
-         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl :+ bloomMaintainDecl :+ lifecycleDecl :+ morDvDecl :+ morMergeDecl :+ advisorDecl :+ wapDecl :+ joinViewIvmDecl :+ branchMergeDecl :+ incrOptimizeDecl :+ rebaseDecl :+ advisorManifestDecl :+ morBloomDecl :+ clusterDepthDecl
+         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl :+ bloomMaintainDecl :+ lifecycleDecl :+ morDvDecl :+ morMergeDecl :+ advisorDecl :+ wapDecl :+ joinViewIvmDecl :+ branchMergeDecl :+ incrOptimizeDecl :+ rebaseDecl :+ advisorManifestDecl :+ morBloomDecl :+ clusterDepthDecl :+ equiDepthDecl :+ columnStatsDecl
 
   // q263 (round-12): MERGE-ON-READ deletion vectors — the other half
   // of the delete family. q201's deleteRange rewrites/drops files
@@ -1845,6 +1845,90 @@ object LayoutQueries {
          |  SUM(next_k - k)::BIGINT AS span
          |FROM sweep WHERE next_k IS NOT NULL AND depth > 0
          |GROUP BY 1""".stripMargin)
+
+  // q315 (round-14): EQUI-DEPTH layout plan — file boundaries from
+  // EXACT key quantiles (q306's order-statistic machinery), so every
+  // file holds ~n/8 ROWS regardless of key skew: the step Spark's
+  // range partitioner approximates by sampling, done exactly and
+  // deterministically (a sampled boundary moves between runs; an
+  // order statistic cannot). l_orderkey is a multiset (≈4 lines per
+  // order) and the quantiles are row-mass quantiles — duplicates at a
+  // boundary stay together under the strict `>` assignment on both
+  // engines. The oracle replays histogram, targets, boundaries,
+  // assignment, and the manifest stats from first principles.
+  private def equiDepthDecl: Decl =
+    decl("q315_equidepth_layout",
+      (s, d) => Layout.equiDepthPlan(t(s, d, "lineitem"),
+        col("l_orderkey"), files = 8),
+      """WITH k AS (SELECT l_orderkey::BIGINT AS k FROM lineitem),
+        |h AS (SELECT k AS v, COUNT(*)::BIGINT AS cnt FROM k GROUP BY 1),
+        |n AS (SELECT SUM(cnt)::BIGINT AS n FROM h),
+        |c AS (SELECT v, cnt, SUM(cnt) OVER (ORDER BY v)::BIGINT AS cum FROM h),
+        |q AS (SELECT unnest(generate_series(1, 7)) AS i),
+        |b AS (SELECT q.i, c.v FROM c, n, q
+        |      WHERE cum >= (n * i + 7) // 8
+        |        AND cum - cnt < (n * i + 7) // 8),
+        |asg AS (SELECT k.k,
+        |  (SELECT COUNT(*) FROM b WHERE k.k > b.v)::BIGINT AS file_id
+        |  FROM k)
+        |SELECT 1::BIGINT AS version, file_id, COUNT(*)::BIGINT AS n_rows,
+        |  MIN(k)::BIGINT AS min_key, MAX(k)::BIGINT AS max_key
+        |FROM asg GROUP BY 2""".stripMargin)
+
+  // q316 (round-14): per-file COLUMN STATS pruning — the EXACT
+  // sibling of the q202 bloom index for enum-like columns: each file
+  // carries its distinct l_returnflag set when it fits the cap (else
+  // null = "unknown, cannot prune" — honest instead of silently
+  // lossy, the Iceberg bounds contract). The gate emits the stats,
+  // the stats-derived touch decision for `= 'R'`, the ACTUAL
+  // contains-R recomputed from data (hash equality proves zero false
+  // positives and zero false negatives — a bloom can only promise
+  // half of that), and the cap-2 arm where the set overflows and the
+  // decision honestly degrades to touch-everything.
+  private def columnStatsDecl: Decl =
+    decl("q316_column_stats_pruning",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(expr("l_orderkey div 2000").as("fid"),
+            col("l_returnflag").as("v"))
+        val stats = Layout.columnStats(li, col("fid"), col("v"), 16)
+          // the cap-2 arm derives from the cap-16 stats without a second
+          // scan: ndv > 16 ⟹ ndv > 2 (null stays null), else the set is
+          // in hand and the tighter cap just re-checks its size
+          .withColumn("vals_tight",
+            when(size(split(col("vals"), ",")) <= 2, col("vals")))
+        val actual = li.groupBy(col("fid").as("file_id"))
+          .agg(max(when(col("v") === "R", 1L).otherwise(0L)).as("contains_r"))
+        stats.join(actual, "file_id")
+          .select(col("file_id"), col("n_rows"), col("n_nulls"), col("vals"),
+            (col("vals").isNull
+              || array_contains(split(col("vals"), ","), "R")).as("touch_r"),
+            col("contains_r"),
+            col("vals_tight"),
+            (col("vals_tight").isNull
+              || array_contains(split(col("vals_tight"), ","), "R"))
+              .as("touch_r_tight"))
+      },
+      """WITH li AS (SELECT l_orderkey // 2000 AS file_id,
+        |  l_returnflag AS v FROM lineitem),
+        |dv AS (SELECT DISTINCT file_id, v FROM li WHERE v IS NOT NULL),
+        |vs AS (SELECT file_id, COUNT(*)::BIGINT AS ndv,
+        |       string_agg(v, ',' ORDER BY v) AS vals FROM dv GROUP BY 1),
+        |st AS (SELECT li.file_id, COUNT(*)::BIGINT AS n_rows,
+        |       SUM(CASE WHEN li.v IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_nulls
+        |       FROM li GROUP BY 1),
+        |ac AS (SELECT file_id,
+        |       MAX(CASE WHEN v = 'R' THEN 1 ELSE 0 END)::BIGINT
+        |         AS contains_r FROM li GROUP BY 1)
+        |SELECT st.file_id, st.n_rows, st.n_nulls,
+        |  CASE WHEN vs.ndv <= 16 THEN vs.vals END AS vals,
+        |  (vs.ndv > 16 OR (',' || vs.vals || ',') LIKE '%,R,%') AS touch_r,
+        |  ac.contains_r,
+        |  CASE WHEN vs.ndv <= 2 THEN vs.vals END AS vals_tight,
+        |  (vs.ndv > 2 OR (',' || vs.vals || ',') LIKE '%,R,%')
+        |    AS touch_r_tight
+        |FROM st JOIN vs USING (file_id) JOIN ac USING (file_id)""".stripMargin)
 
   /** The full-recompute oracle for the post-merge per-group view —
     * shared by q199 (batch IVM) and q200 (streaming IVM): both

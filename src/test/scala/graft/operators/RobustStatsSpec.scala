@@ -162,6 +162,31 @@ class RobustStatsSpec extends SparkSpec {
     assert(r3.getLong(4) === 2L && r3.getLong(5) === 2L)
   }
 
+  test("equiDepthPlan: skewed keys still yield equal-row files") {
+    // quadratically spaced keys: equi-WIDTH files would be wildly
+    // unbalanced; equi-depth must put exactly 250 rows in each
+    val df = (1L to 1000L).map(i => Tuple1(i * i)).toDF("k")
+    val man = Layout.equiDepthPlan(df, col("k"), files = 4)
+      .orderBy("file_id").collect().toSeq
+    assert(man.map(_.getLong(2)) === Seq(250L, 250L, 250L, 250L))
+    // envelopes disjoint and ordered
+    man.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.getLong(4) < b.getLong(3), s"$a !< $b")
+    }
+  }
+
+  test("columnStats: distinct sets, null counting, honest cap overflow") {
+    val df = Seq((0L, "A"), (0L, "B"), (0L, "A"), (0L, null),
+      (1L, "C")).toDF("f", "v")
+    val r = Layout.columnStats(df, col("f"), col("v"), maxDistinct = 16)
+      .orderBy("file_id").collect().toSeq
+    assert(r === Seq(Row(0L, 4L, 1L, "A,B"), Row(1L, 1L, 0L, "C")))
+    // cap 1: file 0's set overflows -> null (unknown, cannot prune)
+    val tight = Layout.columnStats(df, col("f"), col("v"), maxDistinct = 1)
+      .orderBy("file_id").collect().toSeq
+    assert(tight.head.isNullAt(3) && tight(1).getString(3) === "C")
+  }
+
   test("clusteringDepth: hand-built overlapping envelopes") {
     // files: [0,9], [5,14], [20,29] -> depths: [0,5)=1 [5,10)=2
     // [10,15)=1 [15,20)=0(dropped) [20,30)=1
