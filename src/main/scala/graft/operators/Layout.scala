@@ -226,6 +226,59 @@ object Layout {
       .unionByName(aud("new", newFiles))
   }
 
+  /** File REBALANCE plan from manifest arithmetic alone — the
+    * bin-pack/split planner behind Iceberg's rewrite_data_files,
+    * deciding without reading a data byte:
+    *
+    *  - `split`: a file over 2× `targetRows` rewrites into
+    *    ceil(n/target) pieces;
+    *  - `merge`: runs of key-CONSECUTIVE small files (< target/2)
+    *    coalesce — consecutive matters: merging across an interleaved
+    *    big file would create an envelope OVERLAPPING it and WORSEN
+    *    [[clusteringDepth]], the exact opposite of maintenance. Runs
+    *    are found by the islands trick (file rank − small-file rank is
+    *    constant within a run) and each run subdivides by start-offset
+    *    prefix sum (the [[incrementalOptimize]] packing rule — a merged
+    *    output may overshoot `targetRows` by at most one small file);
+    *  - `keep`: everything else.
+    *
+    * All windows run over the manifest frame (file count, never rows).
+    * Returns (file_id, n_rows, min_key, max_key, action, pieces,
+    * merge_group) — pieces > 1 only for splits; merge_group is a
+    * stable (run-head rank, subgroup) label, −1 for non-merges. */
+  def rebalancePlan(manifest: DataFrame, targetRows: Long): DataFrame = {
+    require(targetRows >= 2, s"targetRows: $targetRows")
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.orderBy("min_key")
+    val base = manifest
+      .select(col("file_id"), col("n_rows"), col("min_key"), col("max_key"))
+      .withColumn("_rk", row_number().over(byKey).cast("long"))
+      .withColumn("_small", col("n_rows") * 2L < targetRows)
+    val smalls = base.where(col("_small"))
+      .withColumn("_srk", row_number().over(byKey).cast("long"))
+      .withColumn("_run", col("_rk") - col("_srk"))
+      .withColumn("_before", coalesce(sum(col("n_rows")).over(
+        Window.partitionBy(col("_run")).orderBy("min_key")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_sub", expr(s"_before div $targetRows"))
+      // run id × 1000 + subgroup = a stable, engine-replayable label
+      // (run id = rank − small-rank, constant within a run, distinct
+      // across runs; assumes < 1000 subgroups per run)
+      .withColumn("merge_group", col("_run") * 1000L + col("_sub"))
+      .select(col("file_id"), lit("merge").as("action"), lit(1L).as("pieces"),
+        col("merge_group"))
+    val rest = base.where(!col("_small"))
+      .select(col("file_id"),
+        when(col("n_rows") > 2L * targetRows, "split").otherwise("keep")
+          .as("action"),
+        when(col("n_rows") > 2L * targetRows,
+          expr(s"(n_rows + $targetRows - 1) div $targetRows"))
+          .otherwise(1L).as("pieces"),
+        lit(-1L).as("merge_group"))
+    base.select(col("file_id"), col("n_rows"), col("min_key"), col("max_key"))
+      .join(smalls.unionByName(rest), "file_id")
+  }
+
   /** Clustering-health report: the OVERLAP-DEPTH profile of a
     * manifest's zone envelopes — at any key k, depth(k) = how many
     * files' [min_key, max_key] envelopes contain k = how many files a

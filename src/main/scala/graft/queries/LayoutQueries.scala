@@ -721,7 +721,7 @@ object LayoutQueries {
          |         FROM tgt, k2 WHERE key < k2.lo OR key > k2.hi)
          |SELECT aud.version, aud.file_id, aud.n_rows, aud.min_key, aud.max_key,
          |  aud.action, live.rows_live, live.qty_live
-         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl :+ bloomMaintainDecl :+ lifecycleDecl :+ morDvDecl :+ morMergeDecl :+ advisorDecl :+ wapDecl :+ joinViewIvmDecl :+ branchMergeDecl :+ incrOptimizeDecl :+ rebaseDecl :+ advisorManifestDecl :+ morBloomDecl :+ clusterDepthDecl :+ equiDepthDecl :+ columnStatsDecl
+         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl :+ bloomMaintainDecl :+ lifecycleDecl :+ morDvDecl :+ morMergeDecl :+ advisorDecl :+ wapDecl :+ joinViewIvmDecl :+ branchMergeDecl :+ incrOptimizeDecl :+ rebaseDecl :+ advisorManifestDecl :+ morBloomDecl :+ clusterDepthDecl :+ equiDepthDecl :+ columnStatsDecl :+ rebalanceDecl
 
   // q263 (round-12): MERGE-ON-READ deletion vectors — the other half
   // of the delete family. q201's deleteRange rewrites/drops files
@@ -1929,6 +1929,54 @@ object LayoutQueries {
         |  (vs.ndv > 2 OR (',' || vs.vals || ',') LIKE '%,R,%')
         |    AS touch_r_tight
         |FROM st JOIN vs USING (file_id) JOIN ac USING (file_id)""".stripMargin)
+
+  // q317 (round-14): file REBALANCE plan — bin-pack/split maintenance
+  // decided from manifest arithmetic alone (the rewrite_data_files
+  // planner): oversized files split into ceil(n/target) pieces, runs
+  // of key-CONSECUTIVE small files coalesce via the islands trick
+  // (rank − small-rank constant within a run — merging across an
+  // interleaved big file would worsen q304's clustering depth, so
+  // runs must break there), each run subdivided by prefix sum so no
+  // merged output exceeds the target. The fixture manifests the same
+  // table under two widths (30 ~1000-row files, then 3 ~10000-row
+  // files), so all three actions fire. The oracle replays ranks,
+  // islands, prefix sums, and piece counts exactly.
+  private def rebalanceDecl: Decl =
+    decl("q317_rebalance_plan",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey").cast("long").as("k"))
+        val fid = when(col("k") < 7500L, expr("k div 250"))
+          .otherwise(lit(1000L) + expr("k div 2500"))
+        val man = Snapshot.manifestEntriesBy(li, fid, col("k"), version = 1L)
+        Layout.rebalancePlan(man, targetRows = 4000L)
+      },
+      """WITH k AS (SELECT l_orderkey::BIGINT AS k FROM lineitem),
+        |man AS (SELECT CASE WHEN k < 7500 THEN k // 250
+        |               ELSE 1000 + k // 2500 END AS file_id,
+        |        COUNT(*)::BIGINT AS n_rows, MIN(k) AS min_key,
+        |        MAX(k) AS max_key FROM k GROUP BY 1),
+        |b AS (SELECT *, row_number() OVER (ORDER BY min_key)::BIGINT AS rk,
+        |      (n_rows * 2 < 4000) AS small FROM man),
+        |s AS (SELECT *, row_number() OVER (ORDER BY min_key)::BIGINT AS srk
+        |      FROM b WHERE small),
+        |s2 AS (SELECT *, rk - srk AS run,
+        |       COALESCE(SUM(n_rows) OVER (PARTITION BY rk - srk
+        |         ORDER BY min_key
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         0)::BIGINT AS bef FROM s),
+        |sm AS (SELECT file_id, 'merge' AS action, 1::BIGINT AS pieces,
+        |       (run * 1000 + bef // 4000)::BIGINT AS merge_group FROM s2),
+        |rst AS (SELECT file_id,
+        |        CASE WHEN n_rows > 8000 THEN 'split' ELSE 'keep' END
+        |          AS action,
+        |        (CASE WHEN n_rows > 8000 THEN (n_rows + 3999) // 4000
+        |         ELSE 1 END)::BIGINT AS pieces,
+        |        (-1)::BIGINT AS merge_group FROM b WHERE NOT small)
+        |SELECT b.file_id, b.n_rows, b.min_key, b.max_key,
+        |  u.action, u.pieces, u.merge_group
+        |FROM b JOIN (SELECT * FROM sm UNION ALL SELECT * FROM rst) u
+        |USING (file_id)""".stripMargin)
 
   /** The full-recompute oracle for the post-merge per-group view —
     * shared by q199 (batch IVM) and q200 (streaming IVM): both

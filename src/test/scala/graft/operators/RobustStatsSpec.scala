@@ -187,6 +187,35 @@ class RobustStatsSpec extends SparkSpec {
     assert(tight.head.isNullAt(3) && tight(1).getString(3) === "C")
   }
 
+  test("rebalancePlan: splits, islands-bounded merges, interleave break") {
+    // small [0,9], BIG [10,99], small [100,109], small [110,119]:
+    // the big file must break the merge run — coalescing smalls across
+    // it would create an envelope overlapping the big file
+    val man = Seq(
+      (1L, 10L, 0L, 9L), (2L, 100L, 10L, 99L),
+      (3L, 10L, 100L, 109L), (4L, 10L, 110L, 119L))
+      .toDF("file_id", "n_rows", "min_key", "max_key")
+    val plan = Layout.rebalancePlan(man, targetRows = 30L)
+      .orderBy("file_id").collect().toSeq
+    val acts = plan.map(r => r.getLong(0) -> (r.getString(4), r.getLong(5),
+      r.getLong(6))).toMap
+    assert(acts(2L) === (("split", 4L, -1L))) // ceil(100/30)
+    assert(acts(1L)._1 === "merge" && acts(3L)._1 === "merge")
+    // file 1 is its own run; files 3 and 4 share one (and one subgroup)
+    assert(acts(3L)._3 === acts(4L)._3)
+    assert(acts(1L)._3 !== acts(3L)._3)
+    // a run larger than target subdivides by start-offset prefix sum
+    // (the incrementalOptimize packing rule: a group may overshoot by
+    // at most one small file): before-sums 0,10,20,30 at target 25
+    // -> subgroups 0,0,0,1
+    val man2 = (1L to 4L).map(i =>
+        (i, 10L, i * 100L, i * 100L + 9L))
+      .toDF("file_id", "n_rows", "min_key", "max_key")
+    val g = Layout.rebalancePlan(man2, targetRows = 25L)
+      .orderBy("file_id").collect().map(_.getLong(6)).toSeq
+    assert((g(0) === g(1)) && (g(1) === g(2)) && (g(2) !== g(3)))
+  }
+
   test("clusteringDepth: hand-built overlapping envelopes") {
     // files: [0,9], [5,14], [20,29] -> depths: [0,5)=1 [5,10)=2
     // [10,15)=1 [15,20)=0(dropped) [20,30)=1
