@@ -318,7 +318,11 @@ object Sampling {
     * exactly and every step is BIGINT — no float share ever computed.
     * The remainder window runs over the strata frame (tiny by
     * definition). A stratum with zero dispersion gets quota 0 unless
-    * remainders reach it. Quotas are NOT capped by stratum size —
+    * remainders reach it; if EVERY stratum is constant-valued (total
+    * dispersion 0), allocation falls back to row-proportional — which
+    * is Neyman's own answer when no variance signal exists to weight
+    * by (and avoids a divide-by-zero null quota). Quotas are NOT
+    * capped by stratum size —
     * callers with budget ≳ any stratum's row count cap downstream.
     * Returns (stratum, n_rows, median, dispersion, quota). */
   def neymanAllocation(df: DataFrame, stratum: Column, value: Column,
@@ -328,11 +332,22 @@ object Sampling {
     val base = df.select(stratum.as("g"), value.cast("long").as("v"))
     val med = Quantiles.histMedian(base, col("g"), col("v"))
     val disp = base.join(broadcast(med.select(col("g"), col("med"))), "g")
-      .groupBy("g").agg(sum(abs(col("v") - col("med"))).as("disp"))
-    val tot = broadcast(disp.agg(sum(col("disp")).as("tot")))
+      .groupBy("g")
+      .agg(sum(abs(col("v") - col("med"))).as("disp"),
+        count(lit(1)).as("_n"))
+    val tot = broadcast(disp.agg(sum(col("disp")).as("tot"),
+      sum(col("_n")).as("_ntot")))
+    // zero total dispersion (every stratum constant-valued) would make
+    // the quota arithmetic divide by zero — fall back to classic
+    // row-proportional allocation, which IS Neyman's answer when no
+    // stratum has any variance signal to weight by
     val quota = disp.crossJoin(tot)
-      .withColumn("_base", expr(s"($budget * disp) div tot"))
-      .withColumn("_rem", expr(s"($budget * disp) % tot"))
+      .withColumn("_mass", when(col("tot") > 0L, col("disp"))
+        .otherwise(col("_n")))
+      .withColumn("_mtot", when(col("tot") > 0L, col("tot"))
+        .otherwise(col("_ntot")))
+      .withColumn("_base", expr(s"($budget * _mass) div _mtot"))
+      .withColumn("_rem", expr(s"($budget * _mass) % _mtot"))
     val left = broadcast(quota.agg((lit(budget) - sum(col("_base"))).as("_left")))
     quota.crossJoin(left)
       .withColumn("_ru", row_number().over(

@@ -46,6 +46,16 @@ class RobustStatsSpec extends SparkSpec {
       Seq(("a", 0L), ("b", 7L), ("c", 3L)))
   }
 
+  test("neymanAllocation: zero total dispersion falls back to row shares") {
+    // every stratum constant-valued: no variance signal anywhere ->
+    // row-proportional allocation, never a divide-by-zero null quota
+    val df = Seq(("a", 5L), ("a", 5L), ("a", 5L), ("b", 9L)).toDF("s", "v")
+    val r = Sampling.neymanAllocation(df, col("s"), col("v"), budget = 8L)
+      .orderBy("stratum").collect().toSeq
+    assert(r.map(x => (x.getString(0), x.getLong(4))) ===
+      Seq(("a", 6L), ("b", 2L)))
+  }
+
   test("neymanSample: exactly quota rows per stratum, hash-stable") {
     val df = (1L to 100L).map(i => (if (i <= 50) "a" else "b", i, i % 7))
       .toDF("s", "id", "v")
