@@ -43,7 +43,10 @@ object Hll {
     * — `harmonic_num` is the exact scaled integer Σ 2^(R − M_j)
     * (empty registers contribute 2^R each), `est_distinct` the
     * standard-bias-corrected estimate rounded to 6 dp. `p` in [4, 16];
-    * the α constant uses the m ≥ 128 form, so prefer p ≥ 7. */
+    * α branches to Flajolet's small-m constants at p ∈ {4, 5, 6}
+    * (α₁₆ = 0.673, α₃₂ = 0.697, α₆₄ = 0.709) and the asymptotic
+    * 0.7213/(1 + 1.079/m) form at m ≥ 128, so the estimate is
+    * unbiased at EVERY admissible p (round-14 finding). */
   def groupDistinct(df: DataFrame, group: Column, key: Column,
       p: Int): DataFrame =
     report(registers(df, group, key, p), p)
@@ -54,7 +57,14 @@ object Hll {
   def report(regs: DataFrame, p: Int): DataFrame = {
     val m = 1L << p
     val rMax = 60 - p + 1
-    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+    // Flajolet et al. 2007, fig. 3: the asymptotic α is only valid at
+    // m ≥ 128; the paper's exact small-m constants take over below
+    val alpha = m match {
+      case 16L => 0.673
+      case 32L => 0.697
+      case 64L => 0.709
+      case _   => 0.7213 / (1.0 + 1.079 / m.toDouble)
+    }
     regs.groupBy("grp").agg(
         count(lit(1)).as("n_registers_set"),
         sum(col("mreg")).as("register_sum"),

@@ -243,13 +243,17 @@ object Layout {
     *  - `keep`: everything else.
     *
     * All windows run over the manifest frame (file count, never rows).
+    * Ranks order by (min_key, file_id) — the file_id tie-break matters
+    * for OVERLAPPING manifests (two hash-layout files legally share a
+    * min_key), where min_key alone would leave row_number, run ids,
+    * and merge_group nondeterministic (round-14 advisory).
     * Returns (file_id, n_rows, min_key, max_key, action, pieces,
     * merge_group) — pieces > 1 only for splits; merge_group is a
     * stable (run-head rank, subgroup) label, −1 for non-merges. */
   def rebalancePlan(manifest: DataFrame, targetRows: Long): DataFrame = {
     require(targetRows >= 2, s"targetRows: $targetRows")
     import org.apache.spark.sql.expressions.Window
-    val byKey = Window.orderBy("min_key")
+    val byKey = Window.orderBy(col("min_key"), col("file_id"))
     val base = manifest
       .select(col("file_id"), col("n_rows"), col("min_key"), col("max_key"))
       .withColumn("_rk", row_number().over(byKey).cast("long"))
@@ -258,12 +262,22 @@ object Layout {
       .withColumn("_srk", row_number().over(byKey).cast("long"))
       .withColumn("_run", col("_rk") - col("_srk"))
       .withColumn("_before", coalesce(sum(col("n_rows")).over(
-        Window.partitionBy(col("_run")).orderBy("min_key")
+        Window.partitionBy(col("_run")).orderBy(col("min_key"), col("file_id"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("_sub", expr(s"_before div $targetRows"))
       // run id × 1000 + subgroup = a stable, engine-replayable label
       // (run id = rank − small-rank, constant within a run, distinct
-      // across runs; assumes < 1000 subgroups per run)
+      // across runs). The packing needs < 1000 subgroups per run; a
+      // run that overflows (≥ 1000·targetRows small rows in one run)
+      // would silently alias labels ACROSS runs, so the bound is
+      // enforced loudly instead of assumed (round-14 advisory)
+      .withColumn("_sub",
+        when(col("_sub") >= 1000L, raise_error(format_string(
+          "rebalancePlan: merge run %s packs into >= 1000 subgroups — " +
+            "the packed run*1000+sub label would alias across runs; " +
+            "raise targetRows or split the maintenance window",
+          col("_run").cast("string"))))
+          .otherwise(col("_sub")))
       .withColumn("merge_group", col("_run") * 1000L + col("_sub"))
       .select(col("file_id"), lit("merge").as("action"), lit(1L).as("pieces"),
         col("merge_group"))
@@ -332,10 +346,21 @@ object Layout {
     * which is the right index for enum-like columns (status flags,
     * country codes) where the whole set is a few bytes. Values are
     * emitted as a sorted comma-joined string so the stats row is
-    * engine-portable. Returns (file_id, n_rows, n_nulls, vals). */
+    * engine-portable — which makes ',' a RESERVED separator: a value
+    * containing it would corrupt the split()/array_contains round-trip
+    * every pruning consumer relies on, so such a value raises loudly
+    * at build time instead of silently poisoning the index (round-14
+    * advisory). A file whose column is entirely NULL emits vals = ""
+    * — the KNOWN-empty set, the strongest possible stats row (every
+    * equality predicate prunes it), distinct from null = "overflowed
+    * the cap, cannot prune". Returns (file_id, n_rows, n_nulls, vals). */
   def columnStats(df: DataFrame, fileId: Column, value: Column,
       maxDistinct: Int = 16): DataFrame =
-    df.select(fileId.as("file_id"), value.cast("string").as("v"))
+    df.select(fileId.as("file_id"),
+        when(value.cast("string").contains(","), raise_error(format_string(
+          "columnStats: value contains the ',' set separator: %s",
+          value.cast("string"))))
+          .otherwise(value.cast("string")).as("v"))
       .groupBy("file_id")
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),

@@ -32,7 +32,12 @@ object Quantiles {
     require(buckets >= 2 && qs.nonEmpty && qs.forall(q => q > 0 && q <= 1))
     val spark = df.sparkSession
     import spark.implicits._
+    // NULL values drop at entry: Spark's ordered windows sort NULLS
+    // FIRST, DuckDB's NULLS LAST, so a surviving NULL would shift
+    // cumulative counts differently per engine (round-14 advisory);
+    // n below therefore counts NON-NULL values, the only portable n
     val base = df.select(group.as("g"), value.cast("double").as("v"))
+      .where(col("v").isNotNull)
     val bounds = base.groupBy("g").agg(min("v").as("__lo"), max("v").as("__hi"))
     val hist = base.join(broadcast(bounds), "g")
       .withColumn("b",
@@ -66,10 +71,15 @@ object Quantiles {
     * bucket-frame rule — a column with 10⁹ rows but 10⁴ distinct
     * values medians over 10⁴ rows per group). Lower median = smallest
     * v whose cumulative count reaches ceil(n/2); exact, deterministic,
-    * and replayable in any engine as integer arithmetic.
+    * and replayable in any engine as integer arithmetic. NULL values
+    * drop at entry (n counts non-null values): engines disagree on
+    * NULL sort position (Spark NULLS FIRST, DuckDB NULLS LAST), so a
+    * surviving NULL would shift every cumulative count and could even
+    * BE the reported median (round-14 advisory).
     * Returns (g, n, med). */
   def histMedian(df: DataFrame, group: Column, value: Column): DataFrame = {
     val hist = df.select(group.as("g"), value.cast("long").as("v"))
+      .where(col("v").isNotNull)
       .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
     val n = hist.groupBy("g").agg(sum("cnt").as("n"))
     hist.withColumn("cum",
@@ -95,6 +105,7 @@ object Quantiles {
     val spark = df.sparkSession
     import spark.implicits._
     val hist = df.select(group.as("g"), value.cast("long").as("v"))
+      .where(col("v").isNotNull) // NULLs drop: see histMedian
       .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
     val n = hist.groupBy("g").agg(sum("cnt").as("n"))
     val qf = qs.toDF("qnum", "qden")

@@ -1922,13 +1922,18 @@ object LayoutQueries {
         |       MAX(CASE WHEN v = 'R' THEN 1 ELSE 0 END)::BIGINT
         |         AS contains_r FROM li GROUP BY 1)
         |SELECT st.file_id, st.n_rows, st.n_nulls,
-        |  CASE WHEN vs.ndv <= 16 THEN vs.vals END AS vals,
-        |  (vs.ndv > 16 OR (',' || vs.vals || ',') LIKE '%,R,%') AS touch_r,
+        |  CASE WHEN COALESCE(vs.ndv, 0) <= 16 THEN COALESCE(vs.vals, '')
+        |    END AS vals,
+        |  (COALESCE(vs.ndv, 0) > 16
+        |     OR (',' || COALESCE(vs.vals, '') || ',') LIKE '%,R,%')
+        |    AS touch_r,
         |  ac.contains_r,
-        |  CASE WHEN vs.ndv <= 2 THEN vs.vals END AS vals_tight,
-        |  (vs.ndv > 2 OR (',' || vs.vals || ',') LIKE '%,R,%')
+        |  CASE WHEN COALESCE(vs.ndv, 0) <= 2 THEN COALESCE(vs.vals, '')
+        |    END AS vals_tight,
+        |  (COALESCE(vs.ndv, 0) > 2
+        |     OR (',' || COALESCE(vs.vals, '') || ',') LIKE '%,R,%')
         |    AS touch_r_tight
-        |FROM st JOIN vs USING (file_id) JOIN ac USING (file_id)""".stripMargin)
+        |FROM st LEFT JOIN vs USING (file_id) JOIN ac USING (file_id)""".stripMargin)
 
   // q317 (round-14): file REBALANCE plan — bin-pack/split maintenance
   // decided from manifest arithmetic alone (the rewrite_data_files
@@ -1956,13 +1961,15 @@ object LayoutQueries {
         |               ELSE 1000 + k // 2500 END AS file_id,
         |        COUNT(*)::BIGINT AS n_rows, MIN(k) AS min_key,
         |        MAX(k) AS max_key FROM k GROUP BY 1),
-        |b AS (SELECT *, row_number() OVER (ORDER BY min_key)::BIGINT AS rk,
+        |b AS (SELECT *, row_number()
+        |        OVER (ORDER BY min_key, file_id)::BIGINT AS rk,
         |      (n_rows * 2 < 4000) AS small FROM man),
-        |s AS (SELECT *, row_number() OVER (ORDER BY min_key)::BIGINT AS srk
+        |s AS (SELECT *, row_number()
+        |        OVER (ORDER BY min_key, file_id)::BIGINT AS srk
         |      FROM b WHERE small),
         |s2 AS (SELECT *, rk - srk AS run,
         |       COALESCE(SUM(n_rows) OVER (PARTITION BY rk - srk
-        |         ORDER BY min_key
+        |         ORDER BY min_key, file_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |         0)::BIGINT AS bef FROM s),
         |sm AS (SELECT file_id, 'merge' AS action, 1::BIGINT AS pieces,
