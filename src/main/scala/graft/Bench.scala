@@ -118,28 +118,39 @@ object Bench {
       .filter(d => only.isEmpty || only(d.name))
       .map { d =>
       resetMem()
-      val times = (1 to runs).map { _ =>
+      val timed = (1 to runs).map { _ =>
         // Materialize via the noop sink: every output column is computed
         // and serialized, so projection-only queries (hashes, regexes,
         // date parses) are billed honestly — a bare .count() would let
         // Catalyst prune the entire projection.
-        val (wall, wasCapped) = timedCapped(d.name,
+        timedCapped(d.name,
           () => d.fn(spark, sfDir).write.format("noop").mode("overwrite").save())
-        if (wasCapped) capped += d.name
-        wall
       }
+      // Flag discipline (round-14 finding #3): cap flags decide from the
+      // STEADY-STATE run — the last one, after codegen/JIT warm-up — not
+      // from any run. A first-run wall in a late-suite JVM is dominated
+      // by code-cache and GC state, and flagging on it produced false
+      // cap flags whose auto-repro then measured 16 s healthy. The
+      // first-run wall stays RECORDED (first_sec here, first_runs in the
+      // summary) so the warm-up cost itself remains observable.
+      if (timed.last._2) capped += d.name
+      val times = timed.map(_._1)
       val best = times.min
+      val first = times.head
       // envelope over ALL runs of this query (max peak, summed spill)
       val (pk, sp) = (memMb(peakTaskMem.get()), memMb(spilledBytes.get()))
       // stream the wall immediately: a killed run keeps every line so far
       System.err.println(
-        f"""[bench-wall] {"query":"${d.name}","sec":$best%.3f,"capped":${capped.contains(d.name)},"peak_task_mem_mb":$pk%.1f,"spilled_mb":$sp%.1f}""")
-      (d.name, best, pk, sp)
+        f"""[bench-wall] {"query":"${d.name}","sec":$best%.3f,"first_sec":$first%.3f,"capped":${capped.contains(d.name)},"peak_task_mem_mb":$pk%.1f,"spilled_mb":$sp%.1f}""")
+      (d.name, best, pk, sp, first)
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val memJson = results.map { case (k, _, pk, sp) =>
+    val memJson = results.map { case (k, _, pk, sp, _) =>
       "\"" + k + "\":" + f"""{"peak_task_mem_mb":$pk%.1f,"spilled_mb":$sp%.1f}"""
+    }.mkString("{", ",", "}")
+    val firstJson = results.map { case (k, _, _, _, fst) =>
+      "\"" + k + "\":" + f"$fst%.3f"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
@@ -282,7 +293,7 @@ object Bench {
       }
 
     val cappedJson = capped.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"memory":$memJson,"runs":$runs,"sf":"$sfDir","cap_sec":$capSec,"capped":$cappedJson,"capped_repro":$reproJson,"scaling":$scalingJson}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first_runs":$firstJson,"memory":$memJson,"runs":$runs,"sf":"$sfDir","cap_sec":$capSec,"capped":$cappedJson,"capped_repro":$reproJson,"scaling":$scalingJson}"""
     println(json)
     // Durability: the full summary (125+ queries + scaling block, ~4 KB)
     // outgrows a harness's log-tail capture (round 6 stored only a

@@ -501,10 +501,21 @@ object Centrality {
     * `edges`: (src, dst); `seeds`: one id column.
     * Returns (seed, node, dist, paths) for 1 ≤ dist ≤ maxHops. */
   def shortestPathCounts(edges: DataFrame, seeds: DataFrame,
-      maxHops: Int): DataFrame = {
-    val e = edges.select(col("src").cast("long").as("src"),
+      maxHops: Int): DataFrame =
+    pathCountsFull(normEdges(edges), seeds, maxHops, unpersistEdges = true)
+      .where(col("dist") > 0L)
+
+  private def normEdges(edges: DataFrame): DataFrame =
+    edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** [[shortestPathCounts]]' forward pass INCLUDING the dist-0 seed
+    * rows — the layered path-DAG state ([[betweenness]]'s backward
+    * phase needs layer 0 as a dependency target). `e` must already be
+    * the normalized persisted (src, dst) frame. */
+  private def pathCountsFull(e: DataFrame, seeds: DataFrame,
+      maxHops: Int, unpersistEdges: Boolean): DataFrame = {
     var reach = seeds.toDF("seed").distinct()
       .select(col("seed").cast("long").as("seed"),
         col("seed").cast("long").as("node"), lit(0L).as("dist"),
@@ -521,8 +532,72 @@ object Centrality {
           col("paths"))
       reach = reach.unionByName(fresh).localCheckpoint(true, lvl)
     }
+    if (unpersistEdges) e.unpersist(blocking = false)
+    reach
+  }
+
+  /** BETWEENNESS dependency accumulation — Brandes' backward phase
+    * completing [[shortestPathCounts]]: over the layered shortest-path
+    * DAG the forward pass built, dependencies flow from the deepest
+    * layer back to the seeds,
+    *
+    *   δ(v) = Σ_{w : succ(v)} σ(v)/σ(w) · (1 + δ(w)),
+    *
+    * in SCALED-INTEGER arithmetic (the house engine-portability rule —
+    * exact rationals would need per-path denominators): with D = scale·δ,
+    * each (v, w) DAG edge contributes σ(v)·(scale + D(w)) div σ(w),
+    * floor-rounded per edge BEFORE the sum, so the result is identical
+    * on any engine and any partitioning, and an oracle replays it
+    * layer-for-layer. Per-seed betweenness of v is D(v) in scale⁻¹
+    * units; node betweenness is one groupBy-sum over seeds.
+    *
+    * Bounded-round contract (as the whole family): only shortest paths
+    * of ≤ maxHops edges count — the terminal layer's dependency is 0,
+    * exactly what running Brandes on the maxHops-truncated DAG means.
+    * Parallel edges count as distinct paths, matching the forward σ.
+    * One edge-keyed join + one aggregate per layer in each direction;
+    * state is |seeds|·|reached| rows, never path counts; serialized
+    * spill-safe per-layer checkpoints.
+    * Returns (seed, node, dist, paths, dep) for 1 ≤ dist ≤ maxHops. */
+  def betweenness(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"scale: $scale")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val e = normEdges(edges)
+    val reach = pathCountsFull(e, seeds, maxHops, unpersistEdges = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // backward: deepest layer seeds dep 0; layer h−1 sums its DAG-edge
+    // contributions from layer h, left-joined so successor-less nodes
+    // keep dep 0
+    var dep = reach.where(col("dist") === maxHops.toLong)
+      .select(col("seed"), col("node"), lit(0L).as("dep"))
+    var acc = dep.withColumn("dist", lit(maxHops.toLong))
+    (maxHops to 1 by -1).foreach { h =>
+      val hw = reach.where(col("dist") === h.toLong)
+        .join(dep, Seq("seed", "node"))
+        .select(col("seed"), col("node").as("dst"),
+          col("paths").as("_pw"), col("dep").as("_dw"))
+      val contrib = e.join(hw, "dst")
+        .join(reach.where(col("dist") === (h - 1).toLong)
+            .select(col("seed"), col("node").as("src"),
+              col("paths").as("_pv")),
+          Seq("seed", "src"))
+        .groupBy(col("seed"), col("src").as("node"))
+        .agg(sum(expr(s"(_pv * ($scale + _dw)) div _pw")).as("dep"))
+      dep = reach.where(col("dist") === (h - 1).toLong)
+        .select(col("seed"), col("node"))
+        .join(contrib, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"),
+          coalesce(col("dep"), lit(0L)).as("dep"))
+        .localCheckpoint(true, lvl)
+      if (h > 1) acc = acc.unionByName(dep.withColumn("dist", lit((h - 1).toLong)))
+    }
     e.unpersist(blocking = false)
-    reach.where(col("dist") > 0L)
+    val out = reach.where(col("dist") > 0L)
+      .join(acc.select(col("seed"), col("node"), col("dep")),
+        Seq("seed", "node"))
+    reach.unpersist(blocking = false)
+    out
   }
 
   /** Fixed-round integer PERSONALIZED PageRank: teleport mass lands on

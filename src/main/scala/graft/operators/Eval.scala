@@ -171,6 +171,34 @@ object Eval {
           .as("bcubed_rec"))
   }
 
+  /** ADJUSTED RAND INDEX beside [[clusterAgreement]]'s B-cubed — the
+    * chance-corrected pairwise agreement (Hubert & Arabie 1985), from
+    * the SAME contingency counts the pairwise metrics already pay for:
+    * with index = Σ C(n_ij, 2), pp = Σ C(n_p, 2), tt = Σ C(n_t, 2),
+    * N = C(n, 2),
+    *
+    *   ARI = (index − pp·tt/N) / ((pp + tt)/2 − pp·tt/N)
+    *
+    * Every count is a closed-form exact integer (the clusterAgreement
+    * sums); only the final division is rational — evaluated as one
+    * fixed IEEE expression tree (identical term order in the oracle),
+    * rounded to 6 dp like the B-cubed columns. NULL when undefined:
+    * n < 2 (no pairs) or a zero denominator (both partitions
+    * all-singletons or both one-cluster — agreement is vacuous and
+    * chance correction divides by zero). Shares clusterAgreement's
+    * same-id-domain raise. Returns its row plus (total_pairs, ari). */
+  def adjustedRand(pred: DataFrame, truth: DataFrame): DataFrame = {
+    val base = clusterAgreement(pred, truth)
+      .withColumn("total_pairs", expr("(n_items * (n_items - 1)) div 2"))
+    val exp = col("pred_pairs").cast("double") *
+      col("true_pairs").cast("double") / col("total_pairs").cast("double")
+    val den = (col("pred_pairs") + col("true_pairs")).cast("double") /
+      lit(2.0) - exp
+    base.withColumn("ari",
+      when(col("total_pairs") > 0L && den =!= lit(0.0),
+        r6((col("tp_pairs").cast("double") - exp) / den)))
+  }
+
   /** Optimal single-feature GATE calibration — the 1R/decision-stump
     * argmax in exact integers: find the integral threshold t whose
     * rule "value ≤ t" best AGREES with a reference boolean label,
@@ -194,8 +222,14 @@ object Eval {
   def bestThresholdGate(df: DataFrame, value: Column,
       label: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NULL values/labels drop at entry: Spark's ordered window sorts
+    // NULLS FIRST, DuckDB's NULLS LAST, so a surviving NULL would
+    // shift cumulative counts per engine and could itself surface as
+    // the chosen threshold (round-14 advisory); a NULL label carries
+    // no agreement signal either way
     val hist = df.select(value.cast("long").as("v"),
         label.cast("boolean").as("y"))
+      .where(col("v").isNotNull && col("y").isNotNull)
       .groupBy("v")
       .agg(sum(when(col("y"), 1L).otherwise(0L)).as("pos_at"),
         sum(when(col("y"), 0L).otherwise(1L)).as("neg_at"))

@@ -770,6 +770,22 @@ object Snapshot {
   def claimVersion(spark: SparkSession, root: String, version: Long): Boolean =
     claimMarker(spark, root, s"v$version")
 
+  /** Default publish-claim lease: far above any real check-and-swap
+    * window (milliseconds), far below "wedged until an operator
+    * notices". */
+  val PublishLeaseMillis: Long = 15L * 60L * 1000L
+
+  /** [[claimVersion]] with the stale-claim lease — for maintenance
+    * paths that must make progress past a crashed writer's orphaned
+    * version claim. The takeover window must exceed the longest
+    * legitimate data write for that version, which is why the COMMIT
+    * path keeps the no-lease form (a slow writer is not a dead one;
+    * its claimed number must stay its own). */
+  def claimVersionWithLease(spark: SparkSession, root: String, version: Long,
+      leaseMillis: Long,
+      nowMillis: Long = System.currentTimeMillis()): Boolean =
+    claimMarkerWithLease(spark, root, s"v$version", leaseMillis, nowMillis)
+
   /** The exclusive-create primitive behind [[claimVersion]] and
     * [[publishBranch]]'s sibling-publish CAS, for an arbitrary marker
     * name under `root/claim/`. Same scheme-dependent atomicity story
@@ -803,6 +819,48 @@ object Snapshot {
     * on the commit path, where a lost claim means retry-at-next. */
   def releaseClaim(spark: SparkSession, root: String, version: Long): Unit =
     fs(spark, new Path(root)).delete(new Path(s"$root/claim/v$version"), false)
+
+  /** [[claimMarker]] with a stale-claim LEASE (round-14 finding #1): a
+    * claim whose marker mtime is older than `leaseMillis` is an orphan
+    * — its writer died mid-window — and may be TAKEN OVER, so a
+    * crashed publisher cannot wedge a fork base forever. The takeover
+    * arbiter must itself be atomic (a bare delete+create lets two
+    * contenders interleave into two "winners"): the orphan is first
+    * RENAMED aside to a tombstone — rename is atomic on local fs (NIO
+    * ATOMIC_MOVE) and HDFS (namenode), and exactly one contender's
+    * rename finds the source present — and only the renamer proceeds
+    * to the exclusive re-create. A contender that loses the rename, or
+    * that finds a FRESH marker (a live writer, or the winner's new
+    * claim), reads a lost claim as before. `leaseMillis = Long.MaxValue`
+    * disables takeover (the pre-lease behavior). */
+  private def claimMarkerWithLease(spark: SparkSession, root: String,
+      name: String, leaseMillis: Long, nowMillis: Long): Boolean = {
+    if (claimMarker(spark, root, name)) return true
+    if (leaseMillis == Long.MaxValue) return false
+    val f = fs(spark, new Path(root))
+    val marker = new Path(s"$root/claim/$name")
+    val mtime =
+      try f.getFileStatus(marker).getModificationTime
+      catch {
+        // holder released between our create and this stat: one retry
+        case _: java.io.FileNotFoundException =>
+          return claimMarker(spark, root, name)
+      }
+    if (nowMillis - mtime <= leaseMillis) return false
+    val tomb = new Path(s"$root/claim/.stale-$name-$mtime")
+    val moved =
+      try f match {
+        case l: org.apache.hadoop.fs.LocalFileSystem =>
+          java.nio.file.Files.move(l.pathToFile(marker).toPath,
+            l.pathToFile(tomb).toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        case _ => f.rename(marker, tomb)
+      } catch { case _: java.io.IOException => false }
+    if (!moved) return false
+    f.delete(tomb, false)
+    claimMarker(spark, root, name)
+  }
 
   /** Optimistic-concurrency commit (the Iceberg-style CAS seam on top
     * of [[commit]]): the writer read `expected` as CURRENT (-1 for an
@@ -1038,7 +1096,9 @@ object Snapshot {
     * the interleaved main commits (the caller rebases: re-fork, re-
     * stage, re-audit). The ref is retired on publish. Returns the
     * published version. */
-  def publishBranch(spark: SparkSession, root: String, branch: String): Long = {
+  def publishBranch(spark: SparkSession, root: String, branch: String,
+      leaseMillis: Long = PublishLeaseMillis,
+      nowMillis: Long = System.currentTimeMillis()): Long = {
     val (head, base) = branchRef(spark, root, branch)
     // Sibling-publish CAS: the mainV == base check below is
     // check-then-swap, so TWO sibling branches forked from the same
@@ -1051,11 +1111,14 @@ object Snapshot {
     // check-and-swap window; a contender raises BEFORE any pointer
     // motion and retries (after the winner's swap the mainV check
     // gives it the accurate rebase-first conflict). The marker is
-    // released on every exit — held only across the window — so a
-    // publisher that crashes mid-publish blocks publishes from that
-    // base until the [[releaseClaim]]-style escape hatch (delete
-    // `claim/pub-v<base>`), the same orphan story as claimVersion.
-    if (!claimMarker(spark, root, s"pub-v$base"))
+    // released on every exit — held only across the window — and a
+    // publisher that crashes mid-window can no longer wedge the base:
+    // its orphaned marker is taken over once older than `leaseMillis`
+    // ([[claimMarkerWithLease]]'s rename arbiter — the publish window
+    // is a pointer read + swap, milliseconds, so a generous lease
+    // cannot evict a LIVE publisher).
+    if (!claimMarkerWithLease(spark, root, s"pub-v$base", leaseMillis,
+        nowMillis))
       throw new CommitConflictException(
         s"publish $branch: a concurrent publish from fork base v$base " +
           "is in flight — retry; rebase first if main has advanced")

@@ -512,7 +512,7 @@ object GraphSketchQueries {
          |${(0 until 3).map(j =>
              s"LEFT JOIN cm c$j ON c$j.r = $j AND c$j.p = " +
                s"${sqlHash60(s"('cm$j|' || t.user_id::VARCHAR)")} % 1024")
-             .mkString("\n")}""".stripMargin)) :+ lpaDecl :+ temporalDecl :+ modularityDecl :+ harmonicDecl :+ hllDecl :+ ssspDecl :+ pprDecl :+ pathCountDecl
+             .mkString("\n")}""".stripMargin)) :+ lpaDecl :+ temporalDecl :+ modularityDecl :+ harmonicDecl :+ hllDecl :+ ssspDecl :+ pprDecl :+ pathCountDecl :+ betweennessDecl
 
   // q286 (round-14): per-group HYPERLOGLOG distinct — the fixed-memory
   // arm of the distinct-count family beside KMV (q164: exact below k,
@@ -922,4 +922,69 @@ object GraphSketchQueries {
          |       FROM customer WHERE c_custkey % 500 = 0),
          |${pcRounds(3)}
          |SELECT seed, node, dist, paths FROM r3 WHERE dist > 0""".stripMargin)
+
+  /** Unrolled BACKWARD (dependency-accumulation) round CTEs cK/dK over
+    * the forward CTEs e/r$rounds: layer K's dependency sums its DAG-edge
+    * contributions σ(v)·(scale + dep(w)) div σ(w) from layer K+1,
+    * left-joined so successor-less nodes keep dep 0 — the exact twin of
+    * [[graft.operators.Centrality.betweenness]]'s per-layer joins. */
+  private def bwRounds(rounds: Int, scale: Long): String = {
+    val rN = s"r$rounds"
+    ((rounds - 1) to 1 by -1).map { k =>
+      s"""c$k AS (SELECT w.seed, e.src AS node,
+         |  SUM((v.paths * ($scale + d.dep)) // w.paths)::BIGINT AS dep
+         |  FROM e JOIN $rN w ON e.dst = w.node AND w.dist = ${k + 1}
+         |  JOIN d${k + 1} d ON d.seed = w.seed AND d.node = w.node
+         |  JOIN $rN v ON v.seed = w.seed AND v.node = e.src AND v.dist = $k
+         |  GROUP BY 1, 2),
+         |d$k AS (SELECT l.seed, l.node, COALESCE(c.dep, 0)::BIGINT AS dep
+         |  FROM (SELECT seed, node FROM $rN WHERE dist = $k) l
+         |  LEFT JOIN c$k c ON c.seed = l.seed AND c.node = l.node)""".stripMargin
+    }.mkString(",\n")
+  }
+
+  // q319 (round-15): BETWEENNESS dependency accumulation — Brandes'
+  // backward phase completing q313's forward σ counts: dependencies
+  // flow from the deepest BFS layer back toward the seeds, δ(v) =
+  // Σ_succ σ(v)/σ(w)·(1+δ(w)), in scaled-integer arithmetic (each DAG
+  // edge contributes σ(v)·(scale+D(w)) div σ(w), floor-rounded BEFORE
+  // the sum — deterministic on any engine/partitioning, replayed
+  // term-for-term by the oracle). This is the chokepoint score the
+  // screening-network family points at: a high-dep supplier is the
+  // broker every shortest customer→customer route crosses. Bounded-
+  // round contract as the whole family (terminal layer dep 0 = Brandes
+  // on the maxHops-truncated DAG). One edge join + one aggregate per
+  // layer per direction; the oracle unrolls forward AND backward.
+  private def betweennessDecl: Decl =
+    decl("q319_betweenness",
+      (s, d) => {
+        val eo = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").cast("long").as("c"),
+            (lit(1000000L) + col("l_suppkey")).as("sup"))
+          .distinct()
+        val edges = eo.select(col("c").as("src"), col("sup").as("dst"))
+          .unionByName(eo.select(col("sup").as("src"), col("c").as("dst")))
+        val seeds = t(s, d, "customer").select(col("c_custkey"))
+          .where(expr("c_custkey % 500 = 0"))
+        Centrality.betweenness(edges, seeds, maxHops = 3, scale = 1000000L)
+      },
+      s"""WITH eo AS MATERIALIZED (SELECT DISTINCT o_custkey::BIGINT AS c,
+         |  (1000000 + l_suppkey)::BIGINT AS sup
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS MATERIALIZED (SELECT c AS src, sup AS dst FROM eo
+         |     UNION ALL SELECT sup, c FROM eo),
+         |r0 AS (SELECT c_custkey::BIGINT AS seed, c_custkey::BIGINT AS node,
+         |       0::BIGINT AS dist, 1::BIGINT AS paths
+         |       FROM customer WHERE c_custkey % 500 = 0),
+         |${pcRounds(3)},
+         |d3 AS (SELECT seed, node, 0::BIGINT AS dep FROM r3 WHERE dist = 3),
+         |${bwRounds(3, 1000000L)}
+         |SELECT r.seed, r.node, r.dist, r.paths, u.dep
+         |FROM r3 r JOIN (SELECT * FROM d1 UNION ALL SELECT * FROM d2
+         |                UNION ALL SELECT * FROM d3) u
+         |  ON u.seed = r.seed AND u.node = r.node
+         |WHERE r.dist > 0""".stripMargin)
 }

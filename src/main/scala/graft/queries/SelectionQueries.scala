@@ -1006,7 +1006,7 @@ object SelectionQueries {
            |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
            |    ORDER BY cos DESC, nid) AS rnk FROM sc2)
            |WHERE rnk <= 10""".stripMargin
-      })) :+ unigramDecl :+ doremiDecl :+ madDecl :+ neymanAllocDecl :+ neymanSampleDecl :+ quartilesDecl :+ gateDecl
+      })) :+ unigramDecl :+ doremiDecl :+ madDecl :+ neymanAllocDecl :+ neymanSampleDecl :+ quartilesDecl :+ gateDecl :+ ariDecl
 
   // DoReMi-style mixture reweighting (Xie et al. 2023): per-domain
     // excess loss (chars-per-token proxy vs the corpus-wide reference,
@@ -1257,4 +1257,75 @@ object SelectionQueries {
         |  (t.n_pos + t.n_neg)::BIGINT AS n, t.n_pos,
         |  b.agree, GREATEST(t.n_pos, t.n_neg)::BIGINT AS base_agree
         |FROM b, t""".stripMargin)
+
+  // q322 (round-15): ADJUSTED RAND INDEX — the chance-corrected
+  // pairwise cluster agreement beside q280's B-cubed, from the SAME
+  // contingency counts (Σ C(n_ij,2) / Σ C(n_p,2) / Σ C(n_t,2) /
+  // C(n,2) — all closed-form exact integers; the only rational is the
+  // final division, one fixed IEEE expression mirrored term-for-term
+  // in the oracle). The fixture predicts nation membership with a
+  // hash-deterministic ~10% of customers split off into wrong labels,
+  // so every count is non-trivial and the ARI sits strictly inside
+  // (0, 1) — a pure-agreement metric would hide the noise rate that
+  // chance correction exposes. The oracle replays cells, marginals,
+  // pair sums, and the division from first principles.
+  private def ariDecl: Decl =
+    decl("q322_adjusted_rand",
+      (s, d) => {
+        val c = t(s, d, "customer")
+          .select(col("c_custkey").cast("long").as("id"),
+            col("c_nationkey").cast("long").as("nk"))
+        val pred = c.select(col("id"),
+          when(pmod(graft.operators.Dedup.hash60(
+              concat(lit("ari|"), col("id").cast("string"))), lit(10L)) === 0L,
+            lit(100L) + pmod(col("nk") + 1L, lit(25L)))
+            .otherwise(col("nk")).as("p"))
+        graft.operators.Eval.adjustedRand(
+          pred, c.select(col("id"), col("nk").as("t")))
+      },
+      s"""WITH c AS (SELECT c_custkey::BIGINT AS id,
+         |  c_nationkey::BIGINT AS nk FROM customer),
+         |jj AS (SELECT id,
+         |  CASE WHEN ${sqlHash60("('ari|' || id::VARCHAR)")} % 10 = 0
+         |       THEN 100 + (nk + 1) % 25 ELSE nk END AS p,
+         |  nk AS t FROM c),
+         |cellc AS (SELECT p, t, COUNT(*)::BIGINT AS nij FROM jj GROUP BY 1, 2),
+         |pmar AS (SELECT p, COUNT(*)::BIGINT AS np FROM jj GROUP BY 1),
+         |tmar AS (SELECT t, COUNT(*)::BIGINT AS nt FROM jj GROUP BY 1),
+         |ni AS (SELECT COUNT(*)::BIGINT AS n_items FROM jj),
+         |tpp AS (SELECT COALESCE(SUM((nij * (nij - 1)) // 2), 0)::BIGINT
+         |        AS tp_pairs FROM cellc),
+         |ppp AS (SELECT COUNT(*)::BIGINT AS pred_clusters,
+         |        COALESCE(SUM((np * (np - 1)) // 2), 0)::BIGINT AS pred_pairs
+         |        FROM pmar),
+         |ttt AS (SELECT COUNT(*)::BIGINT AS true_clusters,
+         |        COALESCE(SUM((nt * (nt - 1)) // 2), 0)::BIGINT AS true_pairs
+         |        FROM tmar),
+         |bps AS (SELECT COALESCE(SUM(CAST((nij * nij)::DOUBLE / np::DOUBLE
+         |          AS DECIMAL(30,12))), 0) AS bp_sum
+         |        FROM cellc JOIN pmar USING (p)),
+         |brs AS (SELECT COALESCE(SUM(CAST((nij * nij)::DOUBLE / nt::DOUBLE
+         |          AS DECIMAL(30,12))), 0) AS br_sum
+         |        FROM cellc JOIN tmar USING (t)),
+         |base AS (SELECT ni.n_items, ppp.pred_clusters, ttt.true_clusters,
+         |  ppp.pred_pairs, ttt.true_pairs, tpp.tp_pairs,
+         |  CAST(CAST(bps.bp_sum::DOUBLE / ni.n_items::DOUBLE
+         |    AS DECIMAL(10,6)) AS DOUBLE) AS bcubed_prec,
+         |  CAST(CAST(brs.br_sum::DOUBLE / ni.n_items::DOUBLE
+         |    AS DECIMAL(10,6)) AS DOUBLE) AS bcubed_rec,
+         |  ((ni.n_items * (ni.n_items - 1)) // 2)::BIGINT AS total_pairs
+         |  FROM ni, ppp, ttt, tpp, bps, brs)
+         |SELECT *,
+         |  CASE WHEN total_pairs > 0
+         |        AND (pred_pairs + true_pairs)::DOUBLE / 2.0
+         |            - pred_pairs::DOUBLE * true_pairs::DOUBLE
+         |              / total_pairs::DOUBLE <> 0.0
+         |       THEN CAST(CAST((tp_pairs::DOUBLE
+         |              - pred_pairs::DOUBLE * true_pairs::DOUBLE
+         |                / total_pairs::DOUBLE)
+         |            / ((pred_pairs + true_pairs)::DOUBLE / 2.0
+         |              - pred_pairs::DOUBLE * true_pairs::DOUBLE
+         |                / total_pairs::DOUBLE) AS DECIMAL(10,6)) AS DOUBLE)
+         |       END AS ari
+         |FROM base""".stripMargin)
 }

@@ -397,6 +397,56 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("publish claim lease: live claim holds, stale claim is taken over, " +
+      "takeover arbiter admits exactly one of many contenders") {
+    val root = java.nio.file.Files.createTempDirectory("snaplease").toString
+    def mani(df: org.apache.spark.sql.DataFrame) =
+      Snapshot.manifestEntries(df, col("id"), col("id"), 2, 0L)
+    val base = (0L until 8L).map(i => (i, 0L)).toDF("id", "x")
+    Snapshot.commit(spark, root, 1L, base, mani(base), commitMillis = 1000L)
+    Snapshot.createBranch(spark, root, "b1")
+    val s1 = base.withColumn("x", lit(7L))
+    Snapshot.commitToBranch(spark, root, "b1", s1, mani(s1), 2000L)
+    // a publisher died mid-window: its claim marker is on disk
+    val claim = new java.io.File(s"$root/claim/pub-v1")
+    claim.getParentFile.mkdirs()
+    assert(claim.createNewFile())
+    // FRESH claim = a live publisher: the contender conflicts and the
+    // marker survives (a lease must never evict a live writer)
+    intercept[Snapshot.CommitConflictException] {
+      Snapshot.publishBranch(spark, root, "b1")
+    }
+    assert(claim.exists())
+    // aged past the lease: takeover wins and the publish completes
+    assert(claim.setLastModified(
+      System.currentTimeMillis() - Snapshot.PublishLeaseMillis - 60000L))
+    assert(Snapshot.publishBranch(spark, root, "b1") === 2L)
+    assert(Snapshot.currentVersion(spark, root) === "v2")
+    // the winner's own marker was released on exit; no tombstone lingers
+    assert(!claim.exists())
+    assert(!new java.io.File(s"$root/claim").list()
+      .exists(_.startsWith(".stale-pub-v1")))
+
+    // arbiter under real thread concurrency: one stale version claim,
+    // many contenders — exactly one may win the takeover
+    val vclaim = new java.io.File(s"$root/claim/v9")
+    assert(vclaim.createNewFile())
+    assert(vclaim.setLastModified(System.currentTimeMillis() - 100000L))
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = (1 to 8).map(_ => new Thread(() =>
+      try {
+        if (Snapshot.claimVersionWithLease(spark, root, 9L,
+            leaseMillis = 1000L)) wins.incrementAndGet()
+      } catch { case t: Throwable => failures.add(t) }))
+    ts.foreach(_.start()); ts.foreach(_.join(300000))
+    assert(failures.isEmpty, s"contender died: ${failures.peek()}")
+    assert(wins.get() === 1)
+    // the winner's fresh claim is now live: a late contender loses
+    assert(!Snapshot.claimVersionWithLease(spark, root, 9L,
+      leaseMillis = 60000L))
+  }
+
   test("threeWayMerge classifies every divergence arm and merges branch reads") {
     val root = java.nio.file.Files.createTempDirectory("snap3way").toString
     val base = (1L to 10L).map(k => (k, k * 100L)).toDF("k", "v")
