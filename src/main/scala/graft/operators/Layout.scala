@@ -324,16 +324,24 @@ object Layout {
     * (version, file_id, n_rows, min_key, max_key) with disjoint
     * envelopes by construction. */
   def equiDepthPlan(df: DataFrame, key: Column, files: Int,
-      version: Long = 1L): DataFrame = {
+      version: Long = 1L): DataFrame =
+    Snapshot.manifestEntriesBy(equiDepthAssign(df, key, files),
+      col("fid"), col("k"), version)
+
+  /** [[equiDepthPlan]]'s row half: the per-row file assignment
+    * (k, fid) against the exact-quantile boundary array — exposed so a
+    * maintenance EXECUTOR can materialize the layout the plan
+    * describes (the q318 composition: plan from arithmetic, execute by
+    * regrouping rows, re-measure, assert they agree). */
+  def equiDepthAssign(df: DataFrame, key: Column, files: Int): DataFrame = {
     require(files >= 2, s"files: $files")
     val rows = df.select(key.cast("long").as("k"))
     val qs = (1 until files).map(i => (i, files))
     val bounds = Quantiles.histExactQuantiles(rows, lit("all"), col("k"), qs)
       .agg(sort_array(collect_list(col("value"))).as("bs"))
-    val assigned = rows.crossJoin(broadcast(bounds))
+    rows.crossJoin(broadcast(bounds))
       .select(col("k"), aggregate(col("bs"), lit(0L),
         (acc, b) => acc + when(col("k") > b, 1L).otherwise(0L)).as("fid"))
-    Snapshot.manifestEntriesBy(assigned, col("fid"), col("k"), version)
   }
 
   /** Per-file COLUMN STATS for a low-cardinality column — the exact

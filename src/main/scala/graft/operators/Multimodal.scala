@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -169,5 +169,77 @@ object Multimodal {
         }
       }
       .toDF("media_id", "frame_no", "frame_bytes")
+  }
+
+  /** Perceptual dHash BAND VALUES over a row-major luminance grid —
+    * the image-level near-dup arm of the multimodal family: dHash
+    * (difference hash) sets bit b when the pixel right of position b
+    * is brighter than position b, the classic gradient fingerprint
+    * that survives re-encode/resize/brightness shifts (any monotone
+    * luminance map preserves every comparison). The 64 bits are
+    * emitted directly as FOUR 16-bit band values (b0..b3) — the
+    * Hamming-ball search representation: candidates with distance
+    * ≤ 3 agree on ≥ 1 band by pigeonhole, so the candidate join is an
+    * exact equi-join per band (the LSH banding discipline of
+    * [[Dedup.minhashLshPairs]] / the multi-index machinery in
+    * [[Similarity]]), never a pairwise scan — and staying in 16-bit
+    * positive integers keeps every value engine-portable (no 64-bit
+    * sign-bit arithmetic to replay). All comparisons unroll statically
+    * into one whole-stage-codegen projection.
+    *
+    * `pixels`: array of width·height integral luminance values,
+    * row-major — the output of the decode seam ([[FakeCodec]] /
+    * [[RealCodec]]); a raw grayscale payload IS this array.
+    * Returns (id, b0, b1, b2, b3). */
+  def dHashBands(df: DataFrame, id: Column, pixels: Column,
+      width: Int = 9, height: Int = 8): DataFrame = {
+    val bits = (width - 1) * height
+    require(bits == 64, s"dHashBands needs a 64-bit grid: " +
+      s"(width-1)*height = $bits")
+    def band(j: Int): Column =
+      (0 until 16).map { t =>
+        val b = 16 * j + t
+        val r = b / (width - 1); val c = b % (width - 1)
+        val cur = element_at(pixels, r * width + c + 1)
+        val nxt = element_at(pixels, r * width + c + 2)
+        when(nxt > cur, lit(1L << t)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    df.select(id.as("id"), band(0).as("b0"), band(1).as("b1"),
+      band(2).as("b2"), band(3).as("b3"))
+  }
+
+  /** Hamming-ball near-dup join over [[dHashBands]] output: exact
+    * equi-join per 16-bit band buckets the candidates (pigeonhole: a
+    * pair within Hamming ≤ 3 of 64 bits shares at least one of the 4
+    * bands exactly — guaranteed recall, no probabilistic miss), then
+    * the exact distance Σ bit_count(aᵢ xor bᵢ) verifies. Integer
+    * arithmetic end to end, oracle-replayable. Scale shape: the
+    * candidate generator is a bucket-key equi-join like every
+    * generator in the dedup family — a degenerate band value (e.g.
+    * all-flat images hashing to 0) concentrates a bucket, the same
+    * df-cap/salting story as the LSH joins; the verify step touches
+    * candidates only. Returns (id_a, id_b, hamming), id_a < id_b. */
+  def phashNearDup(bands: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banded recall is only guaranteed for maxHamming <= 3: $maxHamming")
+    val long = (0 until 4).map(j => bands.select(col("id"),
+        lit(j).as("band_idx"), col(s"b$j").as("band_val")))
+      .reduce(_ unionByName _)
+    val cand = long.as("a").join(long.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(bands.select(col("id").as("id_a"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), "id_a")
+      .join(bands.select(col("id").as("id_b"), col("b0").as("c0"),
+        col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")), "id_b")
+      .withColumn("hamming",
+        expr("CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1) " +
+          "+ bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS BIGINT)"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 }

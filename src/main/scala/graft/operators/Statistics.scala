@@ -56,6 +56,32 @@ object Statistics {
       .orderBy(col("facet"), col("cnt").desc, col("key"))
   }
 
+  /** [[entityFacets]]' country facet carrying a SKETCHED distinct arm
+    * beside the exact one — the 100 TB form of A2's per-country entity
+    * counts (zavod/zavod/exporters/statistics.py:73-152): the exact
+    * `countDistinct(id)` pays a full (country, id) shuffle that grows
+    * with the corpus, while the [[Hll]] registers are O(m) per country
+    * regardless of row count, mergeable across shards/days, and — on
+    * the house portable-arithmetic contract — bit-identical on any
+    * engine, so the facet row is oracle-gated END TO END (registers,
+    * harmonic numerator, estimate) with the exact count alongside as
+    * the truth the estimate is judged against. Returns
+    * (facet, key, exact_distinct, n_registers_set, register_sum,
+    * harmonic_num, est_distinct). */
+  def countryFacetSketched(entities: DataFrame, p: Int = 8): DataFrame = {
+    val exploded = entities.select(col("id"),
+      explode(coalesce(element_at(col("properties"), "country"),
+        array().cast("array<string>"))).as("key"))
+    val exact = exploded.groupBy("key")
+      .agg(countDistinct(col("id")).as("exact_distinct"))
+    Hll.groupDistinct(exploded, col("key"), col("id"), p)
+      .withColumnRenamed("grp", "key")
+      .join(exact, "key")
+      .select(lit("country_all").as("facet"), col("key"),
+        col("exact_distinct"), col("n_registers_set"),
+        col("register_sum"), col("harmonic_num"), col("est_distinct"))
+  }
+
   /** K9: the complete statistics.json document with the reference's
     * structure (statistics.py:73-170): last_change, schemata,
     * properties (schema:prop qnames), entity/target counts, targets

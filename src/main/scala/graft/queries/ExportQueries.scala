@@ -633,5 +633,49 @@ object ExportQueries {
         |  CASE WHEN c_custkey % 3 = 0 THEN 'sanction' WHEN c_custkey % 3 = 1 THEN 'poi' ELSE '' END,
         |  '', '', 'c' || c_custkey::VARCHAR
         |FROM customer WHERE c_custkey % 20 = 0""".stripMargin)
-  )
+  ) :+ hllFacetDecl
+
+  // q320 (round-15): the statistics country facet's SKETCHED distinct
+  // arm — A2's per-country entity counts with the q286 portable HLL
+  // beside the exact countDistinct: at 100 TB the exact arm's
+  // (country, id) shuffle grows with the corpus while the sketch is
+  // O(m) per country and mergeable across shards/days; gating both in
+  // ONE row proves the estimate against its truth. Registers, the
+  // scaled harmonic numerator, and the bias-corrected estimate are
+  // hash-gated; the oracle replays the trailing-zero rank and the one
+  // IEEE division over the same exploded (country, id) frame the q95
+  // facet counts.
+  private def hllFacetDecl: Decl =
+    decl("q320_facet_distinct_hll",
+      (s, d) => graft.operators.Statistics.countryFacetSketched(
+        syntheticEntities(s, d), p = 8),
+      s"""WITH $SqlCust,
+         |ex AS (
+         |  SELECT 'c' || k::VARCHAR AS id, country AS key FROM cust
+         |  UNION ALL
+         |  SELECT 'i' || o_orderkey::VARCHAR,
+         |    'cc' || (o_orderkey % 10)::VARCHAR
+         |  FROM orders WHERE o_orderkey % 5 = 1),
+         |h AS (SELECT key, ${PipelineQueries.sqlHash60("id")} AS h FROM ex),
+         |r AS (SELECT key, h % 256 AS reg, h // 256 AS s FROM h),
+         |rho AS (SELECT key, reg,
+         |        CASE WHEN s = 0 THEN 53
+         |             ELSE bit_count((s & -s) - 1) + 1 END AS rho FROM r),
+         |mreg AS (SELECT key, reg, MAX(rho)::BIGINT AS mr
+         |         FROM rho GROUP BY 1, 2),
+         |agg AS (SELECT key, COUNT(*)::BIGINT AS n_registers_set,
+         |        SUM(mr)::BIGINT AS register_sum,
+         |        SUM(1::BIGINT << (53 - mr)::INT)::BIGINT AS setnum
+         |        FROM mreg GROUP BY 1),
+         |ex2 AS (SELECT key, COUNT(DISTINCT id)::BIGINT AS exact_distinct
+         |        FROM ex GROUP BY 1)
+         |SELECT 'country_all' AS facet, agg.key, ex2.exact_distinct,
+         |  agg.n_registers_set, agg.register_sum,
+         |  (agg.setnum + (256 - agg.n_registers_set)
+         |     * (1::BIGINT << 53))::BIGINT AS harmonic_num,
+         |  ROUND(((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+         |           * (1::BIGINT << 53)::DOUBLE)
+         |        / (agg.setnum + (256 - agg.n_registers_set)
+         |             * (1::BIGINT << 53))::DOUBLE, 6) AS est_distinct
+         |FROM agg JOIN ex2 USING (key)""".stripMargin)
 }

@@ -721,7 +721,7 @@ object LayoutQueries {
          |         FROM tgt, k2 WHERE key < k2.lo OR key > k2.hi)
          |SELECT aud.version, aud.file_id, aud.n_rows, aud.min_key, aud.max_key,
          |  aud.action, live.rows_live, live.qty_live
-         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl :+ bloomMaintainDecl :+ lifecycleDecl :+ morDvDecl :+ morMergeDecl :+ advisorDecl :+ wapDecl :+ joinViewIvmDecl :+ branchMergeDecl :+ incrOptimizeDecl :+ rebaseDecl :+ advisorManifestDecl :+ morBloomDecl :+ clusterDepthDecl :+ equiDepthDecl :+ columnStatsDecl :+ rebalanceDecl
+         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl :+ bloomMaintainDecl :+ lifecycleDecl :+ morDvDecl :+ morMergeDecl :+ advisorDecl :+ wapDecl :+ joinViewIvmDecl :+ branchMergeDecl :+ incrOptimizeDecl :+ rebaseDecl :+ advisorManifestDecl :+ morBloomDecl :+ clusterDepthDecl :+ equiDepthDecl :+ columnStatsDecl :+ rebalanceDecl :+ maintenanceAdvisorDecl :+ rebalanceExecDecl
 
   // q263 (round-12): MERGE-ON-READ deletion vectors — the other half
   // of the delete family. q201's deleteRange rewrites/drops files
@@ -1984,6 +1984,303 @@ object LayoutQueries {
         |  u.action, u.pieces, u.merge_group
         |FROM b JOIN (SELECT * FROM sm UNION ALL SELECT * FROM rst) u
         |USING (file_id)""".stripMargin)
+
+  // q318 (round-15): COMPOSED TABLE-MAINTENANCE ADVISOR — the
+  // schedule-maintenance runbook as ONE oracle-gated cycle over the
+  // metadata-only planner family: MEASURE (q304 clustering-depth sweep
+  // finds a full-span hash straggler riding on a clustered layout →
+  // max overlap depth 2), DECIDE (depth > 1 → full equi-depth rewrite,
+  // the q315 planner, 8 files), PREDICT (the plan manifest's depth
+  // profile and per-file stats — pure manifest arithmetic, no data
+  // read), EXECUTE (regroup the actual rows by the plan's boundary
+  // rule, write them as REAL files, read the layout back — the q269
+  // pre-deleted deterministic path pattern), RE-MEASURE (manifest +
+  // depth from what was physically written). The gate hashes predicted
+  // AND achieved side by side plus an achieved_as_predicted boolean:
+  // the oracle computes the predicted arithmetic once and asserts the
+  // two arms equal, so any executor drift — lost rows, mixed
+  // partitions, boundary off-by-one between plan and write path —
+  // lands as a hash mismatch. Composition gates have caught real
+  // interaction bugs every round they shipped (q109/q130/q223/q288).
+  private def maintenanceAdvisorDecl: Decl =
+    decl("q318_maintenance_advisor",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_orderkey").cast("long").as("k"))
+        // mixed layout: two clustered widths + one full-span hash straggler
+        val fid0 = when(pmod(col("k"), lit(97L)) === 0L, lit(2000L))
+          .when(col("k") < 7500L, expr("k div 250"))
+          .otherwise(lit(1000L) + expr("k div 2500"))
+        val m0 = Snapshot.manifestEntriesBy(li, fid0, col("k"), version = 1L)
+        val before = broadcast(Layout.clusteringDepth(m0)
+          .agg(max(col("depth")).as("depth_before_max")))
+        val beforeFiles = broadcast(m0.agg(count(lit(1)).as("files_before")))
+        // advisor: overlap (max depth > 1) → full equi-depth rewrite
+        val plan = Layout.equiDepthPlan(li, col("k"), files = 8, version = 2L)
+        val predDepth = broadcast(Layout.clusteringDepth(plan)
+          .agg(max(col("depth")).as("predicted_depth_max")))
+        // execute the plan on the rows, as real files on disk
+        val root = "/tmp/graft_q318_exec_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+        val fsH = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsH.delete(new org.apache.hadoop.fs.Path(root), true)
+        Layout.equiDepthAssign(li, col("k"), 8)
+          .write.partitionBy("fid").parquet(root)
+        val back = s.read.parquet(root)
+          .select(col("fid").cast("long").as("file_id"),
+            col("k").cast("long").as("k"))
+        val m1 = back.groupBy("file_id")
+          .agg(count(lit(1)).as("achieved_rows"),
+            min("k").as("achieved_min"), max("k").as("achieved_max"))
+        val achDepth = broadcast(Layout.clusteringDepth(
+            m1.select(col("file_id"), col("achieved_min").as("min_key"),
+              col("achieved_max").as("max_key")))
+          .agg(max(col("depth")).as("achieved_depth_max")))
+        plan.select(col("file_id"), col("n_rows").as("predicted_rows"),
+            col("min_key").as("predicted_min"),
+            col("max_key").as("predicted_max"))
+          .join(m1, Seq("file_id"), "full_outer")
+          .crossJoin(beforeFiles).crossJoin(before)
+          .crossJoin(predDepth).crossJoin(achDepth)
+          .select(col("file_id"), col("predicted_rows"), col("achieved_rows"),
+            col("predicted_min"), col("achieved_min"),
+            col("predicted_max"), col("achieved_max"),
+            (col("predicted_rows") <=> col("achieved_rows")
+              && col("predicted_min") <=> col("achieved_min")
+              && col("predicted_max") <=> col("achieved_max"))
+              .as("achieved_as_predicted"),
+            col("files_before"), col("depth_before_max"),
+            col("predicted_depth_max"), col("achieved_depth_max"))
+      },
+      """WITH k AS (SELECT l_orderkey::BIGINT AS k FROM lineitem),
+        |man0 AS (SELECT CASE WHEN k % 97 = 0 THEN 2000
+        |                WHEN k < 7500 THEN k // 250
+        |                ELSE 1000 + k // 2500 END AS file_id,
+        |         MIN(k) AS min_key, MAX(k) AS max_key FROM k GROUP BY 1),
+        |b0 AS (SELECT k, SUM(d)::BIGINT AS d FROM (
+        |  SELECT min_key AS k, 1 AS d FROM man0
+        |  UNION ALL SELECT max_key + 1, -1 FROM man0) GROUP BY 1),
+        |sw0 AS (SELECT SUM(d) OVER (ORDER BY k)::BIGINT AS depth,
+        |        lead(k) OVER (ORDER BY k) AS nk FROM b0),
+        |dep0 AS (SELECT MAX(depth)::BIGINT AS depth_before_max FROM sw0
+        |         WHERE nk IS NOT NULL AND depth > 0),
+        |nf0 AS (SELECT COUNT(*)::BIGINT AS files_before FROM man0),
+        |h AS (SELECT k AS v, COUNT(*)::BIGINT AS cnt FROM k GROUP BY 1),
+        |n AS (SELECT SUM(cnt)::BIGINT AS n FROM h),
+        |c AS (SELECT v, cnt, SUM(cnt) OVER (ORDER BY v)::BIGINT AS cum FROM h),
+        |q AS (SELECT unnest(generate_series(1, 7)) AS i),
+        |bnd AS (SELECT q.i, c.v FROM c, n, q
+        |      WHERE cum >= (n * i + 7) // 8
+        |        AND cum - cnt < (n * i + 7) // 8),
+        |asg AS (SELECT k.k,
+        |  (SELECT COUNT(*) FROM bnd WHERE k.k > bnd.v)::BIGINT AS file_id
+        |  FROM k),
+        |plan AS (SELECT file_id, COUNT(*)::BIGINT AS n_rows,
+        |  MIN(k)::BIGINT AS min_key, MAX(k)::BIGINT AS max_key
+        |  FROM asg GROUP BY 1),
+        |bP AS (SELECT k, SUM(d)::BIGINT AS d FROM (
+        |  SELECT min_key AS k, 1 AS d FROM plan
+        |  UNION ALL SELECT max_key + 1, -1 FROM plan) GROUP BY 1),
+        |swP AS (SELECT SUM(d) OVER (ORDER BY k)::BIGINT AS depth,
+        |        lead(k) OVER (ORDER BY k) AS nk FROM bP),
+        |depP AS (SELECT MAX(depth)::BIGINT AS predicted_depth_max FROM swP
+        |         WHERE nk IS NOT NULL AND depth > 0)
+        |SELECT p.file_id, p.n_rows AS predicted_rows,
+        |  p.n_rows AS achieved_rows,
+        |  p.min_key AS predicted_min, p.min_key AS achieved_min,
+        |  p.max_key AS predicted_max, p.max_key AS achieved_max,
+        |  TRUE AS achieved_as_predicted,
+        |  nf0.files_before, dep0.depth_before_max,
+        |  depP.predicted_depth_max,
+        |  depP.predicted_depth_max AS achieved_depth_max
+        |FROM plan p, nf0, dep0, depP""".stripMargin)
+
+  // q323 (round-15): EXECUTE the q317 rebalance plan — the INCREMENTAL
+  // maintenance path's executor beside q318's full-rewrite executor:
+  // every row is labeled with its post-maintenance file (keep → same
+  // file; merge → its run subgroup, one output file per merge_group;
+  // split → piece = (rank-within-file − 1) div ceil(n/pieces), ranks by
+  // key), and the executed layout's per-file stats are gated against
+  // what the plan PREDICTED. The prediction honors the metadata-only
+  // contract: cardinalities are exact for every action (keep/merge from
+  // manifest sums, split pieces from ceil arithmetic), and envelopes
+  // are exact for keep/merge — but a split's intra-file piece bounds
+  // need the data (an order statistic inside the file), so the plan
+  // predicts NULL bounds there and the envelope gate degrades to the
+  // bound a metadata-only plan CAN promise: containment in the source
+  // file's envelope (kept never-NULL — a nullable boolean is
+  // unportable through the hash gate). The oracle replays plan,
+  // prediction, and the
+  // achieved arm (piece bounds as per-file order statistics over the
+  // key histogram — rank-deterministic even though duplicate keys
+  // straddle piece boundaries); row conservation and the executed
+  // depth sweep ride in every row.
+  private def rebalanceExecDecl: Decl =
+    decl("q323_rebalance_execute",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = t(s, d, "lineitem").select(col("l_orderkey").cast("long").as("k"))
+        val fid0 = when(col("k") < 7500L, expr("k div 250"))
+          .otherwise(lit(1000L) + expr("k div 2500"))
+        val m0 = Snapshot.manifestEntriesBy(li, fid0, col("k"), version = 1L)
+        val plan = Layout.rebalancePlan(m0, targetRows = 4000L)
+        // execute on the rows: label, regroup, re-measure
+        val exec = li.select(col("k"), fid0.as("file_id"))
+          .join(broadcast(plan), "file_id")
+          .withColumn("_rn", row_number().over(
+            Window.partitionBy("file_id").orderBy("k")).cast("long"))
+          .withColumn("_per", expr("(n_rows + pieces - 1) div pieces"))
+          .withColumn("new_file",
+            when(col("action") === "merge",
+              concat(lit("m"), col("merge_group").cast("string")))
+              .when(col("action") === "split",
+                concat(lit("s"), col("file_id").cast("string"), lit("_"),
+                  expr("(_rn - 1) div _per").cast("string")))
+              .otherwise(concat(lit("k"), col("file_id").cast("string"))))
+        val m1 = exec.groupBy("new_file")
+          .agg(count(lit(1)).as("achieved_rows"),
+            min("k").as("achieved_min"), max("k").as("achieved_max"))
+        // predicted per output file, from plan arithmetic alone
+        val predKeep = plan.where(col("action") === "keep")
+          .select(concat(lit("k"), col("file_id").cast("string")).as("new_file"),
+            col("n_rows").as("predicted_rows"),
+            col("min_key").as("predicted_min"),
+            col("max_key").as("predicted_max"),
+            col("min_key").as("_smin"), col("max_key").as("_smax"))
+        val predMerge = plan.where(col("action") === "merge")
+          .groupBy(col("merge_group"))
+          .agg(sum(col("n_rows")).as("predicted_rows"),
+            min(col("min_key")).as("predicted_min"),
+            max(col("max_key")).as("predicted_max"))
+          .select(concat(lit("m"), col("merge_group").cast("string")).as("new_file"),
+            col("predicted_rows"), col("predicted_min"), col("predicted_max"),
+            col("predicted_min").as("_smin"), col("predicted_max").as("_smax"))
+        val predSplit = plan.where(col("action") === "split")
+          .withColumn("_per", expr("(n_rows + pieces - 1) div pieces"))
+          .select(col("file_id"), col("n_rows"), col("_per"),
+            col("min_key"), col("max_key"),
+            explode(sequence(lit(0L), col("pieces") - 1L)).as("p"))
+          .select(concat(lit("s"), col("file_id").cast("string"), lit("_"),
+              col("p").cast("string")).as("new_file"),
+            (least((col("p") + 1L) * col("_per"), col("n_rows"))
+              - col("p") * col("_per")).as("predicted_rows"),
+            lit(null).cast("long").as("predicted_min"),
+            lit(null).cast("long").as("predicted_max"),
+            col("min_key").as("_smin"), col("max_key").as("_smax"))
+        val pred = predKeep.unionByName(predMerge).unionByName(predSplit)
+        val totals = broadcast(li.agg(count(lit(1)).as("rows_before")))
+        val after = broadcast(m1.agg(sum(col("achieved_rows")).as("rows_after")))
+        val achDepth = broadcast(Layout.clusteringDepth(
+            m1.select(col("achieved_min").as("min_key"),
+              col("achieved_max").as("max_key")))
+          .agg(max(col("depth")).as("achieved_depth_max")))
+        pred.join(m1, Seq("new_file"), "full_outer")
+          .crossJoin(totals).crossJoin(after).crossJoin(achDepth)
+          .select(col("new_file"),
+            col("predicted_rows"), col("achieved_rows"),
+            col("predicted_min"), col("achieved_min"),
+            col("predicted_max"), col("achieved_max"),
+            (col("predicted_rows") <=> col("achieved_rows")).as("rows_as_predicted"),
+            // exact-envelope check where the plan predicts one;
+            // CONTAINMENT in the source file's envelope for split
+            // pieces (the bound a metadata-only plan CAN promise) —
+            // never NULL, so the gate's boolean column stays portable
+            coalesce(
+              when(col("predicted_min").isNotNull,
+                col("predicted_min") <=> col("achieved_min")
+                  && col("predicted_max") <=> col("achieved_max"))
+                .otherwise(col("achieved_min") >= col("_smin")
+                  && col("achieved_max") <= col("_smax")),
+              lit(false)).as("envelope_as_predicted"),
+            col("rows_before"), col("rows_after"), col("achieved_depth_max"))
+      },
+      """WITH k AS (SELECT l_orderkey::BIGINT AS k FROM lineitem),
+        |asg AS (SELECT k, CASE WHEN k < 7500 THEN k // 250
+        |               ELSE 1000 + k // 2500 END AS file_id FROM k),
+        |man AS (SELECT file_id, COUNT(*)::BIGINT AS n_rows,
+        |        MIN(k) AS min_key, MAX(k) AS max_key FROM asg GROUP BY 1),
+        |b AS (SELECT *, row_number()
+        |        OVER (ORDER BY min_key, file_id)::BIGINT AS rk,
+        |      (n_rows * 2 < 4000) AS small FROM man),
+        |s AS (SELECT *, row_number()
+        |        OVER (ORDER BY min_key, file_id)::BIGINT AS srk
+        |      FROM b WHERE small),
+        |s2 AS (SELECT *, rk - srk AS run,
+        |       COALESCE(SUM(n_rows) OVER (PARTITION BY rk - srk
+        |         ORDER BY min_key, file_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         0)::BIGINT AS bef FROM s),
+        |plan AS (
+        |  SELECT file_id, n_rows, min_key, max_key, 'merge' AS action,
+        |    1::BIGINT AS pieces, (run * 1000 + bef // 4000)::BIGINT AS mg
+        |  FROM s2
+        |  UNION ALL
+        |  SELECT file_id, n_rows, min_key, max_key,
+        |    CASE WHEN n_rows > 8000 THEN 'split' ELSE 'keep' END,
+        |    (CASE WHEN n_rows > 8000 THEN (n_rows + 3999) // 4000
+        |     ELSE 1 END)::BIGINT, (-1)::BIGINT
+        |  FROM b WHERE NOT small),
+        |predk AS (SELECT 'k' || file_id::VARCHAR AS new_file,
+        |  n_rows AS predicted_rows, min_key AS predicted_min,
+        |  max_key AS predicted_max, min_key AS smin, max_key AS smax
+        |  FROM plan WHERE action = 'keep'),
+        |predm AS (SELECT 'm' || mg::VARCHAR, SUM(n_rows)::BIGINT,
+        |  MIN(min_key), MAX(max_key), MIN(min_key), MAX(max_key)
+        |  FROM plan WHERE action = 'merge' GROUP BY mg),
+        |spl AS (SELECT file_id, n_rows, pieces, min_key, max_key,
+        |  (n_rows + pieces - 1) // pieces AS per
+        |  FROM plan WHERE action = 'split'),
+        |pcs AS (SELECT file_id, n_rows, per, min_key, max_key,
+        |  unnest(generate_series(0, pieces - 1)) AS p FROM spl),
+        |preds AS (SELECT 's' || file_id::VARCHAR || '_' || p::VARCHAR,
+        |  (LEAST((p + 1) * per, n_rows) - p * per)::BIGINT,
+        |  NULL::BIGINT, NULL::BIGINT, min_key, max_key FROM pcs),
+        |pred AS (SELECT * FROM predk UNION ALL SELECT * FROM predm
+        |         UNION ALL SELECT * FROM preds),
+        |fh AS (SELECT file_id, k, COUNT(*)::BIGINT AS cnt
+        |       FROM asg GROUP BY 1, 2),
+        |fc AS (SELECT file_id, k, cnt,
+        |  SUM(cnt) OVER (PARTITION BY file_id ORDER BY k)::BIGINT AS cum
+        |  FROM fh),
+        |-- achieved arm: keep/merge from exact group stats; split piece
+        |-- bounds as per-file order statistics at ranks p·per+1 and
+        |-- min((p+1)·per, n) — rank-deterministic under duplicate keys
+        |achks AS (SELECT 'k' || file_id::VARCHAR AS new_file,
+        |  n_rows AS achieved_rows, min_key AS achieved_min,
+        |  max_key AS achieved_max FROM plan WHERE action = 'keep'),
+        |achm AS (SELECT 'm' || mg::VARCHAR, SUM(n_rows)::BIGINT,
+        |  MIN(min_key), MAX(max_key) FROM plan WHERE action = 'merge'
+        |  GROUP BY mg),
+        |achs AS (SELECT 's' || pcs.file_id::VARCHAR || '_' || p::VARCHAR,
+        |  (LEAST((p + 1) * per, n_rows) - p * per)::BIGINT,
+        |  (SELECT MIN(k) FROM fc WHERE fc.file_id = pcs.file_id
+        |    AND cum >= p * per + 1 AND cum - cnt < p * per + 1),
+        |  (SELECT MIN(k) FROM fc WHERE fc.file_id = pcs.file_id
+        |    AND cum >= LEAST((p + 1) * per, n_rows)
+        |    AND cum - cnt < LEAST((p + 1) * per, n_rows))
+        |  FROM pcs),
+        |ach AS (SELECT * FROM achks UNION ALL SELECT * FROM achm
+        |        UNION ALL SELECT * FROM achs),
+        |tot AS (SELECT COUNT(*)::BIGINT AS rows_before FROM k),
+        |aft AS (SELECT SUM(achieved_rows)::BIGINT AS rows_after FROM ach),
+        |bd AS (SELECT k, SUM(d)::BIGINT AS d FROM (
+        |  SELECT achieved_min AS k, 1 AS d FROM ach
+        |  UNION ALL SELECT achieved_max + 1, -1 FROM ach) GROUP BY 1),
+        |sw AS (SELECT SUM(d) OVER (ORDER BY k)::BIGINT AS depth,
+        |       lead(k) OVER (ORDER BY k) AS nk FROM bd),
+        |dep AS (SELECT MAX(depth)::BIGINT AS achieved_depth_max FROM sw
+        |        WHERE nk IS NOT NULL AND depth > 0)
+        |SELECT pred.new_file, pred.predicted_rows, ach.achieved_rows,
+        |  pred.predicted_min, ach.achieved_min,
+        |  pred.predicted_max, ach.achieved_max,
+        |  (pred.predicted_rows = ach.achieved_rows) AS rows_as_predicted,
+        |  COALESCE(CASE WHEN pred.predicted_min IS NOT NULL
+        |       THEN pred.predicted_min = ach.achieved_min
+        |        AND pred.predicted_max = ach.achieved_max
+        |       ELSE ach.achieved_min >= pred.smin
+        |        AND ach.achieved_max <= pred.smax
+        |       END, FALSE) AS envelope_as_predicted,
+        |  tot.rows_before, aft.rows_after, dep.achieved_depth_max
+        |FROM pred JOIN ach USING (new_file), tot, aft, dep""".stripMargin)
 
   /** The full-recompute oracle for the post-merge per-group view —
     * shared by q199 (batch IVM) and q200 (streaming IVM): both

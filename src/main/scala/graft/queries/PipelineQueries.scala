@@ -3807,7 +3807,7 @@ object PipelineQueries {
           n = 3, maxDf = 50, bands = 8, rowsPerBand = 4, minEstJaccard = 0.5)
       },
       incrementalNearDupSql)
-  ) :+ epochPlanDecl :+ sourceOverlapDecl :+ classifierEvalDecl :+ rocCurveDecl :+ prefixJaccardDecl :+ editDistDecl :+ percentileGateDecl :+ curationPipelineDecl
+  ) :+ epochPlanDecl :+ sourceOverlapDecl :+ classifierEvalDecl :+ rocCurveDecl :+ prefixJaccardDecl :+ editDistDecl :+ percentileGateDecl :+ curationPipelineDecl :+ phashDecl
 
   // q288 (round-14): the END-TO-END CURATION PIPELINE as one
   // oracle-gated composition — the full corpus DAG a pretraining data
@@ -4272,4 +4272,66 @@ object PipelineQueries {
       "e0 AS (SELECT doc_id, syms FROM d),\n" +
       ctes.mkString(",\n")
   }
+
+  // q321 (round-15): PERCEPTUAL-HASH IMAGE NEAR-DUP — the multimodal
+  // dedup arm: dHash gradient bits over each image's 9×8 luminance
+  // grid (here the deterministic decode-seam stand-in: a grid derived
+  // by integer hash arithmetic — the q50 FakeCodec discipline — with
+  // planted near-identical pairs: even/odd part keys share a grid,
+  // the odd one perturbed in ONE cell, moving ≤ 2 of the 64 bits),
+  // then the Hamming-ball candidate join: exact equi-join per 16-bit
+  // band (pigeonhole guarantees recall at distance ≤ 3 — no
+  // probabilistic miss), exact Σ bit_count(xor) verify. All integer
+  // arithmetic; the oracle replays grid, comparisons, band packing,
+  // banding join, and popcount distance from first principles. Every
+  // planted pair must surface; unrelated grids (~32 bits apart) must
+  // not survive the verify.
+  private def phashDecl: Decl =
+    decl("q321_phash_neardup",
+      (s, d) => {
+        import graft.operators.{Dedup, Multimodal}
+        val grid = t(s, d, "part")
+          .select(col("p_partkey").cast("long").as("id"),
+            expr("CAST(p_partkey AS BIGINT) div 2").as("bse"))
+          .select(col("id"),
+            transform(sequence(lit(0), lit(71)), i =>
+              pmod(Dedup.hash60(concat(lit("px|"),
+                col("bse").cast("string"), lit("|"), i.cast("string"))),
+                lit(256L))
+                + when(pmod(col("id"), lit(2L)) === 1L
+                    && i.cast("long") === pmod(col("bse"), lit(72L)),
+                  lit(96L)).otherwise(lit(0L))).as("px"))
+        Multimodal.phashNearDup(
+          Multimodal.dHashBands(grid, col("id"), col("px")), maxHamming = 3)
+      },
+      s"""WITH ids AS (SELECT p_partkey::BIGINT AS id FROM part),
+         |px AS (SELECT id, gx,
+         |  (${sqlHash60("('px|' || (id // 2)::VARCHAR || '|' || gx::VARCHAR)")} % 256
+         |   + CASE WHEN id % 2 = 1 AND gx = (id // 2) % 72
+         |          THEN 96 ELSE 0 END) AS p
+         |  FROM ids, (SELECT unnest(generate_series(0, 71)) AS gx)),
+         |bits AS (SELECT cur.id, b.b,
+         |  CASE WHEN nxt.p > cur.p THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+         |  FROM (SELECT unnest(generate_series(0, 63)) AS b) b
+         |  JOIN px cur ON cur.gx = (b.b // 8) * 9 + (b.b % 8)
+         |  JOIN px nxt ON nxt.id = cur.id
+         |              AND nxt.gx = (b.b // 8) * 9 + (b.b % 8) + 1),
+         |bands AS (SELECT id, (b // 16)::BIGINT AS band_idx,
+         |  SUM(bit << (b % 16))::BIGINT AS band_val FROM bits GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+         |   AND a.band_val = b.band_val AND a.id < b.id),
+         |wide AS (SELECT id,
+         |  MAX(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+         |  MAX(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+         |  MAX(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+         |  MAX(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+         |  FROM bands GROUP BY 1),
+         |scored AS (SELECT c.id_a, c.id_b,
+         |  (bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+         |   + bit_count(xor(wa.b2, wb.b2))
+         |   + bit_count(xor(wa.b3, wb.b3)))::BIGINT AS hamming
+         |  FROM cand c JOIN wide wa ON wa.id = c.id_a
+         |  JOIN wide wb ON wb.id = c.id_b)
+         |SELECT id_a, id_b, hamming FROM scored WHERE hamming <= 3""".stripMargin)
 }

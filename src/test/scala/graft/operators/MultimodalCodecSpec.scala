@@ -51,4 +51,35 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(out(2L) == ((2L, fake._1, fake._2, 0L)))    // deterministic fallback
     assert(out(3L) == ((3L, 0, 0, 500L)))              // real WAV duration
   }
+
+  test("dHashBands: hand-checked gradients, monotone-map invariance, " +
+      "near-dup recall with no false pairs") {
+    import org.apache.spark.sql.functions._
+    // constant grid → no rising comparison → all bands 0;
+    // strictly increasing row-major grid → every comparison rises →
+    // all four 16-bit bands saturate at 65535
+    val flat = (1L, Seq.fill(72)(100L))
+    val ramp = (2L, (0L until 72L).toSeq)
+    // ramp under a monotone luminance map (×3 + 7): identical hash
+    val rampBright = (3L, (0L until 72L).map(_ * 3 + 7).toSeq)
+    // ramp with ONE cell dimmed: at most 2 comparisons flip
+    val rampDent = (4L, (0L until 72L).map(v => if (v == 40L) 0L else v).toSeq)
+    val df = Seq(flat, ramp, rampBright, rampDent).toDF("id", "px")
+    val bands = Multimodal.dHashBands(df, col("id"), col("px"))
+    val byId = bands.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(byId(1L) == ((0L, 0L, 0L, 0L)))
+    assert(byId(2L) == ((65535L, 65535L, 65535L, 65535L)))
+    assert(byId(3L) == byId(2L)) // monotone map preserves every bit
+    val pairs = Multimodal.phashNearDup(bands, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // ramp/rampBright at distance 0; ramp/rampDent and
+    // rampBright/rampDent within the dent's ≤2-bit flip; flat (~64
+    // bits away from the ramps) must never pair
+    assert(pairs.map(p => (p._1, p._2)).sorted.toSeq ===
+      Seq((2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(pairs.find(p => p._1 == 2L && p._2 == 3L).get._3 === 0L)
+    assert(pairs.filter(p => p._2 == 4L).forall(_._3 <= 2L))
+  }
 }

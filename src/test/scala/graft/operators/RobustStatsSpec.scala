@@ -172,6 +172,23 @@ class RobustStatsSpec extends SparkSpec {
     assert(r3.getLong(4) === 2L && r3.getLong(5) === 2L)
   }
 
+  test("NULL values drop at entry: histMedian n and bestThresholdGate " +
+      "counts see only non-null rows (round-14 advisory)") {
+    // a NULL value must neither shift cumulative counts (Spark sorts
+    // NULLS FIRST, DuckDB NULLS LAST) nor surface as a threshold/median
+    val withNulls = Seq[(String, java.lang.Long)](
+      ("a", 1L), ("a", null), ("a", 3L), ("a", 5L), ("a", null))
+      .toDF("g", "v")
+    val med = Quantiles.histMedian(withNulls, col("g"), col("v")).head()
+    assert(med === Row("a", 3L, 3L)) // n = 3 non-null, median 3
+    val gated = Seq[(java.lang.Long, java.lang.Boolean)](
+      (1L, true), (2L, true), (null, true), (3L, false), (4L, null))
+      .toDF("v", "y")
+    val g = Eval.bestThresholdGate(gated, col("v"), col("y")).head()
+    // only the 3 fully-labeled rows count: v<=2 agrees 3/3
+    assert(g === Row(2L, true, 3L, 2L, 3L, 2L))
+  }
+
   test("equiDepthPlan: skewed keys still yield equal-row files") {
     // quadratically spaced keys: equi-WIDTH files would be wildly
     // unbalanced; equi-depth must put exactly 250 rows in each
