@@ -326,6 +326,49 @@ class CentralitySketchSpec extends SparkSpec {
     assert(num.forall(v => v > 0L && v <= (1L << 8) * (1L << 53)))
   }
 
+  test("hll small-p: exact Flajolet constants at m in {16,32,64}, " +
+      "estimates stay in band") {
+    val df = (1 to 5000).map(i => ("g", i.toLong)).toDF("g", "k")
+    Seq(4 -> 0.673, 5 -> 0.697, 6 -> 0.709).foreach { case (p, alpha) =>
+      val m = 1L << p
+      val rMax = 60 - p + 1
+      val r = Hll.groupDistinct(df, col("g"), col("k"), p).collect()(0)
+      val num = r.getAs[Long]("harmonic_num")
+      val est = r.getAs[Double]("est_distinct")
+      // the estimate must be the exact small-m α form, not the
+      // asymptotic one (round-14 finding #2)
+      val want = BigDecimal(alpha * m * m * math.pow(2.0, rMax) / num)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(est === want, s"p=$p")
+      // raw-estimator regime (n >> 5/2·m at every p here): generous
+      // 3σ band around the true 5000 (σ ≈ 1.04/√m)
+      val sigma = 1.04 / math.sqrt(m.toDouble)
+      assert(math.abs(est - 5000.0) / 5000.0 < 3 * sigma, s"p=$p est=$est")
+    }
+  }
+
+  test("adjustedRand: hand-computed ARI, perfect = 1, degenerate = null") {
+    // same 6-item fixture as clusterAgreement: tp=2, pp=4, tt=4, N=15
+    // ARI = (2 − 16/15) / (4 − 16/15) = 0.318182 at 6 dp
+    val pred = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L),
+      (6L, 30L)).toDF("id", "p")
+    val truth = Seq((1L, 100L), (2L, 100L), (3L, 200L), (4L, 200L),
+      (5L, 200L), (6L, 300L)).toDF("id", "t")
+    val r = Eval.adjustedRand(pred, truth).collect()(0)
+    assert(r.getAs[Long]("total_pairs") === 15L)
+    assert(r.getAs[Double]("ari") === 0.318182)
+    // identical partitions: chance-corrected perfect agreement
+    val same = Eval.adjustedRand(pred,
+      pred.select(col("id"), col("p").as("t"))).collect()(0)
+    assert(same.getAs[Double]("ari") === 1.0)
+    // both all-singletons: zero pairs on every margin -> 0/0 -> NULL,
+    // never NaN (the undefined-by-construction arm)
+    val single = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "p")
+    val deg = Eval.adjustedRand(single,
+      single.select(col("id"), col("p").as("t"))).collect()(0)
+    assert(deg.isNullAt(deg.fieldIndex("ari")))
+  }
+
   test("clusterAgreement: hand-computed contingency on 6 items") {
     // pred {1,2,3},{4,5},{6}; truth {1,2},{3,4,5},{6}
     val pred = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L),
