@@ -231,6 +231,50 @@ object Multimodal {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    verifyHamming(cand, bands, maxHamming)
+  }
+
+  /** The SCALE path of [[phashNearDup]] — multi-index Hamming search
+    * (Norouzi et al., "Fast Search in Hamming Space with Multi-Index
+    * Hashing"): the 16-bit bands' candidate volume grows as n²/2¹⁶ per
+    * band from BIRTHDAY COLLISIONS alone (measured superlinear on the
+    * decade — the narrow variant is right only while n ≪ 2¹⁶), so the
+    * hash is re-banded as TWO 32-bit words and the pigeonhole moves to
+    * the probe side: a pair within Hamming ≤ 3 of 64 bits has ≤
+    * floor(3/2) = 1 error in SOME 32-bit band, so probing each item's
+    * exact band key plus all 32 one-bit flips (33 keys × 2 bands, a
+    * fixed per-row constant) against the other items' EXACT keys finds
+    * every such pair — same guaranteed recall, but bucket occupancy is
+    * n/2³² (random collisions effectively zero at any realistic n), so
+    * candidate volume tracks TRUE near-dups, not n². The exact
+    * Σ bit_count verify is shared with the narrow variant and both
+    * return identical pairs (cross-gated in q324).
+    * Returns (id_a, id_b, hamming), id_a < id_b. */
+  def phashNearDupWide(bands: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"2-band multi-probe covers exactly maxHamming <= 3: $maxHamming")
+    val wide = bands.select(col("id"),
+      col("b0").bitwiseOR(shiftleft(col("b1"), 16)).as("w0"),
+      col("b2").bitwiseOR(shiftleft(col("b3"), 16)).as("w1"))
+    val exact = wide.select(col("id"),
+        explode(array(struct(lit(0).as("band"), col("w0").as("w")),
+          struct(lit(1).as("band"), col("w1").as("w")))).as("bw"))
+      .select(col("id"), col("bw.band").as("band"), col("bw.w").as("key"))
+    val probes = exact.select(col("id"), col("band"),
+        explode(expr("concat(array(key), transform(sequence(0, 31), " +
+          "t -> key ^ shiftleft(CAST(1 AS BIGINT), t)))")).as("key"))
+    val cand = probes.as("a").join(exact.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyHamming(cand, bands, maxHamming)
+  }
+
+  /** Shared exact-distance verify: Σ bit_count(xor) over the four
+    * 16-bit bands, filtered to `maxHamming`. */
+  private def verifyHamming(cand: DataFrame, bands: DataFrame,
+      maxHamming: Int): DataFrame =
     cand
       .join(bands.select(col("id").as("id_a"), col("b0").as("a0"),
         col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), "id_a")
@@ -241,5 +285,4 @@ object Multimodal {
           "+ bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS BIGINT)"))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
-  }
 }

@@ -3807,7 +3807,7 @@ object PipelineQueries {
           n = 3, maxDf = 50, bands = 8, rowsPerBand = 4, minEstJaccard = 0.5)
       },
       incrementalNearDupSql)
-  ) :+ epochPlanDecl :+ sourceOverlapDecl :+ classifierEvalDecl :+ rocCurveDecl :+ prefixJaccardDecl :+ editDistDecl :+ percentileGateDecl :+ curationPipelineDecl :+ phashDecl
+  ) :+ epochPlanDecl :+ sourceOverlapDecl :+ classifierEvalDecl :+ rocCurveDecl :+ prefixJaccardDecl :+ editDistDecl :+ percentileGateDecl :+ curationPipelineDecl :+ phashDecl :+ phashWideDecl
 
   // q288 (round-14): the END-TO-END CURATION PIPELINE as one
   // oracle-gated composition — the full corpus DAG a pretraining data
@@ -4286,24 +4286,56 @@ object PipelineQueries {
   // banding join, and popcount distance from first principles. Every
   // planted pair must surface; unrelated grids (~32 bits apart) must
   // not survive the verify.
+  /** The planted-near-dup luminance-grid fixture shared by q321/q324:
+    * even/odd part keys share a hash-derived 9×8 grid, the odd one
+    * perturbed in one cell (≤ 2 dHash bits). */
+  private def phashGrid(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import graft.operators.Dedup
+    t(s, d, "part")
+      .select(col("p_partkey").cast("long").as("id"),
+        expr("CAST(p_partkey AS BIGINT) div 2").as("bse"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(71)), i =>
+          pmod(Dedup.hash60(concat(lit("px|"),
+            col("bse").cast("string"), lit("|"), i.cast("string"))),
+            lit(256L))
+            + when(pmod(col("id"), lit(2L)) === 1L
+                && i.cast("long") === pmod(col("bse"), lit(72L)),
+              lit(96L)).otherwise(lit(0L))).as("px"))
+  }
+
   private def phashDecl: Decl =
     decl("q321_phash_neardup",
       (s, d) => {
-        import graft.operators.{Dedup, Multimodal}
-        val grid = t(s, d, "part")
-          .select(col("p_partkey").cast("long").as("id"),
-            expr("CAST(p_partkey AS BIGINT) div 2").as("bse"))
-          .select(col("id"),
-            transform(sequence(lit(0), lit(71)), i =>
-              pmod(Dedup.hash60(concat(lit("px|"),
-                col("bse").cast("string"), lit("|"), i.cast("string"))),
-                lit(256L))
-                + when(pmod(col("id"), lit(2L)) === 1L
-                    && i.cast("long") === pmod(col("bse"), lit(72L)),
-                  lit(96L)).otherwise(lit(0L))).as("px"))
+        import graft.operators.Multimodal
         Multimodal.phashNearDup(
-          Multimodal.dHashBands(grid, col("id"), col("px")), maxHamming = 3)
+          Multimodal.dHashBands(phashGrid(s, d), col("id"), col("px")),
+          maxHamming = 3)
       },
+      phashOracle)
+
+  // q324 (round-15): the SCALE path of q321 — multi-index Hamming
+  // search (two 32-bit bands, exact key + 32 one-bit probes per band):
+  // the 16-bit banding's candidate volume grows as n²/2¹⁶ from
+  // birthday collisions alone (measured superlinear on the decade),
+  // while the probe-side pigeonhole keeps the same guaranteed recall
+  // at Hamming ≤ 3 with bucket occupancy n/2³² — candidates track TRUE
+  // near-dups, not n². Gated against the SAME oracle as q321: both
+  // variants must return the identical pair set, so the re-banding and
+  // the probe enumeration are cross-checked, not just plausible.
+  private def phashWideDecl: Decl =
+    decl("q324_phash_neardup_mih",
+      (s, d) => {
+        import graft.operators.Multimodal
+        Multimodal.phashNearDupWide(
+          Multimodal.dHashBands(phashGrid(s, d), col("id"), col("px")),
+          maxHamming = 3)
+      },
+      phashOracle)
+
+  // lazy: referenced by decls during object init, declared below it
+  private lazy val phashOracle: String =
       s"""WITH ids AS (SELECT p_partkey::BIGINT AS id FROM part),
          |px AS (SELECT id, gx,
          |  (${sqlHash60("('px|' || (id // 2)::VARCHAR || '|' || gx::VARCHAR)")} % 256
@@ -4333,5 +4365,5 @@ object PipelineQueries {
          |   + bit_count(xor(wa.b3, wb.b3)))::BIGINT AS hamming
          |  FROM cand c JOIN wide wa ON wa.id = c.id_a
          |  JOIN wide wb ON wb.id = c.id_b)
-         |SELECT id_a, id_b, hamming FROM scored WHERE hamming <= 3""".stripMargin)
+         |SELECT id_a, id_b, hamming FROM scored WHERE hamming <= 3""".stripMargin
 }
