@@ -376,6 +376,51 @@ object Layout {
           concat_ws(",", sort_array(collect_set(col("v")))))
           .as("vals"))
 
+  /** INDEX ADVISOR for one column, decided from its [[columnStats]]
+    * frame alone — the per-column arm of the maintenance-runbook
+    * family: if EVERY file's distinct set fit under the stats cap
+    * (no null `vals`), the exact value-set index is strictly better
+    * (bytes-small, zero false positives, zero false negatives —
+    * q316's contract), so that is the decision; any overflowed file
+    * means equality pruning needs the [[Bloom]] bitset arm instead
+    * (no false negatives, bounded false positives). Reads the stats
+    * frame only — never a data byte; files-sized input, 1-row output
+    * (n_files, n_overflow, decision). */
+  def adviseColumnIndex(stats: DataFrame): DataFrame =
+    stats.agg(count(lit(1)).as("n_files"),
+        sum(when(col("vals").isNull, 1L).otherwise(0L)).as("n_overflow"))
+      .select(col("n_files"), col("n_overflow"),
+        when(col("n_overflow") === 0L, "value_set").otherwise("bloom")
+          .as("decision"))
+
+  /** MAINTENANCE ROUTER — which maintenance does a table need, decided
+    * from its manifest alone: overlapping envelopes (max overlap depth
+    * > 1) mean clustering is broken and only a full REWRITE
+    * ([[equiDepthPlan]]) restores depth-1 probes; a disjoint layout
+    * with undersized/oversized files wants the cheap incremental
+    * REBALANCE ([[rebalancePlan]] — which by the islands rule cannot
+    * worsen depth); a disjoint, well-sized layout needs NONE. This is
+    * the dispatch step of the schedule-maintenance runbook, above the
+    * per-plan operators the q318/q323 executors gate. File-count-sized
+    * aggregates only; never reads a data byte. Returns one row:
+    * (n_files, max_depth, n_small, n_oversized, decision). */
+  def adviseMaintenance(manifest: DataFrame, targetRows: Long): DataFrame = {
+    require(targetRows >= 2, s"targetRows: $targetRows")
+    val depth = broadcast(clusteringDepth(manifest)
+      .agg(coalesce(max(col("depth")), lit(0L)).as("max_depth")))
+    manifest.agg(count(lit(1)).as("n_files"),
+        sum(when(col("n_rows") * 2L < targetRows, 1L).otherwise(0L))
+          .as("n_small"),
+        sum(when(col("n_rows") > 2L * targetRows, 1L).otherwise(0L))
+          .as("n_oversized"))
+      .crossJoin(depth)
+      .select(col("n_files"), col("max_depth"), col("n_small"),
+        col("n_oversized"),
+        when(col("max_depth") > 1L, "rewrite")
+          .when(col("n_small") + col("n_oversized") > 0L, "rebalance")
+          .otherwise("none").as("decision"))
+  }
+
   def clusteringDepth(manifest: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bounds = manifest

@@ -721,7 +721,7 @@ object LayoutQueries {
          |         FROM tgt, k2 WHERE key < k2.lo OR key > k2.hi)
          |SELECT aud.version, aud.file_id, aud.n_rows, aud.min_key, aud.max_key,
          |  aud.action, live.rows_live, live.qty_live
-         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl :+ bloomMaintainDecl :+ lifecycleDecl :+ morDvDecl :+ morMergeDecl :+ advisorDecl :+ wapDecl :+ joinViewIvmDecl :+ branchMergeDecl :+ incrOptimizeDecl :+ rebaseDecl :+ advisorManifestDecl :+ morBloomDecl :+ clusterDepthDecl :+ equiDepthDecl :+ columnStatsDecl :+ rebalanceDecl :+ maintenanceAdvisorDecl :+ rebalanceExecDecl
+         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl :+ bloomMaintainDecl :+ lifecycleDecl :+ morDvDecl :+ morMergeDecl :+ advisorDecl :+ wapDecl :+ joinViewIvmDecl :+ branchMergeDecl :+ incrOptimizeDecl :+ rebaseDecl :+ advisorManifestDecl :+ morBloomDecl :+ clusterDepthDecl :+ equiDepthDecl :+ columnStatsDecl :+ rebalanceDecl :+ maintenanceAdvisorDecl :+ rebalanceExecDecl :+ indexAdvisorDecl :+ maintenanceRouterDecl
 
   // q263 (round-12): MERGE-ON-READ deletion vectors — the other half
   // of the delete family. q201's deleteRange rewrites/drops files
@@ -2281,6 +2281,185 @@ object LayoutQueries {
         |       END, FALSE) AS envelope_as_predicted,
         |  tot.rows_before, aft.rows_after, dep.achieved_depth_max
         |FROM pred JOIN ach USING (new_file), tot, aft, dep""".stripMargin)
+
+  // q325 (round-15): PER-COLUMN INDEX ADVISOR — which equality-pruning
+  // index should each column carry? Decided from the column's per-file
+  // stats ALONE (Layout.adviseColumnIndex): every file's distinct set
+  // under the cap → the exact value-set index (q316's zero-FP/zero-FN
+  // contract, a few bytes per file); any overflow → the bloom bitset
+  // arm (q202's no-FN/bounded-FP contract). The fixture drives both
+  // decisions through one table: l_returnflag (ndv 3 → value_set) and
+  // l_suppkey (per-file ndv ≫ 16 → bloom). The gate then EXECUTES the
+  // decided index for each column and verifies its pruning promise
+  // against recomputed truth per file: the value-set arm must show
+  // zero false positives AND zero false negatives, the bloom arm zero
+  // false negatives — with the decision, per-file touch flags, and the
+  // promise counters all in the hashed row. The oracle replays stats,
+  // decision arithmetic, bitset fold, k-of-k probes, and the actuals.
+  private def indexAdvisorDecl: Decl = {
+    val m = 4096; val k = 3
+    def armSql(n: String, vexpr: String, pred: String): String = {
+      val ph = (0 until k).map(j =>
+        s"SELECT file_id, ${sqlHash60(s"('idx$n$j|' || v)")} % $m AS p " +
+          s"FROM li_$n").mkString("\n  UNION ALL ")
+      val pr = (0 until k).map(j =>
+        s"SELECT $j AS j, ${sqlHash60(s"('idx$n$j|' || '$pred')")} % $m AS p")
+        .mkString("\n  UNION ALL ")
+      s"""li_$n AS (SELECT l_orderkey // 2000 AS file_id, $vexpr AS v
+         |  FROM lineitem),
+         |dv_$n AS (SELECT DISTINCT file_id, v FROM li_$n WHERE v IS NOT NULL),
+         |vs_$n AS (SELECT file_id, COUNT(*)::BIGINT AS ndv,
+         |  string_agg(v, ',' ORDER BY v) AS vals FROM dv_$n GROUP BY 1),
+         |dec_$n AS (SELECT COUNT(*)::BIGINT AS n_files,
+         |  SUM(CASE WHEN ndv > 16 THEN 1 ELSE 0 END)::BIGINT AS n_over,
+         |  CASE WHEN SUM(CASE WHEN ndv > 16 THEN 1 ELSE 0 END) = 0
+         |       THEN 'value_set' ELSE 'bloom' END AS decision FROM vs_$n),
+         |ph_$n AS ($ph),
+         |fb_$n AS (SELECT file_id, p // 32 AS w,
+         |  bit_or(1::BIGINT << (p % 32)) AS bits FROM ph_$n GROUP BY 1, 2),
+         |pr_$n AS ($pr),
+         |hit_$n AS (SELECT fb.file_id, COUNT(DISTINCT pr.j) AS h
+         |  FROM pr_$n pr JOIN fb_$n fb ON pr.p // 32 = fb.w
+         |  WHERE (fb.bits & (1::BIGINT << (pr.p % 32))) != 0 GROUP BY 1),
+         |cand_$n AS (SELECT file_id FROM hit_$n WHERE h = $k),
+         |act_$n AS (SELECT file_id,
+         |  (MAX(CASE WHEN v = '$pred' THEN 1 ELSE 0 END) = 1)
+         |    AS actually_contains FROM li_$n GROUP BY 1),
+         |base_$n AS (SELECT '$n' AS column_name, dec.decision, vs.file_id,
+         |  CASE WHEN dec.decision = 'value_set'
+         |       THEN (vs.ndv > 16
+         |             OR (',' || COALESCE(vs.vals, '') || ',') LIKE '%,$pred,%')
+         |       ELSE (cand.file_id IS NOT NULL) END AS would_touch,
+         |  act.actually_contains
+         |  FROM vs_$n vs JOIN act_$n act USING (file_id)
+         |  LEFT JOIN cand_$n cand USING (file_id), dec_$n dec),
+         |cnt_$n AS (SELECT
+         |  SUM(CASE WHEN would_touch THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_would_touch,
+         |  SUM(CASE WHEN actually_contains THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_actual,
+         |  SUM(CASE WHEN would_touch AND NOT actually_contains
+         |      THEN 1 ELSE 0 END)::BIGINT AS n_false_pos,
+         |  SUM(CASE WHEN actually_contains AND NOT would_touch
+         |      THEN 1 ELSE 0 END)::BIGINT AS n_false_neg FROM base_$n),
+         |sel_$n AS (SELECT b.column_name, b.decision, b.file_id,
+         |  b.would_touch, b.actually_contains, c.n_would_touch,
+         |  c.n_actual, c.n_false_pos, c.n_false_neg
+         |  FROM base_$n b, cnt_$n c)""".stripMargin
+    }
+    decl("q325_index_advisor",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.Bloom
+        val li = t(s, d, "lineitem")
+          .select(expr("l_orderkey div 2000").as("file_id"),
+            col("l_returnflag").as("rf"),
+            // high-cardinality arm: the order key itself — files hold
+            // DISJOINT key ranges, so a point predicate prunes to one
+            // true file and the bloom's FP behavior becomes visible
+            col("l_orderkey").cast("long").cast("string").as("sk"))
+        def arm(name: String, v: String, pred: String) = {
+          val rows = li.select(col("file_id"), col(v).as("value"))
+          val stats = Layout.columnStats(rows, col("file_id"), col("value"), 16)
+          val dec = broadcast(Layout.adviseColumnIndex(stats)
+            .select(col("decision")))
+          val bits = Bloom.buildFileBits(rows, col("file_id"), col("value"),
+            m, k, s"idx$name")
+          val cand = Bloom.candidateFiles(Seq(pred).toDF("key"), col("key"),
+              bits, m, k, s"idx$name")
+            .withColumn("_bc", lit(true))
+          val actual = rows.groupBy("file_id")
+            .agg((max(when(col("value") === pred, 1L).otherwise(0L)) === 1L)
+              .as("actually_contains"))
+          val base = stats.select(col("file_id"), col("vals"))
+            .join(cand, Seq("file_id"), "left")
+            .join(actual, "file_id")
+            .crossJoin(dec)
+            .select(lit(name).as("column_name"), col("decision"),
+              col("file_id"),
+              when(col("decision") === "value_set",
+                col("vals").isNull
+                  || array_contains(split(col("vals"), ","), pred))
+                .otherwise(coalesce(col("_bc"), lit(false)))
+                .as("would_touch"),
+              col("actually_contains"))
+          val counts = broadcast(base.agg(
+            sum(when(col("would_touch"), 1L).otherwise(0L)).as("n_would_touch"),
+            sum(when(col("actually_contains"), 1L).otherwise(0L)).as("n_actual"),
+            sum(when(col("would_touch") && !col("actually_contains"), 1L)
+              .otherwise(0L)).as("n_false_pos"),
+            sum(when(col("actually_contains") && !col("would_touch"), 1L)
+              .otherwise(0L)).as("n_false_neg")))
+          base.crossJoin(counts)
+        }
+        arm("rf", "rf", "R").unionByName(arm("sk", "sk", "4242"))
+      },
+      s"""WITH ${armSql("rf", "l_returnflag", "R")},
+         |${armSql("sk", "l_orderkey::VARCHAR", "4242")}
+         |SELECT * FROM sel_rf UNION ALL SELECT * FROM sel_sk""".stripMargin)
+  }
+
+  // q326 (round-15): MAINTENANCE ROUTER — the dispatch step above the
+  // plan operators: from the manifest alone, a table routes to REWRITE
+  // (overlapping envelopes — only q315's equi-depth rewrite restores
+  // depth-1 probes), REBALANCE (disjoint but mis-sized files — q317's
+  // incremental plan, which cannot worsen depth), or NONE. One query
+  // drives all three branches through three layouts of the same rows
+  // (q318's mixed overlap, q317's two-width, an equi-width healthy
+  // one), so the routing arithmetic — depth sweep, small/oversized
+  // census, the decision precedence — is hash-gated on every arm, not
+  // just the one a production table happens to be in.
+  private def maintenanceRouterDecl: Decl = {
+    def armSql(tag: String, fid: String): String =
+      s"""man_$tag AS (SELECT $fid AS file_id, COUNT(*)::BIGINT AS n_rows,
+         |  MIN(k) AS min_key, MAX(k) AS max_key FROM k GROUP BY 1),
+         |b_$tag AS (SELECT k, SUM(d)::BIGINT AS d FROM (
+         |  SELECT min_key AS k, 1 AS d FROM man_$tag
+         |  UNION ALL SELECT max_key + 1, -1 FROM man_$tag) GROUP BY 1),
+         |sw_$tag AS (SELECT SUM(d) OVER (ORDER BY k)::BIGINT AS depth,
+         |  lead(k) OVER (ORDER BY k) AS nk FROM b_$tag),
+         |dep_$tag AS (SELECT COALESCE(MAX(depth), 0)::BIGINT AS max_depth
+         |  FROM sw_$tag WHERE nk IS NOT NULL AND depth > 0),
+         |agg_$tag AS (SELECT COUNT(*)::BIGINT AS n_files,
+         |  SUM(CASE WHEN n_rows * 2 < 4000 THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_small,
+         |  SUM(CASE WHEN n_rows > 8000 THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_oversized FROM man_$tag),
+         |sel_$tag AS (SELECT '$tag' AS layout, a.n_files, d.max_depth,
+         |  a.n_small, a.n_oversized,
+         |  CASE WHEN d.max_depth > 1 THEN 'rewrite'
+         |       WHEN a.n_small + a.n_oversized > 0 THEN 'rebalance'
+         |       ELSE 'none' END AS decision
+         |  FROM agg_$tag a, dep_$tag d)""".stripMargin
+    decl("q326_maintenance_router",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey").cast("long").as("k"))
+        def route(tag: String, fid: org.apache.spark.sql.Column) =
+          Layout.adviseMaintenance(
+              Snapshot.manifestEntriesBy(li, fid, col("k"), version = 1L),
+              targetRows = 4000L)
+            .select(lit(tag).as("layout"), col("n_files"), col("max_depth"),
+              col("n_small"), col("n_oversized"), col("decision"))
+        route("mixed",
+            when(pmod(col("k"), lit(97L)) === 0L, lit(2000L))
+              .when(col("k") < 7500L, expr("k div 250"))
+              .otherwise(lit(1000L) + expr("k div 2500")))
+          .unionByName(route("twowidth",
+            when(col("k") < 7500L, expr("k div 250"))
+              .otherwise(lit(1000L) + expr("k div 2500"))))
+          .unionByName(route("healthy", expr("k div 1000")))
+      },
+      s"""WITH k AS (SELECT l_orderkey::BIGINT AS k FROM lineitem),
+         |${armSql("mixed",
+          "CASE WHEN k % 97 = 0 THEN 2000 WHEN k < 7500 THEN k // 250 " +
+            "ELSE 1000 + k // 2500 END")},
+         |${armSql("twowidth",
+          "CASE WHEN k < 7500 THEN k // 250 ELSE 1000 + k // 2500 END")},
+         |${armSql("healthy", "k // 1000")}
+         |SELECT * FROM sel_mixed UNION ALL SELECT * FROM sel_twowidth
+         |UNION ALL SELECT * FROM sel_healthy""".stripMargin)
+  }
 
   /** The full-recompute oracle for the post-merge per-group view —
     * shared by q199 (batch IVM) and q200 (streaming IVM): both
