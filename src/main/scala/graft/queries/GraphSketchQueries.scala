@@ -512,7 +512,7 @@ object GraphSketchQueries {
          |${(0 until 3).map(j =>
              s"LEFT JOIN cm c$j ON c$j.r = $j AND c$j.p = " +
                s"${sqlHash60(s"('cm$j|' || t.user_id::VARCHAR)")} % 1024")
-             .mkString("\n")}""".stripMargin)) :+ lpaDecl :+ temporalDecl :+ modularityDecl :+ harmonicDecl :+ hllDecl :+ ssspDecl :+ pprDecl :+ pathCountDecl :+ betweennessDecl
+             .mkString("\n")}""".stripMargin)) :+ lpaDecl :+ temporalDecl :+ modularityDecl :+ harmonicDecl :+ hllDecl :+ ssspDecl :+ pprDecl :+ pathCountDecl :+ betweennessDecl :+ chokepointDecl
 
   // q286 (round-14): per-group HYPERLOGLOG distinct — the fixed-memory
   // arm of the distinct-count family beside KMV (q164: exact below k,
@@ -987,4 +987,54 @@ object GraphSketchQueries {
          |                UNION ALL SELECT * FROM d3) u
          |  ON u.seed = r.seed AND u.node = r.node
          |WHERE r.dist > 0""".stripMargin)
+
+  // q327 (round-15): CHOKEPOINT BROKERS — q319's dependency scores
+  // aggregated to the node level and top-k'd: betweenness(v) =
+  // Σ_seeds δ_s(v), the score that ranks which suppliers every
+  // shortest customer→customer route crosses (the broker the
+  // screening family wants surfaced). One groupBy-sum over the
+  // per-seed deps + a deterministic global top-10 (score desc, node
+  // asc — no tie-coin). n_seeds_covering rides along so reach and
+  // brokerage are distinguishable in the gate.
+  private def chokepointDecl: Decl =
+    decl("q327_chokepoint_brokers",
+      (s, d) => {
+        val eo = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").cast("long").as("c"),
+            (lit(1000000L) + col("l_suppkey")).as("sup"))
+          .distinct()
+        val edges = eo.select(col("c").as("src"), col("sup").as("dst"))
+          .unionByName(eo.select(col("sup").as("src"), col("c").as("dst")))
+        val seeds = t(s, d, "customer").select(col("c_custkey"))
+          .where(expr("c_custkey % 500 = 0"))
+        Centrality.betweenness(edges, seeds, maxHops = 3, scale = 1000000L)
+          .groupBy("node")
+          .agg(count(lit(1)).as("n_seeds_covering"),
+            sum(col("dep")).as("betweenness"))
+          .orderBy(col("betweenness").desc, col("node").asc)
+          .limit(10)
+      },
+      s"""WITH eo AS MATERIALIZED (SELECT DISTINCT o_custkey::BIGINT AS c,
+         |  (1000000 + l_suppkey)::BIGINT AS sup
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS MATERIALIZED (SELECT c AS src, sup AS dst FROM eo
+         |     UNION ALL SELECT sup, c FROM eo),
+         |r0 AS (SELECT c_custkey::BIGINT AS seed, c_custkey::BIGINT AS node,
+         |       0::BIGINT AS dist, 1::BIGINT AS paths
+         |       FROM customer WHERE c_custkey % 500 = 0),
+         |${pcRounds(3)},
+         |d3 AS (SELECT seed, node, 0::BIGINT AS dep FROM r3 WHERE dist = 3),
+         |${bwRounds(3, 1000000L)},
+         |gran AS (SELECT r.seed, r.node, u.dep
+         |  FROM r3 r JOIN (SELECT * FROM d1 UNION ALL SELECT * FROM d2
+         |                  UNION ALL SELECT * FROM d3) u
+         |    ON u.seed = r.seed AND u.node = r.node
+         |  WHERE r.dist > 0)
+         |SELECT node, COUNT(*)::BIGINT AS n_seeds_covering,
+         |  SUM(dep)::BIGINT AS betweenness
+         |FROM gran GROUP BY 1
+         |ORDER BY betweenness DESC, node ASC LIMIT 10""".stripMargin)
 }
