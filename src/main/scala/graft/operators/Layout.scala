@@ -409,10 +409,10 @@ object Layout {
     val depth = broadcast(clusteringDepth(manifest)
       .agg(coalesce(max(col("depth")), lit(0L)).as("max_depth")))
     manifest.agg(count(lit(1)).as("n_files"),
-        sum(when(col("n_rows") * 2L < targetRows, 1L).otherwise(0L))
-          .as("n_small"),
-        sum(when(col("n_rows") > 2L * targetRows, 1L).otherwise(0L))
-          .as("n_oversized"))
+        coalesce(sum(when(col("n_rows") * 2L < targetRows, 1L)
+          .otherwise(0L)), lit(0L)).as("n_small"),
+        coalesce(sum(when(col("n_rows") > 2L * targetRows, 1L)
+          .otherwise(0L)), lit(0L)).as("n_oversized"))
       .crossJoin(depth)
       .select(col("n_files"), col("max_depth"), col("n_small"),
         col("n_oversized"),

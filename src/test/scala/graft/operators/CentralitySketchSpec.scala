@@ -326,6 +326,30 @@ class CentralitySketchSpec extends SparkSpec {
     assert(num.forall(v => v > 0L && v <= (1L << 8) * (1L << 53)))
   }
 
+  test("betweenness: hand-computed dependencies on a path and a diamond") {
+    val S = 1000000L
+    // path 1→2→3: δ(2) = 1 (all of seed 1's shortest paths to 3 cross
+    // 2); terminal layer dep 0 by the bounded-round contract
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val p = Centrality.betweenness(path, Seq(1L).toDF("id"), maxHops = 2,
+        scale = S).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(p((1L, 2L)) === ((1L, 1L, S)))  // dist 1, σ 1, δ = scale
+    assert(p((1L, 3L)) === ((2L, 1L, 0L))) // terminal layer
+    // diamond 1→{2,3}→4: σ(4) = 2, each middle node carries half the
+    // dependency: δ(2) = δ(3) = σ(v)·(S + 0) div σ(4) = S/2
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val dmd = Centrality.betweenness(diamond, Seq(1L).toDF("id"),
+        maxHops = 2, scale = S).collect()
+      .map(r => (r.getLong(1), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(dmd(2L) === ((1L, 1L, S / 2)))
+    assert(dmd(3L) === ((1L, 1L, S / 2)))
+    assert(dmd(4L) === ((2L, 2L, 0L)))
+  }
+
   test("hll small-p: exact Flajolet constants at m in {16,32,64}, " +
       "estimates stay in band") {
     val df = (1 to 5000).map(i => ("g", i.toLong)).toDF("g", "k")

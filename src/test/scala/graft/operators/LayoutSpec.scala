@@ -147,4 +147,47 @@ class LayoutSpec extends SparkSpec {
     assert(windows.nonEmpty)
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
+
+  test("adviseColumnIndex: value_set iff no file overflowed the cap") {
+    import spark.implicits._
+    val fits = Seq((0L, 3L, 0L, "a,b"), (1L, 2L, 0L, ""))
+      .toDF("file_id", "n_rows", "n_nulls", "vals")
+    val r1 = Layout.adviseColumnIndex(fits).head()
+    assert(r1.getString(2) === "value_set" && r1.getLong(1) === 0L)
+    val over = Seq((0L, 3L, 0L, "a,b"), (1L, 9L, 0L, null: String))
+      .toDF("file_id", "n_rows", "n_nulls", "vals")
+    val r2 = Layout.adviseColumnIndex(over).head()
+    assert(r2.getString(2) === "bloom" && r2.getLong(1) === 1L)
+  }
+
+  test("adviseMaintenance: overlap outranks sizing; empty manifest is none") {
+    import spark.implicits._
+    def man(rows: (Long, Long, Long, Long)*) =
+      rows.toSeq.toDF("file_id", "n_rows", "min_key", "max_key")
+    // overlapping envelopes with PERFECT sizes: still a rewrite — a
+    // rebalance cannot fix depth, and merging across the overlap
+    // would make it worse
+    val overlap = Layout.adviseMaintenance(
+      man((0L, 500L, 0L, 99L), (1L, 500L, 50L, 149L)), targetRows = 400L)
+      .head()
+    assert(overlap.getAs[String]("decision") === "rewrite")
+    assert(overlap.getAs[Long]("max_depth") === 2L)
+    // disjoint but one small file: rebalance
+    val small = Layout.adviseMaintenance(
+      man((0L, 500L, 0L, 99L), (1L, 100L, 100L, 199L)), targetRows = 400L)
+      .head()
+    assert(small.getAs[String]("decision") === "rebalance")
+    // disjoint, well-sized: none
+    val ok = Layout.adviseMaintenance(
+      man((0L, 500L, 0L, 99L), (1L, 400L, 100L, 199L)), targetRows = 400L)
+      .head()
+    assert(ok.getAs[String]("decision") === "none")
+    // empty manifest: zero files, depth 0, none — no NULL leaks
+    val empty = Layout.adviseMaintenance(
+      man().limit(0), targetRows = 400L).head()
+    assert(empty.getAs[Long]("n_files") === 0L)
+    assert(empty.getAs[Long]("max_depth") === 0L)
+    assert(empty.getAs[Long]("n_small") === 0L)
+    assert(empty.getAs[String]("decision") === "none")
+  }
 }
