@@ -583,7 +583,21 @@ object Centrality {
               col("paths").as("_pv")),
           Seq("seed", "src"))
         .groupBy(col("seed"), col("src").as("node"))
-        .agg(sum(expr(s"(_pv * ($scale + _dw)) div _pw")).as("dep"))
+        // σ·(scale+D) is unchecked BIGINT multiplication; on dense
+        // graphs σ and the scaled dependency can pass Long.MaxValue
+        // and silently wrap, corrupting scores the oracle-replayable
+        // contract promises exact (round-15 advisory) — so the
+        // product is guarded per edge: both factors are positive
+        // (σ ≥ 1, scale > 0, D ≥ 0), overflow iff σ exceeds
+        // Long.MaxValue div (scale+D), and the guard fails LOUDLY
+        // (lower scale or maxHops) instead of wrapping.
+        .agg(sum(expr(
+          s"CASE WHEN _pv > 9223372036854775807L div ($scale + _dw) " +
+            "THEN CAST(raise_error(concat('betweenness: sigma*(scale+dep) " +
+            "overflows BIGINT at sigma=', CAST(_pv AS STRING), " +
+            "', dep=', CAST(_dw AS STRING), " +
+            s"', scale=$scale — lower scale or maxHops')) AS BIGINT) " +
+            s"ELSE (_pv * ($scale + _dw)) div _pw END")).as("dep"))
       dep = reach.where(col("dist") === (h - 1).toLong)
         .select(col("seed"), col("node"))
         .join(contrib, Seq("seed", "node"), "left")

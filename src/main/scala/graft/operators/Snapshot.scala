@@ -831,8 +831,22 @@ object Snapshot {
     * rename finds the source present — and only the renamer proceeds
     * to the exclusive re-create. A contender that loses the rename, or
     * that finds a FRESH marker (a live writer, or the winner's new
-    * claim), reads a lost claim as before. `leaseMillis = Long.MaxValue`
-    * disables takeover (the pre-lease behavior). */
+    * claim), reads a lost claim as before.
+    *
+    * Staleness is verified TWICE (round-15 advisory): the pre-rename
+    * mtime check alone is a TOCTOU hole — a rival can complete the
+    * whole takeover cycle (rename, delete, fresh re-create) between
+    * our stat and our rename, in which case our rename atomically
+    * moves the rival's FRESH claim aside and both contenders "win".
+    * So after a successful rename the TOMBSTONE's mtime (rename
+    * preserves mtime on POSIX and HDFS) is compared against the stale
+    * mtime captured at the stat: a mismatch means we moved a live
+    * claim — it is restored via the same exclusive-create primitive
+    * (never a destructive rename-back, which would clobber a third
+    * contender that claimed in the gap; if the restore loses that
+    * race the tombstone is LEFT IN PLACE so the displaced claim stays
+    * recoverable) and the contender loses. `leaseMillis =
+    * Long.MaxValue` disables takeover (the pre-lease behavior). */
   private def claimMarkerWithLease(spark: SparkSession, root: String,
       name: String, leaseMillis: Long, nowMillis: Long): Boolean = {
     if (claimMarker(spark, root, name)) return true
@@ -847,6 +861,7 @@ object Snapshot {
           return claimMarker(spark, root, name)
       }
     if (nowMillis - mtime <= leaseMillis) return false
+    beforeTakeoverRename()
     val tomb = new Path(s"$root/claim/.stale-$name-$mtime")
     val moved =
       try f match {
@@ -858,9 +873,27 @@ object Snapshot {
         case _ => f.rename(marker, tomb)
       } catch { case _: java.io.IOException => false }
     if (!moved) return false
+    val tombMtime =
+      try f.getFileStatus(tomb).getModificationTime
+      catch { case _: java.io.FileNotFoundException => return false }
+    if (tombMtime != mtime) {
+      // we renamed a claim FRESHER than the one we judged stale — a
+      // rival takeover re-created the marker in our stat→rename gap.
+      // Restore it exclusively and lose; on restore-loss keep the
+      // tombstone (a third claimant owns the marker now, and the
+      // displaced claim must stay recoverable, never silently gone).
+      if (claimMarker(spark, root, name)) f.delete(tomb, false)
+      return false
+    }
     f.delete(tomb, false)
     claimMarker(spark, root, name)
   }
+
+  /** Test-only injection seam for [[claimMarkerWithLease]]'s
+    * stat→rename gap — a no-op in production; SnapshotSpec swaps it to
+    * interleave a rival's full takeover between the staleness stat and
+    * the rename, driving the tombstone-mtime verification branch. */
+  private[operators] var beforeTakeoverRename: () => Unit = () => ()
 
   /** Optimistic-concurrency commit (the Iceberg-style CAS seam on top
     * of [[commit]]): the writer read `expected` as CURRENT (-1 for an

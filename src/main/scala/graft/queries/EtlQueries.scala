@@ -114,7 +114,7 @@ object EtlQueries {
   /** Run v1 then v2 into a scratch root; return the latest product dir. */
   private def runPipeline(s: SparkSession, d: String): String = {
     import s.implicits._
-    val root = "/tmp/graft_etl_q109_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = "/tmp/graft_etl_q109_" + Q.scratchTag(d)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
@@ -254,7 +254,7 @@ object EtlQueries {
 
     decl("q113_etl_enrich",
       (s, d) => {
-        val root = "/tmp/graft_etl_q113_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = "/tmp/graft_etl_q113_" + Q.scratchTag(d)
         val fs = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(root), true)
@@ -297,7 +297,7 @@ object EtlQueries {
     // names product line-exact.
     decl("q115_etl_enrich_expand",
       (s, d) => {
-        val root = "/tmp/graft_etl_q115_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = "/tmp/graft_etl_q115_" + Q.scratchTag(d)
         val fs = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(root), true)

@@ -126,7 +126,7 @@ object IngestQueries {
             concat(lit("Nation_"), col("s_nationkey").cast("string"))))
           .as[Statement]
         // deterministic per-dataset path, pre-deleted (the q282 pattern)
-        val dir = "/tmp/graft_k2_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+        val dir = "/tmp/graft_k2_" + Q.scratchTag(d)
         val fsH = new org.apache.hadoop.fs.Path(dir)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fsH.delete(new org.apache.hadoop.fs.Path(dir), true)

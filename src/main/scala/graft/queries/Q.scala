@@ -29,6 +29,18 @@ object Q {
     }
   }
 
+  /** Scratch-path tag for FS-writing queries (round-15 advisory):
+    * roots derived from the dataset dir ALONE are shared across
+    * processes, so two concurrent JVMs over the same fixture (parallel
+    * verify/bench) pre-delete and rewrite each other's files mid-query
+    * — spurious gate failures or mixed row counts. Suffixing the
+    * sanitized dir with the process id keeps the path deterministic
+    * WITHIN a JVM (each evaluation's pre-delete still reclaims this
+    * process's own leftovers) while making it private per process. */
+  def scratchTag(d: String): String =
+    d.replaceAll("[^a-zA-Z0-9]", "_") + "_p" +
+      java.lang.ProcessHandle.current().pid()
+
   /** One declared query: Spark plan + optional DuckDB oracle SQL. */
   final case class Decl(name: String, fn: QFn, oracle: Option[String])
 

@@ -263,7 +263,7 @@ object SelectionQueries {
     // never rescans old records.
     decl("q234_streaming_text_index",
       (s, d) => {
-        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val tag = Q.scratchTag(d)
         val base = s"/tmp/graft_q234_$tag"
         val fs = new org.apache.hadoop.fs.Path(base)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -349,7 +349,7 @@ object SelectionQueries {
     // the file counts before/after ride the same hash-checked row.
     decl("q240_posting_store_compaction",
       (s, d) => {
-        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val tag = Q.scratchTag(d)
         val base = s"/tmp/graft_q240_$tag"
         val fs = new org.apache.hadoop.fs.Path(base)
           .getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -447,6 +447,41 @@ class SnapshotSpec extends SparkSpec {
       leaseMillis = 60000L))
   }
 
+  test("lease takeover TOCTOU: a rival completing its whole takeover in " +
+      "the stat-to-rename gap is detected by the tombstone-mtime check; " +
+      "the moved-aside fresh claim is restored and the late mover loses") {
+    val root = java.nio.file.Files.createTempDirectory("snapleasegap").toString
+    val claim = new java.io.File(s"$root/claim/v11")
+    claim.getParentFile.mkdirs()
+    assert(claim.createNewFile())
+    val staleMtime = System.currentTimeMillis() - 100000L
+    assert(claim.setLastModified(staleMtime))
+    // the round-15 advisory's interleaving: B stats the stale marker,
+    // then A runs rename→verify→delete→re-create to completion, THEN
+    // B's rename fires — without the tombstone-mtime verification B
+    // would move A's FRESH claim to the tombstone, delete it, re-claim,
+    // and both contenders would return true
+    var rivalWon = false
+    Snapshot.beforeTakeoverRename = () => {
+      Snapshot.beforeTakeoverRename = () => () // the rival runs unhooked
+      rivalWon = Snapshot.claimVersionWithLease(spark, root, 11L,
+        leaseMillis = 1000L)
+    }
+    try {
+      val lateWin = Snapshot.claimVersionWithLease(spark, root, 11L,
+        leaseMillis = 1000L)
+      assert(rivalWon, "rival takeover of the genuinely stale claim")
+      assert(!lateWin, "the late mover must detect the fresh tombstone")
+      assert(claim.exists(), "the rival's live claim must be restored")
+      // the restored claim is fresh: yet another contender still loses
+      assert(!Snapshot.claimVersionWithLease(spark, root, 11L,
+        leaseMillis = 60000L))
+      // nothing left moved-aside: the restore reclaimed the tombstone
+      assert(!new java.io.File(s"$root/claim").list()
+        .exists(_.startsWith(".stale-v11")))
+    } finally Snapshot.beforeTakeoverRename = () => ()
+  }
+
   test("threeWayMerge classifies every divergence arm and merges branch reads") {
     val root = java.nio.file.Files.createTempDirectory("snap3way").toString
     val base = (1L to 10L).map(k => (k, k * 100L)).toDF("k", "v")
