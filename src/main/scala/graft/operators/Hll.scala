@@ -46,7 +46,23 @@ object Hll {
     * α branches to Flajolet's small-m constants at p ∈ {4, 5, 6}
     * (α₁₆ = 0.673, α₃₂ = 0.697, α₆₄ = 0.709) and the asymptotic
     * 0.7213/(1 + 1.079/m) form at m ≥ 128, so the estimate is
-    * unbiased at EVERY admissible p (round-14 finding). */
+    * unbiased at EVERY admissible p (round-14 finding).
+    *
+    * TWO-RANGE estimator (round 16, fig. 3 of the paper): the raw
+    * harmonic estimate overshoots badly when n ≪ m (254 empty
+    * registers still contribute to the mean — raw E ≈ 180 for TWO
+    * distinct keys at p = 8), so when raw E ≤ 2.5·m and empty
+    * registers exist the estimate switches to LINEAR COUNTING,
+    * E* = m·ln(m / V) with V = empty registers — which is what makes
+    * the estimate shippable in a product document next to the exact
+    * count (the statistics.json facet arm). Portability note: the
+    * branch predicate compares the raw estimate (one IEEE division
+    * from exact integers — bit-identical everywhere) against exact
+    * 2.5·m, and ln's argument is the exact ratio m/V; JVM Math.log
+    * and libm ln were verified to agree to 6 dp on EVERY possible
+    * (p ≤ 15, V) argument, so the rounded estimate stays
+    * engine-replayable at every gated p. (The 60-bit hash makes
+    * large-range collision correction unnecessary.) */
   def groupDistinct(df: DataFrame, group: Column, key: Column,
       p: Int): DataFrame =
     report(registers(df, group, key, p), p)
@@ -73,9 +89,16 @@ object Hll {
       .select(col("grp"), col("n_registers_set"), col("register_sum"),
         (col("_setnum") + (lit(m) - col("n_registers_set"))
           * lit(1L << rMax)).as("harmonic_num"))
+      .withColumn("_raw",
+        lit(alpha * m.toDouble * m.toDouble * math.pow(2.0, rMax))
+          / col("harmonic_num").cast("double"))
       .withColumn("est_distinct",
-        round(lit(alpha * m.toDouble * m.toDouble * math.pow(2.0, rMax))
-          / col("harmonic_num").cast("double"), 6))
+        round(when(col("_raw") <= lit(2.5 * m.toDouble)
+            && col("n_registers_set") < m,
+          lit(m.toDouble) * log(lit(m.toDouble)
+            / (lit(m.toDouble) - col("n_registers_set").cast("double"))))
+          .otherwise(col("_raw")), 6))
+      .drop("_raw")
   }
 
   /** The raw (grp, reg, mreg) register frame — the MERGEABLE state

@@ -271,6 +271,32 @@ object Multimodal {
     verifyHamming(cand, bands, maxHamming)
   }
 
+  /** SIZE-GATED dispatch over the two phash arms — the production
+    * entry point (the [[Similarity.cosineTopKAnnAuto]] routing pattern
+    * applied to the image near-dup family): the 16-bit banding
+    * ([[phashNearDup]]) is the right plan only while n ≪ 2¹⁶ — its
+    * candidate volume grows as n²/2¹⁶ per band from birthday
+    * collisions alone — so the router counts the corpus (one cheap
+    * driver-side count over the band frame, the same 1-row read every
+    * auto router in the engine makes) and dispatches: n ≤ `narrowMaxN`
+    * → the narrow banding, else the Norouzi multi-index probe
+    * ([[phashNearDupWide]], bucket occupancy n/2³², candidates track
+    * TRUE near-dups). Both arms return the identical pair set
+    * (cross-gated in q321/q324), so the route changes COST only —
+    * which is what makes the dispatch itself oracle-gatable: the
+    * output carries (route, n_corpus) beside the pairs.
+    * Returns (route, n_corpus, id_a, id_b, hamming), id_a < id_b. */
+  def phashNearDupAuto(bands: DataFrame, maxHamming: Int,
+      narrowMaxN: Long = 100000L): DataFrame = {
+    require(narrowMaxN >= 0, s"narrowMaxN: $narrowMaxN")
+    val n = bands.select(bands.columns.head).count()
+    val (route, pairs) =
+      if (n <= narrowMaxN) ("narrow", phashNearDup(bands, maxHamming))
+      else ("mih", phashNearDupWide(bands, maxHamming))
+    pairs.select(lit(route).as("route"), lit(n).as("n_corpus"),
+      col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Shared exact-distance verify: Σ bit_count(xor) over the four
     * 16-bit bands, filtered to `maxHamming`. */
   private def verifyHamming(cand: DataFrame, bands: DataFrame,

@@ -170,14 +170,29 @@ object Statistics {
       concat(lit("\""), jesc(concat(col("schema"), lit(":"), col("p"))), lit("\"")),
       struct(col("schema"), col("p")))
 
-    def countryFacet(df: DataFrame, name: String) = fragment(
-      df.select(explode(col("countries")).as("code"))
-        .groupBy(col("code")).agg(count(lit(1)).as("cnt")),
-      name,
-      concat(lit("{\"code\":\""), jesc(col("code")),
-        lit("\",\"count\":"), col("cnt"),
-        lit(",\"label\":\""), jesc(col("code")), lit("\"}")),
-      byCountDesc(col("cnt"), col("code")))
+    // Country facet entries carry the exact occurrence count AND the
+    // portable-HLL sketched DISTINCT-entity estimate (round-15 brief:
+    // the 100 TB statistics.json — the exact count's (country, id)
+    // shuffle grows with the corpus while the p=8 registers are O(256)
+    // per country and mergeable across shards/days; q320 gates the
+    // sketch against its exact truth standalone, this document ships
+    // it). est_distinct renders as fixed-point DECIMAL(18,6) — the
+    // fill_rate rule — so the document bytes stay engine-independent.
+    def countryFacet(df: DataFrame, name: String) = {
+      val pairs = df.select(col("id"), explode(col("countries")).as("code"))
+      val cnt = pairs.groupBy(col("code")).agg(count(lit(1)).as("cnt"))
+      val est = Hll.groupDistinct(pairs, col("code"), col("id"), p = 8)
+        .select(col("grp").as("code"), col("est_distinct"))
+      fragment(cnt.join(est, "code"),
+        name,
+        concat(lit("{\"code\":\""), jesc(col("code")),
+          lit("\",\"count\":"), col("cnt"),
+          lit(",\"label\":\""), jesc(col("code")),
+          lit("\",\"est_distinct\":"),
+          col("est_distinct").cast("decimal(18,6)").cast("string"),
+          lit("}")),
+        byCountDesc(col("cnt"), col("code")))
+    }
     val thingCountries = countryFacet(e.filter(col("is_thing")), "things_countries_json")
     val targetCountries = countryFacet(e.filter(col("is_target")), "targets_countries_json")
 

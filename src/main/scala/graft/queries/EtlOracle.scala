@@ -107,16 +107,26 @@ object EtlOracle {
        |  SELECT string_agg(DISTINCT '"' || sch || ':' || prop || '"', ','
        |    ORDER BY '"' || sch || ':' || prop || '"') AS j
        |  FROM pr),
+       |tpr AS (SELECT country AS code, 'c' || k::VARCHAR AS eid
+       |        FROM cust WHERE k % 3 = 0),
+       |thpr AS (SELECT country AS code, 'c' || k::VARCHAR AS eid FROM cust),
+       |${PipelineQueries.sqlHllEst("tc", "tpr")},
+       |${PipelineQueries.sqlHllEst("th", "thpr")},
        |tcountry_json AS (
        |  SELECT COALESCE(string_agg(
-       |    '{"code":"' || country || '","count":' || cnt || ',"label":"' || country || '"}',
+       |    '{"code":"' || country || '","count":' || cnt || ',"label":"' || country
+       |      || '","est_distinct":' || he.est || '}',
        |    ',' ORDER BY cnt DESC, country), '') AS j
-       |  FROM (SELECT country, COUNT(*) AS cnt FROM cust WHERE k % 3 = 0 GROUP BY country)),
+       |  FROM (SELECT country, COUNT(*) AS cnt FROM cust WHERE k % 3 = 0
+       |        GROUP BY country) tq
+       |  JOIN he_tc he ON he.code = tq.country),
        |thcountry_json AS (
        |  SELECT COALESCE(string_agg(
-       |    '{"code":"' || country || '","count":' || cnt || ',"label":"' || country || '"}',
+       |    '{"code":"' || country || '","count":' || cnt || ',"label":"' || country
+       |      || '","est_distinct":' || he.est || '}',
        |    ',' ORDER BY cnt DESC, country), '') AS j
-       |  FROM (SELECT country, COUNT(*) AS cnt FROM cust GROUP BY country)),
+       |  FROM (SELECT country, COUNT(*) AS cnt FROM cust GROUP BY country) tq
+       |  JOIN he_th he ON he.code = tq.country),
        |tschema_json AS (
        |  SELECT COALESCE(string_agg(
        |    '{"name":"' || sch || '","count":' || cnt || ',"label":"' || sch

@@ -545,23 +545,32 @@ object ExportQueries {
         graft.operators.Statistics.statisticsJson(
           persons.unionByName(companies).unionByName(sancs))
       },
-      """WITH ents AS (
-        |  SELECT 'Person' AS sch, 'r' || (n_nationkey % 5)::VARCHAR AS country,
+      s"""WITH ents AS (
+        |  SELECT 'p' || n_nationkey::VARCHAR AS eid,
+        |    'Person' AS sch, 'r' || (n_nationkey % 5)::VARCHAR AS country,
         |    n_nationkey % 3 = 0 AS is_target,
         |    '2026-01-0' || (1 + n_nationkey % 9)::VARCHAR AS lc,
         |    ['birthDate', 'country', 'name']
         |      || (CASE WHEN n_nationkey % 3 = 0 THEN ['topics'] ELSE [] END) AS pk
         |  FROM nation WHERE n_nationkey % 2 = 1
         |  UNION ALL
-        |  SELECT 'Company', 'r' || (n_nationkey % 5)::VARCHAR, n_nationkey % 3 = 1,
+        |  SELECT 'co' || n_nationkey::VARCHAR,
+        |    'Company', 'r' || (n_nationkey % 5)::VARCHAR, n_nationkey % 3 = 1,
         |    '2026-01-0' || (1 + n_nationkey % 9)::VARCHAR,
         |    ['country', 'name']
         |      || (CASE WHEN n_nationkey % 4 = 0 THEN ['registrationNumber'] ELSE [] END)
         |      || (CASE WHEN n_nationkey % 3 = 1 THEN ['topics'] ELSE [] END)
         |  FROM nation WHERE n_nationkey % 2 = 0
         |  UNION ALL
-        |  SELECT 'Sanction', NULL, FALSE, '2026-01-01', ['entity', 'programId']
+        |  SELECT 'sx' || r_regionkey::VARCHAR,
+        |    'Sanction', NULL, FALSE, '2026-01-01', ['entity', 'programId']
         |  FROM region),
+        |tpr AS (SELECT country AS code, eid FROM ents
+        |        WHERE is_target AND country IS NOT NULL),
+        |thpr AS (SELECT country AS code, eid FROM ents
+        |         WHERE country IS NOT NULL),
+        |${PipelineQueries.sqlHllEst("tc", "tpr")},
+        |${PipelineQueries.sqlHllEst("th", "thpr")},
         |tot AS (SELECT COUNT(*) AS ec, COUNT(*) FILTER (WHERE is_target) AS tc,
         |  max(lc) AS mlc FROM ents),
         |schl AS (SELECT string_agg('"' || sch || '"', ',' ORDER BY sch) AS j
@@ -569,9 +578,11 @@ object ExportQueries {
         |qn AS (SELECT string_agg('"' || sch || ':' || p || '"', ',' ORDER BY sch, p) AS j
         |  FROM (SELECT DISTINCT sch, unnest(pk) AS p FROM ents)),
         |tcf AS (SELECT COALESCE(string_agg('{"code":"' || country || '","count":'
-        |    || cnt::VARCHAR || ',"label":"' || country || '"}', ',' ORDER BY cnt DESC, country), '') AS j
+        |    || cnt::VARCHAR || ',"label":"' || country || '","est_distinct":'
+        |    || he.est || '}', ',' ORDER BY cnt DESC, country), '') AS j
         |  FROM (SELECT country, COUNT(*) AS cnt FROM ents
-        |        WHERE is_target AND country IS NOT NULL GROUP BY country)),
+        |        WHERE is_target AND country IS NOT NULL GROUP BY country) tq
+        |  JOIN he_tc he ON he.code = tq.country),
         |tsf AS (SELECT COALESCE(string_agg('{"name":"' || sch || '","count":' || cnt::VARCHAR
         |    || ',"label":"' || sch || '","plural":"' || sch || 's"}', ',' ORDER BY cnt DESC, sch), '') AS j
         |  FROM (SELECT sch, COUNT(*) AS cnt FROM ents WHERE is_target GROUP BY sch)),
@@ -579,9 +590,11 @@ object ExportQueries {
         |    || cnt::VARCHAR || '}', ',' ORDER BY pr), '') AS j
         |  FROM (SELECT r_regionkey % 2 AS pr, COUNT(*) AS cnt FROM region GROUP BY r_regionkey % 2)),
         |thcf AS (SELECT COALESCE(string_agg('{"code":"' || country || '","count":'
-        |    || cnt::VARCHAR || ',"label":"' || country || '"}', ',' ORDER BY cnt DESC, country), '') AS j
+        |    || cnt::VARCHAR || ',"label":"' || country || '","est_distinct":'
+        |    || he.est || '}', ',' ORDER BY cnt DESC, country), '') AS j
         |  FROM (SELECT country, COUNT(*) AS cnt FROM ents
-        |        WHERE country IS NOT NULL GROUP BY country)),
+        |        WHERE country IS NOT NULL GROUP BY country) tq
+        |  JOIN he_th he ON he.code = tq.country),
         |thsf AS (SELECT COALESCE(string_agg('{"name":"' || sch || '","count":' || cnt::VARCHAR
         |    || ',"label":"' || sch || '","plural":"' || sch || 's"}', ',' ORDER BY cnt DESC, sch), '') AS j
         |  FROM (SELECT sch, COUNT(*) AS cnt FROM ents GROUP BY sch)),
@@ -673,9 +686,7 @@ object ExportQueries {
          |  agg.n_registers_set, agg.register_sum,
          |  (agg.setnum + (256 - agg.n_registers_set)
          |     * (1::BIGINT << 53))::BIGINT AS harmonic_num,
-         |  ROUND(((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
-         |           * (1::BIGINT << 53)::DOUBLE)
-         |        / (agg.setnum + (256 - agg.n_registers_set)
-         |             * (1::BIGINT << 53))::DOUBLE, 6) AS est_distinct
+         |  ${PipelineQueries.sqlHllEstCase(256L, 53,
+              "agg.n_registers_set", "agg.setnum")} AS est_distinct
          |FROM agg JOIN ex2 USING (key)""".stripMargin)
 }

@@ -512,7 +512,7 @@ object GraphSketchQueries {
          |${(0 until 3).map(j =>
              s"LEFT JOIN cm c$j ON c$j.r = $j AND c$j.p = " +
                s"${sqlHash60(s"('cm$j|' || t.user_id::VARCHAR)")} % 1024")
-             .mkString("\n")}""".stripMargin)) :+ lpaDecl :+ temporalDecl :+ modularityDecl :+ harmonicDecl :+ hllDecl :+ ssspDecl :+ pprDecl :+ pathCountDecl :+ betweennessDecl :+ chokepointDecl
+             .mkString("\n")}""".stripMargin)) :+ lpaDecl :+ temporalDecl :+ modularityDecl :+ harmonicDecl :+ hllDecl :+ ssspDecl :+ pprDecl :+ pathCountDecl :+ betweennessDecl :+ chokepointDecl :+ betweennessSampledDecl :+ betweennessErrorDecl :+ entityChokepointDecl
 
   // q286 (round-14): per-group HYPERLOGLOG distinct — the fixed-memory
   // arm of the distinct-count family beside KMV (q164: exact below k,
@@ -554,10 +554,8 @@ object GraphSketchQueries {
          |SELECT agg.event_type, agg.n_registers_set, agg.register_sum,
          |  (agg.setnum + ($m - agg.n_registers_set)
          |     * (1::BIGINT << $rMax))::BIGINT AS harmonic_num,
-         |  ROUND(((0.7213 / (1.0 + 1.079 / $m.0)) * $m.0 * $m.0
-         |           * (1::BIGINT << $rMax)::DOUBLE)
-         |        / (agg.setnum + ($m - agg.n_registers_set)
-         |             * (1::BIGINT << $rMax))::DOUBLE, 6) AS est_distinct,
+         |  ${PipelineQueries.sqlHllEstCase(m, rMax,
+              "agg.n_registers_set", "agg.setnum")} AS est_distinct,
          |  ex.exact_distinct
          |FROM agg JOIN ex USING (event_type)""".stripMargin)
   }
@@ -1037,4 +1035,215 @@ object GraphSketchQueries {
          |  SUM(dep)::BIGINT AS betweenness
          |FROM gran GROUP BY 1
          |ORDER BY betweenness DESC, node ASC LIMIT 10""".stripMargin)
+
+  /** The q319/q327 customer–supplier bipartite graph + the %500 seed
+    * pool, shared by the sampled-betweenness family (q329/q330). */
+  private def bipartiteFixture(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    val eo = t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("c"),
+        (lit(1000000L) + col("l_suppkey")).as("sup"))
+      .distinct()
+    val edges = eo.select(col("c").as("src"), col("sup").as("dst"))
+      .unionByName(eo.select(col("sup").as("src"), col("c").as("dst")))
+    val pool = t(s, d, "customer").where(expr("c_custkey % 500 = 0"))
+      .select(col("c_custkey").cast("long").as("id"))
+    (edges, pool)
+  }
+
+  /** Shared SQL prefix for q329/q330: the bipartite edges, the seed
+    * pool, its size, and the hash-stable k-draw (`smp`). */
+  private def btwSamplePrefix(k: Int): String =
+    s"""WITH eo AS MATERIALIZED (SELECT DISTINCT o_custkey::BIGINT AS c,
+       |  (1000000 + l_suppkey)::BIGINT AS sup
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS MATERIALIZED (SELECT c AS src, sup AS dst FROM eo
+       |     UNION ALL SELECT sup, c FROM eo),
+       |pool AS (SELECT c_custkey::BIGINT AS id FROM customer
+       |         WHERE c_custkey % 500 = 0),
+       |pn AS (SELECT COUNT(*)::BIGINT AS pool_size FROM pool),
+       |smp AS (SELECT id FROM pool
+       |  ORDER BY ${sqlHash60("('bs|' || id::VARCHAR)")}, id LIMIT $k)""".stripMargin
+
+  // q329 (round-16): SAMPLED-SEED BETWEENNESS — the 100 TB scale path
+  // for q319 (Brandes–Pich): exact per-seed Brandes is O(|seeds|·E),
+  // so at corpus scale the seed set is SAMPLED — k seeds drawn
+  // hash-stably from the pool (order by hash60('bs|'‖id), id — the
+  // Sampling.scala draw discipline: deterministic, engine-replayable,
+  // independent of the id domain's shape), Brandes runs on those k
+  // ONLY (the wall scales with k·E, not |pool|·E — the decade row
+  // beside q319's is the evidence), and per-node betweenness is the
+  // scaled-up subset sum est = Σ_sample δ · |pool| div k — unbiased
+  // over the draw because each per-seed dependency is itself exact.
+  // The oracle replays draw, forward σ, backward δ, and the scale-up.
+  private def betweennessSampledDecl: Decl =
+    decl("q329_betweenness_sampled",
+      (s, d) => {
+        val (edges, pool) = bipartiteFixture(s, d)
+        val sample = pool.orderBy(
+            graft.operators.Dedup.hash60(
+              concat(lit("bs|"), col("id").cast("string"))), col("id"))
+          .limit(10)
+        val poolN = broadcast(pool.agg(count(lit(1)).as("pool_size")))
+        Centrality.betweenness(edges, sample, maxHops = 3, scale = 1000000L)
+          .groupBy("node")
+          .agg(count(lit(1)).as("n_sample_seeds_covering"),
+            sum(col("dep")).as("sample_dep"))
+          .crossJoin(poolN)
+          .select(col("node"), col("n_sample_seeds_covering"),
+            col("sample_dep"), col("pool_size"),
+            least(lit(10L), col("pool_size")).as("sample_k"),
+            expr("(sample_dep * pool_size) div least(10, pool_size)")
+              .as("est_betweenness"))
+      },
+      s"""${btwSamplePrefix(10)},
+         |r0 AS (SELECT id AS seed, id AS node, 0::BIGINT AS dist,
+         |       1::BIGINT AS paths FROM smp),
+         |${pcRounds(3)},
+         |d3 AS (SELECT seed, node, 0::BIGINT AS dep FROM r3 WHERE dist = 3),
+         |${bwRounds(3, 1000000L)},
+         |gran AS (SELECT r.seed, r.node, u.dep
+         |  FROM r3 r JOIN (SELECT * FROM d1 UNION ALL SELECT * FROM d2
+         |                  UNION ALL SELECT * FROM d3) u
+         |    ON u.seed = r.seed AND u.node = r.node
+         |  WHERE r.dist > 0)
+         |SELECT g.node, COUNT(*)::BIGINT AS n_sample_seeds_covering,
+         |  SUM(g.dep)::BIGINT AS sample_dep, pn.pool_size,
+         |  LEAST(10, pn.pool_size)::BIGINT AS sample_k,
+         |  ((SUM(g.dep)::BIGINT * pn.pool_size)
+         |     // LEAST(10, pn.pool_size))::BIGINT AS est_betweenness
+         |FROM gran g, pn GROUP BY g.node, pn.pool_size""".stripMargin)
+
+  // q330 (round-16): the sampled estimator's QUALITY GATE — ONE
+  // full-pool Brandes run yields every per-seed dependency, so the
+  // exact node betweenness (Σ over ALL pool seeds) and the q329
+  // estimator (scaled Σ over the k hash-drawn seeds — identical
+  // values to running Brandes on the subset, per-seed deps don't
+  // interact) come from the same frame and are gated side by side
+  // with the absolute error, top-20 by exact score. k = 5 here so
+  // the sampled subset is PROPER at bench scale (pool 30 at sf0.1)
+  // while still total at sf0.01's 3-seed pool (est ≡ exact — the
+  // degenerate-draw identity is itself part of the gate).
+  private def betweennessErrorDecl: Decl =
+    decl("q330_betweenness_sample_error",
+      (s, d) => {
+        val (edges, pool) = bipartiteFixture(s, d)
+        val sample = broadcast(pool.orderBy(
+            graft.operators.Dedup.hash60(
+              concat(lit("bs|"), col("id").cast("string"))), col("id"))
+          .limit(5).select(col("id").as("seed"), lit(1L).as("in_sample")))
+        val poolN = broadcast(pool.agg(count(lit(1)).as("pool_size")))
+        Centrality.betweenness(edges, pool, maxHops = 3, scale = 1000000L)
+          .join(sample, Seq("seed"), "left")
+          .groupBy("node")
+          .agg(count(lit(1)).as("n_seeds_covering"),
+            sum(col("dep")).as("exact_betweenness"),
+            sum(when(col("in_sample") === 1L, col("dep")).otherwise(0L))
+              .as("sample_dep"))
+          .crossJoin(poolN)
+          .select(col("node"), col("n_seeds_covering"),
+            col("exact_betweenness"),
+            least(lit(5L), col("pool_size")).as("sample_k"),
+            expr("(sample_dep * pool_size) div least(5, pool_size)")
+              .as("est_betweenness"))
+          .withColumn("abs_error",
+            abs(col("est_betweenness") - col("exact_betweenness")))
+          .orderBy(col("exact_betweenness").desc, col("node").asc)
+          .limit(20)
+      },
+      s"""${btwSamplePrefix(5)},
+         |r0 AS (SELECT id AS seed, id AS node, 0::BIGINT AS dist,
+         |       1::BIGINT AS paths FROM pool),
+         |${pcRounds(3)},
+         |d3 AS (SELECT seed, node, 0::BIGINT AS dep FROM r3 WHERE dist = 3),
+         |${bwRounds(3, 1000000L)},
+         |gran AS (SELECT r.seed, r.node, u.dep
+         |  FROM r3 r JOIN (SELECT * FROM d1 UNION ALL SELECT * FROM d2
+         |                  UNION ALL SELECT * FROM d3) u
+         |    ON u.seed = r.seed AND u.node = r.node
+         |  WHERE r.dist > 0),
+         |agg AS (SELECT g.node, COUNT(*)::BIGINT AS n_seeds_covering,
+         |  SUM(g.dep)::BIGINT AS exact_betweenness,
+         |  LEAST(5, pn.pool_size)::BIGINT AS sample_k,
+         |  ((SUM(CASE WHEN g.seed IN (SELECT id FROM smp)
+         |        THEN g.dep ELSE 0 END)::BIGINT * pn.pool_size)
+         |     // LEAST(5, pn.pool_size))::BIGINT AS est_betweenness
+         |  FROM gran g, pn GROUP BY g.node, pn.pool_size)
+         |SELECT node, n_seeds_covering, exact_betweenness, sample_k,
+         |  est_betweenness,
+         |  abs(est_betweenness - exact_betweenness)::BIGINT AS abs_error
+         |FROM agg
+         |ORDER BY exact_betweenness DESC, node ASC LIMIT 20""".stripMargin)
+
+  // q333 (round-16): CHOKEPOINT BROKERS on the ENTITY graph — q327's
+  // broker view re-hosted over q233's synthetic-entity chain fixture
+  // and COMPOSED with the risk-topic gate (P1/P4): betweenness scores
+  // aggregate per node, join to the synthetic entity frame on the
+  // 'c‖custkey' id, and the P4 topic filter keeps sanction-topic
+  // entities only — "which SANCTIONED parties does every shortest
+  // route cross", the screening question the expansion family points
+  // at. Seeds are hash-drawn (~1/499 of customers — hash, not raw
+  // modulus, so the draw survives any key-domain bijection); the
+  // oracle replays the chain edges, three Brandes layers each way,
+  // the id join, and the topic-gate arithmetic.
+  private def entityChokepointDecl: Decl =
+    decl("q333_entity_chokepoints",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val c = t(s, d, "customer")
+        val w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+        val chain = c.withColumn("next", lead(col("c_custkey"), 1).over(w))
+          .filter(col("next").isNotNull)
+          .select(col("c_custkey").cast("long").as("src"),
+            col("next").cast("long").as("dst"))
+        val edges = chain.unionByName(
+          chain.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = c.where(pmod(graft.operators.Dedup.hash60(
+            concat(lit("ec|"), col("c_custkey").cast("string"))),
+            lit(499L)) === 0)
+          .select(col("c_custkey").cast("long").as("id"))
+        val scores = Centrality.betweenness(edges, seeds, maxHops = 3,
+            scale = 1000000L)
+          .groupBy("node")
+          .agg(count(lit(1)).as("n_seeds_covering"),
+            sum(col("dep")).as("betweenness"))
+        val ents = ExportQueries.syntheticEntities(s, d)
+          .select(col("id"), col("schema").as("sch"),
+            coalesce(element_at(col("properties"), "topics"),
+              array().cast("array<string>")).as("topics"))
+        scores
+          .join(ents, concat(lit("c"), col("node").cast("string")) === col("id"))
+          .where(array_contains(col("topics"), "sanction"))
+          .select(col("id"), col("sch"), col("node"),
+            col("n_seeds_covering"), col("betweenness"))
+          .orderBy(col("betweenness").desc, col("node").asc)
+          .limit(15)
+      },
+      s"""WITH base AS (SELECT c_custkey::BIGINT AS src,
+         |  (lead(c_custkey) OVER (PARTITION BY c_nationkey
+         |     ORDER BY c_custkey))::BIGINT AS dst FROM customer),
+         |e AS MATERIALIZED (SELECT src, dst FROM base WHERE dst IS NOT NULL
+         |  UNION ALL SELECT dst, src FROM base WHERE dst IS NOT NULL),
+         |r0 AS (SELECT c_custkey::BIGINT AS seed, c_custkey::BIGINT AS node,
+         |       0::BIGINT AS dist, 1::BIGINT AS paths FROM customer
+         |       WHERE ${sqlHash60("('ec|' || c_custkey::VARCHAR)")} % 499 = 0),
+         |${pcRounds(3)},
+         |d3 AS (SELECT seed, node, 0::BIGINT AS dep FROM r3 WHERE dist = 3),
+         |${bwRounds(3, 1000000L)},
+         |gran AS (SELECT r.seed, r.node, u.dep
+         |  FROM r3 r JOIN (SELECT * FROM d1 UNION ALL SELECT * FROM d2
+         |                  UNION ALL SELECT * FROM d3) u
+         |    ON u.seed = r.seed AND u.node = r.node
+         |  WHERE r.dist > 0),
+         |agg AS (SELECT node, COUNT(*)::BIGINT AS n_seeds_covering,
+         |  SUM(dep)::BIGINT AS betweenness FROM gran GROUP BY 1)
+         |SELECT 'c' || node::VARCHAR AS id,
+         |  CASE WHEN node % 4 = 0 THEN 'Company' ELSE 'Person' END AS sch,
+         |  node, n_seeds_covering, betweenness
+         |FROM agg WHERE node % 3 = 0
+         |ORDER BY betweenness DESC, node ASC LIMIT 15""".stripMargin)
 }

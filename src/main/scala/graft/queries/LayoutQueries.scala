@@ -721,7 +721,7 @@ object LayoutQueries {
          |         FROM tgt, k2 WHERE key < k2.lo OR key > k2.hi)
          |SELECT aud.version, aud.file_id, aud.n_rows, aud.min_key, aud.max_key,
          |  aud.action, live.rows_live, live.qty_live
-         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl :+ bloomMaintainDecl :+ lifecycleDecl :+ morDvDecl :+ morMergeDecl :+ advisorDecl :+ wapDecl :+ joinViewIvmDecl :+ branchMergeDecl :+ incrOptimizeDecl :+ rebaseDecl :+ advisorManifestDecl :+ morBloomDecl :+ clusterDepthDecl :+ equiDepthDecl :+ columnStatsDecl :+ rebalanceDecl :+ maintenanceAdvisorDecl :+ rebalanceExecDecl :+ indexAdvisorDecl :+ maintenanceRouterDecl
+         |FROM aud, live""".stripMargin)) :+ bloomTouchDecl :+ schemaEvolveDecl :+ minMaxIvmDecl :+ bloomMaintainDecl :+ lifecycleDecl :+ morDvDecl :+ morMergeDecl :+ advisorDecl :+ wapDecl :+ joinViewIvmDecl :+ branchMergeDecl :+ incrOptimizeDecl :+ rebaseDecl :+ advisorManifestDecl :+ morBloomDecl :+ clusterDepthDecl :+ equiDepthDecl :+ columnStatsDecl :+ rebalanceDecl :+ maintenanceAdvisorDecl :+ rebalanceExecDecl :+ indexAdvisorDecl :+ maintenanceRouterDecl :+ maintenanceLoopDecl :+ leaseMaintenanceDecl
 
   // q263 (round-12): MERGE-ON-READ deletion vectors — the other half
   // of the delete family. q201's deleteRange rewrites/drops files
@@ -1246,7 +1246,7 @@ object LayoutQueries {
             col("event_id"), version = v)
         // deterministic per-dataset path, pre-deleted (the q282 pattern)
         // — createTempDirectory leaked one orphan dir per evaluation
-        val root = "/tmp/graft_q269_wap_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = "/tmp/graft_q269_wap_" + Q.scratchTag(d)
         val fsH = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fsH.delete(new org.apache.hadoop.fs.Path(root), true)
@@ -1568,7 +1568,7 @@ object LayoutQueries {
             version = 0L)
         // deterministic per-dataset path, pre-deleted (the q282 pattern)
         // — createTempDirectory leaked one orphan dir per evaluation
-        val root = "/tmp/graft_q281_rb_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = "/tmp/graft_q281_rb_" + Q.scratchTag(d)
         val fsH = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fsH.delete(new org.apache.hadoop.fs.Path(root), true)
@@ -2019,7 +2019,7 @@ object LayoutQueries {
         val predDepth = broadcast(Layout.clusteringDepth(plan)
           .agg(max(col("depth")).as("predicted_depth_max")))
         // execute the plan on the rows, as real files on disk
-        val root = "/tmp/graft_q318_exec_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = "/tmp/graft_q318_exec_" + Q.scratchTag(d)
         val fsH = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fsH.delete(new org.apache.hadoop.fs.Path(root), true)
@@ -2459,6 +2459,273 @@ object LayoutQueries {
          |${armSql("healthy", "k // 1000")}
          |SELECT * FROM sel_mixed UNION ALL SELECT * FROM sel_twowidth
          |UNION ALL SELECT * FROM sel_healthy""".stripMargin)
+  }
+
+  // q332 (round-16): STALE-CLAIM LEASE through a REAL maintenance
+  // flow — round 15 shipped claimVersionWithLease spec-only; here the
+  // takeover runs end to end through the store: a compactor claimed
+  // v2 and crashed before writing (orphaned marker, the exact wedge
+  // the lease exists for), a later maintenance pass finds the claim
+  // stale past the 15-min publish lease, takes it over through the
+  // rename-aside arbiter, and lands the 16→4-file compaction commit
+  // as v2 (pointer advanced, data round-trips). The guard rail is
+  // gated in the same row: a FRESH claim (a live writer on v3) must
+  // block — the lease never evicts a live writer, the conflict
+  // surfaces as a counted refusal. Clock simulation uses the
+  // operator's explicit nowMillis seam (no mtime mutation), so the
+  // flow is deterministic; FS-outcome flags ride as literals against
+  // oracle constants (the q281 pattern) while rows/sums/files come
+  // from reading the store back.
+  private def leaseMaintenanceDecl: Decl =
+    decl("q332_lease_maintenance",
+      (s, d) => {
+        import graft.operators.Snapshot
+        val ev = Q.events(s, d).select(col("event_id").as("k"),
+          round(col("value") * 100).cast("long").as("v"))
+        def mani(df: org.apache.spark.sql.DataFrame,
+            fid: org.apache.spark.sql.Column) =
+          Snapshot.manifestEntriesBy(df, fid, col("k"), version = 0L)
+        val root = "/tmp/graft_q332_lm_" + Q.scratchTag(d)
+        val fsH = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsH.delete(new org.apache.hadoop.fs.Path(root), true)
+        Snapshot.commit(s, root, 1L, ev,
+          mani(ev, pmod(col("k"), lit(16L))), commitMillis = 1000L)
+        // the compactor that died mid-window: claim v2, no data
+        require(Snapshot.claimVersion(s, root, 2L),
+          "q332 fixture: the orphaned claim must be plantable")
+        val now = System.currentTimeMillis()
+        // maintenance pass: the claim is STALE past the lease → takeover
+        val takeover = Snapshot.claimVersionWithLease(s, root, 2L,
+          Snapshot.PublishLeaseMillis,
+          nowMillis = now + Snapshot.PublishLeaseMillis + 60000L)
+        val committed =
+          if (takeover) {
+            Snapshot.commit(s, root, 2L, ev,
+              mani(ev, expr("pmod(k, 16) div 4")), commitMillis = 2000L)
+            1L
+          } else 0L
+        // a LIVE writer holds v3: the next pass must refuse, loudly
+        require(Snapshot.claimVersion(s, root, 3L),
+          "q332 fixture: the live claim must be plantable")
+        val freshBlocked =
+          if (!Snapshot.claimVersionWithLease(s, root, 3L,
+            Snapshot.PublishLeaseMillis, nowMillis = now + 60000L)) 1L
+          else 0L
+        val curV = Snapshot.currentVersion(s, root).drop(1).toLong
+        val filesAfter = broadcast(s.read.parquet(s"$root/manifest/v2")
+          .agg(count(lit(1)).as("files_after")))
+        Snapshot.readCurrent(s, root)
+          .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_cents"))
+          .crossJoin(filesAfter)
+          .select(lit(if (takeover) 1L else 0L).as("stale_takeover"),
+            lit(committed).as("maintenance_committed"),
+            lit(freshBlocked).as("fresh_claim_blocked"),
+            lit(curV).as("current_version"),
+            col("files_after"), col("n_rows"), col("sum_cents"))
+      },
+      """WITH ev AS (SELECT event_id AS k, round(value * 100)::BIGINT AS v
+        |           FROM events)
+        |SELECT 1::BIGINT AS stale_takeover,
+        |  1::BIGINT AS maintenance_committed,
+        |  1::BIGINT AS fresh_claim_blocked,
+        |  2::BIGINT AS current_version,
+        |  COUNT(DISTINCT (k % 16) // 4)::BIGINT AS files_after,
+        |  COUNT(*)::BIGINT AS n_rows, SUM(v)::BIGINT AS sum_cents
+        |FROM ev""".stripMargin)
+
+  // q328 (round-16): the CLOSED maintenance-dispatch LOOP — the
+  // schedule-maintenance runbook composed end to end: ROUTE (q326's
+  // adviseMaintenance picks rewrite/rebalance/none from the manifest
+  // alone), EXECUTE the ROUTED plan on the rows (not a fixed one —
+  // the router's decision string drives which executor runs: the
+  // q318 equi-depth rewrite or the q323 rebalance regrouping), then
+  // RE-ROUTE the achieved manifest and assert the FIXED POINT: after
+  // executing what the router chose, the router must say `none`.
+  // Two differently-broken layouts of the same rows drive both
+  // branches — an equi-depth-16-with-full-span-straggler manifest
+  // (overlap depth 2 → rewrite) and the pure equi-depth-16 layout
+  // (disjoint, every file under target/2 → rebalance). targetRows is
+  // ceil(n/3), so the loop's health bands are scale-free: the 4-file
+  // rewrite lands files at n/4 (inside [target/2, 2·target]) and the
+  // rebalance's merged thirds at ~0.31–0.38·n, at EVERY sf. The
+  // hashed row carries (decision_before, executed_action,
+  // decision_after, loop_closed) plus both censuses and row
+  // conservation; the oracle replays routing arithmetic, both
+  // executors, and the re-route from first principles.
+  private def maintenanceLoopDecl: Decl =
+    decl("q328_maintenance_loop",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey").cast("long").as("k"))
+        val n = li.count()
+        val tgt = (n + 2) / 3 // ceil(n/3)
+        val eq16 = Layout.equiDepthAssign(li, col("k"), 16)
+          .select(col("k"), col("fid").as("file_id"))
+        val frag = eq16
+        val over = eq16.select(col("k"),
+          when(pmod(col("k"), lit(97L)) === 0L, lit(9999L))
+            .otherwise(col("file_id")).as("file_id"))
+        def manifestOf(rows: org.apache.spark.sql.DataFrame) =
+          rows.groupBy("file_id")
+            .agg(count(lit(1)).as("n_rows"), min("k").as("min_key"),
+              max("k").as("max_key"))
+        def loop(tag: String, rows: org.apache.spark.sql.DataFrame) = {
+          val m0 = manifestOf(rows)
+          val before = Layout.adviseMaintenance(m0, tgt)
+          // the DISPATCH: a 1-row driver read of the router's decision
+          // (the cosineTopKAnnAuto routing pattern) picks the executor
+          val decision = before.select("decision").head().getString(0)
+          val executed = decision match {
+            case "rewrite" =>
+              Layout.equiDepthAssign(rows, col("k"), 4)
+                .select(col("k"),
+                  concat(lit("r"), col("fid").cast("string")).as("new_file"))
+            case "rebalance" =>
+              val plan = Layout.rebalancePlan(m0, tgt)
+              rows.join(broadcast(plan.select(col("file_id"), col("action"),
+                  col("pieces"), col("merge_group"), col("n_rows"))), "file_id")
+                .withColumn("_rn", row_number().over(
+                  Window.partitionBy("file_id").orderBy("k")).cast("long"))
+                .withColumn("_per", expr("(n_rows + pieces - 1) div pieces"))
+                .withColumn("new_file",
+                  when(col("action") === "merge",
+                    concat(lit("m"), col("merge_group").cast("string")))
+                    .when(col("action") === "split",
+                      concat(lit("s"), col("file_id").cast("string"), lit("_"),
+                        expr("(_rn - 1) div _per").cast("string")))
+                    .otherwise(concat(lit("k"), col("file_id").cast("string"))))
+                .select(col("k"), col("new_file"))
+            case _ =>
+              rows.select(col("k"),
+                concat(lit("k"), col("file_id").cast("string")).as("new_file"))
+          }
+          val m1 = executed.groupBy("new_file")
+            .agg(count(lit(1)).as("n_rows"), min("k").as("min_key"),
+              max("k").as("max_key"))
+          val after = Layout.adviseMaintenance(
+            m1.withColumnRenamed("new_file", "file_id"), tgt)
+          val rowsAfter = broadcast(m1.agg(sum(col("n_rows")).as("rows_after")))
+          broadcast(before.select(lit(tag).as("layout"),
+              col("n_files").as("files_before"),
+              col("max_depth").as("depth_before"),
+              col("n_small").as("n_small_before"),
+              col("n_oversized").as("n_oversized_before"),
+              col("decision").as("decision_before")))
+            .crossJoin(broadcast(after.select(
+              col("n_files").as("files_after"),
+              col("max_depth").as("depth_after"),
+              col("n_small").as("n_small_after"),
+              col("n_oversized").as("n_oversized_after"),
+              col("decision").as("decision_after"))))
+            .crossJoin(rowsAfter)
+            .select(col("layout"), col("files_before"), col("depth_before"),
+              col("n_small_before"), col("n_oversized_before"),
+              col("decision_before"), lit(decision).as("executed_action"),
+              col("files_after"), col("depth_after"), col("n_small_after"),
+              col("n_oversized_after"), col("decision_after"),
+              (col("decision_after") === "none").as("loop_closed"),
+              lit(n).as("rows_before"), col("rows_after"))
+        }
+        loop("overlapping", over).unionByName(loop("fragmented", frag))
+      },
+      q328OracleSql)
+
+  /** q328's oracle: dynamic-n equi-depth boundaries (the q318 order-
+    * statistic replay generalized to 16 and 4 files), both routing
+    * censuses with targetRows = ceil(n/3), the rebalance merge-run
+    * packing replay (islands + start-offset subgrouping, keep arm
+    * included for drift symmetry; the fixture admits no splits —
+    * every file sits at ~n/16 ≪ 2·target), and the re-route. */
+  private lazy val q328OracleSql: String = {
+    def census(tag: String, man: String): String =
+      s"""b_$tag AS (SELECT kk, SUM(dd)::BIGINT AS d FROM (
+         |  SELECT min_key AS kk, 1 AS dd FROM $man
+         |  UNION ALL SELECT max_key + 1, -1 FROM $man) GROUP BY 1),
+         |sw_$tag AS (SELECT SUM(d) OVER (ORDER BY kk)::BIGINT AS depth,
+         |  lead(kk) OVER (ORDER BY kk) AS nk FROM b_$tag),
+         |dep_$tag AS (SELECT COALESCE(MAX(depth), 0)::BIGINT AS max_depth
+         |  FROM sw_$tag WHERE nk IS NOT NULL AND depth > 0),
+         |sel_$tag AS (SELECT a.n_files, d.max_depth, a.n_small,
+         |  a.n_oversized,
+         |  CASE WHEN d.max_depth > 1 THEN 'rewrite'
+         |       WHEN a.n_small + a.n_oversized > 0 THEN 'rebalance'
+         |       ELSE 'none' END AS decision
+         |  FROM (SELECT COUNT(*)::BIGINT AS n_files,
+         |    SUM(CASE WHEN m.n_rows * 2 < nn.tgt THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_small,
+         |    SUM(CASE WHEN m.n_rows > 2 * nn.tgt THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_oversized FROM $man m, nn) a, dep_$tag d)""".stripMargin
+    s"""WITH k AS (SELECT l_orderkey::BIGINT AS k FROM lineitem),
+       |nn AS (SELECT COUNT(*)::BIGINT AS n,
+       |       ((COUNT(*) + 2) // 3)::BIGINT AS tgt FROM k),
+       |h AS (SELECT k AS v, COUNT(*)::BIGINT AS cnt FROM k GROUP BY 1),
+       |c AS (SELECT v, cnt, SUM(cnt) OVER (ORDER BY v)::BIGINT AS cum FROM h),
+       |q16 AS (SELECT unnest(generate_series(1, 15)) AS gx),
+       |b16 AS (SELECT q16.gx, c.v FROM c, nn, q16
+       |  WHERE cum >= (nn.n * gx + 15) // 16
+       |    AND cum - cnt < (nn.n * gx + 15) // 16),
+       |asg16 AS (SELECT k.k,
+       |  (SELECT COUNT(*) FROM b16 WHERE k.k > b16.v)::BIGINT AS file_id
+       |  FROM k),
+       |man_f AS (SELECT file_id, COUNT(*)::BIGINT AS n_rows,
+       |  MIN(k)::BIGINT AS min_key, MAX(k)::BIGINT AS max_key
+       |  FROM asg16 GROUP BY 1),
+       |man_o AS (SELECT CASE WHEN k % 97 = 0 THEN 9999::BIGINT
+       |    ELSE file_id END AS file_id, COUNT(*)::BIGINT AS n_rows,
+       |  MIN(k)::BIGINT AS min_key, MAX(k)::BIGINT AS max_key
+       |  FROM asg16 GROUP BY 1),
+       |${census("o0", "man_o")},
+       |${census("f0", "man_f")},
+       |q4 AS (SELECT unnest(generate_series(1, 3)) AS gx),
+       |b4 AS (SELECT q4.gx, c.v FROM c, nn, q4
+       |  WHERE cum >= (nn.n * gx + 3) // 4
+       |    AND cum - cnt < (nn.n * gx + 3) // 4),
+       |man_oa AS (SELECT file_id, COUNT(*)::BIGINT AS n_rows,
+       |  MIN(k)::BIGINT AS min_key, MAX(k)::BIGINT AS max_key FROM (
+       |  SELECT k.k,
+       |    (SELECT COUNT(*) FROM b4 WHERE k.k > b4.v)::BIGINT AS file_id
+       |  FROM k) GROUP BY 1),
+       |rb AS (SELECT m.*, nn.tgt,
+       |  row_number() OVER (ORDER BY min_key, file_id)::BIGINT AS rk,
+       |  (m.n_rows * 2 < nn.tgt) AS small FROM man_f m, nn),
+       |rs AS (SELECT *, row_number()
+       |  OVER (ORDER BY min_key, file_id)::BIGINT AS srk FROM rb WHERE small),
+       |rs2 AS (SELECT *, rk - srk AS run,
+       |  COALESCE(SUM(n_rows) OVER (PARTITION BY rk - srk
+       |    ORDER BY min_key, file_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |    AS bef FROM rs),
+       |man_fa AS (
+       |  SELECT SUM(n_rows)::BIGINT AS n_rows, MIN(min_key)::BIGINT AS min_key,
+       |    MAX(max_key)::BIGINT AS max_key
+       |  FROM rs2 GROUP BY (run * 1000 + bef // tgt)
+       |  UNION ALL
+       |  SELECT n_rows, min_key, max_key FROM rb WHERE NOT small),
+       |${census("oa", "man_oa")},
+       |${census("fa", "man_fa")},
+       |ra_o AS (SELECT SUM(n_rows)::BIGINT AS rows_after FROM man_oa),
+       |ra_f AS (SELECT SUM(n_rows)::BIGINT AS rows_after FROM man_fa)
+       |SELECT 'overlapping' AS layout, sel_o0.n_files AS files_before,
+       |  sel_o0.max_depth AS depth_before, sel_o0.n_small AS n_small_before,
+       |  sel_o0.n_oversized AS n_oversized_before,
+       |  sel_o0.decision AS decision_before,
+       |  sel_o0.decision AS executed_action,
+       |  sel_oa.n_files AS files_after, sel_oa.max_depth AS depth_after,
+       |  sel_oa.n_small AS n_small_after,
+       |  sel_oa.n_oversized AS n_oversized_after,
+       |  sel_oa.decision AS decision_after,
+       |  (sel_oa.decision = 'none') AS loop_closed,
+       |  nn.n AS rows_before, ra_o.rows_after
+       |FROM sel_o0, sel_oa, nn, ra_o
+       |UNION ALL
+       |SELECT 'fragmented', sel_f0.n_files, sel_f0.max_depth,
+       |  sel_f0.n_small, sel_f0.n_oversized, sel_f0.decision,
+       |  sel_f0.decision, sel_fa.n_files, sel_fa.max_depth,
+       |  sel_fa.n_small, sel_fa.n_oversized, sel_fa.decision,
+       |  (sel_fa.decision = 'none'), nn.n, ra_f.rows_after
+       |FROM sel_f0, sel_fa, nn, ra_f""".stripMargin
   }
 
   /** The full-recompute oracle for the post-merge per-group view —

@@ -67,6 +67,48 @@ object PipelineQueries {
     s"list_sum(list_transform(generate_series(1, 15), " +
       s"i -> ((strpos('0123456789abcdef', substr(md5($c), i, 1)) - 1)::BIGINT << (4 * (15 - i)))))::BIGINT"
 
+  /** The [[graft.operators.Hll.report]] TWO-RANGE estimate as a SQL
+    * expression over an aggregate row carrying `nrs` (registers set)
+    * and `setnum` (Σ 2^(R−M_j) over set registers): raw harmonic
+    * estimate, switched to linear counting m·ln(m/V) when raw ≤ 2.5·m
+    * and empty registers exist — round-16, mirrored by every HLL
+    * oracle (q286/q289/q320 and the statistics.json facets). */
+  private[queries] def sqlHllEstCase(m: Long, rMax: Int, nrs: String,
+      setnum: String): String = {
+    val alpha = m match {
+      case 16L => "0.673"
+      case 32L => "0.697"
+      case 64L => "0.709"
+      case _   => s"(0.7213 / (1.0 + 1.079 / $m.0))"
+    }
+    val harmonic = s"(($setnum + ($m - $nrs) * (1::BIGINT << $rMax))::DOUBLE)"
+    val raw = s"(($alpha * $m.0 * $m.0 * (1::BIGINT << $rMax)::DOUBLE) / $harmonic)"
+    s"""CASE WHEN $raw <= ${2.5 * m} AND $nrs < $m
+       |     THEN ROUND($m.0 * ln($m.0 / ($m - $nrs)::DOUBLE), 6)
+       |     ELSE ROUND($raw, 6) END""".stripMargin
+  }
+
+  /** Per-group portable-HLL estimate CTE chain (p = 8, the q320
+    * register/harmonic arithmetic) over a `(code, eid)` pairs CTE,
+    * ending in `he_$tag(code, est)` with est rendered as fixed-point
+    * DECIMAL(18,6) text — shared by the statistics.json oracles
+    * (q102, q109) whose country facets carry the sketched distinct
+    * arm beside the exact count. */
+  private[queries] def sqlHllEst(tag: String, pairsCte: String): String =
+    s"""hh_$tag AS (SELECT code, ${sqlHash60("eid")} AS h FROM $pairsCte),
+       |hr_$tag AS (SELECT code, h % 256 AS reg, h // 256 AS s FROM hh_$tag),
+       |hm_$tag AS (SELECT code, reg,
+       |  MAX(CASE WHEN s = 0 THEN 53
+       |      ELSE bit_count((s & -s) - 1) + 1 END)::BIGINT AS mr
+       |  FROM hr_$tag GROUP BY 1, 2),
+       |ha_$tag AS (SELECT code, COUNT(*)::BIGINT AS nrs,
+       |  SUM(1::BIGINT << (53 - mr)::INT)::BIGINT AS setnum
+       |  FROM hm_$tag GROUP BY 1),
+       |he_$tag AS (SELECT code,
+       |  (${sqlHllEstCase(256L, 53, "nrs", "setnum")})
+       |    ::DECIMAL(18,6)::VARCHAR AS est
+       |  FROM ha_$tag)""".stripMargin
+
   /** MinHash signature CTE chain (words → df-capped 3-shingles →
     * hashes → 32-column per-doc signature) with the same permutation
     * constants as Dedup.perm — shared by the q42 and q145 oracles. */
@@ -429,7 +471,7 @@ object PipelineQueries {
       (s, d) => {
         val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
         // deterministic per-dataset path, pre-deleted (the q282 pattern)
-        val root = s"/tmp/graft_${name}_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = s"/tmp/graft_${name}_" + Q.scratchTag(d)
         val fsH = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fsH.delete(new org.apache.hadoop.fs.Path(root), true)
@@ -2457,7 +2499,7 @@ object PipelineQueries {
               (x, i) => x + when(i % 2 === 0, lit(0.002)).otherwise(lit(-0.002)))
               .as("embedding"))
         // deterministic per-dataset path, pre-deleted (the q282 pattern)
-        val root = "/tmp/graft_q193_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+        val root = "/tmp/graft_q193_" + Q.scratchTag(d)
         val fsH = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fsH.delete(new org.apache.hadoop.fs.Path(root), true)
@@ -3807,7 +3849,7 @@ object PipelineQueries {
           n = 3, maxDf = 50, bands = 8, rowsPerBand = 4, minEstJaccard = 0.5)
       },
       incrementalNearDupSql)
-  ) :+ epochPlanDecl :+ sourceOverlapDecl :+ classifierEvalDecl :+ rocCurveDecl :+ prefixJaccardDecl :+ editDistDecl :+ percentileGateDecl :+ curationPipelineDecl :+ phashDecl :+ phashWideDecl
+  ) :+ epochPlanDecl :+ sourceOverlapDecl :+ classifierEvalDecl :+ rocCurveDecl :+ prefixJaccardDecl :+ editDistDecl :+ percentileGateDecl :+ curationPipelineDecl :+ phashDecl :+ phashWideDecl :+ phashAutoDecl
 
   // q288 (round-14): the END-TO-END CURATION PIPELINE as one
   // oracle-gated composition — the full corpus DAG a pretraining data
@@ -4333,6 +4375,39 @@ object PipelineQueries {
           maxHamming = 3)
       },
       phashOracle)
+
+  // q331 (round-16): the phash family's SIZE-GATED ROUTER — closing
+  // the round-15 "scale story is prose, not code" finding: q321's
+  // banding and q324's MIH are cross-gated to identical pairs, and
+  // phashNearDupAuto now picks between them by corpus count (the
+  // q181 ANN-router pattern applied to the image arm). TWO arms run
+  // through the SAME auto entry with different thresholds so both
+  // branches are exercised in one gate at every scale — the default
+  // 100k threshold (narrow at verify scale; flips to MIH across the
+  // decade fixtures as the part table passes it) and a forced-low 64
+  // threshold (MIH at any fixture ≥ 65 parts). The oracle computes
+  // the pair set once (both arms return it identically) and replays
+  // both routing decisions from the corpus count.
+  private def phashAutoDecl: Decl =
+    decl("q331_phash_neardup_auto",
+      (s, d) => {
+        import graft.operators.Multimodal
+        val bands = Multimodal.dHashBands(phashGrid(s, d), col("id"), col("px"))
+        def arm(tag: String, thr: Long) =
+          Multimodal.phashNearDupAuto(bands, maxHamming = 3, narrowMaxN = thr)
+            .select(lit(tag).as("arm"), col("route"), col("n_corpus"),
+              col("id_a"), col("id_b"), col("hamming"))
+        arm("default", 100000L).unionByName(arm("low_threshold", 64L))
+      },
+      s"""WITH arms(arm, thr) AS (VALUES ('default', 100000),
+         |  ('low_threshold', 64)),
+         |pairs AS ($phashOracle),
+         |nc AS (SELECT COUNT(*)::BIGINT AS n_corpus FROM part)
+         |SELECT arms.arm,
+         |  CASE WHEN nc.n_corpus <= arms.thr THEN 'narrow' ELSE 'mih' END
+         |    AS route,
+         |  nc.n_corpus, p.id_a, p.id_b, p.hamming
+         |FROM arms, nc, pairs p""".stripMargin)
 
   // lazy: referenced by decls during object init, declared below it
   private lazy val phashOracle: String =

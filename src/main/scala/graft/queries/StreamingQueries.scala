@@ -30,7 +30,7 @@ object StreamingQueries {
         // orders file into a scratch landing dir (the deployment shape:
         // a crawler lands files, the stream picks them up)
         val landing = new org.apache.hadoop.fs.Path(
-          "/tmp/graft_q112_landing_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
+          "/tmp/graft_q112_landing_" + Q.scratchTag(d))
         val fs = landing.getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(landing, true)
         fs.mkdirs(landing)
@@ -80,7 +80,7 @@ object StreamingQueries {
       (s, d) => {
         import graft.streaming.StatementStream
         import graft.model.Statement
-        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val tag = Q.scratchTag(d)
         val base = s"/tmp/graft_q114_$tag"
         val fs = new org.apache.hadoop.fs.Path(base)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -194,7 +194,7 @@ object StreamingQueries {
     // rows alone.
     decl("q123_streaming_window_watermark",
       (s, d) => {
-        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val tag = Q.scratchTag(d)
         val base = s"/tmp/graft_q123_$tag"
         val fs = new org.apache.hadoop.fs.Path(base)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -259,7 +259,7 @@ object StreamingQueries {
     // deterministic. Value mass summed in DECIMAL (the seed-B rule).
     decl("q248_streaming_sessions",
       (s, d) => {
-        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val tag = Q.scratchTag(d)
         val base = s"/tmp/graft_q248_$tag"
         val fs = new org.apache.hadoop.fs.Path(base)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -330,7 +330,7 @@ object StreamingQueries {
     // finalization rule (window end ≤ ms-floored watermark) at once.
     decl("q282_streaming_ohlc",
       (s, d) => {
-        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val tag = Q.scratchTag(d)
         val base = s"/tmp/graft_q282_$tag"
         val fs = new org.apache.hadoop.fs.Path(base)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -403,7 +403,7 @@ object StreamingQueries {
     // The delay is emitted in integer micros (exact on any engine).
     decl("q249_streaming_interval_join",
       (s, d) => {
-        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val tag = Q.scratchTag(d)
         val base = s"/tmp/graft_q249_$tag"
         val fs = new org.apache.hadoop.fs.Path(base)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -462,7 +462,7 @@ object StreamingQueries {
     // (1 if seen in drop 1 else 0, c1+c2).
     decl("q259_streaming_transform_state",
       (s, d) => {
-        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val tag = Q.scratchTag(d)
         val base = s"/tmp/graft_q259_$tag"
         val fs = new org.apache.hadoop.fs.Path(base)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -527,7 +527,7 @@ object StreamingQueries {
     // the oracle (which adds history once) would fail the hash.
     decl("q260_streaming_state_bootstrap",
       (s, d) => {
-        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val tag = Q.scratchTag(d)
         val base = s"/tmp/graft_q260_$tag"
         val fs = new org.apache.hadoop.fs.Path(base)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -608,7 +608,7 @@ object StreamingQueries {
     // q114. DuckDB recomputes the two-drop first-wins as batch SQL.
     decl("q139_streaming_content_dedup",
       (s, d) => {
-        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val tag = Q.scratchTag(d)
         val base = s"/tmp/graft_q139_$tag"
         val fs = new org.apache.hadoop.fs.Path(base)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -677,7 +677,7 @@ object StreamingQueries {
       (s, d) => {
         import graft.streaming.StatementStream
         import graft.model.Statement
-        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val tag = Q.scratchTag(d)
         val base = s"/tmp/graft_q143_$tag"
         val fs = new org.apache.hadoop.fs.Path(base)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -809,7 +809,7 @@ object StreamingQueries {
     decl("q194_streaming_semantic_dedup",
       (s, d) => {
         import graft.operators.{AnnIndex, Snapshot}
-        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val tag = Q.scratchTag(d)
         val base = s"/tmp/graft_q194_$tag"
         val fs = new org.apache.hadoop.fs.Path(base)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1014,7 +1014,7 @@ object StreamingQueries {
       (s, d) => {
         import graft.operators.{Bloom, Dedup}
         val m = 1 << 16; val kk = 3
-        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val tag = Q.scratchTag(d)
         val base = s"/tmp/graft_q176_$tag"
         val fs = new org.apache.hadoop.fs.Path(base)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1129,7 +1129,7 @@ object StreamingQueries {
     decl("q167_streaming_kmv",
       (s, d) => {
         import graft.operators.Dedup
-        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val tag = Q.scratchTag(d)
         val base = s"/tmp/graft_q167_$tag"
         val fs = new org.apache.hadoop.fs.Path(base)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1216,7 +1216,7 @@ object StreamingQueries {
     decl("q200_streaming_ivm",
       (s, d) => {
         import graft.operators.{Ivm, Snapshot}
-        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val tag = Q.scratchTag(d)
         val base = s"/tmp/graft_q200_$tag"
         val fs = new org.apache.hadoop.fs.Path(base)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1280,7 +1280,7 @@ object StreamingQueries {
     decl("q205_streaming_cdc_merge",
       (s, d) => {
         import graft.operators.Snapshot
-        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val tag = Q.scratchTag(d)
         val base = s"/tmp/graft_q205_$tag"
         val fs = new org.apache.hadoop.fs.Path(base)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1351,7 +1351,7 @@ object StreamingQueries {
     decl("q274_streaming_wap",
       (s, d) => {
         import graft.operators.Snapshot
-        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val tag = Q.scratchTag(d)
         val base = s"/tmp/graft_q274_$tag"
         val fs = new org.apache.hadoop.fs.Path(base)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1474,7 +1474,7 @@ object StreamingQueries {
       (s, d) => {
         import graft.operators.Hll
         val p = 8
-        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val tag = Q.scratchTag(d)
         val base = s"/tmp/graft_q289_$tag"
         val fs = new org.apache.hadoop.fs.Path(base)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1525,10 +1525,8 @@ object StreamingQueries {
          |SELECT agg.event_type, agg.n_registers_set, agg.register_sum,
          |  (agg.setnum + (256 - agg.n_registers_set)
          |     * (1::BIGINT << 53))::BIGINT AS harmonic_num,
-         |  ROUND(((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
-         |           * (1::BIGINT << 53)::DOUBLE)
-         |        / (agg.setnum + (256 - agg.n_registers_set)
-         |             * (1::BIGINT << 53))::DOUBLE, 6) AS est_distinct
+         |  ${PipelineQueries.sqlHllEstCase(256L, 53,
+              "agg.n_registers_set", "agg.setnum")} AS est_distinct
          |FROM agg""".stripMargin)
   )
 
@@ -1617,7 +1615,7 @@ object StreamingQueries {
     decl("q268_streaming_dedup_ivfpq",
       (s, d) => {
         import graft.operators.{AnnIndex, Snapshot}
-        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val tag = Q.scratchTag(d)
         val base = s"/tmp/graft_q268_$tag"
         val fs = new org.apache.hadoop.fs.Path(base)
           .getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -326,6 +326,22 @@ class CentralitySketchSpec extends SparkSpec {
     assert(num.forall(v => v > 0L && v <= (1L << 8) * (1L << 53)))
   }
 
+  test("hll two-range estimator: linear counting at n << m (round 16), " +
+      "raw harmonic beyond the 2.5m threshold") {
+    // 2 distinct keys at p=8: the RAW harmonic estimate reads ~180
+    // (254 empty registers still weigh the mean) — the linear-counting
+    // branch must engage and land at ~2
+    val tiny = Seq(("g", 1L), ("g", 2L), ("g", 1L)).toDF("g", "k")
+    val r = Hll.groupDistinct(tiny, col("g"), col("k"), 8).collect()(0)
+    val nrs = r.getAs[Long]("n_registers_set")
+    val want = BigDecimal(256.0 * math.log(256.0 / (256.0 - nrs)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("est_distinct") === want)
+    assert(math.abs(r.getAs[Double]("est_distinct") - 2.0) < 0.5)
+    // n = 5000 ≫ 2.5·m stays on the raw arm (asserted exactly in the
+    // merge and small-p tests above/below)
+  }
+
   test("betweenness: hand-computed dependencies on a path and a diamond") {
     val S = 1000000L
     // path 1→2→3: δ(2) = 1 (all of seed 1's shortest paths to 3 cross

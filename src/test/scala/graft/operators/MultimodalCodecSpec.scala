@@ -82,4 +82,36 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(pairs.find(p => p._1 == 2L && p._2 == 3L).get._3 === 0L)
     assert(pairs.filter(p => p._2 == 4L).forall(_._3 <= 2L))
   }
+
+  test("phashNearDupAuto dispatches by corpus size and both routes " +
+      "return the identical pair set") {
+    import org.apache.spark.sql.functions._
+    val grids = (0L until 8L).map { i =>
+      // planted pairs: ids 2i/2i+1 share a pseudo-random base grid
+      // (groups must differ STRUCTURALLY — a constant offset is a
+      // monotone map dHash is invariant to), the odd one dented in
+      // one cell (≤ 2 gradient bits flip)
+      val g = i / 2
+      val base = (0L until 72L).map(j => (g * 1000003L + j * 2654435761L) % 256L)
+      val px = if (i % 2 == 1) base.updated(40, 0L) else base
+      (i, px)
+    }
+    val df = grids.toDF("id", "px")
+    val bands = Multimodal.dHashBands(df, col("id"), col("px"))
+    val narrow = Multimodal.phashNearDupAuto(bands, 3, narrowMaxN = 100L)
+    val mih = Multimodal.phashNearDupAuto(bands, 3, narrowMaxN = 2L)
+    assert(narrow.select("route").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("narrow"))
+    assert(mih.select("route").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("mih"))
+    assert(narrow.select("n_corpus").head().getLong(0) === 8L)
+    def pairSet(dfp: org.apache.spark.sql.DataFrame) =
+      dfp.select("id_a", "id_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val np = pairSet(narrow)
+    assert(np === pairSet(mih), "routes must agree on the pair set")
+    // every planted (2i, 2i+1) pair surfaces on both routes
+    (0L until 4L).foreach(i =>
+      assert(np.exists(p => p._1 == 2 * i && p._2 == 2 * i + 1)))
+  }
 }
