@@ -9,15 +9,27 @@ import org.apache.spark.sql.SparkSession
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // session config mirrors graft.Bench exactly — an isolated retime on
+    // a different config (e.g. the missing broadcast threshold) would
+    // measure a different plan than the suite bench did
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // debug-only A/B knob: probe a shuffle-partition hypothesis without
+    // changing the bench contract (Bench.scala stays cpus-keyed)
+    val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuf)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .config("spark.driver.maxResultSize", "2g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // debug-only A/B knob for the size-gated iteration-state broadcasts
+    sys.env.get("SPARK_GRAFT_ITER_BCAST")
+      .foreach(v => spark.conf.set(graft.operators.IterState.ConfKey, v))
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     val byName = SparkEntry.allDecls.map(d => d.name -> d).toMap
     args.foreach { name =>

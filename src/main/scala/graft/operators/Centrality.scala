@@ -48,19 +48,25 @@ object Centrality {
       .join(outdeg, col("node") === col("src"), "left")
       .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
       .persist()
+    val nCnt = nodes.count()
     val nRow = broadcast(nodes.agg(count(lit(1)).as("__n")))
     var ranks = nodes.crossJoin(nRow)
       .select(col("node"), col("outdeg"),
         expr(s"CAST($scale AS BIGINT) div __n").as("rank"))
     for (_ <- 0 until rounds) {
-      val contribs = ranks.where(col("outdeg") > 0)
+      // rank state is node-sized and checkpointed (stat-less): the
+      // size-gated broadcast (IterState doc) streams the persisted edge
+      // frame per round instead of sort-merging it, and the groupBy(dst)
+      // partial-aggregates map-side before its one small shuffle
+      val contribs = IterState.bcastIf(ranks.where(col("outdeg") > 0), nCnt)
         .join(e, col("node") === col("src"))
         .select(col("dst"), expr("((85 * rank) div 100) div outdeg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("__inmass"))
       val dang = broadcast(ranks.where(col("outdeg") === 0)
         .agg(coalesce(sum(expr("(85 * rank) div 100")), lit(0L)).as("__dang")))
       ranks = nodes
-        .join(contribs, col("node") === col("dst"), "left")
+        .join(IterState.bcastIf(contribs, nCnt),
+          col("node") === col("dst"), "left")
         .crossJoin(nRow).crossJoin(dang)
         .select(col("node"), col("outdeg"),
           (expr(s"CAST(${15 * scale / 100} AS BIGINT) div __n") +
@@ -102,17 +108,26 @@ object Centrality {
       .union(und.select(col("b").as("s"), col("a").as("t"))).persist()
     var alive = both.select(col("s").as("node")).distinct()
       .withColumn("removed_round", lit(0L)).localCheckpoint()
+    // node count bounds every per-round frame below, so the size-gated
+    // broadcasts (IterState doc) spend no further jobs: with the alive
+    // set broadcast, the degree count STREAMS the persisted edge frame
+    // (zero Exchange before the partial aggregate) instead of
+    // sort-merging it twice per round against a stat-less checkpoint
+    val nodesCnt = alive.count()
     for (r <- 1 to rounds) {
       val aliveSet = alive.where(col("removed_round") === 0L).select("node")
       val deg = both
-        .join(aliveSet.withColumnRenamed("node", "s"), "s")
-        .join(aliveSet.withColumnRenamed("node", "t"), "t")
+        .join(IterState.bcastIf(
+          aliveSet.withColumnRenamed("node", "s"), nodesCnt), "s")
+        .join(IterState.bcastIf(
+          aliveSet.withColumnRenamed("node", "t"), nodesCnt), "t")
         .groupBy(col("s").as("node")).agg(count(lit(1)).as("deg"))
       val toRemove = aliveSet
-        .join(deg, Seq("node"), "left")
+        .join(IterState.bcastIf(deg, nodesCnt), Seq("node"), "left")
         .where(coalesce(col("deg"), lit(0L)) < k)
         .select(col("node"), lit(r.toLong).as("rr"))
-      alive = alive.join(toRemove, Seq("node"), "left")
+      alive = alive.join(IterState.bcastIf(toRemove, nodesCnt),
+          Seq("node"), "left")
         .select(col("node"),
           when(col("removed_round") === 0L && col("rr").isNotNull, col("rr"))
             .otherwise(col("removed_round")).as("removed_round"))
@@ -128,11 +143,13 @@ object Centrality {
     val converged = rounds > 0 && !removedLast
     val survivors = alive.where(col("removed_round") === 0L).select("node")
     val finalDeg = both
-      .join(survivors.withColumnRenamed("node", "s"), "s")
-      .join(survivors.withColumnRenamed("node", "t"), "t")
+      .join(IterState.bcastIf(
+        survivors.withColumnRenamed("node", "s"), nodesCnt), "s")
+      .join(IterState.bcastIf(
+        survivors.withColumnRenamed("node", "t"), nodesCnt), "t")
       .groupBy(col("s").as("node")).agg(count(lit(1)).as("deg"))
     val out = alive
-      .join(finalDeg, Seq("node"), "left")
+      .join(IterState.bcastIf(finalDeg, nodesCnt), Seq("node"), "left")
       .select(col("node"), col("removed_round"),
         coalesce(col("deg"), lit(0L)).as("final_deg"),
         lit(converged).as("converged"))
@@ -179,9 +196,13 @@ object Centrality {
       // frontier-only: in unweighted BFS a node's first-reach round IS
       // its distance, so only last round's fresh nodes can mint new
       // ones — re-expanding settled nodes only re-derives lost minima
-      // (the earliestArrival delta-frontier rule, trivial case)
-      val next = e.join(dist.where(col("dist") === (h - 1))
-          .withColumnRenamed("id", "src"), "src")
+      // (the earliestArrival delta-frontier rule, trivial case).
+      // Size-gated broadcast of the frontier (IterState doc): the
+      // checkpointed state has no stats, so without the hint every
+      // round sort-merges the full edge frame against a tiny frontier.
+      val next = e.join(
+          IterState.bcastIfSmall(dist.where(col("dist") === (h - 1))
+            .withColumnRenamed("id", "src")), "src")
         .select(col("dst").as("id"), (col("dist") + 1L).as("dist"))
       dist = dist.unionByName(next)
         .groupBy("id").agg(min(col("dist")).as("dist"))
@@ -252,24 +273,35 @@ object Centrality {
     * `edges` directed (src, dst) — callers bidirect for undirected
     * semantics; a node with no in-edges keeps its label. */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
+    val nCnt = nodes.count()
     var labels = nodes.select(col("node"), col("node").as("label"))
     var prev = labels
     (1 to rounds).foreach { _ =>
       prev = labels
-      val counted = e.join(labels.withColumnRenamed("node", "src"), "src")
+      // label frame is node-sized and checkpointed (stat-less): the
+      // size-gated broadcast (IterState doc) streams the persisted edge
+      // frame instead of sort-merging it per round. Top-1-per-node is a
+      // max_by over the lexicographic (count, −label) struct — the SAME
+      // (max count, min label) pick the row_number window made, as one
+      // partially-aggregated groupBy with no sort and no second
+      // window-keyed Exchange.
+      val counted = e.join(
+          IterState.bcastIf(labels.withColumnRenamed("node", "src"), nCnt),
+          "src")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
-      val picked = counted.withColumn("rk", row_number().over(
-          Window.partitionBy("node").orderBy(desc("c"), asc("label"))))
-        .where(col("rk") === 1).select(col("node"), col("label"))
+      val picked = counted.groupBy("node")
+        .agg(max_by(col("label"), struct(col("c"), negate(col("label"))))
+          .as("label"))
       labels = nodes
-        .join(picked.withColumnRenamed("label", "_nl"), Seq("node"), "left")
+        .join(IterState.bcastIf(
+            picked.withColumnRenamed("label", "_nl"), nCnt),
+          Seq("node"), "left")
         .select(col("node"), coalesce(col("_nl"), col("node")).as("label"))
         .localCheckpoint()
     }
@@ -330,14 +362,20 @@ object Centrality {
     // from checkpoint residency, not from any shuffle
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     (1 to maxHops).foreach { _ =>
-      val next = e.join(frontier.withColumnRenamed("node", "src"), "src")
+      // frontier/prev-reach are checkpointed (stat-less) — size-gated
+      // broadcasts (IterState doc) keep the edge expansion and the
+      // delta-frontier probe shuffle-free while the state is small
+      val next = e.join(
+          IterState.bcastIfSmall(frontier.withColumnRenamed("node", "src")),
+          "src")
         .where(col("t") > col("arrival"))
         .select(col("seed"), col("dst").as("node"), col("t").as("arrival"))
       val merged = reach.unionByName(next)
         .groupBy("seed", "node").agg(min(col("arrival")).as("arrival"))
         .localCheckpoint(true, lvl)
       frontier = merged
-        .join(reach.withColumnRenamed("arrival", "__prev"),
+        .join(IterState.bcastIfSmall(
+            reach.withColumnRenamed("arrival", "__prev")),
           Seq("seed", "node"), "left")
         .where(col("__prev").isNull || col("arrival") < col("__prev"))
         .select("seed", "node", "arrival")
@@ -368,8 +406,12 @@ object Centrality {
     // same serialized spill-safe checkpoint rule as [[earliestArrival]]
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     (1 to maxHops).foreach { h =>
+      // size-gated frontier broadcast (IterState doc): stream the
+      // persisted edge frame instead of sort-merging it per round
       val frontier = reach.where(col("dist") === (h - 1))
-      val next = e.join(frontier.withColumnRenamed("node", "src"), "src")
+      val next = e.join(
+          IterState.bcastIfSmall(frontier.withColumnRenamed("node", "src")),
+          "src")
         .select(col("seed"), col("dst").as("node"), lit(h.toLong).as("dist"))
       reach = reach.unionByName(next)
         .groupBy("seed", "node").agg(min(col("dist")).as("dist"))
@@ -410,17 +452,22 @@ object Centrality {
         "modularityReport: node %d has an edge but no label — labels " +
           "must cover every node incident to an edge", nodeC)))
         .otherwise(lc)
+    // the label frame is node-sized (callers pass the checkpointed LPA
+    // output) — size-gated broadcast (IterState doc) keeps the two
+    // edge-side label attachments streaming instead of sort-merging the
+    // edge frame twice against a stat-less checkpoint
+    val lblB = IterState.bcastIfSmall(lbl)
     val deg = e.select(col("u").as("node"))
       .unionByName(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
-    val dSum = deg.join(lbl, Seq("node"), "left")
+    val dSum = deg.join(lblB, Seq("node"), "left")
       .select(col("d"), labeled(col("label"), col("node")).as("label"))
       .groupBy("label")
       .agg(sum(col("d")).as("degree_sum"), count(lit(1)).as("n_nodes"))
     val intra = e
-      .join(lbl.select(col("node").as("u"), col("label").as("lu")),
+      .join(lblB.select(col("node").as("u"), col("label").as("lu")),
         Seq("u"), "left")
-      .join(lbl.select(col("node").as("v"), col("label").as("lv")),
+      .join(lblB.select(col("node").as("v"), col("label").as("lv")),
         Seq("v"), "left")
       .select(labeled(col("lu"), col("u")).as("lu"),
         labeled(col("lv"), col("v")).as("lv"))
@@ -464,14 +511,18 @@ object Centrality {
     var frontier = reach
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     (1 to maxHops).foreach { _ =>
-      val next = e.join(frontier.withColumnRenamed("node", "src"), "src")
+      // same size-gated broadcasts as [[earliestArrival]] (IterState doc)
+      val next = e.join(
+          IterState.bcastIfSmall(frontier.withColumnRenamed("node", "src")),
+          "src")
         .select(col("seed"), col("dst").as("node"),
           (col("dist") + col("w")).as("dist"))
       val merged = reach.unionByName(next)
         .groupBy("seed", "node").agg(min(col("dist")).as("dist"))
         .localCheckpoint(true, lvl)
       frontier = merged
-        .join(reach.withColumnRenamed("dist", "__prev"),
+        .join(IterState.bcastIfSmall(
+            reach.withColumnRenamed("dist", "__prev")),
           Seq("seed", "node"), "left")
         .where(col("__prev").isNull || col("dist") < col("__prev"))
         .select("seed", "node", "dist")
@@ -522,11 +573,21 @@ object Centrality {
         lit(1L).as("paths"))
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     (1 to maxHops).foreach { h =>
+      // round state is checkpointed, so Catalyst sees no stats and would
+      // sort-merge every join; the operator counts the materialized
+      // state itself and broadcasts the small side (IterState doc). The
+      // expansion then STREAMS the persisted edge frame — zero Exchange
+      // until the (seed, node) partial aggregate, which map-side-combines
+      // the layer down to its distinct pairs before shuffling.
       val frontier = reach.where(col("dist") === (h - 1))
-      val layer = e.join(frontier.withColumnRenamed("node", "src"), "src")
+      val fCnt = frontier.count()
+      val layer = e.join(
+          IterState.bcastIf(frontier.withColumnRenamed("node", "src"), fCnt),
+          "src")
         .groupBy(col("seed"), col("dst").as("node"))
         .agg(sum(col("paths")).as("paths"))
-      val fresh = layer.join(reach.select("seed", "node"),
+      val fresh = layer.join(
+          IterState.bcastIfSmall(reach.select("seed", "node")),
           Seq("seed", "node"), "left_anti")
         .select(col("seed"), col("node"), lit(h.toLong).as("dist"),
           col("paths"))
@@ -566,6 +627,16 @@ object Centrality {
     val e = normEdges(edges)
     val reach = pathCountsFull(e, seeds, maxHops, unpersistEdges = false)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Per-layer row counts off the persisted forward state: one narrow
+    // job each, and every backward-phase frame below is bounded by one
+    // of them — so the size-gated broadcast decisions (IterState doc)
+    // spend no further jobs. With the layer frames broadcast, the
+    // DAG-edge expansion streams the persisted edge frame map-side and
+    // the per-(seed, node) dependency aggregate partial-combines before
+    // its one small shuffle — the unhinted plan sort-merged (shuffle +
+    // sort) the FULL expansion once per layer.
+    val layerCnt: Map[Int, Long] = (0 to maxHops).map(h =>
+      h -> reach.where(col("dist") === h.toLong).count()).toMap
     // backward: deepest layer seeds dep 0; layer h−1 sums its DAG-edge
     // contributions from layer h, left-joined so successor-less nodes
     // keep dep 0
@@ -574,13 +645,15 @@ object Centrality {
     var acc = dep.withColumn("dist", lit(maxHops.toLong))
     (maxHops to 1 by -1).foreach { h =>
       val hw = reach.where(col("dist") === h.toLong)
-        .join(dep, Seq("seed", "node"))
+        .join(IterState.bcastIf(dep, layerCnt(h)), Seq("seed", "node"))
         .select(col("seed"), col("node").as("dst"),
           col("paths").as("_pw"), col("dep").as("_dw"))
-      val contrib = e.join(hw, "dst")
-        .join(reach.where(col("dist") === (h - 1).toLong)
-            .select(col("seed"), col("node").as("src"),
-              col("paths").as("_pv")),
+      val contrib = e.join(IterState.bcastIf(hw, layerCnt(h)), "dst")
+        .join(IterState.bcastIf(
+            reach.where(col("dist") === (h - 1).toLong)
+              .select(col("seed"), col("node").as("src"),
+                col("paths").as("_pv")),
+            layerCnt(h - 1)),
           Seq("seed", "src"))
         .groupBy(col("seed"), col("src").as("node"))
         // σ·(scale+D) is unchecked BIGINT multiplication; on dense
@@ -600,7 +673,8 @@ object Centrality {
             s"ELSE (_pv * ($scale + _dw)) div _pw END")).as("dep"))
       dep = reach.where(col("dist") === (h - 1).toLong)
         .select(col("seed"), col("node"))
-        .join(contrib, Seq("seed", "node"), "left")
+        .join(IterState.bcastIf(contrib, layerCnt(h - 1)),
+          Seq("seed", "node"), "left")
         .select(col("seed"), col("node"),
           coalesce(col("dep"), lit(0L)).as("dep"))
         .localCheckpoint(true, lvl)
@@ -608,7 +682,9 @@ object Centrality {
     }
     e.unpersist(blocking = false)
     val out = reach.where(col("dist") > 0L)
-      .join(acc.select(col("seed"), col("node"), col("dep")),
+      .join(IterState.bcastIf(
+          acc.select(col("seed"), col("node"), col("dep")),
+          (1 to maxHops).map(layerCnt).sum),
         Seq("seed", "node"))
     reach.unpersist(blocking = false)
     out
@@ -646,20 +722,23 @@ object Centrality {
       .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
         col("seed").isNotNull.as("is_seed"))
       .persist()
+    val nCnt = nodes.count()
     val sRow = broadcast(sd.agg(count(lit(1)).as("__s")))
     var ranks = nodes.crossJoin(sRow)
       .select(col("node"), col("outdeg"), col("is_seed"),
         when(col("is_seed"), expr(s"CAST($scale AS BIGINT) div __s"))
           .otherwise(lit(0L)).as("rank"))
     for (_ <- 0 until rounds) {
-      val contribs = ranks.where(col("outdeg") > 0)
+      // same size-gated rank-frame broadcast as [[pageRank]]
+      val contribs = IterState.bcastIf(ranks.where(col("outdeg") > 0), nCnt)
         .join(e, col("node") === col("src"))
         .select(col("dst"), expr("((85 * rank) div 100) div outdeg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("__inmass"))
       val dang = broadcast(ranks.where(col("outdeg") === 0)
         .agg(coalesce(sum(expr("(85 * rank) div 100")), lit(0L)).as("__dang")))
       ranks = nodes
-        .join(contribs, col("node") === col("dst"), "left")
+        .join(IterState.bcastIf(contribs, nCnt),
+          col("node") === col("dst"), "left")
         .crossJoin(sRow).crossJoin(dang)
         .select(col("node"), col("outdeg"), col("is_seed"),
           (when(col("is_seed"),

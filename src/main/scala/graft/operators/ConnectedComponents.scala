@@ -81,6 +81,18 @@ object ConnectedComponents {
     }
     var prevSig = sig(e) // materialize once so each round starts cached
 
+    // Size-gated broadcast (IterState doc) is used ONLY for the final
+    // isolated-node attach below. Gating the per-round star joins was
+    // tried and measured NEUTRAL to slightly WORSE (min-of-3 A/B at
+    // sf0.1: q19 19.4 s off vs 19.7 s on; q280 19.3 s off vs 26.2 s on):
+    // ReuseExchange already dedupes the nbrs shuffle between the min
+    // aggregate and the star join, so a broadcast saves one sort but
+    // forces the BHJ stream side to recompute the whole star subtree a
+    // second time per round — a wash at the small sizes where the gate
+    // can fire at all, and the gate never fires on big graphs.
+    def gated(df: DataFrame, bound: Long): DataFrame =
+      if (checkEvery == 1) IterState.bcastIf(df, bound) else df
+
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -156,7 +168,7 @@ object ConnectedComponents {
     val comp = e.select(col("src").as("id"), col("dst").as("component"))
       .union(e.select(col("dst").as("id"), col("dst").as("component")))
       .groupBy(col("id")).agg(min(col("component")).as("component"))
-    val out = n.join(comp, Seq("id"), "left")
+    val out = n.join(gated(comp, 2 * prevSig._1), Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
     out
   }
