@@ -115,6 +115,28 @@ object Bench {
       System.err.println(s"[bench] WARNING: no query named '$n' — skipped"))
     val capped = scala.collection.mutable.Set[String]()
     val contended = scala.collection.mutable.Set[String]()
+    // Between-query state sweep (round-16, guide §5): every iterative
+    // operator cuts lineage with localCheckpoint, and those blocks stay
+    // in the BlockManager until the ContextCleaner's periodic GC (30 min
+    // default — longer than the whole bench), so late queries ran
+    // against an ever-fuller block manager: BENCH r16-before measured
+    // q78 at 54.3 s IN-SUITE vs 7.1 s in the same artifact's fresh
+    // post-GC retime, a 7× pure-contamination gap (the round-7 scaling-
+    // block lesson, now applied to the suite itself). Swept OUTSIDE the
+    // timed region, between queries: only RDDs created at a
+    // localCheckpoint call site are dropped — they are per-query round
+    // barriers that no cross-query frame references (the only
+    // cross-query persisted frames, ExportQueries' entity caches, are
+    // plain persists and stay warm exactly as before). A periodic
+    // System.gc() lets the ContextCleaner release dead broadcasts too.
+    var sinceGc = 0
+    def sweepQueryState(): Unit = {
+      sc.getPersistentRDDs.values
+        .filter(_.toString.contains("localCheckpoint"))
+        .foreach(_.unpersist(blocking = false))
+      sinceGc += 1
+      if (sinceGc >= 20) { sinceGc = 0; System.gc() }
+    }
     val results = SparkEntry.allDecls
       .filter(d => only.isEmpty || only(d.name))
       .map { d =>
@@ -136,6 +158,7 @@ object Bench {
       // plan itself is slow; the partial case is recorded as its own
       // `contended` field so the noise stays observable without
       // triggering the repro ritual.
+      sweepQueryState()
       if (timed.forall(_._2)) capped += d.name
       else if (timed.exists(_._2)) contended += d.name
       val times = timed.map(_._1)

@@ -16,7 +16,11 @@ object BenchOne {
     // debug-only A/B knob: probe a shuffle-partition hypothesis without
     // changing the bench contract (Bench.scala stays cpus-keyed)
     val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
+    // debug-only A/B knob: shuffle/spill scratch device
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR")
+      .foreach(d => builder0.config("spark.local.dir", d))
+    val spark = builder0
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuf)
       .config("spark.sql.session.timeZone", "UTC")

@@ -32,6 +32,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // between-query sweep of leaked localCheckpoint blocks — same
+      // rationale as Bench.sweepQueryState (they are per-query round
+      // barriers nothing cross-query references; the ContextCleaner's
+      // periodic GC is far slower than a 318-query run)
+      spark.sparkContext.getPersistentRDDs.values
+        .filter(_.toString.contains("localCheckpoint"))
+        .foreach(_.unpersist(blocking = false))
     }
     graft.queries.ExportQueries.unpersistAll()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
