@@ -34,6 +34,10 @@ object BenchOne {
     // debug-only A/B knob for the size-gated iteration-state broadcasts
     sys.env.get("SPARK_GRAFT_ITER_BCAST")
       .foreach(v => spark.conf.set(graft.operators.IterState.ConfKey, v))
+    // debug-only A/B knob for the CC local-finish gate
+    sys.env.get("SPARK_GRAFT_CC_LOCAL")
+      .foreach(v => spark.conf.set(
+        graft.operators.ConnectedComponents.LocalSolveConfKey, v))
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     val byName = SparkEntry.allDecls.map(d => d.name -> d).toMap
     args.foreach { name =>

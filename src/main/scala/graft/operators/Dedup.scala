@@ -276,7 +276,16 @@ object Dedup {
       n: Int = 3, maxDf: Long = 100, bands: Int = 8, rowsPerBand: Int = 4,
       minEstJaccard: Double = 0.5): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = minhashSignatures(df, id, text, n, maxDf, numHashes).cache()
+    // Eager localCheckpoint, not cache(): both sides of the banded
+    // self-join read it (same one-compute semantics), but a bare
+    // .cache() here was never released — the operator returns a lazy
+    // frame, so it CANNOT unpersist — and every nearDedup-family query
+    // leaked one corpus-sized signature frame into the 8 GiB block
+    // manager for the life of the session (guide §5: unpersist when
+    // done). Checkpoint blocks are per-query barriers the bench/verify
+    // between-query sweep reclaims.
+    val sig = minhashSignatures(df, id, text, n, maxDf, numHashes)
+      .localCheckpoint(true)
     val banded = bandedSignatures(sig, bands, rowsPerBand)
     val pairs = banded.select(col("doc").as("a"), col("sig").as("siga"), col("band"), col("bucket"))
       .join(banded.select(col("doc").as("b"), col("sig").as("sigb"), col("band"), col("bucket")),
@@ -386,7 +395,9 @@ object Dedup {
   }
 
   def simhashPairs(df: DataFrame, id: Column, text: Column, maxHamming: Int = 3): DataFrame = {
-    val sig = simhashSignatures(df, id, text).cache()
+    // eager swept barrier, not an unreleasable .cache() — see
+    // minhashLshPairs
+    val sig = simhashSignatures(df, id, text).localCheckpoint(true)
     val bits = 60
     val numChunks = maxHamming + 1
     val chunkSize = (bits + numChunks - 1) / numChunks

@@ -552,9 +552,11 @@ object Snapshot {
       prevManifest: DataFrame, m: Int, k: Int, salt: String,
       cowFactor: Double = 4.0): DataFrame = {
     val srcKeys = source.select(col("key")).distinct()
+    // eager swept barrier, not an unreleasable persist (lazy return):
+    // metadata-sized (|src keys|·k probe hits), reused by four branches
     val pairs = Bloom.candidateKeyFiles(srcKeys, col("key"), fileBits,
         m, k, salt)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val candFiles = pairs.select("file_id").distinct()
     val tStats = broadcast(prevManifest
       .join(candFiles, Seq("file_id"), "left_semi")

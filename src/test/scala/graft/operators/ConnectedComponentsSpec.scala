@@ -14,20 +14,71 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(out.keySet == (1L to 10L).toSet)
   }
 
+  /** Run `body` with the local-finish gate disabled so the distributed
+    * star rounds themselves stay covered. */
+  private def distributedOnly[T](body: => T): T = {
+    spark.conf.set(ConnectedComponents.LocalSolveConfKey, "0")
+    try body
+    finally spark.conf.unset(ConnectedComponents.LocalSolveConfKey)
+  }
+
   test("long chain engages adaptive pointer jumping and still converges exactly") {
     // 800-node path: star rounds alone need ~log2(800) ≈ 10 rounds, so
     // the adaptive jump (rounds >= pointerJumpAfter) is exercised; the
-    // answer must be identical to the pure-star run
-    val nodes = (1L to 800L).toDF("id")
-    val edges = (1L until 800L).map(i => (i, i + 1)).toDF("src", "dst")
-    val out = ConnectedComponents.run(nodes, edges)
-      .as[(Long, Long)].collect().toMap
-    assert(out.values.toSet == Set(1L))
-    assert(out.keySet == (1L to 800L).toSet)
-    val pureStar = ConnectedComponents.run(nodes, edges,
-      pointerJumpAfter = Int.MaxValue)
-      .as[(Long, Long)].collect().toMap
-    assert(pureStar == out)
+    // answer must be identical to the pure-star run. Gate off: this
+    // test exists to exercise the distributed rounds.
+    distributedOnly {
+      val nodes = (1L to 800L).toDF("id")
+      val edges = (1L until 800L).map(i => (i, i + 1)).toDF("src", "dst")
+      val out = ConnectedComponents.run(nodes, edges)
+        .as[(Long, Long)].collect().toMap
+      assert(out.values.toSet == Set(1L))
+      assert(out.keySet == (1L to 800L).toSet)
+      val pureStar = ConnectedComponents.run(nodes, edges,
+        pointerJumpAfter = Int.MaxValue)
+        .as[(Long, Long)].collect().toMap
+      assert(pureStar == out)
+    }
+  }
+
+  test("local finisher equals the distributed rounds on random long graphs") {
+    // The size-gated driver finisher must be bit-identical to the star
+    // rounds it replaces — same components, same min labels.
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 4) {
+      val n = 60 + trial * 20
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val nodes = (0L until n.toLong).toDF("id")
+      val local = ConnectedComponents.run(nodes, edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      val dist = distributedOnly {
+        ConnectedComponents.run(nodes, edges.toDF("src", "dst"))
+          .as[(Long, Long)].collect().toMap
+      }
+      assert(local == dist, s"trial $trial")
+    }
+  }
+
+  test("local finisher string keys use Spark's binary ordering (non-ASCII)") {
+    // UTF8String comparison is unsigned UTF-8 byte order, which differs
+    // from Java String ordering on supplementary characters — 'Ｚ'
+    // (U+FF3A, 3 UTF-8 bytes) vs '𝐀' (U+1D400, surrogate pair): Java
+    // compares UTF-16 units (0xFF3A > 0xD835) but UTF-8 bytes say
+    // 0xEF < 0xF0. The min label must match Spark's own min().
+    // Two components: {Ｚ, 𝐀} where the orderings disagree (Java min
+    // is 𝐀, UTF-8 binary min is Ｚ), and an ASCII control pair.
+    val nodes = Seq("Ｚ", "𝐀", "zeta", "alpha").toDF("id")
+    val edges = Seq(("Ｚ", "𝐀"), ("zeta", "alpha")).toDF("src", "dst")
+    val local = ConnectedComponents.run(nodes, edges)
+      .as[(String, String)].collect().toMap
+    val dist = distributedOnly {
+      ConnectedComponents.run(nodes, edges)
+        .as[(String, String)].collect().toMap
+    }
+    assert(local == dist)
+    assert(local("𝐀") == "Ｚ" && local("Ｚ") == "Ｚ") // UTF-8 binary min
+    assert(local("zeta") == "alpha")
   }
 
   test("disjoint components and isolated nodes keep separate labels") {
