@@ -294,10 +294,12 @@ object SelectionQueries {
         }
         named(c.where(col("c_custkey") % 3 =!= 0))
           .write.mode("append").parquet(landing)
-        processAvailable()
-        named(c.where(col("c_custkey") % 3 === 0))
-          .write.mode("append").parquet(landing)
-        processAvailable()
+        Q.withStreamStatePartitions(s, landing) {
+          processAvailable()
+          named(c.where(col("c_custkey") % 3 === 0))
+            .write.mode("append").parquet(landing)
+          processAvailable()
+        }
         val qs = c.where(col("c_custkey") % 89 === 1)
           .select(col("c_custkey").cast("long").as("qid"),
             concat(substring(lower(col("c_name")), 1, 2),
@@ -382,13 +384,15 @@ object SelectionQueries {
         }
         named(c.where(pmod(col("c_custkey"), lit(5)).isin(0L, 4L)))
           .write.mode("append").parquet(landing)
-        processAvailable()
-        named(c.where(pmod(col("c_custkey"), lit(5)).isin(1L, 2L)))
-          .write.mode("append").parquet(landing)
-        processAvailable()
-        named(c.where(pmod(col("c_custkey"), lit(5)) === 3L))
-          .write.mode("append").parquet(landing)
-        processAvailable()
+        Q.withStreamStatePartitions(s, landing) {
+          processAvailable()
+          named(c.where(pmod(col("c_custkey"), lit(5)).isin(1L, 2L)))
+            .write.mode("append").parquet(landing)
+          processAvailable()
+          named(c.where(pmod(col("c_custkey"), lit(5)) === 3L))
+            .write.mode("append").parquet(landing)
+          processAvailable()
+        }
         val rows = s.read.parquet(s"$base/postings/batch*")
         val m = graft.operators.Snapshot.manifestEntriesBy(
             rows, col("file_id"), col("t3"), 4L)

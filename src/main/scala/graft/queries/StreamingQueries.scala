@@ -48,9 +48,11 @@ object StreamingQueries {
         // a rerun in the same session must not collide with a leftover
         // active query of the same name
         s.streams.active.filter(q => q.name == qname).foreach(_.stop())
-        val q = agg.writeStream.format("memory").queryName(qname)
-          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        Q.withStreamStatePartitions(s, landing.toString) {
+          val q = agg.writeStream.format("memory").queryName(qname)
+            .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
         s.table(qname).select(col("month"), col("n_orders"), col("total_cents"))
       },
       """SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders,
@@ -134,9 +136,11 @@ object StreamingQueries {
           qStore.awaitTermination(); qIdx.awaitTermination()
         }
         drop1.write.mode("append").parquet(landing)
-        processAvailable()
-        drop2.write.mode("append").parquet(landing)
-        processAvailable()
+        Q.withStreamStatePartitions(s, landing) {
+          processAvailable()
+          drop2.write.mode("append").parquet(landing)
+          processAvailable()
+        }
 
         // store = first-arrival rows; index = latest state emission per
         // id (min firstSeen ever observed)
@@ -221,14 +225,16 @@ object StreamingQueries {
         }
         ev.filter(col("ts") < cut)
           .write.mode("append").parquet(landing)
-        runPass()
-        val late = ev
-          .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
-            col("ts") < lit("2024-01-06").cast("timestamp"))
-          .withColumn("event_id", col("event_id") + 1000000L)
-        ev.filter(col("ts") >= cut).unionByName(late)
-          .write.mode("append").parquet(landing)
-        runPass()
+        Q.withStreamStatePartitions(s, landing) {
+          runPass()
+          val late = ev
+            .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+              col("ts") < lit("2024-01-06").cast("timestamp"))
+            .withColumn("event_id", col("event_id") + 1000000L)
+          ev.filter(col("ts") >= cut).unionByName(late)
+            .write.mode("append").parquet(landing)
+          runPass()
+        }
         s.read.parquet(out).select(
           date_format(col("window_start"), "yyyy-MM-dd").as("day"), col("n"))
       },
@@ -287,9 +293,11 @@ object StreamingQueries {
           q.awaitTermination()
         }
         ev.filter(col("ts") < cut).write.mode("append").parquet(landing)
-        runPass()
-        ev.filter(col("ts") >= cut).write.mode("append").parquet(landing)
-        runPass()
+        Q.withStreamStatePartitions(s, landing) {
+          runPass()
+          ev.filter(col("ts") >= cut).write.mode("append").parquet(landing)
+          runPass()
+        }
         s.read.parquet(out)
       },
       """WITH x AS (
@@ -362,9 +370,11 @@ object StreamingQueries {
           q.awaitTermination()
         }
         ev.filter(col("ts") < cut).write.mode("append").parquet(landing)
-        runPass()
-        ev.filter(col("ts") >= cut).write.mode("append").parquet(landing)
-        runPass()
+        Q.withStreamStatePartitions(s, landing) {
+          runPass()
+          ev.filter(col("ts") >= cut).write.mode("append").parquet(landing)
+          runPass()
+        }
         s.read.parquet(out)
       },
       """WITH x AS (
@@ -436,9 +446,11 @@ object StreamingQueries {
           q.awaitTermination()
         }
         ev.filter(col("ts") < cut).write.mode("append").parquet(landing)
-        runPass()
-        ev.filter(col("ts") >= cut).write.mode("append").parquet(landing)
-        runPass()
+        Q.withStreamStatePartitions(s, landing) {
+          runPass()
+          ev.filter(col("ts") >= cut).write.mode("append").parquet(landing)
+          runPass()
+        }
         s.read.parquet(out)
       },
       """SELECT v.user_id, v.event_id AS view_id, p.event_id AS buy_id,
@@ -493,9 +505,11 @@ object StreamingQueries {
             q.awaitTermination()
           }
           ev.filter(col("ts") < cut).write.mode("append").parquet(landing)
-          runPass()
-          ev.filter(col("ts") >= cut).write.mode("append").parquet(landing)
-          runPass()
+          Q.withStreamStatePartitions(s, landing) {
+            runPass()
+            ev.filter(col("ts") >= cut).write.mode("append").parquet(landing)
+            runPass()
+          }
         } finally {
           provWas match {
             case Some(v) => s.conf.set(provKey, v)
@@ -564,9 +578,11 @@ object StreamingQueries {
           }
           ev.filter(col("ts") >= cut && col("ts") < cut2)
             .write.mode("append").parquet(landing)
-          runPass()
-          ev.filter(col("ts") >= cut2).write.mode("append").parquet(landing)
-          runPass()
+          Q.withStreamStatePartitions(s, landing) {
+            runPass()
+            ev.filter(col("ts") >= cut2).write.mode("append").parquet(landing)
+            runPass()
+          }
         } finally {
           provWas match {
             case Some(v) => s.conf.set(provKey, v)
@@ -640,9 +656,11 @@ object StreamingQueries {
           q.awaitTermination()
         }
         drop1.write.mode("append").parquet(landing)
-        processAvailable()
-        drop2.write.mode("append").parquet(landing)
-        processAvailable()
+        Q.withStreamStatePartitions(s, landing) {
+          processAvailable()
+          drop2.write.mode("append").parquet(landing)
+          processAvailable()
+        }
         s.read.parquet(store).select("doc_id", "content_md5", "batch_seq")
       },
       """WITH k1 AS (SELECT md5(text) AS h, MIN(doc_id) AS doc_id, 1 AS seq
@@ -723,9 +741,11 @@ object StreamingQueries {
           q.awaitTermination()
         }
         drop1.write.mode("append").parquet(landing)
-        processAvailable()
-        drop2.write.mode("append").parquet(landing)
-        processAvailable()
+        Q.withStreamStatePartitions(s, landing) {
+          processAvailable()
+          drop2.write.mode("append").parquet(landing)
+          processAvailable()
+        }
         s.read.parquet(s"$base/ops/v*").select("version", "id", "op")
       },
       """WITH v0 AS (
@@ -879,9 +899,11 @@ object StreamingQueries {
           q.awaitTermination()
         }
         drop1.write.mode("append").parquet(landing)
-        processAvailable()
-        drop2.write.mode("append").parquet(landing)
-        processAvailable()
+        Q.withStreamStatePartitions(s, landing) {
+          processAvailable()
+          drop2.write.mode("append").parquet(landing)
+          processAvailable()
+        }
         s.read.parquet(s"$base/out/v*")
           .select("vec_id", "batch_seq", "status", "matched_id")
       },
@@ -1085,9 +1107,11 @@ object StreamingQueries {
           q.awaitTermination()
         }
         drop1.write.mode("append").parquet(landing)
-        processAvailable()
-        drop2.write.mode("append").parquet(landing)
-        processAvailable()
+        Q.withStreamStatePartitions(s, landing) {
+          processAvailable()
+          drop2.write.mode("append").parquet(landing)
+          processAvailable()
+        }
         s.read.parquet(s"$base/out/v*")
           .select("batch_seq", "doc_id", "content_md5", "n_in", "n_bloom_maybe")
       },
@@ -1172,9 +1196,11 @@ object StreamingQueries {
           q.awaitTermination()
         }
         drop1.write.mode("append").parquet(landing)
-        processAvailable()
-        drop2.write.mode("append").parquet(landing)
-        processAvailable()
+        Q.withStreamStatePartitions(s, landing) {
+          processAvailable()
+          drop2.write.mode("append").parquet(landing)
+          processAvailable()
+        }
         s.read.parquet(s"$base/reports/v*")
           .select("batch_seq", "event_type", "est_distinct", "kth_hash", "n_kept")
       },
@@ -1253,9 +1279,11 @@ object StreamingQueries {
           q.awaitTermination()
         }
         drop1.write.mode("append").parquet(landing)
-        processAvailable()
-        drop2.write.mode("append").parquet(landing)
-        processAvailable()
+        Q.withStreamStatePartitions(s, landing) {
+          processAvailable()
+          drop2.write.mode("append").parquet(landing)
+          processAvailable()
+        }
         s.read.parquet(s"$base/view/v1")
           .select(col("group").as("grp"),
             col("sum_val").cast("double").as("sum_qty"), col("n"))
@@ -1314,9 +1342,11 @@ object StreamingQueries {
           q.awaitTermination()
         }
         drop1.write.mode("append").parquet(landing)
-        processAvailable()
-        drop2.write.mode("append").parquet(landing)
-        processAvailable()
+        Q.withStreamStatePartitions(s, landing) {
+          processAvailable()
+          drop2.write.mode("append").parquet(landing)
+          processAvailable()
+        }
         val fin = Snapshot.currentVersion(s, root).drop(1).toLong
         Snapshot.readCurrent(s, root)
           .groupBy(expr("key div 1024").as("grp"))
@@ -1400,9 +1430,12 @@ object StreamingQueries {
         val b1 = ev.filter(expr("event_id % 4 = 1"))
           .select(col("event_id"), (col("value") * lit(10.0)).as("value"))
         val b2 = ev.filter(expr("event_id % 4 = 2"))
-        b0.write.mode("append").parquet(landing); processAvailable()
-        b1.write.mode("append").parquet(landing); processAvailable()
-        b2.write.mode("append").parquet(landing); processAvailable()
+        b0.write.mode("append").parquet(landing)
+        Q.withStreamStatePartitions(s, landing) {
+          processAvailable()
+          b1.write.mode("append").parquet(landing); processAvailable()
+          b2.write.mode("append").parquet(landing); processAvailable()
+        }
         val fin = Snapshot.currentVersion(s, root).drop(1).toLong
         val audits = s.read.parquet(s"$base/audit")
           .select(concat(lit("batch_"), col("bid")).as("phase"),
@@ -1503,9 +1536,11 @@ object StreamingQueries {
           q.awaitTermination()
         }
         ev.filter(col("user_id") % 2 === 0).write.mode("append").parquet(landing)
-        processAvailable()
-        ev.filter(col("user_id") % 2 =!= 0).write.mode("append").parquet(landing)
-        processAvailable()
+        Q.withStreamStatePartitions(s, landing) {
+          processAvailable()
+          ev.filter(col("user_id") % 2 =!= 0).write.mode("append").parquet(landing)
+          processAvailable()
+        }
         Hll.report(s.read.parquet(s"$base/sk/v1"), p)
           .select(col("grp").as("event_type"), col("n_registers_set"),
             col("register_sum"), col("harmonic_num"), col("est_distinct"))
@@ -1678,9 +1713,11 @@ object StreamingQueries {
           q.awaitTermination()
         }
         drop1.write.mode("append").parquet(landing)
-        processAvailable()
-        drop2.write.mode("append").parquet(landing)
-        processAvailable()
+        Q.withStreamStatePartitions(s, landing) {
+          processAvailable()
+          drop2.write.mode("append").parquet(landing)
+          processAvailable()
+        }
         s.read.parquet(s"$base/out/v*")
           .select("vec_id", "batch_seq", "status", "matched_id")
       },
