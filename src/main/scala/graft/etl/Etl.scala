@@ -431,6 +431,26 @@ object Etl {
 
       // ---- 5. export: fan out the sinks over the ONE persisted frame.
       val dir = productDir(cfg, cfg.version)
+      // Output file sizing (guide §6: aim for large product files, not
+      // one shard per shuffle partition): every line-oriented product
+      // is ~entityCount lines, and entityCount is already counted, so
+      // the file count derives from the data —
+      // ceil(entityCount / spark.graft.productRowsPerFile [500k lines
+      // ≈ a few hundred MB of FtM JSON]) — instead of inheriting the
+      // cpus-keyed partition count. Locally that turns 10 products ×
+      // 32 near-empty shards (each a task commit, then a serial
+      // publish-copy of ~330 files) into ~10 files; at 100 TB the same
+      // formula yields thousands of right-sized shards. coalesce, not
+      // repartition: no exchange, and sortWithinPartitions keeps the
+      // per-file determinism contract unchanged (products are line
+      // sets).
+      val productFiles: Int = {
+        val target = spark.conf.getOption("spark.graft.productRowsPerFile")
+          .map(_.toLong).getOrElse(500000L)
+        math.max(1L, (entityCount + target - 1) / target)
+          .min(Int.MaxValue.toLong).toInt
+      }
+      def sized(df: DataFrame): DataFrame = df.coalesce(productFiles)
       // the sinks are independent jobs over the ONE persisted frame —
       // submit them concurrently (the Spark scheduler interleaves their
       // stages across the cluster), the parallel analog of the
@@ -447,20 +467,20 @@ object Etl {
           // extra range-exchange per sink (a global sort would add one
           // shuffle per product; consumers treat products as line sets)
           case "entities.ftm.json" =>
-            writeText(entities.select(Exporters.ftmJsonLine(
-              col("id"), col("schema"), col("properties")).as("json"))
+            writeText(sized(entities.select(Exporters.ftmJsonLine(
+              col("id"), col("schema"), col("properties")).as("json")))
               .sortWithinPartitions("json"), path)
           case "names.txt" =>
-            writeText(namesTxt(entities).sortWithinPartitions("name"), path)
+            writeText(sized(namesTxt(entities)).sortWithinPartitions("name"), path)
           case "targets.simple.csv" =>
-            Exporters.simpleCsv(entities).sortWithinPartitions("id")
+            sized(Exporters.simpleCsv(entities)).sortWithinPartitions("id")
               .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
           case "targets.nested.json" =>
-            writeText(Exporters.nestedTargetJsonLines(entities)
-              .select("json").sortWithinPartitions("json"), path)
+            writeText(sized(Exporters.nestedTargetJsonLines(entities)
+              .select("json")).sortWithinPartitions("json"), path)
           case "senzing.json" =>
-            writeText(Exporters.senzingJsonLines(entities, cfg.datasetName)
-              .select("json").sortWithinPartitions("json"), path)
+            writeText(sized(Exporters.senzingJsonLines(entities, cfg.datasetName)
+              .select("json")).sortWithinPartitions("json"), path)
           case "statistics.json" =>
             writeText(Statistics.statisticsJson(entities), path)
           case "statements.csv" =>
@@ -476,8 +496,8 @@ object Etl {
               case None => entities.limit(0)
             }
             val diff = Delta.diff(hashFrame(prevEntities), hashFrame(entities))
-            writeText(Exporters.deltaJsonLines(diff, entities, prevEntities)
-              .select("json").sortWithinPartitions("json"), path)
+            writeText(sized(Exporters.deltaJsonLines(diff, entities, prevEntities)
+              .select("json")).sortWithinPartitions("json"), path)
           case "index.json" =>
             writeText(Exporters.datasetIndexJson(stored, issues,
               cfg.version, cfg.runTime,
@@ -546,9 +566,9 @@ object Etl {
       // (runtime/issues.py; exporters write it alongside the products)
       val issuesProduct =
         if (cfg.exporters.nonEmpty && !issues.isEmpty) {
-          writeText(issues
+          writeText(sized(issues
             .select(to_json(struct(col("dataset"), col("level"),
-              col("message"))).as("json"))
+              col("message"))).as("json")))
             .sortWithinPartitions("json"), s"$dir/issues.json")
           Map("issues.json" -> s"$dir/issues.json")
         } else Map.empty[String, String]
