@@ -131,6 +131,7 @@ object Bench {
     // System.gc() lets the ContextCleaner release dead broadcasts too.
     var sinceGc = 0
     def sweepQueryState(): Unit = {
+      graft.operators.QueryScoped.releaseAll()
       sc.getPersistentRDDs.values
         .filter(_.toString.contains("localCheckpoint"))
         .foreach(_.unpersist(blocking = false))

@@ -47,6 +47,12 @@ object BenchOne {
           val t0 = System.nanoTime()
           d.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           println(f"[benchone] ${d.name} ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          // mirror Bench.sweepQueryState so isolated retimes see the
+          // same between-query state the suite does
+          graft.operators.QueryScoped.releaseAll()
+          spark.sparkContext.getPersistentRDDs.values
+            .filter(_.toString.contains("localCheckpoint"))
+            .foreach(_.unpersist(blocking = false))
       }
     }
     spark.stop()

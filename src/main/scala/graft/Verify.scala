@@ -36,6 +36,7 @@ object Verify {
       // rationale as Bench.sweepQueryState (they are per-query round
       // barriers nothing cross-query references; the ContextCleaner's
       // periodic GC is far slower than a 318-query run)
+      graft.operators.QueryScoped.releaseAll()
       spark.sparkContext.getPersistentRDDs.values
         .filter(_.toString.contains("localCheckpoint"))
         .foreach(_.unpersist(blocking = false))

@@ -82,15 +82,15 @@ object Contamination {
     * containment). */
   def sourceOverlapMatrix(docs: DataFrame, text: Column,
       source: Column, k: Int = 8): DataFrame = {
-    // shingleSet keyed by source instead of doc id; materialized once
+    // shingleSet keyed by source instead of doc id; cached once
     // because it feeds the totals aggregate AND both sides of the
-    // self-join. Eager localCheckpoint, not .cache(): the lazy return
-    // means the operator can never unpersist, and the shingle frame is
-    // the LARGEST intermediate in the suite (every k-gram of every
-    // document) — leaking one per call starved execution memory for
-    // the rest of the session. Checkpoint blocks are swept per-query.
-    val ss = shingleSet(docs, source, text, k).toDF("src", "shingle")
-      .localCheckpoint(true)
+    // self-join. Swept query-scoped cache, not a bare .cache(): the
+    // lazy return means the operator can never unpersist, and the
+    // shingle frame is the LARGEST intermediate in the suite (every
+    // k-gram of every document) — leaking one per call starved
+    // execution memory for the rest of the session.
+    val ss = QueryScoped.cached(
+      shingleSet(docs, source, text, k).toDF("src", "shingle"))
     // the source universe comes from the DOCS, not from the shingle
     // frame: a source whose documents are all shorter than k words has
     // no shingles but must still appear in the matrix with 0s

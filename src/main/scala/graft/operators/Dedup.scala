@@ -276,16 +276,18 @@ object Dedup {
       n: Int = 3, maxDf: Long = 100, bands: Int = 8, rowsPerBand: Int = 4,
       minEstJaccard: Double = 0.5): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // Eager localCheckpoint, not cache(): both sides of the banded
-    // self-join read it (same one-compute semantics), but a bare
-    // .cache() here was never released — the operator returns a lazy
-    // frame, so it CANNOT unpersist — and every nearDedup-family query
-    // leaked one corpus-sized signature frame into the 8 GiB block
+    // Query-scoped cache, not a bare .cache(): both sides of the
+    // banded self-join read it (one compute, one fused action), but a
+    // bare .cache() here was never released — the operator returns a
+    // lazy frame, so it CANNOT unpersist — and every nearDedup-family
+    // query leaked one corpus-sized signature frame into the block
     // manager for the life of the session (guide §5: unpersist when
-    // done). Checkpoint blocks are per-query barriers the bench/verify
-    // between-query sweep reclaims.
-    val sig = minhashSignatures(df, id, text, n, maxDf, numHashes)
-      .localCheckpoint(true)
+    // done). QueryScoped registers the handle for the harnesses'
+    // between-query sweep; an eager localCheckpoint was tried first
+    // and cost a separate materialization job per call (q42 0.45 →
+    // 2.76 s) for the same leak fix.
+    val sig = QueryScoped.cached(
+      minhashSignatures(df, id, text, n, maxDf, numHashes))
     val banded = bandedSignatures(sig, bands, rowsPerBand)
     val pairs = banded.select(col("doc").as("a"), col("sig").as("siga"), col("band"), col("bucket"))
       .join(banded.select(col("doc").as("b"), col("sig").as("sigb"), col("band"), col("bucket")),
@@ -395,9 +397,9 @@ object Dedup {
   }
 
   def simhashPairs(df: DataFrame, id: Column, text: Column, maxHamming: Int = 3): DataFrame = {
-    // eager swept barrier, not an unreleasable .cache() — see
+    // swept query-scoped cache, not an unreleasable .cache() — see
     // minhashLshPairs
-    val sig = simhashSignatures(df, id, text).localCheckpoint(true)
+    val sig = QueryScoped.cached(simhashSignatures(df, id, text))
     val bits = 60
     val numChunks = maxHamming + 1
     val chunkSize = (bits + numChunks - 1) / numChunks

@@ -552,11 +552,11 @@ object Snapshot {
       prevManifest: DataFrame, m: Int, k: Int, salt: String,
       cowFactor: Double = 4.0): DataFrame = {
     val srcKeys = source.select(col("key")).distinct()
-    // eager swept barrier, not an unreleasable persist (lazy return):
-    // metadata-sized (|src keys|·k probe hits), reused by four branches
-    val pairs = Bloom.candidateKeyFiles(srcKeys, col("key"), fileBits,
-        m, k, salt)
-      .localCheckpoint(true)
+    // swept query-scoped cache, not an unreleasable persist (lazy
+    // return): metadata-sized (|src keys|·k probe hits), reused by
+    // four branches
+    val pairs = QueryScoped.cached(
+      Bloom.candidateKeyFiles(srcKeys, col("key"), fileBits, m, k, salt))
     val candFiles = pairs.select("file_id").distinct()
     val tStats = broadcast(prevManifest
       .join(candFiles, Seq("file_id"), "left_semi")
