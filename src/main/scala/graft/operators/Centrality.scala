@@ -627,16 +627,20 @@ object Centrality {
     val e = normEdges(edges)
     val reach = pathCountsFull(e, seeds, maxHops, unpersistEdges = false)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Per-layer row counts off the persisted forward state: one narrow
-    // job each, and every backward-phase frame below is bounded by one
-    // of them — so the size-gated broadcast decisions (IterState doc)
-    // spend no further jobs. With the layer frames broadcast, the
-    // DAG-edge expansion streams the persisted edge frame map-side and
-    // the per-(seed, node) dependency aggregate partial-combines before
+    // Per-layer row counts off the persisted forward state: ONE
+    // aggregate job for all layers (it was one count job per layer —
+    // maxHops+1 scheduler round-trips over the same persisted frame),
+    // and every backward-phase frame below is bounded by one of them —
+    // so the size-gated broadcast decisions (IterState doc) spend no
+    // further jobs. With the layer frames broadcast, the DAG-edge
+    // expansion streams the persisted edge frame map-side and the
+    // per-(seed, node) dependency aggregate partial-combines before
     // its one small shuffle — the unhinted plan sort-merged (shuffle +
     // sort) the FULL expansion once per layer.
-    val layerCnt: Map[Int, Long] = (0 to maxHops).map(h =>
-      h -> reach.where(col("dist") === h.toLong).count()).toMap
+    val layerCnt: Map[Int, Long] = reach.groupBy("dist")
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      .withDefaultValue(0L)
     // backward: deepest layer seeds dep 0; layer h−1 sums its DAG-edge
     // contributions from layer h, left-joined so successor-less nodes
     // keep dep 0

@@ -364,6 +364,16 @@ class CentralitySketchSpec extends SparkSpec {
     assert(dmd(2L) === ((1L, 1L, S / 2)))
     assert(dmd(3L) === ((1L, 1L, S / 2)))
     assert(dmd(4L) === ((2L, 2L, 0L)))
+    // maxHops past the diameter: the terminal layers are EMPTY — the
+    // single-aggregate layer-count map (round-16 optimization) must
+    // default missing layers to 0, and dependencies must equal the
+    // exact-diameter run (empty deepest layer seeds nothing)
+    val pLong = Centrality.betweenness(path, Seq(1L).toDF("id"),
+        maxHops = 4, scale = S).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(pLong((1L, 2L)) === ((1L, 1L, S)))
+    assert(pLong((1L, 3L)) === ((2L, 1L, 0L)))
   }
 
   test("hll small-p: exact Flajolet constants at m in {16,32,64}, " +
