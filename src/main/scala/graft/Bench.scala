@@ -131,10 +131,7 @@ object Bench {
     // System.gc() lets the ContextCleaner release dead broadcasts too.
     var sinceGc = 0
     def sweepQueryState(): Unit = {
-      graft.operators.QueryScoped.releaseAll()
-      sc.getPersistentRDDs.values
-        .filter(_.toString.contains("localCheckpoint"))
-        .foreach(_.unpersist(blocking = false))
+      SparkEntry.sweepQueryState(spark)
       sinceGc += 1
       if (sinceGc >= 20) { sinceGc = 0; System.gc() }
     }
@@ -147,8 +144,19 @@ object Bench {
         // and serialized, so projection-only queries (hashes, regexes,
         // date parses) are billed honestly — a bare .count() would let
         // Catalyst prune the entire projection.
-        timedCapped(d.name,
+        val r = timedCapped(d.name,
           () => d.fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+        // Sweep BETWEEN runs, not just between queries (round-17,
+        // closing the round-16 ADVICE/VERDICT measurement hole): with
+        // runs=2, run 2 of a query using QueryScoped caches reused
+        // run 1's materialized cache (CacheManager matches the rebuilt
+        // logical plan), so the reported best-of-N excluded the
+        // intermediate's build cost for every minhash/simhash/shingle/
+        // graph-fixture query. The sweep is OUTSIDE the timed region;
+        // each timed run is now cold w.r.t. query-scoped state, so
+        // q42-class walls rise to their honest cost.
+        sweepQueryState()
+        r
       }
       // Flag discipline (round-15 finding #1, superseding round-14's
       // last-run rule): `capped` only when EVERY run hit the cap — a
@@ -159,7 +167,6 @@ object Bench {
       // plan itself is slow; the partial case is recorded as its own
       // `contended` field so the noise stays observable without
       // triggering the repro ritual.
-      sweepQueryState()
       if (timed.forall(_._2)) capped += d.name
       else if (timed.exists(_._2)) contended += d.name
       val times = timed.map(_._1)
@@ -167,8 +174,11 @@ object Bench {
       val first = times.head
       // envelope over ALL runs of this query (max peak, summed spill)
       val (pk, sp) = (memMb(peakTaskMem.get()), memMb(spilledBytes.get()))
-      // stream the wall immediately: a killed run keeps every line so far
-      System.err.println(
+      // stream the wall immediately: a killed run keeps every line so far.
+      // On STDOUT since round 17 (VERDICT r16 next-round #1): the
+      // driver's per-query comparison reads the bench's stdout, and the
+      // stderr stream left PERF.per_query empty for two rounds.
+      println(
         f"""[bench-wall] {"query":"${d.name}","sec":$best%.3f,"first_sec":$first%.3f,"capped":${capped.contains(d.name)},"contended":${contended.contains(d.name)},"peak_task_mem_mb":$pk%.1f,"spilled_mb":$sp%.1f}""")
       (d.name, best, pk, sp, first)
     }
@@ -362,7 +372,18 @@ object Bench {
     // way), so the LAST stdout line is a compact (<1 KB) first-class
     // summary — total, run protocol, cap/flag lists, and where the full
     // artifact lives.
+    //
+    // Round-17 (VERDICT r16 next-round #1): the driver's round-over-round
+    // per-query comparison needs the `queries` map on stdout, and the
+    // first full line above is too far from the tail for a bounded
+    // capture. So the SECOND-TO-LAST line is the driver-contract line —
+    // {"metric","value","unit","queries",...} with the queries map EARLY
+    // and the scaling block LAST (a tail capture that truncates the line
+    // head still shows the scaling retimes, exactly as in r15/r16) —
+    // and the guaranteed-parse compact line stays LAST, unchanged.
     val flaggedJson = flaggedNames.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":"$sfDir","n_queries":${results.size},"queries":$qs,"cap_sec":$capSec,"capped":$cappedJson,"contended":$contendedJson,"capped_repro":$reproJson,"scaling_flagged":$flaggedJson,"scaling":$scalingJson}""")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":"$sfDir","n_queries":${results.size},"cap_sec":$capSec,"capped":$cappedJson,"contended":$contendedJson,"capped_repro":$reproJson,"scaling_flagged":$flaggedJson,"full_summary":"$outPath"}""")
     spark.stop()

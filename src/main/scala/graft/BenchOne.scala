@@ -38,6 +38,32 @@ object BenchOne {
     sys.env.get("SPARK_GRAFT_CC_LOCAL")
       .foreach(v => spark.conf.set(
         graft.operators.ConnectedComponents.LocalSolveConfKey, v))
+    // debug-only A/B knob: arbitrary session confs, ';'-separated k=v
+    // (e.g. SPARK_GRAFT_EXTRA_CONF="spark.sql.adaptive.coalescePartitions.parallelismFirst=false")
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').filter(_.contains('='))
+      .foreach { kv =>
+        val i = kv.indexOf('=')
+        spark.conf.set(kv.take(i).trim, kv.drop(i + 1).trim)
+      })
+    // debug-only job profile: SPARK_GRAFT_JOBLOG=1 prints one line per
+    // Spark job (id, wall, #stages/tasks, call site) so a multi-action
+    // query's wall can be attributed without the UI
+    if (sys.env.get("SPARK_GRAFT_JOBLOG").contains("1")) {
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val site = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          starts.put(js.jobId, (System.nanoTime(), site, js.stageInfos.map(_.numTasks).sum))
+        }
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(starts.remove(je.jobId)).foreach { case (t0, site, tasks) =>
+            System.err.println(
+              f"[benchone-job] id=${je.jobId} ${(System.nanoTime() - t0) / 1e9}%7.3f s tasks=$tasks%-5d $site")
+          }
+        }
+      })
+    }
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     val byName = SparkEntry.allDecls.map(d => d.name -> d).toMap
     args.foreach { name =>
@@ -49,10 +75,7 @@ object BenchOne {
           println(f"[benchone] ${d.name} ${(System.nanoTime() - t0) / 1e9}%.2f s")
           // mirror Bench.sweepQueryState so isolated retimes see the
           // same between-query state the suite does
-          graft.operators.QueryScoped.releaseAll()
-          spark.sparkContext.getPersistentRDDs.values
-            .filter(_.toString.contains("localCheckpoint"))
-            .foreach(_.unpersist(blocking = false))
+          SparkEntry.sweepQueryState(spark)
       }
     }
     spark.stop()

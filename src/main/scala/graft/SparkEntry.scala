@@ -23,9 +23,33 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     allDecls.head.fn(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * EXECUTION CONTRACT (round-16 ADVICE): some decls materialize
+    * query-internal intermediates through
+    * [[graft.operators.QueryScoped.cached]] (minhash/simhash signature
+    * frames, shared graph-fixture edge frames) and cut iteration
+    * lineage with `localCheckpoint`. Those blocks are released at QUERY
+    * BOUNDARIES, not by the operators themselves — after consuming a
+    * query's result, call [[sweepQueryState]] (as Bench/Verify/BenchOne
+    * do) or the block manager accumulates one corpus-sized frame per
+    * query for the life of the session. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allDecls.map(d => d.name -> d.fn).toMap
+
+  /** The query-boundary sweep every harness and embedder must run after
+    * consuming a query's result (see [[queries]]): releases the
+    * QueryScoped registry and the per-query localCheckpoint round
+    * barriers. Only RDDs created at a localCheckpoint call site are
+    * dropped — they are per-query round barriers no cross-query frame
+    * references (the deliberate cross-query caches, ExportQueries'
+    * entity frames, are plain persists and stay warm). */
+  def sweepQueryState(spark: SparkSession): Unit = {
+    graft.operators.QueryScoped.releaseAll()
+    spark.sparkContext.getPersistentRDDs.values
+      .filter(_.toString.contains("localCheckpoint"))
+      .foreach(_.unpersist(blocking = false))
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

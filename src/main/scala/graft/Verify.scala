@@ -32,14 +32,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // between-query sweep of leaked localCheckpoint blocks — same
-      // rationale as Bench.sweepQueryState (they are per-query round
-      // barriers nothing cross-query references; the ContextCleaner's
+      // between-query sweep of leaked localCheckpoint blocks — the
+      // SparkEntry.queries execution contract (the ContextCleaner's
       // periodic GC is far slower than a 318-query run)
-      graft.operators.QueryScoped.releaseAll()
-      spark.sparkContext.getPersistentRDDs.values
-        .filter(_.toString.contains("localCheckpoint"))
-        .foreach(_.unpersist(blocking = false))
+      SparkEntry.sweepQueryState(spark)
     }
     graft.queries.ExportQueries.unpersistAll()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -53,9 +53,28 @@ object ConnectedComponents {
   val LocalSolveConfKey = "spark.graft.ccLocalSolveEdges"
   val LocalSolveDefault: Long = IterState.DefaultCap
 
+  /** Byte companion to the row gate (round-17, VERDICT r16 #2): the row
+    * cap alone was calibrated for long keys (~32 MB of keys at 2M rows)
+    * but a 2M-row pointer set of 255-char STRING ids is ~1 GB at
+    * `collect()` — `spark.driver.maxResultSize` territory. The
+    * signature scan that already prices the row gate now also sums the
+    * actual key octets (same single aggregate), and the local finish
+    * requires BOTH `rows <= ccLocalSolveEdges` AND
+    * `key bytes <= ccLocalSolveBytes` (default 256 MB of raw key bytes
+    * — a few hundred MB of boxed driver heap, well under the 2 GB
+    * maxResultSize; 0 disables the byte gate). Fixed-width keys price
+    * exactly (rows × 2 × width); only string keys need the measured
+    * sum. */
+  val LocalSolveBytesConfKey = "spark.graft.ccLocalSolveBytes"
+  val LocalSolveBytesDefault: Long = 256L * 1024 * 1024
+
   private def localSolveCap(spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.getOption(LocalSolveConfKey).map(_.toLong)
       .getOrElse(LocalSolveDefault)
+
+  private def localSolveBytesCap(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption(LocalSolveBytesConfKey).map(_.toLong)
+      .getOrElse(LocalSolveBytesDefault)
 
   /** Key types the driver-side finisher supports: orderings below are
     * exactly Spark's (numeric; UTF8String binary = unsigned UTF-8 byte
@@ -180,16 +199,30 @@ object ConnectedComponents {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Order-independent set signature: (cardinality, sum of 64-bit edge
-    // hashes as decimal — decimal so ANSI mode can't overflow-throw).
+    // hashes as decimal — decimal so ANSI mode can't overflow-throw,
+    // plus the summed key octets that price the local-finish byte gate
+    // — measured for string keys, exact rows × width for fixed-width
+    // ones; all in the SAME single scan).
     // Over distinct pointer sets, two different sets collide with
     // probability ~2⁻⁶⁴ per comparison; a collision costs one wasted
     // exact check below, never a wrong result.
-    def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
+    val keyIsString =
+      e.schema("src").dataType == org.apache.spark.sql.types.StringType
+    val fixedKeyWidth = e.schema("src").dataType.defaultSize.toLong
+    def sig(df: DataFrame): (Long, java.math.BigDecimal, Long) = {
+      val keyBytesExpr =
+        if (keyIsString)
+          sum((octet_length(col("src")) + octet_length(col("dst"))).cast("long"))
+        else sum(lit(0L))
       val r = df.agg(
         count(lit(1)),
-        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head()
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
+        keyBytesExpr).head()
       val s = if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1)
-      (r.getLong(0), s)
+      val kb =
+        if (keyIsString) { if (r.isNullAt(2)) 0L else r.getLong(2) }
+        else r.getLong(0) * 2L * fixedKeyWidth
+      (r.getLong(0), s, kb)
     }
     var prevSig = sig(e) // materialize once so each round starts cached
 
@@ -202,8 +235,8 @@ object ConnectedComponents {
     // forces the BHJ stream side to recompute the whole star subtree a
     // second time per round — a wash at the small sizes where the gate
     // can fire at all, and the gate never fires on big graphs.
-    def gated(df: DataFrame, bound: Long): DataFrame =
-      if (checkEvery == 1) IterState.bcastIf(df, bound) else df
+    def gated(df: DataFrame, bound: Long, bytesBound: Long): DataFrame =
+      if (checkEvery == 1) IterState.bcastIf(df, bound, bytesBound) else df
 
     var converged = false
     var iter = 0
@@ -211,18 +244,23 @@ object ConnectedComponents {
     // proxy) go stale between checks — restrict the gate to the default
     // every-round discipline where prevSig is exact.
     val localCap = localSolveCap(spark)
+    val localBytesCap = localSolveBytesCap(spark)
     val canLocal = localCap > 0 && checkEvery == 1 &&
       localSolvable(e.schema("src").dataType)
     while (!converged && iter < maxIterations) {
       // Local finish (see LocalSolveConfKey doc): the signature scan
       // that ends every round already carries the pointer-set
-      // cardinality, so the gate decision is free. Fires at entry for
-      // gate-small inputs (the resolver's journal-sized graphs) and
-      // mid-iteration once contraction brings a big graph under the
-      // bound; the fixpoint pointer set it produces is bit-identical
-      // to what the remaining star rounds would converge to (spec-
-      // asserted both ways), so the derivation below is unchanged.
-      if (canLocal && prevSig._1 <= localCap) {
+      // cardinality AND its key bytes, so the gate decision is free.
+      // Fires at entry for gate-small inputs (the resolver's
+      // journal-sized graphs) and mid-iteration once contraction brings
+      // a big graph under the bounds; the fixpoint pointer set it
+      // produces is bit-identical to what the remaining star rounds
+      // would converge to (spec-asserted both ways), so the derivation
+      // below is unchanged. Both gates must pass: rows (union-find
+      // array sizing) and key bytes (collect()/driver-heap sizing —
+      // see LocalSolveBytesConfKey).
+      if (canLocal && prevSig._1 <= localCap &&
+          (localBytesCap <= 0 || prevSig._3 <= localBytesCap)) {
         val solved = localSolve(e)
         e.unpersist(blocking = false)
         e = solved
@@ -301,7 +339,7 @@ object ConnectedComponents {
     val comp = e.select(col("src").as("id"), col("dst").as("component"))
       .union(e.select(col("dst").as("id"), col("dst").as("component")))
       .groupBy(col("id")).agg(min(col("component")).as("component"))
-    val out = n.join(gated(comp, 2 * prevSig._1), Seq("id"), "left")
+    val out = n.join(gated(comp, 2 * prevSig._1, 2 * prevSig._3), Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
     out
   }

@@ -30,7 +30,11 @@ object GraphSketchQueries {
     * the subtrees are not identical, so ReuseExchange never fires —
     * the round-16 q276 plan carried EIGHT lineitem scans (4× the
     * self-join + distinct). The cache computes the self-join once per
-    * query; the bench/verify boundary sweep releases it. */
+    * query; RELEASE CONTRACT (round-16 ADVICE): consumers of these
+    * decls must call SparkEntry.sweepQueryState (or
+    * QueryScoped.releaseAll) at each query boundary, as
+    * Bench/Verify/BenchOne do — an embedder that skips the sweep leaks
+    * one corpus-sized cached edge frame per query invocation. */
   private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val li = t(s, d, "lineitem")
