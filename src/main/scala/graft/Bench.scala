@@ -30,9 +30,36 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val capSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAP", "120").toInt
+    // Scale-adaptive shuffle partitions (round-17, VERDICT r16 #6; guide
+    // §2: derive partitioning from input size, don't hard-code either
+    // end). The old cpus-keyed setting billed every reduce stage 32
+    // near-empty tasks at sf0.1 — the driver measured the whole suite
+    // FASTER at 8 cpus than at 32 (624 vs 832 s), a pure fixed-overhead
+    // inversion. partitions = clamp(ceil(datasetBytes / 2 MiB), 1,
+    // cpus): the 2 MiB constant shapes only the small-input end (any
+    // dataset ≥ 2 MiB × parallelism reaches the clamp, so a cluster
+    // keeps its configured parallelism — the same derivation shape as
+    // the r16 streaming state-partition rule). AQE's parallelismFirst
+    // coalescing was A/B'd as the alternative and measured WORSE at
+    // sf0.1 (it collapses real compute to 1 partition: q271 7.4 →
+    // 12.9 s); this derivation at 8 partitions measured better on every
+    // probed query class (ETL q109 14.2 → 10.4, graph q172 13.1 → 9.7,
+    // shingle q156 3.5 → 2.2, relational/streaming neutral-to-better).
+    def dirBytes(p: String): Long = {
+      val d = new java.io.File(p)
+      if (!d.isDirectory) 0L
+      else d.listFiles().map(f =>
+        if (f.isDirectory) dirBytes(f.getPath) else f.length()).sum
+    }
+    val bytesPerPart = sys.env
+      .getOrElse("SPARK_GRAFT_SHUFFLE_BYTES_PER_PARTITION", (2L << 20).toString)
+      .toLong
+    val shuffleParts = sys.env.get("SPARK_GRAFT_SHUFFLE").map(_.toInt).getOrElse(
+      math.max(1L, math.min(
+        (dirBytes(sfDir) + bytesPerPart - 1) / bytesPerPart, cpus.toLong)).toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // events.parquet carries ns timestamps; read as long, convert in Q.events
@@ -130,10 +157,34 @@ object Bench {
     // plain persists and stay warm exactly as before). A periodic
     // System.gc() lets the ContextCleaner release dead broadcasts too.
     var sinceGc = 0
+    // debug-only boundary telemetry (round-17, VERDICT r16 #4): one
+    // line per sweep with block-manager storage occupancy, persistent-
+    // RDD count, JVM thread count and post-suite heap — the
+    // instrumentation that attributes late-suite in-suite inflation
+    // (in-suite wall >> fresh retime) to suite state instead of guesses
+    val sweepLog = sys.env.get("SPARK_GRAFT_SWEEPLOG").contains("1")
     def sweepQueryState(): Unit = {
       SparkEntry.sweepQueryState(spark)
       sinceGc += 1
       if (sinceGc >= 20) { sinceGc = 0; System.gc() }
+      if (sweepLog) {
+        val (mx, rem) = sc.getExecutorMemoryStatus.values
+          .foldLeft((0L, 0L)) { case ((a, b), (m, r)) => (a + m, b + r) }
+        val rt = Runtime.getRuntime
+        // JIT code-cache occupancy: codegen classes accumulate across a
+        // 634-run suite and silent code-cache FLUSHING (no JVM warning
+        // until hard-full) deopts hot loops — the prime suspect for
+        // late-suite walls >> fresh retimes on the driver host
+        import scala.jdk.CollectionConverters._
+        val code = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+          .asScala.filter(_.getName.startsWith("CodeHeap"))
+          .map(p => p.getUsage.getUsed).sum
+        val meta = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+          .asScala.find(_.getName == "Metaspace")
+          .map(_.getUsage.getUsed).getOrElse(0L)
+        System.err.println(
+          f"""[bench-sweep] {"storage_used_mb":${(mx - rem) / 1048576.0}%.1f,"persistent_rdds":${sc.getPersistentRDDs.size},"threads":${Thread.activeCount()},"heap_used_mb":${(rt.totalMemory - rt.freeMemory) / 1048576.0}%.1f,"code_cache_mb":${code / 1048576.0}%.1f,"metaspace_mb":${meta / 1048576.0}%.1f}""")
+      }
     }
     val results = SparkEntry.allDecls
       .filter(d => only.isEmpty || only(d.name))

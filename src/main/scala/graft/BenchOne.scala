@@ -13,9 +13,21 @@ object BenchOne {
     // a different config (e.g. the missing broadcast threshold) would
     // measure a different plan than the suite bench did
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // debug-only A/B knob: probe a shuffle-partition hypothesis without
-    // changing the bench contract (Bench.scala stays cpus-keyed)
-    val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // default mirrors Bench's input-derived shuffle partitions (round-17);
+    // SPARK_GRAFT_SHUFFLE stays the A/B override
+    def dirBytes(p: String): Long = {
+      val f = new java.io.File(p)
+      if (!f.isDirectory) 0L
+      else f.listFiles().map(c =>
+        if (c.isDirectory) dirBytes(c.getPath) else c.length()).sum
+    }
+    val bytesPerPart = sys.env
+      .getOrElse("SPARK_GRAFT_SHUFFLE_BYTES_PER_PARTITION", (2L << 20).toString)
+      .toLong
+    val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      math.max(1L, math.min(
+        (dirBytes(sfDir) + bytesPerPart - 1) / bytesPerPart,
+        cpus.toLong)).toString)
     val builder0 = SparkSession.builder()
     // debug-only A/B knob: shuffle/spill scratch device
     sys.env.get("SPARK_GRAFT_LOCAL_DIR")

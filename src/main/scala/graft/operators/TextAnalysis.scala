@@ -372,10 +372,47 @@ object TextAnalysis {
     *
     * Returns one row per round:
     * (round, sym_a, sym_b, pair_count, n_symbols_after). */
+  // ——— BPE string encoding (round-17, guide §1.2 "per-task work") ———
+  // The greedy left-to-right non-overlapping merge was an `aggregate`
+  // fold over the symbol array whose accumulator is rebuilt by
+  // array-concat at every element — O(k²) element copies per document
+  // of k symbols, PER round (training) and PER rule (encoding). The
+  // merge is instead applied as ONE linear `replace` over a framed
+  // string encoding of the symbol stream:
+  //
+  //   enc(syms) = " x<s1>  x<s2>  …  x<sk> "
+  //
+  // every symbol slot is prefixed with a literal 'x' (so the EMPTY
+  // symbol — a doc with consecutive spaces — still occupies a slot and
+  // survives the round-trip) and separated by TWO spaces with single-
+  // space edges. A rule (a, b) is the literal pattern " x{a}  x{b} " →
+  // replacement " x{a}_{b} ": the pattern's single framing spaces can
+  // only align at slot boundaries (symbols contain no spaces — they
+  // come from split on ' '), and because `replace` substitutes
+  // non-overlapping occurrences scanning left to right and resumes
+  // AFTER each replacement, its semantics are exactly the greedy fold's
+  // (a merged symbol never re-merges with the next element in the same
+  // pass; consecutive disjoint pairs all merge — each match consumes
+  // one space of the following double gap and the replacement restores
+  // it). Decode = split on the double gap + strip the 'x'. Equivalence
+  // to the old fold is pinned by RetrievalSpec (greedy-run, rank-order,
+  // round-2-counts cases) and a new consecutive-spaces case.
+  private def bpeStr(text: Column): Column =
+    concat(lit(" "),
+      concat_ws("  ", transform(split(text, " "), s => concat(lit("x"), s))),
+      lit(" "))
+  private def bpeSyms(s: Column): Column =
+    transform(split(trim(s), "  "), t => t.substr(lit(2), length(t)))
+  private def bpePat(a: Column, b: Column): Column =
+    concat(lit(" x"), a, lit("  x"), b, lit(" "))
+  private def bpeRep(a: Column, b: Column): Column =
+    concat(lit(" x"), a, lit("_"), b, lit(" "))
+
   def bpeMergeRounds(df: org.apache.spark.sql.DataFrame, text: Column,
       rounds: Int, checkpointAfter: Int = 4): org.apache.spark.sql.DataFrame = {
     val emptyPairs = array().cast("array<struct<a:string,b:string>>")
     def pairCounts(sdf: org.apache.spark.sql.DataFrame) = sdf
+      .select(bpeSyms(col("s")).as("syms"))
       .select(explode(when(size(col("syms")) >= 2,
         transform(sequence(lit(1), size(col("syms")) - 1),
           i => struct(element_at(col("syms"), i).as("a"),
@@ -390,19 +427,15 @@ object TextAnalysis {
     def applyMerge(sdf: org.apache.spark.sql.DataFrame,
         win: org.apache.spark.sql.DataFrame) = sdf
       .crossJoin(broadcast(win))
-      .select(aggregate(col("syms"), array().cast("array<string>"),
-        (acc, s) =>
-          when(size(acc) > 0 && element_at(acc, -1) === col("sym_a") &&
-            s === col("sym_b"),
-            concat(slice(acc, lit(1), size(acc) - 1),
-              array(concat(col("sym_a"), lit("_"), col("sym_b")))))
-            .otherwise(concat(acc, array(s)))).as("syms"))
-    var cur = df.select(split(text, " ").as("syms"))
+      .select(replace(col("s"), bpePat(col("sym_a"), col("sym_b")),
+        bpeRep(col("sym_a"), col("sym_b"))).as("s"))
+    var cur = df.select(bpeStr(text).as("s"))
     val rows = (1 to rounds).map { r =>
       val win = winner(pairCounts(cur))
       cur = applyMerge(cur, win)
       if (rounds > checkpointAfter) cur = cur.localCheckpoint()
-      val nAfter = cur.agg(sum(size(col("syms"))).cast("long").as("n_symbols_after"))
+      val nAfter = cur
+        .agg(sum(size(bpeSyms(col("s")))).cast("long").as("n_symbols_after"))
       win.withColumn("round", lit(r.toLong)).crossJoin(nAfter)
     }
     rows.reduce(_.unionByName(_))
@@ -449,19 +482,16 @@ object TextAnalysis {
     val rules = merges
       .agg(array_sort(collect_list(struct(col("round"), col("sym_a"), col("sym_b"))))
         .as("rules"))
-    docs.select(id.as("doc_id"), split(text, " ").as("syms"))
+    // outer fold over the rules, each rule ONE linear string replace
+    // (see the bpeStr encoding note above) — O(rules × doc length)
+    // instead of the old nested array fold's O(rules × doc length²)
+    docs.select(id.as("doc_id"), bpeStr(text).as("s"))
       .crossJoin(broadcast(rules))
       .select(col("doc_id"),
-        aggregate(col("rules"), col("syms"), (acc, rule) => {
-          val a = rule.getField("sym_a")
-          val b = rule.getField("sym_b")
-          aggregate(acc, array().cast("array<string>"),
-            (out, s) =>
-              when(size(out) > 0 && element_at(out, -1) === a && s === b,
-                concat(slice(out, lit(1), size(out) - 1),
-                  array(concat(a, lit("_"), b))))
-                .otherwise(concat(out, array(s))))
-        }).as("toks"))
+        bpeSyms(aggregate(col("rules"), col("s"), (acc, rule) =>
+          replace(acc, bpePat(rule.getField("sym_a"), rule.getField("sym_b")),
+            bpeRep(rule.getField("sym_a"), rule.getField("sym_b")))))
+          .as("toks"))
   }
 
   /** Tokenizer-QA coverage report per document: word count, post-merge

@@ -121,6 +121,48 @@ class RetrievalSpec extends SparkSpec {
     assert(ckpt.length == 6)
   }
 
+  test("bpe string encoding equals the greedy fold on pathological symbols") {
+    // Round-17: the greedy merge moved from an O(k²) array fold to a
+    // linear framed-string replace. The framing must survive EMPTY
+    // symbols (consecutive/leading/trailing spaces in text) and symbols
+    // containing the 'x' slot prefix or '_' joiner-adjacent shapes —
+    // replay the trainer AND the encoder against a literal Scala
+    // implementation of the old fold.
+    def mergeOnce(syms: Seq[String], a: String, b: String): Seq[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + "_" + b)
+        else acc :+ s
+      }
+    val texts = Seq("a  a  a b a b", " leading", "trailing ",
+      "x xa  b x x", "a b  b a", "")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val trained = TextAnalysis.bpeMergeRounds(docs, col("text"), rounds = 3)
+    val merges = trained.orderBy("round")
+      .select("round", "sym_a", "sym_b", "pair_count", "n_symbols_after")
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    var corpus = texts.map(_.split(" ", -1).toSeq)
+    merges.foreach { case (r, a, b, cnt, nAfter) =>
+      val counts = corpus.flatMap(s => s.zip(s.drop(1)))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val ((ra, rb), rc) = counts.toSeq
+        .minBy { case ((pa, pb), c) => (-c, pa, pb) }
+      assert((a, b, cnt) == ((ra, rb, rc)), s"round $r winner")
+      corpus = corpus.map(s => mergeOnce(s, a, b))
+      assert(nAfter == corpus.map(_.size).sum.toLong, s"round $r n_after")
+    }
+    val enc = TextAnalysis.bpeEncodeTokens(docs, col("doc_id"), col("text"),
+        trained.select("round", "sym_a", "sym_b"))
+      .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+    val rules = merges.map(m => (m._2, m._3))
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val ref = rules.foldLeft(t.split(" ", -1).toSeq) {
+        case (s, (a, b)) => mergeOnce(s, a, b)
+      }
+      assert(enc(i)._2 == ref, s"doc $i: ${enc(i)._2} vs $ref")
+    }
+  }
+
   test("bpeEncode applies trained rules in rank order, greedy, on unseen docs") {
     val train = Seq(Tuple1("a b a b c"), Tuple1("a b c")).toDF("text")
       .withColumn("doc_id", monotonically_increasing_id())
