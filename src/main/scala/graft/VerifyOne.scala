@@ -26,6 +26,8 @@ object VerifyOne {
         System.err.println(s"[verifyone] ${d.name} failed: ${e}")
         e.printStackTrace()
       }
+      // the SparkEntry.queries boundary-sweep contract
+      SparkEntry.sweepQueryState(spark)
     }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""

@@ -4351,11 +4351,20 @@ object PipelineQueries {
     decl("q321_phash_neardup",
       (s, d) => {
         import graft.operators.Multimodal
-        Multimodal.phashNearDup(
-          Multimodal.dHashBands(phashGrid(s, d), col("id"), col("px")),
-          maxHamming = 3)
+        Multimodal.phashNearDup(phashBands(s, d), maxHamming = 3)
       },
       phashOracle)
+
+  /** Shared banded-hash frame for the phash family — query-scoped
+    * cached (round-17, guide §2.4): the band frame is referenced up to
+    * 6× per near-dup arm (4 band projections + 2 verify sides) and the
+    * grid synthesis behind it costs 72 hash60 calls per row per
+    * evaluation; the cache computes it once per query, released by the
+    * harness boundary sweep. */
+  private def phashBands(s: SparkSession, d: String): DataFrame =
+    graft.operators.QueryScoped.cached(
+      graft.operators.Multimodal.dHashBands(phashGrid(s, d),
+        col("id"), col("px")))
 
   // q324 (round-15): the SCALE path of q321 — multi-index Hamming
   // search (two 32-bit bands, exact key + 32 one-bit probes per band):
@@ -4370,9 +4379,7 @@ object PipelineQueries {
     decl("q324_phash_neardup_mih",
       (s, d) => {
         import graft.operators.Multimodal
-        Multimodal.phashNearDupWide(
-          Multimodal.dHashBands(phashGrid(s, d), col("id"), col("px")),
-          maxHamming = 3)
+        Multimodal.phashNearDupWide(phashBands(s, d), maxHamming = 3)
       },
       phashOracle)
 
@@ -4392,7 +4399,7 @@ object PipelineQueries {
     decl("q331_phash_neardup_auto",
       (s, d) => {
         import graft.operators.Multimodal
-        val bands = Multimodal.dHashBands(phashGrid(s, d), col("id"), col("px"))
+        val bands = phashBands(s, d)
         def arm(tag: String, thr: Long) =
           Multimodal.phashNearDupAuto(bands, maxHamming = 3, narrowMaxN = thr)
             .select(lit(tag).as("arm"), col("route"), col("n_corpus"),
